@@ -1,0 +1,373 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, DataFrameNaFunctions, DataFrameStatFunctions, DataFrameWriter, Dataset, RelationalGroupedDataset, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+/** Metadata-annotated DataFrame — the Spark-native re-expression of the
+  * reference's `MetaFrame` (reference: metaframe/metaframe.py:27-197).
+  *
+  * Design (SURVEY.md §7.1): composition + explicit typed forwarders, not
+  * inheritance + dynamic dispatch. The reference subclasses
+  * `pyspark.sql.DataFrame` purely for `isinstance` and routes every call via
+  * `__getattr__` (metaframe.py:77-94); in Scala `Dataset`'s constructor is
+  * package-private and dynamic routing is unidiomatic, so each delegated
+  * operator is an explicit method that rewraps its result with the same
+  * metadata (the analogue of metaframe.py:111-117).
+  *
+  * Semantics preserved from the reference:
+  *   - metadata flows through every DataFrame-returning transformation
+  *     (metaframe.py:113-114);
+  *   - `primary_key` is inferred after uniqueness-guaranteeing ops —
+  *     `groupBy`, `dropDuplicates`, `distinct` (metaframe.py:48-60, 121-177);
+  *   - no-arg `dropDuplicates`/`distinct` ⇒ pk = all columns
+  *     (metaframe.py:144-145, 164-165);
+  *   - binary ops (join/union/…) keep the LEFT operand's metadata
+  *     (metaframe.py:114).
+  *
+  * Deliberate divergences (SURVEY.md §7.3, each pinned by a test):
+  *   - metadata is an immutable `Map` (the reference shares a mutable dict by
+  *     reference between parent and child, metaframe.py:114);
+  *   - `groupBy(Column*)` is a separate overload that does NOT infer pk
+  *     instead of crashing (reference Q1: unhashable `Column` in `set(args)`,
+  *     metaframe.py:152);
+  *   - pk preserves caller argument order (reference Q2: Python-set order,
+  *     metaframe.py:152);
+  *   - `.write` / `.na` / `.stat` / `randomSplit` return metadata-preserving
+  *     facades (the reference loses metadata on all of them, metaframe.py:87-88).
+  */
+final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
+
+  import MetaFrame.PrimaryKeyField
+
+  // ---------------------------------------------------------------- metadata
+
+  /** reference: `primary_key` property, metaframe.py:188-197. */
+  def primaryKey: Option[Seq[String]] = metadata.get(PrimaryKeyField).collect {
+    case s: Seq[_] => s.map(_.toString)
+  }
+
+  /** reference: `set_metadata(**params)` merge-and-replace, metaframe.py:179-186. */
+  def setMetadata(params: (String, Any)*): MetaFrame =
+    copy(metadata = metadata ++ params)
+
+  def withPrimaryKey(cols: Seq[String]): MetaFrame =
+    copy(metadata = metadata + (PrimaryKeyField -> cols))
+
+  /** reference: `__str__`, metaframe.py:71-75. */
+  override def toString: String = s"$df metadata: $metadata"
+
+  // ------------------------------------------------------------- column refs
+
+  /** reference: `__getitem__`, metaframe.py:96-97. */
+  def apply(colName: String): Column = df(colName)
+  def col(colName: String): Column = df.col(colName)
+  def colRegex(colName: String): Column = df.colRegex(colName)
+
+  // -------------------------------------------------------- private plumbing
+
+  @inline private def wrap(d: DataFrame): MetaFrame = copy(df = d)
+  @inline private def wrapPk(d: DataFrame, pk: Seq[String]): MetaFrame =
+    MetaFrame(d, metadata + (PrimaryKeyField -> pk))
+
+  // ------------------------------------------------- projections (SURVEY §2.2b)
+
+  def select(cols: Column*): MetaFrame = wrap(df.select(cols: _*))
+  def select(col: String, cols: String*): MetaFrame = wrap(df.select(col, cols: _*))
+  def selectExpr(exprs: String*): MetaFrame = wrap(df.selectExpr(exprs: _*))
+  def withColumn(colName: String, col: Column): MetaFrame = wrap(df.withColumn(colName, col))
+  def withColumns(colsMap: Map[String, Column]): MetaFrame = wrap(df.withColumns(colsMap))
+  def withColumnRenamed(existing: String, newName: String): MetaFrame =
+    wrap(df.withColumnRenamed(existing, newName))
+  def withColumnsRenamed(renames: Map[String, String]): MetaFrame =
+    wrap(df.withColumnsRenamed(renames))
+  def drop(colNames: String*): MetaFrame = wrap(df.drop(colNames: _*))
+  def drop(col: Column): MetaFrame = wrap(df.drop(col))
+  def toDF(colNames: String*): MetaFrame =
+    wrap(if (colNames.isEmpty) df.toDF() else df.toDF(colNames: _*))
+  def to(schema: StructType): MetaFrame = wrap(df.to(schema))
+  def alias(a: String): MetaFrame = wrap(df.alias(a))
+  def as(a: String): MetaFrame = wrap(df.as(a))
+
+  // ---------------------------------------------------------------- filters
+
+  def filter(condition: Column): MetaFrame = wrap(df.filter(condition))
+  def filter(conditionExpr: String): MetaFrame = wrap(df.filter(conditionExpr))
+  def where(condition: Column): MetaFrame = wrap(df.where(condition))
+  def where(conditionExpr: String): MetaFrame = wrap(df.where(conditionExpr))
+
+  // ------------------------------------------------------ joins (SURVEY §2.2c)
+  // Left operand's metadata wins, matching the reference (metaframe.py:114).
+
+  def join(right: MetaFrame): MetaFrame = wrap(df.join(right.df))
+  def join(right: MetaFrame, usingColumn: String): MetaFrame =
+    wrap(df.join(right.df, usingColumn))
+  def join(right: MetaFrame, usingColumns: Seq[String]): MetaFrame =
+    wrap(df.join(right.df, usingColumns))
+  def join(right: MetaFrame, usingColumns: Seq[String], joinType: String): MetaFrame =
+    wrap(df.join(right.df, usingColumns, joinType))
+  def join(right: MetaFrame, joinExprs: Column): MetaFrame =
+    wrap(df.join(right.df, joinExprs))
+  def join(right: MetaFrame, joinExprs: Column, joinType: String): MetaFrame =
+    wrap(df.join(right.df, joinExprs, joinType))
+  def crossJoin(right: MetaFrame): MetaFrame = wrap(df.crossJoin(right.df))
+  def join(right: DataFrame, usingColumns: Seq[String], joinType: String): MetaFrame =
+    wrap(df.join(right, usingColumns, joinType))
+  def join(right: DataFrame, joinExprs: Column, joinType: String): MetaFrame =
+    wrap(df.join(right, joinExprs, joinType))
+  def hint(name: String, parameters: Any*): MetaFrame = wrap(df.hint(name, parameters: _*))
+
+  // ----------------------------------------------- aggregations (SURVEY §2.2d)
+
+  /** String-name grouping infers pk = grouping cols in caller order
+    * (reference: metaframe.py:48-50 + 152; order divergence Q2 per SURVEY §7.3). */
+  def groupBy(col1: String, cols: String*): MetaGroupedData = {
+    val keys = col1 +: cols
+    new MetaGroupedData(df.groupBy(col1, cols: _*), metadata + (PrimaryKeyField -> keys))
+  }
+
+  /** Column-based grouping: no pk inference (reference Q1 crashes here;
+    * we accept and skip inference — SURVEY §7.3). Also covers no-arg
+    * `groupBy()` ⇒ no pk (reference Q3, metaframe.py:167-172). */
+  def groupBy(cols: Column*): MetaGroupedData =
+    new MetaGroupedData(df.groupBy(cols: _*), metadata)
+
+  def rollup(cols: Column*): MetaGroupedData = // no pk (reference Q4)
+    new MetaGroupedData(df.rollup(cols: _*), metadata)
+  def rollup(col1: String, cols: String*): MetaGroupedData =
+    new MetaGroupedData(df.rollup(col1, cols: _*), metadata)
+  def cube(cols: Column*): MetaGroupedData =
+    new MetaGroupedData(df.cube(cols: _*), metadata)
+  def cube(col1: String, cols: String*): MetaGroupedData =
+    new MetaGroupedData(df.cube(col1, cols: _*), metadata)
+
+  def agg(expr: Column, exprs: Column*): MetaFrame = wrap(df.agg(expr, exprs: _*))
+  def agg(exprs: Map[String, String]): MetaFrame = wrap(df.agg(exprs))
+
+  /** pk = subset (reference: metaframe.py:51-58, 150-160). */
+  def dropDuplicates(colNames: Seq[String]): MetaFrame =
+    wrapPk(df.dropDuplicates(colNames), colNames)
+  def dropDuplicates(col1: String, cols: String*): MetaFrame =
+    dropDuplicates(col1 +: cols)
+
+  /** No-arg ⇒ pk = all columns (reference Q5, metaframe.py:164-165). */
+  def dropDuplicates(): MetaFrame = wrapPk(df.dropDuplicates(), df.columns.toSeq)
+
+  /** pk = all columns (reference Q5, metaframe.py:59, 144-145). */
+  def distinct(): MetaFrame = wrapPk(df.distinct(), df.columns.toSeq)
+
+  def dropDuplicatesWithinWatermark(): MetaFrame = // not in SET_PK_AFTER → no pk
+    wrap(df.dropDuplicatesWithinWatermark())
+  def dropDuplicatesWithinWatermark(colNames: Seq[String]): MetaFrame =
+    wrap(df.dropDuplicatesWithinWatermark(colNames))
+
+  def describe(cols: String*): MetaFrame = wrap(df.describe(cols: _*))
+  def summary(statistics: String*): MetaFrame = wrap(df.summary(statistics: _*))
+
+  // ------------------------------------------- sorts / limits (SURVEY §2.2f)
+
+  def sort(sortExprs: Column*): MetaFrame = wrap(df.sort(sortExprs: _*))
+  def sort(sortCol: String, sortCols: String*): MetaFrame = wrap(df.sort(sortCol, sortCols: _*))
+  def orderBy(sortExprs: Column*): MetaFrame = wrap(df.orderBy(sortExprs: _*))
+  def orderBy(sortCol: String, sortCols: String*): MetaFrame =
+    wrap(df.orderBy(sortCol, sortCols: _*))
+  def sortWithinPartitions(sortExprs: Column*): MetaFrame =
+    wrap(df.sortWithinPartitions(sortExprs: _*))
+  def limit(n: Int): MetaFrame = wrap(df.limit(n))
+  def offset(n: Int): MetaFrame = wrap(df.offset(n))
+
+  // -------------------------------------------------- set ops (SURVEY §2.2g)
+
+  def union(other: MetaFrame): MetaFrame = wrap(df.union(other.df))
+  def unionAll(other: MetaFrame): MetaFrame = wrap(df.unionAll(other.df))
+  def unionByName(other: MetaFrame): MetaFrame = wrap(df.unionByName(other.df))
+  def unionByName(other: MetaFrame, allowMissingColumns: Boolean): MetaFrame =
+    wrap(df.unionByName(other.df, allowMissingColumns))
+  def intersect(other: MetaFrame): MetaFrame = wrap(df.intersect(other.df))
+  def intersectAll(other: MetaFrame): MetaFrame = wrap(df.intersectAll(other.df))
+  def except(other: MetaFrame): MetaFrame = wrap(df.except(other.df))
+  def exceptAll(other: MetaFrame): MetaFrame = wrap(df.exceptAll(other.df))
+
+  // ------------------------------- partitioning / sampling (SURVEY §2.2i)
+
+  def repartition(numPartitions: Int): MetaFrame = wrap(df.repartition(numPartitions))
+  def repartition(numPartitions: Int, partitionExprs: Column*): MetaFrame =
+    wrap(df.repartition(numPartitions, partitionExprs: _*))
+  def repartition(partitionExprs: Column*): MetaFrame =
+    wrap(df.repartition(partitionExprs: _*))
+  def repartitionByRange(numPartitions: Int, partitionExprs: Column*): MetaFrame =
+    wrap(df.repartitionByRange(numPartitions, partitionExprs: _*))
+  def repartitionByRange(partitionExprs: Column*): MetaFrame =
+    wrap(df.repartitionByRange(partitionExprs: _*))
+  def coalesce(numPartitions: Int): MetaFrame = wrap(df.coalesce(numPartitions))
+  def sample(fraction: Double): MetaFrame = wrap(df.sample(fraction))
+  def sample(fraction: Double, seed: Long): MetaFrame = wrap(df.sample(fraction, seed))
+  def sample(withReplacement: Boolean, fraction: Double, seed: Long): MetaFrame =
+    wrap(df.sample(withReplacement, fraction, seed))
+
+  /** Divergence: reference returns a raw list (metadata lost, SURVEY §2.2i);
+    * we keep metadata on every split. */
+  def randomSplit(weights: Array[Double], seed: Long): Seq[MetaFrame] =
+    df.randomSplit(weights, seed).toSeq.map(wrap)
+  def randomSplit(weights: Array[Double]): Seq[MetaFrame] =
+    df.randomSplit(weights).toSeq.map(wrap)
+
+  def transform(f: MetaFrame => MetaFrame): MetaFrame = f(this)
+  def observe(name: String, expr: Column, exprs: Column*): MetaFrame =
+    wrap(df.observe(name, expr, exprs: _*))
+
+  // ------------------------------------------------- caching / persistence
+
+  def cache(): MetaFrame = wrap(df.cache())
+  def persist(): MetaFrame = wrap(df.persist())
+  def persist(level: StorageLevel): MetaFrame = wrap(df.persist(level))
+  def unpersist(): MetaFrame = wrap(df.unpersist())
+  def unpersist(blocking: Boolean): MetaFrame = wrap(df.unpersist(blocking))
+  def checkpoint(): MetaFrame = wrap(df.checkpoint())
+  def checkpoint(eager: Boolean): MetaFrame = wrap(df.checkpoint(eager))
+  def localCheckpoint(): MetaFrame = wrap(df.localCheckpoint())
+
+  // ---------------------------------------------------------------- streaming
+
+  def isStreaming: Boolean = df.isStreaming
+  def withWatermark(eventTime: String, delayThreshold: String): MetaFrame =
+    wrap(df.withWatermark(eventTime, delayThreshold))
+
+  // ------------------------------------------- facades (divergences, §7.3)
+
+  /** Metadata-preserving na facade (reference loses metadata via raw `.na`). */
+  def na: MetaNaFunctions = new MetaNaFunctions(df.na, this)
+
+  /** Metadata-preserving stat facade (reference loses metadata via raw `.stat`). */
+  def stat: MetaStatFunctions = new MetaStatFunctions(df.stat, this)
+
+  /** Metadata-carrying writer (reference: raw `.write` loses metadata; manual
+    * `MetaFrame(df.write, m)` wrap supported at metaframe.py:39-41). */
+  def write: MetaWriter = new MetaWriter(df.write, metadata)
+
+  // --------------------------------------- actions / introspection (raw, §2.2i)
+
+  def schema: StructType = df.schema
+  def columns: Array[String] = df.columns
+  def dtypes: Array[(String, String)] = df.dtypes
+  def count(): Long = df.count()
+  def collect(): Array[Row] = df.collect()
+  def head(n: Int): Array[Row] = df.head(n)
+  def head(): Row = df.head()
+  def first(): Row = df.first()
+  def take(n: Int): Array[Row] = df.take(n)
+  def tail(n: Int): Array[Row] = df.tail(n)
+  def isEmpty: Boolean = df.isEmpty
+  def isLocal: Boolean = df.isLocal
+  def inputFiles: Array[String] = df.inputFiles
+  def show(): Unit = df.show()
+  def show(n: Int): Unit = df.show(n)
+  def show(n: Int, truncate: Boolean): Unit = df.show(n, truncate)
+  def printSchema(): Unit = df.printSchema()
+  def explain(): Unit = df.explain()
+  def explain(mode: String): Unit = df.explain(mode)
+  def toLocalIterator(): java.util.Iterator[Row] = df.toLocalIterator()
+  def foreach(f: Row => Unit): Unit = df.foreach(f)
+  def foreachPartition(f: Iterator[Row] => Unit): Unit = df.foreachPartition(f)
+  def createOrReplaceTempView(name: String): Unit = df.createOrReplaceTempView(name)
+  def createTempView(name: String): Unit = df.createTempView(name)
+  def createGlobalTempView(name: String): Unit = df.createGlobalTempView(name)
+  def createOrReplaceGlobalTempView(name: String): Unit =
+    df.createOrReplaceGlobalTempView(name)
+  def sparkSession: SparkSession = df.sparkSession
+}
+
+object MetaFrame {
+  /** The one semantically distinguished metadata key (metaframe.py:188-197). */
+  val PrimaryKeyField = "primary_key"
+
+  /** reference: default metadata `{}` (metaframe.py:66-69). */
+  def apply(df: DataFrame): MetaFrame = MetaFrame(df, Map.empty)
+}
+
+/** Wrapper for `RelationalGroupedDataset` — the reference wraps `GroupedData`
+  * the same way (`RETURNED_CLASSES`, metaframe.py:46) so that pk metadata set
+  * by `groupBy` flows into the subsequent `.agg` result (quirk Q6,
+  * metaframe.py:115-116; test_metaframe.py:119-123). */
+final class MetaGroupedData(val gd: RelationalGroupedDataset, val metadata: Map[String, Any]) {
+  @inline private def wrap(d: DataFrame): MetaFrame = MetaFrame(d, metadata)
+
+  def agg(expr: Column, exprs: Column*): MetaFrame = wrap(gd.agg(expr, exprs: _*))
+  def agg(exprs: Map[String, String]): MetaFrame = wrap(gd.agg(exprs))
+  def agg(aggExpr: (String, String), aggExprs: (String, String)*): MetaFrame =
+    wrap(gd.agg(aggExpr, aggExprs: _*))
+  def count(): MetaFrame = wrap(gd.count())
+  def mean(colNames: String*): MetaFrame = wrap(gd.mean(colNames: _*))
+  def avg(colNames: String*): MetaFrame = wrap(gd.avg(colNames: _*))
+  def max(colNames: String*): MetaFrame = wrap(gd.max(colNames: _*))
+  def min(colNames: String*): MetaFrame = wrap(gd.min(colNames: _*))
+  def sum(colNames: String*): MetaFrame = wrap(gd.sum(colNames: _*))
+  def pivot(pivotColumn: String): MetaGroupedData =
+    new MetaGroupedData(gd.pivot(pivotColumn), metadata)
+  def pivot(pivotColumn: String, values: Seq[Any]): MetaGroupedData =
+    new MetaGroupedData(gd.pivot(pivotColumn, values), metadata)
+  def pivot(pivotColumn: Column, values: Seq[Any]): MetaGroupedData =
+    new MetaGroupedData(gd.pivot(pivotColumn, values), metadata)
+}
+
+/** Metadata-carrying writer facade (SURVEY §2.2a: fluent config wrapped,
+  * terminal ops raw — mirrors `MetaFrame(df.write, m)` support at
+  * metaframe.py:39-41, 46). */
+final class MetaWriter(val w: DataFrameWriter[Row], val metadata: Map[String, Any]) {
+  @inline private def wrap(nw: DataFrameWriter[Row]): MetaWriter = new MetaWriter(nw, metadata)
+  def mode(saveMode: String): MetaWriter = wrap(w.mode(saveMode))
+  def format(source: String): MetaWriter = wrap(w.format(source))
+  def option(key: String, value: String): MetaWriter = wrap(w.option(key, value))
+  def options(opts: Map[String, String]): MetaWriter = wrap(w.options(opts))
+  def partitionBy(colNames: String*): MetaWriter = wrap(w.partitionBy(colNames: _*))
+  def bucketBy(numBuckets: Int, colName: String, colNames: String*): MetaWriter =
+    wrap(w.bucketBy(numBuckets, colName, colNames: _*))
+  def sortBy(colName: String, colNames: String*): MetaWriter =
+    wrap(w.sortBy(colName, colNames: _*))
+  def save(path: String): Unit = w.save(path)
+  def save(): Unit = w.save()
+  def parquet(path: String): Unit = w.parquet(path)
+  def orc(path: String): Unit = w.orc(path)
+  def json(path: String): Unit = w.json(path)
+  def csv(path: String): Unit = w.csv(path)
+  def saveAsTable(tableName: String): Unit = w.saveAsTable(tableName)
+  def insertInto(tableName: String): Unit = w.insertInto(tableName)
+}
+
+/** Metadata-preserving facade over `DataFrameNaFunctions` (divergence: the
+  * reference returns the raw object and loses metadata — SURVEY §1.2). */
+final class MetaNaFunctions(val na: DataFrameNaFunctions, parent: MetaFrame) {
+  @inline private def wrap(d: DataFrame): MetaFrame = parent.copy(df = d)
+  def fill(value: Long): MetaFrame = wrap(na.fill(value))
+  def fill(value: Double): MetaFrame = wrap(na.fill(value))
+  def fill(value: String): MetaFrame = wrap(na.fill(value))
+  def fill(value: Boolean): MetaFrame = wrap(na.fill(value))
+  def fill(value: Long, cols: Seq[String]): MetaFrame = wrap(na.fill(value, cols))
+  def fill(value: Double, cols: Seq[String]): MetaFrame = wrap(na.fill(value, cols))
+  def fill(value: String, cols: Seq[String]): MetaFrame = wrap(na.fill(value, cols))
+  def fill(valueMap: Map[String, Any]): MetaFrame = wrap(na.fill(valueMap))
+  def drop(): MetaFrame = wrap(na.drop())
+  def drop(how: String): MetaFrame = wrap(na.drop(how))
+  def drop(cols: Seq[String]): MetaFrame = wrap(na.drop(cols))
+  def drop(minNonNulls: Int): MetaFrame = wrap(na.drop(minNonNulls))
+  def replace[T](col: String, replacement: Map[T, T]): MetaFrame =
+    wrap(na.replace(col, replacement))
+  def replace[T](cols: Seq[String], replacement: Map[T, T]): MetaFrame =
+    wrap(na.replace(cols, replacement))
+}
+
+/** Metadata-preserving facade over `DataFrameStatFunctions` (same divergence). */
+final class MetaStatFunctions(val stat: DataFrameStatFunctions, parent: MetaFrame) {
+  @inline private def wrap(d: DataFrame): MetaFrame = parent.copy(df = d)
+  def approxQuantile(col: String, probabilities: Array[Double], relativeError: Double): Array[Double] =
+    stat.approxQuantile(col, probabilities, relativeError)
+  def cov(col1: String, col2: String): Double = stat.cov(col1, col2)
+  def corr(col1: String, col2: String): Double = stat.corr(col1, col2)
+  def corr(col1: String, col2: String, method: String): Double = stat.corr(col1, col2, method)
+  def crosstab(col1: String, col2: String): MetaFrame = wrap(stat.crosstab(col1, col2))
+  def freqItems(cols: Seq[String]): MetaFrame = wrap(stat.freqItems(cols))
+  def freqItems(cols: Seq[String], support: Double): MetaFrame =
+    wrap(stat.freqItems(cols, support))
+  def sampleBy[T](col: String, fractions: Map[T, Double], seed: Long): MetaFrame =
+    wrap(stat.sampleBy(col, fractions, seed))
+}

@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft._
+import graft.sources.Tables
+
+/** Declared relational queries (SURVEY.md §2.2 "DQ" column) with DuckDB oracle
+  * SQL. Determinism rules (FIXTURES.md caveats):
+  *   - every query has a total ORDER BY on a unique key combination;
+  *   - double sums go through `DECIMAL(18,2)` (exact, order-independent) and
+  *     back to double, identically on both engines;
+  *   - averages are written as exact-decimal sum / count;
+  *   - no nullable sort keys unless NULLS FIRST is explicit on both sides.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): MetaFrame =
+    Tables.loadMeta(s, dir, name)
+
+  /** Exact decimal sum of a double column, returned as double — matches
+    * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)` in DuckDB bit-for-bit. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------------ a) scans
+    "scan_parquet" -> ((s, d) =>
+      t(s, d, "region").orderBy("r_regionkey").df),
+
+    // ---------------------------------------------------- b) projections
+    "project_select" -> ((s, d) =>
+      t(s, d, "customer").select("c_custkey", "c_name").orderBy("c_custkey").df),
+
+    "project_selectexpr" -> ((s, d) =>
+      t(s, d, "orders")
+        .selectExpr("o_orderkey", "o_totalprice * 0.1 AS tax10")
+        .orderBy("o_orderkey").df),
+
+    "project_withcolumn" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("disc_price", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .select("l_orderkey", "l_linenumber", "disc_price")
+        .orderBy("l_orderkey", "l_linenumber").df),
+
+    "project_rename" -> ((s, d) =>
+      t(s, d, "nation")
+        .withColumnRenamed("n_name", "nation_name")
+        .select("n_nationkey", "nation_name")
+        .orderBy("n_nationkey").df),
+
+    "project_drop" -> ((s, d) =>
+      t(s, d, "part")
+        .drop("p_retailprice", "p_type")
+        .orderBy("p_partkey").df),
+
+    // ------------------------------------------------------- b) filters
+    "filter_predicate" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 25 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber").df),
+
+    // --------------------------------------------------------- c) joins
+    "join_inner" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey").df),
+
+    "join_left" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey").df),
+
+    "join_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey").df),
+
+    "join_anti" -> ((s, d) => {
+      // anti against a filtered subset so the result is non-empty at every sf
+      val bigLines = t(s, d, "lineitem").filter(col("l_quantity") > 45)
+      t(s, d, "orders")
+        .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey")
+        .orderBy("o_orderkey").df
+    }),
+
+    "join_cross" -> ((s, d) => {
+      val r1 = t(s, d, "region").select(col("r_regionkey").as("r1"))
+      val r2 = t(s, d, "region").select(col("r_regionkey").as("r2"))
+      r1.crossJoin(r2).orderBy("r1", "r2").df
+    }),
+
+    "join_theta_range" -> ((s, d) => {
+      // equi + range predicate: Catalyst plans the equi part as a hash join
+      // and evaluates the range residual post-join (no cartesian product).
+      val sup = t(s, d, "supplier")
+      val cust = t(s, d, "customer")
+      sup.join(cust,
+          col("s_nationkey") === col("c_nationkey") && col("s_acctbal") < col("c_acctbal"),
+          "inner")
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("s_nationkey").df
+    }),
+
+    // --------------------------------------------------- d) aggregations
+    "agg_groupby_sum" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag").df),
+
+    "agg_multi" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus").df),
+
+    "agg_shorthand_count" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority").count()
+        .orderBy("o_orderpriority").df),
+
+    "agg_global" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("total_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty")).df),
+
+    "agg_distinct_count" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             countDistinct(col("l_partkey")).as("n_part")).df),
+
+    // HLL++ estimates differ across engines → no oracle (rows-only check).
+    "agg_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders")).df),
+
+    "agg_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")).df),
+
+    "agg_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")).df),
+
+    "agg_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_linestatus").df),
+
+    "dedup_dropduplicates" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .dropDuplicates(Seq("l_orderkey"))
+        .select("l_orderkey")
+        .orderBy("l_orderkey").df),
+
+    "dedup_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus").df),
+
+    "agg_corr" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price")).df),
+
+    // ------------------------------------------------------- f) sort/limit
+    "sort_orderby" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).df),
+
+    "sort_limit_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10).df),
+
+    // --------------------------------------------------------- g) set ops
+    "setop_union_all" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("key"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey").as("key"))
+      c.union(sup).orderBy("key").df
+    }),
+
+    "setop_union_byname" -> ((s, d) => {
+      val a = t(s, d, "customer").select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+      val b = t(s, d, "supplier").select(col("s_acctbal").as("bal"), col("s_suppkey").as("key"))
+      a.unionByName(b).groupBy("key")
+        .agg(dsum(col("bal")).as("sum_bal"))
+        .orderBy("key").df
+    }),
+
+    "setop_intersect" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_suppkey").as("key"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey").as("key"))
+      li.intersect(sup).orderBy("key").df
+    }),
+
+    "setop_except" -> ((s, d) => {
+      val p = t(s, d, "part").select(col("p_partkey").as("key"))
+      val li = t(s, d, "lineitem").filter(col("l_quantity") > 40)
+        .select(col("l_partkey").as("key"))
+      p.except(li).orderBy("key").df
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "project_select" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+
+    "project_selectexpr" ->
+      "SELECT o_orderkey, o_totalprice * 0.1 AS tax10 FROM orders ORDER BY o_orderkey",
+
+    "project_withcolumn" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS disc_price " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+
+    "project_rename" ->
+      "SELECT n_nationkey, n_name AS nation_name FROM nation ORDER BY n_nationkey",
+
+    "project_drop" ->
+      "SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey",
+
+    "filter_predicate" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+       "WHERE l_quantity > 25 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber"),
+
+    "join_inner" ->
+      ("SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "ORDER BY o_orderkey"),
+
+    "join_left" ->
+      ("SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer " +
+       "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey"),
+
+    "join_semi" ->
+      ("SELECT c_custkey FROM customer WHERE EXISTS " +
+       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+
+    "join_anti" ->
+      ("SELECT o_orderkey FROM orders WHERE NOT EXISTS " +
+       "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) " +
+       "ORDER BY o_orderkey"),
+
+    "join_cross" ->
+      ("SELECT a.r_regionkey AS r1, b.r_regionkey AS r2 FROM region a CROSS JOIN region b " +
+       "ORDER BY r1, r2"),
+
+    "join_theta_range" ->
+      ("SELECT s_nationkey, count(*) AS n_pairs FROM supplier s JOIN customer c " +
+       "ON s.s_nationkey = c.c_nationkey AND s.s_acctbal < c.c_acctbal " +
+       "GROUP BY s_nationkey ORDER BY s_nationkey"),
+
+    "agg_groupby_sum" ->
+      ("SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "agg_multi" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty, " +
+       "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, count(*) AS n " +
+       "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "agg_shorthand_count" ->
+      "SELECT o_orderpriority, count(*) AS count FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+
+    "agg_global" ->
+      ("SELECT count(*) AS n_rows, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, " +
+       "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty FROM lineitem"),
+
+    "agg_distinct_count" ->
+      ("SELECT count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part " +
+       "FROM lineitem"),
+
+    "agg_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+       "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "agg_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n " +
+       "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "agg_pivot" ->
+      ("SELECT l_linestatus, " +
+       "CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A, " +
+       "CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N, " +
+       "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R " +
+       "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
+
+    "dedup_dropduplicates" ->
+      "SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey",
+
+    "dedup_distinct" ->
+      ("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem " +
+       "ORDER BY l_returnflag, l_linestatus"),
+
+    "agg_corr" ->
+      "SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price FROM lineitem",
+
+    "sort_orderby" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
+
+    "sort_limit_topk" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+
+    "setop_union_all" ->
+      ("SELECT key FROM (SELECT c_custkey AS key FROM customer " +
+       "UNION ALL SELECT s_suppkey AS key FROM supplier) ORDER BY key"),
+
+    "setop_union_byname" ->
+      ("SELECT key, CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal FROM " +
+       "(SELECT c_custkey AS key, c_acctbal AS bal FROM customer " +
+       "UNION ALL SELECT s_suppkey AS key, s_acctbal AS bal FROM supplier) " +
+       "GROUP BY key ORDER BY key"),
+
+    "setop_intersect" ->
+      ("SELECT key FROM (SELECT l_suppkey AS key FROM lineitem " +
+       "INTERSECT SELECT s_suppkey AS key FROM supplier) ORDER BY key"),
+
+    "setop_except" ->
+      ("SELECT key FROM (SELECT p_partkey AS key FROM part " +
+       "EXCEPT SELECT l_partkey AS key FROM lineitem WHERE l_quantity > 40) ORDER BY key"),
+  )
+}

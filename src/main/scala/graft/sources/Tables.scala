@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.MetaFrame
+
+/** Loaders for the driver test tables (TESTDATA.md / FIXTURES.md §2).
+  *
+  * Construction-from-source matches the reference's pattern
+  * `MetaFrame(spark.read.parquet(...), meta)` (reference: README.md:8-16,
+  * metaframe/metaframe.py:63-69): ingestion is plain `spark.read`, the wrapper
+  * only annotates. Parquet scans keep Catalyst's filter pushdown and column
+  * pruning because nothing is materialized here.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def loadMeta(spark: SparkSession, sfDir: String, name: String): MetaFrame =
+    MetaFrame(load(spark, sfDir, name), Map("table" -> name, "source" -> s"$sfDir/$name.parquet"))
+}

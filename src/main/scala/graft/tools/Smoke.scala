@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft._
+import graft.sources.Tables
+
+/** Dev smoke runner: exercises the driver contract (`SparkEntry.entry`) and a
+  * few MetaFrame semantics end-to-end on sf0.001. Run:
+  * `sbt "runMain graft.tools.Smoke"`. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val entryRows = SparkEntry.entry(spark).collect()
+    println(s"[smoke] entry rows=${entryRows.length}")
+    entryRows.foreach(r => println(s"[smoke]   $r"))
+    require(entryRows.nonEmpty, "entry must return rows")
+
+    // MetaFrame semantics through the public surface
+    val li = Tables.loadMeta(spark, "/root/testdata/sf0.001", "lineitem")
+    val grouped = li.groupBy("l_returnflag", "l_linestatus").count()
+    println(s"[smoke] pk after groupBy = ${grouped.primaryKey}")
+    require(grouped.primaryKey.contains(Seq("l_returnflag", "l_linestatus")))
+
+    val dd = li.select("l_returnflag", "l_linestatus").dropDuplicates()
+    println(s"[smoke] pk after no-arg dropDuplicates = ${dd.primaryKey}")
+    require(dd.primaryKey.contains(Seq("l_returnflag", "l_linestatus")))
+
+    val annotated = li.setMetadata("owner" -> "pipeline")
+    require(li.metadata.get("owner").isEmpty, "parent metadata must be immutable")
+    println(s"[smoke] child metadata keys = ${annotated.metadata.keySet}")
+
+    println("[smoke] OK")
+    spark.stop()
+  }
+}
