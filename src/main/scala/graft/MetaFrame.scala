@@ -132,6 +132,13 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def groupBy(cols: Column*): MetaGroupedData =
     new MetaGroupedData(df.groupBy(cols: _*), metadata)
 
+  /** Reference-compat snake/lower-case aliases (`groupby` at metaframe.py:49,
+    * `drop_duplicates` at metaframe.py:56-58). */
+  def groupby(col1: String, cols: String*): MetaGroupedData = groupBy(col1, cols: _*)
+  def groupby(cols: Column*): MetaGroupedData = groupBy(cols: _*)
+  def drop_duplicates(colNames: Seq[String]): MetaFrame = dropDuplicates(colNames)
+  def drop_duplicates(): MetaFrame = dropDuplicates()
+
   def rollup(cols: Column*): MetaGroupedData = // no pk (reference Q4)
     new MetaGroupedData(df.rollup(cols: _*), metadata)
   def rollup(col1: String, cols: String*): MetaGroupedData =

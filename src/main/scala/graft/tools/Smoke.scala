@@ -33,6 +33,12 @@ object Smoke {
     println(s"[smoke] pk after no-arg dropDuplicates = ${dd.primaryKey}")
     require(dd.primaryKey.contains(Seq("l_returnflag", "l_linestatus")))
 
+    // reference-compat aliases
+    val viaAlias = li.groupby("l_returnflag").count()
+    require(viaAlias.primaryKey.contains(Seq("l_returnflag")))
+    require(li.select("l_suppkey").drop_duplicates().primaryKey.contains(Seq("l_suppkey")))
+    println("[smoke] snake-case aliases OK")
+
     val annotated = li.setMetadata("owner" -> "pipeline")
     require(li.metadata.get("owner").isEmpty, "parent metadata must be immutable")
     println(s"[smoke] child metadata keys = ${annotated.metadata.keySet}")

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's unit tests (tests/test_metaframe.py:19-151) plus
+  * pinning tests for each quirk decision in SURVEY.md §7.3. */
+class MetaFrameSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSparkSession.spark
+
+  /** The reference's 22-row fixture, verbatim (test_metaframe.py:23-49);
+    * `date` stays a string to match createDataFrame inference (FIXTURES.md §1). */
+  private def fixture: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("p1", 6L, "2019-12-31"), ("p2", 4L, "2019-12-31"), ("p3", 10L, "2019-12-31"),
+      ("p4", 4L, "2019-12-31"), ("p5", 3L, "2019-12-31"), ("p6", 7L, "2019-12-31"),
+      ("p7", 18L, "2019-12-31"), ("p8", 44L, "2019-12-31"),
+      ("p1", 6L, "2020-01-01"), ("p2", 4L, "2020-01-01"), ("p3", 10L, "2020-01-01"),
+      ("p4", 4L, "2020-01-01"), ("p5", 3L, "2020-01-01"), ("p6", 7L, "2020-01-01"),
+      ("p7", 18L, "2020-01-01"), ("p8", 44L, "2020-01-01"),
+      ("p1", 16L, "2020-01-02"), ("p2", 4L, "2020-01-02"), ("p3", 3L, "2020-01-02"),
+      ("p4", 6L, "2020-01-02"), ("p5", 7L, "2020-01-02"), ("p6", 7L, "2020-01-02")
+    ).toDF("product_id", "quantity", "date")
+  }
+
+  private val metadata: Map[String, Any] = Map("foo" -> "bar")
+
+  // ------------------------------------------------ test_invent_dataframe port
+
+  test("construction, metadata, non-callables, getitem (test_metaframe.py:19-66)") {
+    val mf = MetaFrame(fixture, metadata)
+    assert(mf.df.isInstanceOf[DataFrame])
+    assert(mf.metadata == metadata)
+    assert(mf.columns.toSeq == Seq("product_id", "quantity", "date"))
+    assert(mf("product_id").toString == col("product_id").toString)
+    // action passthrough returns raw (count -> Long, reference :64 uses show)
+    assert(mf.count() == 22L)
+    assert(mf.metadata == metadata)
+  }
+
+  test("wrap-on-transform: withColumn, select (test_metaframe.py:68-75)") {
+    var mf = MetaFrame(fixture, metadata)
+    mf = mf.withColumn("new_col", lit(0))
+    assert(mf.metadata == metadata)
+    assert(mf.columns.toSeq == Seq("product_id", "quantity", "date", "new_col"))
+    mf = mf.select("product_id", "new_col")
+    assert(mf.metadata == metadata)
+    assert(mf.columns.toSeq == Seq("product_id", "new_col"))
+  }
+
+  test("setMetadata merge-and-replace (test_metaframe.py:77-78, metaframe.py:179-186)") {
+    val mf = MetaFrame(fixture, metadata).setMetadata("foo" -> "baz")
+    assert(mf.metadata == Map("foo" -> "baz"))
+  }
+
+  // ------------------------------------------------- test__set_pk_after port
+
+  test("pk initially empty (test_metaframe.py:114-116)") {
+    assert(MetaFrame(fixture, metadata).primaryKey.isEmpty)
+  }
+
+  test("pk after groupBy / groupby (test_metaframe.py:119-123)") {
+    val a = MetaFrame(fixture, metadata).groupBy("date").agg(sum("quantity").alias("quantity"))
+    assert(a.primaryKey.contains(Seq("date")))
+    val b = MetaFrame(fixture, metadata).groupby("date").agg(sum("quantity").alias("quantity"))
+    assert(b.primaryKey.contains(Seq("date")))
+    // metadata carried alongside pk (quirk Q6)
+    assert(a.metadata("foo") == "bar")
+  }
+
+  test("pk after dropDuplicates variants (test_metaframe.py:126-147)") {
+    val mf = MetaFrame(fixture, metadata)
+    assert(mf.dropDuplicates(Seq("product_id")).primaryKey.contains(Seq("product_id")))
+    assert(mf.dropDuplicates("product_id").primaryKey.contains(Seq("product_id")))
+    assert(mf.select("product_id").dropDuplicates().primaryKey.contains(Seq("product_id")))
+    assert(mf.drop_duplicates(Seq("product_id")).primaryKey.contains(Seq("product_id")))
+    assert(mf.select("product_id").drop_duplicates().primaryKey.contains(Seq("product_id")))
+  }
+
+  test("pk after distinct (test_metaframe.py:150-151)") {
+    val mf = MetaFrame(fixture, metadata)
+    assert(mf.select("product_id").distinct().primaryKey.contains(Seq("product_id")))
+  }
+
+  // --------------------------------------------------- quirk pinning (§7.3)
+
+  test("Q1: groupBy(Column) does not crash and does not infer pk") {
+    val g = MetaFrame(fixture, metadata).groupBy(col("date")).count()
+    assert(g.primaryKey.isEmpty)
+    assert(g.metadata("foo") == "bar")
+  }
+
+  test("Q2: multi-column pk preserves caller argument order") {
+    val g = MetaFrame(fixture, metadata).groupBy("date", "product_id").count()
+    assert(g.primaryKey.contains(Seq("date", "product_id")))
+    val g2 = MetaFrame(fixture, metadata).groupBy("product_id", "date").count()
+    assert(g2.primaryKey.contains(Seq("product_id", "date")))
+  }
+
+  test("Q3: no-arg groupBy -> no pk") {
+    val g = MetaFrame(fixture, metadata).groupBy().agg(sum("quantity").as("q"))
+    assert(g.primaryKey.isEmpty)
+  }
+
+  test("Q4: rollup/cube wrapped but no pk") {
+    val r = MetaFrame(fixture, metadata).rollup("date").count()
+    assert(r.primaryKey.isEmpty)
+    assert(r.metadata("foo") == "bar")
+    val c = MetaFrame(fixture, metadata).cube("date").count()
+    assert(c.primaryKey.isEmpty)
+  }
+
+  test("Q5: no-arg dropDuplicates/distinct -> pk = all columns") {
+    val mf = MetaFrame(fixture, metadata)
+    assert(mf.dropDuplicates().primaryKey.contains(Seq("product_id", "quantity", "date")))
+    assert(mf.distinct().primaryKey.contains(Seq("product_id", "quantity", "date")))
+  }
+
+  test("Q6: pk set on MetaGroupedData flows through agg result") {
+    val gd = MetaFrame(fixture, metadata).groupBy("date")
+    assert(gd.metadata(MetaFrame.PrimaryKeyField) == Seq("date"))
+    val out = gd.agg(Map("quantity" -> "sum"))
+    assert(out.primaryKey.contains(Seq("date")))
+  }
+
+  test("§1.2 divergence: metadata is immutable — child updates never leak to parent") {
+    val parent = MetaFrame(fixture, metadata)
+    val child = parent.setMetadata("extra" -> 1)
+    assert(!parent.metadata.contains("extra"))
+    assert(child.metadata("extra") == 1)
+    // and pk inference does not mutate the parent either
+    parent.groupBy("date").count()
+    assert(parent.primaryKey.isEmpty)
+  }
+
+  test("binary ops keep LEFT metadata (metaframe.py:114, SURVEY §2.2c)") {
+    val left = MetaFrame(fixture, Map("side" -> "left"))
+    val right = MetaFrame(fixture.withColumnRenamed("quantity", "q2"), Map("side" -> "right"))
+    val joined = left.join(right, Seq("product_id", "date"), "inner")
+    assert(joined.metadata("side") == "left")
+    val unioned = left.union(MetaFrame(fixture, Map("side" -> "right")))
+    assert(unioned.metadata("side") == "left")
+  }
+
+  test("facades preserve metadata (divergence §7.3: na / randomSplit / writer)") {
+    val mf = MetaFrame(fixture, metadata).withColumn("maybe", when(col("quantity") > 10, col("quantity")))
+    val filled = mf.na.fill(0L)
+    assert(filled.metadata == metadata)
+    assert(filled.filter(col("maybe") === 0).count() > 0)
+    val splits = mf.randomSplit(Array(0.5, 0.5), seed = 42L)
+    assert(splits.forall(_.metadata == metadata))
+    assert(mf.write.mode("overwrite").metadata == metadata)
+  }
+
+  test("transform composes through the metadata layer") {
+    val mf = MetaFrame(fixture, metadata)
+    val out = mf.transform(_.filter(col("quantity") > 5)).transform(_.select("product_id"))
+    assert(out.metadata == metadata)
+    assert(out.columns.toSeq == Seq("product_id"))
+  }
+
+  test("implicit bridge: MetaFrame usable as DataFrame, DataFrame liftable via .meta") {
+    val mf = MetaFrame(fixture, metadata)
+    val df: DataFrame = mf // implicit conversion (SURVEY §1.5 isinstance analogue)
+    assert(df.count() == 22L)
+    val lifted = fixture.meta(Map("k" -> "v"))
+    assert(lifted.metadata == Map("k" -> "v"))
+  }
+}
