@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft._
+import graft.sources.Tables
+
+/** Window-function and scalar-function declared queries (SURVEY.md §2.2 e/h/j).
+  * Same determinism rules as [[RelationalQueries]]; additionally every window
+  * ORDER BY carries a unique tiebreaker so rank/lag/frames are reproducible,
+  * and cross-engine-unstable functions (libm pow/log/exp, HLL) are either
+  * avoided or rounded. */
+object FunctionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): MetaFrame =
+    Tables.loadMeta(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ e) window functions
+    "win_rank_topk" -> ((s, d) => {
+      // per-group top-5 by price; row_number tiebroken on the unique line key,
+      // rank/dense_rank defined purely by the (tied) price value
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_returnflag", "rn").df
+    }),
+
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_price")
+        .orderBy("o_custkey", "o_orderkey").df
+    }),
+
+    "win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("running_total", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey").df
+    }),
+
+    "win_moving_avg" -> ((s, d) => {
+      // moving avg as exact-decimal windowed sum / windowed count: immune to
+      // float re-association differences in either engine's window executor
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("mov_avg",
+          (sum(dec(col("o_totalprice"))).over(w).cast("double") / count(lit(1)).over(w)))
+        .select("o_custkey", "o_orderkey", "mov_avg")
+        .orderBy("o_custkey", "o_orderkey").df
+    }),
+
+    "win_rank_variants" -> ((s, d) => {
+      // rank/dense_rank/percent_rank/cume_dist are functions of the order-by
+      // VALUE only, so ties need no tiebreaker to be deterministic
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(asc("l_quantity"))
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .withColumn("drk", dense_rank().over(w).cast("long"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .select("l_returnflag", "l_quantity", "n", "rk", "drk", "pr")
+        .orderBy("l_returnflag", "l_quantity").df
+    }),
+
+    // ------------------------------------------------- h) scalar functions
+    "fn_string" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("up_name", upper(col("p_name")))
+        .withColumn("name_len", length(col("p_name")).cast("long"))
+        .withColumn("type5", substring(col("p_type"), 1, 5))
+        .withColumn("brand_type", concat(col("p_brand"), lit("_"), col("p_type")))
+        .withColumn("n_tokens", size(split(col("p_name"), " ")).cast("long"))
+        .withColumn("brand_num", regexp_extract(col("p_brand"), "#(\\d+)", 1))
+        .withColumn("padded", lpad(col("p_brand"), 12, "*"))
+        .select("p_partkey", "up_name", "name_len", "type5", "brand_type",
+                "n_tokens", "brand_num", "padded")
+        .orderBy("p_partkey").df),
+
+    "fn_date" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("o_date", to_date(col("o_orderdate")))
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("mo", month(col("o_orderdate")))
+        .withColumn("dom", dayofmonth(col("o_orderdate")))
+        .withColumn("month_start", to_date(date_trunc("month", col("o_orderdate"))))
+        .withColumn("days_since", datediff(to_date(col("o_orderdate")), lit("2020-01-01")))
+        .select("o_orderkey", "o_date", "yr", "mo", "dom", "month_start", "days_since")
+        .orderBy("o_orderkey").df),
+
+    "fn_math" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("r1", round(col("l_extendedprice"), 1))
+        .withColumn("absd", abs(col("l_discount") - 0.05))
+        .withColumn("sq", sqrt(col("l_quantity")))
+        .withColumn("fl", floor(col("l_extendedprice")).cast("double"))
+        .withColumn("ce", ceil(col("l_extendedprice")).cast("double"))
+        .withColumn("tax_sq", col("l_tax") * col("l_tax"))
+        .withColumn("sgn", signum(col("l_discount") - 0.05))
+        .select("l_orderkey", "l_linenumber", "r1", "absd", "sq", "fl", "ce", "tax_sq", "sgn")
+        .orderBy("l_orderkey", "l_linenumber").df),
+
+    "fn_conditional" -> ((s, d) =>
+      t(s, d, "customer")
+        .withColumn("seg",
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+        .withColumn("mkt_or_other", coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")))
+        .withColumn("bal_floor0", greatest(col("c_acctbal"), lit(0.0)))
+        .withColumn("bal_cap100", least(col("c_acctbal"), lit(100.0)))
+        .select("c_custkey", "seg", "mkt_or_other", "bal_floor0", "bal_cap100")
+        .orderBy("c_custkey").df),
+
+    "fn_array" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .withColumn("dim", size(col("embedding")))
+        .withColumn("first_val", element_at(col("embedding"), 1).cast("double"))
+        .withColumn("emb_sum",
+          round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")), 4))
+        .select("vec_id", "dim", "first_val", "emb_sum")
+        .orderBy("vec_id").df),
+
+    "fn_json" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .select("event_id", "k")
+        .orderBy("event_id").df),
+
+    "fn_na_fill" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("v_null", when(col("value") >= 10, col("value")))
+        .na.fill(0.0, Seq("v_null")) // metadata-preserving facade (SURVEY §7.3)
+        .select("event_id", "v_null")
+        .orderBy("event_id").df),
+
+    // ------------------------------------------- j) streaming (batch mode)
+    "stream_tumbling_window" -> ((s, d) =>
+      // tumbling 1-hour window over event time; identical groupBy(window(...))
+      // works unchanged on a readStream source (see graft.streaming)
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(dec(col("value"))).cast("double").as("sum_value"))
+        // ntz keeps the parquet type naive-microsecond, matching DuckDB exactly
+        .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+                col("n_events"), col("sum_value"))
+        .orderBy("wstart").df),
+
+    "stream_session_like" -> ((s, d) =>
+      // per-user-per-day activity rollup (the batch shape of a session agg)
+      t(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+             min(col("event_id")).as("first_event"),
+             max(col("event_id")).as("last_event"))
+        .orderBy("user_id", "day").df),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "win_rank_topk" ->
+      ("SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice FROM (" +
+       "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
+       "row_number() OVER (PARTITION BY l_returnflag " +
+       "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) " +
+       "WHERE rn <= 5 ORDER BY l_returnflag, rn"),
+
+    "win_lag_lead" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, " +
+       "lag(o_totalprice, 1) OVER w AS prev_price, " +
+       "lead(o_totalprice, 1) OVER w AS next_price FROM orders " +
+       "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+       "ORDER BY o_custkey, o_orderkey"),
+
+    "win_running_sum" ->
+      ("SELECT o_custkey, o_orderkey, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+       "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total " +
+       "FROM orders ORDER BY o_custkey, o_orderkey"),
+
+    "win_moving_avg" ->
+      ("SELECT o_custkey, o_orderkey, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) / " +
+       "COUNT(*) OVER w AS mov_avg FROM orders " +
+       "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+       "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+       "ORDER BY o_custkey, o_orderkey"),
+
+    "win_rank_variants" ->
+      ("SELECT l_returnflag, l_quantity, n, " +
+       "rank() OVER w AS rk, dense_rank() OVER w AS drk, " +
+       "round(percent_rank() OVER w, 6) AS pr FROM (" +
+       "SELECT l_returnflag, l_quantity, count(*) AS n FROM lineitem " +
+       "GROUP BY l_returnflag, l_quantity) " +
+       "WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity) " +
+       "ORDER BY l_returnflag, l_quantity"),
+
+    "fn_string" ->
+      ("SELECT p_partkey, upper(p_name) AS up_name, length(p_name) AS name_len, " +
+       "substring(p_type, 1, 5) AS type5, concat(p_brand, '_', p_type) AS brand_type, " +
+       "len(string_split(p_name, ' ')) AS n_tokens, " +
+       "regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num, " +
+       "lpad(p_brand, 12, '*') AS padded " +
+       "FROM part ORDER BY p_partkey"),
+
+    "fn_date" ->
+      ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, " +
+       "CAST(year(o_orderdate) AS INTEGER) AS yr, " +
+       "CAST(month(o_orderdate) AS INTEGER) AS mo, " +
+       "CAST(day(o_orderdate) AS INTEGER) AS dom, " +
+       "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
+       "CAST(date_diff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since " +
+       "FROM orders ORDER BY o_orderkey"),
+
+    "fn_math" ->
+      ("SELECT l_orderkey, l_linenumber, round(l_extendedprice, 1) AS r1, " +
+       "abs(l_discount - 0.05) AS absd, sqrt(l_quantity) AS sq, " +
+       "floor(l_extendedprice) AS fl, ceil(l_extendedprice) AS ce, " +
+       "l_tax * l_tax AS tax_sq, CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+
+    "fn_conditional" ->
+      ("SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' " +
+       "WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS seg, " +
+       "coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS mkt_or_other, " +
+       "greatest(c_acctbal, 0.0) AS bal_floor0, least(c_acctbal, 100.0) AS bal_cap100 " +
+       "FROM customer ORDER BY c_custkey"),
+
+    "fn_array" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
+       "CAST(embedding[1] AS DOUBLE) AS first_val, " +
+       "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS emb_sum " +
+       "FROM embeddings ORDER BY vec_id"),
+
+    "fn_json" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+       "FROM events ORDER BY event_id"),
+
+    "fn_na_fill" ->
+      ("SELECT event_id, coalesce(CASE WHEN value >= 10 THEN value END, 0.0) AS v_null " +
+       "FROM events ORDER BY event_id"),
+
+    "stream_tumbling_window" ->
+      ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, count(*) AS n_events, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+       "FROM events GROUP BY 1 ORDER BY 1"),
+
+    "stream_session_like" ->
+      ("SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, " +
+       "min(event_id) AS first_event, max(event_id) AS last_event " +
+       "FROM events GROUP BY user_id, CAST(ts AS DATE) ORDER BY user_id, day"),
+  )
+}
