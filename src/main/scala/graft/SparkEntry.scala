@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{FunctionQueries, RelationalQueries}
+import graft.queries.{FunctionQueries, PipelineQueries, RelationalQueries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -24,10 +24,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ FunctionQueries.queries
+    RelationalQueries.queries ++ FunctionQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ FunctionQueries.oracleSql
+    RelationalQueries.oracleSql ++ FunctionQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives for large-scale training-data
+  * pipelines. Everything here is pure Catalyst expression composition
+  * (built-ins + higher-order array functions) — no UDFs, no driver-side
+  * work — so every operator scales linearly, survives whole-stage codegen
+  * where eligible, and runs identically on batch and streaming frames.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish sub-token count: alphabetic runs, digit runs and punctuation
+    * each count as one token (a cheap, deterministic proxy for a learned
+    * BPE vocabulary — good enough for length budgeting at corpus scale). */
+  def subTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Mean token length, exact in integer arithmetic:
+    * single-space-joined text has sum(len(token)) = len - (n-1). */
+  def avgTokenLen(text: Column): Column = {
+    val n = size(tokens(text))
+    ((length(text) - n + lit(1)).cast("double") / n.cast("double"))
+  }
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(stopwords.map(x => x: Any): _*))).cast("long")
+
+  /** Composite quality score in [0,1]: penalizes extreme lengths, rewards a
+    * natural stopword ratio and mid-range token length. Deterministic
+    * arithmetic only (no libm transcendental functions). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val swRatio = stopwordCount(text, DefaultStopwords).cast("double") / n.cast("double")
+    val lenScore = when(n < 5, 0.2).when(n > 5000, 0.3).otherwise(1.0)
+    val tokLen = avgTokenLen(text)
+    val tokScore = when(tokLen < 2.0 || tokLen > 12.0, 0.4).otherwise(1.0)
+    val swScore = when(swRatio > 0.05 && swRatio < 0.6, 1.0).otherwise(0.6)
+    round(lenScore * 0.4 + tokScore * 0.3 + swScore * 0.3, 4)
+  }
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast-free, pure expressions. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "for", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "den", "mit"),
+  )
+
+  /** Language-ID heuristic: CJK codepoint presence short-circuits to "zh";
+    * otherwise the argmax of per-language stopword hit-rates (deterministic
+    * tie-break: earlier profile wins, "en" default when nothing matches). */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"), struct(score.as("score"), lit(lang).as("lang")))
+          .otherwise(acc)
+    }
+    when(length(regexp_extract(text, "[\\u4e00-\\u9fff]", 0)) > 0, "zh")
+      .when(best.getField("score") === 0, "en")
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Order-insensitive document fingerprint: a commutative polynomial over
+    * token (length, first-codepoint) pairs. Commutativity makes the hash
+    * shuffle-safe (identical under any row/partition order) and exactly
+    * reproducible in ANSI SQL — see the text_fingerprint oracle. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => acc + (length(w).cast("long") * 131L + ascii(w).cast("long")) * (length(w).cast("long") + 7L))
+
+  /** w-token shingles joined by a single space (fewer than w tokens → the
+    * whole text as one shingle). */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < w, array(text)).otherwise(
+      transform(sequence(lit(1), size(toks) - lit(w - 1)), i => concat_ws(" ", slice(toks, i, lit(w)))))
+  }
+
+  /** MinHash signature: numHashes independent permutations simulated by
+    * seeding xxhash64 with the hash index; each signature slot is the min
+    * over the document's shingle set. O(numHashes × shingles) per row,
+    * no shuffle. */
+  def minhashSignature(text: Column, numHashes: Int = 32, shingleWidth: Int = 3): Column = {
+    val sh = shingles(text, shingleWidth)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * xxhash64 bits. Pure higher-order expressions (the shiftright with a
+    * lambda-bound bit index needs the SQL form — the Scala `shiftright`
+    * helper only takes a literal). */
+  def simhash64(textCol: String): Column = expr(
+    s"""
+    aggregate(
+      transform(sequence(0, 63), i ->
+        CASE WHEN aggregate(
+               transform(split($textCol, '\\\\s+'), t -> xxhash64(t)),
+               0L,
+               (acc, h) -> acc + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+             ) > 0
+             THEN shiftleft(1L, i) ELSE 0L END),
+      0L, (acc, b) -> acc + b)
+    """)
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level dense-vector primitives over `array<float>` embedding
+  * columns. Higher-order `zip_with`/`aggregate` expressions — row-local,
+  * shuffle-free, linear in the vector dimension. */
+object VectorFunctions {
+
+  /** Dot product in double precision (left-to-right fold: deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    * from xxhash64 so every executor materializes the identical plane
+    * without broadcasting anything. */
+  private def planeComponent(plane: Column, i: Column): Column =
+    (pmod(xxhash64(plane * 8192 + i), lit(2001)).cast("double") - 1000.0) / 1000.0
+
+  /** Signed projection of `vec` onto pseudo-random hyperplane `plane`. */
+  def planeDot(vec: Column, plane: Column, dim: Int): Column =
+    aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+      (acc, i) => acc + element_at(vec, i + 1).cast("double") * planeComponent(plane, i))
+
+  /** Random-hyperplane LSH bucket as an `nbits`-char sign string. Vectors
+    * with high cosine similarity collide with high probability; used to
+    * restrict pairwise work to within-bucket candidates. */
+  def lshBucket(vec: Column, nbits: Int, dim: Int): Column =
+    concat(
+      (0 until nbits).map(j => when(planeDot(vec, lit(j), dim) > 0.0, "1").otherwise("0")): _*)
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Corpus-scale deduplication operators (SURVEY.md §2.3).
+  *
+  * Every operator is a pure DataFrame→DataFrame transform built from
+  * expressions + joins + aggregations, so Catalyst/AQE keep planning freedom
+  * (skew splitting, partition coalescing). Nothing collects to the driver;
+  * the only quadratic work is confined to within-bucket/within-block
+  * candidate sets, which is the standard way to make near-dedup feasible at
+  * 100 TB (LSH banding instead of an O(n²) cross join).
+  */
+object Dedup {
+
+  /** Exact dedup with canonical-row election: groups by a content hash and
+    * keeps min(id) as the canonical document. One shuffle on the hash —
+    * at cluster scale the groupBy key is the md5, so data distributes
+    * uniformly regardless of document skew. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** MinHash + LSH banding near-dedup.
+    *
+    * Pipeline (all distributed, 2 shuffles):
+    *  1. per-doc MinHash signature over w-token shingles (row-local);
+    *  2. split the signature into `bands` bands, hash each band → explode
+    *     to (band_id, band_hash, id);
+    *  3. group by band key: docs sharing any band are candidates — elect
+    *     min(id) per band group;
+    *  4. join back and take each doc's min over its bands as `cluster_id`.
+    *
+    * Step 4 is a single-pass approximation of connected components: exact
+    * for clique-like near-dup clusters (the overwhelmingly common case);
+    * chains longer than one hop need the iteration in [[refineClusters]].
+    */
+  def minHashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into equal bands")
+    val r = numHashes / bands
+    val sig = df.select(
+      col(idCol),
+      minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"))
+    val banded = sig.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(j, slice(col("sig"), j * lit(r) + 1, lit(r))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+    val bandGroups = banded
+      .groupBy("band_id", "band_hash")
+      .agg(min(col(idCol)).as("band_min"), count(lit(1)).as("band_size"))
+    banded.join(bandGroups, Seq("band_id", "band_hash"))
+      .groupBy(col(idCol))
+      .agg(
+        min(col("band_min")).as("cluster_id"),
+        max(col("band_size") > 1).as("has_candidate"))
+  }
+
+  /** One label-propagation round for cluster refinement: cluster_id :=
+    * min(cluster_id) over each current cluster. Iterate until fixpoint for
+    * exact connected components (each round is one shuffle; in practice 1–2
+    * rounds suffice for near-dup graphs). */
+  def refineClusters(assignments: DataFrame, idCol: String): DataFrame = {
+    val better = assignments
+      .groupBy(col("cluster_id").as("old_cluster"))
+      .agg(min(col("cluster_id")).as("new_cluster"))
+    assignments
+      .join(better, assignments("cluster_id") === better("old_cluster"))
+      .select(col(idCol), col("new_cluster").as("cluster_id"))
+  }
+
+  /** SimHash near-dedup: 64-bit signature, banded into four 16-bit keys;
+    * docs sharing any band are candidates, confirmed by Hamming distance.
+    * Returns candidate pairs (idA < idB) with their Hamming distance. */
+  def simhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(textCol).as("sh"))
+    val banded = sigs.select(
+      col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band_id"), col("band_key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Per-doc simhash signature + coarse bucket (top 16 bits) — the cheap
+    * observable building block for the banded pipeline above. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      simhash64(textCol).as("simhash"),
+      shiftright(simhash64(textCol), 48).as("bucket"))
+
+  /** N-gram Jaccard near-dup: within blocks (a cheap blocking key bounds the
+    * quadratic term — at corpus scale feed it the LSH band key instead),
+    * computes exact shingle-set Jaccard for every candidate pair and keeps
+    * each document's best match. Ties break deterministically on partner id. */
+  def ngramJaccardBestMatch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleWidth: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(
+      col(idCol).as("id"),
+      col(blockCol).as("block"),
+      array_distinct(shingles(col(textCol), shingleWidth)).as("sh"))
+    val a = toks.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = toks.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("block"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    val w = Window.partitionBy(col("id_a")).orderBy(desc("jaccard"), asc("id_b"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id_a").as("id"), col("id_b").as("best_match"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup: random-hyperplane LSH bucketing (row-local
+    * signature, one shuffle) restricts pairwise cosine to within-bucket
+    * candidates. Returns pairs above `threshold`. Recall/cost dial: fewer
+    * bits → bigger buckets → higher recall, more pairwise work. */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nbits: Int = 8): DataFrame = {
+    val bucketed = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      lshBucket(col(vecCol), nbits, dim).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

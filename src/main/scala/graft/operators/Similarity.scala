@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.3). The exact path is the correctness baseline; the LSH
+  * path is the 100 TB scale path: bucket both sides (row-local signatures),
+  * join only within buckets, then top-k.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k.
+    *
+    * The query set is broadcast (it must be small — this is the
+    * "small-query-set behind a broadcast" exact path; it never shuffles the
+    * corpus). Ranking tiebreak on candidate id keeps results reproducible. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col(idCol) =!= col(queryIdCol))
+      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos"), asc(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col("rank"),
+              col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: corpus and queries hash to
+    * sign-pattern buckets; candidates are same-bucket rows only. With b bits
+    * the corpus splits into ≤2^b buckets, so pairwise work drops by ~2^b at
+    * some recall cost (raise recall by probing fewer bits or multiple
+    * tables). The corpus side is one narrow projection + one shuffle on the
+    * bucket key — no broadcast, no cross join. */
+  def lshTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      dim: Int,
+      k: Int = 10,
+      nbits: Int = 8): DataFrame = {
+    val bucketedCorpus = corpus.select(
+      col(idCol), col(vecCol),
+      lshBucket(col(vecCol), nbits, dim).as("bucket"))
+    val bucketedQueries = queries.select(
+      col(queryIdCol), col(queryVecCol),
+      lshBucket(col(queryVecCol), nbits, dim).as("bucket"))
+    val scored = bucketedCorpus
+      .join(bucketedQueries, Seq("bucket"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos"), asc(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col("rank"),
+              col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-style coarse quantization: assigns every vector to its nearest of
+    * `centroids` (a small broadcast table of (centroid_id, vec)), giving the
+    * partition-pruning layout an ANN index needs at scale: store
+    * partitioned by cell, search only the query's top cells. */
+  def ivfAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine(col(vecCol), col(centroidVecCol)))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("cos"), asc(centroidIdCol))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(centroidIdCol).as("cell"), round(col("cos"), 6).as("cell_cos"))
+  }
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Declared queries for the beyond-reference pipeline operators
+  * (SURVEY.md §2.3): dedup, similarity search, text analysis, multimodal.
+  *
+  * Oracle coverage: operators whose arithmetic is ANSI-SQL-expressible
+  * (exact dedup, token stats, fingerprints, binary metadata) carry DuckDB
+  * oracle SQL; the hash-family operators (MinHash/SimHash/LSH — Spark
+  * xxhash64 has no DuckDB twin) are deterministic but rows-only checked
+  * here and semantically tested in ScalaTest instead. */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): MetaFrame =
+    Tables.loadMeta(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------ text analysis
+    "text_tokencount" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .withColumn("n_subtokens", TextFunctions.subTokenCount(col("text")))
+        .select("doc_id", "n_tokens", "n_subtokens")
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .withColumn("avg_token_len", round(TextFunctions.avgTokenLen(col("text")), 4))
+        .withColumn("stopword_hits", TextFunctions.stopwordCount(col("text"), TextFunctions.DefaultStopwords))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .select("doc_id", "n_tokens", "avg_token_len", "stopword_hits", "quality")
+        .orderBy("doc_id")),
+
+    "text_lang_distribution" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang").df),
+
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")),
+
+    // heuristic language-ID: deterministic but not SQL-expressible → rows-only
+    "text_langid_pred" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("pred_lang", TextFunctions.langId(col("text")))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang").df),
+
+    // ------------------------------------------------------------- dedup
+    "dedup_exact_hash" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents").df, "doc_id", "text")
+        .orderBy("content_hash")),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashLsh(t(s, d, "documents").df, "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashSignatures(t(s, d, "documents").df, "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardBestMatch(t(s, d, "documents").df, "doc_id", "text", blockCol = "lang")
+        .orderBy("id")),
+
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingNearDup(t(s, d, "embeddings").df, "vec_id", "embedding",
+          dim = 64, threshold = 0.3, nbits = 4)
+        .orderBy("id_a", "id_b")),
+
+    // -------------------------------------------------- similarity search
+    "sim_topk_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "query_id", "query_vec", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "sim_topk_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.lshTopK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
+          dim = 64, k = 10, nbits = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // --------------------------------------------------------- multimodal
+    "mm_binary_meta" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          sha2(col("payload"), 256).as("payload_sha256"))
+        .orderBy("doc_id")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokencount" ->
+      ("SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens " +
+       "FROM documents ORDER BY doc_id"),
+
+    "text_quality" ->
+      ("WITH q AS (SELECT doc_id, text, " +
+       "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+       "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stopword_hits " +
+       "FROM documents) " +
+       "SELECT doc_id, n_tokens, " +
+       "round(CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS avg_token_len, " +
+       "stopword_hits, " +
+       "round(" +
+       " CAST(CASE WHEN n_tokens < 5 THEN 0.2 WHEN n_tokens > 5000 THEN 0.3 ELSE 1.0 END AS DOUBLE) * 0.4 + " +
+       " CAST(CASE WHEN CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens < 2.0 OR " +
+       "       CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens > 12.0 THEN 0.4 ELSE 1.0 END AS DOUBLE) * 0.3 + " +
+       " CAST(CASE WHEN CAST(stopword_hits AS DOUBLE) / n_tokens > 0.05 AND " +
+       "       CAST(stopword_hits AS DOUBLE) / n_tokens < 0.6 THEN 1.0 ELSE 0.6 END AS DOUBLE) * 0.3, 4) AS quality " +
+       "FROM q ORDER BY doc_id"),
+
+    "text_lang_distribution" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+       "CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_chars " +
+       "FROM documents GROUP BY lang ORDER BY lang"),
+
+    "text_fingerprint" ->
+      ("SELECT doc_id, CAST(SUM((length(w) * 131 + ascii(w)) * (length(w) + 7)) AS BIGINT) AS fingerprint " +
+       "FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) " +
+       "GROUP BY doc_id ORDER BY doc_id"),
+
+    "dedup_exact_hash" ->
+      ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS dup_count " +
+       "FROM documents GROUP BY md5(text) ORDER BY content_hash"),
+
+    "mm_binary_meta" ->
+      ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
+       "md5(text) AS payload_md5, sha256(text) AS payload_sha256 " +
+       "FROM documents ORDER BY doc_id"),
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing tests: schema, typed mapPartitions feature extraction
+  * (stubbed decode), and deterministic frame sampling. */
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSparkSession.spark
+
+  private lazy val media = {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "some synthetic image payload bytes for doc one"),
+      (2L, "another payload with different content entirely"),
+      (3L, "short")
+    ).toDF("doc_id", "text")
+    Multimodal.attachBinary(df, "doc_id", "text", "image")
+  }
+
+  test("attachBinary produces binary content + typed metadata struct") {
+    val schema = media.schema
+    assert(schema("content").dataType.typeName == "binary")
+    val metaType = schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaType.fieldNames.toSet ==
+      Set("modality", "mime", "width", "height", "sampleRate", "nFrames"))
+    assert(media.select("meta.modality").distinct().head().getString(0) == "image")
+  }
+
+  test("extractFeatures runs partition-local and returns normalized vectors") {
+    val feats = Multimodal.extractFeatures(Multimodal.asMediaDataset(media)).collect()
+    assert(feats.length == 3)
+    assert(feats.forall(_.dim == Multimodal.MediaCodec.FeatureDim))
+    // histogram is normalized: sums to 1 for non-empty payloads
+    assert(feats.forall(f => math.abs(f.features.sum - 1.0) < 1e-9))
+    // deterministic: second run bit-identical
+    val again = Multimodal.extractFeatures(Multimodal.asMediaDataset(media)).collect()
+    assert(feats.sortBy(_.id).zip(again.sortBy(_.id)).forall {
+      case (a, b) => a.features.sameElements(b.features)
+    })
+  }
+
+  test("sampleFrames keeps every stride-th frame with deterministic bytes") {
+    def snapshot() = Multimodal.sampleFrames(media, stride = 2)
+      .select(col("id"), col("frame_idx"), base64(col("frame_bytes")).as("b64"), col("frame_len"))
+      .collect()
+    val rows = snapshot()
+    assert(rows.nonEmpty)
+    // only even frame indexes survive stride=2
+    assert(rows.forall(_.getAs[Int]("frame_idx") % 2 == 0))
+    // frame bytes are non-empty slices of the payload
+    assert(rows.forall(_.getAs[Long]("frame_len") > 0))
+    val again = snapshot()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+}

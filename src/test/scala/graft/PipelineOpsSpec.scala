@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+
+/** Semantic tests for the pipeline extensions (SURVEY.md §2.3) on planted
+  * fixtures with known ground truth — these cover the operators whose
+  * hash-based arithmetic has no DuckDB oracle. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSparkSession.spark
+
+  // docs 1/2 identical, 3 a one-word edit of 1, 4/5 unrelated
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base.replace("quiet", "noisy")),
+      (4L, "completely different content about database query engines and columnar storage formats"),
+      (5L, "spark catalyst optimizer pushes filters below joins for scan pruning wins")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup elects canonical id and counts duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4) // 1&2 collapse
+    val dupGroup = out.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dupGroup.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("minhash LSH clusters exact and near duplicates together") {
+    val out = Dedup.minHashLsh(docs, "doc_id", "text", numHashes = 32, bands = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out(1L) == out(2L), "identical docs must share a cluster")
+    assert(out(1L) == out(3L), "one-word edit should collide in some band")
+    assert(out(4L) != out(1L) && out(5L) != out(1L), "unrelated docs stay apart")
+  }
+
+  test("simhash near-dup finds the planted pair, skips unrelated") {
+    val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("hamming")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), "identical docs: hamming 0")
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 0L)
+    assert(keys.contains((1L, 3L)) || keys.contains((2L, 3L)), "near dup within hamming bound")
+    assert(!keys.contains((4L, 5L)), "unrelated docs differ in many bits")
+  }
+
+  test("ngram jaccard best-match ranks the near dup first") {
+    val withBlock = docs.withColumn("block", lit("all"))
+    val out = Dedup.ngramJaccardBestMatch(withBlock, "doc_id", "text", "block")
+      .collect().map(r => r.getAs[Long]("id") -> (r.getAs[Long]("best_match"), r.getAs[Double]("jaccard"))).toMap
+    assert(out(1L)._1 == 2L && out(1L)._2 == 1.0, "identical docs: jaccard 1 with lowest-id tiebreak")
+    assert(out(3L)._2 > 0.5, "one-word edit keeps most shingles")
+    assert(out(4L)._2 < 0.2, "unrelated doc has low best jaccard")
+  }
+
+  test("fingerprint is order-insensitive but content-sensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // permutation → same fingerprint
+      (3L, "alpha beta gamma deltaX") // edit → different
+    ).toDF("id", "text")
+      .select(col("id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    val fp = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("fp")).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("langId identifies stopword profiles and CJK text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is on the mat and it is warm in the sun"),
+      (2L, "el perro y la casa de los vecinos en un barrio que no conozco"),
+      (3L, "le chat est dans la maison et les enfants sont dans le jardin"),
+      (4L, "der hund und die katze sind nicht in der stadt mit den kindern"),
+      (5L, "这是一个中文句子 with some latin")
+    ).toDF("id", "text")
+      .select(col("id"), TextFunctions.langId(col("text")).as("lang"))
+    val out = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("lang")).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de", 5L -> "zh"))
+  }
+
+  test("quality score stays in [0,1] and penalizes degenerate docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a normal sentence with the usual words and a few of them repeated"),
+      (2L, "x y"), // too short
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz q") // weird token lengths
+    ).toDF("id", "text")
+      .select(col("id"), TextFunctions.qualityScore(col("text")).as("q"))
+    val q = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("q")).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L) && q(1L) > q(3L))
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  // 3 tight clusters around orthogonal one-hot directions, dim 8
+  private lazy val vectors: DataFrame = {
+    import spark.implicits._
+    def v(axis: Int, wiggle: Float): Seq[Float] =
+      (0 until 8).map(i => if (i == axis) 1.0f else wiggle)
+    Seq(
+      (0L, v(0, 0.01f), 0), (1L, v(0, 0.02f), 0), (2L, v(0, 0.03f), 0),
+      (10L, v(3, 0.01f), 1), (11L, v(3, 0.02f), 1), (12L, v(3, 0.03f), 1),
+      (20L, v(6, 0.01f), 2), (21L, v(6, 0.02f), 2), (22L, v(6, 0.03f), 2)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k returns same-cluster neighbors first") {
+    val queries = vectors.filter(col("vec_id").isin(0L, 10L, 20L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = Similarity.bruteForceTopK(vectors, "vec_id", "embedding", queries,
+      "query_id", "query_vec", k = 2).collect()
+    assert(out.length == 6)
+    val top1 = out.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(top1(0L) == 1L && top1(10L) == 11L && top1(20L) == 21L)
+  }
+
+  test("lsh top-k buckets preserve same-cluster top-1 on separable data") {
+    val queries = vectors.filter(col("vec_id").isin(0L, 10L, 20L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = Similarity.lshTopK(vectors, "vec_id", "embedding", queries,
+      "query_id", "query_vec", dim = 8, k = 2, nbits = 2).collect()
+    // every returned neighbor must share the query's cluster (same decade)
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("neighbor_id") / 10 == r.getAs[Long]("query_id") / 10))
+  }
+
+  test("ivf assignment maps every vector to its own cluster centroid") {
+    val centroids = vectors.filter(col("vec_id").isin(0L, 10L, 20L))
+      .select((col("vec_id") / 10).cast("int").as("cell_id"), col("embedding").as("centroid_vec"))
+    val out = Similarity.ivfAssign(vectors, "vec_id", "embedding", centroids, "cell_id", "centroid_vec")
+      .collect()
+    assert(out.length == 9)
+    assert(out.forall(r => r.getAs[Int]("cell") == (r.getAs[Long]("vec_id") / 10).toInt))
+  }
+
+  test("cosine HOF matches a hand-computed value") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f, 1.0f), Seq(1.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c")).head().getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12) // dot=1, norms=sqrt2*sqrt2=2
+  }
+}
