@@ -240,6 +240,11 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def withWatermark(eventTime: String, delayThreshold: String): MetaFrame =
     wrap(df.withWatermark(eventTime, delayThreshold))
 
+  /** Metadata-carrying streaming writer (divergence per SURVEY §7.3 — the
+    * reference's `writeStream` always returns a raw, metadata-less writer). */
+  def writeStream: graft.streaming.MetaStreamWriter =
+    graft.streaming.MetaStreamWriter(this)
+
   // ------------------------------------------- facades (divergences, §7.3)
 
   /** Metadata-preserving na facade (reference loses metadata via raw `.na`). */

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+import graft.MetaFrame
+
+/** Structured-Streaming layer (SURVEY.md §2.2j).
+  *
+  * The reference is source-agnostic — a wrapped `readStream` DataFrame
+  * delegates identically to a batch one (router at metaframe.py:77-89) — so
+  * batch transforms here are the SAME functions used by the batch queries;
+  * only sources/sinks differ. `writeStream` in the reference always drops
+  * metadata (`DataStreamWriter` is not in `RETURNED_CLASSES`,
+  * metaframe.py:46); [[MetaStreamWriter]] is our documented divergence that
+  * keeps it (SURVEY.md §7.3).
+  */
+object Streams {
+
+  /** Event row shape of the driver `events` table (FIXTURES.md §2). */
+  case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  /** Running per-user session snapshot emitted by [[sessionize]]. */
+  case class UserSession(
+      user_id: Long,
+      n_events: Long,
+      total_value: Double,
+      first_event: Long,
+      last_event: Long)
+
+  /** File-based streaming source over the same parquet layout the batch
+    * loaders use (schema must be supplied — streaming reads can't infer). */
+  def readParquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Watermarked tumbling-window aggregation — identical plan shape to the
+    * batch `stream_tumbling_window` declared query; on a streaming source
+    * the watermark bounds state size and admits `append` output. */
+  def tumblingAgg(df: DataFrame, tsCol: String, windowDur: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window variant (windowDur every slideDur). */
+  def slidingAgg(df: DataFrame, tsCol: String, windowDur: String, slideDur: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur, slideDur))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"), col("n_events"))
+
+  /** Streaming dedup bounded by watermark (maps to the reference-visible
+    * `dropDuplicatesWithinWatermark`; no pk metadata — SURVEY §2.2j). */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`: keeps one
+    * running (count, sum, first, last) per user and emits the updated
+    * snapshot each time the group sees new data. State is O(users), not
+    * O(events) — the shape that survives unbounded streams. */
+  def sessionize(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserSession]) =>
+          val events = batch.toSeq
+          if (events.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption.getOrElse(UserSession(userId, 0L, 0.0, Long.MaxValue, Long.MinValue))
+            val next = UserSession(
+              userId,
+              prev.n_events + events.length,
+              prev.total_value + events.map(_.value).sum,
+              math.min(prev.first_event, events.map(_.event_id).min),
+              math.max(prev.last_event, events.map(_.event_id).max))
+            state.update(next)
+            Iterator.single(next)
+          }
+      }
+  }
+
+  /** Convenience: run any streaming frame into an in-memory table and block
+    * until every available input is processed (local smoke pattern). */
+  def runToMemory(df: DataFrame, queryName: String, mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}
+
+/** Metadata-carrying `writeStream` facade (divergence per SURVEY.md §7.3:
+  * the reference's metadata layer always dies at the streaming sink). */
+final class MetaStreamWriter(val w: DataStreamWriter[Row], val metadata: Map[String, Any]) {
+  @inline private def wrap(nw: DataStreamWriter[Row]): MetaStreamWriter =
+    new MetaStreamWriter(nw, metadata)
+  def format(source: String): MetaStreamWriter = wrap(w.format(source))
+  def outputMode(mode: String): MetaStreamWriter = wrap(w.outputMode(mode))
+  def outputMode(mode: OutputMode): MetaStreamWriter = wrap(w.outputMode(mode))
+  def option(key: String, value: String): MetaStreamWriter = wrap(w.option(key, value))
+  def options(opts: Map[String, String]): MetaStreamWriter = wrap(w.options(opts))
+  def queryName(name: String): MetaStreamWriter = wrap(w.queryName(name))
+  def trigger(t: Trigger): MetaStreamWriter = wrap(w.trigger(t))
+  def partitionBy(colNames: String*): MetaStreamWriter = wrap(w.partitionBy(colNames: _*))
+  def start(): StreamingQuery = w.start()
+  def start(path: String): StreamingQuery = w.start(path)
+}
+
+object MetaStreamWriter {
+  /** Lift a MetaFrame into a metadata-carrying streaming writer. */
+  def apply(mf: MetaFrame): MetaStreamWriter =
+    new MetaStreamWriter(mf.df.writeStream, mf.metadata)
+}

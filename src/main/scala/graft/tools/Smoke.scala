@@ -43,6 +43,30 @@ object Smoke {
     require(li.metadata.get("owner").isEmpty, "parent metadata must be immutable")
     println(s"[smoke] child metadata keys = ${annotated.metadata.keySet}")
 
+    // streaming end-to-end: file source → watermarked tumbling agg → memory sink
+    val eventsBatch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // stream-side schema keeps ts as raw nanos (nanosAsLong), converted below
+    val rawSchema = org.apache.spark.sql.types.StructType(eventsBatch.schema.map(f =>
+      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+    // the streaming file source wants a directory: stage the file locally
+    val streamDir = java.nio.file.Paths.get("target/smoke_stream_in")
+    java.nio.file.Files.createDirectories(streamDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      streamDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = graft.streaming.Streams.readParquetStream(
+      spark, streamDir.toAbsolutePath.toString, rawSchema)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val agg = graft.streaming.Streams.tumblingAgg(stream, "ts", "1 hour", "10 minutes")
+    val q = graft.streaming.Streams.runToMemory(agg, "smoke_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val streamed = spark.table("smoke_stream").count()
+    q.stop()
+    println(s"[smoke] streaming windows=$streamed")
+    require(streamed > 0, "streaming agg must produce windows")
+
     println("[smoke] OK")
     spark.stop()
   }

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{MetaStreamWriter, Streams}
+import graft.streaming.Streams.Event
+
+/** Structured-Streaming tests driven by MemoryStream: watermarked windowed
+  * aggregation, watermark-bounded dedup, custom stateful sessionization, and
+  * the metadata-carrying stream writer facade. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSparkSession.spark
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window agg over a stream (complete mode)") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    ms.addData(
+      Event(1L, ts(1), 100L, "click", 1.0),
+      Event(2L, ts(2), 100L, "click", 2.0),
+      Event(3L, ts(31), 101L, "buy", 10.0))
+    val agg = Streams.tumblingAgg(ms.toDF(), "ts", "30 minutes", "10 minutes")
+    val q = Streams.runToMemory(agg, "tumbling_out", OutputMode.Complete())
+    try {
+      val rows = spark.table("tumbling_out").collect()
+      assert(rows.length == 2)
+      val byType = rows.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events")).toMap
+      assert(byType == Map("click" -> 2L, "buy" -> 1L))
+    } finally q.stop()
+  }
+
+  test("append mode emits only watermark-finalized windows") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    val agg = Streams.tumblingAgg(ms.toDF(), "ts", "10 minutes", "5 minutes")
+    val q = Streams.runToMemory(agg, "append_out", OutputMode.Append())
+    try {
+      ms.addData(Event(1L, ts(1), 100L, "click", 1.0), Event(2L, ts(2), 100L, "click", 2.0))
+      q.processAllAvailable()
+      // watermark still at 10:02-5min → first window not finalized yet
+      assert(spark.table("append_out").isEmpty)
+      // an event far past the window advances the watermark and closes it
+      ms.addData(Event(3L, ts(45), 100L, "click", 3.0))
+      q.processAllAvailable()
+      ms.addData(Event(4L, ts(59), 100L, "click", 4.0))
+      q.processAllAvailable()
+      val finalized = spark.table("append_out").collect()
+      assert(finalized.exists(r => r.getAs[Long]("n_events") == 2L),
+        s"expected the closed 10:00 window, got ${finalized.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event ids") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    ms.addData(
+      Event(1L, ts(1), 100L, "click", 1.0),
+      Event(1L, ts(2), 100L, "click", 1.0), // dup id within watermark
+      Event(2L, ts(3), 100L, "click", 2.0))
+    val dd = Streams.dedupWithinWatermark(ms.toDF(), "ts", "30 minutes", Seq("event_id"))
+    val q = Streams.runToMemory(dd, "dedup_out", OutputMode.Append())
+    try {
+      assert(spark.table("dedup_out").select("event_id").distinct().count() ==
+        spark.table("dedup_out").count())
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization keeps running per-user state across batches") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    val sess = Streams.sessionize(ms.toDS())
+    val q = Streams.runToMemory(sess.toDF(), "sess_out", OutputMode.Append())
+    try {
+      ms.addData(Event(1L, ts(1), 100L, "click", 1.0), Event(2L, ts(2), 100L, "click", 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(3L, ts(3), 100L, "buy", 10.0), Event(4L, ts(4), 200L, "click", 5.0))
+      q.processAllAvailable()
+      val snaps = spark.table("sess_out").collect()
+      // second snapshot for user 100 must accumulate all 3 events
+      val u100 = snaps.filter(_.getAs[Long]("user_id") == 100L).map(_.getAs[Long]("n_events")).max
+      assert(u100 == 3L)
+      val u200 = snaps.filter(_.getAs[Long]("user_id") == 200L)
+      assert(u200.length == 1 && u200.head.getAs[Double]("total_value") == 5.0)
+    } finally q.stop()
+  }
+
+  test("MetaStreamWriter keeps metadata through fluent config and runs") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    ms.addData(Event(1L, ts(1), 100L, "click", 1.0))
+    val mf = MetaFrame(ms.toDF(), Map("pipeline" -> "events"))
+    val writer = mf.writeStream.format("memory").queryName("meta_out").outputMode("append")
+    assert(writer.metadata == Map("pipeline" -> "events"))
+    val q = writer.start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("meta_out").count() == 1)
+    } finally q.stop()
+  }
+}
