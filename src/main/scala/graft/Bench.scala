@@ -1,23 +1,86 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Headline benchmark, mirroring the 8 measured baseline queries in
+  * /root/repo/BASELINE.md (same operations, same action shape) through the
+  * MetaFrame layer. Methodology matches the baseline: warm JVM — every query
+  * runs once to warm, the second run is timed.
+  *
+  * Prints ONE JSON line: {"metric":"total","value":N,"unit":"sec",
+  * "queries":{...},"sf":"<dir>"}.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def t(name: String): MetaFrame = Tables.loadMeta(spark, sfDir, name)
+
+    // each entry: name -> a thunk running the full query incl. its action
+    val benchQueries: Seq[(String, () => Unit)] = Seq(
+      "q1_filter_project" -> (() => {
+        t("lineitem").filter(col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey", "l_quantity").count(): Unit
+      }),
+      "q2_groupby_agg" -> (() => {
+        t("lineitem").groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+               avg(col("l_extendedprice")).as("avg_price"),
+               count(lit(1)).as("n"))
+          .collect(): Unit
+      }),
+      "q3_join_agg" -> (() => {
+        t("orders")
+          .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"), "inner")
+          .groupBy("o_orderpriority")
+          .agg(sum(col("l_extendedprice")).as("sum_price"))
+          .collect(): Unit
+      }),
+      "q4_dropdup" -> (() => {
+        t("lineitem").dropDuplicates(Seq("l_orderkey")).count(): Unit
+      }),
+      "q5_window_topk" -> (() => {
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(desc("l_extendedprice"))
+        t("lineitem").withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).collect(): Unit
+      }),
+      "q6_sort_limit" -> (() => {
+        t("orders").orderBy(desc("o_totalprice")).limit(10).collect(): Unit
+      }),
+      "q7_distinct" -> (() => {
+        t("lineitem").select("l_suppkey").distinct().count(): Unit
+      }),
+      "q8_union_agg" -> (() => {
+        val a = t("customer").select(col("c_custkey").as("key"))
+        val b = t("supplier").select(col("s_suppkey").as("key"))
+        a.union(b).groupBy("key").count().count(): Unit
+      }),
+    )
+
+    // warm pass (JIT + parquet footer cache), then the timed pass
+    benchQueries.foreach { case (_, run) => run() }
+    val results = benchQueries.map { case (name, run) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      run()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
