@@ -66,35 +66,61 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
 
   // -------------------------------------------------------- private plumbing
 
-  @inline private def wrap(d: DataFrame): MetaFrame = copy(df = d)
+  import MetaFrame.PkVerifiedField
+
+  /** Default rewrap: metadata propagates, but the internal pk-verified flag
+    * is dropped — the operation may have broken uniqueness (join can fan out
+    * left rows, union can duplicate, generators multiply). The user-visible
+    * `primary_key` still propagates reference-style (stale allowed, exactly
+    * like the reference's blind dict propagation, metaframe.py:113-114). */
+  @inline private def wrap(d: DataFrame): MetaFrame =
+    MetaFrame(d, metadata - PkVerifiedField)
+
+  /** Rewrap for operations that can only keep or remove whole rows
+    * (filter/sort/limit/repartition/…): uniqueness is preserved, so the
+    * pk-verified flag survives and downstream dedups can still be elided. */
+  @inline private def wrapKeep(d: DataFrame): MetaFrame = copy(df = d)
+
+  /** Rewrap for projections: row-preserving (Project) keeps the flag, but a
+    * generator (explode & co.) multiplies rows and must drop it. Detected on
+    * the analyzed plans so `select(explode(...))` is caught reliably. */
+  @inline private def wrapProj(d: DataFrame): MetaFrame =
+    if (!metadata.contains(PkVerifiedField)) wrap(d)
+    else {
+      import org.apache.spark.sql.catalyst.plans.logical.Generate
+      def gens(x: DataFrame): Int =
+        x.queryExecution.analyzed.collect { case g: Generate => g }.size
+      if (gens(d) == gens(df)) wrapKeep(d) else wrap(d)
+    }
+
   @inline private def wrapPk(d: DataFrame, pk: Seq[String]): MetaFrame =
-    MetaFrame(d, metadata + (PrimaryKeyField -> pk))
+    MetaFrame(d, metadata + (PrimaryKeyField -> pk) + (PkVerifiedField -> true))
 
   // ------------------------------------------------- projections (SURVEY §2.2b)
 
-  def select(cols: Column*): MetaFrame = wrap(df.select(cols: _*))
-  def select(col: String, cols: String*): MetaFrame = wrap(df.select(col, cols: _*))
-  def selectExpr(exprs: String*): MetaFrame = wrap(df.selectExpr(exprs: _*))
-  def withColumn(colName: String, col: Column): MetaFrame = wrap(df.withColumn(colName, col))
-  def withColumns(colsMap: Map[String, Column]): MetaFrame = wrap(df.withColumns(colsMap))
+  def select(cols: Column*): MetaFrame = wrapProj(df.select(cols: _*))
+  def select(col: String, cols: String*): MetaFrame = wrapProj(df.select(col, cols: _*))
+  def selectExpr(exprs: String*): MetaFrame = wrapProj(df.selectExpr(exprs: _*))
+  def withColumn(colName: String, col: Column): MetaFrame = wrapProj(df.withColumn(colName, col))
+  def withColumns(colsMap: Map[String, Column]): MetaFrame = wrapProj(df.withColumns(colsMap))
   def withColumnRenamed(existing: String, newName: String): MetaFrame =
-    wrap(df.withColumnRenamed(existing, newName))
+    wrapKeep(df.withColumnRenamed(existing, newName))
   def withColumnsRenamed(renames: Map[String, String]): MetaFrame =
-    wrap(df.withColumnsRenamed(renames))
-  def drop(colNames: String*): MetaFrame = wrap(df.drop(colNames: _*))
-  def drop(col: Column): MetaFrame = wrap(df.drop(col))
+    wrapKeep(df.withColumnsRenamed(renames))
+  def drop(colNames: String*): MetaFrame = wrapKeep(df.drop(colNames: _*))
+  def drop(col: Column): MetaFrame = wrapKeep(df.drop(col))
   def toDF(colNames: String*): MetaFrame =
     wrap(if (colNames.isEmpty) df.toDF() else df.toDF(colNames: _*))
   def to(schema: StructType): MetaFrame = wrap(df.to(schema))
-  def alias(a: String): MetaFrame = wrap(df.alias(a))
-  def as(a: String): MetaFrame = wrap(df.as(a))
+  def alias(a: String): MetaFrame = wrapKeep(df.alias(a))
+  def as(a: String): MetaFrame = wrapKeep(df.as(a))
 
   // ---------------------------------------------------------------- filters
 
-  def filter(condition: Column): MetaFrame = wrap(df.filter(condition))
-  def filter(conditionExpr: String): MetaFrame = wrap(df.filter(conditionExpr))
-  def where(condition: Column): MetaFrame = wrap(df.where(condition))
-  def where(conditionExpr: String): MetaFrame = wrap(df.where(conditionExpr))
+  def filter(condition: Column): MetaFrame = wrapKeep(df.filter(condition))
+  def filter(conditionExpr: String): MetaFrame = wrapKeep(df.filter(conditionExpr))
+  def where(condition: Column): MetaFrame = wrapKeep(df.where(condition))
+  def where(conditionExpr: String): MetaFrame = wrapKeep(df.where(conditionExpr))
 
   // ------------------------------------------------------ joins (SURVEY §2.2c)
   // Left operand's metadata wins, matching the reference (metaframe.py:114).
@@ -115,7 +141,7 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
     wrap(df.join(right, usingColumns, joinType))
   def join(right: DataFrame, joinExprs: Column, joinType: String): MetaFrame =
     wrap(df.join(right, joinExprs, joinType))
-  def hint(name: String, parameters: Any*): MetaFrame = wrap(df.hint(name, parameters: _*))
+  def hint(name: String, parameters: Any*): MetaFrame = wrapKeep(df.hint(name, parameters: _*))
 
   // ----------------------------------------------- aggregations (SURVEY §2.2d)
 
@@ -123,14 +149,15 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
     * (reference: metaframe.py:48-50 + 152; order divergence Q2 per SURVEY §7.3). */
   def groupBy(col1: String, cols: String*): MetaGroupedData = {
     val keys = col1 +: cols
-    new MetaGroupedData(df.groupBy(col1, cols: _*), metadata + (PrimaryKeyField -> keys))
+    new MetaGroupedData(df.groupBy(col1, cols: _*),
+      metadata + (PrimaryKeyField -> keys) + (MetaFrame.PkVerifiedField -> true))
   }
 
   /** Column-based grouping: no pk inference (reference Q1 crashes here;
     * we accept and skip inference — SURVEY §7.3). Also covers no-arg
     * `groupBy()` ⇒ no pk (reference Q3, metaframe.py:167-172). */
   def groupBy(cols: Column*): MetaGroupedData =
-    new MetaGroupedData(df.groupBy(cols: _*), metadata)
+    new MetaGroupedData(df.groupBy(cols: _*), metadata - PkVerifiedField)
 
   /** Reference-compat snake/lower-case aliases (`groupby` at metaframe.py:49,
     * `drop_duplicates` at metaframe.py:56-58). */
@@ -140,48 +167,70 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def drop_duplicates(): MetaFrame = dropDuplicates()
 
   def rollup(cols: Column*): MetaGroupedData = // no pk (reference Q4)
-    new MetaGroupedData(df.rollup(cols: _*), metadata)
+    new MetaGroupedData(df.rollup(cols: _*), metadata - PkVerifiedField)
   def rollup(col1: String, cols: String*): MetaGroupedData =
-    new MetaGroupedData(df.rollup(col1, cols: _*), metadata)
+    new MetaGroupedData(df.rollup(col1, cols: _*), metadata - PkVerifiedField)
   def cube(cols: Column*): MetaGroupedData =
-    new MetaGroupedData(df.cube(cols: _*), metadata)
+    new MetaGroupedData(df.cube(cols: _*), metadata - PkVerifiedField)
   def cube(col1: String, cols: String*): MetaGroupedData =
-    new MetaGroupedData(df.cube(col1, cols: _*), metadata)
+    new MetaGroupedData(df.cube(col1, cols: _*), metadata - PkVerifiedField)
+  def groupingSets(sets: Seq[Seq[Column]], cols: Column*): MetaGroupedData = // no pk (like rollup/cube)
+    new MetaGroupedData(df.groupingSets(sets, cols: _*), metadata - PkVerifiedField)
 
   def agg(expr: Column, exprs: Column*): MetaFrame = wrap(df.agg(expr, exprs: _*))
   def agg(exprs: Map[String, String]): MetaFrame = wrap(df.agg(exprs))
 
-  /** pk = subset (reference: metaframe.py:51-58, 150-160). */
+  /** True when metadata PROVES the frame is already unique on a superset of
+    * `cols`: the pk-verified flag must have survived the whole lineage since
+    * inference (no join/union/generator in between), every pk column must
+    * still be present, and pk ⊆ cols. */
+  private def uniqueOn(cols: Seq[String]): Boolean =
+    metadata.get(PkVerifiedField).contains(true) &&
+      primaryKey.exists(pk =>
+        pk.nonEmpty && pk.forall(df.columns.contains) && pk.forall(cols.contains))
+
+  /** pk = subset (reference: metaframe.py:51-58, 150-160).
+    *
+    * pk-aware short-circuit (SURVEY §4.3, beyond reference): when metadata
+    * already proves uniqueness on a subset of `colNames`, the deduplication
+    * shuffle is a no-op and is elided — an O(1) driver-side rewrite the
+    * plan-level optimizer cannot see because pk lives outside Catalyst. */
   def dropDuplicates(colNames: Seq[String]): MetaFrame =
-    wrapPk(df.dropDuplicates(colNames), colNames)
+    if (uniqueOn(colNames)) wrapPk(df, colNames)
+    else wrapPk(df.dropDuplicates(colNames), colNames)
   def dropDuplicates(col1: String, cols: String*): MetaFrame =
     dropDuplicates(col1 +: cols)
 
   /** No-arg ⇒ pk = all columns (reference Q5, metaframe.py:164-165). */
-  def dropDuplicates(): MetaFrame = wrapPk(df.dropDuplicates(), df.columns.toSeq)
+  def dropDuplicates(): MetaFrame =
+    if (uniqueOn(df.columns.toSeq)) wrapPk(df, df.columns.toSeq)
+    else wrapPk(df.dropDuplicates(), df.columns.toSeq)
 
-  /** pk = all columns (reference Q5, metaframe.py:59, 144-145). */
-  def distinct(): MetaFrame = wrapPk(df.distinct(), df.columns.toSeq)
+  /** pk = all columns (reference Q5, metaframe.py:59, 144-145). Same
+    * pk-aware elision as dropDuplicates: unique on pk ⇒ no duplicate rows. */
+  def distinct(): MetaFrame =
+    if (uniqueOn(df.columns.toSeq)) wrapPk(df, df.columns.toSeq)
+    else wrapPk(df.distinct(), df.columns.toSeq)
 
   def dropDuplicatesWithinWatermark(): MetaFrame = // not in SET_PK_AFTER → no pk
-    wrap(df.dropDuplicatesWithinWatermark())
+    wrapKeep(df.dropDuplicatesWithinWatermark())
   def dropDuplicatesWithinWatermark(colNames: Seq[String]): MetaFrame =
-    wrap(df.dropDuplicatesWithinWatermark(colNames))
+    wrapKeep(df.dropDuplicatesWithinWatermark(colNames))
 
   def describe(cols: String*): MetaFrame = wrap(df.describe(cols: _*))
   def summary(statistics: String*): MetaFrame = wrap(df.summary(statistics: _*))
 
   // ------------------------------------------- sorts / limits (SURVEY §2.2f)
 
-  def sort(sortExprs: Column*): MetaFrame = wrap(df.sort(sortExprs: _*))
-  def sort(sortCol: String, sortCols: String*): MetaFrame = wrap(df.sort(sortCol, sortCols: _*))
-  def orderBy(sortExprs: Column*): MetaFrame = wrap(df.orderBy(sortExprs: _*))
+  def sort(sortExprs: Column*): MetaFrame = wrapKeep(df.sort(sortExprs: _*))
+  def sort(sortCol: String, sortCols: String*): MetaFrame = wrapKeep(df.sort(sortCol, sortCols: _*))
+  def orderBy(sortExprs: Column*): MetaFrame = wrapKeep(df.orderBy(sortExprs: _*))
   def orderBy(sortCol: String, sortCols: String*): MetaFrame =
-    wrap(df.orderBy(sortCol, sortCols: _*))
+    wrapKeep(df.orderBy(sortCol, sortCols: _*))
   def sortWithinPartitions(sortExprs: Column*): MetaFrame =
-    wrap(df.sortWithinPartitions(sortExprs: _*))
-  def limit(n: Int): MetaFrame = wrap(df.limit(n))
-  def offset(n: Int): MetaFrame = wrap(df.offset(n))
+    wrapKeep(df.sortWithinPartitions(sortExprs: _*))
+  def limit(n: Int): MetaFrame = wrapKeep(df.limit(n))
+  def offset(n: Int): MetaFrame = wrapKeep(df.offset(n))
 
   // -------------------------------------------------- set ops (SURVEY §2.2g)
 
@@ -190,55 +239,55 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def unionByName(other: MetaFrame): MetaFrame = wrap(df.unionByName(other.df))
   def unionByName(other: MetaFrame, allowMissingColumns: Boolean): MetaFrame =
     wrap(df.unionByName(other.df, allowMissingColumns))
-  def intersect(other: MetaFrame): MetaFrame = wrap(df.intersect(other.df))
-  def intersectAll(other: MetaFrame): MetaFrame = wrap(df.intersectAll(other.df))
-  def except(other: MetaFrame): MetaFrame = wrap(df.except(other.df))
-  def exceptAll(other: MetaFrame): MetaFrame = wrap(df.exceptAll(other.df))
+  def intersect(other: MetaFrame): MetaFrame = wrapKeep(df.intersect(other.df))
+  def intersectAll(other: MetaFrame): MetaFrame = wrapKeep(df.intersectAll(other.df))
+  def except(other: MetaFrame): MetaFrame = wrapKeep(df.except(other.df))
+  def exceptAll(other: MetaFrame): MetaFrame = wrapKeep(df.exceptAll(other.df))
 
   // ------------------------------- partitioning / sampling (SURVEY §2.2i)
 
-  def repartition(numPartitions: Int): MetaFrame = wrap(df.repartition(numPartitions))
+  def repartition(numPartitions: Int): MetaFrame = wrapKeep(df.repartition(numPartitions))
   def repartition(numPartitions: Int, partitionExprs: Column*): MetaFrame =
-    wrap(df.repartition(numPartitions, partitionExprs: _*))
+    wrapKeep(df.repartition(numPartitions, partitionExprs: _*))
   def repartition(partitionExprs: Column*): MetaFrame =
-    wrap(df.repartition(partitionExprs: _*))
+    wrapKeep(df.repartition(partitionExprs: _*))
   def repartitionByRange(numPartitions: Int, partitionExprs: Column*): MetaFrame =
-    wrap(df.repartitionByRange(numPartitions, partitionExprs: _*))
+    wrapKeep(df.repartitionByRange(numPartitions, partitionExprs: _*))
   def repartitionByRange(partitionExprs: Column*): MetaFrame =
-    wrap(df.repartitionByRange(partitionExprs: _*))
-  def coalesce(numPartitions: Int): MetaFrame = wrap(df.coalesce(numPartitions))
-  def sample(fraction: Double): MetaFrame = wrap(df.sample(fraction))
-  def sample(fraction: Double, seed: Long): MetaFrame = wrap(df.sample(fraction, seed))
+    wrapKeep(df.repartitionByRange(partitionExprs: _*))
+  def coalesce(numPartitions: Int): MetaFrame = wrapKeep(df.coalesce(numPartitions))
+  def sample(fraction: Double): MetaFrame = wrapKeep(df.sample(fraction))
+  def sample(fraction: Double, seed: Long): MetaFrame = wrapKeep(df.sample(fraction, seed))
   def sample(withReplacement: Boolean, fraction: Double, seed: Long): MetaFrame =
-    wrap(df.sample(withReplacement, fraction, seed))
+    wrapKeep(df.sample(withReplacement, fraction, seed))
 
   /** Divergence: reference returns a raw list (metadata lost, SURVEY §2.2i);
     * we keep metadata on every split. */
   def randomSplit(weights: Array[Double], seed: Long): Seq[MetaFrame] =
-    df.randomSplit(weights, seed).toSeq.map(wrap)
+    df.randomSplit(weights, seed).toSeq.map(wrapKeep)
   def randomSplit(weights: Array[Double]): Seq[MetaFrame] =
-    df.randomSplit(weights).toSeq.map(wrap)
+    df.randomSplit(weights).toSeq.map(wrapKeep)
 
   def transform(f: MetaFrame => MetaFrame): MetaFrame = f(this)
   def observe(name: String, expr: Column, exprs: Column*): MetaFrame =
-    wrap(df.observe(name, expr, exprs: _*))
+    wrapKeep(df.observe(name, expr, exprs: _*))
 
   // ------------------------------------------------- caching / persistence
 
-  def cache(): MetaFrame = wrap(df.cache())
-  def persist(): MetaFrame = wrap(df.persist())
-  def persist(level: StorageLevel): MetaFrame = wrap(df.persist(level))
-  def unpersist(): MetaFrame = wrap(df.unpersist())
-  def unpersist(blocking: Boolean): MetaFrame = wrap(df.unpersist(blocking))
-  def checkpoint(): MetaFrame = wrap(df.checkpoint())
-  def checkpoint(eager: Boolean): MetaFrame = wrap(df.checkpoint(eager))
-  def localCheckpoint(): MetaFrame = wrap(df.localCheckpoint())
+  def cache(): MetaFrame = wrapKeep(df.cache())
+  def persist(): MetaFrame = wrapKeep(df.persist())
+  def persist(level: StorageLevel): MetaFrame = wrapKeep(df.persist(level))
+  def unpersist(): MetaFrame = wrapKeep(df.unpersist())
+  def unpersist(blocking: Boolean): MetaFrame = wrapKeep(df.unpersist(blocking))
+  def checkpoint(): MetaFrame = wrapKeep(df.checkpoint())
+  def checkpoint(eager: Boolean): MetaFrame = wrapKeep(df.checkpoint(eager))
+  def localCheckpoint(): MetaFrame = wrapKeep(df.localCheckpoint())
 
   // ---------------------------------------------------------------- streaming
 
   def isStreaming: Boolean = df.isStreaming
   def withWatermark(eventTime: String, delayThreshold: String): MetaFrame =
-    wrap(df.withWatermark(eventTime, delayThreshold))
+    wrapKeep(df.withWatermark(eventTime, delayThreshold))
 
   /** Metadata-carrying streaming writer (divergence per SURVEY §7.3 — the
     * reference's `writeStream` always returns a raw, metadata-less writer). */
@@ -292,6 +341,12 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
 object MetaFrame {
   /** The one semantically distinguished metadata key (metaframe.py:188-197). */
   val PrimaryKeyField = "primary_key"
+
+  /** Internal flag (beyond reference, SURVEY §4.3): present only while the
+    * lineage since pk inference is provably uniqueness-preserving, enabling
+    * the dedup short-circuits. Any operation that can duplicate or fan out
+    * rows drops it; the user-visible `primary_key` is never touched. */
+  val PkVerifiedField = "__pk_verified"
 
   /** reference: default metadata `{}` (metaframe.py:66-69). */
   def apply(df: DataFrame): MetaFrame = MetaFrame(df, Map.empty)
@@ -349,7 +404,11 @@ final class MetaWriter(val w: DataFrameWriter[Row], val metadata: Map[String, An
 /** Metadata-preserving facade over `DataFrameNaFunctions` (divergence: the
   * reference returns the raw object and loses metadata — SURVEY §1.2). */
 final class MetaNaFunctions(val na: DataFrameNaFunctions, parent: MetaFrame) {
-  @inline private def wrap(d: DataFrame): MetaFrame = parent.copy(df = d)
+  // fill/replace mutate values (could collide pk values) → drop the verified
+  // flag; drop() only removes rows and keeps it.
+  @inline private def wrap(d: DataFrame): MetaFrame =
+    parent.copy(df = d, metadata = parent.metadata - MetaFrame.PkVerifiedField)
+  @inline private def wrapKeep(d: DataFrame): MetaFrame = parent.copy(df = d)
   def fill(value: Long): MetaFrame = wrap(na.fill(value))
   def fill(value: Double): MetaFrame = wrap(na.fill(value))
   def fill(value: String): MetaFrame = wrap(na.fill(value))
@@ -358,10 +417,10 @@ final class MetaNaFunctions(val na: DataFrameNaFunctions, parent: MetaFrame) {
   def fill(value: Double, cols: Seq[String]): MetaFrame = wrap(na.fill(value, cols))
   def fill(value: String, cols: Seq[String]): MetaFrame = wrap(na.fill(value, cols))
   def fill(valueMap: Map[String, Any]): MetaFrame = wrap(na.fill(valueMap))
-  def drop(): MetaFrame = wrap(na.drop())
-  def drop(how: String): MetaFrame = wrap(na.drop(how))
-  def drop(cols: Seq[String]): MetaFrame = wrap(na.drop(cols))
-  def drop(minNonNulls: Int): MetaFrame = wrap(na.drop(minNonNulls))
+  def drop(): MetaFrame = wrapKeep(na.drop())
+  def drop(how: String): MetaFrame = wrapKeep(na.drop(how))
+  def drop(cols: Seq[String]): MetaFrame = wrapKeep(na.drop(cols))
+  def drop(minNonNulls: Int): MetaFrame = wrapKeep(na.drop(minNonNulls))
   def replace[T](col: String, replacement: Map[T, T]): MetaFrame =
     wrap(na.replace(col, replacement))
   def replace[T](cols: Seq[String], replacement: Map[T, T]): MetaFrame =
@@ -370,7 +429,9 @@ final class MetaNaFunctions(val na: DataFrameNaFunctions, parent: MetaFrame) {
 
 /** Metadata-preserving facade over `DataFrameStatFunctions` (same divergence). */
 final class MetaStatFunctions(val stat: DataFrameStatFunctions, parent: MetaFrame) {
-  @inline private def wrap(d: DataFrame): MetaFrame = parent.copy(df = d)
+  // crosstab/freqItems build new frames; sampleBy only removes rows
+  @inline private def wrap(d: DataFrame): MetaFrame =
+    parent.copy(df = d, metadata = parent.metadata - MetaFrame.PkVerifiedField)
   def approxQuantile(col: String, probabilities: Array[Double], relativeError: Double): Array[Double] =
     stat.approxQuantile(col, probabilities, relativeError)
   def cov(col1: String, col2: String): Double = stat.cov(col1, col2)
@@ -381,5 +442,5 @@ final class MetaStatFunctions(val stat: DataFrameStatFunctions, parent: MetaFram
   def freqItems(cols: Seq[String], support: Double): MetaFrame =
     wrap(stat.freqItems(cols, support))
   def sampleBy[T](col: String, fractions: Map[T, Double], seed: Long): MetaFrame =
-    wrap(stat.sampleBy(col, fractions, seed))
+    parent.copy(df = stat.sampleBy(col, fractions, seed))
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join — an operator the reference surface lacks entirely
+  * (SURVEY.md §2.2c: PySpark classic has none): for every left row, attach
+  * the most recent right row with right.ts <= left.ts within the same key.
+  *
+  * Implementation is the scale-safe union + last-value carry-forward:
+  * tag both sides, union, and let `last(_, ignoreNulls=true)` over a
+  * (key, ts, side) window carry the latest right payload onto each left row.
+  * ONE shuffle on the key — no range-join explosion, no per-row probing —
+  * so cost is O(n log n) per key partition regardless of time-range width;
+  * skewed keys are split by AQE like any other window shuffle.
+  */
+object AsOfJoin {
+
+  /** @param left       left frame
+    * @param right      right frame
+    * @param keyCol     equi key present on both sides
+    * @param leftTsCol  left event-time column
+    * @param rightTsCol right event-time column
+    * @param payloadCols right columns to carry (renamed as given)
+    * @param tolerance  optional max lookback as a Column interval predicate
+    *                   in seconds; matches older than this are nulled out
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      payloadCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side=0 sorts right rows before left rows at equal timestamps → the
+    // backward match is inclusive (a right row at exactly left.ts matches)
+    val taggedRight = right.select(
+      (col(keyCol) +: col(rightTsCol).as("__ts") +: lit(0).as("__side") +:
+        payloadCols.map(c => col(c).as(s"__p_$c")) ++:
+        leftCols.filterNot(_ == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val taggedLeft = left.select(
+      (col(keyCol) +: col(leftTsCol).cast(right.schema(rightTsCol).dataType).as("__ts") +:
+        lit(1).as("__side") +:
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++:
+        leftCols.filterNot(_ == keyCol).map(col)): _*)
+    val unioned = taggedLeft.unionByName(taggedRight)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }.withColumn("__c_ts", last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+    val withinTol: Column = tolerance match {
+      case Some(secs) =>
+        col("__c_ts").isNotNull &&
+          (unix_timestamp(col("__ts")) - unix_timestamp(col("__c_ts"))) <= secs
+      case None => col("__c_ts").isNotNull
+    }
+    carried
+      .filter(col("__side") === 1)
+      .select(
+        (col(keyCol) +: leftCols.filterNot(_ == keyCol).map(col)) ++
+          payloadCols.map(c =>
+            when(withinTol, col(s"__c_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
+  }
+}

@@ -108,6 +108,20 @@ object RelationalQueries {
         .orderBy("s_nationkey").df
     }),
 
+    "join_asof" -> ((s, d) => {
+      // as-of backward join (operator absent from the reference surface):
+      // each event picks up the user's most recent purchase value at-or-before ts
+      val events = t(s, d, "events").df
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value").as("pval"))
+      graft.operators.AsOfJoin.backward(
+          events.select("event_id", "user_id", "ts"), purchases,
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "pts",
+          payloadCols = Seq("pval"))
+        .select("event_id", "asof_pval")
+        .orderBy("event_id")
+    }),
+
     // --------------------------------------------------- d) aggregations
     "agg_groupby_sum" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -162,6 +176,14 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")).df),
 
+    "agg_groupingsets" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")).df),
+
     "agg_pivot" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_linestatus")
@@ -195,6 +217,13 @@ object RelationalQueries {
         .select("o_orderkey", "o_totalprice")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         .limit(10).df),
+
+    "sort_offset" -> ((s, d) =>
+      // pagination: rows 11-20 of the price ranking
+      t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .offset(10).limit(10).df),
 
     // --------------------------------------------------------- g) set ops
     "setop_union_all" -> ((s, d) => {
@@ -278,6 +307,21 @@ object RelationalQueries {
     "agg_groupby_sum" ->
       ("SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "join_asof" ->
+      ("SELECT e.event_id AS event_id, p.value AS asof_pval FROM events e " +
+       "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
+       "ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id"),
+
+    "agg_groupingsets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+       "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "sort_offset" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10"),
 
     "agg_multi" ->
       ("SELECT l_returnflag, l_linestatus, " +

@@ -162,6 +162,40 @@ class MetaFrameSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("product_id"))
   }
 
+  // ------------------------------ pk-aware short-circuits (SURVEY §4.3)
+
+  test("dedup after pk-verified lineage is elided (same underlying plan)") {
+    val unique = MetaFrame(fixture, metadata).groupBy("product_id").agg(sum("quantity").as("q"))
+    // unique on product_id ⇒ dropDuplicates on a superset is a no-op
+    val elided = unique.dropDuplicates(Seq("product_id", "q"))
+    assert(elided.df eq unique.df, "shuffle-free elision expected")
+    assert(elided.primaryKey.contains(Seq("product_id", "q")))
+    val elided2 = unique.distinct()
+    assert(elided2.df eq unique.df)
+    // and the flag survives row-preserving ops
+    val filtered = unique.filter(col("q") > 0)
+    assert(filtered.dropDuplicates(Seq("product_id")).df eq filtered.df)
+  }
+
+  test("union invalidates the verified flag: dedup actually runs and is correct") {
+    val unique = MetaFrame(fixture, metadata).groupBy("product_id").agg(sum("quantity").as("q"))
+    val doubled = unique.union(unique) // duplicates every row; pk metadata stays (reference-style)
+    assert(doubled.primaryKey.contains(Seq("product_id"))) // stale, like the reference
+    val deduped = doubled.distinct()
+    assert(!(deduped.df eq doubled.df), "must not elide after union")
+    assert(deduped.count() == unique.count())
+  }
+
+  test("generators invalidate the verified flag: explode then dedup runs") {
+    val unique = MetaFrame(fixture, metadata).groupBy("product_id")
+      .agg(sum("quantity").as("q"))
+      .withColumn("arr", array(lit(1), lit(2)))
+    val exploded = unique.select(col("product_id"), explode(col("arr")).as("e"))
+    val deduped = exploded.dropDuplicates(Seq("product_id"))
+    assert(!(deduped.df eq exploded.df), "must not elide after explode")
+    assert(deduped.count() == 8)
+  }
+
   test("implicit bridge: MetaFrame usable as DataFrame, DataFrame liftable via .meta") {
     val mf = MetaFrame(fixture, metadata)
     val df: DataFrame = mf // implicit conversion (SURVEY §1.5 isinstance analogue)
