@@ -81,6 +81,16 @@ object FunctionQueries {
         .orderBy("l_returnflag", "l_quantity").df
     }),
 
+    // custom Aggregator UDAF (SURVEY §2.2k): weighted mean via typed
+    // Aggregator with map-side partial aggregation; rounded because double
+    // summation order differs across engines (ratio is stable to ~1e-11)
+    "agg_weighted_udaf" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(graft.functions.Udafs.weightedMean(
+          col("l_extendedprice"), col("l_quantity")), 4).as("w_avg_price"))
+        .orderBy("l_returnflag").df),
+
     // ------------------------------------------------- h) scalar functions
     "fn_string" -> ((s, d) =>
       t(s, d, "part")
@@ -213,6 +223,10 @@ object FunctionQueries {
        "GROUP BY l_returnflag, l_quantity) " +
        "WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity) " +
        "ORDER BY l_returnflag, l_quantity"),
+
+    "agg_weighted_udaf" ->
+      ("SELECT l_returnflag, round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) " +
+       "AS w_avg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "fn_string" ->
       ("SELECT p_partkey, upper(p_name) AS up_name, length(p_name) AS name_len, " +
