@@ -8,8 +8,15 @@ import org.apache.spark.sql.functions._
   * shuffle-free, linear in the vector dimension. */
 object VectorFunctions {
 
-  /** Dot product in double precision (left-to-right fold: deterministic). */
+  /** Dot product in double precision (left-to-right accumulation:
+    * deterministic). Backed by the codegen'd native expression — the HOF
+    * spelling below is kept as the readable reference implementation and
+    * produces bit-identical results. */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.floatDot(a, b)
+
+  /** Higher-order-function reference implementation of [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
 
   def normSq(a: Column): Column = dot(a, a)

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal visibility bridge: `classic.ExpressionUtils` (Column <-> catalyst
+  * Expression) is `private[sql]` in Spark 4, so third-party native
+  * expressions need a shim inside the `org.apache.spark.sql` namespace.
+  * Nothing else from internals is exposed. */
+package object graftbridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -151,4 +151,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c")).head().getDouble(0)
     assert(math.abs(got - 0.5) < 1e-12) // dot=1, norms=sqrt2*sqrt2=2
   }
+
+  test("native codegen dot product is bit-identical to the HOF fold") {
+    import graft.sources.Tables
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = emb.select(col("vec_id"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id"), col("embedding").as("vb"))
+    val both = a.join(b, "vec_id").limit(200)
+      .select(
+        VectorFunctions.dot(col("va"), col("vb")).as("native"),
+        VectorFunctions.dotHof(col("va"), col("vb")).as("hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
 }
