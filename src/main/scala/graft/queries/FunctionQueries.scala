@@ -149,6 +149,26 @@ object FunctionQueries {
         .select("vec_id", "dim", "first_val", "emb_sum")
         .orderBy("vec_id").df),
 
+    // map construction/access (SURVEY §2.2h map family): output scalars only
+    // (map columns don't hash portably) — DuckDB oracle via equivalent scalars
+    "fn_map" -> ((s, d) =>
+      t(s, d, "customer")
+        .withColumn("m", map(lit("bal"), col("c_acctbal"), lit("bal2"), col("c_acctbal") * 2))
+        .select(
+          col("c_custkey"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"),
+          element_at(col("m"), "bal").as("bal"),
+          element_at(col("m"), "bal2").as("bal2"))
+        .orderBy("c_custkey").df),
+
+    // seeded Bernoulli sample: deterministic for Spark, engine-specific
+    // algorithm → rows-only check (no oracle)
+    "misc_sample_seeded" -> ((s, d) =>
+      t(s, d, "orders")
+        .sample(0.1, seed = 42L)
+        .select("o_orderkey")
+        .orderBy("o_orderkey").df),
+
     "fn_json" -> ((s, d) =>
       t(s, d, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -264,6 +284,10 @@ object FunctionQueries {
        "CAST(embedding[1] AS DOUBLE) AS first_val, " +
        "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS emb_sum " +
        "FROM embeddings ORDER BY vec_id"),
+
+    "fn_map" ->
+      ("SELECT c_custkey, CAST(2 AS BIGINT) AS n_keys, c_acctbal AS bal, " +
+       "c_acctbal * 2 AS bal2 FROM customer ORDER BY c_custkey"),
 
     "fn_json" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +

@@ -51,6 +51,15 @@ object Streams {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Session-window aggregation: gap-based sessions per user (Spark's
+    * `session_window`); watermark bounds session state. */
+  def sessionWindowAgg(df: DataFrame, tsCol: String, gap: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sstart"),
+              col("session_window.end").as("send"), col("user_id"), col("n_events"))
+
   /** Sliding-window variant (windowDur every slideDur). */
   def slidingAgg(df: DataFrame, tsCol: String, windowDur: String, slideDur: String, watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark)

@@ -91,6 +91,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows split on the gap and count per user") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    ms.addData(
+      Event(1L, ts(1), 100L, "click", 1.0),
+      Event(2L, ts(3), 100L, "click", 1.0),  // same session (gap 5m)
+      Event(3L, ts(20), 100L, "click", 1.0), // new session
+      Event(4L, ts(2), 200L, "click", 1.0))
+    val sess = Streams.sessionWindowAgg(ms.toDF(), "ts", "5 minutes", "10 minutes")
+    val q = Streams.runToMemory(sess, "sesswin_out", OutputMode.Complete())
+    try {
+      val rows = spark.table("sesswin_out").collect()
+      val u100 = rows.filter(_.getAs[Long]("user_id") == 100L)
+      assert(u100.length == 2, s"expected 2 sessions for user 100, got ${u100.mkString(",")}")
+      assert(u100.map(_.getAs[Long]("n_events")).sorted.sameElements(Array(1L, 2L)))
+      assert(rows.count(_.getAs[Long]("user_id") == 200L) == 1)
+    } finally q.stop()
+  }
+
   test("MetaStreamWriter keeps metadata through fluent config and runs") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)

@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** End-to-end write path: MetaWriter roundtrips through parquet, including a
+  * partitioned layout (the physical-layout tool for scale: partition pruning
+  * on read). */
+class WriterSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSparkSession.spark
+
+  test("MetaWriter writes parquet and the data roundtrips") {
+    val dir = Files.createDirectories(java.nio.file.Paths.get("target/writer_spec")).resolve("plain").toString
+    val li = Tables.loadMeta(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    li.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+  }
+
+  test("partitionBy layout enables partition pruning on read") {
+    val dir = Files.createDirectories(java.nio.file.Paths.get("target/writer_spec")).resolve("parted").toString
+    val li = Tables.loadMeta(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    // physical layout: one directory per flag value
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(parts.sameElements(Array("l_returnflag=A", "l_returnflag=N", "l_returnflag=R")))
+    // pruned read plans a partition filter on the directory column
+    // (inputFiles is pre-pruning metadata, so inspect the physical plan)
+    val pruned = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"))
+    val all = spark.read.parquet(dir)
+    assert(pruned.count() > 0 && pruned.count() < all.count())
+  }
+}
