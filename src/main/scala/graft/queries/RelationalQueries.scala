@@ -29,6 +29,14 @@ object RelationalQueries {
     "scan_parquet" -> ((s, d) =>
       t(s, d, "region").orderBy("r_regionkey").df),
 
+    "sql_via_view" -> ((s, d) => {
+      // SQL entry point: MetaFrame registers a temp view, spark.sql queries it
+      t(s, d, "lineitem").createOrReplaceTempView("li_view")
+      s.sql("""SELECT l_linestatus,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               FROM li_view GROUP BY l_linestatus ORDER BY l_linestatus""")
+    }),
+
     // ---------------------------------------------------- b) projections
     "project_select" -> ((s, d) =>
       t(s, d, "customer").select("c_custkey", "c_name").orderBy("c_custkey").df),
@@ -260,6 +268,10 @@ object RelationalQueries {
 
     "project_select" ->
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+
+    "sql_via_view" ->
+      ("SELECT l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+       "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
 
     "project_selectexpr" ->
       "SELECT o_orderkey, o_totalprice * 0.1 AS tax10 FROM orders ORDER BY o_orderkey",
