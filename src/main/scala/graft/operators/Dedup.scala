@@ -50,13 +50,23 @@ object Dedup {
       shingleWidth: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into equal bands")
     val r = numHashes / bands
-    val sig = df.select(
+    // Stage 1: hash each shingle string ONCE to a long. The repartition puts
+    // an Exchange between the string-hash projection and the band lambdas —
+    // without it CollapseProject inlines this expression into every one of
+    // the bands×hashes lambdas below and the string work recomputes ~b·k
+    // times per row (measured 40× slowdown at sf0.1).
+    val hashed = df.select(
       col(idCol),
-      minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"))
-    val banded = sig.select(
+      transform(shingles(col(textCol), shingleWidth), s => xxhash64(s)).as("hs"))
+      .repartition(col(idCol))
+    // Stage 2: k simulated permutations via cheap numeric re-hash of the
+    // materialized longs; each band hashes its r minima into one key.
+    val banded = hashed.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => xxhash64(j, slice(col("sig"), j * lit(r) + 1, lit(r))))))
+        j => xxhash64(j, transform(sequence(j * lit(r), j * lit(r) + lit(r - 1)),
+          i => aggregate(col("hs"), lit(Long.MaxValue),
+            (m, h) => least(m, xxhash64(i, h))))))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
     val bandGroups = banded

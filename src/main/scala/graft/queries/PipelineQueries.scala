@@ -151,6 +151,22 @@ object PipelineQueries {
       ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS dup_count " +
        "FROM documents GROUP BY md5(text) ORDER BY content_hash"),
 
+    // exact re-derivation of the blocked shingle-set Jaccard best-match:
+    // 3-token shingles (whole text when <3 tokens), block = lang,
+    // jaccard = |intersect| / |distinct union|, ties broken on partner id
+    "dedup_ngram_jaccard" ->
+      ("WITH toks AS (SELECT doc_id, lang, list_distinct(" +
+       "CASE WHEN len(ts) < 3 THEN [text] " +
+       "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
+       "FROM (SELECT doc_id, lang, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
+       "pairs AS (SELECT a.doc_id AS id, b.doc_id AS id_b, " +
+       "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(a.sh, b.sh))) AS j " +
+       "FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id <> b.doc_id) " +
+       "SELECT id, id_b AS best_match, round(j, 6) AS jaccard FROM " +
+       "(SELECT id, id_b, j, row_number() OVER (PARTITION BY id ORDER BY j DESC, id_b) AS rn " +
+       "FROM pairs) WHERE rn = 1 ORDER BY id"),
+
     "mm_binary_meta" ->
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
        "md5(text) AS payload_md5, sha256(text) AS payload_sha256 " +
