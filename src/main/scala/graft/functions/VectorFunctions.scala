@@ -45,6 +45,12 @@ object VectorFunctions {
     * with high cosine similarity collide with high probability; used to
     * restrict pairwise work to within-bucket candidates. */
   def lshBucket(vec: Column, nbits: Int, dim: Int): Column =
+    lshBucketTable(vec, nbits, dim, 0)
+
+  /** Bucket for hash table `table` — each table uses a disjoint set of
+    * hyperplanes so multiple tables give independent collision chances. */
+  def lshBucketTable(vec: Column, nbits: Int, dim: Int, table: Int): Column =
     concat(
-      (0 until nbits).map(j => when(planeDot(vec, lit(j), dim) > 0.0, "1").otherwise("0")): _*)
+      (0 until nbits).map(j =>
+        when(planeDot(vec, lit(table * nbits + j), dim) > 0.0, "1").otherwise("0")): _*)
 }

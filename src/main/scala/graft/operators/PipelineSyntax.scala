@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.MetaFrame
+import graft.functions.TextFunctions
+
+/** Metadata-aware entry points for the pipeline extensions (SURVEY.md §2.3:
+  * every extension records provenance into `metadata` and sets
+  * `primary_key` where uniqueness results). Import `PipelineSyntax._` and
+  * call the operators directly on a MetaFrame — results stay inside the
+  * metadata layer with a `lineage` entry describing the derivation. */
+object PipelineSyntax {
+
+  private def derived(
+      parent: MetaFrame,
+      df: DataFrame,
+      op: String,
+      params: Map[String, Any],
+      pk: Option[Seq[String]],
+      pkVerified: Boolean = true): MetaFrame = {
+    val lineage = parent.metadata.get("lineage") match {
+      case Some(prev: Seq[_]) => prev :+ Map("op" -> op, "params" -> params)
+      case _ => Seq(Map("op" -> op, "params" -> params))
+    }
+    val base = parent.metadata - MetaFrame.PkVerifiedField +
+      ("lineage" -> lineage)
+    pk match {
+      case Some(cols) =>
+        val withPk = base + (MetaFrame.PrimaryKeyField -> cols)
+        MetaFrame(df, if (pkVerified) withPk + (MetaFrame.PkVerifiedField -> true) else withPk)
+      case None => MetaFrame(df, base - MetaFrame.PrimaryKeyField)
+    }
+  }
+
+  implicit final class PipelineMetaFrame(private val mf: MetaFrame) extends AnyVal {
+
+    /** Exact dedup: result is unique on content_hash (pk set + verified). */
+    def dedupExact(idCol: String, contentCol: String): MetaFrame =
+      derived(mf, Dedup.exact(mf.df, idCol, contentCol),
+        "dedup_exact", Map("id" -> idCol, "content" -> contentCol),
+        pk = Some(Seq("content_hash")))
+
+    /** MinHash+LSH clusters: one row per input id (pk set + verified). */
+    def dedupMinHash(
+        idCol: String, textCol: String,
+        numHashes: Int = 32, bands: Int = 8, shingleWidth: Int = 3): MetaFrame =
+      derived(mf, Dedup.minHashLsh(mf.df, idCol, textCol, numHashes, bands, shingleWidth),
+        "dedup_minhash_lsh",
+        Map("id" -> idCol, "text" -> textCol, "numHashes" -> numHashes,
+            "bands" -> bands, "shingleWidth" -> shingleWidth),
+        pk = Some(Seq(idCol)))
+
+    /** SimHash near-dup pairs (no uniqueness guarantee → no pk). */
+    def dedupSimHashPairs(idCol: String, textCol: String, maxHamming: Int = 8): MetaFrame =
+      derived(mf, Dedup.simhashNearDup(mf.df, idCol, textCol, maxHamming),
+        "dedup_simhash_pairs",
+        Map("id" -> idCol, "text" -> textCol, "maxHamming" -> maxHamming),
+        pk = None)
+
+    /** Per-doc text-analysis annotation: adds token/quality/lang/fingerprint
+      * columns; row-preserving so existing pk metadata stands. */
+    def annotateText(textCol: String): MetaFrame = {
+      val out = mf.df
+        .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+        .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+        .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
+        .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      derived(mf, out, "annotate_text", Map("text" -> textCol),
+        pk = mf.primaryKey, // row-preserving: pk carries over...
+        pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+        // ...but "verified" only if the parent's proof was still standing
+    }
+  }
+}

@@ -52,16 +52,24 @@ object Similarity {
       queryVecCol: String,
       dim: Int,
       k: Int = 10,
-      nbits: Int = 8): DataFrame = {
-    val bucketedCorpus = corpus.select(
-      col(idCol), col(vecCol),
-      lshBucket(col(vecCol), nbits, dim).as("bucket"))
-    val bucketedQueries = queries.select(
-      col(queryIdCol), col(queryVecCol),
-      lshBucket(col(queryVecCol), nbits, dim).as("bucket"))
-    val scored = bucketedCorpus
-      .join(bucketedQueries, Seq("bucket"))
+      nbits: Int = 8,
+      tables: Int = 1): DataFrame = {
+    // `tables` independent hash tables trade compute for recall: a true
+    // neighbor is missed only if it splits from the query in EVERY table
+    // (miss prob p^L instead of p). Each side explodes L× and joins on
+    // (table, sign-pattern); candidates are deduped before ranking.
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(
+        col(id), col(vec),
+        posexplode(array((0 until tables).map(t =>
+          lshBucketTable(col(vec), nbits, dim, t)): _*)))
+        .withColumnRenamed("pos", "table_id")
+        .withColumnRenamed("col", "bucket")
+    val scored = bucketed(corpus, idCol, vecCol)
+      .join(bucketed(queries, queryIdCol, queryVecCol), Seq("table_id", "bucket"))
       .filter(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol), col(vecCol), col(queryVecCol))
+      .distinct() // a pair colliding in several tables is scored once
       .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos"), asc(idCol))
     scored

@@ -152,6 +152,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got - 0.5) < 1e-12) // dot=1, norms=sqrt2*sqrt2=2
   }
 
+  test("PipelineSyntax: provenance lineage + pk on metadata-aware extensions") {
+    import graft.operators.PipelineSyntax._
+    val mf = MetaFrame(docs, Map("corpus" -> "unit"))
+    val exact = mf.dedupExact("doc_id", "text")
+    assert(exact.primaryKey.contains(Seq("content_hash")))
+    assert(exact.metadata("corpus") == "unit")
+    val lineage = exact.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+    assert(lineage.map(_("op")) == Seq("dedup_exact"))
+    // pk is PROVEN unique → distinct() elides
+    assert(exact.distinct().df eq exact.df)
+    // chaining extends the lineage (annotate first: dedup output drops text)
+    val annotated = mf.annotateText("text")
+    assert(annotated.columns.contains("quality"))
+    val chained = annotated.dedupMinHash("doc_id", "text")
+    assert(chained.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("annotate_text", "dedup_minhash_lsh"))
+    assert(chained.primaryKey.contains(Seq("doc_id")))
+  }
+
+  test("multi-table LSH raises recall over single-table on real embeddings") {
+    import graft.sources.Tables
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def neighborSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val truth = neighborSet(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "query_id", "query_vec", k = 10))
+    def recall(tables: Int): Double = {
+      val got = neighborSet(Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "query_vec", dim = 64, k = 10, nbits = 4, tables = tables))
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"recall@10: 4 tables ($r4) should not lose to 1 table ($r1)")
+    assert(r4 > 0.2, s"recall@10 with 4 tables too low: $r4")
+  }
+
   test("native codegen dot product is bit-identical to the HOF fold") {
     import graft.sources.Tables
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
