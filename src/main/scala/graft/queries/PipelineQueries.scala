@@ -84,6 +84,24 @@ object PipelineQueries {
           dim = 64, threshold = 0.3, nbits = 4)
         .orderBy("id_a", "id_b")),
 
+    // group-level MinHash sketch (TypedImperativeAggregate): per-source
+    // signature, then pairwise estimated Jaccard between sources —
+    // hash-family arithmetic → rows-only check, semantics in ScalaTest
+    "dedup_source_sketch_sim" -> ((s, d) => {
+      import graft.expressions.MinHashSketchAgg.{minhashSketch, sketchJaccard}
+      import graft.functions.TextFunctions.shingles
+      val sketches = t(s, d, "documents").df
+        .select(col("source"), transform(shingles(col("text")), sh => xxhash64(sh)).as("hs"))
+        .groupBy("source")
+        .agg(minhashSketch(col("hs"), 64).as("sig"))
+      val a = sketches.select(col("source").as("src_a"), col("sig").as("sig_a"))
+      val b = sketches.select(col("source").as("src_b"), col("sig").as("sig_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+                round(sketchJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // -------------------------------------------------- similarity search
     "sim_topk_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df

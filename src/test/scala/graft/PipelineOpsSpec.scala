@@ -191,6 +191,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r4 > 0.2, s"recall@10 with 4 tables too low: $r4")
   }
 
+  test("MinHash sketch aggregate estimates set Jaccard within tolerance") {
+    import spark.implicits._
+    import graft.expressions.MinHashSketchAgg.{minhashSketch, sketchJaccard}
+    // two groups sharing exactly half their shingle universe → true J = 1/3
+    val a = (1 to 200).map(i => ("a", Seq(i.toLong)))
+    val b = (101 to 300).map(i => ("b", Seq(i.toLong)))
+    val sk = (a ++ b).toDF("g", "hs")
+      .groupBy("g").agg(minhashSketch(col("hs"), 256).as("sig"))
+    val sigs = sk.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a").length == 256)
+    val est = sk.filter(col("g") === "a").select(col("sig").as("sa"))
+      .crossJoin(sk.filter(col("g") === "b").select(col("sig").as("sb")))
+      .select(sketchJaccard(col("sa"), col("sb"))).head().getDouble(0)
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, s"estimated jaccard $est too far from 1/3")
+    // identical groups → estimate exactly 1
+    val self = sk.filter(col("g") === "a").select(col("sig").as("sa"), col("sig").as("sb"))
+      .select(sketchJaccard(col("sa"), col("sb"))).head().getDouble(0)
+    assert(self == 1.0)
+  }
+
   test("native codegen dot product is bit-identical to the HOF fold") {
     import graft.sources.Tables
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
