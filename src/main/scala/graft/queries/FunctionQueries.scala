@@ -149,6 +149,15 @@ object FunctionQueries {
         .select("vec_id", "dim", "first_val", "emb_sum")
         .orderBy("vec_id").df),
 
+    // generator/UDTF family (SURVEY §2.2k): explode a split-token array into
+    // rows, aggregate token frequencies
+    "fn_explode_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(20).df),
+
     // map construction/access (SURVEY §2.2h map family): output scalars only
     // (map columns don't hash portably) — DuckDB oracle via equivalent scalars
     "fn_map" -> ((s, d) =>
@@ -284,6 +293,10 @@ object FunctionQueries {
        "CAST(embedding[1] AS DOUBLE) AS first_val, " +
        "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS emb_sum " +
        "FROM embeddings ORDER BY vec_id"),
+
+    "fn_explode_tokens" ->
+      ("SELECT token, count(*) AS n FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) " +
+       "AS token FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 20"),
 
     "fn_map" ->
       ("SELECT c_custkey, CAST(2 AS BIGINT) AS n_keys, c_acctbal AS bal, " +

@@ -254,6 +254,24 @@ object RelationalQueries {
       li.intersect(sup).orderBy("key").df
     }),
 
+    "setop_intersect_all" -> ((s, d) => {
+      // bag semantics: multiplicity = min of the two sides
+      val a = t(s, d, "lineitem").select(col("l_suppkey").as("key"))
+      val b = t(s, d, "lineitem").filter(col("l_quantity") > 25)
+        .select(col("l_suppkey").as("key"))
+      a.intersectAll(b).groupBy("key").agg(count(lit(1)).as("n"))
+        .orderBy("key").df
+    }),
+
+    "setop_except_all" -> ((s, d) => {
+      // bag difference: multiplicity = left count minus right count
+      val a = t(s, d, "lineitem").select(col("l_suppkey").as("key"))
+      val b = t(s, d, "lineitem").filter(col("l_quantity") > 25)
+        .select(col("l_suppkey").as("key"))
+      a.exceptAll(b).groupBy("key").agg(count(lit(1)).as("n"))
+        .orderBy("key").df
+    }),
+
     "setop_except" -> ((s, d) => {
       val p = t(s, d, "part").select(col("p_partkey").as("key"))
       val li = t(s, d, "lineitem").filter(col("l_quantity") > 40)
@@ -407,5 +425,15 @@ object RelationalQueries {
     "setop_except" ->
       ("SELECT key FROM (SELECT p_partkey AS key FROM part " +
        "EXCEPT SELECT l_partkey AS key FROM lineitem WHERE l_quantity > 40) ORDER BY key"),
+
+    "setop_intersect_all" ->
+      ("SELECT key, count(*) AS n FROM (SELECT l_suppkey AS key FROM lineitem " +
+       "INTERSECT ALL SELECT l_suppkey AS key FROM lineitem WHERE l_quantity > 25) " +
+       "GROUP BY key ORDER BY key"),
+
+    "setop_except_all" ->
+      ("SELECT key, count(*) AS n FROM (SELECT l_suppkey AS key FROM lineitem " +
+       "EXCEPT ALL SELECT l_suppkey AS key FROM lineitem WHERE l_quantity > 25) " +
+       "GROUP BY key ORDER BY key"),
   )
 }

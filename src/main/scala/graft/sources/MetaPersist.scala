@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.MetaFrame
+
+/** Metadata durability (beyond reference — the reference's metadata dies
+  * with the Python process): writes a `_metaframe.json` sidecar next to the
+  * parquet output and restores it on read, so pipeline provenance and
+  * `primary_key` survive across jobs.
+  *
+  * Sidecar values are stringified except pk (kept as a list); the internal
+  * pk-verified flag is deliberately NOT persisted — a fresh reader cannot
+  * prove the file wasn't modified, so elision proofs never cross a job
+  * boundary. Driver-side, O(metadata) — nothing touches executors.
+  */
+object MetaPersist {
+
+  private val SidecarName = "_metaframe.json"
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Writes the frame as parquet plus the metadata sidecar. */
+  def writeParquet(mf: MetaFrame, path: String): Unit = {
+    mf.df.write.mode("overwrite").parquet(path)
+    val entries = (mf.metadata - MetaFrame.PkVerifiedField).map {
+      case (k, v: Seq[_]) =>
+        s""""${esc(k)}": [${v.map(x => s""""${esc(x.toString)}"""").mkString(", ")}]"""
+      case (k, v) => s""""${esc(k)}": "${esc(String.valueOf(v))}""""
+    }
+    Files.write(
+      Paths.get(path, SidecarName),
+      entries.mkString("{", ", ", "}").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Reads parquet + sidecar back into the metadata layer (empty metadata if
+    * no sidecar is present). */
+  def readParquet(spark: SparkSession, path: String): MetaFrame = {
+    val df = spark.read.parquet(path)
+    val sidecar = Paths.get(path, SidecarName)
+    if (!Files.exists(sidecar)) MetaFrame(df)
+    else MetaFrame(df, parse(new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8)))
+  }
+
+  /** Minimal parser for the sidecar's own output format (flat string /
+    * string-list values only). */
+  private[sources] def parse(json: String): Map[String, Any] = {
+    val kv = """"((?:[^"\\]|\\.)*)"\s*:\s*(\[[^\]]*\]|"(?:[^"\\]|\\.)*")""".r
+    val str = """"((?:[^"\\]|\\.)*)"""".r
+    kv.findAllMatchIn(json).map { m =>
+      val key = un(m.group(1))
+      val raw = m.group(2)
+      val value: Any =
+        if (raw.startsWith("[")) str.findAllMatchIn(raw).map(mm => un(mm.group(1))).toSeq
+        else un(raw.substring(1, raw.length - 1))
+      key -> value
+    }.toMap
+  }
+
+  private def un(s: String): String = s
+    .replace("\\\"", "\"").replace("\\n", "\n").replace("\\r", "\r")
+    .replace("\\t", "\t").replace("\\\\", "\\")
+}

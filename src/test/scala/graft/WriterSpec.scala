@@ -23,6 +23,22 @@ class WriterSpec extends AnyFunSuite {
     assert(back.count() == li.count())
   }
 
+  test("metadata sidecar survives a write/read roundtrip") {
+    import graft.operators.PipelineSyntax._
+    import graft.sources.MetaPersist
+    val dir = Files.createDirectories(java.nio.file.Paths.get("target/writer_spec")).resolve("sidecar").toString
+    val annotated = Tables.loadMeta(spark, "/root/testdata/sf0.001", "documents")
+      .dedupExact("doc_id", "text")
+      .setMetadata("owner" -> "pipeline-team")
+    MetaPersist.writeParquet(annotated, dir)
+    val back = MetaPersist.readParquet(spark, dir)
+    assert(back.count() == annotated.count())
+    assert(back.primaryKey.contains(Seq("content_hash")))
+    assert(back.metadata("owner") == "pipeline-team")
+    // elision proofs must NOT survive persistence
+    assert(!back.metadata.contains(MetaFrame.PkVerifiedField))
+  }
+
   test("partitionBy layout enables partition pruning on read") {
     val dir = Files.createDirectories(java.nio.file.Paths.get("target/writer_spec")).resolve("parted").toString
     val li = Tables.loadMeta(spark, "/root/testdata/sf0.001", "lineitem")
