@@ -113,7 +113,10 @@ object FunctionQueries {
         .withColumn("dom", dayofmonth(col("o_orderdate")))
         .withColumn("month_start", to_date(date_trunc("month", col("o_orderdate"))))
         .withColumn("days_since", datediff(to_date(col("o_orderdate")), lit("2020-01-01")))
-        .select("o_orderkey", "o_date", "yr", "mo", "dom", "month_start", "days_since")
+        .withColumn("plus30", date_add(to_date(col("o_orderdate")), 30))
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        .select("o_orderkey", "o_date", "yr", "mo", "dom", "month_start",
+                "days_since", "plus30", "epoch_s")
         .orderBy("o_orderkey").df),
 
     "fn_math" -> ((s, d) =>
@@ -271,7 +274,9 @@ object FunctionQueries {
        "CAST(month(o_orderdate) AS INTEGER) AS mo, " +
        "CAST(day(o_orderdate) AS INTEGER) AS dom, " +
        "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
-       "CAST(date_diff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since " +
+       "CAST(date_diff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since, " +
+       "CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30, " +
+       "CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s " +
        "FROM orders ORDER BY o_orderkey"),
 
     "fn_math" ->

@@ -116,6 +116,16 @@ object RelationalQueries {
         .orderBy("s_nationkey").df
     }),
 
+    "join_nonequi" -> ((s, d) => {
+      // pure theta join (no equi conjunct): planned as a nested-loop join,
+      // valid only when one side is tiny — here 25x25 nations
+      val n1 = t(s, d, "nation").select(col("n_nationkey").as("k1"), col("n_regionkey").as("r1"))
+      val n2 = t(s, d, "nation").select(col("n_nationkey").as("k2"), col("n_regionkey").as("r2"))
+      n1.join(n2, col("k1") < col("k2") && col("r1") =!= col("r2"), "inner")
+        .groupBy("r1").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("r1").df
+    }),
+
     "join_asof" -> ((s, d) => {
       // as-of backward join (operator absent from the reference surface):
       // each event picks up the user's most recent purchase value at-or-before ts
@@ -209,6 +219,10 @@ object RelationalQueries {
       t(s, d, "lineitem")
         .select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus").df),
+
+    // stats table shape differs per engine → rows-only check
+    "agg_describe" -> ((s, d) =>
+      t(s, d, "lineitem").describe("l_quantity", "l_extendedprice").df),
 
     "agg_corr" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -337,6 +351,11 @@ object RelationalQueries {
     "agg_groupby_sum" ->
       ("SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "join_nonequi" ->
+      ("SELECT a.n_regionkey AS r1, count(*) AS n_pairs FROM nation a JOIN nation b " +
+       "ON a.n_nationkey < b.n_nationkey AND a.n_regionkey <> b.n_regionkey " +
+       "GROUP BY a.n_regionkey ORDER BY r1"),
 
     "join_asof" ->
       ("SELECT e.event_id AS event_id, p.value AS asof_pval FROM events e " +
