@@ -83,14 +83,26 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
 
   /** Rewrap for projections: row-preserving (Project) keeps the flag, but a
     * generator (explode & co.) multiplies rows and must drop it. Detected on
-    * the analyzed plans so `select(explode(...))` is caught reliably. */
+    * the analyzed plans so `select(explode(...))` is caught reliably.
+    *
+    * The flag also survives only while every pk column is a PASS-THROUGH
+    * attribute reference: a projection that redefines a pk column (e.g.
+    * `withColumn(pkCol, lit(1))` or `select(expr.as(pkCol))`) can collide
+    * previously-unique values, so uniqueness is no longer proven. Checked by
+    * exprId on the analyzed outputs — an unchanged attribute keeps its
+    * exprId, any rewrite allocates a fresh one. */
   @inline private def wrapProj(d: DataFrame): MetaFrame =
     if (!metadata.contains(PkVerifiedField)) wrap(d)
     else {
       import org.apache.spark.sql.catalyst.plans.logical.Generate
       def gens(x: DataFrame): Int =
         x.queryExecution.analyzed.collect { case g: Generate => g }.size
-      if (gens(d) == gens(df)) wrapKeep(d) else wrap(d)
+      val pkPassThrough = primaryKey.forall { pk =>
+        val oldIds = df.queryExecution.analyzed.output.map(a => a.name -> a.exprId).toMap
+        val newIds = d.queryExecution.analyzed.output.map(a => a.name -> a.exprId).toMap
+        pk.forall(c => oldIds.get(c).exists(id => newIds.get(c).contains(id)))
+      }
+      if (pkPassThrough && gens(d) == gens(df)) wrapKeep(d) else wrap(d)
     }
 
   @inline private def wrapPk(d: DataFrame, pk: Seq[String]): MetaFrame =

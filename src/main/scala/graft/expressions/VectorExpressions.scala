@@ -14,8 +14,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * is interpreted per element (lambda dispatch, boxing) and blocks
   * whole-stage codegen; at ANN scale the dot product runs corpus × queries
   * times, so it deserves a tight generated loop over the packed float
-  * arrays. Semantics match the HOF version bit-for-bit: left-to-right
-  * double-precision accumulation.
+  * arrays. Semantics match the HOF version: left-to-right double-precision
+  * accumulation; mismatched vector lengths yield NULL — exactly what
+  * `aggregate(zip_with(...))` does (zip_with null-pads the shorter array and
+  * the null poisons the sum), so malformed data surfaces identically in both
+  * implementations instead of being silently truncated.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -23,6 +26,9 @@ case class FloatVectorDot(left: Expression, right: Expression)
   // inputs must be array<float>; enforced by callers (VectorFunctions),
   // ExpectsInputTypes is private[sql] in Spark 4
   override def dataType: DataType = DoubleType
+
+  // null when either input is null OR lengths mismatch
+  override def nullable: Boolean = true
 
   override def prettyName: String = "float_vector_dot"
 
@@ -33,14 +39,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -49,12 +58,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 }

@@ -50,20 +50,26 @@ object AsOfJoin {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }.withColumn("__c_ts", last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+    // Carry ONE struct per right row (not one last() per payload column):
+    // the matched timestamp and every payload value always come from the
+    // SAME most-recent right row, so a genuinely-NULL payload on the newest
+    // match stays NULL instead of falling back to an older row's value.
+    val carried = unioned.withColumn("__c",
+      last(
+        when(col("__side") === 0,
+          struct(col("__ts").as("__m_ts") +: payloadCols.map(c => col(s"__p_$c").as(s"__m_$c")): _*)),
+        ignoreNulls = true).over(w))
     val withinTol: Column = tolerance match {
       case Some(secs) =>
-        col("__c_ts").isNotNull &&
-          (unix_timestamp(col("__ts")) - unix_timestamp(col("__c_ts"))) <= secs
-      case None => col("__c_ts").isNotNull
+        col("__c").isNotNull &&
+          (unix_timestamp(col("__ts")) - unix_timestamp(col("__c.__m_ts"))) <= secs
+      case None => col("__c").isNotNull
     }
     carried
       .filter(col("__side") === 1)
       .select(
         (col(keyCol) +: leftCols.filterNot(_ == keyCol).map(col)) ++
           payloadCols.map(c =>
-            when(withinTol, col(s"__c_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
+            when(withinTol, col(s"__c.__m_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
   }
 }

@@ -79,17 +79,42 @@ object Dedup {
         max(col("band_size") > 1).as("has_candidate"))
   }
 
-  /** One label-propagation round for cluster refinement: cluster_id :=
-    * min(cluster_id) over each current cluster. Iterate until fixpoint for
-    * exact connected components (each round is one shuffle; in practice 1–2
-    * rounds suffice for near-dup graphs). */
+  /** One pointer-jumping round for cluster refinement: each row follows its
+    * current representative's own pointer and keeps the smaller of the two
+    * (`cluster_id := least(cluster_id, cluster_id[cluster_id])`). Iterating
+    * until fixpoint yields exact connected components with O(log diameter)
+    * rounds — each round is ONE self-join shuffle on the representative id,
+    * so chain-shaped near-dup clusters collapse quickly at corpus scale. */
   def refineClusters(assignments: DataFrame, idCol: String): DataFrame = {
-    val better = assignments
-      .groupBy(col("cluster_id").as("old_cluster"))
-      .agg(min(col("cluster_id")).as("new_cluster"))
+    val reps = assignments.select(
+      col(idCol).as("__rep_id"), col("cluster_id").as("__rep_cluster"))
     assignments
-      .join(better, assignments("cluster_id") === better("old_cluster"))
-      .select(col(idCol), col("new_cluster").as("cluster_id"))
+      .join(reps, assignments("cluster_id") === reps("__rep_id"), "left")
+      .select(
+        assignments(idCol),
+        least(
+          assignments("cluster_id"),
+          coalesce(col("__rep_cluster"), assignments("cluster_id"))).as("cluster_id"))
+  }
+
+  /** Iterates [[refineClusters]] to fixpoint (bounded by `maxRounds`).
+    * Convergence is checked with one count per round; pointer jumping halves
+    * the pointer depth each round, so log2(longest chain) rounds suffice. */
+  def refineToFixpoint(assignments: DataFrame, idCol: String, maxRounds: Int = 10): DataFrame = {
+    var cur = assignments
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val next = refineClusters(cur, idCol).cache()
+      val diff = next.alias("n")
+        .join(cur.alias("c"), col(s"n.$idCol") === col(s"c.$idCol"))
+        .filter(col("n.cluster_id") =!= col("c.cluster_id"))
+        .limit(1).count()
+      changed = diff > 0
+      cur = next
+      round += 1
+    }
+    cur
   }
 
   /** SimHash near-dedup: 64-bit signature, banded into four 16-bit keys;

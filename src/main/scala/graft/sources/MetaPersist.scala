@@ -68,7 +68,25 @@ object MetaPersist {
     }.toMap
   }
 
-  private def un(s: String): String = s
-    .replace("\\\"", "\"").replace("\\n", "\n").replace("\\r", "\r")
-    .replace("\\t", "\t").replace("\\\\", "\\")
+  /** Single left-to-right pass — sequential String.replace would re-scan the
+    * output of earlier replacements (e.g. backslash+'n' serialized as \\n
+    * came back as backslash+newline). Inverse of [[esc]]. */
+  private def un(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2 // covers \" and \\
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }

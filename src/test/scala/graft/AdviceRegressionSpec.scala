@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.{AsOfJoin, Dedup}
+import graft.sources.MetaPersist
+
+/** Regression tests for the round-1 advisory findings (ADVICE.md r1): each
+  * test pins the exact failure scenario the advisory described. */
+class AdviceRegressionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSparkSession.spark
+
+  // ---- ADVICE r1 high: pk-overwriting projections must drop the verified flag
+
+  test("projection that overwrites a pk column re-enables real dedup") {
+    import spark.implicits._
+    val base = Seq(("p1", 1L), ("p2", 2L), ("p3", 3L)).toDF("product_id", "quantity")
+    val unique = MetaFrame(base, Map.empty[String, Any])
+      .groupBy("product_id").agg(sum("quantity").as("q"))
+
+    // withColumn clobbers the pk with a constant → all rows now collide
+    val clobbered = unique.withColumn("product_id", lit("same"))
+    val deduped = clobbered.dropDuplicates(Seq("product_id"))
+    assert(!(deduped.df eq clobbered.df), "must not elide after pk overwrite")
+    assert(deduped.count() == 1L)
+
+    // select with a computed alias over the pk name → same story
+    val aliased = unique.select(lit("x").as("product_id"), col("q"))
+    val deduped2 = aliased.dropDuplicates(Seq("product_id"))
+    assert(!(deduped2.df eq aliased.df), "must not elide after select-alias overwrite")
+    assert(deduped2.count() == 1L)
+
+    // but a projection that passes the pk through untouched still elides
+    val passThrough = unique.withColumn("q2", col("q") * 2)
+    assert(passThrough.dropDuplicates(Seq("product_id", "q2")).df eq passThrough.df,
+      "pass-through projection must keep the elision proof")
+  }
+
+  // ---- ADVICE r1 medium: refineClusters must actually merge chains
+
+  test("refineClusters merges a 3-node chain in one pointer-jumping round") {
+    import spark.implicits._
+    // 1 is a root; 2 points at 1; 3 points at 2 (chain needs one refinement)
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "cluster_id")
+    val got = Dedup.refineClusters(asg, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("refineToFixpoint collapses a 5-node chain to one component") {
+    import spark.implicits._
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)).toDF("id", "cluster_id")
+    val got = Dedup.refineToFixpoint(asg, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 1L), s"all nodes must reach root 1: $got")
+  }
+
+  // ---- ADVICE r1 medium: as-of join with nullable payloads
+
+  test("as-of join carries NULL payload from the newest match, not an older value") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq(("a", ts(7L)), ("a", ts(10L))).toDF("k", "lts")
+    // newest right row (ts=8) has a genuinely NULL payload
+    val right = Seq(("a", ts(5L), Option(1.0)), ("a", ts(8L), None: Option[Double]))
+      .toDF("k", "rts", "px")
+    val out = AsOfJoin.backward(left, right, "k", "lts", "rts", Seq("px"))
+      .collect().map(r => r.getAs[java.sql.Timestamp]("lts").getTime / 1000 ->
+        Option(r.getAs[java.lang.Double]("asof_px"))).toMap
+    assert(out(7L).contains(1.0), "ts=7 matches the ts=5 row with px=1.0")
+    assert(out(10L).isEmpty, "ts=10 matches the ts=8 row whose px is NULL — must stay NULL")
+  }
+
+  test("as-of tolerance checks the same row the payload comes from") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq(("a", ts(10L))).toDF("k", "lts")
+    val right = Seq(("a", ts(5L), Option(1.0)), ("a", ts(8L), None: Option[Double]))
+      .toDF("k", "rts", "px")
+    // most recent match is ts=8 (within tol=3) with NULL px: result is NULL,
+    // NOT ts=5's 1.0 (outside tol anyway — the old impl mixed the two rows)
+    val out = AsOfJoin.backward(left, right, "k", "lts", "rts", Seq("px"), tolerance = Some(3L))
+      .head()
+    assert(out.isNullAt(out.fieldIndex("asof_px")))
+  }
+
+  // ---- ADVICE r1 low: sidecar escape roundtrip
+
+  test("metadata sidecar roundtrips backslash-n and control characters") {
+    import spark.implicits._
+    val dir = Files.createDirectories(java.nio.file.Paths.get("target/advice_spec"))
+      .resolve("sidecar").toString
+    val tricky = "a\\nb\tq\"uote\nline2end\\t"
+    val mf = MetaFrame(Seq((1L, "x")).toDF("id", "v"), Map("tricky" -> tricky, "plain" -> "ok"))
+    MetaPersist.writeParquet(mf, dir)
+    val back = MetaPersist.readParquet(spark, dir)
+    assert(back.metadata("tricky") == tricky)
+    assert(back.metadata("plain") == "ok")
+  }
+
+  // ---- ADVICE r1 low: dot product length-mismatch semantics
+
+  test("native dot and HOF dot agree on mismatched lengths: both NULL") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val row = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("hof")).head()
+    assert(row.isNullAt(0), "native dot must be NULL on length mismatch")
+    assert(row.isNullAt(1), "HOF dot is NULL on length mismatch (zip_with null-pad)")
+  }
+}
