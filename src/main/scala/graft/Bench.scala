@@ -71,17 +71,17 @@ object Bench {
       }),
     )
 
-    // warm pass (JIT + parquet footer cache), then two timed passes; report
+    // warm pass (JIT + parquet footer cache), then three timed passes; report
     // the best per query so transient machine load doesn't distort the
     // steady-state number
     benchQueries.foreach { case (_, run) => run() }
-    def timedPass(): Seq[(String, Double)] = benchQueries.map { case (name, run) =>
+    def timedPass(): Map[String, Double] = benchQueries.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()
       name -> (System.nanoTime() - t0) / 1e9
-    }
-    val p1 = timedPass().toMap
-    val results = timedPass().map { case (name, v) => name -> math.min(v, p1(name)) }
+    }.toMap
+    val passes = Seq.fill(3)(timedPass())
+    val results = benchQueries.map { case (name, _) => name -> passes.map(_(name)).min }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
