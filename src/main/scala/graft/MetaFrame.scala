@@ -136,23 +136,46 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
 
   // ------------------------------------------------------ joins (SURVEY §2.2c)
   // Left operand's metadata wins, matching the reference (metaframe.py:114).
+  //
+  // pk algebra (beyond reference, SURVEY §4.3): a join cannot fan out left
+  // rows when (a) it is semi/anti (pure left-row filters), or (b) it is
+  // inner/left AND the right side is verified-unique on the join keys (each
+  // left row matches at most one right row) — in those cases the left's
+  // pk-verified flag survives and downstream dedups still elide.
+
+  private def rowPreservingType(joinType: String): Boolean =
+    joinType.replace("_", "").toLowerCase match {
+      case "leftsemi" | "semi" | "leftanti" | "anti" => true
+      case _ => false
+    }
+
+  private def wrapJoin(d: DataFrame, right: MetaFrame, usingColumns: Seq[String],
+      joinType: String): MetaFrame =
+    if (rowPreservingType(joinType)) wrapKeep(d)
+    else joinType.replace("_", "").toLowerCase match {
+      case "inner" | "left" | "leftouter" if right.uniqueOn(usingColumns) => wrapKeep(d)
+      case _ => wrap(d)
+    }
 
   def join(right: MetaFrame): MetaFrame = wrap(df.join(right.df))
   def join(right: MetaFrame, usingColumn: String): MetaFrame =
-    wrap(df.join(right.df, usingColumn))
+    join(right, Seq(usingColumn))
   def join(right: MetaFrame, usingColumns: Seq[String]): MetaFrame =
-    wrap(df.join(right.df, usingColumns))
+    wrapJoin(df.join(right.df, usingColumns), right, usingColumns, "inner")
   def join(right: MetaFrame, usingColumns: Seq[String], joinType: String): MetaFrame =
-    wrap(df.join(right.df, usingColumns, joinType))
+    wrapJoin(df.join(right.df, usingColumns, joinType), right, usingColumns, joinType)
   def join(right: MetaFrame, joinExprs: Column): MetaFrame =
     wrap(df.join(right.df, joinExprs))
   def join(right: MetaFrame, joinExprs: Column, joinType: String): MetaFrame =
-    wrap(df.join(right.df, joinExprs, joinType))
+    if (rowPreservingType(joinType)) wrapKeep(df.join(right.df, joinExprs, joinType))
+    else wrap(df.join(right.df, joinExprs, joinType))
   def crossJoin(right: MetaFrame): MetaFrame = wrap(df.crossJoin(right.df))
   def join(right: DataFrame, usingColumns: Seq[String], joinType: String): MetaFrame =
-    wrap(df.join(right, usingColumns, joinType))
+    if (rowPreservingType(joinType)) wrapKeep(df.join(right, usingColumns, joinType))
+    else wrap(df.join(right, usingColumns, joinType))
   def join(right: DataFrame, joinExprs: Column, joinType: String): MetaFrame =
-    wrap(df.join(right, joinExprs, joinType))
+    if (rowPreservingType(joinType)) wrapKeep(df.join(right, joinExprs, joinType))
+    else wrap(df.join(right, joinExprs, joinType))
   def hint(name: String, parameters: Any*): MetaFrame = wrapKeep(df.hint(name, parameters: _*))
 
   // ----------------------------------------------- aggregations (SURVEY §2.2d)
@@ -196,7 +219,7 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
     * `cols`: the pk-verified flag must have survived the whole lineage since
     * inference (no join/union/generator in between), every pk column must
     * still be present, and pk ⊆ cols. */
-  private def uniqueOn(cols: Seq[String]): Boolean =
+  private[graft] def uniqueOn(cols: Seq[String]): Boolean =
     metadata.get(PkVerifiedField).contains(true) &&
       primaryKey.exists(pk =>
         pk.nonEmpty && pk.forall(df.columns.contains) && pk.forall(cols.contains))

@@ -84,6 +84,21 @@ object PipelineQueries {
           dim = 64, threshold = 0.3, nbits = 4)
         .orderBy("id_a", "id_b")),
 
+    // exact all-pairs reference for the LSH-bucketed near-dup above, on a
+    // bounded id-range so the quadratic term stays test-sized; DuckDB
+    // recomputes the identical left-to-right double fold (list_zip+list_sum)
+    "dedup_embedding_cosine_exact" -> ((s, d) => {
+      import graft.functions.VectorFunctions.cosine
+      val emb = t(s, d, "embeddings").df.filter(col("vec_id") < 300)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+        .filter(col("cos") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // group-level MinHash sketch (TypedImperativeAggregate): per-source
     // signature, then pairwise estimated Jaccard between sources —
     // hash-family arithmetic → rows-only check, semantics in ScalaTest
@@ -189,5 +204,32 @@ object PipelineQueries {
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
        "md5(text) AS payload_md5, sha256(text) AS payload_sha256 " +
        "FROM documents ORDER BY doc_id"),
+
+    // DuckDB's list_sum(list_transform(list_zip(a,b), ...)) reproduces the
+    // engine's left-to-right double-precision dot fold bit-for-bit, so the
+    // exact similarity path is fully oracle-checkable.
+    "sim_topk_brute" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5), " +
+       "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+       "list_sum(list_transform(list_zip(e.embedding, q.query_vec), " +
+       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+       "(sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
+       "sqrt(list_sum(list_transform(q.query_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos " +
+       "FROM embeddings e, q WHERE e.vec_id <> q.query_id) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos FROM " +
+       "(SELECT query_id, neighbor_id, cos, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) " +
+       "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    "dedup_embedding_cosine_exact" ->
+      ("WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300), " +
+       "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+       "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+       "(sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
+       "sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos " +
+       "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+       "SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.3 " +
+       "ORDER BY id_a, id_b"),
   )
 }

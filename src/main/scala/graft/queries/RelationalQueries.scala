@@ -126,6 +126,18 @@ object RelationalQueries {
         .orderBy("r1").df
     }),
 
+    "join_range_binned" -> ((s, d) => {
+      // interval join via bin equi-key (RangeJoin): suppliers whose balance
+      // falls inside each nation's customer-balance band — shuffled hash
+      // join on the bin instead of a nested-loop scan
+      val bands = t(s, d, "customer").df.groupBy("c_nationkey")
+        .agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+      val sup = t(s, d, "supplier").df.select(col("s_suppkey"), col("s_acctbal"))
+      graft.operators.RangeJoin.pointInInterval(sup, "s_acctbal", bands, "lo", "hi", binWidth = 1000.0)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_in_band"))
+        .orderBy("c_nationkey")
+    }),
+
     "join_asof" -> ((s, d) => {
       // as-of backward join (operator absent from the reference surface):
       // each event picks up the user's most recent purchase value at-or-before ts
@@ -356,6 +368,13 @@ object RelationalQueries {
       ("SELECT a.n_regionkey AS r1, count(*) AS n_pairs FROM nation a JOIN nation b " +
        "ON a.n_nationkey < b.n_nationkey AND a.n_regionkey <> b.n_regionkey " +
        "GROUP BY a.n_regionkey ORDER BY r1"),
+
+    "join_range_binned" ->
+      ("SELECT c_nationkey, count(*) AS n_in_band FROM supplier s JOIN " +
+       "(SELECT c_nationkey, min(c_acctbal) AS lo, max(c_acctbal) AS hi " +
+       "FROM customer GROUP BY c_nationkey) b " +
+       "ON s.s_acctbal >= b.lo AND s.s_acctbal <= b.hi " +
+       "GROUP BY c_nationkey ORDER BY c_nationkey"),
 
     "join_asof" ->
       ("SELECT e.event_id AS event_id, p.value AS asof_pval FROM events e " +

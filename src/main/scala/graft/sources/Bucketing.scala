@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+import graft.MetaFrame
+
+/** Bucketed-table layout (SURVEY.md §4.2 scale rules): pre-shuffling both
+  * sides of a recurring join into the same number of buckets on the join key
+  * makes every future join between them exchange-free — at 100 TB the one
+  * write-time shuffle is amortized over every downstream query. Managed
+  * parquet tables via the session catalog; metadata rides the [[MetaPersist]]
+  * model (pk recorded in the frame's metadata map, provenance preserved by
+  * the caller).
+  */
+object Bucketing {
+
+  /** Writes the frame as a managed parquet table bucketed AND sorted on
+    * `keys`, replacing any existing table of the same name. */
+  def writeBucketed(mf: MetaFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "at least one bucket key")
+    val spark = mf.df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // an earlier process may have left the managed location behind — the
+    // in-memory catalog forgets tables across restarts but files persist,
+    // and CTAS refuses to reuse an existing location
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    mf.df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Reads a catalog table back into the metadata layer. */
+  def table(spark: SparkSession, name: String, metadata: Map[String, Any] = Map.empty): MetaFrame =
+    MetaFrame(spark.table(name), metadata)
+}

@@ -54,4 +54,54 @@ class PlanQualitySpec extends AnyFunSuite {
     val elided = unique.dropDuplicates(Seq("l_suppkey"))
     assert(elided.df.queryExecution.logical eq unique.df.queryExecution.logical)
   }
+
+  test("co-bucketed tables join without any exchange") {
+    import graft.sources.Bucketing
+    Bucketing.writeBucketed(t("orders"), "bkt_orders", 4, Seq("o_orderkey"))
+    Bucketing.writeBucketed(
+      t("lineitem").withColumnRenamed("l_orderkey", "o_orderkey"), "bkt_lineitem", 4, Seq("o_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a non-broadcast plan
+    try {
+      val joined = Bucketing.table(spark, "bkt_orders")
+        .join(Bucketing.table(spark, "bkt_lineitem"), Seq("o_orderkey"), "inner")
+        .select("o_orderkey", "o_totalprice", "l_quantity").df
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join in:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must be exchange-free:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("binned range join matches the naive BETWEEN join and plans an equi join") {
+    import graft.operators.RangeJoin
+    val bands = t("customer").df.groupBy("c_nationkey")
+      .agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+    val sup = t("supplier").df.select(col("s_suppkey"), col("s_acctbal"))
+    val binned = RangeJoin.pointInInterval(sup, "s_acctbal", bands, "lo", "hi", binWidth = 1000.0)
+    val naive = sup.join(bands, col("s_acctbal") >= col("lo") && col("s_acctbal") <= col("hi"))
+      .select(binned.columns.map(col): _*)
+    assert(binned.count() > 0)
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+    // the whole point: the physical join is hash/merge on the bin, not BNLJ
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"binned join must not be a BNLJ:\n$plan")
+  }
+
+  test("join on right side's verified pk preserves the left elision proof") {
+    val custAgg = t("orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    val dims = t("customer").withColumnRenamed("c_custkey", "o_custkey")
+      .groupBy("o_custkey").agg(max(col("c_acctbal")).as("bal"))
+    // right is verified-unique on the join key → left uniqueness survives
+    val joined = custAgg.join(dims, Seq("o_custkey"), "inner")
+    assert(joined.dropDuplicates(Seq("o_custkey")).df eq joined.df,
+      "inner join on right pk must keep the elision proof")
+    // but joining against raw (unverified) rows must drop it
+    val raw = t("customer").withColumnRenamed("c_custkey", "o_custkey")
+    val joinedRaw = custAgg.join(raw, Seq("o_custkey"), "inner")
+    assert(!(joinedRaw.dropDuplicates(Seq("o_custkey")).df eq joinedRaw.df))
+    // semi joins are pure left filters: proof survives regardless of right
+    val semi = custAgg.join(raw, Seq("o_custkey"), "left_semi")
+    assert(semi.dropDuplicates(Seq("o_custkey")).df eq semi.df)
+  }
 }
