@@ -81,6 +81,33 @@ object FunctionQueries {
         .orderBy("l_returnflag", "l_quantity").df
     }),
 
+    "win_value_functions" -> ((s, d) => {
+      // first/last/nth_value need the full-partition frame to be
+      // order-insensitive (default frame stops at CURRENT ROW for last)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .withColumn("first_price", first(col("o_totalprice")).over(w))
+        .withColumn("last_price", last(col("o_totalprice")).over(w))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+        .select("o_custkey", "o_orderkey", "first_price", "last_price", "second_price")
+        .orderBy("o_custkey", "o_orderkey").df
+    }),
+
+    "win_range_frame" -> ((s, d) => {
+      // RANGE frame over the numeric order value (not row offsets): counts
+      // lines whose quantity lies within 5 units below the current one
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(asc("l_quantity"))
+        .rangeBetween(-5, 0)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_within5", sum(col("n")).over(w).cast("long"))
+        .select("l_returnflag", "l_quantity", "n", "n_within5")
+        .orderBy("l_returnflag", "l_quantity").df
+    }),
+
     // custom Aggregator UDAF (SURVEY §2.2k): weighted mean via typed
     // Aggregator with map-side partial aggregation; rounded because double
     // summation order differs across engines (ratio is stable to ~1e-11)
@@ -215,6 +242,29 @@ object FunctionQueries {
              min(col("event_id")).as("first_event"),
              max(col("event_id")).as("last_event"))
         .orderBy("user_id", "day").df),
+
+    "stream_sliding_window" -> ((s, d) =>
+      // 2-hour window sliding every hour: each event lands in exactly two
+      // epoch-aligned windows; same groupBy(window(...)) runs on readStream
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+                col("window.end").cast("timestamp_ntz").as("wend"),
+                col("n_events"), col("sum_value"))
+        .orderBy("wstart").df),
+
+    // exact interpolated percentiles (SURVEY §2.2d stats family) — rounded
+    // because the two engines interpolate with differently-ordered float ops
+    "agg_percentile_exact" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy("l_returnflag").df),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -324,5 +374,36 @@ object FunctionQueries {
       ("SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, " +
        "min(event_id) AS first_event, max(event_id) AS last_event " +
        "FROM events GROUP BY user_id, CAST(ts AS DATE) ORDER BY user_id, day"),
+
+    "win_value_functions" ->
+      ("SELECT o_custkey, o_orderkey, " +
+       "first_value(o_totalprice) OVER w AS first_price, " +
+       "last_value(o_totalprice) OVER w AS last_price, " +
+       "nth_value(o_totalprice, 2) OVER w AS second_price FROM orders " +
+       "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+       "ORDER BY o_custkey, o_orderkey"),
+
+    "win_range_frame" ->
+      ("SELECT l_returnflag, l_quantity, n, " +
+       "CAST(SUM(n) OVER (PARTITION BY l_returnflag ORDER BY l_quantity " +
+       "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within5 FROM (" +
+       "SELECT l_returnflag, l_quantity, count(*) AS n FROM lineitem " +
+       "GROUP BY l_returnflag, l_quantity) " +
+       "ORDER BY l_returnflag, l_quantity"),
+
+    "stream_sliding_window" ->
+      ("SELECT CAST(wstart AS TIMESTAMP) AS wstart, " +
+       "CAST(wstart + INTERVAL 2 HOUR AS TIMESTAMP) AS wend, " +
+       "count(*) AS n_events, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
+       "SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart, value " +
+       "FROM events) GROUP BY wstart ORDER BY wstart"),
+
+    "agg_percentile_exact" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 4) AS p25, " +
+       "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
+       "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90 " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 }

@@ -98,6 +98,19 @@ object RelationalQueries {
         .orderBy("o_orderkey").df
     }),
 
+    "join_full_outer" -> ((s, d) => {
+      // both sides keep unmatched rows: even-key customers vs big orders
+      val evenCust = t(s, d, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name")
+      val bigOrders = t(s, d, "orders")
+        .filter(col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      evenCust.join(bigOrders, col("c_custkey") === col("o_custkey"), "full")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey")).df
+    }),
+
     "join_cross" -> ((s, d) => {
       val r1 = t(s, d, "region").select(col("r_regionkey").as("r1"))
       val r2 = t(s, d, "region").select(col("r_regionkey").as("r2"))
@@ -354,6 +367,13 @@ object RelationalQueries {
     "join_cross" ->
       ("SELECT a.r_regionkey AS r1, b.r_regionkey AS r2 FROM region a CROSS JOIN region b " +
        "ORDER BY r1, r2"),
+
+    "join_full_outer" ->
+      ("SELECT c_custkey, o_orderkey, o_totalprice FROM " +
+       "(SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c " +
+       "FULL JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+       "WHERE o_totalprice > 150000) o ON c_custkey = o_custkey " +
+       "ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST"),
 
     "join_theta_range" ->
       ("SELECT s_nationkey, count(*) AS n_pairs FROM supplier s JOIN customer c " +
