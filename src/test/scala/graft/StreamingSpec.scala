@@ -110,6 +110,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows assign each event to every covering window") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    ms.addData(
+      Event(1L, ts(5), 100L, "click", 1.0),  // windows [09:50,10:10) and [10:00,10:20)
+      Event(2L, ts(15), 100L, "click", 1.0)) // windows [10:00,10:20) and [10:10,10:30)
+    val agg = Streams.slidingAgg(ms.toDF(), "ts", "20 minutes", "10 minutes", "5 minutes")
+    val q = Streams.runToMemory(agg, "sliding_out", OutputMode.Complete())
+    try {
+      val rows = spark.table("sliding_out").collect()
+        .map(r => r.getAs[Timestamp]("wstart").toString -> r.getAs[Long]("n_events")).toMap
+      assert(rows == Map(
+        "2024-01-01 09:50:00.0" -> 1L,
+        "2024-01-01 10:00:00.0" -> 2L,
+        "2024-01-01 10:10:00.0" -> 1L))
+    } finally q.stop()
+  }
+
   test("MetaStreamWriter keeps metadata through fluent config and runs") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)
