@@ -24,10 +24,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ FunctionQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ RelationalQueries.flagshipQueries ++
+      FunctionQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ FunctionQueries.oracleSql ++ PipelineQueries.oracleSql
+    RelationalQueries.oracleSql ++ RelationalQueries.flagshipOracleSql ++
+      FunctionQueries.oracleSql ++ PipelineQueries.oracleSql
 }

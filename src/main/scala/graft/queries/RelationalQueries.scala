@@ -319,6 +319,102 @@ object RelationalQueries {
     }),
   )
 
+  // ---------------------------------------- flagship composite workloads
+  // TPC-H-shaped pricing/shipping analyses over the synthetic schema:
+  // multi-join + filter + group + sort pipelines exercising join reordering,
+  // broadcast selection and decimal-exact aggregate parity in one plan.
+
+  /** Exact decimal sum of a product of 2-decimal doubles: the product has ≤4
+    * (or ≤6) decimals, representable exactly in DECIMAL, and both engines
+    * compute the identical IEEE double before the cast. */
+  private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  private def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+  private def revenueExpr: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val flagshipQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum4(revenueExpr).as("sum_disc_price"),
+          dsum6(revenueExpr * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus").df),
+
+    "tpch_q3_shipping_priority" -> ((s, d) => {
+      val cutoff = lit("1998-03-15").cast("timestamp")
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .join(t(s, d, "orders").filter(col("o_orderdate") < cutoff),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").filter(col("l_shipdate") > cutoff),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+          col("o_orderpriority"))
+        .agg(dsum4(revenueExpr).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10).df
+    }),
+
+    "tpch_q5_local_supplier_volume" -> ((s, d) =>
+      t(s, d, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, d, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"))
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                    col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum4(revenueExpr).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name")).df),
+  )
+
+  val flagshipOracleSql: Map[String, String] = Map(
+    "tpch_q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+       "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, " +
+       "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price, " +
+       "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc, " +
+       "count(*) AS count_order " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "tpch_q3_shipping_priority" ->
+      ("SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority, " +
+       "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey " +
+       "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' " +
+       "AND l_shipdate > TIMESTAMP '1998-03-15' " +
+       "GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority " +
+       "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "tpch_q5_local_supplier_volume" ->
+      ("SELECT n_name, " +
+       "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+       "FROM region JOIN nation ON r_regionkey = n_regionkey " +
+       "JOIN customer ON n_nationkey = c_nationkey " +
+       "JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+       "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+       "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+       "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+  )
+
   val oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",

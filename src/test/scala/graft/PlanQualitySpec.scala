@@ -88,6 +88,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"binned join must not be a BNLJ:\n$plan")
   }
 
+  test("6-table flagship join plans broadcasts for dims, no nested loops") {
+    val df = graft.queries.RelationalQueries.flagshipQueries("tpch_q5_local_supplier_volume")(spark, sfDir)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop joins expected:\n$plan")
+  }
+
   test("join on right side's verified pk preserves the left elision proof") {
     val custAgg = t("orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
     val dims = t("customer").withColumnRenamed("c_custkey", "o_custkey")
