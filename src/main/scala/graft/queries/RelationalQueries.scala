@@ -139,6 +139,18 @@ object RelationalQueries {
         .orderBy("r1").df
     }),
 
+    "join_skew_salted" -> ((s, d) => {
+      // salting changes the shuffle layout only — the oracle is the PLAIN
+      // inner join, proving result invariance of the skew mitigation
+      val li = t(s, d, "lineitem").df.select("l_orderkey", "l_suppkey", "l_quantity")
+      val sup = t(s, d, "supplier").df.select("s_suppkey", "s_nationkey")
+      graft.operators.SkewJoin
+        .saltedInnerJoin(li.withColumnRenamed("l_suppkey", "s_suppkey"), sup, "s_suppkey", saltFactor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
+
     "join_range_binned" -> ((s, d) => {
       // interval join via bin equi-key (RangeJoin): suppliers whose balance
       // falls inside each nation's customer-balance band — shuffled hash
@@ -484,6 +496,12 @@ object RelationalQueries {
       ("SELECT a.n_regionkey AS r1, count(*) AS n_pairs FROM nation a JOIN nation b " +
        "ON a.n_nationkey < b.n_nationkey AND a.n_regionkey <> b.n_regionkey " +
        "GROUP BY a.n_regionkey ORDER BY r1"),
+
+    "join_skew_salted" ->
+      ("SELECT s_nationkey, count(*) AS n_lines, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+       "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+       "GROUP BY s_nationkey ORDER BY s_nationkey"),
 
     "join_range_binned" ->
       ("SELECT c_nationkey, count(*) AS n_in_band FROM supplier s JOIN " +
