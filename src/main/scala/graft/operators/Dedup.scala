@@ -149,11 +149,73 @@ object Dedup {
       simhash64(textCol).as("simhash"),
       shiftright(simhash64(textCol), 48).as("bucket"))
 
-  /** N-gram Jaccard near-dup: within blocks (a cheap blocking key bounds the
-    * quadratic term — at corpus scale feed it the LSH band key instead),
-    * computes exact shingle-set Jaccard for every candidate pair and keeps
-    * each document's best match. Ties break deterministically on partner id. */
+  /** N-gram Jaccard best match via an inverted shingle index.
+    *
+    * Instead of materializing every within-block pair and intersecting two
+    * shingle arrays per pair (O(block² · |shingles|) — the naive reference
+    * below), explode each doc's distinct shingles and self-join on
+    * (block, shingle): only pairs that actually SHARE a shingle appear, and
+    * `count(*)` per pair IS the intersection size. Union size follows from
+    * the per-doc shingle counts (|a|+|b|−|a∩b|). Cost is Σ_shingle freq² —
+    * for natural text (shingles are near-unique) orders of magnitude below
+    * the pairwise product, and the join key (block, shingle) distributes
+    * uniformly at cluster scale. Docs sharing no shingle with anyone fall
+    * back to the smallest other id in their block with jaccard 0, exactly
+    * matching the naive all-pairs ranking. */
   def ngramJaccardBestMatch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleWidth: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(
+      col(idCol).as("id"),
+      col(blockCol).as("block"),
+      array_distinct(shingles(col(textCol), shingleWidth)).as("sh"))
+    val sizes = toks.select(col("id"), col("block"), size(col("sh")).as("nsh"))
+    val inv = toks.select(col("block"), col("id"), explode(col("sh")).as("s"))
+    val overlaps = inv.select(col("block"), col("id").as("id_a"), col("s"))
+      .join(inv.select(col("block"), col("id").as("id_b"), col("s")), Seq("block", "s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("block", "id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    val scored = overlaps
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("nsh_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nsh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("inter")).cast("double"))
+    val w = Window.partitionBy(col("id_a")).orderBy(desc("jaccard"), asc("id_b"))
+    val best = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id_a").as("id"), col("id_b").as("best_match"),
+        round(col("jaccard"), 6).as("jaccard"))
+    // zero-overlap fallback: best over an all-0 candidate row is the block's
+    // smallest other id (the naive version's tie-break on id_b)
+    val mins = toks.select(col("block"), col("id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("block")).orderBy(asc("id"))))
+      .filter(col("rn") <= 2)
+      .groupBy("block")
+      .agg(
+        min(when(col("rn") === 1, col("id"))).as("m1"),
+        min(when(col("rn") === 2, col("id"))).as("m2"))
+    val lonely = toks.select(col("block"), col("id"))
+      .join(best.select(col("id")), Seq("id"), "left_anti")
+      .join(mins, Seq("block"))
+      .filter(col("m2").isNotNull) // singleton blocks have no partner at all
+      .select(col("id"),
+        when(col("id") === col("m1"), col("m2")).otherwise(col("m1")).as("best_match"),
+        lit(0.0).as("jaccard"))
+    best.unionByName(lonely)
+  }
+
+  /** Naive all-pairs reference for [[ngramJaccardBestMatch]] (kept for
+    * equivalence testing; O(block²) array intersections — do not use at
+    * corpus scale). */
+  def ngramJaccardBestMatchNaive(
       df: DataFrame,
       idCol: String,
       textCol: String,

@@ -61,6 +61,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L)._2 < 0.2, "unrelated doc has low best jaccard")
   }
 
+  test("inverted-index jaccard equals the naive all-pairs version, incl. zero-overlap docs") {
+    import spark.implicits._
+    val withLonely = docs.union(Seq(
+      (6L, "wholly disjoint vocabulary token stream xyzzy plugh qwerty azerty dvorak")).toDF("doc_id", "text"))
+      .withColumn("block", lit("all"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("best_match"), r.getAs[Double]("jaccard"))).toSet
+    val fast = rows(Dedup.ngramJaccardBestMatch(withLonely, "doc_id", "text", "block"))
+    val naive = rows(Dedup.ngramJaccardBestMatchNaive(withLonely, "doc_id", "text", "block"))
+    assert(fast == naive)
+    assert(fast.exists { case (id, bm, j) => id == 6L && bm == 1L && j == 0.0 },
+      "zero-overlap doc falls back to smallest other id at jaccard 0")
+  }
+
   test("fingerprint is order-insensitive but content-sensitive") {
     import spark.implicits._
     val df = Seq(
