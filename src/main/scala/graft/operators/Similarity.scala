@@ -79,6 +79,44 @@ object Similarity {
               col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Full IVF top-k search: corpus vectors are quantized to their nearest
+    * centroid cell ([[ivfAssign]]); each query probes only its `nprobe`
+    * closest cells and ranks candidates inside them. At 100 TB the corpus
+    * side is one narrow shuffle on the cell id (or zero if the table is
+    * stored partitioned by cell) and the scanned fraction is ~nprobe/|cells|
+    * — the standard recall/cost dial. Centroids and queries are broadcast
+    * (both small by construction). */
+  def ivfTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids, centroidIdCol, centroidVecCol)
+      .select(col(idCol), col("cell"))
+    val corpusCells = corpus.join(assigned, idCol)
+    val wq = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos_c"), asc(centroidIdCol))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", cosine(col(queryVecCol), col(centroidVecCol)))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col(queryIdCol), col(queryVecCol), col(centroidIdCol).as("cell"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos"), asc(idCol))
+    corpusCells.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col("rank"),
+              col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF-style coarse quantization: assigns every vector to its nearest of
     * `centroids` (a small broadcast table of (centroid_id, vec)), giving the
     * partition-pruning layout an ANN index needs at scale: store

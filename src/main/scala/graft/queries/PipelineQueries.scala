@@ -126,6 +126,19 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // end-to-end IVF index path (quantize → probe 2 cells → rank): fully
+    // oracle-checked because every step is windows + the reproducible fold
+    "sim_topk_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val centroids = emb.filter(col("vec_id") % 64 === 0)
+        .select((col("vec_id") / 64).cast("int").as("cell_id"), col("embedding").as("centroid_vec"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, "cell_id", "centroid_vec",
+          queries, "query_id", "query_vec", k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_topk_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
       val queries = emb.filter(col("vec_id") < 5)
@@ -219,6 +232,33 @@ object PipelineQueries {
        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos FROM " +
        "(SELECT query_id, neighbor_id, cos, " +
        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) " +
+       "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    "sim_topk_ivf" ->
+      ("WITH cent AS (SELECT CAST(vec_id / 64 AS INTEGER) AS cell_id, embedding AS centroid_vec " +
+       "FROM embeddings WHERE vec_id % 64 = 0), " +
+       "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5), " +
+       "assign AS (SELECT vec_id, cell_id FROM (" +
+       "SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+       "list_sum(list_transform(list_zip(e.embedding, c.centroid_vec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+       "(sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
+       "sqrt(list_sum(list_transform(c.centroid_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) DESC, c.cell_id) AS rn " +
+       "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1), " +
+       "probe AS (SELECT query_id, query_vec, cell_id FROM (" +
+       "SELECT q.query_id, q.query_vec, c.cell_id, row_number() OVER (PARTITION BY q.query_id ORDER BY " +
+       "list_sum(list_transform(list_zip(q.query_vec, c.centroid_vec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+       "(sqrt(list_sum(list_transform(q.query_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
+       "sqrt(list_sum(list_transform(c.centroid_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) DESC, c.cell_id) AS rn " +
+       "FROM q CROSS JOIN cent c) WHERE rn <= 2), " +
+       "cand AS (SELECT p.query_id, e.vec_id AS neighbor_id, " +
+       "list_sum(list_transform(list_zip(e.embedding, p.query_vec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+       "(sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
+       "sqrt(list_sum(list_transform(p.query_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos " +
+       "FROM probe p JOIN assign a ON a.cell_id = p.cell_id " +
+       "JOIN embeddings e ON e.vec_id = a.vec_id WHERE e.vec_id <> p.query_id) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos FROM " +
+       "(SELECT query_id, neighbor_id, cos, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM cand) " +
        "WHERE rank <= 10 ORDER BY query_id, rank"),
 
     "dedup_embedding_cosine_exact" ->

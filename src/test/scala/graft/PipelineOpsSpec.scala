@@ -159,6 +159,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Int]("cell") == (r.getAs[Long]("vec_id") / 10).toInt))
   }
 
+  test("ivf top-k with nprobe=1 matches brute force on separable clusters") {
+    val centroids = vectors.filter(col("vec_id").isin(0L, 10L, 20L))
+      .select((col("vec_id") / 10).cast("int").as("cell_id"), col("embedding").as("centroid_vec"))
+    val queries = vectors.filter(col("vec_id").isin(1L, 11L, 21L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivf = Similarity.ivfTopK(vectors, "vec_id", "embedding",
+      centroids, "cell_id", "centroid_vec", queries, "query_id", "query_vec", k = 2, nprobe = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) -> r.getAs[Long]("neighbor_id")).toMap
+    // clusters are tight and separable: probing one cell finds the true top-2
+    val brute = Similarity.bruteForceTopK(vectors, "vec_id", "embedding",
+      queries, "query_id", "query_vec", k = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) -> r.getAs[Long]("neighbor_id")).toMap
+    assert(ivf == brute)
+  }
+
   test("cosine HOF matches a hand-computed value") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f, 1.0f), Seq(1.0f, 1.0f, 0.0f))).toDF("a", "b")
