@@ -179,6 +179,20 @@ object FunctionQueries {
         .select("vec_id", "dim", "first_val", "emb_sum")
         .orderBy("vec_id").df),
 
+    // higher-order functions over arrays (SURVEY §2.2h): transform / filter /
+    // exists / zip_with — all row-local, no UDF, fully pushdown-friendly
+    "fn_higher_order" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .withColumn("n_pos", size(filter(col("embedding"), x => x > 0)).cast("long"))
+        .withColumn("any_big", exists(col("embedding"), x => x > lit(2.0f)))
+        .withColumn("l1", round(aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+          lit(0.0), (acc, x) => acc + x), 4))
+        .withColumn("self_dot", round(aggregate(
+          zip_with(col("embedding"), col("embedding"), (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4))
+        .select("vec_id", "n_pos", "any_big", "l1", "self_dot")
+        .orderBy("vec_id").df),
+
     // generator/UDTF family (SURVEY §2.2k): explode a split-token array into
     // rows, aggregate token frequencies
     "fn_explode_tokens" -> ((s, d) =>
@@ -352,6 +366,13 @@ object FunctionQueries {
     "fn_explode_tokens" ->
       ("SELECT token, count(*) AS n FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) " +
        "AS token FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+
+    "fn_higher_order" ->
+      ("SELECT vec_id, CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, " +
+       "len(list_filter(embedding, x -> x > 2.0)) > 0 AS any_big, " +
+       "round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS l1, " +
+       "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS self_dot " +
+       "FROM embeddings ORDER BY vec_id"),
 
     "fn_map" ->
       ("SELECT c_custkey, CAST(2 AS BIGINT) AS n_keys, c_acctbal AS bal, " +

@@ -34,11 +34,18 @@ object MetaPersist {
   /** Writes the frame as parquet plus the metadata sidecar. */
   def writeParquet(mf: MetaFrame, path: String): Unit = {
     mf.df.write.mode("overwrite").parquet(path)
-    val entries = (mf.metadata - MetaFrame.PkVerifiedField).map {
+    writeSidecar(path, mf.metadata)
+  }
+
+  /** Writes just the sidecar for an output directory that already exists (or
+    * is being produced by a streaming file sink). */
+  def writeSidecar(path: String, metadata: Map[String, Any]): Unit = {
+    val entries = (metadata - MetaFrame.PkVerifiedField).map {
       case (k, v: Seq[_]) =>
         s""""${esc(k)}": [${v.map(x => s""""${esc(x.toString)}"""").mkString(", ")}]"""
       case (k, v) => s""""${esc(k)}": "${esc(String.valueOf(v))}""""
     }
+    Files.createDirectories(Paths.get(path))
     Files.write(
       Paths.get(path, SidecarName),
       entries.mkString("{", ", ", "}").getBytes(StandardCharsets.UTF_8))

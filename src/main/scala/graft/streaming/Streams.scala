@@ -128,6 +128,16 @@ final class MetaStreamWriter(val w: DataStreamWriter[Row], val metadata: Map[Str
   def partitionBy(colNames: String*): MetaStreamWriter = wrap(w.partitionBy(colNames: _*))
   def start(): StreamingQuery = w.start()
   def start(path: String): StreamingQuery = w.start(path)
+
+  /** File-sink start that also persists the metadata sidecar next to the
+    * output (the streaming analogue of `MetaPersist.writeParquet`): the
+    * stream's provenance survives the job even though the reference's
+    * metadata layer always dies at `writeStream`. */
+  def startParquetWithSidecar(path: String): StreamingQuery = {
+    val q = w.format("parquet").start(path)
+    graft.sources.MetaPersist.writeSidecar(path, metadata)
+    q
+  }
 }
 
 object MetaStreamWriter {

@@ -128,6 +128,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming parquet sink persists the metadata sidecar") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val base = Files.createDirectories(java.nio.file.Paths.get("target/streaming_spec"))
+    val out = base.resolve("sink_out").toString
+    val ckpt = base.resolve("sink_ckpt_" + System.nanoTime()).toString
+    val ms = MemoryStream[Event](spark)
+    ms.addData(Event(1L, ts(1), 100L, "click", 1.0), Event(2L, ts(2), 100L, "buy", 2.0))
+    val mf = MetaFrame(ms.toDF(), Map("pipeline" -> "events", "primary_key" -> Seq("event_id")))
+    val q = mf.writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .startParquetWithSidecar(out)
+    try q.processAllAvailable() finally q.stop()
+    val back = graft.sources.MetaPersist.readParquet(spark, out)
+    assert(back.count() == 2)
+    assert(back.metadata("pipeline") == "events")
+    assert(back.primaryKey.contains(Seq("event_id")))
+  }
+
   test("MetaStreamWriter keeps metadata through fluent config and runs") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)
