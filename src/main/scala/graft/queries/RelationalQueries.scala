@@ -98,6 +98,14 @@ object RelationalQueries {
         .orderBy("o_orderkey").df
     }),
 
+    "join_right" -> ((s, d) =>
+      // right outer: every customer appears, orders without a match null out
+      t(s, d, "orders").filter(col("o_totalprice") > 150000)
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_big_orders"))
+        .orderBy("c_custkey").df),
+
     "join_full_outer" -> ((s, d) => {
       // both sides keep unmatched rows: even-key customers vs big orders
       val evenCust = t(s, d, "customer")
@@ -475,6 +483,12 @@ object RelationalQueries {
     "join_cross" ->
       ("SELECT a.r_regionkey AS r1, b.r_regionkey AS r2 FROM region a CROSS JOIN region b " +
        "ORDER BY r1, r2"),
+
+    "join_right" ->
+      ("SELECT c_custkey, count(o_orderkey) AS n_big_orders FROM " +
+       "(SELECT * FROM orders WHERE o_totalprice > 150000) o " +
+       "RIGHT JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY c_custkey ORDER BY c_custkey"),
 
     "join_full_outer" ->
       ("SELECT c_custkey, o_orderkey, o_totalprice FROM " +
