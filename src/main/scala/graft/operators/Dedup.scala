@@ -50,23 +50,23 @@ object Dedup {
       shingleWidth: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into equal bands")
     val r = numHashes / bands
-    // Stage 1: hash each shingle string ONCE to a long. The repartition puts
-    // an Exchange between the string-hash projection and the band lambdas —
-    // without it CollapseProject inlines this expression into every one of
-    // the bands×hashes lambdas below and the string work recomputes ~b·k
-    // times per row (measured 40× slowdown at sf0.1).
-    val hashed = df.select(
+    // Stage 1: hash each TOKEN once, then roll w-gram shingle hashes and all
+    // k minima in one codegen'd pass (MinHashSignature). Shingle strings are
+    // never built — concatenating them dominated the whole pipeline ~6× at
+    // sf0.1. The repartition puts an Exchange between the signature
+    // projection and the band lambdas — without it CollapseProject inlines
+    // the per-row loop into every one of the `bands` band-key lambdas below
+    // and it recomputes b times per row.
+    val sigs = df.select(
       col(idCol),
-      transform(shingles(col(textCol), shingleWidth), s => xxhash64(s)).as("hs"))
+      graft.expressions.MinHashSignature.minhashSignature(
+        transform(tokens(col(textCol)), t => xxhash64(t)), numHashes, shingleWidth).as("sig"))
       .repartition(col(idCol))
-    // Stage 2: k simulated permutations via cheap numeric re-hash of the
-    // materialized longs; each band hashes its r minima into one key.
-    val banded = hashed.select(
+    // Stage 2: each band hashes its r-minima slice into one key.
+    val banded = sigs.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => xxhash64(j, transform(sequence(j * lit(r), j * lit(r) + lit(r - 1)),
-          i => aggregate(col("hs"), lit(Long.MaxValue),
-            (m, h) => least(m, xxhash64(i, h))))))))
+        j => xxhash64(j, slice(col("sig"), j * lit(r) + lit(1), lit(r))))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
     val bandGroups = banded

@@ -240,6 +240,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(self == 1.0)
   }
 
+  test("codegen MinHash signature is bit-identical to the HOF fold") {
+    import graft.expressions.MinHashSignature.minhashSignature
+    import graft.functions.TextFunctions.shingles
+    val k = 16
+    val hs = transform(shingles(col("text"), 3), s => xxhash64(s))
+    val both = docs.select(
+      minhashSignature(hs, k).as("native"),
+      transform(sequence(lit(0), lit(k - 1)),
+        i => aggregate(hs, lit(Long.MaxValue), (m, h) => least(m, xxhash64(i, h)))).as("hof"))
+    assert(both.collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("native codegen dot product is bit-identical to the HOF fold") {
     import graft.sources.Tables
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
