@@ -126,4 +126,76 @@ object MinHashSignature {
   def minhashSignature(elementHashes: Column, numHashes: Int, shingleWidth: Int = 1): Column =
     graftbridge.toColumn(
       MinHashSignature(graftbridge.toExpression(elementHashes), numHashes, shingleWidth))
+
+  /** Column API: w-gram rolled shingle hashes themselves (see
+    * [[ShingleHashes]]). */
+  def shingleHashes(tokenHashes: Column, shingleWidth: Int): Column =
+    graftbridge.toColumn(
+      ShingleHashes(graftbridge.toExpression(tokenHashes), shingleWidth))
+}
+
+/** Codegen'd w-gram shingle hashes over an `array<long>` of per-token
+  * hashes: element p is the seed-42 xxhash64 chain over tokens p..p+w-1
+  * (identical to the builtin `xxhash64(th[p], …, th[p+w-1])`), with fewer
+  * than w tokens degrading to one clamped window — the numeric twin of
+  * `TextFunctions.shingles` shingle IDENTITY (two shingles are equal iff
+  * their token windows are equal, modulo 64-bit collisions), without ever
+  * concatenating shingle strings. Feeds set ops (distinct/explode/join) in
+  * the inverted-index jaccard path where only identity matters, cutting both
+  * CPU and shuffle width. */
+case class ShingleHashes(child: Expression, shingleWidth: Int)
+    extends UnaryExpression {
+
+  require(shingleWidth > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  private def numShingles(n: Int): Int =
+    if (n == 0) 0 else math.max(n - shingleWidth + 1, 1)
+
+  override def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData]
+    val n = th.numElements()
+    val p = numShingles(n)
+    val out = new Array[Long](p)
+    var i = 0
+    while (i < p) {
+      var s = 42L
+      var t = i
+      val end = math.min(i + shingleWidth, n)
+      while (t < end) { s = XXH64.hashLong(th.getLong(t), s); t += 1 }
+      out(i) = s
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val end = ctx.freshName("end")
+      s"""
+         |int $n = $a.numElements();
+         |int $p = $n == 0 ? 0 : java.lang.Math.max($n - ${shingleWidth - 1}, 1);
+         |long[] $out = new long[$p];
+         |for (int $i = 0; $i < $p; $i++) {
+         |  long $s = 42L;
+         |  int $end = java.lang.Math.min($i + $shingleWidth, $n);
+         |  for (int $t = $i; $t < $end; $t++) { $s = $xxh.hashLong($a.getLong($t), $s); }
+         |  $out[$i] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
 }

@@ -169,10 +169,14 @@ object Dedup {
       blockCol: String,
       shingleWidth: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // shingle IDENTITY is all the set arithmetic needs, so shingles travel
+    // as rolled 64-bit hashes (ShingleHashes) — no string concatenation on
+    // the CPU and 8-byte join keys on the wire instead of w-token strings
     val toks = df.select(
       col(idCol).as("id"),
       col(blockCol).as("block"),
-      array_distinct(shingles(col(textCol), shingleWidth)).as("sh"))
+      array_distinct(graft.expressions.MinHashSignature.shingleHashes(
+        transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as("sh"))
     val sizes = toks.select(col("id"), col("block"), size(col("sh")).as("nsh"))
     val inv = toks.select(col("block"), col("id"), explode(col("sh")).as("s"))
     val overlaps = inv.select(col("block"), col("id").as("id_a"), col("s"))
