@@ -269,6 +269,14 @@ object FunctionQueries {
                 col("n_events"), col("sum_value"))
         .orderBy("wstart").df),
 
+    // sketch-based percentile (Greenwald-Khanna): deterministic for Spark
+    // but engine-specific algorithm → rows-only check (like approx_distinct)
+    "agg_approx_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("p_approx"))
+        .orderBy("l_returnflag").df),
+
     // exact interpolated percentiles (SURVEY §2.2d stats family) — rounded
     // because the two engines interpolate with differently-ordered float ops
     "agg_percentile_exact" -> ((s, d) =>

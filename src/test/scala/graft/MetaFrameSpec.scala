@@ -155,6 +155,18 @@ class MetaFrameSpec extends AnyFunSuite {
     assert(mf.write.mode("overwrite").metadata == metadata)
   }
 
+  test("stat facade: crosstab/freqItems/sampleBy keep metadata, scalars pass raw") {
+    val mf = MetaFrame(fixture, metadata)
+    val ct = mf.stat.crosstab("product_id", "date")
+    assert(ct.metadata == metadata && ct.count() == 8)
+    val fi = mf.stat.freqItems(Seq("product_id"))
+    assert(fi.metadata == metadata && fi.count() == 1)
+    val sb = mf.stat.sampleBy("date", Map("2019-12-31" -> 1.0, "2020-01-01" -> 0.0, "2020-01-02" -> 0.0), 7L)
+    assert(sb.metadata == metadata && sb.count() == 8)
+    assert(mf.stat.corr("quantity", "quantity") == 1.0)
+    assert(mf.stat.approxQuantile("quantity", Array(0.5), 0.01).length == 1)
+  }
+
   test("transform composes through the metadata layer") {
     val mf = MetaFrame(fixture, metadata)
     val out = mf.transform(_.filter(col("quantity") > 5)).transform(_.select("product_id"))
