@@ -59,6 +59,30 @@ object PipelineSyntax {
         Map("id" -> idCol, "text" -> textCol, "maxHamming" -> maxHamming),
         pk = None)
 
+    /** As-of backward join (provenance recorded; join can't fan out left
+      * rows — one match max per left row — but unmatched tolerance nulls
+      * keep row count equal, so parent pk survives verified-if-it-was). */
+    def asOfJoinBackward(
+        right: MetaFrame, keyCol: String, leftTsCol: String, rightTsCol: String,
+        payloadCols: Seq[String], tolerance: Option[Long] = None): MetaFrame =
+      derived(mf,
+        AsOfJoin.backward(mf.df, right.df, keyCol, leftTsCol, rightTsCol, payloadCols, tolerance),
+        "join_asof_backward",
+        Map("key" -> keyCol, "leftTs" -> leftTsCol, "rightTs" -> rightTsCol,
+            "payloads" -> payloadCols),
+        pk = mf.primaryKey,
+        pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+
+    /** Binned range join against an interval table (no uniqueness → no pk). */
+    def rangeJoinPointInInterval(
+        intervals: MetaFrame, pointCol: String, loCol: String, hiCol: String,
+        binWidth: Double): MetaFrame =
+      derived(mf,
+        RangeJoin.pointInInterval(mf.df, pointCol, intervals.df, loCol, hiCol, binWidth),
+        "join_range_binned",
+        Map("point" -> pointCol, "lo" -> loCol, "hi" -> hiCol, "binWidth" -> binWidth),
+        pk = None)
+
     /** Per-doc text-analysis annotation: adds token/quality/lang/fingerprint
       * columns; row-preserving so existing pk metadata stands. */
     def annotateText(textCol: String): MetaFrame = {

@@ -200,6 +200,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(chained.primaryKey.contains(Seq("doc_id")))
   }
 
+  test("PipelineSyntax: as-of and range joins record lineage and pk semantics") {
+    import graft.operators.PipelineSyntax._
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = MetaFrame(Seq(("a", ts(10L)), ("b", ts(20L))).toDF("k", "lts"), Map("job" -> "j1"))
+      .dropDuplicates(Seq("k")) // verified pk on k
+    val right = MetaFrame(Seq(("a", ts(5L), 1.0)).toDF("k", "rts", "px"), Map.empty[String, Any])
+    val joined = left.asOfJoinBackward(right, "k", "lts", "rts", Seq("px"))
+    assert(joined.metadata("job") == "j1")
+    assert(joined.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]].map(_("op")) ==
+      Seq("join_asof_backward"))
+    assert(joined.primaryKey.contains(Seq("k")))
+    // as-of is row-preserving on the left → elision proof survives
+    assert(joined.dropDuplicates(Seq("k")).df eq joined.df)
+
+    val points = MetaFrame(Seq(1.0, 5.0).toDF("p"), Map("job" -> "j2"))
+    val intervals = MetaFrame(Seq((0.0, 2.0)).toDF("lo", "hi"), Map.empty[String, Any])
+    val rj = points.rangeJoinPointInInterval(intervals, "p", "lo", "hi", binWidth = 1.0)
+    assert(rj.count() == 1)
+    assert(rj.primaryKey.isEmpty)
+    assert(rj.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]].map(_("op")) ==
+      Seq("join_range_binned"))
+  }
+
   test("multi-table LSH raises recall over single-table on real embeddings") {
     import graft.sources.Tables
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
