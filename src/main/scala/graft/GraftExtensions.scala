@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+import org.apache.spark.sql.graftbridge
+
+import graft.expressions.{FloatVectorDot, MinHashSignature, ShingleHashes}
+
+/** SQL surface for the engine's native expressions (SURVEY.md §7.4):
+  * registers `float_vector_dot`, `minhash_signature` and `shingle_hashes` so
+  * `spark.sql(...)` users get the same codegen'd hot paths as the Column
+  * API.
+  *
+  * Two entry points:
+  *   - cluster deploys: `spark.sql.extensions=graft.GraftExtensions`
+  *     (standard `SparkSessionExtensions` injection at session build);
+  *   - an already-running session: `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case IntegerLiteral(v) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  private[graft] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("float_vector_dot",
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      { args =>
+        require(args.length == 2, "float_vector_dot(a, b)")
+        FloatVectorDot(args(0), args(1))
+      }),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      { args =>
+        require(args.length == 2 || args.length == 3,
+          "minhash_signature(elementHashes, numHashes[, shingleWidth])")
+        val width = if (args.length == 3) intArg(args(2), "minhash_signature", 3) else 1
+        MinHashSignature(args(0), intArg(args(1), "minhash_signature", 2), width)
+      }),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      { args =>
+        require(args.length == 2, "shingle_hashes(tokenHashes, width)")
+        ShingleHashes(args(0), intArg(args(1), "shingle_hashes", 2))
+      }),
+  )
+
+  /** Registers the functions on an existing session (temp functions, this
+    * session only). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      graftbridge.registerTempFunction(spark, name, builder)
+    }
+}

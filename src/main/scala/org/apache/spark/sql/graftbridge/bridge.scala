@@ -9,4 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Registers a temp SQL function on an EXISTING session (the session-level
+    * twin of `SparkSessionExtensions.injectFunction`, which only applies at
+    * builder time). `FunctionRegistry` is `private[sql]`, hence the shim. */
+  def registerTempFunction(
+      spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL registration of the native expressions: the same codegen'd hot paths
+  * are reachable from `spark.sql` after `GraftExtensions.register` (and via
+  * `spark.sql.extensions=graft.GraftExtensions` on a fresh cluster). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSparkSession.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("float_vector_dot callable from SQL, NULL on length mismatch") {
+    val r = spark.sql(
+      """SELECT float_vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |       float_vector_dot(array(1.0F), array(3.0F, 4.0F)) AS bad""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1))
+  }
+
+  test("minhash_signature from SQL matches the Column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("alpha beta gamma delta epsilon").toDF("text")
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT minhash_signature(transform(split(text, '\\s+'), t -> xxhash64(t)), 8, 3) AS sig
+        |FROM ext_docs""".stripMargin).head().getSeq[Long](0)
+    val viaColumn = df.select(
+      graft.expressions.MinHashSignature.minhashSignature(
+        transform(split(col("text"), "\\s+"), t => xxhash64(t)), 8, 3).as("sig"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaColumn && viaSql.length == 8)
+  }
+
+  test("shingle_hashes from SQL: one hash per w-gram window") {
+    val n = spark.sql(
+      """SELECT size(shingle_hashes(transform(split('a b c d e', ' '), t -> xxhash64(t)), 3)) AS n"""
+    ).head().getInt(0)
+    assert(n == 3) // 5 tokens, width 3 -> 3 windows
+  }
+
+  test("non-literal numHashes is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L), CAST(rand() * 4 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
