@@ -35,6 +35,18 @@ object Explain {
     t("lineitem").withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5).explain("formatted")
 
+    println("=== flagship 6-table join (expect broadcasts for dims, no BNLJ)")
+    graft.queries.RelationalQueries.flagshipQueries("tpch_q5_local_supplier_volume")(spark, sfDir)
+      .explain("formatted")
+
+    println("=== binned range join (expect equi join on __bin, not BNLJ)")
+    val bands = t("customer").df.groupBy("c_nationkey")
+      .agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        t("supplier").df.select(col("s_suppkey"), col("s_acctbal")),
+        "s_acctbal", bands, "lo", "hi", binWidth = 1000.0)
+      .explain("formatted")
+
     spark.stop()
   }
 }
