@@ -149,6 +149,28 @@ object PipelineQueries {
     }),
 
     // --------------------------------------------------------- multimodal
+    // frame sampling over binary payloads: row-local slice + explode
+    // (deterministic stub decode → rows-only check; plumbing is real)
+    "mm_frame_sample" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.attachBinary(t(s, d, "documents").df, "doc_id", "text", "video")
+      Multimodal.sampleFrames(media, stride = 2)
+        .select("id", "frame_idx", "frame_len")
+        .orderBy("id", "frame_idx")
+    }),
+
+    // partition-local typed feature extraction (mapPartitions, the JVM
+    // analogue of mapInPandas): stub decoder → rows-only check
+    "mm_features" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.attachBinary(t(s, d, "documents").df, "doc_id", "text", "image")
+      Multimodal.extractFeatures(Multimodal.asMediaDataset(media))
+        .toDF()
+        .select(col("id"), col("modality"), col("dim"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy("id")
+    }),
+
     "mm_binary_meta" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("payload", col("text").cast("binary"))
