@@ -255,6 +255,17 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def describe(cols: String*): MetaFrame = wrap(df.describe(cols: _*))
   def summary(statistics: String*): MetaFrame = wrap(df.summary(statistics: _*))
 
+  /** Wide→long reshape (Spark ≥3.4). A row multiplies into one row per value
+    * column, so the pk-verified flag cannot survive. */
+  def unpivot(ids: Array[Column], values: Array[Column],
+      variableColumnName: String, valueColumnName: String): MetaFrame =
+    wrap(df.unpivot(ids, values, variableColumnName, valueColumnName))
+  def unpivot(ids: Array[Column], variableColumnName: String, valueColumnName: String): MetaFrame =
+    wrap(df.unpivot(ids, variableColumnName, valueColumnName))
+  def melt(ids: Array[Column], values: Array[Column],
+      variableColumnName: String, valueColumnName: String): MetaFrame =
+    wrap(df.melt(ids, values, variableColumnName, valueColumnName))
+
   // ------------------------------------------- sorts / limits (SURVEY §2.2f)
 
   def sort(sortExprs: Column*): MetaFrame = wrapKeep(df.sort(sortExprs: _*))
@@ -362,6 +373,7 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def printSchema(): Unit = df.printSchema()
   def explain(): Unit = df.explain()
   def explain(mode: String): Unit = df.explain(mode)
+  def toJSON: Dataset[String] = df.toJSON
   def toLocalIterator(): java.util.Iterator[Row] = df.toLocalIterator()
   def foreach(f: Row => Unit): Unit = df.foreach(f)
   def foreachPartition(f: Iterator[Row] => Unit): Unit = df.foreachPartition(f)

@@ -265,6 +265,15 @@ object RelationalQueries {
         .select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus").df),
 
+    "reshape_unpivot" -> ((s, d) =>
+      // wide→long: one row per (supplier, measure)
+      t(s, d, "supplier")
+        .unpivot(
+          Array(col("s_suppkey")),
+          Array(col("s_acctbal").as("acctbal"), col("s_nationkey").cast("double").as("nationkey")),
+          "measure", "value")
+        .orderBy("s_suppkey", "measure").df),
+
     // stats table shape differs per engine → rows-only check
     "agg_describe" -> ((s, d) =>
       t(s, d, "lineitem").describe("l_quantity", "l_extendedprice").df),
@@ -586,6 +595,12 @@ object RelationalQueries {
 
     "agg_corr" ->
       "SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price FROM lineitem",
+
+    "reshape_unpivot" ->
+      ("SELECT s_suppkey, measure, value FROM (" +
+       "SELECT s_suppkey, s_acctbal AS acctbal, CAST(s_nationkey AS DOUBLE) AS nationkey " +
+       "FROM supplier) UNPIVOT (value FOR measure IN (acctbal, nationkey)) " +
+       "ORDER BY s_suppkey, measure"),
 
     "sort_orderby" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
