@@ -33,7 +33,8 @@ object GraftExtensions {
       s"$fn: argument $pos must be an integer literal, got $other")
   }
 
-  private[graft] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+  private[graft] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq[(String, ExpressionInfo, Seq[Expression] => Expression)](
     ("float_vector_dot",
       new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
       { args =>
@@ -55,6 +56,11 @@ object GraftExtensions {
         ShingleHashes(args(0), intArg(args(1), "shingle_hashes", 2))
       }),
   )
+  // Note: the composite Column-level helpers (langId, qualityScore, cosine…)
+  // are NOT registered here — a registry builder must return a catalyst
+  // Expression tree, and round-tripping a composed Column through the bridge
+  // embeds unresolved column nodes the analyzer won't touch inside a
+  // function builder. SQL users compose those from the builtins they wrap.
 
   /** Registers the functions on an existing session (temp functions, this
     * session only). */
