@@ -54,9 +54,11 @@ object AsOfJoin {
     // the matched timestamp and every payload value always come from the
     // SAME most-recent right row, so a genuinely-NULL payload on the newest
     // match stays NULL instead of falling back to an older row's value.
+    // Right rows with a NULL timestamp are not matchable (no defined order
+    // position — same as DuckDB ASOF), so they must not produce a struct.
     val carried = unioned.withColumn("__c",
       last(
-        when(col("__side") === 0,
+        when(col("__side") === 0 && col("__ts").isNotNull,
           struct(col("__ts").as("__m_ts") +: payloadCols.map(c => col(s"__p_$c").as(s"__m_$c")): _*)),
         ignoreNulls = true).over(w))
     val withinTol: Column = tolerance match {

@@ -82,9 +82,12 @@ object Dedup {
   /** One pointer-jumping round for cluster refinement: each row follows its
     * current representative's own pointer and keeps the smaller of the two
     * (`cluster_id := least(cluster_id, cluster_id[cluster_id])`). Iterating
-    * until fixpoint yields exact connected components with O(log diameter)
-    * rounds — each round is ONE self-join shuffle on the representative id,
-    * so chain-shaped near-dup clusters collapse quickly at corpus scale. */
+    * until fixpoint contracts every pointer TREE to its root's minimum in
+    * O(log depth) rounds — each round is ONE self-join shuffle on the
+    * representative id. Note this refines the pointer graph only: edges
+    * already collapsed away upstream (e.g. minHashLsh's min-over-bands)
+    * cannot be recovered here — use [[connectedComponents]] on the raw
+    * candidate PAIRS when exact components are required. */
   def refineClusters(assignments: DataFrame, idCol: String): DataFrame = {
     val reps = assignments.select(
       col(idCol).as("__rep_id"), col("cluster_id").as("__rep_cluster"))
@@ -99,9 +102,12 @@ object Dedup {
 
   /** Iterates [[refineClusters]] to fixpoint (bounded by `maxRounds`).
     * Convergence is checked with one count per round; pointer jumping halves
-    * the pointer depth each round, so log2(longest chain) rounds suffice. */
+    * the pointer depth each round, so log2(longest chain) rounds suffice.
+    * Each round's result is cached for the convergence check and the
+    * previous round's cache released, so storage stays O(1) rounds. */
   def refineToFixpoint(assignments: DataFrame, idCol: String, maxRounds: Int = 10): DataFrame = {
     var cur = assignments
+    var curCached = false
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
@@ -110,11 +116,56 @@ object Dedup {
         .join(cur.alias("c"), col(s"n.$idCol") === col(s"c.$idCol"))
         .filter(col("n.cluster_id") =!= col("c.cluster_id"))
         .limit(1).count()
+      if (curCached) cur.unpersist()
       changed = diff > 0
       cur = next
+      curCached = true
       round += 1
     }
     cur
+  }
+
+  /** Exact connected components over an undirected candidate-pair edge list
+    * (the output shape of [[simhashNearDup]] / [[embeddingNearDup]]):
+    * min-label propagation — every vertex repeatedly takes the minimum label
+    * among itself and its neighbors until no label changes. Converges in
+    * O(component diameter) rounds of one groupBy-shuffle each; near-dup
+    * graphs are dense clusters with tiny diameters, so 2–3 rounds typical.
+    * Unlike [[refineClusters]] this consumes the raw EDGES, so components
+    * connected only through a shared non-minimum document merge correctly. */
+  def connectedComponents(
+      pairs: DataFrame, srcCol: String, dstCol: String, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var labelsCached = false
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("id2"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels
+        .join(neighborMin, labels("id") === col("id2"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .cache()
+      val diff = next.alias("n")
+        .join(labels.alias("c"), col("n.id") === col("c.id"))
+        .filter(col("n.component") =!= col("c.component"))
+        .limit(1).count()
+      if (labelsCached) labels.unpersist()
+      changed = diff > 0
+      labels = next
+      labelsCached = true
+      round += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   /** SimHash near-dedup: 64-bit signature, banded into four 16-bit keys;
@@ -171,12 +222,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // shingle IDENTITY is all the set arithmetic needs, so shingles travel
     // as rolled 64-bit hashes (ShingleHashes) — no string concatenation on
-    // the CPU and 8-byte join keys on the wire instead of w-token strings
+    // the CPU and 8-byte join keys on the wire instead of w-token strings.
+    // The repartition is an Exchange barrier: five plan branches below
+    // consume `toks`, and without it each branch re-tokenizes and re-hashes
+    // every document; with it they all read the reused shuffle output.
     val toks = df.select(
       col(idCol).as("id"),
       col(blockCol).as("block"),
       array_distinct(graft.expressions.MinHashSignature.shingleHashes(
         transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as("sh"))
+      .repartition(col("id"))
     val sizes = toks.select(col("id"), col("block"), size(col("sh")).as("nsh"))
     val inv = toks.select(col("block"), col("id"), explode(col("sh")).as("s"))
     val overlaps = inv.select(col("block"), col("id").as("id_a"), col("s"))

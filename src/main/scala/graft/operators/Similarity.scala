@@ -98,9 +98,15 @@ object Similarity {
       queryVecCol: String,
       k: Int = 10,
       nprobe: Int = 1): DataFrame = {
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids, centroidIdCol, centroidVecCol)
-      .select(col(idCol), col("cell"))
-    val corpusCells = corpus.join(assigned, idCol)
+    // assignment computed IN-LINE carrying the corpus columns — joining the
+    // corpus back to a bare (id, cell) table would scan and shuffle the full
+    // corpus a second time just to restore vecCol
+    val wa = Window.partitionBy(col(idCol)).orderBy(desc("cos_a"), asc(centroidIdCol))
+    val corpusCells = corpus.crossJoin(broadcast(centroids))
+      .withColumn("cos_a", cosine(col(vecCol), col(centroidVecCol)))
+      .withColumn("rn_a", row_number().over(wa))
+      .filter(col("rn_a") === 1)
+      .select(col(idCol), col(vecCol), col(centroidIdCol).as("cell"))
     val wq = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos_c"), asc(centroidIdCol))
     val probed = queries.crossJoin(broadcast(centroids))
       .withColumn("cos_c", cosine(col(queryVecCol), col(centroidVecCol)))

@@ -19,12 +19,13 @@ object Bucketing {
   def writeBucketed(mf: MetaFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "at least one bucket key")
     val spark = mf.df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
     // an earlier process may have left the managed location behind — the
     // in-memory catalog forgets tables across restarts but files persist,
-    // and CTAS refuses to reuse an existing location
+    // and CTAS refuses to reuse an existing location; the catalog derives
+    // the path (db-qualified names live under <db>.db/)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      org.apache.spark.sql.graftbridge.defaultTablePath(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     mf.df.write.mode("overwrite")

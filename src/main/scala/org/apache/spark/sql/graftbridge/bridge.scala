@@ -16,4 +16,12 @@ package object graftbridge {
   def registerTempFunction(
       spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** The location the catalog would assign a managed table of this name
+    * (database-qualified names resolve into `<db>.db/` subdirectories —
+    * hand-deriving `<warehouse>/<name>` is wrong for them). */
+  def defaultTablePath(spark: SparkSession, table: String): java.net.URI = {
+    val catalog = spark.sessionState.catalog
+    catalog.defaultTablePath(spark.sessionState.sqlParser.parseTableIdentifier(table))
+  }
 }

@@ -52,6 +52,24 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connectedComponents merges components joined only through a non-min vertex") {
+    import spark.implicits._
+    // edges 1-3 and 2-3: pointer assignments would give 1→1, 2→2, 3→1 and
+    // pointer jumping can never pull 2 into the component — the edge list can
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connectedComponents collapses a long path graph") {
+    import spark.implicits._
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 1L), s"path graph must collapse to one component: $got")
+  }
+
   test("refineToFixpoint collapses a 5-node chain to one component") {
     import spark.implicits._
     val asg = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)).toDF("id", "cluster_id")
@@ -87,6 +105,17 @@ class AdviceRegressionSpec extends AnyFunSuite {
     val out = AsOfJoin.backward(left, right, "k", "lts", "rts", Seq("px"), tolerance = Some(3L))
       .head()
     assert(out.isNullAt(out.fieldIndex("asof_px")))
+  }
+
+  test("right rows with NULL timestamps are never as-of matches") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq(("a", ts(10L))).toDF("k", "lts")
+    val right = Seq(("a", None: Option[java.sql.Timestamp], Option(5.0)))
+      .toDF("k", "rts", "px")
+    val out = AsOfJoin.backward(left, right, "k", "lts", "rts", Seq("px")).head()
+    assert(out.isNullAt(out.fieldIndex("asof_px")),
+      "a NULL-timestamp right row has no order position and must not match")
   }
 
   // ---- ADVICE r1 low: sidecar escape roundtrip
