@@ -103,23 +103,22 @@ object Dedup {
   /** Iterates [[refineClusters]] to fixpoint (bounded by `maxRounds`).
     * Convergence is checked with one count per round; pointer jumping halves
     * the pointer depth each round, so log2(longest chain) rounds suffice.
-    * Each round's result is cached for the convergence check and the
-    * previous round's cache released, so storage stays O(1) rounds. */
+    * Every round is `localCheckpoint`ed: iterative self-joins otherwise grow
+    * the LOGICAL plan exponentially (each round references the previous
+    * frame several times) — caching truncates execution but not analysis,
+    * checkpointing truncates both. */
   def refineToFixpoint(assignments: DataFrame, idCol: String, maxRounds: Int = 10): DataFrame = {
-    var cur = assignments
-    var curCached = false
+    var cur = assignments.localCheckpoint()
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
-      val next = refineClusters(cur, idCol).cache()
+      val next = refineClusters(cur, idCol).localCheckpoint()
       val diff = next.alias("n")
         .join(cur.alias("c"), col(s"n.$idCol") === col(s"c.$idCol"))
         .filter(col("n.cluster_id") =!= col("c.cluster_id"))
         .limit(1).count()
-      if (curCached) cur.unpersist()
       changed = diff > 0
       cur = next
-      curCached = true
       round += 1
     }
     cur
@@ -135,13 +134,16 @@ object Dedup {
     * connected only through a shared non-minimum document merge correctly. */
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String, maxRounds: Int = 20): DataFrame = {
+    // localCheckpoint (not cache): iterative joins re-reference the previous
+    // round's frame several times per round, so without lineage truncation
+    // the LOGICAL plan grows exponentially with rounds
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-    var labelsCached = false
+      .localCheckpoint()
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
@@ -153,18 +155,15 @@ object Dedup {
         .join(neighborMin, labels("id") === col("id2"), "left")
         .select(labels("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .cache()
+        .localCheckpoint()
       val diff = next.alias("n")
         .join(labels.alias("c"), col("n.id") === col("c.id"))
         .filter(col("n.component") =!= col("c.component"))
         .limit(1).count()
-      if (labelsCached) labels.unpersist()
       changed = diff > 0
       labels = next
-      labelsCached = true
       round += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -99,6 +99,21 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // exact connected components (min-label propagation to fixpoint) over
+    // the oracle-reproducible cosine candidate pairs; DuckDB re-derives the
+    // components with a recursive reachability CTE
+    "dedup_cc_exact" -> ((s, d) => {
+      import graft.functions.VectorFunctions.cosine
+      val emb = t(s, d, "embeddings").df.filter(col("vec_id") < 300)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+        .filter(col("cos") >= 0.3)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
+    }),
+
     // group-level MinHash sketch (TypedImperativeAggregate): per-source
     // signature, then pairwise estimated Jaccard between sources —
     // hash-family arithmetic → rows-only check, semantics in ScalaTest
@@ -282,6 +297,20 @@ object PipelineQueries {
        "(SELECT query_id, neighbor_id, cos, " +
        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM cand) " +
        "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    "dedup_cc_exact" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300), " +
+       "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+       "WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+       "(sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
+       "sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) >= 0.3), " +
+       "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION SELECT id_b AS src, id_a AS dst FROM pairs), " +
+       "reach(src, dst) AS (SELECT src, dst FROM edges " +
+       "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src) " +
+       "SELECT src AS id, least(src, min(dst)) AS component FROM reach " +
+       "GROUP BY src ORDER BY id"),
 
     "dedup_embedding_cosine_exact" ->
       ("WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300), " +
