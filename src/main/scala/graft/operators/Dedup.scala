@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
@@ -100,23 +101,33 @@ object Dedup {
           coalesce(col("__rep_cluster"), assignments("cluster_id"))).as("cluster_id"))
   }
 
+  /** Lineage truncation for iterative loops: self-referencing rounds grow
+    * the LOGICAL plan exponentially (caching truncates execution but not
+    * analysis), so every round must checkpoint. Uses a RELIABLE checkpoint
+    * when `sparkContext.setCheckpointDir` was called (replicated — survives
+    * executor loss, the right mode on preemptible clusters) and
+    * `localCheckpoint` otherwise (executor-local blocks; an executor loss
+    * mid-loop fails the job and it must rerun). */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Iterates [[refineClusters]] to fixpoint (bounded by `maxRounds`).
     * Convergence is checked with one count per round; pointer jumping halves
     * the pointer depth each round, so log2(longest chain) rounds suffice.
-    * Every round is `localCheckpoint`ed: iterative self-joins otherwise grow
-    * the LOGICAL plan exponentially (each round references the previous
-    * frame several times) — caching truncates execution but not analysis,
-    * checkpointing truncates both. */
+    * Rounds are checkpointed (see [[truncate]]) and the previous round's
+    * blocks freed, keeping storage O(1) in rounds. */
   def refineToFixpoint(assignments: DataFrame, idCol: String, maxRounds: Int = 10): DataFrame = {
-    var cur = assignments.localCheckpoint()
+    var cur = truncate(assignments)
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
-      val next = refineClusters(cur, idCol).localCheckpoint()
+      val next = truncate(refineClusters(cur, idCol))
       val diff = next.alias("n")
         .join(cur.alias("c"), col(s"n.$idCol") === col(s"c.$idCol"))
         .filter(col("n.cluster_id") =!= col("c.cluster_id"))
         .limit(1).count()
+      graftbridge.freeCheckpoint(cur)
       changed = diff > 0
       cur = next
       round += 1
@@ -126,24 +137,24 @@ object Dedup {
 
   /** Exact connected components over an undirected candidate-pair edge list
     * (the output shape of [[simhashNearDup]] / [[embeddingNearDup]]):
-    * min-label propagation — every vertex repeatedly takes the minimum label
-    * among itself and its neighbors until no label changes. Converges in
-    * O(component diameter) rounds of one groupBy-shuffle each; near-dup
-    * graphs are dense clusters with tiny diameters, so 2–3 rounds typical.
-    * Unlike [[refineClusters]] this consumes the raw EDGES, so components
-    * connected only through a shared non-minimum document merge correctly. */
+    * min-label propagation accelerated with pointer jumping — each round
+    * every vertex takes the min label over itself and its neighbors, then
+    * follows its new label's own label one hop. The combination converges in
+    * O(log diameter) rounds of two shuffles each. Unlike [[refineClusters]]
+    * this consumes the raw EDGES, so components connected only through a
+    * shared non-minimum document merge correctly. Rounds are checkpointed
+    * (see [[truncate]]) with the previous round's blocks freed; throws
+    * instead of silently returning partial labels if `maxRounds` is hit
+    * before the fixpoint. */
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String, maxRounds: Int = 20): DataFrame = {
-    // localCheckpoint (not cache): iterative joins re-reference the previous
-    // round's frame several times per round, so without lineage truncation
-    // the LOGICAL plan grows exponentially with rounds
-    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    val edges = truncate(
+      pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+        .distinct())
+    var labels = truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
@@ -151,19 +162,31 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("id2"))
         .agg(min(col("component")).as("nbr_min"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin, labels("id") === col("id2"), "left")
         .select(labels("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint()
+      // pointer jump: component := least(component, component[component])
+      val reps = propagated.select(
+        col("id").as("__rep_id"), col("component").as("__rep_component"))
+      val next = truncate(
+        propagated.join(reps, propagated("component") === reps("__rep_id"), "left")
+          .select(propagated("id"),
+            least(propagated("component"),
+              coalesce(col("__rep_component"), propagated("component"))).as("component")))
       val diff = next.alias("n")
         .join(labels.alias("c"), col("n.id") === col("c.id"))
         .filter(col("n.component") =!= col("c.component"))
         .limit(1).count()
+      graftbridge.freeCheckpoint(labels)
       changed = diff > 0
       labels = next
       round += 1
     }
+    graftbridge.freeCheckpoint(edges)
+    if (changed) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds — " +
+        "raise maxRounds (rounds needed ≈ log2 of the largest component's diameter)")
     labels
   }
 

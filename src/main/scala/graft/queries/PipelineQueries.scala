@@ -22,6 +22,31 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): MetaFrame =
     Tables.loadMeta(s, dir, name)
 
+  /** Shared candidate-pair generation for the exact-cosine queries — the
+    * pair query and the connected-components query MUST stay bit-identical
+    * (same filter, same fold) for their oracles to agree, so both build from
+    * this one definition (and from [[CosinePairsSql]] on the oracle side). */
+  private def cosinePairs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val emb = t(s, d, "embeddings").df.filter(col("vec_id") < 300)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= 0.3)
+  }
+
+  /** DuckDB twin of [[cosinePairs]]: CTEs `e` (bounded vectors) and `pairs`
+    * (id_a, id_b, cos) with the bit-identical left-to-right dot fold. */
+  private val CosinePairsSql: String =
+    "e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300), " +
+    "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+    "(sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
+    "sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos " +
+    "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------ text analysis
     "text_tokencount" -> ((s, d) =>
@@ -87,32 +112,17 @@ object PipelineQueries {
     // exact all-pairs reference for the LSH-bucketed near-dup above, on a
     // bounded id-range so the quadratic term stays test-sized; DuckDB
     // recomputes the identical left-to-right double fold (list_zip+list_sum)
-    "dedup_embedding_cosine_exact" -> ((s, d) => {
-      import graft.functions.VectorFunctions.cosine
-      val emb = t(s, d, "embeddings").df.filter(col("vec_id") < 300)
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
-        .filter(col("cos") >= 0.3)
+    "dedup_embedding_cosine_exact" -> ((s, d) =>
+      cosinePairs(s, d)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // exact connected components (min-label propagation to fixpoint) over
     // the oracle-reproducible cosine candidate pairs; DuckDB re-derives the
     // components with a recursive reachability CTE
-    "dedup_cc_exact" -> ((s, d) => {
-      import graft.functions.VectorFunctions.cosine
-      val emb = t(s, d, "embeddings").df.filter(col("vec_id") < 300)
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
-        .filter(col("cos") >= 0.3)
-        .select("id_a", "id_b")
-      Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
-    }),
+    "dedup_cc_exact" -> ((s, d) =>
+      Dedup.connectedComponents(
+        cosinePairs(s, d).select("id_a", "id_b"), "id_a", "id_b").orderBy("id")),
 
     // group-level MinHash sketch (TypedImperativeAggregate): per-source
     // signature, then pairwise estimated Jaccard between sources —
@@ -299,27 +309,16 @@ object PipelineQueries {
        "WHERE rank <= 10 ORDER BY query_id, rank"),
 
     "dedup_cc_exact" ->
-      ("WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300), " +
-       "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.vec_id < b.vec_id " +
-       "WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
-       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
-       "(sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
-       "sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) >= 0.3), " +
-       "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
-       "UNION SELECT id_b AS src, id_a AS dst FROM pairs), " +
+      ("WITH RECURSIVE " + CosinePairsSql + ", " +
+       "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs WHERE cos >= 0.3 " +
+       "UNION SELECT id_b AS src, id_a AS dst FROM pairs WHERE cos >= 0.3), " +
        "reach(src, dst) AS (SELECT src, dst FROM edges " +
        "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src) " +
        "SELECT src AS id, least(src, min(dst)) AS component FROM reach " +
        "GROUP BY src ORDER BY id"),
 
     "dedup_embedding_cosine_exact" ->
-      ("WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300), " +
-       "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-       "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
-       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
-       "(sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
-       "sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos " +
-       "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+      ("WITH " + CosinePairsSql +
        "SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.3 " +
        "ORDER BY id_a, id_b"),
   )

@@ -17,6 +17,16 @@ package object graftbridge {
       spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Frees the materialized blocks behind a (local)checkpointed frame —
+    * `Dataset.unpersist` only clears CacheManager entries, not the RDD a
+    * checkpoint truncated the plan to (`LogicalRDD` is `private[sql]`,
+    * hence the shim). No-op on frames that aren't checkpoints. */
+  def freeCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ =>
+    }
+
   /** The location the catalog would assign a managed table of this name
     * (database-qualified names resolve into `<db>.db/` subdirectories —
     * hand-deriving `<warehouse>/<name>` is wrong for them). */
