@@ -97,6 +97,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no nested-loop joins expected:\n$plan")
   }
 
+  test("jaccard's shingle projection is computed once and reused across branches") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val docs = Tables.load(spark, sfDir, "documents")
+    val q = Dedup.ngramJaccardBestMatch(docs, "doc_id", "text", "lang")
+    q.collect() // AQE finalizes reuse
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"the five consumer branches must reuse the shingle-hash exchange:\n$plan")
+  }
+
   test("join on right side's verified pk preserves the left elision proof") {
     val custAgg = t("orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
     val dims = t("customer").withColumnRenamed("c_custkey", "o_custkey")
