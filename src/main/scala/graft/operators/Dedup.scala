@@ -293,6 +293,40 @@ object Dedup {
     best.unionByName(lonely)
   }
 
+  /** All document pairs with shingle-set Jaccard ≥ `minJaccard`, via the
+    * same inverted shingle index as [[ngramJaccardBestMatch]] (cost
+    * Σ_shingle freq², never block²). This is the standard dedup primitive —
+    * the exact ground-truth pair set the LSH paths are verified against in
+    * the declared property queries. No blocking column: only docs that
+    * actually share a shingle meet, and at a high threshold the survivor
+    * set is tiny. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      shingleWidth: Int = 3): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      array_distinct(graft.expressions.MinHashSignature.shingleHashes(
+        transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as("sh"))
+      .repartition(col("id"))
+    val sizes = toks.select(col("id"), size(col("sh")).as("nsh"))
+    val inv = toks.select(col("id"), explode(col("sh")).as("s"))
+    inv.select(col("id").as("id_a"), col("s"))
+      .join(inv.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("nsh_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nsh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Naive all-pairs reference for [[ngramJaccardBestMatch]] (kept for
     * equivalence testing; O(block²) array intersections — do not use at
     * corpus scale). */

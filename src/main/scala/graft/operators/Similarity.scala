@@ -57,19 +57,28 @@ object Similarity {
     // `tables` independent hash tables trade compute for recall: a true
     // neighbor is missed only if it splits from the query in EVERY table
     // (miss prob p^L instead of p). Each side explodes L× and joins on
-    // (table, sign-pattern); candidates are deduped before ranking.
+    // (table, sign-pattern). Candidate generation is ids-only: the bucket
+    // join and the multi-table dedup shuffle (id, bucket) pairs, never
+    // embeddings — at dim=1024 float every deduped row would otherwise
+    // carry ~8 KB of vector payload through two exchanges.
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(
-        col(id), col(vec),
+        col(id),
         posexplode(array((0 until tables).map(t =>
           lshBucketTable(col(vec), nbits, dim, t)): _*)))
         .withColumnRenamed("pos", "table_id")
         .withColumnRenamed("col", "bucket")
-    val scored = bucketed(corpus, idCol, vecCol)
+    val pairs = bucketed(corpus, idCol, vecCol)
       .join(bucketed(queries, queryIdCol, queryVecCol), Seq("table_id", "bucket"))
       .filter(col(idCol) =!= col(queryIdCol))
-      .select(col(queryIdCol), col(idCol), col(vecCol), col(queryVecCol))
+      .select(col(queryIdCol), col(idCol))
       .distinct() // a pair colliding in several tables is scored once
+    // vectors re-attach after the dedup: corpus side is one equi-join on id
+    // (AQE broadcasts the narrow pair list when it is small), query side is
+    // an explicit broadcast (the query set is small by contract)
+    val scored = pairs
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))), Seq(queryIdCol))
       .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos"), asc(idCol))
     scored

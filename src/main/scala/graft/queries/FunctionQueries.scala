@@ -270,11 +270,16 @@ object FunctionQueries {
         .orderBy("wstart").df),
 
     // sketch-based percentile (Greenwald-Khanna): deterministic for Spark
-    // but engine-specific algorithm → rows-only check (like approx_distinct)
+    // but engine-specific algorithm → rows-only check (like approx_distinct).
+    // Percentiles are unpacked to scalar doubles: the correctness harness
+    // canonicalizes by sorting column values and cannot hash array cells.
     "agg_approx_percentile" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("p_approx"))
+        .select(col("l_returnflag"),
+                element_at(col("p_approx"), 1).as("p50"),
+                element_at(col("p_approx"), 2).as("p90"))
         .orderBy("l_returnflag").df),
 
     // exact interpolated percentiles (SURVEY §2.2d stats family) — rounded

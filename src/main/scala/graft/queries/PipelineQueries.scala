@@ -36,6 +36,27 @@ object PipelineQueries {
       .filter(col("cos") >= 0.3)
   }
 
+  /** Exact high-Jaccard ground-truth pairs (j ≥ 0.8): the testdata plants
+    * near-duplicate documents whose pairwise shingle Jaccard is ≥ 0.9 while
+    * every other pair sits below 0.07, so 0.8 separates plant from noise
+    * with a wide margin at every SF. Shared by the MinHash-LSH and SimHash
+    * property queries below and exactly re-derivable in DuckDB
+    * ([[HiJaccardPairsSql]]). */
+  private def hiJaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, d, "documents").df, "doc_id", "text", minJaccard = 0.8)
+
+  /** DuckDB twin of [[hiJaccardPairs]]: CTE `hi` (id_a, id_b) with the exact
+    * string-shingle set arithmetic (identical counts to the rolled-hash path
+    * as long as 64-bit shingle hashes don't collide). */
+  private val HiJaccardPairsSql: String =
+    "toks AS (SELECT doc_id, list_distinct(" +
+    "CASE WHEN len(ts) < 3 THEN [text] " +
+    "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
+    "FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
+    "hi AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM toks a JOIN toks b " +
+    "ON a.doc_id < b.doc_id AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+    "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8) "
+
   /** DuckDB twin of [[cosinePairs]]: CTEs `e` (bounded vectors) and `pairs`
     * (id_a, id_b, cos) with the bit-identical left-to-right dot fold. */
   private val CosinePairsSql: String =
@@ -80,7 +101,9 @@ object PipelineQueries {
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
 
-    // heuristic language-ID: deterministic but not SQL-expressible → rows-only
+    // heuristic language-ID: the stopword-profile argmax is plain ANSI set
+    // arithmetic, so DuckDB re-derives the full prediction distribution
+    // exactly (see the text_langid_pred oracle)
     "text_langid_pred" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("pred_lang", TextFunctions.langId(col("text")))
@@ -92,22 +115,73 @@ object PipelineQueries {
       Dedup.exact(t(s, d, "documents").df, "doc_id", "text")
         .orderBy("content_hash")),
 
-    "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minHashLsh(t(s, d, "documents").df, "doc_id", "text")
-        .orderBy("doc_id")),
+    // MinHash+LSH property oracle: every planted near-dup pair (exact
+    // shingle Jaccard ≥ 0.8, DuckDB-recomputable) must land in one cluster
+    // with both docs flagged. With r=4/b=8 banding the per-pair miss
+    // probability at j ≥ 0.9 is (1−j⁴)⁸ ≈ 2e-4 and the run is fully
+    // deterministic, so all three counts equal |hi| — which DuckDB computes
+    // from raw text. Raw signature/cluster semantics stay pinned in
+    // PipelineOpsSpec.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val clusters = Dedup.minHashLsh(t(s, d, "documents").df, "doc_id", "text")
+      hiJaccardPairs(s, d)
+        .join(clusters.select(col("doc_id").as("id_a"),
+          col("cluster_id").as("cl_a"), col("has_candidate").as("hc_a")), Seq("id_a"))
+        .join(clusters.select(col("doc_id").as("id_b"),
+          col("cluster_id").as("cl_b"), col("has_candidate").as("hc_b")), Seq("id_b"))
+        .agg(
+          count(lit(1)).as("n_hi_pairs"),
+          coalesce(sum(when(col("cl_a") === col("cl_b"), 1L).otherwise(0L)), lit(0L))
+            .as("n_same_cluster"),
+          coalesce(sum(when(col("hc_a") && col("hc_b"), 1L).otherwise(0L)), lit(0L))
+            .as("n_both_flagged"))
+    }),
 
-    "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashSignatures(t(s, d, "documents").df, "doc_id", "text")
-        .orderBy("doc_id")),
+    // SimHash property oracle: banded candidate generation must recover
+    // ≥ 80% of the planted pairs (measured: 23/25 at sf0.01 — hamming ≤ 3
+    // guarantees one clean 16-bit band by pigeonhole; hamming 4–5 can
+    // straddle all four bands, the documented recall dial). n_hi_pairs is
+    // DuckDB-exact; the flag is deterministic.
+    "dedup_simhash" -> ((s, d) => {
+      val cand = Dedup.simhashNearDup(t(s, d, "documents").df, "doc_id", "text")
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      hiJaccardPairs(s, d)
+        .join(cand, Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_hi_pairs"),
+          (coalesce(sum(col("hit")), lit(0L)).cast("double") >=
+            count(lit(1)).cast("double") * 0.8).cast("long").as("recall_ok"))
+    }),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardBestMatch(t(s, d, "documents").df, "doc_id", "text", blockCol = "lang")
         .orderBy("id")),
 
-    "dedup_embedding_cosine" -> ((s, d) =>
-      Dedup.embeddingNearDup(t(s, d, "embeddings").df, "vec_id", "embedding",
-          dim = 64, threshold = 0.3, nbits = 4)
-        .orderBy("id_a", "id_b")),
+    // Embedding-LSH property oracle against the exact twin below:
+    // n_exact_pairs is DuckDB's bit-identical fold count; zero false
+    // positives is structural (the operator confirms with the same exact
+    // cosine ≥ threshold); the recall flag pins the measured bucketing
+    // recall (0.327 at nbits=2, sf0.01 — the documented recall/cost dial)
+    // well above its floor.
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val found = Dedup.embeddingNearDup(t(s, d, "embeddings").df, "vec_id", "embedding",
+          dim = 64, threshold = 0.3, nbits = 2)
+        .filter(col("id_a") < 300 && col("id_b") < 300)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val exact = cosinePairs(s, d)
+        .select(col("id_a"), col("id_b"), lit(1L).as("ex"))
+      // one distributed pass: full outer join classifies every pair as
+      // exact-only (miss), found-only (false positive), or both (hit)
+      exact.join(found, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(col("ex")), lit(0L)).as("n_exact_pairs"),
+          coalesce(sum(when(col("ex").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_false_positives"),
+          (coalesce(sum(when(col("ex") === 1L && col("hit") === 1L, 1L).otherwise(0L)), lit(0L))
+            .cast("double") >=
+            coalesce(sum(col("ex")), lit(0L)).cast("double") * 0.15)
+            .cast("long").as("recall_ok"))
+    }),
 
     // exact all-pairs reference for the LSH-bucketed near-dup above, on a
     // bounded id-range so the quadratic term stays test-sized; DuckDB
@@ -164,13 +238,28 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // LSH top-k property oracle: per-query recall@10 against the in-engine
+    // exact top-k (whose own output is fully DuckDB-checked as
+    // sim_topk_brute). At nbits=2/tables=4 the measured per-query recall is
+    // 0.7–0.9 (sf0.01, deterministic), so no query may fall under the 0.5
+    // floor; n_queries anchors the check to a DuckDB-computable count.
     "sim_topk_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.lshTopK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
-          dim = 64, k = 10, nbits = 4)
-        .orderBy("query_id", "rank")
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "query_vec", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", queries,
+          "query_id", "query_vec", dim = 64, k = 10, nbits = 2, tables = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((coalesce(sum(col("hit")), lit(0L)).cast("double") / 10.0).as("recall"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          coalesce(sum(when(col("recall") < 0.5, 1L).otherwise(0L)), lit(0L))
+            .as("n_below_bound"))
     }),
 
     // --------------------------------------------------------- multimodal
@@ -259,6 +348,49 @@ object PipelineQueries {
        "SELECT id, id_b AS best_match, round(j, 6) AS jaccard FROM " +
        "(SELECT id, id_b, j, row_number() OVER (PARTITION BY id ORDER BY j DESC, id_b) AS rn " +
        "FROM pairs) WHERE rn = 1 ORDER BY id"),
+
+    // property oracles for the hash-family paths: DuckDB re-derives the
+    // ground-truth pair/query counts exactly from raw text/vectors; the
+    // recall columns are structural (MinHash: banding at j≥0.9 is lossless
+    // here) or deterministic measured flags (SimHash/LSH recall dials)
+    "dedup_minhash_lsh" ->
+      ("WITH " + HiJaccardPairsSql +
+       "SELECT count(*) AS n_hi_pairs, count(*) AS n_same_cluster, " +
+       "count(*) AS n_both_flagged FROM hi"),
+
+    "dedup_simhash" ->
+      ("WITH " + HiJaccardPairsSql +
+       "SELECT count(*) AS n_hi_pairs, CAST(1 AS BIGINT) AS recall_ok FROM hi"),
+
+    "dedup_embedding_cosine" ->
+      ("WITH " + CosinePairsSql +
+       "SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_positives, " +
+       "CAST(1 AS BIGINT) AS recall_ok FROM pairs WHERE cos >= 0.3"),
+
+    "sim_topk_lsh" ->
+      ("SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_below_bound " +
+       "FROM embeddings WHERE vec_id < 5"),
+
+    // exact re-derivation of the stopword-profile argmax language-ID:
+    // per-profile hit counts over whitespace tokens of lower(text), winner =
+    // first profile (en,es,fr,de order) reaching the max, 'en' when all
+    // zero, CJK codepoint presence short-circuits to 'zh'
+    "text_langid_pred" ->
+      ("WITH t AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents), " +
+       "s AS (SELECT doc_id, text, " +
+       "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','for','it'))) AS h_en, " +
+       "len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','se','no'))) AS h_es, " +
+       "len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une','est','que'))) AS h_fr, " +
+       "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','den','mit'))) AS h_de " +
+       "FROM t), " +
+       "p AS (SELECT CASE " +
+       "WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' " +
+       "WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'en' " +
+       "WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en' " +
+       "WHEN h_es >= h_fr AND h_es >= h_de THEN 'es' " +
+       "WHEN h_fr >= h_de THEN 'fr' " +
+       "ELSE 'de' END AS pred_lang FROM s) " +
+       "SELECT pred_lang, count(*) AS n FROM p GROUP BY pred_lang ORDER BY pred_lang"),
 
     "mm_binary_meta" ->
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +

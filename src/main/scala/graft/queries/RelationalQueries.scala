@@ -222,10 +222,19 @@ object RelationalQueries {
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
              countDistinct(col("l_partkey")).as("n_part")).df),
 
-    // HLL++ estimates differ across engines → no oracle (rows-only check).
+    // HLL++ estimates are engine-specific, so the property oracle checks the
+    // estimate against the exact NDV (DuckDB-computable) with a 3-sigma
+    // relative-error bound (default rsd 0.05 → 0.15 flag floor;
+    // deterministic for a fixed input).
     "agg_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders")).df),
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .select(
+          col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.15).cast("long").as("approx_within_rsd")).df),
 
     "agg_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -567,6 +576,10 @@ object RelationalQueries {
     "agg_distinct_count" ->
       ("SELECT count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part " +
        "FROM lineitem"),
+
+    "agg_approx_distinct" ->
+      ("SELECT count(DISTINCT l_orderkey) AS exact_orders, " +
+       "CAST(1 AS BIGINT) AS approx_within_rsd FROM lineitem"),
 
     "agg_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +

@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Dev-only measurement run backing the property-oracle bounds declared in
+  * PipelineQueries: prints, at a given SF dir, the empirical recall /
+  * accuracy numbers for the hash-family operators so the declared bounds sit
+  * safely below the deterministic measured values. Not part of the library.
+  * Run: `sbt "runMain graft.tools.MeasureProps /root/testdata/sf0.01"`. */
+object MeasureProps {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    // ---- exact high-jaccard pairs (ground truth for text dedup recall)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"))).as("sh"))
+    val hi = sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double"))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("j"))
+      .cache()
+    println(s"[measure] exact pairs j>=0.8: ${hi.count()}")
+
+    // ---- minhash LSH: do all high-jaccard pairs share a cluster?
+    val cl = Dedup.minHashLsh(docs, "doc_id", "text")
+    val same = hi
+      .join(cl.select(col("doc_id").as("id_a"), col("cluster_id").as("cl_a"),
+        col("has_candidate").as("hc_a")), Seq("id_a"))
+      .join(cl.select(col("doc_id").as("id_b"), col("cluster_id").as("cl_b"),
+        col("has_candidate").as("hc_b")), Seq("id_b"))
+    val stats = same.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("cl_a") === col("cl_b"), 1L).otherwise(0L)).as("same_cluster"),
+      sum(when(col("hc_a") && col("hc_b"), 1L).otherwise(0L)).as("both_flagged")).collect()(0)
+    println(s"[measure] minhash: $stats")
+
+    // ---- simhash: hamming of the high-jaccard pairs; are they candidates?
+    val sp = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 8)
+    val found = hi.join(sp, Seq("id_a", "id_b"), "left")
+    println("[measure] simhash found/missing on j>=0.8 pairs:")
+    found.select("id_a", "id_b", "j", "hamming").orderBy("id_a").show(30, truncate = false)
+    // raw hamming without threshold, for pairs missing above
+    val sig = docs.select(col("doc_id"), graft.functions.TextFunctions.simhash64("text").as("sh64"))
+    val rawHam = hi
+      .join(sig.select(col("doc_id").as("id_a"), col("sh64").as("ha")), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sh64").as("hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextFunctions.hamming64(col("ha"), col("hb")).as("ham"))
+    println("[measure] raw simhash hamming distribution on j>=0.8 pairs:")
+    rawHam.groupBy("ham").count().orderBy("ham").show()
+
+    // ---- embedding near-dup recall at nbits 2 and 4 (exact = cos>=0.3, ids<300)
+    import graft.functions.VectorFunctions.cosine
+    val e300 = emb.filter(col("vec_id") < 300)
+    val exactPairs = e300.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(e300.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+        col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.3)
+      .select("id_a", "id_b").cache()
+    val nExact = exactPairs.count()
+    for (nb <- Seq(2, 3, 4)) {
+      val fnd = Dedup.embeddingNearDup(emb, "vec_id", "embedding", dim = 64,
+        threshold = 0.3, nbits = nb)
+        .filter(col("id_a") < 300 && col("id_b") < 300)
+      val hit = exactPairs.join(fnd.select("id_a", "id_b"), Seq("id_a", "id_b")).count()
+      println(s"[measure] embeddingNearDup nbits=$nb recall=${hit.toDouble / nExact} ($hit/$nExact)")
+    }
+
+    // ---- lshTopK recall@10 per query for candidate configs
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exactTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "query_vec", k = 10)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    for ((nb, tb) <- Seq((4, 1), (4, 2), (4, 4), (3, 4), (2, 4))) {
+      val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", queries,
+        "query_id", "query_vec", dim = 64, k = 10, nbits = nb, tables = tb)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val rec = exactTop.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((coalesce(sum(col("hit")), lit(0L)).cast("double") / 10.0).as("recall"))
+        .orderBy("query_id").collect()
+      println(s"[measure] lshTopK nbits=$nb tables=$tb per-query recall@10: " +
+        rec.map(r => f"${r.getLong(0)}:${r.getDouble(1)}%.2f").mkString(" "))
+    }
+
+    // ---- langid accuracy vs ground truth
+    val acc = docs.withColumn("pred", TextFunctions.langId(col("text")))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("correct")).collect()(0)
+    println(s"[measure] langid: n=${acc.getLong(0)} correct=${acc.getLong(1)} " +
+      f"acc=${acc.getLong(1).toDouble / acc.getLong(0)}%.4f")
+    val conf = docs.withColumn("pred", TextFunctions.langId(col("text")))
+      .groupBy("lang", "pred").count().orderBy("lang", "pred")
+    conf.show(40)
+
+    spark.stop()
+  }
+}
