@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, DataFrameNaFunctions, DataFrameStatFunctions, DataFrameWriter, Dataset, RelationalGroupedDataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, DataFrameNaFunctions, DataFrameStatFunctions, DataFrameWriter, DataFrameWriterV2, Dataset, Encoders, RelationalGroupedDataset, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.storage.StorageLevel
 
@@ -318,6 +318,16 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def observe(name: String, expr: Column, exprs: Column*): MetaFrame =
     wrapKeep(df.observe(name, expr, exprs: _*))
 
+  /** Df-level partition-wise transform — the JVM analogue of the
+    * `mapInPandas`/`mapInArrow` batch escape hatch the reference routes
+    * through its wrapper (metaframe.py:77-89, re-wrap at :113-114): the
+    * function sees each partition as one row iterator (per-partition init,
+    * batch iteration, no driver involvement) and declares its output schema
+    * explicitly. Metadata propagates; the pk-verified flag is dropped — an
+    * arbitrary partition function can add, remove or rewrite rows. */
+  def mapPartitions(schema: StructType)(f: Iterator[Row] => Iterator[Row]): MetaFrame =
+    wrap(df.mapPartitions(f)(Encoders.row(schema)).toDF())
+
   // ------------------------------------------------- caching / persistence
 
   def cache(): MetaFrame = wrapKeep(df.cache())
@@ -352,6 +362,13 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
     * `MetaFrame(df.write, m)` wrap supported at metaframe.py:39-41). */
   def write: MetaWriter = new MetaWriter(df.write, metadata)
 
+  /** Metadata-carrying V2 writer (`writeTo` is delegated by the reference
+    * router like any other member, metaframe.py:77-89): fluent config is
+    * wrapped, terminal ops are raw — the catalog table does not persist the
+    * metadata map (document-lost per SURVEY §7.3; use `MetaPersist` for a
+    * sidecar when provenance must survive the write). */
+  def writeTo(table: String): MetaWriterV2 = new MetaWriterV2(df.writeTo(table), metadata)
+
   // --------------------------------------- actions / introspection (raw, §2.2i)
 
   def schema: StructType = df.schema
@@ -367,6 +384,9 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def isEmpty: Boolean = df.isEmpty
   def isLocal: Boolean = df.isLocal
   def inputFiles: Array[String] = df.inputFiles
+  def sameSemantics(other: MetaFrame): Boolean = df.sameSemantics(other.df)
+  def semanticHash(): Int = df.semanticHash()
+  def storageLevel: StorageLevel = df.storageLevel
   def show(): Unit = df.show()
   def show(n: Int): Unit = df.show(n)
   def show(n: Int, truncate: Boolean): Unit = df.show(n, truncate)
@@ -420,8 +440,30 @@ final class MetaGroupedData(val gd: RelationalGroupedDataset, val metadata: Map[
     new MetaGroupedData(gd.pivot(pivotColumn), metadata)
   def pivot(pivotColumn: String, values: Seq[Any]): MetaGroupedData =
     new MetaGroupedData(gd.pivot(pivotColumn, values), metadata)
+  def pivot(pivotColumn: Column): MetaGroupedData =
+    new MetaGroupedData(gd.pivot(pivotColumn), metadata)
   def pivot(pivotColumn: Column, values: Seq[Any]): MetaGroupedData =
     new MetaGroupedData(gd.pivot(pivotColumn, values), metadata)
+}
+
+/** Metadata-carrying DataFrameWriterV2 facade (V2 catalogs — Iceberg/Delta
+  * style `writeTo(...).create()/append()/overwrite(...)`): fluent config
+  * wrapped, terminal ops raw, same shape as [[MetaWriter]]. */
+final class MetaWriterV2(val w: DataFrameWriterV2[Row], val metadata: Map[String, Any]) {
+  @inline private def wrap(nw: DataFrameWriterV2[Row]): MetaWriterV2 = new MetaWriterV2(nw, metadata)
+  def using(provider: String): MetaWriterV2 = wrap(w.using(provider))
+  def option(key: String, value: String): MetaWriterV2 = wrap(w.option(key, value))
+  def options(opts: Map[String, String]): MetaWriterV2 = wrap(w.options(opts))
+  def tableProperty(property: String, value: String): MetaWriterV2 =
+    wrap(w.tableProperty(property, value))
+  def partitionedBy(column: Column, columns: Column*): MetaWriterV2 =
+    wrap(w.partitionedBy(column, columns: _*))
+  def create(): Unit = w.create()
+  def replace(): Unit = w.replace()
+  def createOrReplace(): Unit = w.createOrReplace()
+  def append(): Unit = w.append()
+  def overwrite(condition: Column): Unit = w.overwrite(condition)
+  def overwritePartitions(): Unit = w.overwritePartitions()
 }
 
 /** Metadata-carrying writer facade (SURVEY §2.2a: fluent config wrapped,

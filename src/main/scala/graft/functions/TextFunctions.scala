@@ -86,10 +86,13 @@ object TextFunctions {
       (acc, w) => acc + (length(w).cast("long") * 131L + ascii(w).cast("long")) * (length(w).cast("long") + 7L))
 
   /** w-token shingles joined by a single space (fewer than w tokens → the
-    * whole text as one shingle). */
+    * whole TOKEN SEQUENCE as one shingle, single-space-joined — keying on
+    * tokens, not the raw string, so two short docs differing only in
+    * whitespace shingle identically, matching the rolled token-hash
+    * fallback in the codegen'd `ShingleHashes`). */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = tokens(text)
-    when(size(toks) < w, array(text)).otherwise(
+    when(size(toks) < w, array(concat_ws(" ", toks))).otherwise(
       transform(sequence(lit(1), size(toks) - lit(w - 1)), i => concat_ws(" ", slice(toks, i, lit(w)))))
   }
 

@@ -47,10 +47,11 @@ object Multimodal {
   object MediaCodec {
     val FeatureDim = 16
 
-    /** STUB decoder: a real implementation would decode the image/audio
-      * payload here (e.g. via a JNI codec). The deterministic stand-in is a
-      * normalized 16-bin byte histogram — stable across runs and partitions
-      * so the downstream pipeline is testable end-to-end. */
+    /** STUB decoder for modalities with no JVM codec in this environment
+      * (audio/video): a real implementation would decode the payload here
+      * (e.g. via a JNI codec). The deterministic stand-in is a normalized
+      * 16-bin byte histogram — stable across runs and partitions so the
+      * downstream pipeline is testable end-to-end. */
     def decodeStub(content: Array[Byte]): Array[Double] = {
       val bins = new Array[Double](FeatureDim)
       var i = 0
@@ -61,6 +62,45 @@ object Multimodal {
       val n = math.max(content.length, 1).toDouble
       bins.map(b => b / n)
     }
+
+    /** REAL pure-JVM raster decode (`javax.imageio` ships PNG/BMP/GIF/JPEG
+      * readers): decodes the payload and bins pixel luminance
+      * (integer ITU-R 601: (299·R + 587·G + 114·B)/1000) into
+      * [[FeatureDim]] counts. None when the payload is not a decodable
+      * raster image. */
+    def imageHistogram(content: Array[Byte]): Option[Array[Long]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val bins = new Array[Long](FeatureDim)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            bins(lum * FeatureDim / 256) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        Some(bins)
+      }
+    }
+
+    /** Normalized variant of [[imageHistogram]] in the feature-vector shape. */
+    def decodeImage(content: Array[Byte]): Option[Array[Double]] =
+      imageHistogram(content).map { bins =>
+        val n = math.max(bins.sum, 1L).toDouble
+        bins.map(_ / n)
+      }
+
+    /** Dispatch: real image decode when the payload parses as a raster
+      * image, deterministic stub for everything else. */
+    def decode(content: Array[Byte]): Array[Double] =
+      decodeImage(content).getOrElse(decodeStub(content))
   }
 
   /** Partition-local feature extraction: one decoder instantiation per
@@ -71,9 +111,49 @@ object Multimodal {
     media.mapPartitions { records =>
       // real codecs would init native resources here, once per partition
       records.map { r =>
-        val feats = MediaCodec.decodeStub(r.content)
+        val feats = MediaCodec.decode(r.content)
         MediaFeature(r.id, r.meta.modality, feats.length, feats)
       }
+    }
+  }
+
+  case class IdPng(id: Long, png: Array[Byte])
+  case class IdBinCount(id: Long, bin: Int, n: Long)
+
+  /** Deterministic 8×8 RGB PNG per row — pixel i (row-major) carries
+    * (id·31 + i) mod 256 on all three channels, a REAL `ImageIO` encode per
+    * row, partition-local. Stands in for binary image payloads the test
+    * corpus lacks; because the pixel function is pure arithmetic on the id,
+    * the decoded histogram is exactly re-derivable by any SQL engine, which
+    * makes the full encode→decode codec path oracle-checkable. */
+  def encodeDemoPng(df: DataFrame, idCol: String): Dataset[IdPng] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64) {
+          val v = (((id * 31 + i) % 256 + 256) % 256).toInt
+          img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        IdPng(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Decode-side histogram over real image payloads: one (id, bin, n) row
+    * per luminance bin, zero bins included so the output shape is fixed.
+    * Fail-loud on undecodable payloads — this path is for images, not the
+    * stubbed modalities. */
+  def decodedHistogram(media: Dataset[IdPng]): Dataset[IdBinCount] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val bins = MediaCodec.imageHistogram(r.png).getOrElse(
+        throw new IllegalStateException(s"payload for id ${r.id} is not a decodable image"))
+      bins.iterator.zipWithIndex.map { case (n, b) => IdBinCount(r.id, b, n) }.toSeq
     }
   }
 

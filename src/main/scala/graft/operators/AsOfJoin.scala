@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   * tag both sides, union, and let `last(_, ignoreNulls=true)` over a
   * (key, ts, side) window carry the latest right payload onto each left row.
   * ONE shuffle on the key — no range-join explosion, no per-row probing —
-  * so cost is O(n log n) per key partition regardless of time-range width;
-  * skewed keys are split by AQE like any other window shuffle.
+  * so cost is O(n log n) per key partition regardless of time-range width.
+  *
+  * Skew caveat: AQE's skew mitigation splits oversized JOIN partitions, not
+  * window partitions — a single pathologically hot key's window sort still
+  * lands on one task. When one key dominates, pre-bucket it by coarse time
+  * range (window on (key, floor(ts / bucket)), carrying each bucket's last
+  * right row into the next bucket) to re-parallelize the sort.
   */
 object AsOfJoin {
 

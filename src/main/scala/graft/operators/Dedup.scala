@@ -116,7 +116,10 @@ object Dedup {
     * Convergence is checked with one count per round; pointer jumping halves
     * the pointer depth each round, so log2(longest chain) rounds suffice.
     * Rounds are checkpointed (see [[truncate]]) and the previous round's
-    * blocks freed, keeping storage O(1) in rounds. */
+    * blocks freed, keeping storage O(1) in rounds. Fail-loud like
+    * [[connectedComponents]]: throws if the round budget is exhausted before
+    * the fixpoint — silently returning partially-refined labels would hand
+    * callers unconverged cluster ids with no signal. */
   def refineToFixpoint(assignments: DataFrame, idCol: String, maxRounds: Int = 10): DataFrame = {
     var cur = truncate(assignments)
     var round = 0
@@ -132,6 +135,9 @@ object Dedup {
       cur = next
       round += 1
     }
+    if (changed) throw new IllegalStateException(
+      s"refineToFixpoint did not converge within $maxRounds rounds — " +
+        "raise maxRounds (rounds needed ≈ log2 of the longest pointer chain)")
     cur
   }
 

@@ -214,13 +214,22 @@ object FunctionQueries {
           element_at(col("m"), "bal2").as("bal2"))
         .orderBy("c_custkey").df),
 
-    // seeded Bernoulli sample: deterministic for Spark, engine-specific
-    // algorithm → rows-only check (no oracle)
-    "misc_sample_seeded" -> ((s, d) =>
-      t(s, d, "orders")
-        .sample(0.1, seed = 42L)
-        .select("o_orderkey")
-        .orderBy("o_orderkey").df),
+    // seeded Bernoulli sample: the kept-row SET is engine-specific (Spark
+    // seeds per partition), but the statistical contract is checkable — the
+    // property oracle pins the exact source count (DuckDB-computable) and a
+    // 5-sigma binomial bound on the sample size that any correct Bernoulli
+    // sampler passes regardless of seed or partitioning
+    "misc_sample_seeded" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val nSamp = orders.sample(0.1, seed = 42L).df.agg(count(lit(1)).as("n_sampled"))
+      orders.df.agg(count(lit(1)).as("n_source"))
+        .crossJoin(nSamp)
+        .select(
+          col("n_source"),
+          (abs(col("n_sampled").cast("double") - col("n_source").cast("double") * 0.1) <=
+            lit(5.0) * sqrt(col("n_source").cast("double") * 0.09))
+            .cast("long").as("size_ok"))
+    }),
 
     "fn_json" -> ((s, d) =>
       t(s, d, "events")
@@ -269,17 +278,27 @@ object FunctionQueries {
                 col("n_events"), col("sum_value"))
         .orderBy("wstart").df),
 
-    // sketch-based percentile (Greenwald-Khanna): deterministic for Spark
-    // but engine-specific algorithm → rows-only check (like approx_distinct).
-    // Percentiles are unpacked to scalar doubles: the correctness harness
-    // canonicalizes by sorting column values and cannot hash array cells.
+    // sketch-based percentile (Greenwald-Khanna): the estimate itself is
+    // engine-specific, so the property oracle pins the exact interpolated
+    // percentiles (DuckDB quantile_cont, the agg_percentile_exact parity
+    // rule) plus a 5% relative-error flag on the sketch — accuracy=1000
+    // bounds rank error to N/1000, far inside 5% of value on this data.
+    // Percentiles travel as scalar doubles: the harness canonicalizes by
+    // sorting column values and cannot hash array cells.
     "agg_approx_percentile" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("p_approx"))
-        .select(col("l_returnflag"),
-                element_at(col("p_approx"), 1).as("p50"),
-                element_at(col("p_approx"), 2).as("p90"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("p_approx"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9))").as("p_exact"))
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("p_exact"), 1), 4).as("p50_exact"),
+          round(element_at(col("p_exact"), 2), 4).as("p90_exact"),
+          (abs(element_at(col("p_approx"), 1) - element_at(col("p_exact"), 1)) <=
+            element_at(col("p_exact"), 1) * 0.05).cast("long").as("p50_ok"),
+          (abs(element_at(col("p_approx"), 2) - element_at(col("p_exact"), 2)) <=
+            element_at(col("p_exact"), 2) * 0.05).cast("long").as("p90_ok"))
         .orderBy("l_returnflag").df),
 
     // exact interpolated percentiles (SURVEY §2.2d stats family) — rounded
@@ -395,6 +414,9 @@ object FunctionQueries {
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
        "FROM events ORDER BY event_id"),
 
+    "misc_sample_seeded" ->
+      "SELECT count(*) AS n_source, CAST(1 AS BIGINT) AS size_ok FROM orders",
+
     "fn_na_fill" ->
       ("SELECT event_id, coalesce(CASE WHEN value >= 10 THEN value END, 0.0) AS v_null " +
        "FROM events ORDER BY event_id"),
@@ -438,6 +460,12 @@ object FunctionQueries {
       ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 4) AS p25, " +
        "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90 " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "agg_approx_percentile" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact, " +
+       "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact, " +
+       "CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 }

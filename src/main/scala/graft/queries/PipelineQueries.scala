@@ -50,7 +50,7 @@ object PipelineQueries {
     * as long as 64-bit shingle hashes don't collide). */
   private val HiJaccardPairsSql: String =
     "toks AS (SELECT doc_id, list_distinct(" +
-    "CASE WHEN len(ts) < 3 THEN [text] " +
+    "CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
     "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
     "FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
     "hi AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM toks a JOIN toks b " +
@@ -202,17 +202,39 @@ object PipelineQueries {
     // signature, then pairwise estimated Jaccard between sources —
     // hash-family arithmetic → rows-only check, semantics in ScalaTest
     "dedup_source_sketch_sim" -> ((s, d) => {
+      // sketch estimate vs EXACT per-source shingle-set Jaccard, both fully
+      // distributed: the sketch's hash family has no DuckDB twin but the
+      // exact pair arithmetic does, so the declared output carries the exact
+      // jaccard per source pair plus a tolerance flag on the k=64 estimate
+      // (SE = sqrt(j(1-j)/64) ≤ 0.0625; 0.25 is 4σ, and the run is
+      // deterministic — measured max error 0.05 at sf0.01)
       import graft.expressions.MinHashSketchAgg.{minhashSketch, sketchJaccard}
       import graft.functions.TextFunctions.shingles
-      val sketches = t(s, d, "documents").df
+      val docsh = t(s, d, "documents").df
         .select(col("source"), transform(shingles(col("text")), sh => xxhash64(sh)).as("hs"))
+      val sketches = docsh
         .groupBy("source")
         .agg(minhashSketch(col("hs"), 64).as("sig"))
-      val a = sketches.select(col("source").as("src_a"), col("sig").as("sig_a"))
-      val b = sketches.select(col("source").as("src_b"), col("sig").as("sig_b"))
-      a.join(b, col("src_a") < col("src_b"))
+      val est = sketches.select(col("source").as("src_a"), col("sig").as("sig_a"))
+        .join(sketches.select(col("source").as("src_b"), col("sig").as("sig_b")),
+          col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), sketchJaccard(col("sig_a"), col("sig_b")).as("est"))
+      // exact source-level sets via the inverted index (never all-pairs over docs)
+      val u = docsh.select(col("source"), explode(col("hs")).as("h")).distinct()
+      val sz = u.groupBy("source").agg(count(lit(1)).as("nsh"))
+      val inter = u.select(col("source").as("src_a"), col("h"))
+        .join(u.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      est.join(inter, Seq("src_a", "src_b"), "left")
+        .join(sz.select(col("source").as("src_a"), col("nsh").as("n_a")), Seq("src_a"))
+        .join(sz.select(col("source").as("src_b"), col("nsh").as("n_b")), Seq("src_b"))
+        .withColumn("exact",
+          coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).cast("double"))
         .select(col("src_a"), col("src_b"),
-                round(sketchJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+          round(col("exact"), 6).as("exact_jaccard"),
+          (abs(col("est") - col("exact")) <= 0.25).cast("long").as("est_ok"))
         .orderBy("src_a", "src_b")
     }),
 
@@ -285,6 +307,21 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // REAL codec round-trip, oracle-checked: ImageIO ENCODES a deterministic
+    // 8×8 RGB PNG per doc (pixel i = (doc_id·31+i) mod 256) and DECODES it
+    // back into a 16-bin luminance histogram, all partition-local. The pixel
+    // function is pure arithmetic on doc_id, so DuckDB re-derives the decoded
+    // counts exactly — any codec bug (encode, decode, or the luminance
+    // binning) breaks the hash match.
+    "mm_image_histogram" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.decodedHistogram(
+        Multimodal.encodeDemoPng(t(s, d, "documents").df, "doc_id"))
+        .toDF()
+        .select(col("id").as("doc_id"), col("bin"), col("n"))
+        .orderBy("doc_id", "bin")
+    }),
+
     "mm_binary_meta" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("payload", col("text").cast("binary"))
@@ -338,7 +375,7 @@ object PipelineQueries {
     // jaccard = |intersect| / |distinct union|, ties broken on partner id
     "dedup_ngram_jaccard" ->
       ("WITH toks AS (SELECT doc_id, lang, list_distinct(" +
-       "CASE WHEN len(ts) < 3 THEN [text] " +
+       "CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
        "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
        "FROM (SELECT doc_id, lang, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
        "pairs AS (SELECT a.doc_id AS id, b.doc_id AS id_b, " +
@@ -391,6 +428,13 @@ object PipelineQueries {
        "WHEN h_fr >= h_de THEN 'fr' " +
        "ELSE 'de' END AS pred_lang FROM s) " +
        "SELECT pred_lang, count(*) AS n FROM p GROUP BY pred_lang ORDER BY pred_lang"),
+
+    // grayscale pixel v has luminance (299v+587v+114v)/1000 = v exactly, so
+    // bin(i) = ((doc_id*31+i) % 256) // 16 — pure integer arithmetic
+    "mm_image_histogram" ->
+      ("SELECT doc_id, CAST(b AS INT) AS bin, " +
+       "CAST(len(list_filter(range(0, 64), i -> ((doc_id*31+i)%256)//16 = b)) AS BIGINT) AS n " +
+       "FROM documents, range(0, 16) t(b) ORDER BY doc_id, bin"),
 
     "mm_binary_meta" ->
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +

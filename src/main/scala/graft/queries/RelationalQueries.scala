@@ -283,9 +283,17 @@ object RelationalQueries {
           "measure", "value")
         .orderBy("s_suppkey", "measure").df),
 
-    // stats table shape differs per engine → rows-only check
-    "agg_describe" -> ((s, d) =>
-      t(s, d, "lineitem").describe("l_quantity", "l_extendedprice").df),
+    // describe() emits stats as STRINGS — parse them back to doubles and
+    // round mean/stddev (order-dependent float accumulation) so DuckDB can
+    // recompute every cell; count/min/max are exact
+    "agg_describe" -> ((s, d) => {
+      def stat(c: String) =
+        when(col("summary").isin("mean", "stddev"), round(col(c).cast("double"), 2))
+          .otherwise(col(c).cast("double"))
+      t(s, d, "lineitem").describe("l_quantity", "l_extendedprice")
+        .select(col("summary"), stat("l_quantity").as("q_qty"), stat("l_extendedprice").as("q_price"))
+        .orderBy("summary").df
+    }),
 
     "agg_corr" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -580,6 +588,15 @@ object RelationalQueries {
     "agg_approx_distinct" ->
       ("SELECT count(DISTINCT l_orderkey) AS exact_orders, " +
        "CAST(1 AS BIGINT) AS approx_within_rsd FROM lineitem"),
+
+    "agg_describe" ->
+      ("SELECT 'count' AS summary, CAST(count(l_quantity) AS DOUBLE) AS q_qty, " +
+       "CAST(count(l_extendedprice) AS DOUBLE) AS q_price FROM lineitem " +
+       "UNION ALL SELECT 'max', CAST(max(l_quantity) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem " +
+       "UNION ALL SELECT 'mean', round(avg(l_quantity), 2), round(avg(l_extendedprice), 2) FROM lineitem " +
+       "UNION ALL SELECT 'min', CAST(min(l_quantity) AS DOUBLE), CAST(min(l_extendedprice) AS DOUBLE) FROM lineitem " +
+       "UNION ALL SELECT 'stddev', round(stddev_samp(l_quantity), 2), round(stddev_samp(l_extendedprice), 2) FROM lineitem " +
+       "ORDER BY summary"),
 
     "agg_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +

@@ -19,15 +19,25 @@ object Bucketing {
   def writeBucketed(mf: MetaFrame, table: String, numBuckets: Int, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "at least one bucket key")
     val spark = mf.df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // parse-then-quote: a malformed name fails here instead of reaching the
+    // parser inside interpolated SQL text
+    val quoted = org.apache.spark.sql.graftbridge.quoteTable(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS $quoted") // managed location removed by the drop
     // an earlier process may have left the managed location behind — the
     // in-memory catalog forgets tables across restarts but files persist,
     // and CTAS refuses to reuse an existing location; the catalog derives
-    // the path (db-qualified names live under <db>.db/)
+    // the path (db-qualified names live under <db>.db/). After the drop no
+    // catalog entry can reference it, so anything still there is orphaned —
+    // but it may not be ours, so say what is being removed.
     val loc = new org.apache.hadoop.fs.Path(
       org.apache.spark.sql.graftbridge.defaultTablePath(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"writeBucketed($quoted): removing orphaned files at $loc " +
+          "(location is not referenced by any catalog entry)")
+      fs.delete(loc, true)
+    }
     mf.df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)

@@ -129,6 +129,13 @@ final class MetaStreamWriter(val w: DataStreamWriter[Row], val metadata: Map[Str
   def start(): StreamingQuery = w.start()
   def start(path: String): StreamingQuery = w.start(path)
 
+  /** Micro-batch escape hatch (the standard custom-sink path): each batch
+    * arrives re-wrapped as a MetaFrame carrying the stream's metadata — the
+    * raw writer's `foreachBatch` hands over a bare DataFrame and the
+    * provenance dies at the sink. */
+  def foreachBatch(f: (MetaFrame, Long) => Unit): MetaStreamWriter =
+    wrap(w.foreachBatch((batch: Dataset[Row], id: Long) => f(MetaFrame(batch, metadata), id)))
+
   /** File-sink start that also persists the metadata sidecar next to the
     * output (the streaming analogue of `MetaPersist.writeParquet`): the
     * stream's provenance survives the job even though the reference's

@@ -17,15 +17,32 @@ package object graftbridge {
       spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
 
-  /** Frees the materialized blocks behind a (local)checkpointed frame —
+  /** Frees the materialized storage behind a (local)checkpointed frame —
     * `Dataset.unpersist` only clears CacheManager entries, not the RDD a
     * checkpoint truncated the plan to (`LogicalRDD` is `private[sql]`,
-    * hence the shim). No-op on frames that aren't checkpoints. */
+    * hence the shim). For RELIABLE checkpoints the materialized files are
+    * deleted too: Spark itself only cleans them with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so without
+    * this an iterative loop grows checkpoint-dir disk O(rounds). Callers
+    * must therefore only free a round AFTER the next round has materialized
+    * (the iterative loops here do). No-op on frames that aren't checkpoints. */
   def freeCheckpoint(df: Dataset[_]): Unit =
     df.queryExecution.analyzed.foreach {
-      case l: execution.LogicalRDD => l.rdd.unpersist(false)
+      case l: execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { dir => // None for local checkpoints
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
+        l.rdd.unpersist(false)
       case _ =>
     }
+
+  /** Parses a user-supplied table name with Spark's own SQL parser (rejecting
+    * malformed identifiers) and returns it fully quoted for safe
+    * interpolation into SQL text. */
+  def quoteTable(spark: SparkSession, table: String): String =
+    spark.sessionState.sqlParser.parseTableIdentifier(table).quotedString
 
   /** The location the catalog would assign a managed table of this name
     * (database-qualified names resolve into `<db>.db/` subdirectories —
