@@ -1,42 +1,131 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.SparkEntry
+import graft.operators.Dedup
+import graft.sources.Tables
 
-/** Dev tool: runs the heavy pipeline queries at a given sf, printing row
-  * counts, wall time, and asserting no CartesianProduct/BroadcastNestedLoop
-  * appears in any physical plan. Run: `sbt "runMain graft.tools.AuditScale [sfDir]"`. */
+/** Scale rehearsal: runs the heavy pipeline + flagship queries at two scale
+  * factors (sf0.1 and the [[Amplify]]-generated sf1 equivalent) and emits a
+  * JSON report with per-query wall time, the sf1/sf0.1 scaling ratio, and a
+  * physical-plan check (no CartesianProduct / BroadcastNestedLoopJoin may
+  * appear). A ratio near the data ratio (10×, with constant-overhead slack)
+  * is the evidence that the plan shape survives a scale-up — a superlinear
+  * ratio names the operator to fix.
+  *
+  * Timing action is a `noop`-format write so every output row is computed
+  * without driver collection; one warm pass at sf0.01 precedes the timed
+  * runs (JIT + parquet footer cache).
+  *
+  * Run: `sbt "runMain graft.tools.AuditScale [out.json] [smallDir] [bigDir]"`.
+  */
 object AuditScale {
+
+  /** The r3-verdict heavy set: three TPC-H flagships + the scale-sensitive
+    * pipeline operators. `dedup_cc_exact` keeps its declared bounded input
+    * (vec_id < 300 at every sf — its oracle needs a DuckDB-recomputable pair
+    * set), so `cc_scaled_simhash` gives connected components a corpus-scaled
+    * input too: edges are the SimHash candidate pairs over the documents
+    * table, which grow linearly with the corpus. */
+  val Heavy: Seq[String] = Seq(
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cc_exact",
+    "sim_topk_ivf", "mm_image_histogram")
+
+  /** Queries whose declared input is intentionally sf-independent (oracle
+    * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
+  val FixedInput: Set[String] = Set("dedup_cc_exact")
+
+  /** Queries where a BroadcastNestedLoopJoin is the intended plan: a tiny
+    * broadcast side (the query set / centroid table) against every row is
+    * exactly what brute-force scoring and IVF cell-probing mean. Everything
+    * else must stay hash/sort based, and CartesianProduct is never allowed. */
+  val BnljAllowed: Set[String] = Set("sim_topk_ivf", "sim_topk_brute")
+
+  def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Heavy.map(n => n -> SparkEntry.queries(n)) :+
+      ("cc_scaled_simhash" -> ((s: SparkSession, d: String) =>
+        Dedup.connectedComponents(
+          Dedup.simhashNearDup(Tables.load(s, d, "documents"), "doc_id", "text")
+            .select(col("id_a"), col("id_b")),
+          "id_a", "id_b")))
+
+  /** One timed run. Construction is INSIDE the timer: the iterative
+    * operators (connected components, fixpoint refinement) execute their
+    * rounds eagerly while the result frame is being built, so timing only
+    * the final write would miss the actual work. Best-of-2 smooths
+    * first-read page-cache effects on the freshly written sf1 files. */
+  def runOne(spark: SparkSession, dir: String, name: String,
+      fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
+    def once(): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val df = fn(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+      val flagged = plan.contains("CartesianProduct") ||
+        (plan.contains("BroadcastNestedLoopJoin") && !BnljAllowed.contains(name))
+      (secs, flagged)
+    }
+    val (s1, f1) = once()
+    val (s2, f2) = once()
+    (math.min(s1, s2), f1 || f2)
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = args.headOption.getOrElse("SCALE_r04.json")
+    val smallDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val bigDir = args.lift(2).getOrElse("target/scale/sf1")
+    val warmDir = "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val heavy = Seq(
-      "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-      "dedup_embedding_cosine", "sim_topk_brute", "sim_topk_lsh",
-      "text_fingerprint", "join_asof", "dedup_exact_hash")
-    var bad = 0
-    heavy.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.executedPlan.toString
-      val cartesian = plan.contains("CartesianProduct")
-      val bnlj = plan.contains("BroadcastNestedLoopJoin")
-      val t0 = System.nanoTime()
-      val n = df.count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      // brute-force top-k intentionally uses a broadcast nested loop on the
-      // tiny query set; everything else must be hash/sort based
-      val flagged = cartesian || (bnlj && name != "sim_topk_brute")
-      if (flagged) bad += 1
-      println(f"[audit] $name%-24s rows=$n%-8d ${secs}%.2fs cartesian=$cartesian bnlj=$bnlj${if (flagged) "  <-- BAD" else ""}")
+
+    if (!Files.exists(Paths.get(bigDir)))
+      Amplify.amplify(spark, smallDir, bigDir, copies = 10)
+
+    val fns = queryFns
+    // warm pass: JIT + codegen cache on the small sf
+    fns.foreach { case (n, fn) => runOne(spark, warmDir, n, fn) }
+
+    val small = fns.map { case (n, fn) =>
+      val (secs, flagged) = runOne(spark, smallDir, n, fn)
+      println(f"[scale] sf0.1 $n%-28s ${secs}%7.2fs flagged=$flagged")
+      n -> (secs, flagged)
+    }.toMap
+    val big = fns.map { case (n, fn) =>
+      val (secs, flagged) = runOne(spark, bigDir, n, fn)
+      println(f"[scale] sf1   $n%-28s ${secs}%7.2fs flagged=$flagged")
+      n -> (secs, flagged)
+    }.toMap
+
+    val entries = fns.map { case (n, _) =>
+      val (s, fs) = small(n)
+      val (b, fb) = big(n)
+      val ratio = b / s
+      f"""    "$n": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $ratio%.2f, "plan_flagged": ${fs || fb}, "fixed_input": ${FixedInput.contains(n)}}"""
     }
-    println(s"[audit] flagged=$bad")
+    val json =
+      s"""{
+  "data_ratio": 10,
+  "note": "sf1 = Amplify 10x key-shifted replication of sf0.1 (join fan-out preserved; per-replica token bijection for documents, component rotation for embeddings). fixed_input queries keep an sf-independent declared input (oracle boundedness); ratio ~1 expected there.",
+  "queries": {
+${entries.mkString(",\n")}
+  }
+}
+"""
+    Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
+    println(s"[scale] wrote $outPath")
     spark.stop()
   }
 }
