@@ -69,9 +69,14 @@ object Multimodal {
       * [[FeatureDim]] counts. None when the payload is not a decodable
       * raster image. */
     def imageHistogram(content: Array[Byte]): Option[Array[Long]] = {
+      // NonFatal, not just IOException: ImageIO plugin readers throw
+      // RuntimeExceptions (CMMException, IndexOutOfBounds, IllegalArgument)
+      // on corrupt image-like payloads, and decode() dispatches arbitrary
+      // binary content here — a malformed payload must fall back to the
+      // stub, not fail the Spark task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val bins = new Array[Long](FeatureDim)

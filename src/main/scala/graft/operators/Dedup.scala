@@ -124,20 +124,29 @@ object Dedup {
     var cur = truncate(assignments)
     var round = 0
     var changed = true
-    while (changed && round < maxRounds) {
-      val next = truncate(refineClusters(cur, idCol))
-      val diff = next.alias("n")
-        .join(cur.alias("c"), col(s"n.$idCol") === col(s"c.$idCol"))
-        .filter(col("n.cluster_id") =!= col("c.cluster_id"))
-        .limit(1).count()
-      graftbridge.freeCheckpoint(cur)
-      changed = diff > 0
-      cur = next
-      round += 1
+    // on ANY failure path (non-convergence throw, job failure mid-round) the
+    // live round's checkpoint is freed before rethrowing — without this the
+    // reliable-checkpoint files of the last round leak on error
+    try {
+      while (changed && round < maxRounds) {
+        val next = truncate(refineClusters(cur, idCol))
+        val diff = next.alias("n")
+          .join(cur.alias("c"), col(s"n.$idCol") === col(s"c.$idCol"))
+          .filter(col("n.cluster_id") =!= col("c.cluster_id"))
+          .limit(1).count()
+        graftbridge.freeCheckpoint(cur)
+        changed = diff > 0
+        cur = next
+        round += 1
+      }
+      if (changed) throw new IllegalStateException(
+        s"refineToFixpoint did not converge within $maxRounds rounds — " +
+          "raise maxRounds (rounds needed ≈ log2 of the longest pointer chain)")
+    } catch {
+      case t: Throwable =>
+        graftbridge.freeCheckpoint(cur)
+        throw t
     }
-    if (changed) throw new IllegalStateException(
-      s"refineToFixpoint did not converge within $maxRounds rounds — " +
-        "raise maxRounds (rounds needed ≈ log2 of the longest pointer chain)")
     cur
   }
 
@@ -163,36 +172,46 @@ object Dedup {
         .withColumn("component", col("id")))
     var round = 0
     var changed = true
-    while (changed && round < maxRounds) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("id2"))
-        .agg(min(col("component")).as("nbr_min"))
-      val propagated = labels
-        .join(neighborMin, labels("id") === col("id2"), "left")
-        .select(labels("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-      // pointer jump: component := least(component, component[component])
-      val reps = propagated.select(
-        col("id").as("__rep_id"), col("component").as("__rep_component"))
-      val next = truncate(
-        propagated.join(reps, propagated("component") === reps("__rep_id"), "left")
-          .select(propagated("id"),
-            least(propagated("component"),
-              coalesce(col("__rep_component"), propagated("component"))).as("component")))
-      val diff = next.alias("n")
-        .join(labels.alias("c"), col("n.id") === col("c.id"))
-        .filter(col("n.component") =!= col("c.component"))
-        .limit(1).count()
-      graftbridge.freeCheckpoint(labels)
-      changed = diff > 0
-      labels = next
-      round += 1
+    // failure paths free the live checkpoints (edges + current labels)
+    // before rethrowing, so neither the non-convergence throw nor a
+    // mid-round job failure leaks reliable-checkpoint files
+    try {
+      while (changed && round < maxRounds) {
+        val neighborMin = edges
+          .join(labels, edges("dst") === labels("id"))
+          .groupBy(edges("src").as("id2"))
+          .agg(min(col("component")).as("nbr_min"))
+        val propagated = labels
+          .join(neighborMin, labels("id") === col("id2"), "left")
+          .select(labels("id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        // pointer jump: component := least(component, component[component])
+        val reps = propagated.select(
+          col("id").as("__rep_id"), col("component").as("__rep_component"))
+        val next = truncate(
+          propagated.join(reps, propagated("component") === reps("__rep_id"), "left")
+            .select(propagated("id"),
+              least(propagated("component"),
+                coalesce(col("__rep_component"), propagated("component"))).as("component")))
+        val diff = next.alias("n")
+          .join(labels.alias("c"), col("n.id") === col("c.id"))
+          .filter(col("n.component") =!= col("c.component"))
+          .limit(1).count()
+        graftbridge.freeCheckpoint(labels)
+        changed = diff > 0
+        labels = next
+        round += 1
+      }
+      if (changed) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds — " +
+          "raise maxRounds (rounds needed ≈ log2 of the largest component's diameter)")
+    } catch {
+      case t: Throwable =>
+        graftbridge.freeCheckpoint(labels)
+        graftbridge.freeCheckpoint(edges)
+        throw t
     }
     graftbridge.freeCheckpoint(edges)
-    if (changed) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxRounds rounds — " +
-        "raise maxRounds (rounds needed ≈ log2 of the largest component's diameter)")
     labels
   }
 
@@ -228,6 +247,20 @@ object Dedup {
       simhash64(textCol).as("simhash"),
       shiftright(simhash64(textCol), 48).as("bucket"))
 
+  /** Document-frequency cut for an exploded inverted index: drops every
+    * shingle whose posting list exceeds `maxDf` before the index self-joins.
+    * One extra aggregation + semi-join on the SAME key the self-join uses,
+    * so AQE plans them together; skipped entirely at the exact default. */
+  private def capDf(inv: DataFrame, keyCols: Seq[String], maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue) inv
+    else {
+      val kept = inv.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf)
+        .select(keyCols.map(col): _*)
+      inv.join(kept, keyCols, "left_semi")
+    }
+
   /** N-gram Jaccard best match via an inverted shingle index.
     *
     * Instead of materializing every within-block pair and intersecting two
@@ -240,13 +273,26 @@ object Dedup {
     * the pairwise product, and the join key (block, shingle) distributes
     * uniformly at cluster scale. Docs sharing no shingle with anyone fall
     * back to the smallest other id in their block with jaccard 0, exactly
-    * matching the naive all-pairs ranking. */
+    * matching the naive all-pairs ranking.
+    *
+    * `maxShingleDf` caps per-shingle document frequency (within the block):
+    * a boilerplate shingle shared by millions of documents — license
+    * headers, navigation chrome, the normal case in web corpora — turns its
+    * Σ freq² reduce key into a quadratic hot spot, and a shingle that common
+    * carries ~zero Jaccard signal anyway. Shingles above the cap are dropped
+    * BEFORE the self-join (the standard df-cut), bounding per-key join work
+    * at cap². Intersections then count surviving shingles only while set
+    * sizes stay full, so capped Jaccard is a lower bound of the exact value
+    * — recall of high-Jaccard pairs is unaffected in practice because
+    * near-dup pairs share many rare shingles, but scores can only shrink.
+    * The default (Long.MaxValue) is exact. */
   def ngramJaccardBestMatch(
       df: DataFrame,
       idCol: String,
       textCol: String,
       blockCol: String,
-      shingleWidth: Int = 3): DataFrame = {
+      shingleWidth: Int = 3,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // shingle IDENTITY is all the set arithmetic needs, so shingles travel
     // as rolled 64-bit hashes (ShingleHashes) — no string concatenation on
@@ -261,7 +307,9 @@ object Dedup {
         transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as("sh"))
       .repartition(col("id"))
     val sizes = toks.select(col("id"), col("block"), size(col("sh")).as("nsh"))
-    val inv = toks.select(col("block"), col("id"), explode(col("sh")).as("s"))
+    val inv = capDf(
+      toks.select(col("block"), col("id"), explode(col("sh")).as("s")),
+      Seq("block", "s"), maxShingleDf)
     val overlaps = inv.select(col("block"), col("id").as("id_a"), col("s"))
       .join(inv.select(col("block"), col("id").as("id_b"), col("s")), Seq("block", "s"))
       .filter(col("id_a") =!= col("id_b"))
@@ -305,20 +353,30 @@ object Dedup {
     * the exact ground-truth pair set the LSH paths are verified against in
     * the declared property queries. No blocking column: only docs that
     * actually share a shingle meet, and at a high threshold the survivor
-    * set is tiny. */
+    * set is tiny.
+    *
+    * `maxShingleDf`: same df-cut dial as [[ngramJaccardBestMatch]] (here the
+    * frequency is corpus-wide — there is no block). Default Long.MaxValue
+    * keeps the exact semantics the oracles pin; at web-corpus scale set it
+    * to a few hundred so one boilerplate shingle cannot become a quadratic
+    * reduce key. Capped Jaccard is a lower bound, so with a threshold query
+    * the trade is possible false negatives among pairs whose overlap is
+    * mostly boilerplate — which are exactly the pairs a near-dup pass
+    * should not surface anyway. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minJaccard: Double,
-      shingleWidth: Int = 3): DataFrame = {
+      shingleWidth: Int = 3,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val toks = df.select(
       col(idCol).as("id"),
       array_distinct(graft.expressions.MinHashSignature.shingleHashes(
         transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as("sh"))
       .repartition(col("id"))
     val sizes = toks.select(col("id"), size(col("sh")).as("nsh"))
-    val inv = toks.select(col("id"), explode(col("sh")).as("s"))
+    val inv = capDf(toks.select(col("id"), explode(col("sh")).as("s")), Seq("s"), maxShingleDf)
     inv.select(col("id").as("id_a"), col("s"))
       .join(inv.select(col("id").as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))

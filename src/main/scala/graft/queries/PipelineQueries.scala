@@ -13,10 +13,14 @@ import graft.sources.Tables
   * (SURVEY.md §2.3): dedup, similarity search, text analysis, multimodal.
   *
   * Oracle coverage: operators whose arithmetic is ANSI-SQL-expressible
-  * (exact dedup, token stats, fingerprints, binary metadata) carry DuckDB
-  * oracle SQL; the hash-family operators (MinHash/SimHash/LSH — Spark
-  * xxhash64 has no DuckDB twin) are deterministic but rows-only checked
-  * here and semantically tested in ScalaTest instead. */
+  * (exact dedup, token stats, fingerprints, binary metadata, frame/codec
+  * integer arithmetic) carry exact DuckDB oracle SQL; the hash-family
+  * operators (MinHash/SimHash/LSH — Spark xxhash64 has no DuckDB twin)
+  * declare PROPERTY oracles instead: DuckDB recomputes the exact ground
+  * truth (pair sets, per-source Jaccard, top-k) from raw text/vectors and
+  * the query emits measured recall/false-positive/tolerance columns against
+  * it. Only mm_features (stub decode for non-image modalities) remains
+  * rows-only. Raw signature semantics stay pinned in ScalaTest. */
 object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): MetaFrame =
@@ -115,13 +119,14 @@ object PipelineQueries {
       Dedup.exact(t(s, d, "documents").df, "doc_id", "text")
         .orderBy("content_hash")),
 
-    // MinHash+LSH property oracle: every planted near-dup pair (exact
-    // shingle Jaccard ≥ 0.8, DuckDB-recomputable) must land in one cluster
-    // with both docs flagged. With r=4/b=8 banding the per-pair miss
-    // probability at j ≥ 0.9 is (1−j⁴)⁸ ≈ 2e-4 and the run is fully
-    // deterministic, so all three counts equal |hi| — which DuckDB computes
-    // from raw text. Raw signature/cluster semantics stay pinned in
-    // PipelineOpsSpec.
+    // MinHash+LSH property oracle: planted near-dup pairs (exact shingle
+    // Jaccard ≥ 0.8, DuckDB-recomputable) must land in one cluster with both
+    // docs flagged. With r=4/b=8 banding the per-pair miss probability at
+    // j ≥ 0.9 is (1−j⁴)⁸ ≈ 2e-4; the run is deterministic (measured recall
+    // 100% on the shipped corpus) but the ORACLE pins a ≥ 95% floor rather
+    // than exact equality so regenerating the corpus — more plants, plants
+    // near j = 0.8 — can't spuriously fail on a banding miss the guarantee
+    // explicitly allows. n_hi_pairs stays DuckDB-exact.
     "dedup_minhash_lsh" -> ((s, d) => {
       val clusters = Dedup.minHashLsh(t(s, d, "documents").df, "doc_id", "text")
       hiJaccardPairs(s, d)
@@ -131,10 +136,12 @@ object PipelineQueries {
           col("cluster_id").as("cl_b"), col("has_candidate").as("hc_b")), Seq("id_b"))
         .agg(
           count(lit(1)).as("n_hi_pairs"),
-          coalesce(sum(when(col("cl_a") === col("cl_b"), 1L).otherwise(0L)), lit(0L))
-            .as("n_same_cluster"),
-          coalesce(sum(when(col("hc_a") && col("hc_b"), 1L).otherwise(0L)), lit(0L))
-            .as("n_both_flagged"))
+          (coalesce(sum(when(col("cl_a") === col("cl_b"), 1L).otherwise(0L)), lit(0L))
+            .cast("double") >= count(lit(1)).cast("double") * 0.95)
+            .cast("long").as("cluster_recall_ok"),
+          (coalesce(sum(when(col("hc_a") && col("hc_b"), 1L).otherwise(0L)), lit(0L))
+            .cast("double") >= count(lit(1)).cast("double") * 0.95)
+            .cast("long").as("flag_recall_ok"))
     }),
 
     // SimHash property oracle: banded candidate generation must recover
@@ -392,8 +399,8 @@ object PipelineQueries {
     // here) or deterministic measured flags (SimHash/LSH recall dials)
     "dedup_minhash_lsh" ->
       ("WITH " + HiJaccardPairsSql +
-       "SELECT count(*) AS n_hi_pairs, count(*) AS n_same_cluster, " +
-       "count(*) AS n_both_flagged FROM hi"),
+       "SELECT count(*) AS n_hi_pairs, CAST(1 AS BIGINT) AS cluster_recall_ok, " +
+       "CAST(1 AS BIGINT) AS flag_recall_ok FROM hi"),
 
     "dedup_simhash" ->
       ("WITH " + HiJaccardPairsSql +
@@ -428,6 +435,41 @@ object PipelineQueries {
        "WHEN h_fr >= h_de THEN 'fr' " +
        "ELSE 'de' END AS pred_lang FROM s) " +
        "SELECT pred_lang, count(*) AS n FROM p GROUP BY pred_lang ORDER BY pred_lang"),
+
+    // frame sampling is pure integer arithmetic on the payload byte length:
+    // nFrames = len%30+1, frameLen = max(len//nFrames, 1), keep even frame
+    // idx; the last frame of a short (<30-byte) payload can run past the end
+    // and clamp (possibly to zero bytes) — the CASE reproduces the substr
+    // clamping exactly
+    "mm_frame_sample" ->
+      ("WITH f AS (SELECT doc_id, len, len % 30 + 1 AS nf, greatest(len // (len % 30 + 1), 1) AS fl " +
+       "FROM (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len FROM documents)), " +
+       "g AS (SELECT doc_id, len, fl, unnest(range(0, nf)) AS i FROM f) " +
+       "SELECT doc_id AS id, CAST(i AS INT) AS frame_idx, " +
+       "CAST(CASE WHEN (i + 1) * fl <= len THEN fl ELSE greatest(len - i * fl, 0) END AS BIGINT) AS frame_len " +
+       "FROM g WHERE i % 2 = 0 ORDER BY id, frame_idx"),
+
+    // group-level sketch: the k=64 MinHash estimate has no DuckDB twin, but
+    // the declared output is the EXACT per-source shingle-set Jaccard (same
+    // string-shingle arithmetic as HiJaccardPairsSql, aggregated per source)
+    // plus a deterministic 4σ tolerance flag on the estimate (SE ≤ 0.0625,
+    // measured max error 0.05 at sf0.01) — DuckDB re-derives every exact
+    // cell and pins the flag
+    "dedup_source_sketch_sim" ->
+      ("WITH toks AS (SELECT source, list_distinct(" +
+       "CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+       "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
+       "FROM (SELECT source, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
+       "u AS (SELECT DISTINCT source, s FROM (SELECT source, unnest(sh) AS s FROM toks)), " +
+       "sz AS (SELECT source, count(*) AS nsh FROM u GROUP BY source), " +
+       "it AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS i " +
+       "FROM u a JOIN u b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2) " +
+       "SELECT sa.source AS src_a, sb.source AS src_b, " +
+       "round(CAST(COALESCE(it.i, 0) AS DOUBLE) / (sa.nsh + sb.nsh - COALESCE(it.i, 0)), 6) AS exact_jaccard, " +
+       "CAST(1 AS BIGINT) AS est_ok " +
+       "FROM sz sa JOIN sz sb ON sa.source < sb.source " +
+       "LEFT JOIN it ON it.src_a = sa.source AND it.src_b = sb.source " +
+       "ORDER BY src_a, src_b"),
 
     // grayscale pixel v has luminance (299v+587v+114v)/1000 = v exactly, so
     // bin(i) = ((doc_id*31+i) % 256) // 16 — pure integer arithmetic

@@ -25,9 +25,16 @@ package object graftbridge {
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so without
     * this an iterative loop grows checkpoint-dir disk O(rounds). Callers
     * must therefore only free a round AFTER the next round has materialized
-    * (the iterative loops here do). No-op on frames that aren't checkpoints. */
+    * (the iterative loops here do).
+    *
+    * Deletion is deliberately restricted to the case where the frame IS the
+    * checkpoint — the plan root is the `LogicalRDD` — and a no-op otherwise:
+    * walking the whole plan would also destroy checkpoint files merely
+    * EMBEDDED in a larger query (`df.checkpoint().join(...)`), which another
+    * live frame may still reference. Free the checkpointed frame itself, not
+    * frames derived from it. */
   def freeCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case l: execution.LogicalRDD =>
         l.rdd.getCheckpointFile.foreach { dir => // None for local checkpoints
           val p = new org.apache.hadoop.fs.Path(dir)

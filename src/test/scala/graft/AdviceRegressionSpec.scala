@@ -132,6 +132,42 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(back.metadata("plain") == "ok")
   }
 
+  // ---- ADVICE r3 low: codec dispatch survives corrupt image-like payloads
+
+  test("decode falls back to the stub on payloads that crash ImageIO, not just IOException") {
+    // a truncated PNG: magic bytes pass the format sniff, the chunk data is
+    // garbage — plugin readers may throw RuntimeExceptions here, which must
+    // surface as the stub features, not a task failure
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R', 7, 7, 7, 7, 7, 7, 7)
+    val feats = multimodal.Multimodal.MediaCodec.decode(corrupt)
+    assert(feats.length == multimodal.Multimodal.MediaCodec.FeatureDim)
+    assert(feats.sameElements(multimodal.Multimodal.MediaCodec.decodeStub(corrupt)))
+  }
+
+  // ---- ADVICE r3 low: freeCheckpoint only frees bare checkpoint frames
+
+  test("freeCheckpoint is a no-op on plans that merely embed a checkpoint") {
+    import spark.implicits._
+    val cp = Seq((1L, "a"), (2L, "b")).toDF("id", "v").localCheckpoint()
+    val derived = cp.filter(col("id") > 0L).select(col("id"))
+    org.apache.spark.sql.graftbridge.freeCheckpoint(derived)
+    // the embedded checkpoint must still be materialized and queryable
+    assert(cp.count() == 2L)
+    org.apache.spark.sql.graftbridge.freeCheckpoint(cp) // root case still frees
+  }
+
+  test("non-convergent refineToFixpoint still throws (cleanup path does not swallow)") {
+    import spark.implicits._
+    // a 9-node pointer chain needs >1 round; budget 0 rounds forces the
+    // non-convergence throw, which must survive the checkpoint cleanup
+    val chain = (1L to 9L).map(i => (i, math.max(i - 1, 1L))).toDF("id", "cluster_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.refineToFixpoint(chain, "id", maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   // ---- ADVICE r1 low: dot product length-mismatch semantics
 
   test("native dot and HOF dot agree on mismatched lengths: both NULL") {

@@ -75,6 +75,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       "zero-overlap doc falls back to smallest other id at jaccard 0")
   }
 
+  test("shingle df-cap: no-op at the exact default, bounds hot-key candidates when set") {
+    import spark.implicits._
+    // every doc opens with the same boilerplate (df = 4 for those shingles);
+    // bodies are pairwise disjoint, so all cross-doc overlap IS boilerplate
+    val boiler = "standard license header applies to this file do not remove it"
+    val corpus = Seq(
+      (1L, s"$boiler alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, s"$boiler india juliet kilo lima mike november oscar papa"),
+      (3L, s"$boiler quebec romeo sierra tango uniform victor whiskey xray"),
+      (4L, s"$boiler yankee zulu zero one two three four five")
+    ).toDF("doc_id", "text")
+    def pairs(cap: Long) =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", minJaccard = 0.01, maxShingleDf = cap)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    val exact = pairs(Long.MaxValue)
+    assert(exact.size == 6, "boilerplate makes every pair overlap")
+    // a cap at/above the max df changes nothing
+    assert(pairs(4L) == exact)
+    // a cap below the boilerplate df removes the hot shingles before the
+    // self-join: boilerplate-only pairs disappear, so per-key join work is
+    // bounded by cap^2 instead of corpus^2
+    val capped = pairs(3L)
+    assert(capped.isEmpty, "only boilerplate connected these docs")
+
+    // best-match under the cap degrades to the jaccard-0 fallback, never errors
+    val withBlock = corpus.withColumn("block", lit("all"))
+    val bm = Dedup.ngramJaccardBestMatch(withBlock, "doc_id", "text", "block", maxShingleDf = 3L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("jaccard")).toMap
+    assert(bm.keySet == Set(1L, 2L, 3L, 4L) && bm.values.forall(_ == 0.0))
+    val bmExact = Dedup.ngramJaccardBestMatch(withBlock, "doc_id", "text", "block")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("jaccard")).toMap
+    assert(bmExact.values.forall(_ > 0.0))
+    // capped scores are a lower bound of exact ones
+    assert(bm.forall { case (id, j) => j <= bmExact(id) })
+  }
+
   test("fingerprint is order-insensitive but content-sensitive") {
     import spark.implicits._
     val df = Seq(
