@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, DataFrameNaFunctions, DataFrameStatFunctions, DataFrameWriter, DataFrameWriterV2, Dataset, Encoders, RelationalGroupedDataset, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.sketch
 
 /** Metadata-annotated DataFrame — the Spark-native re-expression of the
   * reference's `MetaFrame` (reference: metaframe/metaframe.py:27-197).
@@ -81,6 +82,17 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
     * pk-verified flag survives and downstream dedups can still be elided. */
   @inline private def wrapKeep(d: DataFrame): MetaFrame = copy(df = d)
 
+  /** Memoized views of THIS frame's analyzed plan, shared by every
+    * projection forwarded from it: a long synthesized chain of projections
+    * calls [[wrapProj]] once per op, and without the cache each call walked
+    * both the old and the new plan — quadratic driver work over the chain.
+    * `analyzed` itself is a lazy val inside Spark's QueryExecution, so these
+    * only pay one output scan / one tree walk per MetaFrame instance. */
+  @transient private lazy val analyzedOutputIds
+      : Map[String, org.apache.spark.sql.catalyst.expressions.ExprId] =
+    df.queryExecution.analyzed.output.map(a => a.name -> a.exprId).toMap
+  @transient private lazy val generateCount: Int = MetaFrame.countGenerates(df)
+
   /** Rewrap for projections: row-preserving (Project) keeps the flag, but a
     * generator (explode & co.) multiplies rows and must drop it. Detected on
     * the analyzed plans so `select(explode(...))` is caught reliably.
@@ -90,19 +102,17 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
     * `withColumn(pkCol, lit(1))` or `select(expr.as(pkCol))`) can collide
     * previously-unique values, so uniqueness is no longer proven. Checked by
     * exprId on the analyzed outputs — an unchanged attribute keeps its
-    * exprId, any rewrite allocates a fresh one. */
+    * exprId, any rewrite allocates a fresh one. The old-plan side of both
+    * checks reads the memoized fields above; the Generate walk over the new
+    * plan is skipped entirely when pass-through already failed. */
   @inline private def wrapProj(d: DataFrame): MetaFrame =
-    if (!metadata.contains(PkVerifiedField)) wrap(d)
+    if (!metadata.contains(PkVerifiedField) || primaryKey.forall(_.isEmpty)) wrap(d)
     else {
-      import org.apache.spark.sql.catalyst.plans.logical.Generate
-      def gens(x: DataFrame): Int =
-        x.queryExecution.analyzed.collect { case g: Generate => g }.size
       val pkPassThrough = primaryKey.forall { pk =>
-        val oldIds = df.queryExecution.analyzed.output.map(a => a.name -> a.exprId).toMap
         val newIds = d.queryExecution.analyzed.output.map(a => a.name -> a.exprId).toMap
-        pk.forall(c => oldIds.get(c).exists(id => newIds.get(c).contains(id)))
+        pk.forall(c => analyzedOutputIds.get(c).exists(id => newIds.get(c).contains(id)))
       }
-      if (pkPassThrough && gens(d) == gens(df)) wrapKeep(d) else wrap(d)
+      if (pkPassThrough && MetaFrame.countGenerates(d) == generateCount) wrapKeep(d) else wrap(d)
     }
 
   @inline private def wrapPk(d: DataFrame, pk: Seq[String]): MetaFrame =
@@ -417,6 +427,11 @@ object MetaFrame {
 
   /** reference: default metadata `{}` (metaframe.py:66-69). */
   def apply(df: DataFrame): MetaFrame = MetaFrame(df, Map.empty)
+
+  private[graft] def countGenerates(d: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    d.queryExecution.analyzed.collect { case g: Generate => g }.size
+  }
 }
 
 /** Wrapper for `RelationalGroupedDataset` — the reference wraps `GroupedData`
@@ -532,4 +547,22 @@ final class MetaStatFunctions(val stat: DataFrameStatFunctions, parent: MetaFram
     wrap(stat.freqItems(cols, support))
   def sampleBy[T](col: String, fractions: Map[T, Double], seed: Long): MetaFrame =
     parent.copy(df = stat.sampleBy(col, fractions, seed))
+  // sketch builders are terminal actions (driver-side sketch objects, no
+  // frame to re-wrap) — forwarded raw like the other scalar stat members
+  def bloomFilter(colName: String, expectedNumItems: Long, fpp: Double): sketch.BloomFilter =
+    stat.bloomFilter(colName, expectedNumItems, fpp)
+  def bloomFilter(col: Column, expectedNumItems: Long, fpp: Double): sketch.BloomFilter =
+    stat.bloomFilter(col, expectedNumItems, fpp)
+  def bloomFilter(colName: String, expectedNumItems: Long, numBits: Long): sketch.BloomFilter =
+    stat.bloomFilter(colName, expectedNumItems, numBits)
+  def bloomFilter(col: Column, expectedNumItems: Long, numBits: Long): sketch.BloomFilter =
+    stat.bloomFilter(col, expectedNumItems, numBits)
+  def countMinSketch(colName: String, depth: Int, width: Int, seed: Int): sketch.CountMinSketch =
+    stat.countMinSketch(colName, depth, width, seed)
+  def countMinSketch(colName: String, eps: Double, confidence: Double, seed: Int): sketch.CountMinSketch =
+    stat.countMinSketch(colName, eps, confidence, seed)
+  def countMinSketch(col: Column, depth: Int, width: Int, seed: Int): sketch.CountMinSketch =
+    stat.countMinSketch(col, depth, width, seed)
+  def countMinSketch(col: Column, eps: Double, confidence: Double, seed: Int): sketch.CountMinSketch =
+    stat.countMinSketch(col, eps, confidence, seed)
 }

@@ -167,6 +167,19 @@ class MetaFrameSpec extends AnyFunSuite {
     assert(mf.stat.approxQuantile("quantity", Array(0.5), 0.01).length == 1)
   }
 
+  test("stat facade: bloomFilter and countMinSketch sketch builders forward raw") {
+    val mf = MetaFrame(fixture, metadata)
+    val bf = mf.stat.bloomFilter("product_id", 100L, 0.03)
+    val present = fixture.select("product_id").distinct()
+      .collect().map(_.get(0))
+    assert(present.forall(bf.mightContain), "no false negatives by construction")
+    assert(!bf.mightContain("definitely-not-a-product-id-zzz"))
+    val cms = mf.stat.countMinSketch("product_id", depth = 5, width = 100, seed = 42)
+    assert(cms.totalCount() == fixture.count())
+    // CMS never under-counts
+    assert(present.forall(v => cms.estimateCount(v) >= 1L))
+  }
+
   test("transform composes through the metadata layer") {
     val mf = MetaFrame(fixture, metadata)
     val out = mf.transform(_.filter(col("quantity") > 5)).transform(_.select("product_id"))
@@ -206,6 +219,22 @@ class MetaFrameSpec extends AnyFunSuite {
     val deduped = exploded.dropDuplicates(Seq("product_id"))
     assert(!(deduped.df eq exploded.df), "must not elide after explode")
     assert(deduped.count() == 8)
+  }
+
+  test("long projection chain on a verified pk stays linear (memoized plan checks)") {
+    val unique = MetaFrame(fixture, metadata).groupBy("product_id").agg(sum("quantity").as("q"))
+    val t0 = System.nanoTime()
+    val chained = (1 to 200).foldLeft(unique)((m, i) => m.withColumn(s"c$i", lit(i)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    // each op analyzes only its own new plan once; Spark's analyzer dominates.
+    // The pre-memoization version re-walked both plans per op — a 200-op
+    // chain with a verified pk must stay comfortably inside this bound.
+    assert(secs < 30.0, f"200-op chain took $secs%.1fs — quadratic re-analysis suspected")
+    // semantics unchanged: the flag survived the chain, dedup still elides
+    assert(chained.dropDuplicates(Seq("product_id")).df eq chained.df)
+    // and a pk rewrite mid-chain still drops the verified flag
+    val rewritten = chained.withColumn("product_id", lit(1))
+    assert(!(rewritten.dropDuplicates(Seq("product_id")).df eq rewritten.df))
   }
 
   test("implicit bridge: MetaFrame usable as DataFrame, DataFrame liftable via .meta") {
