@@ -122,14 +122,19 @@ object Dedup {
     * callers unconverged cluster ids with no signal. */
   def refineToFixpoint(assignments: DataFrame, idCol: String, maxRounds: Int = 10): DataFrame = {
     var cur = truncate(assignments)
+    // the round that is checkpointed but not yet promoted to `cur`: between
+    // truncate(next) and `cur = next` a failure (diff count, freeCheckpoint)
+    // would otherwise leak next's reliable-checkpoint files — the handler
+    // frees whatever is in flight in addition to the promoted frame
+    var inflight: DataFrame = null
     var round = 0
     var changed = true
     // on ANY failure path (non-convergence throw, job failure mid-round) the
-    // live round's checkpoint is freed before rethrowing — without this the
-    // reliable-checkpoint files of the last round leak on error
+    // live checkpoints — promoted AND in-flight — are freed before rethrowing
     try {
       while (changed && round < maxRounds) {
         val next = truncate(refineClusters(cur, idCol))
+        inflight = next
         val diff = next.alias("n")
           .join(cur.alias("c"), col(s"n.$idCol") === col(s"c.$idCol"))
           .filter(col("n.cluster_id") =!= col("c.cluster_id"))
@@ -137,6 +142,7 @@ object Dedup {
         graftbridge.freeCheckpoint(cur)
         changed = diff > 0
         cur = next
+        inflight = null
         round += 1
       }
       if (changed) throw new IllegalStateException(
@@ -144,6 +150,7 @@ object Dedup {
           "raise maxRounds (rounds needed ≈ log2 of the longest pointer chain)")
     } catch {
       case t: Throwable =>
+        if (inflight != null && (inflight ne cur)) graftbridge.freeCheckpoint(inflight)
         graftbridge.freeCheckpoint(cur)
         throw t
     }
@@ -170,10 +177,13 @@ object Dedup {
     var labels = truncate(
       edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))
+    // same in-flight tracking as [[refineToFixpoint]]: a failure between
+    // truncate(next) and `labels = next` must free next's checkpoint too
+    var inflight: DataFrame = null
     var round = 0
     var changed = true
-    // failure paths free the live checkpoints (edges + current labels)
-    // before rethrowing, so neither the non-convergence throw nor a
+    // failure paths free the live checkpoints (edges + current and in-flight
+    // labels) before rethrowing, so neither the non-convergence throw nor a
     // mid-round job failure leaks reliable-checkpoint files
     try {
       while (changed && round < maxRounds) {
@@ -193,6 +203,7 @@ object Dedup {
             .select(propagated("id"),
               least(propagated("component"),
                 coalesce(col("__rep_component"), propagated("component"))).as("component")))
+        inflight = next
         val diff = next.alias("n")
           .join(labels.alias("c"), col("n.id") === col("c.id"))
           .filter(col("n.component") =!= col("c.component"))
@@ -200,6 +211,7 @@ object Dedup {
         graftbridge.freeCheckpoint(labels)
         changed = diff > 0
         labels = next
+        inflight = null
         round += 1
       }
       if (changed) throw new IllegalStateException(
@@ -207,6 +219,7 @@ object Dedup {
           "raise maxRounds (rounds needed ≈ log2 of the largest component's diameter)")
     } catch {
       case t: Throwable =>
+        if (inflight != null && (inflight ne labels)) graftbridge.freeCheckpoint(inflight)
         graftbridge.freeCheckpoint(labels)
         graftbridge.freeCheckpoint(edges)
         throw t

@@ -206,8 +206,8 @@ object PipelineQueries {
         cosinePairs(s, d).select("id_a", "id_b"), "id_a", "id_b").orderBy("id")),
 
     // group-level MinHash sketch (TypedImperativeAggregate): per-source
-    // signature, then pairwise estimated Jaccard between sources —
-    // hash-family arithmetic → rows-only check, semantics in ScalaTest
+    // signature, then pairwise estimated Jaccard between sources — carries a
+    // full property oracle (exact per-source shingle Jaccard, DuckDB-recomputed)
     "dedup_source_sketch_sim" -> ((s, d) => {
       // sketch estimate vs EXACT per-source shingle-set Jaccard, both fully
       // distributed: the sketch's hash family has no DuckDB twin but the
@@ -292,8 +292,8 @@ object PipelineQueries {
     }),
 
     // --------------------------------------------------------- multimodal
-    // frame sampling over binary payloads: row-local slice + explode
-    // (deterministic stub decode → rows-only check; plumbing is real)
+    // frame sampling over binary payloads: row-local slice + explode —
+    // exact DuckDB oracle (frame idx/len are integer arithmetic on octet_length)
     "mm_frame_sample" -> ((s, d) => {
       import graft.multimodal.Multimodal
       val media = Multimodal.attachBinary(t(s, d, "documents").df, "doc_id", "text", "video")

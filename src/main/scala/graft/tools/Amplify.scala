@@ -16,12 +16,14 @@ import graft.sources.Tables
   *    only within itself and fan-out per key is exactly the original;
   *  - region/nation: copied once (fixed-cardinality dims, TPC-H style);
   *  - documents: doc_id shifted; for replica i>0 every whitespace token is
-  *    rewritten to an 8-hex digest keyed by i. A per-replica token bijection
-  *    preserves token counts, shingle structure and within-replica Jaccard
-  *    exactly while replicas share ~no shingles — the near-dup workload
-  *    scales linearly instead of planting every doc in a 10-way duplicate
-  *    clique (which would quadratically blow up any shingle-indexed join and
-  *    measure a different workload, not a bigger one);
+  *    rewritten to a 16-hex (64-bit) digest keyed by i. The token map is
+  *    injective up to digest collisions — negligible at this vocabulary size
+  *    (birthday bound ≈ n²/2⁶⁵) — so token counts, shingle structure and
+  *    within-replica Jaccard are preserved to that approximation while
+  *    replicas share ~no shingles; the near-dup workload scales linearly
+  *    instead of planting every doc in a 10-way duplicate clique (which
+  *    would quadratically blow up any shingle-indexed join and measure a
+  *    different workload, not a bigger one);
   *  - embeddings: vec_id shifted; replica i's vectors are component-rotated
   *    by i positions — norms and within-replica cosines are bit-preserved,
   *    cross-replica similarity is scrambled. KeyStride is a multiple of 64
@@ -53,7 +55,7 @@ object Amplify {
           .withColumn("text",
             array_join(
               transform(split(col("text"), "\\s+"),
-                t => substring(md5(concat_ws("#", t, lit(i))), 1, 8)),
+                t => substring(md5(concat_ws("#", t, lit(i))), 1, 16)),
               " "))
           .withColumn("n_chars", length(col("text")).cast("long"))
       case "embeddings" if i > 0 =>

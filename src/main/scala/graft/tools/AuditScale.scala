@@ -4,7 +4,10 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.SparkEntry
 import graft.operators.Dedup
@@ -55,30 +58,58 @@ object AuditScale {
             .select(col("id_a"), col("id_b")),
           "id_a", "id_b")))
 
+  /** Flags CartesianProduct / disallowed BroadcastNestedLoopJoin in the
+    * plans that actually EXECUTED while registered. Reading
+    * `df.queryExecution.executedPlan` after the action would inspect a
+    * separate QueryExecution the noop write never ran — under AQE that
+    * stringifies the initial (isFinalPlan=false) plan and misses runtime
+    * replans, and for the iterative operators the returned frame is just a
+    * checkpoint scan. The listener instead sees every completed action's own
+    * QueryExecution after AQE finalized it — including the per-round
+    * checkpoint and convergence-count actions of connectedComponents /
+    * refineToFixpoint (Dataset.checkpoint and count both run via
+    * `withAction`, so both report here). */
+  final class PlanFlagListener(allowBnlj: Boolean) extends QueryExecutionListener {
+    @volatile var flagged = false
+    private def check(qe: QueryExecution): Unit = {
+      val plan = qe.executedPlan.toString
+      if (plan.contains("CartesianProduct") ||
+        (plan.contains("BroadcastNestedLoopJoin") && !allowBnlj)) flagged = true
+    }
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      check(qe)
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      check(qe)
+  }
+
   /** One timed run. Construction is INSIDE the timer: the iterative
     * operators (connected components, fixpoint refinement) execute their
     * rounds eagerly while the result frame is being built, so timing only
     * the final write would miss the actual work. Best-of-2 smooths
-    * first-read page-cache effects on the freshly written sf1 files. */
+    * first-read page-cache effects on the freshly written sf1 files.
+    * The plan flag covers every action both runs executed (see
+    * [[PlanFlagListener]]); listener delivery is asynchronous, so the bus is
+    * drained before the flag is read. */
   def runOne(spark: SparkSession, dir: String, name: String,
       fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
-    def once(): (Double, Boolean) = {
-      val t0 = System.nanoTime()
-      val df = fn(spark, dir)
-      df.write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val plan = df.queryExecution.executedPlan.toString
-      val flagged = plan.contains("CartesianProduct") ||
-        (plan.contains("BroadcastNestedLoopJoin") && !BnljAllowed.contains(name))
-      (secs, flagged)
-    }
-    val (s1, f1) = once()
-    val (s2, f2) = once()
-    (math.min(s1, s2), f1 || f2)
+    val listener = new PlanFlagListener(BnljAllowed.contains(name))
+    spark.listenerManager.register(listener)
+    try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s1 = once()
+      val s2 = once()
+      graftbridge.drainListenerBus(spark)
+      (math.min(s1, s2), listener.flagged)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   def main(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("SCALE_r04.json")
+    val outPath = args.headOption.getOrElse("SCALE_r05.json")
     val smallDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val bigDir = args.lift(2).getOrElse("target/scale/sf1")
     val warmDir = "/root/testdata/sf0.01"

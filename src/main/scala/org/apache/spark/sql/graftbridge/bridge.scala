@@ -45,6 +45,14 @@ package object graftbridge {
       case _ =>
     }
 
+  /** Blocks until the shared listener bus has delivered every queued event —
+    * `QueryExecutionListener` callbacks are posted asynchronously, so a
+    * just-finished action's executed plan is only visible to a listener after
+    * the bus drains (`LiveListenerBus.waitUntilEmpty` is `private[spark]`,
+    * hence the shim). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Parses a user-supplied table name with Spark's own SQL parser (rejecting
     * malformed identifiers) and returns it fully quoted for safe
     * interpolation into SQL text. */
