@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * transforms (`mapPartitions`), the JVM analogue of `mapInPandas` — batch
   * iteration per partition, stable output schema, no driver involvement.
   *
-  * The actual byte decoding is STUBBED (no image/audio codecs in this
-  * environment): [[MediaCodec.decodeStub]] derives a deterministic fake
-  * feature vector from the raw bytes. The Spark-side plumbing — schema,
-  * partitioning, batch shape, typed encoders — is real and tested; swapping
-  * in a real codec changes only the function body.
+  * Byte decoding is REAL for two modalities: raster images via
+  * `javax.imageio` ([[MediaCodec.imageHistogram]]) and 16-bit mono PCM WAV
+  * audio via a from-scratch RIFF parser ([[MediaCodec.wavPcm16]]). Video
+  * remains STUBBED (no JVM codec in this environment):
+  * [[MediaCodec.decodeStub]] derives a deterministic fake feature vector
+  * from the raw bytes, so the Spark-side plumbing — schema, partitioning,
+  * batch shape, typed encoders — stays testable end-to-end there too.
   */
 object Multimodal {
 
@@ -102,10 +104,75 @@ object Multimodal {
         bins.map(_ / n)
       }
 
+    /** REAL pure-JVM audio decode: a from-scratch RIFF/WAVE chunk walker for
+      * 16-bit mono PCM (the canonical uncompressed layout — no codec
+      * library needed, per-sample little-endian shorts straight from the
+      * `data` chunk). Returns (sampleRate, samples), or None when the
+      * payload is not such a WAV. Deliberately independent of
+      * `javax.sound.sampled` so an encode via the JDK's WAVE writer and a
+      * decode through this parser cross-check each other. */
+    def wavPcm16(content: Array[Byte]): Option[(Int, Array[Short])] = {
+      def le16(o: Int): Int = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+      def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+      def tag(o: Int): String =
+        new String(content, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (content.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var pcmMono16 = false
+      var sampleRate = 0
+      var out: Option[(Int, Array[Short])] = None
+      while (out.isEmpty && off + 8 <= content.length) {
+        val sz = le32(off + 4)
+        val body = off + 8
+        tag(off) match {
+          case "fmt " if body + 16 <= content.length =>
+            // format 1 = integer PCM, 1 channel, 16 bits/sample
+            pcmMono16 = le16(body) == 1 && le16(body + 2) == 1 && le16(body + 14) == 16
+            sampleRate = le32(body + 4)
+          case "data" if pcmMono16 =>
+            val n = math.min(sz.toLong, (content.length - body).toLong).toInt / 2
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = ((content(body + 2 * i) & 0xff) | (content(body + 2 * i + 1) << 8)).toShort
+              i += 1
+            }
+            out = Some((sampleRate, samples))
+          case _ =>
+        }
+        off = body + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      out
+    }
+
+    /** Amplitude histogram over decoded PCM samples: [[FeatureDim]] equal
+      * bins over the signed 16-bit range (bin = (sample + 32768) / 4096). */
+    def audioHistogram(content: Array[Byte]): Option[(Int, Array[Long])] =
+      wavPcm16(content).map { case (sr, samples) =>
+        val bins = new Array[Long](FeatureDim)
+        var i = 0
+        while (i < samples.length) {
+          bins((samples(i) + 32768) >> 12) += 1L
+          i += 1
+        }
+        (sr, bins)
+      }
+
+    /** Normalized variant of [[audioHistogram]] in the feature-vector shape. */
+    def decodeAudio(content: Array[Byte]): Option[Array[Double]] =
+      audioHistogram(content).map { case (_, bins) =>
+        val n = math.max(bins.sum, 1L).toDouble
+        bins.map(_ / n)
+      }
+
     /** Dispatch: real image decode when the payload parses as a raster
-      * image, deterministic stub for everything else. */
+      * image, real PCM decode when it parses as a 16-bit mono WAV,
+      * deterministic stub for everything else (video — no JVM codec in this
+      * environment). */
     def decode(content: Array[Byte]): Array[Double] =
-      decodeImage(content).getOrElse(decodeStub(content))
+      decodeImage(content)
+        .orElse(decodeAudio(content))
+        .getOrElse(decodeStub(content))
   }
 
   /** Partition-local feature extraction: one decoder instantiation per
@@ -159,6 +226,58 @@ object Multimodal {
       val bins = MediaCodec.imageHistogram(r.png).getOrElse(
         throw new IllegalStateException(s"payload for id ${r.id} is not a decodable image"))
       bins.iterator.zipWithIndex.map { case (n, b) => IdBinCount(r.id, b, n) }.toSeq
+    }
+  }
+
+  case class IdWav(id: Long, wav: Array[Byte])
+  case class IdAudioBin(id: Long, sampleRate: Int, bin: Int, n: Long)
+
+  /** Samples per demo waveform — small enough that the whole clip is one
+    * in-memory payload, large enough that every histogram bin can be hit. */
+  val DemoWavSamples = 100
+
+  /** Deterministic 16-bit mono PCM WAV per row, encoded with the JDK's own
+    * WAVE writer (`javax.sound.sampled.AudioSystem` — a REAL audio container
+    * encode, partition-local): sample i carries the signed value
+    * ((id·37 + i·13) mod 65536) − 32768 at 16 kHz. The sample function is
+    * pure integer arithmetic on the id, so the decoded amplitude histogram
+    * is exactly re-derivable by any SQL engine — which makes the
+    * encode→decode container round-trip oracle-checkable the same way
+    * [[encodeDemoPng]] does for images. */
+  def encodeDemoWav(df: DataFrame, idCol: String): Dataset[IdWav] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      ids.map { id =>
+        val pcm = new Array[Byte](DemoWavSamples * 2)
+        var i = 0
+        while (i < DemoWavSamples) {
+          val v = (((id * 37 + i * 13) % 65536) - 32768).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, DemoWavSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        IdWav(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Decode-side amplitude histogram over real WAV payloads via the
+    * from-scratch RIFF parser (NOT the JDK API that encoded them): one
+    * (id, sampleRate, bin, n) row per bin, zero bins included so the output
+    * shape is fixed; the parsed sample rate pins the header fields.
+    * Fail-loud on undecodable payloads — this path is for PCM WAVs. */
+  def decodedAudioHistogram(media: Dataset[IdWav]): Dataset[IdAudioBin] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val (sr, bins) = MediaCodec.audioHistogram(r.wav).getOrElse(
+        throw new IllegalStateException(s"payload for id ${r.id} is not a 16-bit mono PCM WAV"))
+      bins.iterator.zipWithIndex.map { case (n, b) => IdAudioBin(r.id, sr, b, n) }.toSeq
     }
   }
 

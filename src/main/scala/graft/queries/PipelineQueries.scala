@@ -329,6 +329,25 @@ object PipelineQueries {
         .orderBy("doc_id", "bin")
     }),
 
+    // REAL audio container round-trip, oracle-checked: the JDK's WAVE writer
+    // ENCODES a deterministic 100-sample 16-bit mono PCM clip per doc
+    // (sample i = ((doc_id·37+i·13) mod 65536) − 32768 at 16 kHz) and an
+    // independent from-scratch RIFF parser DECODES it back into a 16-bin
+    // amplitude histogram, all partition-local. The sample function is pure
+    // integer arithmetic on doc_id, so DuckDB re-derives the decoded counts
+    // (and the header's sample rate) exactly — a bug in either the JDK
+    // encode, the chunk walk, or the little-endian sample unpack breaks the
+    // hash match.
+    "mm_audio_histogram" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.decodedAudioHistogram(
+        Multimodal.encodeDemoWav(t(s, d, "documents").df, "doc_id"))
+        .toDF()
+        .select(col("id").as("doc_id"), col("sampleRate").as("sample_rate"),
+          col("bin"), col("n"))
+        .orderBy("doc_id", "bin")
+    }),
+
     "mm_binary_meta" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("payload", col("text").cast("binary"))
@@ -476,6 +495,15 @@ object PipelineQueries {
     "mm_image_histogram" ->
       ("SELECT doc_id, CAST(b AS INT) AS bin, " +
        "CAST(len(list_filter(range(0, 64), i -> ((doc_id*31+i)%256)//16 = b)) AS BIGINT) AS n " +
+       "FROM documents, range(0, 16) t(b) ORDER BY doc_id, bin"),
+
+    // the decoded amplitude bin of sample i is ((doc_id*37+i*13) % 65536) //
+    // 4096 (the -32768 sign shift and the +32768 bin shift cancel), and the
+    // header's sample rate is the constant 16000 the encoder wrote — pure
+    // integer arithmetic
+    "mm_audio_histogram" ->
+      ("SELECT doc_id, CAST(16000 AS INT) AS sample_rate, CAST(b AS INT) AS bin, " +
+       "CAST(len(list_filter(range(0, 100), i -> ((doc_id*37+i*13)%65536)//4096 = b)) AS BIGINT) AS n " +
        "FROM documents, range(0, 16) t(b) ORDER BY doc_id, bin"),
 
     "mm_binary_meta" ->
