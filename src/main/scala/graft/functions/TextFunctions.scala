@@ -106,6 +106,48 @@ object TextFunctions {
       i => array_min(transform(sh, s => xxhash64(i, s))))
   }
 
+  /** Overlapping token-window chunking — the standard shape for slicing
+    * long documents into training-context-sized pieces. Returns an array of
+    * (chunk_idx, chunk_text, n_chunk_tokens) structs: window k covers
+    * tokens [k·stride, k·stride + size), windows advance by `stride`
+    * (< size ⇒ overlap of size − stride tokens), and the window count
+    * ceil(max(n − size, 0) / stride) + 1 is exactly enough to cover every
+    * token. Row-local HOF arithmetic: no shuffle, explode downstream. */
+  def tokenChunks(text: Column, size: Int = 32, stride: Int = 24): Column = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val toks = tokens(text)
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nChunks = floor(
+      (greatest(n - lit(size), lit(0)) + lit(stride - 1)).cast("double") / lit(stride)).cast("int") + 1
+    transform(sequence(lit(0), nChunks - 1), k =>
+      struct(
+        k.as("chunk_idx"),
+        concat_ws(" ", slice(toks, k * stride + 1, lit(size))).as("chunk_text"),
+        least(lit(size), n - k * stride).cast("long").as("n_chunk_tokens")))
+  }
+
+  /** Email-address pattern shared by the redaction pair below — kept to the
+    * regex subset Java's engine and RE2-style engines treat identically. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long-digit-run pattern (7+ digits): phone numbers, SSNs, account ids. */
+  val NumberPattern = "[0-9]{7,}"
+
+  /** PII scrub for training corpora: replaces email addresses, then long
+    * digit runs, with stable placeholder tokens. Order matters — emails
+    * first, so digits inside an address are redacted as part of it, not
+    * split into a second placeholder. Pure codegen'd regexp_replace. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      NumberPattern, "<NUM>")
+
+  /** Count of PII matches the scrub would hit, for audit columns. */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(NumberPattern), lit(0)))).cast("long")
+
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
     * xxhash64 bits. Pure higher-order expressions (the shiftright with a
     * lambda-bound bit index needs the SQL form — the Scala `shiftright`

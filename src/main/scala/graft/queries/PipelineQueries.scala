@@ -19,8 +19,8 @@ import graft.sources.Tables
   * declare PROPERTY oracles instead: DuckDB recomputes the exact ground
   * truth (pair sets, per-source Jaccard, top-k) from raw text/vectors and
   * the query emits measured recall/false-positive/tolerance columns against
-  * it. Only mm_features (stub decode for non-image modalities) remains
-  * rows-only. Raw signature semantics stay pinned in ScalaTest. */
+  * it. Every declared query here carries an oracle (the video stub path is
+  * pinned in ScalaTest only). Raw signature semantics stay in ScalaTest. */
 object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): MetaFrame =
@@ -113,6 +113,33 @@ object PipelineQueries {
         .withColumn("pred_lang", TextFunctions.langId(col("text")))
         .groupBy("pred_lang").agg(count(lit(1)).as("n"))
         .orderBy("pred_lang").df),
+
+    // overlapping token-window chunking (size=32, stride=24): the standard
+    // long-document → training-context slicing; row-local HOFs + explode,
+    // window arithmetic exactly re-derivable in SQL
+    "text_chunk" -> ((s, d) =>
+      t(s, d, "documents").df
+        .select(col("doc_id"), explode(TextFunctions.tokenChunks(col("text"), 32, 24)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.n_chunk_tokens").as("n_chunk_tokens"), col("c.chunk_text").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // PII scrub (emails then long digit runs → placeholders): the corpus has
+    // no planted PII, so a deterministic per-doc contact suffix is appended
+    // first — every row provably exercises both patterns and DuckDB rebuilds
+    // the identical input
+    "text_pii_redact" -> ((s, d) => {
+      val withPii = t(s, d, "documents").df
+        .withColumn("t2", concat(
+          col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 555"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      withPii.select(
+        col("doc_id"),
+        TextFunctions.piiCount(col("t2")).as("n_pii"),
+        TextFunctions.redactPii(col("t2")).as("redacted"))
+        .orderBy("doc_id")
+    }),
 
     // ------------------------------------------------------------- dedup
     "dedup_exact_hash" -> ((s, d) =>
@@ -303,11 +330,18 @@ object PipelineQueries {
     }),
 
     // partition-local typed feature extraction (mapPartitions, the JVM
-    // analogue of mapInPandas): stub decoder → rows-only check
+    // analogue of mapInPandas) over REAL audio payloads: the generic decode
+    // dispatch routes each doc's deterministic WAV through the from-scratch
+    // RIFF parser, so feature 0 is bin 0 of the amplitude histogram over
+    // 100 samples — pure integer arithmetic on doc_id, exact DuckDB oracle.
+    // (The video stub path stays pinned in MultimodalSpec.)
     "mm_features" -> ((s, d) => {
       import graft.multimodal.Multimodal
-      val media = Multimodal.attachBinary(t(s, d, "documents").df, "doc_id", "text", "image")
-      Multimodal.extractFeatures(Multimodal.asMediaDataset(media))
+      val wavs = Multimodal.encodeDemoWav(t(s, d, "documents").df, "doc_id")
+      import wavs.sparkSession.implicits._
+      val media = wavs.map(w => Multimodal.MediaRecord(
+        w.id, w.wav, Multimodal.MediaMeta("audio", "audio/x-wav", 0, 0, 16000, 1)))
+      Multimodal.extractFeatures(media)
         .toDF()
         .select(col("id"), col("modality"), col("dim"),
           round(element_at(col("features"), 1), 6).as("f0"))
@@ -395,6 +429,33 @@ object PipelineQueries {
     "dedup_exact_hash" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS dup_count " +
        "FROM documents GROUP BY md5(text) ORDER BY content_hash"),
+
+    // window k covers tokens [k*24+1, k*24+32] (1-based inclusive list
+    // slice, clamped), window count = ceil(max(n-32,0)/24)+1
+    "text_chunk" ->
+      ("WITH c AS (SELECT doc_id, ts, len(ts) AS n, " +
+       "(greatest(len(ts) - 32, 0) + 23) // 24 + 1 AS nc " +
+       "FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents)) " +
+       "SELECT doc_id, CAST(k AS INT) AS chunk_idx, " +
+       "CAST(least(32, n - k*24) AS BIGINT) AS n_chunk_tokens, " +
+       "array_to_string(ts[k*24+1 : k*24+32], ' ') AS chunk_text " +
+       "FROM (SELECT doc_id, ts, n, unnest(range(0, nc)) AS k FROM c) " +
+       "ORDER BY doc_id, chunk_idx"),
+
+    // same two-pass replace (emails first, then 7+-digit runs) over the
+    // identical rebuilt input; DuckDB needs the explicit 'g' flag Spark
+    // applies by default
+    "text_pii_redact" ->
+      ("WITH w AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+       "'@example.com or call 555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2 " +
+       "FROM documents) " +
+       "SELECT doc_id, " +
+       "CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + " +
+       "len(regexp_extract_all(regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+       "'[0-9]{7,}')) AS BIGINT) AS n_pii, " +
+       "regexp_replace(regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+       "'[0-9]{7,}', '<NUM>', 'g') AS redacted " +
+       "FROM w ORDER BY doc_id"),
 
     // exact re-derivation of the blocked shingle-set Jaccard best-match:
     // 3-token shingles (whole text when <3 tokens), block = lang,
@@ -496,6 +557,13 @@ object PipelineQueries {
       ("SELECT doc_id, CAST(b AS INT) AS bin, " +
        "CAST(len(list_filter(range(0, 64), i -> ((doc_id*31+i)%256)//16 = b)) AS BIGINT) AS n " +
        "FROM documents, range(0, 16) t(b) ORDER BY doc_id, bin"),
+
+    // feature 0 of the audio decode = amplitude-bin-0 count / 100 samples;
+    // k/100 has ≤2 decimals so round(...,6) can't hit a midpoint tie
+    "mm_features" ->
+      ("SELECT doc_id AS id, 'audio' AS modality, CAST(16 AS INT) AS dim, " +
+       "round(CAST(len(list_filter(range(0, 100), i -> ((doc_id*37+i*13)%65536)//4096 = 0)) AS DOUBLE) / 100, 6) AS f0 " +
+       "FROM documents ORDER BY id"),
 
     // the decoded amplitude bin of sample i is ((doc_id*37+i*13) % 65536) //
     // 4096 (the -32768 sign shift and the +32768 bin shift cancel), and the

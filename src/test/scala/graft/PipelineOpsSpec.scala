@@ -111,6 +111,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bm.forall { case (id, j) => j <= bmExact(id) })
   }
 
+  test("tokenChunks covers every token with the declared overlap") {
+    import spark.implicits._
+    val text40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text40), (2L, "just five little tokens here")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        explode(TextFunctions.tokenChunks(col("text"), 32, 24)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"), col("c.n_chunk_tokens"))
+      .collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    // 40 tokens, size 32 / stride 24 → 2 windows: [1..32] and [25..40]
+    val d1 = byDoc(1L).sortBy(_.getInt(1))
+    assert(d1.length == 2)
+    assert(d1(0).getString(2) == (1 to 32).map(i => s"w$i").mkString(" "))
+    assert(d1(1).getString(2) == (25 to 40).map(i => s"w$i").mkString(" "))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(32L, 16L))
+    // short doc → exactly one whole-document chunk
+    val d2 = byDoc(2L)
+    assert(d2.length == 1 && d2(0).getString(2) == "just five little tokens here"
+      && d2(0).getLong(3) == 5L)
+  }
+
+  test("redactPii scrubs emails before digit runs and counts both") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@foo-bar.co.uk or call 12345678 now"),
+      (2L, "short run 123456 stays; id 9876543 goes")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextFunctions.redactPii(col("text")).as("r"),
+        TextFunctions.piiCount(col("text")).as("n"))
+      .collect().sortBy(_.getLong(0))
+    // the email is one placeholder — its digits are not a second <NUM> hit
+    assert(out(0).getString(1) == "mail <EMAIL> or call <NUM> now")
+    assert(out(0).getLong(2) == 2L)
+    // 6-digit runs stay below the 7-digit floor
+    assert(out(1).getString(1) == "short run 123456 stays; id <NUM> goes")
+    assert(out(1).getLong(2) == 1L)
+  }
+
   test("fingerprint is order-insensitive but content-sensitive") {
     import spark.implicits._
     val df = Seq(
