@@ -64,6 +64,8 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def apply(colName: String): Column = df(colName)
   def col(colName: String): Column = df.col(colName)
   def colRegex(colName: String): Column = df.colRegex(colName)
+  /** Hidden source metadata column (e.g. `_metadata` on file scans). */
+  def metadataColumn(colName: String): Column = df.metadataColumn(colName)
 
   // -------------------------------------------------------- private plumbing
 
@@ -129,6 +131,12 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
     wrapKeep(df.withColumnRenamed(existing, newName))
   def withColumnsRenamed(renames: Map[String, String]): MetaFrame =
     wrapKeep(df.withColumnsRenamed(renames))
+  /** Attaches COLUMN-level (schema) metadata — orthogonal to the
+    * frame-level metadata dict this wrapper carries. Row-preserving
+    * projection, so the pk-verified flag survives via [[wrapProj]]'s
+    * pass-through check. */
+  def withMetadata(columnName: String, md: org.apache.spark.sql.types.Metadata): MetaFrame =
+    wrapProj(df.withMetadata(columnName, md))
   def drop(colNames: String*): MetaFrame = wrapKeep(df.drop(colNames: _*))
   def drop(col: Column): MetaFrame = wrapKeep(df.drop(col))
   def toDF(colNames: String*): MetaFrame =
@@ -275,6 +283,15 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def melt(ids: Array[Column], values: Array[Column],
       variableColumnName: String, valueColumnName: String): MetaFrame =
     wrap(df.melt(ids, values, variableColumnName, valueColumnName))
+
+  /** Spark 4 transpose: rows become columns keyed by the index column (first
+    * column when unspecified). The output's row identity is the former
+    * column axis, so any verified pk is necessarily gone — plain [[wrap]].
+    * Driver-materializes the index values (Spark's own contract: at most
+    * `spark.sql.transposeMaxValues` of them) — a reshape for small frames,
+    * not a distributed pivot. */
+  def transpose(): MetaFrame = wrap(df.transpose())
+  def transpose(indexColumn: Column): MetaFrame = wrap(df.transpose(indexColumn))
 
   // ------------------------------------------- sorts / limits (SURVEY §2.2f)
 

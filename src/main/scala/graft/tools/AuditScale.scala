@@ -38,7 +38,7 @@ object AuditScale {
   val Heavy: Seq[String] = Seq(
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cc_exact",
-    "sim_topk_ivf", "mm_image_histogram")
+    "sim_topk_ivf", "mm_image_histogram", "mm_audio_histogram")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

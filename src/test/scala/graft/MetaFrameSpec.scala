@@ -237,6 +237,24 @@ class MetaFrameSpec extends AnyFunSuite {
     assert(!(rewritten.dropDuplicates(Seq("product_id")).df eq rewritten.df))
   }
 
+  test("transpose reshapes rows to columns and drops pk; withMetadata keeps it") {
+    import spark.implicits._
+    val mf = MetaFrame(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"),
+      Map(MetaFrame.PrimaryKeyField -> Seq("k"), MetaFrame.PkVerifiedField -> true))
+    val tr = mf.transpose()
+    // the former k values become columns; metadata dict survives, pk flag gone
+    assert(tr.df.columns.toSet == Set("key", "a", "b"))
+    assert(tr.metadata.contains(MetaFrame.PrimaryKeyField))
+    assert(!tr.metadata.contains(MetaFrame.PkVerifiedField))
+    // column-level metadata attach is row-preserving: verified flag survives
+    val md = new org.apache.spark.sql.types.MetadataBuilder().putString("unit", "items").build()
+    val withMd = mf.withMetadata("v", md)
+    assert(withMd.df.schema("v").metadata.getString("unit") == "items")
+    assert(withMd.metadata.contains(MetaFrame.PkVerifiedField))
+    assert(withMd.dropDuplicates(Seq("k")).df eq withMd.df) // elision still proven
+  }
+
   test("implicit bridge: MetaFrame usable as DataFrame, DataFrame liftable via .meta") {
     val mf = MetaFrame(fixture, metadata)
     val df: DataFrame = mf // implicit conversion (SURVEY §1.5 isinstance analogue)
