@@ -363,15 +363,16 @@ object PipelineQueries {
         .orderBy("doc_id", "bin")
     }),
 
-    // REAL audio container round-trip, oracle-checked: the JDK's WAVE writer
-    // ENCODES a deterministic 100-sample 16-bit mono PCM clip per doc
-    // (sample i = ((doc_id·37+i·13) mod 65536) − 32768 at 16 kHz) and an
-    // independent from-scratch RIFF parser DECODES it back into a 16-bin
-    // amplitude histogram, all partition-local. The sample function is pure
-    // integer arithmetic on doc_id, so DuckDB re-derives the decoded counts
-    // (and the header's sample rate) exactly — a bug in either the JDK
-    // encode, the chunk walk, or the little-endian sample unpack breaks the
-    // hash match.
+    // REAL audio container round-trip, oracle-checked: each doc gets a
+    // deterministic 100-sample 16-bit mono PCM WAV (sample i =
+    // ((doc_id·37+i·13) mod 65536) − 32768 at 16 kHz; container bytes
+    // byte-equality-checked against the JDK's own WAVE writer once per
+    // partition) and an independent from-scratch RIFF parser DECODES it
+    // back into a 16-bin amplitude histogram, all partition-local. The
+    // sample function is pure integer arithmetic on doc_id, so DuckDB
+    // re-derives the decoded counts (and the header's sample rate) exactly
+    // — a bug in the container layout, the chunk walk, or the little-endian
+    // sample unpack breaks the hash match.
     "mm_audio_histogram" -> ((s, d) => {
       import graft.multimodal.Multimodal
       Multimodal.decodedAudioHistogram(

@@ -25,6 +25,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>"))
   }
 
+  test("token chunking reads only the two referenced columns, no shuffle") {
+    import graft.functions.TextFunctions
+    val df = t("documents").df
+      .select(col("doc_id"), explode(TextFunctions.tokenChunks(col("text"), 32, 24)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.n_chunk_tokens"))
+    val plan = df.queryExecution.executedPlan.toString
+    // column pruning must reach the scan even through HOF + explode
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected pruned documents scan in:\n$plan")
+    // row-local op: chunking itself introduces no exchange
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("modest dimension side of a join is broadcast, not shuffled") {
     val df = t("orders")
       .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"), "inner")
