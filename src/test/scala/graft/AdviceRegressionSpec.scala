@@ -168,6 +168,33 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  // ---- ADVICE r4 low: failure paths free in-flight checkpoints too
+
+  test("failed iterative loops leave no new reliable-checkpoint files") {
+    import spark.implicits._
+    val cpDir = new java.io.File(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+    def nFiles: Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0) else 1
+      if (cpDir.exists) walk(cpDir) else 0
+    }
+    val before = nFiles
+    // a 17-node pointer chain needs ~log2 rounds; budget 1 forces the
+    // non-convergence throw AFTER a round materialized its checkpoint —
+    // every file that round wrote (promoted AND in-flight) must be freed
+    val chain = (1L to 17L).map(i => (i, math.max(i - 1, 1L))).toDF("id", "cluster_id")
+    intercept[IllegalStateException] {
+      Dedup.refineToFixpoint(chain, "id", maxRounds = 1)
+    }
+    val edges = (1L to 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, "id_a", "id_b", maxRounds = 1)
+    }
+    assert(nFiles == before,
+      s"failure paths must free all reliable-checkpoint files (before=$before after=$nFiles)")
+  }
+
   // ---- ADVICE r1 low: dot product length-mismatch semantics
 
   test("native dot and HOF dot agree on mismatched lengths: both NULL") {

@@ -15,6 +15,12 @@ object TestSparkSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint mode for the whole test JVM: the iterative
+    // operators (connected components, fixpoint refinement) then exercise
+    // the REAL file-backed checkpoint path — including freeCheckpoint's
+    // file deletion — instead of the executor-local fallback, exactly the
+    // mode a preemptible 1000-executor cluster would run in
+    s.sparkContext.setCheckpointDir("target/test-checkpoints")
     s
   }
 }
