@@ -6,12 +6,12 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 import org.apache.spark.sql.graftbridge
 
-import graft.expressions.{FloatVectorDot, MinHashSignature, ShingleHashes}
+import graft.expressions.{FloatVectorDot, MinHashSignature, ShingleHashes, SimHash64}
 
 /** SQL surface for the engine's native expressions (SURVEY.md §7.4):
-  * registers `float_vector_dot`, `minhash_signature` and `shingle_hashes` so
-  * `spark.sql(...)` users get the same codegen'd hot paths as the Column
-  * API.
+  * registers `float_vector_dot`, `minhash_signature`, `shingle_hashes` and
+  * `simhash64` so `spark.sql(...)` users get the same codegen'd hot paths
+  * as the Column API.
   *
   * Two entry points:
   *   - cluster deploys: `spark.sql.extensions=graft.GraftExtensions`
@@ -54,6 +54,12 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "shingle_hashes(tokenHashes, width)")
         ShingleHashes(args(0), intArg(args(1), "shingle_hashes", 2))
+      }),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      { args =>
+        require(args.length == 1, "simhash64(tokenHashes)")
+        SimHash64(args(0))
       }),
   )
   // Note: the composite Column-level helpers (langId, qualityScore, cosine…)

@@ -149,10 +149,20 @@ object TextFunctions {
         lit(NumberPattern), lit(0)))).cast("long")
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * xxhash64 bits. Pure higher-order expressions (the shiftright with a
+    * xxhash64 bits. Each token is hashed ONCE (builtin `xxhash64`), the bit
+    * fold runs in the codegen'd [[graft.expressions.SimHash64]] — the HOF
+    * twin below re-hashes every token per bit (64× the hash work) and is
+    * kept only as the bit-equivalence reference. */
+  def simhash64(textCol: String): Column =
+    graft.expressions.SimHash64.simhash64(
+      transform(split(org.apache.spark.sql.functions.col(textCol), "\\s+"), t => xxhash64(t)))
+
+  /** HOF reference formulation of [[simhash64]] (the shiftright with a
     * lambda-bound bit index needs the SQL form — the Scala `shiftright`
-    * helper only takes a literal). */
-  def simhash64(textCol: String): Column = expr(
+    * helper only takes a literal). Per-bit aggregate → 64 interpreted folds
+    * re-hashing each token; used in tests to pin the native expression's
+    * semantics, never in operators. */
+  def simhash64Hof(textCol: String): Column = expr(
     s"""
     aggregate(
       transform(sequence(0, 63), i ->

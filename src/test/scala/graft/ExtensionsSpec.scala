@@ -36,6 +36,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaColumn && viaSql.length == 8)
   }
 
+  test("simhash64 from SQL matches the Column API") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma delta epsilon").toDF("text")
+    df.createOrReplaceTempView("ext_sh_docs")
+    val viaSql = spark.sql(
+      """SELECT simhash64(transform(split(text, '\\s+'), t -> xxhash64(t))) AS sh
+        |FROM ext_sh_docs""".stripMargin).head().getLong(0)
+    val viaColumn = df.select(
+      graft.functions.TextFunctions.simhash64("text").as("sh")).head().getLong(0)
+    assert(viaSql == viaColumn)
+  }
+
   test("shingle_hashes from SQL: one hash per w-gram window") {
     val n = spark.sql(
       """SELECT size(shingle_hashes(transform(split('a b c d e', ' '), t -> xxhash64(t)), 3)) AS n"""

@@ -350,6 +350,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(both.collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("codegen SimHash64 is bit-identical to the per-bit HOF vote") {
+    // include an empty-text row (split → [""] → one token hash) and a
+    // single-token row — every counter path exercised
+    import spark.implicits._
+    val df = docs.select(col("text"))
+      .union(Seq("", "solo").toDF("text"))
+    val both = df.select(
+      TextFunctions.simhash64("text").as("native"),
+      TextFunctions.simhash64Hof("text").as("hof"))
+    assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("native codegen dot product is bit-identical to the HOF fold") {
     import graft.sources.Tables
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
