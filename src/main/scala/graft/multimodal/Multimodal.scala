@@ -47,6 +47,12 @@ object Multimodal {
       ).as("meta"))
 
   object MediaCodec {
+    // ImageIO wraps every read/write stream in a TEMP-FILE-backed cache by
+    // default — disk churn on every row of a codec stage. Our payloads are
+    // in-memory byte arrays, so the memory cache is strictly better; set
+    // once per JVM on first codec use (object init runs per executor).
+    javax.imageio.ImageIO.setUseCache(false)
+
     val FeatureDim = 16
 
     /** STUB decoder for modalities with no JVM codec in this environment
