@@ -1,0 +1,59 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.multimodal.Multimodal.MediaCodec
+
+/** ScalaCheck laws for the pure-JVM media codec layer. All JVM-local (no
+  * Spark jobs), so the full case budget is cheap: arbitrary PCM buffers and
+  * rates must survive the container round-trip bit-exactly, and arbitrary
+  * non-WAV bytes must be rejected, not mis-parsed. */
+object CodecLawsSpec extends Properties("CodecLaws") {
+
+  private val rateGen: Gen[Int] = Gen.oneOf(8000, 16000, 22050, 44100, 48000)
+  private val pcmGen: Gen[List[Short]] =
+    Gen.choose(1, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Short.MinValue, Short.MaxValue)))
+
+  private def packLe(samples: List[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    out
+  }
+
+  property("hand-rolled container == JDK WAVE writer, and parses back bit-exactly") =
+    Prop.forAll(pcmGen, rateGen) { (samples, rate) =>
+      val pcm = packLe(samples)
+      val hand = graft.multimodal.Multimodal.wavHeader(samples.length, rate) ++ pcm
+      val jdk = graft.multimodal.Multimodal.jdkWav(pcm, rate)
+      val parsed = MediaCodec.wavPcm16(hand)
+      java.util.Arrays.equals(hand, jdk) &&
+        parsed.exists { case (sr, out) => sr == rate && out.toList == samples }
+    }
+
+  property("audioHistogram partitions every sample into exactly one bin") =
+    Prop.forAll(pcmGen, rateGen) { (samples, rate) =>
+      val wav = graft.multimodal.Multimodal.wavHeader(samples.length, rate) ++ packLe(samples)
+      MediaCodec.audioHistogram(wav).exists { case (_, bins) =>
+        bins.length == MediaCodec.FeatureDim && bins.sum == samples.length.toLong
+      }
+    }
+
+  property("non-RIFF bytes are rejected, never mis-parsed") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val arr = bytes.toArray
+      val looksRiff = arr.length >= 44 &&
+        arr.take(4).sameElements("RIFF".getBytes) && arr.slice(8, 12).sameElements("WAVE".getBytes)
+      looksRiff || MediaCodec.wavPcm16(arr).isEmpty
+    }
+
+  property("generic decode routes WAVs through the real parser, others to the stub") =
+    Prop.forAll(pcmGen) { samples =>
+      val wav = graft.multimodal.Multimodal.wavHeader(samples.length, 16000) ++ packLe(samples)
+      val viaDecode = MediaCodec.decode(wav)
+      MediaCodec.decodeAudio(wav).exists(_.sameElements(viaDecode))
+    }
+}

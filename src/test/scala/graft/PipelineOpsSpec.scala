@@ -132,6 +132,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       && d2(0).getLong(3) == 5L)
   }
 
+  test("tokenChunks matches a reference implementation on 200 generated docs") {
+    import spark.implicits._
+    // fixed-seed generated corpus: token counts 0..80 hit the short-doc
+    // fallback, exact-fit, and multi-window paths for several size/stride
+    // shapes; one Spark job per shape, each row checked against a plain
+    // Scala reference
+    val rnd = new scala.util.Random(20260812L)
+    val texts = (0 until 200).map { _ =>
+      val n = rnd.nextInt(81)
+      (0 until n).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString).mkString(" ")
+    }
+    def refChunks(text: String, size: Int, stride: Int): Seq[(Int, String, Long)] = {
+      val toks = text.split("\\s+", -1).toSeq
+      val n = toks.length
+      val nChunks = (math.max(n - size, 0) + stride - 1) / stride + 1
+      (0 until nChunks).map { k =>
+        val start = k * stride
+        (k, toks.slice(start, math.min(start + size, n)).mkString(" "),
+          math.min(size, n - start).toLong)
+      }
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for ((size, stride) <- Seq((32, 24), (8, 8), (5, 2), (1, 1))) {
+      val got = df.select(col("id"), explode(TextFunctions.tokenChunks(col("text"), size, stride)).as("c"))
+        .select(col("id"), col("c.chunk_idx"), col("c.chunk_text"), col("c.n_chunk_tokens"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(1)).map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSeq)
+        .toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == refChunks(t, size, stride),
+          s"mismatch for size=$size stride=$stride text='$t'")
+      }
+    }
+  }
+
   test("redactPii scrubs emails before digit runs and counts both") {
     import spark.implicits._
     val df = Seq(
