@@ -30,6 +30,36 @@ object VectorFunctions {
     when(nn === 0.0, 0.0).otherwise(d / nn)
   }
 
+  /** Symmetric int8 scalar quantization: `scale = max|v| / 127` (1.0 for an
+    * all-zero vector), `q_i = round(v_i / scale)` — a (scale, array<tinyint>)
+    * struct that stores the vector in a quarter of float32's bytes. At
+    * corpus scale this is the standard ANN compression: 100 TB of float
+    * embeddings become 25 TB with ≲1% cosine error at 64 dims. Pure
+    * deterministic double arithmetic, exactly re-derivable in ANSI SQL. */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, v => abs(v.cast("double"))))
+    val scale = when(mx === 0.0, 1.0).otherwise(mx / 127.0)
+    struct(
+      scale.as("scale"),
+      transform(vec, v => round(v.cast("double") / scale).cast("tinyint")).as("q"))
+  }
+
+  /** Dot product of two [[quantizeInt8]] structs: the integer component sum
+    * is exact, the two scales multiply back in at the end — one FP multiply
+    * chain per pair instead of per component. */
+  def dotInt8(a: Column, b: Column): Column =
+    a.getField("scale") * b.getField("scale") *
+      aggregate(
+        zip_with(a.getField("q"), b.getField("q"), (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v).cast("double")
+
+  /** Cosine over quantized vectors; 0 when either has zero norm. */
+  def cosineInt8(a: Column, b: Column): Column = {
+    val d = dotInt8(a, b)
+    val nn = sqrt(dotInt8(a, a)) * sqrt(dotInt8(b, b))
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
     * from xxhash64 so every executor materializes the identical plane
     * without broadcasting anything. */

@@ -37,6 +37,35 @@ object Similarity {
               col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Brute-force top-k over int8-QUANTIZED vectors: both sides compress
+    * through [[graft.functions.VectorFunctions.quantizeInt8]] before
+    * scoring, so the broadcast and the scan carry a quarter of the float32
+    * bytes — the memory/bandwidth shape a 100 TB embedding corpus needs.
+    * Same plan as [[bruteForceTopK]] (broadcast query set, WindowGroupLimit
+    * rank); the quantization arithmetic is deterministic double+integer
+    * math, exactly re-derivable in SQL, so the whole compressed path is
+    * oracle-checkable. */
+  def quantizedTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10): DataFrame = {
+    val corpusQ = corpus.select(col(idCol), quantizeInt8(col(vecCol)).as("__qv"))
+    val queriesQ = queries.select(col(queryIdCol), quantizeInt8(col(queryVecCol)).as("__qq"))
+    val scored = corpusQ
+      .join(broadcast(queriesQ), col(idCol) =!= col(queryIdCol))
+      .withColumn("cos_q", cosineInt8(col("__qv"), col("__qq")))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos_q"), asc(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col("rank"),
+              col(idCol).as("neighbor_id"), round(col("cos_q"), 6).as("cos_q"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: corpus and queries hash to
     * sign-pattern buckets; candidates are same-bucket rows only. With b bits
     * the corpus splits into ≤2^b buckets, so pairwise work drops by ~2^b at

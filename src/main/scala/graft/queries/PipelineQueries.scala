@@ -294,6 +294,19 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // int8-quantized brute-force top-k: both sides compress 4x before
+    // scoring (the 100 TB memory/bandwidth shape). The quantization is
+    // deterministic double+integer arithmetic (scale = max|v|/127,
+    // q = round(v/scale), integer dot x scales), so the ENTIRE compressed
+    // path — not just a recall bound — is exactly re-derived by DuckDB.
+    "sim_topk_int8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.quantizedTopK(emb, "vec_id", "embedding", queries, "query_id", "query_vec", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH top-k property oracle: per-query recall@10 against the in-engine
     // exact top-k (whose own output is fully DuckDB-checked as
     // sim_topk_brute). At nbits=2/tables=4 the measured per-query recall is
@@ -594,6 +607,28 @@ object PipelineQueries {
        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos FROM " +
        "(SELECT query_id, neighbor_id, cos, " +
        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) " +
+       "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    // exact re-derivation of the int8 quantization and integer-dot cosine:
+    // multiplication order mirrors the engine ((s_corpus*s_query)*sum,
+    // (s*s)*sum under each sqrt) so the doubles are bit-identical
+    "sim_topk_int8" ->
+      ("WITH qz AS (SELECT vec_id, CASE WHEN mx = 0 THEN 1.0 ELSE mx/127.0 END AS s, " +
+       "list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) / " +
+       "(CASE WHEN mx = 0 THEN 1.0 ELSE mx/127.0 END)) AS BIGINT)) AS q " +
+       "FROM (SELECT vec_id, embedding, " +
+       "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx FROM embeddings)), " +
+       "qs AS (SELECT vec_id AS query_id, s AS sq, q AS qq FROM qz WHERE vec_id < 5), " +
+       "scored AS (SELECT qs.query_id, z.vec_id AS neighbor_id, " +
+       "CASE WHEN sqrt(z.s*z.s*CAST(list_sum(list_transform(z.q, x -> x*x)) AS DOUBLE)) * " +
+       "sqrt(qs.sq*qs.sq*CAST(list_sum(list_transform(qs.qq, x -> x*x)) AS DOUBLE)) = 0 THEN 0.0 " +
+       "ELSE (z.s*qs.sq*CAST(list_sum(list_transform(list_zip(z.q, qs.qq), x -> x[1]*x[2])) AS DOUBLE)) / " +
+       "(sqrt(z.s*z.s*CAST(list_sum(list_transform(z.q, x -> x*x)) AS DOUBLE)) * " +
+       "sqrt(qs.sq*qs.sq*CAST(list_sum(list_transform(qs.qq, x -> x*x)) AS DOUBLE))) END AS cos_q " +
+       "FROM qz z, qs WHERE z.vec_id <> qs.query_id) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos_q, 6) AS cos_q FROM " +
+       "(SELECT query_id, neighbor_id, cos_q, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank FROM scored) " +
        "WHERE rank <= 10 ORDER BY query_id, rank"),
 
     "sim_topk_ivf" ->

@@ -334,6 +334,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       Seq("join_range_binned"))
   }
 
+  test("int8 quantization: bounded cosine error and high top-10 recall on real embeddings") {
+    import graft.functions.VectorFunctions.{cosine, cosineInt8, quantizeInt8}
+    import graft.sources.Tables
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 120)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .select(
+        cosine(col("va"), col("vb")).as("exact"),
+        cosineInt8(quantizeInt8(col("va")), quantizeInt8(col("vb"))).as("approx"))
+    // int8 at 64 dims keeps cosine within ~1.5e-2 of float — the documented
+    // compression error; a regression in scale/rounding blows way past this
+    val maxErr = pairs.agg(max(abs(col("exact") - col("approx")))).head().getDouble(0)
+    assert(maxErr < 0.015, s"max |cos - cos_q| = $maxErr")
+    // ranking survives compression: quantized top-10 recalls >=8 of the
+    // exact top-10 for every probe query
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exactTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "query_vec", k = 10)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("ex"))
+    val qTop = Similarity.quantizedTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "query_vec", k = 10)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val recalls = exactTop.join(qTop, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id").agg(coalesce(sum(col("hit")), lit(0L)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(recalls.nonEmpty && recalls.forall(_ >= 8L), recalls.mkString(","))
+  }
+
   test("multi-table LSH raises recall over single-table on real embeddings") {
     import graft.sources.Tables
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
