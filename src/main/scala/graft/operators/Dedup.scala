@@ -42,6 +42,33 @@ object Dedup {
     * for clique-like near-dup clusters (the overwhelmingly common case);
     * chains longer than one hop need the iteration in [[refineClusters]].
     */
+  /** (id, band_id, band_hash) band keys shared by [[minHashLsh]] and
+    * [[incrementalNearDup]]. Stage 1 hashes each TOKEN once, then rolls
+    * w-gram shingle hashes and all k minima in one codegen'd pass
+    * (MinHashSignature). Shingle strings are never built — concatenating
+    * them dominated the whole pipeline ~6× at sf0.1. The repartition puts
+    * an Exchange between the signature projection and the band lambdas —
+    * without it CollapseProject inlines the per-row loop into every one of
+    * the `bands` band-key lambdas and recomputes b times per row. Stage 2
+    * hashes each band's r-minima slice into one key. */
+  private def bandKeys(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleWidth: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into equal bands")
+    val r = numHashes / bands
+    val sigs = df.select(
+      col(idCol),
+      graft.expressions.MinHashSignature.minhashSignature(
+        transform(tokens(col(textCol)), t => xxhash64(t)), numHashes, shingleWidth).as("sig"))
+      .repartition(col(idCol))
+    sigs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(j, slice(col("sig"), j * lit(r) + lit(1), lit(r))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+  }
+
   def minHashLsh(
       df: DataFrame,
       idCol: String,
@@ -49,27 +76,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleWidth: Int = 3): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into equal bands")
-    val r = numHashes / bands
-    // Stage 1: hash each TOKEN once, then roll w-gram shingle hashes and all
-    // k minima in one codegen'd pass (MinHashSignature). Shingle strings are
-    // never built — concatenating them dominated the whole pipeline ~6× at
-    // sf0.1. The repartition puts an Exchange between the signature
-    // projection and the band lambdas — without it CollapseProject inlines
-    // the per-row loop into every one of the `bands` band-key lambdas below
-    // and it recomputes b times per row.
-    val sigs = df.select(
-      col(idCol),
-      graft.expressions.MinHashSignature.minhashSignature(
-        transform(tokens(col(textCol)), t => xxhash64(t)), numHashes, shingleWidth).as("sig"))
-      .repartition(col(idCol))
-    // Stage 2: each band hashes its r-minima slice into one key.
-    val banded = sigs.select(
-      col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => xxhash64(j, slice(col("sig"), j * lit(r) + lit(1), lit(r))))))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_hash")
+    val banded = bandKeys(df, idCol, textCol, numHashes, bands, shingleWidth)
     val bandGroups = banded
       .groupBy("band_id", "band_hash")
       .agg(min(col(idCol)).as("band_min"), count(lit(1)).as("band_size"))
@@ -78,6 +85,52 @@ object Dedup {
       .agg(
         min(col("band_min")).as("cluster_id"),
         max(col("band_size") > 1).as("has_candidate"))
+  }
+
+  /** Incremental near-dedup: matches a NEW batch of documents against an
+    * existing corpus — the daily-ingestion shape at 100 TB. Band keys are
+    * computed for both sides ([[bandKeys]], row-local + one shuffle on the
+    * band key), candidates are batch×corpus band collisions ONLY — the
+    * corpus never self-joins, so ingesting B docs against a corpus of N
+    * costs O(N + B + candidates), not O(N²). Candidates are confirmed with
+    * exact shingle-set Jaccard (row-local set arithmetic on the rolled
+    * 64-bit shingle hashes, quadratic work confined to the candidate set),
+    * making false matches structurally impossible modulo hash collisions.
+    *
+    * Returns one row per batch doc: (id, matched_id, best_jaccard) —
+    * `matched_id` the smallest corpus doc with confirmed Jaccard ≥
+    * `minJaccard`, null when the doc is genuinely new. */
+  def incrementalNearDup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWidth: Int = 3,
+      minJaccard: Double = 0.8): DataFrame = {
+    val bBands = bandKeys(batch, idCol, textCol, numHashes, bands, shingleWidth)
+      .select(col(idCol).as("batch_id"), col("band_id"), col("band_hash"))
+    val cBands = bandKeys(corpus, idCol, textCol, numHashes, bands, shingleWidth)
+      .select(col(idCol).as("corpus_id"), col("band_id"), col("band_hash"))
+    val cand = bBands.join(cBands, Seq("band_id", "band_hash"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    def shingleSets(df: DataFrame, out: String) = df.select(
+      col(idCol).as(out),
+      array_distinct(graft.expressions.MinHashSignature.shingleHashes(
+        transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as(s"${out}_sh"))
+    val confirmed = cand
+      .join(shingleSets(batch, "b_id"), col("batch_id") === col("b_id"))
+      .join(shingleSets(corpus, "c_id"), col("corpus_id") === col("c_id"))
+      .withColumn("inter", size(array_intersect(col("b_id_sh"), col("c_id_sh"))).cast("double"))
+      .withColumn("uni", size(array_union(col("b_id_sh"), col("c_id_sh"))).cast("double"))
+      .withColumn("jaccard", when(col("uni") === 0.0, 0.0).otherwise(col("inter") / col("uni")))
+      .filter(col("jaccard") >= minJaccard)
+    val matched = confirmed.groupBy(col("batch_id"))
+      .agg(min(col("corpus_id")).as("matched_id"), max(col("jaccard")).as("best_jaccard"))
+    batch.select(col(idCol).as("id"))
+      .join(matched, col("id") === col("batch_id"), "left")
+      .select(col("id"), col("matched_id"), round(col("best_jaccard"), 6).as("best_jaccard"))
   }
 
   /** One pointer-jumping round for cluster refinement: each row follows its

@@ -187,6 +187,39 @@ object PipelineQueries {
             count(lit(1)).cast("double") * 0.8).cast("long").as("recall_ok"))
     }),
 
+    // incremental (batch-vs-corpus) near-dedup property oracle: batch =
+    // doc_id % 5 == 0 against the rest as corpus. Every planted hi-Jaccard
+    // pair straddling the split must be matched (DuckDB recomputes the
+    // exact straddling set; recall floor 95% mirrors dedup_minhash_lsh's
+    // banding guarantee), and false matches are structurally zero — the
+    // operator confirms candidates with the same exact shingle arithmetic
+    // the oracle uses.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val out = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text")
+      val matched = out.filter(col("matched_id").isNotNull)
+        .select(col("id"), col("matched_id"))
+      val hi = hiJaccardPairs(s, d)
+        .filter((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
+        .select(
+          when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b")).as("b_id"),
+          when(col("id_a") % 5 === 0, col("id_b")).otherwise(col("id_a")).as("c_id"))
+      val nTrue = matched.join(hi,
+        matched("id") === hi("b_id") && matched("matched_id") === hi("c_id"), "left_semi")
+      matched.agg(count(lit(1)).as("__nm")).crossJoin(
+          nTrue.agg(count(lit(1)).as("__nt")))
+        .crossJoin(hi.agg(countDistinct(col("b_id")).as("__ne")))
+        .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+        .select(
+          col("n_batch"),
+          col("__ne").as("n_expected"),
+          (col("__nm") - col("__nt")).as("n_false_matches"),
+          (col("__nt").cast("double") >= col("__ne").cast("double") * 0.95)
+            .cast("long").as("recall_ok"))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardBestMatch(t(s, d, "documents").df, "doc_id", "text", blockCol = "lang")
         .orderBy("id")),
@@ -499,6 +532,16 @@ object PipelineQueries {
     "dedup_simhash" ->
       ("WITH " + HiJaccardPairsSql +
        "SELECT count(*) AS n_hi_pairs, CAST(1 AS BIGINT) AS recall_ok FROM hi"),
+
+    // exact batch size + exact count of batch docs with a straddling
+    // hi-Jaccard corpus partner; zero false matches is structural, the
+    // recall flag pins the banding guarantee
+    "dedup_incremental" ->
+      ("WITH " + HiJaccardPairsSql +
+       "SELECT (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS n_batch, " +
+       "(SELECT count(DISTINCT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END) FROM hi " +
+       "WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)) AS n_expected, " +
+       "CAST(0 AS BIGINT) AS n_false_matches, CAST(1 AS BIGINT) AS recall_ok"),
 
     "dedup_embedding_cosine" ->
       ("WITH " + CosinePairsSql +

@@ -52,6 +52,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!keys.contains((4L, 5L)), "unrelated docs differ in many bits")
   }
 
+  test("incremental near-dedup matches batch docs to the corpus, new docs stay null") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val batch = Seq(
+      (10L, base), // duplicate of corpus docs 1/2 → matched to min id 1
+      (11L, "entirely novel text about streaming watermark semantics and state stores")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(docs, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out(10L).contains(1L), s"near-dup batch doc must match corpus canonical: $out")
+    assert(out(11L).isEmpty, s"novel batch doc must stay unmatched: $out")
+  }
+
   test("ngram jaccard best-match ranks the near dup first") {
     val withBlock = docs.withColumn("block", lit("all"))
     val out = Dedup.ngramJaccardBestMatch(withBlock, "doc_id", "text", "block")
