@@ -51,7 +51,7 @@ object Dedup {
     * without it CollapseProject inlines the per-row loop into every one of
     * the `bands` band-key lambdas and recomputes b times per row. Stage 2
     * hashes each band's r-minima slice into one key. */
-  private def bandKeys(
+  private[graft] def bandKeys(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, shingleWidth: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into equal bands")
@@ -115,23 +115,46 @@ object Dedup {
       .select(col(idCol).as("corpus_id"), col("band_id"), col("band_hash"))
     val cand = bBands.join(cBands, Seq("band_id", "band_hash"))
       .select(col("batch_id"), col("corpus_id")).distinct()
-    def shingleSets(df: DataFrame, out: String) = df.select(
-      col(idCol).as(out),
-      array_distinct(graft.expressions.MinHashSignature.shingleHashes(
-        transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as(s"${out}_sh"))
-    val confirmed = cand
-      .join(shingleSets(batch, "b_id"), col("batch_id") === col("b_id"))
-      .join(shingleSets(corpus, "c_id"), col("corpus_id") === col("c_id"))
-      .withColumn("inter", size(array_intersect(col("b_id_sh"), col("c_id_sh"))).cast("double"))
-      .withColumn("uni", size(array_union(col("b_id_sh"), col("c_id_sh"))).cast("double"))
-      .withColumn("jaccard", when(col("uni") === 0.0, 0.0).otherwise(col("inter") / col("uni")))
-      .filter(col("jaccard") >= minJaccard)
-    val matched = confirmed.groupBy(col("batch_id"))
+    val matched = confirmedMatches(cand, batch, corpus, idCol, textCol, shingleWidth, minJaccard)
+      .groupBy(col("batch_id"))
       .agg(min(col("corpus_id")).as("matched_id"), max(col("jaccard")).as("best_jaccard"))
     batch.select(col(idCol).as("id"))
       .join(matched, col("id") === col("batch_id"), "left")
       .select(col("id"), col("matched_id"), round(col("best_jaccard"), 6).as("best_jaccard"))
   }
+
+  /** Row-local exact Jaccard of two distinct-hash-set arrays. */
+  private[graft] def setJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, 0.0).otherwise(inter / uni)
+  }
+
+  /** (id, distinct rolled-shingle-hash set) projection shared by the
+    * confirm step below and the streaming variant. */
+  private[graft] def shingleSets(
+      df: DataFrame, idCol: String, textCol: String, shingleWidth: Int, out: String): DataFrame =
+    df.select(
+      col(idCol).as(out),
+      array_distinct(graft.expressions.MinHashSignature.shingleHashes(
+        transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as(s"${out}_sh"))
+
+  /** Exact-Jaccard confirmation of (batch_id, corpus_id) candidate pairs:
+    * row-local set arithmetic on rolled shingle hashes, quadratic work
+    * confined to the candidate set. Returns pairs with `jaccard` ≥
+    * `minJaccard`. Shared by [[incrementalNearDup]] and the streaming
+    * variant in `graft.streaming.Streams`. */
+  private[graft] def confirmedMatches(
+      cand: DataFrame, batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleWidth: Int, minJaccard: Double): DataFrame =
+    cand
+      .join(shingleSets(batch, idCol, textCol, shingleWidth, "b_id"),
+        col("batch_id") === col("b_id"))
+      .join(shingleSets(corpus, idCol, textCol, shingleWidth, "c_id"),
+        col("corpus_id") === col("c_id"))
+      .withColumn("jaccard", setJaccard(col("b_id_sh"), col("c_id_sh")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
 
   /** One pointer-jumping round for cluster refinement: each row follows its
     * current representative's own pointer and keeps the smaller of the two

@@ -83,14 +83,31 @@ object PipelineSyntax {
         Map("point" -> pointCol, "lo" -> loCol, "hi" -> hiCol, "binWidth" -> binWidth),
         pk = None)
 
+    /** Incremental near-dedup of THIS frame (the new batch) against an
+      * existing corpus: one row per batch id (pk set + verified), corpus
+      * never self-joins. */
+    def dedupIncremental(
+        corpus: MetaFrame, idCol: String, textCol: String,
+        numHashes: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
+        minJaccard: Double = 0.8): MetaFrame =
+      derived(mf,
+        Dedup.incrementalNearDup(corpus.df, mf.df, idCol, textCol,
+          numHashes, bands, shingleWidth, minJaccard),
+        "dedup_incremental",
+        Map("id" -> idCol, "text" -> textCol, "numHashes" -> numHashes,
+            "bands" -> bands, "shingleWidth" -> shingleWidth, "minJaccard" -> minJaccard),
+        pk = Some(Seq("id")))
+
     /** Per-doc text-analysis annotation: adds token/quality/lang/fingerprint
-      * columns; row-preserving so existing pk metadata stands. */
+      * and PII-audit columns; row-preserving so existing pk metadata
+      * stands. */
     def annotateText(textCol: String): MetaFrame = {
       val out = mf.df
         .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
         .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
         .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
         .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+        .withColumn("n_pii", TextFunctions.piiCount(col(textCol)))
       derived(mf, out, "annotate_text", Map("text" -> textCol),
         pk = mf.primaryKey, // row-preserving: pk carries over...
         pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))

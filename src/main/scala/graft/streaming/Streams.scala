@@ -99,6 +99,60 @@ object Streams {
       }
   }
 
+  /** Streaming incremental near-dedup: a STREAM of new documents matched
+    * against a STATIC corpus — the stream-static equi-join enrichment
+    * pattern. The stream side stays stateless through banding
+    * (`Dedup.bandKeys` is a row-local projection + explode), candidates are
+    * stream-band × corpus-band collisions only (the corpus never
+    * self-joins, same as the batch `Dedup.incrementalNearDup`), and
+    * confirmed matches aggregate per stream doc in UPDATE mode — state is
+    * O(matched docs), not O(stream). Band collisions can surface the same
+    * pair in several micro-batches; the min/max aggregate makes re-emission
+    * idempotent for an upsert sink. */
+  def incrementalNearDupStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWidth: Int = 3,
+      minJaccard: Double = 0.8): DataFrame = {
+    import graft.expressions.MinHashSignature.{minhashSignature, shingleHashes}
+    import graft.functions.TextFunctions.tokens
+    import graft.operators.Dedup
+    require(numHashes % bands == 0, "numHashes must divide into equal bands")
+    val r = numHashes / bands
+    // the stream doc's shingle set rides along through the band explode —
+    // re-deriving it later would need a stream-stream self-join, which is
+    // exactly the state bomb this operator exists to avoid
+    val sBands = stream.select(
+        col(idCol).as("batch_id"),
+        array_distinct(shingleHashes(
+          transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as("b_sh"),
+        minhashSignature(
+          transform(tokens(col(textCol)), t => xxhash64(t)), numHashes, shingleWidth).as("sig"))
+      .select(col("batch_id"), col("b_sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => xxhash64(j, slice(col("sig"), j * lit(r) + lit(1), lit(r))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+    val cBands = Dedup.bandKeys(corpus, idCol, textCol, numHashes, bands, shingleWidth)
+      .select(col(idCol).as("corpus_id"), col("band_id"), col("band_hash"))
+    val cSets = Dedup.shingleSets(corpus, idCol, textCol, shingleWidth, "c_id")
+    // both joins are stream-static; no distinct on candidates — that would
+    // be a second streaming aggregate, and duplicate band collisions
+    // confirm to identical (pair, jaccard) rows that collapse in the final
+    // min/max aggregate anyway
+    sBands.join(cBands, Seq("band_id", "band_hash"))
+      .join(cSets, col("corpus_id") === col("c_id"))
+      .withColumn("jaccard", Dedup.setJaccard(col("b_sh"), col("c_id_sh")))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy(col("batch_id").as("id"))
+      .agg(min(col("corpus_id")).as("matched_id"),
+        round(max(col("jaccard")), 6).as("best_jaccard"))
+  }
+
   /** Convenience: run any streaming frame into an in-memory table and block
     * until every available input is processed (local smoke pattern). */
   def runToMemory(df: DataFrame, queryName: String, mode: OutputMode): StreamingQuery = {

@@ -321,6 +321,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(chained.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
       .map(_("op")) == Seq("annotate_text", "dedup_minhash_lsh"))
     assert(chained.primaryKey.contains(Seq("doc_id")))
+    // incremental dedup records lineage and proves one row per batch id
+    import spark.implicits._
+    val batch = MetaFrame(
+      Seq((20L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"))
+        .toDF("doc_id", "text"), Map.empty)
+    val inc = batch.dedupIncremental(mf, "doc_id", "text")
+    assert(inc.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("dedup_incremental"))
+    assert(inc.primaryKey.contains(Seq("id")))
+    assert(inc.dropDuplicates(Seq("id")).df eq inc.df) // proof survives
   }
 
   test("PipelineSyntax: as-of and range joins record lineage and pk semantics") {

@@ -72,6 +72,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental near-dedup matches a doc stream against a static corpus") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different content about database query engines and columnar storage")
+    ).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)](spark)
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val out = Streams.incrementalNearDupStream(stream, corpus, "doc_id", "text")
+    // batch 1: one duplicate of corpus doc 1, one novel doc
+    ms.addData((10L, base), (11L, "novel text on watermark semantics in state stores"))
+    val q = Streams.runToMemory(out, "inc_dedup_out", OutputMode.Update())
+    try {
+      val rows1 = spark.table("inc_dedup_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows1 == Map(10L -> 1L), s"got $rows1") // novel doc emits nothing
+      // batch 2: a second micro-batch matches too — the stream keeps going
+      ms.addData((12L, base))
+      q.processAllAvailable()
+      val rows2 = spark.table("inc_dedup_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows2 == Map(10L -> 1L, 12L -> 1L), s"got $rows2")
+    } finally q.stop()
+  }
+
   test("stateful sessionization keeps running per-user state across batches") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)
