@@ -115,6 +115,10 @@ object TextFunctions {
     * token. Row-local HOF arithmetic: no shuffle, explode downstream. */
   def tokenChunks(text: Column, size: Int = 32, stride: Int = 24): Column = {
     require(size > 0 && stride > 0, "size and stride must be positive")
+    // stride beyond size would emit a trailing phantom chunk (empty text,
+    // negative token count) past the last token — reject the shape, it
+    // contradicts the "overlap of size − stride" contract anyway
+    require(stride <= size, s"stride ($stride) must not exceed size ($size)")
     val toks = tokens(text)
     val n = org.apache.spark.sql.functions.size(toks)
     val nChunks = floor(

@@ -127,28 +127,36 @@ object Multimodal {
       var pcmMono16 = false
       var sampleRate = 0
       var out: Option[(Int, Array[Short])] = None
-      while (out.isEmpty && off + 8 <= content.length) {
+      var malformed = false
+      while (out.isEmpty && !malformed && off + 8 <= content.length) {
         val sz = le32(off + 4)
         val body = off + 8
-        tag(off) match {
-          case "fmt " if body + 16 <= content.length =>
-            // format 1 = integer PCM, 1 channel, 16 bits/sample
-            pcmMono16 = le16(body) == 1 && le16(body + 2) == 1 && le16(body + 14) == 16
-            sampleRate = le32(body + 4)
-          case "data" if pcmMono16 =>
-            val n = math.min(sz.toLong, (content.length - body).toLong).toInt / 2
-            val samples = new Array[Short](n)
-            var i = 0
-            while (i < n) {
-              samples(i) = ((content(body + 2 * i) & 0xff) | (content(body + 2 * i + 1) << 8)).toShort
-              i += 1
-            }
-            out = Some((sampleRate, samples))
-          case _ =>
+        // a corrupt size field (negative, or overflowing past the buffer)
+        // must reject the payload, not spin the chunk walk forever or throw
+        // out of the decode dispatch
+        if (sz < 0) malformed = true
+        else {
+          tag(off) match {
+            case "fmt " if body + 16 <= content.length =>
+              // format 1 = integer PCM, 1 channel, 16 bits/sample
+              pcmMono16 = le16(body) == 1 && le16(body + 2) == 1 && le16(body + 14) == 16
+              sampleRate = le32(body + 4)
+            case "data" if pcmMono16 =>
+              val n = math.min(sz.toLong, (content.length - body).toLong).toInt / 2
+              val samples = new Array[Short](n)
+              var i = 0
+              while (i < n) {
+                samples(i) = ((content(body + 2 * i) & 0xff) | (content(body + 2 * i + 1) << 8)).toShort
+                i += 1
+              }
+              out = Some((sampleRate, samples))
+            case _ =>
+          }
+          val next = body.toLong + sz.toLong + (sz & 1) // RIFF chunks are word-aligned
+          if (next > Int.MaxValue) malformed = true else off = next.toInt
         }
-        off = body + sz + (sz & 1) // RIFF chunks are word-aligned
       }
-      out
+      if (malformed) None else out
     }
 
     /** Amplitude histogram over decoded PCM samples: [[FeatureDim]] equal
@@ -304,7 +312,9 @@ object Multimodal {
         val pcm = new Array[Byte](DemoWavSamples * 2)
         var i = 0
         while (i < DemoWavSamples) {
-          val v = (((id * 37 + i * 13) % 65536) - 32768).toInt
+          // double-mod keeps the remainder non-negative for negative ids
+          // (Scala % is sign-following), same pattern as encodeDemoPng
+          val v = ((((id * 37 + i * 13) % 65536 + 65536) % 65536) - 32768).toInt
           pcm(2 * i) = (v & 0xff).toByte
           pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
           i += 1

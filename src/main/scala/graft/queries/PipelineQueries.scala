@@ -619,7 +619,7 @@ object PipelineQueries {
     // k/100 has ≤2 decimals so round(...,6) can't hit a midpoint tie
     "mm_features" ->
       ("SELECT doc_id AS id, 'audio' AS modality, CAST(16 AS INT) AS dim, " +
-       "round(CAST(len(list_filter(range(0, 100), i -> ((doc_id*37+i*13)%65536)//4096 = 0)) AS DOUBLE) / 100, 6) AS f0 " +
+       "round(CAST(len(list_filter(range(0, 100), i -> (((doc_id*37+i*13)%65536+65536)%65536)//4096 = 0)) AS DOUBLE) / 100, 6) AS f0 " +
        "FROM documents ORDER BY id"),
 
     // the decoded amplitude bin of sample i is ((doc_id*37+i*13) % 65536) //
@@ -628,7 +628,7 @@ object PipelineQueries {
     // integer arithmetic
     "mm_audio_histogram" ->
       ("SELECT doc_id, CAST(16000 AS INT) AS sample_rate, CAST(b AS INT) AS bin, " +
-       "CAST(len(list_filter(range(0, 100), i -> ((doc_id*37+i*13)%65536)//4096 = b)) AS BIGINT) AS n " +
+       "CAST(len(list_filter(range(0, 100), i -> (((doc_id*37+i*13)%65536+65536)%65536)//4096 = b)) AS BIGINT) AS n " +
        "FROM documents, range(0, 16) t(b) ORDER BY doc_id, bin"),
 
     "mm_binary_meta" ->

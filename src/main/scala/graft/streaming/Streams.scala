@@ -132,6 +132,11 @@ object Streams {
           transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as("b_sh"),
         minhashSignature(
           transform(tokens(col(textCol)), t => xxhash64(t)), numHashes, shingleWidth).as("sig"))
+      // the same Exchange barrier Dedup.bandKeys carries: without it
+      // CollapseProject inlines the signature loop into every band lambda
+      // and recomputes it `bands` times per row (repartition is legal on
+      // streaming frames)
+      .repartition(col("batch_id"))
       .select(col("batch_id"), col("b_sh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           j => xxhash64(j, slice(col("sig"), j * lit(r) + lit(1), lit(r))))))

@@ -37,8 +37,8 @@ object AuditScale {
     * table, which grow linearly with the corpus. */
   val Heavy: Seq[String] = Seq(
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cc_exact",
-    "sim_topk_ivf", "mm_image_histogram", "mm_audio_histogram")
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cc_exact", "dedup_incremental",
+    "sim_topk_ivf", "sim_topk_int8", "mm_image_histogram", "mm_audio_histogram")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -53,7 +53,8 @@ object AuditScale {
     * based, and CartesianProduct is never allowed. (The listener-based
     * check sees the executed per-round plans, which is how the cc BNLJ —
     * invisible to the old unexecuted-plan stringification — surfaced.) */
-  val BnljAllowed: Set[String] = Set("sim_topk_ivf", "sim_topk_brute", "dedup_cc_exact")
+  val BnljAllowed: Set[String] =
+    Set("sim_topk_ivf", "sim_topk_brute", "sim_topk_int8", "dedup_cc_exact")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) :+

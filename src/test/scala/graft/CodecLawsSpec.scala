@@ -42,6 +42,17 @@ object CodecLawsSpec extends Properties("CodecLaws") {
       }
     }
 
+  property("corrupt chunk sizes inside a RIFF container are rejected, not spun on") =
+    Prop.forAll(Gen.oneOf(-8, -1, Int.MinValue, Int.MaxValue - 4)) { badSize =>
+      // RIFF+WAVE header followed by a chunk whose size field is corrupt:
+      // negative sizes used to freeze the chunk walk (off never advanced),
+      // huge ones overflowed the offset — both must return None promptly
+      val b = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(40); b.put("WAVE".getBytes)
+      b.put("fmt ".getBytes); b.putInt(badSize); b.put(new Array[Byte](28))
+      MediaCodec.wavPcm16(b.array()).isEmpty
+    }
+
   property("non-RIFF bytes are rejected, never mis-parsed") =
     Prop.forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val arr = bytes.toArray

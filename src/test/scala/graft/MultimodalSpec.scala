@@ -55,7 +55,7 @@ class MultimodalSpec extends AnyFunSuite {
       assert(samples.length == Multimodal.DemoWavSamples)
       // every decoded sample matches the declared pure-arithmetic waveform
       samples.zipWithIndex.foreach { case (s, i) =>
-        assert(s == (((w.id * 37 + i * 13) % 65536) - 32768).toShort)
+        assert(s == ((((w.id * 37 + i * 13) % 65536 + 65536) % 65536) - 32768).toShort)
       }
     }
   }
