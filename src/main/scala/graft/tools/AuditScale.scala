@@ -46,15 +46,19 @@ object AuditScale {
 
   /** Queries where a BroadcastNestedLoopJoin is the intended plan: a tiny
     * broadcast side (the query set / centroid table) against every row is
-    * exactly what brute-force scoring and IVF cell-probing mean, and
+    * exactly what brute-force scoring and IVF cell-probing mean;
     * `dedup_cc_exact`'s declared input IS the bounded all-pairs cosine set
     * (vec_id < 300 at every sf — its oracle needs DuckDB-recomputable
-    * pairs), joined on `id_a < id_b`. Everything else must stay hash/sort
-    * based, and CartesianProduct is never allowed. (The listener-based
-    * check sees the executed per-round plans, which is how the cc BNLJ —
-    * invisible to the old unexecuted-plan stringification — surfaced.) */
+    * pairs), joined on `id_a < id_b`; and `dedup_incremental`'s PROPERTY
+    * QUERY assembles four single-row aggregates via crossJoin (1×1 BNLJ —
+    * the operator itself is equi-band hash joins). Everything else must
+    * stay hash/sort based, and CartesianProduct is never allowed. (The
+    * listener-based check sees the executed per-round plans, which is how
+    * the cc BNLJ — invisible to the old unexecuted-plan stringification —
+    * surfaced.) */
   val BnljAllowed: Set[String] =
-    Set("sim_topk_ivf", "sim_topk_brute", "sim_topk_int8", "dedup_cc_exact")
+    Set("sim_topk_ivf", "sim_topk_brute", "sim_topk_int8",
+      "dedup_cc_exact", "dedup_incremental")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) :+
