@@ -114,6 +114,22 @@ object PipelineQueries {
         .groupBy("pred_lang").agg(count(lit(1)).as("n"))
         .orderBy("pred_lang").df),
 
+    // token-budget shard packing: each doc lands in the training shard
+    // where its block's running token count starts (5000-token shards,
+    // packed per lang block so the window parallelizes across blocks — a
+    // single global ordering would serialize 100 TB through one partition)
+    "text_shard_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      t(s, d, "documents").df
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("shard_id",
+          ((col("cum_tokens") - col("n_tokens")) / lit(5000)).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // overlapping token-window chunking (size=32, stride=24): the standard
     // long-document → training-context slicing; row-local HOFs + explode,
     // window arithmetic exactly re-derivable in SQL
@@ -476,6 +492,17 @@ object PipelineQueries {
     "dedup_exact_hash" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS dup_count " +
        "FROM documents GROUP BY md5(text) ORDER BY content_hash"),
+
+    // same per-lang running token sum; shard = start offset // 5000 (both
+    // engines: double division truncated toward zero == floor on
+    // non-negative offsets)
+    "text_shard_pack" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+       "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents) " +
+       "SELECT doc_id, lang, n_tokens, " +
+       "CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens, " +
+       "CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens) // 5000 AS INT) AS shard_id " +
+       "FROM t ORDER BY doc_id"),
 
     // window k covers tokens [k*24+1, k*24+32] (1-based inclusive list
     // slice, clamped), window count = ceil(max(n-32,0)/24)+1
