@@ -344,6 +344,8 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def transform(f: MetaFrame => MetaFrame): MetaFrame = f(this)
   def observe(name: String, expr: Column, exprs: Column*): MetaFrame =
     wrapKeep(df.observe(name, expr, exprs: _*))
+  def observe(observation: org.apache.spark.sql.Observation, expr: Column, exprs: Column*): MetaFrame =
+    wrapKeep(df.observe(observation, expr, exprs: _*))
 
   /** Df-level partition-wise transform — the JVM analogue of the
     * `mapInPandas`/`mapInArrow` batch escape hatch the reference routes
@@ -365,6 +367,7 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def checkpoint(): MetaFrame = wrapKeep(df.checkpoint())
   def checkpoint(eager: Boolean): MetaFrame = wrapKeep(df.checkpoint(eager))
   def localCheckpoint(): MetaFrame = wrapKeep(df.localCheckpoint())
+  def localCheckpoint(eager: Boolean): MetaFrame = wrapKeep(df.localCheckpoint(eager))
 
   // ---------------------------------------------------------------- streaming
 
@@ -417,6 +420,8 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def show(): Unit = df.show()
   def show(n: Int): Unit = df.show(n)
   def show(n: Int, truncate: Boolean): Unit = df.show(n, truncate)
+  def show(n: Int, truncate: Int): Unit = df.show(n, truncate)
+  def show(n: Int, truncate: Int, vertical: Boolean): Unit = df.show(n, truncate, vertical)
   def printSchema(): Unit = df.printSchema()
   def explain(): Unit = df.explain()
   def explain(mode: String): Unit = df.explain(mode)
@@ -520,6 +525,9 @@ final class MetaWriter(val w: DataFrameWriter[Row], val metadata: Map[String, An
   def csv(path: String): Unit = w.csv(path)
   def saveAsTable(tableName: String): Unit = w.saveAsTable(tableName)
   def insertInto(tableName: String): Unit = w.insertInto(tableName)
+  def text(path: String): Unit = w.text(path)
+  def jdbc(url: String, table: String, connectionProperties: java.util.Properties): Unit =
+    w.jdbc(url, table, connectionProperties)
 }
 
 /** Metadata-preserving facade over `DataFrameNaFunctions` (divergence: the

@@ -146,11 +146,18 @@ object TextFunctions {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       NumberPattern, "<NUM>")
 
-  /** Count of PII matches the scrub would hit, for audit columns. */
+  /** Count of PII matches the scrub would hit, for audit columns.
+    *
+    * Single regex pass: the alternation tries the email branch first at
+    * every position (Java regex is leftmost-first), so a digit run inside
+    * an address is consumed by the email match — exactly the matches the
+    * sequential redact-emails-then-count-numbers scheme produces. The two
+    * formulations agree because `<EMAIL>` contains no digits (redaction can
+    * neither create, join, nor split a 7+ digit run) and a digit run can
+    * never span an email match (emails contain '@'). Equivalence to the
+    * two-pass form is pinned in TextFunctionsSpec. */
   def piiCount(text: Column): Column =
-    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
-      size(regexp_extract_all(regexp_replace(text, EmailPattern, "<EMAIL>"),
-        lit(NumberPattern), lit(0)))).cast("long")
+    size(regexp_extract_all(text, lit(s"$EmailPattern|$NumberPattern"), lit(0))).cast("long")
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
     * xxhash64 bits. Each token is hashed ONCE (builtin `xxhash64`), the bit

@@ -43,9 +43,32 @@ object Bucketing {
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+    // pk/provenance sidecar in the table's storage location, so the catalog
+    // round-trip this module exists for does not lose the metadata layer
+    // (same policy as MetaPersist: the pk-verified elision proof never
+    // crosses a job boundary). MetaPersist is java.nio-based, so only
+    // file:-scheme locations carry a sidecar; remote object stores skip it.
+    try MetaPersist.writeSidecar(
+      new java.io.File(org.apache.spark.sql.graftbridge.tableLocation(spark, table)).getPath,
+      mf.metadata)
+    catch {
+      case _: IllegalArgumentException =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"writeBucketed($quoted): non-local table location, metadata sidecar skipped")
+    }
   }
 
-  /** Reads a catalog table back into the metadata layer. */
-  def table(spark: SparkSession, name: String, metadata: Map[String, Any] = Map.empty): MetaFrame =
-    MetaFrame(spark.table(name), metadata)
+  /** Reads a catalog table back into the metadata layer: metadata restored
+    * from the [[MetaPersist]] sidecar in the table location when present,
+    * then overlaid with any explicitly supplied entries (caller wins). */
+  def table(spark: SparkSession, name: String, metadata: Map[String, Any] = Map.empty): MetaFrame = {
+    val df = spark.table(name)
+    val restored =
+      try MetaPersist.readSidecar(
+        new java.io.File(org.apache.spark.sql.graftbridge.tableLocation(spark, name)).getPath)
+      catch { // non-file location (e.g. a remote object store URI on a real cluster)
+        case _: IllegalArgumentException => Map.empty[String, Any]
+      }
+    MetaFrame(df, restored ++ metadata)
+  }
 }

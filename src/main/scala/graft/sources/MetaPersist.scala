@@ -53,11 +53,14 @@ object MetaPersist {
 
   /** Reads parquet + sidecar back into the metadata layer (empty metadata if
     * no sidecar is present). */
-  def readParquet(spark: SparkSession, path: String): MetaFrame = {
-    val df = spark.read.parquet(path)
+  def readParquet(spark: SparkSession, path: String): MetaFrame =
+    MetaFrame(spark.read.parquet(path), readSidecar(path))
+
+  /** Reads just the sidecar of an output directory (empty map when absent). */
+  def readSidecar(path: String): Map[String, Any] = {
     val sidecar = Paths.get(path, SidecarName)
-    if (!Files.exists(sidecar)) MetaFrame(df)
-    else MetaFrame(df, parse(new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8)))
+    if (!Files.exists(sidecar)) Map.empty
+    else parse(new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8))
   }
 
   /** Minimal parser for the sidecar's own output format (flat string /

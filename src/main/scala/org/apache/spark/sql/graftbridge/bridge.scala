@@ -66,4 +66,12 @@ package object graftbridge {
     val catalog = spark.sessionState.catalog
     catalog.defaultTablePath(spark.sessionState.sqlParser.parseTableIdentifier(table))
   }
+
+  /** The ACTUAL storage location of an existing catalog table (unlike
+    * [[defaultTablePath]], which derives where a managed table WOULD go) —
+    * `SessionCatalog.getTableMetadata` is `private[sql]`, hence the shim. */
+  def tableLocation(spark: SparkSession, table: String): java.net.URI =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .location
 }

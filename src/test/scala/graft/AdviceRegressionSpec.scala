@@ -118,6 +118,34 @@ class AdviceRegressionSpec extends AnyFunSuite {
       "a NULL-timestamp right row has no order position and must not match")
   }
 
+  test("backwardBucketed equals backward for every bucket width (hot-key mitigation)") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // one hot key with dense left rows, sparse right rows (so narrow widths
+    // leave many right-free buckets and the carry-in must reach several
+    // buckets back), a cold key, and left rows older than every right row
+    val left = ((0 until 200).map(i => ("hot", ts(i * 3L + 1))) ++
+      Seq(("cold", ts(40L)), ("cold", ts(2L)), ("nomatch", ts(9L)))).toDF("k", "lts")
+    val right = ((0 until 40).map(i => ("hot", ts(i * 17L), Option(i * 1.5))) ++
+      Seq(("cold", ts(35L), Option(99.0)),
+        ("hot", ts(300L), None: Option[Double]))).toDF("k", "rts", "px")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getAs[java.sql.Timestamp](1).getTime,
+          Option(r.getAs[java.lang.Double]("asof_px"))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val expected = canon(AsOfJoin.backward(left, right, "k", "lts", "rts", Seq("px")))
+    for (width <- Seq(1L, 7L, 50L, 100000L)) {
+      val got = canon(AsOfJoin.backwardBucketed(left, right, "k", "lts", "rts", Seq("px"), width))
+      assert(got == expected, s"bucketWidth=$width diverges from backward")
+    }
+    // tolerance applies identically through the bucketed carry
+    val expTol = canon(AsOfJoin.backward(left, right, "k", "lts", "rts", Seq("px"), Some(5L)))
+    val gotTol = canon(
+      AsOfJoin.backwardBucketed(left, right, "k", "lts", "rts", Seq("px"), 7L, Some(5L)))
+    assert(gotTol == expTol, "tolerance diverges under bucketing")
+  }
+
   // ---- ADVICE r1 low: sidecar escape roundtrip
 
   test("metadata sidecar roundtrips backslash-n and control characters") {

@@ -255,6 +255,23 @@ class MetaFrameSpec extends AnyFunSuite {
     assert(withMd.dropDuplicates(Seq("k")).df eq withMd.df) // elision still proven
   }
 
+  test("overload forwarders: localCheckpoint(eager), observe(Observation), show int-truncate") {
+    val mf = MetaFrame(fixture, metadata)
+    // lazy local checkpoint keeps metadata and truncates lineage on action
+    val cp = mf.localCheckpoint(false)
+    assert(cp.metadata == metadata)
+    assert(cp.count() == 22L)
+    // Observation-based observe: metrics surface on the handle after an action
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = mf.observe(obs, sum(col("quantity")).as("total_qty"))
+    assert(observed.metadata == metadata)
+    observed.count()
+    assert(obs.get("total_qty").asInstanceOf[Long] == fixture.agg(sum("quantity")).head().getLong(0))
+    // int-truncate show overloads execute (console-only; no result to assert)
+    mf.show(2, 5)
+    mf.show(2, 5, true)
+  }
+
   test("implicit bridge: MetaFrame usable as DataFrame, DataFrame liftable via .meta") {
     val mf = MetaFrame(fixture, metadata)
     val df: DataFrame = mf // implicit conversion (SURVEY §1.5 isinstance analogue)

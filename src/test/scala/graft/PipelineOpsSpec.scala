@@ -198,6 +198,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1).getLong(2) == 1L)
   }
 
+  test("piiCount single-pass alternation equals the two-pass redact-then-count form") {
+    import spark.implicits._
+    // adversarial shapes: digit runs fused to the email local part, runs on
+    // both sides of an address, an address whose local part is all digits
+    val df = Seq(
+      "mail bob.smith+x@foo-bar.co.uk or call 12345678 now",
+      "1234567user@example.com then 7654321 after",
+      "123456 short 9999999user@x.io8888888 tail", // digits fused both sides
+      "1234567@digits.example.org standalone",
+      "no pii here at all",
+      "<EMAIL> literal already present 1234567").toDF("text")
+    val twoPass = (size(regexp_extract_all(col("text"), lit(TextFunctions.EmailPattern), lit(0))) +
+      size(regexp_extract_all(regexp_replace(col("text"), TextFunctions.EmailPattern, "<EMAIL>"),
+        lit(TextFunctions.NumberPattern), lit(0)))).cast("long")
+    val rows = df.select(TextFunctions.piiCount(col("text")).as("one"), twoPass.as("two")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r"))
+  }
+
   test("fingerprint is order-insensitive but content-sensitive") {
     import spark.implicits._
     val df = Seq(

@@ -86,6 +86,23 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("bucketed catalog round-trip restores pk metadata via the sidecar") {
+    import graft.sources.Bucketing
+    val annotated = t("supplier")
+      .dropDuplicates(Seq("s_suppkey")) // infers + verifies pk
+      .setMetadata("owner" -> "bucketing-spec")
+    Bucketing.writeBucketed(annotated, "bkt_meta_rt", 4, Seq("s_suppkey"))
+    val back = Bucketing.table(spark, "bkt_meta_rt")
+    assert(back.primaryKey.contains(Seq("s_suppkey")))
+    assert(back.metadata("owner") == "bucketing-spec")
+    // elision proofs never cross the job boundary (MetaPersist policy)
+    assert(!back.metadata.contains(MetaFrame.PkVerifiedField))
+    // explicit caller metadata overlays the restored sidecar
+    val overlaid = Bucketing.table(spark, "bkt_meta_rt", Map("owner" -> "caller"))
+    assert(overlaid.metadata("owner") == "caller")
+    assert(overlaid.primaryKey.contains(Seq("s_suppkey")))
+  }
+
   test("binned range join matches the naive BETWEEN join and plans an equi join") {
     import graft.operators.RangeJoin
     val bands = t("customer").df.groupBy("c_nationkey")
