@@ -71,21 +71,32 @@ object Bench {
       }),
     )
 
-    // warm pass (JIT + parquet footer cache), then three timed passes; report
-    // the best per query so transient machine load doesn't distort the
-    // steady-state number
+    // warm pass (JIT + parquet footer cache), then five interleaved timed
+    // passes. Headline per-query number is the MEDIAN (robust to one noisy
+    // pass either way); best and spread (max-min across passes) ride along in
+    // the artifact so machine drift between rounds is visible in the JSON
+    // itself instead of needing manual A/B re-runs.
     benchQueries.foreach { case (_, run) => run() }
     def timedPass(): Map[String, Double] = benchQueries.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val passes = Seq.fill(3)(timedPass())
-    val results = benchQueries.map { case (name, _) => name -> passes.map(_(name)).min }
+    val nPasses = 5
+    val passes = Seq.fill(nPasses)(timedPass())
+    def stats(name: String): (Double, Double, Double) = {
+      val xs = passes.map(_(name)).sorted
+      (xs(xs.size / 2), xs.head, xs.last - xs.head) // (median, best, spread)
+    }
+    val results = benchQueries.map { case (name, _) => name -> stats(name) }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(f: ((Double, Double, Double)) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val qs = obj(_._1)
+    val best = obj(_._2)
+    val spread = obj(_._3)
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"queries":$qs,"best":$best,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,8 +21,8 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   * [[backwardBucketed]]: it windows on (key, coarse time bucket) so the hot
   * key's sort splits across buckets, then stitches buckets together with an
   * O(keys × buckets) carry-in pass. Same results (pinned in
-  * GroupedOpsSpec), one extra small shuffle — prefer plain [[backward]]
-  * unless a hot key is measured.
+  * AdviceRegressionSpec), one extra small shuffle — prefer plain
+  * [[backward]] unless a hot key is measured.
   */
 object AsOfJoin {
 
@@ -162,9 +162,16 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, -1)
     val carryIn = summaries.withColumn("__cin", last(col("__last"), ignoreNulls = true).over(wK))
       .select(col(keyCol), col("__b"), col("__cin"))
-    // stitch: same-bucket match wins, else the carry-in from earlier buckets
+    // stitch: same-bucket match wins, else the carry-in from earlier buckets.
+    // Null-safe equality + left join: __b is NULL for NULL-__ts rows (and
+    // keyCol itself may be NULL); [[backward]] keeps such left rows with NULL
+    // asof_* columns, so a plain using-join here would silently drop them.
+    val cin = carryIn
+      .withColumnRenamed(keyCol, "__cin_k")
+      .withColumnRenamed("__b", "__cin_b")
     val carried = within
-      .join(carryIn, Seq(keyCol, "__b"))
+      .join(cin, col(keyCol) <=> col("__cin_k") && col("__b") <=> col("__cin_b"), "left")
+      .drop("__cin_k", "__cin_b")
       .withColumn("__c", coalesce(col("__c0"), col("__cin")))
     project(carried, keyCol, left.columns.toSeq, payloadCols, tolerance)
   }

@@ -66,8 +66,12 @@ object Bucketing {
     val restored =
       try MetaPersist.readSidecar(
         new java.io.File(org.apache.spark.sql.graftbridge.tableLocation(spark, name)).getPath)
-      catch { // non-file location (e.g. a remote object store URI on a real cluster)
+      catch {
+        // non-file location (e.g. a remote object store URI on a real cluster)
         case _: IllegalArgumentException => Map.empty[String, Any]
+        // not a catalog table (temp/global-temp view): spark.table resolved
+        // it above, but getTableMetadata has no entry — no sidecar to read
+        case _: org.apache.spark.sql.AnalysisException => Map.empty[String, Any]
       }
     MetaFrame(df, restored ++ metadata)
   }

@@ -123,15 +123,23 @@ class AdviceRegressionSpec extends AnyFunSuite {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     // one hot key with dense left rows, sparse right rows (so narrow widths
     // leave many right-free buckets and the carry-in must reach several
-    // buckets back), a cold key, and left rows older than every right row
-    val left = ((0 until 200).map(i => ("hot", ts(i * 3L + 1))) ++
-      Seq(("cold", ts(40L)), ("cold", ts(2L)), ("nomatch", ts(9L)))).toDF("k", "lts")
+    // buckets back), a cold key, left rows older than every right row, AND
+    // NULL-key / NULL-timestamp left rows — backward keeps those with NULL
+    // asof_* columns, so the bucketed stitch join must be null-safe to agree
+    val left = ((0 until 200).map(i => (Option("hot"), Option(ts(i * 3L + 1)))) ++
+      Seq((Option("cold"), Option(ts(40L))), (Option("cold"), Option(ts(2L))),
+        (Option("nomatch"), Option(ts(9L))),
+        (None: Option[String], Option(ts(12L))),       // NULL key
+        (Option("hot"), None: Option[java.sql.Timestamp]), // NULL ts
+        (None: Option[String], None: Option[java.sql.Timestamp]))) // both NULL
+      .toDF("k", "lts")
     val right = ((0 until 40).map(i => ("hot", ts(i * 17L), Option(i * 1.5))) ++
       Seq(("cold", ts(35L), Option(99.0)),
         ("hot", ts(300L), None: Option[Double]))).toDF("k", "rts", "px")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect()
-        .map(r => (r.getString(0), r.getAs[java.sql.Timestamp](1).getTime,
+        .map(r => (Option(r.getString(0)),
+          Option(r.getAs[java.sql.Timestamp](1)).map(_.getTime),
           Option(r.getAs[java.lang.Double]("asof_px"))))
         .sortBy(t => (t._1, t._2)).toSeq
     val expected = canon(AsOfJoin.backward(left, right, "k", "lts", "rts", Seq("px")))

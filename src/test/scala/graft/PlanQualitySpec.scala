@@ -103,6 +103,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(overlaid.primaryKey.contains(Seq("s_suppkey")))
   }
 
+  test("Bucketing.table accepts temp views (no catalog entry → empty restored metadata)") {
+    import graft.sources.Bucketing
+    t("region").df.createOrReplaceTempView("bkt_temp_view")
+    val mf = Bucketing.table(spark, "bkt_temp_view", Map("src" -> "caller"))
+    assert(mf.df.count() == 5)
+    assert(mf.metadata == Map("src" -> "caller"))
+  }
+
   test("binned range join matches the naive BETWEEN join and plans an equi join") {
     import graft.operators.RangeJoin
     val bands = t("customer").df.groupBy("c_nationkey")

@@ -56,7 +56,14 @@ class WriterSpec extends AnyFunSuite {
     val err = intercept[Exception] {
       li.write.mode("overwrite").jdbc("jdbc:nodb://nowhere", "t", new java.util.Properties)
     }
-    assert(err.getMessage != null)
+    // the failure must be driver resolution reaching DriverManager (i.e. the
+    // call got through the facade into DataFrameWriter.jdbc), not a facade
+    // defect: either the SQLException itself or Spark's wrapped error class
+    val chain = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain.exists(t => t.isInstanceOf[java.sql.SQLException] ||
+      Option(t.getMessage).exists(m =>
+        m.contains("No suitable driver") || m.contains("CANNOT_FIND_JDBC_DRIVER"))),
+      s"expected a driver-resolution failure, got: $err")
   }
 
   test("partitionBy layout enables partition pruning on read") {
