@@ -445,6 +445,26 @@ object PipelineQueries {
         .orderBy("doc_id", "bin")
     }),
 
+    // REAL video container round-trip, oracle-checked: each doc gets a
+    // deterministic 4-frame 8×8 uncompressed-DIB AVI (frame f, pixel i =
+    // (doc_id·31 + f·7 + i) mod 256 gray; container from the from-scratch
+    // RIFF/AVI writer) and the independent chunk-walker DECODES it back into
+    // per-frame 16-bin luminance histograms, with the pixel unpack
+    // cross-checked against the JDK's own BMP decoder once per partition.
+    // The pixel function is pure integer arithmetic on doc_id, so DuckDB
+    // re-derives every decoded count exactly — a bug in the container
+    // layout, the LIST/movi walk, the bottom-up BGR unpack, or the
+    // luminance binning breaks the hash match.
+    "mm_video_histogram" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.decodedVideoHistogram(
+        Multimodal.encodeDemoAvi(t(s, d, "documents").df, "doc_id"))
+        .toDF()
+        .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
+          col("bin"), col("n"))
+        .orderBy("doc_id", "frame_idx", "bin")
+    }),
+
     "mm_binary_meta" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("payload", col("text").cast("binary"))
@@ -657,6 +677,14 @@ object PipelineQueries {
       ("SELECT doc_id, CAST(16000 AS INT) AS sample_rate, CAST(b AS INT) AS bin, " +
        "CAST(len(list_filter(range(0, 100), i -> (((doc_id*37+i*13)%65536+65536)%65536)//4096 = b)) AS BIGINT) AS n " +
        "FROM documents, range(0, 16) t(b) ORDER BY doc_id, bin"),
+
+    // gray pixel v has luminance (299v+587v+114v)/1000 = v exactly, so the
+    // bin of frame f, pixel i is ((doc_id*31 + f*7 + i) % 256) // 16 — pure
+    // integer arithmetic, same family as mm_image_histogram plus the frame term
+    "mm_video_histogram" ->
+      ("SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(b AS INT) AS bin, " +
+       "CAST(len(list_filter(range(0, 64), i -> ((doc_id*31+f*7+i)%256)//16 = b)) AS BIGINT) AS n " +
+       "FROM documents, range(0, 4) t(f), range(0, 16) u(b) ORDER BY doc_id, frame_idx, bin"),
 
     "mm_binary_meta" ->
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +

@@ -67,4 +67,81 @@ object CodecLawsSpec extends Properties("CodecLaws") {
       val viaDecode = MediaCodec.decode(wav)
       MediaCodec.decodeAudio(wav).exists(_.sameElements(viaDecode))
     }
+
+  // ---- AVI video container ----
+
+  private val frameDimGen: Gen[(Int, Int)] =
+    for { w <- Gen.choose(1, 12); h <- Gen.choose(1, 12) } yield (w, h)
+
+  private def dibFrames(w: Int, h: Int, n: Int, seed: Long): Seq[Array[Byte]] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    (0 until n).map { f =>
+      val dib = new Array[Byte](stride * h)
+      var i = 0
+      while (i < dib.length) {
+        dib(i) = ((seed + f * 131 + i * 7) % 256).toByte
+        i += 1
+      }
+      dib
+    }
+  }
+
+  property("AVI container round-trips frames bit-exactly through the walker") =
+    Prop.forAll(frameDimGen, Gen.choose(1, 6), Gen.chooseNum(0L, 1000000L)) {
+      case ((w, h), n, seed) =>
+        val frames = dibFrames(w, h, n, seed)
+        val avi = graft.multimodal.Multimodal.aviContainer(frames, w, h, fps = 10)
+        MediaCodec.aviDibFrames(avi).exists { case (pw, ph, parsed) =>
+          pw == w && ph == h && parsed.size == n &&
+            parsed.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+        }
+    }
+
+  property("videoFrameHistograms partitions every pixel of every frame into one bin") =
+    Prop.forAll(frameDimGen, Gen.choose(1, 5), Gen.chooseNum(0L, 1000000L)) {
+      case ((w, h), n, seed) =>
+        val avi = graft.multimodal.Multimodal.aviContainer(dibFrames(w, h, n, seed), w, h, 10)
+        MediaCodec.videoFrameHistograms(avi).exists(hists =>
+          hists.size == n && hists.forall(bins =>
+            bins.length == MediaCodec.FeatureDim && bins.sum == w.toLong * h))
+    }
+
+  property("corrupt chunk sizes inside an AVI are rejected, not spun on") =
+    Prop.forAll(Gen.oneOf(-8, -1, Int.MinValue, Int.MaxValue - 4)) { badSize =>
+      val b = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(40); b.put("AVI ".getBytes)
+      b.put("LIST".getBytes); b.putInt(badSize); b.put(new Array[Byte](28))
+      MediaCodec.aviDibFrames(b.array()).isEmpty
+    }
+
+  property("non-AVI bytes are rejected by the AVI walker, never mis-parsed") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val arr = bytes.toArray
+      val looksAvi = arr.length >= 24 &&
+        arr.take(4).sameElements("RIFF".getBytes) && arr.slice(8, 12).sameElements("AVI ".getBytes)
+      looksAvi || MediaCodec.aviDibFrames(arr).isEmpty
+    }
+
+  property("generic decode routes AVIs through the real frame decoder") =
+    Prop.forAll(frameDimGen, Gen.chooseNum(0L, 1000000L)) { case ((w, h), seed) =>
+      val avi = graft.multimodal.Multimodal.aviContainer(dibFrames(w, h, 3, seed), w, h, 10)
+      val viaDecode = MediaCodec.decode(avi)
+      MediaCodec.decodeVideo(avi).exists(_.sameElements(viaDecode))
+    }
+
+  property("JDK BMP decoder agrees with the DIB unpack on every pixel") =
+    Prop.forAll(frameDimGen, Gen.chooseNum(0L, 1000000L)) { case ((w, h), seed) =>
+      val dib = dibFrames(w, h, 1, seed).head
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(graft.multimodal.Multimodal.bmpWrap(dib, w, h)))
+      val stride = ((w * 3 + 3) / 4) * 4
+      img != null && (0 until h).forall { y =>
+        (0 until w).forall { x =>
+          val row = (h - 1 - y) * stride
+          val ours = ((dib(row + 3 * x + 2) & 0xff) << 16) |
+            ((dib(row + 3 * x + 1) & 0xff) << 8) | (dib(row + 3 * x) & 0xff)
+          (img.getRGB(x, y) & 0xffffff) == ours
+        }
+      }
+    }
 }
