@@ -240,6 +240,41 @@ object PipelineQueries {
       Dedup.ngramJaccardBestMatch(t(s, d, "documents").df, "doc_id", "text", blockCol = "lang")
         .orderBy("id")),
 
+    // The df-cut dial under oracle: maxShingleDf=5 sits below the testdata's
+    // max shingle document frequency (7 at sf0.01, 9 at sf0.001 — measured),
+    // so the cap genuinely drops shingles here, and DuckDB re-derives every
+    // CAPPED score through its own independent df-cut (intersections count
+    // surviving shingles, set sizes stay full). One row per exact hi-Jaccard
+    // (≥0.8) planted pair; the DuckDB side PINS found=1 (recall through the
+    // cap is 1.0), le_exact=1 (capped is a lower bound of exact), and
+    // cap_engaged=1 (some shingle exceeded the cap) — any property breach
+    // turns a literal into a computed 0 and breaks the hash.
+    "dedup_ngram_jaccard_capped" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val exact = hiJaccardPairs(s, d)
+        .select(col("id_a"), col("id_b"), col("jaccard").as("exact_j"))
+      val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          minJaccard = 0.4, maxShingleDf = 5)
+        .select(col("id_a"), col("id_b"), col("jaccard").as("capped_j"))
+      val nDropped = docs.select(col("doc_id"),
+          explode(array_distinct(graft.expressions.MinHashSignature.shingleHashes(
+            transform(TextFunctions.tokens(col("text")), t => xxhash64(t)), 3))).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 5)
+        .agg(count(lit(1)).as("__nd"))
+      // crossJoin is a 1×1 broadcast of the single-row drop-count aggregate
+      exact.join(capped, Seq("id_a", "id_b"), "left")
+        .crossJoin(nDropped)
+        .select(
+          col("id_a"), col("id_b"), col("exact_j"),
+          coalesce(col("capped_j"), lit(-1.0)).as("capped_j"),
+          col("capped_j").isNotNull.cast("long").as("found"),
+          when(col("capped_j").isNotNull && col("capped_j") <= col("exact_j"), 1L)
+            .otherwise(0L).as("le_exact"),
+          (col("__nd") > 0).cast("long").as("cap_engaged"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Embedding-LSH property oracle against the exact twin below:
     // n_exact_pairs is DuckDB's bit-identical fold count; zero false
     // positives is structural (the operator confirms with the same exact
@@ -566,6 +601,34 @@ object PipelineQueries {
        "SELECT id, id_b AS best_match, round(j, 6) AS jaccard FROM " +
        "(SELECT id, id_b, j, row_number() OVER (PARTITION BY id ORDER BY j DESC, id_b) AS rn " +
        "FROM pairs) WHERE rn = 1 ORDER BY id"),
+
+    // the df-cut under oracle: DuckDB re-derives the CAPPED scores through
+    // its own independent df filter (drop shingles with corpus df > 5 before
+    // intersecting; set sizes stay full), and PINS the three property flags
+    // as literals — a recall miss, a lower-bound breach, or a cap that never
+    // engages each turn a 1 into a computed 0 and break the hash
+    "dedup_ngram_jaccard_capped" ->
+      ("WITH toks AS (SELECT doc_id, list_distinct(" +
+       "CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+       "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
+       "FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
+       "hi AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(a.sh, b.sh))), 6) AS exact_j FROM toks a JOIN toks b " +
+       "ON a.doc_id < b.doc_id AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8), " +
+       "u AS (SELECT doc_id, unnest(sh) AS s FROM toks), " +
+       "keep AS (SELECT s FROM u GROUP BY s HAVING count(*) <= 5), " +
+       "uk AS (SELECT doc_id, s FROM u SEMI JOIN keep USING (s)), " +
+       "sz AS (SELECT doc_id, count(*) AS nsh FROM u GROUP BY doc_id), " +
+       "it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+       "FROM uk a JOIN uk b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+       "capped AS (SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 6) AS capped_j " +
+       "FROM it JOIN sz sa ON sa.doc_id = it.id_a JOIN sz sb ON sb.doc_id = it.id_b " +
+       "WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.4) " +
+       "SELECT h.id_a, h.id_b, h.exact_j, COALESCE(c.capped_j, -1.0) AS capped_j, " +
+       "CAST(1 AS BIGINT) AS found, CAST(1 AS BIGINT) AS le_exact, CAST(1 AS BIGINT) AS cap_engaged " +
+       "FROM hi h LEFT JOIN capped c USING (id_a, id_b) ORDER BY id_a, id_b"),
 
     // property oracles for the hash-family paths: DuckDB re-derives the
     // ground-truth pair/query counts exactly from raw text/vectors; the
