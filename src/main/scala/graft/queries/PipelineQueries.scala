@@ -366,10 +366,16 @@ object PipelineQueries {
     }),
 
     // end-to-end IVF index path (quantize → probe 2 cells → rank): fully
-    // oracle-checked because every step is windows + the reproducible fold
+    // oracle-checked because every step is windows + the reproducible fold.
+    // The centroid set is bounded sf-INDEPENDENTLY (vec_id < 3200, a no-op
+    // at the oracle SFs): an IVF index keeps |cells| ~fixed as the corpus
+    // grows — deriving centroids from the full corpus made the assignment
+    // crossJoin quadratic in sf (10× rows × 10× centroids = 100× work at
+    // the amplified sf1), which is a benchmark-input artifact, not the
+    // operator's scaling shape.
     "sim_topk_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings").df
-      val centroids = emb.filter(col("vec_id") % 64 === 0)
+      val centroids = emb.filter(col("vec_id") % 64 === 0 && col("vec_id") < 3200)
         .select((col("vec_id") / 64).cast("int").as("cell_id"), col("embedding").as("centroid_vec"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
@@ -794,7 +800,7 @@ object PipelineQueries {
 
     "sim_topk_ivf" ->
       ("WITH cent AS (SELECT CAST(vec_id / 64 AS INTEGER) AS cell_id, embedding AS centroid_vec " +
-       "FROM embeddings WHERE vec_id % 64 = 0), " +
+       "FROM embeddings WHERE vec_id % 64 = 0 AND vec_id < 3200), " +
        "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5), " +
        "assign AS (SELECT vec_id, cell_id FROM (" +
        "SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
