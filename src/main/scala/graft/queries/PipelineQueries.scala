@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Similarity}
 import graft.sources.Tables
 
 /** Declared queries for the beyond-reference pipeline operators
@@ -19,8 +19,8 @@ import graft.sources.Tables
   * declare PROPERTY oracles instead: DuckDB recomputes the exact ground
   * truth (pair sets, per-source Jaccard, top-k) from raw text/vectors and
   * the query emits measured recall/false-positive/tolerance columns against
-  * it. Every declared query here carries an oracle (the video stub path is
-  * pinned in ScalaTest only). Raw signature semantics stay in ScalaTest. */
+  * it. Every declared query here carries an oracle. Raw signature semantics
+  * stay in ScalaTest. */
 object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): MetaFrame =
@@ -421,6 +421,42 @@ object PipelineQueries {
             .as("n_below_bound"))
     }),
 
+    // ----------------------------------------------------- corpus assembly
+    // deterministic hash split: bucket from md5 hex prefix — a pure function
+    // of the doc id, so the assignment is reproducible across engines and
+    // stable under corpus growth (exact DuckDB oracle on every row)
+    "split_hash" -> ((s, d) =>
+      Corpus.hashSplit(t(s, d, "documents").df, "doc_id", salt = "graft")
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: docs with doc_id % 97 == 0 stand in for the
+    // eval suite; the corpus side is flagged by distinct-shingle overlap
+    // against the BROADCAST benchmark shingle set. Exact DuckDB oracle: the
+    // per-doc shared-shingle counts are plain string-shingle set arithmetic.
+    "text_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      Corpus.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_shared_shingles"),
+          col("contaminated").cast("long").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // per-domain quality cap (top-3 per source by quality, doc_id
+    // tie-break): the standard no-domain-dominates step, rank pushed down
+    // (WindowGroupLimit). Quality is the oracle-pinned formula from
+    // text_quality, so every surviving row and rank is exactly re-derivable.
+    "text_source_cap" -> ((s, d) =>
+      Corpus.capPerGroup(
+          t(s, d, "documents").df
+            .withColumn("quality", TextFunctions.qualityScore(col("text"))),
+          "source", "quality", "doc_id", cap = 3)
+        .select("doc_id", "source", "quality", "rank_in_group")
+        .orderBy("doc_id")),
+
     // --------------------------------------------------------- multimodal
     // frame sampling over binary payloads: row-local slice + explode —
     // exact DuckDB oracle (frame idx/len are integer arithmetic on octet_length)
@@ -688,6 +724,49 @@ object PipelineQueries {
        "WHEN h_fr >= h_de THEN 'fr' " +
        "ELSE 'de' END AS pred_lang FROM s) " +
        "SELECT pred_lang, count(*) AS n FROM p GROUP BY pred_lang ORDER BY pred_lang"),
+
+    // deterministic split: DuckDB re-derives the md5 hex-prefix bucket and
+    // the threshold labels exactly (hex literal cast, same salt)
+    "split_hash" ->
+      ("SELECT doc_id, CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT) % 100 AS bucket, " +
+       "CASE WHEN CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' " +
+       "WHEN CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val' " +
+       "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+
+    // decontamination: per-doc count of distinct shingles shared with the
+    // benchmark union set — plain string-shingle set arithmetic
+    "text_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, list_distinct(" +
+       "CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+       "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
+       "FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
+       "bench AS (SELECT DISTINCT unnest(sh) AS s FROM toks WHERE doc_id % 97 = 0), " +
+       "corp AS (SELECT doc_id, unnest(sh) AS s FROM toks WHERE doc_id % 97 <> 0), " +
+       "ov AS (SELECT doc_id, count(*) AS n FROM corp SEMI JOIN bench USING (s) GROUP BY doc_id) " +
+       "SELECT t.doc_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_shared_shingles, " +
+       "CAST(COALESCE(ov.n, 0) >= 1 AS BIGINT) AS contaminated " +
+       "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) t " +
+       "LEFT JOIN ov USING (doc_id) ORDER BY doc_id"),
+
+    // per-source cap: the text_quality formula feeding a partitioned
+    // row_number with the same (quality DESC, doc_id) tie-break
+    "text_source_cap" ->
+      ("WITH q AS (SELECT doc_id, source, text, " +
+       "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+       "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stopword_hits " +
+       "FROM documents), " +
+       "scored AS (SELECT doc_id, source, round(" +
+       " CAST(CASE WHEN n_tokens < 5 THEN 0.2 WHEN n_tokens > 5000 THEN 0.3 ELSE 1.0 END AS DOUBLE) * 0.4 + " +
+       " CAST(CASE WHEN CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens < 2.0 OR " +
+       "       CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens > 12.0 THEN 0.4 ELSE 1.0 END AS DOUBLE) * 0.3 + " +
+       " CAST(CASE WHEN CAST(stopword_hits AS DOUBLE) / n_tokens > 0.05 AND " +
+       "       CAST(stopword_hits AS DOUBLE) / n_tokens < 0.6 THEN 1.0 ELSE 0.6 END AS DOUBLE) * 0.3, 4) AS quality " +
+       "FROM q), " +
+       "ranked AS (SELECT doc_id, source, quality, " +
+       "row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank_in_group FROM scored) " +
+       "SELECT doc_id, source, quality, CAST(rank_in_group AS BIGINT) AS rank_in_group " +
+       "FROM ranked WHERE rank_in_group <= 3 ORDER BY doc_id"),
 
     // frame sampling is pure integer arithmetic on the payload byte length:
     // nFrames = len%30+1, frameLen = max(len//nFrames, 1), keep even frame

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Similarity}
 
 /** Semantic tests for the pipeline extensions (SURVEY.md §2.3) on planted
   * fixtures with known ground truth — these cover the operators whose
@@ -468,6 +468,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       TextFunctions.simhash64("text").as("native"),
       TextFunctions.simhash64Hof("text").as("hof"))
     assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("hashSplit is a pure function of (id, salt): stable under growth and reordering") {
+    import spark.implicits._
+    val small = Corpus.hashSplit((1L to 50L).toDF("id"), "id", "s1")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // growing the corpus and shuffling row order never reassigns an id
+    val grown = Corpus.hashSplit((50L to 1L by -1L).toDF("id").union((51L to 500L).toDF("id")),
+        "id", "s1")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (id, sp) => grown(id) == sp })
+    // a different salt produces a genuinely different assignment
+    val resalted = Corpus.hashSplit((1L to 50L).toDF("id"), "id", "s2")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.exists { case (id, sp) => resalted(id) != sp })
+    // thresholds are validated
+    intercept[IllegalArgumentException](Corpus.hashSplit(docs, "doc_id", "s", 80, 30))
+  }
+
+  test("decontaminate flags exactly the docs sharing shingles with the benchmark") {
+    // benchmark = doc 1's text; docs 2 (identical) and 3 (one-word edit)
+    // share shingles, 4 and 5 share none
+    val bench = docs.filter(col("doc_id") === 1L)
+    val corpus = docs.filter(col("doc_id") =!= 1L)
+    val out = Corpus.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 4L, 5L), "one row per corpus doc, clean docs included")
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(2L)._3 && byId(2L)._2 == 13L, "identical doc shares all 13 shingles (15 tokens)")
+    assert(byId(3L)._3 && byId(3L)._2 < 13L && byId(3L)._2 > 0L, "edited doc shares a strict subset")
+    assert(!byId(4L)._3 && byId(4L)._2 == 0L)
+    assert(!byId(5L)._3 && byId(5L)._2 == 0L)
+    // the benchmark side must be the broadcast side of the join
+    val plan = Corpus.decontaminate(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark shingle set must broadcast:\n$plan")
+  }
+
+  test("capPerGroup keeps exactly cap rows per group with deterministic tie-break") {
+    import spark.implicits._
+    // group a: scores 3,2,2,1 with doc ids 10,11,12,13 — the 2-vs-2 tie
+    // resolves to the smaller id; group b: fewer rows than the cap
+    val df = Seq(
+      ("a", 10L, 3.0), ("a", 11L, 2.0), ("a", 12L, 2.0), ("a", 13L, 1.0),
+      ("b", 20L, 9.0)).toDF("g", "id", "score")
+    val out = Corpus.capPerGroup(df, "g", "score", "id", cap = 2)
+      .select("g", "id", "rank_in_group")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(("a", 10L, 1L), ("a", 11L, 2L), ("b", 20L, 1L)))
   }
 
   test("native codegen dot product is bit-identical to the HOF fold") {
