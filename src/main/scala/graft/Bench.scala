@@ -8,11 +8,13 @@ import graft.sources.Tables
 
 /** Headline benchmark, mirroring the 8 measured baseline queries in
   * /root/repo/BASELINE.md (same operations, same action shape) through the
-  * MetaFrame layer. Methodology matches the baseline: warm JVM — every query
-  * runs once to warm, the second run is timed.
+  * MetaFrame layer. Warm JVM (one untimed pass), then 5 interleaved timed
+  * passes; the headline per-query number is the median, with best and
+  * spread (max−min) alongside so machine drift between rounds is visible
+  * in the artifact itself.
   *
   * Prints ONE JSON line: {"metric":"total","value":N,"unit":"sec",
-  * "queries":{...},"sf":"<dir>"}.
+  * "passes":5,"queries":{median...},"best":{...},"spread":{...},"sf":"<dir>"}.
   */
 object Bench {
 

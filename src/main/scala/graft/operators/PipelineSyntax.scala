@@ -98,6 +98,38 @@ object PipelineSyntax {
             "bands" -> bands, "shingleWidth" -> shingleWidth, "minJaccard" -> minJaccard),
         pk = Some(Seq("id")))
 
+    /** Deterministic hash split: row-preserving column add, so parent pk
+      * survives (verified-if-it-was). */
+    def splitByHash(
+        idCol: String, salt: String, trainPct: Int = 80, valPct: Int = 10): MetaFrame =
+      derived(mf, Corpus.hashSplit(mf.df, idCol, salt, trainPct, valPct),
+        "split_hash",
+        Map("id" -> idCol, "salt" -> salt, "trainPct" -> trainPct, "valPct" -> valPct),
+        pk = mf.primaryKey,
+        pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+
+    /** Benchmark decontamination of THIS frame against an eval suite: one
+      * row per corpus id (pk set + verified). */
+    def decontaminateAgainst(
+        benchmark: MetaFrame, idCol: String, textCol: String,
+        shingleWidth: Int = 3, minShared: Long = 1L): MetaFrame =
+      derived(mf,
+        Corpus.decontaminate(mf.df, benchmark.df, idCol, textCol, shingleWidth, minShared),
+        "decontaminate",
+        Map("id" -> idCol, "text" -> textCol, "shingleWidth" -> shingleWidth,
+            "minShared" -> minShared),
+        pk = Some(Seq("id")))
+
+    /** Per-group cap (top `cap` by score): row-SUBSET plus a rank column, so
+      * parent pk survives (verified-if-it-was) — filtering can't introduce
+      * duplicates. */
+    def capPerGroup(groupCol: String, scoreCol: String, idCol: String, cap: Int): MetaFrame =
+      derived(mf, Corpus.capPerGroup(mf.df, groupCol, scoreCol, idCol, cap),
+        "cap_per_group",
+        Map("group" -> groupCol, "score" -> scoreCol, "id" -> idCol, "cap" -> cap),
+        pk = mf.primaryKey,
+        pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+
     /** Per-doc text-analysis annotation: adds token/quality/lang/fingerprint
       * and PII-audit columns; row-preserving so existing pk metadata
       * stands. */

@@ -351,6 +351,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(inc.dropDuplicates(Seq("id")).df eq inc.df) // proof survives
   }
 
+  test("PipelineSyntax: corpus-assembly ops record lineage and pk semantics") {
+    import graft.operators.PipelineSyntax._
+    val mf = MetaFrame(docs, Map("corpus" -> "unit")).dropDuplicates(Seq("doc_id")) // verified pk
+    // hashSplit is row-preserving: pk survives verified, lineage extends
+    val split = mf.splitByHash("doc_id", "s1")
+    assert(split.primaryKey.contains(Seq("doc_id")))
+    assert(split.dropDuplicates(Seq("doc_id")).df eq split.df, "verified pk must still elide")
+    assert(split.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("split_hash"))
+    // decontaminate keys the result by id (pk set + verified)
+    val bench = MetaFrame(docs.filter(col("doc_id") === 1L), Map.empty[String, Any])
+    val decon = mf.decontaminateAgainst(bench, "doc_id", "text")
+    assert(decon.primaryKey.contains(Seq("id")))
+    assert(decon.dropDuplicates(Seq("id")).df eq decon.df)
+    // capPerGroup is a row subset: pk survives verified
+    val capped = split.capPerGroup("split", "bucket", "doc_id", cap = 2)
+    assert(capped.primaryKey.contains(Seq("doc_id")))
+    assert(capped.dropDuplicates(Seq("doc_id")).df eq capped.df)
+    assert(capped.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("split_hash", "cap_per_group"))
+  }
+
   test("PipelineSyntax: as-of and range joins record lineage and pk semantics") {
     import graft.operators.PipelineSyntax._
     import spark.implicits._
