@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{DecimalType, StructType}
@@ -156,6 +156,41 @@ object Streams {
       .groupBy(col("batch_id").as("id"))
       .agg(min(col("corpus_id")).as("matched_id"),
         round(max(col("jaccard")), 6).as("best_jaccard"))
+  }
+
+  /** Streaming benchmark decontamination: a STREAM of new documents flagged
+    * against a STATIC eval suite — the ingestion-time twin of
+    * `Corpus.decontaminate`. Completely STATELESS (append mode, no
+    * watermark, zero streaming state): the benchmark's distinct shingle
+    * hashes collapse to ONE static row (eval suites are tiny by
+    * construction), the stream crossJoins that single broadcast row, and
+    * the overlap count is a row-local `array_intersect`. The batch variant's
+    * broadcast-join-then-regroup shape would need an UPDATE-mode aggregate
+    * with O(stream ids) state here — this layout trades it for a per-row
+    * set intersection against the in-memory benchmark array. */
+  def decontaminateStream(
+      stream: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      minShared: Long = 1L): DataFrame = {
+    import graft.expressions.MinHashSignature.shingleHashes
+    import graft.functions.TextFunctions.tokens
+    require(minShared >= 1, "minShared must be at least 1")
+    def shingleSet(c: Column): Column =
+      array_distinct(shingleHashes(transform(tokens(c), t => xxhash64(t)), shingleWidth))
+    // 1-row static side: the union of the benchmark's distinct shingles
+    val benchRow = benchmark.select(explode(shingleSet(col(textCol))).as("s"))
+      .distinct()
+      .agg(collect_set(col("s")).as("bench_sh"))
+    // crossJoin is a 1-row static broadcast against the stream
+    stream.select(col(idCol).as("id"), shingleSet(col(textCol)).as("sh"))
+      .crossJoin(benchRow)
+      .select(
+        col("id"),
+        size(array_intersect(col("sh"), col("bench_sh"))).cast("long").as("n_shared_shingles"),
+        (size(array_intersect(col("sh"), col("bench_sh"))) >= minShared).as("contaminated"))
   }
 
   /** Convenience: run any streaming frame into an in-memory table and block

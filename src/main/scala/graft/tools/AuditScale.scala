@@ -38,7 +38,9 @@ object AuditScale {
   val Heavy: Seq[String] = Seq(
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cc_exact", "dedup_incremental",
-    "sim_topk_ivf", "sim_topk_int8", "mm_image_histogram", "mm_audio_histogram")
+    "sim_topk_ivf", "sim_topk_int8",
+    "mm_image_histogram", "mm_audio_histogram", "mm_video_histogram",
+    "text_decontaminate")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

@@ -56,6 +56,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("capPerGroup plans WindowGroupLimit (rank pushdown) and one exchange") {
+    import graft.operators.Corpus
+    val df = Corpus.capPerGroup(
+      t("supplier").df.select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal")),
+      "s_nationkey", "s_acctbal", "s_suppkey", cap = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"per-group cap must push the rank down:\n$plan")
+  }
+
   test("orderBy+limit plans TakeOrderedAndProject (no full sort)") {
     val df = t("orders").orderBy(desc("o_totalprice")).limit(10).df
     val plan = df.queryExecution.executedPlan.toString

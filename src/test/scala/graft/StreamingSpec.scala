@@ -98,6 +98,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination is stateless append and matches the batch operator") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val bench = Seq((1L, base)).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)](spark)
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val out = Streams.decontaminateStream(stream, bench, "doc_id", "text")
+    ms.addData(
+      (10L, base), // full overlap
+      (11L, base.replace("quiet", "noisy")), // partial overlap
+      (12L, "novel text on watermark semantics in state stores")) // clean
+    // APPEND mode works — proof the operator carries no streaming aggregate
+    val q = Streams.runToMemory(out, "decon_out", OutputMode.Append())
+    try {
+      ms.addData((13L, base)) // second micro-batch flows through statelessly
+      q.processAllAvailable()
+      val got = spark.table("decon_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+      val batch = graft.operators.Corpus.decontaminate(
+          Seq((10L, base), (11L, base.replace("quiet", "noisy")),
+            (12L, "novel text on watermark semantics in state stores"), (13L, base))
+            .toDF("doc_id", "text"),
+          bench, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.map(t => t._1 -> t._3).toMap ==
+        Map(10L -> true, 11L -> true, 12L -> false, 13L -> true))
+    } finally q.stop()
+  }
+
   test("stateful sessionization keeps running per-user state across batches") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)
