@@ -63,17 +63,21 @@ object Corpus {
       shingleWidth: Int = 3,
       minShared: Long = 1L): DataFrame = {
     require(minShared >= 1, "minShared must be at least 1")
-    def shingleSet(df: DataFrame): Column =
+    val shingleSet: Column =
       array_distinct(graft.expressions.MinHashSignature.shingleHashes(
         transform(split(col(textCol), "\\s+"), t => xxhash64(t)), shingleWidth))
-    val benchShingles = benchmark.select(explode(shingleSet(benchmark)).as("s")).distinct()
-    val corpusShingles = corpus.select(col(idCol).as("id"), explode(shingleSet(corpus)).as("s"))
+    val benchShingles = benchmark.select(explode(shingleSet).as("s")).distinct()
+    val corpusShingles = corpus.select(col(idCol).as("id"), explode(shingleSet).as("s"))
     val shared = corpusShingles
       .join(broadcast(benchShingles), Seq("s"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_shared_shingles"))
+      .withColumnRenamed("id", "__shared_id")
+    // null-safe re-attach: NULL-id rows group as ONE pseudo-doc upstream (a
+    // groupBy key, like any aggregation) — a plain equi-join would silently
+    // zero their counts here
     corpus.select(col(idCol).as("id"))
-      .join(shared, Seq("id"), "left")
+      .join(shared, col("id") <=> col("__shared_id"), "left")
       .select(
         col("id"),
         coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),

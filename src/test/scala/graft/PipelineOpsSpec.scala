@@ -528,6 +528,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark shingle set must broadcast:\n$plan")
   }
 
+  test("decontaminate: empty benchmark marks everything clean; NULL ids survive") {
+    import spark.implicits._
+    val corpus = Seq((Option(7L), "some plain text here"), (None: Option[Long], "other words entirely now"))
+      .toDF("doc_id", "text")
+    val empty = docs.filter(col("doc_id") < 0L) // zero benchmark docs
+    val out = Corpus.decontaminate(corpus, empty, "doc_id", "text")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 2, "NULL-id rows must not be dropped")
+    assert(out.forall(t => t._2 == 0L && !t._3))
+  }
+
   test("capPerGroup keeps exactly cap rows per group with deterministic tie-break") {
     import spark.implicits._
     // group a: scores 3,2,2,1 with doc ids 10,11,12,13 — the 2-vs-2 tie
