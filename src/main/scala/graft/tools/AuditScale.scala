@@ -63,12 +63,18 @@ object AuditScale {
       "dedup_cc_exact", "dedup_incremental")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
-    Heavy.map(n => n -> SparkEntry.queries(n)) :+
-      ("cc_scaled_simhash" -> ((s: SparkSession, d: String) =>
+    Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      "cc_scaled_simhash" -> ((s: SparkSession, d: String) =>
         Dedup.connectedComponents(
           Dedup.simhashNearDup(Tables.load(s, d, "documents"), "doc_id", "text")
             .select(col("id_a"), col("id_b")),
-          "id_a", "id_b")))
+          "id_a", "id_b")),
+      // the declared dedup_minhash_lsh query bundles the LSH operator with
+      // its exact hi-Jaccard PROPERTY ORACLE (the inverted-index pair
+      // derivation) — this audit-only entry isolates the product operator,
+      // so the artifact shows which side carries the composite's ratio
+      "minhash_lsh_operator" -> ((s: SparkSession, d: String) =>
+        Dedup.minHashLsh(Tables.load(s, d, "documents"), "doc_id", "text")))
 
   /** Flags CartesianProduct / disallowed BroadcastNestedLoopJoin in the
     * plans that actually EXECUTED while registered. Reading
