@@ -209,6 +209,7 @@ object Multimodal {
       var width = 0
       var height = 0
       var dib24 = false
+      var lastStrhType = ""
       val frames = Vector.newBuilder[Array[Byte]]
       var malformed = false
       // walk chunks in [from, to); LIST recursion is depth-capped so a
@@ -225,16 +226,21 @@ object Multimodal {
           else {
             tag(off) match {
               case "LIST" if sz >= 4 => walk(body + 4, body + sz, depth + 1)
-              case "strf" if sz >= 40 =>
+              case "strh" if sz >= 4 =>
+                lastStrhType = tag(body) // 'vids' / 'auds' / 'txts' / ...
+              case "strf" if sz >= 40 && lastStrhType == "vids" =>
                 // BITMAPINFOHEADER: biWidth/biHeight at +4/+8, biBitCount at
-                // +14, biCompression at +16 (0 = BI_RGB, uncompressed)
+                // +14, biCompression at +16 (0 = BI_RGB, uncompressed).
+                // Gated on the preceding strh being the VIDEO stream — an
+                // audio strf (WAVEFORMATEXTENSIBLE is also ≥ 40 bytes) must
+                // not overwrite the frame geometry.
                 width = le32(body + 4)
                 height = le32(body + 8)
                 dib24 = le16(body + 14) == 24 && le32(body + 16) == 0
               case t if t.length == 4 && t(0).isDigit && t(1).isDigit &&
                   (t.endsWith("db") || t.endsWith("dc")) =>
                 frames += java.util.Arrays.copyOfRange(content, body, body + sz)
-              case _ => // avih/strh/idx1/JUNK: structure only, not needed here
+              case _ => // avih/idx1/JUNK: structure only, not needed here
             }
             val next = body.toLong + sz.toLong + (sz & 1) // word-aligned
             if (next > Int.MaxValue) malformed = true else off = next.toInt
@@ -243,37 +249,46 @@ object Multimodal {
       }
       walk(12, content.length, 0)
       val fs = frames.result()
-      if (malformed || !dib24 || width <= 0 || height <= 0 || fs.isEmpty) None
+      // geometry bound: a hostile strf can claim dimensions whose DIB
+      // stride·height overflows Int — reject them here so every downstream
+      // pixel loop can index with plain Ints
+      val strideL = (width.toLong * 3 + 3) / 4 * 4
+      val tooBig = width > 0 && height > 0 && strideL * height > Int.MaxValue
+      if (malformed || !dib24 || width <= 0 || height <= 0 || tooBig || fs.isEmpty) None
       else Some((width, height, fs))
     }
 
-    /** Per-frame luminance histograms over decoded AVI frames (same integer
-      * ITU-R 601 binning as [[imageHistogram]]); DIB rows are bottom-up BGR
-      * padded to 4-byte boundaries. None when the payload is not an
-      * uncompressed-DIB AVI or a frame is truncated. */
-    def videoFrameHistograms(content: Array[Byte]): Option[Vector[Array[Long]]] =
-      aviDibFrames(content).flatMap { case (w, h, frames) =>
-        val stride = ((w * 3 + 3) / 4) * 4
-        if (frames.exists(_.length < stride.toLong * h)) None
-        else Some(frames.map { fb =>
-          val bins = new Array[Long](FeatureDim)
-          var y = 0
-          while (y < h) {
-            val row = (h - 1 - y) * stride
-            var x = 0
-            while (x < w) {
-              val b = fb(row + 3 * x) & 0xff
-              val g = fb(row + 3 * x + 1) & 0xff
-              val r = fb(row + 3 * x + 2) & 0xff
-              val lum = (r * 299 + g * 587 + b * 114) / 1000
-              bins(lum * FeatureDim / 256) += 1L
-              x += 1
-            }
-            y += 1
+    /** Per-frame luminance histograms over ALREADY-PARSED DIB frames (same
+      * integer ITU-R 601 binning as [[imageHistogram]]); DIB rows are
+      * bottom-up BGR padded to 4-byte boundaries. None when a frame is
+      * shorter than the stride·height geometry demands — callers must check
+      * BEFORE touching frame bytes. */
+    def frameHistograms(w: Int, h: Int, frames: Vector[Array[Byte]]): Option[Vector[Array[Long]]] = {
+      val stride = ((w * 3 + 3) / 4) * 4 // no overflow: bounded in aviDibFrames
+      if (frames.exists(_.length < stride.toLong * h)) None
+      else Some(frames.map { fb =>
+        val bins = new Array[Long](FeatureDim)
+        var y = 0
+        while (y < h) {
+          val row = (h - 1 - y) * stride
+          var x = 0
+          while (x < w) {
+            val b = fb(row + 3 * x) & 0xff
+            val g = fb(row + 3 * x + 1) & 0xff
+            val r = fb(row + 3 * x + 2) & 0xff
+            val lum = (r * 299 + g * 587 + b * 114) / 1000
+            bins(lum * FeatureDim / 256) += 1L
+            x += 1
           }
-          bins
-        })
-      }
+          y += 1
+        }
+        bins
+      })
+    }
+
+    /** [[frameHistograms]] over a raw AVI payload. */
+    def videoFrameHistograms(content: Array[Byte]): Option[Vector[Array[Long]]] =
+      aviDibFrames(content).flatMap { case (w, h, frames) => frameHistograms(w, h, frames) }
 
     /** Normalized all-frames variant of [[videoFrameHistograms]] in the
       * feature-vector shape. */
@@ -597,9 +612,14 @@ object Multimodal {
     media.mapPartitions { rows =>
       var jdkChecked = false
       rows.flatMap { r =>
+        // ONE container walk per row: parse, validate frame geometry, THEN
+        // cross-check and bin — so a truncated frame fails loud with the id
+        // instead of an out-of-bounds read inside the cross-check loop
         val (w, h, frames) = MediaCodec.aviDibFrames(r.avi).getOrElse(
           throw new IllegalStateException(
             s"payload for id ${r.id} is not an uncompressed-DIB AVI"))
+        val hists = MediaCodec.frameHistograms(w, h, frames).getOrElse(
+          throw new IllegalStateException(s"truncated DIB frame in payload for id ${r.id}"))
         if (!jdkChecked) {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bmpWrap(frames.head, w, h)))
@@ -624,8 +644,6 @@ object Multimodal {
           }
           jdkChecked = true
         }
-        val hists = MediaCodec.videoFrameHistograms(r.avi).getOrElse(
-          throw new IllegalStateException(s"truncated DIB frame in payload for id ${r.id}"))
         hists.iterator.zipWithIndex.flatMap { case (bins, f) =>
           bins.iterator.zipWithIndex.map { case (n, b) => IdFrameBin(r.id, f, b, n) }
         }.toSeq

@@ -19,7 +19,9 @@ object Corpus {
     * under corpus growth: a document never changes split when new data
     * arrives, which is what keeps eval sets uncontaminated across dataset
     * versions. Row-local (no shuffle at any scale); md5 keeps the bucket
-    * arithmetic exactly re-derivable by any SQL engine.
+    * arithmetic exactly re-derivable by any SQL engine. A NULL id yields a
+    * NULL bucket and deterministically lands in "test" (the CASE fallback
+    * branch — same in ANSI SQL), never in the training split.
     *
     * @param trainPct buckets [0, trainPct) → "train"
     * @param valPct   buckets [trainPct, trainPct+valPct) → "val";
@@ -65,7 +67,8 @@ object Corpus {
     require(minShared >= 1, "minShared must be at least 1")
     val shingleSet: Column =
       array_distinct(graft.expressions.MinHashSignature.shingleHashes(
-        transform(split(col(textCol), "\\s+"), t => xxhash64(t)), shingleWidth))
+        transform(graft.functions.TextFunctions.tokens(col(textCol)), t => xxhash64(t)),
+        shingleWidth))
     val benchShingles = benchmark.select(explode(shingleSet).as("s")).distinct()
     val corpusShingles = corpus.select(col(idCol).as("id"), explode(shingleSet).as("s"))
     val shared = corpusShingles

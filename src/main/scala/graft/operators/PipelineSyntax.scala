@@ -109,16 +109,22 @@ object PipelineSyntax {
         pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
 
     /** Benchmark decontamination of THIS frame against an eval suite: one
-      * row per corpus id (pk set + verified). */
+      * row per corpus ROW, so the output is keyed by `id` only when the
+      * parent was keyed by `idCol` — the pk claim (and its proof) carries
+      * over exactly when the parent held it. */
     def decontaminateAgainst(
         benchmark: MetaFrame, idCol: String, textCol: String,
-        shingleWidth: Int = 3, minShared: Long = 1L): MetaFrame =
+        shingleWidth: Int = 3, minShared: Long = 1L): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
       derived(mf,
         Corpus.decontaminate(mf.df, benchmark.df, idCol, textCol, shingleWidth, minShared),
         "decontaminate",
         Map("id" -> idCol, "text" -> textCol, "shingleWidth" -> shingleWidth,
             "minShared" -> minShared),
-        pk = Some(Seq("id")))
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
 
     /** Per-group cap (top `cap` by score): row-SUBSET plus a rank column, so
       * parent pk survives (verified-if-it-was) — filtering can't introduce

@@ -184,13 +184,18 @@ object Streams {
     val benchRow = benchmark.select(explode(shingleSet(col(textCol))).as("s"))
       .distinct()
       .agg(collect_set(col("s")).as("bench_sh"))
-    // crossJoin is a 1-row static broadcast against the stream
+    // crossJoin is a 1-row static broadcast against the stream. NULL text
+    // null-propagates through the shingle expressions; coalesce restores
+    // the batch twin's (0, false) for such rows — the two paths are pinned
+    // equal in StreamingSpec.
+    val nShared =
+      coalesce(size(array_intersect(col("sh"), col("bench_sh"))).cast("long"), lit(0L))
     stream.select(col(idCol).as("id"), shingleSet(col(textCol)).as("sh"))
       .crossJoin(benchRow)
       .select(
         col("id"),
-        size(array_intersect(col("sh"), col("bench_sh"))).cast("long").as("n_shared_shingles"),
-        (size(array_intersect(col("sh"), col("bench_sh"))) >= minShared).as("contaminated"))
+        nShared.as("n_shared_shingles"),
+        (nShared >= minShared).as("contaminated"))
   }
 
   /** Convenience: run any streaming frame into an in-memory table and block

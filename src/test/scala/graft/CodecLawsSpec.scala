@@ -129,6 +129,36 @@ object CodecLawsSpec extends Properties("CodecLaws") {
       MediaCodec.decodeVideo(avi).exists(_.sameElements(viaDecode))
     }
 
+  private def patchTag(avi: Array[Byte], tag: String, bodyOffset: Int, value: Array[Byte]): Array[Byte] = {
+    val out = avi.clone()
+    val idx = out.indices.indexWhere(i => i + 4 <= out.length &&
+      new String(out, i, 4, "US-ASCII") == tag)
+    require(idx >= 0, s"tag $tag not found")
+    System.arraycopy(value, 0, out, idx + 8 + bodyOffset, value.length)
+    out
+  }
+
+  private def le(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  property("hostile strf geometry (stride*height overflowing Int) is rejected, not crashed on") =
+    Prop.forAll(Gen.oneOf(800000000, Int.MaxValue / 3, 715827883)) { hugeWidth =>
+      val avi = graft.multimodal.Multimodal.aviContainer(dibFrames(8, 8, 1, 1L), 8, 8, 10)
+      // biWidth is at strf body +4, biHeight at +8
+      val patched = patchTag(patchTag(avi, "strf", 4, le(hugeWidth)), "strf", 8, le(1))
+      MediaCodec.aviDibFrames(patched).isEmpty &&
+        MediaCodec.decode(patched).length == MediaCodec.FeatureDim // stub path, no throw
+    }
+
+  property("an strf is only honored for the 'vids' stream (audio strf must not set geometry)") =
+    Prop.forAll(Gen.chooseNum(0L, 1000L)) { seed =>
+      val avi = graft.multimodal.Multimodal.aviContainer(dibFrames(8, 8, 1, seed), 8, 8, 10)
+      // flip the stream header's fccType from 'vids' to 'auds': the strf
+      // that follows must be ignored, leaving no video geometry → reject
+      val patched = patchTag(avi, "strh", 0, "auds".getBytes("US-ASCII"))
+      MediaCodec.aviDibFrames(patched).isEmpty
+    }
+
   property("JDK BMP decoder agrees with the DIB unpack on every pixel") =
     Prop.forAll(frameDimGen, Gen.chooseNum(0L, 1000000L)) { case ((w, h), seed) =>
       val dib = dibFrames(w, h, 1, seed).head

@@ -108,7 +108,8 @@ class StreamingSpec extends AnyFunSuite {
     ms.addData(
       (10L, base), // full overlap
       (11L, base.replace("quiet", "noisy")), // partial overlap
-      (12L, "novel text on watermark semantics in state stores")) // clean
+      (12L, "novel text on watermark semantics in state stores"), // clean
+      (14L, null)) // NULL text must come out (0, false), as in batch
     // APPEND mode works — proof the operator carries no streaming aggregate
     val q = Streams.runToMemory(out, "decon_out", OutputMode.Append())
     try {
@@ -118,13 +119,14 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
       val batch = graft.operators.Corpus.decontaminate(
           Seq((10L, base), (11L, base.replace("quiet", "noisy")),
-            (12L, "novel text on watermark semantics in state stores"), (13L, base))
+            (12L, "novel text on watermark semantics in state stores"),
+            (13L, base), (14L, null))
             .toDF("doc_id", "text"),
           bench, "doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
       assert(got == batch, s"stream $got != batch $batch")
       assert(got.map(t => t._1 -> t._3).toMap ==
-        Map(10L -> true, 11L -> true, 12L -> false, 13L -> true))
+        Map(10L -> true, 11L -> true, 12L -> false, 13L -> true, 14L -> false))
     } finally q.stop()
   }
 
