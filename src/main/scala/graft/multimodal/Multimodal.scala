@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Byte decoding is REAL for all three modalities: raster images via
   * `javax.imageio` ([[MediaCodec.imageHistogram]]), 16-bit mono PCM WAV
-  * audio via a from-scratch RIFF parser ([[MediaCodec.wavPcm16]]), and
-  * uncompressed-DIB AVI video via the same chunk-walker pattern
-  * ([[MediaCodec.aviDibFrames]]) with each frame's pixel unpack
-  * cross-checked against the JDK's own BMP decoder.
+  * audio via a from-scratch RIFF parser ([[MediaCodec.wavPcm16]]), and AVI
+  * video via the same chunk-walker pattern in both common flavors —
+  * uncompressed 24-bit DIB ([[MediaCodec.aviDibFrames]], pixel unpack
+  * cross-checked against the JDK's own BMP decoder) and motion JPEG
+  * ([[MediaCodec.aviMjpegFrames]], per-frame ImageIO decode).
   * [[MediaCodec.decodeStub]] remains only as the fallback for payloads in
   * none of those containers, so the generic pipeline stays total.
   */
@@ -200,7 +201,12 @@ object Multimodal {
       * the payload is not such an AVI. Deliberately independent of ImageIO
       * so the per-frame pixel unpack and the JDK's BMP decoder can
       * cross-check each other (see [[Multimodal.decodedVideoHistogram]]). */
-    def aviDibFrames(content: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
+    /** biCompression fourcc for motion-JPEG ('MJPG' little-endian). */
+    private[multimodal] val FourccMjpg = 0x47504a4d
+
+    /** Shared RIFF/'AVI ' walk: (width, height, biBitCount, biCompression,
+      * frame chunks), or None when not a structurally valid AVI. */
+    private def parseAvi(content: Array[Byte]): Option[(Int, Int, Int, Int, Vector[Array[Byte]])] = {
       def le16(o: Int): Int = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
       def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
       def tag(o: Int): String =
@@ -208,7 +214,9 @@ object Multimodal {
       if (content.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
       var width = 0
       var height = 0
-      var dib24 = false
+      var bitCount = 0
+      var compression = -1
+      var sawVidsStrf = false
       var lastStrhType = ""
       val frames = Vector.newBuilder[Array[Byte]]
       var malformed = false
@@ -230,13 +238,15 @@ object Multimodal {
                 lastStrhType = tag(body) // 'vids' / 'auds' / 'txts' / ...
               case "strf" if sz >= 40 && lastStrhType == "vids" =>
                 // BITMAPINFOHEADER: biWidth/biHeight at +4/+8, biBitCount at
-                // +14, biCompression at +16 (0 = BI_RGB, uncompressed).
-                // Gated on the preceding strh being the VIDEO stream — an
-                // audio strf (WAVEFORMATEXTENSIBLE is also ≥ 40 bytes) must
-                // not overwrite the frame geometry.
+                // +14, biCompression at +16 (0 = BI_RGB, 'MJPG' = motion
+                // JPEG). Gated on the preceding strh being the VIDEO stream
+                // — an audio strf (WAVEFORMATEXTENSIBLE is also ≥ 40 bytes)
+                // must not overwrite the frame geometry.
                 width = le32(body + 4)
                 height = le32(body + 8)
-                dib24 = le16(body + 14) == 24 && le32(body + 16) == 0
+                bitCount = le16(body + 14)
+                compression = le32(body + 16)
+                sawVidsStrf = true
               case t if t.length == 4 && t(0).isDigit && t(1).isDigit &&
                   (t.endsWith("db") || t.endsWith("dc")) =>
                 frames += java.util.Arrays.copyOfRange(content, body, body + sz)
@@ -249,14 +259,25 @@ object Multimodal {
       }
       walk(12, content.length, 0)
       val fs = frames.result()
-      // geometry bound: a hostile strf can claim dimensions whose DIB
-      // stride·height overflows Int — reject them here so every downstream
-      // pixel loop can index with plain Ints
-      val strideL = (width.toLong * 3 + 3) / 4 * 4
-      val tooBig = width > 0 && height > 0 && strideL * height > Int.MaxValue
-      if (malformed || !dib24 || width <= 0 || height <= 0 || tooBig || fs.isEmpty) None
-      else Some((width, height, fs))
+      if (malformed || !sawVidsStrf || width <= 0 || height <= 0 || fs.isEmpty) None
+      else Some((width, height, bitCount, compression, fs))
     }
+
+    def aviDibFrames(content: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] =
+      parseAvi(content).collect {
+        // geometry bound: a hostile strf can claim dimensions whose DIB
+        // stride·height overflows Int — reject them here so every
+        // downstream pixel loop can index with plain Ints
+        case (w, h, 24, 0, fs) if (w.toLong * 3 + 3) / 4 * 4 * h <= Int.MaxValue =>
+          (w, h, fs)
+      }
+
+    /** Motion-JPEG AVI: each `movi` frame chunk is a standalone JPEG blob
+      * (the common camera/capture flavor). Geometry comes from the JPEGs
+      * themselves at decode time, so only the container fields are read
+      * here. */
+    def aviMjpegFrames(content: Array[Byte]): Option[Vector[Array[Byte]]] =
+      parseAvi(content).collect { case (_, _, _, FourccMjpg, fs) => fs }
 
     /** Per-frame luminance histograms over ALREADY-PARSED DIB frames (same
       * integer ITU-R 601 binning as [[imageHistogram]]); DIB rows are
@@ -290,10 +311,20 @@ object Multimodal {
     def videoFrameHistograms(content: Array[Byte]): Option[Vector[Array[Long]]] =
       aviDibFrames(content).flatMap { case (w, h, frames) => frameHistograms(w, h, frames) }
 
-    /** Normalized all-frames variant of [[videoFrameHistograms]] in the
-      * feature-vector shape. */
+    /** Per-frame luminance histograms for a motion-JPEG AVI: each frame is
+      * a standalone JPEG decoded through [[imageHistogram]] (ImageIO ships
+      * the JPEG reader). None when the container is not MJPEG or ANY frame
+      * fails to decode — a half-readable clip must not silently shrink. */
+    def mjpegFrameHistograms(content: Array[Byte]): Option[Vector[Array[Long]]] =
+      aviMjpegFrames(content).flatMap { frames =>
+        val hists = frames.map(imageHistogram)
+        if (hists.exists(_.isEmpty)) None else Some(hists.map(_.get))
+      }
+
+    /** Normalized all-frames feature vector over either supported video
+      * container flavor (uncompressed DIB, then motion JPEG). */
     def decodeVideo(content: Array[Byte]): Option[Array[Double]] =
-      videoFrameHistograms(content).map { hists =>
+      videoFrameHistograms(content).orElse(mjpegFrameHistograms(content)).map { hists =>
         val agg = new Array[Double](FeatureDim)
         hists.foreach { h =>
           var i = 0
@@ -473,15 +504,22 @@ object Multimodal {
   val DemoAviFrames = 4
   val DemoAviSide = 8
 
-  /** Canonical RIFF/'AVI ' container for uncompressed 24-bit DIB frames:
-    * LIST hdrl (avih main header + LIST strl with a 'vids'/'DIB ' strh and a
-    * BITMAPINFOHEADER strf), LIST movi of '00db' frame chunks, and a
-    * standard idx1 index (offsets relative to the 'movi' fourcc, keyframe
-    * flag set — players require it; [[MediaCodec.aviDibFrames]] ignores
-    * it). All fields little-endian, chunks word-aligned. */
-  def aviContainer(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+  /** Canonical RIFF/'AVI ' container: LIST hdrl (avih main header + LIST
+    * strl with a 'vids' strh and a BITMAPINFOHEADER strf), LIST movi of
+    * frame chunks, and a standard idx1 index (offsets relative to the
+    * 'movi' fourcc, keyframe flag set — players require it; the walker
+    * ignores it). All fields little-endian, chunks word-aligned. With
+    * `mjpeg = false` frames are uncompressed 24-bit DIB ('DIB ' handler,
+    * BI_RGB, '00db' chunks); with `mjpeg = true` each frame is a standalone
+    * JPEG blob ('MJPG' handler and compression, '00dc' chunks). */
+  def aviContainer(
+      frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+      mjpeg: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty && fps > 0)
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val handler = if (mjpeg) "MJPG" else "DIB "
+    val compression = if (mjpeg) MediaCodec.FourccMjpg else 0
+    val chunkTag = if (mjpeg) "00dc" else "00db"
     val frameSize = frames.head.length
     val avihSz = 56; val strhSz = 56; val strfSz = 40
     val strlList = 4 + 8 + strhSz + 8 + strfSz
@@ -507,7 +545,7 @@ object Multimodal {
     var k = 0; while (k < 4) { buf.putInt(0); k += 1 } // dwReserved[4]
     fourcc("LIST"); buf.putInt(strlList); fourcc("strl")
     fourcc("strh"); buf.putInt(strhSz)
-    fourcc("vids"); fourcc("DIB ")
+    fourcc("vids"); fourcc(handler)
     buf.putInt(0)                     // dwFlags
     buf.putShort(0); buf.putShort(0)  // wPriority, wLanguage
     buf.putInt(0)                     // dwInitialFrames
@@ -524,7 +562,7 @@ object Multimodal {
     buf.putInt(40)                    // biSize
     buf.putInt(w); buf.putInt(h)      // biWidth, biHeight (bottom-up)
     buf.putShort(1); buf.putShort(24) // biPlanes, biBitCount
-    buf.putInt(0)                     // biCompression = BI_RGB
+    buf.putInt(compression)           // biCompression: BI_RGB or 'MJPG'
     buf.putInt(frameSize)             // biSizeImage
     buf.putInt(0); buf.putInt(0)      // biXPelsPerMeter, biYPelsPerMeter
     buf.putInt(0); buf.putInt(0)      // biClrUsed, biClrImportant
@@ -533,13 +571,13 @@ object Multimodal {
     fourcc("movi")
     val offsets = frames.map { f =>
       val off = buf.position() - moviStart
-      fourcc("00db"); buf.putInt(f.length); buf.put(f)
+      fourcc(chunkTag); buf.putInt(f.length); buf.put(f)
       if ((f.length & 1) == 1) buf.put(0.toByte)
       off
     }
     fourcc("idx1"); buf.putInt(idx1Sz)
     frames.indices.foreach { i =>
-      fourcc("00db")
+      fourcc(chunkTag)
       buf.putInt(0x10) // AVIIF_KEYFRAME
       buf.putInt(offsets(i))
       buf.putInt(frames(i).length)

@@ -159,6 +159,41 @@ object CodecLawsSpec extends Properties("CodecLaws") {
       MediaCodec.aviDibFrames(patched).isEmpty
     }
 
+  private def jpegFrames(w: Int, h: Int, n: Int, seed: Long): Seq[Array[Byte]] =
+    (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((seed + f * 131 + (y * w + x) * 7) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+  property("MJPEG container round-trips the JPEG frame bytes bit-exactly") =
+    Prop.forAll(frameDimGen, Gen.choose(1, 4), Gen.chooseNum(0L, 1000000L)) {
+      case ((w, h), n, seed) =>
+        val frames = jpegFrames(w, h, n, seed)
+        val avi = graft.multimodal.Multimodal.aviContainer(frames, w, h, 10, mjpeg = true)
+        MediaCodec.aviMjpegFrames(avi).exists(parsed =>
+          parsed.size == n &&
+            parsed.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) }) &&
+          MediaCodec.aviDibFrames(avi).isEmpty // MJPEG is not the DIB flavor
+    }
+
+  property("MJPEG frame decode partitions every pixel of every frame into one bin") =
+    Prop.forAll(frameDimGen, Gen.choose(1, 3), Gen.chooseNum(0L, 1000000L)) {
+      case ((w, h), n, seed) =>
+        val avi = graft.multimodal.Multimodal.aviContainer(
+          jpegFrames(w, h, n, seed), w, h, 10, mjpeg = true)
+        MediaCodec.mjpegFrameHistograms(avi).exists(hists =>
+          hists.size == n && hists.forall(bins =>
+            bins.length == MediaCodec.FeatureDim && bins.sum == w.toLong * h)) &&
+          MediaCodec.decodeVideo(avi).isDefined &&
+          MediaCodec.decodeVideo(avi).exists(_.sameElements(MediaCodec.decode(avi)))
+    }
+
   property("JDK BMP decoder agrees with the DIB unpack on every pixel") =
     Prop.forAll(frameDimGen, Gen.chooseNum(0L, 1000000L)) { case ((w, h), seed) =>
       val dib = dibFrames(w, h, 1, seed).head
