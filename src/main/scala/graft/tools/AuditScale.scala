@@ -69,12 +69,19 @@ object AuditScale {
           Dedup.simhashNearDup(Tables.load(s, d, "documents"), "doc_id", "text")
             .select(col("id_a"), col("id_b")),
           "id_a", "id_b")),
-      // the declared dedup_minhash_lsh query bundles the LSH operator with
-      // its exact hi-Jaccard PROPERTY ORACLE (the inverted-index pair
-      // derivation) — this audit-only entry isolates the product operator,
-      // so the artifact shows which side carries the composite's ratio
+      // the declared dedup_minhash_lsh / dedup_incremental queries bundle
+      // the operator with an exact hi-Jaccard PROPERTY ORACLE (the
+      // inverted-index pair derivation) — these audit-only entries isolate
+      // the product operators, so the artifact shows which side carries
+      // each composite's ratio
       "minhash_lsh_operator" -> ((s: SparkSession, d: String) =>
-        Dedup.minHashLsh(Tables.load(s, d, "documents"), "doc_id", "text")))
+        Dedup.minHashLsh(Tables.load(s, d, "documents"), "doc_id", "text")),
+      "incremental_operator" -> ((s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        Dedup.incrementalNearDup(
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+      }))
 
   /** Flags CartesianProduct / disallowed BroadcastNestedLoopJoin in the
     * plans that actually EXECUTED while registered. Reading
@@ -103,9 +110,12 @@ object AuditScale {
   /** One timed run. Construction is INSIDE the timer: the iterative
     * operators (connected components, fixpoint refinement) execute their
     * rounds eagerly while the result frame is being built, so timing only
-    * the final write would miss the actual work. Best-of-2 smooths
-    * first-read page-cache effects on the freshly written sf1 files.
-    * The plan flag covers every action both runs executed (see
+    * the final write would miss the actual work. Best-of-3 smooths
+    * first-read page-cache effects on the freshly written sf1 files AND the
+    * GC/AQE run-to-run band the heavier shuffle queries show (the same
+    * drift-visibility reasoning as Bench's median-of-5 — a single pass
+    * committed a 2× outlier as "the" number more than once).
+    * The plan flag covers every action all runs executed (see
     * [[PlanFlagListener]]); listener delivery is asynchronous, so the bus is
     * drained before the flag is read. */
   def runOne(spark: SparkSession, dir: String, name: String,
@@ -119,10 +129,9 @@ object AuditScale {
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val s1 = once()
-      val s2 = once()
+      val best = Seq.fill(3)(once()).min
       graftbridge.drainListenerBus(spark)
-      (math.min(s1, s2), listener.flagged)
+      (best, listener.flagged)
     } finally spark.listenerManager.unregister(listener)
   }
 
