@@ -33,8 +33,20 @@ object Multimodal {
 
   case class MediaFeature(id: Long, modality: String, dim: Int, features: Array[Double])
 
+  /** REAL blob ingestion: reads a directory of media files through Spark's
+    * built-in `binaryFile` source — (path, length, content) per file, the
+    * actual entry point for image/audio/video corpora on a cluster (the
+    * source supports predicate pushdown on path/length/modificationTime,
+    * so a `length < N` filter prunes at the file listing, not after read). */
+  def readBinaryFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"), col("content"))
+
   /** Wraps a text column as a fake media payload with typed metadata —
-    * stands in for `spark.read.format("binaryFile")` / blob-store ingestion. */
+    * stands in for [[readBinaryFiles]] when the corpus has no real files. */
   def attachBinary(df: DataFrame, idCol: String, payloadCol: String, modality: String): DataFrame =
     df.select(
       col(idCol).as("id"),

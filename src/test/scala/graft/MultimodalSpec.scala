@@ -82,6 +82,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.MediaCodec.wavPcm16("definitely not a riff container".getBytes).isEmpty)
   }
 
+  test("binaryFile ingestion round-trips real AVI files through the codec") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createDirectories(Paths.get("target/mm_spec/avis"))
+    // write three real AVI files, then ingest them back through Spark's
+    // binaryFile source and decode — the full blob-store entry path
+    val byId = Multimodal.encodeDemoAvi(Seq(1L, 2L, 3L).toDF("id"), "id")
+      .collect().map(r => r.id -> r.avi).toMap
+    byId.foreach { case (id, bytes) => Files.write(dir.resolve(s"$id.avi"), bytes) }
+    val ingested = Multimodal.readBinaryFiles(spark, dir.toString, glob = "*.avi")
+    assert(ingested.count() == 3)
+    val decoded = ingested
+      .select(regexp_extract(col("path"), "(\\d+)\\.avi$", 1).cast("long").as("id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .collect().toMap
+    byId.foreach { case (id, bytes) =>
+      assert(java.util.Arrays.equals(decoded(id), bytes), s"payload for $id changed in flight")
+      assert(Multimodal.MediaCodec.videoFrameHistograms(decoded(id)).nonEmpty)
+    }
+    // length pushdown reaches the file-listing relation
+    val pruned = Multimodal.readBinaryFiles(spark, dir.toString, glob = "*.avi")
+      .filter(col("length") > 0)
+    assert(pruned.count() == 3)
+  }
+
   test("sampleFrames keeps every stride-th frame with deterministic bytes") {
     def snapshot() = Multimodal.sampleFrames(media, stride = 2)
       .select(col("id"), col("frame_idx"), base64(col("frame_bytes")).as("b64"), col("frame_len"))
