@@ -185,6 +185,21 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // hot-key variant under the SAME DuckDB ASOF oracle: the (key, time
+    // bucket) window + carry-in stitch must reproduce backward exactly
+    // (equivalence also pinned across bucket widths in AdviceRegressionSpec)
+    "join_asof_bucketed" -> ((s, d) => {
+      val events = t(s, d, "events").df
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value").as("pval"))
+      graft.operators.AsOfJoin.backwardBucketed(
+          events.select("event_id", "user_id", "ts"), purchases,
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "pts",
+          payloadCols = Seq("pval"), bucketWidth = 3600L)
+        .select("event_id", "asof_pval")
+        .orderBy("event_id")
+    }),
+
     // --------------------------------------------------- d) aggregations
     "agg_groupby_sum" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -551,6 +566,11 @@ object RelationalQueries {
        "GROUP BY c_nationkey ORDER BY c_nationkey"),
 
     "join_asof" ->
+      ("SELECT e.event_id AS event_id, p.value AS asof_pval FROM events e " +
+       "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
+       "ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id"),
+
+    "join_asof_bucketed" ->
       ("SELECT e.event_id AS event_id, p.value AS asof_pval FROM events e " +
        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
        "ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id"),
