@@ -42,8 +42,7 @@ object Multimodal {
       glob: String = "*"): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
-      .load(dir)
-      .select(col("path"), col("length"), col("content"))
+      .load(dir) // (path, modificationTime, length, content) — keep all four
 
   /** Wraps a text column as a fake media payload with typed metadata —
     * stands in for [[readBinaryFiles]] when the corpus has no real files. */
@@ -275,13 +274,27 @@ object Multimodal {
       else Some((width, height, bitCount, compression, fs))
     }
 
+    /** MJPEG biCompression fourccs seen in the wild: canonical 'MJPG', its
+      * lowercase form (fourccs are case-insensitive in practice), and
+      * 'dmb1' (Matrox/QuickTime MJPEG-A). */
+    private def isMjpegFourcc(compression: Int): Boolean =
+      compression == FourccMjpg ||
+        compression == 0x67706a6d /* 'mjpg' */ ||
+        compression == 0x31626d64 /* 'dmb1' */
+
+    /** Geometry bound: a hostile strf can claim dimensions whose DIB
+      * stride·height overflows — compare by DIVISION (multiplying the two
+      * Longs can itself wrap past the Int.MaxValue check for dimensions
+      * near Int.MaxValue), so every downstream pixel loop can index with
+      * plain Ints. */
+    private def dibGeometryFits(w: Int, h: Int): Boolean = {
+      val strideL = (w.toLong * 3 + 3) / 4 * 4
+      strideL <= Int.MaxValue && strideL <= Int.MaxValue / h
+    }
+
     def aviDibFrames(content: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] =
       parseAvi(content).collect {
-        // geometry bound: a hostile strf can claim dimensions whose DIB
-        // stride·height overflows Int — reject them here so every
-        // downstream pixel loop can index with plain Ints
-        case (w, h, 24, 0, fs) if (w.toLong * 3 + 3) / 4 * 4 * h <= Int.MaxValue =>
-          (w, h, fs)
+        case (w, h, 24, 0, fs) if dibGeometryFits(w, h) => (w, h, fs)
       }
 
     /** Motion-JPEG AVI: each `movi` frame chunk is a standalone JPEG blob
@@ -289,7 +302,7 @@ object Multimodal {
       * themselves at decode time, so only the container fields are read
       * here. */
     def aviMjpegFrames(content: Array[Byte]): Option[Vector[Array[Byte]]] =
-      parseAvi(content).collect { case (_, _, _, FourccMjpg, fs) => fs }
+      parseAvi(content).collect { case (_, _, _, c, fs) if isMjpegFourcc(c) => fs }
 
     /** Per-frame luminance histograms over ALREADY-PARSED DIB frames (same
       * integer ITU-R 601 binning as [[imageHistogram]]); DIB rows are
@@ -323,20 +336,29 @@ object Multimodal {
     def videoFrameHistograms(content: Array[Byte]): Option[Vector[Array[Long]]] =
       aviDibFrames(content).flatMap { case (w, h, frames) => frameHistograms(w, h, frames) }
 
+    /** Per-frame JPEG decode shared by [[mjpegFrameHistograms]] and
+      * [[decodeVideo]]: None when ANY frame fails to decode — a
+      * half-readable clip must not silently shrink. */
+    private def mjpegHistsOf(frames: Vector[Array[Byte]]): Option[Vector[Array[Long]]] = {
+      val hists = frames.map(imageHistogram)
+      if (hists.exists(_.isEmpty)) None else Some(hists.map(_.get))
+    }
+
     /** Per-frame luminance histograms for a motion-JPEG AVI: each frame is
       * a standalone JPEG decoded through [[imageHistogram]] (ImageIO ships
-      * the JPEG reader). None when the container is not MJPEG or ANY frame
-      * fails to decode — a half-readable clip must not silently shrink. */
+      * the JPEG reader). */
     def mjpegFrameHistograms(content: Array[Byte]): Option[Vector[Array[Long]]] =
-      aviMjpegFrames(content).flatMap { frames =>
-        val hists = frames.map(imageHistogram)
-        if (hists.exists(_.isEmpty)) None else Some(hists.map(_.get))
-      }
+      aviMjpegFrames(content).flatMap(mjpegHistsOf)
 
     /** Normalized all-frames feature vector over either supported video
-      * container flavor (uncompressed DIB, then motion JPEG). */
+      * container flavor — ONE container walk, dispatched on the strf's
+      * (bitCount, compression). */
     def decodeVideo(content: Array[Byte]): Option[Array[Double]] =
-      videoFrameHistograms(content).orElse(mjpegFrameHistograms(content)).map { hists =>
+      parseAvi(content).flatMap {
+        case (w, h, 24, 0, fs) if dibGeometryFits(w, h) => frameHistograms(w, h, fs)
+        case (_, _, _, c, fs) if isMjpegFourcc(c) => mjpegHistsOf(fs)
+        case _ => None
+      }.map { hists =>
         val agg = new Array[Double](FeatureDim)
         hists.foreach { h =>
           var i = 0

@@ -119,7 +119,7 @@ object AuditScale {
     * [[PlanFlagListener]]); listener delivery is asynchronous, so the bus is
     * drained before the flag is read. */
   def runOne(spark: SparkSession, dir: String, name: String,
-      fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
+      fn: (SparkSession, String) => DataFrame, runs: Int = 3): (Double, Boolean) = {
     val listener = new PlanFlagListener(BnljAllowed.contains(name))
     spark.listenerManager.register(listener)
     try {
@@ -129,7 +129,7 @@ object AuditScale {
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val best = Seq.fill(3)(once()).min
+      val best = Seq.fill(runs)(once()).min
       graftbridge.drainListenerBus(spark)
       (best, listener.flagged)
     } finally spark.listenerManager.unregister(listener)
@@ -153,8 +153,8 @@ object AuditScale {
       Amplify.amplify(spark, smallDir, bigDir, copies = 10)
 
     val fns = queryFns
-    // warm pass: JIT + codegen cache on the small sf
-    fns.foreach { case (n, fn) => runOne(spark, warmDir, n, fn) }
+    // warm pass: JIT + codegen cache on the small sf — one run suffices
+    fns.foreach { case (n, fn) => runOne(spark, warmDir, n, fn, runs = 1) }
 
     val small = fns.map { case (n, fn) =>
       val (secs, flagged) = runOne(spark, smallDir, n, fn)

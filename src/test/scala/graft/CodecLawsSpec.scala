@@ -142,10 +142,15 @@ object CodecLawsSpec extends Properties("CodecLaws") {
     java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
 
   property("hostile strf geometry (stride*height overflowing Int) is rejected, not crashed on") =
-    Prop.forAll(Gen.oneOf(800000000, Int.MaxValue / 3, 715827883)) { hugeWidth =>
+    Prop.forAll(Gen.oneOf(
+      (800000000, 1), (Int.MaxValue / 3, 1), (715827883, 1),
+      // w AND h near Int.MaxValue: strideL*h wraps LONG past the naive
+      // `<= Int.MaxValue` check — the guard must compare by division
+      (Int.MaxValue, Int.MaxValue), (Int.MaxValue / 2, Int.MaxValue / 2),
+      (46341, 46341))) { case (hugeWidth, hugeHeight) =>
       val avi = graft.multimodal.Multimodal.aviContainer(dibFrames(8, 8, 1, 1L), 8, 8, 10)
       // biWidth is at strf body +4, biHeight at +8
-      val patched = patchTag(patchTag(avi, "strf", 4, le(hugeWidth)), "strf", 8, le(1))
+      val patched = patchTag(patchTag(avi, "strf", 4, le(hugeWidth)), "strf", 8, le(hugeHeight))
       MediaCodec.aviDibFrames(patched).isEmpty &&
         MediaCodec.decode(patched).length == MediaCodec.FeatureDim // stub path, no throw
     }
@@ -187,11 +192,21 @@ object CodecLawsSpec extends Properties("CodecLaws") {
       case ((w, h), n, seed) =>
         val avi = graft.multimodal.Multimodal.aviContainer(
           jpegFrames(w, h, n, seed), w, h, 10, mjpeg = true)
+        val viaVideo = MediaCodec.decodeVideo(avi)
         MediaCodec.mjpegFrameHistograms(avi).exists(hists =>
           hists.size == n && hists.forall(bins =>
             bins.length == MediaCodec.FeatureDim && bins.sum == w.toLong * h)) &&
-          MediaCodec.decodeVideo(avi).isDefined &&
-          MediaCodec.decodeVideo(avi).exists(_.sameElements(MediaCodec.decode(avi)))
+          viaVideo.exists(_.sameElements(MediaCodec.decode(avi)))
+    }
+
+  property("lowercase 'mjpg' and 'dmb1' biCompression fourccs decode as MJPEG too") =
+    Prop.forAll(Gen.oneOf("mjpg", "dmb1"), Gen.chooseNum(0L, 1000L)) { (fourcc, seed) =>
+      val avi = graft.multimodal.Multimodal.aviContainer(
+        jpegFrames(8, 8, 2, seed), 8, 8, 10, mjpeg = true)
+      // biCompression sits at strf body +16
+      val patched = patchTag(avi, "strf", 16, fourcc.getBytes("US-ASCII"))
+      MediaCodec.aviMjpegFrames(patched).exists(_.size == 2) &&
+        MediaCodec.decodeVideo(patched).isDefined
     }
 
   property("JDK BMP decoder agrees with the DIB unpack on every pixel") =
