@@ -87,6 +87,158 @@ object Corpus {
         (coalesce(col("n_shared_shingles"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** The md5 hex-prefix bucket shared by [[hashSplit]] and [[mixSources]]:
+    * (first 8 hex chars of md5(id ":" salt)) mod 100 — a pure row-local
+    * function of the id, exactly re-derivable by any SQL engine. */
+  private def hashBucket(idCol: String, salt: String): Column =
+    conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long") % 100
+
+  /** Deterministic corpus mixing: downsamples each source to a target
+    * retention percentage — the data-mixing step that turns raw per-source
+    * crawls into a training mix ("keep 100% of wiki, 30% of web, 5% of
+    * logs"). Retention is decided by the same md5 bucket as [[hashSplit]]
+    * (different salt → independent assignment), so the mix is a pure
+    * function of (id, salt): reproducible across engines and STABLE under
+    * corpus growth — re-running on a grown corpus keeps every previously
+    * kept doc, which sample()/randomSplit cannot promise. Row-local: no
+    * shuffle at any scale, the filter pushes into the scan.
+    *
+    * Sources absent from `weights` retain `defaultPct`. A NULL source uses
+    * `defaultPct`; a NULL id yields a NULL bucket and is dropped (NULL ids
+    * never enter a training mix — same spirit as [[hashSplit]]'s NULL→test).
+    *
+    * @param weights source → retention percent in [0,100]
+    */
+  def mixSources(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      salt: String,
+      weights: Map[String, Int],
+      defaultPct: Int = 100): DataFrame = {
+    require((defaultPct +: weights.values.toSeq).forall(p => p >= 0 && p <= 100),
+      "retention percentages must be in [0,100]")
+    val pct = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (src, p)) => when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(idCol, salt))
+      .withColumn("retain_pct", pct.cast("long"))
+      .filter(col("bucket") < col("retain_pct"))
+  }
+
+  /** Intra-document repetition signals (the Gopher-style quality rules):
+    * per doc, over its overlapping n-token grams —
+    * `n_ngrams` (total occurrences), `top_ngram_count` (occurrences of the
+    * most frequent gram), `dup_ngram_count` (total occurrences of grams
+    * appearing more than once), and the two fractions quality filters cut
+    * on. Excessively repetitive documents (boilerplate, keyword stuffing,
+    * decode garbage) score high and get dropped before training.
+    *
+    * Grams travel as the dedup family's rolled 64-bit shingle hashes, so
+    * the per-(doc, gram) reduce shuffles 16-byte rows with full map-side
+    * partial aggregation — never the text. Docs shorter than n tokens
+    * count as ONE gram (the whole doc), matching the shingle convention
+    * used by the dedup/decontamination operators. A NULL text yields zero
+    * counts and 0.0 fractions.
+    *
+    * Returns one row per input row:
+    * (id, n_ngrams, top_ngram_count, dup_ngram_count, top_ngram_frac,
+    * dup_ngram_frac).
+    */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    val grams = graft.expressions.MinHashSignature.shingleHashes(
+      transform(graft.functions.TextFunctions.tokens(col(textCol)), t => xxhash64(t)), n)
+    val perGram = df.select(col(idCol).as("id"), explode(grams).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy("id").agg(
+        sum(col("c")).as("n_ngrams"),
+        max(col("c")).as("top_ngram_count"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_ngram_count"))
+      .withColumnRenamed("id", "__rep_id")
+    // null-safe re-attach, same shape as [[decontaminate]]: NULL-id rows
+    // group as one pseudo-doc and must find their stats again
+    df.select(col(idCol).as("id"))
+      .join(perDoc, col("id") <=> col("__rep_id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("top_ngram_count"), lit(0L)).as("top_ngram_count"),
+        coalesce(col("dup_ngram_count"), lit(0L)).as("dup_ngram_count"),
+        when(col("n_ngrams") > 0,
+          col("top_ngram_count").cast("double") / col("n_ngrams").cast("double"))
+          .otherwise(0.0).as("top_ngram_frac"),
+        when(col("n_ngrams") > 0,
+          col("dup_ngram_count").cast("double") / col("n_ngrams").cast("double"))
+          .otherwise(0.0).as("dup_ngram_frac"))
+  }
+
+  /** Cross-corpus repeated-block removal (the C4 rule): partition every
+    * document's token stream into consecutive `blockTokens`-token blocks
+    * (the last block may be shorter); any block text occurring more than
+    * `maxOccurrences` times ACROSS THE CORPUS survives only at its
+    * canonical first occurrence (smallest (id, block index)) — every other
+    * occurrence is cut and the documents are reassembled from what
+    * remains. This is how shared boilerplate (headers, licenses, cookie
+    * banners) is removed without dropping whole documents.
+    *
+    * Scale design: the per-block-text reduce is `groupBy(hash).agg(count,
+    * min(struct(id, idx)))` — fully partial-aggregatable, so a block
+    * repeated a billion times collapses map-side instead of serializing
+    * one reducer the way a `row_number() over (partition by hash)` window
+    * would. Block identity is the 64-bit xxhash of the block text; the
+    * re-join back to occurrences is a plain equi-join on that 8-byte key
+    * (hot probe keys stream against a single build row). Reassembly groups
+    * each doc's surviving blocks — bounded by document size, never by
+    * corpus size.
+    *
+    * Returns one row per input row:
+    * (id, text_clean, n_blocks, n_blocks_dropped); a NULL text keeps a
+    * NULL text_clean with zero counts.
+    */
+  def dropRepeatedBlocks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 3,
+      maxOccurrences: Int = 1): DataFrame = {
+    require(blockTokens >= 1, "blockTokens must be at least 1")
+    require(maxOccurrences >= 1, "maxOccurrences must be at least 1")
+    val w = blockTokens
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val nBlocks = ((size(toks) + w - 1) / w).cast("long")
+    val blockList = transform(sequence(lit(0), nBlocks.cast("int") - 1),
+      i => array_join(slice(toks, i * w + 1, lit(w)), " "))
+    val occ = df.select(col(idCol).as("id"), posexplode(blockList).as(Seq("idx", "blk")))
+      .withColumn("h", xxhash64(col("blk")))
+    val perBlock = occ.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("id"), col("idx"))).as("first_occ"))
+    val kept = occ.join(perBlock, Seq("h"))
+      .filter(col("cnt") <= maxOccurrences ||
+        struct(col("id"), col("idx")) === col("first_occ"))
+    val rebuilt = kept.groupBy("id").agg(
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("blk")))),
+          s => s.getField("blk")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+      .withColumnRenamed("id", "__blk_id")
+    df.select(col(idCol).as("id"), coalesce(nBlocks, lit(0L)).as("n_blocks"))
+      .join(rebuilt, col("id") <=> col("__blk_id"), "left")
+      .select(
+        col("id"),
+        // a doc whose every block was cut reassembles to "" — NULL is
+        // reserved for NULL input text (which produced no blocks at all)
+        when(col("n_blocks") > 0, coalesce(col("text_clean"), lit("")))
+          .as("text_clean"),
+        col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_blocks_dropped"))
+  }
+
   /** Per-group cap: keeps the top `cap` rows of every group by
     * (scoreCol desc, idCol asc — the deterministic tie-break). The standard
     * per-domain quality cap in web-corpus assembly: no single domain may

@@ -126,6 +126,46 @@ object PipelineSyntax {
           mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
     }
 
+    /** Deterministic corpus mixing: row SUBSET plus bucket/retain_pct
+      * columns, so parent pk survives (verified-if-it-was). */
+    def mixByHash(
+        idCol: String, sourceCol: String, salt: String,
+        weights: Map[String, Int], defaultPct: Int = 100): MetaFrame =
+      derived(mf, Corpus.mixSources(mf.df, idCol, sourceCol, salt, weights, defaultPct),
+        "corpus_mix",
+        Map("id" -> idCol, "source" -> sourceCol, "salt" -> salt,
+            "weights" -> weights, "defaultPct" -> defaultPct),
+        pk = mf.primaryKey,
+        pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+
+    /** Intra-doc repetition signals: one row per corpus ROW (same pk rule
+      * as [[decontaminateAgainst]] — keyed by `id` exactly when the parent
+      * was keyed by `idCol`). */
+    def repetitionStats(idCol: String, textCol: String, n: Int = 2): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf, Corpus.repetitionStats(mf.df, idCol, textCol, n),
+        "repetition_stats",
+        Map("id" -> idCol, "text" -> textCol, "n" -> n),
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** Cross-corpus repeated-block removal: one row per corpus ROW (pk rule
+      * as above). */
+    def dropRepeatedBlocks(
+        idCol: String, textCol: String,
+        blockTokens: Int = 3, maxOccurrences: Int = 1): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf, Corpus.dropRepeatedBlocks(mf.df, idCol, textCol, blockTokens, maxOccurrences),
+        "drop_repeated_blocks",
+        Map("id" -> idCol, "text" -> textCol, "blockTokens" -> blockTokens,
+            "maxOccurrences" -> maxOccurrences),
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
     /** Per-group cap (top `cap` by score): row-SUBSET plus a rank column, so
       * parent pk survives (verified-if-it-was) — filtering can't introduce
       * duplicates. */

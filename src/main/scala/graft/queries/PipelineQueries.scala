@@ -457,6 +457,38 @@ object PipelineQueries {
         .select("doc_id", "source", "quality", "rank_in_group")
         .orderBy("doc_id")),
 
+    // deterministic corpus mixing: per-source retention percentages decided
+    // by the same md5 bucket arithmetic as split_hash (different salt) — a
+    // pure function of (doc_id, salt), row-local, exact DuckDB oracle
+    "corpus_mix" -> ((s, d) =>
+      Corpus.mixSources(t(s, d, "documents").df, "doc_id", "source", salt = "mix",
+          weights = Map("src0" -> 100, "src1" -> 50, "src2" -> 0, "src3" -> 5),
+          defaultPct = 25)
+        .select("doc_id", "source", "bucket", "retain_pct")
+        .orderBy("doc_id")),
+
+    // Gopher-style intra-doc repetition signals over bigrams: counts reduce
+    // on rolled 64-bit gram hashes (16-byte shuffle rows, map-side partial
+    // agg); the DuckDB oracle re-derives every count from the STRING grams
+    // — hash grouping and string grouping agree whenever the rolled hash is
+    // collision-free on the corpus vocabulary (same equivalence the
+    // decontamination oracle already pins)
+    "text_repetition" -> ((s, d) =>
+      Corpus.repetitionStats(t(s, d, "documents").df, "doc_id", "text", n = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // C4-style cross-corpus repeated-block removal: non-overlapping 3-token
+    // blocks, corpus-wide counts via groupBy(hash) partial agg (no window
+    // on the hot hash), canonical first occurrence survives, docs
+    // reassembled in block order — exact DuckDB oracle incl. the cleaned
+    // text itself
+    "text_block_dedup" -> ((s, d) =>
+      Corpus.dropRepeatedBlocks(t(s, d, "documents").df, "doc_id", "text",
+          blockTokens = 3, maxOccurrences = 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // --------------------------------------------------------- multimodal
     // frame sampling over binary payloads: row-local slice + explode —
     // exact DuckDB oracle (frame idx/len are integer arithmetic on octet_length)
@@ -767,6 +799,50 @@ object PipelineQueries {
        "row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank_in_group FROM scored) " +
        "SELECT doc_id, source, quality, CAST(rank_in_group AS BIGINT) AS rank_in_group " +
        "FROM ranked WHERE rank_in_group <= 3 ORDER BY doc_id"),
+
+    // corpus mixing: the split_hash md5 bucket (salt 'mix') against a
+    // per-source retention CASE — every kept row re-derived exactly
+    "corpus_mix" ->
+      ("WITH b AS (SELECT doc_id, source, " +
+       "CAST(('0x' || substr(md5(doc_id || ':mix'), 1, 8)) AS BIGINT) % 100 AS bucket, " +
+       "CAST(CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 0 " +
+       "WHEN 'src3' THEN 5 ELSE 25 END AS BIGINT) AS retain_pct FROM documents) " +
+       "SELECT doc_id, source, bucket, retain_pct FROM b WHERE bucket < retain_pct " +
+       "ORDER BY doc_id"),
+
+    // repetition signals: string-bigram counts (short docs = one whole-text
+    // gram, the shingle convention), integer-exact fractions
+    "text_repetition" ->
+      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+       "g AS (SELECT doc_id, CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')] " +
+       "ELSE [array_to_string(ts[i:i+1], ' ') FOR i IN generate_series(1, len(ts)-1)] END AS ng FROM toks), " +
+       "e AS (SELECT doc_id, unnest(ng) AS s FROM g), " +
+       "c AS (SELECT doc_id, s, count(*) AS c FROM e GROUP BY 1, 2), " +
+       "a AS (SELECT doc_id, sum(c) AS t, max(c) AS m, " +
+       "coalesce(sum(c) FILTER (c > 1), 0) AS dup FROM c GROUP BY 1) " +
+       "SELECT d.doc_id, CAST(coalesce(a.t, 0) AS BIGINT) AS n_ngrams, " +
+       "CAST(coalesce(a.m, 0) AS BIGINT) AS top_ngram_count, " +
+       "CAST(coalesce(a.dup, 0) AS BIGINT) AS dup_ngram_count, " +
+       "CASE WHEN coalesce(a.t, 0) > 0 THEN CAST(a.m AS DOUBLE) / a.t ELSE 0.0 END AS top_ngram_frac, " +
+       "CASE WHEN coalesce(a.t, 0) > 0 THEN CAST(a.dup AS DOUBLE) / a.t ELSE 0.0 END AS dup_ngram_frac " +
+       "FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id"),
+
+    // repeated-block removal: DuckDB forms the same non-overlapping 3-token
+    // blocks, ranks occurrences by (doc_id, idx) per block TEXT, keeps
+    // singletons plus each repeat's first occurrence, and reassembles the
+    // cleaned text with an ordered string_agg
+    "text_block_dedup" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+       "n AS (SELECT doc_id, ts, CAST((len(ts) + 2) // 3 AS BIGINT) AS nb FROM t), " +
+       "b AS (SELECT doc_id, idx, array_to_string(ts[idx*3+1 : idx*3+3], ' ') AS blk " +
+       "FROM (SELECT doc_id, ts, unnest(generate_series(0, CAST(nb AS INT) - 1)) AS idx FROM n)), " +
+       "k AS (SELECT doc_id, idx, blk, count(*) OVER (PARTITION BY blk) AS cnt, " +
+       "row_number() OVER (PARTITION BY blk ORDER BY doc_id, idx) AS rn FROM b), " +
+       "r AS (SELECT doc_id, string_agg(blk, ' ' ORDER BY idx) AS text_clean, " +
+       "count(*) AS n_kept FROM k WHERE cnt <= 1 OR rn = 1 GROUP BY doc_id) " +
+       "SELECT n.doc_id, CASE WHEN n.nb > 0 THEN coalesce(r.text_clean, '') END AS text_clean, " +
+       "coalesce(n.nb, 0) AS n_blocks, coalesce(n.nb, 0) - coalesce(r.n_kept, 0) AS n_blocks_dropped " +
+       "FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id"),
 
     // frame sampling is pure integer arithmetic on the payload byte length:
     // nFrames = len%30+1, frameLen = max(len//nFrames, 1), keep even frame
