@@ -229,6 +229,13 @@ object Multimodal {
       var compression = -1
       var sawVidsStrf = false
       var lastStrhType = ""
+      // AVI streams are numbered in strl (strh) order; movi chunk tags carry
+      // that number as their 2-digit prefix. Frames are collected ONLY for
+      // the video stream's index — without this, a multi-stream AVI would
+      // interleave every stream's chunks under one geometry. A second video
+      // stream rejects the payload (fail-loud, not silent frame mixing).
+      var strhSeen = 0
+      var vidsStreamIdx = -1
       val frames = Vector.newBuilder[Array[Byte]]
       var malformed = false
       // walk chunks in [from, to); LIST recursion is depth-capped so a
@@ -247,6 +254,11 @@ object Multimodal {
               case "LIST" if sz >= 4 => walk(body + 4, body + sz, depth + 1)
               case "strh" if sz >= 4 =>
                 lastStrhType = tag(body) // 'vids' / 'auds' / 'txts' / ...
+                if (lastStrhType == "vids") {
+                  if (vidsStreamIdx >= 0) malformed = true // second video stream
+                  else vidsStreamIdx = strhSeen
+                }
+                strhSeen += 1
               case "strf" if sz >= 40 && lastStrhType == "vids" =>
                 // BITMAPINFOHEADER: biWidth/biHeight at +4/+8, biBitCount at
                 // +14, biCompression at +16 (0 = BI_RGB, 'MJPG' = motion
@@ -260,7 +272,8 @@ object Multimodal {
                 sawVidsStrf = true
               case t if t.length == 4 && t(0).isDigit && t(1).isDigit &&
                   (t.endsWith("db") || t.endsWith("dc")) =>
-                frames += java.util.Arrays.copyOfRange(content, body, body + sz)
+                if ((t(0) - '0') * 10 + (t(1) - '0') == vidsStreamIdx)
+                  frames += java.util.Arrays.copyOfRange(content, body, body + sz)
               case _ => // avih/idx1/JUNK: structure only, not needed here
             }
             val next = body.toLong + sz.toLong + (sz & 1) // word-aligned
@@ -310,7 +323,11 @@ object Multimodal {
       * shorter than the stride·height geometry demands — callers must check
       * BEFORE touching frame bytes. */
     def frameHistograms(w: Int, h: Int, frames: Vector[Array[Byte]]): Option[Vector[Array[Long]]] = {
-      val stride = ((w * 3 + 3) / 4) * 4 // no overflow: bounded in aviDibFrames
+      // public entry point: re-validate geometry here, not just in
+      // aviDibFrames — a direct caller with hostile w/h must get None, not
+      // overflowed indices
+      if (w <= 0 || h <= 0 || !dibGeometryFits(w, h)) return None
+      val stride = ((w * 3 + 3) / 4) * 4
       if (frames.exists(_.length < stride.toLong * h)) None
       else Some(frames.map { fb =>
         val bins = new Array[Long](FeatureDim)

@@ -35,10 +35,7 @@ object Corpus {
       valPct: Int = 10): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       "trainPct/valPct must be non-negative and sum to at most 100")
-    val bucket = (conv(
-      substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
-      16, 10).cast("long") % 100).as("bucket")
-    df.withColumn("bucket", bucket)
+    df.withColumn("bucket", hashBucket(idCol, salt))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + valPct, "val")

@@ -883,7 +883,7 @@ object PipelineQueries {
     // bin(i) = ((doc_id*31+i) % 256) // 16 — pure integer arithmetic
     "mm_image_histogram" ->
       ("SELECT doc_id, CAST(b AS INT) AS bin, " +
-       "CAST(len(list_filter(range(0, 64), i -> ((doc_id*31+i)%256)//16 = b)) AS BIGINT) AS n " +
+       "CAST(len(list_filter(range(0, 64), i -> (((doc_id*31+i)%256+256)%256)//16 = b)) AS BIGINT) AS n " +
        "FROM documents, range(0, 16) t(b) ORDER BY doc_id, bin"),
 
     // feature 0 of the audio decode = amplitude-bin-0 count / 100 samples;
@@ -907,7 +907,7 @@ object PipelineQueries {
     // integer arithmetic, same family as mm_image_histogram plus the frame term
     "mm_video_histogram" ->
       ("SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(b AS INT) AS bin, " +
-       "CAST(len(list_filter(range(0, 64), i -> ((doc_id*31+f*7+i)%256)//16 = b)) AS BIGINT) AS n " +
+       "CAST(len(list_filter(range(0, 64), i -> (((doc_id*31+f*7+i)%256+256)%256)//16 = b)) AS BIGINT) AS n " +
        "FROM documents, range(0, 4) t(f), range(0, 16) u(b) ORDER BY doc_id, frame_idx, bin"),
 
     "mm_binary_meta" ->

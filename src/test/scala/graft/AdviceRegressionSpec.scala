@@ -242,4 +242,90 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(row.isNullAt(0), "native dot must be NULL on length mismatch")
     assert(row.isNullAt(1), "HOF dot is NULL on length mismatch (zip_with null-pad)")
   }
+
+  // ---- ADVICE r7 low: multi-stream AVIs must not interleave foreign frames
+
+  /** Hand-built two-stream AVI: an 'auds' strl FIRST (stream 00), then the
+    * 'vids' strl (stream 01), movi carrying one garbage '00db' chunk (stream
+    * 0) and real '01db' DIB frames (stream 1). The walker must collect ONLY
+    * the '01db' frames. */
+  private def twoStreamAvi(vidsFrames: Seq[Array[Byte]], w: Int, h: Int,
+      secondVids: Boolean = false): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val garbage = Array.fill[Byte](w * 3 * h)(0x55)
+    val hdrl = 4 + (8 + 4) + (8 + 4) + (8 + 40) // 2 strh bodies + 1 strf
+    val movi = 4 + (8 + garbage.length) +
+      vidsFrames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riff = 4 + (8 + hdrl) + (8 + movi)
+    val buf = java.nio.ByteBuffer.allocate(8 + riff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { buf.put(s.getBytes(ascii)); () }
+    fourcc("RIFF"); buf.putInt(riff); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrl); fourcc("hdrl")
+    fourcc("strh"); buf.putInt(4); fourcc(if (secondVids) "vids" else "auds")
+    fourcc("strh"); buf.putInt(4); fourcc("vids")
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40); buf.putInt(w); buf.putInt(h)
+    buf.putShort(1); buf.putShort(24)
+    buf.putInt(0) // BI_RGB
+    buf.putInt(vidsFrames.head.length)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    fourcc("LIST"); buf.putInt(movi); fourcc("movi")
+    fourcc("00db"); buf.putInt(garbage.length); buf.put(garbage)
+    vidsFrames.foreach { f =>
+      fourcc("01db"); buf.putInt(f.length); buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  private def grayDib(w: Int, h: Int, v: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dib = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      dib(y * stride + 3 * x + c) = v.toByte
+    dib
+  }
+
+  test("AVI walker collects only the video stream's chunks in a multi-stream file") {
+    import graft.multimodal.Multimodal.MediaCodec
+    val w = 8; val h = 8
+    val frames = Seq(grayDib(w, h, 200), grayDib(w, h, 10))
+    val avi = twoStreamAvi(frames, w, h)
+    val got = MediaCodec.aviDibFrames(avi)
+    assert(got.isDefined, "two-stream AVI with one video stream must parse")
+    val (gw, gh, fs) = got.get
+    assert((gw, gh) == (w, h))
+    assert(fs.size == 2, s"must collect exactly the 2 video frames, got ${fs.size}")
+    assert(fs.zip(frames).forall { case (a, b) => a.sameElements(b) },
+      "collected frames must be the '01db' video chunks, not the '00db' audio chunk")
+    // and the decoded per-frame histograms see only the video pixels
+    val hists = MediaCodec.videoFrameHistograms(avi).get
+    assert(hists.size == 2)
+    assert(hists(0)(200 * MediaCodec.FeatureDim / 256) == (w * h).toLong)
+    assert(hists(1)(10 * MediaCodec.FeatureDim / 256) == (w * h).toLong)
+  }
+
+  test("an AVI declaring two video streams is rejected, not frame-interleaved") {
+    import graft.multimodal.Multimodal.MediaCodec
+    val avi = twoStreamAvi(Seq(grayDib(8, 8, 42)), 8, 8, secondVids = true)
+    assert(MediaCodec.aviDibFrames(avi).isEmpty)
+    assert(MediaCodec.videoFrameHistograms(avi).isEmpty)
+  }
+
+  // ---- ADVICE r7 low: frameHistograms must validate geometry itself
+
+  test("frameHistograms rejects hostile or degenerate geometry on direct calls") {
+    import graft.multimodal.Multimodal.MediaCodec
+    val tiny = Vector(Array.fill[Byte](16)(0))
+    // stride*height overflows Int for these — must be None, not AIOOBE
+    assert(MediaCodec.frameHistograms(1 << 16, 1 << 16, tiny).isEmpty)
+    // zero/negative dims — must be None, not a division-by-zero in the guard
+    assert(MediaCodec.frameHistograms(0, 8, tiny).isEmpty)
+    assert(MediaCodec.frameHistograms(8, 0, tiny).isEmpty)
+    assert(MediaCodec.frameHistograms(-1, -1, tiny).isEmpty)
+    // sane geometry still works
+    val ok = MediaCodec.frameHistograms(8, 8, Vector(grayDib(8, 8, 99)))
+    assert(ok.exists(_.head.sum == 64L))
+  }
 }
