@@ -236,6 +236,111 @@ object Corpus {
         (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_blocks_dropped"))
   }
 
+  /** TF-IDF top terms per document — the classic "what is this document
+    * about" signal used for corpus inspection, topic balancing, and
+    * per-domain keyword audits. Score: sublinear tf with smoothed idf,
+    * `(1 + ln(tf)) · (ln((N+1)/(df+1)) + 1)` (never negative, never
+    * divides by zero).
+    *
+    * RANKING is integer-only — (tf desc, df asc, term asc) — on purpose:
+    * within a document the score is monotone in tf (df fixed) and in -df
+    * (tf fixed), and an integer order is bit-reproducible across engines
+    * and float libms, so the SELECTED top-k row set can never diverge from
+    * an oracle over a last-ulp difference in `ln`. The float score column
+    * is informational.
+    *
+    * Scale design: the (doc, term) reduce and the per-term df reduce are
+    * both fully map-side combinable; the df re-join shuffles only
+    * (id, term, tf) rows — the text payload never shuffles; the corpus
+    * size N rides a broadcast 1-row aggregate; hot stopword terms probe a
+    * single build row each (no skew amplification); the final top-k is one
+    * window per doc id with rank pushdown.
+    *
+    * Returns (id, rank, term, tf, df, tfidf), `rank` 1..k per doc; docs
+    * with no tokens (NULL/empty text) contribute no rows.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(desc("tf"), asc("df"), asc("term"))
+    tf.join(dfc, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (lit(1.0) + log(col("tf"))) *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Corpus-trained unigram language-model quality score (the CCNet-style
+    * perplexity proxy): train add-k-smoothed unigram counts on the corpus
+    * itself, score every document by its average per-token negative log
+    * likelihood — documents whose token distribution is far from the
+    * corpus (decode garbage, rare-symbol spam) score high and get cut.
+    *
+    * DETERMINISM at scale: per-token log-probs are quantized to integer
+    * MICRO-NATS before the per-doc reduce, so the document sum is an exact
+    * integer sum — bit-identical across engines, partition counts, and
+    * reduce orders. A float sum here would drift with partition layout
+    * (~1e-12 per doc), which is exactly the kind of nondeterminism a
+    * 100 TB rerun cannot afford in a quality GATE; one ulp of `ln` per
+    * token is far below the micro-nat grid.
+    *
+    * Scale design: the vocabulary reduce is fully map-side combinable; the
+    * scoring join shuffles only (id, term) pairs against the one-row-per-
+    * term counts table (hot stopwords probe a single build row — no skew
+    * amplification); corpus totals (T, V) ride a broadcast 1-row
+    * aggregate; the text payload never shuffles.
+    *
+    * Returns one row per input row: (id, n_tokens, avg_nll, ppl) where
+    * avg_nll = -Σ round(ln((c+k)/(T+kV))·1e6) / (1e6·n) and ppl =
+    * exp(avg_nll); token-less docs (NULL/empty text) keep n_tokens = 0
+    * with NULL avg_nll/ppl.
+    */
+  def lmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      addK: Double = 1.0): DataFrame = {
+    require(addK > 0, "addK must be positive (unsmoothed counts divide by zero on OOV)")
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val perDoc = toks
+      .join(cnt, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("id"),
+        round(log((col("c") + lit(addK)) / (col("t") + lit(addK) * col("v"))) * lit(1e6))
+          .cast("long").as("micro_lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro_lp")).as("sum_micro_lp"))
+      .withColumnRenamed("id", "__lm_id")
+    // null-safe re-attach, same shape as [[decontaminate]]: every input row
+    // comes back, token-less docs with zero counts and NULL scores
+    df.select(col(idCol).as("id"))
+      .join(perDoc, col("id") <=> col("__lm_id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (-col("sum_micro_lp") / (lit(1e6) * col("n_tokens"))).as("avg_nll"))
+      .withColumn("ppl", exp(col("avg_nll")))
+  }
+
   /** Per-group cap: keeps the top `cap` rows of every group by
     * (scoreCol desc, idCol asc — the deterministic tie-break). The standard
     * per-domain quality cap in web-corpus assembly: no single domain may

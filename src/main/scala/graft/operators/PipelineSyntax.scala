@@ -166,6 +166,33 @@ object PipelineSyntax {
           mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
     }
 
+    /** Corpus-trained unigram LM quality score: one row per corpus ROW (pk
+      * rule as [[decontaminateAgainst]] — keyed by `id` exactly when the
+      * parent was keyed by `idCol`). */
+    def lmScore(idCol: String, textCol: String, addK: Double = 1.0): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf, Corpus.lmScore(mf.df, idCol, textCol, addK),
+        "lm_score",
+        Map("id" -> idCol, "text" -> textCol, "addK" -> addK),
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** TF-IDF top terms: one row per (doc, rank) — a row EXPANSION, so the
+      * output is keyed by (id, rank) exactly when the parent was keyed by
+      * `idCol`: ranks are unique within a doc by row_number construction,
+      * so the parent's uniqueness proof extends to the pair. */
+    def tfidfTopTerms(idCol: String, textCol: String, k: Int = 3): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf, Corpus.tfidfTopTerms(mf.df, idCol, textCol, k),
+        "tfidf_top_terms",
+        Map("id" -> idCol, "text" -> textCol, "k" -> k),
+        pk = if (parentKeyed) Some(Seq("id", "rank")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
     /** Per-group cap (top `cap` by score): row-SUBSET plus a rank column, so
       * parent pk survives (verified-if-it-was) — filtering can't introduce
       * duplicates. */

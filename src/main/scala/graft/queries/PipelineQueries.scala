@@ -130,6 +130,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top-3 terms per doc: integer-deterministic ranking
+    // (tf desc, df asc, term asc) so the selected row set can never diverge
+    // from the oracle over a last-ulp ln difference; the float score is
+    // informational and rounded
+    "text_tfidf_topterms" -> ((s, d) =>
+      Corpus.tfidfTopTerms(t(s, d, "documents").df, "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("rank"), col("term"), col("tf"),
+          col("df"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rank")),
+
+    // corpus-trained unigram LM quality score: per-token log-probs are
+    // quantized to integer micro-nats before the per-doc reduce, so the
+    // document sums are exact integer sums — bit-identical across engines
+    // and partition orders (see Corpus.lmScore)
+    "text_lm_quality" -> ((s, d) =>
+      Corpus.lmScore(t(s, d, "documents").df, "doc_id", "text", addK = 1.0)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("avg_nll"), 6).as("avg_nll"), round(col("ppl"), 6).as("ppl"))
+        .orderBy("doc_id")),
+
     // overlapping token-window chunking (size=32, stride=24): the standard
     // long-document → training-context slicing; row-local HOFs + explode,
     // window arithmetic exactly re-derivable in SQL
@@ -617,6 +637,41 @@ object PipelineQueries {
       ("SELECT doc_id, CAST(SUM((length(w) * 131 + ascii(w)) * (length(w) + 7)) AS BIGINT) AS fingerprint " +
        "FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) " +
        "GROUP BY doc_id ORDER BY doc_id"),
+
+    // full independent re-derivation: tf/df reduces, smoothed-idf score, and
+    // the integer-only (tf desc, df asc, term asc) ranking — so the selected
+    // top-k set cannot diverge over a last-ulp ln difference
+    "text_tfidf_topterms" ->
+      ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
+       "tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''), " +
+       "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term), " +
+       "dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+       "n AS (SELECT count(*) AS n_docs FROM documents), " +
+       "scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfc.df, " +
+       "(1.0 + ln(tf.tf)) * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0) AS tfidf " +
+       "FROM tf JOIN dfc USING (term) CROSS JOIN n) " +
+       "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, round(tfidf, 6) AS tfidf " +
+       "FROM (SELECT doc_id, term, tf, df, tfidf, " +
+       "row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rank FROM scored) " +
+       "WHERE rank <= 3 ORDER BY doc_id, rank"),
+
+    // per-token log-probs quantized to integer micro-nats before the per-doc
+    // sum (exact integer arithmetic — reduce-order-independent on both
+    // engines); only the final one-division average and exp are float
+    "text_lm_quality" ->
+      ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
+       "tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''), " +
+       "cnt AS (SELECT term, count(*) AS c FROM tok2 GROUP BY term), " +
+       "tot AS (SELECT sum(c) AS t, count(*) AS v FROM cnt), " +
+       "scored AS (SELECT tok2.doc_id, " +
+       "CAST(round(ln((cnt.c + 1.0) / (tot.t + 1.0 * tot.v)) * 1000000) AS BIGINT) AS micro_lp " +
+       "FROM tok2 JOIN cnt USING (term) CROSS JOIN tot), " +
+       "per_doc AS (SELECT doc_id, count(*) AS n_tokens, sum(micro_lp) AS s FROM scored GROUP BY doc_id) " +
+       "SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+       "round((-p.s) / (1000000.0 * p.n_tokens), 6) AS avg_nll, " +
+       "round(exp((-p.s) / (1000000.0 * p.n_tokens)), 6) AS ppl " +
+       "FROM documents d LEFT JOIN per_doc p ON d.doc_id IS NOT DISTINCT FROM p.doc_id " +
+       "ORDER BY d.doc_id"),
 
     "dedup_exact_hash" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS dup_count " +

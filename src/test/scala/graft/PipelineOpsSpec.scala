@@ -371,6 +371,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped.dropDuplicates(Seq("doc_id")).df eq capped.df)
     assert(capped.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
       .map(_("op")) == Seq("split_hash", "cap_per_group"))
+    // lmScore keys the result by id (one row per corpus row)
+    val lm = mf.lmScore("doc_id", "text")
+    assert(lm.primaryKey.contains(Seq("id")))
+    assert(lm.dropDuplicates(Seq("id")).df eq lm.df)
+    assert(lm.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("lm_score"))
+    // tfidfTopTerms expands rows: keyed by (id, rank), proof extends
+    val tfidf = mf.tfidfTopTerms("doc_id", "text", k = 2)
+    assert(tfidf.primaryKey.contains(Seq("id", "rank")))
+    assert(tfidf.dropDuplicates(Seq("id", "rank")).df eq tfidf.df)
+    // an unkeyed parent yields no pk claim on either
+    val unkeyed = MetaFrame(docs, Map.empty[String, Any])
+    assert(unkeyed.lmScore("doc_id", "text").primaryKey.isEmpty)
+    assert(unkeyed.tfidfTopTerms("doc_id", "text").primaryKey.isEmpty)
   }
 
   test("PipelineSyntax: as-of and range joins record lineage and pk semantics") {
@@ -550,6 +564,61 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("g", "id", "rank_in_group")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._3))
     assert(out.toSeq == Seq(("a", 10L, 1L), ("a", 11L, 2L), ("b", 20L, 1L)))
+  }
+
+  test("tfidfTopTerms matches hand-computed scores with deterministic integer ranking") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "c c c d"),
+      (4L, null.asInstanceOf[String]), (5L, "")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2))
+    // N=5 docs; df: a→2, b→1, c→2, d→1
+    // doc1: a(tf2) then b(tf1); doc2: (a,c) tie on (tf1,df2) → term asc;
+    // doc3: c(tf3) then d; docs 4/5 have no tokens → no rows
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq == Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "a"), (2L, 2L, "c"),
+      (3L, 1L, "c"), (3L, 2L, "d")))
+    def score(tf: Long, df: Long): Double =
+      (1.0 + math.log(tf.toDouble)) * (math.log(6.0 / (df + 1.0)) + 1.0)
+    out.foreach { case (_, _, _, tf, df, tfidf) =>
+      assert(math.abs(tfidf - score(tf, df)) < 1e-9, s"tf=$tf df=$df got $tfidf")
+    }
+    intercept[IllegalArgumentException](Corpus.tfidfTopTerms(docs, "doc_id", "text", k = 0))
+  }
+
+  test("lmScore matches hand-computed micro-nat values; token-less docs keep NULL scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"), (2L, "b"), (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Corpus.lmScore(docs, "doc_id", "text", addK = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // counts a→2, b→2; T=4, V=2; p = (2+1)/(4+2) = 0.5 for both tokens;
+    // micro_lp = round(ln(0.5)·1e6) = -693147 → avg_nll = 0.693147 exactly
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L && out(3L)._1 == 0L)
+    assert(out(1L)._2.contains(0.693147))
+    assert(out(2L)._2.contains(0.693147))
+    assert(out(3L)._2.isEmpty, "NULL text must keep a NULL score, not 0")
+    intercept[IllegalArgumentException](Corpus.lmScore(docs, "doc_id", "text", addK = 0.0))
+  }
+
+  test("lmScore is bit-identical across partition layouts (micro-nat integer sums)") {
+    import spark.implicits._
+    val docs = (1L to 200L)
+      .map(i => (i, (0 until (i % 17 + 1).toInt).map(j => s"w${(i * 7 + j * 13) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.lmScore(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val once = run(docs.coalesce(1))
+    val shuffled = run(docs.repartition(13))
+    // EXACT double equality is the point: the per-doc reduce is an integer
+    // sum of micro-nats, so reduce order cannot perturb the score
+    assert(once == shuffled)
   }
 
   test("native codegen dot product is bit-identical to the HOF fold") {
