@@ -161,6 +161,77 @@ object Similarity {
               col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Spherical k-means training for the IVF coarse quantizer — the step
+    * that makes the ANN index self-contained (centroids come from the data,
+    * not from an external tool). Lloyd iterations under cosine similarity:
+    * assign every vector to its max-cosine centroid, recompute each
+    * centroid as the element-wise mean of its cell (cosine is
+    * scale-invariant, so the mean needs no re-normalization for the
+    * assignment step).
+    *
+    * DETERMINISM: seeding is the k lowest-id vectors (cells numbered in id
+    * order) — reproducible across runs and engines, unlike random init —
+    * and every recomputed mean coordinate is quantized to the 1e-6 grid
+    * before re-entering the next round, so the trained centroids are
+    * bit-identical across partition layouts, reduce orders, and engines
+    * (the same micro-quantization defense as `Corpus.lmScore`; a raw float
+    * mean would drift ~1e-13 with partition count and poison every
+    * downstream assignment comparison).
+    *
+    * Scale design: one corpus pass per iteration; the mean reduce is keyed
+    * by (cell, coordinate) — k·dim rows, fully map-side combinable — and
+    * the corpus never shuffles (centroids broadcast, means reduce narrow
+    * (cell, pos, v) triples). The driver holds O(k·dim) floats per round
+    * (the same centroid collect every distributed k-means does; it is
+    * metadata, not data). A cell that attracts no vectors keeps its
+    * previous centroid. If the corpus has fewer than k rows, that many
+    * cells are trained.
+    *
+    * Returns (cell, cvec): the trained centroid table, ready for
+    * [[ivfAssign]] / [[ivfTopK]].
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(iters >= 0, "iters must be non-negative")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Float])] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(k)
+      .collect()
+      .toSeq
+      .map(_.getSeq[Float](1))
+      .zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    for (_ <- 0 until iters) {
+      val cdf = cents.toDF("cell", "cvec")
+      val w = Window.partitionBy(col(idCol)).orderBy(desc("__cos"), asc("cell"))
+      val assigned = corpus.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(cdf))
+        .withColumn("__cos", cosine(col(vecCol), col("cvec")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cell"), col(vecCol))
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg((round(avg(col("v").cast("double")) * lit(1e6)) / lit(1e6))
+          .cast("float").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+        .as[(Long, Seq[Float])].collect().toMap
+      cents = cents.map { case (c, v) => (c, means.getOrElse(c, v)) }
+    }
+    cents.toDF("cell", "cvec")
+  }
+
   /** IVF-style coarse quantization: assigns every vector to its nearest of
     * `centroids` (a small broadcast table of (centroid_id, vec)), giving the
     * partition-pruning layout an ANN index needs at scale: store

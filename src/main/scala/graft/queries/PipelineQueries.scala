@@ -72,6 +72,30 @@ object PipelineQueries {
     "sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos " +
     "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
 
+  /** DuckDB twin of the engine's cosine fold (no zero-norm branch — the
+    * testdata embeddings and every mean of them have positive norm; same
+    * convention as the sim_topk_ivf oracle). */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+    s"(sqrt(list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
+    s"sqrt(list_sum(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+
+  /** One DuckDB Lloyd round against centroid CTE `prev` (the twin of
+    * [[Similarity.trainCentroids]]'s loop body): max-cosine assignment,
+    * micro-quantized per-coordinate means, empty cells keep the previous
+    * centroid. Emits CTEs a$j / m$j / c$j. */
+  private def lloydRoundSql(j: Int, prev: String): String =
+    s"a$j AS (SELECT vec_id, cell FROM (" +
+    s"SELECT e.vec_id, p.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+    cosSql("e.embedding", "p.cvec") + s" DESC, p.cell) AS rn " +
+    s"FROM embeddings e CROSS JOIN $prev p) WHERE rn = 1), " +
+    s"m$j AS (SELECT a.cell, i.pos, " +
+    s"CAST(round(avg(CAST(e.embedding[i.pos + 1] AS DOUBLE)) * 1000000) / 1000000.0 AS FLOAT) AS m " +
+    s"FROM a$j a JOIN embeddings e USING (vec_id) CROSS JOIN generate_series(0, 63) i(pos) " +
+    s"GROUP BY a.cell, i.pos), " +
+    s"c$j AS (SELECT p.cell, coalesce(l.lst, p.cvec) AS cvec FROM $prev p LEFT JOIN " +
+    s"(SELECT cell, list(m ORDER BY pos) AS lst FROM m$j GROUP BY cell) l USING (cell))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------ text analysis
     "text_tokencount" -> ((s, d) =>
@@ -403,6 +427,17 @@ object PipelineQueries {
           queries, "query_id", "query_vec", k = 10, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
+
+    // spherical k-means training for the IVF quantizer (k=8, 2 Lloyd
+    // rounds): deterministic lowest-id seeding and micro-quantized means
+    // make the trained centroids bit-reproducible, so DuckDB re-runs the
+    // SAME two iterations from scratch and the final centroid table
+    // hash-matches coordinate for coordinate
+    "sim_ivf_train" -> ((s, d) =>
+      Similarity.trainCentroids(t(s, d, "embeddings").df, "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "m")))
+        .orderBy("cell", "pos")),
 
     // int8-quantized brute-force top-k: both sides compress 4x before
     // scoring (the 100 TB memory/bandwidth shape). The quantization is
@@ -1007,6 +1042,16 @@ object PipelineQueries {
        "(SELECT query_id, neighbor_id, cos_q, " +
        "row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS rank FROM scored) " +
        "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    // full from-scratch re-run of both Lloyd rounds: lowest-id seeding,
+    // max-cosine assignment, micro-quantized means, empty-cell fallback —
+    // the final centroid table must hash-match coordinate for coordinate
+    "sim_ivf_train" ->
+      ("WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec " +
+       "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+       lloydRoundSql(1, "seeds") + ", " + lloydRoundSql(2, "c1") + " " +
+       "SELECT cell, CAST(i.pos AS INT) AS pos, CAST(cvec[i.pos + 1] AS FLOAT) AS m " +
+       "FROM c2 CROSS JOIN generate_series(0, 63) i(pos) ORDER BY cell, pos"),
 
     "sim_topk_ivf" ->
       ("WITH cent AS (SELECT CAST(vec_id / 64 AS INTEGER) AS cell_id, embedding AS centroid_vec " +

@@ -566,6 +566,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 10L, 1L), ("a", 11L, 2L), ("b", 20L, 1L)))
   }
 
+  test("trainCentroids recovers separable clusters and improves the objective") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosine
+    // 3 well-separated directions in R^4, 20 noisy members each
+    val base = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    // ids interleave clusters (id % 3 = cluster) so the lowest-id seeds hit
+    // one vector per cluster — lowest-id seeding, like any k-means init,
+    // needs seeds that aren't all in one cluster
+    val vecs = for (c <- 0 until 3; j <- 0 until 20) yield {
+      val eps = 0.05f * ((c * 20 + j) % 7 - 3)
+      (j * 3L + c, base(c).zipWithIndex.map { case (v, d) => v + (if (d == 3) eps else 0f) }.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val trained = Similarity.trainCentroids(df, "vec_id", "embedding", k = 3, iters = 4)
+    assert(trained.count() == 3)
+    // every vector lands in the cell of its true cluster's centroid
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", trained, "cell", "cvec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = (0 until 3).map(c => (0 until 20).map(j => assigned(j * 3L + c)).distinct)
+    assert(byCluster.forall(_.size == 1), s"each true cluster must map to one cell: $byCluster")
+    assert(byCluster.flatten.distinct.size == 3, "clusters must map to distinct cells")
+    // objective (avg cosine to assigned centroid) does not degrade with rounds
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(df, "vec_id", "embedding", cents, "cell", "cvec")
+        .agg(avg("cell_cos")).head().getDouble(0)
+    val o0 = objective(Similarity.trainCentroids(df, "vec_id", "embedding", k = 3, iters = 0))
+    val o4 = objective(trained)
+    assert(o4 >= o0 - 1e-9, s"training must not degrade the objective: $o0 -> $o4")
+  }
+
+  test("trainCentroids is bit-identical across partition layouts and keeps empty cells") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, Seq.tabulate(4)(d => ((i * 13 + d * 7) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.trainCentroids(d, "vec_id", "embedding", k = 5, iters = 3)
+        .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    // micro-quantized means: exact equality of every float, any layout
+    assert(run(df.coalesce(1)) == run(df.repartition(7)))
+    // k > n trains only n cells; iters=0 returns the seeds themselves
+    val tiny = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    assert(Similarity.trainCentroids(tiny, "vec_id", "embedding", k = 5, iters = 1).count() == 2)
+    val seeds = Similarity.trainCentroids(tiny, "vec_id", "embedding", k = 2, iters = 0)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(seeds.map(_._2).toSeq == Seq(Seq(1f, 0f), Seq(0f, 1f)))
+  }
+
   test("tfidfTopTerms matches hand-computed scores with deterministic integer ranking") {
     import spark.implicits._
     val docs = Seq(
