@@ -313,26 +313,51 @@ object Corpus {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      addK: Double = 1.0): DataFrame =
+    lmScoreAgainst(df, lmCounts(df, textCol), idCol, textCol, addK)
+
+  /** Unigram count table (term, c) — the trained LM [[lmScoreAgainst]] and
+    * [[graft.streaming.Streams.lmScoreStream]] score against. One fully
+    * map-side-combinable reduce; persist it once per corpus snapshot and
+    * every later batch scores against the frozen model. */
+  def lmCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+
+  /** Score a batch against an already-trained count table — the
+    * daily-ingestion shape (same motivation as `Dedup.incrementalNearDup`):
+    * the corpus-sized training reduce runs once, and each new batch costs
+    * O(batch tokens). Out-of-vocabulary tokens score with c = 0 — add-k
+    * smoothing keeps the probability finite, which is exactly why
+    * [[lmScore]] requires addK > 0. Self-scoring (`lmScoreAgainst(df,
+    * lmCounts(df, ...), ...)`) has no OOV and reduces to the one-shot
+    * [[lmScore]]. Determinism and scale notes: see [[lmScore]]. */
+  def lmScoreAgainst(
+      batch: DataFrame,
+      counts: DataFrame,
+      idCol: String,
+      textCol: String,
       addK: Double = 1.0): DataFrame = {
     require(addK > 0, "addK must be positive (unsmoothed counts divide by zero on OOV)")
-    val toks = df
+    val toks = batch
       .select(col(idCol).as("id"),
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
-    val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
-    val tot = cnt.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val tot = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
     val perDoc = toks
-      .join(cnt, "term")
+      .join(counts, Seq("term"), "left") // OOV keeps the row, c = 0
       .crossJoin(broadcast(tot))
       .select(col("id"),
-        round(log((col("c") + lit(addK)) / (col("t") + lit(addK) * col("v"))) * lit(1e6))
+        round(log((coalesce(col("c"), lit(0L)) + lit(addK)) /
+            (col("t") + lit(addK) * col("v"))) * lit(1e6))
           .cast("long").as("micro_lp"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("micro_lp")).as("sum_micro_lp"))
       .withColumnRenamed("id", "__lm_id")
     // null-safe re-attach, same shape as [[decontaminate]]: every input row
     // comes back, token-less docs with zero counts and NULL scores
-    df.select(col(idCol).as("id"))
+    batch.select(col(idCol).as("id"))
       .join(perDoc, col("id") <=> col("__lm_id"), "left")
       .select(
         col("id"),

@@ -198,6 +198,47 @@ object Streams {
         (nShared >= minShared).as("contaminated"))
   }
 
+  /** Ingestion-time LM quality scoring: the streaming twin of
+    * [[graft.operators.Corpus.lmScoreAgainst]], completely STATELESS (append
+    * mode) — the trained count table collapses to ONE static row (term→count
+    * map + totals; a frozen quality LM's vocabulary is model METADATA,
+    * bounded like the benchmark in [[decontaminateStream]], not corpus
+    * data), and each stream row scores itself with a row-local fold over
+    * its own tokens. The batch shape's join-then-regroup would need an
+    * update-mode aggregate with O(stream ids) state here.
+    *
+    * Arithmetic is the batch twin's, token for token: micro-nat-quantized
+    * add-k log-probs summed as exact integers — the two paths are pinned
+    * bit-equal (including OOV tokens and NULL/empty text) in StreamingSpec.
+    */
+  def lmScoreStream(
+      stream: DataFrame,
+      counts: DataFrame,
+      idCol: String,
+      textCol: String,
+      addK: Double = 1.0): DataFrame = {
+    require(addK > 0, "addK must be positive (unsmoothed counts divide by zero on OOV)")
+    import graft.functions.TextFunctions.tokens
+    val lmRow = counts.agg(
+      map_from_entries(collect_list(struct(col("term"), col("c")))).as("lm"),
+      sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    stream.select(col(idCol).as("id"), toks.as("__toks"))
+      .crossJoin(lmRow)
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("__toks"), tk =>
+            round(log((coalesce(element_at(col("lm"), tk), lit(0L)) + lit(addK)) /
+              (col("t") + lit(addK) * col("v"))) * lit(1e6)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("__sum"))
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          -col("__sum") / (lit(1e6) * col("n_tokens"))).as("avg_nll"))
+      .withColumn("ppl", exp(col("avg_nll")))
+  }
+
   /** Convenience: run any streaming frame into an in-memory table and block
     * until every available input is processed (local smoke pattern). */
   def runToMemory(df: DataFrame, queryName: String, mode: OutputMode): StreamingQuery = {

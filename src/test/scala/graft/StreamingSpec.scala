@@ -130,6 +130,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lmScoreStream is stateless and bit-equal to the batch scorer incl. OOV and NULLs") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a a b c"), (2L, "b c c d")).toDF("doc_id", "text")
+    val counts = graft.operators.Corpus.lmCounts(corpus, "text")
+    val batchRows = Seq(
+      (10L, "a b c"),          // all in vocab
+      (11L, "a zzz qqq"),      // mostly OOV — must score via c = 0
+      (12L, null.asInstanceOf[String]), // NULL text → (0, NULL, NULL)
+      (13L, "d d d"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = Streams.lmScoreStream(ms.toDF().toDF("doc_id", "text"), counts, "doc_id", "text")
+    ms.addData(batchRows.take(3): _*)
+    // APPEND mode works — proof the scorer carries no streaming aggregate
+    val q = Streams.runToMemory(out, "lm_out", OutputMode.Append())
+    try {
+      ms.addData(batchRows.drop(3): _*) // second micro-batch flows statelessly
+      q.processAllAvailable()
+      def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._1).toSeq
+      val got = norm(spark.table("lm_out").collect())
+      val batch = norm(graft.operators.Corpus.lmScoreAgainst(
+        batchRows.toDF("doc_id", "text"), counts, "doc_id", "text").collect())
+      // EXACT equality incl. doubles: both paths sum identical micro-nats
+      assert(got == batch, s"stream $got != batch $batch")
+      // OOV-heavy doc must score strictly worse than the in-vocab doc
+      val nll = got.map(t => t._1 -> t._3).toMap
+      assert(nll(11L).get > nll(10L).get)
+      assert(nll(12L).isEmpty && got.find(_._1 == 12L).get._2 == 0L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization keeps running per-user state across batches") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)
