@@ -210,6 +210,10 @@ object Streams {
     * Arithmetic is the batch twin's, token for token: micro-nat-quantized
     * add-k log-probs summed as exact integers — the two paths are pinned
     * bit-equal (including OOV tokens and NULL/empty text) in StreamingSpec.
+    * One shape divergence: the batch scorer groups duplicate ids into one
+    * pseudo-doc (a groupBy key, like every id-keyed operator here); this
+    * row-local scorer emits one row per stream ROW — identical exactly when
+    * ids are unique, which a keyed ingestion stream guarantees.
     */
   def lmScoreStream(
       stream: DataFrame,
