@@ -65,6 +65,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"per-group cap must push the rank down:\n$plan")
   }
 
+  test("tfidfTopTerms plans WindowGroupLimit (per-doc top-k rank pushdown)") {
+    import graft.operators.Corpus
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a a b"), (2L, "a c"))).toDF("doc_id", "text")
+    val df = Corpus.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"top-k terms must push the rank down:\n$plan")
+  }
+
   test("orderBy+limit plans TakeOrderedAndProject (no full sort)") {
     val df = t("orders").orderBy(desc("o_totalprice")).limit(10).df
     val plan = df.queryExecution.executedPlan.toString
