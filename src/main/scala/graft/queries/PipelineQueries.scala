@@ -439,6 +439,22 @@ object PipelineQueries {
         .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "m")))
         .orderBy("cell", "pos")),
 
+    // the SELF-CONTAINED ANN path end to end: train the coarse quantizer
+    // (2 Lloyd rounds), then IVF-search with the trained centroids
+    // (assign → probe 2 cells → rank). Every stage is deterministic
+    // (micro-quantized means, bit-identical cosine folds, integer
+    // tie-breaks), so DuckDB re-runs the WHOLE pipeline from raw vectors
+    // and the final top-k hash-matches.
+    "sim_topk_ivf_trained" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, "cell", "cvec",
+          queries, "query_id", "query_vec", k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // int8-quantized brute-force top-k: both sides compress 4x before
     // scoring (the 100 TB memory/bandwidth shape). The quantization is
     // deterministic double+integer arithmetic (scale = max|v|/127,
@@ -1052,6 +1068,30 @@ object PipelineQueries {
        lloydRoundSql(1, "seeds") + ", " + lloydRoundSql(2, "c1") + " " +
        "SELECT cell, CAST(i.pos AS INT) AS pos, CAST(cvec[i.pos + 1] AS FLOAT) AS m " +
        "FROM c2 CROSS JOIN generate_series(0, 63) i(pos) ORDER BY cell, pos"),
+
+    // both Lloyd rounds re-run from scratch, then the same three-stage IVF
+    // search the sim_topk_ivf oracle uses, against the TRAINED centroids
+    "sim_topk_ivf_trained" ->
+      ("WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec " +
+       "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+       lloydRoundSql(1, "seeds") + ", " + lloydRoundSql(2, "c1") + ", " +
+       "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5), " +
+       "assign AS (SELECT vec_id, cell FROM (" +
+       "SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+       cosSql("e.embedding", "c.cvec") + " DESC, c.cell) AS rn " +
+       "FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1), " +
+       "probe AS (SELECT query_id, query_vec, cell FROM (" +
+       "SELECT q.query_id, q.query_vec, c.cell, row_number() OVER (PARTITION BY q.query_id ORDER BY " +
+       cosSql("q.query_vec", "c.cvec") + " DESC, c.cell) AS rn " +
+       "FROM q CROSS JOIN c2 c) WHERE rn <= 2), " +
+       "cand AS (SELECT p.query_id, e.vec_id AS neighbor_id, " +
+       cosSql("e.embedding", "p.query_vec") + " AS cos " +
+       "FROM probe p JOIN assign a ON a.cell = p.cell " +
+       "JOIN embeddings e ON e.vec_id = a.vec_id WHERE e.vec_id <> p.query_id) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos FROM " +
+       "(SELECT query_id, neighbor_id, cos, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM cand) " +
+       "WHERE rank <= 10 ORDER BY query_id, rank"),
 
     "sim_topk_ivf" ->
       ("WITH cent AS (SELECT CAST(vec_id / 64 AS INTEGER) AS cell_id, embedding AS centroid_vec " +
