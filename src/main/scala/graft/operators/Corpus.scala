@@ -366,6 +366,55 @@ object Corpus {
       .withColumn("ppl", exp(col("avg_nll")))
   }
 
+  /** The composite corpus-quality GATE — the Gopher/C4-style keep/drop
+    * decision that packages the individual signals ([[repetitionStats]],
+    * [[lmScore]], token budget) into one auditable verdict per document:
+    * `keep` plus the list of failed rules in `reasons` (so a 100 TB filter
+    * run can report WHY each slice of the corpus was cut, not just how
+    * much).
+    *
+    * Every input signal is deterministic (integer fractions, micro-nat LM
+    * sums), so the threshold comparisons — and therefore the keep/drop
+    * SET — are bit-reproducible across engines and partition layouts; the
+    * whole gate is exact-oracle-checkable, not just spot-checked.
+    *
+    * Composes the two scorers as independent passes joined on the doc id
+    * (each is separately scale-safe; the join shuffles one narrow row per
+    * doc). Token-less docs fail `too_short` and `low_lm_quality` (NULL
+    * score is not evidence of quality). Output is one row per input row,
+    * keyed by id under the usual unique-id convention.
+    */
+  def qualityGate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Long = 1L,
+      maxTokens: Long = Long.MaxValue,
+      maxTopNgramFrac: Double = 1.0,
+      maxDupNgramFrac: Double = 1.0,
+      maxAvgNll: Double = Double.MaxValue,
+      ngram: Int = 2,
+      addK: Double = 1.0): DataFrame = {
+    val rep = repetitionStats(df, idCol, textCol, ngram)
+      .select(col("id").as("__qg_rep_id"), col("top_ngram_frac"), col("dup_ngram_frac"))
+    val lm = lmScore(df, idCol, textCol, addK)
+      .select(col("id"), col("n_tokens"), col("avg_nll"))
+    val reasons = filter(array(
+        when(col("n_tokens") < minTokens, lit("too_short")),
+        when(col("n_tokens") > maxTokens, lit("too_long")),
+        when(col("top_ngram_frac") > maxTopNgramFrac, lit("repetitive_top_ngram")),
+        when(col("dup_ngram_frac") > maxDupNgramFrac, lit("repetitive_dup_ngrams")),
+        when(col("avg_nll").isNull || col("avg_nll") > maxAvgNll, lit("low_lm_quality"))),
+      x => x.isNotNull)
+    lm.join(rep, col("id") <=> col("__qg_rep_id"), "inner")
+      .withColumn("reasons", concat_ws(",", reasons))
+      .withColumn("n_reasons", size(reasons).cast("long"))
+      .withColumn("keep", col("n_reasons") === 0L)
+      .select(col("id"), col("n_tokens"), col("top_ngram_frac"),
+        col("dup_ngram_frac"), col("avg_nll"), col("keep"),
+        col("n_reasons"), col("reasons"))
+  }
+
   /** Per-group cap: keeps the top `cap` rows of every group by
     * (scoreCol desc, idCol asc — the deterministic tie-break). The standard
     * per-domain quality cap in web-corpus assembly: no single domain may

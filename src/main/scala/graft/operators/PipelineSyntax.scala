@@ -179,6 +179,26 @@ object PipelineSyntax {
           mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
     }
 
+    /** Composite quality gate: one row per corpus ROW (pk rule as
+      * [[decontaminateAgainst]]). */
+    def qualityGate(
+        idCol: String, textCol: String,
+        minTokens: Long = 1L, maxTokens: Long = Long.MaxValue,
+        maxTopNgramFrac: Double = 1.0, maxDupNgramFrac: Double = 1.0,
+        maxAvgNll: Double = Double.MaxValue): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf,
+        Corpus.qualityGate(mf.df, idCol, textCol, minTokens, maxTokens,
+          maxTopNgramFrac, maxDupNgramFrac, maxAvgNll),
+        "quality_gate",
+        Map("id" -> idCol, "text" -> textCol, "minTokens" -> minTokens,
+            "maxTokens" -> maxTokens, "maxTopNgramFrac" -> maxTopNgramFrac,
+            "maxDupNgramFrac" -> maxDupNgramFrac, "maxAvgNll" -> maxAvgNll),
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
     /** TF-IDF top terms: one row per (doc, rank) — a row EXPANSION, so the
       * output is keyed by (id, rank) exactly when the parent was keyed by
       * `idCol`: ranks are unique within a doc by row_number construction,

@@ -174,6 +174,23 @@ object PipelineQueries {
           round(col("avg_nll"), 6).as("avg_nll"), round(col("ppl"), 6).as("ppl"))
         .orderBy("doc_id")),
 
+    // the composite Gopher/C4-style quality gate: token budget + repetition
+    // + LM thresholds chosen to split the testdata (measured: n_tokens
+    // 10-99, top_frac p90~0.11, dup_frac p99~0.21, nll p90~3.41) so both
+    // keep outcomes and several distinct reason sets occur at every oracle
+    // SF. All signals are deterministic, so keep/reasons are exact, not
+    // property-checked
+    "text_quality_gate" -> ((s, d) =>
+      Corpus.qualityGate(t(s, d, "documents").df, "doc_id", "text",
+          minTokens = 20L, maxTokens = 100000L,
+          maxTopNgramFrac = 0.10, maxDupNgramFrac = 0.15, maxAvgNll = 3.45)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("top_ngram_frac"), 6).as("top_ngram_frac"),
+          round(col("dup_ngram_frac"), 6).as("dup_ngram_frac"),
+          round(col("avg_nll"), 6).as("avg_nll"),
+          col("keep"), col("n_reasons"), col("reasons"))
+        .orderBy("doc_id")),
+
     // overlapping token-window chunking (size=32, stride=24): the standard
     // long-document → training-context slicing; row-local HOFs + explode,
     // window arithmetic exactly re-derivable in SQL
@@ -723,6 +740,43 @@ object PipelineQueries {
        "round(exp((-p.s) / (1000000.0 * p.n_tokens)), 6) AS ppl " +
        "FROM documents d LEFT JOIN per_doc p ON d.doc_id IS NOT DISTINCT FROM p.doc_id " +
        "ORDER BY d.doc_id"),
+
+    // full independent re-derivation of BOTH signal pipelines (bigram
+    // repetition fractions + micro-nat LM scores) and the same five
+    // threshold rules; comparisons run on the UNROUNDED deterministic
+    // doubles exactly as the engine's do
+    "text_quality_gate" ->
+      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+       "g AS (SELECT doc_id, CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')] " +
+       "ELSE [array_to_string(ts[i:i+1], ' ') FOR i IN generate_series(1, len(ts)-1)] END AS ng FROM toks), " +
+       "e AS (SELECT doc_id, unnest(ng) AS s FROM g), " +
+       "c AS (SELECT doc_id, s, count(*) AS c FROM e GROUP BY 1, 2), " +
+       "a AS (SELECT doc_id, sum(c) AS t, max(c) AS m, " +
+       "coalesce(sum(c) FILTER (c > 1), 0) AS dup FROM c GROUP BY 1), " +
+       "tok2 AS (SELECT doc_id, unnest(ts) AS term FROM toks), " +
+       "tok3 AS (SELECT doc_id, term FROM tok2 WHERE term <> ''), " +
+       "cnt AS (SELECT term, count(*) AS c FROM tok3 GROUP BY term), " +
+       "tot AS (SELECT sum(c) AS t, count(*) AS v FROM cnt), " +
+       "scored AS (SELECT tok3.doc_id, " +
+       "CAST(round(ln((cnt.c + 1.0) / (tot.t + 1.0 * tot.v)) * 1000000) AS BIGINT) AS micro_lp " +
+       "FROM tok3 JOIN cnt USING (term) CROSS JOIN tot), " +
+       "per_doc AS (SELECT doc_id, count(*) AS n_tokens, sum(micro_lp) AS s FROM scored GROUP BY doc_id), " +
+       "m AS (SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+       "CASE WHEN coalesce(a.t, 0) > 0 THEN CAST(a.m AS DOUBLE) / a.t ELSE 0.0 END AS topf, " +
+       "CASE WHEN coalesce(a.t, 0) > 0 THEN CAST(a.dup AS DOUBLE) / a.t ELSE 0.0 END AS dupf, " +
+       "(-p.s) / (1000000.0 * p.n_tokens) AS nll " +
+       "FROM documents d LEFT JOIN a USING (doc_id) " +
+       "LEFT JOIN per_doc p ON d.doc_id IS NOT DISTINCT FROM p.doc_id), " +
+       "r AS (SELECT doc_id, n_tokens, topf, dupf, nll, list_filter([" +
+       "CASE WHEN n_tokens < 20 THEN 'too_short' END, " +
+       "CASE WHEN n_tokens > 100000 THEN 'too_long' END, " +
+       "CASE WHEN topf > 0.10 THEN 'repetitive_top_ngram' END, " +
+       "CASE WHEN dupf > 0.15 THEN 'repetitive_dup_ngrams' END, " +
+       "CASE WHEN nll IS NULL OR nll > 3.45 THEN 'low_lm_quality' END], x -> x IS NOT NULL) AS rs FROM m) " +
+       "SELECT doc_id, n_tokens, round(topf, 6) AS top_ngram_frac, round(dupf, 6) AS dup_ngram_frac, " +
+       "round(nll, 6) AS avg_nll, len(rs) = 0 AS keep, CAST(len(rs) AS BIGINT) AS n_reasons, " +
+       // array_to_string([]) is NULL in DuckDB; concat_ws gives '' in Spark
+       "coalesce(array_to_string(rs, ','), '') AS reasons FROM r ORDER BY doc_id"),
 
     "dedup_exact_hash" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS dup_count " +

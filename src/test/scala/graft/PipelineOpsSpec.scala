@@ -613,6 +613,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(seeds.map(_._2).toSeq == Seq(Seq(1f, 0f), Seq(0f, 1f)))
   }
 
+  test("qualityGate fires exactly the rules each doc violates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),                 // clean
+      (2L, "alpha beta"),                             // too short (min 3)
+      (3L, "spam spam spam spam spam spam"),          // repetitive
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Corpus.qualityGate(docs, "doc_id", "text",
+        minTokens = 3L, maxTopNgramFrac = 0.5, maxDupNgramFrac = 0.5, maxAvgNll = 100.0)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(5), r.getString(7))).toMap
+    assert(out(1L) == (true, ""))
+    // a 2-token doc has ONE bigram → top_ngram_frac = 1.0: the repetition
+    // rule fires alongside too_short (degenerate-short docs are doubly cut)
+    assert(out(2L) == (false, "too_short,repetitive_top_ngram"))
+    assert(out(3L)._1 == false &&
+      out(3L)._2.contains("repetitive_top_ngram") &&
+      out(3L)._2.contains("repetitive_dup_ngrams"))
+    // NULL text: too short AND unscorable — never silently kept
+    assert(out(4L)._1 == false &&
+      out(4L)._2 == "too_short,low_lm_quality")
+  }
+
   test("tfidfTopTerms matches hand-computed scores with deterministic integer ranking") {
     import spark.implicits._
     val docs = Seq(
