@@ -366,6 +366,69 @@ object Corpus {
       .withColumn("ppl", exp(col("avg_nll")))
   }
 
+  /** Interpolated BIGRAM language-model quality score — one fidelity notch
+    * above [[lmScore]] (real CCNet-style filters are n-gram models, not bags
+    * of words): token i scores `λ·p(t_i|t_{i-1}) + (1−λ)·p(t_i)` with add-k
+    * smoothing on both components (document-initial tokens score unigram
+    * only), so run-on gibberish with plausible unigrams but impossible
+    * transitions scores poorly.
+    *
+    * Same determinism contract as [[lmScore]]: per-token log-probs quantize
+    * to integer micro-nats before the per-doc reduce — bit-identical across
+    * engines and partition layouts. The bigram context is built ROW-LOCALLY
+    * (a positional transform over the doc's own token array — no
+    * self-join, no window over the corpus); counts are two
+    * map-side-combinable reduces; scoring is three narrow left joins
+    * (term / prev-term / pair — OOV and unseen transitions coalesce to 0)
+    * plus the broadcast totals row. The text payload never shuffles.
+    *
+    * Returns one row per input row: (id, n_tokens, avg_nll, ppl);
+    * token-less docs keep n_tokens = 0 with NULL scores.
+    */
+  def lmScoreBigram(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      addK: Double = 1.0,
+      lambda: Double = 0.7): DataFrame = {
+    require(addK > 0, "addK must be positive (unsmoothed counts divide by zero on OOV)")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    val tokArr = filter(graft.functions.TextFunctions.tokens(col(textCol)), t => t =!= "")
+    // (id, pos, term, prev): prev is row-local — the token to the left in
+    // THIS doc's array (NULL at pos 0), never a cross-row lookup
+    val occ = df
+      .select(col(idCol).as("id"), tokArr.as("__ts"))
+      .select(col("id"), col("__ts"), posexplode(col("__ts")).as(Seq("pos", "term")))
+      .select(col("id"), col("term"),
+        when(col("pos") > 0, element_at(col("__ts"), col("pos"))).as("prev"))
+    val cnt1 = occ.groupBy("term").agg(count(lit(1)).as("c1"))
+    val tot = cnt1.agg(sum(col("c1")).as("t"), count(lit(1)).as("v"))
+    val cnt2 = occ.filter(col("prev").isNotNull)
+      .groupBy("prev", "term").agg(count(lit(1)).as("c2"))
+    val pUni = (coalesce(col("c1"), lit(0L)) + lit(addK)) /
+      (col("t") + lit(addK) * col("v"))
+    val pBi = (coalesce(col("c2"), lit(0L)) + lit(addK)) /
+      (coalesce(col("__c1p"), lit(0L)) + lit(addK) * col("v"))
+    val p = when(col("prev").isNull, pUni)
+      .otherwise(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)
+    val perDoc = occ
+      .join(cnt1, Seq("term"), "left")
+      .join(cnt1.select(col("term").as("prev"), col("c1").as("__c1p")), Seq("prev"), "left")
+      .join(cnt2, Seq("prev", "term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("id"), round(log(p) * lit(1e6)).cast("long").as("micro_lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro_lp")).as("sum_micro_lp"))
+      .withColumnRenamed("id", "__lm_id")
+    df.select(col(idCol).as("id"))
+      .join(perDoc, col("id") <=> col("__lm_id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (-col("sum_micro_lp") / (lit(1e6) * col("n_tokens"))).as("avg_nll"))
+      .withColumn("ppl", exp(col("avg_nll")))
+  }
+
   /** The composite corpus-quality GATE — the Gopher/C4-style keep/drop
     * decision that packages the individual signals ([[repetitionStats]],
     * [[lmScore]], token budget) into one auditable verdict per document:

@@ -179,6 +179,20 @@ object PipelineSyntax {
           mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
     }
 
+    /** Interpolated bigram LM quality score: one row per corpus ROW (pk
+      * rule as [[decontaminateAgainst]]). */
+    def lmScoreBigram(
+        idCol: String, textCol: String,
+        addK: Double = 1.0, lambda: Double = 0.7): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf, Corpus.lmScoreBigram(mf.df, idCol, textCol, addK, lambda),
+        "lm_score_bigram",
+        Map("id" -> idCol, "text" -> textCol, "addK" -> addK, "lambda" -> lambda),
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
     /** Composite quality gate: one row per corpus ROW (pk rule as
       * [[decontaminateAgainst]]). */
     def qualityGate(

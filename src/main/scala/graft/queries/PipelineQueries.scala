@@ -174,6 +174,16 @@ object PipelineQueries {
           round(col("avg_nll"), 6).as("avg_nll"), round(col("ppl"), 6).as("ppl"))
         .orderBy("doc_id")),
 
+    // interpolated bigram LM (lambda=0.7, add-1): the CCNet-fidelity step up
+    // from the unigram scorer — same micro-nat integer determinism, so the
+    // full conditional-probability pipeline is exact, not property-checked
+    "text_lm_bigram" -> ((s, d) =>
+      Corpus.lmScoreBigram(t(s, d, "documents").df, "doc_id", "text",
+          addK = 1.0, lambda = 0.7)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("avg_nll"), 6).as("avg_nll"), round(col("ppl"), 6).as("ppl"))
+        .orderBy("doc_id")),
+
     // the composite Gopher/C4-style quality gate: token budget + repetition
     // + LM thresholds chosen to split the testdata (measured: n_tokens
     // 10-99, top_frac p90~0.11, dup_frac p99~0.21, nll p90~3.41) so both
@@ -739,6 +749,29 @@ object PipelineQueries {
        "round((-p.s) / (1000000.0 * p.n_tokens), 6) AS avg_nll, " +
        "round(exp((-p.s) / (1000000.0 * p.n_tokens)), 6) AS ppl " +
        "FROM documents d LEFT JOIN per_doc p ON d.doc_id IS NOT DISTINCT FROM p.doc_id " +
+       "ORDER BY d.doc_id"),
+
+    // full re-derivation of the interpolated bigram LM: row-local prev-token
+    // context, both count tables, smoothed conditional + unigram mix in the
+    // engine's exact arithmetic order, micro-nat integer document sums
+    "text_lm_bigram" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts FROM documents), " +
+       "occ AS (SELECT doc_id, ts[i] AS term, CASE WHEN i > 1 THEN ts[i-1] END AS prev " +
+       "FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks)), " +
+       "cnt1 AS (SELECT term, count(*) AS c1 FROM occ GROUP BY term), " +
+       "tot AS (SELECT sum(c1) AS t, count(*) AS v FROM cnt1), " +
+       "cnt2 AS (SELECT prev, term, count(*) AS c2 FROM occ WHERE prev IS NOT NULL GROUP BY prev, term), " +
+       "scored AS (SELECT o.doc_id, CAST(round(ln(" +
+       "CASE WHEN o.prev IS NULL THEN (coalesce(u.c1, 0) + 1.0) / (tot.t + 1.0 * tot.v) " +
+       "ELSE 0.7 * ((coalesce(b.c2, 0) + 1.0) / (coalesce(p.c1, 0) + 1.0 * tot.v)) + " +
+       "(1 - 0.7) * ((coalesce(u.c1, 0) + 1.0) / (tot.t + 1.0 * tot.v)) END) * 1000000) AS BIGINT) AS micro_lp " +
+       "FROM occ o LEFT JOIN cnt1 u USING (term) LEFT JOIN cnt1 p ON o.prev = p.term " +
+       "LEFT JOIN cnt2 b ON o.prev = b.prev AND o.term = b.term CROSS JOIN tot), " +
+       "per_doc AS (SELECT doc_id, count(*) AS n_tokens, sum(micro_lp) AS s FROM scored GROUP BY doc_id) " +
+       "SELECT d.doc_id, CAST(coalesce(p2.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+       "round((-p2.s) / (1000000.0 * p2.n_tokens), 6) AS avg_nll, " +
+       "round(exp((-p2.s) / (1000000.0 * p2.n_tokens)), 6) AS ppl " +
+       "FROM documents d LEFT JOIN per_doc p2 ON d.doc_id IS NOT DISTINCT FROM p2.doc_id " +
        "ORDER BY d.doc_id"),
 
     // full independent re-derivation of BOTH signal pipelines (bigram

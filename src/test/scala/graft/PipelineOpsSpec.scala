@@ -613,6 +613,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(seeds.map(_._2).toSeq == Seq(Seq(1f, 0f), Seq(0f, 1f)))
   }
 
+  test("lmScoreBigram penalizes impossible transitions that the unigram model cannot see") {
+    import spark.implicits._
+    // training corpus: 'a' is always followed by 'b' — plus the scrambled
+    // probe docs themselves so both probes self-score in one call
+    val docs = ((1L to 20L).map(i => (i, "a b a b a b")) ++
+      Seq((100L, "a b a b a b"), (101L, "b a b a b a"))).toDF("doc_id", "text")
+    def nll(id: Long, out: Array[org.apache.spark.sql.Row]): Double =
+      out.find(_.getLong(0) == id).get.getDouble(2)
+    val bi = Corpus.lmScoreBigram(docs, "doc_id", "text").collect()
+    val uni = Corpus.lmScore(docs, "doc_id", "text").collect()
+    // same bag of words: the unigram scorer cannot distinguish the probes
+    assert(math.abs(nll(100L, uni) - nll(101L, uni)) < 1e-9)
+    // the bigram scorer must: 'b a' transitions are rare in training
+    assert(nll(101L, bi) > nll(100L, bi) + 0.01,
+      s"scrambled order must score worse: ${nll(100L, bi)} vs ${nll(101L, bi)}")
+    // NULL/token-less docs keep NULL scores under the bigram model too
+    val edge = Corpus.lmScoreBigram(
+      Seq((1L, "x y"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(!edge(1L) && edge(2L))
+    intercept[IllegalArgumentException](
+      Corpus.lmScoreBigram(docs, "doc_id", "text", lambda = 1.5))
+  }
+
+  test("lmScoreBigram is bit-identical across partition layouts") {
+    import spark.implicits._
+    val docs = (1L to 100L)
+      .map(i => (i, (0 until (i % 13 + 2).toInt).map(j => s"w${(i * 11 + j * 5) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.lmScoreBigram(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    assert(run(docs.coalesce(1)) == run(docs.repartition(11)))
+  }
+
   test("qualityGate fires exactly the rules each doc violates") {
     import spark.implicits._
     val docs = Seq(
