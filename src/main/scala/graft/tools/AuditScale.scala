@@ -40,8 +40,8 @@ object AuditScale {
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cc_exact", "dedup_incremental",
     "sim_topk_ivf", "sim_topk_int8",
     "mm_image_histogram", "mm_audio_histogram", "mm_video_histogram",
-    "text_decontaminate", "text_lm_quality", "text_tfidf_topterms", "sim_ivf_train",
-    "text_quality_gate")
+    "text_decontaminate", "text_lm_quality", "text_lm_bigram", "text_tfidf_topterms",
+    "sim_ivf_train", "text_quality_gate")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -66,7 +66,7 @@ object AuditScale {
       // count N ride a single-row aggregate crossJoin in the LM and TF-IDF
       // scorers (and the gate, which embeds the LM scorer), and
       // trainCentroids broadcasts its k-row centroid table
-      "text_lm_quality", "text_tfidf_topterms", "sim_ivf_train",
+      "text_lm_quality", "text_lm_bigram", "text_tfidf_topterms", "sim_ivf_train",
       "text_quality_gate")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
