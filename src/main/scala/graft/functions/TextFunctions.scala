@@ -189,4 +189,50 @@ object TextFunctions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Engine-portable 56-bit gram hash: the first 14 hex chars of md5 as a
+    * non-negative long — exactly re-derivable by any SQL engine (the same
+    * portability contract as `Corpus.hashSplit`'s bucket). Use the
+    * codegen'd xxhash64 path instead when oracle portability is not
+    * needed. */
+  def md5Hash56(g: Column): Column =
+    conv(substring(md5(g), 1, 14), 16, 10).cast("long")
+
+  /** Winnowing fingerprints (the MOSS local-fingerprinting scheme):
+    * k-token gram hashes → sliding windows of `w` consecutive hashes →
+    * the distinct window minima, sorted. The winnowing guarantee: any
+    * shared token run of at least w+k-1 tokens between two documents
+    * yields at least one shared fingerprint, while the fingerprint density
+    * stays ~2/(w+1) — the standard substring-level near-dup/plagiarism
+    * signal at a fraction of the full shingle set's size.
+    *
+    * Entirely ROW-LOCAL (HOFs over the doc's own token array — nothing
+    * shuffles until the caller groups fingerprints), so it scales with
+    * corpus tokens at any cluster size. Short docs follow the shingle
+    * family's convention (fewer than k tokens → the whole token sequence
+    * as one gram; fewer grams than w → one window over all grams). NULL
+    * text yields NULL.
+    *
+    * `gramHash` defaults to the portable [[md5Hash56]] so the whole scheme
+    * is exactly re-derivable in SQL; pass an xxhash64-based hash for the
+    * faster non-oracle path. */
+  def winnowFingerprints(
+      text: Column,
+      k: Int = 3,
+      w: Int = 4,
+      gramHash: Column => Column = md5Hash56): Column = {
+    require(k >= 1, "k must be at least 1")
+    require(w >= 1, "w must be at least 1")
+    val ts = tokens(text)
+    val n = size(ts)
+    val grams = when(n < k, array(array_join(ts, " ")))
+      .otherwise(transform(sequence(lit(0), n - lit(k)),
+        i => array_join(slice(ts, i + lit(1), lit(k)), " ")))
+    val hs = transform(grams, g => gramHash(g))
+    val nh = size(hs)
+    val mins = when(nh < w, array(array_min(hs)))
+      .otherwise(transform(sequence(lit(0), nh - lit(w)),
+        i => array_min(slice(hs, i + lit(1), lit(w)))))
+    array_sort(array_distinct(mins))
+  }
 }

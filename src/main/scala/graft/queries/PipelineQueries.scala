@@ -174,6 +174,16 @@ object PipelineQueries {
           round(col("avg_nll"), 6).as("avg_nll"), round(col("ppl"), 6).as("ppl"))
         .orderBy("doc_id")),
 
+    // winnowing fingerprints (k=3 grams, w=4 windows): the MOSS
+    // substring-level near-dup signal, entirely row-local; the portable
+    // md5-56 gram hash makes every selected window minimum exactly
+    // re-derivable in SQL
+    "text_winnow" -> ((s, d) =>
+      t(s, d, "documents").df
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowFingerprints(col("text"), k = 3, w = 4)).as("fp"))
+        .orderBy("doc_id", "fp")),
+
     // interpolated bigram LM (lambda=0.7, add-1): the CCNet-fidelity step up
     // from the unigram scorer — same micro-nat integer determinism, so the
     // full conditional-probability pipeline is exact, not property-checked
@@ -750,6 +760,17 @@ object PipelineQueries {
        "round(exp((-p.s) / (1000000.0 * p.n_tokens)), 6) AS ppl " +
        "FROM documents d LEFT JOIN per_doc p ON d.doc_id IS NOT DISTINCT FROM p.doc_id " +
        "ORDER BY d.doc_id"),
+
+    // same gram construction as the shingle-family oracles, the portable
+    // md5-56 hash, and the same window-minima selection
+    "text_winnow" ->
+      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+       "g AS (SELECT doc_id, CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+       "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END AS gs FROM toks), " +
+       "h AS (SELECT doc_id, list_transform(gs, x -> CAST('0x' || substr(md5(x), 1, 14) AS BIGINT)) AS hs FROM g), " +
+       "m AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)] " +
+       "ELSE [list_min(hs[i:i+3]) FOR i IN generate_series(1, len(hs)-3)] END AS ms FROM h) " +
+       "SELECT doc_id, unnest(list_sort(list_distinct(ms))) AS fp FROM m ORDER BY doc_id, fp"),
 
     // full re-derivation of the interpolated bigram LM: row-local prev-token
     // context, both count tables, smoothed conditional + unigram mix in the

@@ -613,6 +613,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(seeds.map(_._2).toSeq == Seq(Seq(1f, 0f), Seq(0f, 1f)))
   }
 
+  test("winnowing guarantee: docs sharing a w+k-1 token run share a fingerprint") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.winnowFingerprints
+    // k=3, w=4: any shared run of >= 6 tokens must yield a shared minimum
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"nine eight seven $shared six"),
+      (3L, "completely different words with nothing common here"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), winnowFingerprints(col("text"), 3, 4).as("fps"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Long](1)).map(_.toSet)).toMap
+    assert((fps(1L).get intersect fps(2L).get).nonEmpty,
+      "shared 6-token run must produce a shared fingerprint")
+    assert((fps(1L).get intersect fps(3L).get).isEmpty,
+      "disjoint docs must share nothing")
+    assert(fps(4L).isEmpty, "NULL text must yield NULL fingerprints")
+    // density: far fewer fingerprints than grams (that is winnowing's point)
+    val n1 = fps(1L).get.size
+    assert(n1 >= 1 && n1 <= 8, s"got $n1 fingerprints for a 12-token doc")
+  }
+
   test("lmScoreBigram penalizes impossible transitions that the unigram model cannot see") {
     import spark.implicits._
     // training corpus: 'a' is always followed by 'b' — plus the scrambled
