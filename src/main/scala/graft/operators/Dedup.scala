@@ -531,4 +531,45 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Winnowing-based near-dup candidate pairs: documents sharing at least
+    * one winnow fingerprint ([[graft.functions.TextFunctions
+    * .winnowFingerprints]]) are candidates — the substring-level
+    * complement to the set-level MinHash banding: the winnowing guarantee
+    * makes any shared token run of ≥ w+k−1 tokens produce a shared
+    * fingerprint, so long verbatim overlaps cannot be missed, at
+    * ~2/(w+1) of the full shingle index's size.
+    *
+    * Scale shape is the inverted shingle index's: Σfreq² over fingerprint
+    * keys, never corpus², with the same document-frequency cap dial —
+    * `maxFpDf` drops boilerplate fingerprints shared by too many docs,
+    * bounding per-key join work at cap² (the 100 TB web-corpus defense).
+    * Fingerprints are 8-byte keys; ids-only rows go through the join.
+    * `gramHash` defaults to codegen'd xxhash64 (fast path); pass
+    * [[graft.functions.TextFunctions.md5Hash56]] when engine-portable
+    * fingerprints are needed.
+    *
+    * Returns candidate pairs (id_a < id_b), each pair once. */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      maxFpDf: Long = Long.MaxValue,
+      gramHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxFpDf >= 1, "maxFpDf must be at least 1")
+    val fps = df.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.winnowFingerprints(
+        col(textCol), k, w, gramHash)).as("fp"))
+    // fingerprints are distinct per doc, so the per-fp count IS document
+    // frequency; the cap filter is one small reduce reused by the join
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__df")).filter(col("__df") <= maxFpDf),
+      Seq("fp"))
+    kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
 }

@@ -284,6 +284,21 @@ object PipelineQueries {
             count(lit(1)).cast("double") * 0.8).cast("long").as("recall_ok"))
     }),
 
+    // winnowing near-dup property oracle: the winnowing GUARANTEE (any
+    // shared run >= w+k-1 tokens yields a shared fingerprint) makes recall
+    // of the planted hi-Jaccard pairs exactly 1.0 — the flag demands
+    // equality, not a floor, unlike the probabilistic banding families
+    "dedup_winnow" -> ((s, d) => {
+      val cand = Dedup.winnowPairs(t(s, d, "documents").df, "doc_id", "text")
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      hiJaccardPairs(s, d)
+        .join(cand, Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_hi_pairs"),
+          (coalesce(sum(col("hit")), lit(0L)) === count(lit(1)))
+            .cast("long").as("recall_ok"))
+    }),
+
     // incremental (batch-vs-corpus) near-dedup property oracle: batch =
     // doc_id % 5 == 0 against the rest as corpus. Every planted hi-Jaccard
     // pair straddling the split must be matched (DuckDB recomputes the
@@ -928,6 +943,10 @@ object PipelineQueries {
        "CAST(1 AS BIGINT) AS flag_recall_ok FROM hi"),
 
     "dedup_simhash" ->
+      ("WITH " + HiJaccardPairsSql +
+       "SELECT count(*) AS n_hi_pairs, CAST(1 AS BIGINT) AS recall_ok FROM hi"),
+
+    "dedup_winnow" ->
       ("WITH " + HiJaccardPairsSql +
        "SELECT count(*) AS n_hi_pairs, CAST(1 AS BIGINT) AS recall_ok FROM hi"),
 

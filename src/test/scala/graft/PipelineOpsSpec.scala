@@ -637,6 +637,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(n1 >= 1 && n1 <= 8, s"got $n1 fingerprints for a 12-token doc")
   }
 
+  test("winnowPairs pairs long-overlap docs; the df-cap drops boilerplate fingerprints") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val boiler = "copyright footer terms of service apply to all pages here"
+    val docs = (Seq(
+      (1L, s"one two $shared"),
+      (2L, s"$shared nine ten"),
+      (3L, "entirely unrelated content with distinct vocabulary throughout")) ++
+      (10L to 20L).map(i => (i, boiler))).toDF("doc_id", "text")
+    def pairs(maxFpDf: Long) =
+      Dedup.winnowPairs(docs, "doc_id", "text", maxFpDf = maxFpDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(Long.MaxValue)
+    assert(all.contains((1L, 2L)), "long shared run must pair")
+    assert(!all.exists(p => p._1 == 3L || p._2 == 3L), "disjoint doc must not pair")
+    assert(all.exists(p => p._1 >= 10L && p._2 >= 10L), "boilerplate pairs exist uncapped")
+    // cap 2: the 11-doc boilerplate fingerprints (df=11) drop; the planted
+    // pair's fingerprints (df=2) survive
+    val capped = pairs(2L)
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists(p => p._1 >= 10L && p._2 >= 10L),
+      s"df-cap must drop boilerplate-only pairs: $capped")
+  }
+
   test("lmScoreBigram penalizes impossible transitions that the unigram model cannot see") {
     import spark.implicits._
     // training corpus: 'a' is always followed by 'b' — plus the scrambled
