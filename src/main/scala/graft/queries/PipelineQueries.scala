@@ -174,6 +174,32 @@ object PipelineQueries {
           round(col("avg_nll"), 6).as("avg_nll"), round(col("ppl"), 6).as("ppl"))
         .orderBy("doc_id")),
 
+    // corpus vocabulary profile (Zipf head): top-20 terms with occurrence
+    // counts and cumulative coverage — the standard tokenizer-budget /
+    // stopword sanity check before training. Selection is
+    // TakeOrderedAndProject (no global sort); the cum-sum window runs over
+    // the 20 SELECTED rows only (k-bounded, not corpus-bounded)
+    "text_vocab_stats" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents").df
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val cnt = toks.groupBy("term").agg(count(lit(1)).as("n_occurrences"))
+      val tot = cnt.agg(sum(col("n_occurrences")).as("t"))
+      val ord = Window.orderBy(desc("n_occurrences"), asc("term"))
+      cnt.orderBy(desc("n_occurrences"), asc("term")).limit(20)
+        .crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("frac",
+          round(col("n_occurrences").cast("double") / col("t"), 6))
+        .withColumn("cum_frac",
+          round(sum(col("n_occurrences"))
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / col("t"), 6))
+        .select("rank", "term", "n_occurrences", "frac", "cum_frac")
+        .orderBy("rank")
+    }),
+
     // winnowing fingerprints (k=3 grams, w=4 windows): the MOSS
     // substring-level near-dup signal, entirely row-local; the portable
     // md5-56 gram hash makes every selected window minimum exactly
@@ -775,6 +801,19 @@ object PipelineQueries {
        "round(exp((-p.s) / (1000000.0 * p.n_tokens)), 6) AS ppl " +
        "FROM documents d LEFT JOIN per_doc p ON d.doc_id IS NOT DISTINCT FROM p.doc_id " +
        "ORDER BY d.doc_id"),
+
+    "text_vocab_stats" ->
+      ("WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
+       "tok2 AS (SELECT term FROM tok WHERE term <> ''), " +
+       "cnt AS (SELECT term, count(*) AS c FROM tok2 GROUP BY term), " +
+       "tot AS (SELECT sum(c) AS t FROM cnt), " +
+       "top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 20), " +
+       "r AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rank, " +
+       "sum(c) OVER (ORDER BY c DESC, term ROWS UNBOUNDED PRECEDING) AS cum FROM top) " +
+       "SELECT CAST(rank AS BIGINT) AS rank, term, c AS n_occurrences, " +
+       "round(CAST(c AS DOUBLE) / t, 6) AS frac, " +
+       "round(CAST(cum AS DOUBLE) / t, 6) AS cum_frac " +
+       "FROM r CROSS JOIN tot ORDER BY rank"),
 
     // same gram construction as the shingle-family oracles, the portable
     // md5-56 hash, and the same window-minima selection
