@@ -572,4 +572,40 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** One-call winnowing near-dedup: [[winnowPairs]] candidates → exact
+    * shingle-Jaccard confirm (row-local set arithmetic, quadratic work
+    * confined to the candidate set — the same [[confirmedMatches]] engine
+    * the incremental path uses) → exact [[connectedComponents]] over the
+    * confirmed pairs. The winnow counterpart of [[minHashLsh]]'s
+    * clustering, with DETERMINISTIC candidate recall (the winnowing
+    * guarantee: any shared run ≥ w+k−1 tokens is a candidate) instead of
+    * probabilistic banding, and with false positives structurally
+    * impossible (every emitted duplicate passed the exact confirm).
+    *
+    * Returns one row per input doc: (id, cluster_id, confirmed_dup) —
+    * cluster_id the smallest id in the doc's confirmed-duplicate
+    * component (its own id when unique). NULL-id docs never pair (the
+    * id_a < id_b candidate filter drops NULL comparisons) and keep a NULL
+    * cluster_id. */
+  def winnowNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minJaccard: Double = 0.8,
+      maxFpDf: Long = Long.MaxValue,
+      shingleWidth: Int = 3): DataFrame = {
+    val cand = winnowPairs(df, idCol, textCol, k, w, maxFpDf)
+      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"))
+    val confirmed =
+      confirmedMatches(cand, df, df, idCol, textCol, shingleWidth, minJaccard)
+    val comps = connectedComponents(confirmed, "batch_id", "corpus_id")
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster_id"),
+        col("component").isNotNull.as("confirmed_dup"))
+  }
 }

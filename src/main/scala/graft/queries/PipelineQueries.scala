@@ -325,6 +325,25 @@ object PipelineQueries {
             .cast("long").as("recall_ok"))
     }),
 
+    // one-call winnow dedup: every planted hi-Jaccard pair must land in the
+    // SAME cluster with both docs flagged confirmed — exact equality again:
+    // candidates are guaranteed (winnowing), and the confirm threshold is
+    // the hi-pair definition itself (same rolled-shingle arithmetic), so a
+    // single missed pair means a real bug, not noise
+    "dedup_winnow_cluster" -> ((s, d) => {
+      val clusters = Dedup.winnowNearDup(t(s, d, "documents").df, "doc_id", "text")
+      hiJaccardPairs(s, d)
+        .join(clusters.select(col("id").as("id_a"),
+          col("cluster_id").as("cl_a"), col("confirmed_dup").as("cd_a")), Seq("id_a"))
+        .join(clusters.select(col("id").as("id_b"),
+          col("cluster_id").as("cl_b"), col("confirmed_dup").as("cd_b")), Seq("id_b"))
+        .agg(
+          count(lit(1)).as("n_hi_pairs"),
+          (coalesce(sum(when(col("cl_a") === col("cl_b") && col("cd_a") && col("cd_b"),
+              1L).otherwise(0L)), lit(0L)) === count(lit(1)))
+            .cast("long").as("cluster_recall_exact"))
+    }),
+
     // incremental (batch-vs-corpus) near-dedup property oracle: batch =
     // doc_id % 5 == 0 against the rest as corpus. Every planted hi-Jaccard
     // pair straddling the split must be matched (DuckDB recomputes the
@@ -988,6 +1007,10 @@ object PipelineQueries {
     "dedup_winnow" ->
       ("WITH " + HiJaccardPairsSql +
        "SELECT count(*) AS n_hi_pairs, CAST(1 AS BIGINT) AS recall_ok FROM hi"),
+
+    "dedup_winnow_cluster" ->
+      ("WITH " + HiJaccardPairsSql +
+       "SELECT count(*) AS n_hi_pairs, CAST(1 AS BIGINT) AS cluster_recall_exact FROM hi"),
 
     // exact batch size + exact count of batch docs with a straddling
     // hi-Jaccard corpus partner; zero false matches is structural, the

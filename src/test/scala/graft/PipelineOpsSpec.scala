@@ -662,6 +662,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"df-cap must drop boilerplate-only pairs: $capped")
   }
 
+  test("winnowNearDup clusters only confirmed duplicates (candidates alone are not enough)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i"), // near-identical: shingle jaccard 7/8
+      // shares the >= w+k-1 run 'a b c d e f' (guaranteed CANDIDATE) but
+      // its long distinct tail keeps overall jaccard far below 0.8
+      (3L, "a b c d e f q r s t u v w x y z aa bb cc dd ee ff"),
+      (4L, "totally separate content nothing shared anywhere at all")).toDF("doc_id", "text")
+    val out = Dedup.winnowNearDup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, true),
+      s"near-identical docs must share cluster 1: $out")
+    assert(out(3L) == (3L, false),
+      s"a candidate below minJaccard must stay its own unconfirmed cluster: $out")
+    assert(out(4L) == (4L, false))
+  }
+
   test("lmScoreBigram penalizes impossible transitions that the unigram model cannot see") {
     import spark.implicits._
     // training corpus: 'a' is always followed by 'b' — plus the scrambled
