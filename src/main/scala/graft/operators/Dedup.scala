@@ -329,12 +329,13 @@ object Dedup {
   }
 
   /** Per-doc simhash signature + coarse bucket (top 16 bits) — the cheap
-    * observable building block for the banded pipeline above. */
+    * observable building block for the banded pipeline above. The signature
+    * expression is bound ONCE and the bucket derived from the bound column,
+    * so a single SimHash64 evaluation per row is guaranteed by construction
+    * (not rescued by codegen subexpression elimination). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      simhash64(textCol).as("simhash"),
-      shiftright(simhash64(textCol), 48).as("bucket"))
+    df.select(col(idCol), simhash64(textCol).as("simhash"))
+      .select(col(idCol), col("simhash"), shiftright(col("simhash"), 48).as("bucket"))
 
   /** Document-frequency cut for an exploded inverted index: drops every
     * shingle whose posting list exceeds `maxDf` before the index self-joins.

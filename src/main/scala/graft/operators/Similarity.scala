@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,13 +117,47 @@ object Similarity {
               col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Centroid table collapsed to ONE row holding the full (cell, cvec)
+    * struct array — the broadcastable form every IVF stage scores against.
+    * Collection order is irrelevant: every consumer re-sorts with the total
+    * [[byCosDescCellAsc]] comparator (cells are distinct by contract). */
+  private def centroidArray(centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    centroids.agg(collect_list(struct(col(idCol).as("cell"), col(vecCol).as("cvec"))).as("__cents"))
+
+  /** Comparator ordering (cos desc, cell asc) — the exact tiebreak the
+    * IVF window argmax historically used; total order because centroid ids
+    * are distinct, so the sorted result is independent of collect order. */
+  private def byCosDescCellAsc(l: Column, r: Column): Column =
+    when(l.getField("cos") > r.getField("cos"), -1)
+      .when(l.getField("cos") < r.getField("cos"), 1)
+      .when(l.getField("cell") < r.getField("cell"), -1)
+      .when(l.getField("cell") > r.getField("cell"), 1)
+      .otherwise(0)
+
+  /** Row-local top-`n` centroid cells for `vec`: scores every centroid of
+    * the broadcast `__cents` array in-row and sorts the k-element array
+    * locally — ZERO row fan-out and no Window node. (The previous
+    * crossJoin+window argmax materialized corpus×k rows through the
+    * pipeline before discarding all but one per doc; at k=1024 cells that
+    * is 1024 rows streamed per document just to compute an argmax.)
+    * Requires `__cents` from [[centroidArray]] in scope via
+    * `crossJoin(broadcast(...))` of the single array row. */
+  private def topCellsLocal(vec: Column, n: Int): Column =
+    slice(
+      array_sort(
+        transform(col("__cents"), c =>
+          struct(cosine(vec, c.getField("cvec")).as("cos"), c.getField("cell").as("cell"))),
+        byCosDescCellAsc),
+      1, n)
+
   /** Full IVF top-k search: corpus vectors are quantized to their nearest
     * centroid cell ([[ivfAssign]]); each query probes only its `nprobe`
     * closest cells and ranks candidates inside them. At 100 TB the corpus
     * side is one narrow shuffle on the cell id (or zero if the table is
     * stored partitioned by cell) and the scanned fraction is ~nprobe/|cells|
     * — the standard recall/cost dial. Centroids and queries are broadcast
-    * (both small by construction). */
+    * (both small by construction); cell assignment is the row-local
+    * [[topCellsLocal]] fold — no corpus×k fan-out, no Window sort. */
   def ivfTopK(
       corpus: DataFrame,
       idCol: String,
@@ -139,18 +173,14 @@ object Similarity {
     // assignment computed IN-LINE carrying the corpus columns — joining the
     // corpus back to a bare (id, cell) table would scan and shuffle the full
     // corpus a second time just to restore vecCol
-    val wa = Window.partitionBy(col(idCol)).orderBy(desc("cos_a"), asc(centroidIdCol))
-    val corpusCells = corpus.crossJoin(broadcast(centroids))
-      .withColumn("cos_a", cosine(col(vecCol), col(centroidVecCol)))
-      .withColumn("rn_a", row_number().over(wa))
-      .filter(col("rn_a") === 1)
-      .select(col(idCol), col(vecCol), col(centroidIdCol).as("cell"))
-    val wq = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos_c"), asc(centroidIdCol))
-    val probed = queries.crossJoin(broadcast(centroids))
-      .withColumn("cos_c", cosine(col(queryVecCol), col(centroidVecCol)))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col(queryIdCol), col(queryVecCol), col(centroidIdCol).as("cell"))
+    val cents = centroidArray(centroids, centroidIdCol, centroidVecCol)
+    val corpusCells = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol), explode(topCellsLocal(col(vecCol), 1)).as("__best"))
+      .select(col(idCol), col(vecCol), col("__best.cell").as("cell"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col(queryIdCol), col(queryVecCol),
+        explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
+      .select(col(queryIdCol), col(queryVecCol), col("__probe.cell").as("cell"))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos"), asc(idCol))
     corpusCells.join(broadcast(probed), Seq("cell"))
       .filter(col(idCol) =!= col(queryIdCol))
@@ -171,12 +201,16 @@ object Similarity {
     *
     * DETERMINISM: seeding is the k lowest-id vectors (cells numbered in id
     * order) — reproducible across runs and engines, unlike random init —
-    * and every recomputed mean coordinate is quantized to the 1e-6 grid
-    * before re-entering the next round, so the trained centroids are
-    * bit-identical across partition layouts, reduce orders, and engines
-    * (the same micro-quantization defense as `Corpus.lmScore`; a raw float
-    * mean would drift ~1e-13 with partition count and poison every
-    * downstream assignment comparison).
+    * and every recomputed mean is computed DRIFT-FREE, not merely
+    * drift-absorbing: each coordinate quantizes to integer micro-units
+    * (round(v·1e6) as long) BEFORE the per-cell sum, so the sum is exact
+    * integer arithmetic, order-independent by construction (the same
+    * quantize-before-reduce defense as `Corpus.lmScore`); the mean is one
+    * deterministic double division + half-up round back onto the 1e-6 grid.
+    * A post-hoc rounded float avg() was boundary-unsafe: a mean landing
+    * within an ulp of a .5 micro-grid boundary could round differently
+    * across partition layouts or engines. Coordinates must be ≪ 9e12 in
+    * magnitude for the micro-unit long to hold — every real embedding is.
     *
     * Scale design: one corpus pass per iteration; the mean reduce is keyed
     * by (cell, coordinate) — k·dim rows, fully map-side combinable — and
@@ -211,17 +245,17 @@ object Similarity {
       .map { case (v, i) => (i.toLong, v) }
     for (_ <- 0 until iters) {
       val cdf = cents.toDF("cell", "cvec")
-      val w = Window.partitionBy(col(idCol)).orderBy(desc("__cos"), asc("cell"))
-      val assigned = corpus.select(col(idCol), col(vecCol))
-        .crossJoin(broadcast(cdf))
-        .withColumn("__cos", cosine(col(vecCol), col("cvec")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("cell"), col(vecCol))
+      val assigned = corpus.select(col(vecCol))
+        .crossJoin(broadcast(centroidArray(cdf, "cell", "cvec")))
+        .select(col(vecCol), explode(topCellsLocal(col(vecCol), 1)).as("__best"))
+        .select(col("__best.cell").as("cell"), col(vecCol))
+      // exact integer mean: micro-quantize each coordinate BEFORE the sum
+      // (order-independent), one double division per (cell, pos) after
       val means = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
-        .agg((round(avg(col("v").cast("double")) * lit(1e6)) / lit(1e6))
+        .agg((round(sum(round(col("v").cast("double") * lit(1e6)).cast("long")) /
+            count(lit(1))) / lit(1e6))
           .cast("float").as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -235,20 +269,18 @@ object Similarity {
   /** IVF-style coarse quantization: assigns every vector to its nearest of
     * `centroids` (a small broadcast table of (centroid_id, vec)), giving the
     * partition-pruning layout an ANN index needs at scale: store
-    * partitioned by cell, search only the query's top cells. */
+    * partitioned by cell, search only the query's top cells. The argmax is
+    * the row-local [[topCellsLocal]] fold — one row in, one row out, no
+    * corpus×k intermediate and no Window sort in the plan. */
   def ivfAssign(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
       centroidIdCol: String,
-      centroidVecCol: String): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("cos", cosine(col(vecCol), col(centroidVecCol)))
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("cos"), asc(centroidIdCol))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(centroidIdCol).as("cell"), round(col("cos"), 6).as("cell_cos"))
-  }
+      centroidVecCol: String): DataFrame =
+    corpus.crossJoin(broadcast(centroidArray(centroids, centroidIdCol, centroidVecCol)))
+      .select(col(idCol), explode(topCellsLocal(col(vecCol), 1)).as("__best"))
+      .select(col(idCol), col("__best.cell").as("cell"),
+        round(col("__best.cos"), 6).as("cell_cos"))
 }

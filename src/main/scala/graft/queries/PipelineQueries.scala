@@ -82,15 +82,18 @@ object PipelineQueries {
 
   /** One DuckDB Lloyd round against centroid CTE `prev` (the twin of
     * [[Similarity.trainCentroids]]'s loop body): max-cosine assignment,
-    * micro-quantized per-coordinate means, empty cells keep the previous
-    * centroid. Emits CTEs a$j / m$j / c$j. */
+    * DRIFT-FREE means (each coordinate micro-quantized to an integer
+    * BEFORE the exact per-cell sum, one double division + half-up round
+    * after — the order-independent form the engine computes), empty cells
+    * keep the previous centroid. Emits CTEs a$j / m$j / c$j. */
   private def lloydRoundSql(j: Int, prev: String): String =
     s"a$j AS (SELECT vec_id, cell FROM (" +
     s"SELECT e.vec_id, p.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
     cosSql("e.embedding", "p.cvec") + s" DESC, p.cell) AS rn " +
     s"FROM embeddings e CROSS JOIN $prev p) WHERE rn = 1), " +
     s"m$j AS (SELECT a.cell, i.pos, " +
-    s"CAST(round(avg(CAST(e.embedding[i.pos + 1] AS DOUBLE)) * 1000000) / 1000000.0 AS FLOAT) AS m " +
+    s"CAST(round(CAST(sum(CAST(round(CAST(e.embedding[i.pos + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) " +
+    s"/ count(*)) / 1000000.0 AS FLOAT) AS m " +
     s"FROM a$j a JOIN embeddings e USING (vec_id) CROSS JOIN generate_series(0, 63) i(pos) " +
     s"GROUP BY a.cell, i.pos), " +
     s"c$j AS (SELECT p.cell, coalesce(l.lst, p.cvec) AS cvec FROM $prev p LEFT JOIN " +

@@ -164,6 +164,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the five consumer branches must reuse the shingle-hash exchange:\n$plan")
   }
 
+  test("simhashSignatures evaluates the SimHash64 expression exactly once") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sfDir, "documents")
+    val q = Dedup.simhashSignatures(docs, "doc_id", "text")
+    // bucket derives from the BOUND signature column: one SimHash64 node by
+    // construction, not by optimizer rescue (CollapseProject must not inline
+    // the non-cheap expression into both consumers)
+    val plan = q.queryExecution.optimizedPlan.toString
+    val nodes = "simhash64".r.findAllIn(plan.toLowerCase).size
+    assert(nodes == 1, s"expected exactly one SimHash64 evaluation, got $nodes in:\n$plan")
+  }
+
+  test("IVF cell assignment is row-local: no Window node, no corpus×k fan-out") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 64 === 0)
+      .select((col("vec_id") / 64).cast("int").as("cell_id"), col("embedding").as("centroid_vec"))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids, "cell_id", "centroid_vec")
+    assert(assigned.count() == emb.count()) // argmax: one row out per row in
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"assignment must be the row-local fold, not a window argmax:\n$plan")
+  }
+
   test("join on right side's verified pk preserves the left elision proof") {
     val custAgg = t("orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
     val dims = t("customer").withColumnRenamed("c_custkey", "o_custkey")
