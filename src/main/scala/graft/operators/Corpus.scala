@@ -242,12 +242,20 @@ object Corpus {
     * `(1 + ln(tf)) · (ln((N+1)/(df+1)) + 1)` (never negative, never
     * divides by zero).
     *
-    * RANKING is integer-only — (tf desc, df asc, term asc) — on purpose:
-    * within a document the score is monotone in tf (df fixed) and in -df
-    * (tf fixed), and an integer order is bit-reproducible across engines
-    * and float libms, so the SELECTED top-k row set can never diverge from
-    * an oracle over a last-ulp difference in `ln`. The float score column
-    * is informational.
+    * OUTPUT CONTRACT — `rank` is the integer (tf desc, df asc, term asc)
+    * order, NOT a tfidf order. On purpose: within a document the score is
+    * monotone in tf (df fixed) and in -df (tf fixed), and an integer order
+    * is bit-reproducible across engines and float libms, so the SELECTED
+    * top-k row set can never diverge from an oracle over a last-ulp
+    * difference in `ln`. The two orders can genuinely DISAGREE when both
+    * tf and df move together: for small corpora a tf=1/df=1 term can
+    * outscore a tf=2/high-df term, so the adjacent float `tfidf` column
+    * (informational) may not be monotone in `rank`. Callers needing a
+    * strict score order should re-sort the k returned rows by `tfidf` —
+    * k-bounded and row-local, so any float-tie nondeterminism stays
+    * confined to their own sort. No exact integer surrogate of the score
+    * order exists (the score mixes two logs), which is why the contract is
+    * stated instead of "fixed".
     *
     * Scale design: the (doc, term) reduce and the per-term df reduce are
     * both fully map-side combinable; the df re-join shuffles only

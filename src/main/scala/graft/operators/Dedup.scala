@@ -551,13 +551,30 @@ object Dedup {
     * fingerprints are needed.
     *
     * Returns candidate pairs (id_a < id_b), each pair once. */
+  /** Production default for the winnow fingerprint df cap: a FINITE cap
+    * by default, because the unsafe behavior (one boilerplate fingerprint
+    * shared by f docs → f²/2 join rows) is exactly what a user taking
+    * defaults on a web corpus must not get. Sized ~40× above natural-text
+    * fingerprint document frequencies (measured max df on the shipped
+    * corpora: 7 at sf0.01, 24 at sf0.1; the amplified sf1 token-bijects
+    * replicas, so it stays ~24), so the cap never engages at the tested
+    * scales and the exact-recall oracles hold with defaults — while at
+    * 100 TB a license-header fingerprint shared by millions of docs is
+    * dropped instead of turning its join key into a quadratic hot spot
+    * (cap²/2 = 500k join rows per hot key, bounded). The winnowing recall
+    * guarantee is conditional on a pair sharing at least one fingerprint
+    * UNDER the cap; boilerplate-only overlaps are the pairs a near-dup
+    * pass should not surface anyway. Pass Long.MaxValue for the
+    * unconditional guarantee. */
+  val DefaultMaxFpDf: Long = 1000L
+
   def winnowPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
       w: Int = 4,
-      maxFpDf: Long = Long.MaxValue,
+      maxFpDf: Long = DefaultMaxFpDf,
       gramHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxFpDf >= 1, "maxFpDf must be at least 1")
     val fps = df.select(col(idCol).as("id"),
@@ -596,7 +613,7 @@ object Dedup {
       k: Int = 3,
       w: Int = 4,
       minJaccard: Double = 0.8,
-      maxFpDf: Long = Long.MaxValue,
+      maxFpDf: Long = DefaultMaxFpDf,
       shingleWidth: Int = 3): DataFrame = {
     val cand = winnowPairs(df, idCol, textCol, k, w, maxFpDf)
       .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"))
@@ -608,5 +625,62 @@ object Dedup {
       .select(col("id"),
         coalesce(col("component"), col("id")).as("cluster_id"),
         col("component").isNotNull.as("confirmed_dup"))
+  }
+
+  /** Incremental winnowing near-dedup: matches a NEW batch of documents
+    * against an existing corpus — the deterministic-recall twin of
+    * [[incrementalNearDup]]. Banding recall is probabilistic (a pair can
+    * miss every band); the winnowing guarantee is not: any shared token run
+    * of ≥ w+k−1 tokens yields a shared fingerprint (fingerprints under the
+    * df cap), so long verbatim overlaps between batch and corpus cannot be
+    * missed. Candidates are batch×corpus fingerprint collisions ONLY — the
+    * corpus never self-joins, so ingesting B docs against N costs
+    * O(N + B + candidates). Candidates are confirmed with exact shingle-set
+    * Jaccard (row-local set arithmetic, quadratic work confined to the
+    * candidate set), so reported matches are structurally exact.
+    *
+    * `maxFpDf` caps a fingerprint's COMBINED (batch + corpus) document
+    * frequency before the collision join — the same boilerplate defense as
+    * [[winnowPairs]], bounding per-key join work at cap²/4.
+    *
+    * Returns one row per batch doc: (id, matched_id, best_jaccard) —
+    * matched_id the smallest corpus doc with confirmed Jaccard ≥
+    * `minJaccard`, null when the doc is genuinely new. */
+  def winnowIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minJaccard: Double = 0.8,
+      maxFpDf: Long = DefaultMaxFpDf,
+      shingleWidth: Int = 3): DataFrame = {
+    require(maxFpDf >= 1, "maxFpDf must be at least 1")
+    def fps(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+        explode(graft.functions.TextFunctions.winnowFingerprints(
+          col(textCol), k, w)).as("fp"))
+    val bFps = fps(batch, "batch_id")
+    val cFps = fps(corpus, "corpus_id")
+    // combined-df cut: fingerprints are distinct per doc, so the count over
+    // both sides IS total document frequency; skipped at the uncapped default
+    def capped(side: DataFrame): DataFrame =
+      if (maxFpDf == Long.MaxValue) side
+      else {
+        val kept = bFps.select(col("fp")).union(cFps.select(col("fp")))
+          .groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxFpDf)
+          .select("fp")
+        side.join(kept, Seq("fp"), "left_semi")
+      }
+    val cand = capped(bFps).join(capped(cFps), Seq("fp"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val matched = confirmedMatches(cand, batch, corpus, idCol, textCol, shingleWidth, minJaccard)
+      .groupBy(col("batch_id"))
+      .agg(min(col("corpus_id")).as("matched_id"), max(col("jaccard")).as("best_jaccard"))
+    batch.select(col(idCol).as("id"))
+      .join(matched, col("id") === col("batch_id"), "left")
+      .select(col("id"), col("matched_id"), round(col("best_jaccard"), 6).as("best_jaccard"))
   }
 }

@@ -61,6 +61,20 @@ object PipelineQueries {
     "ON a.doc_id < b.doc_id AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
     "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8) "
 
+  /** [[HiJaccardPairsSql]] variant whose `hi` CTE also carries the exact
+    * UNROUNDED jaccard `j` — for oracles that assert the matched VALUES,
+    * not just the pair set (round at the use site, after any max()). */
+  private val HiJaccardPairsJSql: String =
+    "toks AS (SELECT doc_id, list_distinct(" +
+    "CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+    "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
+    "FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
+    "hi AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+    "len(list_distinct(list_concat(a.sh, b.sh))) AS j FROM toks a JOIN toks b " +
+    "ON a.doc_id < b.doc_id AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+    "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8) "
+
   /** DuckDB twin of [[cosinePairs]]: CTEs `e` (bounded vectors) and `pairs`
     * (id_a, id_b, cos) with the bit-identical left-to-right dot fold. */
   private val CosinePairsSql: String =
@@ -378,6 +392,21 @@ object PipelineQueries {
           (col("__nm") - col("__nt")).as("n_false_matches"),
           (col("__nt").cast("double") >= col("__ne").cast("double") * 0.95)
             .cast("long").as("recall_ok"))
+    }),
+
+    // incremental WINNOW near-dedup, row-exact oracle (unlike the banded
+    // incremental path's property flags): the winnowing guarantee makes the
+    // candidate set a superset of the straddling hi-Jaccard pairs, and the
+    // exact-Jaccard confirm cuts it back to exactly that set — so every
+    // batch doc's (matched_id, best_jaccard) is a pure function of the
+    // exact pair table and DuckDB re-derives all three columns per row
+    "dedup_winnow_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      Dedup.winnowIncremental(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy("id")
     }),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -1024,6 +1053,22 @@ object PipelineQueries {
        "(SELECT count(DISTINCT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END) FROM hi " +
        "WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)) AS n_expected, " +
        "CAST(0 AS BIGINT) AS n_false_matches, CAST(1 AS BIGINT) AS recall_ok"),
+
+    // row-exact re-derivation: straddling hi-Jaccard pairs (batch =
+    // doc_id % 5 == 0, corpus = the rest), matched_id = min corpus partner,
+    // best_jaccard = max exact jaccard — every value recomputed from raw
+    // text, no property flags needed (recall is the winnowing guarantee,
+    // precision is the exact confirm)
+    "dedup_winnow_incremental" ->
+      ("WITH " + HiJaccardPairsJSql + ", " +
+       "straddle AS (SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS b_id, " +
+       "CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS c_id, j FROM hi " +
+       "WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)), " +
+       "m AS (SELECT b_id, min(c_id) AS matched_id, round(max(j), 6) AS best_jaccard " +
+       "FROM straddle GROUP BY b_id) " +
+       "SELECT d.doc_id AS id, m.matched_id, m.best_jaccard " +
+       "FROM documents d LEFT JOIN m ON d.doc_id = m.b_id " +
+       "WHERE d.doc_id % 5 = 0 ORDER BY id"),
 
     "dedup_embedding_cosine" ->
       ("WITH " + CosinePairsSql +

@@ -101,6 +101,17 @@ object MeasureProps {
         rec.map(r => f"${r.getLong(0)}:${r.getDouble(1)}%.2f").mkString(" "))
     }
 
+    // ---- winnow fingerprint document-frequency profile (sizes the default
+    // maxFpDf production cap: the cap must never engage at the test SFs so
+    // the exact-recall oracles stay exact with defaults)
+    val fpDf = docs.select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("text"), k = 3, w = 4)).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .agg(max(col("df")).as("max_df"),
+        expr("percentile(df, 0.999)").as("p999"),
+        count(lit(1)).as("n_fps")).collect()(0)
+    println(s"[measure] winnow fp df: max=${fpDf.get(0)} p999=${fpDf.get(1)} distinct=${fpDf.get(2)}")
+
     // ---- langid accuracy vs ground truth
     val acc = docs.withColumn("pred", TextFunctions.langId(col("text")))
       .agg(count(lit(1)).as("n"),

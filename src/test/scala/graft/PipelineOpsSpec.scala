@@ -65,6 +65,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(11L).isEmpty, s"novel batch doc must stay unmatched: $out")
   }
 
+  test("winnowIncremental matches batch docs to the corpus with exact best-jaccard") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val batch = Seq(
+      (10L, base), // duplicate of corpus docs 1/2 → matched to min id 1, jaccard 1.0
+      (11L, "entirely novel text about streaming watermark semantics and state stores")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowIncremental(docs, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(10L)._1.contains(1L), s"near-dup batch doc must match corpus canonical: $out")
+    assert(out(10L)._2.contains(1.0), s"exact duplicate must confirm at jaccard 1.0: $out")
+    assert(out(11L)._1.isEmpty && out(11L)._2.isEmpty, s"novel batch doc must stay unmatched: $out")
+    // the df cap is the boilerplate dial: cap 1 drops every shared
+    // fingerprint (df = 3 across 1/2/batch-10), so nothing can match
+    val capped = Dedup.winnowIncremental(docs, batch, "doc_id", "text", maxFpDf = 1L)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(capped(10L).isEmpty, s"combined-df cap must drop over-shared fingerprints: $capped")
+  }
+
   test("ngram jaccard best-match ranks the near dup first") {
     val withBlock = docs.withColumn("block", lit("all"))
     val out = Dedup.ngramJaccardBestMatch(withBlock, "doc_id", "text", "block")
