@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** End-to-end corpus assembly (SURVEY.md §2.3 composition): the six-stage
+  * pipeline a real 100 TB training-data run chains —
+  *
+  *   1. quality gate  ([[Corpus.qualityGate]]: token budget + repetition +
+  *      corpus-trained LM thresholds)
+  *   2. near-dedup    ([[Dedup.winnowNearDup]], keep-canonical: the
+  *      smallest id of each confirmed duplicate cluster survives)
+  *   3. decontamination ([[Corpus.decontaminate]] against a benchmark
+  *      suite; any shared shingle ≥ `minShared` drops the doc)
+  *   4. deterministic split ([[Corpus.hashSplit]] — pure function of id)
+  *   5. per-source cap ([[Corpus.capPerGroup]] by
+  *      [[TextFunctions.qualityScore]], doc-id tie-break)
+  *   6. token-budget shard packing (running sum per (split, lang) block)
+  *
+  * — as ONE declared operator, because the untested surface in a pipeline
+  * of individually-green stages is their INTERACTION: filters feeding
+  * corpus-trained models (the gate's LM trains on exactly the input
+  * corpus), dedup clustering running on the gate's survivors only, AQE
+  * replanning across stage boundaries. Every stage is deterministic
+  * (integer fractions, micro-nat LM sums, winnowing-guaranteed candidate
+  * recall + exact-Jaccard confirm, md5 buckets, integer ranks), so the
+  * whole composition is exact-oracle-checkable end to end.
+  *
+  * Returns one AUDIT row per input doc — the shape a 100 TB filter run
+  * reports: (id, source, lang, n_tokens, drop_stage, keep, split,
+  * shard_id). `drop_stage` names the FIRST stage that cut the doc
+  * ("quality" | "duplicate" | "contaminated" | "capped"; null for
+  * survivors); `split`/`shard_id` are null for dropped docs. `n_tokens`
+  * is the gate's count (non-empty whitespace tokens) and also drives the
+  * shard packing.
+  *
+  * Scale shape: the composition adds nothing beyond its stages — each is
+  * separately scale-safe (see the member docs); the inter-stage joins are
+  * narrow id-keyed semi-joins; the only new window is the shard-pack
+  * running sum, which parallelizes across (split, lang) blocks. NULL ids:
+  * dropped at the dedup stage (a NULL id cannot be safely clustered or
+  * re-attached; the testdata and any sane corpus key docs non-null).
+  */
+object Assembly {
+
+  def assembleCorpus(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      langCol: String,
+      minTokens: Long = 1L,
+      maxTokens: Long = Long.MaxValue,
+      maxTopNgramFrac: Double = 1.0,
+      maxDupNgramFrac: Double = 1.0,
+      maxAvgNll: Double = Double.MaxValue,
+      minJaccard: Double = 0.8,
+      shingleWidth: Int = 3,
+      minShared: Long = 1L,
+      salt: String = "graft",
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      capPerSource: Int = Int.MaxValue,
+      shardTokens: Long = 5000L): DataFrame = {
+    require(shardTokens >= 1, "shardTokens must be at least 1")
+    val base = corpus.select(
+      col(idCol).as("id"), col(textCol).as("text"),
+      col(sourceCol).as("source"), col(langCol).as("lang"))
+
+    // 1. quality gate — the LM trains on exactly this input corpus
+    val gate = Corpus.qualityGate(base, "id", "text", minTokens, maxTokens,
+        maxTopNgramFrac, maxDupNgramFrac, maxAvgNll)
+      .select(col("id"), col("n_tokens"), col("keep").as("gate_keep"))
+    val kept1 = base.join(gate.filter(col("gate_keep")).select("id"), Seq("id"), "left_semi")
+
+    // 2. near-dedup over the gate's survivors, keep-canonical
+    val dd = Dedup.winnowNearDup(kept1, "id", "text", minJaccard = minJaccard,
+        shingleWidth = shingleWidth)
+      .select(col("id"), (col("cluster_id") <=> col("id")).as("canonical"))
+    val kept2 = kept1.join(dd.filter(col("canonical")).select("id"), Seq("id"), "left_semi")
+
+    // 3. decontamination against the (broadcast) benchmark shingle set
+    val dec = Corpus.decontaminate(kept2, benchmark, "id", "text", shingleWidth, minShared)
+      .select(col("id"), col("contaminated"))
+    val kept3 = kept2.join(dec.filter(!col("contaminated")).select("id"), Seq("id"), "left_semi")
+
+    // 4/5. per-source quality cap over the decontaminated survivors
+    val scored = kept3.withColumn("quality", TextFunctions.qualityScore(col("text")))
+    val ranked = Corpus.capPerGroup(scored, "source", "quality", "id", capPerSource)
+    val kept4 = scored.join(ranked.select("id"), Seq("id"), "left_semi")
+
+    // 4/6. deterministic split + shard packing of the final survivors
+    val splits = Corpus.hashSplit(kept4, "id", salt, trainPct, valPct)
+      .select(col("id"), col("lang"), col("split"))
+    val wPack = Window.partitionBy("split", "lang").orderBy("id")
+    val packed = splits.join(gate.select(col("id"), col("n_tokens")), Seq("id"))
+      .withColumn("__cum", sum(col("n_tokens")).over(wPack))
+      .withColumn("shard_id", ((col("__cum") - col("n_tokens")) / lit(shardTokens)).cast("int"))
+      .select(col("id"), col("split"), col("shard_id"))
+
+    // audit: one row per input doc, first-failing-stage attribution
+    base.select(col("id"), col("source"), col("lang"))
+      .join(gate, Seq("id"), "left")
+      .join(dd, Seq("id"), "left")
+      .join(dec, Seq("id"), "left")
+      .join(ranked.select(col("id"), lit(true).as("__cap_kept")), Seq("id"), "left")
+      .join(packed, Seq("id"), "left")
+      .withColumn("drop_stage",
+        when(!col("gate_keep"), "quality")
+          .when(!coalesce(col("canonical"), lit(false)), "duplicate")
+          .when(col("contaminated"), "contaminated")
+          .when(col("__cap_kept").isNull, "capped"))
+      .withColumn("keep", col("drop_stage").isNull)
+      .select(col("id"), col("source"), col("lang"), col("n_tokens"),
+        col("drop_stage"), col("keep"), col("split"), col("shard_id"))
+  }
+}

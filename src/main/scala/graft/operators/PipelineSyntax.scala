@@ -237,6 +237,40 @@ object PipelineSyntax {
         pk = mf.primaryKey,
         pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
 
+    /** End-to-end corpus assembly ([[Assembly.assembleCorpus]]): the full
+      * gate → near-dedup → decontaminate → split → cap → shard-pack chain
+      * as one audited derivation. One row per input doc, so the output is
+      * keyed by `id` exactly when the parent was keyed by `idCol` (the
+      * [[decontaminateAgainst]] rule); the six stage parameter sets are
+      * recorded into the lineage entry. */
+    def assembleCorpus(
+        benchmark: MetaFrame, idCol: String, textCol: String,
+        sourceCol: String, langCol: String,
+        minTokens: Long = 1L, maxTokens: Long = Long.MaxValue,
+        maxTopNgramFrac: Double = 1.0, maxDupNgramFrac: Double = 1.0,
+        maxAvgNll: Double = Double.MaxValue,
+        minJaccard: Double = 0.8, shingleWidth: Int = 3, minShared: Long = 1L,
+        salt: String = "graft", trainPct: Int = 80, valPct: Int = 10,
+        capPerSource: Int = Int.MaxValue, shardTokens: Long = 5000L): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf,
+        Assembly.assembleCorpus(mf.df, benchmark.df, idCol, textCol, sourceCol, langCol,
+          minTokens, maxTokens, maxTopNgramFrac, maxDupNgramFrac, maxAvgNll,
+          minJaccard, shingleWidth, minShared, salt, trainPct, valPct,
+          capPerSource, shardTokens),
+        "corpus_assembly",
+        Map("id" -> idCol, "text" -> textCol, "source" -> sourceCol,
+            "lang" -> langCol, "minTokens" -> minTokens, "maxTokens" -> maxTokens,
+            "maxTopNgramFrac" -> maxTopNgramFrac, "maxDupNgramFrac" -> maxDupNgramFrac,
+            "maxAvgNll" -> maxAvgNll, "minJaccard" -> minJaccard,
+            "shingleWidth" -> shingleWidth, "minShared" -> minShared,
+            "salt" -> salt, "trainPct" -> trainPct, "valPct" -> valPct,
+            "capPerSource" -> capPerSource, "shardTokens" -> shardTokens),
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
     /** Per-doc text-analysis annotation: adds token/quality/lang/fingerprint
       * and PII-audit columns; row-preserving so existing pk metadata
       * stands. */

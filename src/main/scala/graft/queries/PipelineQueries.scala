@@ -75,6 +75,26 @@ object PipelineQueries {
     "ON a.doc_id < b.doc_id AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
     "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8) "
 
+  /** Distinct 3-token shingle sets of `src` (doc_id, sh) — the common
+    * subquery of the shingle-family oracles, parameterized by source table
+    * for the staged pipeline oracle. */
+  private def shSetSql(src: String): String =
+    "(SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+    "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
+    s"FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM $src))"
+
+  /** The text_quality heuristic score formula (inputs: n_tokens,
+    * stopword_hits, text) — shared verbatim by the text_source_cap and
+    * pipeline oracles so the cap stage can never drift from the declared
+    * quality query. */
+  private val QualityScoreSql: String =
+    "round(" +
+    " CAST(CASE WHEN n_tokens < 5 THEN 0.2 WHEN n_tokens > 5000 THEN 0.3 ELSE 1.0 END AS DOUBLE) * 0.4 + " +
+    " CAST(CASE WHEN CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens < 2.0 OR " +
+    "       CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens > 12.0 THEN 0.4 ELSE 1.0 END AS DOUBLE) * 0.3 + " +
+    " CAST(CASE WHEN CAST(stopword_hits AS DOUBLE) / n_tokens > 0.05 AND " +
+    "       CAST(stopword_hits AS DOUBLE) / n_tokens < 0.6 THEN 1.0 ELSE 0.6 END AS DOUBLE) * 0.3, 4)"
+
   /** DuckDB twin of [[cosinePairs]]: CTEs `e` (bounded vectors) and `pairs`
     * (id_a, id_b, cos) with the bit-identical left-to-right dot fold. */
   private val CosinePairsSql: String =
@@ -689,6 +709,29 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // the END-TO-END corpus assembly: gate → winnow-dedup keep-canonical →
+    // decontaminate → split → per-source cap → shard-pack, as ONE audited
+    // run through the metadata layer. The untested surface in a pipeline of
+    // individually-green stages is their interaction (the gate's LM trains
+    // on exactly this corpus slice, dedup clusters only the gate's
+    // survivors, AQE replans across stage boundaries) — every stage is
+    // deterministic, so the composition is exact: DuckDB re-runs the whole
+    // six-stage pipeline from raw text, including the recursive
+    // connected-components canonical election, and every audit row
+    // (drop_stage, keep, split, shard_id) must hash-match
+    "pipeline_corpus_e2e" -> ((s, d) => {
+      import graft.operators.PipelineSyntax._
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .assembleCorpus(
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", "source", "lang",
+          minTokens = 20L, maxTokens = 100000L,
+          maxTopNgramFrac = 0.10, maxDupNgramFrac = 0.15, maxAvgNll = 3.45,
+          capPerSource = 5, shardTokens = 200L)
+        .orderBy("id").df
+    }),
+
     // --------------------------------------------------------- multimodal
     // frame sampling over binary payloads: row-local slice + explode —
     // exact DuckDB oracle (frame idx/len are integer arithmetic on octet_length)
@@ -1131,12 +1174,7 @@ object PipelineQueries {
        "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
        "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stopword_hits " +
        "FROM documents), " +
-       "scored AS (SELECT doc_id, source, round(" +
-       " CAST(CASE WHEN n_tokens < 5 THEN 0.2 WHEN n_tokens > 5000 THEN 0.3 ELSE 1.0 END AS DOUBLE) * 0.4 + " +
-       " CAST(CASE WHEN CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens < 2.0 OR " +
-       "       CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens > 12.0 THEN 0.4 ELSE 1.0 END AS DOUBLE) * 0.3 + " +
-       " CAST(CASE WHEN CAST(stopword_hits AS DOUBLE) / n_tokens > 0.05 AND " +
-       "       CAST(stopword_hits AS DOUBLE) / n_tokens < 0.6 THEN 1.0 ELSE 0.6 END AS DOUBLE) * 0.3, 4) AS quality " +
+       "scored AS (SELECT doc_id, source, " + QualityScoreSql + " AS quality " +
        "FROM q), " +
        "ranked AS (SELECT doc_id, source, quality, " +
        "row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank_in_group FROM scored) " +
@@ -1186,6 +1224,89 @@ object PipelineQueries {
        "SELECT n.doc_id, CASE WHEN n.nb > 0 THEN coalesce(r.text_clean, '') END AS text_clean, " +
        "coalesce(n.nb, 0) AS n_blocks, coalesce(n.nb, 0) - coalesce(r.n_kept, 0) AS n_blocks_dropped " +
        "FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id"),
+
+    // full from-scratch re-run of the SIX-stage assembly over the same
+    // corpus slice: gate (bigram repetition + micro-nat unigram LM trained
+    // on the slice) → hi-Jaccard pairs among the gate's survivors →
+    // recursive connected components → canonical election → benchmark
+    // decontamination → md5 split → per-source quality cap → per-(split,
+    // lang) shard packing — then the identical first-failing-stage
+    // attribution per input doc. Every stage reuses a fragment proven by
+    // its standalone oracle (text_quality_gate / dedup_cc_exact /
+    // text_decontaminate / text_source_cap / split_hash / text_shard_pack).
+    "pipeline_corpus_e2e" ->
+      ("WITH RECURSIVE " +
+       "corp AS (SELECT doc_id, text, source, lang FROM documents WHERE doc_id % 97 <> 0), " +
+       // stage 1: quality gate (text_quality_gate form, over corp)
+       "ts0 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM corp), " +
+       "g0 AS (SELECT doc_id, CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')] " +
+       "ELSE [array_to_string(ts[i:i+1], ' ') FOR i IN generate_series(1, len(ts)-1)] END AS ng FROM ts0), " +
+       "e0 AS (SELECT doc_id, unnest(ng) AS s FROM g0), " +
+       "c0 AS (SELECT doc_id, s, count(*) AS c FROM e0 GROUP BY 1, 2), " +
+       "a0 AS (SELECT doc_id, sum(c) AS t, max(c) AS m, " +
+       "coalesce(sum(c) FILTER (c > 1), 0) AS dup FROM c0 GROUP BY 1), " +
+       "tok2 AS (SELECT doc_id, unnest(ts) AS term FROM ts0), " +
+       "tok3 AS (SELECT doc_id, term FROM tok2 WHERE term <> ''), " +
+       "cnt AS (SELECT term, count(*) AS c FROM tok3 GROUP BY term), " +
+       "tot AS (SELECT sum(c) AS t, count(*) AS v FROM cnt), " +
+       "lp AS (SELECT tok3.doc_id, CAST(round(ln((cnt.c + 1.0) / (tot.t + 1.0 * tot.v)) * 1000000) AS BIGINT) AS micro_lp " +
+       "FROM tok3 JOIN cnt USING (term) CROSS JOIN tot), " +
+       "per_doc AS (SELECT doc_id, count(*) AS n_tokens, sum(micro_lp) AS s FROM lp GROUP BY doc_id), " +
+       "gatek AS (SELECT corp.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+       "(coalesce(p.n_tokens, 0) >= 20 AND coalesce(p.n_tokens, 0) <= 100000 " +
+       "AND (CASE WHEN coalesce(a0.t, 0) > 0 THEN CAST(a0.m AS DOUBLE) / a0.t ELSE 0.0 END) <= 0.10 " +
+       "AND (CASE WHEN coalesce(a0.t, 0) > 0 THEN CAST(a0.dup AS DOUBLE) / a0.t ELSE 0.0 END) <= 0.15 " +
+       "AND p.s IS NOT NULL AND (-p.s) / (1000000.0 * p.n_tokens) <= 3.45) AS gate_keep " +
+       "FROM corp LEFT JOIN a0 USING (doc_id) LEFT JOIN per_doc p ON corp.doc_id IS NOT DISTINCT FROM p.doc_id), " +
+       "kept1 AS (SELECT corp.* FROM corp JOIN gatek USING (doc_id) WHERE gate_keep), " +
+       // stage 2: hi-Jaccard pairs among survivors → recursive CC → canonical
+       "sh1 AS (SELECT * FROM " + shSetSql("kept1") + "), " +
+       "hi AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM sh1 x JOIN sh1 y " +
+       "ON x.doc_id < y.doc_id AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8), " +
+       "edges AS (SELECT id_a AS src, id_b AS dst FROM hi UNION SELECT id_b AS src, id_a AS dst FROM hi), " +
+       "reach(src, dst) AS (SELECT src, dst FROM edges " +
+       "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src), " +
+       "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component FROM reach GROUP BY src), " +
+       "dd AS (SELECT k.doc_id, (c2.component IS NULL OR c2.component = k.doc_id) AS canonical " +
+       "FROM kept1 k LEFT JOIN comp c2 USING (doc_id)), " +
+       "kept2 AS (SELECT kept1.* FROM kept1 JOIN dd USING (doc_id) WHERE canonical), " +
+       // stage 3: decontamination against the benchmark slice
+       "bsh AS (SELECT DISTINCT unnest(sh) AS s FROM " +
+       shSetSql("(SELECT * FROM documents WHERE doc_id % 97 = 0)") + "), " +
+       "csh AS (SELECT doc_id, unnest(sh) AS s FROM " + shSetSql("kept2") + "), " +
+       "ov AS (SELECT doc_id, count(*) AS n FROM csh SEMI JOIN bsh USING (s) GROUP BY doc_id), " +
+       "dec AS (SELECT kept2.doc_id, coalesce(ov.n, 0) >= 1 AS contaminated " +
+       "FROM kept2 LEFT JOIN ov USING (doc_id)), " +
+       "kept3 AS (SELECT kept2.* FROM kept2 JOIN dec USING (doc_id) WHERE NOT contaminated), " +
+       // stages 4/5: per-source quality cap, then the md5 split
+       "q3 AS (SELECT doc_id, source, text, " +
+       "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+       "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stopword_hits FROM kept3), " +
+       "sc3 AS (SELECT doc_id, source, " + QualityScoreSql + " AS quality FROM q3), " +
+       "rk AS (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rg FROM sc3), " +
+       "kept4 AS (SELECT kept3.* FROM kept3 JOIN rk USING (doc_id) WHERE rg <= 5), " +
+       "spl AS (SELECT doc_id, lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+       "FROM (SELECT doc_id, lang, CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT) % 100 AS b FROM kept4)), " +
+       // stage 6: shard packing per (split, lang) block
+       "packed AS (SELECT s2.doc_id, s2.split, " +
+       "CAST((SUM(gk2.n_tokens) OVER (PARTITION BY s2.split, s2.lang ORDER BY s2.doc_id) - gk2.n_tokens) // 200 AS INT) AS shard_id " +
+       "FROM spl s2 JOIN gatek gk2 USING (doc_id)) " +
+       // audit: first-failing-stage attribution, one row per input doc
+       "SELECT corp.doc_id AS id, corp.source, corp.lang, gk.n_tokens, " +
+       "CASE WHEN NOT gk.gate_keep THEN 'quality' " +
+       "WHEN NOT coalesce(d2.canonical, FALSE) THEN 'duplicate' " +
+       "WHEN dc.contaminated THEN 'contaminated' " +
+       "WHEN k4.doc_id IS NULL THEN 'capped' END AS drop_stage, " +
+       "p.split IS NOT NULL AS keep, p.split, p.shard_id " +
+       "FROM corp " +
+       "JOIN gatek gk ON corp.doc_id = gk.doc_id " +
+       "LEFT JOIN dd d2 ON corp.doc_id = d2.doc_id " +
+       "LEFT JOIN dec dc ON corp.doc_id = dc.doc_id " +
+       "LEFT JOIN (SELECT doc_id FROM rk WHERE rg <= 5) k4 ON corp.doc_id = k4.doc_id " +
+       "LEFT JOIN packed p ON corp.doc_id = p.doc_id " +
+       "ORDER BY id"),
 
     // frame sampling is pure integer arithmetic on the payload byte length:
     // nFrames = len%30+1, frameLen = max(len//nFrames, 1), keep even frame

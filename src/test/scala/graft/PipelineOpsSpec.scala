@@ -342,6 +342,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got - 0.5) < 1e-12) // dot=1, norms=sqrt2*sqrt2=2
   }
 
+  test("assembleCorpus attributes every input doc to its first failing stage; lineage + pk flow") {
+    import graft.operators.PipelineSyntax._
+    import spark.implicits._
+    val longA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val corpus = Seq(
+      (1L, longA, "s0", "en"),                                     // survivor (canonical of {1,2})
+      (2L, longA, "s0", "en"),                                     // exact dup of 1 → "duplicate"
+      (3L, "mike november oscar papa ZE YA XR WH quebec romeo sierra tango", "s2", "en"), // shares a benchmark shingle → "contaminated"
+      (4L, "uno dos tres cuatro cinco seis siete ocho nueve diez", "s1", "en"),
+      (5L, "eins zwei drei vier funf sechs sieben acht neun zehn", "s1", "en"),
+      (6L, "un deux trois quatre cinq six sept huit neuf dix", "s1", "en"),  // s1 capped at 2 → one drops
+      (7L, "too short", "s3", "en")                                 // fails minTokens=3 → "quality"
+    ).toDF("doc_id", "text", "source", "lang")
+    val bench = Seq((100L, "ZE YA XR WH victor uniform", "eval", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val mf = MetaFrame(corpus, Map("corpus" -> "unit"))
+      .dropDuplicates(Seq("doc_id")) // prove + verify the parent key
+    val out = mf.assembleCorpus(MetaFrame(bench), "doc_id", "text", "source", "lang",
+      minTokens = 3L, capPerSource = 2)
+    val rows = out.df.collect()
+      .map(r => r.getLong(0) -> (Option(r.get(4)).map(_.toString), r.getBoolean(5))).toMap
+    assert(rows.size == 7, "one audit row per input doc")
+    assert(rows(7L)._1.contains("quality"))
+    assert(rows(2L)._1.contains("duplicate") && rows(1L)._1.isEmpty,
+      s"smallest id of the dup cluster survives: $rows")
+    assert(rows(3L)._1.contains("contaminated"))
+    assert(Seq(4L, 5L, 6L).count(rows(_)._1.contains("capped")) == 1 &&
+      Seq(4L, 5L, 6L).count(rows(_)._2) == 2, s"cap=2 keeps two of three s1 docs: $rows")
+    assert(rows(1L)._2 && !rows(2L)._2)
+    // survivors carry split + shard; dropped docs carry neither
+    val bySplit = out.df.collect().map(r => r.getLong(0) -> (Option(r.get(6)), Option(r.get(7)))).toMap
+    assert(bySplit(1L)._1.exists(s => Set("train", "val", "test")(s.toString)) && bySplit(1L)._2.isDefined)
+    assert(bySplit(2L)._1.isEmpty && bySplit(2L)._2.isEmpty)
+    // metadata layer: parent metadata + one lineage entry + pk carried to "id"
+    assert(out.metadata("corpus") == "unit")
+    val lineage = out.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+    assert(lineage.map(_("op")) == Seq("corpus_assembly"))
+    assert(lineage.head("params").asInstanceOf[Map[String, Any]]("capPerSource") == 2)
+    assert(out.primaryKey.contains(Seq("id")))
+    // pk is PROVEN (parent verified + one-row-per-doc op) → distinct() elides
+    assert(out.distinct().df eq out.df)
+  }
+
   test("PipelineSyntax: provenance lineage + pk on metadata-aware extensions") {
     import graft.operators.PipelineSyntax._
     val mf = MetaFrame(docs, Map("corpus" -> "unit"))
