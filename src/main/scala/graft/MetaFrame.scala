@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, DataFrameNaFunctions, DataFrameStatFunctions, DataFrameWriter, DataFrameWriterV2, Dataset, Encoders, RelationalGroupedDataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, DataFrameNaFunctions, DataFrameStatFunctions, DataFrameWriter, DataFrameWriterV2, Dataset, Encoder, Encoders, RelationalGroupedDataset, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.sketch
@@ -356,6 +356,52 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
     * arbitrary partition function can add, remove or rewrite rows. */
   def mapPartitions(schema: StructType)(f: Iterator[Row] => Iterator[Row]): MetaFrame =
     wrap(df.mapPartitions(f)(Encoders.row(schema)).toDF())
+
+  // ------------------------------ typed escape hatch (encoder-carrying, §2.2i)
+  // The reference has no typed API (Python), but the Scala engine must not
+  // make `as[T]`/`map` a silent metadata-loss path — the §1.2 failure mode
+  // the na/stat/writer facades close. Each forwarder decodes, transforms,
+  // and re-encodes WITHOUT leaving the metadata layer; the pk-verified flag
+  // is dropped (an arbitrary row function can add, remove or rewrite keys)
+  // except for typed FILTERS, which can only keep or remove whole rows.
+
+  /** Raw typed view — returns a bare Dataset[T], so metadata is LOST by
+    * construction (same contract as `df`). Prefer [[mapTyped]] /
+    * [[flatMapTyped]] / [[filterTyped]] / [[mapGroupsTyped]] to stay in the
+    * metadata layer. */
+  def asTyped[T: Encoder]: Dataset[T] = df.as[T]
+
+  /** Row-level map with an explicit result encoder (metadata kept). */
+  def map[U: Encoder](f: Row => U): MetaFrame = wrap(df.map(f).toDF())
+
+  /** Row-level flatMap with an explicit result encoder (metadata kept). */
+  def flatMap[U: Encoder](f: Row => IterableOnce[U]): MetaFrame = wrap(df.flatMap(f).toDF())
+
+  /** Fully typed map: decode each row to `T`, transform to `U`, re-encode —
+    * the typed-pipeline shape without dropping to `.df.as[T]`. */
+  def mapTyped[T: Encoder, U: Encoder](f: T => U): MetaFrame =
+    wrap(df.as[T].map(f).toDF())
+
+  /** Fully typed flatMap (metadata kept, pk-verified dropped). */
+  def flatMapTyped[T: Encoder, U: Encoder](f: T => IterableOnce[U]): MetaFrame =
+    wrap(df.as[T].flatMap(f).toDF())
+
+  /** Typed predicate filter: a pure row subset, so pk metadata INCLUDING
+    * the verified flag survives — same rule as the Column filter. */
+  def filterTyped[T: Encoder](f: T => Boolean): MetaFrame =
+    wrapKeep(df.as[T].filter(f).toDF())
+
+  /** Typed groupByKey → mapGroups (the `KeyValueGroupedDataset` analogue):
+    * one output row per distinct key by construction, but the key is not
+    * re-observable in the output schema in general, so no pk is claimed. */
+  def mapGroupsTyped[T: Encoder, K: Encoder, U: Encoder](
+      keyFn: T => K)(f: (K, Iterator[T]) => U): MetaFrame =
+    wrap(df.as[T].groupByKey(keyFn).mapGroups(f).toDF())
+
+  /** Typed groupByKey → flatMapGroups (metadata kept). */
+  def flatMapGroupsTyped[T: Encoder, K: Encoder, U: Encoder](
+      keyFn: T => K)(f: (K, Iterator[T]) => IterableOnce[U]): MetaFrame =
+    wrap(df.as[T].groupByKey(keyFn).flatMapGroups(f).toDF())
 
   // ------------------------------------------------- caching / persistence
 

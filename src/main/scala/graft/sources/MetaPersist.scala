@@ -56,6 +56,33 @@ object MetaPersist {
   def readParquet(spark: SparkSession, path: String): MetaFrame =
     MetaFrame(spark.read.parquet(path), readSidecar(path))
 
+  /** Persists a TRAINED-MODEL table (unigram/bigram LM counts, IVF
+    * centroids, quantization tables, …) with its training parameters in the
+    * sidecar, tagged `model -> kind` — the train-once/score-batches flow
+    * (`Corpus.lmCounts` → `lmScoreAgainst`, `Similarity.trainCentroids` →
+    * `ivfTopK`) otherwise dies with the session. Counts are exact longs and
+    * centroids micro-grid floats, so a reloaded model scores BIT-IDENTICALLY
+    * to the in-session one (pinned in SourcesSpec). Convention on top of
+    * [[writeParquet]]: the artifact IS a MetaFrame, so any sidecar-aware
+    * reader still understands it. */
+  def writeModel(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      kind: String,
+      params: Map[String, Any]): Unit =
+    writeParquet(MetaFrame(df, params + ("model" -> kind)), path)
+
+  /** Loads a model artifact, refusing a sidecar of the wrong kind — a
+    * scorer handed the wrong artifact (or a bare un-tagged table) must fail
+    * loudly at load, not produce silently wrong scores downstream. Returns
+    * the table plus the recorded training params as metadata. */
+  def readModel(spark: SparkSession, path: String, kind: String): MetaFrame = {
+    val mf = readParquet(spark, path)
+    require(mf.metadata.get("model").contains(kind),
+      s"expected a '$kind' model sidecar at $path, found ${mf.metadata.get("model")}")
+    mf
+  }
+
   /** Reads just the sidecar of an output directory (empty map when absent). */
   def readSidecar(path: String): Map[String, Any] = {
     val sidecar = Paths.get(path, SidecarName)

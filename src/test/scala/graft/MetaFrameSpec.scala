@@ -272,6 +272,29 @@ class MetaFrameSpec extends AnyFunSuite {
     mf.show(2, 5, true)
   }
 
+  test("typed forwarders compute through encoders and stay in the metadata layer") {
+    import spark.implicits._
+    val mf = MetaFrame(fixture, metadata)
+    // fully typed map: decode → transform → re-encode, metadata intact
+    val doubled = mf.mapTyped[(String, Long, String), (String, Long)](t => (t._1, t._2 * 2))
+    assert(doubled.metadata == metadata)
+    assert(doubled.df.columns.toSeq == Seq("_1", "_2"))
+    assert(doubled.df.where(col("_1") === "p8").head().getLong(1) == 88L)
+    // typed flatMap multiplies rows
+    assert(mf.flatMapTyped[(String, Long, String), String](t => Seq(t._1, t._3)).count() == 44L)
+    // row-level map with explicit encoder
+    assert(mf.map(r => r.getString(0)).count() == 22L)
+    // typed filter: row subset, values verified
+    assert(mf.filterTyped[(String, Long, String)](_._2 > 20).count() == 2L)
+    // groupByKey analogue: per-key aggregation via mapGroups
+    val perProduct = mf.mapGroupsTyped[(String, Long, String), String, (String, Long)](_._1)(
+        (k, it) => (k, it.map(_._2).sum))
+      .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perProduct("p1") == 28L && perProduct("p8") == 88L)
+    // raw typed view: explicit metadata exit (same contract as .df)
+    assert(mf.asTyped[(String, Long, String)].filter(_._2 > 20).count() == 2L)
+  }
+
   test("implicit bridge: MetaFrame usable as DataFrame, DataFrame liftable via .meta") {
     val mf = MetaFrame(fixture, metadata)
     val df: DataFrame = mf // implicit conversion (SURVEY §1.5 isinstance analogue)

@@ -56,4 +56,41 @@ object MetadataLawsSpec extends Properties("MetadataLaws") {
         mf.orderBy("k1").metadata == m &&
         mf.limit(1).metadata == m
     }
+
+  property("typed forwarders carry metadata; row functions drop the pk proof") =
+    Prop.forAll(metaGen) { m =>
+      import spark.implicits._
+      val mf = MetaFrame(base, m - MetaFrame.PkVerifiedField)
+      val meta = mf.metadata
+      // every typed path stays inside the metadata layer...
+      mf.map(r => r.getString(0)).metadata == meta &&
+        mf.flatMap(r => Seq(r.getString(0))).metadata == meta &&
+        mf.mapTyped[(String, Long, String), String](_._1).metadata == meta &&
+        mf.flatMapTyped[(String, Long, String), String](t => Seq(t._1)).metadata == meta &&
+        mf.filterTyped[(String, Long, String)](_._2 > 0).metadata == meta &&
+        mf.mapGroupsTyped[(String, Long, String), String, (String, Long)](_._3)(
+          (k, it) => (k, it.size.toLong)).metadata == meta &&
+        // ...and none of the row-identity-changing ops claims a proof
+        !mf.map(r => r.getString(0)).metadata.contains(MetaFrame.PkVerifiedField) &&
+        !mf.mapTyped[(String, Long, String), String](_._1)
+          .metadata.contains(MetaFrame.PkVerifiedField)
+    }
+
+  property("typed filter is a row subset: the verified pk proof survives it alone") = {
+    import spark.implicits._
+    Prop.forAll(keysGen) { ks =>
+      val keyed = MetaFrame(base, Map.empty).dropDuplicates(ks) // proves + verifies ks
+      val filtered = keyed.filterTyped[(String, Long, String)](_._2 > 0)
+      val mapped = keyed.mapTyped[(String, Long, String), (String, Long, String)](identity)
+      // subset keeps the proof (typed filter never reserializes, so even the
+      // column names survive): a later dedup on the same key elides...
+      filtered.primaryKey.contains(ks) &&
+        (filtered.dropDuplicates(ks).df eq filtered.df) &&
+        // ...but an identity-typed MAP is still an arbitrary row function —
+        // it re-encodes (tuple columns _1/_2/_3) and the PROOF is dropped:
+        // deduplicating the new schema must really run
+        !mapped.metadata.contains(MetaFrame.PkVerifiedField) &&
+        !(mapped.dropDuplicates(Seq("_1")).df eq mapped.df)
+    }
+  }
 }

@@ -16,6 +16,49 @@ class SourcesSpec extends AnyFunSuite {
 
   private def out(fmt: String): String = s"target/sources_spec/$fmt"
 
+  test("trained LM counts round-trip through MetaPersist and score bit-identically") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Corpus
+    import graft.sources.MetaPersist
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val counts = Corpus.lmCounts(docs, "text")
+    MetaPersist.writeModel(counts, out("lm_model"), "unigram_lm",
+      Map("add_k" -> "1.0", "tokenizer" -> "whitespace"))
+    val loaded = MetaPersist.readModel(spark, out("lm_model"), "unigram_lm")
+    assert(loaded.metadata("add_k") == "1.0")
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    def scores(model: org.apache.spark.sql.DataFrame) =
+      Corpus.lmScoreAgainst(batch, model, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    // counts are exact longs → the micro-nat sums (and therefore the float
+    // division results) are BIT-identical, not approximately equal
+    assert(scores(loaded.df) == scores(counts))
+    // a scorer handed the wrong artifact kind must refuse at load
+    intercept[IllegalArgumentException](
+      MetaPersist.readModel(spark, out("lm_model"), "ivf_centroids"))
+  }
+
+  test("trained IVF centroids round-trip through MetaPersist and search bit-identically") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.sources.MetaPersist
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    MetaPersist.writeModel(cents, out("ivf_model"), "ivf_centroids",
+      Map("k" -> "4", "iters" -> "2", "grid" -> "1e-6", "seeding" -> "lowest-id"))
+    val loaded = MetaPersist.readModel(spark, out("ivf_model"), "ivf_centroids")
+    assert(loaded.metadata("k") == "4" && loaded.metadata("iters") == "2")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def topk(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(emb, "vec_id", "embedding", c, "cell", "cvec",
+          queries, "query_id", "query_vec", k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // micro-grid floats round-trip parquet exactly → identical candidate
+    // cells, cosines, and ranks
+    assert(topk(loaded.df) == topk(cents))
+  }
+
   test("CSV roundtrip through the metadata layer") {
     base.write.mode("overwrite").option("header", "true").csv(out("csv"))
     val mf = MetaFrame(
