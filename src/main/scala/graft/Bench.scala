@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Headline benchmark, mirroring the 8 measured baseline queries in
-  * /root/repo/BASELINE.md (same operations, same action shape) through the
-  * MetaFrame layer. Warm JVM (one untimed pass), then 5 interleaved timed
+/** Headline benchmark, mirroring the 10 measured baseline queries in
+  * /root/repo/BASELINE.md (same operations, same action shape; the
+  * reference side of q9/q18 measured by scripts/bench_reference.py under
+  * the identical config) through the MetaFrame layer. Warm JVM (one untimed pass), then 5 interleaved timed
   * passes; the headline per-query number is the median, with best and
   * spread (max−min) alongside so machine drift between rounds is visible
   * in the artifact itself.
@@ -70,6 +71,34 @@ object Bench {
         val a = t("customer").select(col("c_custkey").as("key"))
         val b = t("supplier").select(col("s_suppkey").as("key"))
         a.union(b).groupBy("key").count().count(): Unit
+      }),
+      // TPC-H q9 shape: 5-table join + multi-key agg — exercises the join
+      // reorder/broadcast planning the 8 micro-queries never touch. String
+      // group keys (not Column) so the reference runs the identical plan
+      // (Column groupBy args crash its pk inference — SURVEY §7.3 Q1).
+      "q9_profit_shape" -> (() => {
+        t("lineitem")
+          .join(t("part"), col("l_partkey") === col("p_partkey"), "inner")
+          .join(t("supplier"), col("l_suppkey") === col("s_suppkey"), "inner")
+          .join(t("nation"), col("s_nationkey") === col("n_nationkey"), "inner")
+          .join(t("orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .groupBy("n_name", "o_year")
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("profit"))
+          .collect(): Unit
+      }),
+      // TPC-H q18 shape: having-filtered aggregate feeding a two-table join
+      // + ordered limit — the aggregate-as-build-side pattern.
+      "q18_volume_shape" -> (() => {
+        val big = t("lineitem").groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        big.join(t("orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+          .join(t("customer"), col("o_custkey") === col("c_custkey"), "inner")
+          .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+          .orderBy(desc("sum_qty"), col("o_orderkey"))
+          .limit(100)
+          .collect(): Unit
       }),
     )
 

@@ -38,10 +38,10 @@ object AuditScale {
   val Heavy: Seq[String] = Seq(
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cc_exact", "dedup_incremental",
-    "sim_topk_ivf", "sim_topk_int8",
+    "dedup_winnow_incremental", "sim_topk_ivf", "sim_topk_int8",
     "mm_image_histogram", "mm_audio_histogram", "mm_video_histogram",
     "text_decontaminate", "text_lm_quality", "text_lm_bigram", "text_tfidf_topterms",
-    "sim_ivf_train", "text_quality_gate")
+    "sim_ivf_train", "text_quality_gate", "pipeline_corpus_e2e")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -67,7 +67,9 @@ object AuditScale {
       // scorers (and the gate, which embeds the LM scorer), and
       // trainCentroids broadcasts its k-row centroid table
       "text_lm_quality", "text_lm_bigram", "text_tfidf_topterms", "sim_ivf_train",
-      "text_quality_gate")
+      // the e2e assembly embeds the gate's LM scorer (1-row totals) and the
+      // capped-query 1-row drop-count aggregate
+      "text_quality_gate", "pipeline_corpus_e2e")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(
@@ -114,19 +116,20 @@ object AuditScale {
       check(qe)
   }
 
-  /** One timed run. Construction is INSIDE the timer: the iterative
+  /** One timed entry. Construction is INSIDE the timer: the iterative
     * operators (connected components, fixpoint refinement) execute their
     * rounds eagerly while the result frame is being built, so timing only
-    * the final write would miss the actual work. Best-of-3 smooths
-    * first-read page-cache effects on the freshly written sf1 files AND the
-    * GC/AQE run-to-run band the heavier shuffle queries show (the same
-    * drift-visibility reasoning as Bench's median-of-5 — a single pass
-    * committed a 2× outlier as "the" number more than once).
-    * The plan flag covers every action all runs executed (see
-    * [[PlanFlagListener]]); listener delivery is asynchronous, so the bus is
-    * drained before the flag is read. */
+    * the final write would miss the actual work. The reported number is the
+    * MEDIAN of `runs` passes WITH the spread (max−min) alongside: a
+    * best-of-N gate let one lucky pass mask a real regression, and a
+    * single-pass gate committed a GC/AQE outlier as "the" number more than
+    * once (the r8 dedup_minhash_lsh 3.17–6.84 s band) — median+spread makes
+    * both failure modes visible in the artifact itself. The plan flag
+    * covers every action all runs executed (see [[PlanFlagListener]]);
+    * listener delivery is asynchronous, so the bus is drained before the
+    * flag is read. */
   def runOne(spark: SparkSession, dir: String, name: String,
-      fn: (SparkSession, String) => DataFrame, runs: Int = 3): (Double, Boolean) = {
+      fn: (SparkSession, String) => DataFrame, runs: Int = 3): (Double, Double, Boolean) = {
     val listener = new PlanFlagListener(BnljAllowed.contains(name))
     spark.listenerManager.register(listener)
     try {
@@ -136,9 +139,9 @@ object AuditScale {
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val best = Seq.fill(runs)(once()).min
+      val times = Seq.fill(runs)(once()).sorted
       graftbridge.drainListenerBus(spark)
-      (best, listener.flagged)
+      (times(times.size / 2), times.last - times.head, listener.flagged)
     } finally spark.listenerManager.unregister(listener)
   }
 
@@ -164,26 +167,26 @@ object AuditScale {
     fns.foreach { case (n, fn) => runOne(spark, warmDir, n, fn, runs = 1) }
 
     val small = fns.map { case (n, fn) =>
-      val (secs, flagged) = runOne(spark, smallDir, n, fn)
-      println(f"[scale] sf0.1 $n%-28s ${secs}%7.2fs flagged=$flagged")
-      n -> (secs, flagged)
+      val (secs, spread, flagged) = runOne(spark, smallDir, n, fn)
+      println(f"[scale] sf0.1 $n%-28s ${secs}%7.2fs ±${spread}%5.2f flagged=$flagged")
+      n -> (secs, spread, flagged)
     }.toMap
     val big = fns.map { case (n, fn) =>
-      val (secs, flagged) = runOne(spark, bigDir, n, fn)
-      println(f"[scale] sf1   $n%-28s ${secs}%7.2fs flagged=$flagged")
-      n -> (secs, flagged)
+      val (secs, spread, flagged) = runOne(spark, bigDir, n, fn)
+      println(f"[scale] sf1   $n%-28s ${secs}%7.2fs ±${spread}%5.2f flagged=$flagged")
+      n -> (secs, spread, flagged)
     }.toMap
 
     val entries = fns.map { case (n, _) =>
-      val (s, fs) = small(n)
-      val (b, fb) = big(n)
+      val (s, sSpread, fs) = small(n)
+      val (b, bSpread, fb) = big(n)
       val ratio = b / s
-      f"""    "$n": {"sf01_sec": $s%.3f, "sf1_sec": $b%.3f, "ratio": $ratio%.2f, "plan_flagged": ${fs || fb}, "fixed_input": ${FixedInput.contains(n)}}"""
+      f"""    "$n": {"sf01_sec": $s%.3f, "sf01_spread": $sSpread%.3f, "sf1_sec": $b%.3f, "sf1_spread": $bSpread%.3f, "ratio": $ratio%.2f, "plan_flagged": ${fs || fb}, "fixed_input": ${FixedInput.contains(n)}}"""
     }
     val json =
       s"""{
   "data_ratio": 10,
-  "note": "sf1 = Amplify 10x key-shifted replication of sf0.1 (join fan-out preserved; per-replica token bijection for documents, component rotation for embeddings). fixed_input queries keep an sf-independent declared input (oracle boundedness); ratio ~1 expected there.",
+  "note": "sf1 = Amplify 10x key-shifted replication of sf0.1 (join fan-out preserved; per-replica token bijection for documents, component rotation for embeddings). Per-entry numbers are MEDIAN-of-3 with spread (max-min) alongside, so a GC/AQE outlier cannot masquerade as the ratio. fixed_input queries keep an sf-independent declared input (oracle boundedness); ratio ~1 expected there. The *_operator entries isolate product operators from their composite property oracles - gate on those for the operator ratios.",
   "queries": {
 ${entries.mkString(",\n")}
   }
