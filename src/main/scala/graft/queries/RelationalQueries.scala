@@ -437,6 +437,34 @@ object RelationalQueries {
         .groupBy("n_name")
         .agg(dsum4(revenueExpr).as("revenue"))
         .orderBy(desc("revenue"), asc("n_name")).df),
+
+    // q9 shape (the graft.Bench twin, here under the exact-oracle gate):
+    // 5-table join into a (nation, year) profit aggregate — decimal-exact
+    // sums so the doubles hash-match
+    "tpch_q9_profit_shape" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy("n_name", "o_year")
+        .agg(dsum4(revenueExpr).as("profit"))
+        .orderBy("n_name", "o_year").df),
+
+    // q18 shape: having-filtered per-order volume aggregate feeding a
+    // two-table join and a deterministic ordered top-100 (unique
+    // o_orderkey tiebreak, so the selected row SET is exact)
+    "tpch_q18_volume_customer" -> ((s, d) => {
+      val big = t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("sum_qty"), asc("o_orderkey"))
+        .limit(100).df
+    }),
   )
 
   val flagshipOracleSql: Map[String, String] = Map(
@@ -474,6 +502,26 @@ object RelationalQueries {
        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+
+    "tpch_q9_profit_shape" ->
+      ("SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+       "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS profit " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN orders ON l_orderkey = o_orderkey " +
+       "GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT) " +
+       "ORDER BY n_name, o_year"),
+
+    "tpch_q18_volume_customer" ->
+      ("WITH big AS (SELECT l_orderkey, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+       "FROM lineitem GROUP BY l_orderkey " +
+       "HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0) " +
+       "SELECT c_name, o_orderkey, o_totalprice, sum_qty FROM big " +
+       "JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "ORDER BY sum_qty DESC, o_orderkey LIMIT 100"),
   )
 
   val oracleSql: Map[String, String] = Map(
