@@ -158,6 +158,71 @@ object Streams {
         round(max(col("jaccard")), 6).as("best_jaccard"))
   }
 
+  /** Streaming WINNOWING near-dedup: a STREAM of new documents matched
+    * against a STATIC corpus via winnow fingerprints — the ingestion-time
+    * twin of `Dedup.winnowIncremental`, and the deterministic-recall
+    * counterpart of [[incrementalNearDupStream]]: where banding misses a
+    * true pair with probability (1−J^r)^b, the winnowing guarantee makes
+    * every ≥ w+k−1-token shared run a CANDIDATE by construction, so the
+    * emitted matches are exactly the batch operator's (no probabilistic
+    * recall caveat on the ingestion path).
+    *
+    * The stream side stays STATELESS through the row-local fingerprint
+    * explode (the doc's own shingle set rides along — re-deriving it later
+    * would need a stream-stream self-join); candidates are stream-fp ×
+    * corpus-fp collisions only, the corpus never self-joins, and confirmed
+    * matches aggregate per stream doc in UPDATE mode — state is O(matched
+    * docs). Duplicate fp collisions for one pair confirm to identical
+    * (pair, jaccard) rows that collapse in the final min/max aggregate, so
+    * no candidate `distinct` (a second streaming aggregate) is needed.
+    *
+    * DIVERGENCE from the batch twin, stated: the boilerplate `maxFpDf` cut
+    * here counts CORPUS-side document frequency only — the combined
+    * batch+corpus count the batch operator uses would itself be a streaming
+    * aggregate. A fingerprint boilerplate in the static corpus is dropped
+    * identically; one only ever seen streaming cannot be (its join fan-out
+    * is bounded by the corpus posting list it hits, which the cap bounds).
+    * Emits only matched docs — the "genuinely new" NULL row of the batch
+    * operator has no anchor in update mode. */
+  def winnowIncrementalStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minJaccard: Double = 0.8,
+      maxFpDf: Long = graft.operators.Dedup.DefaultMaxFpDf,
+      shingleWidth: Int = 3): DataFrame = {
+    import graft.expressions.MinHashSignature.shingleHashes
+    import graft.functions.TextFunctions
+    import graft.functions.TextFunctions.tokens
+    import graft.operators.Dedup
+    require(maxFpDf >= 1, "maxFpDf must be at least 1")
+    val sFps = stream.select(
+        col(idCol).as("batch_id"),
+        array_distinct(shingleHashes(
+          transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as("b_sh"),
+        explode(TextFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
+    val cFpsAll = corpus.select(
+      col(idCol).as("corpus_id"),
+      explode(TextFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
+    val cFps =
+      if (maxFpDf == Long.MaxValue) cFpsAll
+      else cFpsAll.join(
+        cFpsAll.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxFpDf).select("fp"),
+        Seq("fp"), "left_semi")
+    val cSets = Dedup.shingleSets(corpus, idCol, textCol, shingleWidth, "c_id")
+    sFps.join(cFps, Seq("fp"))
+      .join(cSets, col("corpus_id") === col("c_id"))
+      .withColumn("jaccard", Dedup.setJaccard(col("b_sh"), col("c_id_sh")))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy(col("batch_id").as("id"))
+      .agg(min(col("corpus_id")).as("matched_id"),
+        round(max(col("jaccard")), 6).as("best_jaccard"))
+  }
+
   /** Streaming benchmark decontamination: a STREAM of new documents flagged
     * against a STATIC eval suite — the ingestion-time twin of
     * `Corpus.decontaminate`. Completely STATELESS (append mode, no

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -93,6 +94,43 @@ class StreamingSpec extends AnyFunSuite {
       ms.addData((12L, base))
       q.processAllAvailable()
       val rows2 = spark.table("inc_dedup_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows2 == Map(10L -> 1L, 12L -> 1L), s"got $rows2")
+    } finally q.stop()
+  }
+
+  test("streaming winnow near-dedup emits exactly the batch operator's matches") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val nearDup = base.replace("today", "tonight")
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different content about database query engines and columnar storage")
+    ).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (10L, nearDup),
+      (11L, "novel text on watermark semantics in state stores"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = Streams.winnowIncrementalStream(
+      ms.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text")
+    ms.addData(batchDocs: _*)
+    val q = Streams.runToMemory(out, "winnow_inc_out", OutputMode.Update())
+    try {
+      val streamed = spark.table("winnow_inc_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the batch twin on the same batch: matched rows must agree bit-for-bit
+      // (winnowing recall is deterministic, confirm is exact arithmetic);
+      // the stream emits only matched docs, the batch also NULL-rows new ones
+      val batch = graft.operators.Dedup.winnowIncremental(
+          corpus, batchDocs.toDF("doc_id", "text"), "doc_id", "text")
+        .filter(col("matched_id").isNotNull).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed.map(_._1) == Set(10L), s"only the near-dup matches: $streamed")
+      // a later micro-batch keeps matching — the static index re-joins
+      ms.addData((12L, base))
+      q.processAllAvailable()
+      val rows2 = spark.table("winnow_inc_out").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(rows2 == Map(10L -> 1L, 12L -> 1L), s"got $rows2")
     } finally q.stop()
