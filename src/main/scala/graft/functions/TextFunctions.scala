@@ -85,26 +85,39 @@ object TextFunctions {
       lit(0L),
       (acc, w) => acc + (length(w).cast("long") * 131L + ascii(w).cast("long")) * (length(w).cast("long") + 7L))
 
+  /** Let-binding for interpreted HOF trees: evaluates `e` ONCE and hands
+    * `f` a lambda VARIABLE bound to the result. Spark's higher-order
+    * functions evaluate interpreted (no codegen), and a lambda body that
+    * references an outer expression subtree re-evaluates that whole
+    * subtree on EVERY element — `transform(sequence(0, n), i => slice(ts,
+    * i, k))` with `ts = split(...)` runs n regex splits per row, an O(n²)
+    * blow-up that wedged the winnow operators' first sf0.1 audit. A
+    * lambda variable, by contrast, is read in O(1), and no optimizer rule
+    * inlines it back. Row-local, null-transparent (`f` sees NULL when `e`
+    * is NULL, exactly as the inline subtree would). */
+  private[graft] def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
   /** w-token shingles joined by a single space (fewer than w tokens → the
     * whole TOKEN SEQUENCE as one shingle, single-space-joined — keying on
     * tokens, not the raw string, so two short docs differing only in
     * whitespace shingle identically, matching the rolled token-hash
     * fallback in the codegen'd `ShingleHashes`). */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = tokens(text)
-    when(size(toks) < w, array(concat_ws(" ", toks))).otherwise(
-      transform(sequence(lit(1), size(toks) - lit(w - 1)), i => concat_ws(" ", slice(toks, i, lit(w)))))
-  }
+  def shingles(text: Column, w: Int = 3): Column =
+    bindOnce(tokens(text)) { toks =>
+      when(size(toks) < w, array(concat_ws(" ", toks))).otherwise(
+        transform(sequence(lit(1), size(toks) - lit(w - 1)), i => concat_ws(" ", slice(toks, i, lit(w)))))
+    }
 
   /** MinHash signature: numHashes independent permutations simulated by
     * seeding xxhash64 with the hash index; each signature slot is the min
     * over the document's shingle set. O(numHashes × shingles) per row,
     * no shuffle. */
-  def minhashSignature(text: Column, numHashes: Int = 32, shingleWidth: Int = 3): Column = {
-    val sh = shingles(text, shingleWidth)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
-  }
+  def minhashSignature(text: Column, numHashes: Int = 32, shingleWidth: Int = 3): Column =
+    bindOnce(shingles(text, shingleWidth)) { sh =>
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(sh, s => xxhash64(i, s))))
+    }
 
   /** Overlapping token-window chunking — the standard shape for slicing
     * long documents into training-context-sized pieces. Returns an array of
@@ -119,15 +132,16 @@ object TextFunctions {
     // negative token count) past the last token — reject the shape, it
     // contradicts the "overlap of size − stride" contract anyway
     require(stride <= size, s"stride ($stride) must not exceed size ($size)")
-    val toks = tokens(text)
-    val n = org.apache.spark.sql.functions.size(toks)
-    val nChunks = floor(
-      (greatest(n - lit(size), lit(0)) + lit(stride - 1)).cast("double") / lit(stride)).cast("int") + 1
-    transform(sequence(lit(0), nChunks - 1), k =>
-      struct(
-        k.as("chunk_idx"),
-        concat_ws(" ", slice(toks, k * stride + 1, lit(size))).as("chunk_text"),
-        least(lit(size), n - k * stride).cast("long").as("n_chunk_tokens")))
+    bindOnce(tokens(text)) { toks =>
+      val n = org.apache.spark.sql.functions.size(toks)
+      val nChunks = floor(
+        (greatest(n - lit(size), lit(0)) + lit(stride - 1)).cast("double") / lit(stride)).cast("int") + 1
+      transform(sequence(lit(0), nChunks - 1), k =>
+        struct(
+          k.as("chunk_idx"),
+          concat_ws(" ", slice(toks, k * stride + 1, lit(size))).as("chunk_text"),
+          least(lit(size), n - k * stride).cast("long").as("n_chunk_tokens")))
+    }
   }
 
   /** Email-address pattern shared by the redaction pair below — kept to the
@@ -223,16 +237,23 @@ object TextFunctions {
       gramHash: Column => Column = md5Hash56): Column = {
     require(k >= 1, "k must be at least 1")
     require(w >= 1, "w must be at least 1")
-    val ts = tokens(text)
-    val n = size(ts)
-    val grams = when(n < k, array(array_join(ts, " ")))
-      .otherwise(transform(sequence(lit(0), n - lit(k)),
-        i => array_join(slice(ts, i + lit(1), lit(k)), " ")))
-    val hs = transform(grams, g => gramHash(g))
-    val nh = size(hs)
-    val mins = when(nh < w, array(array_min(hs)))
-      .otherwise(transform(sequence(lit(0), nh - lit(w)),
-        i => array_min(slice(hs, i + lit(1), lit(w)))))
-    array_sort(array_distinct(mins))
+    // both intermediate arrays are [[bindOnce]]-bound: with the token array
+    // and the gram-hash array inlined instead, every window's lambda
+    // re-evaluated the full tokenize+hash subtree — n windows × n gram
+    // hashes = O(n²) md5s per document, which pinned one core for minutes
+    // per sf0.1 partition on the operator's first scale audit
+    bindOnce(tokens(text)) { ts =>
+      val n = size(ts)
+      val grams = when(n < k, array(array_join(ts, " ")))
+        .otherwise(transform(sequence(lit(0), n - lit(k)),
+          i => array_join(slice(ts, i + lit(1), lit(k)), " ")))
+      bindOnce(transform(grams, g => gramHash(g))) { hs =>
+        val nh = size(hs)
+        val mins = when(nh < w, array(array_min(hs)))
+          .otherwise(transform(sequence(lit(0), nh - lit(w)),
+            i => array_min(slice(hs, i + lit(1), lit(w)))))
+        array_sort(array_distinct(mins))
+      }
+    }
   }
 }

@@ -207,10 +207,15 @@ object Corpus {
     require(blockTokens >= 1, "blockTokens must be at least 1")
     require(maxOccurrences >= 1, "maxOccurrences must be at least 1")
     val w = blockTokens
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    val nBlocks = ((size(toks) + w - 1) / w).cast("long")
-    val blockList = transform(sequence(lit(0), nBlocks.cast("int") - 1),
-      i => array_join(slice(toks, i * w + 1, lit(w)), " "))
+    def nBlocksOf(toks: Column) = ((size(toks) + w - 1) / w).cast("long")
+    val nBlocks = nBlocksOf(graft.functions.TextFunctions.tokens(col(textCol)))
+    // bindOnce: the per-block lambda must slice a BOUND token array — an
+    // inline tokens() subtree would re-run the regex split once per block
+    val blockList = graft.functions.TextFunctions.bindOnce(
+        graft.functions.TextFunctions.tokens(col(textCol))) { toks =>
+      transform(sequence(lit(0), nBlocksOf(toks).cast("int") - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " "))
+    }
     val occ = df.select(col(idCol).as("id"), posexplode(blockList).as(Seq("idx", "blk")))
       .withColumn("h", xxhash64(col("blk")))
     val perBlock = occ.groupBy("h").agg(
