@@ -176,6 +176,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nodes == 1, s"expected exactly one SimHash64 evaluation, got $nodes in:\n$plan")
   }
 
+  test("token-array HOF expressions tokenize exactly once (bind-once structure)") {
+    import graft.functions.TextFunctions
+    // interpreted HOF lambdas re-evaluate any OUTER subtree they reference
+    // once per element; a second StringSplit node in the tree means a
+    // tokens() subtree leaked back inside a lambda body and the O(n²)
+    // re-tokenization (n windows × n-token split per window) is back
+    val one = spark.sql("SELECT 'a b c' AS text")
+    def splitNodes(c: org.apache.spark.sql.Column): Int =
+      one.select(c).queryExecution.analyzed.expressions.map(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.StringSplit => s
+      }.size).sum
+    for ((name, e) <- Seq(
+        "winnowFingerprints" -> TextFunctions.winnowFingerprints(col("text")),
+        "shingles" -> TextFunctions.shingles(col("text")),
+        "minhashSignature" -> TextFunctions.minhashSignature(col("text")),
+        "tokenChunks" -> TextFunctions.tokenChunks(col("text"))))
+      assert(splitNodes(e) == 1,
+        s"$name must bind its token array once, found ${splitNodes(e)} StringSplit nodes")
+  }
+
   test("IVF cell assignment is row-local: no Window node, no corpus×k fan-out") {
     import graft.operators.Similarity
     val emb = Tables.load(spark, sfDir, "embeddings")
