@@ -71,26 +71,38 @@ object Assembly {
       col(idCol).as("id"), col(textCol).as("text"),
       col(sourceCol).as("source"), col(langCol).as("lang"))
 
+    // Each stage's narrow (id, verdict) table is pinned with a checkpoint
+    // (Dedup.truncate): the audit join below consumes every stage AND each
+    // stage feeds the next one's survivor filter, so without pinning Spark
+    // re-executes the expensive text pipelines per consumer — the quality
+    // gate (including its corpus-wide LM training) ran 4x, decontamination
+    // and the cap 2x each. The pinned tables are O(corpus ids) of a few
+    // narrow columns — cluster-trivial storage next to the text they
+    // summarize — and the heavy lineage behind them executes exactly once.
+
     // 1. quality gate — the LM trains on exactly this input corpus
-    val gate = Corpus.qualityGate(base, "id", "text", minTokens, maxTokens,
-        maxTopNgramFrac, maxDupNgramFrac, maxAvgNll)
-      .select(col("id"), col("n_tokens"), col("keep").as("gate_keep"))
+    val gate = Dedup.truncate(
+      Corpus.qualityGate(base, "id", "text", minTokens, maxTokens,
+          maxTopNgramFrac, maxDupNgramFrac, maxAvgNll)
+        .select(col("id"), col("n_tokens"), col("keep").as("gate_keep")))
     val kept1 = base.join(gate.filter(col("gate_keep")).select("id"), Seq("id"), "left_semi")
 
     // 2. near-dedup over the gate's survivors, keep-canonical
-    val dd = Dedup.winnowNearDup(kept1, "id", "text", minJaccard = minJaccard,
-        shingleWidth = shingleWidth)
-      .select(col("id"), (col("cluster_id") <=> col("id")).as("canonical"))
+    val dd = Dedup.truncate(
+      Dedup.winnowNearDup(kept1, "id", "text", minJaccard = minJaccard,
+          shingleWidth = shingleWidth)
+        .select(col("id"), (col("cluster_id") <=> col("id")).as("canonical")))
     val kept2 = kept1.join(dd.filter(col("canonical")).select("id"), Seq("id"), "left_semi")
 
     // 3. decontamination against the (broadcast) benchmark shingle set
-    val dec = Corpus.decontaminate(kept2, benchmark, "id", "text", shingleWidth, minShared)
-      .select(col("id"), col("contaminated"))
+    val dec = Dedup.truncate(
+      Corpus.decontaminate(kept2, benchmark, "id", "text", shingleWidth, minShared)
+        .select(col("id"), col("contaminated")))
     val kept3 = kept2.join(dec.filter(!col("contaminated")).select("id"), Seq("id"), "left_semi")
 
     // 4/5. per-source quality cap over the decontaminated survivors
     val scored = kept3.withColumn("quality", TextFunctions.qualityScore(col("text")))
-    val ranked = Corpus.capPerGroup(scored, "source", "quality", "id", capPerSource)
+    val ranked = Dedup.truncate(Corpus.capPerGroup(scored, "source", "quality", "id", capPerSource))
     val kept4 = scored.join(ranked.select("id"), Seq("id"), "left_semi")
 
     // 4/6. deterministic split + shard packing of the final survivors

@@ -184,7 +184,7 @@ object Dedup {
     * executor loss, the right mode on preemptible clusters) and
     * `localCheckpoint` otherwise (executor-local blocks; an executor loss
     * mid-loop fails the job and it must rerun). */
-  private def truncate(df: DataFrame): DataFrame =
+  private[graft] def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
