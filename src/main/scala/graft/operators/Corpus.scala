@@ -62,10 +62,7 @@ object Corpus {
       shingleWidth: Int = 3,
       minShared: Long = 1L): DataFrame = {
     require(minShared >= 1, "minShared must be at least 1")
-    val shingleSet: Column =
-      array_distinct(graft.expressions.MinHashSignature.shingleHashes(
-        transform(graft.functions.TextFunctions.tokens(col(textCol)), t => xxhash64(t)),
-        shingleWidth))
+    val shingleSet = shingleSetCol(textCol, shingleWidth)
     val benchShingles = benchmark.select(explode(shingleSet).as("s")).distinct()
     val corpusShingles = corpus.select(col(idCol).as("id"), explode(shingleSet).as("s"))
     val shared = corpusShingles
@@ -76,6 +73,90 @@ object Corpus {
     // null-safe re-attach: NULL-id rows group as ONE pseudo-doc upstream (a
     // groupBy key, like any aggregation) — a plain equi-join would silently
     // zero their counts here
+    corpus.select(col(idCol).as("id"))
+      .join(shared, col("id") <=> col("__shared_id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+        (coalesce(col("n_shared_shingles"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
+  /** The distinct w-token shingle set of a text column as rolled 64-bit
+    * hashes — the representation shared by [[decontaminate]],
+    * [[decontaminateBloom]], and the dedup family. */
+  private def shingleSetCol(textCol: String, shingleWidth: Int): Column =
+    array_distinct(graft.expressions.MinHashSignature.shingleHashes(
+      transform(graft.functions.TextFunctions.tokens(col(textCol)), t => xxhash64(t)),
+      shingleWidth))
+
+  /** [[decontaminate]]'s 100 TB-broadcast scale path: IDENTICAL output (one
+    * row per corpus doc, same counts, same flags — the declared query
+    * shares [[decontaminate]]'s exact oracle), different candidate plumbing.
+    *
+    * The exact operator broadcasts the full distinct benchmark shingle-hash
+    * set to every task — at a 100M-shingle eval suite that is a ~800 MB
+    * exact broadcast. Here the benchmark side instead aggregates into ONE
+    * Bloom filter binary (Spark's `BloomFilterAggregate`, delivered to
+    * executors as a scalar-subquery literal — the same mechanism as Spark's
+    * own runtime join filters): ~1.1 GB of exact set becomes
+    * `-n·ln(fpp)/ln²2` BITS (e.g. 100M shingles at 3% fpp ≈ 87 MB), and the
+    * corpus-side prefilter is one row-local `might_contain` probe that
+    * drops ~(1−fpp) of the non-matching shingle stream before anything
+    * shuffles. Bloom filters have NO false negatives, so the prefilter
+    * loses nothing; the surviving sliver (true matches + fpp stragglers)
+    * then confirms against the exact benchmark set with a plain equi-join —
+    * which AQE sizes off the post-filter statistics (broadcast when tiny,
+    * shuffle when not; at 100 TB the confirm join shuffles only the
+    * surviving (id, hash) pairs, never text, never the full corpus shingle
+    * stream). False positives die in the confirm join, which is why the
+    * output is bit-identical to [[decontaminate]] at ANY fpp — the dial
+    * trades prefilter selectivity against filter size, not correctness.
+    *
+    * `expectedShingles` sizes the filter for the DISTINCT benchmark shingle
+    * count; undersizing degrades fpp (more confirm-join traffic), never
+    * correctness. `numBits` is clamped to Spark's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` ceiling by the
+    * aggregate itself.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      minShared: Long = 1L,
+      expectedShingles: Long = 4L * 1000 * 1000,
+      fpp: Double = 0.03): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    require(expectedShingles >= 1, "expectedShingles must be at least 1")
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge
+
+    val shingleSet = shingleSetCol(textCol, shingleWidth)
+    val benchShingles = benchmark.select(explode(shingleSet).as("s")).distinct()
+    val numBits = math.max(64L,
+      math.ceil(-expectedShingles.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomDf = benchShingles.agg(
+      graftbridge.toColumn(new BloomFilterAggregate(
+          graftbridge.toExpression(col("s")),
+          Literal(expectedShingles), Literal(numBits))
+        .toAggregateExpression()).as("bf"))
+    val mightContain = graftbridge.toColumn(BloomFilterMightContain(
+      ScalarSubquery(bloomDf.queryExecution.analyzed),
+      graftbridge.toExpression(col("s"))))
+
+    val candidates = corpus
+      .select(col(idCol).as("id"), explode(shingleSet).as("s"))
+      .filter(mightContain)
+    // exact confirm: false positives die here; no broadcast() hint — AQE
+    // sizes the join off the post-prefilter statistics
+    val shared = candidates
+      .join(benchShingles, Seq("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .withColumnRenamed("id", "__shared_id")
     corpus.select(col(idCol).as("id"))
       .join(shared, col("id") <=> col("__shared_id"), "left")
       .select(
@@ -506,5 +587,40 @@ object Corpus {
     val w = Window.partitionBy(col(groupCol)).orderBy(desc(scoreCol), asc(idCol))
     df.withColumn("rank_in_group", row_number().over(w).cast("long"))
       .filter(col("rank_in_group") <= cap)
+  }
+
+  /** Deterministic EXACT-SIZE stratified sample: exactly `min(k, |stratum|)`
+    * rows per stratum, chosen uniformly by ranking each stratum on the md5
+    * hex digest of (id ":" salt) — a pure function of the id, so unlike
+    * `sample()`/`sampleBy()` (probabilistic sizes, layout-sensitive RNG
+    * draws) the selected SET is reproducible across runs, engines, and
+    * cluster layouts, and the size contract is exact ("exactly 1000 eval
+    * docs per language"), which probabilistic sampling cannot promise.
+    * Uniformity comes from md5 being independent of any data attribute;
+    * changing the salt redraws an independent sample.
+    *
+    * One shuffle on the stratum key; the rank-≤-k filter is pushed down as
+    * a WindowGroupLimit, so each map task forwards at most k rows per
+    * stratum and the post-shuffle sort is partial — per-stratum cost is
+    * O(stratum) scan + O(k) retained at any corpus scale. A NULL id sorts
+    * after every non-NULL digest (NULLS LAST on both keys) and so is only
+    * drawn from a stratum smaller than k.
+    *
+    * Returns the sampled rows with their 1-based `sample_rank` within the
+    * stratum (a stable shard/position label for downstream use). */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      salt: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val digest = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(asc_nulls_last("__samp_digest"), asc_nulls_last(idCol))
+    df.withColumn("__samp_digest", digest)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("__samp_digest")
   }
 }

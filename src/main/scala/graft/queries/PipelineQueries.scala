@@ -687,6 +687,32 @@ object PipelineQueries {
         .select("doc_id", "source", "bucket", "retain_pct")
         .orderBy("doc_id")),
 
+    // the Bloom-prefiltered decontamination scale path: bit-identical
+    // output to text_decontaminate at ANY fpp (the exact confirm join kills
+    // every false positive), so it shares the exact oracle — the dial only
+    // moves broadcast bytes. fpp deliberately high (0.2) so the prefilter
+    // demonstrably passes false positives that the confirm join then kills.
+    "text_decontaminate_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      Corpus.decontaminateBloom(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", expectedShingles = 100000L, fpp = 0.2)
+        .select(col("id").as("doc_id"), col("n_shared_shingles"),
+          col("contaminated").cast("long").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic exact-size stratified sample: exactly k docs per
+    // language, selected by the md5(id:salt) order — a pure function of the
+    // id, so the SET (not just its size) is exactly re-derivable by the
+    // oracle, unlike probabilistic sample()/sampleBy()
+    "misc_stratified_sample" -> ((s, d) =>
+      Corpus.stratifiedSample(t(s, d, "documents").df, "lang", "doc_id",
+          salt = "strat", k = 5)
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("doc_id")),
+
     // Gopher-style intra-doc repetition signals over bigrams: counts reduce
     // on rolled 64-bit gram hashes (16-byte shuffle rows, map-side partial
     // agg); the DuckDB oracle re-derives every count from the STRING grams
@@ -1180,6 +1206,30 @@ object PipelineQueries {
        "row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank_in_group FROM scored) " +
        "SELECT doc_id, source, quality, CAST(rank_in_group AS BIGINT) AS rank_in_group " +
        "FROM ranked WHERE rank_in_group <= 3 ORDER BY doc_id"),
+
+    // bloom path: SAME oracle as text_decontaminate — the bloom prefilter
+    // is exact-output by construction (no false negatives + exact confirm)
+    "text_decontaminate_bloom" ->
+      ("WITH toks AS (SELECT doc_id, list_distinct(" +
+       "CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+       "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
+       "FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
+       "bench AS (SELECT DISTINCT unnest(sh) AS s FROM toks WHERE doc_id % 97 = 0), " +
+       "corp AS (SELECT doc_id, unnest(sh) AS s FROM toks WHERE doc_id % 97 <> 0), " +
+       "ov AS (SELECT doc_id, count(*) AS n FROM corp SEMI JOIN bench USING (s) GROUP BY doc_id) " +
+       "SELECT t.doc_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_shared_shingles, " +
+       "CAST(COALESCE(ov.n, 0) >= 1 AS BIGINT) AS contaminated " +
+       "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) t " +
+       "LEFT JOIN ov USING (doc_id) ORDER BY doc_id"),
+
+    // stratified sample: the md5(id:salt) per-stratum order re-derived
+    // exactly — rank and the selected set are both pinned
+    "misc_stratified_sample" ->
+      ("WITH r AS (SELECT doc_id, lang, row_number() OVER (" +
+       "PARTITION BY lang ORDER BY md5(doc_id || ':strat'), doc_id) AS sample_rank " +
+       "FROM documents) " +
+       "SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank " +
+       "FROM r WHERE sample_rank <= 5 ORDER BY doc_id"),
 
     // corpus mixing: the split_hash md5 bucket (salt 'mix') against a
     // per-source retention CASE — every kept row re-derived exactly

@@ -616,6 +616,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.forall(t => t._2 == 0L && !t._3))
   }
 
+  test("decontaminateBloom is bit-identical to the exact path at any fpp") {
+    val bench = docs.filter(col("doc_id") === 1L)
+    val corpus = docs.filter(col("doc_id") =!= 1L)
+    val exact = Corpus.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    // a well-sized filter AND a deliberately saturated one (64 bits for the
+    // whole benchmark shingle set → prefilter passes nearly everything):
+    // output must be identical either way — fpp moves bytes, not answers
+    for ((items, fpp) <- Seq((1000L, 0.01), (1L, 0.5))) {
+      val bloom = Corpus.decontaminateBloom(corpus, bench, "doc_id", "text",
+          expectedShingles = items, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+      assert(bloom == exact, s"bloom path diverged at expectedShingles=$items fpp=$fpp")
+    }
+    // the prefilter must actually be in the plan: one row-local
+    // might_contain probe on the corpus shingle stream before any join
+    val plan = Corpus.decontaminateBloom(corpus, bench, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom prefilter missing from plan:\n$plan")
+    assert(plan.contains("bloom_filter_agg"), s"bloom aggregate missing from plan:\n$plan")
+  }
+
+  test("stratifiedSample draws exactly min(k, stratum) rows, stable across layouts and salts") {
+    import spark.implicits._
+    // stratum a: 10 rows; stratum b: 2 rows (< k)
+    val df = ((1L to 10L).map(i => ("a", i)) ++ Seq(("b", 100L), ("b", 101L)))
+      .toDF("lang", "doc_id")
+    val out = Corpus.stratifiedSample(df, "lang", "doc_id", salt = "s1", k = 3)
+      .select("lang", "doc_id", "sample_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val byLang = out.groupBy(_._1)
+    assert(byLang("a").size == 3, "full stratum yields exactly k")
+    assert(byLang("b").size == 2, "small stratum yields all its rows")
+    assert(byLang("a").map(_._3).sorted == Seq(1L, 2L, 3L), "ranks are 1..k")
+    // the selected SET is a pure function of (id, salt): any partition
+    // layout draws the same sample ...
+    val relaid = Corpus.stratifiedSample(df.repartition(7, col("doc_id")), "lang", "doc_id",
+        salt = "s1", k = 3)
+      .select("lang", "doc_id", "sample_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(relaid == out, "sample must be independent of partition layout")
+    // ... and a different salt redraws an independent one (here: different)
+    val resalted = Corpus.stratifiedSample(df, "lang", "doc_id", salt = "s2", k = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(resalted != out.map(_._2).toSet, "salts s1/s2 draw the same set — suspicious")
+  }
+
   test("capPerGroup keeps exactly cap rows per group with deterministic tie-break") {
     import spark.implicits._
     // group a: scores 3,2,2,1 with doc ids 10,11,12,13 — the 2-vs-2 tie
