@@ -552,10 +552,51 @@ object Corpus {
       maxAvgNll: Double = Double.MaxValue,
       ngram: Int = 2,
       addK: Double = 1.0): DataFrame = {
-    val rep = repetitionStats(df, idCol, textCol, ngram)
+    gateVerdict(lmScore(df, idCol, textCol, addK),
+      repetitionStats(df, idCol, textCol, ngram),
+      minTokens, maxTokens, maxTopNgramFrac, maxDupNgramFrac, maxAvgNll)
+  }
+
+  /** [[qualityGate]] scored against an already-trained count table — the
+    * ingestion-time gate: the corpus-sized LM training reduce runs once
+    * (persist it with `MetaPersist.writeModel`), and each new batch gates
+    * itself at O(batch tokens) with the FROZEN model, so two batches of the
+    * same docs get the same verdicts regardless of what arrived between
+    * them (the self-trained gate's thresholds drift with the input slice by
+    * design — right for one-shot corpus builds, wrong for a stable
+    * ingestion bar). Same verdict columns, same deterministic micro-nat
+    * arithmetic; OOV tokens score with c = 0 per [[lmScoreAgainst]]. */
+  def qualityGateAgainst(
+      df: DataFrame,
+      counts: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Long = 1L,
+      maxTokens: Long = Long.MaxValue,
+      maxTopNgramFrac: Double = 1.0,
+      maxDupNgramFrac: Double = 1.0,
+      maxAvgNll: Double = Double.MaxValue,
+      ngram: Int = 2,
+      addK: Double = 1.0): DataFrame = {
+    gateVerdict(lmScoreAgainst(df, counts, idCol, textCol, addK),
+      repetitionStats(df, idCol, textCol, ngram),
+      minTokens, maxTokens, maxTopNgramFrac, maxDupNgramFrac, maxAvgNll)
+  }
+
+  /** The shared verdict assembly of [[qualityGate]]/[[qualityGateAgainst]]:
+    * joins the per-doc LM score and repetition signals and applies the
+    * threshold rules into (keep, n_reasons, reasons). */
+  private def gateVerdict(
+      lmScored: DataFrame,
+      repStats: DataFrame,
+      minTokens: Long,
+      maxTokens: Long,
+      maxTopNgramFrac: Double,
+      maxDupNgramFrac: Double,
+      maxAvgNll: Double): DataFrame = {
+    val rep = repStats
       .select(col("id").as("__qg_rep_id"), col("top_ngram_frac"), col("dup_ngram_frac"))
-    val lm = lmScore(df, idCol, textCol, addK)
-      .select(col("id"), col("n_tokens"), col("avg_nll"))
+    val lm = lmScored.select(col("id"), col("n_tokens"), col("avg_nll"))
     val reasons = filter(array(
         when(col("n_tokens") < minTokens, lit("too_short")),
         when(col("n_tokens") > maxTokens, lit("too_long")),

@@ -288,4 +288,76 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("meta_out").count() == 1)
     } finally q.stop()
   }
+
+  test("foreachBatch corpus ingestion grows the store and attributes every drop stage") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Corpus
+    import graft.streaming.Ingest
+    val dirBase = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val (corpusDir, auditDir, ckpt) = (s"$dirBase/corpus", s"$dirBase/audit", s"$dirBase/ckpt")
+    val good = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val novel = "spark catalyst optimizer pushes filters below joins for scan pruning wins"
+    val benchText = "benchmark evaluation question answer pairs held out strictly from training"
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    // frozen gate LM, trained once on clean reference text
+    val lm = Corpus.lmCounts(Seq((1L, good), (2L, novel)).toDF("doc_id", "text"), "text")
+    val ms = MemoryStream[(Long, String, String, String)](spark)
+    val q = Ingest.ingestCorpus(
+      ms.toDF().toDF("doc_id", "text", "source", "lang"),
+      corpusDir, auditDir, bench, lm,
+      "doc_id", "text", "source", "lang",
+      checkpointDir = ckpt, trigger = Trigger.ProcessingTime(0),
+      maxTopNgramFrac = 0.5)
+    try {
+      ms.addData(
+        (10L, good, "web", "en"), // accepted
+        (11L, good, "web", "en"), // in-batch dup of 10 → canonical election
+        (12L, benchText + " plus trailing filler words here", "web", "en"), // eval leak
+        (13L, "buy buy buy buy buy buy", "ads", "en")) // repetitive → gate
+      q.processAllAvailable()
+      // batch 2 AFTER batch 1 committed: 14 duplicates a doc ACCEPTED in
+      // batch 1 — visible only because the store grew between batches
+      ms.addData(
+        (14L, good, "web2", "en"),
+        (15L, novel, "web", "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val audit = spark.read.parquet(auditDir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("drop_stage")), r.getAs[Boolean]("keep"),
+          Option(r.getAs[String]("split"))))).toMap
+    assert(audit.size == 6, s"one audit row per streamed doc: $audit")
+    assert(audit(10L)._1.isEmpty && audit(10L)._2 && audit(10L)._3.isDefined)
+    assert(audit(11L)._1.contains("duplicate"), s"in-batch dup: ${audit(11L)}")
+    assert(audit(12L)._1.contains("contaminated"))
+    assert(audit(13L)._1.contains("quality"))
+    assert(audit(14L)._1.contains("duplicate_corpus"),
+      s"batch-2 dup of an accepted doc must hit the grown store: ${audit(14L)}")
+    assert(audit(15L)._1.isEmpty && audit(15L)._2)
+    assert(audit.values.forall(v => v._3.isDefined == v._2), "split iff accepted")
+    // the store holds exactly the accepted docs
+    // store schema is the normalized (id, text, source, lang)
+    val store = spark.read.parquet(corpusDir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(store == Set(10L, 15L), s"store: $store")
+    // the streamed batch-1 audit is bit-equal to the batch operator run
+    // directly on the same slice against an empty corpus
+    val b1 = Seq(
+      (10L, good, "web", "en"), (11L, good, "web", "en"),
+      (12L, benchText + " plus trailing filler words here", "web", "en"),
+      (13L, "buy buy buy buy buy buy", "ads", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), Option(r.getAs[String]("drop_stage")),
+        r.getAs[Boolean]("keep"), Option(r.getAs[String]("split")),
+        r.getAs[Long]("n_tokens"))
+    val direct = Ingest.assembleMicroBatch(b1, b1.limit(0), bench, lm,
+        "doc_id", "text", "source", "lang", maxTopNgramFrac = 0.5)
+      .collect().map(key).toSet
+    val streamed1 = spark.read.parquet(auditDir)
+      .filter(col("batch_id") === 0L).collect().map(key).toSet
+    assert(streamed1 == direct, s"stream $streamed1 vs direct $direct")
+  }
 }
