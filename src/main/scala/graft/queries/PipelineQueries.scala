@@ -758,6 +758,25 @@ object PipelineQueries {
         .orderBy("id").df
     }),
 
+    // the INGESTION micro-batch twin of pipeline_corpus_e2e: the %7==0
+    // slice stands in for the already-accepted store (it also trains the
+    // frozen gate LM — the realistic artifact), the %7<>0 slice is the
+    // arriving batch. Five stages engage: frozen-LM gate, in-batch
+    // canonical election, batch-vs-store near-dedup (duplicate_corpus),
+    // decontamination, split. Every stage deterministic → exact oracle.
+    "pipeline_ingest_batch" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val store = docs.filter(col("doc_id") % 7 === 0)
+      val batch = docs.filter(col("doc_id") % 7 =!= 0)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      graft.streaming.Ingest.assembleMicroBatch(
+          batch, store, bench, Corpus.lmCounts(store, "text"),
+          "doc_id", "text", "source", "lang",
+          minTokens = 20L, maxTokens = 100000L,
+          maxTopNgramFrac = 0.10, maxDupNgramFrac = 0.15, maxAvgNll = 3.60)
+        .orderBy("id")
+    }),
+
     // --------------------------------------------------------- multimodal
     // frame sampling over binary payloads: row-local slice + explode —
     // exact DuckDB oracle (frame idx/len are integer arithmetic on octet_length)
@@ -1356,6 +1375,84 @@ object PipelineQueries {
        "LEFT JOIN dec dc ON corp.doc_id = dc.doc_id " +
        "LEFT JOIN (SELECT doc_id FROM rk WHERE rg <= 5) k4 ON corp.doc_id = k4.doc_id " +
        "LEFT JOIN packed p ON corp.doc_id = p.doc_id " +
+       "ORDER BY id"),
+
+    // ingestion micro-batch: the e2e oracle's stage algebra with three
+    // swaps — the LM counts come from the %7==0 store (LEFT JOIN: OOV
+    // scores with c=0), a batch-vs-store hi-Jaccard stage labels
+    // duplicate_corpus, and there is no cap/shard (global stages are
+    // batch-side by contract)
+    "pipeline_ingest_batch" ->
+      ("WITH RECURSIVE " +
+       "store AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0), " +
+       "corp AS (SELECT doc_id, text, source, lang FROM documents WHERE doc_id % 7 <> 0), " +
+       // gate repetition signals over the batch
+       "ts0 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM corp), " +
+       "g0 AS (SELECT doc_id, CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')] " +
+       "ELSE [array_to_string(ts[i:i+1], ' ') FOR i IN generate_series(1, len(ts)-1)] END AS ng FROM ts0), " +
+       "e0 AS (SELECT doc_id, unnest(ng) AS s FROM g0), " +
+       "c0 AS (SELECT doc_id, s, count(*) AS c FROM e0 GROUP BY 1, 2), " +
+       "a0 AS (SELECT doc_id, sum(c) AS t, max(c) AS m, " +
+       "coalesce(sum(c) FILTER (c > 1), 0) AS dup FROM c0 GROUP BY 1), " +
+       // the FROZEN LM: counts from the store, batch tokens LEFT-join them
+       "stok AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS term FROM store), " +
+       "cnt AS (SELECT term, count(*) AS c FROM stok WHERE term <> '' GROUP BY term), " +
+       "tot AS (SELECT sum(c) AS t, count(*) AS v FROM cnt), " +
+       "tok2 AS (SELECT doc_id, unnest(ts) AS term FROM ts0), " +
+       "tok3 AS (SELECT doc_id, term FROM tok2 WHERE term <> ''), " +
+       "lp AS (SELECT tok3.doc_id, CAST(round(ln((coalesce(cnt.c, 0) + 1.0) / (tot.t + 1.0 * tot.v)) * 1000000) AS BIGINT) AS micro_lp " +
+       "FROM tok3 LEFT JOIN cnt USING (term) CROSS JOIN tot), " +
+       "per_doc AS (SELECT doc_id, count(*) AS n_tokens, sum(micro_lp) AS s FROM lp GROUP BY doc_id), " +
+       "gatek AS (SELECT corp.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+       "(coalesce(p.n_tokens, 0) >= 20 AND coalesce(p.n_tokens, 0) <= 100000 " +
+       "AND (CASE WHEN coalesce(a0.t, 0) > 0 THEN CAST(a0.m AS DOUBLE) / a0.t ELSE 0.0 END) <= 0.10 " +
+       "AND (CASE WHEN coalesce(a0.t, 0) > 0 THEN CAST(a0.dup AS DOUBLE) / a0.t ELSE 0.0 END) <= 0.15 " +
+       "AND p.s IS NOT NULL AND (-p.s) / (1000000.0 * p.n_tokens) <= 3.60) AS gate_keep " +
+       "FROM corp LEFT JOIN a0 USING (doc_id) LEFT JOIN per_doc p ON corp.doc_id IS NOT DISTINCT FROM p.doc_id), " +
+       "kept1 AS (SELECT corp.* FROM corp JOIN gatek USING (doc_id) WHERE gate_keep), " +
+       // in-batch canonical election among gate survivors
+       "sh1 AS (SELECT * FROM " + shSetSql("kept1") + "), " +
+       "hi AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM sh1 x JOIN sh1 y " +
+       "ON x.doc_id < y.doc_id AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8), " +
+       "edges AS (SELECT id_a AS src, id_b AS dst FROM hi UNION SELECT id_b AS src, id_a AS dst FROM hi), " +
+       "reach(src, dst) AS (SELECT src, dst FROM edges " +
+       "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src), " +
+       "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component FROM reach GROUP BY src), " +
+       "dd AS (SELECT k.doc_id, (c2.component IS NULL OR c2.component = k.doc_id) AS canonical " +
+       "FROM kept1 k LEFT JOIN comp c2 USING (doc_id)), " +
+       "kept2 AS (SELECT kept1.* FROM kept1 JOIN dd USING (doc_id) WHERE canonical), " +
+       // batch-vs-store near-dedup: any store doc at Jaccard >= 0.8
+       "shk AS (SELECT * FROM " + shSetSql("kept2") + "), " +
+       "shs AS (SELECT * FROM " + shSetSql("store") + "), " +
+       "cm AS (SELECT DISTINCT x.doc_id FROM shk x JOIN shs y " +
+       "ON CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / " +
+       "len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8), " +
+       "kept3 AS (SELECT kept2.* FROM kept2 ANTI JOIN cm USING (doc_id)), " +
+       // decontamination against the benchmark slice
+       "bsh AS (SELECT DISTINCT unnest(sh) AS s FROM " +
+       shSetSql("(SELECT * FROM documents WHERE doc_id % 97 = 0)") + "), " +
+       "csh AS (SELECT doc_id, unnest(sh) AS s FROM " + shSetSql("kept3") + "), " +
+       "ov AS (SELECT doc_id, count(*) AS n FROM csh SEMI JOIN bsh USING (s) GROUP BY doc_id), " +
+       "dec AS (SELECT kept3.doc_id, coalesce(ov.n, 0) >= 1 AS contaminated " +
+       "FROM kept3 LEFT JOIN ov USING (doc_id)), " +
+       "kept4 AS (SELECT kept3.* FROM kept3 JOIN dec USING (doc_id) WHERE NOT contaminated), " +
+       // deterministic split of the accepted docs
+       "spl AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+       "FROM (SELECT doc_id, CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT) % 100 AS b FROM kept4)) " +
+       // audit: first-failing-stage attribution, one row per batch doc
+       "SELECT corp.doc_id AS id, corp.source, corp.lang, gk.n_tokens, " +
+       "CASE WHEN NOT gk.gate_keep THEN 'quality' " +
+       "WHEN NOT coalesce(d2.canonical, FALSE) THEN 'duplicate' " +
+       "WHEN cm2.doc_id IS NOT NULL THEN 'duplicate_corpus' " +
+       "WHEN dc.contaminated THEN 'contaminated' END AS drop_stage, " +
+       "p.split IS NOT NULL AS keep, p.split " +
+       "FROM corp " +
+       "JOIN gatek gk ON corp.doc_id = gk.doc_id " +
+       "LEFT JOIN dd d2 ON corp.doc_id = d2.doc_id " +
+       "LEFT JOIN cm cm2 ON corp.doc_id = cm2.doc_id " +
+       "LEFT JOIN dec dc ON corp.doc_id = dc.doc_id " +
+       "LEFT JOIN spl p ON corp.doc_id = p.doc_id " +
        "ORDER BY id"),
 
     // frame sampling is pure integer arithmetic on the payload byte length:
