@@ -85,6 +85,18 @@ object TextFunctions {
       lit(0L),
       (acc, w) => acc + (length(w).cast("long") * 131L + ascii(w).cast("long")) * (length(w).cast("long") + 7L))
 
+  /** Canonical normalization for dedup keys — see
+    * [[graft.expressions.NormalizeText]] (Unicode form + Locale.ROOT
+    * lowercase + whitespace collapse/trim as one codegen'd expression). */
+  def normalizeText(
+      text: Column,
+      form: String = "NFC",
+      caseFold: Boolean = true,
+      collapseWs: Boolean = true): Column =
+    org.apache.spark.sql.graftbridge.toColumn(
+      graft.expressions.NormalizeText(
+        org.apache.spark.sql.graftbridge.toExpression(text), form, caseFold, collapseWs))
+
   /** Let-binding for interpreted HOF trees: evaluates `e` ONCE and hands
     * `f` a lambda VARIABLE bound to the result. Spark's higher-order
     * functions evaluate interpreted (no codegen), and a lambda body that

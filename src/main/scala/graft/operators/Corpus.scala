@@ -630,6 +630,36 @@ object Corpus {
       .filter(col("rank_in_group") <= cap)
   }
 
+  /** Corpus version diff — the dataset-versioning primitive: one row per
+    * doc id present in EITHER version with its transition status
+    * (`added` | `removed` | `changed` | `unchanged`), decided by content
+    * hash. This is what an incremental re-train actually wants from "the
+    * corpus was updated": the changed/added slice to process, the removed
+    * slice to retire, and exact counts for the audit trail.
+    *
+    * Presence is tracked with explicit flags, not hash nullness — a
+    * present doc with NULL content still diffs correctly (its hash is NULL
+    * on both sides → `unchanged` via the null-safe compare). Scale shape:
+    * both sides project to narrow (id, hash) rows before the single
+    * full-outer shuffle join on id; text never moves. */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    def keyed(df: DataFrame, hash: String, flag: String): DataFrame =
+      df.select(col(idCol).as("id"),
+        md5(col(contentCol).cast("binary")).as(hash), lit(true).as(flag))
+    keyed(oldDf, "old_hash", "__old")
+      .join(keyed(newDf, "new_hash", "__new"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(!(col("old_hash") <=> col("new_hash")), "changed")
+          .otherwise("unchanged"))
+      .select("id", "status", "old_hash", "new_hash")
+  }
+
   /** Deterministic EXACT-SIZE stratified sample: exactly `min(k, |stratum|)`
     * rows per stratum, chosen uniformly by ranking each stratum on the md5
     * hex digest of (id ":" salt) — a pure function of the id, so unlike

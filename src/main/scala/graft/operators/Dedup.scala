@@ -28,6 +28,21 @@ object Dedup {
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("dup_count"))
 
+  /** [[exact]] over the CANONICAL rendering of the content — Unicode NFC +
+    * casefold + whitespace collapse ([[graft.expressions.NormalizeText]])
+    * before hashing, so composed-vs-decomposed accents, case variation,
+    * and whitespace runs collapse into one dedup key (the CCNet-style
+    * normalize-then-hash convention; raw `md5(text)` treats each rendering
+    * as distinct content). Same plan shape as [[exact]]: the normalization
+    * is row-local inside the pre-shuffle project, one uniform-key shuffle. */
+  def exactNormalized(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(
+        md5(graft.functions.TextFunctions.normalizeText(col(contentCol)).cast("binary"))
+          .as("content_hash"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("dup_count"))
+
   /** MinHash + LSH banding near-dedup.
     *
     * Pipeline (all distributed, 2 shuffles):

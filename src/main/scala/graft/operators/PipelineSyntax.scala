@@ -126,6 +126,102 @@ object PipelineSyntax {
           mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
     }
 
+    /** [[decontaminateAgainst]]'s Bloom-prefiltered scale path: identical
+      * output (and pk semantics) at any fpp — the dial moves broadcast
+      * bytes, not answers. */
+    def decontaminateAgainstBloom(
+        benchmark: MetaFrame, idCol: String, textCol: String,
+        shingleWidth: Int = 3, minShared: Long = 1L,
+        expectedShingles: Long = 4L * 1000 * 1000, fpp: Double = 0.03): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf,
+        Corpus.decontaminateBloom(mf.df, benchmark.df, idCol, textCol, shingleWidth,
+          minShared, expectedShingles, fpp),
+        "decontaminate_bloom",
+        Map("id" -> idCol, "text" -> textCol, "shingleWidth" -> shingleWidth,
+            "minShared" -> minShared, "expectedShingles" -> expectedShingles,
+            "fpp" -> fpp),
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** Deterministic exact-size stratified sample: row SUBSET plus a
+      * sample_rank column, so parent pk survives (verified-if-it-was). */
+    def stratifiedSampleBy(
+        stratumCol: String, idCol: String, salt: String, k: Int): MetaFrame =
+      derived(mf, Corpus.stratifiedSample(mf.df, stratumCol, idCol, salt, k),
+        "stratified_sample",
+        Map("stratum" -> stratumCol, "id" -> idCol, "salt" -> salt, "k" -> k),
+        pk = mf.primaryKey,
+        pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+
+    /** [[qualityGate]] against a FROZEN pre-trained count table (e.g. a
+      * `MetaPersist.readModel` artifact) — the stable ingestion bar. Same
+      * output shape and pk semantics as [[qualityGate]]. */
+    def qualityGateAgainst(
+        counts: MetaFrame, idCol: String, textCol: String,
+        minTokens: Long = 1L, maxTokens: Long = Long.MaxValue,
+        maxTopNgramFrac: Double = 1.0, maxDupNgramFrac: Double = 1.0,
+        maxAvgNll: Double = Double.MaxValue,
+        ngram: Int = 2, addK: Double = 1.0): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf,
+        Corpus.qualityGateAgainst(mf.df, counts.df, idCol, textCol, minTokens,
+          maxTokens, maxTopNgramFrac, maxDupNgramFrac, maxAvgNll, ngram, addK),
+        "quality_gate_frozen",
+        Map("id" -> idCol, "text" -> textCol, "minTokens" -> minTokens,
+            "maxTokens" -> maxTokens, "maxTopNgramFrac" -> maxTopNgramFrac,
+            "maxDupNgramFrac" -> maxDupNgramFrac, "maxAvgNll" -> maxAvgNll,
+            "ngram" -> ngram, "addK" -> addK),
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** The ingestion micro-batch pipeline
+      * ([[graft.streaming.Ingest.assembleMicroBatch]]) metadata-aware: one
+      * audit row per input doc (pk follows the parent's id key). */
+    def assembleIngestBatch(
+        corpus: MetaFrame, benchmark: MetaFrame, lmCounts: MetaFrame,
+        idCol: String, textCol: String, sourceCol: String, langCol: String,
+        minTokens: Long = 1L, maxTokens: Long = Long.MaxValue,
+        maxTopNgramFrac: Double = 1.0, maxDupNgramFrac: Double = 1.0,
+        maxAvgNll: Double = Double.MaxValue,
+        minJaccard: Double = 0.8, shingleWidth: Int = 3, minShared: Long = 1L,
+        salt: String = "graft", trainPct: Int = 80, valPct: Int = 10): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf,
+        graft.streaming.Ingest.assembleMicroBatch(mf.df, corpus.df, benchmark.df,
+          lmCounts.df, idCol, textCol, sourceCol, langCol, minTokens, maxTokens,
+          maxTopNgramFrac, maxDupNgramFrac, maxAvgNll, minJaccard, shingleWidth,
+          minShared, salt, trainPct, valPct),
+        "ingest_batch",
+        Map("id" -> idCol, "text" -> textCol, "source" -> sourceCol,
+            "lang" -> langCol, "minTokens" -> minTokens, "maxTokens" -> maxTokens,
+            "maxTopNgramFrac" -> maxTopNgramFrac, "maxDupNgramFrac" -> maxDupNgramFrac,
+            "maxAvgNll" -> maxAvgNll, "minJaccard" -> minJaccard,
+            "shingleWidth" -> shingleWidth, "minShared" -> minShared,
+            "salt" -> salt, "trainPct" -> trainPct, "valPct" -> valPct),
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** Corpus version diff against a newer version: one row per id in
+      * either version (pk = id, set + verified — the full-outer join keys
+      * uniquely by id when both parents do). */
+    def diffAgainst(newer: MetaFrame, idCol: String, contentCol: String): MetaFrame = {
+      val bothKeyed = mf.primaryKey.contains(Seq(idCol)) &&
+        newer.primaryKey.contains(Seq(idCol))
+      derived(mf, Corpus.corpusDiff(mf.df, newer.df, idCol, contentCol),
+        "corpus_diff", Map("id" -> idCol, "content" -> contentCol),
+        pk = if (bothKeyed) Some(Seq("id")) else None,
+        pkVerified = bothKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true) &&
+          newer.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
     /** Deterministic corpus mixing: row SUBSET plus bucket/retain_pct
       * columns, so parent pk survives (verified-if-it-was). */
     def mixByHash(

@@ -306,6 +306,15 @@ object PipelineQueries {
       Dedup.exact(t(s, d, "documents").df, "doc_id", "text")
         .orderBy("content_hash")),
 
+    // exact dedup over the CANONICAL rendering: NFC + casefold + whitespace
+    // collapse before hashing (native NormalizeText expression). DuckDB
+    // re-derives the full normalize-then-hash key per row; the unicode edge
+    // cases invisible in this ASCII corpus (NFD input, NFKC ligatures) are
+    // pinned in PipelineOpsSpec.
+    "dedup_exact_normalized" -> ((s, d) =>
+      Dedup.exactNormalized(t(s, d, "documents").df, "doc_id", "text")
+        .orderBy("content_hash")),
+
     // MinHash+LSH property oracle: planted near-dup pairs (exact shingle
     // Jaccard ≥ 0.8, DuckDB-recomputable) must land in one cluster with both
     // docs flagged. With r=4/b=8 banding the per-pair miss probability at
@@ -393,13 +402,18 @@ object PipelineQueries {
       val batch = docs.filter(col("doc_id") % 5 === 0)
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       val out = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text")
-      val matched = out.filter(col("matched_id").isNotNull)
-        .select(col("id"), col("matched_id"))
-      val hi = hiJaccardPairs(s, d)
+      // both verdict tables feed two consumers below (the semi-join and an
+      // aggregate) — pinned via checkpoint so the operator and the exact
+      // inverted-index pair derivation each execute ONCE, same as the
+      // Assembly stage tables (values unchanged; this is the composite
+      // whose sf1 ratio was dominated by branch re-execution)
+      val matched = Dedup.truncate(out.filter(col("matched_id").isNotNull)
+        .select(col("id"), col("matched_id")))
+      val hi = Dedup.truncate(hiJaccardPairs(s, d)
         .filter((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
         .select(
           when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b")).as("b_id"),
-          when(col("id_a") % 5 === 0, col("id_b")).otherwise(col("id_a")).as("c_id"))
+          when(col("id_a") % 5 === 0, col("id_b")).otherwise(col("id_a")).as("c_id")))
       val nTrue = matched.join(hi,
         matched("id") === hi("b_id") && matched("matched_id") === hi("c_id"), "left_semi")
       matched.agg(count(lit(1)).as("__nm")).crossJoin(
@@ -700,6 +714,21 @@ object PipelineQueries {
           "doc_id", "text", expectedShingles = 100000L, fpp = 0.2)
         .select(col("id").as("doc_id"), col("n_shared_shingles"),
           col("contaminated").cast("long").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus version diff: v1 = %3<>0 slice, v2 = %5<>0 slice with text
+    // edited for %11==0 — all four transition statuses engage; the status
+    // table is pure hash arithmetic, exactly re-derivable
+    "corpus_version_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val v1 = docs.filter(col("doc_id") % 3 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Corpus.corpusDiff(v1, v2, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"), col("old_hash"), col("new_hash"))
         .orderBy("doc_id")
     }),
 
@@ -1029,6 +1058,13 @@ object PipelineQueries {
       ("SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS dup_count " +
        "FROM documents GROUP BY md5(text) ORDER BY content_hash"),
 
+    // normalize-then-hash: DuckDB's nfc_normalize/lower/regexp collapse
+    // mirror the NormalizeText expression's canonical rendering
+    "dedup_exact_normalized" ->
+      ("SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS content_hash, " +
+       "min(doc_id) AS canonical_id, count(*) AS dup_count " +
+       "FROM documents GROUP BY 1 ORDER BY content_hash"),
+
     // same per-lang running token sum; shard = start offset // 5000 (both
     // engines: double division truncated toward zero == floor on
     // non-negative offsets)
@@ -1240,6 +1276,19 @@ object PipelineQueries {
        "CAST(COALESCE(ov.n, 0) >= 1 AS BIGINT) AS contaminated " +
        "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) t " +
        "LEFT JOIN ov USING (doc_id) ORDER BY doc_id"),
+
+    // version diff: the same hash arithmetic over both slices with a FULL
+    // OUTER join; null-safe hash compare decides changed vs unchanged
+    "corpus_version_diff" ->
+      ("WITH v1 AS (SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 3 <> 0), " +
+       "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS new_hash " +
+       "FROM documents WHERE doc_id % 5 <> 0) " +
+       "SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, " +
+       "CASE WHEN v1.doc_id IS NULL THEN 'added' " +
+       "WHEN v2.doc_id IS NULL THEN 'removed' " +
+       "WHEN v1.old_hash IS DISTINCT FROM v2.new_hash THEN 'changed' " +
+       "ELSE 'unchanged' END AS status, v1.old_hash, v2.new_hash " +
+       "FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id ORDER BY doc_id"),
 
     // stratified sample: the md5(id:salt) per-stratum order re-derived
     // exactly — rank and the selected set are both pinned

@@ -40,8 +40,10 @@ object AuditScale {
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cc_exact", "dedup_incremental",
     "dedup_winnow_incremental", "sim_topk_ivf", "sim_topk_int8",
     "mm_image_histogram", "mm_audio_histogram", "mm_video_histogram",
-    "text_decontaminate", "text_lm_quality", "text_lm_bigram", "text_tfidf_topterms",
-    "sim_ivf_train", "text_quality_gate", "pipeline_corpus_e2e")
+    "text_decontaminate", "text_decontaminate_bloom",
+    "text_lm_quality", "text_lm_bigram", "text_tfidf_topterms",
+    "sim_ivf_train", "text_quality_gate", "pipeline_corpus_e2e",
+    "pipeline_ingest_batch")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -68,8 +70,9 @@ object AuditScale {
       // trainCentroids broadcasts its k-row centroid table
       "text_lm_quality", "text_lm_bigram", "text_tfidf_topterms", "sim_ivf_train",
       // the e2e assembly embeds the gate's LM scorer (1-row totals) and the
-      // capped-query 1-row drop-count aggregate
-      "text_quality_gate", "pipeline_corpus_e2e")
+      // capped-query 1-row drop-count aggregate; the ingestion micro-batch
+      // embeds the same frozen-LM scorer shape
+      "text_quality_gate", "pipeline_corpus_e2e", "pipeline_ingest_batch")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(
@@ -142,7 +145,17 @@ object AuditScale {
       val times = Seq.fill(runs)(once()).sorted
       graftbridge.drainListenerBus(spark)
       (times(times.size / 2), times.last - times.head, listener.flagged)
-    } finally spark.listenerManager.unregister(listener)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      // The checkpoint-pinned stage tables of the pipeline entries (and any
+      // cached frames) otherwise ACCUMULATE across the whole audit — by the
+      // sf1 phase the block manager is carrying dozens of dead entries'
+      // blocks and GC noise swamps the timings (observed: spreads jumping
+      // from ±0.5 s to ±10 s once the 24th/25th entries joined the set).
+      // Between entries nothing is live, so drop it all.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -166,13 +179,16 @@ object AuditScale {
     // warm pass: JIT + codegen cache on the small sf — one run suffices
     fns.foreach { case (n, fn) => runOne(spark, warmDir, n, fn, runs = 1) }
 
+    // median-of-5: with per-entry storage cleanup the full audit is cheap
+    // enough that two extra passes buy real outlier resistance (a lone GC
+    // pause no longer lands within one slot of the median)
     val small = fns.map { case (n, fn) =>
-      val (secs, spread, flagged) = runOne(spark, smallDir, n, fn)
+      val (secs, spread, flagged) = runOne(spark, smallDir, n, fn, runs = 5)
       println(f"[scale] sf0.1 $n%-28s ${secs}%7.2fs ±${spread}%5.2f flagged=$flagged")
       n -> (secs, spread, flagged)
     }.toMap
     val big = fns.map { case (n, fn) =>
-      val (secs, spread, flagged) = runOne(spark, bigDir, n, fn)
+      val (secs, spread, flagged) = runOne(spark, bigDir, n, fn, runs = 5)
       println(f"[scale] sf1   $n%-28s ${secs}%7.2fs ±${spread}%5.2f flagged=$flagged")
       n -> (secs, spread, flagged)
     }.toMap
@@ -186,7 +202,7 @@ object AuditScale {
     val json =
       s"""{
   "data_ratio": 10,
-  "note": "sf1 = Amplify 10x key-shifted replication of sf0.1 (join fan-out preserved; per-replica token bijection for documents, component rotation for embeddings). Per-entry numbers are MEDIAN-of-3 with spread (max-min) alongside, so a GC/AQE outlier cannot masquerade as the ratio. fixed_input queries keep an sf-independent declared input (oracle boundedness); ratio ~1 expected there. The *_operator entries isolate product operators from their composite property oracles - gate on those for the operator ratios.",
+  "note": "sf1 = Amplify 10x key-shifted replication of sf0.1 (join fan-out preserved; per-replica token bijection for documents, component rotation for embeddings). Per-entry numbers are MEDIAN-of-5 with spread (max-min) alongside, so a GC/AQE outlier cannot masquerade as the ratio; per-entry block-manager cleanup keeps one entry's checkpoint storage from polluting the next entry's GC profile. fixed_input queries keep an sf-independent declared input (oracle boundedness); ratio ~1 expected there. The *_operator entries isolate product operators from their composite property oracles - gate on those for the operator ratios.",
   "queries": {
 ${entries.mkString(",\n")}
   }

@@ -27,6 +27,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  test("normalizeText canonicalizes unicode forms, case, and whitespace; normalized dedup collapses renderings") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.normalizeText
+    val rows = Seq(
+      (1L, "Café au lait"),            // é composed (NFC)
+      (2L, "Café au lait"),           // e + combining acute (NFD)
+      (3L, "  café   AU\tlait "),      // case + whitespace runs
+      (4L, "ﬁne print"),               // ﬁ ligature — NFC keeps it
+      (5L, "fine print"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val norm = rows.select(col("doc_id"), normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(norm(1L) == "café au lait")
+    assert(norm(2L) == norm(1L), "NFD input must normalize to the NFC rendering")
+    assert(norm(3L) == norm(1L), "case and whitespace runs must collapse")
+    assert(norm(4L) != norm(5L), "NFC must NOT fold compatibility ligatures")
+    assert(norm(6L) == null, "NULL propagates")
+    // NFKC folds the ligature
+    val nfkc = rows.filter(col("doc_id").isin(4L, 5L))
+      .select(normalizeText(col("text"), form = "NFKC").as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(nfkc == Set("fine print"), s"NFKC must fold the ligature: $nfkc")
+    // normalized exact dedup: docs 1-3 are one cluster under the canonical
+    // rendering (raw md5 dedup sees three distinct contents)
+    val out = Dedup.exactNormalized(rows.filter(col("doc_id") <= 3L), "doc_id", "text").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("dup_count") == 3L &&
+      out.head.getAs[Long]("canonical_id") == 1L)
+    assert(Dedup.exact(rows.filter(col("doc_id") <= 3L), "doc_id", "text").count() == 3L)
+    intercept[IllegalArgumentException](normalizeText(col("text"), form = "nfx"))
+  }
+
   test("exact dedup elects canonical id and counts duplicates") {
     val out = Dedup.exact(docs, "doc_id", "text").collect()
     assert(out.length == 4) // 1&2 collapse
@@ -614,6 +646,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1), r.getBoolean(2)))
     assert(out.length == 2, "NULL-id rows must not be dropped")
     assert(out.forall(t => t._2 == 0L && !t._3))
+  }
+
+  test("PipelineSyntax: ingestion-era ops record lineage and pk semantics") {
+    import graft.operators.PipelineSyntax._
+    val mf = MetaFrame(docs, Map("corpus" -> "unit")).dropDuplicates(Seq("doc_id"))
+    val bench = MetaFrame(docs.filter(col("doc_id") === 1L), Map.empty[String, Any])
+    // bloom decontamination keys by id, like the exact path
+    val decon = mf.decontaminateAgainstBloom(bench, "doc_id", "text")
+    assert(decon.primaryKey.contains(Seq("id")))
+    assert(decon.dropDuplicates(Seq("id")).df eq decon.df)
+    assert(decon.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("decontaminate_bloom"))
+    // stratified sample is a row subset: parent pk survives verified
+    val samp = mf.stratifiedSampleBy("text", "doc_id", "s1", k = 1)
+    assert(samp.primaryKey.contains(Seq("doc_id")))
+    assert(samp.dropDuplicates(Seq("doc_id")).df eq samp.df)
+    // frozen gate keys by id
+    val counts = MetaFrame(Corpus.lmCounts(docs, "text"), Map.empty[String, Any])
+    val gated = mf.qualityGateAgainst(counts, "doc_id", "text", minTokens = 5L)
+    assert(gated.primaryKey.contains(Seq("id")))
+    assert(gated.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("quality_gate_frozen"))
+    // ingestion micro-batch audit keys by id
+    val audit = mf.assembleIngestBatch(
+      MetaFrame(docs.limit(0), Map.empty[String, Any]), bench, counts,
+      "doc_id", "text", "text", "text")
+    assert(audit.primaryKey.contains(Seq("id")))
+    assert(audit.dropDuplicates(Seq("id")).df eq audit.df)
+    assert(audit.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("ingest_batch"))
+  }
+
+  test("corpusDiff attributes all four transition statuses, incl. NULL-content docs") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same text"), (2L, "old text"), (3L, "gone"),
+        (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text"), (2L, "new text"), (4L, "brand new"),
+        (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Corpus.corpusDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"), s"got $out")
+    // metadata wrapper: keyed by id when both versions are
+    import graft.operators.PipelineSyntax._
+    val m1 = MetaFrame(v1, Map.empty[String, Any]).dropDuplicates(Seq("doc_id"))
+    val m2 = MetaFrame(v2, Map.empty[String, Any]).dropDuplicates(Seq("doc_id"))
+    val diff = m1.diffAgainst(m2, "doc_id", "text")
+    assert(diff.primaryKey.contains(Seq("id")))
+    assert(diff.dropDuplicates(Seq("id")).df eq diff.df)
   }
 
   test("decontaminateBloom is bit-identical to the exact path at any fpp") {
