@@ -99,6 +99,45 @@ object Streams {
       }
   }
 
+  /** Streaming embedding near-dedup: a STREAM of new vectors matched
+    * against a STATIC corpus — the embedding-modality twin of
+    * [[incrementalNearDupStream]], and completely STATELESS (append mode):
+    * both sides bucket by the row-local random-hyperplane sign pattern
+    * (`VectorFunctions.lshBucket`, the batch `Dedup.embeddingNearDup`
+    * representation), candidates are stream-bucket × corpus-bucket
+    * collisions ONLY (one stream-static equi-join on an integer key — the
+    * corpus never self-joins, no cross join), and each candidate confirms
+    * with a row-local exact cosine, so emitted matches are structurally
+    * exact. One row per confirmed (stream, corpus) pair — a pair-grained
+    * append needs no aggregate state, where a best-match-per-doc contract
+    * would force an UPDATE-mode aggregate.
+    *
+    * Recall model is the batch operator's, verbatim: a true near-dup is
+    * missed iff the pair splits buckets (probability (1−θ/π)^nbits-ish per
+    * hyperplane miss) — raise recall with fewer bits, or run the batch
+    * sweep periodically. Emitted pairs are pinned bit-equal to the batch
+    * operator's straddling pairs in StreamingSpec. At scale, persist the
+    * bucketed corpus projection so each micro-batch reuses it instead of
+    * re-bucketing the corpus. */
+  def embeddingNearDupStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nbits: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine, lshBucket}
+    val s = stream.select(col(idCol).as("stream_id"), col(vecCol).as("__s_vec"),
+      lshBucket(col(vecCol), nbits, dim).as("__bucket"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__c_vec"),
+      lshBucket(col(vecCol), nbits, dim).as("__bucket"))
+    s.join(c, Seq("__bucket"))
+      .withColumn("cos", cosine(col("__s_vec"), col("__c_vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("stream_id"), col("corpus_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Streaming incremental near-dedup: a STREAM of new documents matched
     * against a STATIC corpus — the stream-static equi-join enrichment
     * pattern. The stream side stays stateless through banding

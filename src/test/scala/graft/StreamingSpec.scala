@@ -289,6 +289,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dedup emits exactly the batch operator's straddling pairs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1f, 0.05f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0.05f, 0f)),
+      (3L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "vec")
+    val b1 = Seq(
+      (10L, Array(0.99f, 0.06f, 0f, 0f)), // near-dup of corpus 1
+      (11L, Array(0.5f, -0.5f, 0.5f, -0.5f))) // novel direction
+    val b2 = Seq((12L, Array(0.01f, 0.98f, 0.06f, 0f))) // near-dup of corpus 2
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val out = Streams.embeddingNearDupStream(
+      ms.toDF().toDF("vec_id", "vec"), corpus, "vec_id", "vec", dim = 4, threshold = 0.95)
+    ms.addData(b1: _*)
+    // APPEND mode works — the operator carries no streaming aggregate
+    val q = Streams.runToMemory(out, "emb_stream_out", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      ms.addData(b2: _*) // second micro-batch flows through statelessly
+      q.processAllAvailable()
+      val streamed = spark.table("emb_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the batch twin on the union, restricted to straddling pairs, must
+      // agree bit-for-bit (same buckets, same exact-cosine confirm)
+      val union = corpus.union((b1 ++ b2).toDF("vec_id", "vec"))
+      val batch = graft.operators.Dedup
+        .embeddingNearDup(union, "vec_id", "vec", dim = 4, threshold = 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(p => (p._1 >= 10L) != (p._2 >= 10L))
+        .map(p => if (p._1 >= 10L) (p._1, p._2, p._3) else (p._2, p._1, p._3)).toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed.map(t => (t._1, t._2)) == Set((10L, 1L), (12L, 2L)), s"got $streamed")
+    } finally q.stop()
+  }
+
   test("foreachBatch corpus ingestion grows the store and attributes every drop stage") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
