@@ -116,7 +116,10 @@ object Corpus {
     * count; undersizing degrades fpp (more confirm-join traffic), never
     * correctness. `numBits` is clamped to Spark's
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` ceiling by the
-    * aggregate itself.
+    * aggregate itself. The benchmark side tokenizes twice (once into the
+    * bloom subquery, once into the confirm set) — the benchmark is tiny by
+    * this operator's contract, and keeping both derivations lazy beats
+    * forcing an eager checkpoint at operator-construction time.
     */
   def decontaminateBloom(
       corpus: DataFrame,
@@ -639,7 +642,9 @@ object Corpus {
     *
     * Presence is tracked with explicit flags, not hash nullness — a
     * present doc with NULL content still diffs correctly (its hash is NULL
-    * on both sides → `unchanged` via the null-safe compare). Scale shape:
+    * on both sides → `unchanged` via the null-safe compare). Ids follow
+    * the usual unique-per-version convention (a duplicated id would
+    * fan out through the join like any keyed operator here). Scale shape:
     * both sides project to narrow (id, hash) rows before the single
     * full-outer shuffle join on id; text never moves. */
   def corpusDiff(
