@@ -191,6 +191,82 @@ object Similarity {
               col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Materializes the IVF index as a LAYOUT: the corpus written
+    * cell-PARTITIONED (one directory per coarse cell, assignment via the
+    * row-local [[topCellsLocal]] fold) plus the centroid table as a
+    * kind-tagged model artifact. The point is what the layout buys at read
+    * time: a probe query touches `nprobe` cells, and because `cell` is a
+    * PARTITION column, [[ivfTopKIndexed]] prunes every other partition at
+    * the scan — the nprobe/|cells| scan fraction stops being a shuffle
+    * optimization and becomes an I/O one (on 100 TB of embeddings with
+    * k=1024 cells and nprobe=8, the probe reads ~0.8% of the bytes, no
+    * shuffle of the corpus at all). Build cost is one pass over the corpus
+    * (the same assignment [[ivfTopK]] computes inline on every search) —
+    * write once, probe many.
+    *
+    * Column names are recorded in the corpus sidecar, and both artifacts
+    * are kind-tagged, so a reader can neither mis-bind columns nor hand
+    * the probe a non-index directory. */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      path: String): Unit = {
+    val cents = centroidArray(
+      centroids.select(col(centroidIdCol).as("cell"), col(centroidVecCol).as("cvec")),
+      "cell", "cvec")
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol), explode(topCellsLocal(col(vecCol), 1)).as("__best"))
+      .select(col(idCol), col(vecCol), col("__best.cell").as("cell"))
+    graft.sources.MetaPersist.writeModel(
+      centroids.select(col(centroidIdCol).as("cell"), col(centroidVecCol).as("cvec")),
+      s"$path/centroids", "ivf_centroids", Map.empty)
+    // partitionBy writes one directory per cell — the pruning structure
+    graft.sources.MetaPersist.writeModel(
+      assigned, s"$path/corpus", "ivf_corpus",
+      Map("idCol" -> idCol, "vecCol" -> vecCol),
+      partitionBy = Seq("cell"))
+  }
+
+  /** IVF top-k against a [[writeIvfIndex]] layout. Identical semantics and
+    * tiebreaks to [[ivfTopK]] (bit-equality pinned in SourcesSpec) with the
+    * assignment pass replaced by a PRUNED scan: the probed cell set is
+    * O(queries × nprobe) — small by the broadcast-queries contract — so
+    * collecting it to the driver (the same bounded-metadata exception as
+    * the centroid table) turns the probe into a static partition filter
+    * Catalyst prunes at planning time. */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    val centroids = graft.sources.MetaPersist.readModel(spark, s"$path/centroids", "ivf_centroids")
+    val corpusMf = graft.sources.MetaPersist.readModel(spark, s"$path/corpus", "ivf_corpus")
+    val idCol = corpusMf.metadata("idCol").asInstanceOf[String]
+    val cents = centroidArray(centroids.df, "cell", "cvec")
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col(queryIdCol), col(queryVecCol),
+        explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
+      .select(col(queryIdCol), col(queryVecCol), col("__probe.cell").as("cell"))
+    val cells = probed.select("cell").distinct().collect().map(_.get(0))
+    val vecCol = corpusMf.metadata("vecCol").asInstanceOf[String]
+    val corpusCells = corpusMf.df.filter(col("cell").isin(cells: _*))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos"), asc(idCol))
+    corpusCells.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col("rank"),
+              col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Spherical k-means training for the IVF coarse quantizer — the step
     * that makes the ANN index self-contained (centroids come from the data,
     * not from an external tool). Lloyd iterations under cosine similarity:

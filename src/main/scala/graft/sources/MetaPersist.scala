@@ -31,9 +31,12 @@ object MetaPersist {
     case c => c.toString
   }
 
-  /** Writes the frame as parquet plus the metadata sidecar. */
-  def writeParquet(mf: MetaFrame, path: String): Unit = {
-    mf.df.write.mode("overwrite").parquet(path)
+  /** Writes the frame as parquet plus the metadata sidecar; `partitionBy`
+    * lays the data out one directory per key value (the pruning structure
+    * `Similarity.writeIvfIndex` builds on). */
+  def writeParquet(mf: MetaFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = mf.df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     writeSidecar(path, mf.metadata)
   }
 
@@ -69,8 +72,9 @@ object MetaPersist {
       df: org.apache.spark.sql.DataFrame,
       path: String,
       kind: String,
-      params: Map[String, Any]): Unit =
-    writeParquet(MetaFrame(df, params + ("model" -> kind)), path)
+      params: Map[String, Any],
+      partitionBy: Seq[String] = Nil): Unit =
+    writeParquet(MetaFrame(df, params + ("model" -> kind)), path, partitionBy)
 
   /** Loads a model artifact, refusing a sidecar of the wrong kind — a
     * scorer handed the wrong artifact (or a bare un-tagged table) must fail

@@ -59,6 +59,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(topk(loaded.df) == topk(cents))
   }
 
+  test("materialized IVF index probes prune partitions and match the inline search bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, "cell", "cvec",
+      out("ivf_index"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val indexed = Similarity.ivfTopKIndexed(spark, out("ivf_index"),
+      queries, "query_id", "query_vec", k = 5, nprobe = 2)
+    val inline = Similarity.ivfTopK(emb, "vec_id", "embedding", cents, "cell", "cvec",
+      queries, "query_id", "query_vec", k = 5, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // identical assignment fold + tiebreaks → identical result set
+    assert(rows(indexed) == rows(inline))
+    // the probe must PRUNE: the index-corpus scan carries a partition
+    // filter on the cell directory column (the query/centroid scans have
+    // their own, empty, PartitionFilters entries — only the corpus one
+    // matters here)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#"),
+      s"index scan must carry a cell partition filter:\n$plan")
+    // kind-refusal at load is pinned in the LM round-trip test above; the
+    // index reuses the same readModel gate for both artifacts
+  }
+
   test("CSV roundtrip through the metadata layer") {
     base.write.mode("overwrite").option("header", "true").csv(out("csv"))
     val mf = MetaFrame(
