@@ -121,7 +121,7 @@ object Similarity {
     * struct array — the broadcastable form every IVF stage scores against.
     * Collection order is irrelevant: every consumer re-sorts with the total
     * [[byCosDescCellAsc]] comparator (cells are distinct by contract). */
-  private def centroidArray(centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[graft] def centroidArray(centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
     centroids.agg(collect_list(struct(col(idCol).as("cell"), col(vecCol).as("cvec"))).as("__cents"))
 
   /** Comparator ordering (cos desc, cell asc) — the exact tiebreak the
@@ -142,7 +142,7 @@ object Similarity {
     * is 1024 rows streamed per document just to compute an argmax.)
     * Requires `__cents` from [[centroidArray]] in scope via
     * `crossJoin(broadcast(...))` of the single array row. */
-  private def topCellsLocal(vec: Column, n: Int): Column =
+  private[graft] def topCellsLocal(vec: Column, n: Int): Column =
     slice(
       array_sort(
         transform(col("__cents"), c =>

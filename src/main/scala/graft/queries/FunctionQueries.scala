@@ -118,6 +118,21 @@ object FunctionQueries {
           col("l_extendedprice"), col("l_quantity")), 4).as("w_avg_price"))
         .orderBy("l_returnflag").df),
 
+    // grouped top-k via the bounded TypedImperativeAggregate (O(k) state,
+    // map-side partials forward <= k candidates per group) — same result
+    // contract as the window formulation, so it shares a row_number oracle;
+    // ties break on the lowest doc_id, the repo-wide total order
+    "agg_grouped_topk" -> ((s, d) => {
+      import graft.expressions.TopKAgg.topKByScore
+      t(s, d, "documents").df
+        .groupBy("lang")
+        .agg(topKByScore(struct(col("n_chars").cast("double"), col("doc_id")), 3).as("topk"))
+        .select(col("lang"), posexplode(col("topk")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"), col("col.score").cast("long").as("n_chars"))
+        .orderBy("lang", "rank")
+    }),
+
     // ------------------------------------------------- h) scalar functions
     "fn_string" -> ((s, d) =>
       t(s, d, "part")
@@ -355,6 +370,14 @@ object FunctionQueries {
     "agg_weighted_udaf" ->
       ("SELECT l_returnflag, round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) " +
        "AS w_avg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    // the bounded top-k aggregate shares the window formulation's oracle:
+    // identical (score desc, id asc) total order
+    "agg_grouped_topk" ->
+      ("WITH r AS (SELECT lang, doc_id, n_chars, " +
+       "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank FROM documents) " +
+       "SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars " +
+       "FROM r WHERE rank <= 3 ORDER BY lang, rank"),
 
     "fn_string" ->
       ("SELECT p_partkey, upper(p_name) AS up_name, length(p_name) AS name_len, " +

@@ -99,6 +99,45 @@ object Streams {
       }
   }
 
+  /** Streaming ANN top-k: a STREAM of query vectors searched against a
+    * STATIC pre-assigned IVF corpus (e.g. the cell-partitioned table
+    * `Similarity.writeIvfIndex` materializes) — the query-serving shape:
+    * index built once, queries arrive continuously. Each query assigns
+    * itself to its `nprobe` cells ROW-LOCALLY (the centroid table collapses
+    * to one static broadcast row, same fold as the batch search), candidates
+    * are one stream-static equi-join on the cell key, and ranking is an
+    * UPDATE-mode aggregate whose state is **O(k) per query** — the bounded
+    * [[graft.expressions.TopKAgg]] buffer, not a `collect_list` growing
+    * with every candidate ever seen. Output: one row per query carrying its
+    * current `topk` array of (score, id) structs, upsert-ready; ranks and
+    * ties follow the batch search's (cos desc, id asc) order exactly
+    * (pinned against `Similarity.ivfTopK` in StreamingSpec). */
+  def annTopKStream(
+      queries: DataFrame,
+      corpusCells: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    import graft.expressions.TopKAgg.topKByScore
+    import graft.functions.VectorFunctions.cosine
+    import graft.operators.Similarity
+    val cents = Similarity.centroidArray(centroids, "cell", "cvec")
+    val probed = queries.crossJoin(cents)
+      .select(col(queryIdCol), col(queryVecCol),
+        explode(Similarity.topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
+      .select(col(queryIdCol), col(queryVecCol), col("__probe.cell").as("cell"))
+    probed
+      .join(corpusCells.select(col(idCol), col(vecCol), col("cell")), Seq("cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("__cos", cosine(col(vecCol), col(queryVecCol)))
+      .groupBy(col(queryIdCol).as("query_id"))
+      .agg(topKByScore(struct(col("__cos"), col(idCol)), k).as("topk"))
+  }
+
   /** Streaming embedding near-dedup: a STREAM of new vectors matched
     * against a STATIC corpus — the embedding-modality twin of
     * [[incrementalNearDupStream]], and completely STATELESS (append mode):

@@ -678,6 +678,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(_("op")) == Seq("ingest_batch"))
   }
 
+  test("TopKAgg keeps exactly k under compaction with (score desc, id asc) ties") {
+    import spark.implicits._
+    import graft.expressions.TopKAgg.topKByScore
+    // 1000 rows in one group across partitions: the 2k-bounded buffer
+    // compacts many times and partials merge — the result must still be
+    // the exact top-5 with lowest-id tie-breaks (score = i mod 7)
+    val df = (1L to 1000L).map(i => ("g", (i % 7).toDouble, i))
+      .toDF("g", "score", "id").repartition(8)
+    val out = df.groupBy("g")
+      .agg(topKByScore(struct(col("score"), col("id")), 5).as("t"))
+      .select(explode(col("t")).as("e"))
+      .collect().map(r => (r.getStruct(0).getDouble(0), r.getStruct(0).getLong(1))).toSeq
+    assert(out == Seq((6.0, 6L), (6.0, 13L), (6.0, 20L), (6.0, 27L), (6.0, 34L)), s"got $out")
+    // a group smaller than k returns all its rows, ranked
+    val small = Seq(("h", 1.0, 2L), ("h", 3.0, 1L)).toDF("g", "score", "id")
+      .groupBy("g").agg(topKByScore(struct(col("score"), col("id")), 5).as("t"))
+      .select(explode(col("t")).as("e"))
+      .collect().map(_.getStruct(0).getLong(1)).toSeq
+    assert(small == Seq(1L, 2L))
+  }
+
   test("corpusDiff attributes all four transition statuses, incl. NULL-content docs") {
     import spark.implicits._
     val v1 = Seq((1L, "same text"), (2L, "old text"), (3L, "gone"),
