@@ -206,7 +206,12 @@ object Similarity {
     *
     * Column names are recorded in the corpus sidecar, and both artifacts
     * are kind-tagged, so a reader can neither mis-bind columns nor hand
-    * the probe a non-index directory. */
+    * the probe a non-index directory. One nuance: the `cell` partition
+    * column round-trips through directory-name type INFERENCE (a long cell
+    * id reads back as int) — [[ivfTopKIndexed]]'s probe filter and join
+    * coerce across the width difference (bit-equality to the inline search
+    * is pinned in SourcesSpec), but consumers of the raw layout must not
+    * depend on the column's exact integral width. */
   def writeIvfIndex(
       corpus: DataFrame,
       idCol: String,
