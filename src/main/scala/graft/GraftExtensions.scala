@@ -6,12 +6,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 import org.apache.spark.sql.graftbridge
 
-import graft.expressions.{FloatVectorDot, MinHashSignature, ShingleHashes, SimHash64}
+import graft.expressions.{FloatVectorDot, MinHashSignature, NormalizeText, ShingleHashes, SimHash64, TopKAgg}
 
 /** SQL surface for the engine's native expressions (SURVEY.md §7.4):
-  * registers `float_vector_dot`, `minhash_signature`, `shingle_hashes` and
-  * `simhash64` so `spark.sql(...)` users get the same codegen'd hot paths
-  * as the Column API.
+  * registers `float_vector_dot`, `minhash_signature`, `shingle_hashes`,
+  * `simhash64`, `normalize_text` and the `top_k_by_score` aggregate so
+  * `spark.sql(...)` users get the same codegen'd hot paths as the Column
+  * API.
   *
   * Two entry points:
   *   - cluster deploys: `spark.sql.extensions=graft.GraftExtensions`
@@ -60,6 +61,24 @@ object GraftExtensions {
       { args =>
         require(args.length == 1, "simhash64(tokenHashes)")
         SimHash64(args(0))
+      }),
+    ("normalize_text",
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      { args =>
+        require(args.length == 1 || args.length == 2,
+          "normalize_text(text[, form])")
+        val form = if (args.length == 2) args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"normalize_text: form must be a string literal, got $other")
+        } else "NFC"
+        NormalizeText(args(0), form)
+      }),
+    ("top_k_by_score",
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k_by_score"),
+      { args =>
+        require(args.length == 2, "top_k_by_score(struct(score, id), k)")
+        TopKAgg(args(0), intArg(args(1), "top_k_by_score", 2)).toAggregateExpression()
       }),
   )
   // Note: the composite Column-level helpers (langId, qualityScore, cosine…)

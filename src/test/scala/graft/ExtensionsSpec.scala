@@ -61,4 +61,28 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("normalize_text from SQL matches the Column API, incl. the form argument") {
+    val r = spark.sql(
+      """SELECT normalize_text('  The   QUICK\tFox ') AS nfc,
+        |       normalize_text('ﬁne', 'NFKC') AS folded""".stripMargin).head()
+    assert(r.getString(0) == "the quick fox")
+    assert(r.getString(1) == "fine", "NFKC must fold the ligature")
+    val bad = intercept[Exception] {
+      spark.sql("SELECT normalize_text('x', 'nope')").collect()
+    }
+    assert(bad.getMessage.contains("form must be one of") ||
+      bad.getMessage.contains("NFC"))
+  }
+
+  test("top_k_by_score aggregate callable from SQL") {
+    import spark.implicits._
+    (1L to 100L).map(i => ("g", (i % 7).toDouble, i)).toDF("g", "score", "id")
+      .createOrReplaceTempView("ext_topk")
+    val arr = spark.sql(
+      "SELECT top_k_by_score(struct(score, id), 3) AS t FROM ext_topk GROUP BY g")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(arr.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((6.0, 6L), (6.0, 13L), (6.0, 20L)))
+  }
 }
