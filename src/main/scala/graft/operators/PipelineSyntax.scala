@@ -42,6 +42,13 @@ object PipelineSyntax {
         "dedup_exact", Map("id" -> idCol, "content" -> contentCol),
         pk = Some(Seq("content_hash")))
 
+    /** [[dedupExact]] over the canonical rendering (Unicode NFC + casefold
+      * + whitespace collapse) — same pk contract on the normalized hash. */
+    def dedupExactNormalized(idCol: String, contentCol: String): MetaFrame =
+      derived(mf, Dedup.exactNormalized(mf.df, idCol, contentCol),
+        "dedup_exact_normalized", Map("id" -> idCol, "content" -> contentCol),
+        pk = Some(Seq("content_hash")))
+
     /** MinHash+LSH clusters: one row per input id (pk set + verified). */
     def dedupMinHash(
         idCol: String, textCol: String,

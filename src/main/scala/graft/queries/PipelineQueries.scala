@@ -717,6 +717,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the registered native-expression SQL surface end to end under the
+    // oracle: a plain spark.sql query over the temp-registered
+    // normalize_text (same registry the cluster-deploy extensions path
+    // uses), hashed to the dedup key — DuckDB re-derives both columns
+    "sql_native_normalize" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      t(s, d, "documents").df.createOrReplaceTempView("__docs_norm")
+      s.sql("SELECT doc_id, normalize_text(text) AS norm, " +
+        "md5(CAST(normalize_text(text) AS BINARY)) AS norm_hash " +
+        "FROM __docs_norm ORDER BY doc_id")
+    }),
+
     // corpus version diff: v1 = %3<>0 slice, v2 = %5<>0 slice with text
     // edited for %11==0 — all four transition statuses engage; the status
     // table is pure hash arithmetic, exactly re-derivable
@@ -1276,6 +1288,13 @@ object PipelineQueries {
        "CAST(COALESCE(ov.n, 0) >= 1 AS BIGINT) AS contaminated " +
        "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) t " +
        "LEFT JOIN ov USING (doc_id) ORDER BY doc_id"),
+
+    // SQL-surface normalize: the canonical rendering and its dedup key,
+    // re-derived per row
+    "sql_native_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm, " +
+       "md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS norm_hash " +
+       "FROM documents ORDER BY doc_id"),
 
     // version diff: the same hash arithmetic over both slices with a FULL
     // OUTER join; null-safe hash compare decides changed vs unchanged

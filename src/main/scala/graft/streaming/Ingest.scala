@@ -203,4 +203,42 @@ object Ingest {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
   }
+
+  /** Compacts an append-mode store ([[ingestCorpus]]'s corpus or audit
+    * directory): every micro-batch appends a handful of files, so a
+    * long-running ingestion accumulates thousands of small parquet files —
+    * the small-files problem that makes the per-batch corpus re-read (and
+    * any downstream scan) open-file-bound instead of byte-bound. Rewrites
+    * the store into `max(1, ceil(bytes / targetFileBytes))` files and swaps
+    * directories: write to `<dir>.compact`, rename the live dir aside,
+    * rename the compacted dir in, delete the old. The swap window is two
+    * renames; run it from the single writer (between triggers, or while the
+    * query is stopped) — the store has exactly one writer by [[ingestCorpus]]
+    * design, so no second process can append mid-swap. Returns the file
+    * count after compaction.
+    *
+    * Row content is preserved exactly (one pass, no shuffle beyond the
+    * coalesce); a failure before the first rename leaves the live store
+    * untouched, and after it the compacted data is complete on disk —
+    * re-running [[compactStore]] is always safe. */
+  def compactStore(
+      spark: SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes >= 1, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no store at $dir")
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(dir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, old), s"could not move the live store aside: $dir")
+    require(fs.rename(tmp, p), s"could not move the compacted store in: $dir")
+    fs.delete(old, true)
+    nFiles
+  }
 }

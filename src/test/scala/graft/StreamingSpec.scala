@@ -429,5 +429,33 @@ class StreamingSpec extends AnyFunSuite {
     val streamed1 = spark.read.parquet(auditDir)
       .filter(col("batch_id") === 0L).collect().map(key).toSet
     assert(streamed1 == direct, s"stream $streamed1 vs direct $direct")
+
+    // compaction: two appends left >1 parquet file; compact to one and the
+    // store content is unchanged
+    val nParquet = new java.io.File(corpusDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nParquet >= 2, s"two appends should leave >1 file, got $nParquet")
+    assert(Ingest.compactStore(spark, corpusDir) == 1)
+    val afterFiles = new java.io.File(corpusDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(afterFiles == 1, s"compacted store must hold one file, got $afterFiles")
+    assert(spark.read.parquet(corpusDir).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(10L, 15L))
+    // ingestion continues against the COMPACTED store: a dup of doc 10
+    // still resolves duplicate_corpus
+    val ms2 = MemoryStream[(Long, String, String, String)](spark)
+    val q2 = Ingest.ingestCorpus(
+      ms2.toDF().toDF("doc_id", "text", "source", "lang"),
+      corpusDir, auditDir, bench, lm,
+      "doc_id", "text", "source", "lang",
+      checkpointDir = s"$dirBase/ckpt2", trigger = Trigger.ProcessingTime(0),
+      maxTopNgramFrac = 0.5)
+    try {
+      ms2.addData((16L, good, "web3", "en"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val a16 = spark.read.parquet(auditDir).filter(col("id") === 16L)
+      .collect().map(r => Option(r.getAs[String]("drop_stage"))).toSeq
+    assert(a16 == Seq(Some("duplicate_corpus")), s"got $a16")
   }
 }
