@@ -74,6 +74,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"top-k terms must push the rank down:\n$plan")
   }
 
+  test("stratifiedSample plans WindowGroupLimit (per-stratum rank pushdown)") {
+    import graft.operators.Corpus
+    val df = Corpus.stratifiedSample(
+      t("supplier").df.select(col("s_nationkey"), col("s_suppkey")),
+      "s_nationkey", "s_suppkey", salt = "pq", k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"stratified sample must forward at most k rows per stratum per map task:\n$plan")
+  }
+
+  test("TopKAgg plans map-side partial aggregation (ObjectHashAggregate x2)") {
+    import graft.expressions.TopKAgg.topKByScore
+    val df = t("supplier").df
+      .groupBy("s_nationkey")
+      .agg(topKByScore(struct(col("s_acctbal"), col("s_suppkey")), 3).as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    // partial + final pair proves each map task forwards <= k candidates
+    // per group instead of shuffling every candidate row
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"bounded top-k must aggregate map-side:\n$plan")
+  }
+
   test("orderBy+limit plans TakeOrderedAndProject (no full sort)") {
     val df = t("orders").orderBy(desc("o_totalprice")).limit(10).df
     val plan = df.queryExecution.executedPlan.toString
