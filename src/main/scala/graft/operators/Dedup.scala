@@ -352,10 +352,34 @@ object Dedup {
     df.select(col(idCol), simhash64(textCol).as("simhash"))
       .select(col(idCol), col("simhash"), shiftright(col("simhash"), 48).as("bucket"))
 
+  /** Explicit opt-out of the df cut for the Jaccard / fingerprint families:
+    * pass as `maxShingleDf` / `maxFpDf` to get the unconditional exact
+    * semantics (every posting list self-joins, however hot). The declared
+    * exact oracles pass this explicitly; production defaults are finite. */
+  val Exact: Long = Long.MaxValue
+
+  /** Production default document-frequency cap for the n-gram shingle
+    * inverted index ([[ngramJaccardBestMatch]] / [[ngramJaccardPairs]]) —
+    * the same safe-by-default pattern as the winnow family's
+    * [[DefaultMaxFpDf]]. Measured headroom (MeasureProps `--ngram-df`):
+    * max corpus-wide shingle df is 9 at sf0.001, 7 at sf0.01, 25 at sf0.1
+    * (p999 21; per-(lang, shingle) — BestMatch's actual key — max 14), and
+    * Amplify's per-replica token bijection keeps the amplified sf1 df at
+    * the sf0.1 level, so a 1000 cap has ≥40× headroom at every tested
+    * scale, never engages there, and the exact-recall oracles hold under
+    * it — while at 100 TB a boilerplate
+    * shingle shared by millions of docs (license headers, nav chrome) is
+    * dropped instead of turning its (block, shingle) reduce key into a
+    * quadratic hot spot: per-key join work is bounded at cap²/2 = 500k
+    * rows. Capped Jaccard is a lower bound of exact (intersections count
+    * surviving shingles, set sizes stay full); pass [[Exact]] for the
+    * unconditional semantics. */
+  val DefaultMaxShingleDf: Long = 1000L
+
   /** Document-frequency cut for an exploded inverted index: drops every
     * shingle whose posting list exceeds `maxDf` before the index self-joins.
     * One extra aggregation + semi-join on the SAME key the self-join uses,
-    * so AQE plans them together; skipped entirely at the exact default. */
+    * so AQE plans them together; skipped entirely at the exact opt-out. */
   private def capDf(inv: DataFrame, keyCols: Seq[String], maxDf: Long): DataFrame =
     if (maxDf == Long.MaxValue) inv
     else {
@@ -390,14 +414,16 @@ object Dedup {
     * sizes stay full, so capped Jaccard is a lower bound of the exact value
     * — recall of high-Jaccard pairs is unaffected in practice because
     * near-dup pairs share many rare shingles, but scores can only shrink.
-    * The default (Long.MaxValue) is exact. */
+    * The default is the finite [[DefaultMaxShingleDf]] (safe-by-default, as
+    * for the winnow family's [[DefaultMaxFpDf]]); pass [[Exact]] for the
+    * unconditional exact semantics. */
   def ngramJaccardBestMatch(
       df: DataFrame,
       idCol: String,
       textCol: String,
       blockCol: String,
       shingleWidth: Int = 3,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // shingle IDENTITY is all the set arithmetic needs, so shingles travel
     // as rolled 64-bit hashes (ShingleHashes) — no string concatenation on
@@ -461,20 +487,20 @@ object Dedup {
     * set is tiny.
     *
     * `maxShingleDf`: same df-cut dial as [[ngramJaccardBestMatch]] (here the
-    * frequency is corpus-wide — there is no block). Default Long.MaxValue
-    * keeps the exact semantics the oracles pin; at web-corpus scale set it
-    * to a few hundred so one boilerplate shingle cannot become a quadratic
-    * reduce key. Capped Jaccard is a lower bound, so with a threshold query
-    * the trade is possible false negatives among pairs whose overlap is
-    * mostly boilerplate — which are exactly the pairs a near-dup pass
-    * should not surface anyway. */
+    * frequency is corpus-wide — there is no block). The finite
+    * [[DefaultMaxShingleDf]] default means a user taking defaults on a web
+    * corpus cannot hit the quadratic hot key; the exact declared oracles
+    * opt in to [[Exact]] explicitly. Capped Jaccard is a lower bound, so
+    * with a threshold query the trade is possible false negatives among
+    * pairs whose overlap is mostly boilerplate — which are exactly the
+    * pairs a near-dup pass should not surface anyway. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minJaccard: Double,
       shingleWidth: Int = 3,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
     val toks = df.select(
       col(idCol).as("id"),
       array_distinct(graft.expressions.MinHashSignature.shingleHashes(

@@ -47,7 +47,11 @@ object PipelineQueries {
     * property queries below and exactly re-derivable in DuckDB
     * ([[HiJaccardPairsSql]]). */
   private def hiJaccardPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, d, "documents").df, "doc_id", "text", minJaccard = 0.8)
+    // Exact opt-in: this is the ground-truth pair set the LSH property
+    // oracles compare against, so the df cut must be provably off — not
+    // merely "never engages at this SF" (the finite production default).
+    Dedup.ngramJaccardPairs(t(s, d, "documents").df, "doc_id", "text", minJaccard = 0.8,
+      maxShingleDf = Dedup.Exact)
 
   /** DuckDB twin of [[hiJaccardPairs]]: CTE `hi` (id_a, id_b) with the exact
     * string-shingle set arithmetic (identical counts to the rolled-hash path
@@ -443,8 +447,14 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Declared exact (the DuckDB oracle re-derives every score with full
+    // set arithmetic), so the exact opt-in is explicit; the production
+    // default is the finite Dedup.DefaultMaxShingleDf, exercised under
+    // oracle by dedup_ngram_jaccard_capped below and isolated for scale in
+    // AuditScale's ngram_jaccard_operator entry.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardBestMatch(t(s, d, "documents").df, "doc_id", "text", blockCol = "lang")
+      Dedup.ngramJaccardBestMatch(t(s, d, "documents").df, "doc_id", "text", blockCol = "lang",
+          maxShingleDf = Dedup.Exact)
         .orderBy("id")),
 
     // The df-cut dial under oracle: maxShingleDf=5 sits below the testdata's

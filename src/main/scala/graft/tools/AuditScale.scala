@@ -93,7 +93,14 @@ object AuditScale {
         Dedup.incrementalNearDup(
           docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
           "doc_id", "text")
-      }))
+      }),
+      // isolates the n-gram Jaccard operator in its PRODUCTION configuration
+      // (finite DefaultMaxShingleDf df-cut) from the declared query, which
+      // opts in to Exact for its DuckDB oracle — the r9 audit's worst entry
+      // (4.54x +-5.2s) was gating on the exact opt-in shape
+      "ngram_jaccard_operator" -> ((s: SparkSession, d: String) =>
+        Dedup.ngramJaccardBestMatch(Tables.load(s, d, "documents"),
+          "doc_id", "text", blockCol = "lang")))
 
   /** Flags CartesianProduct / disallowed BroadcastNestedLoopJoin in the
     * plans that actually EXECUTED while registered. Reading

@@ -23,6 +23,31 @@ object MeasureProps {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // ---- n-gram shingle document-frequency profile (sizes the
+    // Dedup.DefaultMaxShingleDf production cap exactly as the winnow fp
+    // profile below sizes DefaultMaxFpDf: the cap must never engage at the
+    // test SFs so the exact-recall oracles hold with defaults). Both the
+    // corpus-wide df (ngramJaccardPairs' key) and the per-(block, shingle)
+    // df (ngramJaccardBestMatch's key, block = lang) are profiled; the
+    // corpus-wide one is the upper bound.
+    if (args.contains("--ngram-df")) {
+      val shg = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(graft.expressions.MinHashSignature.shingleHashes(
+          transform(TextFunctions.tokens(col("text")), t => xxhash64(t)), 3))).as("s"))
+      val global = shg.groupBy("s").agg(count(lit(1)).as("df"))
+        .agg(max(col("df")).as("max_df"), expr("percentile(df, 0.999)").as("p999"),
+          count(lit(1)).as("n")).collect()(0)
+      val perBlock = shg.groupBy("lang", "s").agg(count(lit(1)).as("df"))
+        .agg(max(col("df")).as("max_df"), expr("percentile(df, 0.999)").as("p999"),
+          count(lit(1)).as("n")).collect()(0)
+      println(s"[measure] $sfDir ngram shingle df corpus-wide: max=${global.get(0)} " +
+        s"p999=${global.get(1)} distinct=${global.get(2)}")
+      println(s"[measure] $sfDir ngram shingle df per (lang, shingle): max=${perBlock.get(0)} " +
+        s"p999=${perBlock.get(1)} distinct=${perBlock.get(2)}")
+      spark.stop(); return
+    }
+
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
     // ---- exact high-jaccard pairs (ground truth for text dedup recall)
