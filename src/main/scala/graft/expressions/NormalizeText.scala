@@ -4,6 +4,7 @@ import java.text.Normalizer
 import java.util.Locale
 import java.util.regex.Pattern
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -39,6 +40,14 @@ case class NormalizeText(
     collapseWs: Boolean = true) extends UnaryExpression {
 
   override def dataType: DataType = StringType
+
+  // a non-string child fails analysis cleanly (cast explicitly to opt in)
+  // instead of being silently stringified via toString; ExpectsInputTypes —
+  // which would add the implicit cast too — is private[sql] in Spark 4
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
 
   override def prettyName: String = "normalize_text"
 

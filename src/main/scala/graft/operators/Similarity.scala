@@ -211,7 +211,20 @@ object Similarity {
     * id reads back as int) — [[ivfTopKIndexed]]'s probe filter and join
     * coerce across the width difference (bit-equality to the inline search
     * is pinned in SourcesSpec), but consumers of the raw layout must not
-    * depend on the column's exact integral width. */
+    * depend on the column's exact integral width.
+    *
+    * VERSIONING (the retrain story — corpus drift ⇒ retrain ⇒ republish):
+    * each call stages the full centroids+layout pair under
+    * `<path>/versions/.staging` and publishes it with ONE atomic directory
+    * rename to `<path>/versions/v<n+1>` — centroids and layout can never
+    * be observed mixed across versions, because a version only becomes
+    * listable when both are complete. Old versions stay on disk until
+    * [[pruneIvfIndex]], so a reader that resolved the previous version
+    * keeps scanning files that still exist — a retrain never breaks an
+    * in-flight search. A crash before the rename leaves only the
+    * dot-staging dir, which no resolver lists and the next write clears.
+    * Single index-writer per `path` by contract (same as the ingestion
+    * store). Returns the published version name. */
   def writeIvfIndex(
       corpus: DataFrame,
       idCol: String,
@@ -219,21 +232,75 @@ object Similarity {
       centroids: DataFrame,
       centroidIdCol: String,
       centroidVecCol: String,
-      path: String): Unit = {
+      path: String): String = {
     val cents = centroidArray(
       centroids.select(col(centroidIdCol).as("cell"), col(centroidVecCol).as("cvec")),
       "cell", "cvec")
     val assigned = corpus.crossJoin(broadcast(cents))
       .select(col(idCol), col(vecCol), explode(topCellsLocal(col(vecCol), 1)).as("__best"))
       .select(col(idCol), col(vecCol), col("__best.cell").as("cell"))
+    val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/versions/.staging")
+    fs.delete(staging, true)
     graft.sources.MetaPersist.writeModel(
       centroids.select(col(centroidIdCol).as("cell"), col(centroidVecCol).as("cvec")),
-      s"$path/centroids", "ivf_centroids", Map.empty)
+      s"$staging/centroids", "ivf_centroids", Map.empty)
     // partitionBy writes one directory per cell — the pruning structure
     graft.sources.MetaPersist.writeModel(
-      assigned, s"$path/corpus", "ivf_corpus",
+      assigned, s"$staging/corpus", "ivf_corpus",
       Map("idCol" -> idCol, "vecCol" -> vecCol),
       partitionBy = Seq("cell"))
+    val next = f"v${ivfVersions(fs, path).lastOption.getOrElse(0L) + 1}%09d"
+    val dst = new org.apache.hadoop.fs.Path(s"$path/versions/$next")
+    require(fs.rename(staging, dst), s"could not publish index version $next at $path")
+    next
+  }
+
+  /** Version names under `<path>/versions`, ascending (numeric order ==
+    * lexicographic by the zero-padded naming). Empty for a flat
+    * pre-versioning layout or a missing index. */
+  private def ivfVersions(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[Long] = {
+    val vroot = new org.apache.hadoop.fs.Path(s"$path/versions")
+    if (!fs.exists(vroot)) Seq.empty
+    else fs.listStatus(vroot).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
+  }
+
+  /** The directory holding the index version a reader should bind to:
+    * the newest published version, or — for an index written before
+    * versioning existed (flat `<path>/centroids` + `<path>/corpus`) —
+    * `path` itself. Resolve ONCE and read both artifacts from the result:
+    * that is what makes a concurrent republish invisible to this reader. */
+  def resolveIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ivfVersions(fs, path).lastOption match {
+      case Some(v) => f"$path/versions/v$v%09d"
+      case None =>
+        require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")),
+          s"no IVF index at $path (no versions/ and no flat layout)")
+        path
+    }
+  }
+
+  /** Deletes every published index version except the newest `keep` —
+    * run when no reader still holds the pruned versions (reader lifetime
+    * is one query; any retention policy longer than the longest-running
+    * search is safe). Never touches the newest version or the staging
+    * dir. Returns the deleted version directories. */
+  def pruneIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, keep: Int = 1): Seq[String] = {
+    require(keep >= 1, "keep must be at least 1")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ivfVersions(fs, path).dropRight(keep).map { v =>
+      val dir = f"$path/versions/v$v%09d"
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      dir
+    }
   }
 
   /** IVF top-k against a [[writeIvfIndex]] layout. Identical semantics and
@@ -242,7 +309,13 @@ object Similarity {
     * O(queries × nprobe) — small by the broadcast-queries contract — so
     * collecting it to the driver (the same bounded-metadata exception as
     * the centroid table) turns the probe into a static partition filter
-    * Catalyst prunes at planning time. */
+    * Catalyst prunes at planning time.
+    *
+    * Binds to ONE index version ([[resolveIvfIndex]], resolved here once):
+    * both the centroid table and the layout come from the same published
+    * version dir, so a concurrent retrain+republish can neither mix
+    * versions under this search nor delete its files (old versions live
+    * until [[pruneIvfIndex]]). */
   def ivfTopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -251,8 +324,9 @@ object Similarity {
       queryVecCol: String,
       k: Int = 10,
       nprobe: Int = 1): DataFrame = {
-    val centroids = graft.sources.MetaPersist.readModel(spark, s"$path/centroids", "ivf_centroids")
-    val corpusMf = graft.sources.MetaPersist.readModel(spark, s"$path/corpus", "ivf_corpus")
+    val vdir = resolveIvfIndex(spark, path)
+    val centroids = graft.sources.MetaPersist.readModel(spark, s"$vdir/centroids", "ivf_centroids")
+    val corpusMf = graft.sources.MetaPersist.readModel(spark, s"$vdir/corpus", "ivf_corpus")
     val idCol = corpusMf.metadata("idCol").asInstanceOf[String]
     val cents = centroidArray(centroids.df, "cell", "cvec")
     val probed = queries.crossJoin(broadcast(cents))

@@ -40,11 +40,16 @@ import graft.operators.{Corpus, Dedup}
   *    (`"duplicate_corpus"`). The ACCEPTED SET is the same whenever ids
   *    are arrival-ordered — only the label differs.
   *
-  * Exactly-once caveat: `foreachBatch` is at-least-once on retry; the two
-  * appends below are not transactional. The audit table carries
-  * `batch_id`, so a replayed batch is detectable (and deduplicable) by
-  * `dropDuplicates("batch_id", "id")` downstream; a transactional store
-  * (or partition-by-batch overwrite) is the production hardening.
+  * Exactly-once: `foreachBatch` delivers a batch at-least-once on retry,
+  * so both stores are written as OVERWRITE-BY-BATCH partitions
+  * (`<dir>/batch_id=N`) and the per-batch corpus read EXCLUDES the
+  * current batch's own partition. A replayed batch therefore sees exactly
+  * the corpus view its first attempt saw (its own half-written partition
+  * is invisible), recomputes the identical deterministic verdicts, and
+  * overwrites its own two partitions in place — the observable store and
+  * audit state after a replay is identical to a single clean delivery, with
+  * no contradictory audit rows and no double-append. `batch_id` surfaces on
+  * read as a partition column (partition-inferred integer type).
   */
 object Ingest {
 
@@ -53,8 +58,12 @@ object Ingest {
     * winnowing near-dedup → benchmark decontamination → deterministic
     * split. Returns one AUDIT row per batch doc with first-failing-stage
     * attribution: (id, source, lang, n_tokens, drop_stage, keep, split);
-    * `drop_stage` ∈ quality | duplicate | duplicate_corpus | contaminated,
-    * null for accepted docs (which carry their split).
+    * `drop_stage` ∈ null_id | quality | duplicate | duplicate_corpus |
+    * contaminated, null for accepted docs (which carry their split).
+    * A NULL-id doc cannot be deduplicated, attributed, or looked up again —
+    * it is dropped at stage 0 with its own `null_id` verdict (n_tokens
+    * null: it never reaches the gate) rather than silently vanishing into
+    * the id-keyed stage joins.
     *
     * The corpus must carry the batch's `idCol`/`textCol` columns.
     * Pure batch function (usable standalone for backfills); every stage is
@@ -85,15 +94,20 @@ object Ingest {
     val base = batch.select(
       col(idCol).as("id"), col(textCol).as("text"),
       col(sourceCol).as("source"), col(langCol).as("lang"))
+    // stage 0: drop NULL ids before the id-keyed stage chain — every later
+    // join is a plain Seq("id") join where a null key matches nothing, so
+    // without this gate a null-id doc would drift through with all-null
+    // stage columns and pick up an arbitrary verdict
+    val valid = base.filter(col("id").isNotNull)
     // the corpus carries the same idCol/textCol names as the batch
     val corpusNorm = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
 
     // 1. quality gate against the frozen LM
     val gate = Dedup.truncate(
-      Corpus.qualityGateAgainst(base, lmCounts, "id", "text", minTokens, maxTokens,
+      Corpus.qualityGateAgainst(valid, lmCounts, "id", "text", minTokens, maxTokens,
           maxTopNgramFrac, maxDupNgramFrac, maxAvgNll)
         .select(col("id"), col("n_tokens"), col("keep").as("gate_keep")))
-    val kept1 = base.join(gate.filter(col("gate_keep")).select("id"), Seq("id"), "left_semi")
+    val kept1 = valid.join(gate.filter(col("gate_keep")).select("id"), Seq("id"), "left_semi")
 
     // 2. in-batch near-dedup, keep-canonical (lowest id of each cluster)
     val dd = Dedup.truncate(
@@ -128,7 +142,8 @@ object Ingest {
       .join(dec, Seq("id"), "left")
       .join(splits, Seq("id"), "left")
       .withColumn("drop_stage",
-        when(!col("gate_keep"), "quality")
+        when(col("id").isNull, "null_id")
+          .when(!col("gate_keep"), "quality")
           .when(!coalesce(col("canonical"), lit(false)), "duplicate")
           .when(coalesce(col("corpus_dup"), lit(false)), "duplicate_corpus")
           .when(col("contaminated"), "contaminated"))
@@ -139,10 +154,14 @@ object Ingest {
 
   /** Wires [[assembleMicroBatch]] into a running ingestion query: per
     * micro-batch, re-reads the accepted-corpus store (growth from prior
-    * batches included), assembles, appends the audit rows (tagged with the
-    * micro-batch id) to `auditDir`, and appends the accepted documents to
-    * `corpusDir`. The corpus store starts empty when `corpusDir` does not
-    * exist yet — or seed it beforehand with an existing corpus.
+    * batches included, the current batch's own partition excluded — see the
+    * exactly-once contract above), assembles, overwrites the batch's audit
+    * partition under `auditDir`, and overwrites the batch's accepted
+    * documents under `corpusDir`. The corpus store starts empty when
+    * `corpusDir` does not exist yet — or seed it beforehand with an
+    * existing corpus written as a `batch_id=-1` partition (the id no
+    * checkpoint batch ever uses; [[compactStore]] produces the same
+    * layout).
     *
     * The stream must carry (idCol, textCol, sourceCol, langCol). Blocks
     * nothing: returns the started query (AvailableNow by default — drain
@@ -170,7 +189,6 @@ object Ingest {
       salt: String = "graft",
       trainPct: Int = 80,
       valPct: Int = 10): StreamingQuery = {
-    val spark = stream.sparkSession
     stream.writeStream
       .queryName("graft_ingest_corpus")
       .trigger(trigger)
@@ -179,48 +197,100 @@ object Ingest {
         val base = batch.select(
           col(idCol).as("id"), col(textCol).as("text"),
           col(sourceCol).as("source"), col(langCol).as("lang"))
-        val corpus = readCorpus(spark, corpusDir).getOrElse(base.limit(0))
-        val audit = assembleMicroBatch(base, corpus, benchmark, lmCounts,
-          "id", "text", "source", "lang", minTokens, maxTokens,
-          maxTopNgramFrac, maxDupNgramFrac, maxAvgNll, minJaccard,
-          shingleWidth, minShared, salt, trainPct, valPct)
-          .withColumn("batch_id", lit(batchId))
-        // audit first, then the corpus append: a crash between the two
-        // leaves an audit row whose doc is missing from the store — the
-        // replayed batch re-accepts it (near-dedup against the store is
-        // what makes the replay converge rather than double-ingest)
-        audit.write.mode("append").parquet(auditDir)
-        base.join(audit.filter(col("keep")).select("id"), Seq("id"), "left_semi")
-          .write.mode("append").parquet(corpusDir)
+        runBatch(base, batchId, corpusDir, auditDir, benchmark, lmCounts,
+          minTokens, maxTokens, maxTopNgramFrac, maxDupNgramFrac, maxAvgNll,
+          minJaccard, shingleWidth, minShared, salt, trainPct, valPct)
       }
       .start()
   }
 
-  /** The accepted-corpus store, or None before the first batch created it.
-    * Fresh read per call — each micro-batch must see prior appends. */
-  private def readCorpus(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+  /** One delivery of one micro-batch — the `foreachBatch` body, factored
+    * out so the replay contract is directly testable: calling it twice with
+    * the same (base, batchId) leaves both stores in the identical state.
+    * `base` must already carry the normalized (id, text, source, lang)
+    * columns. Both writes are whole-partition overwrites of this batch's
+    * own `batch_id=N` subdirectory; the corpus view excludes that
+    * partition, so the verdicts a replay computes are bit-identical to the
+    * first attempt's. Audit first, then corpus: a crash between the two
+    * replays into the same overwrites either way. */
+  private[graft] def runBatch(
+      base: DataFrame,
+      batchId: Long,
+      corpusDir: String,
+      auditDir: String,
+      benchmark: DataFrame,
+      lmCounts: DataFrame,
+      minTokens: Long = 1L,
+      maxTokens: Long = Long.MaxValue,
+      maxTopNgramFrac: Double = 1.0,
+      maxDupNgramFrac: Double = 1.0,
+      maxAvgNll: Double = Double.MaxValue,
+      minJaccard: Double = 0.8,
+      shingleWidth: Int = 3,
+      minShared: Long = 1L,
+      salt: String = "graft",
+      trainPct: Int = 80,
+      valPct: Int = 10): Unit = {
+    val spark = base.sparkSession
+    val corpus = readCorpus(spark, corpusDir, excludeBatchId = batchId)
+      .getOrElse(base.limit(0))
+    val audit = assembleMicroBatch(base, corpus, benchmark, lmCounts,
+      "id", "text", "source", "lang", minTokens, maxTokens,
+      maxTopNgramFrac, maxDupNgramFrac, maxAvgNll, minJaccard,
+      shingleWidth, minShared, salt, trainPct, valPct)
+    audit.write.mode("overwrite").parquet(s"$auditDir/batch_id=$batchId")
+    base.join(audit.filter(col("keep")).select("id"), Seq("id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
   }
 
-  /** Compacts an append-mode store ([[ingestCorpus]]'s corpus or audit
-    * directory): every micro-batch appends a handful of files, so a
-    * long-running ingestion accumulates thousands of small parquet files —
-    * the small-files problem that makes the per-batch corpus re-read (and
-    * any downstream scan) open-file-bound instead of byte-bound. Rewrites
-    * the store into `max(1, ceil(bytes / targetFileBytes))` files and swaps
-    * directories: write to `<dir>.compact`, rename the live dir aside,
-    * rename the compacted dir in, delete the old. The swap window is two
-    * renames; run it from the single writer (between triggers, or while the
-    * query is stopped) — the store has exactly one writer by [[ingestCorpus]]
-    * design, so no second process can append mid-swap. Returns the file
+  /** The accepted-corpus store with the given batch's own partition
+    * excluded (partition-pruned — a replayed batch must not see its first
+    * attempt's output), or None before the first batch created the store.
+    * Fresh read per call — each micro-batch must see prior batches'
+    * partitions. */
+  private def readCorpus(
+      spark: SparkSession, dir: String, excludeBatchId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(dir)
+        .filter(col("batch_id") =!= lit(excludeBatchId))
+        .drop("batch_id"))
+    else None
+  }
+
+  /** Compacts an [[ingestCorpus]] store: every micro-batch writes its own
+    * `batch_id=N` partition with a handful of files, so a long-running
+    * ingestion accumulates thousands of small parquet files and partitions
+    * — the small-files problem that makes the per-batch corpus re-read
+    * (and any downstream scan) open-file-bound instead of byte-bound.
+    * Merges every batch partition EXCEPT the newest into a single
+    * `batch_id=-1` epoch partition of `max(1, ceil(bytes /
+    * targetFileBytes))` files (-1 is an id no checkpoint batch ever uses,
+    * so the epoch can never be the target of a replay overwrite); the
+    * newest partition is rewritten as-is, NOT merged, because it may be the
+    * one uncommitted batch a crashed query will replay on restart — its
+    * replay overwrite must find only its own partition holding its docs.
+    * Compaction therefore composes with the exactly-once replay contract
+    * in EVERY crash state, not just after a clean stop. A store without
+    * `batch_id=` partitions (a pre-partitioned-layout or externally built
+    * append store) compacts flat, same file-count contract.
+    *
+    * Swap: write to `<dir>.compact`, rename the live dir aside, rename the
+    * compacted dir in, delete the old. The swap window is two renames; run
+    * it from the single writer (between triggers, or while the query is
+    * stopped) — the store has exactly one writer by [[ingestCorpus]]
+    * design, so no second process can write mid-swap. Returns the data-file
     * count after compaction.
     *
-    * Row content is preserved exactly (one pass, no shuffle beyond the
-    * coalesce); a failure before the first rename leaves the live store
-    * untouched, and after it the compacted data is complete on disk —
-    * re-running [[compactStore]] is always safe. */
+    * Row content is preserved exactly; a failure before the first rename
+    * leaves the live store untouched, and after it the compacted data is
+    * complete on disk. Re-running is safe in every crash state: a crash in
+    * the two-rename window (live dir missing, `<dir>.compact` complete on
+    * disk) is detected on entry and rolled FORWARD (the compacted dir
+    * becomes live — it could only have gone missing after its write
+    * completed), and the residual no-compact state (live missing, only
+    * `<dir>.old` present) is rolled BACK. */
   def compactStore(
       spark: SparkSession,
       dir: String,
@@ -228,17 +298,61 @@ object Ingest {
     require(targetFileBytes >= 1, "targetFileBytes must be positive")
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverHalfSwap(fs, dir)
     require(fs.exists(p), s"no store at $dir")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
     val old = new org.apache.hadoop.fs.Path(dir + ".old")
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(dir).coalesce(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val batchIds = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    if (batchIds.isEmpty) {
+      spark.read.parquet(dir).coalesce(nFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+    } else {
+      val newest = batchIds.max
+      val df = spark.read.parquet(dir)
+      // newest == -1 means the store is already a lone epoch: re-coalesce it
+      val merged = if (newest == -1L) df else df.filter(col("batch_id") =!= newest)
+      merged.drop("batch_id").coalesce(nFiles)
+        .write.mode("overwrite").parquet(s"$tmp/batch_id=-1")
+      if (newest != -1L)
+        df.filter(col("batch_id") === newest).drop("batch_id")
+          .write.mode("overwrite").parquet(s"$tmp/batch_id=$newest")
+    }
     require(fs.rename(p, old), s"could not move the live store aside: $dir")
     require(fs.rename(tmp, p), s"could not move the compacted store in: $dir")
     fs.delete(old, true)
-    nFiles
+    dataFileCount(fs, p)
+  }
+
+  private def dataFileCount(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Int = {
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
+  /** Detects and repairs the half-swapped crash state of a two-rename
+    * directory swap (`<dir>` missing after the live dir was moved aside).
+    * `<dir>.compact` can only exist without `<dir>` if its write completed
+    * before the first rename, so roll forward: make it live. With only
+    * `<dir>.old` present, roll back. With `<dir>` live this is a no-op —
+    * leftover `.compact`/`.old` dirs are stale work the caller re-does. */
+  private def recoverHalfSwap(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    if (!fs.exists(p)) {
+      if (fs.exists(tmp)) {
+        require(fs.rename(tmp, p), s"half-swap roll-forward failed: $dir")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, p), s"half-swap roll-back failed: $dir")
+      }
+    }
   }
 }

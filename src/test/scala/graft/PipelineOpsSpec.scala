@@ -57,6 +57,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       out.head.getAs[Long]("canonical_id") == 1L)
     assert(Dedup.exact(rows.filter(col("doc_id") <= 3L), "doc_id", "text").count() == 3L)
     intercept[IllegalArgumentException](normalizeText(col("text"), form = "nfx"))
+    // a non-string child fails analysis cleanly (never a silent toString);
+    // an explicit cast opts in
+    val typeErr = intercept[org.apache.spark.sql.AnalysisException](
+      rows.select(normalizeText(col("doc_id")).as("n")).schema)
+    assert(typeErr.getMessage.contains("string"), s"got: ${typeErr.getMessage}")
+    val casted = rows.select(normalizeText(col("doc_id").cast("string")).as("n"))
+    assert(casted.collect().map(_.getString(0)).toSet == Set("1", "2", "3", "4", "5", "6"))
   }
 
   test("exact dedup elects canonical id and counts duplicates") {
@@ -140,7 +147,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       "zero-overlap doc falls back to smallest other id at jaccard 0")
   }
 
-  test("shingle df-cap: no-op at the exact default, bounds hot-key candidates when set") {
+  test("shingle df-cap: no-op at the exact opt-in, bounds hot-key candidates when set") {
     import spark.implicits._
     // every doc opens with the same boilerplate (df = 4 for those shingles);
     // bodies are pairwise disjoint, so all cross-doc overlap IS boilerplate

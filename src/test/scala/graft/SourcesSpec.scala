@@ -87,6 +87,49 @@ class SourcesSpec extends AnyFunSuite {
     // index reuses the same readModel gate for both artifacts
   }
 
+  test("IVF retrain publishes a new version atomically; pre-swap readers survive; pruning reclaims") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val path = out("ivf_versioned")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val c1 = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
+    assert(Similarity.writeIvfIndex(emb, "vec_id", "embedding", c1, "cell", "cvec", path)
+      == "v000000001")
+    // this reader binds to v1 NOW — the point of the test is that the
+    // republish below cannot disturb it
+    val preSwapReader = Similarity.ivfTopKIndexed(spark, path, queries,
+      "query_id", "query_vec", k = 5, nprobe = 2)
+    val preSwapRows = rows(preSwapReader)
+
+    // corpus drift → retrain with different parameters → republish
+    val c2 = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 3, iters = 2)
+    assert(Similarity.writeIvfIndex(emb, "vec_id", "embedding", c2, "cell", "cvec", path)
+      == "v000000002")
+    // the pre-swap reader still scans its own version's files bit-stably
+    assert(rows(preSwapReader) == preSwapRows, "republish must not disturb an in-flight reader")
+    // a fresh read resolves v2 and is bit-equal to the inline search on
+    // the NEW centroids (the full centroids+layout pair swapped together)
+    val post = rows(Similarity.ivfTopKIndexed(spark, path, queries,
+      "query_id", "query_vec", k = 5, nprobe = 2))
+    val inline2 = rows(Similarity.ivfTopK(emb, "vec_id", "embedding", c2, "cell", "cvec",
+      queries, "query_id", "query_vec", k = 5, nprobe = 2))
+    assert(post == inline2)
+
+    // prune to the newest version: v1's directory is reclaimed, the
+    // current version keeps serving identically
+    val deleted = Similarity.pruneIvfIndex(spark, path)
+    assert(deleted.map(_.split('/').last) == Seq("v000000001"), s"got $deleted")
+    assert(!new java.io.File(s"$path/versions/v000000001").exists)
+    assert(new java.io.File(s"$path/versions/v000000002").exists)
+    assert(rows(Similarity.ivfTopKIndexed(spark, path, queries,
+      "query_id", "query_vec", k = 5, nprobe = 2)) == post)
+  }
+
   test("CSV roundtrip through the metadata layer") {
     base.write.mode("overwrite").option("header", "true").csv(out("csv"))
     val mf = MetaFrame(

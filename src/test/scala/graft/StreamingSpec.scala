@@ -296,7 +296,8 @@ class StreamingSpec extends AnyFunSuite {
     val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
     val dir = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
     Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, "cell", "cvec", dir)
-    val corpusCells = graft.sources.MetaPersist.readModel(spark, s"$dir/corpus", "ivf_corpus").df
+    val corpusCells = graft.sources.MetaPersist.readModel(
+      spark, s"${Similarity.resolveIvfIndex(spark, dir)}/corpus", "ivf_corpus").df
     val qrows = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val ms = MemoryStream[(Long, Array[Float])](spark)
@@ -430,15 +431,21 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("batch_id") === 0L).collect().map(key).toSet
     assert(streamed1 == direct, s"stream $streamed1 vs direct $direct")
 
-    // compaction: two appends left >1 parquet file; compact to one and the
-    // store content is unchanged
-    val nParquet = new java.io.File(corpusDir).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
-    assert(nParquet >= 2, s"two appends should leave >1 file, got $nParquet")
-    assert(Ingest.compactStore(spark, corpusDir) == 1)
-    val afterFiles = new java.io.File(corpusDir).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
-    assert(afterFiles == 1, s"compacted store must hold one file, got $afterFiles")
+    // compaction: two batch partitions; the committed batch 0 merges into
+    // the batch_id=-1 epoch, the newest partition (batch 1 — the only
+    // possibly-uncommitted one) is rewritten in place, NOT merged
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    assert(parquetFiles(corpusDir) >= 2, "two batches should leave >1 file")
+    assert(Ingest.compactStore(spark, corpusDir) == 2,
+      "epoch file + rewritten newest-batch file")
+    val subdirs = new java.io.File(corpusDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(subdirs == Set("batch_id=-1", "batch_id=1"), s"got $subdirs")
     assert(spark.read.parquet(corpusDir).select("id")
       .collect().map(_.getLong(0)).toSet == Set(10L, 15L))
     // ingestion continues against the COMPACTED store: a dup of doc 10
@@ -457,5 +464,107 @@ class StreamingSpec extends AnyFunSuite {
     val a16 = spark.read.parquet(auditDir).filter(col("id") === 16L)
       .collect().map(r => Option(r.getAs[String]("drop_stage"))).toSeq
     assert(a16 == Seq(Some("duplicate_corpus")), s"got $a16")
+  }
+
+  test("ingestion replay is exactly-once: re-delivering a batch leaves store and audit identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Corpus
+    import graft.streaming.Ingest
+    val dirBase = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val (corpusDir, auditDir) = (s"$dirBase/corpus", s"$dirBase/audit")
+    val good = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val novel = "spark catalyst optimizer pushes filters below joins for scan pruning wins"
+    val bench = Seq((1L, "benchmark held out text strictly")).toDF("doc_id", "text")
+    val lm = Corpus.lmCounts(Seq((1L, good), (2L, novel)).toDF("doc_id", "text"), "text")
+    val ms = MemoryStream[(Long, String, String, String)](spark)
+    val q = Ingest.ingestCorpus(
+      ms.toDF().toDF("doc_id", "text", "source", "lang"),
+      corpusDir, auditDir, bench, lm,
+      "doc_id", "text", "source", "lang",
+      checkpointDir = s"$dirBase/ckpt", trigger = Trigger.ProcessingTime(0),
+      maxTopNgramFrac = 0.5)
+    val b2 = Seq((20L, good, "web2", "en"), // dup of the batch-1-accepted doc 10
+      (21L, novel, "web", "en")) // accepted
+    try {
+      ms.addData((10L, good, "web", "en"), (11L, good, "web", "en"))
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def snapshot(dir: String): Seq[String] = spark.read.parquet(dir)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val store0 = snapshot(corpusDir)
+    val audit0 = snapshot(auditDir)
+    assert(store0.size == 2 && audit0.size == 4, s"store $store0 audit $audit0")
+
+    // replay batch 1 (the at-least-once case: foreachBatch re-delivers the
+    // same data under the same batch id). The replay must see the corpus
+    // WITHOUT its own first attempt's partition, recompute the identical
+    // verdicts — doc 21 stays accepted, NOT duplicate_corpus against
+    // itself — and overwrite its own partitions in place.
+    val base2 = b2.toDF("id", "text", "source", "lang")
+    Ingest.runBatch(base2, 1L, corpusDir, auditDir, bench, lm, maxTopNgramFrac = 0.5)
+    assert(snapshot(corpusDir) == store0, "replay must not change the store")
+    assert(snapshot(auditDir) == audit0, "replay must not change the audit")
+    // replaying twice more converges identically (idempotence, not luck)
+    Ingest.runBatch(base2, 1L, corpusDir, auditDir, bench, lm, maxTopNgramFrac = 0.5)
+    assert(snapshot(corpusDir) == store0 && snapshot(auditDir) == audit0)
+  }
+
+  test("NULL-id docs get their own null_id verdict, not an arbitrary stage label") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    import graft.streaming.Ingest
+    val good = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val lm = Corpus.lmCounts(Seq((1L, good)).toDF("doc_id", "text"), "text")
+    val bench = Seq((1L, "benchmark held out text")).toDF("doc_id", "text")
+    // same text on both rows: the null-id doc must neither vanish from the
+    // audit nor participate in dedup (doc 10 stays canonical-alone)
+    val batch = Seq((Option(10L), good, "web", "en"),
+      (Option.empty[Long], good, "web", "en")).toDF("doc_id", "text", "source", "lang")
+    val out = Ingest.assembleMicroBatch(batch, batch.limit(0), bench, lm,
+        "doc_id", "text", "source", "lang", maxTopNgramFrac = 0.5)
+      .collect().map(r => Option(r.get(0)) ->
+        ((Option(r.getAs[String]("drop_stage")), r.getAs[Boolean]("keep"),
+          r.isNullAt(r.fieldIndex("n_tokens"))))).toMap
+    assert(out.size == 2, s"one audit row per doc incl. the null id: $out")
+    assert(out(Some(10L))._1.isEmpty && out(Some(10L))._2, s"got ${out(Some(10L))}")
+    assert(out(None)._1.contains("null_id") && !out(None)._2, s"got ${out(None)}")
+    assert(out(None)._3, "a null-id doc never reaches the gate: n_tokens stays null")
+  }
+
+  test("compactStore auto-recovers a half-swapped crash state") {
+    import spark.implicits._
+    import graft.streaming.Ingest
+    val dir = java.nio.file.Files.createTempDirectory("graft_swap").toString + "/store"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+      .write.parquet(s"$dir/batch_id=0")
+    Seq((3L, "c")).toDF("id", "text").write.parquet(s"$dir/batch_id=1")
+    assert(Ingest.compactStore(spark, dir) == 2)
+    val rows = spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L, 3L))
+    // simulate a crash in the two-rename window: compacted dir complete on
+    // disk (here: a copy of the live content), live dir moved aside
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(dir),
+      fs, new org.apache.hadoop.fs.Path(dir + ".compact"), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    // re-running detects the state, rolls the complete compact dir forward,
+    // and compacts normally — no manual rename needed
+    assert(Ingest.compactStore(spark, dir) == 2)
+    assert(spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+    // the roll-BACK path: only <dir>.old remains
+    require(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    assert(Ingest.compactStore(spark, dir) == 2)
+    assert(spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
   }
 }
