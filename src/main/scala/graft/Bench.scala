@@ -127,7 +127,102 @@ object Bench {
     val best = obj(_._2)
     val spread = obj(_._3)
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"queries":$qs,"best":$best,"spread":$spread,"sf":"$sfDir"}""")
+
+    // ---- streaming micro-benchmarks (regression gate; the reference has
+    // no streaming surface, so these rows have no BASELINE.md twin).
+    // Pinned protocol: per run, start the streaming query FRESH (state
+    // store + sink init inside the timer — a state-store regression must
+    // not hide in setup), feed the fixed micro-batches with
+    // processAllAvailable after each add, stop; rows/sec = rows fed /
+    // elapsed. One untimed warm run, then median of 5 with spread.
+    val streamStats = streamingBench(spark, sfDir)
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"queries":$qs,"best":$best,"spread":$spread,"streaming":$streamStats,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Runs the two streaming throughput probes and returns their JSON
+    * object: `annTopKStream` (the TopKAgg update-mode aggregate — the
+    * state-store path) and `Ingest.ingestCorpus` (the foreachBatch
+    * pipeline incl. its per-batch store writes and grown-store dedup). */
+  private def streamingBench(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.operators.{Corpus, Similarity}
+    import graft.streaming.{Ingest, Streams}
+
+    def t(name: String): DataFrame = Tables.load(spark, sfDir, name)
+    def medianSpread(runs: Seq[Double]): (Double, Double) = {
+      val xs = runs.sorted
+      (xs(xs.size / 2), xs.last - xs.head)
+    }
+    var runId = 0
+
+    // --- ANN serving: 2 micro-batches x 64 query vectors against the
+    // cell-assigned corpus, k=10, nprobe=2
+    val emb = t("embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val corpusCells = emb.join(
+      Similarity.ivfAssign(emb, "vec_id", "embedding", cents, "cell", "cvec")
+        .select(col("vec_id"), col("cell")),
+      Seq("vec_id"))
+      .cache()
+    corpusCells.count(): Unit
+    val qvecs = emb.limit(128).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val annBatches = qvecs.grouped(64).toSeq
+    def annRun(): Double = {
+      runId += 1
+      val name = s"bench_ann_$runId"
+      val ms = MemoryStream[(Long, Array[Float])](spark)
+      val out = Streams.annTopKStream(
+        ms.toDF().toDF("query_id", "query_vec"), corpusCells, "vec_id", "embedding",
+        cents, "query_id", "query_vec", k = 10, nprobe = 2)
+      val t0 = System.nanoTime()
+      val q = Streams.runToMemory(out, name, OutputMode.Update())
+      try {
+        annBatches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.catalog.dropTempView(name)
+      qvecs.length / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    // --- ingestion: 2 micro-batches x 500 docs through the full audited
+    // pipeline (frozen-LM gate, in-batch + vs-store winnowing dedup,
+    // decontamination, split, partitioned store/audit overwrites)
+    val docs = t("documents")
+    val docRows = docs.limit(1000)
+      .select(col("doc_id"), col("text"), col("source"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val ingBatches = docRows.grouped(500).toSeq
+    val lm = Corpus.lmCounts(docs.limit(1000), "text").cache()
+    lm.count(): Unit
+    val benchSet = docs.filter(col("doc_id") % 97 === 0).select("doc_id", "text").cache()
+    benchSet.count(): Unit
+    val benchRoot = "target/bench_streaming"
+    def ingestRun(): Double = {
+      runId += 1
+      val dir = s"$benchRoot/run_$runId"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ms = MemoryStream[(Long, String, String, String)](spark)
+      val t0 = System.nanoTime()
+      val q = Ingest.ingestCorpus(
+        ms.toDF().toDF("doc_id", "text", "source", "lang"),
+        s"$dir/corpus", s"$dir/audit", benchSet, lm,
+        "doc_id", "text", "source", "lang",
+        checkpointDir = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0),
+        minTokens = 5L, maxTopNgramFrac = 0.5)
+      try {
+        ingBatches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      docRows.length / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    annRun(); ingestRun() // warm (JIT + codegen + shuffle service)
+    val (annQps, annSpread) = medianSpread(Seq.fill(5)(annRun()))
+    val (ingRps, ingSpread) = medianSpread(Seq.fill(5)(ingestRun()))
+    corpusCells.unpersist(); lm.unpersist(); benchSet.unpersist()
+    f"""{"protocol":"fresh query per run incl. start, 2 micro-batches, median of 5 runs","ann_topk_queries_per_sec":$annQps%.1f,"ann_spread":$annSpread%.1f,"ingest_docs_per_sec":$ingRps%.1f,"ingest_spread":$ingSpread%.1f}"""
   }
 }
