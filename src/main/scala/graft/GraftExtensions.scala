@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 import org.apache.spark.sql.graftbridge
 
-import graft.expressions.{FloatVectorDot, MinHashSignature, NormalizeText, ShingleHashes, SimHash64, TopKAgg}
+import graft.expressions.{FloatVectorDot, MinHashSignature, NgramRepetition, NormalizeText, ShingleHashes, SimHash64, TopKAgg}
 
 /** SQL surface for the engine's native expressions (SURVEY.md §7.4):
   * registers `float_vector_dot`, `minhash_signature`, `shingle_hashes`,
@@ -73,6 +73,12 @@ object GraftExtensions {
             s"normalize_text: form must be a string literal, got $other")
         } else "NFC"
         NormalizeText(args(0), form)
+      }),
+    ("ngram_repetition",
+      new ExpressionInfo(classOf[NgramRepetition].getName, "ngram_repetition"),
+      { args =>
+        require(args.length == 1, "ngram_repetition(gramHashes)")
+        NgramRepetition(args(0))
       }),
     ("top_k_by_score",
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k_by_score"),

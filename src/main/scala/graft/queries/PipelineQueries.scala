@@ -739,6 +739,26 @@ object PipelineQueries {
         "FROM __docs_norm ORDER BY doc_id")
     }),
 
+    // the repetition side of the quality gate from PURE spark.sql: the
+    // registered row-local ngram_repetition expression over the registered
+    // shingle_hashes — one expression per doc, no explode/shuffle — with
+    // the fracs derived in SQL. Oracle: the same string-gram re-derivation
+    // as text_repetition (hash grouping ≡ string grouping while the rolled
+    // 64-bit hash is collision-free on the corpus vocabulary).
+    "sql_native_repetition" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      t(s, d, "documents").df.createOrReplaceTempView("__docs_rep")
+      s.sql(
+        "SELECT doc_id, r.n_ngrams, r.top_ngram_count, r.dup_ngram_count, " +
+        "CASE WHEN r.n_ngrams > 0 THEN CAST(r.top_ngram_count AS DOUBLE) / r.n_ngrams " +
+        "ELSE 0.0 END AS top_ngram_frac, " +
+        "CASE WHEN r.n_ngrams > 0 THEN CAST(r.dup_ngram_count AS DOUBLE) / r.n_ngrams " +
+        "ELSE 0.0 END AS dup_ngram_frac " +
+        "FROM (SELECT doc_id, ngram_repetition(" +
+        "shingle_hashes(transform(split(text, '\\\\s+'), t -> xxhash64(t)), 2)) AS r " +
+        "FROM __docs_rep) ORDER BY doc_id")
+    }),
+
     // corpus version diff: v1 = %3<>0 slice, v2 = %5<>0 slice with text
     // edited for %11==0 — all four transition statuses engage; the status
     // table is pure hash arithmetic, exactly re-derivable
@@ -1305,6 +1325,24 @@ object PipelineQueries {
       ("SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm, " +
        "md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS norm_hash " +
        "FROM documents ORDER BY doc_id"),
+
+    // SQL-surface repetition: identical math to text_repetition's oracle
+    // (the Spark side differs — registered row-local expression vs the
+    // operator's explode+groupBy — but the counts are the same integers)
+    "sql_native_repetition" ->
+      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+       "g AS (SELECT doc_id, CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')] " +
+       "ELSE [array_to_string(ts[i:i+1], ' ') FOR i IN generate_series(1, len(ts)-1)] END AS ng FROM toks), " +
+       "e AS (SELECT doc_id, unnest(ng) AS s FROM g), " +
+       "c AS (SELECT doc_id, s, count(*) AS c FROM e GROUP BY 1, 2), " +
+       "a AS (SELECT doc_id, sum(c) AS t, max(c) AS m, " +
+       "coalesce(sum(c) FILTER (c > 1), 0) AS dup FROM c GROUP BY 1) " +
+       "SELECT d.doc_id, CAST(coalesce(a.t, 0) AS BIGINT) AS n_ngrams, " +
+       "CAST(coalesce(a.m, 0) AS BIGINT) AS top_ngram_count, " +
+       "CAST(coalesce(a.dup, 0) AS BIGINT) AS dup_ngram_count, " +
+       "CASE WHEN coalesce(a.t, 0) > 0 THEN CAST(a.m AS DOUBLE) / a.t ELSE 0.0 END AS top_ngram_frac, " +
+       "CASE WHEN coalesce(a.t, 0) > 0 THEN CAST(a.dup AS DOUBLE) / a.t ELSE 0.0 END AS dup_ngram_frac " +
+       "FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id"),
 
     // version diff: the same hash arithmetic over both slices with a FULL
     // OUTER join; null-safe hash compare decides changed vs unchanged

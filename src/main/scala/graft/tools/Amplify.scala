@@ -15,15 +15,31 @@ import graft.sources.Tables
   *    (pk and fk alike) is offset by `i * KeyStride`, so each replica joins
   *    only within itself and fan-out per key is exactly the original;
   *  - region/nation: copied once (fixed-cardinality dims, TPC-H style);
-  *  - documents: doc_id shifted; for replica i>0 every whitespace token is
-  *    rewritten to a 16-hex (64-bit) digest keyed by i. The token map is
-  *    injective up to digest collisions — negligible at this vocabulary size
-  *    (birthday bound ≈ n²/2⁶⁵) — so token counts, shingle structure and
-  *    within-replica Jaccard are preserved to that approximation while
-  *    replicas share ~no shingles; the near-dup workload scales linearly
-  *    instead of planting every doc in a 10-way duplicate clique (which
-  *    would quadratically blow up any shingle-indexed join and measure a
-  *    different workload, not a bigger one);
+  *  - documents: doc_id shifted; the text rewrite depends on `vocabMode`:
+  *      - `"bijection"` (default): for replica i>0 every whitespace token
+  *        is rewritten to a 16-hex (64-bit) digest keyed by i. The token
+  *        map is injective up to digest collisions — negligible at this
+  *        vocabulary size (birthday bound ≈ n²/2⁶⁵) — so token counts,
+  *        shingle structure and within-replica Jaccard are preserved to
+  *        that approximation while replicas share ~no shingles; the
+  *        near-dup workload scales linearly instead of planting every doc
+  *        in a 10-way duplicate clique (which would quadratically blow up
+  *        any shingle-indexed join and measure a different workload, not a
+  *        bigger one). The price: replica vocabularies are DISJOINT, so an
+  *        LM trained on (or frozen against) the amplified corpus scores
+  *        replica tokens as unseen and a quality gate drops most amplified
+  *        docs — LM-gated composites measure collapsed work, not 10× work.
+  *      - `"reuse"`: replica i>0 keeps the SOURCE vocabulary but
+  *        deterministically permutes each doc's token sequence (sort by
+  *        md5(token, position, i) — a replica-keyed total order). The
+  *        token MULTISET is unchanged, so unigram LM statistics and the
+  *        gate's keep fraction match the source exactly, while n-gram
+  *        locality is destroyed: two independent hash-orders of a diverse
+  *        token sequence share ~no 3-gram shingles, so replicas are not
+  *        near-dups of the source or of each other and dedup stages still
+  *        scale linearly. Use for LM-gated composite entries; keep
+  *        bijection for dedup-focused entries (disjointness is the
+  *        stronger guarantee there).
   *  - embeddings: vec_id shifted; replica i's vectors are component-rotated
   *    by i positions — norms and within-replica cosines are bit-preserved,
   *    cross-replica similarity is scrambled. KeyStride is a multiple of 64
@@ -46,10 +62,21 @@ object Amplify {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  def replica(df: DataFrame, table: String, i: Int): DataFrame = {
+  def replica(df: DataFrame, table: String, i: Int, vocabMode: String = "bijection"): DataFrame = {
     val off = KeyStride * i
     val shifted = KeyCols(table).foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(off)))
     table match {
+      case "documents" if i > 0 && vocabMode == "reuse" =>
+        // replica-keyed deterministic permutation of the token sequence:
+        // (position makes duplicate tokens' keys unique → total order)
+        val keyed = transform(split(col("text"), "\\s+"),
+          (t, idx) => struct(
+            md5(concat_ws("#", t, idx.cast("string"), lit(i))).as("k"), t.as("t")))
+        val ordered = array_sort(keyed, (l, r) =>
+          when(l("k") < r("k"), -1).when(l("k") > r("k"), 1).otherwise(0))
+        shifted
+          .withColumn("text", array_join(transform(ordered, s => s("t")), " "))
+          .withColumn("n_chars", length(col("text")).cast("long"))
       case "documents" if i > 0 =>
         shifted
           .withColumn("text",
@@ -66,20 +93,25 @@ object Amplify {
     }
   }
 
-  def amplify(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
+  def amplify(spark: SparkSession, srcDir: String, outDir: String, copies: Int,
+      vocabMode: String = "bijection"): Unit = {
+    require(Set("bijection", "reuse").contains(vocabMode),
+      s"vocabMode must be bijection or reuse, got $vocabMode")
     Tables.All.foreach { table =>
       val base = Tables.load(spark, srcDir, table)
       val out =
         if (!KeyCols.contains(table)) base // region/nation: fixed dims
-        else (0 until copies).map(i => replica(base, table, i)).reduce(_.unionByName(_))
+        else (0 until copies).map(i => replica(base, table, i, vocabMode))
+          .reduce(_.unionByName(_))
       out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
-      println(s"[amplify] $table -> $outDir/$table.parquet")
+      println(s"[amplify] $table ($vocabMode) -> $outDir/$table.parquet")
     }
   }
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale/sf1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val vocabMode = args.lift(2).getOrElse("bijection")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -87,7 +119,7 @@ object Amplify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    amplify(spark, "/root/testdata/sf0.1", outDir, copies)
+    amplify(spark, "/root/testdata/sf0.1", outDir, copies, vocabMode)
     spark.stop()
   }
 }

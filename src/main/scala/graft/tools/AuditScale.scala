@@ -49,6 +49,18 @@ object AuditScale {
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
   val FixedInput: Set[String] = Set("dedup_cc_exact")
 
+  /** LM-gated composites measured against the VOCAB-REUSE amplified dir:
+    * under the default token bijection the replicas' vocabularies are
+    * disjoint, the LM gate drops most amplified docs at stage 1, and the
+    * composite's ratio measures collapsed work (r9: 0.29–0.32×). The reuse
+    * mode keeps the source vocabulary (identical unigram stats → the gate
+    * keeps the source fraction) while hash-permuting token order so dedup
+    * stages still see no cross-replica near-dups — the ratio then reflects
+    * 10× of the real pipeline work. Dedup-focused entries stay on the
+    * bijection dir (vocabulary disjointness is the stronger guarantee
+    * there). */
+  val VocabReuse: Set[String] = Set("pipeline_corpus_e2e", "pipeline_ingest_batch")
+
   /** Queries where a BroadcastNestedLoopJoin is the intended plan: a tiny
     * broadcast side (the query set / centroid table) against every row is
     * exactly what brute-force scoring and IVF cell-probing mean;
@@ -169,6 +181,7 @@ object AuditScale {
     val outPath = args.headOption.getOrElse("SCALE_r05.json")
     val smallDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val bigDir = args.lift(2).getOrElse("target/scale/sf1")
+    val bigVocabDir = args.lift(3).getOrElse("target/scale/sf1v")
     val warmDir = "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -181,6 +194,8 @@ object AuditScale {
 
     if (!Files.exists(Paths.get(bigDir)))
       Amplify.amplify(spark, smallDir, bigDir, copies = 10)
+    if (!Files.exists(Paths.get(bigVocabDir)))
+      Amplify.amplify(spark, smallDir, bigVocabDir, copies = 10, vocabMode = "reuse")
 
     val fns = queryFns
     // warm pass: JIT + codegen cache on the small sf — one run suffices
@@ -195,7 +210,8 @@ object AuditScale {
       n -> (secs, spread, flagged)
     }.toMap
     val big = fns.map { case (n, fn) =>
-      val (secs, spread, flagged) = runOne(spark, bigDir, n, fn, runs = 5)
+      val dir = if (VocabReuse.contains(n)) bigVocabDir else bigDir
+      val (secs, spread, flagged) = runOne(spark, dir, n, fn, runs = 5)
       println(f"[scale] sf1   $n%-28s ${secs}%7.2fs ±${spread}%5.2f flagged=$flagged")
       n -> (secs, spread, flagged)
     }.toMap
@@ -209,7 +225,7 @@ object AuditScale {
     val json =
       s"""{
   "data_ratio": 10,
-  "note": "sf1 = Amplify 10x key-shifted replication of sf0.1 (join fan-out preserved; per-replica token bijection for documents, component rotation for embeddings). Per-entry numbers are MEDIAN-of-5 with spread (max-min) alongside, so a GC/AQE outlier cannot masquerade as the ratio; per-entry block-manager cleanup keeps one entry's checkpoint storage from polluting the next entry's GC profile. fixed_input queries keep an sf-independent declared input (oracle boundedness); ratio ~1 expected there. The *_operator entries isolate product operators from their composite property oracles - gate on those for the operator ratios.",
+  "note": "sf1 = Amplify 10x key-shifted replication of sf0.1 (join fan-out preserved; per-replica token bijection for documents, component rotation for embeddings). The LM-gated pipeline composites (pipeline_corpus_e2e, pipeline_ingest_batch) run against the VOCAB-REUSE amplified dir instead: source vocabulary kept, token order hash-permuted per replica, so the quality gate keeps the source fraction and the ratio reflects 10x of real pipeline work rather than gate-collapsed input (their r9 0.29-0.32x artifact). Per-entry numbers are MEDIAN-of-5 with spread (max-min) alongside, so a GC/AQE outlier cannot masquerade as the ratio; per-entry block-manager cleanup keeps one entry's checkpoint storage from polluting the next entry's GC profile. fixed_input queries keep an sf-independent declared input (oracle boundedness); ratio ~1 expected there. The *_operator entries isolate product operators from their composite property oracles - gate on those for the operator ratios.",
   "queries": {
 ${entries.mkString(",\n")}
   }

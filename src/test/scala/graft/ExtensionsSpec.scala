@@ -75,6 +75,37 @@ class ExtensionsSpec extends AnyFunSuite {
       bad.getMessage.contains("NFC"))
   }
 
+  test("ngram_repetition from SQL matches the operator's counts; interpreted == codegen") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 'a b a b a' bigrams: (a b) x2, (b a) x2 -> n=4, top=2, dup=4
+    val df = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("ext_rep_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, ngram_repetition(
+        |  shingle_hashes(transform(split(text, '\\s+'), t -> xxhash64(t)), 2)) AS r
+        |FROM ext_rep_docs""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else { val s = r.getStruct(1); (s.getLong(0), s.getLong(1), s.getLong(2)) })).toMap
+    assert(viaSql(1L) == ((4L, 2L, 4L)), s"got ${viaSql(1L)}")
+    assert(viaSql(2L) == ((2L, 1L, 0L)))
+    assert(viaSql(3L) == null, "NULL text propagates")
+    // the operator derives its stats from the same counters
+    val op = graft.operators.Corpus.repetitionStats(
+        df.filter(col("text").isNotNull), "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(op(1L) == viaSql(1L) && op(2L) == viaSql(2L))
+    // interpreted path (eval without codegen) shares the same static helper
+    val grams = graft.expressions.MinHashSignature.shingleHashes(
+      transform(split(col("text"), "\\s+"), t => xxhash64(t)), 2)
+    val interp = df.filter(col("doc_id") === 1L).select(
+      graft.expressions.NgramRepetition.ngramRepetition(grams).as("r"))
+      .head().getStruct(0)
+    assert((interp.getLong(0), interp.getLong(1), interp.getLong(2)) == ((4L, 2L, 4L)))
+  }
+
   test("top_k_by_score aggregate callable from SQL") {
     import spark.implicits._
     (1L to 100L).map(i => ("g", (i % 7).toDouble, i)).toDF("g", "score", "id")

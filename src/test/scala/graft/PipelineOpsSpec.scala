@@ -1030,4 +1030,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
+
+  test("Amplify vocab-reuse keeps the token multiset, permutes order per replica, shares no shingles") {
+    import spark.implicits._
+    import graft.tools.Amplify
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve thirteen"))
+      .toDF("doc_id", "text")
+    def texts(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => (r.getAs[Long]("doc_id") % Amplify.KeyStride) ->
+        r.getAs[String]("text")).toMap
+    val src = texts(docs)
+    val r1 = texts(Amplify.replica(docs, "documents", 1, "reuse"))
+    val r2 = texts(Amplify.replica(docs, "documents", 2, "reuse"))
+    def toks(s: String) = s.split("\\s+").toSeq
+    def shingleSet(s: String) = toks(s).sliding(3).map(_.mkString(" ")).toSet
+    for (id <- Seq(1L, 2L)) {
+      // identical multiset → identical unigram LM statistics and gate verdicts
+      assert(toks(r1(id)).sorted == toks(src(id)).sorted)
+      assert(toks(r2(id)).sorted == toks(src(id)).sorted)
+      // replica-keyed order: differs from the source and between replicas
+      assert(r1(id) != src(id) && r2(id) != src(id) && r1(id) != r2(id))
+      // n-gram locality destroyed → replicas are not near-dups of anything
+      assert(shingleSet(r1(id)).intersect(shingleSet(src(id))).isEmpty)
+      assert(shingleSet(r1(id)).intersect(shingleSet(r2(id))).isEmpty)
+    }
+    // bijection mode is unchanged: disjoint vocabularies entirely
+    val b1 = texts(Amplify.replica(docs, "documents", 1))
+    assert(toks(b1(1L)).toSet.intersect(toks(src(1L)).toSet).isEmpty)
+  }
 }

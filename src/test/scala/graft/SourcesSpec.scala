@@ -92,6 +92,9 @@ class SourcesSpec extends AnyFunSuite {
     import graft.operators.Similarity
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val path = out("ivf_versioned")
+    // version numbering continues across publishes by design, so a prior
+    // run's surviving index must not shift this run's expected names
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     def rows(df: org.apache.spark.sql.DataFrame) =
