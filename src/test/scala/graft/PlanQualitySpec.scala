@@ -186,6 +186,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the five consumer branches must reuse the shingle-hash exchange:\n$plan")
   }
 
+  test("df-cut executes as a broadcast anti join against the over-cap key set") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val docs = Tables.load(spark, sfDir, "documents")
+    // cap=5 sits under the measured max df (9 at sf0.001) so the cut engages
+    val q = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.4,
+      maxShingleDf = 5)
+    q.collect() // AQE finalizes join strategies from runtime stats
+    val plan = q.queryExecution.executedPlan.toString
+    // the tiny over-cap set must be the broadcast build side — the index
+    // itself never reshuffles for the cut (the old kept-set semi join
+    // reshuffled the full index twice; +60% on the isolated sf1 audit row)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast LeftAnti df-cut:\n$plan")
+  }
+
   test("simhashSignatures evaluates the SimHash64 expression exactly once") {
     import graft.operators.Dedup
     val docs = Tables.load(spark, sfDir, "documents")
