@@ -421,6 +421,250 @@ object Similarity {
     cents.toDF("cell", "cvec")
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /** Squared L2 distance in double precision (left-to-right fold —
+    * deterministic, exactly re-derivable in SQL). PQ code assignment is
+    * nearest-codeword under L2 within each subspace, the standard
+    * product-quantization metric. */
+  private def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Total order (dist asc, code asc) — the deterministic argmin tiebreak
+    * of the PQ assignment fold. */
+  private def byDistAscCodeAsc(l: Column, r: Column): Column =
+    when(l.getField("dist") < r.getField("dist"), -1)
+      .when(l.getField("dist") > r.getField("dist"), 1)
+      .when(l.getField("code") < r.getField("code"), -1)
+      .when(l.getField("code") > r.getField("code"), 1)
+      .otherwise(0)
+
+  private def bySubAscCodeAsc(l: Column, r: Column): Column =
+    when(l.getField("sub") < r.getField("sub"), -1)
+      .when(l.getField("sub") > r.getField("sub"), 1)
+      .when(l.getField("code") < r.getField("code"), -1)
+      .when(l.getField("code") > r.getField("code"), 1)
+      .otherwise(0)
+
+  /** Codebook table collapsed to ONE row holding the (sub, code, cvec)
+    * struct array SORTED by (sub, code) — index `sub·ksub + code` addresses
+    * a codeword, which is what makes the ADC lookup table a flat array.
+    * Broadcastable by construction: m·ksub·(dim/m) floats = dim·ksub. */
+  private[graft] def pqCodebookArray(codebooks: DataFrame): DataFrame =
+    codebooks.agg(array_sort(
+      collect_list(struct(col("sub"), col("code"), col("cvec"))),
+      bySubAscCodeAsc).as("__cb"))
+
+  /** Row-local PQ encoding: for each of the `m` subspaces, the code of the
+    * L2-nearest codeword of `vec`'s slice — an `array<int>` of length m, ONE
+    * row in, one row out (no fan-out, no Window). Requires the sorted
+    * `__cb` array from [[pqCodebookArray]] in scope via a broadcast
+    * crossJoin of its single row. */
+  private[graft] def pqCodesLocal(vec: Column, m: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(vec, s * dsub + 1, lit(dsub))
+      element_at(
+        array_sort(
+          transform(filter(col("__cb"), cb => cb.getField("sub") === s),
+            cb => struct(
+              l2Sq(sv, cb.getField("cvec")).as("dist"),
+              cb.getField("code").as("code"))),
+          byDistAscCodeAsc),
+        1).getField("code")
+    })
+
+  /** Product-quantization codebook training — k-means per subspace, all m
+    * subspaces trained in the SAME corpus passes (the corpus is never
+    * scanned per-subspace). Splits `dim` into m blocks of dim/m; each
+    * block gets its own `ksub`-codeword codebook, so a vector stores as m
+    * small integers: at dim=64 float32 and m=8/ksub≤256 that is 256 B →
+    * 8 B, the 32× compression that turns a 100 TB embedding corpus into
+    * ~3 TB of scannable codes.
+    *
+    * DETERMINISM (same contract as [[trainCentroids]], which see): seeds
+    * are the ksub lowest-id vectors' slices (codes numbered in id order),
+    * assignment is the row-local L2 argmin with (dist, code) tiebreak, and
+    * every recomputed mean micro-quantizes each coordinate to integer
+    * units BEFORE the per-(sub, code) sum — order-independent exact
+    * integer arithmetic, one double division + half-up round after. An
+    * empty (sub, code) cell keeps its previous codeword.
+    *
+    * Scale design: one corpus pass per iteration; the assignment is the
+    * row-local [[pqCodesLocal]] fold against the broadcast codebook (no
+    * corpus×codeword fan-out); the mean reduce keys on (sub, code, spos) —
+    * dim·ksub rows, fully map-side combinable — and the corpus never
+    * shuffles. The driver holds O(dim·ksub) floats per round (bounded
+    * metadata, same exception as the IVF centroid collect).
+    *
+    * Returns (sub, code, cvec): sub ∈ [0, m), code ∈ [0, ksub), cvec of
+    * length dim/m — ready for [[pqEncode]] / [[pqTopK]] and persistable
+    * with `MetaPersist.writeModel(..., "pq_codebooks", ...)`. */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 256,
+      iters: Int = 5): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    require(ksub >= 1, "ksub must be at least 1")
+    require(iters >= 0, "iters must be non-negative")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seedRows: Seq[Seq[Float]] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(ksub)
+      .collect()
+      .toSeq
+      .map(_.getSeq[Float](1))
+    var cbs: Seq[(Int, Int, Seq[Float])] =
+      for { s <- 0 until m; (v, c) <- seedRows.zipWithIndex }
+        yield (s, c, v.slice(s * dsub, (s + 1) * dsub))
+    for (_ <- 0 until iters) {
+      val cbdf = cbs.toDF("sub", "code", "cvec")
+      val assigned = corpus.select(col(vecCol))
+        .crossJoin(broadcast(pqCodebookArray(cbdf)))
+        .select(col(vecCol), pqCodesLocal(col(vecCol), m, dsub).as("__codes"))
+      // exact integer mean per (sub, code, in-subspace position):
+      // micro-quantize BEFORE the sum (order-independent), divide once after
+      val means = assigned
+        .select(posexplode(col(vecCol)).as(Seq("pos", "v")), col("__codes"))
+        .select(
+          (col("pos") / dsub).cast("int").as("sub"),
+          element_at(col("__codes"), (col("pos") / dsub).cast("int") + 1).as("code"),
+          (col("pos") % dsub).as("spos"),
+          col("v"))
+        .groupBy("sub", "code", "spos")
+        .agg((round(sum(round(col("v").cast("double") * lit(1e6)).cast("long")) /
+            count(lit(1))) / lit(1e6))
+          .cast("float").as("mc"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("spos"), col("mc")))),
+          x => x.getField("mc")).as("cvec"))
+        .as[(Int, Int, Seq[Float])].collect()
+        .map { case (s, c, v) => (s, c) -> v }.toMap
+      cbs = cbs.map { case (s, c, v) => (s, c, means.getOrElse((s, c), v)) }
+    }
+    cbs.toDF("sub", "code", "cvec")
+  }
+
+  /** Encodes the corpus against trained codebooks: (id, codes) with `codes`
+    * an m-element int array — the persistent compressed layout a 100 TB
+    * corpus stores INSTEAD of float vectors. Row-local ([[pqCodesLocal]]),
+    * zero shuffle, one broadcast of the codebook array. */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int): DataFrame =
+    corpus.crossJoin(broadcast(pqCodebookArray(codebooks)))
+      .select(col(idCol), pqCodesLocal(col(vecCol), m, dim / m).as("codes"))
+
+  /** Asymmetric-distance top-k over a PRE-ENCODED corpus — the
+    * compressed-domain scan. Per query, ONE lookup table of m·ksub inner
+    * products (query slice · codeword, the standard ADC table) rides the
+    * broadcast; each corpus row then scores with m array lookups + adds —
+    * no float vectors move, the scan is over m-byte-scale codes. Score is
+    * the approximate inner product Σ_sub lut[sub·ksub + codes[sub]];
+    * ranking tiebreak on candidate id as everywhere else. The corpus side
+    * never shuffles (broadcast LUTs, WindowGroupLimit rank). */
+  def pqTopKEncoded(
+      encoded: DataFrame,
+      idCol: String,
+      codesCol: String,
+      codebooks: DataFrame,
+      m: Int,
+      ksub: Int,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10): DataFrame = {
+    val luts = queries.crossJoin(broadcast(pqCodebookArray(codebooks)))
+      .select(col(queryIdCol),
+        transform(col("__cb"), cb =>
+          dot(slice(col(queryVecCol),
+              cb.getField("sub") * size(cb.getField("cvec")) + 1,
+              size(cb.getField("cvec"))),
+            cb.getField("cvec"))).as("__lut"))
+    val scored = encoded
+      .join(broadcast(luts), col(idCol) =!= col(queryIdCol))
+      .withColumn("score",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(col("__lut"), s * ksub + element_at(col(codesCol), s + 1) + 1)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("score"), asc(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col("rank"),
+        col(idCol).as("neighbor_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** PQ top-k from raw vectors: encode inline ([[pqEncode]]) and score via
+    * [[pqTopKEncoded]] — the one-shot form; at scale, encode once with
+    * [[pqEncode]], persist the codes, and search the encoded table. */
+  def pqTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10): DataFrame =
+    pqTopKEncoded(pqEncode(corpus, idCol, vecCol, codebooks, dim, m), idCol, "codes",
+      codebooks, m, ksub, queries, queryIdCol, queryVecCol, k)
+
+  /** PQ shortlist + exact rerank — the production ANN serving shape. The
+    * compressed-domain ADC scan ([[pqTopKEncoded]] at k=`shortlist`)
+    * nominates candidates per query from the m-byte codes alone; ONLY
+    * those queries×shortlist rows re-attach float vectors for an exact
+    * cosine rerank. At 100 TB the full scan touches the ~3% of bytes that
+    * are codes, the float reads are a per-query constant, and recall is
+    * governed by `shortlist` (measured ≥0.9 of the exact cosine top-10 at
+    * shortlist=50 on the test embeddings, pinned in SourcesSpec) — the
+    * standard recall/IO dial, fully deterministic end to end. */
+  def pqTopKReranked(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10,
+      shortlist: Int = 100): DataFrame = {
+    // ids-only shortlist; vectors re-attach after (the lshTopK pattern —
+    // no float payload rides the candidate exchanges)
+    val cand = pqTopK(corpus, idCol, vecCol, codebooks, dim, m, ksub,
+        queries, queryIdCol, queryVecCol, k = shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"), col(queryVecCol))),
+        Seq("query_id"))
+      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF-style coarse quantization: assigns every vector to its nearest of
     * `centroids` (a small broadcast table of (centroid_id, vec)), giving the
     * partition-pruning layout an ANN index needs at scale: store

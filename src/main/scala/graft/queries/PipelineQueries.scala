@@ -137,6 +137,42 @@ object PipelineQueries {
     s"c$j AS (SELECT p.cell, coalesce(l.lst, p.cvec) AS cvec FROM $prev p LEFT JOIN " +
     s"(SELECT cell, list(m ORDER BY pos) AS lst FROM m$j GROUP BY cell) l USING (cell))"
 
+  /** DuckDB twin of the engine's squared-L2 fold (PQ assignment metric). */
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+
+  /** DuckDB twin of the engine's inner-product fold (the ADC table entry). */
+  private def ipSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  /** One DuckDB PQ Lloyd round against codebook CTE `prev` (the twin of
+    * [[Similarity.trainPqCodebooks]]'s loop body at m=8/dsub=8/ksub=8):
+    * per-(vector, subspace) L2 argmin with (dist, code) tiebreak,
+    * micro-quantized means per (sub, code, spos), empty cells keep the
+    * previous codeword. Emits CTEs a$j / m$j / c$j. */
+  private def pqRoundSql(j: Int, prev: String): String =
+    s"a$j AS (SELECT vec_id, sub, code FROM (" +
+    s"SELECT e.vec_id, p.sub, p.code, row_number() OVER (PARTITION BY e.vec_id, p.sub ORDER BY " +
+    l2Sql("e.embedding[p.sub*8+1 : p.sub*8+8]", "p.cvec") + s" ASC, p.code) AS rn " +
+    s"FROM embeddings e CROSS JOIN $prev p) WHERE rn = 1), " +
+    s"m$j AS (SELECT a.sub, a.code, i.spos, " +
+    s"CAST(round(CAST(sum(CAST(round(CAST(e.embedding[a.sub*8 + i.spos + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) " +
+    s"/ count(*)) / 1000000.0 AS FLOAT) AS mc " +
+    s"FROM a$j a JOIN embeddings e USING (vec_id) CROSS JOIN generate_series(0, 7) i(spos) " +
+    s"GROUP BY a.sub, a.code, i.spos), " +
+    s"c$j AS (SELECT p.sub, p.code, coalesce(l.lst, p.cvec) AS cvec FROM $prev p LEFT JOIN " +
+    s"(SELECT sub, code, list(mc ORDER BY spos) AS lst FROM m$j GROUP BY sub, code) l USING (sub, code))"
+
+  /** Seed codebooks: the 8 lowest-id vectors' subspace slices, codes
+    * numbered in id order — [[Similarity.trainPqCodebooks]]'s seeding. */
+  private val PqSeedsSql: String =
+    "seeds AS (SELECT CAST(i.sub AS INT) AS sub, CAST(s.code AS INT) AS code, " +
+    "s.embedding[i.sub*8+1 : i.sub*8+8] AS cvec " +
+    "FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding " +
+    "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)) s " +
+    "CROSS JOIN generate_series(0, 7) i(sub))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------ text analysis
     "text_tokencount" -> ((s, d) =>
@@ -625,6 +661,50 @@ object PipelineQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, "cell", "cvec",
           queries, "query_id", "query_vec", k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // product-quantization codebook training (m=8 subspaces × ksub=8
+    // codes, 2 Lloyd rounds): deterministic lowest-id slice seeding, L2
+    // argmin assignment with (dist, code) tiebreak, micro-quantized means
+    // — DuckDB re-runs both per-subspace rounds from scratch and the
+    // codebook table hash-matches coordinate for coordinate
+    "sim_pq_train" -> ((s, d) =>
+      Similarity.trainPqCodebooks(t(s, d, "embeddings").df, "vec_id", "embedding",
+          dim = 64, m = 8, ksub = 8, iters = 2)
+        .select(col("sub"), col("code"), posexplode(col("cvec")).as(Seq("spos", "mc")))
+        .orderBy("sub", "code", "spos")),
+
+    // the COMPRESSED-DOMAIN ANN path end to end: train PQ codebooks (2
+    // rounds), encode every vector to m=8 codes (32x smaller than the
+    // float vectors), ADC-score 5 queries against the codes alone
+    // (approximate inner product via the per-query lookup table). Every
+    // stage is deterministic, so DuckDB re-runs the whole pipeline from
+    // raw vectors and the final top-k hash-matches.
+    "sim_topk_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 8, iters = 2)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.pqTopK(emb, "vec_id", "embedding", cb, dim = 64, m = 8, ksub = 8,
+          queries, "query_id", "query_vec", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ shortlist + exact cosine rerank — the production serving shape:
+    // the code-only ADC scan nominates 50 candidates per query, only
+    // those re-attach float vectors for the exact rerank. Deterministic
+    // end to end, so DuckDB re-runs training, encoding, the ADC
+    // shortlist, and the cosine rerank from raw vectors.
+    "sim_topk_pq_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 8, iters = 2)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.pqTopKReranked(emb, "vec_id", "embedding", cb, dim = 64, m = 8, ksub = 8,
+          queries, "query_id", "query_vec", k = 10, shortlist = 50)
         .orderBy("query_id", "rank")
     }),
 
@@ -1712,6 +1792,58 @@ object PipelineQueries {
        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos FROM " +
        "(SELECT query_id, neighbor_id, cos, " +
        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM cand) " +
+       "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    // full from-scratch re-run of both per-subspace Lloyd rounds: slice
+    // seeding, L2 argmin, micro-quantized means — the final codebook table
+    // must hash-match coordinate for coordinate
+    "sim_pq_train" ->
+      ("WITH " + PqSeedsSql + ", " + pqRoundSql(1, "seeds") + ", " + pqRoundSql(2, "c1") + " " +
+       "SELECT sub, code, CAST(i.spos AS INT) AS spos, CAST(cvec[i.spos+1] AS FLOAT) AS mc " +
+       "FROM c2 CROSS JOIN generate_series(0, 7) i(spos) ORDER BY sub, code, spos"),
+
+    // both training rounds re-run, every vector re-encoded against the
+    // final codebooks (the a3 assignment), then the ADC search: per-query
+    // lookup table of subspace inner products, score = sum of the m
+    // looked-up entries, rank with the engine's (score desc, id) tiebreak
+    "sim_topk_pq" ->
+      ("WITH " + PqSeedsSql + ", " + pqRoundSql(1, "seeds") + ", " + pqRoundSql(2, "c1") + ", " +
+       pqRoundSql(3, "c2") + ", " +
+       "enc AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM a3 GROUP BY vec_id), " +
+       "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5), " +
+       "lt AS (SELECT query_id, list(ip ORDER BY sub, code) AS lut FROM (" +
+       "SELECT q.query_id, p.sub, p.code, " + ipSql("q.query_vec[p.sub*8+1 : p.sub*8+8]", "p.cvec") + " AS ip " +
+       "FROM q CROSS JOIN c2 p) z GROUP BY query_id), " +
+       "scored AS (SELECT l.query_id, e.vec_id AS neighbor_id, " +
+       "list_sum(list_transform(range(0, 8), s -> l.lut[s*8 + e.codes[s+1] + 1])) AS score " +
+       "FROM lt l CROSS JOIN enc e WHERE e.vec_id <> l.query_id) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score FROM " +
+       "(SELECT query_id, neighbor_id, score, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
+       "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    // training + encoding + ADC shortlist (rank<=50) re-run from scratch,
+    // then the exact cosine rerank over only the shortlisted pairs
+    "sim_topk_pq_rerank" ->
+      ("WITH " + PqSeedsSql + ", " + pqRoundSql(1, "seeds") + ", " + pqRoundSql(2, "c1") + ", " +
+       pqRoundSql(3, "c2") + ", " +
+       "enc AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM a3 GROUP BY vec_id), " +
+       "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5), " +
+       "lt AS (SELECT query_id, list(ip ORDER BY sub, code) AS lut FROM (" +
+       "SELECT q.query_id, p.sub, p.code, " + ipSql("q.query_vec[p.sub*8+1 : p.sub*8+8]", "p.cvec") + " AS ip " +
+       "FROM q CROSS JOIN c2 p) z GROUP BY query_id), " +
+       "adc AS (SELECT l.query_id, e.vec_id AS neighbor_id, " +
+       "list_sum(list_transform(range(0, 8), s -> l.lut[s*8 + e.codes[s+1] + 1])) AS score " +
+       "FROM lt l CROSS JOIN enc e WHERE e.vec_id <> l.query_id), " +
+       "shortlist AS (SELECT query_id, neighbor_id FROM " +
+       "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn " +
+       "FROM adc) WHERE rn <= 50), " +
+       "rr AS (SELECT s.query_id, s.neighbor_id, " + cosSql("e.embedding", "q.query_vec") + " AS cos " +
+       "FROM shortlist s JOIN embeddings e ON e.vec_id = s.neighbor_id " +
+       "JOIN q ON q.query_id = s.query_id) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos FROM " +
+       "(SELECT query_id, neighbor_id, cos, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM rr) " +
        "WHERE rank <= 10 ORDER BY query_id, rank"),
 
     "sim_topk_ivf" ->

@@ -544,6 +544,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recalls.nonEmpty && recalls.forall(_ >= 8L), recalls.mkString(","))
   }
 
+  test("PQ shortlist + exact rerank recovers most of the exact cosine top-10") {
+    import graft.sources.Tables
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 8, iters = 2)
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "query_vec", k = 10)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("ex"))
+    val rr = Similarity.pqTopKReranked(emb, "vec_id", "embedding", cb,
+        dim = 64, m = 8, ksub = 8, queries, "query_id", "query_vec",
+        k = 10, shortlist = 100)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    // the ADC shortlist governs recall: even this COARSE codebook
+    // (ksub=8/subspace — the oracle-tractable config) recovers >=7 of the
+    // exact cosine top-10 per query once the exact rerank reorders the
+    // 100-candidate shortlist; the raw ADC ranking alone recalls 2-4
+    // (pinned in the measured band: deterministic training, so these
+    // values are stable, not flaky)
+    val recalls = truth.join(rr, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id").agg(coalesce(sum(col("hit")), lit(0L)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(recalls.length == 5 && recalls.forall(_ >= 7L), recalls.mkString(","))
+  }
+
   test("multi-table LSH raises recall over single-table on real embeddings") {
     import graft.sources.Tables
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

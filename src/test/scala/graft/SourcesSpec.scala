@@ -133,6 +133,48 @@ class SourcesSpec extends AnyFunSuite {
       "query_id", "query_vec", k = 5, nprobe = 2)) == post)
   }
 
+  test("trained PQ codebooks and encoded corpus round-trip through MetaPersist; the code-only search is bit-identical") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.sources.MetaPersist
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 8, iters = 2)
+    MetaPersist.writeModel(cb, out("pq_model"), "pq_codebooks",
+      Map("dim" -> "64", "m" -> "8", "ksub" -> "8", "metric" -> "ip", "grid" -> "1e-6"))
+    val loaded = MetaPersist.readModel(spark, out("pq_model"), "pq_codebooks")
+    assert(loaded.metadata("m") == "8" && loaded.metadata("metric") == "ip")
+    // a consumer handed the wrong artifact kind must refuse at load
+    intercept[IllegalArgumentException](
+      MetaPersist.readModel(spark, out("pq_model"), "ivf_centroids"))
+    // the persistent compressed layout: codes stored INSTEAD of vectors
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb, dim = 64, m = 8)
+    MetaPersist.writeModel(enc, out("pq_codes"), "pq_codes", Map("m" -> "8", "ksub" -> "8"))
+    val codes = MetaPersist.readModel(spark, out("pq_codes"), "pq_codes").df
+    // every row compresses to exactly m in-range codes
+    val shapes = codes.select(
+      org.apache.spark.sql.functions.size(col("codes")).as("n"),
+      org.apache.spark.sql.functions.array_max(col("codes")).as("mx"),
+      org.apache.spark.sql.functions.array_min(col("codes")).as("mn"))
+      .agg(org.apache.spark.sql.functions.min(col("n")),
+        org.apache.spark.sql.functions.max(col("n")),
+        org.apache.spark.sql.functions.max(col("mx")),
+        org.apache.spark.sql.functions.min(col("mn"))).collect()(0)
+    assert(shapes.getInt(0) == 8 && shapes.getInt(1) == 8, s"codes length: $shapes")
+    assert(shapes.getInt(2) <= 7 && shapes.getInt(3) >= 0, s"code range: $shapes")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // searching the persisted codes (floats round-trip parquet exactly,
+    // the LUT arithmetic is deterministic) == encoding inline from vectors
+    assert(
+      rows(Similarity.pqTopKEncoded(codes, "vec_id", "codes", loaded.df, m = 8, ksub = 8,
+        queries, "query_id", "query_vec", k = 5)) ==
+      rows(Similarity.pqTopK(emb, "vec_id", "embedding", cb, dim = 64, m = 8, ksub = 8,
+        queries, "query_id", "query_vec", k = 5)))
+  }
+
   test("CSV roundtrip through the metadata layer") {
     base.write.mode("overwrite").option("header", "true").csv(out("csv"))
     val mf = MetaFrame(
