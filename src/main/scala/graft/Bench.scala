@@ -141,10 +141,12 @@ object Bench {
     spark.stop()
   }
 
-  /** Runs the two streaming throughput probes and returns their JSON
-    * object: `annTopKStream` (the TopKAgg update-mode aggregate — the
-    * state-store path) and `Ingest.ingestCorpus` (the foreachBatch
-    * pipeline incl. its per-batch store writes and grown-store dedup). */
+  /** Runs the three streaming throughput probes and returns their JSON
+    * object: `annTopKStream` (the TopKAgg update-mode aggregate),
+    * `Ingest.ingestCorpus` (the foreachBatch pipeline incl. its per-batch
+    * store writes and grown-store dedup), and `dedupWithinWatermark`
+    * (raw per-key state store: one lookup + conditional insert per row,
+    * 50% duplicate keys). */
   private def streamingBench(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -219,10 +221,37 @@ object Bench {
       docRows.length / ((System.nanoTime() - t0) / 1e9)
     }
 
-    annRun(); ingestRun() // warm (JIT + codegen + shuffle service)
+    // --- raw state-store path: dropDuplicatesWithinWatermark over 2
+    // micro-batches x 4000 events where HALF the ids repeat (in-batch and
+    // cross-batch) — every row is a state lookup + conditional insert,
+    // per-key state the other probes only exercise through aggregates
+    val evRows = t("events").orderBy("event_id").limit(2000)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    // duplicate every event once; split so repeats land both within a
+    // batch and across the batch boundary
+    val evFeed = (evRows ++ evRows).grouped(2000).toSeq
+    def dedupRun(): Double = {
+      runId += 1
+      val name = s"bench_dedup_$runId"
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Long, Double)](spark)
+      val dd = Streams.dedupWithinWatermark(
+        ms.toDF().toDF("event_id", "ts", "user_id", "value"),
+        "ts", "1 hour", Seq("event_id"))
+      val t0 = System.nanoTime()
+      val q = Streams.runToMemory(dd, name, OutputMode.Append())
+      try {
+        evFeed.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.catalog.dropTempView(name)
+      (2 * evRows.length) / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    annRun(); ingestRun(); dedupRun() // warm (JIT + codegen + shuffle service)
     val (annQps, annSpread) = medianSpread(Seq.fill(5)(annRun()))
     val (ingRps, ingSpread) = medianSpread(Seq.fill(5)(ingestRun()))
+    val (ddRps, ddSpread) = medianSpread(Seq.fill(5)(dedupRun()))
     corpusCells.unpersist(); lm.unpersist(); benchSet.unpersist()
-    f"""{"protocol":"fresh query per run incl. start, 2 micro-batches, median of 5 runs","ann_topk_queries_per_sec":$annQps%.1f,"ann_spread":$annSpread%.1f,"ingest_docs_per_sec":$ingRps%.1f,"ingest_spread":$ingSpread%.1f}"""
+    f"""{"protocol":"fresh query per run incl. start, 2 micro-batches, median of 5 runs","ann_topk_queries_per_sec":$annQps%.1f,"ann_spread":$annSpread%.1f,"ingest_docs_per_sec":$ingRps%.1f,"ingest_spread":$ingSpread%.1f,"dedup_events_per_sec":$ddRps%.1f,"dedup_spread":$ddSpread%.1f}"""
   }
 }

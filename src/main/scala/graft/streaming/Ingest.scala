@@ -328,6 +328,44 @@ object Ingest {
     dataFileCount(fs, p)
   }
 
+  /** Compacts an [[ingestCorpus]] AUDIT store — the same small-files
+    * problem as [[compactStore]], but audit rows must KEEP their batch
+    * attribution: the `batch_id` partition is both the lineage record and
+    * the replay-overwrite granularity, so partitions never merge into an
+    * epoch. Instead every `batch_id=N` partition is rewritten as ONE file
+    * in a single Spark job — the repartition keys on the partition value,
+    * so each batch's rows land in one task and `partitionBy` emits exactly
+    * one file per batch directory. (One file per batch is the right
+    * contract here: a micro-batch's audit slice is per-doc verdict rows,
+    * where file COUNT, not file size, is what makes long-running stores
+    * open-file-bound.) Rows, schema, and partition layout are preserved
+    * exactly; a replayed batch still overwrites precisely its own
+    * partition, compacted or not, so this composes with the exactly-once
+    * contract in every crash state. The swap is the same two-rename with
+    * on-entry auto-recovery; run it from the single writer (between
+    * triggers, or while the query is stopped). Returns the data-file
+    * count after compaction. */
+  def compactAuditStore(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverHalfSwap(fs, dir)
+    require(fs.exists(p), s"no store at $dir")
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val hasBatches = fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    val df = spark.read.parquet(dir)
+    if (hasBatches)
+      df.repartition(col("batch_id")).write.mode("overwrite")
+        .partitionBy("batch_id").parquet(tmp.toString)
+    else df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, old), s"could not move the live store aside: $dir")
+    require(fs.rename(tmp, p), s"could not move the compacted store in: $dir")
+    fs.delete(old, true)
+    dataFileCount(fs, p)
+  }
+
   private def dataFileCount(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Int = {
     val it = fs.listFiles(p, true)

@@ -513,6 +513,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshot(corpusDir) == store0 && snapshot(auditDir) == audit0)
   }
 
+  test("compactAuditStore merges each batch partition to one file, preserving attribution and replay") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    import graft.streaming.Ingest
+    val dirBase = java.nio.file.Files.createTempDirectory("graft_acompact").toString
+    val (corpusDir, auditDir) = (s"$dirBase/corpus", s"$dirBase/audit")
+    val good = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val novel = "spark catalyst optimizer pushes filters below joins for scan pruning wins"
+    val bench = Seq((1L, "benchmark held out text strictly")).toDF("doc_id", "text")
+    val lm = Corpus.lmCounts(Seq((1L, good), (2L, novel)).toDF("doc_id", "text"), "text")
+    val b1 = Seq((10L, good, "web", "en"), (11L, good, "web", "en"))
+      .toDF("id", "text", "source", "lang")
+    val b2 = Seq((20L, good, "web2", "en"), (21L, novel, "web", "en"))
+      .toDF("id", "text", "source", "lang")
+    Ingest.runBatch(b1, 0L, corpusDir, auditDir, bench, lm, maxTopNgramFrac = 0.5)
+    Ingest.runBatch(b2, 1L, corpusDir, auditDir, bench, lm, maxTopNgramFrac = 0.5)
+
+    def snapshot(dir: String): Seq[String] = spark.read.parquet(dir)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    // a wide micro-batch leaves one file per task — fabricate one from
+    // batch 0's rows (same file schema: the partition column lives in the
+    // directory name) so the merge has real small files to collapse
+    val wide = spark.read.parquet(auditDir).drop("batch_id")
+    wide.repartition(3).write.parquet(s"$auditDir/batch_id=7")
+    val audit0 = snapshot(auditDir) // includes the batch_id partition column
+    assert(audit0.size == 8)
+    assert(parquetFiles(auditDir) >= 5, "micro-batch writes leave many small files")
+    assert(Ingest.compactAuditStore(spark, auditDir) == 3, "one file per batch partition")
+    // partitions survive — attribution is NOT squashed into an epoch
+    val subdirs = new java.io.File(auditDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(subdirs == Set("batch_id=0", "batch_id=1", "batch_id=7"), s"got $subdirs")
+    assert(snapshot(auditDir) == audit0, "rows and attribution byte-stable")
+    // replay after compaction: the overwrite targets exactly its own
+    // (now single-file) partition and converges to the same bytes
+    Ingest.runBatch(b2, 1L, corpusDir, auditDir, bench, lm, maxTopNgramFrac = 0.5)
+    assert(snapshot(auditDir) == audit0, "replay onto a compacted store is still idempotent")
+    // half-swap crash recovery applies to the audit store too
+    val fs = new org.apache.hadoop.fs.Path(auditDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(auditDir),
+      new org.apache.hadoop.fs.Path(auditDir + ".compact"))
+    assert(Ingest.compactAuditStore(spark, auditDir) == 3)
+    assert(snapshot(auditDir) == audit0)
+  }
+
   test("NULL-id docs get their own null_id verdict, not an arbitrary stage label") {
     import spark.implicits._
     import graft.operators.Corpus
