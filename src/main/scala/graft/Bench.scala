@@ -225,8 +225,13 @@ object Bench {
     // micro-batches x 4000 events where HALF the ids repeat (in-batch and
     // cross-batch) — every row is a state lookup + conditional insert,
     // per-key state the other probes only exercise through aggregates
+    // events.ts is TIMESTAMP_NTZ in the parquet (Spark 4 infers NTZ, whose
+    // external type is java.time.LocalDateTime — Row.getTimestamp would
+    // ClassCastException); cast to the session-TZ timestamp (pinned UTC in
+    // this builder) before collecting so the feed tuple stays j.sql.Timestamp.
     val evRows = t("events").orderBy("event_id").limit(2000)
-      .select(col("event_id"), col("ts"), col("user_id"), col("value")).collect()
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("value")).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
     // duplicate every event once; split so repeats land both within a
     // batch and across the batch boundary

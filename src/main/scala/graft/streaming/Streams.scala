@@ -126,7 +126,10 @@ object Streams {
     import graft.functions.VectorFunctions.cosine
     import graft.operators.Similarity
     val cents = Similarity.centroidArray(centroids, "cell", "cvec")
-    val probed = queries.crossJoin(cents)
+    // explicit broadcast of the 1-row centroid array — same pinned plan as
+    // the batch twin (Similarity.ivfTopK); don't rely on the planner
+    // noticing the single static row on its own.
+    val probed = queries.crossJoin(broadcast(cents))
       .select(col(queryIdCol), col(queryVecCol),
         explode(Similarity.topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
       .select(col(queryIdCol), col(queryVecCol), col("__probe.cell").as("cell"))
