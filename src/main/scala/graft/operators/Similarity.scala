@@ -232,7 +232,10 @@ object Similarity {
       centroids: DataFrame,
       centroidIdCol: String,
       centroidVecCol: String,
-      path: String): String = {
+      path: String,
+      pqCodebooks: Option[DataFrame] = None,
+      pqDim: Int = 0,
+      pqM: Int = 0): String = {
     val cents = centroidArray(
       centroids.select(col(centroidIdCol).as("cell"), col(centroidVecCol).as("cvec")),
       "cell", "cvec")
@@ -247,10 +250,30 @@ object Similarity {
     graft.sources.MetaPersist.writeModel(
       centroids.select(col(centroidIdCol).as("cell"), col(centroidVecCol).as("cvec")),
       s"$staging/centroids", "ivf_centroids", Map.empty)
+    // with PQ codebooks, the layout rows carry the m-code array NEXT TO the
+    // float vector (codes for the compressed probe scan, vec for the exact
+    // rerank — readers prune whichever column they don't touch) and the
+    // codebook artifact versions WITH the layout: a retrain can never pair
+    // codes with a foreign codebook
+    val (layout, meta) = pqCodebooks match {
+      case Some(cb) =>
+        require(pqM >= 1 && pqDim % pqM == 0,
+          s"pqM ($pqM) must be >= 1 and divide pqDim ($pqDim)")
+        val ksub = cb.agg(max(col("code"))).head.getInt(0) + 1
+        graft.sources.MetaPersist.writeModel(
+          cb, s"$staging/codebooks", "pq_codebooks",
+          Map("dim" -> pqDim.toString, "m" -> pqM.toString, "ksub" -> ksub.toString))
+        (assigned.crossJoin(broadcast(pqCodebookArray(cb)))
+           .select(col(idCol), col(vecCol),
+             pqCodesLocal(col(vecCol), pqM, pqDim / pqM).as("codes"), col("cell")),
+         Map("idCol" -> idCol, "vecCol" -> vecCol, "codesCol" -> "codes",
+           "pqDim" -> pqDim.toString, "pqM" -> pqM.toString, "pqKsub" -> ksub.toString))
+      case None =>
+        (assigned, Map[String, Any]("idCol" -> idCol, "vecCol" -> vecCol))
+    }
     // partitionBy writes one directory per cell — the pruning structure
     graft.sources.MetaPersist.writeModel(
-      assigned, s"$staging/corpus", "ivf_corpus",
-      Map("idCol" -> idCol, "vecCol" -> vecCol),
+      layout, s"$staging/corpus", "ivf_corpus", meta,
       partitionBy = Seq("cell"))
     val next = f"v${ivfVersions(fs, path).lastOption.getOrElse(0L) + 1}%09d"
     val dst = new org.apache.hadoop.fs.Path(s"$path/versions/$next")
@@ -344,6 +367,68 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(queryIdCol).as("query_id"), col("rank"),
               col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF×PQ top-k against a [[writeIvfIndex]] layout written WITH PQ
+    * codebooks — the persisted FAISS-IVFPQ serving shape. Identical
+    * semantics and tiebreaks to [[ivfPqTopK]] (bit-equality pinned in
+    * SourcesSpec); what the layout buys over the inline form is that BOTH
+    * prunings happen at the SCAN: the probed cell set becomes a static
+    * partition filter (only nprobe/|cells| of the directories are read at
+    * all), and the ADC pass selects only (id, codes, cell), so parquet
+    * column pruning drops the float vector bytes from the compressed scan
+    * entirely — at 100 TB the probe reads nprobe/|cells| of the
+    * directories × the ~3% of their bytes that are codes. Float vectors
+    * are read back ONLY for the per-query `shortlist` rerank rows, through
+    * the same pruned partitions. Binds to ONE index version
+    * ([[resolveIvfIndex]], resolved once — concurrent republish invisible,
+    * codes can never pair with a foreign codebook). */
+  def ivfPqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10,
+      nprobe: Int = 1,
+      shortlist: Int = 100): DataFrame = {
+    val vdir = resolveIvfIndex(spark, path)
+    val centroids = graft.sources.MetaPersist.readModel(spark, s"$vdir/centroids", "ivf_centroids")
+    val codebooks = graft.sources.MetaPersist.readModel(spark, s"$vdir/codebooks", "pq_codebooks")
+    val corpusMf = graft.sources.MetaPersist.readModel(spark, s"$vdir/corpus", "ivf_corpus")
+    val idCol = corpusMf.metadata("idCol").asInstanceOf[String]
+    val vecCol = corpusMf.metadata("vecCol").asInstanceOf[String]
+    val codesCol = corpusMf.metadata("codesCol").asInstanceOf[String]
+    val m = corpusMf.metadata("pqM").asInstanceOf[String].toInt
+    val ksub = corpusMf.metadata("pqKsub").asInstanceOf[String].toInt
+    val cents = centroidArray(centroids.df, "cell", "cvec")
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col(queryIdCol), col(queryVecCol),
+        explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
+      .select(col(queryIdCol), col("__probe.cell").as("cell"))
+    // O(queries × nprobe) cells — bounded metadata; collecting it turns the
+    // probe into a static partition filter Catalyst prunes at planning time
+    val cells = probed.select("cell").distinct().collect().map(_.get(0))
+    // compressed-domain scan: (id, codes, cell) ONLY — the float vector
+    // column prunes out of this read entirely
+    val encoded = corpusMf.df.select(col(idCol), col(codesCol), col("cell"))
+      .filter(col("cell").isin(cells: _*))
+    val probedLut = probed
+      .join(pqLuts(queries, queryIdCol, queryVecCol, codebooks.df), Seq(queryIdCol))
+    val adc = encoded.join(broadcast(probedLut), Seq("cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("score", adcScoreCol(codesCol, m, ksub))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("score"), asc(idCol))
+    val cand = adc
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"))
+    // rerank re-reads float vectors through the SAME pruned partitions —
+    // only shortlisted ids survive the join
+    val rerankCorpus = corpusMf.df.select(col(idCol), col(vecCol), col("cell"))
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol), col(vecCol))
+    rerankExact(cand, rerankCorpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
   }
 
   /** Spherical k-means training for the IVF coarse quantizer — the step
@@ -568,6 +653,55 @@ object Similarity {
     corpus.crossJoin(broadcast(pqCodebookArray(codebooks)))
       .select(col(idCol), pqCodesLocal(col(vecCol), m, dim / m).as("codes"))
 
+  /** Per-query ADC lookup tables: one row per query carrying `__lut`, the
+    * flat m·ksub array of (query slice · codeword) inner products indexed
+    * `sub·ksub + code` — the broadcastable half of every ADC scan. */
+  private def pqLuts(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      codebooks: DataFrame): DataFrame =
+    queries.crossJoin(broadcast(pqCodebookArray(codebooks)))
+      .select(col(queryIdCol),
+        transform(col("__cb"), cb =>
+          dot(slice(col(queryVecCol),
+              cb.getField("sub") * size(cb.getField("cvec")) + 1,
+              size(cb.getField("cvec"))),
+            cb.getField("cvec"))).as("__lut"))
+
+  /** Row-local ADC score Σ_sub lut[sub·ksub + codes[sub]] — m array
+    * lookups + adds against the in-scope `__lut` column. */
+  private def adcScoreCol(codesCol: String, m: Int, ksub: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(col("__lut"), s * ksub + element_at(col(codesCol), s + 1) + 1))
+
+  /** Shared exact-cosine rerank tail: the ids-only candidate list
+    * (query_id, neighbor_id) re-attaches float vectors — corpus side one
+    * equi-join on id (AQE broadcasts the narrow list), query side an
+    * explicit broadcast — scores exact cosine, and keeps rank ≤ k under
+    * the engine-wide (cos desc, id asc) tiebreak. */
+  private def rerankExact(
+      cand: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int): DataFrame = {
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"), col(queryVecCol))),
+        Seq("query_id"))
+      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Asymmetric-distance top-k over a PRE-ENCODED corpus — the
     * compressed-domain scan. Per query, ONE lookup table of m·ksub inner
     * products (query slice · codeword, the standard ADC table) rides the
@@ -587,18 +721,10 @@ object Similarity {
       queryIdCol: String,
       queryVecCol: String,
       k: Int = 10): DataFrame = {
-    val luts = queries.crossJoin(broadcast(pqCodebookArray(codebooks)))
-      .select(col(queryIdCol),
-        transform(col("__cb"), cb =>
-          dot(slice(col(queryVecCol),
-              cb.getField("sub") * size(cb.getField("cvec")) + 1,
-              size(cb.getField("cvec"))),
-            cb.getField("cvec"))).as("__lut"))
+    val luts = pqLuts(queries, queryIdCol, queryVecCol, codebooks)
     val scored = encoded
       .join(broadcast(luts), col(idCol) =!= col(queryIdCol))
-      .withColumn("score",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(col("__lut"), s * ksub + element_at(col(codesCol), s + 1) + 1)))
+      .withColumn("score", adcScoreCol(codesCol, m, ksub))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("score"), asc(idCol))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -652,17 +778,66 @@ object Similarity {
     val cand = pqTopK(corpus, idCol, vecCol, codebooks, dim, m, ksub,
         queries, queryIdCol, queryVecCol, k = shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val scored = cand
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(queryIdCol).as("query_id"), col(queryVecCol))),
-        Seq("query_id"))
-      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    rerankExact(cand, corpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+  }
+
+  /** IVF×PQ composite search — the FAISS IVFPQ shape, inline form: the
+    * coarse quantizer bounds WHICH rows are scanned (each query probes its
+    * `nprobe` cells only), PQ bounds WHAT the scan reads (m-byte codes,
+    * not float vectors), and the exact-cosine rerank restores precision
+    * over the `shortlist` nominees alone. Both assignment and encoding are
+    * ONE row-local corpus pass (cell argmax + PQ codes against two
+    * broadcast arrays, no fan-out); ADC candidates are an equi-join on the
+    * cell key against the broadcast probe×LUT table — at 100 TB with
+    * k=1024 cells and nprobe=8 the compressed scan itself shrinks ~128×
+    * before the 32× byte compression even counts. Deterministic end to end
+    * (L2 argmin / ADC / cosine folds with integer tiebreaks), so the whole
+    * composite is oracle-checkable. For the write-once/probe-many form
+    * over a persisted layout see [[writeIvfIndex]] + [[ivfPqTopKIndexed]]
+    * (bit-equality pinned in SourcesSpec). */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10,
+      nprobe: Int = 1,
+      shortlist: Int = 100): DataFrame = {
+    val cents = centroidArray(centroids, centroidIdCol, centroidVecCol)
+    // one row-local pass computes BOTH the cell assignment and the codes.
+    // element_at (not explode) for the 1-cell argmax: a generator in this
+    // select makes the analyzer re-resolve the PQ lambda AFTER alias
+    // cleanup, losing the struct field names the assignment comparator
+    // binds to
+    val encoded = corpus.crossJoin(broadcast(cents))
+      .crossJoin(broadcast(pqCodebookArray(codebooks)))
+      .select(col(idCol),
+        element_at(topCellsLocal(col(vecCol), 1), 1).getField("cell").as("cell"),
+        pqCodesLocal(col(vecCol), m, dim / m).as("codes"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col(queryIdCol), col(queryVecCol),
+        explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
+      .select(col(queryIdCol), col("__probe.cell").as("cell"))
+    val probedLut = probed
+      .join(pqLuts(queries, queryIdCol, queryVecCol, codebooks), Seq(queryIdCol))
+    val adc = encoded.join(broadcast(probedLut), Seq("cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("score", adcScoreCol("codes", m, ksub))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("score"), asc(idCol))
+    val cand = adc
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"))
+    rerankExact(cand, corpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
   }
 
   /** IVF-style coarse quantization: assigns every vector to its nearest of

@@ -708,6 +708,27 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF×PQ composite (the FAISS IVFPQ shape): the coarse quantizer
+    // bounds WHICH rows are scanned (nprobe=2 cells per query), the
+    // trained PQ codes bound WHAT the scan reads, and the exact cosine
+    // rerank runs over the 50 ADC nominees alone. Same fixed centroid
+    // derivation as sim_topk_ivf, same trained codebooks as sim_topk_pq —
+    // deterministic end to end, so DuckDB re-runs training, assignment,
+    // the probed ADC scan, and the rerank from raw vectors.
+    "sim_topk_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val centroids = emb.filter(col("vec_id") % 64 === 0 && col("vec_id") < 3200)
+        .select((col("vec_id") / 64).cast("int").as("cell_id"), col("embedding").as("centroid_vec"))
+      val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 8, iters = 2)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", centroids, "cell_id", "centroid_vec",
+          cb, dim = 64, m = 8, ksub = 8, queries, "query_id", "query_vec",
+          k = 10, nprobe = 2, shortlist = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     // int8-quantized brute-force top-k: both sides compress 4x before
     // scoring (the 100 TB memory/bandwidth shape). The quantization is
     // deterministic double+integer arithmetic (scale = max|v|/127,
@@ -1835,6 +1856,44 @@ object PipelineQueries {
        "adc AS (SELECT l.query_id, e.vec_id AS neighbor_id, " +
        "list_sum(list_transform(range(0, 8), s -> l.lut[s*8 + e.codes[s+1] + 1])) AS score " +
        "FROM lt l CROSS JOIN enc e WHERE e.vec_id <> l.query_id), " +
+       "shortlist AS (SELECT query_id, neighbor_id FROM " +
+       "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn " +
+       "FROM adc) WHERE rn <= 50), " +
+       "rr AS (SELECT s.query_id, s.neighbor_id, " + cosSql("e.embedding", "q.query_vec") + " AS cos " +
+       "FROM shortlist s JOIN embeddings e ON e.vec_id = s.neighbor_id " +
+       "JOIN q ON q.query_id = s.query_id) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos FROM " +
+       "(SELECT query_id, neighbor_id, cos, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM rr) " +
+       "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    // PQ training + encoding re-run from scratch, the IVF cent/assign/probe
+    // stages of the sim_topk_ivf oracle, then the ADC scan RESTRICTED to
+    // probed cells (the join through `assign`), shortlist rank<=50, and
+    // the exact cosine rerank — the full IVFPQ composite re-derived
+    "sim_topk_ivfpq" ->
+      ("WITH " + PqSeedsSql + ", " + pqRoundSql(1, "seeds") + ", " + pqRoundSql(2, "c1") + ", " +
+       pqRoundSql(3, "c2") + ", " +
+       "enc AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM a3 GROUP BY vec_id), " +
+       "cent AS (SELECT CAST(vec_id / 64 AS INTEGER) AS cell_id, embedding AS centroid_vec " +
+       "FROM embeddings WHERE vec_id % 64 = 0 AND vec_id < 3200), " +
+       "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5), " +
+       "assign AS (SELECT vec_id, cell_id FROM (" +
+       "SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+       cosSql("e.embedding", "c.centroid_vec") + " DESC, c.cell_id) AS rn " +
+       "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1), " +
+       "probe AS (SELECT query_id, cell_id FROM (" +
+       "SELECT q.query_id, c.cell_id, row_number() OVER (PARTITION BY q.query_id ORDER BY " +
+       cosSql("q.query_vec", "c.centroid_vec") + " DESC, c.cell_id) AS rn " +
+       "FROM q CROSS JOIN cent c) WHERE rn <= 2), " +
+       "lt AS (SELECT query_id, list(ip ORDER BY sub, code) AS lut FROM (" +
+       "SELECT q.query_id, p.sub, p.code, " + ipSql("q.query_vec[p.sub*8+1 : p.sub*8+8]", "p.cvec") + " AS ip " +
+       "FROM q CROSS JOIN c2 p) z GROUP BY query_id), " +
+       "adc AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+       "list_sum(list_transform(range(0, 8), s -> l.lut[s*8 + e.codes[s+1] + 1])) AS score " +
+       "FROM probe p JOIN assign a ON a.cell_id = p.cell_id " +
+       "JOIN enc e ON e.vec_id = a.vec_id " +
+       "JOIN lt l ON l.query_id = p.query_id WHERE a.vec_id <> p.query_id), " +
        "shortlist AS (SELECT query_id, neighbor_id FROM " +
        "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn " +
        "FROM adc) WHERE rn <= 50), " +

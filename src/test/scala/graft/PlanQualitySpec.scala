@@ -246,6 +246,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"assignment must be the row-local fold, not a window argmax:\n$plan")
   }
 
+  test("annTopKStream's probe plans a broadcast of the centroid array (batch-equivalent plan)") {
+    import graft.operators.Similarity
+    import graft.streaming.Streams
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val corpusCells = emb.join(
+      Similarity.ivfAssign(emb, "vec_id", "embedding", cents, "cell", "cvec")
+        .select(col("vec_id"), col("cell")),
+      Seq("vec_id"))
+    // annTopKStream is source-agnostic — handing it a BATCH query frame
+    // yields the exact plan the micro-batch runs, minus streaming nodes,
+    // which is where the broadcast hint must be visible
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = Streams.annTopKStream(queries, corpusCells, "vec_id", "embedding",
+      cents, "query_id", "query_vec", k = 5, nprobe = 2)
+    out.collect(): Unit
+    val plan = out.queryExecution.executedPlan.toString
+    // the 1-row centroid array must ride an explicit broadcast, pinned —
+    // same standard as the batch twin (Similarity.ivfTopK), not planner luck
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroid array must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"probe must not plan a cartesian product:\n$plan")
+  }
+
   test("join on right side's verified pk preserves the left elision proof") {
     val custAgg = t("orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
     val dims = t("customer").withColumnRenamed("c_custkey", "o_custkey")

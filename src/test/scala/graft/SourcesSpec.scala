@@ -87,6 +87,38 @@ class SourcesSpec extends AnyFunSuite {
     // index reuses the same readModel gate for both artifacts
   }
 
+  test("IVF×PQ index: probed ADC scan prunes partitions AND the vector column; matches the inline composite bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 4, iters = 2)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, "cell", "cvec",
+      out("ivfpq_index"), pqCodebooks = Some(cb), pqDim = 64, pqM = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val indexed = Similarity.ivfPqTopKIndexed(spark, out("ivfpq_index"),
+      queries, "query_id", "query_vec", k = 5, nprobe = 2, shortlist = 20)
+    val inline = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, "cell", "cvec",
+      cb, dim = 64, m = 8, ksub = 4, queries, "query_id", "query_vec",
+      k = 5, nprobe = 2, shortlist = 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // identical assignment/encoding folds + tiebreaks → identical result set
+    assert(rows(indexed) == rows(inline))
+    val plan = indexed.queryExecution.executedPlan.toString
+    // BOTH index reads (ADC scan and rerank re-read) must carry the probed
+    // cell partition filter
+    assert("PartitionFilters: \\[cell#".r.findAllIn(plan).size >= 2,
+      s"ADC and rerank scans must both prune cell partitions:\n$plan")
+    // the compressed scan must NOT read float vectors: some pruned read
+    // schema carries the codes column and no embedding column
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"ADC scan must column-prune the float vectors:\n$plan")
+  }
+
   test("IVF retrain publishes a new version atomically; pre-swap readers survive; pruning reclaims") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
