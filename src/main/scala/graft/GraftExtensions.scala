@@ -6,13 +6,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 import org.apache.spark.sql.graftbridge
 
-import graft.expressions.{FloatVectorDot, MinHashSignature, NgramRepetition, NormalizeText, ShingleHashes, SimHash64, TopKAgg}
+import graft.expressions.{FloatVectorDot, MinHashSignature, NgramRepetition, NormalizeText, PqAdcScore, PqEncode, ShingleHashes, SimHash64, TopKAgg}
 
 /** SQL surface for the engine's native expressions (SURVEY.md §7.4):
   * registers `float_vector_dot`, `minhash_signature`, `shingle_hashes`,
-  * `simhash64`, `normalize_text` and the `top_k_by_score` aggregate so
-  * `spark.sql(...)` users get the same codegen'd hot paths as the Column
-  * API.
+  * `simhash64`, `normalize_text`, `ngram_repetition`, `pq_encode`,
+  * `pq_adc_score` and the `top_k_by_score` aggregate so `spark.sql(...)`
+  * users get the same codegen'd hot paths as the Column API.
   *
   * Two entry points:
   *   - cluster deploys: `spark.sql.extensions=graft.GraftExtensions`
@@ -79,6 +79,20 @@ object GraftExtensions {
       { args =>
         require(args.length == 1, "ngram_repetition(gramHashes)")
         NgramRepetition(args(0))
+      }),
+    ("pq_encode",
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      { args =>
+        require(args.length == 2 || args.length == 3,
+          "pq_encode(vec, codeword_vectors[, m])")
+        val m = if (args.length == 3) intArg(args(2), "pq_encode", 3) else 8
+        PqEncode(args(0), args(1), m)
+      }),
+    ("pq_adc_score",
+      new ExpressionInfo(classOf[PqAdcScore].getName, "pq_adc_score"),
+      { args =>
+        require(args.length == 3, "pq_adc_score(lut, codes, ksub)")
+        PqAdcScore(args(0), args(1), intArg(args(2), "pq_adc_score", 3))
       }),
     ("top_k_by_score",
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k_by_score"),

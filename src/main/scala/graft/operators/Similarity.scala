@@ -547,8 +547,17 @@ object Similarity {
     * L2-nearest codeword of `vec`'s slice — an `array<int>` of length m, ONE
     * row in, one row out (no fan-out, no Window). Requires the sorted
     * `__cb` array from [[pqCodebookArray]] in scope via a broadcast
-    * crossJoin of its single row. */
+    * crossJoin of its single row. The m×ksub×dsub argmin is the native
+    * codegen'd [[graft.expressions.PqEncode]] (the `__cb` struct array is
+    * (sub, code)-sorted, so keeping just `cvec` yields exactly its flat
+    * sub-major codeword layout); the HOF fold it replaced stays as
+    * [[pqCodesLocalHof]], bit-equality pinned in ExtensionsSpec. */
   private[graft] def pqCodesLocal(vec: Column, m: Int, dsub: Int): Column =
+    graft.expressions.PqExpressions.encode(
+      vec, transform(col("__cb"), cb => cb.getField("cvec")), m)
+
+  /** Higher-order-function reference implementation of [[pqCodesLocal]]. */
+  private[graft] def pqCodesLocalHof(vec: Column, m: Int, dsub: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), s => {
       val sv = slice(vec, s * dsub + 1, lit(dsub))
       element_at(
@@ -670,8 +679,16 @@ object Similarity {
             cb.getField("cvec"))).as("__lut"))
 
   /** Row-local ADC score Σ_sub lut[sub·ksub + codes[sub]] — m array
-    * lookups + adds against the in-scope `__lut` column. */
+    * lookups + adds against the in-scope `__lut` column. The native
+    * codegen'd [[graft.expressions.PqAdcScore]]: this runs once per
+    * encoded corpus row per query, the hottest loop of the compressed
+    * scan, where the HOF fold ([[adcScoreColHof]], kept as the pinned
+    * reference) was interpreted `CodegenFallback`. */
   private def adcScoreCol(codesCol: String, m: Int, ksub: Int): Column =
+    graft.expressions.PqExpressions.adcScore(col("__lut"), col(codesCol), ksub)
+
+  /** Higher-order-function reference implementation of [[adcScoreCol]]. */
+  private[graft] def adcScoreColHof(codesCol: String, m: Int, ksub: Int): Column =
     aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
       acc + element_at(col("__lut"), s * ksub + element_at(col(codesCol), s + 1) + 1))
 

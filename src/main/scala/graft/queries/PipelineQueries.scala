@@ -164,6 +164,27 @@ object PipelineQueries {
     s"c$j AS (SELECT p.sub, p.code, coalesce(l.lst, p.cvec) AS cvec FROM $prev p LEFT JOIN " +
     s"(SELECT sub, code, list(mc ORDER BY spos) AS lst FROM m$j GROUP BY sub, code) l USING (sub, code))"
 
+  /** The sim_topk_pq oracle: both training rounds re-run, every vector
+    * re-encoded against the final codebooks (the a3 assignment), then the
+    * ADC search — shared verbatim by `sql_native_pq_adc`, whose declared
+    * query re-expresses the identical pipeline over the registered native
+    * expressions. */
+  private lazy val SimTopkPqOracle: String =
+    "WITH " + PqSeedsSql + ", " + pqRoundSql(1, "seeds") + ", " + pqRoundSql(2, "c1") + ", " +
+    pqRoundSql(3, "c2") + ", " +
+    "enc AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM a3 GROUP BY vec_id), " +
+    "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5), " +
+    "lt AS (SELECT query_id, list(ip ORDER BY sub, code) AS lut FROM (" +
+    "SELECT q.query_id, p.sub, p.code, " + ipSql("q.query_vec[p.sub*8+1 : p.sub*8+8]", "p.cvec") + " AS ip " +
+    "FROM q CROSS JOIN c2 p) z GROUP BY query_id), " +
+    "scored AS (SELECT l.query_id, e.vec_id AS neighbor_id, " +
+    "list_sum(list_transform(range(0, 8), s -> l.lut[s*8 + e.codes[s+1] + 1])) AS score " +
+    "FROM lt l CROSS JOIN enc e WHERE e.vec_id <> l.query_id) " +
+    "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score FROM " +
+    "(SELECT query_id, neighbor_id, score, " +
+    "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
+    "WHERE rank <= 10 ORDER BY query_id, rank"
+
   /** Seed codebooks: the 8 lowest-id vectors' subspace slices, codes
     * numbered in id order — [[Similarity.trainPqCodebooks]]'s seeding. */
   private val PqSeedsSql: String =
@@ -858,6 +879,55 @@ object PipelineQueries {
         "FROM (SELECT doc_id, ngram_repetition(" +
         "shingle_hashes(transform(split(text, '\\\\s+'), t -> xxhash64(t)), 2)) AS r " +
         "FROM __docs_rep) ORDER BY doc_id")
+    }),
+
+    // the compressed-domain layer from PURE spark.sql: the registered
+    // native pq_encode (per-subspace L2 argmin, the codegen'd replacement
+    // of the HOF fold) encodes every vector against the trained codebooks,
+    // exposed as (vec_id, sub, code). Oracle: DuckDB re-runs both training
+    // rounds and re-derives the final assignment (the a3 CTE) from scratch.
+    "sql_native_pq_encode" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      val emb = t(s, d, "embeddings").df
+      val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 8, iters = 2)
+      cb.createOrReplaceTempView("__pq_cb")
+      emb.createOrReplaceTempView("__pq_emb")
+      s.sql(
+        "WITH cbv AS (SELECT transform(array_sort(collect_list(struct(sub, code, cvec))), " +
+        "x -> x.cvec) AS vecs FROM __pq_cb) " +
+        "SELECT vec_id, pos AS sub, code FROM " +
+        "(SELECT vec_id, pq_encode(embedding, cbv.vecs, 8) AS codes " +
+        "FROM __pq_emb CROSS JOIN cbv) " +
+        "LATERAL VIEW posexplode(codes) t AS pos, code " +
+        "ORDER BY vec_id, sub")
+    }),
+
+    // the full ADC top-k from PURE spark.sql: pq_encode for the corpus
+    // codes, float_vector_dot for the per-query LUT, pq_adc_score for the
+    // m-lookup compressed scan — the exact pqTopK pipeline re-expressed
+    // over the registered natives, so its oracle IS sim_topk_pq's.
+    "sql_native_pq_adc" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      val emb = t(s, d, "embeddings").df
+      val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 8, iters = 2)
+      cb.createOrReplaceTempView("__pq_cb")
+      emb.createOrReplaceTempView("__pq_emb")
+      s.sql(
+        "WITH cbs AS (SELECT array_sort(collect_list(struct(sub, code, cvec))) AS cb FROM __pq_cb), " +
+        "enc AS (SELECT vec_id, pq_encode(embedding, transform(cbs.cb, x -> x.cvec), 8) AS codes " +
+        "FROM __pq_emb CROSS JOIN cbs), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM __pq_emb WHERE vec_id < 5), " +
+        "lt AS (SELECT query_id, transform(cbs.cb, x -> float_vector_dot(" +
+        "slice(query_vec, x.sub * size(x.cvec) + 1, size(x.cvec)), x.cvec)) AS lut " +
+        "FROM q CROSS JOIN cbs), " +
+        "scored AS (SELECT l.query_id, e.vec_id AS neighbor_id, pq_adc_score(l.lut, e.codes, 8) AS score " +
+        "FROM enc e CROSS JOIN lt l WHERE e.vec_id <> l.query_id) " +
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score " +
+        "FROM (SELECT query_id, neighbor_id, score, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
+        "WHERE rank <= 10 ORDER BY query_id, rank")
     }),
 
     // corpus version diff: v1 = %3<>0 slice, v2 = %5<>0 slice with text
@@ -1827,21 +1897,19 @@ object PipelineQueries {
     // final codebooks (the a3 assignment), then the ADC search: per-query
     // lookup table of subspace inner products, score = sum of the m
     // looked-up entries, rank with the engine's (score desc, id) tiebreak
-    "sim_topk_pq" ->
+    "sim_topk_pq" -> SimTopkPqOracle,
+
+    // pure-SQL-surface twin of sim_topk_pq (pq_encode + float_vector_dot +
+    // pq_adc_score re-express the identical pipeline) — same oracle
+    "sql_native_pq_adc" -> SimTopkPqOracle,
+
+    // both training rounds re-run from scratch; the declared query's
+    // (vec_id, sub, code) output IS the final assignment CTE
+    "sql_native_pq_encode" ->
       ("WITH " + PqSeedsSql + ", " + pqRoundSql(1, "seeds") + ", " + pqRoundSql(2, "c1") + ", " +
-       pqRoundSql(3, "c2") + ", " +
-       "enc AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM a3 GROUP BY vec_id), " +
-       "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5), " +
-       "lt AS (SELECT query_id, list(ip ORDER BY sub, code) AS lut FROM (" +
-       "SELECT q.query_id, p.sub, p.code, " + ipSql("q.query_vec[p.sub*8+1 : p.sub*8+8]", "p.cvec") + " AS ip " +
-       "FROM q CROSS JOIN c2 p) z GROUP BY query_id), " +
-       "scored AS (SELECT l.query_id, e.vec_id AS neighbor_id, " +
-       "list_sum(list_transform(range(0, 8), s -> l.lut[s*8 + e.codes[s+1] + 1])) AS score " +
-       "FROM lt l CROSS JOIN enc e WHERE e.vec_id <> l.query_id) " +
-       "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score FROM " +
-       "(SELECT query_id, neighbor_id, score, " +
-       "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
-       "WHERE rank <= 10 ORDER BY query_id, rank"),
+       pqRoundSql(3, "c2") + " " +
+       "SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code " +
+       "FROM a3 ORDER BY vec_id, sub"),
 
     // training + encoding + ADC shortlist (rank<=50) re-run from scratch,
     // then the exact cosine rerank over only the shortlisted pairs

@@ -106,6 +106,48 @@ class ExtensionsSpec extends AnyFunSuite {
     assert((interp.getLong(0), interp.getLong(1), interp.getLong(2)) == ((4L, 2L, 4L)))
   }
 
+  test("pq_encode and pq_adc_score: native == HOF reference on real embeddings; SQL-callable; NULL on malformed shapes") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 4, iters = 1)
+    // native encode == the HOF argmin fold, code for code, on every vector
+    val cbArr = cb.agg(array_sort(
+      collect_list(struct(col("sub"), col("code"), col("cvec")))).as("__cb"))
+    val both = emb.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"),
+        Similarity.pqCodesLocal(col("embedding"), 8, 8).as("native"),
+        Similarity.pqCodesLocalHof(col("embedding"), 8, 8).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // SQL surface: pq_encode against the flat codeword array, then
+    // pq_adc_score against a LUT built from float_vector_dot — both
+    // registered, both usable from pure spark.sql
+    cb.createOrReplaceTempView("ext_pq_cb")
+    emb.limit(3).createOrReplaceTempView("ext_pq_emb")
+    val sqlCodes = spark.sql(
+      """WITH cbv AS (SELECT transform(array_sort(collect_list(struct(sub, code, cvec))),
+        |                              x -> x.cvec) AS vecs FROM ext_pq_cb)
+        |SELECT vec_id, pq_encode(embedding, cbv.vecs, 8) AS codes
+        |FROM ext_pq_emb CROSS JOIN cbv ORDER BY vec_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val colCodes = emb.filter(col("vec_id") < 3).crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), Similarity.pqCodesLocal(col("embedding"), 8, 8).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sqlCodes == colCodes)
+    // ADC score from SQL: sum of the m looked-up LUT entries
+    val adc = spark.sql(
+      "SELECT pq_adc_score(array(CAST(1.0 AS DOUBLE), 2.0, 3.0, 4.0), array(1, 0), 2) AS s")
+      .head().getDouble(0)
+    assert(adc == 2.0 + 3.0) // sub 0 code 1 -> lut[1]=2; sub 1 code 0 -> lut[2]=3
+    // malformed: out-of-range code / codebook not divisible by m -> NULL
+    val bad = spark.sql(
+      """SELECT pq_adc_score(array(CAST(1.0 AS DOUBLE)), array(5), 2) AS a,
+        |       pq_encode(array(CAST(1.0F AS FLOAT), 2.0F), array(array(1.0F)), 8) AS b""".stripMargin)
+      .head()
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
+
   test("top_k_by_score aggregate callable from SQL") {
     import spark.implicits._
     (1L to 100L).map(i => ("g", (i % 7).toDouble, i)).toDF("g", "score", "id")
