@@ -665,7 +665,7 @@ object Similarity {
   /** Per-query ADC lookup tables: one row per query carrying `__lut`, the
     * flat m·ksub array of (query slice · codeword) inner products indexed
     * `sub·ksub + code` — the broadcastable half of every ADC scan. */
-  private def pqLuts(
+  private[graft] def pqLuts(
       queries: DataFrame,
       queryIdCol: String,
       queryVecCol: String,

@@ -48,6 +48,55 @@ object MeasureProps {
       spark.stop(); return
     }
 
+    // ---- native-vs-HOF PQ kernel timing (backs the NOTES_r11 claim that
+    // the codegen'd PqEncode/PqAdcScore beat the interpreted HOF folds
+    // they replaced; both variants must also produce identical checksums —
+    // the equivalence the ExtensionsSpec pin asserts row-for-row, re-checked
+    // here on the aggregate). ksub=64 sizes the encode argmin realistically;
+    // the ADC scan scores every corpus row against 32 query LUTs.
+    if (args.contains("--pq-kernel")) {
+      import graft.expressions.PqExpressions
+      val embK = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+      val nRows = embK.count()
+      val m = 8; val ksub = 64; val dim = 64
+      val cb = Similarity.trainPqCodebooks(embK, "vec_id", "embedding", dim, m, ksub, iters = 1)
+      val cbArr = Similarity.pqCodebookArray(cb)
+      val queries = embK.limit(32)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val luts = Similarity.pqLuts(queries, "qid", "qv", cb).cache()
+      luts.count(): Unit
+      val encoded = embK.crossJoin(broadcast(cbArr))
+        .select(col("vec_id"), Similarity.pqCodesLocal(col("embedding"), m, dim / m).as("codes"))
+        .cache()
+      encoded.count(): Unit
+      def timeIt(mk: () => org.apache.spark.sql.DataFrame): (Double, Any) = {
+        var last: Any = null
+        mk().collect() // warm (codegen + JIT)
+        val ts = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          last = mk().collect()(0).get(0)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (ts(2), last)
+      }
+      val (encNative, sN) = timeIt(() => embK.crossJoin(broadcast(cbArr))
+        .agg(sum(element_at(Similarity.pqCodesLocal(col("embedding"), m, dim / m), 1))))
+      val (encHof, sH) = timeIt(() => embK.crossJoin(broadcast(cbArr))
+        .agg(sum(element_at(Similarity.pqCodesLocalHof(col("embedding"), m, dim / m), 1))))
+      require(sN == sH, s"encode checksum mismatch: $sN vs $sH")
+      val (adcNative, aN) = timeIt(() => encoded
+        .join(broadcast(luts), col("vec_id") =!= col("qid"))
+        .agg(sum(PqExpressions.adcScore(col("__lut"), col("codes"), ksub))))
+      val (adcHof, aH) = timeIt(() => encoded
+        .join(broadcast(luts), col("vec_id") =!= col("qid"))
+        .agg(sum(Similarity.adcScoreColHof("codes", m, ksub))))
+      require(aN == aH, s"adc checksum mismatch: $aN vs $aH")
+      println(f"[measure] $sfDir pq-kernel rows=$nRows m=$m ksub=$ksub: " +
+        f"encode native=$encNative%.2fs hof=$encHof%.2fs (${encHof / encNative}%.1fx)  " +
+        f"adc(32q) native=$adcNative%.2fs hof=$adcHof%.2fs (${adcHof / adcNative}%.1fx)")
+      spark.stop(); return
+    }
+
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
     // ---- exact high-jaccard pairs (ground truth for text dedup recall)
