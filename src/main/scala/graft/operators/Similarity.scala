@@ -829,6 +829,34 @@ object Similarity {
       k: Int = 10,
       nprobe: Int = 1,
       shortlist: Int = 100): DataFrame = {
+    val cand = ivfPqAdcRanked(corpus, idCol, vecCol, centroids, centroidIdCol,
+        centroidVecCol, codebooks, dim, m, ksub, queries, queryIdCol, queryVecCol,
+        limit = shortlist, nprobe = nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(cand, corpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+  }
+
+  /** The probed ADC ranking stage of [[ivfPqTopK]] — (query_id, rank,
+    * neighbor_id, score) with rank ≤ `limit` under the (score desc, id
+    * asc) tiebreak. Exposed package-private as the batch twin the
+    * streaming compressed-domain server pins against
+    * (`Streams.annPqTopKStream` must rank-for-rank reproduce this). */
+  private[graft] def ivfPqAdcRanked(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      limit: Int,
+      nprobe: Int): DataFrame = {
     val cents = centroidArray(centroids, centroidIdCol, centroidVecCol)
     // one row-local pass computes BOTH the cell assignment and the codes.
     // element_at (not explode) for the 1-cell argmax: a generator in this
@@ -850,11 +878,11 @@ object Similarity {
       .filter(col(idCol) =!= col(queryIdCol))
       .withColumn("score", adcScoreCol("codes", m, ksub))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("score"), asc(idCol))
-    val cand = adc
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= shortlist)
-      .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"))
-    rerankExact(cand, corpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+    adc
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= limit)
+      .select(col(queryIdCol).as("query_id"), col("rank"),
+        col(idCol).as("neighbor_id"), col("score"))
   }
 
   /** IVF-style coarse quantization: assigns every vector to its nearest of

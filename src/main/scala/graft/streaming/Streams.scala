@@ -141,6 +141,62 @@ object Streams {
       .agg(topKByScore(struct(col("__cos"), col(idCol)), k).as("topk"))
   }
 
+  /** Streaming COMPRESSED-DOMAIN ANN: a stream of query vectors ADC-served
+    * against the codes-only projection of an IVF×PQ layout
+    * (`Similarity.writeIvfIndex(pqCodebooks = …)`) — the 100 TB serving
+    * shape where each micro-batch reads m-byte codes from the probed cells
+    * only and no float corpus vector ever enters the stream. Per query:
+    * row-local nprobe assignment against the broadcast centroid array, a
+    * row-local ADC lookup table (m·ksub inner products) against the
+    * broadcast codebook array, ONE stream-static equi-join on the cell
+    * key, the native codegen'd ADC score per candidate, and update-mode
+    * [[graft.expressions.TopKAgg]] ranking with O(k) state per query.
+    *
+    * Scores are the ADC approximate inner products — rank-for-rank equal
+    * to the batch composite's shortlist stage
+    * (`Similarity.ivfPqAdcRanked`, pinned in StreamingSpec). The
+    * exact-cosine rerank is a second stateful stage a single streaming
+    * DAG cannot express (an update-mode aggregate feeding a join); rerank
+    * the emitted shortlist in the consumer, or batch-side via
+    * [[graft.operators.Similarity.ivfPqTopKIndexed]]. */
+  def annPqTopKStream(
+      queries: DataFrame,
+      encodedCells: DataFrame,
+      idCol: String,
+      codesCol: String,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      ksub: Int,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    import graft.expressions.{PqExpressions, TopKAgg}
+    import graft.functions.VectorFunctions.dot
+    import graft.operators.Similarity
+    val cents = Similarity.centroidArray(centroids, "cell", "cvec")
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col(queryIdCol), col(queryVecCol),
+        explode(Similarity.topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
+      .select(col(queryIdCol), col(queryVecCol), col("__probe.cell").as("cell"))
+    // the per-query LUT rides each probed row (recomputed nprobe× per
+    // query, row-locally — joining a separate LUT frame back onto the
+    // probe would be a stream-stream join)
+    val withLut = probed.crossJoin(broadcast(Similarity.pqCodebookArray(codebooks)))
+      .select(col(queryIdCol), col("cell"),
+        transform(col("__cb"), cb =>
+          dot(slice(col(queryVecCol),
+              cb.getField("sub") * size(cb.getField("cvec")) + 1,
+              size(cb.getField("cvec"))),
+            cb.getField("cvec"))).as("__lut"))
+    withLut
+      .join(encodedCells.select(col(idCol), col(codesCol), col("cell")), Seq("cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("__score", PqExpressions.adcScore(col("__lut"), col(codesCol), ksub))
+      .groupBy(col(queryIdCol).as("query_id"))
+      .agg(TopKAgg.topKByScore(struct(col("__score"), col(idCol)), k).as("topk"))
+  }
+
   /** Streaming embedding near-dedup: a STREAM of new vectors matched
     * against a STATIC corpus — the embedding-modality twin of
     * [[incrementalNearDupStream]], and completely STATELESS (append mode):

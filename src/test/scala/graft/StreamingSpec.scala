@@ -325,6 +325,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming compressed-domain ANN (IVF×PQ codes) matches the batch ADC ranking rank for rank") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, "cell", "cvec", dir,
+      pqCodebooks = Some(cb), pqDim = 64, pqM = 8)
+    val vdir = Similarity.resolveIvfIndex(spark, dir)
+    // the serving inputs come from the PUBLISHED layout: codes-only corpus
+    // projection, versioned codebooks — no float corpus vectors anywhere
+    val encodedCells = graft.sources.MetaPersist.readModel(spark, s"$vdir/corpus", "ivf_corpus")
+      .df.select("vec_id", "codes", "cell")
+    val cbLoaded = graft.sources.MetaPersist.readModel(spark, s"$vdir/codebooks", "pq_codebooks").df
+    val qrows = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val out = Streams.annPqTopKStream(
+      ms.toDF().toDF("query_id", "query_vec"), encodedCells, "vec_id", "codes",
+      cents, cbLoaded, ksub = 4, "query_id", "query_vec", k = 5, nprobe = 2)
+    ms.addData(qrows.take(2): _*)
+    val q = Streams.runToMemory(out, "ivfpq_stream_out", OutputMode.Update())
+    try {
+      q.processAllAvailable()
+      ms.addData(qrows.drop(2): _*) // later queries flow through the same index
+      q.processAllAvailable()
+      val streamed = spark.table("ivfpq_stream_out").collect().flatMap { r =>
+        r.getSeq[org.apache.spark.sql.Row](1).zipWithIndex.map { case (s, i) =>
+          (r.getLong(0), (i + 1).toLong, s.getLong(1),
+            BigDecimal(s.getDouble(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toSet
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val batch = Similarity.ivfPqAdcRanked(emb, "vec_id", "embedding",
+          cents, "cell", "cvec", cb, dim = 64, m = 8, ksub = 4,
+          queries, "query_id", "query_vec", limit = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dedup emits exactly the batch operator's straddling pairs") {
     import spark.implicits._
     val corpus = Seq(
