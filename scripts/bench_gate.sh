@@ -13,7 +13,8 @@ OUT=$(cd "$(dirname "$0")/.." && \
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Bench" 2>&1)
 RC=$?
-JSON=$(printf '%s\n' "$OUT" | grep -E '^\{"metric":"total"')
+# sbt prefixes stdout with "[info] " — match the JSON anywhere in the line
+JSON=$(printf '%s\n' "$OUT" | grep -oE '\{"metric":"total".*' | tail -1)
 if [ $RC -ne 0 ] || [ -z "$JSON" ]; then
   printf '%s\n' "$OUT" | tail -40
   echo "BENCH GATE: FAIL (rc=$RC, json_line=${JSON:+present}${JSON:-missing})" >&2

@@ -141,12 +141,14 @@ object Bench {
     spark.stop()
   }
 
-  /** Runs the three streaming throughput probes and returns their JSON
+  /** Runs the four streaming throughput probes and returns their JSON
     * object: `annTopKStream` (the TopKAgg update-mode aggregate),
-    * `Ingest.ingestCorpus` (the foreachBatch pipeline incl. its per-batch
-    * store writes and grown-store dedup), and `dedupWithinWatermark`
-    * (raw per-key state store: one lookup + conditional insert per row,
-    * 50% duplicate keys). */
+    * `annPqTopKStream` (the compressed-domain server: codes-only
+    * stream-static join + native ADC + TopKAgg), `Ingest.ingestCorpus`
+    * (the foreachBatch pipeline incl. its per-batch store writes and
+    * grown-store dedup), and `dedupWithinWatermark` (raw per-key state
+    * store: one lookup + conditional insert per row, 50% duplicate
+    * keys). */
   private def streamingBench(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -181,6 +183,35 @@ object Bench {
       val out = Streams.annTopKStream(
         ms.toDF().toDF("query_id", "query_vec"), corpusCells, "vec_id", "embedding",
         cents, "query_id", "query_vec", k = 10, nprobe = 2)
+      val t0 = System.nanoTime()
+      val q = Streams.runToMemory(out, name, OutputMode.Update())
+      try {
+        annBatches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.catalog.dropTempView(name)
+      qvecs.length / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    // --- compressed-domain ANN serving: the same 2 x 64 query batches
+    // against the CODES-ONLY corpus projection (trained codebooks, native
+    // ADC score, TopKAgg ranking) — the IVF x PQ streaming path's
+    // regression row. Encode once outside the timer (index-build cost, not
+    // serving cost); each run still starts its query fresh.
+    val pqCb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 1)
+    val encodedCells = corpusCells
+      .join(Similarity.pqEncode(emb, "vec_id", "embedding", pqCb, dim = 64, m = 8),
+        Seq("vec_id"))
+      .select("vec_id", "codes", "cell")
+      .cache()
+    encodedCells.count(): Unit
+    def annPqRun(): Double = {
+      runId += 1
+      val name = s"bench_annpq_$runId"
+      val ms = MemoryStream[(Long, Array[Float])](spark)
+      val out = Streams.annPqTopKStream(
+        ms.toDF().toDF("query_id", "query_vec"), encodedCells, "vec_id", "codes",
+        cents, pqCb, ksub = 16, "query_id", "query_vec", k = 10, nprobe = 2)
       val t0 = System.nanoTime()
       val q = Streams.runToMemory(out, name, OutputMode.Update())
       try {
@@ -252,11 +283,12 @@ object Bench {
       (2 * evRows.length) / ((System.nanoTime() - t0) / 1e9)
     }
 
-    annRun(); ingestRun(); dedupRun() // warm (JIT + codegen + shuffle service)
+    annRun(); annPqRun(); ingestRun(); dedupRun() // warm (JIT + codegen + shuffle service)
     val (annQps, annSpread) = medianSpread(Seq.fill(5)(annRun()))
+    val (annPqQps, annPqSpread) = medianSpread(Seq.fill(5)(annPqRun()))
     val (ingRps, ingSpread) = medianSpread(Seq.fill(5)(ingestRun()))
     val (ddRps, ddSpread) = medianSpread(Seq.fill(5)(dedupRun()))
-    corpusCells.unpersist(); lm.unpersist(); benchSet.unpersist()
-    f"""{"protocol":"fresh query per run incl. start, 2 micro-batches, median of 5 runs","ann_topk_queries_per_sec":$annQps%.1f,"ann_spread":$annSpread%.1f,"ingest_docs_per_sec":$ingRps%.1f,"ingest_spread":$ingSpread%.1f,"dedup_events_per_sec":$ddRps%.1f,"dedup_spread":$ddSpread%.1f}"""
+    corpusCells.unpersist(); encodedCells.unpersist(); lm.unpersist(); benchSet.unpersist()
+    f"""{"protocol":"fresh query per run incl. start, 2 micro-batches, median of 5 runs","ann_topk_queries_per_sec":$annQps%.1f,"ann_spread":$annSpread%.1f,"ann_pq_queries_per_sec":$annPqQps%.1f,"ann_pq_spread":$annPqSpread%.1f,"ingest_docs_per_sec":$ingRps%.1f,"ingest_spread":$ingSpread%.1f,"dedup_events_per_sec":$ddRps%.1f,"dedup_spread":$ddSpread%.1f}"""
   }
 }
