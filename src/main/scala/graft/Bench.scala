@@ -135,9 +135,41 @@ object Bench {
     // not hide in setup), feed the fixed micro-batches with
     // processAllAvailable after each add, stop; rows/sec = rows fed /
     // elapsed. One untimed warm run, then median of 5 with spread.
-    val streamStats = streamingBench(spark, sfDir)
+    val streamRows = streamingBench(spark, sfDir)
+    val streamJson = streamRows.map { case (n, v, sp) =>
+      val spreadKey = n match {
+        case "ann_topk_queries_per_sec" => "ann_spread"
+        case "ann_pq_queries_per_sec" => "ann_pq_spread"
+        case "ingest_docs_per_sec" => "ingest_spread"
+        case _ => "dedup_spread"
+      }
+      f""""$n":$v%.1f,"$spreadKey":$sp%.1f"""
+    }.mkString(
+      """{"protocol":"fresh query per run incl. start, 2 micro-batches, median of 5 runs",""",
+      ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"queries":$qs,"best":$best,"spread":$spread,"streaming":$streamStats,"sf":"$sfDir"}""")
+    // ---- self-reporting regression check (NOTES_r11 §8 #1): the four
+    // streaming medians gate at -40% of their r11 sf0.1 anchors and the
+    // 10-query total at 2x BASELINE.md — only when benching the sf0.1 dir
+    // the anchors were measured on. An empty list is the healthy state;
+    // any entry names the failing row so BENCH_r{N} flags itself.
+    val anchors = Map(
+      "ann_topk_queries_per_sec" -> 48.9, "ann_pq_queries_per_sec" -> 50.3,
+      "ingest_docs_per_sec" -> 80.3, "dedup_events_per_sec" -> 1474.8)
+    val regressions: Seq[String] =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Nil
+      else {
+        val totalGate =
+          if (total > 2 * 5.971) Seq(f"total ${total}%.2fs exceeds 2x of the 5.97s baseline")
+          else Nil
+        totalGate ++ streamRows.flatMap { case (n, v, _) =>
+          anchors.get(n).filter(a => v < 0.6 * a)
+            .map(a => f"$n $v%.1f below 60%% of r11 anchor $a%.1f")
+        }
+      }
+    val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"queries":$qs,"best":$best,"spread":$spread,"streaming":$streamJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -148,8 +180,10 @@ object Bench {
     * (the foreachBatch pipeline incl. its per-batch store writes and
     * grown-store dedup), and `dedupWithinWatermark` (raw per-key state
     * store: one lookup + conditional insert per row, 50% duplicate
-    * keys). */
-  private def streamingBench(spark: SparkSession, sfDir: String): String = {
+    * keys). Returns (row name, median, spread) triples — JSON assembly
+    * and the regression check live in main. */
+  private def streamingBench(
+      spark: SparkSession, sfDir: String): Seq[(String, Double, Double)] = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -289,6 +323,10 @@ object Bench {
     val (ingRps, ingSpread) = medianSpread(Seq.fill(5)(ingestRun()))
     val (ddRps, ddSpread) = medianSpread(Seq.fill(5)(dedupRun()))
     corpusCells.unpersist(); encodedCells.unpersist(); lm.unpersist(); benchSet.unpersist()
-    f"""{"protocol":"fresh query per run incl. start, 2 micro-batches, median of 5 runs","ann_topk_queries_per_sec":$annQps%.1f,"ann_spread":$annSpread%.1f,"ann_pq_queries_per_sec":$annPqQps%.1f,"ann_pq_spread":$annPqSpread%.1f,"ingest_docs_per_sec":$ingRps%.1f,"ingest_spread":$ingSpread%.1f,"dedup_events_per_sec":$ddRps%.1f,"dedup_spread":$ddSpread%.1f}"""
+    Seq(
+      ("ann_topk_queries_per_sec", annQps, annSpread),
+      ("ann_pq_queries_per_sec", annPqQps, annPqSpread),
+      ("ingest_docs_per_sec", ingRps, ingSpread),
+      ("dedup_events_per_sec", ddRps, ddSpread))
   }
 }

@@ -97,6 +97,38 @@ object MeasureProps {
       spark.stop(); return
     }
 
+    // ---- IVFPQ recall dial (backs the declared sim_topk_ivfpq defaults
+    // the way the LSH property oracle backs lshTopK): recall@10 of the
+    // composite vs the exact cosine top-10, swept over (nprobe, shortlist).
+    // Losses decompose into the coarse probe (wrong cell) and the ADC
+    // shortlist (code-space ranking error) — the sweep shows which dial
+    // buys recall at each point.
+    if (args.contains("--ivfpq-recall")) {
+      val embR = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+      embR.count(): Unit
+      val qs = embR.limit(32)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")).cache()
+      val cents = Similarity.trainCentroids(embR, "vec_id", "embedding", k = 16, iters = 2)
+      val cbR = Similarity.trainPqCodebooks(embR, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 64, iters = 2)
+      val exact = Similarity.bruteForceTopK(embR, "vec_id", "embedding",
+          qs, "query_id", "query_vec", k = 10)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      for ((nprobe, shortlist) <- Seq((1, 20), (2, 50), (4, 100), (8, 200))) {
+        val got = Similarity.ivfPqTopK(embR, "vec_id", "embedding",
+            cents, "cell", "cvec", cbR, dim = 64, m = 8, ksub = 64,
+            qs, "query_id", "query_vec", k = 10, nprobe = nprobe, shortlist = shortlist)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val recalls = exact.map { case (q, ids) =>
+          got.get(q).map(g => (g intersect ids).size.toDouble / ids.size).getOrElse(0.0) }
+        println(f"[measure] $sfDir ivfpq recall@10 nprobe=$nprobe%d shortlist=$shortlist%d: " +
+          f"mean=${recalls.sum / recalls.size}%.3f min=${recalls.min}%.3f (32 queries, 16 cells, m=8 ksub=64)")
+      }
+      spark.stop(); return
+    }
+
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
     // ---- exact high-jaccard pairs (ground truth for text dedup recall)
