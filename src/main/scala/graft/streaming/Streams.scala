@@ -197,6 +197,46 @@ object Streams {
       .agg(TopKAgg.topKByScore(struct(col("__score"), col(idCol)), k).as("topk"))
   }
 
+  /** IVF×PQ serving as a `foreachBatch` query — the production
+    * counterpart of [[annPqTopKStream]] for deployments where the index
+    * RETRAINS while queries flow. Each micro-batch runs the full batch
+    * composite ([[graft.operators.Similarity.ivfPqTopKIndexed]]):
+    * partition-pruned codes-only ADC scan PLUS the exact-cosine rerank
+    * the single-DAG streaming form cannot express (an update-mode
+    * aggregate feeding a join is a second stateful operator), and —
+    * because the index version resolves INSIDE the per-batch call — a
+    * `writeIvfIndex` republish is picked up at the next micro-batch
+    * boundary with no restart. Version-boundary semantics, pinned in
+    * StreamingSpec: every batch binds exactly one published version
+    * (resolve-once inside the call), a republish can land only BETWEEN
+    * batches, and pre-republish batches keep their version's files
+    * (prune only after the retention window, as in batch serving).
+    *
+    * `sink` receives the reranked (query_id, rank, neighbor_id, cos)
+    * frame and the micro-batch id — write it to the serving store,
+    * upsert a cache, or publish downstream. */
+  def annPqServeStream(
+      queries: DataFrame,
+      indexPath: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      checkpointDir: String,
+      k: Int = 10,
+      nprobe: Int = 1,
+      shortlist: Int = 100,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .queryName("graft_annpq_serve")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Similarity.ivfPqTopKIndexed(
+          batch.sparkSession, indexPath, batch, queryIdCol, queryVecCol,
+          k = k, nprobe = nprobe, shortlist = shortlist), batchId)
+      }
+      .start()
+
   /** Streaming embedding near-dedup: a STREAM of new vectors matched
     * against a STATIC corpus — the embedding-modality twin of
     * [[incrementalNearDupStream]], and completely STATELESS (append mode):

@@ -371,6 +371,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch IVFPQ serving binds one version per micro-batch and picks up a republish at the next") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_serve").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfpq_serve_ckpt").toString
+    val c1 = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val cb1 = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 4, iters = 1)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", c1, "cell", "cvec", dir,
+      pqCodebooks = Some(cb1), pqDim = 64, pqM = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    def inline(cents: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame,
+        ksub: Int, qids: Seq[Long]) =
+      rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, "cell", "cvec",
+        cb, dim = 64, m = 8, ksub = ksub,
+        emb.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        "query_id", "query_vec", k = 5, nprobe = 2, shortlist = 20))
+    val qrows = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val served = scala.collection.concurrent.TrieMap[Long, Set[(Long, Long, Long, Double)]]()
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val q = Streams.annPqServeStream(
+      ms.toDF().toDF("query_id", "query_vec"), dir, "query_id", "query_vec",
+      ckpt, k = 5, nprobe = 2, shortlist = 20,
+      trigger = Trigger.ProcessingTime(0)) { (out, id) => served(id) = rows(out) }
+    try {
+      ms.addData(qrows.take(2): _*)
+      q.processAllAvailable()
+      // retrain with different parameters and republish BETWEEN batches
+      val c2 = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 3, iters = 2)
+      val cb2 = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 8, iters = 2)
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", c2, "cell", "cvec", dir,
+        pqCodebooks = Some(cb2), pqDim = 64, pqM = 8)
+      ms.addData(qrows.drop(2): _*)
+      q.processAllAvailable()
+      // batch 0 bound v1; batch 1 picked up v2 with no restart
+      assert(served(0L) == inline(c1, cb1, 4, Seq(0L, 1L)),
+        s"batch 0 must serve from the v1 artifacts: ${served(0L)}")
+      assert(served(1L) == inline(c2, cb2, 8, Seq(2L)),
+        s"batch 1 must serve from the republished v2 artifacts: ${served(1L)}")
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dedup emits exactly the batch operator's straddling pairs") {
     import spark.implicits._
     val corpus = Seq(
