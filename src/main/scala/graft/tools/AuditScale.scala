@@ -112,7 +112,17 @@ object AuditScale {
       // (4.54x +-5.2s) was gating on the exact opt-in shape
       "ngram_jaccard_operator" -> ((s: SparkSession, d: String) =>
         Dedup.ngramJaccardBestMatch(Tables.load(s, d, "documents"),
-          "doc_id", "text", blockCol = "lang")))
+          "doc_id", "text", blockCol = "lang")),
+      // isolates the batch-vs-STORE winnow join of the ingestion pipeline
+      // (the stage the SCALE_r11 watch item names for the composite's
+      // 11.1x): store = 90% of the corpus, batch = 10% — BOTH sides scale
+      // with sf, matching how the real store grows with the corpus
+      "ingest_store_join_operator" -> ((s: SparkSession, d: String) => {
+        val docs = Tables.load(s, d, "documents")
+        Dedup.winnowIncremental(
+          docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+      }))
 
   /** Flags CartesianProduct / disallowed BroadcastNestedLoopJoin in the
     * plans that actually EXECUTED while registered. Reading
