@@ -129,6 +129,72 @@ object MeasureProps {
       spark.stop(); return
     }
 
+    // ---- store-compaction cadence (backs the NOTES_r11 §10 candidate
+    // with numbers): the ingestion composite's linear term is the
+    // per-batch store/audit writes, and the LONG-RUN cost is the store
+    // fragmenting into one batch_id=N partition per micro-batch — every
+    // later batch's vs-store dedup re-reads all of them. Feed 16
+    // micro-batches under (a) no compaction and (b) compact-every-4, and
+    // report ingest wall time, final parquet file count, and the
+    // median-of-3 full-store read time each policy leaves behind.
+    if (args.contains("--compaction-cadence")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Corpus
+      import graft.streaming.Ingest
+      import spark.implicits._
+      val docsC = spark.read.parquet(s"$sfDir/documents.parquet")
+      val rowsC = docsC.limit(4000)
+        .select(col("doc_id"), col("text"), col("source"), col("lang")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      val batches = rowsC.grouped(250).toSeq
+      val lm = Corpus.lmCounts(docsC.limit(2000), "text").cache(); lm.count(): Unit
+      val benchSet = docsC.filter(col("doc_id") % 97 === 0)
+        .select("doc_id", "text").cache(); benchSet.count(): Unit
+      def run(root: String, cadence: Int): Double = {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val ms = MemoryStream[(Long, String, String, String)](spark)
+        val t0 = System.nanoTime()
+        val q = Ingest.ingestCorpus(
+          ms.toDF().toDF("doc_id", "text", "source", "lang"),
+          s"$root/corpus", s"$root/audit", benchSet, lm,
+          "doc_id", "text", "source", "lang",
+          checkpointDir = s"$root/ckpt", trigger = Trigger.ProcessingTime(0),
+          minTokens = 5L, maxTopNgramFrac = 0.5)
+        try {
+          batches.zipWithIndex.foreach { case (b, i) =>
+            ms.addData(b: _*); q.processAllAvailable()
+            // compaction runs BETWEEN batches, on the live store the next
+            // batch will dedup against — exactly the production cadence
+            if (cadence > 0 && (i + 1) % cadence == 0) {
+              Ingest.compactStore(spark, s"$root/corpus"): Unit
+              Ingest.compactAuditStore(spark, s"$root/audit"): Unit
+            }
+          }
+        } finally q.stop()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def storeStats(root: String): (Long, Double) = {
+        val walk = java.nio.file.Files.walk(new java.io.File(s"$root/corpus").toPath)
+        val nf = try walk.filter(p => p.toString.endsWith(".parquet")).count()
+          finally walk.close()
+        val reads = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.read.parquet(s"$root/corpus").count(): Unit
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (nf, reads(1))
+      }
+      run("target/measure_compact/warm", 0): Unit // warm (JIT + codegen)
+      for ((label, cadence) <- Seq(("never", 0), ("every-4", 4))) {
+        val secs = run(s"target/measure_compact/$label", cadence)
+        val (nf, readSec) = storeStats(s"target/measure_compact/$label")
+        println(f"[measure] $sfDir compaction=$label%-8s ingest_16_batches=$secs%.1fs " +
+          f"store_parquet_files=$nf%d store_read_median=$readSec%.2fs")
+      }
+      spark.stop(); return
+    }
+
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
     // ---- exact high-jaccard pairs (ground truth for text dedup recall)
