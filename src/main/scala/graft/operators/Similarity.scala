@@ -150,6 +150,49 @@ object Similarity {
         byCosDescCellAsc),
       1, n)
 
+  /** cvec of `cellCol` from the in-scope broadcast `__cents` array — the
+    * row-local centroid lookup (an O(k) array filter per row; cells are
+    * distinct by contract, so the filtered array has exactly one element). */
+  private def centVecOf(cellCol: Column): Column =
+    element_at(filter(col("__cents"), c => c.getField("cell") === cellCol), 1)
+      .getField("cvec")
+
+  /** Residual vec − cvec[cell], per coordinate: the exact double
+    * subtraction rounded once back to float — IEEE single-precision
+    * subtraction, exactly re-derivable in SQL, so every residual-PQ stage
+    * downstream stays oracle-checkable. Requires `__cents` in scope. */
+  private def residualLocal(vec: Column, cellCol: Column): Column =
+    zip_with(vec, centVecOf(cellCol),
+      (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+
+  /** (id, cell, residual) for every corpus row: the coarse-cell assignment
+    * plus the residual vec − cvec[cell] that residual PQ quantizes. FAISS
+    * IVFPQ encodes residuals rather than raw vectors because the residual
+    * distribution is far tighter than the vector distribution (the coarse
+    * quantizer has already absorbed the cell-level energy), so the same
+    * m×ksub codebook budget buys a finer quantization — a measured
+    * recall gain at equal code bytes (`MeasureProps --ivfpq-recall`).
+    * One row-local pass against the broadcast centroid array: no fan-out,
+    * no shuffle, and the residual coordinates are exact single-precision
+    * subtractions. Feed the result to [[trainPqCodebooks]] (vecCol =
+    * "residual") to train residual codebooks, then search with
+    * [[ivfPqTopK]]`(..., residual = true)`. */
+  def ivfResiduals(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String): DataFrame = {
+    val cents = centroidArray(centroids, centroidIdCol, centroidVecCol)
+    corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol),
+        element_at(topCellsLocal(col(vecCol), 1), 1).getField("cell").as("cell"),
+        col("__cents"))
+      .select(col(idCol), col("cell"),
+        residualLocal(col(vecCol), col("cell")).as("residual"))
+  }
+
   /** Full IVF top-k search: corpus vectors are quantized to their nearest
     * centroid cell ([[ivfAssign]]); each query probes only its `nprobe`
     * closest cells and ranks candidates inside them. At 100 TB the corpus
@@ -235,7 +278,8 @@ object Similarity {
       path: String,
       pqCodebooks: Option[DataFrame] = None,
       pqDim: Int = 0,
-      pqM: Int = 0): String = {
+      pqM: Int = 0,
+      pqResidual: Boolean = false): String = {
     val cents = centroidArray(
       centroids.select(col(centroidIdCol).as("cell"), col(centroidVecCol).as("cvec")),
       "cell", "cvec")
@@ -263,11 +307,23 @@ object Similarity {
         graft.sources.MetaPersist.writeModel(
           cb, s"$staging/codebooks", "pq_codebooks",
           Map("dim" -> pqDim.toString, "m" -> pqM.toString, "ksub" -> ksub.toString))
-        (assigned.crossJoin(broadcast(pqCodebookArray(cb)))
-           .select(col(idCol), col(vecCol),
-             pqCodesLocal(col(vecCol), pqM, pqDim / pqM).as("codes"), col("cell")),
+        // residual layouts quantize vec − cvec[cell] (pass codebooks trained
+        // on [[ivfResiduals]]); the flag versions WITH the layout so a
+        // reader can never mis-score residual codes as raw ones
+        val layoutDf =
+          if (!pqResidual)
+            assigned.crossJoin(broadcast(pqCodebookArray(cb)))
+              .select(col(idCol), col(vecCol),
+                pqCodesLocal(col(vecCol), pqM, pqDim / pqM).as("codes"), col("cell"))
+          else
+            assigned.crossJoin(broadcast(pqCodebookArray(cb))).crossJoin(broadcast(cents))
+              .select(col(idCol), col(vecCol),
+                pqCodesLocal(residualLocal(col(vecCol), col("cell")),
+                  pqM, pqDim / pqM).as("codes"), col("cell"))
+        (layoutDf,
          Map("idCol" -> idCol, "vecCol" -> vecCol, "codesCol" -> "codes",
-           "pqDim" -> pqDim.toString, "pqM" -> pqM.toString, "pqKsub" -> ksub.toString))
+           "pqDim" -> pqDim.toString, "pqM" -> pqM.toString, "pqKsub" -> ksub.toString,
+           "pqResidual" -> pqResidual.toString))
       case None =>
         (assigned, Map[String, Any]("idCol" -> idCol, "vecCol" -> vecCol))
     }
@@ -401,11 +457,27 @@ object Similarity {
     val codesCol = corpusMf.metadata("codesCol").asInstanceOf[String]
     val m = corpusMf.metadata("pqM").asInstanceOf[String].toInt
     val ksub = corpusMf.metadata("pqKsub").asInstanceOf[String].toInt
+    // layouts written before residual support carry no flag — raw codes
+    val residual = corpusMf.metadata.get("pqResidual")
+      .exists(_.asInstanceOf[String].toBoolean)
     val cents = centroidArray(centroids.df, "cell", "cvec")
-    val probed = queries.crossJoin(broadcast(cents))
-      .select(col(queryIdCol), col(queryVecCol),
-        explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
-      .select(col(queryIdCol), col("__probe.cell").as("cell"))
+    val probed =
+      if (!residual)
+        queries.crossJoin(broadcast(cents))
+          .select(col(queryIdCol), col(queryVecCol),
+            explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
+          .select(col(queryIdCol), col("__probe.cell").as("cell"))
+      else
+        // residual scoring adds the q·cvec[cell] correction per probe row
+        // (same decomposition as the inline composite, computed against the
+        // SAME index version's centroids)
+        queries.crossJoin(broadcast(cents))
+          .select(col(queryIdCol), col(queryVecCol),
+            explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"), col("__cents"))
+          .select(col(queryIdCol), col(queryVecCol),
+            col("__probe.cell").as("cell"), col("__cents"))
+          .select(col(queryIdCol), col("cell"),
+            dot(col(queryVecCol), centVecOf(col("cell"))).as("__qc"))
     // O(queries × nprobe) cells — bounded metadata; collecting it turns the
     // probe into a static partition filter Catalyst prunes at planning time
     val cells = probed.select("cell").distinct().collect().map(_.get(0))
@@ -417,7 +489,9 @@ object Similarity {
       .join(pqLuts(queries, queryIdCol, queryVecCol, codebooks.df), Seq(queryIdCol))
     val adc = encoded.join(broadcast(probedLut), Seq("cell"))
       .filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("score", adcScoreCol(codesCol, m, ksub))
+      .withColumn("score",
+        if (residual) col("__qc") + adcScoreCol(codesCol, m, ksub)
+        else adcScoreCol(codesCol, m, ksub))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("score"), asc(idCol))
     val cand = adc
       .withColumn("rn", row_number().over(w))
@@ -648,6 +722,64 @@ object Similarity {
     cbs.toDF("sub", "code", "cvec")
   }
 
+  /** Variance-balancing coordinate permutation for PQ — the OPQ paper's
+    * parametric initialization in its round-robin form (Ge et al., CVPR
+    * 2013, "Optimized Product Quantization": balance the variance the m
+    * subspaces receive): rank coordinates by corpus variance descending
+    * and deal them round-robin across subspaces, so each subspace gets an
+    * even mix of high- and low-variance coordinates. Each subspace spends
+    * the same ksub-codeword budget; when a few subspaces carry most of the
+    * variance the others' codebooks idle — balancing lowers total
+    * distortion at ZERO search-time cost (the permutation is a row-local
+    * array gather, and inner products are permutation-invariant, so the
+    * ADC scores approximate the same quantity).
+    *
+    * DETERMINISM: coordinates rank by the EXACT integer variance numerator
+    * N·Σq² − (Σq)² over micro-quantized values (q = round(v·1e6) as long;
+    * q² must fit a long ⇒ |v| ≪ 3e3 — every real embedding is), combined
+    * on the driver in BigInt — no float compare anywhere, so the
+    * permutation is engine-independent and oracle-derivable. Tiebreak
+    * (numerator desc, pos asc).
+    *
+    * Scale: one narrow corpus pass reducing to `dim` rows (map-side
+    * combinable), O(dim) driver metadata. Returns target-ordered source
+    * positions: permuted[i] = vec[perm(i)], where i = sub·dsub + slot,
+    * sub = rank % m, slot = rank / m. */
+  def pqBalancedPermutation(
+      corpus: DataFrame,
+      vecCol: String,
+      dim: Int,
+      m: Int): Seq[Int] = {
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("pos"),
+        round(col("v").cast("double") * lit(1e6)).cast("long").as("q"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sq"),
+        sum((col("q") * col("q")).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sq2"))
+      .collect()
+    val ranked = stats.map { r =>
+        val n = BigInt(r.getLong(1))
+        val sq = BigInt(r.getDecimal(2).toBigInteger)
+        val sq2 = BigInt(r.getDecimal(3).toBigInteger)
+        (r.getInt(0), n * sq2 - sq * sq)
+      }
+      .sortBy { case (pos, num) => (num, pos) }(
+        Ordering.Tuple2(Ordering[BigInt].reverse, Ordering.Int))
+      .map(_._1)
+    val dsub = dim / m
+    val perm = new Array[Int](dim)
+    for (r <- ranked.indices) perm((r % m) * dsub + r / m) = ranked(r)
+    perm.toSeq
+  }
+
+  /** Row-local coordinate gather: permuted[i] = vec[perm(i)] — apply the
+    * SAME permutation to corpus and queries before PQ training/search. */
+  def permuteVec(vec: Column, perm: Seq[Int]): Column =
+    array(perm.map(p => element_at(vec, p + 1)): _*)
+
   /** Encodes the corpus against trained codebooks: (id, codes) with `codes`
     * an m-element int array — the persistent compressed layout a 100 TB
     * corpus stores INSTEAD of float vectors. Row-local ([[pqCodesLocal]]),
@@ -811,7 +943,15 @@ object Similarity {
     * (L2 argmin / ADC / cosine folds with integer tiebreaks), so the whole
     * composite is oracle-checkable. For the write-once/probe-many form
     * over a persisted layout see [[writeIvfIndex]] + [[ivfPqTopKIndexed]]
-    * (bit-equality pinned in SourcesSpec). */
+    * (bit-equality pinned in SourcesSpec).
+    *
+    * `residual = true` selects RESIDUAL encoding — the exact FAISS IVFPQ
+    * shape: codes quantize vec − cvec[cell] (pass [[ivfResiduals]]-trained
+    * codebooks!), and the ADC score adds the per-(query, probed-cell)
+    * correction q·cvec[cell], restoring the inner-product decomposition
+    * q·x ≈ q·c + q·r̂ exactly — one extra broadcast-side dot per probe
+    * row, nothing new on the corpus side. Default false keeps the raw-code
+    * path bit-identical to its pinned oracles. */
   def ivfPqTopK(
       corpus: DataFrame,
       idCol: String,
@@ -828,10 +968,11 @@ object Similarity {
       queryVecCol: String,
       k: Int = 10,
       nprobe: Int = 1,
-      shortlist: Int = 100): DataFrame = {
+      shortlist: Int = 100,
+      residual: Boolean = false): DataFrame = {
     val cand = ivfPqAdcRanked(corpus, idCol, vecCol, centroids, centroidIdCol,
         centroidVecCol, codebooks, dim, m, ksub, queries, queryIdCol, queryVecCol,
-        limit = shortlist, nprobe = nprobe)
+        limit = shortlist, nprobe = nprobe, residual = residual)
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(cand, corpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
   }
@@ -856,27 +997,56 @@ object Similarity {
       queryIdCol: String,
       queryVecCol: String,
       limit: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      residual: Boolean = false): DataFrame = {
     val cents = centroidArray(centroids, centroidIdCol, centroidVecCol)
     // one row-local pass computes BOTH the cell assignment and the codes.
     // element_at (not explode) for the 1-cell argmax: a generator in this
     // select makes the analyzer re-resolve the PQ lambda AFTER alias
     // cleanup, losing the struct field names the assignment comparator
     // binds to
-    val encoded = corpus.crossJoin(broadcast(cents))
-      .crossJoin(broadcast(pqCodebookArray(codebooks)))
-      .select(col(idCol),
-        element_at(topCellsLocal(col(vecCol), 1), 1).getField("cell").as("cell"),
-        pqCodesLocal(col(vecCol), m, dim / m).as("codes"))
-    val probed = queries.crossJoin(broadcast(cents))
-      .select(col(queryIdCol), col(queryVecCol),
-        explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
-      .select(col(queryIdCol), col("__probe.cell").as("cell"))
+    val encoded =
+      if (!residual)
+        corpus.crossJoin(broadcast(cents))
+          .crossJoin(broadcast(pqCodebookArray(codebooks)))
+          .select(col(idCol),
+            element_at(topCellsLocal(col(vecCol), 1), 1).getField("cell").as("cell"),
+            pqCodesLocal(col(vecCol), m, dim / m).as("codes"))
+      else
+        // residual mode quantizes vec − cvec[cell], so the cell must be a
+        // named column BEFORE the encoding select (the residual lookup
+        // references it); still one row-local pass, no fan-out
+        corpus.crossJoin(broadcast(cents))
+          .crossJoin(broadcast(pqCodebookArray(codebooks)))
+          .select(col(idCol), col(vecCol),
+            element_at(topCellsLocal(col(vecCol), 1), 1).getField("cell").as("cell"),
+            col("__cents"), col("__cb"))
+          .select(col(idCol), col("cell"),
+            pqCodesLocal(residualLocal(col(vecCol), col("cell")), m, dim / m).as("codes"))
+    val probed =
+      if (!residual)
+        queries.crossJoin(broadcast(cents))
+          .select(col(queryIdCol), col(queryVecCol),
+            explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
+          .select(col(queryIdCol), col("__probe.cell").as("cell"))
+      else
+        // the q·cvec[cell] correction term of the residual decomposition —
+        // computed on the probe side (O(queries × nprobe) rows), where it
+        // rides the broadcast for free
+        queries.crossJoin(broadcast(cents))
+          .select(col(queryIdCol), col(queryVecCol),
+            explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"), col("__cents"))
+          .select(col(queryIdCol), col(queryVecCol),
+            col("__probe.cell").as("cell"), col("__cents"))
+          .select(col(queryIdCol), col("cell"),
+            dot(col(queryVecCol), centVecOf(col("cell"))).as("__qc"))
     val probedLut = probed
       .join(pqLuts(queries, queryIdCol, queryVecCol, codebooks), Seq(queryIdCol))
     val adc = encoded.join(broadcast(probedLut), Seq("cell"))
       .filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("score", adcScoreCol("codes", m, ksub))
+      .withColumn("score",
+        if (residual) col("__qc") + adcScoreCol("codes", m, ksub)
+        else adcScoreCol("codes", m, ksub))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("score"), asc(idCol))
     adc
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -151,29 +151,28 @@ object PipelineQueries {
     * per-(vector, subspace) L2 argmin with (dist, code) tiebreak,
     * micro-quantized means per (sub, code, spos), empty cells keep the
     * previous codeword. Emits CTEs a$j / m$j / c$j. */
-  private def pqRoundSql(j: Int, prev: String): String =
+  private def pqRoundSql(j: Int, prev: String, src: String = "embeddings"): String =
     s"a$j AS (SELECT vec_id, sub, code FROM (" +
     s"SELECT e.vec_id, p.sub, p.code, row_number() OVER (PARTITION BY e.vec_id, p.sub ORDER BY " +
     l2Sql("e.embedding[p.sub*8+1 : p.sub*8+8]", "p.cvec") + s" ASC, p.code) AS rn " +
-    s"FROM embeddings e CROSS JOIN $prev p) WHERE rn = 1), " +
+    s"FROM $src e CROSS JOIN $prev p) WHERE rn = 1), " +
     s"m$j AS (SELECT a.sub, a.code, i.spos, " +
     s"CAST(round(CAST(sum(CAST(round(CAST(e.embedding[a.sub*8 + i.spos + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) " +
     s"/ count(*)) / 1000000.0 AS FLOAT) AS mc " +
-    s"FROM a$j a JOIN embeddings e USING (vec_id) CROSS JOIN generate_series(0, 7) i(spos) " +
+    s"FROM a$j a JOIN $src e USING (vec_id) CROSS JOIN generate_series(0, 7) i(spos) " +
     s"GROUP BY a.sub, a.code, i.spos), " +
     s"c$j AS (SELECT p.sub, p.code, coalesce(l.lst, p.cvec) AS cvec FROM $prev p LEFT JOIN " +
     s"(SELECT sub, code, list(mc ORDER BY spos) AS lst FROM m$j GROUP BY sub, code) l USING (sub, code))"
 
-  /** The sim_topk_pq oracle: both training rounds re-run, every vector
-    * re-encoded against the final codebooks (the a3 assignment), then the
-    * ADC search — shared verbatim by `sql_native_pq_adc`, whose declared
-    * query re-expresses the identical pipeline over the registered native
-    * expressions. */
-  private lazy val SimTopkPqOracle: String =
-    "WITH " + PqSeedsSql + ", " + pqRoundSql(1, "seeds") + ", " + pqRoundSql(2, "c1") + ", " +
-    pqRoundSql(3, "c2") + ", " +
+  /** The full PQ train→encode→ADC-search derivation over any source CTE
+    * exposing (vec_id, embedding): both training rounds re-run, every
+    * vector re-encoded against the final codebooks (the a3 assignment),
+    * then the ADC search. Prefix with "WITH " (plus any CTEs `src` needs). */
+  private def pqTopkOracleBody(src: String): String =
+    pqSeedsSql(src) + ", " + pqRoundSql(1, "seeds", src) + ", " + pqRoundSql(2, "c1", src) + ", " +
+    pqRoundSql(3, "c2", src) + ", " +
     "enc AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM a3 GROUP BY vec_id), " +
-    "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5), " +
+    s"q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM $src WHERE vec_id < 5), " +
     "lt AS (SELECT query_id, list(ip ORDER BY sub, code) AS lut FROM (" +
     "SELECT q.query_id, p.sub, p.code, " + ipSql("q.query_vec[p.sub*8+1 : p.sub*8+8]", "p.cvec") + " AS ip " +
     "FROM q CROSS JOIN c2 p) z GROUP BY query_id), " +
@@ -185,14 +184,34 @@ object PipelineQueries {
     "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
     "WHERE rank <= 10 ORDER BY query_id, rank"
 
+  /** The sim_topk_pq oracle — shared verbatim by `sql_native_pq_adc`,
+    * whose declared query re-expresses the identical pipeline over the
+    * registered native expressions. */
+  private lazy val SimTopkPqOracle: String = "WITH " + pqTopkOracleBody("embeddings")
+
+  /** Exact-integer variance ranking of coordinates + the round-robin
+    * (sub, slot) deal — the DuckDB twin of
+    * [[Similarity.pqBalancedPermutation]] (DuckDB sums BIGINT into
+    * HUGEINT, so n·Σq² − (Σq)² is exact there like the driver's BigInt).
+    * Emits CTEs qs / st / rk (rk: pos, r = 0-based rank). */
+  private val PermRankSql: String =
+    "qs AS (SELECT i.pos, CAST(round(CAST(e.embedding[i.pos+1] AS DOUBLE) * 1000000) AS BIGINT) AS q " +
+    "FROM embeddings e CROSS JOIN generate_series(0, 63) i(pos)), " +
+    "st AS (SELECT pos, count(*) AS n, sum(q) AS sq, sum(q*q) AS sq2 FROM qs GROUP BY pos), " +
+    "rk AS (SELECT pos, row_number() OVER (ORDER BY (n*sq2 - sq*sq) DESC, pos) - 1 AS r FROM st)"
+
   /** Seed codebooks: the 8 lowest-id vectors' subspace slices, codes
-    * numbered in id order — [[Similarity.trainPqCodebooks]]'s seeding. */
-  private val PqSeedsSql: String =
+    * numbered in id order — [[Similarity.trainPqCodebooks]]'s seeding.
+    * `src` is any CTE/table exposing (vec_id, embedding) — "embeddings"
+    * for raw-vector codebooks, the residual CTE for residual ones. */
+  private def pqSeedsSql(src: String = "embeddings"): String =
     "seeds AS (SELECT CAST(i.sub AS INT) AS sub, CAST(s.code AS INT) AS code, " +
     "s.embedding[i.sub*8+1 : i.sub*8+8] AS cvec " +
     "FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding " +
-    "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)) s " +
+    s"FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT 8)) s " +
     "CROSS JOIN generate_series(0, 7) i(sub))"
+
+  private val PqSeedsSql: String = pqSeedsSql()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------ text analysis
@@ -747,6 +766,69 @@ object PipelineQueries {
       Similarity.ivfPqTopK(emb, "vec_id", "embedding", centroids, "cell_id", "centroid_vec",
           cb, dim = 64, m = 8, ksub = 8, queries, "query_id", "query_vec",
           k = 10, nprobe = 2, shortlist = 50)
+        .orderBy("query_id", "rank")
+    }),
+
+    // RESIDUAL-encoded IVF×PQ — the exact FAISS IVFPQ shape: codebooks
+    // train on vec − cvec[assigned cell] (the residual distribution is far
+    // tighter than the vector distribution, so the same code budget buys a
+    // finer quantization), codes quantize the residuals, and the ADC score
+    // restores the inner-product decomposition q·x ≈ q·cvec[cell] +
+    // lut-sum with one extra probe-side dot. Deterministic end to end
+    // (float residual subtraction is exact IEEE arithmetic), so DuckDB
+    // re-runs assignment, residual training, the corrected ADC scan, and
+    // the rerank from raw vectors.
+    "sim_topk_ivfpq_residual" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val centroids = emb.filter(col("vec_id") % 64 === 0 && col("vec_id") < 3200)
+        .select((col("vec_id") / 64).cast("int").as("cell_id"), col("embedding").as("centroid_vec"))
+      val res = Similarity.ivfResiduals(emb, "vec_id", "embedding",
+        centroids, "cell_id", "centroid_vec")
+      val cb = Similarity.trainPqCodebooks(res, "vec_id", "residual",
+        dim = 64, m = 8, ksub = 8, iters = 2)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", centroids, "cell_id", "centroid_vec",
+          cb, dim = 64, m = 8, ksub = 8, queries, "query_id", "query_vec",
+          k = 10, nprobe = 2, shortlist = 50, residual = true)
+        .orderBy("query_id", "rank")
+    }),
+
+    // variance-balancing coordinate permutation (OPQ parametric init,
+    // round-robin deal): coordinates rank by the EXACT integer variance
+    // numerator N*sum(q^2) - sum(q)^2 over micro-quantized values — no
+    // float compare anywhere, so the permutation (and its oracle) is
+    // engine-independent. Output = one row per source coordinate with its
+    // rank and (sub, slot) target.
+    "sim_pq_balanced_perm" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").df
+      val perm = Similarity.pqBalancedPermutation(emb, "embedding", dim = 64, m = 8)
+      // perm(i) = source pos at target index i; invert to (pos, rank, sub, slot)
+      perm.zipWithIndex.map { case (pos, i) =>
+        val sub = i / 8; val slot = i % 8
+        (pos, (slot * 8 + sub).toLong, sub, slot)
+      }.toDF("pos", "rank", "sub", "slot").orderBy("pos")
+    }),
+
+    // PQ over the balance-permuted space end to end: permutation from the
+    // corpus (exact integer ranking), row-local gather on corpus AND
+    // queries, codebook training + ADC search in the permuted space (inner
+    // products are permutation-invariant, so the ADC scores approximate
+    // the same similarity). Deterministic at every stage, so DuckDB
+    // re-runs variance ranking, the gather, both Lloyd rounds, and the
+    // ADC scan from raw vectors.
+    "sim_topk_pq_permuted" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val perm = Similarity.pqBalancedPermutation(emb, "embedding", dim = 64, m = 8)
+      val pemb = emb.select(col("vec_id"),
+        Similarity.permuteVec(col("embedding"), perm).as("embedding"))
+      val cb = Similarity.trainPqCodebooks(pemb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 8, iters = 2)
+      val queries = pemb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.pqTopK(pemb, "vec_id", "embedding", cb, dim = 64, m = 8, ksub = 8,
+          queries, "query_id", "query_vec", k = 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -1899,6 +1981,25 @@ object PipelineQueries {
     // looked-up entries, rank with the engine's (score desc, id) tiebreak
     "sim_topk_pq" -> SimTopkPqOracle,
 
+    // exact-integer variance ranking + round-robin deal, re-derived in
+    // HUGEINT arithmetic — the permutation table must match row for row
+    "sim_pq_balanced_perm" ->
+      ("WITH " + PermRankSql + " " +
+       "SELECT CAST(pos AS INT) AS pos, CAST(r AS BIGINT) AS rank, " +
+       "CAST(r % 8 AS INT) AS sub, CAST(r // 8 AS INT) AS slot " +
+       "FROM rk ORDER BY pos"),
+
+    // the permutation re-derived, applied as a list gather to EVERY vector
+    // (pvec), then the complete PQ train→encode→ADC pipeline re-run in the
+    // permuted space — the same parameterized derivation as sim_topk_pq
+    // with pvec as its source
+    "sim_topk_pq_permuted" ->
+      ("WITH " + PermRankSql + ", " +
+       "pl AS (SELECT list(pos ORDER BY r % 8, r // 8) AS pm FROM rk), " +
+       "pvec AS (SELECT e.vec_id, list_transform(p.pm, s -> e.embedding[s+1]) AS embedding " +
+       "FROM embeddings e CROSS JOIN pl p), " +
+       pqTopkOracleBody("pvec")),
+
     // pure-SQL-surface twin of sim_topk_pq (pq_encode + float_vector_dot +
     // pq_adc_score re-express the identical pipeline) — same oracle
     "sql_native_pq_adc" -> SimTopkPqOracle,
@@ -1962,6 +2063,52 @@ object PipelineQueries {
        "FROM probe p JOIN assign a ON a.cell_id = p.cell_id " +
        "JOIN enc e ON e.vec_id = a.vec_id " +
        "JOIN lt l ON l.query_id = p.query_id WHERE a.vec_id <> p.query_id), " +
+       "shortlist AS (SELECT query_id, neighbor_id FROM " +
+       "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn " +
+       "FROM adc) WHERE rn <= 50), " +
+       "rr AS (SELECT s.query_id, s.neighbor_id, " + cosSql("e.embedding", "q.query_vec") + " AS cos " +
+       "FROM shortlist s JOIN embeddings e ON e.vec_id = s.neighbor_id " +
+       "JOIN q ON q.query_id = s.query_id) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos FROM " +
+       "(SELECT query_id, neighbor_id, cos, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM rr) " +
+       "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    // residual IVFPQ re-derived from raw vectors: coarse assignment, the
+    // exact float residuals (double subtraction rounded once to FLOAT —
+    // IEEE single-precision subtraction, matching the engine), BOTH
+    // residual-codebook Lloyd rounds, residual encoding (a3), the probed
+    // ADC scan with the q·cvec[cell] correction, shortlist, exact rerank
+    "sim_topk_ivfpq_residual" ->
+      ("WITH cent AS (SELECT CAST(vec_id / 64 AS INTEGER) AS cell_id, embedding AS centroid_vec " +
+       "FROM embeddings WHERE vec_id % 64 = 0 AND vec_id < 3200), " +
+       "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5), " +
+       "assign AS (SELECT vec_id, cell_id FROM (" +
+       "SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+       cosSql("e.embedding", "c.centroid_vec") + " DESC, c.cell_id) AS rn " +
+       "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1), " +
+       "res AS (SELECT e.vec_id, list_transform(list_zip(e.embedding, c.centroid_vec), " +
+       "x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS FLOAT)) AS embedding " +
+       "FROM embeddings e JOIN assign a USING (vec_id) JOIN cent c ON c.cell_id = a.cell_id), " +
+       pqSeedsSql("res") + ", " + pqRoundSql(1, "seeds", "res") + ", " +
+       pqRoundSql(2, "c1", "res") + ", " + pqRoundSql(3, "c2", "res") + ", " +
+       "enc AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM a3 GROUP BY vec_id), " +
+       "probe AS (SELECT query_id, cell_id FROM (" +
+       "SELECT q.query_id, c.cell_id, row_number() OVER (PARTITION BY q.query_id ORDER BY " +
+       cosSql("q.query_vec", "c.centroid_vec") + " DESC, c.cell_id) AS rn " +
+       "FROM q CROSS JOIN cent c) WHERE rn <= 2), " +
+       "qc AS (SELECT p.query_id, p.cell_id, " + ipSql("q.query_vec", "c.centroid_vec") + " AS qc " +
+       "FROM probe p JOIN cent c USING (cell_id) JOIN q USING (query_id)), " +
+       "lt AS (SELECT query_id, list(ip ORDER BY sub, code) AS lut FROM (" +
+       "SELECT q.query_id, p.sub, p.code, " + ipSql("q.query_vec[p.sub*8+1 : p.sub*8+8]", "p.cvec") + " AS ip " +
+       "FROM q CROSS JOIN c2 p) z GROUP BY query_id), " +
+       "adc AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+       "x.qc + list_sum(list_transform(range(0, 8), s -> l.lut[s*8 + e.codes[s+1] + 1])) AS score " +
+       "FROM probe p JOIN assign a ON a.cell_id = p.cell_id " +
+       "JOIN enc e ON e.vec_id = a.vec_id " +
+       "JOIN lt l ON l.query_id = p.query_id " +
+       "JOIN qc x ON x.query_id = p.query_id AND x.cell_id = p.cell_id " +
+       "WHERE a.vec_id <> p.query_id), " +
        "shortlist AS (SELECT query_id, neighbor_id FROM " +
        "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn " +
        "FROM adc) WHERE rn <= 50), " +

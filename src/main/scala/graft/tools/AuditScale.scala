@@ -39,6 +39,7 @@ object AuditScale {
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cc_exact", "dedup_incremental",
     "dedup_winnow_incremental", "sim_topk_ivf", "sim_topk_int8", "sim_topk_ivfpq",
+    "sim_topk_ivfpq_residual",
     "mm_image_histogram", "mm_audio_histogram", "mm_video_histogram",
     "text_decontaminate", "text_decontaminate_bloom",
     "text_lm_quality", "text_lm_bigram", "text_tfidf_topterms",
@@ -75,6 +76,7 @@ object AuditScale {
     * surfaced.) */
   val BnljAllowed: Set[String] =
     Set("sim_topk_ivf", "sim_topk_brute", "sim_topk_int8", "sim_topk_ivfpq",
+      "sim_topk_ivfpq_residual",
       "dedup_cc_exact", "dedup_incremental",
       // 1-row broadcast sides by construction: corpus totals (T, V) / doc
       // count N ride a single-row aggregate crossJoin in the LM and TF-IDF

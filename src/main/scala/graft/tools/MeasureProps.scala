@@ -97,6 +97,54 @@ object MeasureProps {
       spark.stop(); return
     }
 
+    // ---- balanced-permutation recall (backs sim_topk_pq_permuted): pure
+    // ADC recall@10 vs exact cosine, raw coordinate layout vs the
+    // variance-balanced permutation, at the same (m=8, ksub=64) budget.
+    // Run on the REAL embeddings (near-isotropic — expect ≈ no change;
+    // the honest null result) AND on a variance-skewed variant (first
+    // subspace's coordinates scaled 4×, the rest 0.5× — the OPQ paper's
+    // failure mode, where one subspace hoards the variance budget).
+    // Cosine is permutation-invariant, so the exact ground truth is
+    // computed once per corpus and shared by both layouts.
+    if (args.contains("--pq-permute")) {
+      val embR = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+      embR.count(): Unit
+      val skewed = embR.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i < 8, x * lit(4.0f)).otherwise(x * lit(0.5f)).cast("float"))
+          .as("embedding")).cache()
+      skewed.count(): Unit
+      for ((label, corpus) <- Seq(("real", embR), ("skewed", skewed))) {
+        val qs = corpus.limit(32)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")).cache()
+        val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+            qs, "query_id", "query_vec", k = 10)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        def adcRecall(c: org.apache.spark.sql.DataFrame): Double = {
+          val q2 = c.limit(32)
+            .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          val cb = Similarity.trainPqCodebooks(c, "vec_id", "embedding",
+            dim = 64, m = 8, ksub = 64, iters = 2)
+          val got = Similarity.pqTopK(c, "vec_id", "embedding", cb,
+              dim = 64, m = 8, ksub = 64, q2, "query_id", "query_vec", k = 10)
+            .select("query_id", "neighbor_id").collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+          val rs = exact.map { case (q, ids) =>
+            got.get(q).map(g => (g intersect ids).size.toDouble / ids.size).getOrElse(0.0) }
+          rs.sum / rs.size
+        }
+        val perm = Similarity.pqBalancedPermutation(corpus, "embedding", dim = 64, m = 8)
+        val permuted = corpus.select(col("vec_id"),
+          Similarity.permuteVec(col("embedding"), perm).as("embedding"))
+        val rRaw = adcRecall(corpus)
+        val rPerm = adcRecall(permuted)
+        println(f"[measure] $sfDir pq-permute [$label] ADC recall@10 m=8 ksub=64: " +
+          f"raw=$rRaw%.3f permuted=$rPerm%.3f (32 queries)")
+      }
+      spark.stop(); return
+    }
+
     // ---- IVFPQ recall dial (backs the declared sim_topk_ivfpq defaults
     // the way the LSH property oracle backs lshTopK): recall@10 of the
     // composite vs the exact cosine top-10, swept over (nprobe, shortlist).
@@ -111,20 +159,34 @@ object MeasureProps {
       val cents = Similarity.trainCentroids(embR, "vec_id", "embedding", k = 16, iters = 2)
       val cbR = Similarity.trainPqCodebooks(embR, "vec_id", "embedding",
         dim = 64, m = 8, ksub = 64, iters = 2)
+      // residual codebooks at the IDENTICAL budget (m=8, ksub=64): the
+      // recall delta at equal code bytes is the whole argument for
+      // residual encoding
+      val resR = Similarity.ivfResiduals(embR, "vec_id", "embedding",
+        cents, "cell", "cvec").cache()
+      val cbRes = Similarity.trainPqCodebooks(resR, "vec_id", "residual",
+        dim = 64, m = 8, ksub = 64, iters = 2)
       val exact = Similarity.bruteForceTopK(embR, "vec_id", "embedding",
           qs, "query_id", "query_vec", k = 10)
         .select("query_id", "neighbor_id").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
       for ((nprobe, shortlist) <- Seq((1, 20), (2, 50), (4, 100), (8, 200))) {
-        val got = Similarity.ivfPqTopK(embR, "vec_id", "embedding",
-            cents, "cell", "cvec", cbR, dim = 64, m = 8, ksub = 64,
-            qs, "query_id", "query_vec", k = 10, nprobe = nprobe, shortlist = shortlist)
-          .select("query_id", "neighbor_id").collect()
-          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-        val recalls = exact.map { case (q, ids) =>
-          got.get(q).map(g => (g intersect ids).size.toDouble / ids.size).getOrElse(0.0) }
+        def recallOf(cb: org.apache.spark.sql.DataFrame, residual: Boolean): (Double, Double) = {
+          val got = Similarity.ivfPqTopK(embR, "vec_id", "embedding",
+              cents, "cell", "cvec", cb, dim = 64, m = 8, ksub = 64,
+              qs, "query_id", "query_vec", k = 10, nprobe = nprobe,
+              shortlist = shortlist, residual = residual)
+            .select("query_id", "neighbor_id").collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+          val rs = exact.map { case (q, ids) =>
+            got.get(q).map(g => (g intersect ids).size.toDouble / ids.size).getOrElse(0.0) }
+          (rs.sum / rs.size, rs.min)
+        }
+        val (rawMean, rawMin) = recallOf(cbR, residual = false)
+        val (resMean, resMin) = recallOf(cbRes, residual = true)
         println(f"[measure] $sfDir ivfpq recall@10 nprobe=$nprobe%d shortlist=$shortlist%d: " +
-          f"mean=${recalls.sum / recalls.size}%.3f min=${recalls.min}%.3f (32 queries, 16 cells, m=8 ksub=64)")
+          f"raw mean=$rawMean%.3f min=$rawMin%.3f | residual mean=$resMean%.3f min=$resMin%.3f " +
+          f"(32 queries, 16 cells, m=8 ksub=64)")
       }
       spark.stop(); return
     }

@@ -119,6 +119,47 @@ class SourcesSpec extends AnyFunSuite {
       s"ADC scan must column-prune the float vectors:\n$plan")
   }
 
+  test("residual IVF×PQ index: corrected ADC matches the inline residual composite bit-for-bit, prunes identically") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    // residual codebooks: trained on vec − cvec[assigned cell], the FAISS
+    // IVFPQ encoding — the layout must version the residual flag with the
+    // codes so a reader adds the q·cvec[cell] correction
+    val res = Similarity.ivfResiduals(emb, "vec_id", "embedding", cents, "cell", "cvec")
+    val cb = Similarity.trainPqCodebooks(res, "vec_id", "residual",
+      dim = 64, m = 8, ksub = 4, iters = 2)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, "cell", "cvec",
+      out("ivfpq_res_index"), pqCodebooks = Some(cb), pqDim = 64, pqM = 8,
+      pqResidual = true)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val indexed = Similarity.ivfPqTopKIndexed(spark, out("ivfpq_res_index"),
+      queries, "query_id", "query_vec", k = 5, nprobe = 2, shortlist = 20)
+    val inline = Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, "cell", "cvec",
+      cb, dim = 64, m = 8, ksub = 4, queries, "query_id", "query_vec",
+      k = 5, nprobe = 2, shortlist = 20, residual = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // identical residual encoding + correction term + tiebreaks → identical set
+    assert(rows(indexed) == rows(inline))
+    // same pruning contract as the raw-code index: both reads partition-
+    // pruned, the ADC read schema code-only
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#".r.findAllIn(plan).size >= 2,
+      s"ADC and rerank scans must both prune cell partitions:\n$plan")
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"ADC scan must column-prune the float vectors:\n$plan")
+    // residual codes must NOT score as raw ones: the correction term is
+    // load-bearing (with these centroids the two composites may only agree
+    // by coincidence — assert the flag actually round-tripped instead)
+    val vdir = Similarity.resolveIvfIndex(spark, out("ivfpq_res_index"))
+    val meta = graft.sources.MetaPersist.readModel(spark, s"$vdir/corpus", "ivf_corpus").metadata
+    assert(meta("pqResidual") == "true")
+  }
+
   test("IVF retrain publishes a new version atomically; pre-swap readers survive; pruning reclaims") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
