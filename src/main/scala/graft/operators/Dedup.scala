@@ -731,4 +731,65 @@ object Dedup {
       .join(matched, col("id") === col("batch_id"), "left")
       .select(col("id"), col("matched_id"), round(col("best_jaccard"), 6).as("best_jaccard"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the embedding corpus with a coarse k-means
+    * quantizer, call two documents semantic duplicates when their exact
+    * cosine meets `threshold` AND they land in the same cluster, group the
+    * duplicates with connected components, and keep ONE representative per
+    * group — the member with the LOWEST cosine to its cluster centroid
+    * (the paper's rule: prefer the outlier, it carries the most marginal
+    * information), id-ascending tiebreak.
+    *
+    * Scale shape is the paper's own argument: the quadratic term is
+    * confined within clusters (Σ|cell|² instead of corpus²), the centroid
+    * set is a broadcast array scored row-locally ([[Similarity
+    * .topCellsLocal]] — no corpus×k fan-out), and the pair join is one
+    * shuffle on the cell key. At 100 TB, k grows with the corpus so cells
+    * stay bounded; components converge in O(log diameter) checkpointed
+    * pointer-jumping rounds. Every stage is deterministic double/integer
+    * arithmetic, so the whole pipeline — training included — is exactly
+    * re-derivable in SQL.
+    *
+    * Returns one row per corpus document:
+    * (id, cell, component, cent_cos, keep). */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      threshold: Double,
+      maxRounds: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Similarity.centroidArray(centroids, centroidIdCol, centroidVecCol)
+    // assignment computed once, carrying the vector for the pair stage
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol),
+        explode(Similarity.topCellsLocal(col(vecCol), 1)).as("__best"))
+      .select(col(idCol).as("id"), col(vecCol).as("__vec"),
+        col("__best.cell").as("cell"), round(col("__best.cos"), 6).as("cent_cos"))
+    // within-cell candidate pairs (id_a < id_b), confirmed by exact cosine —
+    // the only quadratic term, bounded by the largest cell
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("__vec").as("__va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("__vec").as("__vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(pairs, "id_a", "id_b", maxRounds)
+    // singletons (no duplicate partner) label themselves; a singleton's id
+    // can never collide with a component label, because labels are min-ids
+    // of pair members, which are never singletons
+    val labeled = assigned
+      .join(comps.withColumnRenamed("id", "__cid"), col("id") === col("__cid"), "left")
+      .select(col("id"), col("cell"), col("cent_cos"),
+        coalesce(col("component"), col("id")).as("component"))
+    val w = Window.partitionBy(col("component")).orderBy(asc("cent_cos"), asc("id"))
+    labeled
+      .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+      .select("id", "cell", "component", "cent_cos", "keep")
+  }
 }

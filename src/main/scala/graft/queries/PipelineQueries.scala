@@ -609,6 +609,20 @@ object PipelineQueries {
       Dedup.connectedComponents(
         cosinePairs(s, d).select("id_a", "id_b"), "id_a", "id_b").orderBy("id")),
 
+    // SemDeDup end to end (train the coarse quantizer → cluster → within-
+    // cell exact-cosine pairs → connected components → farthest-from-
+    // centroid representative election): every stage is deterministic, so
+    // DuckDB re-runs the WHOLE pipeline from raw vectors — both Lloyd
+    // rounds, the assignment, the pair cosines, a recursive-CTE CC, and
+    // the keep election — and the per-document verdict table hash-matches
+    "dedup_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Dedup.semanticDedup(emb, "vec_id", "embedding", centroids, "cell", "cvec",
+          threshold = 0.3)
+        .orderBy("id")
+    }),
+
     // group-level MinHash sketch (TypedImperativeAggregate): per-source
     // signature, then pairwise estimated Jaccard between sources — carries a
     // full property oracle (exact per-source shingle Jaccard, DuckDB-recomputed)
@@ -2160,5 +2174,32 @@ object PipelineQueries {
       ("WITH " + CosinePairsSql +
        "SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.3 " +
        "ORDER BY id_a, id_b"),
+
+    // full SemDeDup re-derivation: both Lloyd rounds, max-cosine assignment,
+    // within-cell pair confirmation, recursive-CTE connected components,
+    // then the paper's keep rule (lowest centroid cosine, id tiebreak)
+    "dedup_semantic" ->
+      ("WITH RECURSIVE seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec " +
+       "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+       lloydRoundSql(1, "seeds") + ", " + lloydRoundSql(2, "c1") + ", " +
+       "assign AS (SELECT vec_id, cell, cos FROM (" +
+       "SELECT e.vec_id, c.cell, " + cosSql("e.embedding", "c.cvec") + " AS cos, " +
+       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " + cosSql("e.embedding", "c.cvec") +
+       " DESC, c.cell) AS rn FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1), " +
+       "dpairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+       "FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+       "JOIN embeddings ea ON ea.vec_id = a.vec_id JOIN embeddings eb ON eb.vec_id = b.vec_id " +
+       "WHERE " + cosSql("ea.embedding", "eb.embedding") + " >= 0.3), " +
+       "edges AS (SELECT id_a AS src, id_b AS dst FROM dpairs " +
+       "UNION SELECT id_b AS src, id_a AS dst FROM dpairs), " +
+       "reach(src, dst) AS (SELECT src, dst FROM edges " +
+       "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src), " +
+       "comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src), " +
+       "labeled AS (SELECT a.vec_id AS id, a.cell, round(a.cos, 6) AS cent_cos, " +
+       "coalesce(c.component, a.vec_id) AS component " +
+       "FROM assign a LEFT JOIN comp c ON c.id = a.vec_id) " +
+       "SELECT id, cell, component, cent_cos, " +
+       "CAST(CASE WHEN row_number() OVER (PARTITION BY component ORDER BY cent_cos, id) = 1 " +
+       "THEN 1 ELSE 0 END AS BIGINT) AS keep FROM labeled ORDER BY id"),
   )
 }

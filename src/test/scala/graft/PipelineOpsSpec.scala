@@ -359,6 +359,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Int]("cell") == (r.getAs[Long]("vec_id") / 10).toInt))
   }
 
+  test("semanticDedup groups within-cell near-dups and keeps the farthest-from-centroid member") {
+    import spark.implicits._
+    // two well-separated clusters; each contains one near-dup pair plus one
+    // distinct member. The keep rule must elect the pair member with the
+    // LOWER centroid cosine (the SemDeDup outlier-keeps rule), not min id.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)),        // cluster A, dup pair with 2
+      (2L, Seq(0.99f, 0.1f, 0f, 0f)),     //   cos(1,2) ≈ 0.995
+      (3L, Seq(0.8f, 0.6f, 0f, 0f)),      //   distinct member of A
+      (4L, Seq(0f, 0f, 1.0f, 0f)),        // cluster B, dup pair with 5
+      (5L, Seq(0f, 0f, 0.98f, 0.15f)),    //   cos(4,5) ≈ 0.989
+      (6L, Seq(0f, 0f, 0.6f, 0.8f))       //   distinct member of B
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 1.0f, 0f))
+    ).toDF("cell", "cvec")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        centroids, "cell", "cvec", threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("component"), r.getAs[Long]("keep")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "one verdict row per document")
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 0L) && Seq(4L, 5L, 6L).forall(out(_)._1 == 1L))
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L, "near-dup pair shares the min-id component")
+    assert(out(4L)._2 == 4L && out(5L)._2 == 4L)
+    assert(out(3L)._2 == 3L && out(6L)._2 == 6L, "distinct members are singleton components")
+    // keep rule: 2 is farther from centroid A than 1 (0.995 < 1.0) → keep 2;
+    // 5 is farther from centroid B than 4 → keep 5; singletons keep themselves
+    assert(out(1L)._3 == 0L && out(2L)._3 == 1L, s"paper rule keeps the outlier: $out")
+    assert(out(4L)._3 == 0L && out(5L)._3 == 1L)
+    assert(out(3L)._3 == 1L && out(6L)._3 == 1L)
+  }
+
   test("ivf top-k with nprobe=1 matches brute force on separable clusters") {
     val centroids = vectors.filter(col("vec_id").isin(0L, 10L, 20L))
       .select((col("vec_id") / 10).cast("int").as("cell_id"), col("embedding").as("centroid_vec"))
