@@ -6,13 +6,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 import org.apache.spark.sql.graftbridge
 
-import graft.expressions.{FloatVectorDot, MinHashSignature, NgramRepetition, NormalizeText, PqAdcScore, PqEncode, ShingleHashes, SimHash64, TopKAgg}
+import graft.expressions.{FloatVectorDot, HadamardRotate, MinHashSignature, NgramRepetition, NormalizeText, PqAdcScore, PqEncode, ShingleHashes, SimHash64, TopKAgg}
 
 /** SQL surface for the engine's native expressions (SURVEY.md §7.4):
   * registers `float_vector_dot`, `minhash_signature`, `shingle_hashes`,
   * `simhash64`, `normalize_text`, `ngram_repetition`, `pq_encode`,
-  * `pq_adc_score` and the `top_k_by_score` aggregate so `spark.sql(...)`
-  * users get the same codegen'd hot paths as the Column API.
+  * `pq_adc_score`, `hadamard_rotate` and the `top_k_by_score` aggregate so
+  * `spark.sql(...)` users get the same codegen'd hot paths as the Column
+  * API.
   *
   * Two entry points:
   *   - cluster deploys: `spark.sql.extensions=graft.GraftExtensions`
@@ -93,6 +94,12 @@ object GraftExtensions {
       { args =>
         require(args.length == 3, "pq_adc_score(lut, codes, ksub)")
         PqAdcScore(args(0), args(1), intArg(args(2), "pq_adc_score", 3))
+      }),
+    ("hadamard_rotate",
+      new ExpressionInfo(classOf[HadamardRotate].getName, "hadamard_rotate"),
+      { args =>
+        require(args.length == 1, "hadamard_rotate(vec)")
+        HadamardRotate(args(0))
       }),
     ("top_k_by_score",
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k_by_score"),

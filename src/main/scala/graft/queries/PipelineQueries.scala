@@ -846,6 +846,28 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ over the Hadamard-ROTATED space end to end: the sign-flipped
+    // Walsh–Hadamard structured rotation (training-free OPQ stand-in —
+    // spreads any variance-hoarding coordinate's energy across ALL
+    // coordinates, which the permutation above cannot do) applied
+    // row-locally to corpus AND queries, then codebook training + ADC
+    // search in the rotated space. The rotation is a fixed ±1 matrix with
+    // an order-defined left-to-right sum, so DuckDB re-derives the rotated
+    // vectors bit for bit and re-runs the identical PQ derivation over
+    // them.
+    "sim_topk_pq_rotated" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val remb = emb.select(col("vec_id"),
+        Similarity.rotateVec(col("embedding")).as("embedding"))
+      val cb = Similarity.trainPqCodebooks(remb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 8, iters = 2)
+      val queries = remb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.pqTopK(remb, "vec_id", "embedding", cb, dim = 64, m = 8, ksub = 8,
+          queries, "query_id", "query_vec", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // int8-quantized brute-force top-k: both sides compress 4x before
     // scoring (the 100 TB memory/bandwidth shape). The quantization is
     // deterministic double+integer arithmetic (scale = max|v|/127,
@@ -2013,6 +2035,21 @@ object PipelineQueries {
        "pvec AS (SELECT e.vec_id, list_transform(p.pm, s -> e.embedding[s+1]) AS embedding " +
        "FROM embeddings e CROSS JOIN pl p), " +
        pqTopkOracleBody("pvec")),
+
+    // the Hadamard rotation re-derived coordinate for coordinate (H[i][j]
+    // = (-1)^bit_count(i&j), D's signs from the same multiplicative hash,
+    // the same left-to-right double fold, /8 = /sqrt(64), one double→float
+    // round), then the complete PQ train→encode→ADC pipeline re-run in the
+    // rotated space — the same parameterized derivation as sim_topk_pq
+    // with rvec as its source
+    "sim_topk_pq_rotated" ->
+      ("WITH rvec AS (SELECT vec_id, list(yv ORDER BY i) AS embedding FROM (" +
+       "SELECT e.vec_id, i.i AS i, CAST(list_sum(list_transform(range(0, 64), j -> " +
+       "CASE WHEN (bit_count(i.i & j) + bit_count((j * 2654435761) % 4294967296)) % 2 = 0 " +
+       "THEN CAST(e.embedding[j+1] AS DOUBLE) ELSE -CAST(e.embedding[j+1] AS DOUBLE) END)) " +
+       "/ 8.0 AS FLOAT) AS yv " +
+       "FROM embeddings e CROSS JOIN generate_series(0, 63) i(i)) z GROUP BY vec_id), " +
+       pqTopkOracleBody("rvec")),
 
     // pure-SQL-surface twin of sim_topk_pq (pq_encode + float_vector_dot +
     // pq_adc_score re-express the identical pipeline) — same oracle

@@ -137,10 +137,24 @@ object MeasureProps {
         val perm = Similarity.pqBalancedPermutation(corpus, "embedding", dim = 64, m = 8)
         val permuted = corpus.select(col("vec_id"),
           Similarity.permuteVec(col("embedding"), perm).as("embedding"))
+        // third arm: the training-free structured rotation (sign-flipped
+        // Walsh–Hadamard). Exact top-k ground truth carries over: the
+        // rotation is orthogonal, so cosine ranking is preserved (to float
+        // rounding — recall ties the raw ground truth on these corpora).
+        val rotated = corpus.select(col("vec_id"),
+          Similarity.rotateVec(col("embedding")).as("embedding"))
+        // fourth arm: the TRAINED OPQ rotation (alternating minimization;
+        // orthogonal like the Hadamard arm, so the ground truth carries)
+        val opqR = Similarity.trainOpqRotation(corpus, "vec_id", "embedding",
+          dim = 64, m = 8, ksub = 64, opqIters = 3, pqIters = 2)
+        val opqRotated = corpus.select(col("vec_id"),
+          Similarity.applyRotation(col("embedding"), opqR).as("embedding"))
         val rRaw = adcRecall(corpus)
         val rPerm = adcRecall(permuted)
+        val rRot = adcRecall(rotated)
+        val rOpq = adcRecall(opqRotated)
         println(f"[measure] $sfDir pq-permute [$label] ADC recall@10 m=8 ksub=64: " +
-          f"raw=$rRaw%.3f permuted=$rPerm%.3f (32 queries)")
+          f"raw=$rRaw%.3f permuted=$rPerm%.3f rotated=$rRot%.3f opq=$rOpq%.3f (32 queries)")
       }
       spark.stop(); return
     }

@@ -148,6 +148,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bad.isNullAt(0) && bad.isNullAt(1))
   }
 
+  test("hadamard_rotate: native == HOF == driver reference; orthogonal; NULL on bad length") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // native == the HOF fold, coordinate for coordinate, on every vector
+    val both = emb.select(col("vec_id"),
+      Similarity.rotateVec(col("embedding")).as("native"),
+      Similarity.rotateVecHof(col("embedding"), 64).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // bit-equality against an independent driver-side computation of
+    // y_i = (Σ_j ±x_j)/√n with the same sign rule and fold order
+    val row = emb.orderBy("vec_id").select("embedding").head().getSeq[Float](0)
+    val n = row.length
+    val expect = (0 until n).map { i =>
+      var s = 0.0
+      for (j <- 0 until n) {
+        val par = (Integer.bitCount(i & j) +
+          java.lang.Long.bitCount((j * 2654435761L) % 4294967296L)) & 1
+        if (par == 0) s += row(j).toDouble else s -= row(j).toDouble
+      }
+      (s / math.sqrt(n.toDouble)).toFloat
+    }
+    val got = emb.orderBy("vec_id")
+      .select(Similarity.rotateVec(col("embedding"))).head().getSeq[Float](0)
+    assert(got == expect)
+    // (1/√n)·H·D is orthogonal: norms survive to float tolerance
+    val norms = emb.select(
+        sqrt(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x)).as("raw"),
+        sqrt(aggregate(Similarity.rotateVec(col("embedding")), lit(0.0),
+          (a, x) => a + x * x)).as("rot"))
+      .select(max(abs(col("raw") - col("rot")) / col("raw"))).head().getDouble(0)
+    assert(norms < 1e-5, s"relative norm drift $norms")
+    // SQL surface + structural failure: length 3 is not a power of two
+    val r = spark.sql(
+      """SELECT hadamard_rotate(array(1.0F, 0.0F, 0.0F, 0.0F)) AS ok,
+        |       hadamard_rotate(array(1.0F, 2.0F, 3.0F)) AS bad""".stripMargin).head()
+    assert(r.getSeq[Float](0).length == 4)
+    assert(r.isNullAt(1))
+  }
+
   test("top_k_by_score aggregate callable from SQL") {
     import spark.implicits._
     (1L to 100L).map(i => ("g", (i % 7).toDouble, i)).toDF("g", "score", "id")

@@ -603,6 +603,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recalls.length == 5 && recalls.forall(_ >= 7L), recalls.mkString(","))
   }
 
+  test("OPQ trained rotation: orthogonal, deterministic, cuts PQ reconstruction error on a skewed corpus") {
+    import graft.sources.Tables
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // the OPQ failure mode: first subspace's coordinates hoard the variance
+    val skewed = emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i < 8, x * lit(4.0f)).otherwise(x * lit(0.5f)).cast("float"))
+        .as("embedding")).cache()
+    val r = Similarity.trainOpqRotation(skewed, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 8, opqIters = 2, pqIters = 1)
+    // RᵀR = I to float tolerance (R is double-orthogonal, float-rounded)
+    val maxDev = (0 until 64).flatMap(i => (i until 64).map { j =>
+      val d = (0 until 64).map(k => r(k)(i).toDouble * r(k)(j).toDouble).sum
+      math.abs(d - (if (i == j) 1.0 else 0.0))
+    }).max
+    assert(maxDev < 1e-4, s"orthogonality deviation $maxDev")
+    // deterministic: retraining reproduces the identical matrix (integer
+    // correlation sums are partitioning-independent; Jacobi sweep is fixed)
+    val r2 = Similarity.trainOpqRotation(skewed, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 8, opqIters = 2, pqIters = 1)
+    assert(r == r2)
+    // the point of the exercise: mean squared PQ reconstruction error in
+    // the learned space is below the raw space's at the same budget
+    def reconErr(c: org.apache.spark.sql.DataFrame): Double = {
+      val cb = Similarity.trainPqCodebooks(c, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 8, iters = 1)
+      c.crossJoin(broadcast(Similarity.pqCodebookArray(cb)))
+        .select(col("embedding"),
+          Similarity.pqCodesLocal(col("embedding"), 8, 8).as("codes"), col("__cb"))
+        .select(aggregate(
+          zip_with(col("embedding"),
+            flatten(transform(sequence(lit(0), lit(7)), s =>
+              element_at(col("__cb"), s * 8 + element_at(col("codes"), s + 1) + 1)
+                .getField("cvec"))),
+            (a, b) => (a.cast("double") - b.cast("double")) *
+              (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("se"))
+        .agg(avg(col("se"))).head().getDouble(0)
+    }
+    val rotated = skewed.select(col("vec_id"),
+      Similarity.applyRotation(col("embedding"), r).as("embedding"))
+    val errRaw = reconErr(skewed)
+    val errRot = reconErr(rotated)
+    assert(errRot < errRaw, s"OPQ must cut recon error: raw=$errRaw rotated=$errRot")
+  }
+
   test("multi-table LSH raises recall over single-table on real embeddings") {
     import graft.sources.Tables
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
