@@ -699,4 +699,102 @@ object Corpus {
       .filter(col("sample_rank") <= k)
       .drop("__samp_digest")
   }
+
+  /** DSIR-style importance selection — Xie et al., NeurIPS 2023 ("Data
+    * Selection for Language Models via Importance Resampling"): pick the k
+    * raw-pool documents whose hashed-n-gram profile most resembles a
+    * TARGET corpus, via Gumbel-top-k resampling under bag-of-hashed-ngrams
+    * importance weights. The curation step between blunt quality gates and
+    * expensive model-based filters: "make the crawl look like Wikipedia"
+    * without training a classifier.
+    *
+    * Mechanics: features are unigrams + bigrams hashed into `buckets` md5
+    * buckets (hash collisions are the POINT — the bucketed bag is the
+    * paper's tractable proxy distribution). Both pools reduce to per-bucket
+    * counts; each raw doc's log importance weight is the sum over its
+    * feature OCCURRENCES of log p̂_target(b) − log p̂_raw(b), add-k
+    * smoothed. Resampling uses the Gumbel-top-k identity (top-k of
+    * log w + Gumbel noise ≡ sampling without replacement ∝ w), with the
+    * Gumbel drawn from the doc id's own md5 digest — so the "random"
+    * sample is a pure function of (id, salt), reproducible across engines
+    * and stable under reruns, the same trick as [[stratifiedSample]].
+    *
+    * DETERMINISM: per-occurrence log-ratios quantize to integer micro-nats
+    * (each log rounded separately) and per-doc weights are exact integer
+    * sums — order-independent at any partitioning; the Gumbel key is also
+    * micro-quantized, ties broken by id, so the selected SET (not just its
+    * size) is exactly oracle-derivable.
+    *
+    * Scale: two fully map-side-combinable bucket reduces (≤ `buckets`
+    * rows each), three narrow joins per raw occurrence (bucket counts +
+    * broadcast totals), one per-doc integer reduce. The k-th key threshold
+    * comes from a `TakeOrderedAndProject` (per-partition top-k, O(k)
+    * driver) — NO global window, no single-reducer sort. Text never
+    * shuffles.
+    *
+    * Returns one row per raw-pool row: (id, n_feats, w_micro, g_micro,
+    * key_micro, selected) — feature-less docs keep weight 0 and still draw
+    * a Gumbel (they can be sampled, matching the resampling semantics). */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      buckets: Int = 4096,
+      addK: Double = 1.0,
+      salt: String = "dsir"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(buckets >= 2, "buckets must be at least 2")
+    require(addK > 0, "addK must be positive (unsmoothed ratios blow up on unseen buckets)")
+    def grams(df: DataFrame): DataFrame = {
+      val tokArr = filter(graft.functions.TextFunctions.tokens(col(textCol)), t => t =!= "")
+      df.select(col(idCol).as("id"), tokArr.as("__ts"))
+        .select(col("id"), col("__ts"), posexplode(col("__ts")).as(Seq("pos", "term")))
+        .select(col("id"), explode(concat(
+            array(col("term")),
+            when(col("pos") > 0,
+              array(concat_ws(" ", element_at(col("__ts"), col("pos")), col("term"))))
+              .otherwise(array().cast("array<string>")))).as("gram"))
+        .select(col("id"),
+          (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+    }
+    val cp = grams(target).groupBy("b").agg(count(lit(1)).as("cp"))
+    val cq = grams(raw).groupBy("b").agg(count(lit(1)).as("cq"))
+    val tots = cp.agg(coalesce(sum(col("cp")), lit(0L)).as("tp"))
+      .crossJoin(cq.agg(coalesce(sum(col("cq")), lit(0L)).as("tq")))
+    val perDoc = grams(raw)
+      .join(cp, Seq("b"), "left")   // buckets unseen in target smooth to addK
+      .join(cq, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("id"),
+        (round(log((coalesce(col("cp"), lit(0L)) + lit(addK)) /
+             (col("tp") + lit(addK) * buckets)) * lit(1e6)).cast("long") -
+         round(log((coalesce(col("cq"), lit(0L)) + lit(addK)) /
+             (col("tq") + lit(addK) * buckets)) * lit(1e6)).cast("long")).as("llr_micro"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("llr_micro")).as("w_micro"))
+    val u = ((conv(substring(md5(concat(col("id").cast("string"), lit(":" + salt))), 1, 8),
+        16, 10).cast("long") % lit(1000000L)) + lit(0.5)) / lit(1000000.0)
+    val scored = raw.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w_micro"), lit(0L)).as("w_micro"),
+        round(-log(-log(u)) * lit(1e6)).cast("long").as("g_micro"))
+      .withColumn("key_micro", col("w_micro") + col("g_micro"))
+    // k-th key threshold via per-partition top-k + O(k) driver merge
+    val kth = scored.select(col("key_micro"), col("id"))
+      .orderBy(col("key_micro").desc, col("id").asc)
+      .limit(k).collect()
+    val selected =
+      if (kth.length < k) lit(true) // pool smaller than k: everything samples
+      else {
+        val tKey = kth.last.getLong(0)
+        val tId = kth.last.get(1)
+        (col("key_micro") > tKey) ||
+          (col("key_micro") === tKey && col("id") <= lit(tId))
+      }
+    scored.withColumn("selected", selected)
+  }
 }

@@ -929,6 +929,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance selection: target = the %13 doc slice (the
+    // "look like this" corpus), raw pool = the rest. Hashed unigram+bigram
+    // bag weights (md5 buckets, add-1 smoothed log-ratios in integer
+    // micro-nats) + md5-seeded Gumbel-top-k resampling — every stage is
+    // integer/md5 arithmetic, so the selected SET (not just its size) is
+    // exactly re-derivable by the oracle.
+    "text_dsir_select" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      Corpus.dsirSelect(
+          docs.filter(col("doc_id") % 13 =!= 0),
+          docs.filter(col("doc_id") % 13 === 0),
+          "doc_id", "text", k = 40)
+        .select(col("id").as("doc_id"), col("n_feats"), col("w_micro"),
+          col("g_micro"), col("key_micro"), col("selected"))
+        .orderBy("doc_id")
+    }),
+
     // per-domain quality cap (top-3 per source by quality, doc_id
     // tie-break): the standard no-domain-dominates step, rank pushed down
     // (WindowGroupLimit). Quality is the oracle-pinned formula from
@@ -1562,6 +1579,35 @@ object PipelineQueries {
        "CASE WHEN CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' " +
        "WHEN CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val' " +
        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+
+    // DSIR: hashed-bucket bag counts for both pools, per-occurrence add-1
+    // log-ratios in micro-nats (each ln rounded separately, like the
+    // engine), per-doc integer sums, the md5-seeded Gumbel key, and the
+    // top-40 selection re-ranked with the (key desc, id) tiebreak
+    "text_dsir_select" ->
+      ("WITH tokq AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts FROM documents), " +
+       "g1 AS (SELECT doc_id, unnest(ts) AS gram FROM tokq), " +
+       "g2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram FROM " +
+       "(SELECT doc_id, ts, unnest(generate_series(1, len(ts)-1)) AS i FROM tokq WHERE len(ts) >= 2)), " +
+       "ga AS (SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 4096 AS b " +
+       "FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)), " +
+       "cp AS (SELECT b, count(*) AS cp FROM ga WHERE doc_id % 13 = 0 GROUP BY b), " +
+       "cq AS (SELECT b, count(*) AS cq FROM ga WHERE doc_id % 13 <> 0 GROUP BY b), " +
+       "tots AS (SELECT (SELECT coalesce(sum(cp), 0) FROM cp) AS tp, " +
+       "(SELECT coalesce(sum(cq), 0) FROM cq) AS tq), " +
+       "occ AS (SELECT g.doc_id, " +
+       "CAST(round(ln((coalesce(cp.cp, 0) + 1.0) / (t.tp + 1.0 * 4096)) * 1000000) AS BIGINT) - " +
+       "CAST(round(ln((coalesce(cq.cq, 0) + 1.0) / (t.tq + 1.0 * 4096)) * 1000000) AS BIGINT) AS llr " +
+       "FROM ga g LEFT JOIN cp USING (b) LEFT JOIN cq USING (b) CROSS JOIN tots t " +
+       "WHERE g.doc_id % 13 <> 0), " +
+       "pd AS (SELECT doc_id, count(*) AS n_feats, CAST(sum(llr) AS BIGINT) AS w FROM occ GROUP BY doc_id), " +
+       "sc AS (SELECT d.doc_id, coalesce(pd.n_feats, 0) AS n_feats, CAST(coalesce(pd.w, 0) AS BIGINT) AS w_micro, " +
+       "CAST(round(-ln(-ln(((CAST(('0x' || substr(md5(d.doc_id || ':dsir'), 1, 8)) AS BIGINT) % 1000000) + 0.5) / 1000000.0)) * 1000000) AS BIGINT) AS g_micro " +
+       "FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d LEFT JOIN pd USING (doc_id)), " +
+       "rk AS (SELECT doc_id, n_feats, w_micro, g_micro, w_micro + g_micro AS key_micro, " +
+       "row_number() OVER (ORDER BY w_micro + g_micro DESC, doc_id) AS rn FROM sc) " +
+       "SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, w_micro, g_micro, key_micro, " +
+       "rn <= 40 AS selected FROM rk ORDER BY doc_id"),
 
     // decontamination: per-doc count of distinct shingles shared with the
     // benchmark union set — plain string-shingle set arithmetic

@@ -649,6 +649,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(errRot < errRaw, s"OPQ must cut recon error: raw=$errRaw rotated=$errRot")
   }
 
+  test("dsirSelect picks the target-lookalike docs, exactly k of them, deterministically") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val target = (1L to 20L)
+      .map(i => (i, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon alpha beta"))
+      .toDF("doc_id", "text")
+    // 10 lookalikes share the target vocabulary; 20 outliers share none —
+    // the weight gap dwarfs the Gumbel span (±~14.5 log-units), so the
+    // resampled set is exactly the lookalikes
+    val raw = (
+      (100L to 109L).map(i => (i, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon")) ++
+      (200L to 219L).map(i => (i, s"unrelated spam page $i click here buy now cheap deals online today"))
+    ).toDF("doc_id", "text")
+    val out = Corpus.dsirSelect(raw, target, "doc_id", "text", k = 10).cache()
+    val sel = out.filter(col("selected")).select("id").collect().map(_.getLong(0)).toSet
+    assert(sel == (100L to 109L).toSet, s"selected $sel")
+    assert(out.count() == 30, "one row per raw-pool doc")
+    // lookalike weights strictly above every outlier weight
+    val wLook = out.filter(col("id") >= 100L && col("id") <= 109L)
+      .agg(min(col("w_micro"))).head().getLong(0)
+    val wOut = out.filter(col("id") >= 200L).agg(max(col("w_micro"))).head().getLong(0)
+    assert(wLook > wOut)
+    // deterministic: identical weights, keys, and selection on a re-run
+    val again = Corpus.dsirSelect(raw, target, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5))).toSet
+    val first = out.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5))).toSet
+    assert(again == first)
+  }
+
   test("multi-table LSH raises recall over single-table on real embeddings") {
     import graft.sources.Tables
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
