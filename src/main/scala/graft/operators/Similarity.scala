@@ -279,11 +279,26 @@ object Similarity {
       pqCodebooks: Option[DataFrame] = None,
       pqDim: Int = 0,
       pqM: Int = 0,
-      pqResidual: Boolean = false): String = {
+      pqResidual: Boolean = false,
+      preTransform: Option[Seq[Seq[Float]]] = None): String = {
+    // pre-transformed index (OPQ / structured rotation): the ENTIRE index
+    // lives in the transformed space — cell assignment, stored vectors,
+    // codes, and (at read time) the rotated queries. The matrix versions
+    // WITH the layout as its own artifact, so a retrain that changes the
+    // rotation can never serve un-rotated or foreign-rotation queries —
+    // the same integrity contract as the pqResidual flag. Contract: the
+    // caller trains `centroids`/`pqCodebooks` on the TRANSFORMED corpus
+    // (applyRotation(vec, r)); this writer applies the same transform to
+    // the raw corpus before assignment/encoding.
+    val corpusSrc = preTransform match {
+      case Some(r) =>
+        corpus.select(col(idCol), applyRotation(col(vecCol), r).as(vecCol))
+      case None => corpus
+    }
     val cents = centroidArray(
       centroids.select(col(centroidIdCol).as("cell"), col(centroidVecCol).as("cvec")),
       "cell", "cvec")
-    val assigned = corpus.crossJoin(broadcast(cents))
+    val assigned = corpusSrc.crossJoin(broadcast(cents))
       .select(col(idCol), col(vecCol), explode(topCellsLocal(col(vecCol), 1)).as("__best"))
       .select(col(idCol), col(vecCol), col("__best.cell").as("cell"))
     val spark = corpus.sparkSession
@@ -294,6 +309,13 @@ object Similarity {
     graft.sources.MetaPersist.writeModel(
       centroids.select(col(centroidIdCol).as("cell"), col(centroidVecCol).as("cvec")),
       s"$staging/centroids", "ivf_centroids", Map.empty)
+    preTransform.foreach { r =>
+      import spark.implicits._
+      graft.sources.MetaPersist.writeModel(
+        r.zipWithIndex.map { case (row, i) => (i, row) }.toDF("i", "row"),
+        s"$staging/pretransform", "pre_transform",
+        Map("dim" -> r.length.toString))
+    }
     // with PQ codebooks, the layout rows carry the m-code array NEXT TO the
     // float vector (codes for the compressed probe scan, vec for the exact
     // rerank — readers prune whichever column they don't touch) and the
@@ -327,9 +349,11 @@ object Similarity {
       case None =>
         (assigned, Map[String, Any]("idCol" -> idCol, "vecCol" -> vecCol))
     }
+    val metaX = meta ++
+      (if (preTransform.isDefined) Map("preTransform" -> "true") else Map.empty)
     // partitionBy writes one directory per cell — the pruning structure
     graft.sources.MetaPersist.writeModel(
-      layout, s"$staging/corpus", "ivf_corpus", meta,
+      layout, s"$staging/corpus", "ivf_corpus", metaX,
       partitionBy = Seq("cell"))
     val next = f"v${ivfVersions(fs, path).lastOption.getOrElse(0L) + 1}%09d"
     val dst = new org.apache.hadoop.fs.Path(s"$path/versions/$next")
@@ -407,8 +431,10 @@ object Similarity {
     val centroids = graft.sources.MetaPersist.readModel(spark, s"$vdir/centroids", "ivf_centroids")
     val corpusMf = graft.sources.MetaPersist.readModel(spark, s"$vdir/corpus", "ivf_corpus")
     val idCol = corpusMf.metadata("idCol").asInstanceOf[String]
+    val queriesX = preTransformQueries(spark, vdir, corpusMf.metadata,
+      queries, queryIdCol, queryVecCol)
     val cents = centroidArray(centroids.df, "cell", "cvec")
-    val probed = queries.crossJoin(broadcast(cents))
+    val probed = queriesX.crossJoin(broadcast(cents))
       .select(col(queryIdCol), col(queryVecCol),
         explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
       .select(col(queryIdCol), col(queryVecCol), col("__probe.cell").as("cell"))
@@ -460,10 +486,12 @@ object Similarity {
     // layouts written before residual support carry no flag — raw codes
     val residual = corpusMf.metadata.get("pqResidual")
       .exists(_.asInstanceOf[String].toBoolean)
+    val queriesX = preTransformQueries(spark, vdir, corpusMf.metadata,
+      queries, queryIdCol, queryVecCol)
     val cents = centroidArray(centroids.df, "cell", "cvec")
     val probed =
       if (!residual)
-        queries.crossJoin(broadcast(cents))
+        queriesX.crossJoin(broadcast(cents))
           .select(col(queryIdCol), col(queryVecCol),
             explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"))
           .select(col(queryIdCol), col("__probe.cell").as("cell"))
@@ -471,7 +499,7 @@ object Similarity {
         // residual scoring adds the q·cvec[cell] correction per probe row
         // (same decomposition as the inline composite, computed against the
         // SAME index version's centroids)
-        queries.crossJoin(broadcast(cents))
+        queriesX.crossJoin(broadcast(cents))
           .select(col(queryIdCol), col(queryVecCol),
             explode(topCellsLocal(col(queryVecCol), nprobe)).as("__probe"), col("__cents"))
           .select(col(queryIdCol), col(queryVecCol),
@@ -486,7 +514,7 @@ object Similarity {
     val encoded = corpusMf.df.select(col(idCol), col(codesCol), col("cell"))
       .filter(col("cell").isin(cells: _*))
     val probedLut = probed
-      .join(pqLuts(queries, queryIdCol, queryVecCol, codebooks.df), Seq(queryIdCol))
+      .join(pqLuts(queriesX, queryIdCol, queryVecCol, codebooks.df), Seq(queryIdCol))
     val adc = encoded.join(broadcast(probedLut), Seq("cell"))
       .filter(col(idCol) =!= col(queryIdCol))
       .withColumn("score",
@@ -502,8 +530,31 @@ object Similarity {
     val rerankCorpus = corpusMf.df.select(col(idCol), col(vecCol), col("cell"))
       .filter(col("cell").isin(cells: _*))
       .select(col(idCol), col(vecCol))
-    rerankExact(cand, rerankCorpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+    rerankExact(cand, rerankCorpus, idCol, vecCol, queriesX, queryIdCol, queryVecCol, k)
   }
+
+  /** When the layout's sidecar carries the `preTransform` flag, read the
+    * versioned rotation artifact and rotate the queries into the index's
+    * space (row-local [[applyRotation]] against the O(dim²) matrix — the
+    * same bounded-metadata collect as the centroid array). Queries must
+    * NEVER meet a pre-transformed layout un-rotated, which is why this
+    * binds to the metadata rather than a caller flag. */
+  private def preTransformQueries(
+      spark: org.apache.spark.sql.SparkSession,
+      vdir: String,
+      metadata: Map[String, Any],
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String): DataFrame =
+    if (!metadata.get("preTransform").exists(_.asInstanceOf[String].toBoolean)) queries
+    else {
+      val r = graft.sources.MetaPersist
+        .readModel(spark, s"$vdir/pretransform", "pre_transform")
+        .df.orderBy("i").collect()
+        .map(_.getSeq[Float](1).toSeq).toSeq
+      queries.select(col(queryIdCol),
+        applyRotation(col(queryVecCol), r).as(queryVecCol))
+    }
 
   /** Spherical k-means training for the IVF coarse quantizer — the step
     * that makes the ANN index self-contained (centroids come from the data,
@@ -804,6 +855,24 @@ object Similarity {
         acc + when(par === 0, x).otherwise(-x)
       }) / lit(math.sqrt(dim.toDouble))).cast("float"))
 
+  /** The sign-flipped Hadamard rotation as an explicit row-major matrix —
+    * the SAME transform [[rotateVec]] applies natively, materialized for
+    * callers that need a matrix: OPQ's initialization, or
+    * [[writeIvfIndex]]'s `preTransform` when the index should live in the
+    * structured-rotation space without training. R[i][j] =
+    * (−1)^(popcount(i&j)+sign(j)) / √dim; entries are exact in float for
+    * power-of-4 dims (1/√dim is a power of two there). */
+  def hadamardMatrix(dim: Int): Seq[Seq[Float]] = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"Hadamard matrix needs a power-of-two dim, got $dim")
+    val scale = math.sqrt(dim.toDouble)
+    Seq.tabulate(dim, dim) { (i, j) =>
+      val par = (Integer.bitCount(i & j) +
+        java.lang.Long.bitCount((j * 2654435761L) % 4294967296L)) & 1
+      ((if (par == 0) 1.0 else -1.0) / scale).toFloat
+    }
+  }
+
   /** Row-local application of a trained rotation matrix (row-major,
     * y_i = Σ_j R[i][j]·x_j = dot(x, row_i)): the matrix ships as ONE
     * literal `array<array<float>>` inside the plan — O(dim²) floats of
@@ -865,14 +934,8 @@ object Similarity {
     // sign-flipped Hadamard matrix [[rotateVec]] applies, so the trained
     // result starts from the energy-spread space and only improves on it.
     var r: Seq[Seq[Float]] =
-      if (initHadamard) {
-        val scale = math.sqrt(dim.toDouble)
-        Seq.tabulate(dim, dim) { (i, j) =>
-          val par = (Integer.bitCount(i & j) +
-            java.lang.Long.bitCount((j * 2654435761L) % 4294967296L)) & 1
-          ((if (par == 0) 1.0 else -1.0) / scale).toFloat
-        }
-      } else Seq.tabulate(dim, dim)((i, j) => if (i == j) 1f else 0f)
+      if (initHadamard) hadamardMatrix(dim)
+      else Seq.tabulate(dim, dim)((i, j) => if (i == j) 1f else 0f)
     for (_ <- 0 until opqIters) {
       val rotated = corpus.select(col(idCol), col(vecCol),
         applyRotation(col(vecCol), r).as("__rvec"))

@@ -158,7 +158,14 @@ object Streams {
     * exact-cosine rerank is a second stateful stage a single streaming
     * DAG cannot express (an update-mode aggregate feeding a join); rerank
     * the emitted shortlist in the consumer, or batch-side via
-    * [[graft.operators.Similarity.ivfPqTopKIndexed]]. */
+    * [[graft.operators.Similarity.ivfPqTopKIndexed]].
+    *
+    * For a pre-transformed layout (`writeIvfIndex(preTransform = …)`) the
+    * caller — who already reads the layout's artifacts to pass
+    * `encodedCells`/`centroids`/`codebooks` — must rotate the query
+    * stream the same way (row-local `Similarity.applyRotation(queryVec,
+    * r)` with the version's stored matrix); [[annPqServeStream]] inherits
+    * the automatic rotation from `ivfPqTopKIndexed`. */
   def annPqTopKStream(
       queries: DataFrame,
       encodedCells: DataFrame,

@@ -160,6 +160,63 @@ class SourcesSpec extends AnyFunSuite {
     assert(meta("pqResidual") == "true")
   }
 
+  test("pre-transformed IVF×PQ index: rotation versions with the layout; queries auto-rotate; matches the inline composite over the rotated corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val r = Similarity.hadamardMatrix(64)
+    // contract: centroids + codebooks train on the TRANSFORMED corpus
+    val rot = emb.select(col("vec_id"),
+      Similarity.applyRotation(col("embedding"), r).as("embedding"))
+    val cents = Similarity.trainCentroids(rot, "vec_id", "embedding", k = 4, iters = 2)
+    val cb = Similarity.trainPqCodebooks(rot, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 4, iters = 2)
+    // the writer receives the RAW corpus + the matrix, applies it itself
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, "cell", "cvec",
+      out("ivfpq_rot_index"), pqCodebooks = Some(cb), pqDim = 64, pqM = 8,
+      preTransform = Some(r))
+    // the reader receives RAW queries — the layout's flag + versioned
+    // matrix artifact rotate them; a raw query can never meet the rotated
+    // codes un-rotated
+    val rawQueries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val indexed = Similarity.ivfPqTopKIndexed(spark, out("ivfpq_rot_index"),
+      rawQueries, "query_id", "query_vec", k = 5, nprobe = 2, shortlist = 20)
+    // ground truth: the inline composite over the pre-rotated corpus AND
+    // pre-rotated queries
+    val rotQueries = rot.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val inline = Similarity.ivfPqTopK(rot, "vec_id", "embedding", cents, "cell", "cvec",
+      cb, dim = 64, m = 8, ksub = 4, rotQueries, "query_id", "query_vec",
+      k = 5, nprobe = 2, shortlist = 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(indexed) == rows(inline))
+    // pruning contract unchanged: both reads partition-pruned, ADC
+    // read schema codes-only
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#".r.findAllIn(plan).size >= 2,
+      s"ADC and rerank scans must both prune cell partitions:\n$plan")
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"ADC scan must column-prune the float vectors:\n$plan")
+    // the flag and the matrix both round-trip with the version
+    val vdir = Similarity.resolveIvfIndex(spark, out("ivfpq_rot_index"))
+    val meta = graft.sources.MetaPersist.readModel(spark, s"$vdir/corpus", "ivf_corpus").metadata
+    assert(meta("preTransform") == "true")
+    val stored = graft.sources.MetaPersist
+      .readModel(spark, s"$vdir/pretransform", "pre_transform")
+      .df.orderBy("i").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    assert(stored == r)
+    // the plain ivfTopKIndexed reader honors the flag too (vector search
+    // in the rotated space ranks like the inline rotated search)
+    val plainIndexed = Similarity.ivfTopKIndexed(spark, out("ivfpq_rot_index"),
+      rawQueries, "query_id", "query_vec", k = 5, nprobe = 2)
+    val plainInline = Similarity.ivfTopK(rot, "vec_id", "embedding", cents, "cell", "cvec",
+      rotQueries, "query_id", "query_vec", k = 5, nprobe = 2)
+    assert(rows(plainIndexed) == rows(plainInline))
+  }
+
   test("IVF retrain publishes a new version atomically; pre-swap readers survive; pruning reclaims") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
