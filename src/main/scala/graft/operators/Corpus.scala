@@ -745,43 +745,11 @@ object Corpus {
       addK: Double = 1.0,
       salt: String = "dsir"): DataFrame = {
     require(k >= 1, "k must be at least 1")
-    require(buckets >= 2, "buckets must be at least 2")
-    require(addK > 0, "addK must be positive (unsmoothed ratios blow up on unseen buckets)")
-    def grams(df: DataFrame): DataFrame = {
-      val tokArr = filter(graft.functions.TextFunctions.tokens(col(textCol)), t => t =!= "")
-      df.select(col(idCol).as("id"), tokArr.as("__ts"))
-        .select(col("id"), col("__ts"), posexplode(col("__ts")).as(Seq("pos", "term")))
-        .select(col("id"), explode(concat(
-            array(col("term")),
-            when(col("pos") > 0,
-              array(concat_ws(" ", element_at(col("__ts"), col("pos")), col("term"))))
-              .otherwise(array().cast("array<string>")))).as("gram"))
-        .select(col("id"),
-          (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
-    }
-    val cp = grams(target).groupBy("b").agg(count(lit(1)).as("cp"))
-    val cq = grams(raw).groupBy("b").agg(count(lit(1)).as("cq"))
-    val tots = cp.agg(coalesce(sum(col("cp")), lit(0L)).as("tp"))
-      .crossJoin(cq.agg(coalesce(sum(col("cq")), lit(0L)).as("tq")))
-    val perDoc = grams(raw)
-      .join(cp, Seq("b"), "left")   // buckets unseen in target smooth to addK
-      .join(cq, Seq("b"), "left")
-      .crossJoin(broadcast(tots))
-      .select(col("id"),
-        (round(log((coalesce(col("cp"), lit(0L)) + lit(addK)) /
-             (col("tp") + lit(addK) * buckets)) * lit(1e6)).cast("long") -
-         round(log((coalesce(col("cq"), lit(0L)) + lit(addK)) /
-             (col("tq") + lit(addK) * buckets)) * lit(1e6)).cast("long")).as("llr_micro"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_feats"), sum(col("llr_micro")).as("w_micro"))
+    val model = dsirModel(raw, target, textCol, buckets, addK)
     val u = ((conv(substring(md5(concat(col("id").cast("string"), lit(":" + salt))), 1, 8),
         16, 10).cast("long") % lit(1000000L)) + lit(0.5)) / lit(1000000.0)
-    val scored = raw.select(col(idCol).as("id"))
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("w_micro"), lit(0L)).as("w_micro"),
-        round(-log(-log(u)) * lit(1e6)).cast("long").as("g_micro"))
+    val scored = dsirScoreAgainst(raw, model, idCol, textCol, buckets)
+      .withColumn("g_micro", round(-log(-log(u)) * lit(1e6)).cast("long"))
       .withColumn("key_micro", col("w_micro") + col("g_micro"))
     // k-th key threshold via per-partition top-k + O(k) driver merge
     val kth = scored.select(col("key_micro"), col("id"))
@@ -796,5 +764,83 @@ object Corpus {
           (col("key_micro") === tKey && col("id") <= lit(tId))
       }
     scored.withColumn("selected", selected)
+  }
+
+  /** Row-local DSIR feature extraction: each doc's unigram+bigram bag as
+    * md5 bucket ids — an `array<long>`, one row in, one row out. Shared by
+    * the trainer, the batch scorer, and the streaming scorer, so all three
+    * hash the identical feature space. */
+  private[graft] def dsirGramBuckets(textCol: Column, buckets: Int): Column = {
+    val toks = filter(graft.functions.TextFunctions.tokens(textCol), t => t =!= "")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams), g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets)
+  }
+
+  /** The trained DSIR model: a DENSE (b, llr_micro) table over ALL
+    * `buckets` buckets — llr is the add-k-smoothed micro-nat log-ratio
+    * log p̂_target(b) − log p̂_raw(b), each log rounded separately.
+    * Density matters: a bucket absent from BOTH pools still carries a
+    * (constant, nonzero) smoothed ratio, and the scorers index the model
+    * as a map — persist it with `MetaPersist.writeModel(model, path,
+    * "dsir_weights", …)` and every later batch scores against the frozen
+    * distribution pair (the train-once/score-batches shape of
+    * [[lmScoreAgainst]]). Two map-side-combinable bucket reduces; the
+    * model is ≤ `buckets` rows of bounded metadata. */
+  def dsirModel(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 4096,
+      addK: Double = 1.0): DataFrame = {
+    require(buckets >= 2, "buckets must be at least 2")
+    require(addK > 0, "addK must be positive (unsmoothed ratios blow up on unseen buckets)")
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(dsirGramBuckets(col(textCol), buckets)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(name))
+    val cp = counts(target, "cp")
+    val cq = counts(raw, "cq")
+    val tots = cp.agg(coalesce(sum(col("cp")), lit(0L)).as("tp"))
+      .crossJoin(cq.agg(coalesce(sum(col("cq")), lit(0L)).as("tq")))
+    raw.sparkSession.range(0, buckets).select(col("id").as("b"))
+      .join(cp, Seq("b"), "left")
+      .join(cq, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("b"),
+        (round(log((coalesce(col("cp"), lit(0L)) + lit(addK)) /
+             (col("tp") + lit(addK) * buckets)) * lit(1e6)).cast("long") -
+         round(log((coalesce(col("cq"), lit(0L)) + lit(addK)) /
+             (col("tq") + lit(addK) * buckets)) * lit(1e6)).cast("long")).as("llr_micro"))
+  }
+
+  /** Score a batch against a frozen [[dsirModel]] — STATELESS and
+    * row-local: the dense model collapses to ONE broadcast map row and
+    * each doc's weight is an integer fold over its own bucket array, so
+    * nothing shuffles (no explode-join-regroup) and the same plan runs
+    * unchanged on a STREAMING frame (`Streams.dsirScoreStream`) with zero
+    * streaming state. A NULL text scores (0, 0) like the batch trainer
+    * path; a SPARSE model (not from [[dsirModel]]) yields NULL weights —
+    * visible breakage, never a silently wrong score. Returns one row per
+    * input row: (id, n_feats, w_micro). */
+  def dsirScoreAgainst(
+      batch: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    val modelRow = model.agg(
+      map_from_entries(collect_list(struct(col("b"), col("llr_micro")))).as("__llr"))
+    batch.select(col(idCol).as("id"),
+        dsirGramBuckets(col(textCol), buckets).as("__gb"))
+      .crossJoin(broadcast(modelRow))
+      .select(col("id"),
+        coalesce(size(col("__gb")), lit(0)).cast("long").as("n_feats"),
+        when(col("__gb").isNull, lit(0L))
+          .otherwise(aggregate(
+            transform(col("__gb"), b => element_at(col("__llr"), b)),
+            lit(0L), (acc, x) => acc + x)).as("w_micro"))
   }
 }

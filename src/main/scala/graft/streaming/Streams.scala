@@ -492,6 +492,24 @@ object Streams {
       .withColumn("ppl", exp(col("avg_nll")))
   }
 
+  /** Streaming DSIR scoring: a STREAM of documents weighted against a
+    * frozen [[graft.operators.Corpus.dsirModel]] — the ingestion-time twin
+    * of the batch scorer, and literally the SAME plan: the batch
+    * implementation is already stateless and row-local (dense model as one
+    * broadcast map row, per-doc integer fold over the doc's own bucket
+    * array), so it runs on a streaming frame in append mode with zero
+    * streaming state. Batch-vs-stream row equality pinned in
+    * StreamingSpec. Selection (the Gumbel-top-k step) stays a batch/
+    * consumer concern — a global top-k over an unbounded stream is not a
+    * meaningful operator; gate on `w_micro` thresholds instead. */
+  def dsirScoreStream(
+      stream: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096): DataFrame =
+    graft.operators.Corpus.dsirScoreAgainst(stream, model, idCol, textCol, buckets)
+
   /** Convenience: run any streaming frame into an in-memory table and block
     * until every available input is processed (local smoke pattern). */
   def runToMemory(df: DataFrame, queryName: String, mode: OutputMode): StreamingQuery = {

@@ -201,6 +201,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dsirScoreStream is stateless and bit-equal to the batch scorer against a frozen model") {
+    import spark.implicits._
+    val target = Seq((1L, "alpha beta gamma alpha beta"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val rawPool = Seq((3L, "alpha beta spam"), (4L, "unrelated junk page"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.Corpus.dsirModel(rawPool, target, "text", buckets = 256)
+    val batchRows = Seq(
+      (10L, "alpha beta gamma"),            // target-lookalike
+      (11L, "unrelated junk page spam"),    // raw-lookalike
+      (12L, null.asInstanceOf[String]),     // NULL text → (0, 0)
+      (13L, "delta"))                       // single token, no bigrams
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = Streams.dsirScoreStream(
+      ms.toDF().toDF("doc_id", "text"), model, "doc_id", "text", buckets = 256)
+    ms.addData(batchRows.take(3): _*)
+    // APPEND mode works — the scorer carries no streaming aggregate
+    val q = Streams.runToMemory(out, "dsir_out", OutputMode.Append())
+    try {
+      ms.addData(batchRows.drop(3): _*)
+      q.processAllAvailable()
+      def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val got = norm(spark.table("dsir_out").collect())
+      val batch = norm(graft.operators.Corpus.dsirScoreAgainst(
+        batchRows.toDF("doc_id", "text"), model, "doc_id", "text", buckets = 256).collect())
+      assert(got == batch, s"stream $got != batch $batch")
+      val w = got.map(t => t._1 -> t._3).toMap
+      // the target-lookalike outscores the raw-lookalike; NULL text is (0, 0)
+      assert(w(10L) > w(11L))
+      assert(got.find(_._1 == 12L).get == ((12L, 0L, 0L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization keeps running per-user state across batches") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)
