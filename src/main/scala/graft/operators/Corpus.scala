@@ -208,6 +208,53 @@ object Corpus {
       .filter(col("bucket") < col("retain_pct"))
   }
 
+  /** Temperature-balanced corpus mix — the multilingual sampling rule of
+    * mT5 / XLM-R: source s contributes ∝ n_s^α with α < 1, flattening the
+    * head so low-resource sources are not drowned. Fixed at α = 1/2, the
+    * common production setting — and the one exponent whose power is
+    * EXACTLY portable: `sqrt` is correctly-rounded IEEE in every engine,
+    * while `pow(x, α)` is not, so a general-α quota could differ in the
+    * last ulp and flip a floor boundary between the engine and its oracle.
+    *
+    * Mechanics: per-source weights w_s = round(√n_s · 1e6) as integers;
+    * quota_s = min(n_s, ⌊budget · w_s / Σw⌋) in pure integer arithmetic
+    * (`div`); the kept docs are each source's first `quota_s` rows in
+    * md5(id:salt) digest order — the same randomness-as-pure-function
+    * selection as [[stratifiedSample]], so the kept SET is reproducible
+    * across engines and stable under reruns. ⌊·⌋ may leave a few budget
+    * slots unused (Σ quota ≤ budget) — deterministic and documented,
+    * never over budget.
+    *
+    * Scale: one narrow count per source (map-side combinable, ≤ |sources|
+    * rows), quotas broadcast back, per-source window rank (parallel across
+    * sources — no global order). `budget · w_s` must fit a long:
+    * budget ≪ 9e12/√n_max — every real budget is. NULL-source rows join
+    * through null-safely and form their own stratum. Returns the kept rows
+    * with (mix_rank, n_source, keep_quota). */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      salt: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val weighted = counts.withColumn("__w",
+      round(sqrt(col("__n").cast("double")) * lit(1e6)).cast("long"))
+    val tot = weighted.agg(coalesce(sum(col("__w")), lit(0L)).as("__tw"))
+    val quotas = weighted.crossJoin(broadcast(tot))
+      .select(col(sourceCol).as("__src"), col("__n").as("n_source"),
+        least(col("__n"),
+          expr(s"($budget * __w) div __tw")).cast("long").as("keep_quota"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(asc_nulls_last("__digest"), asc_nulls_last(idCol))
+    df.withColumn("__digest", md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+      .withColumn("mix_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), col(sourceCol) <=> col("__src"))
+      .filter(col("mix_rank") <= col("keep_quota"))
+      .drop("__digest", "__src")
+  }
+
   /** Intra-document repetition signals (the Gopher-style quality rules):
     * per doc, over its overlapping n-token grams —
     * `n_ngrams` (total occurrences), `top_ngram_count` (occurrences of the
@@ -748,9 +795,13 @@ object Corpus {
     val model = dsirModel(raw, target, textCol, buckets, addK)
     val u = ((conv(substring(md5(concat(col("id").cast("string"), lit(":" + salt))), 1, 8),
         16, 10).cast("long") % lit(1000000L)) + lit(0.5)) / lit(1000000.0)
+    // cache the NARROW per-doc score table (id + three longs): the k-th
+    // threshold probe and the caller's consumption are two executions, and
+    // without the cache each would re-tokenize and re-hash every document
     val scored = dsirScoreAgainst(raw, model, idCol, textCol, buckets)
       .withColumn("g_micro", round(-log(-log(u)) * lit(1e6)).cast("long"))
       .withColumn("key_micro", col("w_micro") + col("g_micro"))
+      .cache()
     // k-th key threshold via per-partition top-k + O(k) driver merge
     val kth = scored.select(col("key_micro"), col("id"))
       .orderBy(col("key_micro").desc, col("id").asc)
@@ -769,14 +820,27 @@ object Corpus {
   /** Row-local DSIR feature extraction: each doc's unigram+bigram bag as
     * md5 bucket ids — an `array<long>`, one row in, one row out. Shared by
     * the trainer, the batch scorer, and the streaming scorer, so all three
-    * hash the identical feature space. */
-  private[graft] def dsirGramBuckets(textCol: Column, buckets: Int): Column = {
-    val toks = filter(graft.functions.TextFunctions.tokens(textCol), t => t =!= "")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+    * hash the identical feature space.
+    *
+    * PERFORMANCE SHAPE: callers must materialize the token array with
+    * [[dsirTokens]] in a separate projection and hand
+    * [[dsirBucketsFromTokens]] the column REFERENCE. Handing it the
+    * tokenize expression directly is O(n²) per document: HOFs are
+    * interpreted, so the bigram lambda's `element_at(toks, i)` would
+    * re-evaluate the whole split-and-filter once per element (measured:
+    * the audit's first cut of the declared query spent 70 s at sf0.1 on
+    * exactly this — a 60× penalty over the materialized form). */
+  private[graft] def dsirTokens(textCol: Column): Column =
+    filter(graft.functions.TextFunctions.tokens(textCol), t => t =!= "")
+
+  /** Bucket ids from a MATERIALIZED token-array column (see
+    * [[dsirTokens]]'s performance note). */
+  private[graft] def dsirBucketsFromTokens(ts: Column, buckets: Int): Column = {
+    val bigrams = when(size(ts) >= 2,
+      transform(sequence(lit(0), size(ts) - 2), i =>
+        concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2))))
       .otherwise(array().cast("array<string>"))
-    transform(concat(toks, bigrams), g =>
+    transform(concat(ts, bigrams), g =>
       conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets)
   }
 
@@ -799,7 +863,8 @@ object Corpus {
     require(buckets >= 2, "buckets must be at least 2")
     require(addK > 0, "addK must be positive (unsmoothed ratios blow up on unseen buckets)")
     def counts(df: DataFrame, name: String): DataFrame =
-      df.select(explode(dsirGramBuckets(col(textCol), buckets)).as("b"))
+      df.select(dsirTokens(col(textCol)).as("__ts"))
+        .select(explode(dsirBucketsFromTokens(col("__ts"), buckets)).as("b"))
         .groupBy("b").agg(count(lit(1)).as(name))
     val cp = counts(target, "cp")
     val cq = counts(raw, "cq")
@@ -817,30 +882,33 @@ object Corpus {
   }
 
   /** Score a batch against a frozen [[dsirModel]] — STATELESS and
-    * row-local: the dense model collapses to ONE broadcast map row and
-    * each doc's weight is an integer fold over its own bucket array, so
-    * nothing shuffles (no explode-join-regroup) and the same plan runs
-    * unchanged on a STREAMING frame (`Streams.dsirScoreStream`) with zero
-    * streaming state. A NULL text scores (0, 0) like the batch trainer
-    * path; a SPARSE model (not from [[dsirModel]]) yields NULL weights —
-    * visible breakage, never a silently wrong score. Returns one row per
-    * input row: (id, n_feats, w_micro). */
+    * row-local: the dense model (≤ `buckets` rows of bounded metadata,
+    * the same exception as the centroid collect) is collected ONCE into a
+    * literal map in the plan, and each doc's weight is an integer fold
+    * over its own bucket array — no join of any kind, nothing shuffles,
+    * and re-executions of a downstream plan never re-derive the model.
+    * The same plan runs unchanged on a STREAMING frame
+    * (`Streams.dsirScoreStream`) with zero streaming state. A NULL text
+    * scores (0, 0) like the batch trainer path; a SPARSE model (not from
+    * [[dsirModel]]) yields NULL weights — visible breakage, never a
+    * silently wrong score. Returns one row per input row:
+    * (id, n_feats, w_micro). */
   def dsirScoreAgainst(
       batch: DataFrame,
       model: DataFrame,
       idCol: String,
       textCol: String,
       buckets: Int = 4096): DataFrame = {
-    val modelRow = model.agg(
-      map_from_entries(collect_list(struct(col("b"), col("llr_micro")))).as("__llr"))
-    batch.select(col(idCol).as("id"),
-        dsirGramBuckets(col(textCol), buckets).as("__gb"))
-      .crossJoin(broadcast(modelRow))
+    val llr: Map[Long, Long] =
+      model.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val llrLit = typedLit(llr)
+    batch.select(col(idCol).as("id"), dsirTokens(col(textCol)).as("__ts"))
+      .select(col("id"), dsirBucketsFromTokens(col("__ts"), buckets).as("__gb"))
       .select(col("id"),
         coalesce(size(col("__gb")), lit(0)).cast("long").as("n_feats"),
         when(col("__gb").isNull, lit(0L))
           .otherwise(aggregate(
-            transform(col("__gb"), b => element_at(col("__llr"), b)),
+            transform(col("__gb"), b => element_at(llrLit, b)),
             lit(0L), (acc, x) => acc + x)).as("w_micro"))
   }
 }

@@ -152,10 +152,32 @@ object Similarity {
 
   /** cvec of `cellCol` from the in-scope broadcast `__cents` array — the
     * row-local centroid lookup (an O(k) array filter per row; cells are
-    * distinct by contract, so the filtered array has exactly one element). */
+    * distinct by contract, so the filtered array has exactly one element).
+    * ONLY for callers whose `cellCol` is a cheap ATTRIBUTE (e.g. produced
+    * by an `explode` Generate, which `CollapseProject` cannot substitute
+    * through): handing it a computed cell EXPRESSION re-evaluates that
+    * expression once per filter element after projection collapse — the
+    * argmax-inside-filter shape that made the first residual-composite
+    * audit row cost O(k²·dim) per row. Expression-cell callers use
+    * [[bestCentLocal]] instead. */
   private def centVecOf(cellCol: Column): Column =
     element_at(filter(col("__cents"), c => c.getField("cell") === cellCol), 1)
       .getField("cvec")
+
+  /** Row-local argmax centroid as ONE struct (cos, cell, cvec) — carrying
+    * the winning centroid's vector in the struct so residual callers need
+    * no per-element lookup against a computed cell id (see [[centVecOf]]'s
+    * caveat). After projection collapse the argmax evaluates at most twice
+    * per row (once for the cell id, once for the residual's cvec), never
+    * per centroid element. */
+  private def bestCentLocal(vec: Column): Column =
+    element_at(
+      array_sort(
+        transform(col("__cents"), c =>
+          struct(cosine(vec, c.getField("cvec")).as("cos"),
+            c.getField("cell").as("cell"), c.getField("cvec").as("cvec"))),
+        byCosDescCellAsc),
+      1)
 
   /** Residual vec − cvec[cell], per coordinate: the exact double
     * subtraction rounded once back to float — IEEE single-precision
@@ -186,11 +208,10 @@ object Similarity {
       centroidVecCol: String): DataFrame = {
     val cents = centroidArray(centroids, centroidIdCol, centroidVecCol)
     corpus.crossJoin(broadcast(cents))
-      .select(col(idCol), col(vecCol),
-        element_at(topCellsLocal(col(vecCol), 1), 1).getField("cell").as("cell"),
-        col("__cents"))
-      .select(col(idCol), col("cell"),
-        residualLocal(col(vecCol), col("cell")).as("residual"))
+      .select(col(idCol), col(vecCol), bestCentLocal(col(vecCol)).as("__bc"))
+      .select(col(idCol), col("__bc").getField("cell").as("cell"),
+        zip_with(col(vecCol), col("__bc").getField("cvec"),
+          (x, y) => (x.cast("double") - y.cast("double")).cast("float")).as("residual"))
   }
 
   /** Full IVF top-k search: corpus vectors are quantized to their nearest
@@ -1324,16 +1345,20 @@ object Similarity {
             element_at(topCellsLocal(col(vecCol), 1), 1).getField("cell").as("cell"),
             pqCodesLocal(col(vecCol), m, dim / m).as("codes"))
       else
-        // residual mode quantizes vec − cvec[cell], so the cell must be a
-        // named column BEFORE the encoding select (the residual lookup
-        // references it); still one row-local pass, no fan-out
+        // residual mode quantizes vec − cvec[cell]: the argmax struct
+        // carries the winning cvec ([[bestCentLocal]]) so projection
+        // collapse re-evaluates the argmax at most twice per row — the
+        // previous named-cell + per-element-lookup shape collapsed into an
+        // argmax-inside-filter evaluated once per centroid (the 12×
+        // audit-row regression); still one row-local pass, no fan-out
         corpus.crossJoin(broadcast(cents))
           .crossJoin(broadcast(pqCodebookArray(codebooks)))
-          .select(col(idCol), col(vecCol),
-            element_at(topCellsLocal(col(vecCol), 1), 1).getField("cell").as("cell"),
-            col("__cents"), col("__cb"))
-          .select(col(idCol), col("cell"),
-            pqCodesLocal(residualLocal(col(vecCol), col("cell")), m, dim / m).as("codes"))
+          .select(col(idCol), col(vecCol), bestCentLocal(col(vecCol)).as("__bc"), col("__cb"))
+          .select(col(idCol), col("__bc").getField("cell").as("cell"),
+            pqCodesLocal(
+              zip_with(col(vecCol), col("__bc").getField("cvec"),
+                (x, y) => (x.cast("double") - y.cast("double")).cast("float")),
+              m, dim / m).as("codes"))
     val probed =
       if (!residual)
         queries.crossJoin(broadcast(cents))

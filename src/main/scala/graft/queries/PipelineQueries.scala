@@ -929,6 +929,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // temperature-balanced mix (mT5/XLM-R n^alpha sampling at alpha = 1/2,
+    // the one exponent exactly portable across engines — sqrt is
+    // correctly-rounded IEEE, pow is not): integer quotas from the
+    // micro-quantized sqrt weights, per-source md5-order selection —
+    // the kept SET and every rank/quota column are exactly re-derivable
+    "corpus_temperature_mix" -> ((s, d) =>
+      Corpus.temperatureMix(t(s, d, "documents").df, "doc_id", "lang",
+          salt = "tmix", budget = 200L)
+        .select("doc_id", "lang", "mix_rank", "n_source", "keep_quota")
+        .orderBy("doc_id")),
+
     // DSIR importance selection: target = the %13 doc slice (the
     // "look like this" corpus), raw pool = the rest. Hashed unigram+bigram
     // bag weights (md5 buckets, add-1 smoothed log-ratios in integer
@@ -1579,6 +1590,21 @@ object PipelineQueries {
        "CASE WHEN CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' " +
        "WHEN CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val' " +
        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+
+    // temperature mix: per-source counts, micro-quantized sqrt weights,
+    // integer floor quotas, and the per-source md5-order rank — DuckDB's
+    // // is floor division like Spark's div on these positive integers
+    "corpus_temperature_mix" ->
+      ("WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+       "w AS (SELECT lang, n, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM c), " +
+       "t AS (SELECT sum(w) AS tw FROM w), " +
+       "q AS (SELECT lang, n, CAST(least(n, (200 * w) // t.tw) AS BIGINT) AS keep " +
+       "FROM w CROSS JOIN t), " +
+       "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+       "ORDER BY md5(doc_id || ':tmix'), doc_id) AS mix_rank FROM documents) " +
+       "SELECT r.doc_id, r.lang, CAST(r.mix_rank AS BIGINT) AS mix_rank, " +
+       "q.n AS n_source, q.keep AS keep_quota " +
+       "FROM r JOIN q USING (lang) WHERE r.mix_rank <= q.keep ORDER BY r.doc_id"),
 
     // DSIR: hashed-bucket bag counts for both pools, per-occurrence add-1
     // log-ratios in micro-nats (each ln rounded separately, like the

@@ -44,7 +44,7 @@ object AuditScale {
     "text_decontaminate", "text_decontaminate_bloom",
     "text_lm_quality", "text_lm_bigram", "text_tfidf_topterms",
     "sim_ivf_train", "text_quality_gate", "pipeline_corpus_e2e",
-    "pipeline_ingest_batch")
+    "pipeline_ingest_batch", "sim_topk_pq_rotated", "text_dsir_select")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -86,7 +86,11 @@ object AuditScale {
       // the e2e assembly embeds the gate's LM scorer (1-row totals) and the
       // capped-query 1-row drop-count aggregate; the ingestion micro-batch
       // embeds the same frozen-LM scorer shape
-      "text_quality_gate", "pipeline_corpus_e2e", "pipeline_ingest_batch")
+      "text_quality_gate", "pipeline_corpus_e2e", "pipeline_ingest_batch",
+      // 1-row broadcast sides by construction: the PQ codebook array rides
+      // a single-row crossJoin in training/encoding/LUT building, and the
+      // DSIR scorer crossJoins its single-row model map + totals aggregates
+      "sim_topk_pq_rotated", "text_dsir_select")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -678,6 +678,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("temperatureMix flattens the head, stays within budget, and is deterministic") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val docs = ((1L to 90L).map(i => (i, "big")) ++
+      (101L to 109L).map(i => (i, "mid")) ++ Seq((201L, "small")))
+      .toDF("doc_id", "src")
+    val out = Corpus.temperatureMix(docs, "doc_id", "src", salt = "s", budget = 20L)
+      .cache()
+    val kept = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // never over budget (floor quotas may leave slots unused)
+    assert(kept.values.sum <= 20L)
+    // α = 1/2 flattens: big's kept share drops below its corpus share,
+    // while every source still appears
+    assert(kept("big").toDouble / kept.values.sum < 0.9)
+    assert(kept.keySet == Set("big", "mid", "small"))
+    // quota arithmetic is exposed and honored row-wise
+    assert(out.filter(col("mix_rank") > col("keep_quota")).count() == 0)
+    // deterministic: identical kept set on a re-run
+    val again = Corpus.temperatureMix(docs, "doc_id", "src", salt = "s", budget = 20L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("multi-table LSH raises recall over single-table on real embeddings") {
     import graft.sources.Tables
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

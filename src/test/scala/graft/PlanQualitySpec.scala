@@ -272,6 +272,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"probe must not plan a cartesian product:\n$plan")
   }
 
+  test("dsirScoreAgainst is shuffle-free on the document side (broadcast model row, row-local fold)") {
+    import graft.operators.Corpus
+    val docs = t("documents").df
+    val model = Corpus.dsirModel(
+      docs.filter(col("doc_id") % 13 =!= 0), docs.filter(col("doc_id") % 13 === 0),
+      "text", buckets = 256)
+    val out = Corpus.dsirScoreAgainst(docs, model, "doc_id", "text", buckets = 256)
+    out.collect(): Unit
+    val plan = out.queryExecution.executedPlan.toString
+    // the dense model is a LITERAL map in the plan (bounded-metadata
+    // collect): the scorer must be a pure scan → project pipeline — no
+    // join of any kind, no exchange, no aggregate; the per-doc weight is
+    // a row-local HOF fold
+    assert(!plan.contains("Join"), s"scorer must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"scorer must not shuffle or broadcast:\n$plan")
+    assert(!plan.contains("Aggregate"), s"scorer must not aggregate:\n$plan")
+  }
+
   test("join on right side's verified pk preserves the left elision proof") {
     val custAgg = t("orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
     val dims = t("customer").withColumnRenamed("c_custkey", "o_custkey")
