@@ -911,4 +911,53 @@ object Corpus {
             transform(col("__gb"), b => element_at(llrLit, b)),
             lit(0L), (acc, x) => acc + x)).as("w_micro"))
   }
+
+  /** Corpus-wide LINE-level exact dedup — the CCNet / RefinedWeb curation
+    * step that exact-document dedup misses: boilerplate lines (headers,
+    * cookie banners, navigation chrome) repeat across millions of pages
+    * whose full texts are all distinct. A line occurrence SURVIVES iff it is
+    * the first global occurrence of that exact line, "first" meaning the
+    * smallest (id, line index) pair — a pure function of the data, so the
+    * kept set is reproducible at any partitioning and exactly
+    * oracle-derivable. Repeats within one document dedup too (global order
+    * subsumes document order). Lines shorter than `minLineChars` are exempt
+    * (always kept): dedup of one-word lines destroys lists and headings —
+    * the CCNet convention.
+    *
+    * Scale shape: the line text never shuffles. The split is row-local;
+    * the shuffle carries (md5, id, idx) triples only — one
+    * map-side-combinable min-reduce on the 128-bit line hash (uniform keys
+    * regardless of boilerplate skew: a line repeated a billion times is ONE
+    * group whose min is map-side combined) — and the removal set rejoins
+    * the corpus as (id, sorted int array), a per-doc metadata row that AQE
+    * broadcasts when small. Reassembly is a row-local index filter over the
+    * original split. Returns one row per input row:
+    * (id, n_lines, n_removed_lines, text_deduped). */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minLineChars: Int = 0): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), sepRe)).as(Seq("idx", "line")))
+      .filter(length(col("line")) >= minLineChars)
+      .select(col("id"), col("idx"), md5(col("line").cast("binary")).as("h"))
+    val keepers = lines.groupBy("h")
+      .agg(min(struct(col("id"), col("idx"))).as("keeper"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val removed = lines.join(keepers, "h")
+      .filter(!(col("id") === col("keeper.id") && col("idx") === col("keeper.idx")))
+      .groupBy("id").agg(sort_array(collect_list(col("idx"))).as("rm"))
+      .withColumnRenamed("id", "__rm_id")
+    val arr = split(col(textCol), sepRe)
+    val rmArr = coalesce(col("rm"), array().cast("array<int>"))
+    df.join(removed, col(idCol) === col("__rm_id"), "left")
+      .select(
+        col(idCol).as("id"),
+        size(arr).cast("long").as("n_lines"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed_lines"),
+        concat_ws(sep, filter(arr, (_, i) => !array_contains(rmArr, i))).as("text_deduped"))
+  }
 }

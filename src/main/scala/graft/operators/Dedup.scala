@@ -792,4 +792,66 @@ object Dedup {
       .withColumn("keep", (row_number().over(w) === 1).cast("long"))
       .select("id", "cell", "component", "cent_cos", "keep")
   }
+
+  /** Exact SUBSTRING dedup at token granularity — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better") removal
+    * semantics: any token span of length `spanLen` that occurs more than
+    * once in the corpus is removed from every document EXCEPT at its first
+    * global occurrence (smallest (id, start)), and overlapping duplicated
+    * spans remove the union of their token positions. This catches what
+    * document- and line-level dedup both miss: long quoted passages,
+    * licenses, and templated paragraphs embedded inside otherwise-distinct
+    * documents. The reference implementation builds a corpus-wide suffix
+    * array; the Spark-native equivalent is an overlapping-window inverted
+    * index — same removal decision for spans of exactly `spanLen`, no
+    * global sorted structure.
+    *
+    * Scale shape: the text never shuffles. Each doc row-locally emits its
+    * (n − spanLen + 1) overlapping windows as (md5(span), id, start)
+    * triples — fixed-width metadata, ~spanLen × the token count, the same
+    * byte budget the suffix-array approach pays for its pointer arrays.
+    * One map-side-combinable min/count reduce on the 128-bit span hash
+    * (hot spans — a license repeated everywhere — are ONE group, min
+    * combines map-side), one hash join back to the window triples, one
+    * per-doc int-array reduce, and a final (id, sorted starts) metadata
+    * join to the corpus that AQE broadcasts when small. Coverage removal
+    * is a row-local position filter against the doc's own sorted start
+    * array. Docs shorter than `spanLen` have no windows and pass through
+    * unchanged. Returns one row per input row:
+    * (id, n_tokens, n_dup_spans, n_removed_tokens, text_deduped). */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLen: Int = 20): DataFrame = {
+    require(spanLen >= 2, "spanLen must be at least 2")
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+    val wins = toks
+      .filter(size(col("__ts")) >= spanLen)
+      .select(col("id"), col("__ts"),
+        explode(sequence(lit(0), size(col("__ts")) - spanLen)).as("s"))
+      .select(col("id"), col("s"),
+        md5(concat_ws(" ", slice(col("__ts"), col("s") + 1, lit(spanLen))).cast("binary")).as("h"))
+    val keepers = wins.groupBy("h")
+      .agg(min(struct(col("id"), col("s"))).as("keeper"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val removed = wins.join(keepers, "h")
+      .filter(!(col("id") === col("keeper.id") && col("s") === col("keeper.s")))
+      .groupBy("id").agg(sort_array(collect_list(col("s"))).as("rm"))
+      .withColumnRenamed("id", "__rm_id")
+    val rmArr = coalesce(col("rm"), array().cast("array<int>"))
+    // materialize the filtered array once (filter/exists are interpreted
+    // HOFs — referencing the expression twice would run the coverage scan
+    // twice per row)
+    toks.join(removed, col("id") === col("__rm_id"), "left")
+      .select(col("id"), col("__ts"), coalesce(size(col("rm")), lit(0)).cast("long").as("n_dup_spans"),
+        filter(col("__ts"), (_, p) =>
+          !exists(rmArr, st => st <= p && p < st + spanLen)).as("__kept"))
+      .select(
+        col("id"),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        col("n_dup_spans"),
+        (size(col("__ts")) - size(col("__kept"))).cast("long").as("n_removed_tokens"),
+        concat_ws(" ", col("__kept")).as("text_deduped"))
+  }
 }

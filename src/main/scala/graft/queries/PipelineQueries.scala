@@ -395,6 +395,29 @@ object PipelineQueries {
       Dedup.exactNormalized(t(s, d, "documents").df, "doc_id", "text")
         .orderBy("content_hash")),
 
+    // CCNet/RefinedWeb line-level dedup: the corpus has no newlines, so the
+    // query first renders each doc as deterministic 8-token lines (the
+    // text_chunk slicing at size=stride=8) — the planted near-dup docs then
+    // share exact lines across docs, which is precisely the boilerplate
+    // signal the operator exists to remove (53 docs lose lines at sf0.01).
+    // First-global-occurrence-keeps is exactly re-derivable in SQL.
+    "text_line_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").df.select(col("doc_id"),
+        concat_ws("\n", transform(TextFunctions.tokenChunks(col("text"), 8, 8),
+          c => c.getField("chunk_text"))).as("ml_text"))
+      Corpus.lineDedup(docs, "doc_id", "ml_text").orderBy("id")
+    }),
+
+    // Lee et al. 2022 exact-substring dedup at token granularity: every
+    // 20-token span occurring >1 time in the corpus is removed everywhere
+    // but its first global occurrence, overlaps removed as a position
+    // union. DuckDB re-derives windows, keepers, and the coverage filter
+    // from raw text (the engine's md5 span key is collision-free at 128
+    // bits, so grouping by the hash ≡ grouping by the span string).
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.spanDedup(t(s, d, "documents").df, "doc_id", "text", spanLen = 20)
+        .orderBy("id")),
+
     // MinHash+LSH property oracle: planted near-dup pairs (exact shingle
     // Jaccard ≥ 0.8, DuckDB-recomputable) must land in one cluster with both
     // docs flagged. With r=4/b=8 banding the per-pair miss probability at
@@ -1461,6 +1484,41 @@ object PipelineQueries {
        "regexp_replace(regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
        "'[0-9]{7,}', '<NUM>', 'g') AS redacted " +
        "FROM w ORDER BY doc_id"),
+
+    // same 8-token line rendering as the engine query, then
+    // first-global-occurrence-keeps by (doc, line idx) rank; docs whose
+    // every line is removed reassemble to ''
+    "text_line_dedup" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+       "l AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts), 8)) AS i FROM t), " +
+       "l2 AS (SELECT doc_id, CAST((i-1)//8 AS INT) AS idx, array_to_string(ts[i:i+7], ' ') AS line FROM l), " +
+       "k AS (SELECT doc_id, idx, line, row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM l2) " +
+       "SELECT doc_id AS id, count(*) AS n_lines, " +
+       "count(*) FILTER (WHERE rn > 1) AS n_removed_lines, " +
+       "coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), '') AS text_deduped " +
+       "FROM k GROUP BY doc_id ORDER BY id"),
+
+    // windows → keeper rank → removed starts → coverage anti-filter →
+    // ordered reassembly; docs with <20 tokens never window and pass
+    // through byte-identical
+    "dedup_substring_spans" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+       "w AS (SELECT doc_id, unnest(range(0, len(ts)-20+1)) AS s, ts FROM t WHERE len(ts) >= 20), " +
+       "w2 AS (SELECT doc_id, s, array_to_string(ts[s+1:s+20], ' ') AS key FROM w), " +
+       "k AS (SELECT doc_id, s, row_number() OVER (PARTITION BY key ORDER BY doc_id, s) AS rn, " +
+       "count(*) OVER (PARTITION BY key) AS cnt FROM w2), " +
+       "rm AS (SELECT doc_id, s FROM k WHERE cnt > 1 AND rn > 1), " +
+       "tok AS (SELECT doc_id, ts, unnest(range(1, len(ts)+1)) AS p FROM t), " +
+       "kept AS (SELECT tk.doc_id, tk.p, tk.ts[tk.p] AS tok FROM tok tk " +
+       "WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.doc_id = tk.doc_id AND tk.p BETWEEN rm.s+1 AND rm.s+20)), " +
+       "agg AS (SELECT doc_id, count(*) AS n_kept, coalesce(string_agg(tok, ' ' ORDER BY p), '') AS txt FROM kept GROUP BY doc_id), " +
+       "rmc AS (SELECT doc_id, count(*) AS n_spans FROM rm GROUP BY doc_id) " +
+       "SELECT t.doc_id AS id, len(t.ts) AS n_tokens, " +
+       "coalesce(rmc.n_spans, 0) AS n_dup_spans, " +
+       "len(t.ts) - coalesce(agg.n_kept, 0) AS n_removed_tokens, " +
+       "coalesce(agg.txt, '') AS text_deduped " +
+       "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN rmc ON t.doc_id = rmc.doc_id " +
+       "ORDER BY id"),
 
     // exact re-derivation of the blocked shingle-set Jaccard best-match:
     // 3-token shingles (whole text when <3 tokens), block = lang,

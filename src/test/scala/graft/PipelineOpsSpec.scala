@@ -1218,4 +1218,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     val b1 = texts(Amplify.replica(docs, "documents", 1))
     assert(toks(b1(1L)).toSet.intersect(toks(src(1L)).toSet).isEmpty)
   }
+
+  test("lineDedup keeps first global occurrence, dedups within-doc repeats, exempts short lines") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared header line\nunique alpha content\nshared header line"), // self-repeat
+      (2L, "shared header line\nunique bravo content\nok"),
+      (3L, "unique charlie content\nok"))
+      .toDF("doc_id", "text")
+    val out = Corpus.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed_lines"), r.getAs[String]("text_deduped"))).toMap
+    // doc 1 keeps the FIRST copy of the header, loses its own repeat
+    assert(out(1L) == ((3L, 1L, "shared header line\nunique alpha content")))
+    // doc 2 loses the header (doc 1 owns it) but keeps everything else
+    assert(out(2L) == ((3L, 1L, "unique bravo content\nok")))
+    // "ok" in doc 3 duplicates doc 2's → removed under minLineChars = 0
+    assert(out(3L) == ((2L, 1L, "unique charlie content")))
+    // with minLineChars = 5 the 2-char "ok" lines are exempt everywhere
+    val exempt = Corpus.lineDedup(docs, "doc_id", "text", minLineChars = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text_deduped")).toMap
+    assert(exempt(3L) == "unique charlie content\nok")
+    assert(exempt(2L) == "unique bravo content\nok")
+  }
+
+  test("spanDedup removes non-first duplicated spans as a position union; short docs pass through") {
+    import spark.implicits._
+    // 6-token duplicated run planted in docs 1 and 2 (span length 4 →
+    // three duplicated windows in each, overlapping → union removal)
+    val dup = "d1 d2 d3 d4 d5 d6"
+    val docs = Seq(
+      (1L, s"a1 a2 $dup a3 a4"),
+      (2L, s"b1 $dup b2 b3 b4"),
+      (3L, "c1 c2 c3")) // shorter than spanLen: no windows
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanLen = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+         r.getAs[Long]("n_removed_tokens"), r.getAs[String]("text_deduped"))).toMap
+    // doc 1 is the first global occurrence → keeps its copy intact
+    assert(out(1L) == ((10L, 0L, 0L, s"a1 a2 $dup a3 a4")))
+    // doc 2 loses the union of its three duplicated windows = the whole run
+    assert(out(2L) == ((10L, 3L, 6L, "b1 b2 b3 b4")))
+    // doc 3: below spanLen, byte-identical pass-through
+    assert(out(3L) == ((3L, 0L, 0L, "c1 c2 c3")))
+  }
 }
