@@ -912,6 +912,94 @@ object Corpus {
             lit(0L), (acc, x) => acc + x)).as("w_micro"))
   }
 
+  /** C4-style line-and-document quality filter (Raffel et al., JMLR 2020,
+    * the public "Colossal Clean Crawled Corpus" rules). Line level: a line
+    * is RETAINED iff it ends in a terminal punctuation mark (period,
+    * exclamation, question mark, or end quote), has at least
+    * `minWordsPerLine` words, and does not mention "javascript"
+    * (case-insensitive). Document level: the doc is KEPT iff its raw text
+    * contains no curly brace (code) and no "lorem ipsum" (placeholder
+    * boilerplate), and at least `minLines` lines survive the line rules.
+    * Dropped docs still report their filtered rendering so callers can
+    * audit what the gate saw.
+    *
+    * Entirely row-local — one projection, no shuffle, no join, identical
+    * plan on a streaming frame. Returns one row per input row:
+    * (id, n_lines, n_kept_lines, keep, text_filtered). */
+  def c4LineFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWordsPerLine: Int = 5,
+      minLines: Int = 3,
+      sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val arr = split(col(textCol), sepRe)
+    val lineOk = (l: Column) =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        (size(split(l, "\\s+")) >= minWordsPerLine) &&
+        !contains(lower(l), lit("javascript"))
+    val docOk = !contains(col(textCol), lit("{")) &&
+      !contains(lower(col(textCol)), lit("lorem ipsum"))
+    // materialize the filtered array once (filter is an interpreted HOF —
+    // it feeds three output columns)
+    df.select(col(idCol).as("id"), size(arr).cast("long").as("n_lines"),
+        filter(arr, lineOk).as("__kept"), docOk.as("__docok"))
+      .select(col("id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        (col("__docok") && size(col("__kept")) >= minLines).as("keep"),
+        concat_ws(sep, col("__kept")).as("text_filtered"))
+  }
+
+  /** GPT-style sequence packing — concatenate documents in a deterministic
+    * order and slice the token stream into fixed-`seqLen` training
+    * sequences, emitting one row per (document × sequence) fragment. This
+    * is the standard "pack then chunk" pretraining layout (no padding
+    * waste); the emitted (seq_id, start_in_seq, fragment) rows are exactly
+    * what a loader needs to materialize dense batches, and the fragment
+    * rows carry enough to reconstruct attention-mask document boundaries.
+    *
+    * Order within a shard is (md5(id ":" salt), id) — the same
+    * randomness-as-pure-function trick as [[stratifiedSample]]: the
+    * "shuffled" packing is a pure function of the data, reproducible
+    * across runs, engines, and partitionings.
+    *
+    * Scale: packing is per-`shardCol` (a real run shards by source ×
+    * digest-bucket so each shard's window sorts independently) — the
+    * cumulative-offset window is the shard's only ordered pass, the
+    * explode emits ≤ 1 + n/seqLen rows per doc, and the fragment slice is
+    * row-local. No global sort exists anywhere. Returns
+    * (shard, id, seq_id, frag_idx, start_in_seq, n_frag_tokens,
+    * frag_text); `seq_id` numbers sequences within the shard. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int,
+      shardCol: String,
+      salt: String = "pack"): DataFrame = {
+    require(seqLen >= 1, "seqLen must be at least 1")
+    val base = df.select(col(shardCol).as("shard"), col(idCol).as("id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__ts"))
+      .withColumn("__d", md5(concat(col("id").cast("string"), lit(":" + salt))))
+      .withColumn("n", size(col("__ts")).cast("long"))
+    val w = Window.partitionBy("shard").orderBy(col("__d"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = seqLen.toLong
+    base.withColumn("off", sum(col("n")).over(w) - col("n"))
+      .withColumn("q", explode(sequence(
+        expr(s"off div $L"), expr(s"(off + n - 1) div $L"))))
+      .select(col("shard"), col("id"), col("q").as("seq_id"),
+        (col("q") - expr(s"off div $L")).as("frag_idx"),
+        (greatest(col("off"), col("q") * L) - col("q") * L).as("start_in_seq"),
+        (least(col("off") + col("n"), (col("q") + 1) * L) -
+          greatest(col("off"), col("q") * L)).as("n_frag_tokens"),
+        concat_ws(" ", slice(col("__ts"),
+          (greatest(col("off"), col("q") * L) - col("off") + 1).cast("int"),
+          (least(col("off") + col("n"), (col("q") + 1) * L) -
+            greatest(col("off"), col("q") * L)).cast("int"))).as("frag_text"))
+  }
+
   /** Corpus-wide LINE-level exact dedup — the CCNet / RefinedWeb curation
     * step that exact-document dedup misses: boilerplate lines (headers,
     * cookie banners, navigation chrome) repeat across millions of pages

@@ -408,6 +408,36 @@ object PipelineQueries {
       Corpus.lineDedup(docs, "doc_id", "ml_text").orderBy("id")
     }),
 
+    // C4 line+doc filter: the corpus has no punctuation, so the query first
+    // renders deterministic 6-token lines with a cycling suffix
+    // (./?/!/none), a "javascript " prefix on every 7th (doc_id+idx) line,
+    // and doc-level "lorem ipsum." / "code { block." injections — all four
+    // line rules and all three doc rules fire somewhere at every SF, and
+    // DuckDB rebuilds the identical input
+    "text_c4_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents").df.select(col("doc_id"),
+        concat(
+          concat_ws("\n", transform(TextFunctions.tokenChunks(col("text"), 6, 6), c => {
+            val i = c.getField("chunk_idx").cast("long")
+            val pre = when((col("doc_id") + i) % 7 === 0, lit("javascript ")).otherwise(lit(""))
+            val suf = element_at(array(lit("."), lit("?"), lit("!"), lit("")),
+              (((col("doc_id") + i) % 4) + 1).cast("int"))
+            concat(pre, c.getField("chunk_text"), suf)
+          })),
+          when(col("doc_id") % 23 === 0, lit("\nlorem ipsum.")).otherwise(lit("")),
+          when(col("doc_id") % 29 === 0, lit("\ncode { block.")).otherwise(lit(""))).as("ml_text"))
+      Corpus.c4LineFilter(docs, "doc_id", "ml_text").orderBy("id")
+    }),
+
+    // GPT-style pack-then-chunk sequence layout (seqLen=64, sharded by
+    // lang, md5-digest order): every fragment boundary is pure window
+    // arithmetic over the deterministic order, so DuckDB re-derives the
+    // complete fragment table including the sliced text
+    "text_pack_sequences" -> ((s, d) =>
+      Corpus.packSequences(t(s, d, "documents").df, "doc_id", "text",
+          seqLen = 64, shardCol = "lang")
+        .orderBy("shard", "seq_id", "start_in_seq", "id")),
+
     // Lee et al. 2022 exact-substring dedup at token granularity: every
     // 20-token span occurring >1 time in the corpus is removed everywhere
     // but its first global occurrence, overlaps removed as a position
@@ -1497,6 +1527,42 @@ object PipelineQueries {
        "count(*) FILTER (WHERE rn > 1) AS n_removed_lines, " +
        "coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), '') AS text_deduped " +
        "FROM k GROUP BY doc_id ORDER BY id"),
+
+    // identical line rebuild (6-token chunks, cycling suffix, javascript
+    // prefix, doc-level injections), then the four line rules and three
+    // doc rules verbatim
+    "text_c4_filter" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+       "r AS (SELECT doc_id, list_concat(list_concat(" +
+       "[CASE WHEN (doc_id + (i-1)//6) % 7 = 0 THEN 'javascript ' ELSE '' END || " +
+       "array_to_string(ts[i:i+5], ' ') || " +
+       "['.','?','!',''][CAST((doc_id + (i-1)//6) % 4 AS INT) + 1] " +
+       "FOR i IN generate_series(1, len(ts), 6)], " +
+       "CASE WHEN doc_id % 23 = 0 THEN ['lorem ipsum.'] ELSE []::VARCHAR[] END), " +
+       "CASE WHEN doc_id % 29 = 0 THEN ['code { block.'] ELSE []::VARCHAR[] END) AS lines FROM t), " +
+       "f AS (SELECT doc_id, lines, array_to_string(lines, chr(10)) AS full_text, " +
+       "list_filter(lines, l -> right(rtrim(l), 1) IN ('.', '!', '?', '\"') AND " +
+       "len(regexp_split_to_array(l, '\\s+')) >= 5 AND NOT contains(lower(l), 'javascript')) AS kept FROM r) " +
+       "SELECT doc_id AS id, CAST(len(lines) AS BIGINT) AS n_lines, " +
+       "CAST(len(kept) AS BIGINT) AS n_kept_lines, " +
+       "(NOT contains(full_text, '{') AND NOT contains(lower(full_text), 'lorem ipsum') " +
+       "AND len(kept) >= 3) AS keep, " +
+       "coalesce(array_to_string(kept, chr(10)), '') AS text_filtered FROM f ORDER BY id"),
+
+    // per-lang md5-digest order → cumulative token offsets → one row per
+    // (doc × intersecting 64-token sequence) with the exact slice bounds
+    "text_pack_sequences" ->
+      ("WITH t AS (SELECT lang AS shard, doc_id AS id, " +
+       "regexp_split_to_array(text, '\\s+') AS ts, md5(doc_id || ':pack') AS d FROM documents), " +
+       "c AS (SELECT shard, id, ts, CAST(len(ts) AS BIGINT) AS n, " +
+       "CAST(SUM(len(ts)) OVER (PARTITION BY shard ORDER BY d, id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(ts) AS BIGINT) AS off FROM t), " +
+       "e AS (SELECT shard, id, ts, n, off, unnest(range(off//64, (off+n-1)//64 + 1)) AS q FROM c) " +
+       "SELECT shard, id, q AS seq_id, q - off//64 AS frag_idx, " +
+       "greatest(off, q*64) - q*64 AS start_in_seq, " +
+       "least(off+n, (q+1)*64) - greatest(off, q*64) AS n_frag_tokens, " +
+       "array_to_string(ts[CAST(greatest(off, q*64)-off+1 AS INT) : CAST(least(off+n, (q+1)*64)-off AS INT)], ' ') AS frag_text " +
+       "FROM e ORDER BY shard, seq_id, start_in_seq, id"),
 
     // windows → keeper rank → removed starts → coverage anti-filter →
     // ordered reassembly; docs with <20 tokens never window and pass

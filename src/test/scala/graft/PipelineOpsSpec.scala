@@ -1242,6 +1242,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exempt(2L) == "unique bravo content\nok")
   }
 
+  test("c4LineFilter applies each line rule and each doc rule independently") {
+    import spark.implicits._
+    val good = "this line has enough words."
+    val docs = Seq(
+      (1L, s"$good\nanother proper sentence right here!\nthird full sentence is also fine?"),
+      (2L, s"$good\nno terminal punctuation here at all\n$good\n$good"), // punct rule drops line 2
+      (3L, s"$good\ntoo short.\n$good\n$good"), // word-count rule
+      (4L, s"$good\nthis JavaScript line would be dropped.\n$good\n$good"), // case-insensitive js rule
+      (5L, s"$good\ncode block { right inside.\n$good"), // doc rule: brace
+      (6L, s"$good\nsome classic Lorem Ipsum filler.\n$good\n$good"), // doc rule: lorem ipsum
+      (7L, s"$good\n$good")) // only 2 surviving lines < minLines
+      .toDF("doc_id", "text")
+    val out = Corpus.c4LineFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept_lines"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == ((3L, 3L, true)))
+    assert(out(2L) == ((4L, 3L, true))) // line dropped, doc survives on the rest
+    assert(out(3L) == ((4L, 3L, true)))
+    assert(out(4L) == ((4L, 3L, true)))
+    assert(out(5L) == ((3L, 3L, false))) // line rules all pass; brace kills the doc
+    assert(out(6L) == ((4L, 4L, false)))
+    assert(out(7L) == ((2L, 2L, false)))
+  }
+
+  test("packSequences tiles each shard's token stream exactly and reconstructs every doc") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i =>
+      (i, (1L to (i % 7) * 13 + 4).map(j => s"t${i}_$j").mkString(" "), s"s${i % 3}"))
+      .toDF("doc_id", "text", "src")
+    val frags = Corpus.packSequences(docs, "doc_id", "text", seqLen = 16, shardCol = "src")
+      .collect()
+    val byDoc = frags.groupBy(_.getAs[Long]("id"))
+    val docToks = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // every doc reconstructs from its fragments in frag_idx order
+    for ((id, fs) <- byDoc) {
+      val rebuilt = fs.sortBy(_.getAs[Long]("frag_idx")).map(_.getAs[String]("frag_text")).mkString(" ")
+      assert(rebuilt == docToks(id), s"doc $id")
+      assert(fs.map(_.getAs[Long]("n_frag_tokens")).sum == docToks(id).split("\\s+").length)
+    }
+    // within a shard, every sequence except the last is exactly full, and
+    // fragments tile [0, seqLen) without gap or overlap
+    for ((_, sf) <- frags.groupBy(_.getAs[String]("shard"))) {
+      val bySeq = sf.groupBy(_.getAs[Long]("seq_id")).toSeq.sortBy(_._1)
+      for (((q, fs), k) <- bySeq.zipWithIndex) {
+        val spans = fs.map(r => (r.getAs[Long]("start_in_seq"), r.getAs[Long]("n_frag_tokens")))
+          .sortBy(_._1)
+        assert(spans.head._1 == 0L, s"seq $q starts at 0")
+        spans.sliding(2).filter(_.length == 2).foreach { pair =>
+          assert(pair(0)._1 + pair(0)._2 == pair(1)._1, s"seq $q contiguous")
+        }
+        val total = spans.map(_._2).sum
+        if (k < bySeq.length - 1) assert(total == 16L, s"seq $q full")
+        else assert(total <= 16L, s"seq $q last")
+      }
+    }
+    // deterministic under input reordering (the digest order is data-pure)
+    val again = Corpus.packSequences(docs.orderBy(rand(7)), "doc_id", "text", 16, "src")
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == frags.map(_.toString).sorted.toSeq)
+  }
+
   test("spanDedup removes non-first duplicated spans as a position union; short docs pass through") {
     import spark.implicits._
     // 6-token duplicated run planted in docs 1 and 2 (span length 4 →
