@@ -1000,6 +1000,116 @@ object Corpus {
             greatest(col("off"), col("q") * L)).cast("int"))).as("frag_text"))
   }
 
+  /** Symbol-sequence encoding shared by [[bpeTrain]] and [[bpeSegment]]:
+    * a word's symbol list renders as one string with every symbol wrapped
+    * in 0x1E…0x1F (record/unit separator) brackets. The bracketing makes a
+    * single non-overlapping left-to-right `replace` of
+    * "⟨a⟩⟨b⟩" → "⟨ab⟩" EXACTLY the greedy BPE merge step — boundary-safe
+    * (a symbol can never match inside another) and with the correct
+    * repeat semantics ("b b b b" merges to "bb bb", the scan resuming
+    * after each replacement) — in both Spark and ANSI SQL, which is what
+    * keeps the whole trainer oracle-derivable. */
+  private val BpeRS = "\u001e"
+  private val BpeUS = "\u001f"
+
+  private def bpeWrapChars(w: Column): Column =
+    array_join(transform(split(w, ""), c => concat(lit(BpeRS), c, lit(BpeUS))), "")
+
+  private def bpeSyms(state: Column): Column =
+    split(state.substr(lit(2), length(state) - 2), BpeUS + BpeRS)
+
+  /** Byte-pair-encoding vocabulary training (Sennrich et al., ACL 2016) —
+    * the `nMerges` highest-count adjacent-symbol merges over the corpus
+    * word-frequency table, symbols starting as characters. Ties break
+    * (count desc, left asc, right asc), and pair counts are exact integer
+    * sums, so the learned merge TABLE is deterministic at any partitioning
+    * and exactly re-derivable by unrolled SQL. No end-of-word marker (the
+    * GPT-2-style simplification); words containing the 0x1E/0x1F bracket
+    * chars are excluded from training (they would corrupt the encoding).
+    *
+    * Scale shape: the corpus is read ONCE (word-count reduce, map-side
+    * combinable, uniform hash keys); every merge round then runs on the
+    * WORD table — vocabulary-sized, not corpus-sized — as one
+    * pair-count reduce plus a `TakeOrderedAndProject` argmax (O(1) rows
+    * to the driver) and a row-local `replace`. The word table
+    * localCheckpoints each round to keep lineage flat. Returns the merge
+    * table (merge_rank, lhs, rhs, merged, pair_count); fewer than
+    * `nMerges` rows iff the vocabulary runs out of adjacent pairs. */
+  def bpeTrain(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be at least 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && !col("w").rlike("[\\x1e\\x1f]"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(bpeWrapChars(col("w")).as("state"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val top = words
+        .select(bpeSyms(col("state")).as("syms"), col("cnt"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("syms")) - 2), i =>
+          struct(element_at(col("syms"), i + 1).as("a"),
+            element_at(col("syms"), i + 2).as("b")))).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, a + b, c))
+        words = words
+          .select(replace(col("state"),
+            lit(BpeRS + a + BpeUS + BpeRS + b + BpeUS),
+            lit(BpeRS + a + b + BpeUS)).as("state"), col("cnt"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Apply a trained BPE merge table to every word of every document —
+    * row-local: the merges collect to the driver (bounded vocabulary
+    * metadata, like the ANN centroid collect) and compile into a chain of
+    * `nMerges` codegen'd `replace` calls over the bracketed symbol string;
+    * no join, no shuffle, identical plan on a streaming frame. Returns one
+    * row per input row: (id, n_words, n_subwords, segmented) where
+    * `segmented` joins subwords with "+" inside each word and words with
+    * a space — the standard subword-NMT-style audit rendering. */
+  def bpeSegment(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy("merge_rank")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val segWord = (w: Column) => {
+      val merged = ms.foldLeft(bpeWrapChars(w)) { case (st, (a, b)) =>
+        replace(st, lit(BpeRS + a + BpeUS + BpeRS + b + BpeUS), lit(BpeRS + a + b + BpeUS))
+      }
+      // ⟨s1⟩⟨s2⟩… → s1+s2+…
+      replace(replace(replace(merged, lit(BpeUS + BpeRS), lit("+")),
+        lit(BpeRS), lit("")), lit(BpeUS), lit(""))
+    }
+    val ts = graft.functions.TextFunctions.tokens(col(textCol))
+    df.select(col(idCol).as("id"), transform(ts, segWord).as("__segs"))
+      .select(col("id"),
+        size(col("__segs")).cast("long").as("n_words"),
+        aggregate(col("__segs"), lit(0L),
+          (acc, s) => acc + size(split(s, "\\+"))).as("n_subwords"),
+        array_join(col("__segs"), " ").as("segmented"))
+  }
+
   /** Corpus-wide LINE-level exact dedup — the CCNet / RefinedWeb curation
     * step that exact-document dedup misses: boilerplate lines (headers,
     * cookie banners, navigation chrome) repeat across millions of pages

@@ -87,6 +87,31 @@ object PipelineQueries {
     "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
     s"FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM $src))"
 
+  /** Unrolled-SQL twin of `Corpus.bpeTrain`'s merge loop (the same
+    * re-derive-the-training-rounds pattern as the PQ Lloyd-round oracles):
+    * w0 is the char-bracketed word-frequency table, and each round r
+    * contributes pair counts (p-r), the argmax merge (m-r), and the merged
+    * word table (w-r+1) via the identical boundary-bracketed `replace`.
+    * Returns the comma-terminated CTE chain; callers append their own
+    * final select over m0..m{n-1} / w{n}. */
+  private def bpeRoundsSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "w0 AS (SELECT array_to_string(list_transform(regexp_extract_all(w, '.'), " +
+      "c -> chr(30)||c||chr(31)), '') AS state, CAST(COUNT(*) AS BIGINT) AS cnt " +
+      "FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) " +
+      "WHERE w <> '' GROUP BY state), "
+    for (r <- 0 until n) {
+      sb ++= s"p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS c FROM " +
+        s"(SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM " +
+        s"(SELECT string_split(substr(state, 2, length(state)-2), chr(31)||chr(30)) AS syms, cnt " +
+        s"FROM w$r)) GROUP BY a, b), "
+      sb ++= s"m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1), "
+      sb ++= s"w${r + 1} AS (SELECT replace(state, chr(30)||m.a||chr(31)||chr(30)||m.b||chr(31), " +
+        s"chr(30)||m.a||m.b||chr(31)) AS state, cnt FROM w$r, m$r m), "
+    }
+    sb.toString
+  }
+
   /** The text_quality heuristic score formula (inputs: n_tokens,
     * stopword_hits, text) — shared verbatim by the text_source_cap and
     * pipeline oracles so the cap stage can never drift from the declared
@@ -437,6 +462,21 @@ object PipelineQueries {
       Corpus.packSequences(t(s, d, "documents").df, "doc_id", "text",
           seqLen = 64, shardCol = "lang")
         .orderBy("shard", "seq_id", "start_in_seq", "id")),
+
+    // BPE vocabulary training (Sennrich et al. 2016), 8 merges over the
+    // corpus word table: the merge sequence exercises merged-symbol reuse
+    // (round 5 merges 'm' with the round-0 product 'er') and exact
+    // integer tie-breaking; DuckDB re-runs all 8 rounds from raw text
+    "text_bpe_train" -> ((s, d) =>
+      Corpus.bpeTrain(t(s, d, "documents").df, "text", nMerges = 8)
+        .orderBy("merge_rank")),
+
+    // the trained merges applied to every word of every doc (train +
+    // segment re-derived end-to-end by the oracle, like the PQ pipelines)
+    "text_bpe_segment" -> ((s, d) => {
+      val m = Corpus.bpeTrain(t(s, d, "documents").df, "text", nMerges = 8)
+      Corpus.bpeSegment(t(s, d, "documents").df, "doc_id", "text", m).orderBy("id")
+    }),
 
     // Lee et al. 2022 exact-substring dedup at token granularity: every
     // 20-token span occurring >1 time in the corpus is removed everywhere
@@ -1527,6 +1567,32 @@ object PipelineQueries {
        "count(*) FILTER (WHERE rn > 1) AS n_removed_lines, " +
        "coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), '') AS text_deduped " +
        "FROM k GROUP BY doc_id ORDER BY id"),
+
+    // all 8 training rounds unrolled (bpeRoundsSql), then the merge table
+    "text_bpe_train" ->
+      ("WITH " + bpeRoundsSql(8) +
+       "mm AS (" + (0 until 8).map(r =>
+         s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, a||b AS merged, CAST(c AS BIGINT) AS pair_count FROM m$r")
+         .mkString(" UNION ALL ") + ") " +
+       "SELECT * FROM mm ORDER BY merge_rank"),
+
+    // the same 8 rounds, then the merge chain applied to every word in
+    // doc order and reassembled
+    "text_bpe_segment" ->
+      ("WITH " + bpeRoundsSql(8) +
+       "tok AS (SELECT doc_id, ts, unnest(range(1, len(ts)+1)) AS p FROM " +
+       "(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
+       "base AS (SELECT doc_id, p, array_to_string(list_transform(regexp_extract_all(ts[p], '.'), " +
+       "c -> chr(30)||c||chr(31)), '') AS st FROM tok), " +
+       "app AS (SELECT doc_id, p, " +
+       (0 until 8).foldLeft("st") { (acc, r) =>
+         s"replace($acc, chr(30)||m$r.a||chr(31)||chr(30)||m$r.b||chr(31), chr(30)||m$r.a||m$r.b||chr(31))"
+       } + " AS st FROM base, " + (0 until 8).map("m" + _).mkString(", ") + "), " +
+       "fin AS (SELECT doc_id, p, replace(replace(replace(st, chr(31)||chr(30), '+'), chr(30), ''), chr(31), '') AS seg, " +
+       "len(string_split(st, chr(31)||chr(30))) AS nsw FROM app) " +
+       "SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words, " +
+       "CAST(SUM(nsw) AS BIGINT) AS n_subwords, " +
+       "string_agg(seg, ' ' ORDER BY p) AS segmented FROM fin GROUP BY doc_id ORDER BY id"),
 
     // identical line rebuild (6-token chunks, cycling suffix, javascript
     // prefix, doc-level injections), then the four line rules and three

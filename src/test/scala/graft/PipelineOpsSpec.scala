@@ -1242,6 +1242,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exempt(2L) == "unique bravo content\nok")
   }
 
+  test("bpeTrain learns greedy merges with exact tie-breaks; bpeSegment applies them left-to-right") {
+    import spark.implicits._
+    // "abab" x3 + "aab" x2: round 0 pair counts: (a,b)=8, (b,a)=3, (a,a)=2
+    val docs = Seq((1L, "abab abab abab aab aab")).toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(docs, "text", nMerges = 3).collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    assert(merges(0) == ((0, "a", "b", "ab", 8L)))
+    // after merging ab: "abab"->[ab,ab] x3 → (ab,ab)=3; "aab"->[a,ab] x2 → (a,ab)=2
+    assert(merges(1) == ((1, "ab", "ab", "abab", 3L)))
+    assert(merges(2) == ((2, "a", "ab", "aab", 2L)))
+    val m = Corpus.bpeTrain(docs, "text", nMerges = 3)
+    val seg = Corpus.bpeSegment(Seq((7L, "abab aab ababab ba")).toDF("doc_id", "text"),
+      "doc_id", "text", m).collect().head
+    // ababab: greedy → [ab,ab,ab] → [abab, ab]; ba: no merge applies
+    assert(seg.getAs[String]("segmented") == "abab aab abab+ab b+a")
+    assert(seg.getAs[Long]("n_words") == 4L)
+    assert(seg.getAs[Long]("n_subwords") == 6L)
+    // repeat semantics: "b b b b" under (b,b) merges to [bb][bb], not [bb][b][b]
+    val m2 = Seq((0, "b", "b", "bb", 1L)).toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    val seg2 = Corpus.bpeSegment(Seq((1L, "bbbb bbb")).toDF("doc_id", "text"), "doc_id", "text", m2)
+      .collect().head
+    assert(seg2.getAs[String]("segmented") == "bb+bb bb+b")
+  }
+
   test("c4LineFilter applies each line rule and each doc rule independently") {
     import spark.implicits._
     val good = "this line has enough words."
