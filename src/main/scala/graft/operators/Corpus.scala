@@ -912,6 +912,64 @@ object Corpus {
             lit(0L), (acc, x) => acc + x)).as("w_micro"))
   }
 
+  /** Per-line duplicate VERDICTS of `df` against a static corpus line
+    * store — the row-local core shared by [[lineDedupAgainst]] (batch,
+    * with reassembly) and `Streams.lineDedupStream` (append-mode
+    * stream-static twin, no aggregation): explode lines, flag each
+    * occurrence whose exact line already exists ANYWHERE in the corpus
+    * (corpus precedence — within-batch repeats are NOT deduped here; run
+    * [[lineDedup]] over the accepted corpus for that). Lines shorter than
+    * `minLineChars` are exempt. One distinct-reduce builds the store's
+    * md5 set once; the batch side is an equi-join on the hash — the only
+    * shuffle is hash-keyed metadata. Returns (id, idx, line, dup). */
+  def lineVerdicts(
+      df: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minLineChars: Int = 0): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val store = corpus.select(explode(split(col(textCol), sepRe)).as("line"))
+      .filter(length(col("line")) >= minLineChars)
+      .select(md5(col("line").cast("binary")).as("h")).distinct()
+      .withColumn("__in_store", lit(true))
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRe)).as(Seq("idx", "line")))
+      .withColumn("h",
+        when(length(col("line")) >= minLineChars, md5(col("line").cast("binary"))))
+      .join(store, Seq("h"), "left")
+      .select(col("id"), col("idx"), col("line"),
+        coalesce(col("__in_store"), lit(false)).as("dup"))
+  }
+
+  /** Incremental [[lineDedup]]: dedup a NEW batch's lines against the
+    * already-accepted corpus (corpus precedence, exempt-short-lines rule
+    * unchanged) and reassemble each batch doc — the form an ingestion
+    * pipeline runs per increment so the line store never re-processes
+    * history. Same output schema as [[lineDedup]]. */
+  def lineDedupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minLineChars: Int = 0): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val removed = lineVerdicts(batch, corpus, idCol, textCol, sep, minLineChars)
+      .filter(col("dup"))
+      .groupBy("id").agg(sort_array(collect_list(col("idx"))).as("rm"))
+      .withColumnRenamed("id", "__rm_id")
+    val arr = split(col(textCol), sepRe)
+    val rmArr = coalesce(col("rm"), array().cast("array<int>"))
+    batch.join(removed, col(idCol) === col("__rm_id"), "left")
+      .select(
+        col(idCol).as("id"),
+        size(arr).cast("long").as("n_lines"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed_lines"),
+        concat_ws(sep, filter(arr, (_, i) => !array_contains(rmArr, i))).as("text_deduped"))
+  }
+
   /** C4-style line-and-document quality filter (Raffel et al., JMLR 2020,
     * the public "Colossal Clean Crawled Corpus" rules). Line level: a line
     * is RETAINED iff it ends in a terminal punctuation mark (period,

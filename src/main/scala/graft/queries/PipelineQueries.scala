@@ -87,6 +87,15 @@ object PipelineQueries {
     "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
     s"FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM $src))"
 
+  /** Deterministic multi-line rendering of the documents table (8-token
+    * lines, the text_chunk slicing at size=stride=8) — the corpus has no
+    * newlines, so the line-dedup family's declared queries share this
+    * rebuild; its DuckDB twin is the l2 CTE of their oracles. */
+  private def multiLineDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").df.select(col("doc_id"),
+      concat_ws("\n", transform(TextFunctions.tokenChunks(col("text"), 8, 8),
+        c => c.getField("chunk_text"))).as("ml_text"))
+
   /** Unrolled-SQL twin of `Corpus.bpeTrain`'s merge loop (the same
     * re-derive-the-training-rounds pattern as the PQ Lloyd-round oracles):
     * w0 is the char-bracketed word-frequency table, and each round r
@@ -426,11 +435,17 @@ object PipelineQueries {
     // share exact lines across docs, which is precisely the boilerplate
     // signal the operator exists to remove (53 docs lose lines at sf0.01).
     // First-global-occurrence-keeps is exactly re-derivable in SQL.
-    "text_line_dedup" -> ((s, d) => {
-      val docs = t(s, d, "documents").df.select(col("doc_id"),
-        concat_ws("\n", transform(TextFunctions.tokenChunks(col("text"), 8, 8),
-          c => c.getField("chunk_text"))).as("ml_text"))
-      Corpus.lineDedup(docs, "doc_id", "ml_text").orderBy("id")
+    "text_line_dedup" -> ((s, d) =>
+      Corpus.lineDedup(multiLineDocs(s, d), "doc_id", "ml_text").orderBy("id")),
+
+    // incremental form: docs ≥ 250 dedup their lines against the < 250
+    // corpus store only (corpus precedence, no within-batch dedup) — the
+    // per-increment ingestion shape; same SQL re-derivation with the
+    // store as a DISTINCT line set
+    "text_line_dedup_incremental" -> ((s, d) => {
+      val ml = multiLineDocs(s, d)
+      Corpus.lineDedupAgainst(ml.filter(col("doc_id") >= 250),
+        ml.filter(col("doc_id") < 250), "doc_id", "ml_text").orderBy("id")
     }),
 
     // C4 line+doc filter: the corpus has no punctuation, so the query first
@@ -1566,6 +1581,20 @@ object PipelineQueries {
        "SELECT doc_id AS id, count(*) AS n_lines, " +
        "count(*) FILTER (WHERE rn > 1) AS n_removed_lines, " +
        "coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), '') AS text_deduped " +
+       "FROM k GROUP BY doc_id ORDER BY id"),
+
+    // batch lines (docs ≥ 250) flagged against the DISTINCT < 250 line
+    // store, then the same reassembly arithmetic
+    "text_line_dedup_incremental" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+       "l AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts), 8)) AS i FROM t), " +
+       "l2 AS (SELECT doc_id, CAST((i-1)//8 AS INT) AS idx, array_to_string(ts[i:i+7], ' ') AS line FROM l), " +
+       "store AS (SELECT DISTINCT line FROM l2 WHERE doc_id < 250), " +
+       "k AS (SELECT b.doc_id, b.idx, b.line, (s.line IS NOT NULL) AS dup " +
+       "FROM (SELECT * FROM l2 WHERE doc_id >= 250) b LEFT JOIN store s ON b.line = s.line) " +
+       "SELECT doc_id AS id, count(*) AS n_lines, " +
+       "count(*) FILTER (WHERE dup) AS n_removed_lines, " +
+       "coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE NOT dup), '') AS text_deduped " +
        "FROM k GROUP BY doc_id ORDER BY id"),
 
     // all 8 training rounds unrolled (bpeRoundsSql), then the merge table

@@ -510,6 +510,48 @@ object Streams {
       buckets: Int = 4096): DataFrame =
     graft.operators.Corpus.dsirScoreAgainst(stream, model, idCol, textCol, buckets)
 
+  /** Streaming C4 line-and-document filter — `Corpus.c4LineFilter` is one
+    * row-local projection, so the identical plan runs on a streaming frame
+    * in append mode with zero state. */
+  def c4FilterStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWordsPerLine: Int = 5,
+      minLines: Int = 3,
+      sep: String = "\n"): DataFrame =
+    graft.operators.Corpus.c4LineFilter(stream, idCol, textCol, minWordsPerLine, minLines, sep)
+
+  /** Streaming BPE segmentation against a FROZEN merge table — the
+    * train-once / serve-streams split (same contract as the frozen-LM and
+    * DSIR scorers): the merges collect into the plan at query start, each
+    * micro-batch is a row-local `replace` chain, zero streaming state,
+    * append mode. Retraining means restarting the query with the new
+    * table — segmentation mid-stream must never silently change vocab. */
+  def bpeSegmentStream(
+      stream: DataFrame,
+      merges: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Corpus.bpeSegment(stream, idCol, textCol, merges)
+
+  /** Streaming incremental line dedup — per-LINE verdicts of the stream's
+    * docs against the static accepted-corpus line store
+    * (`Corpus.lineVerdicts`): a row-local explode plus one stream-static
+    * equi-join on the line hash, so it runs append-mode with zero
+    * streaming state. Emits (id, idx, line, dup); reassembly of kept
+    * lines is a per-doc AGGREGATION, which is deliberately left to the
+    * batch consumer (`Corpus.lineDedupAgainst`) — the same
+    * aggregate-stays-batch-side split as the ANN rerank stage. */
+  def lineDedupStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minLineChars: Int = 0): DataFrame =
+    graft.operators.Corpus.lineVerdicts(stream, corpus, idCol, textCol, sep, minLineChars)
+
   /** Convenience: run any streaming frame into an in-memory table and block
     * until every available input is processed (local smoke pattern). */
   def runToMemory(df: DataFrame, queryName: String, mode: OutputMode): StreamingQuery = {

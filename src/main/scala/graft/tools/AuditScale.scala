@@ -44,7 +44,9 @@ object AuditScale {
     "text_decontaminate", "text_decontaminate_bloom",
     "text_lm_quality", "text_lm_bigram", "text_tfidf_topterms",
     "sim_ivf_train", "text_quality_gate", "pipeline_corpus_e2e",
-    "pipeline_ingest_batch", "sim_topk_pq_rotated", "text_dsir_select")
+    "pipeline_ingest_batch", "sim_topk_pq_rotated", "text_dsir_select",
+    "text_line_dedup", "dedup_substring_spans", "text_pack_sequences",
+    "text_bpe_train")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

@@ -235,6 +235,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("c4FilterStream and bpeSegmentStream are stateless and bit-equal to their batch twins") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "good long sentence right here.\nshort.\nanother proper full sentence here!"),
+      (2L, "this javascript line is long enough.\nplain line with no punctuation at all"))
+    val trainDocs = Seq((0L, "abab abab aab")).toDF("doc_id", "text")
+    val merges = graft.operators.Corpus.bpeTrain(trainDocs, "text", 2)
+    val ms = MemoryStream[(Long, String)](spark)
+    val sdf = ms.toDF().toDF("doc_id", "text")
+    val c4 = Streams.c4FilterStream(sdf, "doc_id", "text")
+    val bpe = Streams.bpeSegmentStream(sdf, merges, "doc_id", "text")
+    ms.addData(rows: _*)
+    val q1 = Streams.runToMemory(c4, "c4_out", OutputMode.Append())
+    val q2 = Streams.runToMemory(bpe, "bpe_out", OutputMode.Append())
+    try {
+      def norm(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.toString).sorted.toSeq
+      assert(norm(spark.table("c4_out").collect()) ==
+        norm(graft.operators.Corpus.c4LineFilter(rows.toDF("doc_id", "text"), "doc_id", "text").collect()))
+      assert(norm(spark.table("bpe_out").collect()) ==
+        norm(graft.operators.Corpus.bpeSegment(rows.toDF("doc_id", "text"), "doc_id", "text", merges).collect()))
+    } finally { q1.stop(); q2.stop() }
+  }
+
+  test("lineDedupStream verdicts match the batch incremental removal sets") {
+    import spark.implicits._
+    val corpus = Seq((1L, "boilerplate header\nreal old content")).toDF("doc_id", "text")
+    val batchRows = Seq(
+      (10L, "boilerplate header\nfresh new content"),
+      (11L, "totally novel doc\nboilerplate header"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = Streams.lineDedupStream(ms.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text")
+    ms.addData(batchRows: _*)
+    val q = Streams.runToMemory(out, "ld_out", OutputMode.Append())
+    try {
+      val got = spark.table("ld_out").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Int]("idx")) -> r.getAs[Boolean]("dup")).toMap
+      assert(got == Map((10L, 0) -> true, (10L, 1) -> false, (11L, 0) -> false, (11L, 1) -> true))
+      // the batch reassembly agrees with the verdicts
+      val batch = graft.operators.Corpus.lineDedupAgainst(
+        batchRows.toDF("doc_id", "text"), corpus, "doc_id", "text").collect()
+        .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("n_removed_lines"), r.getAs[String]("text_deduped"))).toMap
+      assert(batch(10L) == ((1L, "fresh new content")))
+      assert(batch(11L) == ((1L, "totally novel doc")))
+    } finally q.stop()
+  }
+
   test("stateful sessionization keeps running per-user state across batches") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)
