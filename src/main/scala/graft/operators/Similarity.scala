@@ -1408,4 +1408,42 @@ object Similarity {
       .select(col(idCol), explode(topCellsLocal(col(vecCol), 1)).as("__best"))
       .select(col(idCol), col("__best.cell").as("cell"),
         round(col("__best.cos"), 6).as("cell_cos"))
+
+  /** Prototype-based data pruning (Sorscher et al., NeurIPS 2022 — "Beyond
+    * neural scaling laws"): cluster the embedding corpus, score each
+    * example's PROTOTYPICALITY as cosine-to-its-centroid, and drop the
+    * `dropPct`% most prototypical examples per cluster — when data is
+    * abundant, pruning the easiest (most redundant) examples beats random
+    * pruning, and per-cluster quotas keep the pruning from gutting small
+    * modes. The dual of [[graft.operators.Dedup.semanticDedup]]: that
+    * removes near-identical pairs; this thins dense cluster CORES.
+    *
+    * Determinism: ranks order by the ROUNDED (6 dp) cosine with id
+    * tiebreak — round-then-rank, so the kept set is exactly
+    * oracle-derivable; the per-cell drop count is integer arithmetic
+    * (size × dropPct div 100).
+    *
+    * Scale: assignment is the row-local broadcast-centroid pass
+    * ([[ivfAssign]] — embeddings never shuffle); the only exchange is the
+    * (id, cell, cos) METADATA table hash-partitioned by cell for the
+    * per-cell window, cells being the parallel unit exactly as in the IVF
+    * index. Returns one row per corpus row:
+    * (id, cell, cell_cos, proto_rank, cell_size, keep). */
+  def prototypePrune(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      dropPct: Int): DataFrame = {
+    require(dropPct >= 0 && dropPct <= 100, "dropPct must be in [0, 100]")
+    val w = Window.partitionBy("cell").orderBy(col("cell_cos").desc, col(idCol).asc)
+    ivfAssign(corpus, idCol, vecCol, centroids, centroidIdCol, centroidVecCol)
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("cell_size", count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("keep", expr(s"proto_rank > (cell_size * $dropPct) div 100"))
+      .select(col(idCol).as("id"), col("cell"), col("cell_cos"),
+        col("proto_rank"), col("cell_size"), col("keep"))
+  }
 }

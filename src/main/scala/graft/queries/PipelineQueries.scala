@@ -810,6 +810,19 @@ object PipelineQueries {
         .select(col("cell"), posexplode(col("cvec")).as(Seq("pos", "m")))
         .orderBy("cell", "pos")),
 
+    // SSL-prototypes pruning (Sorscher et al. 2022) over the trained
+    // k-means clustering: drop the 25% most-prototypical examples per
+    // cell (round-then-rank on the 6dp cosine, id tiebreak, integer drop
+    // quota) — DuckDB re-runs training, assignment, and the per-cell
+    // rank/quota from raw vectors
+    "corpus_prototype_prune" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.prototypePrune(emb, "vec_id", "embedding", cents, "cell", "cvec",
+          dropPct = 25)
+        .orderBy("id")
+    }),
+
     // the SELF-CONTAINED ANN path end to end: train the coarse quantizer
     // (2 Lloyd rounds), then IVF-search with the trained centroids
     // (assign → probe 2 cells → rank). Every stage is deterministic
@@ -2269,6 +2282,24 @@ object PipelineQueries {
        lloydRoundSql(1, "seeds") + ", " + lloydRoundSql(2, "c1") + " " +
        "SELECT cell, CAST(i.pos AS INT) AS pos, CAST(cvec[i.pos + 1] AS FLOAT) AS m " +
        "FROM c2 CROSS JOIN generate_series(0, 63) i(pos) ORDER BY cell, pos"),
+
+    // training + assignment re-run, then round-then-rank per cell with
+    // the integer drop quota
+    "corpus_prototype_prune" ->
+      ("WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec " +
+       "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+       lloydRoundSql(1, "seeds") + ", " + lloydRoundSql(2, "c1") + ", " +
+       "assign AS (SELECT vec_id, cell, cos FROM (" +
+       "SELECT e.vec_id, c.cell, " + cosSql("e.embedding", "c.cvec") + " AS cos, " +
+       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+       cosSql("e.embedding", "c.cvec") + " DESC, c.cell) AS rn " +
+       "FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1), " +
+       "r AS (SELECT vec_id, cell, round(cos, 6) AS cell_cos FROM assign), " +
+       "k AS (SELECT vec_id, cell, cell_cos, " +
+       "CAST(row_number() OVER (PARTITION BY cell ORDER BY cell_cos DESC, vec_id) AS BIGINT) AS proto_rank, " +
+       "CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size FROM r) " +
+       "SELECT vec_id AS id, cell, cell_cos, proto_rank, cell_size, " +
+       "proto_rank > (cell_size * 25) // 100 AS keep FROM k ORDER BY id"),
 
     // both Lloyd rounds re-run from scratch, then the same three-stage IVF
     // search the sim_topk_ivf oracle uses, against the TRAINED centroids

@@ -1242,6 +1242,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exempt(2L) == "unique bravo content\nok")
   }
 
+  test("prototypePrune drops the per-cell most-prototypical quota, keeps outliers") {
+    import spark.implicits._
+    // two separable clusters around (1,0) and (0,1); one far outlier per
+    // cluster (lowest cent-cos → always kept at dropPct=50)
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0)), (2L, v(1, 0.05)), (3L, v(1, -0.05)), (4L, v(0.4, 0.3)),
+      (11L, v(0, 1)), (12L, v(0.05, 1)), (13L, v(-0.05, 1)), (14L, v(0.3, 0.4)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, v(1, 0)), (1L, v(0, 1))).toDF("cell", "cvec")
+    val out = Similarity.prototypePrune(emb, "vec_id", "embedding", cents, "cell", "cvec", dropPct = 50)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("proto_rank"), r.getAs[Long]("cell_size"), r.getAs[Boolean]("keep"))).toMap
+    // each cell has 4 members → drop quota = 2: the two closest to the
+    // centroid drop, the outlier (rank 4) and rank 3 survive
+    assert(out.values.forall(_._2 == 4L))
+    assert(out.count(!_._2._3) == 4)
+    assert(out(4L)._3 && out(14L)._3) // outliers always kept
+    assert(!out(1L)._3 && !out(11L)._3) // exact-centroid members dropped
+    // dropPct = 0 keeps everything
+    val all = Similarity.prototypePrune(emb, "vec_id", "embedding", cents, "cell", "cvec", 0)
+      .collect()
+    assert(all.forall(_.getAs[Boolean]("keep")))
+  }
+
   test("bpeTrain learns greedy merges with exact tie-breaks; bpeSegment applies them left-to-right") {
     import spark.implicits._
     // "abab" x3 + "aab" x2: round 0 pair counts: (a,b)=8, (b,a)=3, (a,a)=2
