@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge
 
@@ -791,6 +792,25 @@ object Dedup {
     labeled
       .withColumn("keep", (row_number().over(w) === 1).cast("long"))
       .select("id", "cell", "component", "cent_cos", "keep")
+  }
+
+  /** Canonical-member election by SCORE: within each cluster keep the
+    * highest-scoring member (ties to the smaller id) — the step after any
+    * near-dedup clustering in a production pipeline, where "first seen"
+    * is the wrong keeper and "highest quality" is the right one. Works
+    * over any (id, cluster) assignment — minhash/winnow clusters,
+    * connected components, semantic cells. One per-cluster window over
+    * score metadata; text and vectors never enter the shuffle. Appends
+    * (elect_rank, keep) to the input row. */
+  def electBest(
+      assignments: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol)).orderBy(col(scoreCol).desc, col(idCol).asc)
+    assignments
+      .withColumn("elect_rank", row_number().over(w).cast("long"))
+      .withColumn("keep", col("elect_rank") === 1)
   }
 
   /** Exact SUBSTRING dedup at token granularity — the Lee et al. 2022

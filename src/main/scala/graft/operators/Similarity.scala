@@ -37,6 +37,39 @@ object Similarity {
               col(idCol).as("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Hard-negative mining for contrastive / retrieval training: for each
+    * query, the top-k most-similar corpus examples whose LABEL differs —
+    * the near-boundary negatives that make a contrastive batch
+    * informative (random negatives are trivially separable; hard ones
+    * carry the gradient). Same plan as [[bruteForceTopK]] — broadcast
+    * query set, label disequality folded into the join condition so
+    * same-label rows never score, WindowGroupLimit rank — and at corpus
+    * scale the same swap to the IVF/PQ candidate generators applies.
+    * Returns (query_id, query_label, rank, neighbor_id, neighbor_label,
+    * cos). */
+  def hardNegatives(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      queryLabelCol: String,
+      k: Int = 10): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries),
+        col(idCol) =!= col(queryIdCol) && col(labelCol) =!= col(queryLabelCol))
+      .withColumn("cos", cosine(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("cos"), asc(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col(queryLabelCol).as("query_label"),
+        col("rank"), col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Brute-force top-k over int8-QUANTIZED vectors: both sides compress
     * through [[graft.functions.VectorFunctions.quantizeInt8]] before
     * scoring, so the broadcast and the scan carry a quarter of the float32

@@ -503,6 +503,20 @@ object PipelineQueries {
       Dedup.spanDedup(t(s, d, "documents").df, "doc_id", "text", spanLen = 20)
         .orderBy("id")),
 
+    // canonical election by QUALITY over exact near-dup clusters: connected
+    // components of the hi-Jaccard pair graph (singletons = own component),
+    // keep the highest-quality member per component — DuckDB re-derives
+    // pairs, components (recursive CTE), quality, and the election rank
+    "dedup_elect_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      val comp = Dedup.connectedComponents(hiJaccardPairs(s, d), "id_a", "id_b")
+      val assigned = docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .select(col("doc_id").as("id"),
+          coalesce(col("component"), col("doc_id")).as("component"), col("quality"))
+      Dedup.electBest(assigned, "id", "component", "quality").orderBy("id")
+    }),
+
     // MinHash+LSH property oracle: planted near-dup pairs (exact shingle
     // Jaccard ≥ 0.8, DuckDB-recomputable) must land in one cluster with both
     // docs flagged. With r=4/b=8 banding the per-pair miss probability at
@@ -777,6 +791,20 @@ object PipelineQueries {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "query_id", "query_vec", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // hard-negative mining: top-10 nearest DIFFERENT-label neighbors per
+    // query — the embeddings table carries the cluster label, so the
+    // exact brute-force derivation is one label-disequality join away
+    // from sim_topk_brute's
+    "sim_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label"))
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          queries, "query_id", "query_vec", "query_label", k = 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -1694,6 +1722,29 @@ object PipelineQueries {
        "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN rmc ON t.doc_id = rmc.doc_id " +
        "ORDER BY id"),
 
+    // hi-Jaccard pairs → recursive-CTE components → quality → election
+    // (quality desc, id asc); docs outside every pair are their own
+    // component and trivially keep
+    "dedup_elect_quality" ->
+      ("WITH RECURSIVE " + HiJaccardPairsSql +
+       ", edges AS (SELECT id_a AS src, id_b AS dst FROM hi " +
+       "UNION SELECT id_b AS src, id_a AS dst FROM hi), " +
+       "reach(src, dst) AS (SELECT src, dst FROM edges " +
+       "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src), " +
+       "comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src), " +
+       "qq AS (SELECT doc_id, source, text, " +
+       "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+       "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stopword_hits " +
+       "FROM documents), " +
+       "scored AS (SELECT doc_id, " + QualityScoreSql + " AS quality FROM qq), " +
+       "assigned AS (SELECT s.doc_id AS id, coalesce(c.component, s.doc_id) AS component, " +
+       "s.quality FROM scored s LEFT JOIN comp c ON c.id = s.doc_id) " +
+       "SELECT id, component, quality, elect_rank, elect_rank = 1 AS keep FROM " +
+       "(SELECT id, component, quality, " +
+       "CAST(row_number() OVER (PARTITION BY component ORDER BY quality DESC, id) AS BIGINT) AS elect_rank " +
+       "FROM assigned) ORDER BY id"),
+
     // exact re-derivation of the blocked shingle-set Jaccard best-match:
     // 3-token shingles (whole text when <3 tokens), block = lang,
     // jaccard = |intersect| / |distinct union|, ties broken on partner id
@@ -2248,6 +2299,19 @@ object PipelineQueries {
        "FROM embeddings e, q WHERE e.vec_id <> q.query_id) " +
        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos FROM " +
        "(SELECT query_id, neighbor_id, cos, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) " +
+       "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    // brute derivation with the label-disequality predicate folded in
+    "sim_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec, label AS query_label " +
+       "FROM embeddings WHERE vec_id < 5), " +
+       "scored AS (SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id, e.label AS neighbor_label, " +
+       cosSql("e.embedding", "q.query_vec") + " AS cos " +
+       "FROM embeddings e, q WHERE e.vec_id <> q.query_id AND e.label <> q.query_label) " +
+       "SELECT query_id, query_label, CAST(rank AS BIGINT) AS rank, neighbor_id, neighbor_label, " +
+       "round(cos, 6) AS cos FROM " +
+       "(SELECT query_id, query_label, neighbor_id, neighbor_label, cos, " +
        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) " +
        "WHERE rank <= 10 ORDER BY query_id, rank"),
 

@@ -1242,6 +1242,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exempt(2L) == "unique bravo content\nok")
   }
 
+  test("electBest keeps the highest-score member per cluster, ties to smaller id") {
+    import spark.implicits._
+    val assigned = Seq(
+      (1L, 100L, 0.5), (2L, 100L, 0.9), (3L, 100L, 0.9), // tie at 0.9 → id 2 wins
+      (4L, 200L, 0.1))                                   // singleton keeps
+      .toDF("id", "component", "quality")
+    val out = Dedup.electBest(assigned, "id", "component", "quality")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("elect_rank"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(2L) == ((1L, true)) && out(3L) == ((2L, false)))
+    assert(out(1L) == ((3L, false)))
+    assert(out(4L) == ((1L, true)))
+  }
+
+  test("hardNegatives returns only different-label neighbors, ranked by cosine") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0), 0), (2L, v(0.99, 0.1), 0), // same label as query: excluded
+      (3L, v(0.9, 0.3), 1), (4L, v(0.5, 0.8), 1), (5L, v(0, 1), 2))
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").as("query_label"))
+    val out = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      q, "query_id", "query_vec", "query_label", k = 10).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 4L, 5L)) // cos order
+    assert(out.forall(_.getAs[Int]("neighbor_label") != 0))
+  }
+
   test("prototypePrune drops the per-cell most-prototypical quota, keeps outliers") {
     import spark.implicits._
     // two separable clusters around (1,0) and (0,1); one far outlier per
