@@ -1058,6 +1058,48 @@ object Corpus {
             greatest(col("off"), col("q") * L)).cast("int"))).as("frag_text"))
   }
 
+  /** Deterministic score-quantile bucketing — the curriculum / quality-bin
+    * assignment step (FineWeb-Edu-style quality tiers, perplexity
+    * curricula): every row gets a bucket in [0, nBuckets) such that bucket
+    * boundaries approximate equal-count quantiles of `scoreCol`. Exact
+    * global quantiles need a global sort; the scalable contract here is
+    * QUANTIZED quantiles: scores round to integer micro-units and group
+    * into `binWidthMicro`-wide bins, the per-bin histogram (bounded by
+    * score-range / width — e.g. 1001 bins for a [0,1] score at width
+    * 1000) reduces map-side and collects as driver metadata, and
+    * bucket(bin) = min(nBuckets−1, cumBefore(bin)·nBuckets div N) — pure
+    * integer arithmetic, so the assignment is reproducible at any
+    * partitioning and exactly oracle-derivable. Rows sharing a bin always
+    * share a bucket (boundaries land between bins, never inside one);
+    * buckets deviate from exact N/nBuckets counts by at most one bin's
+    * population, which is the precision `binWidthMicro` buys.
+    *
+    * Scale: one map-side-combinable bin reduce (metadata), O(bins) on the
+    * driver, one broadcast map lookup per row — the score column never
+    * shuffles. Returns one row per input row: (id, score, bin, bucket). */
+  def scoreBuckets(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      nBuckets: Int = 10,
+      binWidthMicro: Long = 1000L): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be at least 1")
+    require(binWidthMicro >= 1, "binWidthMicro must be at least 1")
+    val sm = round(col(scoreCol) * lit(1e6)).cast("long")
+    val binned = df.withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
+    val hist = binned.groupBy("bin").agg(count(lit(1)).as("c")).collect()
+    val n = hist.map(_.getLong(1)).sum
+    var cum = 0L
+    val mapping: Map[Long, Int] = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .map { case (b, c) =>
+        val bucket = math.min(nBuckets - 1, ((cum * nBuckets) / math.max(n, 1L)).toInt)
+        cum += c
+        b -> bucket
+      }.toMap
+    binned.select(col(idCol).as("id"), col(scoreCol).as("score"), col("bin"),
+      element_at(typedLit(mapping), col("bin")).as("bucket"))
+  }
+
   /** Symbol-sequence encoding shared by [[bpeTrain]] and [[bpeSegment]]:
     * a word's symbol list renders as one string with every symbol wrapped
     * in 0x1E…0x1F (record/unit separator) brackets. The bracketing makes a

@@ -503,6 +503,26 @@ object PipelineQueries {
       Dedup.spanDedup(t(s, d, "documents").df, "doc_id", "text", spanLen = 20)
         .orderBy("id")),
 
+    // quantized-quantile bucketing of the quality score into 10 curriculum
+    // tiers (bin width 1000 micro = 3 quality decimals): histogram,
+    // integer cumulative thresholds, row-local assignment — fully
+    // re-derivable in SQL
+    "corpus_quality_buckets" -> ((s, d) =>
+      Corpus.scoreBuckets(
+          t(s, d, "documents").df
+            .withColumn("quality", TextFunctions.qualityScore(col("text"))),
+          "doc_id", "quality", nBuckets = 10, binWidthMicro = 1000L)
+        .orderBy("id")),
+
+    // the same bucketing over the CONTINUOUS length score (binWidthMicro =
+    // 1e6 → integer char-count bins): a short-to-long curriculum with
+    // near-equal decile counts
+    "corpus_length_curriculum" -> ((s, d) =>
+      Corpus.scoreBuckets(
+          t(s, d, "documents").df.withColumn("len_score", col("n_chars").cast("double")),
+          "doc_id", "len_score", nBuckets = 10, binWidthMicro = 1000000L)
+        .orderBy("id")),
+
     // canonical election by QUALITY over exact near-dup clusters: connected
     // components of the hi-Jaccard pair graph (singletons = own component),
     // keep the highest-quality member per component — DuckDB re-derives
@@ -1721,6 +1741,34 @@ object PipelineQueries {
        "coalesce(agg.txt, '') AS text_deduped " +
        "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN rmc ON t.doc_id = rmc.doc_id " +
        "ORDER BY id"),
+
+    // same quality formula, micro-quantized bins, window cumulative
+    // counts, integer bucket thresholds
+    "corpus_quality_buckets" ->
+      ("WITH qq AS (SELECT doc_id, source, text, " +
+       "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+       "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stopword_hits " +
+       "FROM documents), " +
+       "s AS (SELECT doc_id AS id, " + QualityScoreSql + " AS score FROM qq), " +
+       "b AS (SELECT id, score, CAST(floor(round(score * 1000000) / 1000) AS BIGINT) AS bin FROM s), " +
+       "h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin), " +
+       "m AS (SELECT bin, CAST(least(9, (coalesce(SUM(c) OVER (ORDER BY bin " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10) // " +
+       "(SELECT count(*) FROM b)) AS INT) AS bucket FROM h) " +
+       "SELECT b.id, b.score, b.bin, m.bucket FROM b JOIN m USING (bin) ORDER BY b.id"),
+
+    // the same machinery over a CONTINUOUS score (doc length in chars —
+    // the short-to-long curriculum signal): near-equal decile counts,
+    // threshold bins landing whole on one side
+    "corpus_length_curriculum" ->
+      ("WITH s AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS score FROM documents), " +
+       "b AS (SELECT id, score, CAST(floor(round(score * 1000000) / 1000000) AS BIGINT) AS bin FROM s), " +
+       "h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin), " +
+       "m AS (SELECT bin, CAST(least(9, (coalesce(SUM(c) OVER (ORDER BY bin " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10) // " +
+       "(SELECT count(*) FROM b)) AS INT) AS bucket FROM h) " +
+       "SELECT b.id, b.score, b.bin, m.bucket FROM b JOIN m USING (bin) ORDER BY b.id"),
 
     // hi-Jaccard pairs → recursive-CTE components → quality → election
     // (quality desc, id asc); docs outside every pair are their own

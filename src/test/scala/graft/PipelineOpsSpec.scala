@@ -1242,6 +1242,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exempt(2L) == "unique bravo content\nok")
   }
 
+  test("scoreBuckets: near-equal deciles on a continuous score, tied bins stay whole") {
+    import spark.implicits._
+    // 100 distinct scores 0.001..0.100 → ten exact deciles of 10
+    val cont = (1 to 100).map(i => (i.toLong, i / 1000.0)).toDF("doc_id", "s")
+    val out = Corpus.scoreBuckets(cont, "doc_id", "s", nBuckets = 10, binWidthMicro = 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == (0 to 9).map(_ -> 10).toMap, s"sizes $sizes")
+    assert(out(1L) == 0 && out(100L) == 9)
+    // monotone: higher score never gets a lower bucket
+    assert((1L to 99L).forall(i => out(i) <= out(i + 1)))
+    // massive ties: one bin holding 80% of rows takes ONE bucket whole
+    val tied = ((1 to 80).map(i => (i.toLong, 0.5)) ++ Seq((81L, 0.1), (82L, 0.9)))
+      .toDF("doc_id", "s")
+    val tb = Corpus.scoreBuckets(tied, "doc_id", "s", 10, 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+    assert(tb(81L) == 0)
+    assert((1L to 80L).map(tb).toSet.size == 1) // all ties share one bucket
+    assert(tb(82L) == 9)
+  }
+
   test("electBest keeps the highest-score member per cluster, ties to smaller id") {
     import spark.implicits._
     val assigned = Seq(
