@@ -1058,6 +1058,25 @@ object Corpus {
             greatest(col("off"), col("q") * L)).cast("int"))).as("frag_text"))
   }
 
+  /** SURGICAL decontamination: remove every `spanLen`-token span that
+    * appears verbatim in the benchmark suite from each corpus document,
+    * keeping the rest of the document — the scalpel to
+    * [[decontaminate]]'s hammer (that flags whole documents; this excises
+    * the leaked passage, the right call when a long document quotes one
+    * benchmark item). Delegates to `Dedup.spanDedupAgainst` with the
+    * benchmark as the span store: the benchmark is tiny by construction,
+    * so its distinct span-hash set broadcasts and the corpus pass is
+    * row-local windows + one broadcast join — the corpus text never
+    * shuffles. Returns (id, n_tokens, n_dup_spans, n_removed_tokens,
+    * text_deduped) per corpus row. */
+  def decontaminateSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLen: Int = 20): DataFrame =
+    Dedup.spanDedupAgainst(corpus, benchmark, idCol, textCol, spanLen)
+
   /** Deterministic score-quantile bucketing — the curriculum / quality-bin
     * assignment step (FineWeb-Edu-style quality tiers, perplexity
     * curricula): every row gets a bucket in [0, nBuckets) such that bucket

@@ -859,10 +859,28 @@ object Dedup {
       .filter(!(col("id") === col("keeper.id") && col("s") === col("keeper.s")))
       .groupBy("id").agg(sort_array(collect_list(col("s"))).as("rm"))
       .withColumnRenamed("id", "__rm_id")
+    removeSpans(toks, removed, spanLen)
+  }
+
+  /** Row-local token windows of `df` as (id, s, h) triples — the shared
+    * map stage of the span-dedup family (md5 over the space-joined
+    * `spanLen`-token slice; docs shorter than `spanLen` emit nothing). */
+  private def spanWindows(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= spanLen)
+      .select(col("id"), col("__ts"),
+        explode(sequence(lit(0), size(col("__ts")) - spanLen)).as("s"))
+      .select(col("id"), col("s"),
+        md5(concat_ws(" ", slice(col("__ts"), col("s") + 1, lit(spanLen))).cast("binary")).as("h"))
+
+  /** Coverage-union removal + reassembly shared by [[spanDedup]] and
+    * [[spanDedupAgainst]]: `toks` = (id, __ts), `removed` = (__rm_id,
+    * rm sorted starts). The filtered array materializes once
+    * (filter/exists are interpreted HOFs — referencing the expression
+    * twice would run the coverage scan twice per row). */
+  private def removeSpans(toks: DataFrame, removed: DataFrame, spanLen: Int): DataFrame = {
     val rmArr = coalesce(col("rm"), array().cast("array<int>"))
-    // materialize the filtered array once (filter/exists are interpreted
-    // HOFs — referencing the expression twice would run the coverage scan
-    // twice per row)
     toks.join(removed, col("id") === col("__rm_id"), "left")
       .select(col("id"), col("__ts"), coalesce(size(col("rm")), lit(0)).cast("long").as("n_dup_spans"),
         filter(col("__ts"), (_, p) =>
@@ -873,5 +891,48 @@ object Dedup {
         col("n_dup_spans"),
         (size(col("__ts")) - size(col("__kept"))).cast("long").as("n_removed_tokens"),
         concat_ws(" ", col("__kept")).as("text_deduped"))
+  }
+
+  /** Per-window duplicate VERDICTS of a batch against a STATIC corpus span
+    * store — the row-local core of incremental [[spanDedup]] and its
+    * streaming twin (`Streams.spanDedupStream`): a batch window is `dup`
+    * iff its exact `spanLen`-token span occurs ANYWHERE in the corpus
+    * (corpus precedence; within-batch repeats are not deduped here). The
+    * store reduces to distinct 128-bit span hashes once; the batch side
+    * is one equi-join on the hash — append-mode-safe on a stream, no
+    * aggregation. Returns (id, s, dup) per batch window. */
+  def spanVerdicts(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLen: Int = 20): DataFrame = {
+    require(spanLen >= 2, "spanLen must be at least 2")
+    val store = spanWindows(corpus, idCol, textCol, spanLen)
+      .select("h").distinct().withColumn("__in_store", lit(true))
+    spanWindows(batch, idCol, textCol, spanLen)
+      .join(store, Seq("h"), "left")
+      .select(col("id"), col("s"), coalesce(col("__in_store"), lit(false)).as("dup"))
+  }
+
+  /** Incremental [[spanDedup]]: remove from a NEW batch every
+    * `spanLen`-token span already present in the accepted corpus
+    * (coverage union, corpus precedence), reassembling each batch doc —
+    * also the SURGICAL DECONTAMINATION primitive when `corpus` is a
+    * benchmark suite (remove the leaked passage, keep the document; see
+    * `Corpus.decontaminateSpans`). Same output schema as [[spanDedup]];
+    * batch docs shorter than `spanLen` pass through byte-identical. */
+  def spanDedupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLen: Int = 20): DataFrame = {
+    val removed = spanVerdicts(batch, corpus, idCol, textCol, spanLen)
+      .filter(col("dup"))
+      .groupBy("id").agg(sort_array(collect_list(col("s"))).as("rm"))
+      .withColumnRenamed("id", "__rm_id")
+    val toks = batch.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+    removeSpans(toks, removed, spanLen)
   }
 }

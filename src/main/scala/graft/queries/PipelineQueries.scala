@@ -96,6 +96,31 @@ object PipelineQueries {
       concat_ws("\n", transform(TextFunctions.tokenChunks(col("text"), 8, 8),
         c => c.getField("chunk_text"))).as("ml_text"))
 
+  /** DuckDB twin of `Dedup.spanDedupAgainst` at spanLen=20 over the
+    * documents table split at `cut`: store = distinct spans of doc_id <
+    * cut, batch = doc_id >= cut, coverage-union removal + reassembly. */
+  private def spanAgainstOracle(cut: Int): String =
+    ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents " +
+     s"WHERE doc_id >= $cut), " +
+     "ct AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents " +
+     s"WHERE doc_id < $cut), " +
+     "store AS (SELECT DISTINCT array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
+     "(SELECT doc_id, unnest(range(0, len(ts)-20+1)) AS s, ts FROM ct WHERE len(ts) >= 20)), " +
+     "w AS (SELECT doc_id, s, array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
+     "(SELECT doc_id, unnest(range(0, len(ts)-20+1)) AS s, ts FROM t WHERE len(ts) >= 20)), " +
+     "rm AS (SELECT w.doc_id, w.s FROM w JOIN store ON w.key = store.key), " +
+     "tok AS (SELECT doc_id, ts, unnest(range(1, len(ts)+1)) AS p FROM t), " +
+     "kept AS (SELECT tk.doc_id, tk.p, tk.ts[tk.p] AS tok FROM tok tk " +
+     "WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.doc_id = tk.doc_id AND tk.p BETWEEN rm.s+1 AND rm.s+20)), " +
+     "agg AS (SELECT doc_id, count(*) AS n_kept, coalesce(string_agg(tok, ' ' ORDER BY p), '') AS txt FROM kept GROUP BY doc_id), " +
+     "rmc AS (SELECT doc_id, count(*) AS n_spans FROM rm GROUP BY doc_id) " +
+     "SELECT t.doc_id AS id, len(t.ts) AS n_tokens, " +
+     "coalesce(rmc.n_spans, 0) AS n_dup_spans, " +
+     "len(t.ts) - coalesce(agg.n_kept, 0) AS n_removed_tokens, " +
+     "coalesce(agg.txt, '') AS text_deduped " +
+     "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN rmc ON t.doc_id = rmc.doc_id " +
+     "ORDER BY id")
+
   /** Unrolled-SQL twin of `Corpus.bpeTrain`'s merge loop (the same
     * re-derive-the-training-rounds pattern as the PQ Lloyd-round oracles):
     * w0 is the char-bracketed word-frequency table, and each round r
@@ -502,6 +527,25 @@ object PipelineQueries {
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.spanDedup(t(s, d, "documents").df, "doc_id", "text", spanLen = 20)
         .orderBy("id")),
+
+    // incremental span dedup: docs ≥ 250 lose any 20-token span already
+    // present in the < 250 corpus (coverage union, corpus precedence)
+    "dedup_substring_spans_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      Dedup.spanDedupAgainst(docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250), "doc_id", "text", spanLen = 20)
+        .orderBy("id")
+    }),
+
+    // surgical decontamination: benchmark = docs < 100; corpus docs keep
+    // everything except verbatim 20-token benchmark passages (the planted
+    // near-dups straddling the split provide real excisions at every SF)
+    "text_decontaminate_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      Corpus.decontaminateSpans(docs.filter(col("doc_id") >= 100),
+          docs.filter(col("doc_id") < 100), "doc_id", "text", spanLen = 20)
+        .orderBy("id")
+    }),
 
     // quantized-quantile bucketing of the quality score into 10 curriculum
     // tiers (bin width 1000 micro = 3 quality decimals): histogram,
@@ -1741,6 +1785,13 @@ object PipelineQueries {
        "coalesce(agg.txt, '') AS text_deduped " +
        "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN rmc ON t.doc_id = rmc.doc_id " +
        "ORDER BY id"),
+
+    // store spans (distinct) from the corpus side, batch windows flagged
+    // by membership, coverage anti-filter, ordered reassembly
+    "dedup_substring_spans_incremental" -> spanAgainstOracle(250),
+
+    // identical derivation with the benchmark (< 100) as the store
+    "text_decontaminate_spans" -> spanAgainstOracle(100),
 
     // same quality formula, micro-quantized bins, window cumulative
     // counts, integer bucket thresholds

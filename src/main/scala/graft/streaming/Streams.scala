@@ -552,6 +552,21 @@ object Streams {
       minLineChars: Int = 0): DataFrame =
     graft.operators.Corpus.lineVerdicts(stream, corpus, idCol, textCol, sep, minLineChars)
 
+  /** Streaming incremental span dedup — per-WINDOW verdicts of the
+    * stream's docs against the static corpus span store
+    * (`Dedup.spanVerdicts`): row-local windows plus one stream-static
+    * equi-join on the span hash, append mode, zero streaming state. The
+    * coverage-union reassembly is a per-doc aggregation left to the batch
+    * consumer (`Dedup.spanDedupAgainst`), mirroring [[lineDedupStream]].
+    * Emits (id, s, dup) per stream window. */
+  def spanDedupStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLen: Int = 20): DataFrame =
+    graft.operators.Dedup.spanVerdicts(stream, corpus, idCol, textCol, spanLen)
+
   /** Convenience: run any streaming frame into an in-memory table and block
     * until every available input is processed (local smoke pattern). */
   def runToMemory(df: DataFrame, queryName: String, mode: OutputMode): StreamingQuery = {

@@ -281,6 +281,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("spanDedupStream verdicts match the batch incremental removal") {
+    import spark.implicits._
+    val dup = "d1 d2 d3 d4 d5"
+    val corpus = Seq((1L, s"old text $dup more old words here")).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = Streams.spanDedupStream(ms.toDF().toDF("doc_id", "text"), corpus,
+      "doc_id", "text", spanLen = 4)
+    ms.addData((10L, s"n1 $dup n2 n3"))
+    val q = Streams.runToMemory(out, "sd_out", OutputMode.Append())
+    try {
+      val got = spark.table("sd_out").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Int]("s")) -> r.getAs[Boolean]("dup")).toMap
+      // doc 10 = [n1 d1..d5 n2 n3]: windows at s=1,2 are inside the dup
+      // run; 0 and 3,4 straddle fresh tokens
+      assert(got == Map((10L, 0) -> false, (10L, 1) -> true, (10L, 2) -> true,
+        (10L, 3) -> false, (10L, 4) -> false))
+      val batch = graft.operators.Dedup.spanDedupAgainst(
+        Seq((10L, s"n1 $dup n2 n3")).toDF("doc_id", "text"), corpus, "doc_id", "text", 4)
+        .collect().head
+      assert(batch.getAs[String]("text_deduped") == "n1 n2 n3")
+      assert(batch.getAs[Long]("n_removed_tokens") == 5L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization keeps running per-user state across batches") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)
