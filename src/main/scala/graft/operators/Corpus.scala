@@ -1058,6 +1058,104 @@ object Corpus {
             greatest(col("off"), col("q") * L)).cast("int"))).as("frag_text"))
   }
 
+  /** Vocabulary-coverage (out-of-vocabulary-rate) scoring — the gibberish
+    * / wrong-domain signal: build the corpus FREQUENT vocabulary (words
+    * whose count reaches `perMille`/1000 of total token occurrences — a
+    * RELATIVE threshold, so the same setting means the same thing at
+    * every corpus size) and score each doc by the fraction of its tokens
+    * outside it. Docs full of rare tokens are OCR noise, code dumps, or
+    * off-domain text; the standard cheap filter before model-based
+    * scoring.
+    *
+    * Scale: one word-count reduce (map-side combinable, uniform md5-free
+    * word keys — hot words combine), an integer threshold from one
+    * broadcast total, and one (id, word)-metadata join per occurrence
+    * against the frequent set (Zipf makes it small; AQE broadcasts it) —
+    * document text never shuffles. Returns one row per input row:
+    * (id, n_tokens, n_oov, oov_frac 6dp; empty docs score (0, 0, 0)). */
+  def vocabCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      perMille: Long = 1L): DataFrame = {
+    require(perMille >= 0, "perMille must be non-negative")
+    val occ = df.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val counts = occ.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(coalesce(sum(col("c")), lit(0L)).as("__tot"))
+    val vocab = counts.crossJoin(broadcast(tot))
+      .filter(expr(s"c * 1000 >= __tot * $perMille"))
+      .select(col("w"), lit(true).as("__in_vocab"))
+    val scored = occ.join(vocab, Seq("w"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumnRenamed("id", "__sc_id")
+    df.join(scored, col(idCol) === col("__sc_id"), "left")
+      .select(col(idCol).as("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(round(col("n_oov").cast("double") / col("n_tokens"), 6), lit(0.0))
+          .as("oov_frac"))
+  }
+
+  /** Epoch-aware corpus mixing under DATA CONSTRAINTS (Muennighoff et
+    * al., NeurIPS 2023 — "Scaling Data-Constrained Language Models"):
+    * like [[temperatureMix]], sources contribute ∝ √n at α = 1/2, but a
+    * source's quota may EXCEED its size — up to `maxEpochs` full passes —
+    * because when the token budget outgrows the unique data, repeating
+    * high-value sources a few epochs is worth close to fresh data (the
+    * paper's core result). The quota expresses as per-doc REPEAT counts:
+    * every doc gets (quota div n) repeats, and the first (quota mod n)
+    * docs in md5-digest order get one more — the fractional epoch is a
+    * deterministic subset, reproducible at any partitioning and across
+    * engines (the [[stratifiedSample]] trick). The integer quota
+    * arithmetic is exactly the [[temperatureMix]] form with the cap
+    * raised from n to n·maxEpochs.
+    *
+    * Scale: one narrow per-source count, broadcast quotas, per-source
+    * metadata window — text never shuffles. Returns one row per input
+    * doc with (n_source, quota, mix_rank, n_repeats) appended;
+    * `n_repeats` may be 0 (unselected under a small budget). Materialize
+    * the repeated dataset with [[epochMaterialize]]. */
+  def epochMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      salt: String,
+      budget: Long,
+      maxEpochs: Int): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val weighted = counts.withColumn("__w",
+      round(sqrt(col("__n").cast("double")) * lit(1e6)).cast("long"))
+    val tot = weighted.agg(coalesce(sum(col("__w")), lit(0L)).as("__tw"))
+    val quotas = weighted.crossJoin(broadcast(tot))
+      .select(col(sourceCol).as("__src"), col("__n").as("n_source"),
+        least(col("__n") * maxEpochs,
+          expr(s"($budget * __w) div __tw")).cast("long").as("quota"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(asc_nulls_last("__digest"), asc_nulls_last(idCol))
+    df.withColumn("__digest", md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+      .withColumn("mix_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), col(sourceCol) <=> col("__src"))
+      .withColumn("n_repeats",
+        (expr("quota div n_source") +
+          when(col("mix_rank") <= col("quota") % col("n_source"), 1L).otherwise(0L))
+          .cast("long"))
+      .drop("__digest", "__src")
+  }
+
+  /** Materialize an [[epochMix]] plan: one output row per (doc, epoch)
+    * with `repeat_idx` in [1, n_repeats] — row-local explode, zero-repeat
+    * docs drop out. The caller shuffles the result with [[stratifiedSample]]
+    * -style digest keys if epoch interleaving matters downstream. */
+  def epochMaterialize(planned: DataFrame): DataFrame =
+    planned.filter(col("n_repeats") >= 1)
+      .withColumn("repeat_idx", explode(sequence(lit(1L), col("n_repeats"))))
+
   /** SURGICAL decontamination: remove every `spanLen`-token span that
     * appears verbatim in the benchmark suite from each corpus document,
     * keeping the rest of the document — the scalpel to

@@ -528,6 +528,25 @@ object PipelineQueries {
       Dedup.spanDedup(t(s, d, "documents").df, "doc_id", "text", spanLen = 20)
         .orderBy("id")),
 
+    // OOV-rate scoring at a 5-per-mille relative threshold: the corpus
+    // plants one rare token below it (26 occurrences vs ~900 for every
+    // frequent word at sf0.01), so both the in- and out-of-vocab paths
+    // exercise and the frequent set is threshold-stable across SFs
+    "text_vocab_coverage" -> ((s, d) =>
+      Corpus.vocabCoverage(t(s, d, "documents").df, "doc_id", "text", perMille = 5L)
+        .orderBy("id")),
+
+    // data-constrained epoch mixing: budget 600 over 20 equal sources at
+    // maxEpochs=2 → quota 30 per 25-doc source = one full epoch + a
+    // 5-doc digest-ordered fractional epoch; both the div and mod paths
+    // exercise at every SF
+    "corpus_epoch_mix" -> ((s, d) =>
+      Corpus.epochMix(t(s, d, "documents").df, "doc_id", "source",
+          salt = "emix", budget = 600L, maxEpochs = 2)
+        .select(col("doc_id"), col("source"), col("n_source"), col("quota"),
+          col("mix_rank"), col("n_repeats"))
+        .orderBy("doc_id")),
+
     // incremental span dedup: docs ≥ 250 lose any 20-token span already
     // present in the < 250 corpus (coverage union, corpus precedence)
     "dedup_substring_spans_incremental" -> ((s, d) => {
@@ -1785,6 +1804,34 @@ object PipelineQueries {
        "coalesce(agg.txt, '') AS text_deduped " +
        "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN rmc ON t.doc_id = rmc.doc_id " +
        "ORDER BY id"),
+
+    // word counts → relative threshold → frequent set → per-doc OOV join
+    "text_vocab_coverage" ->
+      ("WITH o2 AS (SELECT id, w FROM (SELECT doc_id AS id, " +
+       "unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) WHERE w <> ''), " +
+       "c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM o2 GROUP BY w), " +
+       "t2 AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c), " +
+       "v AS (SELECT w FROM c, t2 WHERE c * 1000 >= tot * 5), " +
+       "sc AS (SELECT o2.id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
+       "FROM o2 LEFT JOIN v ON o2.w = v.w GROUP BY o2.id) " +
+       "SELECT d.doc_id AS id, coalesce(sc.n_tokens, 0) AS n_tokens, " +
+       "coalesce(sc.n_oov, 0) AS n_oov, " +
+       "coalesce(round(CAST(sc.n_oov AS DOUBLE) / sc.n_tokens, 6), 0.0) AS oov_frac " +
+       "FROM documents d LEFT JOIN sc ON d.doc_id = sc.id ORDER BY id"),
+
+    // sqrt-weight quotas capped at n*maxEpochs, digest-order ranks,
+    // div/mod repeat split — all integer arithmetic
+    "corpus_epoch_mix" ->
+      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source), " +
+       "w AS (SELECT source, n, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wt FROM c), " +
+       "t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w), " +
+       "q AS (SELECT source, n AS n_source, CAST(least(n * 2, (600 * wt) // tw) AS BIGINT) AS quota FROM w, t), " +
+       "r AS (SELECT doc_id, source, md5(doc_id || ':emix') AS dg FROM documents), " +
+       "k AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY dg, doc_id) AS mix_rank FROM r) " +
+       "SELECT k.doc_id, k.source, q.n_source, q.quota, CAST(k.mix_rank AS BIGINT) AS mix_rank, " +
+       "CAST(q.quota // q.n_source + CASE WHEN k.mix_rank <= q.quota % q.n_source THEN 1 ELSE 0 END AS BIGINT) AS n_repeats " +
+       "FROM k JOIN q USING (source) ORDER BY doc_id"),
 
     // store spans (distinct) from the corpus side, batch windows flagged
     // by membership, coverage anti-filter, ordered reassembly

@@ -1242,6 +1242,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exempt(2L) == "unique bravo content\nok")
   }
 
+  test("vocabCoverage flags rare-token documents via the relative threshold") {
+    import spark.implicits._
+    // "common" appears 18x of 25 total occurrences, the rest are singletons
+    val docs = Seq(
+      (1L, Seq.fill(9)("common").mkString(" ")),
+      (2L, Seq.fill(9)("common").mkString(" ") + " rare1 rare2 rare3"),
+      (3L, "gibberish tokens only here"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    // total=25 occurrences (empty token filtered); perMille=500 → c ≥ 12.5
+    val out = Corpus.vocabCoverage(docs, "doc_id", "text", perMille = 500L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Double]("oov_frac"))).toMap
+    assert(out(1L) == ((9L, 0L, 0.0)))
+    assert(out(2L) == ((12L, 3L, 0.25)))
+    assert(out(3L) == ((4L, 4L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 0.0))) // empty doc: all-zero row, never NULL
+  }
+
+  test("epochMix repeats constrained sources up to maxEpochs and materializes exactly") {
+    import spark.implicits._
+    // big source: 16 docs; scarce source: 4 docs. Budget 24, maxEpochs 2:
+    // weights 4e6 / 2e6 → quotas (24*4/6)=16 (=n, 1 epoch), (24*2/6)=8 =
+    // 2*n (cap engaged) → every scarce doc repeats exactly twice
+    val docs = ((1 to 16).map(i => (i.toLong, "big")) ++ (21 to 24).map(i => (i.toLong, "rare")))
+      .toDF("doc_id", "src")
+    val plan = Corpus.epochMix(docs, "doc_id", "src", "t", budget = 24L, maxEpochs = 2)
+    val byDoc = plan.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("quota"), r.getAs[Long]("n_repeats"))).toMap
+    assert((21L to 24L).forall(i => byDoc(i) == ((8L, 2L))))
+    assert((1L to 16L).forall(i => byDoc(i) == ((16L, 1L))))
+    // materialization emits sum(n_repeats) rows with 1-based repeat_idx
+    val mat = Corpus.epochMaterialize(plan).collect()
+    assert(mat.length == 16 + 8)
+    assert(mat.filter(_.getAs[Long]("doc_id") == 21L)
+      .map(_.getAs[Long]("repeat_idx")).sorted.toSeq == Seq(1L, 2L))
+    // fractional epoch: budget 20 → rare quota (20*2/6)=6 = 1 full epoch
+    // + 2 extra docs in digest order; deterministic under reordering
+    val p2 = Corpus.epochMix(docs, "doc_id", "src", "t", 20L, 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_repeats")).toMap
+    assert((21L to 24L).map(p2).sorted.toSeq == Seq(1L, 1L, 2L, 2L))
+    val p3 = Corpus.epochMix(docs.orderBy(rand(3)), "doc_id", "src", "t", 20L, 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_repeats")).toMap
+    assert(p2 == p3)
+  }
+
   test("scoreBuckets: near-equal deciles on a continuous score, tied bins stay whole") {
     import spark.implicits._
     // 100 distinct scores 0.001..0.100 → ten exact deciles of 10
