@@ -130,4 +130,86 @@ object Assembly {
       .select(col("id"), col("source"), col("lang"), col("n_tokens"),
         col("drop_stage"), col("keep"), col("split"), col("shard_id"))
   }
+
+  /** End-to-end corpus CURATION — the EDIT-pipeline counterpart of
+    * [[assembleCorpus]] (which only filters): the four-stage chain the
+    * round-11 text families compose into —
+    *
+    *   1. corpus-wide line dedup ([[Corpus.lineDedup]] — rewrites texts,
+    *      drops nothing)
+    *   2. surgical decontamination ([[Corpus.decontaminateSpans]] vs the
+    *      benchmark — excises leaked spans from the DEDUPED text)
+    *   3. OOV gate ([[Corpus.vocabCoverage]] with the vocabulary built
+    *      from the cleaned corpus itself; drop docs above `maxOovFrac`)
+    *   4. epoch-aware mixing ([[Corpus.epochMix]] over the survivors —
+    *      `n_repeats` = 0 marks budget-unselected docs)
+    *
+    * — as one declared operator, for the same reason as
+    * [[assembleCorpus]]: the untested surface is the interaction (the
+    * span windows run over line-dedup REWRITES, the vocabulary trains on
+    * post-excision text, the mix quotas see post-gate source sizes).
+    * Every stage is deterministic, so the composition is exact-oracle-
+    * checkable end to end.
+    *
+    * The benchmark frame must expose the same `idCol`/`textCol` names as
+    * the corpus. Returns one AUDIT row per input doc: (id, source,
+    * n_lines, n_removed_lines, n_decont_tokens, oov_frac, drop_stage
+    * ("oov" | "budget" | null), keep, n_repeats — null when oov-dropped,
+    * 0 when budget-unselected).
+    *
+    * Scale shape: nothing beyond the member stages (each separately
+    * scale-safe); inter-stage handoffs are id-keyed narrow tables, pinned
+    * with checkpoints so each text pipeline executes once. */
+  def curateCorpus(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      sep: String = "\n",
+      spanLen: Int = 20,
+      oovPerMille: Long = 5L,
+      maxOovFrac: Double = 0.025,
+      salt: String = "curate",
+      budget: Long = 300L,
+      maxEpochs: Int = 2): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(textCol).as("text"),
+      col(sourceCol).as("source"))
+    val bench = benchmark.select(col(idCol).as("id"), col(textCol).as("text"))
+
+    // 1. corpus-wide line dedup (rewrite, no drops)
+    val ld = Dedup.truncate(Corpus.lineDedup(base, "id", "text", sep)
+      .select(col("id"), col("n_lines"), col("n_removed_lines"), col("text_deduped")))
+
+    // 2. surgical decontamination of the deduped text vs the benchmark
+    val dec = Dedup.truncate(Corpus.decontaminateSpans(
+        ld.select(col("id"), col("text_deduped").as("text")), bench, "id", "text", spanLen)
+      .select(col("id"), col("n_removed_tokens").as("n_decont_tokens"),
+        col("text_deduped").as("text_clean")))
+
+    // 3. OOV gate — vocabulary from the cleaned corpus itself
+    val oov = Dedup.truncate(Corpus.vocabCoverage(
+        dec.select(col("id"), col("text_clean").as("text")), "id", "text", oovPerMille)
+      .select(col("id"), col("oov_frac")))
+
+    // 4. epoch mixing over the gate's survivors
+    val surv = base.select(col("id"), col("source"))
+      .join(oov.filter(col("oov_frac") <= maxOovFrac).select("id"), Seq("id"), "left_semi")
+    val mixed = Dedup.truncate(
+      Corpus.epochMix(surv, "id", "source", salt, budget, maxEpochs)
+        .select(col("id"), col("n_repeats")))
+
+    base.select(col("id"), col("source"))
+      .join(ld.select(col("id"), col("n_lines"), col("n_removed_lines")), Seq("id"), "left")
+      .join(dec.select(col("id"), col("n_decont_tokens")), Seq("id"), "left")
+      .join(oov, Seq("id"), "left")
+      .join(mixed, Seq("id"), "left")
+      .withColumn("drop_stage",
+        when(col("oov_frac") > maxOovFrac, "oov")
+          .when(coalesce(col("n_repeats"), lit(0L)) === 0L, "budget"))
+      .withColumn("keep", col("drop_stage").isNull)
+      .select(col("id"), col("source"), col("n_lines"), col("n_removed_lines"),
+        col("n_decont_tokens"), col("oov_frac"), col("drop_stage"), col("keep"),
+        col("n_repeats"))
+  }
 }

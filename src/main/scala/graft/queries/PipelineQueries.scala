@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft._
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, Dedup, Similarity}
+import graft.operators.{Assembly, Corpus, Dedup, Similarity}
 import graft.sources.Tables
 
 /** Declared queries for the beyond-reference pipeline operators
@@ -527,6 +527,22 @@ object PipelineQueries {
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.spanDedup(t(s, d, "documents").df, "doc_id", "text", spanLen = 20)
         .orderBy("id")),
+
+    // the round-11 families composed end to end (line dedup → span
+    // decontamination → OOV gate → epoch mix): corpus = 8-token-line
+    // render of docs ≥ 100, benchmark = raw docs < 100; every stage
+    // interaction (spans over dedup rewrites, vocab over excised text,
+    // quotas over post-gate source sizes) is re-derived by one chained
+    // DuckDB oracle
+    "pipeline_curation_e2e" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val corpus = multiLineDocs(s, d).filter(col("doc_id") >= 100)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val bench = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").as("ml_text"))
+      Assembly.curateCorpus(corpus, bench, "doc_id", "ml_text", "source")
+        .orderBy("id")
+    }),
 
     // OOV-rate scoring at a 5-per-mille relative threshold: the corpus
     // plants one rare token below it (26 occurrences vs ~900 for every
@@ -1804,6 +1820,56 @@ object PipelineQueries {
        "coalesce(agg.txt, '') AS text_deduped " +
        "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN rmc ON t.doc_id = rmc.doc_id " +
        "ORDER BY id"),
+
+    // the full four-stage chain: line dedup of the ≥100 render, span
+    // excision vs the <100 raw store, OOV over the cleaned corpus,
+    // sqrt-weight epoch quotas over the survivors
+    "pipeline_curation_e2e" ->
+      ("WITH t0 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents WHERE doc_id >= 100), " +
+       "l AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts), 8)) AS i FROM t0), " +
+       "l2 AS (SELECT doc_id, CAST((i-1)//8 AS INT) AS idx, array_to_string(ts[i:i+7], ' ') AS line FROM l), " +
+       "k1 AS (SELECT doc_id, idx, line, row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM l2), " +
+       "s1 AS (SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_lines, " +
+       "CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed_lines, " +
+       "coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), '') AS t1 FROM k1 GROUP BY doc_id), " +
+       "t1tok AS (SELECT id, regexp_split_to_array(t1, '\\s+') AS ts FROM s1), " +
+       "bstore AS (SELECT DISTINCT array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
+       "(SELECT unnest(range(0, len(ts)-20+1)) AS s, ts FROM " +
+       "(SELECT regexp_split_to_array(text, '\\s+') AS ts FROM documents WHERE doc_id < 100) WHERE len(ts) >= 20)), " +
+       "w2 AS (SELECT id, s, array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
+       "(SELECT id, unnest(range(0, len(ts)-20+1)) AS s, ts FROM t1tok WHERE len(ts) >= 20)), " +
+       "rm2 AS (SELECT w2.id, w2.s FROM w2 JOIN bstore ON w2.key = bstore.key), " +
+       "tok2 AS (SELECT id, ts, unnest(range(1, len(ts)+1)) AS p FROM t1tok), " +
+       "kept2 AS (SELECT tk.id, tk.p, tk.ts[tk.p] AS tok FROM tok2 tk " +
+       "WHERE NOT EXISTS (SELECT 1 FROM rm2 WHERE rm2.id = tk.id AND tk.p BETWEEN rm2.s+1 AND rm2.s+20)), " +
+       "s2agg AS (SELECT id, count(*) AS n_kept, coalesce(string_agg(tok, ' ' ORDER BY p), '') AS t2 FROM kept2 GROUP BY id), " +
+       "s2 AS (SELECT t1tok.id, CAST(len(t1tok.ts) - coalesce(s2agg.n_kept, 0) AS BIGINT) AS n_decont_tokens, " +
+       "coalesce(s2agg.t2, '') AS t2 FROM t1tok LEFT JOIN s2agg USING (id)), " +
+       "o2 AS (SELECT id, w FROM (SELECT id, unnest(regexp_split_to_array(t2, '\\s+')) AS w FROM s2) WHERE w <> ''), " +
+       "c3 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM o2 GROUP BY w), " +
+       "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c3), " +
+       "v3 AS (SELECT w FROM c3, tt WHERE c * 1000 >= tot * 5), " +
+       "sc3 AS (SELECT o2.id, CAST(count(*) AS BIGINT) AS n_tok, " +
+       "CAST(SUM(CASE WHEN v3.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
+       "FROM o2 LEFT JOIN v3 ON o2.w = v3.w GROUP BY o2.id), " +
+       "s3 AS (SELECT s2.id, coalesce(round(CAST(sc3.n_oov AS DOUBLE) / sc3.n_tok, 6), 0.0) AS oov_frac " +
+       "FROM s2 LEFT JOIN sc3 ON s2.id = sc3.id), " +
+       "surv AS (SELECT d.doc_id AS id, d.source FROM documents d JOIN s3 ON d.doc_id = s3.id " +
+       "WHERE s3.oov_frac <= 0.025), " +
+       "cs AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM surv GROUP BY source), " +
+       "ws AS (SELECT source, n, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wt FROM cs), " +
+       "tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM ws), " +
+       "qs AS (SELECT source, n AS n_source, CAST(least(n * 2, (300 * wt) // tw) AS BIGINT) AS quota FROM ws, tw), " +
+       "rk AS (SELECT id, source, row_number() OVER (PARTITION BY source ORDER BY md5(id || ':curate'), id) AS mix_rank FROM surv), " +
+       "s4 AS (SELECT rk.id, CAST(qs.quota // qs.n_source + " +
+       "CASE WHEN rk.mix_rank <= qs.quota % qs.n_source THEN 1 ELSE 0 END AS BIGINT) AS n_repeats " +
+       "FROM rk JOIN qs USING (source)) " +
+       "SELECT s1.id, d.source, s1.n_lines, s1.n_removed_lines, s2.n_decont_tokens, s3.oov_frac, " +
+       "CASE WHEN s3.oov_frac > 0.025 THEN 'oov' WHEN coalesce(s4.n_repeats, 0) = 0 THEN 'budget' END AS drop_stage, " +
+       "(CASE WHEN s3.oov_frac > 0.025 THEN 'oov' WHEN coalesce(s4.n_repeats, 0) = 0 THEN 'budget' END) IS NULL AS keep, " +
+       "s4.n_repeats " +
+       "FROM s1 JOIN documents d ON d.doc_id = s1.id JOIN s2 ON s2.id = s1.id " +
+       "JOIN s3 ON s3.id = s1.id LEFT JOIN s4 ON s4.id = s1.id ORDER BY s1.id"),
 
     // word counts → relative threshold → frequent set → per-doc OOV join
     "text_vocab_coverage" ->

@@ -1242,6 +1242,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exempt(2L) == "unique bravo content\nok")
   }
 
+  test("curateCorpus stages interact: spans run over line-dedup rewrites, mix over gate survivors") {
+    import spark.implicits._
+    val common = Seq.fill(30)("w").mkString(" ")        // 30-token frequent base line
+    val leak = (1 to 20).map(i => s"b$i").mkString(" ") // 20-token benchmark passage
+    val corpus = Seq(
+      (10L, s"$common\n$leak", "s0"),    // leaked span → excised in stage 2
+      (11L, s"$common\nw w w w", "s0"),
+      (12L, s"$common\nw w w w", "s0"),  // both lines dup doc 11's / doc 10's → removed
+      (13L, "zz1 zz2 zz3 zz4", "s1"))    // all-rare doc → oov-dropped
+      .toDF("doc_id", "text", "src")
+    val bench = Seq((1L, leak, "b")).toDF("doc_id", "text", "src")
+    val out = graft.operators.Assembly.curateCorpus(
+      corpus.select(col("doc_id"), col("text"), col("src")),
+      bench.select(col("doc_id"), col("text"), col("src")),
+      "doc_id", "text", "src", oovPerMille = 100L, maxOovFrac = 0.3, budget = 100L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_removed_lines"), r.getAs[Long]("n_decont_tokens"),
+         Option(r.getAs[String]("drop_stage")))).toMap
+    assert(out(10L)._2 == 20L) // the leaked passage excised whole
+    assert(out(10L)._3.isEmpty)
+    // first occurrence keeps: doc 11 loses the common line to doc 10,
+    // doc 12 loses both lines
+    assert(out(11L)._1 == 1L && out(12L)._1 == 2L)
+    assert(out(13L)._3.contains("oov"))
+  }
+
   test("vocabCoverage flags rare-token documents via the relative threshold") {
     import spark.implicits._
     // "common" appears 18x of 25 total occurrences, the rest are singletons
