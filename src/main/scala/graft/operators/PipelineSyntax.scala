@@ -374,6 +374,126 @@ object PipelineSyntax {
           mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
     }
 
+    /** Shared contract of the curation-era per-doc ops (one output row per
+      * input row, keyed by `id`): pk carries iff the parent was keyed on
+      * the id column, verified iff the parent's proof was. */
+    private def perDoc(df: DataFrame, op: String, idCol: String,
+        params: Map[String, Any]): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf, df, op, params,
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** Corpus-wide line dedup (CCNet/RefinedWeb): one row per doc. */
+    def lineDeduped(idCol: String, textCol: String, sep: String = "\n",
+        minLineChars: Int = 0): MetaFrame =
+      perDoc(Corpus.lineDedup(mf.df, idCol, textCol, sep, minLineChars),
+        "line_dedup", idCol,
+        Map("id" -> idCol, "text" -> textCol, "sep" -> sep, "minLineChars" -> minLineChars))
+
+    /** Incremental line dedup against an accepted-corpus store. */
+    def lineDedupedAgainst(corpus: MetaFrame, idCol: String, textCol: String,
+        sep: String = "\n", minLineChars: Int = 0): MetaFrame =
+      perDoc(Corpus.lineDedupAgainst(mf.df, corpus.df, idCol, textCol, sep, minLineChars),
+        "line_dedup_incremental", idCol,
+        Map("id" -> idCol, "text" -> textCol, "sep" -> sep, "minLineChars" -> minLineChars))
+
+    /** Exact-substring span dedup (Lee et al. 2022): one row per doc. */
+    def spanDeduped(idCol: String, textCol: String, spanLen: Int = 20): MetaFrame =
+      perDoc(Dedup.spanDedup(mf.df, idCol, textCol, spanLen),
+        "span_dedup", idCol, Map("id" -> idCol, "text" -> textCol, "spanLen" -> spanLen))
+
+    /** Incremental span dedup against an accepted-corpus span store. */
+    def spanDedupedAgainst(corpus: MetaFrame, idCol: String, textCol: String,
+        spanLen: Int = 20): MetaFrame =
+      perDoc(Dedup.spanDedupAgainst(mf.df, corpus.df, idCol, textCol, spanLen),
+        "span_dedup_incremental", idCol,
+        Map("id" -> idCol, "text" -> textCol, "spanLen" -> spanLen))
+
+    /** Surgical span decontamination against a benchmark suite. */
+    def decontaminateSpansAgainst(benchmark: MetaFrame, idCol: String,
+        textCol: String, spanLen: Int = 20): MetaFrame =
+      perDoc(Corpus.decontaminateSpans(mf.df, benchmark.df, idCol, textCol, spanLen),
+        "decontaminate_spans", idCol,
+        Map("id" -> idCol, "text" -> textCol, "spanLen" -> spanLen))
+
+    /** C4 line-and-document quality filter: one verdict row per doc. */
+    def c4Filtered(idCol: String, textCol: String, minWordsPerLine: Int = 5,
+        minLines: Int = 3, sep: String = "\n"): MetaFrame =
+      perDoc(Corpus.c4LineFilter(mf.df, idCol, textCol, minWordsPerLine, minLines, sep),
+        "c4_line_filter", idCol,
+        Map("id" -> idCol, "text" -> textCol, "minWordsPerLine" -> minWordsPerLine,
+            "minLines" -> minLines))
+
+    /** OOV-rate scoring against the corpus frequent vocabulary. */
+    def vocabCovered(idCol: String, textCol: String, perMille: Long = 1L): MetaFrame =
+      perDoc(Corpus.vocabCoverage(mf.df, idCol, textCol, perMille),
+        "vocab_coverage", idCol,
+        Map("id" -> idCol, "text" -> textCol, "perMille" -> perMille))
+
+    /** Score-quantile bucketing (curriculum / quality tiers). */
+    def scoreBucketed(idCol: String, scoreCol: String, nBuckets: Int = 10,
+        binWidthMicro: Long = 1000L): MetaFrame =
+      perDoc(Corpus.scoreBuckets(mf.df, idCol, scoreCol, nBuckets, binWidthMicro),
+        "score_buckets", idCol,
+        Map("id" -> idCol, "score" -> scoreCol, "nBuckets" -> nBuckets,
+            "binWidthMicro" -> binWidthMicro))
+
+    /** GPT-style sequence packing — row-EXPANDING: keyed by the fragment
+      * position (shard, seq_id, start_in_seq) when the parent is keyed
+      * (duplicate input ids would make the digest order ambiguous). */
+    def packedSequences(idCol: String, textCol: String, seqLen: Int,
+        shardCol: String, salt: String = "pack"): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf, Corpus.packSequences(mf.df, idCol, textCol, seqLen, shardCol, salt),
+        "pack_sequences",
+        Map("id" -> idCol, "text" -> textCol, "seqLen" -> seqLen,
+            "shard" -> shardCol, "salt" -> salt),
+        pk = if (parentKeyed) Some(Seq("shard", "seq_id", "start_in_seq")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** BPE vocabulary training: the merge table keyed by rank. */
+    def bpeTrained(textCol: String, nMerges: Int): MetaFrame =
+      derived(mf, Corpus.bpeTrain(mf.df, textCol, nMerges),
+        "bpe_train", Map("text" -> textCol, "nMerges" -> nMerges),
+        pk = Some(Seq("merge_rank")))
+
+    /** BPE segmentation against a trained merge table. */
+    def bpeSegmented(merges: MetaFrame, idCol: String, textCol: String): MetaFrame =
+      perDoc(Corpus.bpeSegment(mf.df, idCol, textCol, merges.df),
+        "bpe_segment", idCol, Map("id" -> idCol, "text" -> textCol))
+
+    /** Epoch-aware data-constrained mixing: row-preserving plan. */
+    def epochMixed(idCol: String, sourceCol: String, salt: String,
+        budget: Long, maxEpochs: Int): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf, Corpus.epochMix(mf.df, idCol, sourceCol, salt, budget, maxEpochs),
+        "epoch_mix",
+        Map("id" -> idCol, "source" -> sourceCol, "salt" -> salt,
+            "budget" -> budget, "maxEpochs" -> maxEpochs),
+        pk = if (parentKeyed) Some(Seq(idCol)) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** Four-stage curation composite (line dedup → span decontamination →
+      * OOV gate → epoch mix): one audit row per doc. */
+    def curateCorpus(benchmark: MetaFrame, idCol: String, textCol: String,
+        sourceCol: String, sep: String = "\n", spanLen: Int = 20,
+        oovPerMille: Long = 5L, maxOovFrac: Double = 0.025,
+        salt: String = "curate", budget: Long = 300L, maxEpochs: Int = 2): MetaFrame =
+      perDoc(Assembly.curateCorpus(mf.df, benchmark.df, idCol, textCol, sourceCol,
+          sep, spanLen, oovPerMille, maxOovFrac, salt, budget, maxEpochs),
+        "corpus_curation", idCol,
+        Map("id" -> idCol, "text" -> textCol, "source" -> sourceCol,
+            "spanLen" -> spanLen, "oovPerMille" -> oovPerMille,
+            "maxOovFrac" -> maxOovFrac, "salt" -> salt,
+            "budget" -> budget, "maxEpochs" -> maxEpochs))
+
     /** Per-doc text-analysis annotation: adds token/quality/lang/fingerprint
       * and PII-audit columns; row-preserving so existing pk metadata
       * stands. */

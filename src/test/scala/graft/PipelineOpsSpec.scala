@@ -1242,6 +1242,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exempt(2L) == "unique bravo content\nok")
   }
 
+  test("PipelineSyntax: curation-era ops record lineage and pk semantics") {
+    import graft.operators.PipelineSyntax._
+    val langed = docs.withColumn("lang",
+      when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    val mf = MetaFrame(langed, Map("corpus" -> "unit")).dropDuplicates(Seq("doc_id"))
+    // per-doc ops key the result by id (pk set + verified)
+    val ld = mf.lineDeduped("doc_id", "text")
+    assert(ld.primaryKey.contains(Seq("id")))
+    assert(ld.dropDuplicates(Seq("id")).df eq ld.df)
+    assert(ld.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("line_dedup"))
+    val sd = mf.spanDeduped("doc_id", "text", spanLen = 4)
+    assert(sd.primaryKey.contains(Seq("id")))
+    val c4 = mf.c4Filtered("doc_id", "text")
+    assert(c4.primaryKey.contains(Seq("id")))
+    val vc = mf.vocabCovered("doc_id", "text")
+    assert(vc.primaryKey.contains(Seq("id")))
+    // packing expands rows: keyed by the fragment position
+    val packed = mf.packedSequences("doc_id", "text", seqLen = 16, shardCol = "lang")
+    assert(packed.primaryKey.contains(Seq("shard", "seq_id", "start_in_seq")))
+    assert(packed.dropDuplicates(Seq("shard", "seq_id", "start_in_seq")).df eq packed.df)
+    // bpe train keys by merge rank regardless of parent pk
+    val merges = MetaFrame(langed, Map.empty[String, Any]).bpeTrained("text", nMerges = 2)
+    assert(merges.primaryKey.contains(Seq("merge_rank")))
+    val seg = mf.bpeSegmented(merges, "doc_id", "text")
+    assert(seg.primaryKey.contains(Seq("id")))
+    // epochMix is row-preserving on the parent's own key
+    val em = mf.epochMixed("doc_id", "lang", "t", budget = 10L, maxEpochs = 2)
+    assert(em.primaryKey.contains(Seq("doc_id")))
+    assert(em.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("epoch_mix"))
+    // unkeyed parents make no pk claim
+    val unkeyed = MetaFrame(langed, Map.empty[String, Any])
+    assert(unkeyed.lineDeduped("doc_id", "text").primaryKey.isEmpty)
+    assert(unkeyed.packedSequences("doc_id", "text", 16, "lang").primaryKey.isEmpty)
+  }
+
   test("curateCorpus stages interact: spans run over line-dedup rewrites, mix over gate survivors") {
     import spark.implicits._
     val common = Seq.fill(30)("w").mkString(" ")        // 30-token frequent base line
