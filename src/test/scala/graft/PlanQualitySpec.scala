@@ -290,6 +290,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Aggregate"), s"scorer must not aggregate:\n$plan")
   }
 
+  test("line/span dedup rejoin their removal sets by broadcast; the text side never shuffles") {
+    import graft.operators.{Corpus, Dedup}
+    val docs = t("documents").df
+    for ((name, out) <- Seq(
+        "lineDedup" -> Corpus.lineDedup(docs, "doc_id", "text", sep = " "),
+        "spanDedup" -> Dedup.spanDedup(docs, "doc_id", "text", spanLen = 8))) {
+      out.collect(): Unit
+      val plan = out.queryExecution.executedPlan.toString
+      // the per-doc removal arrays are bounded metadata → AQE must
+      // broadcast them back onto the corpus scan, never shuffle the text
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name removal set must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must not plan a cartesian:\n$plan")
+      // every Exchange in the plan is over hashed METADATA keys (the line/
+      // span hash and the doc id), never a range/single partition of text
+      assert(!plan.contains("SinglePartition"), s"$name must stay distributed:\n$plan")
+    }
+  }
+
+  test("packSequences plans exactly one exchange (the shard hash) before its window") {
+    import graft.operators.Corpus
+    val out = Corpus.packSequences(t("documents").df, "doc_id", "text",
+      seqLen = 64, shardCol = "lang")
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one shard exchange, got $exchanges:\n$plan")
+    assert(plan.contains("Window"), s"per-shard window expected:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"packing must never global-sort:\n$plan")
+  }
+
   test("join on right side's verified pk preserves the left elision proof") {
     val custAgg = t("orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
     val dims = t("customer").withColumnRenamed("c_custkey", "o_custkey")
