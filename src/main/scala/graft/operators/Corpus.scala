@@ -932,12 +932,12 @@ object Corpus {
     val sepRe = java.util.regex.Pattern.quote(sep)
     val store = corpus.select(explode(split(col(textCol), sepRe)).as("line"))
       .filter(length(col("line")) >= minLineChars)
-      .select(md5(col("line").cast("binary")).as("h")).distinct()
+      .select(unhex(md5(col("line").cast("binary"))).as("h")).distinct()
       .withColumn("__in_store", lit(true))
     df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), sepRe)).as(Seq("idx", "line")))
       .withColumn("h",
-        when(length(col("line")) >= minLineChars, md5(col("line").cast("binary"))))
+        when(length(col("line")) >= minLineChars, unhex(md5(col("line").cast("binary")))))
       .join(store, Seq("h"), "left")
       .select(col("id"), col("idx"), col("line"),
         coalesce(col("__in_store"), lit(false)).as("dup"))
@@ -1340,14 +1340,19 @@ object Corpus {
     * the CCNet convention.
     *
     * Scale shape: the line text never shuffles. The split is row-local;
-    * the shuffle carries (md5, id, idx) triples only — one
-    * map-side-combinable min-reduce on the 128-bit line hash (uniform keys
+    * the shuffle carries (16-byte binary md5, id, idx) triples only — one
+    * map-side-combinable min-reduce on the line hash (uniform keys
     * regardless of boilerplate skew: a line repeated a billion times is ONE
     * group whose min is map-side combined) — and the removal set rejoins
     * the corpus as (id, sorted int array), a per-doc metadata row that AQE
     * broadcasts when small. Reassembly is a row-local index filter over the
-    * original split. Returns one row per input row:
-    * (id, n_lines, n_removed_lines, text_deduped). */
+    * original split. MEASURED vs the naive window-over-exploded-lines form
+    * (`MeasureProps --line-dedup`, sf0.1, identical removal checksums):
+    * shuffle-write bytes 1.3× smaller at 8-token lines, 4.1× at 48-token
+    * lines — the gap is the line text itself and grows with line length,
+    * which is what matters at 100 TB (local wall time favors the naive
+    * form at toy scale where fixed stage overhead dominates). Returns one
+    * row per input row: (id, n_lines, n_removed_lines, text_deduped). */
   def lineDedup(
       df: DataFrame,
       idCol: String,
@@ -1358,7 +1363,7 @@ object Corpus {
     val lines = df
       .select(col(idCol).as("id"), posexplode(split(col(textCol), sepRe)).as(Seq("idx", "line")))
       .filter(length(col("line")) >= minLineChars)
-      .select(col("id"), col("idx"), md5(col("line").cast("binary")).as("h"))
+      .select(col("id"), col("idx"), unhex(md5(col("line").cast("binary"))).as("h"))
     val keepers = lines.groupBy("h")
       .agg(min(struct(col("id"), col("idx"))).as("keeper"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)

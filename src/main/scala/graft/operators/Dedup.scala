@@ -851,7 +851,7 @@ object Dedup {
       .select(col("id"), col("__ts"),
         explode(sequence(lit(0), size(col("__ts")) - spanLen)).as("s"))
       .select(col("id"), col("s"),
-        md5(concat_ws(" ", slice(col("__ts"), col("s") + 1, lit(spanLen))).cast("binary")).as("h"))
+        unhex(md5(concat_ws(" ", slice(col("__ts"), col("s") + 1, lit(spanLen))).cast("binary"))).as("h"))
     val keepers = wins.groupBy("h")
       .agg(min(struct(col("id"), col("s"))).as("keeper"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
@@ -872,7 +872,7 @@ object Dedup {
       .select(col("id"), col("__ts"),
         explode(sequence(lit(0), size(col("__ts")) - spanLen)).as("s"))
       .select(col("id"), col("s"),
-        md5(concat_ws(" ", slice(col("__ts"), col("s") + 1, lit(spanLen))).cast("binary")).as("h"))
+        unhex(md5(concat_ws(" ", slice(col("__ts"), col("s") + 1, lit(spanLen))).cast("binary"))).as("h"))
 
   /** Coverage-union removal + reassembly shared by [[spanDedup]] and
     * [[spanDedupAgainst]]: `toks` = (id, __ts), `removed` = (__rm_id,

@@ -213,6 +213,68 @@ object MeasureProps {
     // micro-batches under (a) no compaction and (b) compact-every-4, and
     // report ingest wall time, final parquet file count, and the
     // median-of-3 full-store read time each policy leaves behind.
+    // ---- line-dedup formulation (backs Corpus.lineDedup's design note):
+    // the production ids-only-shuffle form vs the naive window-over-
+    // exploded-lines form (which shuffles every line's TEXT). Same
+    // removal checksum required; reports median wall time AND total
+    // shuffle-write bytes — the byte column is the one that matters at
+    // 100 TB (the text payload dwarfs the md5+id triples).
+    if (args.contains("--line-dedup")) {
+      import graft.operators.Corpus
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      def render(lineTokens: Int) = docs.select(col("doc_id"),
+        concat_ws("\n", transform(
+          graft.functions.TextFunctions.tokenChunks(col("text"), lineTokens, lineTokens),
+          c => c.getField("chunk_text"))).as("ml_text")).cache()
+      class Bytes extends SparkListener {
+        @volatile var written = 0L
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            written += te.taskMetrics.shuffleWriteMetrics.bytesWritten
+      }
+      def timeIt(mk: () => DataFrame): (Double, Long, Long) = {
+        var chk = 0L
+        mk().agg(sum(col("n_removed_lines"))).collect() // warm
+        val lst = new Bytes
+        spark.sparkContext.addSparkListener(lst)
+        val ts = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          chk = mk().agg(sum(col("n_removed_lines"))).collect()(0).getLong(0)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Thread.sleep(500) // let the async listener bus drain task-end events
+        spark.sparkContext.removeSparkListener(lst)
+        (ts(2), chk, lst.written / 5)
+      }
+      def naive(ml: DataFrame): DataFrame = {
+        val lines = ml.select(col("doc_id"),
+          posexplode(split(col("ml_text"), "\n")).as(Seq("idx", "line")))
+        val w = Window.partitionBy("line").orderBy("doc_id", "idx")
+        lines.withColumn("rn", row_number().over(w))
+          .groupBy("doc_id").agg(
+            count(lit(1)).cast("long").as("n_lines"),
+            sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed_lines"),
+            concat_ws("\n", transform(
+              array_sort(collect_list(when(col("rn") === 1, struct(col("idx"), col("line"))))),
+              s => s.getField("line"))).as("text_deduped"))
+      }
+      for (lineTokens <- Seq(8, 48)) {
+        val ml = render(lineTokens)
+        val nDocs = ml.count()
+        val (prodT, prodChk, prodB) = timeIt(() => Corpus.lineDedup(ml, "doc_id", "ml_text"))
+        val (naiveT, naiveChk, naiveB) = timeIt(() => naive(ml))
+        require(prodChk == naiveChk, s"formulations disagree: $prodChk vs $naiveChk")
+        println(f"[measure] $sfDir line-dedup lineTokens=$lineTokens docs=$nDocs removed=$prodChk: " +
+          f"prod=$prodT%.2fs ${prodB / 1e6}%.1fMB-shuffled  " +
+          f"naive=$naiveT%.2fs ${naiveB / 1e6}%.1fMB-shuffled " +
+          f"(bytes ratio ${naiveB.toDouble / prodB}%.1fx)")
+        ml.unpersist(): Unit
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("--compaction-cadence")) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.Trigger
