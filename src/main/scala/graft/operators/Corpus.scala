@@ -930,12 +930,12 @@ object Corpus {
       sep: String = "\n",
       minLineChars: Int = 0): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
-    val store = corpus.select(explode(split(col(textCol), sepRe)).as("line"))
+    val store = corpus.select(explode(split(coalesce(col(textCol), lit("")), sepRe)).as("line"))
       .filter(length(col("line")) >= minLineChars)
       .select(unhex(md5(col("line").cast("binary"))).as("h")).distinct()
       .withColumn("__in_store", lit(true))
     df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), sepRe)).as(Seq("idx", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), sepRe)).as(Seq("idx", "line")))
       .withColumn("h",
         when(length(col("line")) >= minLineChars, unhex(md5(col("line").cast("binary")))))
       .join(store, Seq("h"), "left")
@@ -960,7 +960,7 @@ object Corpus {
       .filter(col("dup"))
       .groupBy("id").agg(sort_array(collect_list(col("idx"))).as("rm"))
       .withColumnRenamed("id", "__rm_id")
-    val arr = split(col(textCol), sepRe)
+    val arr = split(coalesce(col(textCol), lit("")), sepRe)
     val rmArr = coalesce(col("rm"), array().cast("array<int>"))
     batch.join(removed, col(idCol) === col("__rm_id"), "left")
       .select(
@@ -992,7 +992,7 @@ object Corpus {
       minLines: Int = 3,
       sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
-    val arr = split(col(textCol), sepRe)
+    val arr = split(coalesce(col(textCol), lit("")), sepRe)
     val lineOk = (l: Column) =>
       substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
         (size(split(l, "\\s+")) >= minWordsPerLine) &&
@@ -1038,7 +1038,7 @@ object Corpus {
       salt: String = "pack"): DataFrame = {
     require(seqLen >= 1, "seqLen must be at least 1")
     val base = df.select(col(shardCol).as("shard"), col(idCol).as("id"),
-        graft.functions.TextFunctions.tokens(col(textCol)).as("__ts"))
+        graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__ts"))
       .withColumn("__d", md5(concat(col("id").cast("string"), lit(":" + salt))))
       .withColumn("n", size(col("__ts")).cast("long"))
     val w = Window.partitionBy("shard").orderBy(col("__d"), col("id"))
@@ -1080,7 +1080,7 @@ object Corpus {
       perMille: Long = 1L): DataFrame = {
     require(perMille >= 0, "perMille must be non-negative")
     val occ = df.select(col(idCol).as("id"),
-        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+        explode(graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))).as("w"))
       .filter(col("w") =!= "")
     val counts = occ.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = counts.agg(coalesce(sum(col("c")), lit(0L)).as("__tot"))
@@ -1318,7 +1318,7 @@ object Corpus {
       replace(replace(replace(merged, lit(BpeUS + BpeRS), lit("+")),
         lit(BpeRS), lit("")), lit(BpeUS), lit(""))
     }
-    val ts = graft.functions.TextFunctions.tokens(col(textCol))
+    val ts = graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))
     df.select(col(idCol).as("id"), transform(ts, segWord).as("__segs"))
       .select(col("id"),
         size(col("__segs")).cast("long").as("n_words"),
@@ -1361,7 +1361,8 @@ object Corpus {
       minLineChars: Int = 0): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = df
-      .select(col(idCol).as("id"), posexplode(split(col(textCol), sepRe)).as(Seq("idx", "line")))
+      .select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), sepRe)).as(Seq("idx", "line")))
       .filter(length(col("line")) >= minLineChars)
       .select(col("id"), col("idx"), unhex(md5(col("line").cast("binary"))).as("h"))
     val keepers = lines.groupBy("h")
@@ -1371,7 +1372,7 @@ object Corpus {
       .filter(!(col("id") === col("keeper.id") && col("idx") === col("keeper.idx")))
       .groupBy("id").agg(sort_array(collect_list(col("idx"))).as("rm"))
       .withColumnRenamed("id", "__rm_id")
-    val arr = split(col(textCol), sepRe)
+    val arr = split(coalesce(col(textCol), lit("")), sepRe)
     val rmArr = coalesce(col("rm"), array().cast("array<int>"))
     df.join(removed, col(idCol) === col("__rm_id"), "left")
       .select(

@@ -845,7 +845,7 @@ object Dedup {
       textCol: String,
       spanLen: Int = 20): DataFrame = {
     require(spanLen >= 2, "spanLen must be at least 2")
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+    val toks = df.select(col(idCol).as("id"), tokens(coalesce(col(textCol), lit(""))).as("__ts"))
     val wins = toks
       .filter(size(col("__ts")) >= spanLen)
       .select(col("id"), col("__ts"),
@@ -867,7 +867,7 @@ object Dedup {
     * `spanLen`-token slice; docs shorter than `spanLen` emit nothing). */
   private def spanWindows(df: DataFrame, idCol: String, textCol: String,
       spanLen: Int): DataFrame =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+    df.select(col(idCol).as("id"), tokens(coalesce(col(textCol), lit(""))).as("__ts"))
       .filter(size(col("__ts")) >= spanLen)
       .select(col("id"), col("__ts"),
         explode(sequence(lit(0), size(col("__ts")) - spanLen)).as("s"))
@@ -932,7 +932,7 @@ object Dedup {
       .filter(col("dup"))
       .groupBy("id").agg(sort_array(collect_list(col("s"))).as("rm"))
       .withColumnRenamed("id", "__rm_id")
-    val toks = batch.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+    val toks = batch.select(col(idCol).as("id"), tokens(coalesce(col(textCol), lit(""))).as("__ts"))
     removeSpans(toks, removed, spanLen)
   }
 }

@@ -1242,6 +1242,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exempt(2L) == "unique bravo content\nok")
   }
 
+  test("curation ops treat NULL text as empty text — no NULL-poisoned outputs, no dropped rows") {
+    import spark.implicits._
+    val withNull = Seq((1L, "real line one\nreal line two", "s0"),
+      (2L, null.asInstanceOf[String], "s0")).toDF("doc_id", "text", "src")
+    val ld = Corpus.lineDedup(withNull, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[String]("text_deduped"))).toMap
+    assert(ld(2L) == ((1L, ""))) // empty text = one empty line, kept
+    assert(ld.size == 2)
+    val sd = Dedup.spanDedup(withNull, "doc_id", "text", spanLen = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(sd(2L) == 1L) // [""] — passes through untouched
+    val c4 = Corpus.c4LineFilter(withNull, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("keep")).toMap
+    assert(c4(2L) == false) // zero surviving lines < minLines, never NULL
+    val packed = Corpus.packSequences(withNull, "doc_id", "text", 4, "src")
+    assert(packed.filter(col("id") === 2L).count() == 1) // one empty-token fragment
+    val seg = Corpus.bpeSegment(withNull, "doc_id", "text",
+      Seq((0, "a", "b", "ab", 1L)).toDF("merge_rank", "lhs", "rhs", "merged", "pair_count"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_words")).toMap
+    assert(seg(2L) == 1L)
+    val vc = Corpus.vocabCoverage(withNull, "doc_id", "text", 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(vc(2L) == 0L)
+  }
+
   test("PipelineSyntax: curation-era ops record lineage and pk semantics") {
     import graft.operators.PipelineSyntax._
     val langed = docs.withColumn("lang",
