@@ -1058,6 +1058,62 @@ object Corpus {
             greatest(col("off"), col("q") * L)).cast("int"))).as("frag_text"))
   }
 
+  /** Blocklist (badword) filtering — the C4-family component that drops
+    * documents containing any term from a curated wordlist: exact
+    * case-insensitive TOKEN match (substring matching famously
+    * over-blocks — the "Scunthorpe problem" — so whole tokens only).
+    * Row-local: the list compiles into the plan as a literal set, one
+    * HOF filter per row, no shuffle, stream-safe. Returns one row per
+    * input row: (id, n_blocked_hits, blocked_terms — sorted distinct,
+    * comma-joined — keep). */
+  def blocklistFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val terms = blocklist.map(_.toLowerCase)
+    val toks = graft.functions.TextFunctions.tokens(lower(coalesce(col(textCol), lit(""))))
+    df.select(col(idCol).as("id"),
+        filter(toks, t => t.isin(terms.map(x => x: Any): _*)).as("__hits"))
+      .select(col("id"),
+        size(col("__hits")).cast("long").as("n_blocked_hits"),
+        concat_ws(",", array_sort(array_distinct(col("__hits")))).as("blocked_terms"),
+        (size(col("__hits")) === 0).as("keep"))
+  }
+
+  /** Per-benchmark-item LEAK REPORT — the audit twin of
+    * [[decontaminateSpans]]: for every benchmark document, how many
+    * corpus documents contain one of its `spanLen`-token spans verbatim,
+    * and how many window occurrences in total — the artifact an eval
+    * owner reads to decide which benchmark items are burned. Both sides
+    * window row-locally; the only shuffle is the span-hash equi-join of
+    * (hash, id) metadata and one count reduce keyed by the benchmark id.
+    * Returns one row per benchmark doc:
+    * (bench_id, n_leaked_docs, n_leaked_windows) — zeros for clean
+    * items. */
+  def decontaminationReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLen: Int = 20): DataFrame = {
+    val bw = Dedup.spanWindowsOf(benchmark, idCol, textCol, spanLen)
+      .select(col("id").as("bench_id"), col("h")).distinct()
+    val cw = Dedup.spanWindowsOf(corpus, idCol, textCol, spanLen)
+      .select(col("id").as("corpus_id"), col("h"))
+    val hits = bw.join(cw, Seq("h"))
+      .groupBy("bench_id").agg(
+        count_distinct(col("corpus_id")).as("n_leaked_docs"),
+        count(lit(1)).as("n_leaked_windows"))
+      .withColumnRenamed("bench_id", "__hit_id")
+    benchmark.select(col(idCol).as("bench_id"))
+      .join(hits, col("bench_id") === col("__hit_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_leaked_docs"), lit(0L)).as("n_leaked_docs"),
+        coalesce(col("n_leaked_windows"), lit(0L)).as("n_leaked_windows"))
+  }
+
   /** Vocabulary-coverage (out-of-vocabulary-rate) scoring — the gibberish
     * / wrong-domain signal: build the corpus FREQUENT vocabulary (words
     * whose count reaches `perMille`/1000 of total token occurrences — a

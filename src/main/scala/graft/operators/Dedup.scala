@@ -866,6 +866,11 @@ object Dedup {
     * map stage of the span-dedup family (md5 over the space-joined
     * `spanLen`-token slice; docs shorter than `spanLen` emit nothing). */
   private def spanWindows(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int): DataFrame = spanWindowsOf(df, idCol, textCol, spanLen)
+
+  /** Package-visible window projection for the report/audit consumers
+    * (`Corpus.decontaminationReport`). */
+  private[operators] def spanWindowsOf(df: DataFrame, idCol: String, textCol: String,
       spanLen: Int): DataFrame =
     df.select(col(idCol).as("id"), tokens(coalesce(col(textCol), lit(""))).as("__ts"))
       .filter(size(col("__ts")) >= spanLen)

@@ -544,6 +544,23 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // token-exact blocklist filter (C4 badword component) on a two-term
+    // corpus-vocabulary list — hit/clean docs and both terms occur at
+    // every SF; whole-token matching only (no Scunthorpe over-blocking)
+    "text_blocklist_filter" -> ((s, d) =>
+      Corpus.blocklistFilter(t(s, d, "documents").df, "doc_id", "text",
+          blocklist = Seq("merge", "dup"))
+        .orderBy("id")),
+
+    // per-benchmark-item leak report: which < 100 docs have a 20-token
+    // span verbatim inside the ≥ 100 corpus, and how often
+    "text_decontaminate_report" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      Corpus.decontaminationReport(docs.filter(col("doc_id") >= 100),
+          docs.filter(col("doc_id") < 100), "doc_id", "text", spanLen = 20)
+        .orderBy("bench_id")
+    }),
+
     // OOV-rate scoring at a 5-per-mille relative threshold: the corpus
     // plants one rare token below it (26 occurrences vs ~900 for every
     // frequent word at sf0.01), so both the in- and out-of-vocab paths
@@ -1458,6 +1475,31 @@ object PipelineQueries {
         .orderBy("doc_id", "bin")
     }),
 
+    // multimodal ↔ dedup bridge: near-dup detection over the REAL image
+    // decode path — luminance histograms become feature vectors and
+    // high-cosine pairs are flagged (the pixel generator repeats exactly
+    // at id+256, so true duplicate pairs exist at every SF; DuckDB
+    // re-derives the histograms by integer arithmetic and the same
+    // cosine fold). At corpus scale the pair stage swaps for the LSH /
+    // semantic-dedup bucketed variants — the vectors, not the join, are
+    // the point here.
+    "mm_image_near_dup" -> ((s, d) => {
+      import graft.functions.VectorFunctions.cosine
+      import graft.multimodal.Multimodal
+      val vecs = Multimodal.decodedHistogram(
+          Multimodal.encodeDemoPng(t(s, d, "documents").df, "doc_id")).toDF()
+        .groupBy(col("id")).agg(
+          transform(array_sort(collect_list(struct(col("bin"), col("n")))),
+            x => x.getField("n").cast("float")).as("hvec"))
+      val a = vecs.select(col("id").as("id_a"), col("hvec").as("va"))
+      val b = vecs.select(col("id").as("id_b"), col("hvec").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.995)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // REAL audio container round-trip, oracle-checked: each doc gets a
     // deterministic 100-sample 16-bit mono PCM WAV (sample i =
     // ((doc_id·37+i·13) mod 65536) − 32768 at 16 kHz; container bytes
@@ -1870,6 +1912,31 @@ object PipelineQueries {
        "s4.n_repeats " +
        "FROM s1 JOIN documents d ON d.doc_id = s1.id JOIN s2 ON s2.id = s1.id " +
        "JOIN s3 ON s3.id = s1.id LEFT JOIN s4 ON s4.id = s1.id ORDER BY s1.id"),
+
+    // lowercased token-exact hits against the literal two-term list
+    "text_blocklist_filter" ->
+      ("SELECT doc_id AS id, " +
+       "CAST(len(hits) AS BIGINT) AS n_blocked_hits, " +
+       "coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '') AS blocked_terms, " +
+       "len(hits) = 0 AS keep FROM " +
+       "(SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+       "t -> t IN ('merge', 'dup')) AS hits FROM documents) ORDER BY id"),
+
+    // distinct benchmark spans joined to corpus window occurrences,
+    // grouped back to the benchmark id; clean items report zeros
+    "text_decontaminate_report" ->
+      ("WITH b AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents WHERE doc_id < 100), " +
+       "c AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents WHERE doc_id >= 100), " +
+       "bw AS (SELECT DISTINCT doc_id AS bench_id, array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
+       "(SELECT doc_id, unnest(range(0, len(ts)-20+1)) AS s, ts FROM b WHERE len(ts) >= 20)), " +
+       "cw AS (SELECT doc_id AS corpus_id, array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
+       "(SELECT doc_id, unnest(range(0, len(ts)-20+1)) AS s, ts FROM c WHERE len(ts) >= 20)), " +
+       "hits AS (SELECT bench_id, CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_leaked_docs, " +
+       "CAST(count(*) AS BIGINT) AS n_leaked_windows FROM bw JOIN cw USING (key) GROUP BY bench_id) " +
+       "SELECT b2.doc_id AS bench_id, coalesce(hits.n_leaked_docs, 0) AS n_leaked_docs, " +
+       "coalesce(hits.n_leaked_windows, 0) AS n_leaked_windows " +
+       "FROM (SELECT doc_id FROM documents WHERE doc_id < 100) b2 " +
+       "LEFT JOIN hits ON hits.bench_id = b2.doc_id ORDER BY bench_id"),
 
     // word counts → relative threshold → frequent set → per-doc OOV join
     "text_vocab_coverage" ->
@@ -2461,6 +2528,18 @@ object PipelineQueries {
        "FROM sz sa JOIN sz sb ON sa.source < sb.source " +
        "LEFT JOIN it ON it.src_a = sa.source AND it.src_b = sb.source " +
        "ORDER BY src_a, src_b"),
+
+    // histogram vectors by the same integer arithmetic, then the exact
+    // cosine fold over every (a < b) pair at the 0.995 threshold
+    "mm_image_near_dup" ->
+      ("WITH h AS (SELECT doc_id, [CAST(len(list_filter(range(0, 64), " +
+       "i -> (((doc_id*31+i)%256+256)%256)//16 = b)) AS FLOAT) " +
+       "FOR b IN generate_series(0, 15)] AS hvec FROM documents) " +
+       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(" +
+       cosSql("a.hvec", "b.hvec") + ", 6) AS cos " +
+       "FROM h a JOIN h b ON a.doc_id < b.doc_id " +
+       "WHERE " + cosSql("a.hvec", "b.hvec") + " >= 0.995 " +
+       "ORDER BY id_a, id_b"),
 
     // grayscale pixel v has luminance (299v+587v+114v)/1000 = v exactly, so
     // bin(i) = ((doc_id*31+i) % 256) // 16 — pure integer arithmetic

@@ -1242,6 +1242,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exempt(2L) == "unique bravo content\nok")
   }
 
+  test("blocklistFilter matches whole tokens only (no Scunthorpe over-blocking)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "this text is clean entirely"),
+      (2L, "contains the Bad word here"),
+      (3L, "badger badminton embedded notbad"), // substrings must NOT match
+      (4L, "bad bad worse bad"))
+      .toDF("doc_id", "text")
+    val out = Corpus.blocklistFilter(docs, "doc_id", "text", Seq("BAD", "worse"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_blocked_hits"), r.getAs[String]("blocked_terms"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == ((0L, "", true)))
+    assert(out(2L) == ((1L, "bad", false))) // list and text both casefold
+    assert(out(3L) == ((0L, "", true)))
+    assert(out(4L) == ((4L, "bad,worse", false)))
+  }
+
+  test("decontaminationReport attributes leaks to benchmark items, zeros for clean ones") {
+    import spark.implicits._
+    val passage = (1 to 25).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"intro words $passage trailing"),
+      (101L, s"$passage"),
+      (102L, "unrelated corpus content entirely here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, passage), (2L, "clean benchmark item with nothing shared but long enough to window " + (1 to 16).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminationReport(corpus, bench, "doc_id", "text", spanLen = 20)
+      .collect().map(r => r.getAs[Long]("bench_id") ->
+        (r.getAs[Long]("n_leaked_docs"), r.getAs[Long]("n_leaked_windows"))).toMap
+    assert(out(1L)._1 == 2L) // both planted corpus docs leak item 1
+    assert(out(1L)._2 >= 2L)
+    assert(out(2L) == ((0L, 0L)))
+  }
+
   test("curation ops treat NULL text as empty text — no NULL-poisoned outputs, no dropped rows") {
     import spark.implicits._
     val withNull = Seq((1L, "real line one\nreal line two", "s0"),
