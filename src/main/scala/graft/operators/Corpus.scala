@@ -1156,6 +1156,57 @@ object Corpus {
           .as("oov_frac"))
   }
 
+  /** The frequent-vocabulary MODEL behind [[vocabCoverage]] — the words
+    * whose corpus count reaches `perMille`/1000 of total occurrences, as
+    * a (w, c) table for persistence and the frozen-scorer split. The
+    * relative threshold caps the model size STRUCTURALLY: at most
+    * 1000/perMille words can each hold ≥ perMille/1000 of the mass, so
+    * the model is bounded driver metadata by construction (1000 entries
+    * at the perMille=1 default), independent of corpus size. */
+  def vocabModel(
+      corpus: DataFrame,
+      textCol: String,
+      perMille: Long = 1L): DataFrame = {
+    require(perMille >= 1, "perMille must be at least 1")
+    val counts = corpus
+      .select(explode(graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(coalesce(sum(col("c")), lit(0L)).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .filter(expr(s"c * 1000 >= __tot * $perMille"))
+      .select(col("w"), col("c"))
+  }
+
+  /** Score a batch against a FROZEN [[vocabModel]] — the train-once /
+    * score-streams split (same contract as the frozen-LM and DSIR
+    * scorers): the model's word set (structurally ≤ 1000/perMille
+    * entries) collects into the plan as a literal, and each doc's OOV
+    * fraction is one row-local filter over its own tokens — no join, no
+    * shuffle, no aggregation, so the identical plan runs append-mode on
+    * a stream (`Streams.vocabScoreStream`). Retraining means restarting
+    * the query — mid-stream vocabulary drift must be an explicit
+    * redeploy, never a silent change. Output schema matches
+    * [[vocabCoverage]]. */
+  def vocabCoverageAgainst(
+      batch: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val vocab: Seq[String] = model.select("w").collect().map(_.getString(0)).toSeq
+    val toks = filter(
+      graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))), t => t =!= "")
+    batch.select(col(idCol).as("id"), toks.as("__ts"))
+      .select(col("id"),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        size(filter(col("__ts"),
+          t => !t.isin(vocab.map(x => x: Any): _*))).cast("long").as("n_oov"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_oov").cast("double") / col("n_tokens"), 6))
+          .as("oov_frac"))
+  }
+
   /** Epoch-aware corpus mixing under DATA CONSTRAINTS (Muennighoff et
     * al., NeurIPS 2023 — "Scaling Data-Constrained Language Models"):
     * like [[temperatureMix]], sources contribute ∝ √n at α = 1/2, but a

@@ -544,6 +544,17 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // frozen-vocab scoring split: model from docs < 250, batch = docs ≥
+    // 250 scored row-locally against the collected frequent set (the
+    // production train-once/score-streams shape; stream twin pinned in
+    // StreamingSpec)
+    "text_vocab_coverage_frozen" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val model = Corpus.vocabModel(docs.filter(col("doc_id") < 250), "text", perMille = 5L)
+      Corpus.vocabCoverageAgainst(docs.filter(col("doc_id") >= 250), model, "doc_id", "text")
+        .orderBy("id")
+    }),
+
     // token-exact blocklist filter (C4 badword component) on a two-term
     // corpus-vocabulary list — hit/clean docs and both terms occur at
     // every SF; whole-token matching only (no Scunthorpe over-blocking)
@@ -1912,6 +1923,25 @@ object PipelineQueries {
        "s4.n_repeats " +
        "FROM s1 JOIN documents d ON d.doc_id = s1.id JOIN s2 ON s2.id = s1.id " +
        "JOIN s3 ON s3.id = s1.id LEFT JOIN s4 ON s4.id = s1.id ORDER BY s1.id"),
+
+    // model vocab from the < 250 half at the same relative threshold,
+    // then the row-local score of the ≥ 250 half
+    "text_vocab_coverage_frozen" ->
+      ("WITH o AS (SELECT w FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w " +
+       "FROM documents WHERE doc_id < 250) WHERE w <> ''), " +
+       "c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY w), " +
+       "t2 AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c), " +
+       "v AS (SELECT w FROM c, t2 WHERE c * 1000 >= tot * 5), " +
+       "b AS (SELECT id, w FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS w " +
+       "FROM documents WHERE doc_id >= 250) WHERE w <> ''), " +
+       "sc AS (SELECT b.id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
+       "FROM b LEFT JOIN v ON b.w = v.w GROUP BY b.id) " +
+       "SELECT d.doc_id AS id, coalesce(sc.n_tokens, 0) AS n_tokens, " +
+       "coalesce(sc.n_oov, 0) AS n_oov, " +
+       "coalesce(round(CAST(sc.n_oov AS DOUBLE) / sc.n_tokens, 6), 0.0) AS oov_frac " +
+       "FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d " +
+       "LEFT JOIN sc ON d.doc_id = sc.id ORDER BY id"),
 
     // lowercased token-exact hits against the literal two-term list
     "text_blocklist_filter" ->

@@ -552,6 +552,28 @@ object Streams {
       minLineChars: Int = 0): DataFrame =
     graft.operators.Corpus.lineVerdicts(stream, corpus, idCol, textCol, sep, minLineChars)
 
+  /** Streaming OOV scoring against a FROZEN `Corpus.vocabModel` — the
+    * model's word set is structurally bounded (≤ 1000/perMille entries),
+    * collects into the plan as a literal, and the scorer is one
+    * row-local filter: zero streaming state, append mode, identical
+    * plan to the batch scorer. */
+  def vocabScoreStream(
+      stream: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Corpus.vocabCoverageAgainst(stream, model, idCol, textCol)
+
+  /** Streaming blocklist filter — `Corpus.blocklistFilter` is one
+    * row-local projection over a literal term set: stateless, append
+    * mode, stream ≡ batch. */
+  def blocklistStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocklist: Seq[String]): DataFrame =
+    graft.operators.Corpus.blocklistFilter(stream, idCol, textCol, blocklist)
+
   /** Streaming incremental span dedup — per-WINDOW verdicts of the
     * stream's docs against the static corpus span store
     * (`Dedup.spanVerdicts`): row-local windows plus one stream-static

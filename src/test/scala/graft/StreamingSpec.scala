@@ -281,6 +281,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vocabScoreStream and blocklistStream are stateless and bit-equal to their batch twins") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha alpha alpha beta"), (2L, "alpha beta beta rare")).toDF("doc_id", "text")
+    val model = graft.operators.Corpus.vocabModel(corpus, "text", perMille = 200L)
+    val rows = Seq((10L, "alpha beta unknown"), (11L, null.asInstanceOf[String]))
+    val ms = MemoryStream[(Long, String)](spark)
+    val sdf = ms.toDF().toDF("doc_id", "text")
+    val vs = Streams.vocabScoreStream(sdf, model, "doc_id", "text")
+    val bl = Streams.blocklistStream(sdf, "doc_id", "text", Seq("unknown"))
+    ms.addData(rows: _*)
+    val q1 = Streams.runToMemory(vs, "vs_out", OutputMode.Append())
+    val q2 = Streams.runToMemory(bl, "bl_out", OutputMode.Append())
+    try {
+      def norm(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.toString).sorted.toSeq
+      assert(norm(spark.table("vs_out").collect()) ==
+        norm(graft.operators.Corpus.vocabCoverageAgainst(
+          rows.toDF("doc_id", "text"), model, "doc_id", "text").collect()))
+      assert(norm(spark.table("bl_out").collect()) ==
+        norm(graft.operators.Corpus.blocklistFilter(
+          rows.toDF("doc_id", "text"), "doc_id", "text", Seq("unknown")).collect()))
+      // the frozen model scored "unknown" and "rare" as OOV
+      val oov = spark.table("vs_out").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_oov")).toMap
+      assert(oov == Map(10L -> 1L, 11L -> 0L))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("spanDedupStream verdicts match the batch incremental removal") {
     import spark.implicits._
     val dup = "d1 d2 d3 d4 d5"
