@@ -1324,6 +1324,51 @@ object Corpus {
       element_at(typedLit(mapping), col("bin")).as("bucket"))
   }
 
+  /** The BOUNDARY MODEL behind [[scoreBuckets]] — the first bin of each
+    * bucket 1..nBuckets−1 as a (bucket, threshold_bin) table. Thresholds
+    * generalize to bins never seen in training (bucket = count of
+    * thresholds ≤ bin: below-range scores land in bucket 0, above-range
+    * in nBuckets−1) — which a raw bin→bucket map cannot do — and the
+    * table is ≤ nBuckets−1 rows of integers, persistable via
+    * `MetaPersist.writeModel(..., "bucket_thresholds")`. */
+  def bucketModel(
+      corpus: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      nBuckets: Int = 10,
+      binWidthMicro: Long = 1000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assigned = scoreBuckets(corpus, idCol, scoreCol, nBuckets, binWidthMicro)
+    assigned.filter(col("bucket") >= 1)
+      .groupBy("bucket").agg(min(col("bin")).as("threshold_bin"))
+      .select(col("bucket"), col("threshold_bin"))
+  }
+
+  /** Score a batch against a FROZEN [[bucketModel]] — the curriculum
+    * twin of the frozen LM / DSIR / vocabulary scorers: the ≤ nBuckets−1
+    * thresholds collect into the plan as a literal array and each row's
+    * bucket is `count(thresholds ≤ its bin)` — one row-local fold, no
+    * join, no shuffle, no aggregation, stateless on a stream
+    * (`Streams.bucketScoreStream`). Agrees with [[scoreBuckets]] on
+    * every trained bin and extends deterministically to unseen bins
+    * (below-range → 0, above-range → nBuckets−1). Output schema matches
+    * [[scoreBuckets]]. */
+  def scoreBucketsAgainst(
+      batch: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      binWidthMicro: Long = 1000L): DataFrame = {
+    val ts: Seq[Long] = model.select("threshold_bin").collect().map(_.getLong(0)).toSeq.sorted
+    val tLit = typedLit(ts)
+    val sm = round(col(scoreCol) * lit(1e6)).cast("long")
+    batch
+      .withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
+      .select(col(idCol).as("id"), col(scoreCol).as("score"), col("bin"),
+        size(filter(tLit, t => t <= col("bin"))).as("bucket"))
+  }
+
   /** Symbol-sequence encoding shared by [[bpeTrain]] and [[bpeSegment]]:
     * a word's symbol list renders as one string with every symbol wrapped
     * in 0x1E…0x1F (record/unit separator) brackets. The bracketing makes a

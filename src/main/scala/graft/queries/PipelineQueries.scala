@@ -621,6 +621,18 @@ object PipelineQueries {
           "doc_id", "quality", nBuckets = 10, binWidthMicro = 1000L)
         .orderBy("id")),
 
+    // frozen-bucket serving split: thresholds trained on the < 250 length
+    // scores, docs ≥ 250 assigned row-locally (count of thresholds ≤ bin —
+    // agrees on trained bins, clamps unseen ones)
+    "corpus_buckets_frozen" -> ((s, d) => {
+      val docs = t(s, d, "documents").df.withColumn("len_score", col("n_chars").cast("double"))
+      val model = Corpus.bucketModel(docs.filter(col("doc_id") < 250),
+        "doc_id", "len_score", nBuckets = 10, binWidthMicro = 1000000L)
+      Corpus.scoreBucketsAgainst(docs.filter(col("doc_id") >= 250), model,
+          "doc_id", "len_score", binWidthMicro = 1000000L)
+        .orderBy("id")
+    }),
+
     // the same bucketing over the CONTINUOUS length score (binWidthMicro =
     // 1e6 → integer char-count bins): a short-to-long curriculum with
     // near-equal decile counts
@@ -2018,6 +2030,23 @@ object PipelineQueries {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10) // " +
        "(SELECT count(*) FROM b)) AS INT) AS bucket FROM h) " +
        "SELECT b.id, b.score, b.bin, m.bucket FROM b JOIN m USING (bin) ORDER BY b.id"),
+
+    // thresholds = min bin of each trained bucket ≥ 1 over the < 250
+    // half, batch bucket = count of thresholds ≤ its bin
+    "corpus_buckets_frozen" ->
+      ("WITH s AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS score FROM documents WHERE doc_id < 250), " +
+       "b AS (SELECT id, score, CAST(floor(round(score * 1000000) / 1000000) AS BIGINT) AS bin FROM s), " +
+       "h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin), " +
+       "m AS (SELECT bin, CAST(least(9, (coalesce(SUM(c) OVER (ORDER BY bin " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10) // " +
+       "(SELECT count(*) FROM b)) AS INT) AS bucket FROM h), " +
+       "thr AS (SELECT bucket, min(bin) AS tbin FROM m WHERE bucket >= 1 GROUP BY bucket), " +
+       "q AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS score, " +
+       "CAST(floor(round(n_chars * 1000000) / 1000000) AS BIGINT) AS bin " +
+       "FROM documents WHERE doc_id >= 250) " +
+       "SELECT q.id, q.score, q.bin, " +
+       "CAST((SELECT count(*) FROM thr WHERE thr.tbin <= q.bin) AS INT) AS bucket " +
+       "FROM q ORDER BY q.id"),
 
     // the same machinery over a CONTINUOUS score (doc length in chars —
     // the short-to-long curriculum signal): near-equal decile counts,

@@ -564,6 +564,18 @@ object Streams {
       textCol: String): DataFrame =
     graft.operators.Corpus.vocabCoverageAgainst(stream, model, idCol, textCol)
 
+  /** Streaming curriculum-bucket assignment against a FROZEN
+    * `Corpus.bucketModel` — ≤ nBuckets−1 threshold bins ride in the plan
+    * as a literal array; one row-local fold per row, zero streaming
+    * state, append mode, bit-equal to the batch scorer. */
+  def bucketScoreStream(
+      stream: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      binWidthMicro: Long = 1000L): DataFrame =
+    graft.operators.Corpus.scoreBucketsAgainst(stream, model, idCol, scoreCol, binWidthMicro)
+
   /** Streaming blocklist filter — `Corpus.blocklistFilter` is one
     * row-local projection over a literal term set: stateless, append
     * mode, stream ≡ batch. */

@@ -1412,6 +1412,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(p2 == p3)
   }
 
+  test("scoreBucketsAgainst agrees with training on trained bins and clamps unseen ones") {
+    import spark.implicits._
+    val train = (1 to 100).map(i => (i.toLong, i / 1000.0)).toDF("doc_id", "s")
+    val model = Corpus.bucketModel(train, "doc_id", "s", nBuckets = 10, binWidthMicro = 1L)
+    assert(model.count() == 9)
+    // trained rows re-score identically through the frozen thresholds
+    val trained = Corpus.scoreBuckets(train, "doc_id", "s", 10, 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+    val frozen = Corpus.scoreBucketsAgainst(train, model, "doc_id", "s", 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+    assert(frozen == trained)
+    // unseen scores clamp: below range → 0, above range → 9
+    val unseen = Seq((200L, 0.0001), (201L, 0.5)).toDF("doc_id", "s")
+    val ub = Corpus.scoreBucketsAgainst(unseen, model, "doc_id", "s", 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+    assert(ub == Map(200L -> 0, 201L -> 9))
+  }
+
   test("scoreBuckets: near-equal deciles on a continuous score, tied bins stay whole") {
     import spark.implicits._
     // 100 distinct scores 0.001..0.100 → ten exact deciles of 10

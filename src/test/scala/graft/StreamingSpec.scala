@@ -308,6 +308,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("bucketScoreStream assigns frozen curriculum buckets statelessly") {
+    import spark.implicits._
+    val train = (1 to 100).map(i => (i.toLong, i / 1000.0)).toDF("doc_id", "s")
+    val model = graft.operators.Corpus.bucketModel(train, "doc_id", "s", 10, 1L)
+    val ms = MemoryStream[(Long, Double)](spark)
+    val out = Streams.bucketScoreStream(ms.toDF().toDF("doc_id", "s"), model, "doc_id", "s", 1L)
+    ms.addData((10L, 0.005), (11L, 0.095), (12L, 9.9))
+    val q = Streams.runToMemory(out, "bs_out", OutputMode.Append())
+    try {
+      val got = spark.table("bs_out").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+      assert(got == Map(10L -> 0, 11L -> 9, 12L -> 9)) // in-range + clamped
+    } finally q.stop()
+  }
+
   test("spanDedupStream verdicts match the batch incremental removal") {
     import spark.implicits._
     val dup = "d1 d2 d3 d4 d5"
