@@ -70,6 +70,47 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Contrastive TRIPLET mining — the batch-construction step of metric /
+    * embedding training: for each anchor, the nearest SAME-label example
+    * (positive) and the nearest DIFFERENT-label example (the hard
+    * negative, per [[hardNegatives]]), plus the cosine margin between
+    * them. Semi-hard mining is one `filter` on the margin column away.
+    * Same plan family as [[bruteForceTopK]] — broadcast anchor set, one
+    * scored pass over the corpus, two WindowGroupLimit rank-1 selections
+    * — and at corpus scale the candidate generator swaps for the IVF/PQ
+    * index exactly as in the top-k family. Returns one row per anchor
+    * with a same-label and different-label partner:
+    * (anchor_id, anchor_label, pos_id, pos_cos, neg_id, neg_cos,
+    * margin). */
+  def contrastiveTriplets(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchors: DataFrame,
+      anchorIdCol: String,
+      anchorVecCol: String,
+      anchorLabelCol: String): DataFrame = {
+    val scored = corpus
+      .join(broadcast(anchors), col(idCol) =!= col(anchorIdCol))
+      .withColumn("cos", cosine(col(vecCol), col(anchorVecCol)))
+    def best(pred: Column, outId: String, outCos: String): DataFrame = {
+      val w = Window.partitionBy(col(anchorIdCol)).orderBy(desc("cos"), asc(idCol))
+      scored.filter(pred)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col(anchorIdCol), col(anchorLabelCol),
+          col(idCol).as(outId), round(col("cos"), 6).as(outCos))
+    }
+    val pos = best(col(labelCol) === col(anchorLabelCol), "pos_id", "pos_cos")
+    val neg = best(col(labelCol) =!= col(anchorLabelCol), "neg_id", "neg_cos")
+      .drop(anchorLabelCol)
+    pos.join(neg, Seq(anchorIdCol))
+      .select(col(anchorIdCol).as("anchor_id"), col(anchorLabelCol).as("anchor_label"),
+        col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+  }
+
   /** Brute-force top-k over int8-QUANTIZED vectors: both sides compress
     * through [[graft.functions.VectorFunctions.quantizeInt8]] before
     * scoring, so the broadcast and the scan carry a quarter of the float32

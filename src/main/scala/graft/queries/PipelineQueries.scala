@@ -933,6 +933,19 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // triplet mining: nearest same-label positive + nearest
+    // different-label hard negative + margin, for 20 anchors — the
+    // metric-training batch constructor, exactly re-derivable
+    "sim_contrastive_triplets" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val anchors = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("aid"), col("embedding").as("avec"),
+          col("label").as("alabel"))
+      Similarity.contrastiveTriplets(emb, "vec_id", "embedding", "label",
+          anchors, "aid", "avec", "alabel")
+        .orderBy("anchor_id")
+    }),
+
     // hard-negative mining: top-10 nearest DIFFERENT-label neighbors per
     // query — the embeddings table carries the cluster label, so the
     // exact brute-force derivation is one label-disequality join away
@@ -2651,6 +2664,24 @@ object PipelineQueries {
        "(SELECT query_id, neighbor_id, cos, " +
        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) " +
        "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    // two rank-1 selections (same-label / different-label) over the same
+    // scored pass, joined on the anchor; margin rounded after the join
+    "sim_contrastive_triplets" ->
+      ("WITH a AS (SELECT vec_id AS aid, embedding AS avec, label AS alabel " +
+       "FROM embeddings WHERE vec_id < 20), " +
+       "scored AS (SELECT a.aid, a.alabel, e.vec_id AS nid, e.label AS nlabel, " +
+       cosSql("e.embedding", "a.avec") + " AS cos " +
+       "FROM embeddings e, a WHERE e.vec_id <> a.aid), " +
+       "pos AS (SELECT aid, alabel, nid AS pos_id, round(cos, 6) AS pos_cos FROM " +
+       "(SELECT aid, alabel, nid, cos, row_number() OVER (PARTITION BY aid ORDER BY cos DESC, nid) AS rn " +
+       "FROM scored WHERE nlabel = alabel) WHERE rn = 1), " +
+       "neg AS (SELECT aid, nid AS neg_id, round(cos, 6) AS neg_cos FROM " +
+       "(SELECT aid, nid, cos, row_number() OVER (PARTITION BY aid ORDER BY cos DESC, nid) AS rn " +
+       "FROM scored WHERE nlabel <> alabel) WHERE rn = 1) " +
+       "SELECT pos.aid AS anchor_id, pos.alabel AS anchor_label, pos.pos_id, pos.pos_cos, " +
+       "neg.neg_id, neg.neg_cos, round(pos.pos_cos - neg.neg_cos, 6) AS margin " +
+       "FROM pos JOIN neg USING (aid) ORDER BY anchor_id"),
 
     // brute derivation with the label-disequality predicate folded in
     "sim_hard_negatives" ->

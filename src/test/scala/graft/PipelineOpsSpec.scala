@@ -1465,6 +1465,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, true)))
   }
 
+  test("contrastiveTriplets pairs each anchor with nearest same-label and different-label partners") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0), 0), (2L, v(0.99, 0.1), 0), (3L, v(0.7, 0.7), 0),
+      (4L, v(0.9, 0.43), 1), (5L, v(0, 1), 1))
+      .toDF("vec_id", "embedding", "label")
+    val anchors = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("aid"), col("embedding").as("avec"), col("label").as("alabel"))
+    val out = Similarity.contrastiveTriplets(emb, "vec_id", "embedding", "label",
+      anchors, "aid", "avec", "alabel").collect().head
+    assert(out.getAs[Long]("pos_id") == 2L)  // nearest same-label
+    assert(out.getAs[Long]("neg_id") == 4L)  // nearest different-label
+    assert(out.getAs[Double]("margin") > 0.0) // easy triplet: pos closer than neg
+  }
+
   test("hardNegatives returns only different-label neighbors, ranked by cosine") {
     import spark.implicits._
     def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
