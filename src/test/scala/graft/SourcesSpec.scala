@@ -327,4 +327,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(mf.count() == 25)
     assert(mf.select("n_name").distinct().count() == 25)
   }
+
+  test("vocab and bucket-threshold models round-trip through MetaPersist and score bit-identically") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Corpus
+    import graft.sources.MetaPersist
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+
+    val vocab = Corpus.vocabModel(docs, "text", perMille = 5L)
+    MetaPersist.writeModel(vocab, out("vocab_model"), "vocab_model",
+      Map("per_mille" -> "5", "tokenizer" -> "whitespace"))
+    val vLoaded = MetaPersist.readModel(spark, out("vocab_model"), "vocab_model")
+    assert(vLoaded.metadata("per_mille") == "5")
+    def oov(m: org.apache.spark.sql.DataFrame) =
+      Corpus.vocabCoverageAgainst(batch, m, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(oov(vLoaded.df) == oov(vocab))
+    // wrong-kind loads fail loudly, never score
+    intercept[IllegalArgumentException](
+      MetaPersist.readModel(spark, out("vocab_model"), "bucket_thresholds"))
+
+    val scored = docs.withColumn("len_score", col("n_chars").cast("double"))
+    val buckets = Corpus.bucketModel(scored, "doc_id", "len_score", 10, 1000000L)
+    MetaPersist.writeModel(buckets, out("bucket_model"), "bucket_thresholds",
+      Map("n_buckets" -> "10", "bin_width_micro" -> "1000000"))
+    val bLoaded = MetaPersist.readModel(spark, out("bucket_model"), "bucket_thresholds")
+    def assign(m: org.apache.spark.sql.DataFrame) =
+      Corpus.scoreBucketsAgainst(scored, m, "doc_id", "len_score", 1000000L)
+        .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
+    assert(assign(bLoaded.df) == assign(buckets))
+  }
 }
