@@ -845,7 +845,8 @@ object Dedup {
       textCol: String,
       spanLen: Int = 20): DataFrame = {
     require(spanLen >= 2, "spanLen must be at least 2")
-    val toks = df.select(col(idCol).as("id"), tokens(coalesce(col(textCol), lit(""))).as("__ts"))
+    val toks = df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("__orig"),
+      tokens(coalesce(col(textCol), lit(""))).as("__ts"))
     val wins = toks
       .filter(size(col("__ts")) >= spanLen)
       .select(col("id"), col("__ts"),
@@ -887,7 +888,8 @@ object Dedup {
   private def removeSpans(toks: DataFrame, removed: DataFrame, spanLen: Int): DataFrame = {
     val rmArr = coalesce(col("rm"), array().cast("array<int>"))
     toks.join(removed, col("id") === col("__rm_id"), "left")
-      .select(col("id"), col("__ts"), coalesce(size(col("rm")), lit(0)).cast("long").as("n_dup_spans"),
+      .select(col("id"), col("__ts"), col("__orig"), col("rm"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_dup_spans"),
         filter(col("__ts"), (_, p) =>
           !exists(rmArr, st => st <= p && p < st + spanLen)).as("__kept"))
       .select(
@@ -895,7 +897,11 @@ object Dedup {
         size(col("__ts")).cast("long").as("n_tokens"),
         col("n_dup_spans"),
         (size(col("__ts")) - size(col("__kept"))).cast("long").as("n_removed_tokens"),
-        concat_ws(" ", col("__kept")).as("text_deduped"))
+        // untouched docs pass through BYTE-IDENTICAL (whitespace structure
+        // preserved — load-bearing when a line-dedup stage feeds this one);
+        // only excised docs reassemble as the space-joined token stream
+        when(col("rm").isNull, col("__orig"))
+          .otherwise(concat_ws(" ", col("__kept"))).as("text_deduped"))
   }
 
   /** Per-window duplicate VERDICTS of a batch against a STATIC corpus span
@@ -937,7 +943,8 @@ object Dedup {
       .filter(col("dup"))
       .groupBy("id").agg(sort_array(collect_list(col("s"))).as("rm"))
       .withColumnRenamed("id", "__rm_id")
-    val toks = batch.select(col(idCol).as("id"), tokens(coalesce(col(textCol), lit(""))).as("__ts"))
+    val toks = batch.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("__orig"),
+      tokens(coalesce(col(textCol), lit(""))).as("__ts"))
     removeSpans(toks, removed, spanLen)
   }
 }

@@ -100,7 +100,7 @@ object PipelineQueries {
     * documents table split at `cut`: store = distinct spans of doc_id <
     * cut, batch = doc_id >= cut, coverage-union removal + reassembly. */
   private def spanAgainstOracle(cut: Int): String =
-    ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents " +
+    ("WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents " +
      s"WHERE doc_id >= $cut), " +
      "ct AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents " +
      s"WHERE doc_id < $cut), " +
@@ -117,7 +117,7 @@ object PipelineQueries {
      "SELECT t.doc_id AS id, len(t.ts) AS n_tokens, " +
      "coalesce(rmc.n_spans, 0) AS n_dup_spans, " +
      "len(t.ts) - coalesce(agg.n_kept, 0) AS n_removed_tokens, " +
-     "coalesce(agg.txt, '') AS text_deduped " +
+     "CASE WHEN rmc.n_spans IS NULL THEN t.text ELSE coalesce(agg.txt, '') END AS text_deduped " +
      "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN rmc ON t.doc_id = rmc.doc_id " +
      "ORDER BY id")
 
@@ -1881,7 +1881,7 @@ object PipelineQueries {
     // ordered reassembly; docs with <20 tokens never window and pass
     // through byte-identical
     "dedup_substring_spans" ->
-      ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+      ("WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
        "w AS (SELECT doc_id, unnest(range(0, len(ts)-20+1)) AS s, ts FROM t WHERE len(ts) >= 20), " +
        "w2 AS (SELECT doc_id, s, array_to_string(ts[s+1:s+20], ' ') AS key FROM w), " +
        "k AS (SELECT doc_id, s, row_number() OVER (PARTITION BY key ORDER BY doc_id, s) AS rn, " +
@@ -1895,7 +1895,7 @@ object PipelineQueries {
        "SELECT t.doc_id AS id, len(t.ts) AS n_tokens, " +
        "coalesce(rmc.n_spans, 0) AS n_dup_spans, " +
        "len(t.ts) - coalesce(agg.n_kept, 0) AS n_removed_tokens, " +
-       "coalesce(agg.txt, '') AS text_deduped " +
+       "CASE WHEN rmc.n_spans IS NULL THEN t.text ELSE coalesce(agg.txt, '') END AS text_deduped " +
        "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN rmc ON t.doc_id = rmc.doc_id " +
        "ORDER BY id"),
 
@@ -1921,8 +1921,11 @@ object PipelineQueries {
        "kept2 AS (SELECT tk.id, tk.p, tk.ts[tk.p] AS tok FROM tok2 tk " +
        "WHERE NOT EXISTS (SELECT 1 FROM rm2 WHERE rm2.id = tk.id AND tk.p BETWEEN rm2.s+1 AND rm2.s+20)), " +
        "s2agg AS (SELECT id, count(*) AS n_kept, coalesce(string_agg(tok, ' ' ORDER BY p), '') AS t2 FROM kept2 GROUP BY id), " +
+       "rmc2 AS (SELECT id, count(*) AS c FROM rm2 GROUP BY id), " +
        "s2 AS (SELECT t1tok.id, CAST(len(t1tok.ts) - coalesce(s2agg.n_kept, 0) AS BIGINT) AS n_decont_tokens, " +
-       "coalesce(s2agg.t2, '') AS t2 FROM t1tok LEFT JOIN s2agg USING (id)), " +
+       "CASE WHEN rmc2.c IS NULL THEN s1.t1 ELSE coalesce(s2agg.t2, '') END AS t2 " +
+       "FROM t1tok LEFT JOIN s2agg USING (id) LEFT JOIN rmc2 USING (id) " +
+       "JOIN s1 ON s1.id = t1tok.id), " +
        "o2 AS (SELECT id, w FROM (SELECT id, unnest(regexp_split_to_array(t2, '\\s+')) AS w FROM s2) WHERE w <> ''), " +
        "c3 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM o2 GROUP BY w), " +
        "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c3), " +

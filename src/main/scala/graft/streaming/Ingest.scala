@@ -243,6 +243,147 @@ object Ingest {
       .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
   }
 
+  /** One micro-batch through the CURATION (edit-pipeline) stages — the
+    * ingestion twin of [[graft.operators.Assembly.curateCorpus]], against
+    * frozen artifacts: corpus-precedence line dedup vs the ACCEPTED store
+    * (rewrite), surgical span decontamination vs the benchmark (excision
+    * of the rewrite), and the frozen-vocabulary OOV gate over the final
+    * text (`Corpus.vocabCoverageAgainst` — train once, persist as a
+    * `vocab_model` artifact). Unlike [[assembleMicroBatch]] this chain
+    * REWRITES documents: the accepted store carries the final text, so
+    * batch N+1's line store dedups against exactly what batch N admitted
+    * — the canon, not the raw submissions. Deterministic end to end, so
+    * the replay contract is inherited unchanged. Returns one audit row
+    * per batch doc: (id, source, lang, n_removed_lines, n_decont_tokens,
+    * oov_frac, drop_stage ∈ null_id | oov, keep, split, text_final —
+    * callers that persist the audit drop the text payload). */
+  def curateMicroBatch(
+      batch: DataFrame,
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      vocabModel: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      langCol: String,
+      sep: String = "\n",
+      spanLen: Int = 20,
+      maxOovFrac: Double = 0.025,
+      salt: String = "graft",
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val base = batch.select(
+      col(idCol).as("id"), col(textCol).as("text"),
+      col(sourceCol).as("source"), col(langCol).as("lang"))
+    val valid = base.filter(col("id").isNotNull)
+    val corpusNorm = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+    // the benchmark side only contributes its distinct span hashes — its id
+    // never survives the store projection, so no id column is required of it
+    val benchNorm = benchmark.select(lit(0L).as("id"), col(textCol).as("text"))
+
+    // 1. corpus-precedence line dedup vs the accepted store (rewrite)
+    val ld = Dedup.truncate(
+      Corpus.lineDedupAgainst(valid, corpusNorm, "id", "text", sep)
+        .select(col("id"), col("n_removed_lines"), col("text_deduped")))
+
+    // 2. surgical span decontamination of the rewrite vs the benchmark
+    val dec = Dedup.truncate(
+      Corpus.decontaminateSpans(
+          ld.select(col("id"), col("text_deduped").as("text")), benchNorm, "id", "text", spanLen)
+        .select(col("id"), col("n_removed_tokens").as("n_decont_tokens"),
+          col("text_deduped").as("text_final")))
+
+    // 3. frozen-vocabulary OOV gate over the final text
+    val oov = Dedup.truncate(
+      Corpus.vocabCoverageAgainst(
+          dec.select(col("id"), col("text_final").as("text")), vocabModel, "id", "text")
+        .select(col("id"), col("oov_frac")))
+    val kept = dec.join(oov.filter(col("oov_frac") <= maxOovFrac).select("id"),
+      Seq("id"), "left_semi")
+
+    // 4. deterministic split of the accepted docs
+    val splits = Corpus.hashSplit(kept, "id", salt, trainPct, valPct)
+      .select(col("id"), col("split"))
+
+    base.select(col("id"), col("source"), col("lang"))
+      .join(ld.select(col("id"), col("n_removed_lines")), Seq("id"), "left")
+      .join(dec, Seq("id"), "left")
+      .join(oov, Seq("id"), "left")
+      .join(splits, Seq("id"), "left")
+      .withColumn("drop_stage",
+        when(col("id").isNull, "null_id")
+          .when(col("oov_frac") > maxOovFrac, "oov"))
+      .withColumn("keep", col("drop_stage").isNull)
+      .select(col("id"), col("source"), col("lang"), col("n_removed_lines"),
+        col("n_decont_tokens"), col("oov_frac"), col("drop_stage"), col("keep"),
+        col("split"), col("text_final"))
+  }
+
+  /** Wires [[curateMicroBatch]] into a running ingestion query — same
+    * exactly-once contract and store layout as [[ingestCorpus]]
+    * (overwrite-by-batch partitions, own-partition-excluded corpus read,
+    * [[compactStore]]-compatible), but the store rows carry the REWRITTEN
+    * final text plus the split. */
+  def ingestCurated(
+      stream: DataFrame,
+      corpusDir: String,
+      auditDir: String,
+      benchmark: DataFrame,
+      vocabModel: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      langCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      sep: String = "\n",
+      spanLen: Int = 20,
+      maxOovFrac: Double = 0.025,
+      salt: String = "graft",
+      trainPct: Int = 80,
+      valPct: Int = 10): StreamingQuery = {
+    stream.writeStream
+      .queryName("graft_ingest_curated")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val base = batch.select(
+          col(idCol).as("id"), col(textCol).as("text"),
+          col(sourceCol).as("source"), col(langCol).as("lang"))
+        runCuratedBatch(base, batchId, corpusDir, auditDir, benchmark, vocabModel,
+          sep, spanLen, maxOovFrac, salt, trainPct, valPct)
+      }
+      .start()
+  }
+
+  /** One delivery of one CURATED micro-batch — the testable replay body,
+    * mirroring [[runBatch]]: audit partition first (minus the text
+    * payload), then the accepted store partition carrying the final
+    * rewritten text; both whole-partition overwrites of `batch_id=N`. */
+  private[graft] def runCuratedBatch(
+      base: DataFrame,
+      batchId: Long,
+      corpusDir: String,
+      auditDir: String,
+      benchmark: DataFrame,
+      vocabModel: DataFrame,
+      sep: String = "\n",
+      spanLen: Int = 20,
+      maxOovFrac: Double = 0.025,
+      salt: String = "graft",
+      trainPct: Int = 80,
+      valPct: Int = 10): Unit = {
+    val spark = base.sparkSession
+    val corpus = readCorpus(spark, corpusDir, excludeBatchId = batchId)
+      .getOrElse(base.limit(0))
+    val audit = curateMicroBatch(base, corpus, benchmark, vocabModel,
+      "id", "text", "source", "lang", sep, spanLen, maxOovFrac, salt, trainPct, valPct)
+    audit.drop("text_final").write.mode("overwrite").parquet(s"$auditDir/batch_id=$batchId")
+    audit.filter(col("keep"))
+      .select(col("id"), col("text_final").as("text"), col("source"), col("lang"), col("split"))
+      .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+  }
+
   /** The accepted-corpus store with the given batch's own partition
     * excluded (partition-pruned — a replayed batch must not see its first
     * attempt's output), or None before the first batch created the store.

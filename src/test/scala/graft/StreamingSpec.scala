@@ -706,6 +706,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(a16 == Seq(Some("duplicate_corpus")), s"got $a16")
   }
 
+  test("curated ingestion rewrites against the growing store; replay is exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Corpus
+    import graft.streaming.Ingest
+    val dirBase = java.nio.file.Files.createTempDirectory("graft_curated").toString
+    val (corpusDir, auditDir) = (s"$dirBase/corpus", s"$dirBase/audit")
+    val leak = "b1 b2 b3 b4"
+    val bench = Seq((1L, s"held out $leak benchmark", "b", "x")).toDF("doc_id", "text", "source", "lang")
+    // vocab: every wN word is frequent, zz* words are not
+    val vocabSrc = (1 to 50).map(i => (i.toLong, Seq.fill(4)(s"w${i % 8}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val vocab = Corpus.vocabModel(vocabSrc, "text", perMille = 10L)
+    val ms = MemoryStream[(Long, String, String, String)](spark)
+    val q = Ingest.ingestCurated(
+      ms.toDF().toDF("doc_id", "text", "source", "lang"),
+      corpusDir, auditDir, bench, vocab,
+      "doc_id", "text", "source", "lang",
+      checkpointDir = s"$dirBase/ckpt", trigger = Trigger.ProcessingTime(0),
+      spanLen = 4, maxOovFrac = 0.5)
+    val b1 = Seq(
+      (20L, s"w0 w1 w2 w3\nw4 $leak w5", "web", "en"), // repeats 10's line + leaks
+      (21L, "zz1 zz2 zz3 zz4", "web", "en")) // all-OOV → dropped
+    try {
+      ms.addData((10L, "w0 w1 w2 w3\nw4 w5 w6 w7", "web", "en"))
+      q.processAllAvailable()
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val store = spark.read.parquet(corpusDir)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    // doc 10 admitted verbatim; doc 20 lost the store-duplicate line AND
+    // the leaked span; doc 21 gated out
+    assert(store(10L) == "w0 w1 w2 w3\nw4 w5 w6 w7")
+    assert(store(20L) == "w4 w5")
+    assert(!store.contains(21L))
+    val audit = spark.read.parquet(auditDir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_removed_lines"), r.getAs[Long]("n_decont_tokens"),
+         Option(r.getAs[String]("drop_stage")))).toMap
+    assert(audit(20L) == ((1L, 4L, None)))
+    assert(audit(21L)._3.contains("oov"))
+
+    // replay batch 1: identical store + audit (the at-least-once case)
+    def snapshot(dir: String): Seq[String] = spark.read.parquet(dir)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val (s0, a0) = (snapshot(corpusDir), snapshot(auditDir))
+    val base1 = b1.toDF("id", "text", "source", "lang")
+    Ingest.runCuratedBatch(base1, 1L, corpusDir, auditDir, bench, vocab,
+      spanLen = 4, maxOovFrac = 0.5)
+    assert(snapshot(corpusDir) == s0, "replay must not change the store")
+    assert(snapshot(auditDir) == a0, "replay must not change the audit")
+  }
+
   test("ingestion replay is exactly-once: re-delivering a batch leaves store and audit identical") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
