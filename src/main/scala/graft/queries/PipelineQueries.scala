@@ -1453,6 +1453,26 @@ object PipelineQueries {
     // arriving batch. Five stages engage: frozen-LM gate, in-batch
     // canonical election, batch-vs-store near-dedup (duplicate_corpus),
     // decontamination, split. Every stage deterministic → exact oracle.
+    // one CURATED micro-batch against frozen artifacts: store = ml render
+    // of doc_id % 7 = 0 (line precedence), benchmark = raw docs < 100
+    // (span excision), vocab frozen from the store, md5 split of the
+    // accepted — the full audit row incl. the REWRITTEN final text is
+    // re-derived by one chained oracle
+    "pipeline_ingest_curated" -> ((s, d) => {
+      val ml = multiLineDocs(s, d)
+      val docs = t(s, d, "documents").df
+      val store = ml.filter(col("doc_id") % 7 === 0)
+      val batch = ml.filter(col("doc_id") % 7 =!= 0)
+        .join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      val bench = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").as("ml_text"))
+      val vocab = Corpus.vocabModel(store, "ml_text", perMille = 5L)
+      graft.streaming.Ingest.curateMicroBatch(
+          batch, store, bench, vocab, "doc_id", "ml_text", "source", "lang",
+          maxOovFrac = 0.025)
+        .orderBy("id")
+    }),
+
     "pipeline_ingest_batch" -> ((s, d) => {
       val docs = t(s, d, "documents").df
       val store = docs.filter(col("doc_id") % 7 === 0)
@@ -1800,6 +1820,56 @@ object PipelineQueries {
        "count(*) FILTER (WHERE rn > 1) AS n_removed_lines, " +
        "coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), '') AS text_deduped " +
        "FROM k GROUP BY doc_id ORDER BY id"),
+
+    // the curated micro-batch chain end to end: store-precedence line
+    // dedup (%7 split), span excision vs the <100 raw benchmark with the
+    // byte-identity rule, frozen store vocabulary, oov gate at 0.025,
+    // md5 split of the accepted
+    "pipeline_ingest_curated" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+       "l AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts), 8)) AS i FROM t), " +
+       "l2 AS (SELECT doc_id, CAST((i-1)//8 AS INT) AS idx, array_to_string(ts[i:i+7], ' ') AS line FROM l), " +
+       "store AS (SELECT DISTINCT line FROM l2 WHERE doc_id % 7 = 0), " +
+       "bl AS (SELECT b.doc_id, b.idx, b.line, (s.line IS NOT NULL) AS dup " +
+       "FROM (SELECT * FROM l2 WHERE doc_id % 7 <> 0) b LEFT JOIN store s ON b.line = s.line), " +
+       "s1 AS (SELECT doc_id AS id, CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_removed_lines, " +
+       "coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE NOT dup), '') AS t1 " +
+       "FROM bl GROUP BY doc_id), " +
+       "t1tok AS (SELECT id, t1, regexp_split_to_array(t1, '\\s+') AS ts FROM s1), " +
+       "bstore AS (SELECT DISTINCT array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
+       "(SELECT unnest(range(0, len(ts)-20+1)) AS s, ts FROM " +
+       "(SELECT ts FROM t WHERE doc_id < 100) WHERE len(ts) >= 20)), " +
+       "w2 AS (SELECT id, s, array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
+       "(SELECT id, unnest(range(0, len(ts)-20+1)) AS s, ts FROM t1tok WHERE len(ts) >= 20)), " +
+       "rm2 AS (SELECT w2.id, w2.s FROM w2 JOIN bstore ON w2.key = bstore.key), " +
+       "tok2 AS (SELECT id, ts, unnest(range(1, len(ts)+1)) AS p FROM t1tok), " +
+       "kept2 AS (SELECT tk.id, tk.p, tk.ts[tk.p] AS tok FROM tok2 tk " +
+       "WHERE NOT EXISTS (SELECT 1 FROM rm2 WHERE rm2.id = tk.id AND tk.p BETWEEN rm2.s+1 AND rm2.s+20)), " +
+       "s2agg AS (SELECT id, count(*) AS n_kept, coalesce(string_agg(tok, ' ' ORDER BY p), '') AS t2 FROM kept2 GROUP BY id), " +
+       "rmc2 AS (SELECT id, count(*) AS c FROM rm2 GROUP BY id), " +
+       "s2 AS (SELECT t1tok.id, CAST(len(t1tok.ts) - coalesce(s2agg.n_kept, 0) AS BIGINT) AS n_decont_tokens, " +
+       "CASE WHEN rmc2.c IS NULL THEN t1tok.t1 ELSE coalesce(s2agg.t2, '') END AS t2 " +
+       "FROM t1tok LEFT JOIN s2agg USING (id) LEFT JOIN rmc2 USING (id)), " +
+       "vo AS (SELECT w FROM (SELECT unnest(ts) AS w FROM t WHERE doc_id % 7 = 0) WHERE w <> ''), " +
+       "c3 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM vo GROUP BY w), " +
+       "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c3), " +
+       "v3 AS (SELECT w FROM c3, tt WHERE c * 1000 >= tot * 5), " +
+       "o2 AS (SELECT id, w FROM (SELECT id, unnest(regexp_split_to_array(t2, '\\s+')) AS w FROM s2) WHERE w <> ''), " +
+       "sc3 AS (SELECT o2.id, CAST(count(*) AS BIGINT) AS n_tok, " +
+       "CAST(SUM(CASE WHEN v3.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
+       "FROM o2 LEFT JOIN v3 ON o2.w = v3.w GROUP BY o2.id), " +
+       "s3 AS (SELECT s2.id, CASE WHEN sc3.id IS NULL THEN 0.0 ELSE round(CAST(sc3.n_oov AS DOUBLE) / sc3.n_tok, 6) END AS oov_frac " +
+       "FROM s2 LEFT JOIN sc3 ON s2.id = sc3.id) " +
+       "SELECT s1.id, d.source, d.lang, s1.n_removed_lines, s2.n_decont_tokens, s3.oov_frac, " +
+       "CASE WHEN s3.oov_frac > 0.025 THEN 'oov' END AS drop_stage, " +
+       "s3.oov_frac <= 0.025 AS keep, " +
+       "CASE WHEN s3.oov_frac <= 0.025 THEN (" +
+       "CASE WHEN CAST(('0x' || substr(md5(s1.id || ':graft'), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train' " +
+       "WHEN CAST(('0x' || substr(md5(s1.id || ':graft'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val' " +
+       "ELSE 'test' END) END AS split, " +
+       "s2.t2 AS text_final " +
+       "FROM s1 JOIN documents d ON d.doc_id = s1.id " +
+       "JOIN s2 ON s2.id = s1.id JOIN s3 ON s3.id = s1.id ORDER BY s1.id"),
 
     // batch lines (docs ≥ 250) flagged against the DISTINCT < 250 line
     // store, then the same reassembly arithmetic
