@@ -141,6 +141,7 @@ object Bench {
         case "ann_topk_queries_per_sec" => "ann_spread"
         case "ann_pq_queries_per_sec" => "ann_pq_spread"
         case "ingest_docs_per_sec" => "ingest_spread"
+        case "curated_docs_per_sec" => "curated_spread"
         case _ => "dedup_spread"
       }
       f""""$n":$v%.1f,"$spreadKey":$sp%.1f"""
@@ -286,6 +287,30 @@ object Bench {
       docRows.length / ((System.nanoTime() - t0) / 1e9)
     }
 
+    // --- CURATED ingestion: the same 2 x 500 docs through the
+    // edit-pipeline twin (store-precedence line dedup, span excision vs
+    // the benchmark, frozen-vocab gate, split, partitioned store/audit
+    // overwrites carrying the rewritten text)
+    val vocabM = Corpus.vocabModel(docs.limit(1000), "text", perMille = 5L).cache()
+    vocabM.count(): Unit
+    def curatedRun(): Double = {
+      runId += 1
+      val dir = s"$benchRoot/crun_$runId"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ms = MemoryStream[(Long, String, String, String)](spark)
+      val t0 = System.nanoTime()
+      val q = Ingest.ingestCurated(
+        ms.toDF().toDF("doc_id", "text", "source", "lang"),
+        s"$dir/corpus", s"$dir/audit", benchSet, vocabM,
+        "doc_id", "text", "source", "lang",
+        checkpointDir = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0),
+        maxOovFrac = 0.5)
+      try {
+        ingBatches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      docRows.length / ((System.nanoTime() - t0) / 1e9)
+    }
+
     // --- raw state-store path: dropDuplicatesWithinWatermark over 2
     // micro-batches x 4000 events where HALF the ids repeat (in-batch and
     // cross-batch) — every row is a state lookup + conditional insert,
@@ -317,16 +342,19 @@ object Bench {
       (2 * evRows.length) / ((System.nanoTime() - t0) / 1e9)
     }
 
-    annRun(); annPqRun(); ingestRun(); dedupRun() // warm (JIT + codegen + shuffle service)
+    annRun(); annPqRun(); ingestRun(); curatedRun(); dedupRun() // warm (JIT + codegen + shuffle service)
     val (annQps, annSpread) = medianSpread(Seq.fill(5)(annRun()))
     val (annPqQps, annPqSpread) = medianSpread(Seq.fill(5)(annPqRun()))
     val (ingRps, ingSpread) = medianSpread(Seq.fill(5)(ingestRun()))
+    val (curRps, curSpread) = medianSpread(Seq.fill(5)(curatedRun()))
     val (ddRps, ddSpread) = medianSpread(Seq.fill(5)(dedupRun()))
     corpusCells.unpersist(); encodedCells.unpersist(); lm.unpersist(); benchSet.unpersist()
+    vocabM.unpersist()
     Seq(
       ("ann_topk_queries_per_sec", annQps, annSpread),
       ("ann_pq_queries_per_sec", annPqQps, annPqSpread),
       ("ingest_docs_per_sec", ingRps, ingSpread),
+      ("curated_docs_per_sec", curRps, curSpread),
       ("dedup_events_per_sec", ddRps, ddSpread))
   }
 }

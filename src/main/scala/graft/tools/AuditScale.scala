@@ -46,7 +46,9 @@ object AuditScale {
     "sim_ivf_train", "text_quality_gate", "pipeline_corpus_e2e",
     "pipeline_ingest_batch", "sim_topk_pq_rotated", "text_dsir_select",
     "text_line_dedup", "dedup_substring_spans", "text_pack_sequences",
-    "text_bpe_train")
+    "text_bpe_train", "text_line_dedup_incremental",
+    "dedup_substring_spans_incremental", "pipeline_curation_e2e",
+    "pipeline_ingest_curated")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -92,7 +94,11 @@ object AuditScale {
       // 1-row broadcast sides by construction: the PQ codebook array rides
       // a single-row crossJoin in training/encoding/LUT building, and the
       // DSIR scorer crossJoins its single-row model map + totals aggregates
-      "sim_topk_pq_rotated", "text_dsir_select")
+      "sim_topk_pq_rotated", "text_dsir_select",
+      // the curation composite embeds the OOV gate's 1-row vocabulary-total
+      // crossJoin and epochMix's 1-row budget-total crossJoin; the curated
+      // ingestion micro-batch embeds the same gate via curateMicroBatch
+      "pipeline_curation_e2e", "pipeline_ingest_curated")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(
