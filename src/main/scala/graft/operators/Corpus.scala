@@ -1446,6 +1446,96 @@ object Corpus {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Batched BPE training — the production-merge-count form of [[bpeTrain]].
+    * Sequential BPE is one pair-count reduce + one driver round-trip PER
+    * MERGE: at a 32k-merge production vocabulary that is 32k Spark jobs
+    * whose fixed stage latency, not the data, dominates. This variant
+    * accepts up to `batchSize` merges per round from one pair-count pass:
+    * the top-(candidateWindow×batchSize) pairs by (count desc, lhs, rhs)
+    * are scanned in rank order and a pair is accepted iff none of its
+    * {lhs, rhs, lhs+rhs} symbols was already touched by an earlier
+    * acceptance this round. Symbol-disjoint merges act on disjoint
+    * positions of every bracketed word state — no accepted pattern can
+    * create, destroy, or overlap an occurrence of another — so the
+    * batch applies as one chained row-local `replace` whose per-pair
+    * effect is exactly what sequential greedy would have done at the
+    * ROUND-START counts.
+    *
+    * The trade, stated honestly: merges 2..batchSize of a round use
+    * counts that sequential BPE would have refreshed, so the learned
+    * table can diverge from the exact greedy sequence (a conflicting
+    * pair whose count survives the round's earlier merges would have
+    * been picked first by the sequential trainer). `batchSize = 1`
+    * reproduces [[bpeTrain]] exactly (pinned in spec). Rounds are
+    * statically `ceil(nMerges / batchSize)` with a per-round acceptance
+    * cap (final round takes the remainder), so the round structure —
+    * and therefore the unrolled-SQL oracle — does not depend on the
+    * data; conflict-starved rounds under-fill and the table simply
+    * carries fewer than `nMerges` rows, like [[bpeTrain]]'s exhaustion.
+    * `merge_rank` is global acceptance order and `pair_count` is the
+    * round-start count. Scale shape is [[bpeTrain]]'s (corpus read once;
+    * rounds are vocabulary-sized) with batchSize× fewer rounds and a
+    * driver window of O(candidateWindow × batchSize) rows per round. */
+  def bpeTrainBatched(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      batchSize: Int = 16,
+      candidateWindow: Int = 8): DataFrame = {
+    require(nMerges >= 1, "nMerges must be at least 1")
+    require(batchSize >= 1, "batchSize must be at least 1")
+    require(candidateWindow >= 1, "candidateWindow must be at least 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && !col("w").rlike("[\\x1e\\x1f]"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(bpeWrapChars(col("w")).as("state"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    val nRounds = (nMerges + batchSize - 1) / batchSize
+    var round = 0
+    var rank = 0
+    var exhausted = false
+    while (round < nRounds && !exhausted) {
+      val cap = math.min(batchSize, nMerges - round * batchSize)
+      val cands = words
+        .select(bpeSyms(col("state")).as("syms"), col("cnt"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("syms")) - 2), i =>
+          struct(element_at(col("syms"), i + 1).as("a"),
+            element_at(col("syms"), i + 2).as("b")))).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(candidateWindow * batchSize).collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        while (i < cands.length && accepted.size < cap) {
+          val (a, b, c) = (cands(i).getString(0), cands(i).getString(1), cands(i).getLong(2))
+          if (!used(a) && !used(b) && !used(a + b)) {
+            accepted += ((a, b, c))
+            used += a; used += b; used += (a + b)
+          }
+          i += 1
+        }
+        accepted.foreach { case (a, b, c) =>
+          merges += ((rank, a, b, a + b, c)); rank += 1
+        }
+        val newState = accepted.foldLeft(col("state")) { case (st, (a, b, _)) =>
+          replace(st, lit(BpeRS + a + BpeUS + BpeRS + b + BpeUS), lit(BpeRS + a + b + BpeUS))
+        }
+        words = words.select(newState.as("state"), col("cnt")).localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Apply a trained BPE merge table to every word of every document —
     * row-local: the merges collect to the driver (bounded vocabulary
     * metadata, like the ANN centroid collect) and compile into a chain of

@@ -146,6 +146,58 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** Unrolled-SQL twin of `Corpus.bpeTrainBatched`: per round, pair counts
+    * (p-r) and the ranked candidate window (cand-r) feed a RECURSIVE
+    * greedy scan (g-r) that walks candidates in (count desc, lhs, rhs)
+    * order accepting a pair iff none of its {lhs, rhs, lhs||rhs} symbols
+    * appears in the `used` accumulator — membership checked on the same
+    * 0x1E…0x1F bracketed encoding the word states use, so a symbol can
+    * never match inside another — up to the round's cap. A second
+    * recursion (wa-r) folds the accepted merges over the word table in
+    * acceptance order (symbol-disjointness makes the order immaterial,
+    * but the fold mirrors the engine's replace chain literally). Callers
+    * append a final select over acc0..acc{n-1}. Requires WITH RECURSIVE. */
+  private def bpeBatchedRoundsSql(nMerges: Int, batchSize: Int, window: Int): String = {
+    val nRounds = (nMerges + batchSize - 1) / batchSize
+    val sb = new StringBuilder
+    sb ++= "w0 AS (SELECT array_to_string(list_transform(regexp_extract_all(w, '.'), " +
+      "c -> chr(30)||c||chr(31)), '') AS state, CAST(COUNT(*) AS BIGINT) AS cnt " +
+      "FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) " +
+      "WHERE w <> '' GROUP BY state), "
+    for (r <- 0 until nRounds) {
+      val cap = math.min(batchSize, nMerges - r * batchSize)
+      sb ++= s"p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS c FROM " +
+        s"(SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM " +
+        s"(SELECT string_split(substr(state, 2, length(state)-2), chr(31)||chr(30)) AS syms, cnt " +
+        s"FROM w$r)) GROUP BY a, b), "
+      sb ++= s"cand$r AS (SELECT a, b, c, rk FROM " +
+        s"(SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk FROM p$r) " +
+        s"WHERE rk <= $window), "
+      val okSql = s"(NOT contains(g.used, chr(30)||n.a||chr(31)) AND " +
+        s"NOT contains(g.used, chr(30)||n.b||chr(31)) AND " +
+        s"NOT contains(g.used, chr(30)||n.a||n.b||chr(31)))"
+      sb ++= s"g$r AS (SELECT 0 AS rk, 0 AS n_acc, '' AS used, " +
+        s"CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b, " +
+        s"CAST(NULL AS BIGINT) AS c, FALSE AS acc " +
+        s"UNION ALL SELECT n.rk, " +
+        s"CASE WHEN $okSql THEN g.n_acc + 1 ELSE g.n_acc END, " +
+        s"CASE WHEN $okSql THEN g.used||chr(30)||n.a||chr(31)||chr(30)||n.b||chr(31)||chr(30)||n.a||n.b||chr(31) ELSE g.used END, " +
+        s"n.a, n.b, n.c, $okSql " +
+        s"FROM g$r g JOIN cand$r n ON n.rk = g.rk + 1 AND g.n_acc < $cap), "
+      sb ++= s"acc$r AS (SELECT a, b, c, row_number() OVER (ORDER BY rk) AS seq " +
+        s"FROM g$r WHERE acc), "
+      sb ++= s"wa$r AS (SELECT state, cnt, 0 AS j FROM w$r " +
+        s"UNION ALL SELECT replace(wa.state, chr(30)||m.a||chr(31)||chr(30)||m.b||chr(31), " +
+        s"chr(30)||m.a||m.b||chr(31)), wa.cnt, wa.j + 1 " +
+        s"FROM wa$r wa JOIN acc$r m ON m.seq = wa.j + 1), "
+      sb ++= s"w${r + 1} AS (SELECT state, cnt FROM wa$r " +
+        s"WHERE j = (SELECT coalesce(max(seq), 0) FROM acc$r)), "
+    }
+    sb ++= "mmb AS (" + (0 until nRounds).map(r =>
+      s"SELECT $r AS rnd, seq, a, b, c FROM acc$r").mkString(" UNION ALL ") + "), "
+    sb.toString
+  }
+
   /** The text_quality heuristic score formula (inputs: n_tokens,
     * stopword_hits, text) — shared verbatim by the text_source_cap and
     * pipeline oracles so the cap stage can never drift from the declared
@@ -509,6 +561,15 @@ object PipelineQueries {
     // integer tie-breaking; DuckDB re-runs all 8 rounds from raw text
     "text_bpe_train" -> ((s, d) =>
       Corpus.bpeTrain(t(s, d, "documents").df, "text", nMerges = 8)
+        .orderBy("merge_rank")),
+
+    // batched BPE at the same 8 merges in 2 rounds of 4: the conflict
+    // rule (skip any pair sharing a symbol — or its concatenation — with
+    // an earlier same-round acceptance) runs against the real corpus;
+    // DuckDB re-runs both rounds, the recursive greedy candidate scan,
+    // and the recursive merge fold from raw text
+    "text_bpe_train_batched" -> ((s, d) =>
+      Corpus.bpeTrainBatched(t(s, d, "documents").df, "text", nMerges = 8, batchSize = 4)
         .orderBy("merge_rank")),
 
     // the trained merges applied to every word of every doc (train +
@@ -1891,6 +1952,15 @@ object PipelineQueries {
        "mm AS (" + (0 until 8).map(r =>
          s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, a||b AS merged, CAST(c AS BIGINT) AS pair_count FROM m$r")
          .mkString(" UNION ALL ") + ") " +
+       "SELECT * FROM mm ORDER BY merge_rank"),
+
+    // both batched rounds unrolled (bpeBatchedRoundsSql): recursive greedy
+    // candidate scan per round + recursive merge fold, then the accepted
+    // pairs in global (round, seq) acceptance order
+    "text_bpe_train_batched" ->
+      ("WITH RECURSIVE " + bpeBatchedRoundsSql(nMerges = 8, batchSize = 4, window = 32) +
+       "mm AS (SELECT CAST(row_number() OVER (ORDER BY rnd, seq) - 1 AS INTEGER) AS merge_rank, " +
+       "a AS lhs, b AS rhs, a||b AS merged, CAST(c AS BIGINT) AS pair_count FROM mmb) " +
        "SELECT * FROM mm ORDER BY merge_rank"),
 
     // the same 8 rounds, then the merge chain applied to every word in

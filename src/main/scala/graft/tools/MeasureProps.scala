@@ -275,6 +275,29 @@ object MeasureProps {
       spark.stop(); return
     }
 
+    // ---- BPE at production merge counts: sequential (one driver
+    // round-trip per merge) vs batched (one per batchSize merges) wall
+    // time, plus the honesty metric — how much of the exact greedy
+    // sequential table the batched variant reproduces (the stale-count
+    // approximation's measured cost).
+    if (args.contains("--bpe-scale")) {
+      import graft.operators.Corpus
+      val n = args.lift(args.indexOf("--bpe-scale") + 1).flatMap(_.toIntOption).getOrElse(256)
+      def time[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      Corpus.bpeTrain(docs, "text", nMerges = 2).collect() // warm
+      val (batT, batSecs) = time(Corpus.bpeTrainBatched(docs, "text", n, batchSize = 16).collect())
+      val (seqT, seqSecs) = time(Corpus.bpeTrain(docs, "text", n).collect())
+      val seqSet = seqT.map(r => (r.getString(1), r.getString(2))).toSet
+      val batSet = batT.map(r => (r.getString(1), r.getString(2))).toSet
+      val overlap = seqSet.intersect(batSet).size
+      println(f"[measure] $sfDir bpe n=$n: sequential=$seqSecs%.1fs (${seqT.length} merges) " +
+        f"batched16=$batSecs%.1fs (${batT.length} merges) speedup=${seqSecs / batSecs}%.1fx " +
+        f"table-overlap=$overlap/${seqT.length}")
+      spark.stop(); return
+    }
+
     if (args.contains("--compaction-cadence")) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.Trigger

@@ -1547,6 +1547,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(seg2.getAs[String]("segmented") == "bb+bb bb+b")
   }
 
+  test("bpeTrainBatched: batchSize=1 reproduces bpeTrain exactly; batches skip symbol conflicts") {
+    import spark.implicits._
+    // a corpus with merged-symbol reuse and ties — the sequential trainer's
+    // hardest fixture — must survive the batched path at batchSize = 1
+    val docs = Seq((1L, "abab abab abab aab aab merger merger mer er er er")).toDF("doc_id", "text")
+    val seqMerges = Corpus.bpeTrain(docs, "text", nMerges = 6).collect().map(_.toSeq)
+    val b1Merges = Corpus.bpeTrainBatched(docs, "text", nMerges = 6, batchSize = 1)
+      .collect().map(_.toSeq)
+    assert(b1Merges.toSeq == seqMerges.toSeq)
+
+    // conflict skip: pair counts (a,b)=10 > (b,c)=9 > (c,d)=8 > (x,y)=7;
+    // one round at batchSize=3 accepts (a,b), rejects (b,c) on the shared
+    // b, then accepts (c,d) and caps — all at ROUND-START counts
+    val conflict = Seq((1L,
+      (Seq.fill(10)("ab") ++ Seq.fill(9)("bc") ++ Seq.fill(8)("cd") ++ Seq.fill(7)("xy"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val batched = Corpus.bpeTrainBatched(conflict, "text", nMerges = 6, batchSize = 3)
+      .collect().map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    assert(batched(0) == ((0, "a", "b", "ab", 10L)))
+    assert(batched(1) == ((1, "c", "d", "cd", 8L)))
+    assert(batched(2) == ((2, "x", "y", "xy", 7L)))
+    // round 2 (cap 3) has exactly one surviving pair left; the static
+    // round structure ends after ceil(6/3)=2 rounds with 4 total merges
+    assert(batched(3) == ((3, "b", "c", "bc", 9L)))
+    assert(batched.length == 4)
+    // determinism: the table is a pure function of the corpus
+    val again = Corpus.bpeTrainBatched(conflict, "text", nMerges = 6, batchSize = 3)
+      .collect().map(_.toSeq)
+    assert(again.toSeq == batched.map(t => Seq(t._1, t._2, t._3, t._4, t._5)).toSeq)
+    // the batched table feeds bpeSegment unchanged
+    val seg = Corpus.bpeSegment(Seq((9L, "abcd xy")).toDF("doc_id", "text"), "doc_id", "text",
+      Corpus.bpeTrainBatched(conflict, "text", nMerges = 6, batchSize = 3)).collect().head
+    assert(seg.getAs[String]("segmented") == "ab+cd xy")
+  }
+
   test("c4LineFilter applies each line rule and each doc rule independently") {
     import spark.implicits._
     val good = "this line has enough words."
