@@ -6,12 +6,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 import org.apache.spark.sql.graftbridge
 
-import graft.expressions.{FloatVectorDot, HadamardRotate, MinHashSignature, NgramRepetition, NormalizeText, PqAdcScore, PqEncode, ShingleHashes, SimHash64, TopKAgg}
+import graft.expressions.{BpeEncode, FloatVectorDot, HadamardRotate, MinHashSignature, NgramRepetition, NormalizeText, PqAdcScore, PqEncode, ShingleHashes, SimHash64, TopKAgg}
 
 /** SQL surface for the engine's native expressions (SURVEY.md §7.4):
   * registers `float_vector_dot`, `minhash_signature`, `shingle_hashes`,
   * `simhash64`, `normalize_text`, `ngram_repetition`, `pq_encode`,
-  * `pq_adc_score`, `hadamard_rotate` and the `top_k_by_score` aggregate so
+  * `pq_adc_score`, `hadamard_rotate`, `bpe_encode` and the
+  * `top_k_by_score` aggregate so
   * `spark.sql(...)` users get the same codegen'd hot paths as the Column
   * API.
   *
@@ -106,6 +107,31 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "top_k_by_score(struct(score, id), k)")
         TopKAgg(args(0), intArg(args(1), "top_k_by_score", 2)).toAggregateExpression()
+      }),
+    ("bpe_encode",
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      { args =>
+        require(args.length == 3, "bpe_encode(tokens, lhs_array, rhs_array)")
+        // the merge table is driver-side metadata: both sides must fold
+        // to constant string arrays (the trained-table collect, inlined)
+        def stringsArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            pos: Int): Seq[String] = {
+          require(e.foldable, s"bpe_encode: argument $pos must be a foldable " +
+            "string array (the collected merge table)")
+          e.eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toObjectArray(org.apache.spark.sql.types.StringType)
+                .map(v => if (v == null) null else v.toString).toSeq
+            case other => throw new IllegalArgumentException(
+              s"bpe_encode: argument $pos must be an array literal, got $other")
+          }
+        }
+        val lhs = stringsArg(args(1), 2)
+        val rhs = stringsArg(args(2), 3)
+        require(!lhs.contains(null) && !rhs.contains(null),
+          "bpe_encode: merge symbols must not be NULL")
+        BpeEncode.validateTable(lhs.zip(rhs))
+        BpeEncode(args(0), lhs, rhs)
       }),
   )
   // Note: the composite Column-level helpers (langId, qualityScore, cosine…)

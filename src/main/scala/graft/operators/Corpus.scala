@@ -1569,6 +1569,38 @@ object Corpus {
         array_join(col("__segs"), " ").as("segmented"))
   }
 
+  /** [[bpeSegment]] at production merge counts — same output row for row,
+    * different execution: instead of compiling the table into `nMerges`
+    * chained `replace` calls (ideal at oracle scale, unusable at a 32k-merge
+    * production vocabulary where the expression tree itself grows with the
+    * table), the collected merges ride ONE native
+    * [[graft.expressions.BpeEncode]] expression that applies the
+    * rank-priority merge loop per word — O(1) table lookup per adjacent
+    * pair, cost independent of vocabulary size. The table is validated
+    * component-monotone with unique outputs on the driver (both trainers
+    * produce such tables; a table failing validation throws rather than
+    * risking divergence from the exact chain — see BpeEncode's Scaladoc).
+    * Equivalence to [[bpeSegment]] is pinned in ExtensionsSpec on real
+    * corpus text under both trainers' tables. */
+  def bpeSegmentFast(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy("merge_rank")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    graft.expressions.BpeEncode.validateTable(ms)
+    val ts = graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    df.select(col(idCol).as("id"),
+        graft.expressions.BpeEncode(ts, ms.map(_._1), ms.map(_._2)).as("__segs"))
+      .select(col("id"),
+        size(col("__segs")).cast("long").as("n_words"),
+        aggregate(col("__segs"), lit(0L),
+          (acc, s) => acc + size(split(s, "\\+"))).as("n_subwords"),
+        array_join(col("__segs"), " ").as("segmented"))
+  }
+
   /** Corpus-wide LINE-level exact dedup — the CCNet / RefinedWeb curation
     * step that exact-document dedup misses: boilerplate lines (headers,
     * cookie banners, navigation chrome) repeat across millions of pages

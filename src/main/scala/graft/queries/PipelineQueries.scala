@@ -198,6 +198,25 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** The 8-round train + apply-to-every-word derivation shared verbatim by
+    * `text_bpe_segment` (replace chain) and `text_bpe_segment_fast`
+    * (native rank-priority loop) — one oracle, two execution strategies. */
+  private lazy val BpeSegmentOracleSql: String =
+    ("WITH " + bpeRoundsSql(8) +
+     "tok AS (SELECT doc_id, ts, unnest(range(1, len(ts)+1)) AS p FROM " +
+     "(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
+     "base AS (SELECT doc_id, p, array_to_string(list_transform(regexp_extract_all(ts[p], '.'), " +
+     "c -> chr(30)||c||chr(31)), '') AS st FROM tok), " +
+     "app AS (SELECT doc_id, p, " +
+     (0 until 8).foldLeft("st") { (acc, r) =>
+       s"replace($acc, chr(30)||m$r.a||chr(31)||chr(30)||m$r.b||chr(31), chr(30)||m$r.a||m$r.b||chr(31))"
+     } + " AS st FROM base, " + (0 until 8).map("m" + _).mkString(", ") + "), " +
+     "fin AS (SELECT doc_id, p, replace(replace(replace(st, chr(31)||chr(30), '+'), chr(30), ''), chr(31), '') AS seg, " +
+     "len(string_split(st, chr(31)||chr(30))) AS nsw FROM app) " +
+     "SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words, " +
+     "CAST(SUM(nsw) AS BIGINT) AS n_subwords, " +
+     "string_agg(seg, ' ' ORDER BY p) AS segmented FROM fin GROUP BY doc_id ORDER BY id")
+
   /** The text_quality heuristic score formula (inputs: n_tokens,
     * stopword_hits, text) — shared verbatim by the text_source_cap and
     * pipeline oracles so the cap stage can never drift from the declared
@@ -577,6 +596,15 @@ object PipelineQueries {
     "text_bpe_segment" -> ((s, d) => {
       val m = Corpus.bpeTrain(t(s, d, "documents").df, "text", nMerges = 8)
       Corpus.bpeSegment(t(s, d, "documents").df, "doc_id", "text", m).orderBy("id")
+    }),
+
+    // the production-table application path (native rank-priority loop,
+    // table-size-independent) must reproduce the replace chain exactly —
+    // this query shares text_bpe_segment's oracle VERBATIM, so the two
+    // execution strategies are pinned to one DuckDB derivation
+    "text_bpe_segment_fast" -> ((s, d) => {
+      val m = Corpus.bpeTrain(t(s, d, "documents").df, "text", nMerges = 8)
+      Corpus.bpeSegmentFast(t(s, d, "documents").df, "doc_id", "text", m).orderBy("id")
     }),
 
     // Lee et al. 2022 exact-substring dedup at token granularity: every
@@ -1965,21 +1993,11 @@ object PipelineQueries {
 
     // the same 8 rounds, then the merge chain applied to every word in
     // doc order and reassembled
-    "text_bpe_segment" ->
-      ("WITH " + bpeRoundsSql(8) +
-       "tok AS (SELECT doc_id, ts, unnest(range(1, len(ts)+1)) AS p FROM " +
-       "(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents)), " +
-       "base AS (SELECT doc_id, p, array_to_string(list_transform(regexp_extract_all(ts[p], '.'), " +
-       "c -> chr(30)||c||chr(31)), '') AS st FROM tok), " +
-       "app AS (SELECT doc_id, p, " +
-       (0 until 8).foldLeft("st") { (acc, r) =>
-         s"replace($acc, chr(30)||m$r.a||chr(31)||chr(30)||m$r.b||chr(31), chr(30)||m$r.a||m$r.b||chr(31))"
-       } + " AS st FROM base, " + (0 until 8).map("m" + _).mkString(", ") + "), " +
-       "fin AS (SELECT doc_id, p, replace(replace(replace(st, chr(31)||chr(30), '+'), chr(30), ''), chr(31), '') AS seg, " +
-       "len(string_split(st, chr(31)||chr(30))) AS nsw FROM app) " +
-       "SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words, " +
-       "CAST(SUM(nsw) AS BIGINT) AS n_subwords, " +
-       "string_agg(seg, ' ' ORDER BY p) AS segmented FROM fin GROUP BY doc_id ORDER BY id"),
+    "text_bpe_segment" -> BpeSegmentOracleSql,
+
+    // the native-loop path shares the replace-chain derivation VERBATIM:
+    // one oracle pins both execution strategies to the same rows
+    "text_bpe_segment_fast" -> BpeSegmentOracleSql,
 
     // identical line rebuild (6-token chunks, cycling suffix, javascript
     // prefix, doc-level injections), then the four line rules and three

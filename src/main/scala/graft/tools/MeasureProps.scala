@@ -295,6 +295,21 @@ object MeasureProps {
       println(f"[measure] $sfDir bpe n=$n: sequential=$seqSecs%.1fs (${seqT.length} merges) " +
         f"batched16=$batSecs%.1fs (${batT.length} merges) speedup=${seqSecs / batSecs}%.1fx " +
         f"table-overlap=$overlap/${seqT.length}")
+      // application side: the nMerges-deep replace chain vs the native
+      // rank-priority loop, same trained table, checksums asserted equal
+      import spark.implicits._
+      val mDf = batT.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count").cache()
+      mDf.count(): Unit
+      def segSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(length(col("segmented"))).cast("long")).head().getLong(0)
+      val (chainSum, chainT) = time(segSum(Corpus.bpeSegment(docs, "doc_id", "text", mDf)))
+      val (fastSum, fastT) = time(segSum(Corpus.bpeSegmentFast(docs, "doc_id", "text", mDf)))
+      assert(chainSum == fastSum, s"segment checksum mismatch: $chainSum vs $fastSum")
+      println(f"[measure] $sfDir bpe segment @${batT.length} merges: " +
+        f"replace-chain=$chainT%.1fs native-loop=$fastT%.1fs " +
+        f"(${chainT / fastT}%.1fx) checksum=$chainSum")
       spark.stop(); return
     }
 

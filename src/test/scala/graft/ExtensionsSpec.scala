@@ -188,6 +188,65 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("bpeSegmentFast: native rank-priority loop == replace chain on real corpus; bad tables rejected") {
+    import graft.operators.Corpus
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // both trainers' tables, applied both ways, must agree row for row
+    for (merges <- Seq(
+        Corpus.bpeTrain(docs, "text", nMerges = 8),
+        Corpus.bpeTrainBatched(docs, "text", nMerges = 8, batchSize = 4))) {
+      val m = merges.cache()
+      val slow = Corpus.bpeSegment(docs, "doc_id", "text", m).orderBy("id").collect()
+      val fast = Corpus.bpeSegmentFast(docs, "doc_id", "text", m).orderBy("id").collect()
+      assert(slow.length == fast.length && slow.length > 0)
+      slow.zip(fast).foreach { case (a, b) => assert(a == b) }
+      m.unpersist(): Unit
+    }
+    // repeat semantics survive the loop: "bbbb bbb" under (b,b) → bb+bb bb+b
+    import spark.implicits._
+    val m2 = Seq((0, "b", "b", "bb", 1L)).toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    val seg2 = Corpus.bpeSegmentFast(Seq((1L, "bbbb bbb")).toDF("doc_id", "text"),
+      "doc_id", "text", m2).collect().head
+    assert(seg2.getAs[String]("segmented") == "bb+bb bb+b")
+    // non-monotone component (rhs 'xy' is no earlier rank's output) → loud reject
+    val bad1 = Seq((0, "s", "xy", "sxy", 1L)).toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.bpeSegmentFast(Seq((1L, "s x y")).toDF("doc_id", "text"), "doc_id", "text", bad1)
+    }
+    assert(e1.getMessage.contains("component-monotone"))
+    // duplicate merged output ((a,bc) and (ab,c) both → 'abc') → loud reject
+    val bad2 = Seq(
+      (0, "b", "c", "bc", 9L), (1, "a", "b", "ab", 8L),
+      (2, "a", "bc", "abc", 5L), (3, "ab", "c", "abc", 4L))
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.bpeSegmentFast(Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text", bad2)
+    }
+    assert(e2.getMessage.contains("duplicate merged output"))
+    // NULL text behaves as empty (the curation-wide NULL contract)
+    val segNull = Corpus.bpeSegmentFast(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"), "doc_id", "text", m2)
+      .collect().head
+    assert(segNull.getAs[String]("segmented") == "")
+  }
+
+  test("bpe_encode from SQL: foldable merge arrays applied per word; non-foldable rejected") {
+    val r = spark.sql(
+      """SELECT bpe_encode(array('abab', 'aab', 'ba'),
+        |  array('a', 'ab'), array('b', 'ab')) AS segs""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("abab", "a+ab", "b+a"))
+    // a bad (non-monotone) table is rejected at registration, not per row
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_encode(array('s'), array('s'), array('xy'))").head()
+    }
+    assert(e.getMessage.contains("component-monotone"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT bpe_encode(t, array('a'), rhs) FROM " +
+        "(SELECT array('aa') AS t, array('a') AS rhs)").head()
+    }
+    assert(e2.getMessage.contains("foldable"))
+  }
+
   test("top_k_by_score aggregate callable from SQL") {
     import spark.implicits._
     (1L to 100L).map(i => ("g", (i % 7).toDouble, i)).toDF("g", "score", "id")
