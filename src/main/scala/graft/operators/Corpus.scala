@@ -1601,6 +1601,114 @@ object Corpus {
         array_join(col("__segs"), " ").as("segmented"))
   }
 
+  /** The Gopher stopword set (Rae et al. 2021, Appendix A1: a document
+    * must contain at least two of these to survive the stopword rule). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher document-quality rule set (Rae et al., "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * 2021, Appendix A1) — the row-local complement to [[qualityGate]]
+    * (which carries the n-gram repetition and LM signals): word-count
+    * bounds, mean-word-length band, symbol-to-word ratios (# and
+    * ellipsis), bullet-start and ellipsis-end line fractions, alphabetic
+    * word fraction, minimum distinct stopwords, and the within-document
+    * duplicate line/paragraph fractions by count and by character mass.
+    *
+    * Every signal is an exact integer count and every threshold compares
+    * by integer cross-multiplication (`100·count > pct·total`), so the
+    * keep/drop SET is bit-reproducible across engines and partitionings —
+    * the whole rule set is exact-oracle-checkable. One row in, one row
+    * out, no shuffle anywhere: at 100 TB this is a pure map over the
+    * corpus scan. `reasons` lists the failed rules in rule order (empty
+    * string = keep), mirroring [[qualityGate]]'s auditable-verdict shape.
+    *
+    * Duplicate-fraction definitions: a line/paragraph occurrence is a
+    * duplicate iff an identical one occurs earlier in the SAME document;
+    * the char-mass numerator is total chars minus one copy of each
+    * distinct line/paragraph (`Σ(count−1)·len`), the fraction-of-
+    * characters-in-duplicates form of the paper's rule. */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Long = 3L,
+      maxMeanWordLen: Long = 10L,
+      maxSymbolPct: Long = 10L,
+      maxBulletLinePct: Long = 90L,
+      maxEllipsisLinePct: Long = 30L,
+      minAlphaWordPct: Long = 80L,
+      minStopwords: Long = 2L,
+      maxDupLinePct: Long = 30L,
+      maxDupParaPct: Long = 30L,
+      maxDupLineCharPct: Long = 20L,
+      maxDupParaCharPct: Long = 20L,
+      sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val paraRe = sepRe + sepRe
+    val txt = coalesce(col(textCol), lit(""))
+    val words = filter(split(txt, "\\s+"), w => w =!= "")
+    val lines = split(txt, sepRe)
+    val paras = split(txt, paraRe)
+    val charSum = (a: Column) => aggregate(a, lit(0L), (acc, x) => acc + length(x))
+    val bulletHead = (l: Column) =>
+      ltrim(l).startsWith("•") || ltrim(l).startsWith("-") || ltrim(l).startsWith("*")
+    val ellipsisTail = (l: Column) =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")
+    val base = df.select(
+      col(idCol).as("id"),
+      size(words).cast("long").as("n_words"),
+      charSum(words).as("word_chars"),
+      (length(txt) - length(replace(txt, lit("#"), lit("")))).cast("long").as("n_hash"),
+      ((length(txt) - length(replace(txt, lit("..."), lit("")))) / 3 +
+        (length(txt) - length(replace(txt, lit("…"), lit(""))))).cast("long").as("n_ellipsis"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, bulletHead)).cast("long").as("n_bullet_lines"),
+      size(filter(lines, ellipsisTail)).cast("long").as("n_ellipsis_lines"),
+      size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long").as("n_alpha_words"),
+      size(array_intersect(transform(words, lower _),
+        typedLit(GopherStopwords))).cast("long").as("n_stopwords"),
+      (size(lines) - size(array_distinct(lines))).cast("long").as("n_dup_lines"),
+      charSum(lines).as("line_chars"),
+      (charSum(lines) - charSum(array_distinct(lines))).as("dup_line_chars"),
+      size(paras).cast("long").as("n_paras"),
+      (size(paras) - size(array_distinct(paras))).cast("long").as("n_dup_paras"),
+      charSum(paras).as("para_chars"),
+      (charSum(paras) - charSum(array_distinct(paras))).as("dup_para_chars"))
+    val reasons = filter(array(
+        when(col("n_words") < minWords || col("n_words") > maxWords,
+          lit("bad_word_count")),
+        when(col("word_chars") < lit(minMeanWordLen) * col("n_words") ||
+          col("word_chars") > lit(maxMeanWordLen) * col("n_words"),
+          lit("bad_mean_word_length")),
+        when(lit(100L) * col("n_hash") > lit(maxSymbolPct) * col("n_words"),
+          lit("too_many_hashes")),
+        when(lit(100L) * col("n_ellipsis") > lit(maxSymbolPct) * col("n_words"),
+          lit("too_many_ellipses")),
+        when(lit(100L) * col("n_bullet_lines") > lit(maxBulletLinePct) * col("n_lines"),
+          lit("too_many_bullet_lines")),
+        when(lit(100L) * col("n_ellipsis_lines") > lit(maxEllipsisLinePct) * col("n_lines"),
+          lit("too_many_ellipsis_lines")),
+        when(lit(100L) * col("n_alpha_words") < lit(minAlphaWordPct) * col("n_words"),
+          lit("too_few_alpha_words")),
+        when(col("n_stopwords") < minStopwords, lit("too_few_stopwords")),
+        when(lit(100L) * col("n_dup_lines") > lit(maxDupLinePct) * col("n_lines"),
+          lit("dup_lines")),
+        when(lit(100L) * col("dup_line_chars") > lit(maxDupLineCharPct) * col("line_chars"),
+          lit("dup_line_chars")),
+        when(lit(100L) * col("n_dup_paras") > lit(maxDupParaPct) * col("n_paras"),
+          lit("dup_paragraphs")),
+        when(lit(100L) * col("dup_para_chars") > lit(maxDupParaCharPct) * col("para_chars"),
+          lit("dup_paragraph_chars"))),
+      x => x.isNotNull)
+    base
+      .withColumn("reasons", concat_ws(",", reasons))
+      .withColumn("n_reasons", size(reasons).cast("long"))
+      .withColumn("keep", col("n_reasons") === 0L)
+  }
+
   /** Corpus-wide LINE-level exact dedup — the CCNet / RefinedWeb curation
     * step that exact-document dedup misses: boilerplate lines (headers,
     * cookie banners, navigation chrome) repeat across millions of pages

@@ -467,6 +467,26 @@ object PipelineSyntax {
       perDoc(Corpus.bpeSegment(mf.df, idCol, textCol, merges.df),
         "bpe_segment", idCol, Map("id" -> idCol, "text" -> textCol))
 
+    /** Batched BPE training (production merge counts): same keyed table. */
+    def bpeTrainedBatched(textCol: String, nMerges: Int, batchSize: Int = 16,
+        candidateWindow: Int = 8): MetaFrame =
+      derived(mf, Corpus.bpeTrainBatched(mf.df, textCol, nMerges, batchSize, candidateWindow),
+        "bpe_train_batched",
+        Map("text" -> textCol, "nMerges" -> nMerges, "batchSize" -> batchSize,
+            "candidateWindow" -> candidateWindow),
+        pk = Some(Seq("merge_rank")))
+
+    /** BPE segmentation through the native rank-priority loop
+      * (production-sized tables). */
+    def bpeSegmentedFast(merges: MetaFrame, idCol: String, textCol: String): MetaFrame =
+      perDoc(Corpus.bpeSegmentFast(mf.df, idCol, textCol, merges.df),
+        "bpe_segment_fast", idCol, Map("id" -> idCol, "text" -> textCol))
+
+    /** Full Gopher A1 document-rule verdicts: one row per doc. */
+    def gopherRuled(idCol: String, textCol: String): MetaFrame =
+      perDoc(Corpus.gopherRules(mf.df, idCol, textCol),
+        "gopher_rules", idCol, Map("id" -> idCol, "text" -> textCol))
+
     /** Epoch-aware data-constrained mixing: row-preserving plan. */
     def epochMixed(idCol: String, sourceCol: String, salt: String,
         budget: Long, maxEpochs: Int): MetaFrame = {

@@ -565,6 +565,30 @@ object PipelineQueries {
       Corpus.c4LineFilter(docs, "doc_id", "ml_text").orderBy("id")
     }),
 
+    // the full Gopher A1 document-rule set over a deterministic structured
+    // render (8-token lines; bullet prefixes, stopword injections, hash
+    // and ellipsis suffixes, and a doubled-text paragraph duplicate keyed
+    // on doc_id) so every rule family sees live positives; DuckDB
+    // re-derives the render and every integer signal from raw text
+    "text_gopher_rules" -> ((s, d) => {
+      val chunks = TextFunctions.tokenChunks(col("text"), 8, 8)
+      val lineArr = transform(chunks, c => {
+        val i = c.getField("chunk_idx").cast("long")
+        val bullet = when((col("doc_id") + i) % 6 === 0, lit("- ")).otherwise(lit(""))
+        val stop = when(i === 0 && col("doc_id") % 3 === 0, lit("the of and "))
+          .otherwise(lit(""))
+        val hash = when((col("doc_id") + i) % 11 === 0, lit(" ##")).otherwise(lit(""))
+        val ell = when((col("doc_id") + i) % 9 === 0, lit(" ...")).otherwise(lit(""))
+        concat(bullet, stop, c.getField("chunk_text"), hash, ell)
+      })
+      val body = concat_ws("\n", lineArr)
+      val full = when(col("doc_id") % 13 === 0, concat(body, lit("\n\n"), body))
+        .otherwise(body)
+      Corpus.gopherRules(
+        t(s, d, "documents").df.select(col("doc_id"), full.as("gtext")),
+        "doc_id", "gtext").orderBy("id")
+    }),
+
     // GPT-style pack-then-chunk sequence layout (seqLen=64, sharded by
     // lang, md5-digest order): every fragment boundary is pure window
     // arithmetic over the deterministic order, so DuckDB re-derives the
@@ -2034,6 +2058,64 @@ object PipelineQueries {
        "least(off+n, (q+1)*64) - greatest(off, q*64) AS n_frag_tokens, " +
        "array_to_string(ts[CAST(greatest(off, q*64)-off+1 AS INT) : CAST(least(off+n, (q+1)*64)-off AS INT)], ' ') AS frag_text " +
        "FROM e ORDER BY shard, seq_id, start_in_seq, id"),
+
+    // the structured render re-derived line for line, then every Gopher
+    // signal as exact integer arithmetic and the rule list in rule order
+    "text_gopher_rules" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents), " +
+       "r AS (SELECT doc_id, [" +
+       "(CASE WHEN (doc_id + (i-1)//8) % 6 = 0 THEN '- ' ELSE '' END) || " +
+       "(CASE WHEN (i-1)//8 = 0 AND doc_id % 3 = 0 THEN 'the of and ' ELSE '' END) || " +
+       "array_to_string(ts[i:i+7], ' ') || " +
+       "(CASE WHEN (doc_id + (i-1)//8) % 11 = 0 THEN ' ##' ELSE '' END) || " +
+       "(CASE WHEN (doc_id + (i-1)//8) % 9 = 0 THEN ' ...' ELSE '' END) " +
+       "FOR i IN generate_series(1, len(ts), 8)] AS ls FROM t), " +
+       "g AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN b || chr(10)||chr(10) || b ELSE b END AS txt " +
+       "FROM (SELECT doc_id, array_to_string(ls, chr(10)) AS b FROM r)), " +
+       "s0 AS (SELECT doc_id AS id, txt, " +
+       "list_filter(regexp_split_to_array(txt, '\\s+'), w -> w <> '') AS ws, " +
+       "string_split(txt, chr(10)) AS lns, " +
+       "string_split(txt, chr(10)||chr(10)) AS ps FROM g), " +
+       "c AS (SELECT id, " +
+       "CAST(len(ws) AS BIGINT) AS n_words, " +
+       "CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS word_chars, " +
+       "CAST(length(txt) - length(replace(txt, '#', '')) AS BIGINT) AS n_hash, " +
+       "CAST((length(txt) - length(replace(txt, '...', ''))) // 3 + " +
+       "(length(txt) - length(replace(txt, chr(8230), ''))) AS BIGINT) AS n_ellipsis, " +
+       "CAST(len(lns) AS BIGINT) AS n_lines, " +
+       "CAST(len(list_filter(lns, l -> starts_with(ltrim(l), chr(8226)) OR " +
+       "starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*'))) AS BIGINT) AS n_bullet_lines, " +
+       "CAST(len(list_filter(lns, l -> ends_with(rtrim(l), '...') OR " +
+       "ends_with(rtrim(l), chr(8230)))) AS BIGINT) AS n_ellipsis_lines, " +
+       "CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words, " +
+       "CAST(len(list_intersect(list_transform(ws, w -> lower(w)), " +
+       "['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords, " +
+       "CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS n_dup_lines, " +
+       "CAST(coalesce(list_sum(list_transform(lns, x -> length(x))), 0) AS BIGINT) AS line_chars, " +
+       "CAST(coalesce(list_sum(list_transform(lns, x -> length(x))), 0) - " +
+       "coalesce(list_sum(list_transform(list_distinct(lns), x -> length(x))), 0) AS BIGINT) AS dup_line_chars, " +
+       "CAST(len(ps) AS BIGINT) AS n_paras, " +
+       "CAST(len(ps) - len(list_distinct(ps)) AS BIGINT) AS n_dup_paras, " +
+       "CAST(coalesce(list_sum(list_transform(ps, x -> length(x))), 0) AS BIGINT) AS para_chars, " +
+       "CAST(coalesce(list_sum(list_transform(ps, x -> length(x))), 0) - " +
+       "coalesce(list_sum(list_transform(list_distinct(ps), x -> length(x))), 0) AS BIGINT) AS dup_para_chars " +
+       "FROM s0), " +
+       "v AS (SELECT c.*, list_filter([" +
+       "CASE WHEN n_words < 50 OR n_words > 100000 THEN 'bad_word_count' END, " +
+       "CASE WHEN word_chars < 3*n_words OR word_chars > 10*n_words THEN 'bad_mean_word_length' END, " +
+       "CASE WHEN 100*n_hash > 10*n_words THEN 'too_many_hashes' END, " +
+       "CASE WHEN 100*n_ellipsis > 10*n_words THEN 'too_many_ellipses' END, " +
+       "CASE WHEN 100*n_bullet_lines > 90*n_lines THEN 'too_many_bullet_lines' END, " +
+       "CASE WHEN 100*n_ellipsis_lines > 30*n_lines THEN 'too_many_ellipsis_lines' END, " +
+       "CASE WHEN 100*n_alpha_words < 80*n_words THEN 'too_few_alpha_words' END, " +
+       "CASE WHEN n_stopwords < 2 THEN 'too_few_stopwords' END, " +
+       "CASE WHEN 100*n_dup_lines > 30*n_lines THEN 'dup_lines' END, " +
+       "CASE WHEN 100*dup_line_chars > 20*line_chars THEN 'dup_line_chars' END, " +
+       "CASE WHEN 100*n_dup_paras > 30*n_paras THEN 'dup_paragraphs' END, " +
+       "CASE WHEN 100*dup_para_chars > 20*para_chars THEN 'dup_paragraph_chars' END" +
+       "], x -> x IS NOT NULL) AS rl FROM c) " +
+       "SELECT v.* EXCLUDE (rl), coalesce(array_to_string(rl, ','), '') AS reasons, " +
+       "CAST(len(rl) AS BIGINT) AS n_reasons, len(rl) = 0 AS keep FROM v ORDER BY id"),
 
     // windows → keeper rank → removed starts → coverage anti-filter →
     // ordered reassembly; docs with <20 tokens never window and pass

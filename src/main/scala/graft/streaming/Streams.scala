@@ -535,6 +535,28 @@ object Streams {
       textCol: String): DataFrame =
     graft.operators.Corpus.bpeSegment(stream, idCol, textCol, merges)
 
+  /** [[bpeSegmentStream]] through the native rank-priority loop
+    * (`Corpus.bpeSegmentFast`) — the serving path for production-sized
+    * merge tables, where the replace chain's expression tree would grow
+    * with the vocabulary. Same frozen-table contract, zero streaming
+    * state, append mode; the table validation (component-monotone,
+    * unique outputs) runs once at query start. */
+  def bpeSegmentFastStream(
+      stream: DataFrame,
+      merges: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Corpus.bpeSegmentFast(stream, idCol, textCol, merges)
+
+  /** Streaming Gopher document-quality rules — `Corpus.gopherRules` is one
+    * row-local projection of exact integer signals, so the identical plan
+    * runs on a streaming frame in append mode with zero state. */
+  def gopherStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Corpus.gopherRules(stream, idCol, textCol)
+
   /** Streaming incremental line dedup — per-LINE verdicts of the stream's
     * docs against the static accepted-corpus line store
     * (`Corpus.lineVerdicts`): a row-local explode plus one stream-static

@@ -1329,6 +1329,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(merges.primaryKey.contains(Seq("merge_rank")))
     val seg = mf.bpeSegmented(merges, "doc_id", "text")
     assert(seg.primaryKey.contains(Seq("id")))
+    val mergesB = MetaFrame(langed, Map.empty[String, Any])
+      .bpeTrainedBatched("text", nMerges = 2, batchSize = 2)
+    assert(mergesB.primaryKey.contains(Seq("merge_rank")))
+    val segF = mf.bpeSegmentedFast(mergesB, "doc_id", "text")
+    assert(segF.primaryKey.contains(Seq("id")))
+    val gr = mf.gopherRuled("doc_id", "text")
+    assert(gr.primaryKey.contains(Seq("id")))
     // epochMix is row-preserving on the parent's own key
     val em = mf.epochMixed("doc_id", "lang", "t", budget = 10L, maxEpochs = 2)
     assert(em.primaryKey.contains(Seq("doc_id")))
@@ -1581,6 +1588,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     val seg = Corpus.bpeSegment(Seq((9L, "abcd xy")).toDF("doc_id", "text"), "doc_id", "text",
       Corpus.bpeTrainBatched(conflict, "text", nMerges = 6, batchSize = 3)).collect().head
     assert(seg.getAs[String]("segmented") == "ab+cd xy")
+  }
+
+  test("gopherRules: every rule fires independently on exact integer signals") {
+    import spark.implicits._
+    val w40 = (1 to 40).map(i => s"word$i the of").mkString(" ") // 120 words, stopwords ok
+    val docs = Seq(
+      (1L, w40), // 120 words in [50,100000], all rules pass
+      (2L, "the of tiny"), // 3 words < 50 → bad_word_count
+      (3L, (1 to 60).map(_ => "ab the of").mkString(" ")), // mean len (2+3+2)/3=2.33 < 3
+      (4L, (1 to 30).map(_ => "the of ####").mkString(" ")), // 120 # / 90 words > 10%
+      (5L, (1 to 30).map(_ => "the of see...").mkString(" ")), // 30 ellipses / 90 words > 10%
+      (6L, (1 to 60).map(i => s"- item$i the of").mkString("\n")), // every line bullet > 90%
+      (7L, (1 to 60).map(i => s"line$i the of trails ...").mkString("\n")), // every line ends ... > 30%
+      (8L, (1 to 60).map(_ => "1234 567 the of 89 00 11 22 33 44").mkString(" ")), // 2/10 alpha < 80%
+      (9L, (1 to 60).map(i => s"word$i only one stop the").mkString(" ")), // 1 distinct stopword < 2
+      (10L, ((1 to 30).map(i => s"uniq$i the of x y z") ++
+        (1 to 20).map(_ => "repeat the of me now please")).mkString("\n")), // 19/50 dup lines > 30%
+      (11L, Seq.fill(2)((1 to 30).map(i => s"par$i the of a b c").mkString("\n"))
+        .mkString("\n\n"))) // doubled text → dup paragraph + dup lines + char rules
+      .toDF("doc_id", "text")
+    val out = Corpus.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("reasons"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == (("", true)))
+    assert(out(2L)._1 == "bad_word_count")
+    assert(out(3L)._1 == "bad_mean_word_length")
+    assert(out(4L)._1.contains("too_many_hashes")) // '####' also fails the alpha rule
+    assert(out(5L)._1.contains("too_many_ellipses"))
+    assert(out(6L)._1.contains("too_many_bullet_lines")) // '-' words also dent alpha
+    assert(out(7L)._1.contains("too_many_ellipsis_lines"))
+    assert(out(8L)._1.contains("too_few_alpha_words"))
+    assert(out(9L)._1 == "too_few_stopwords")
+    assert(out(10L)._1.contains("dup_lines"))
+    assert(out(11L)._1.contains("dup_paragraphs") && out(11L)._1.contains("dup_lines") &&
+      out(11L)._1.contains("dup_line_chars") && out(11L)._1.contains("dup_paragraph_chars"))
+    assert(!out(11L)._2)
+    // exact signal spot-checks on the doubled doc: 61 lines (30 + the
+    // empty between-paragraph line + 30), 31 distinct; 2 paragraphs, 1
+    // distinct, the dup paragraph carrying exactly half the char mass
+    val d11 = Corpus.gopherRules(docs.filter($"doc_id" === 11L), "doc_id", "text").head()
+    assert(d11.getAs[Long]("n_lines") == 61L && d11.getAs[Long]("n_dup_lines") == 30L)
+    assert(d11.getAs[Long]("n_paras") == 2L && d11.getAs[Long]("n_dup_paras") == 1L)
+    assert(d11.getAs[Long]("dup_para_chars") * 2 == d11.getAs[Long]("para_chars"))
   }
 
   test("c4LineFilter applies each line rule and each doc rule independently") {
