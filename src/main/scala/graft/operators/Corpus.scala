@@ -1601,6 +1601,48 @@ object Corpus {
         array_join(col("__segs"), " ").as("segmented"))
   }
 
+  /** Default category set for [[redactPiiAudited]] (Dolma-style masking):
+    * (rule name, regex, replacement token), applied in order. The email
+    * pattern is [[graft.functions.TextFunctions.EmailPattern]] verbatim —
+    * one pattern definition across the fixed scrub and the audited form;
+    * phone and IP join it. All patterns are lookaround-free so the same
+    * regex runs identically under Java's engine (Spark) and RE2
+    * (DuckDB/the oracle) — cross-engine reproducibility beats marginal
+    * recall here, and the masking tokens are greppable in the output. */
+  val DefaultPiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", graft.functions.TextFunctions.EmailPattern, "<EMAIL>"),
+    ("phone", "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  /** Category-audited PII redaction — the configurable form of the fixed
+    * [[graft.functions.TextFunctions.redactPii]] scrub (email + long digit
+    * runs): callers supply named (pattern, token) rules and get a
+    * PER-CATEGORY audit count alongside the rewrite, which is what a
+    * 100 TB masking run reports per slice. Each pattern's matches are
+    * counted on the ORIGINAL text and then replaced in pattern order
+    * (each rule sees the previous rule's rewrites, so a phone number
+    * inside an already-masked email is not double-replaced; the chain
+    * order is part of the contract and the oracle re-derives it
+    * literally). One row in, one row out, pure row-local regex work — a
+    * map over the corpus scan at any scale. Returns
+    * (id, n_<rule> per pattern, n_pii total, text_redacted). */
+  def redactPiiAudited(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[(String, String, String)] = DefaultPiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "at least one PII pattern is required")
+    val txt = coalesce(col(textCol), lit(""))
+    def count(re: String): Column =
+      size(regexp_extract_all(txt, lit(re), lit(0))).cast("long")
+    val countCols = patterns.map { case (name, re, _) => count(re).as(s"n_$name") }
+    val total = patterns.map { case (_, re, _) => count(re) }.reduce(_ + _).as("n_pii")
+    val redacted = patterns.foldLeft(txt) { case (t, (_, re, token)) =>
+      regexp_replace(t, re, token)
+    }.as("text_redacted")
+    df.select(col(idCol).as("id") +: countCols :+ total :+ redacted: _*)
+  }
+
   /** The Gopher stopword set (Rae et al. 2021, Appendix A1: a document
     * must contain at least two of these to survive the stopword rule). */
   val GopherStopwords: Seq[String] =

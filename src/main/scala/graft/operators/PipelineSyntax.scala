@@ -487,6 +487,14 @@ object PipelineSyntax {
       perDoc(Corpus.gopherRules(mf.df, idCol, textCol),
         "gopher_rules", idCol, Map("id" -> idCol, "text" -> textCol))
 
+    /** Category-audited PII redaction: one row per doc. */
+    def piiRedacted(idCol: String, textCol: String,
+        patterns: Seq[(String, String, String)] = Corpus.DefaultPiiPatterns): MetaFrame =
+      perDoc(Corpus.redactPiiAudited(mf.df, idCol, textCol, patterns),
+        "pii_redact_audited", idCol,
+        Map("id" -> idCol, "text" -> textCol,
+            "rules" -> patterns.map(_._1).mkString(",")))
+
     /** Epoch-aware data-constrained mixing: row-preserving plan. */
     def epochMixed(idCol: String, sourceCol: String, salt: String,
         budget: Long, maxEpochs: Int): MetaFrame = {

@@ -511,6 +511,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the category-audited form over deterministic injections that light
+    // every category (email keyed on doc_id%3, phone on %5, ip on %7 —
+    // some docs carry all three, some none); per-category counts on the
+    // ORIGINAL text, replacement chain re-derived literally by DuckDB
+    "text_pii_categories" -> ((s, d) => {
+      val withPii = t(s, d, "documents").df
+        .withColumn("t2", concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" mail user"), col("doc_id"), lit("@example.org")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0.0."), (col("doc_id") % 256).cast("string")))
+            .otherwise(lit(""))))
+      Corpus.redactPiiAudited(withPii, "doc_id", "t2").orderBy("id")
+    }),
+
     // ------------------------------------------------------------- dedup
     "dedup_exact_hash" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents").df, "doc_id", "text")
@@ -1920,6 +1938,27 @@ object PipelineQueries {
        "regexp_replace(regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
        "'[0-9]{7,}', '<NUM>', 'g') AS redacted " +
        "FROM w ORDER BY doc_id"),
+
+    // injections rebuilt, then the three category counts on the original
+    // text and the email→phone→ip replacement chain (explicit 'g' flags)
+    "text_pii_categories" ->
+      ("WITH w AS (SELECT doc_id, text || " +
+       "(CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id || '@example.org' ELSE '' END) || " +
+       "(CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END) || " +
+       "(CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END) AS t2 " +
+       "FROM documents) " +
+       "SELECT doc_id AS id, " +
+       "CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
+       "CAST(len(regexp_extract_all(t2, '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS BIGINT) AS n_phone, " +
+       "CAST(len(regexp_extract_all(t2, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip, " +
+       "CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + " +
+       "len(regexp_extract_all(t2, '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) + " +
+       "len(regexp_extract_all(t2, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_pii, " +
+       "regexp_replace(regexp_replace(regexp_replace(t2, " +
+       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+       "'\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g'), " +
+       "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g') AS text_redacted " +
+       "FROM w ORDER BY id"),
 
     // same 8-token line rendering as the engine query, then
     // first-global-occurrence-keeps by (doc, line idx) rank; docs whose

@@ -557,6 +557,18 @@ object Streams {
       textCol: String): DataFrame =
     graft.operators.Corpus.gopherRules(stream, idCol, textCol)
 
+  /** Streaming category-audited PII redaction — pure row-local regex
+    * work (`Corpus.redactPiiAudited`), append mode, zero state. The
+    * pattern set freezes at query start: masking rules changing
+    * mid-stream would make the store's redaction provenance ambiguous. */
+  def piiRedactStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[(String, String, String)] =
+        graft.operators.Corpus.DefaultPiiPatterns): DataFrame =
+    graft.operators.Corpus.redactPiiAudited(stream, idCol, textCol, patterns)
+
   /** Streaming incremental line dedup — per-LINE verdicts of the stream's
     * docs against the static accepted-corpus line store
     * (`Corpus.lineVerdicts`): a row-local explode plus one stream-static

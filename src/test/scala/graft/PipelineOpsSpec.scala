@@ -1336,6 +1336,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(segF.primaryKey.contains(Seq("id")))
     val gr = mf.gopherRuled("doc_id", "text")
     assert(gr.primaryKey.contains(Seq("id")))
+    val pr = mf.piiRedacted("doc_id", "text")
+    assert(pr.primaryKey.contains(Seq("id")))
     // epochMix is row-preserving on the parent's own key
     val em = mf.epochMixed("doc_id", "lang", "t", budget = 10L, maxEpochs = 2)
     assert(em.primaryKey.contains(Seq("doc_id")))
@@ -1588,6 +1590,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     val seg = Corpus.bpeSegment(Seq((9L, "abcd xy")).toDF("doc_id", "text"), "doc_id", "text",
       Corpus.bpeTrainBatched(conflict, "text", nMerges = 6, batchSize = 3)).collect().head
     assert(seg.getAs[String]("segmented") == "ab+cd xy")
+  }
+
+  test("redactPiiAudited: per-category counts on original text, replacements chained in pattern order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail bob.smith@corp-mail.example.org or call 555-123-4567 from 10.0.0.1 now"),
+      (2L, "overlap a555-123-4567@b.com stays one email"),
+      (3L, "nothing sensitive here"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "two mails x@y.zz and w@v.qq plus +1 555-000-1111 wait that is 555 000 1111"))
+      .toDF("doc_id", "text")
+    val out = Corpus.redactPiiAudited(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"), r.getAs[Long]("n_ip"),
+          r.getAs[Long]("n_pii")), r.getAs[String]("text_redacted"))).toMap
+    assert(out(1L)._1 == ((1L, 1L, 1L, 3L)))
+    assert(out(1L)._2 == "mail <EMAIL> or call <PHONE> from <IP> now")
+    // the phone digits sit INSIDE the email: counted on the original (1
+    // each), but the email replacement runs first so the phone survives
+    // only as part of the mask — no double replacement
+    assert(out(2L)._1 == ((1L, 1L, 0L, 2L)))
+    assert(out(2L)._2 == "overlap <EMAIL> stays one email")
+    assert(out(3L)._1 == ((0L, 0L, 0L, 0L)))
+    assert(out(4L)._1 == ((0L, 0L, 0L, 0L)) && out(4L)._2 == "")
+    // '555 000 1111' (spaces) matches the space-separated variant too
+    assert(out(5L)._1 == ((2L, 2L, 0L, 4L)))
+    assert(out(5L)._2 == "two mails <EMAIL> and <EMAIL> plus +1 <PHONE> wait that is <PHONE>")
   }
 
   test("gopherRules: every rule fires independently on exact integer signals") {
