@@ -1324,6 +1324,78 @@ object Corpus {
       element_at(typedLit(mapping), col("bin")).as("bucket"))
   }
 
+  /** Per-GROUP [[scoreBuckets]] — quantile bucketing computed
+    * independently inside each `groupCol` value (per-language perplexity
+    * terciles, per-source quality tiers): the bin histogram reduces on
+    * (group, bin), collects as driver metadata bounded by
+    * groups × bins, and the per-group cumulative mapping rides back as
+    * one broadcast map lookup keyed `group 0x00 bin` — same integer
+    * arithmetic, same reproducibility contract, scores never shuffle.
+    * Returns one row per input row: (id, group, score, bin, bucket). */
+  def scoreBucketsBy(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      nBuckets: Int = 10,
+      binWidthMicro: Long = 1000L): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be at least 1")
+    require(binWidthMicro >= 1, "binWidthMicro must be at least 1")
+    val sm = round(col(scoreCol) * lit(1e6)).cast("long")
+    val binned = df.withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
+    val hist = binned.groupBy(col(groupCol).cast("string").as("g"), col("bin"))
+      .agg(count(lit(1)).as("c")).collect()
+    val mapping: Map[String, Int] = hist
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (g, rows) =>
+        val n = rows.map(_._3).sum
+        var cum = 0L
+        rows.sortBy(_._2).map { case (_, b, c) =>
+          val bucket = math.min(nBuckets - 1, ((cum * nBuckets) / math.max(n, 1L)).toInt)
+          cum += c
+          s"$g\u0000$b" -> bucket
+        }
+      }.toMap
+    binned.select(col(idCol).as("id"), col(groupCol).as("group"),
+      col(scoreCol).as("score"), col("bin"),
+      element_at(typedLit(mapping),
+        concat_ws("\u0000", col(groupCol), col("bin").cast("string"))).as("bucket"))
+  }
+
+  /** CCNet perplexity tiers (Wenzek et al., "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data", 2020) — the
+    * head/middle/tail split: score every document with a FROZEN unigram
+    * LM ([[lmScoreAgainst]] — train once on a trusted corpus, persist
+    * via MetaPersist) and bucket into per-`groupCol` (per-language)
+    * terciles. Tiering keys on `avg_nll`, which orders identically to
+    * perplexity (exp is monotone) but stays in the
+    * one-division-over-exact-integer-sums arithmetic that is
+    * bit-reproducible across engines — `exp` itself is not correctly
+    * rounded everywhere, and a 1-ulp difference at a bin boundary must
+    * not move a document between tiers. Tier 0 = head (lowest
+    * perplexity). Token-less documents carry NULL avg_nll and are
+    * excluded (they have no language-model evidence; gate them on length
+    * instead). Returns (id, group, score, bin, tier). */
+  def ccnetTiers(
+      df: DataFrame,
+      counts: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      nTiers: Int = 3,
+      binWidthMicro: Long = 1000L): DataFrame = {
+    val scored = lmScoreAgainst(df, counts, idCol, textCol)
+      .select(col("id").as("__sid"), col("avg_nll"))
+      .filter(col("avg_nll").isNotNull)
+    scoreBucketsBy(
+      df.join(scored, col(idCol) === col("__sid"))
+        .select(col(idCol), col(groupCol), col("avg_nll")),
+      groupCol, idCol, "avg_nll", nTiers, binWidthMicro)
+      .withColumnRenamed("bucket", "tier")
+  }
+
   /** The BOUNDARY MODEL behind [[scoreBuckets]] — the first bin of each
     * bucket 1..nBuckets−1 as a (bucket, threshold_bin) table. Thresholds
     * generalize to bins never seen in training (bucket = count of

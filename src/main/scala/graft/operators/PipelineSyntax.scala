@@ -487,6 +487,23 @@ object PipelineSyntax {
       perDoc(Corpus.gopherRules(mf.df, idCol, textCol),
         "gopher_rules", idCol, Map("id" -> idCol, "text" -> textCol))
 
+    /** Per-group score-quantile bucketing (per-language curricula). */
+    def scoreBucketedBy(groupCol: String, idCol: String, scoreCol: String,
+        nBuckets: Int = 10, binWidthMicro: Long = 1000L): MetaFrame =
+      perDoc(Corpus.scoreBucketsBy(mf.df, groupCol, idCol, scoreCol, nBuckets, binWidthMicro),
+        "score_buckets_by", idCol,
+        Map("group" -> groupCol, "id" -> idCol, "score" -> scoreCol,
+            "nBuckets" -> nBuckets, "binWidthMicro" -> binWidthMicro))
+
+    /** CCNet head/middle/tail perplexity tiers against a frozen LM.
+      * Row-dropping (token-less docs carry no LM evidence), so the pk
+      * claim stays with the per-doc id key. */
+    def ccnetTiered(counts: MetaFrame, idCol: String, textCol: String,
+        groupCol: String, nTiers: Int = 3): MetaFrame =
+      perDoc(Corpus.ccnetTiers(mf.df, counts.df, idCol, textCol, groupCol, nTiers),
+        "ccnet_tiers", idCol,
+        Map("id" -> idCol, "text" -> textCol, "group" -> groupCol, "nTiers" -> nTiers))
+
     /** Category-audited PII redaction: one row per doc. */
     def piiRedacted(idCol: String, textCol: String,
         patterns: Seq[(String, String, String)] = Corpus.DefaultPiiPatterns): MetaFrame =

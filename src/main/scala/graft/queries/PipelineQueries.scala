@@ -773,6 +773,26 @@ object PipelineQueries {
           "doc_id", "len_score", nBuckets = 10, binWidthMicro = 1000000L)
         .orderBy("id")),
 
+    // per-GROUP curriculum: the same deterministic quantile machinery
+    // computed independently inside each language — a doc's decile depends
+    // only on its own language's length distribution
+    "corpus_lang_curricula" -> ((s, d) =>
+      Corpus.scoreBucketsBy(
+          t(s, d, "documents").df.withColumn("len_score", col("n_chars").cast("double")),
+          "lang", "doc_id", "len_score", nBuckets = 10, binWidthMicro = 1000000L)
+        .orderBy("id")),
+
+    // CCNet head/middle/tail: frozen-LM scoring (self-trained here, as in
+    // text_lm_quality) + per-language terciles on avg_nll — DuckDB
+    // re-derives token scores, exact micro-nat sums, the one-division
+    // average, quantized bins, and the per-language cumulative tiers
+    "text_ccnet_tiers" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      Corpus.ccnetTiers(docs, Corpus.lmCounts(docs, "text"),
+          "doc_id", "text", "lang", nTiers = 3)
+        .orderBy("id")
+    }),
+
     // canonical election by QUALITY over exact near-dup clusters: connected
     // components of the hi-Jaccard pair graph (singletons = own component),
     // keep the highest-quality member per component — DuckDB re-derives
@@ -2354,6 +2374,41 @@ object PipelineQueries {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10) // " +
        "(SELECT count(*) FROM b)) AS INT) AS bucket FROM h) " +
        "SELECT b.id, b.score, b.bin, m.bucket FROM b JOIN m USING (bin) ORDER BY b.id"),
+
+    // per-language windowed cumulative deciles over integer char-count bins
+    "corpus_lang_curricula" ->
+      ("WITH s AS (SELECT doc_id AS id, lang AS grp, CAST(n_chars AS DOUBLE) AS score FROM documents), " +
+       "b AS (SELECT id, grp, score, CAST(floor(round(score * 1000000) / 1000000) AS BIGINT) AS bin FROM s), " +
+       "h AS (SELECT grp, bin, count(*) AS c FROM b GROUP BY grp, bin), " +
+       "t2 AS (SELECT grp, count(*) AS n FROM b GROUP BY grp), " +
+       "m AS (SELECT h.grp, h.bin, CAST(least(9, (coalesce(SUM(c) OVER (PARTITION BY h.grp ORDER BY h.bin " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10) // t2.n) AS INT) AS bucket " +
+       "FROM h JOIN t2 USING (grp)) " +
+       "SELECT b.id, b.grp AS \"group\", b.score, b.bin, m.bucket " +
+       "FROM b JOIN m USING (grp, bin) ORDER BY b.id"),
+
+    // the text_lm_quality micro-nat derivation, then quantized avg_nll
+    // bins and per-language cumulative terciles; token-less docs drop at
+    // the inner join (no LM evidence)
+    "text_ccnet_tiers" ->
+      ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
+       "tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''), " +
+       "cnt AS (SELECT term, count(*) AS c FROM tok2 GROUP BY term), " +
+       "tot AS (SELECT sum(c) AS t, count(*) AS v FROM cnt), " +
+       "scored AS (SELECT tok2.doc_id, " +
+       "CAST(round(ln((cnt.c + 1.0) / (tot.t + 1.0 * tot.v)) * 1000000) AS BIGINT) AS micro_lp " +
+       "FROM tok2 JOIN cnt USING (term) CROSS JOIN tot), " +
+       "per_doc AS (SELECT doc_id, count(*) AS n_tokens, sum(micro_lp) AS s FROM scored GROUP BY doc_id), " +
+       "sc AS (SELECT d.doc_id AS id, d.lang AS grp, (-p.s) / (1000000.0 * p.n_tokens) AS score " +
+       "FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id), " +
+       "b AS (SELECT id, grp, score, CAST(floor(round(score * 1000000) / 1000.0) AS BIGINT) AS bin FROM sc), " +
+       "h AS (SELECT grp, bin, count(*) AS c FROM b GROUP BY grp, bin), " +
+       "t2 AS (SELECT grp, count(*) AS n FROM b GROUP BY grp), " +
+       "m AS (SELECT h.grp, h.bin, CAST(least(2, (coalesce(SUM(c) OVER (PARTITION BY h.grp ORDER BY h.bin " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 3) // t2.n) AS INT) AS tier " +
+       "FROM h JOIN t2 USING (grp)) " +
+       "SELECT b.id, b.grp AS \"group\", b.score, b.bin, m.tier " +
+       "FROM b JOIN m USING (grp, bin) ORDER BY b.id"),
 
     // hi-Jaccard pairs → recursive-CTE components → quality → election
     // (quality desc, id asc); docs outside every pair are their own

@@ -1338,6 +1338,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gr.primaryKey.contains(Seq("id")))
     val pr = mf.piiRedacted("doc_id", "text")
     assert(pr.primaryKey.contains(Seq("id")))
+    val sb = mf.withColumn("ls", col("n_chars").cast("double"))
+      .scoreBucketedBy("lang", "doc_id", "ls")
+    assert(sb.primaryKey.contains(Seq("id")))
+    val ct = mf.ccnetTiered(
+      MetaFrame(Corpus.lmCounts(langed, "text"), Map.empty[String, Any]),
+      "doc_id", "text", "lang")
+    assert(ct.primaryKey.contains(Seq("id")))
     // epochMix is row-preserving on the parent's own key
     val em = mf.epochMixed("doc_id", "lang", "t", budget = 10L, maxEpochs = 2)
     assert(em.primaryKey.contains(Seq("doc_id")))
@@ -1590,6 +1597,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     val seg = Corpus.bpeSegment(Seq((9L, "abcd xy")).toDF("doc_id", "text"), "doc_id", "text",
       Corpus.bpeTrainBatched(conflict, "text", nMerges = 6, batchSize = 3)).collect().head
     assert(seg.getAs[String]("segmented") == "ab+cd xy")
+  }
+
+  test("scoreBucketsBy buckets independently per group; ccnetTiers orders by LM evidence within language") {
+    import spark.implicits._
+    // two groups whose score ranges do not overlap: bucketing must be
+    // computed inside each group, not over the pooled distribution
+    val rows = (1 to 10).map(i => (i.toLong, "a", i.toDouble)) ++
+      (1 to 10).map(i => (100L + i, "b", 100.0 + i))
+    val bk = Corpus.scoreBucketsBy(rows.toDF("doc_id", "grp", "s"),
+        "grp", "doc_id", "s", nBuckets = 2, binWidthMicro = 1000000L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+    (1 to 5).foreach(i => assert(bk(i.toLong) == 0))
+    (6 to 10).foreach(i => assert(bk(i.toLong) == 1))
+    (1 to 5).foreach(i => assert(bk(100L + i) == 0))
+    (6 to 10).foreach(i => assert(bk(100L + i) == 1))
+
+    // ccnet tiers: within each lang, docs of common words (low avg_nll)
+    // land in the head tier, rare-word docs in the tail
+    val common = "the the the cat cat"
+    val corpus = Seq(
+      (1L, "en", common), (2L, "en", common + " dog"), (3L, "en", "zyx qwv unique rare"),
+      (11L, "fr", common), (12L, "fr", common + " dog"), (13L, "fr", "bizarre unheard gloss rare"),
+      (20L, "en", "   ")) // token-less: excluded
+      .toDF("doc_id", "lang", "text")
+    val lm = Corpus.lmCounts(corpus, "text")
+    val tiers = Corpus.ccnetTiers(corpus, lm, "doc_id", "text", "lang", nTiers = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("tier")).toMap
+    assert(!tiers.contains(20L))
+    assert(tiers(1L) == 0 && tiers(11L) == 0) // head: most-frequent words
+    assert(tiers(3L) == 2 && tiers(13L) == 2) // tail: rare words
+    assert(tiers(2L) == 1 && tiers(12L) == 1)
   }
 
   test("redactPiiAudited: per-category counts on original text, replacements chained in pattern order") {
