@@ -48,7 +48,8 @@ object AuditScale {
     "text_line_dedup", "dedup_substring_spans", "text_pack_sequences",
     "text_bpe_train", "text_line_dedup_incremental",
     "dedup_substring_spans_incremental", "pipeline_curation_e2e",
-    "pipeline_ingest_curated")
+    "pipeline_ingest_curated", "text_gopher_rules", "text_pii_categories",
+    "text_ccnet_tiers")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -98,7 +99,9 @@ object AuditScale {
       // the curation composite embeds the OOV gate's 1-row vocabulary-total
       // crossJoin and epochMix's 1-row budget-total crossJoin; the curated
       // ingestion micro-batch embeds the same gate via curateMicroBatch
-      "pipeline_curation_e2e", "pipeline_ingest_curated")
+      "pipeline_curation_e2e", "pipeline_ingest_curated",
+      // ccnet embeds the LM scorer's 1-row corpus-totals crossJoin
+      "text_ccnet_tiers")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

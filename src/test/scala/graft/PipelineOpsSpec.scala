@@ -1338,7 +1338,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gr.primaryKey.contains(Seq("id")))
     val pr = mf.piiRedacted("doc_id", "text")
     assert(pr.primaryKey.contains(Seq("id")))
-    val sb = mf.withColumn("ls", col("n_chars").cast("double"))
+    val sb = mf.withColumn("ls", length(col("text")).cast("double"))
       .scoreBucketedBy("lang", "doc_id", "ls")
     assert(sb.primaryKey.contains(Seq("id")))
     val ct = mf.ccnetTiered(
