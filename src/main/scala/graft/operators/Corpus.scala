@@ -1823,6 +1823,57 @@ object Corpus {
       .withColumn("keep", col("n_reasons") === 0L)
   }
 
+  /** Default Gopher A1.1 thresholds, in integer percent, keyed by the n of
+    * the rule: top-n-gram char fraction for n = 2,3,4 and
+    * duplicate-n-gram char fraction for n = 5..10 (Rae et al. 2021). */
+  val GopherRepetitionThresholdPct: Map[String, Long] = Map(
+    "top_2gram" -> 20L, "top_3gram" -> 18L, "top_4gram" -> 16L,
+    "dup_5gram" -> 15L, "dup_6gram" -> 14L, "dup_7gram" -> 13L,
+    "dup_8gram" -> 12L, "dup_9gram" -> 11L, "dup_10gram" -> 10L)
+
+  /** The complete Gopher A1.1 repetition family — the multi-n complement
+    * to [[repetitionStats]] (which carries one n's count fractions) and
+    * the within-doc side of [[gopherRules]]: all nine signals — top-n-gram
+    * char mass for n = 2,3,4 and duplicate-n-gram COVERAGE char mass
+    * (overlaps counted once) for n = 5..10 — computed by ONE row-local
+    * native expression over the doc's own token arrays
+    * ([[graft.expressions.GopherRepetition]]), so the entire family is a
+    * shuffle-free map over the corpus scan. Character mass = token char
+    * lengths, separators excluded on both sides of every fraction (see
+    * the expression's Scaladoc for the two documented decisions).
+    * Thresholds compare by integer cross-multiplication
+    * (`100·mass > pct·total`) so the keep/drop SET is bit-reproducible;
+    * `reasons` lists failed rules in (top 2,3,4, dup 5..10) order. */
+  def gopherRepetition(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdPct: Map[String, Long] = GopherRepetitionThresholdPct): DataFrame = {
+    val toks = filter(
+      split(coalesce(col(textCol), lit("")), "\\s+"), w => w =!= "")
+    val sig = graft.expressions.GopherRepetition(
+      transform(toks, t => xxhash64(t)),
+      transform(toks, t => length(t).cast("long")))
+    val ruleNames =
+      graft.expressions.GopherRepetition.TopNs.map(n => (s"top_${n}gram", s"top${n}_chars")) ++
+        graft.expressions.GopherRepetition.DupNs.map(n => (s"dup_${n}gram", s"dup${n}_chars"))
+    val base = df.select(col(idCol).as("id"), sig.as("__sig"))
+      .select(col("id") +: col("__sig.total_chars").as("total_chars") +:
+        ruleNames.map { case (_, f) => col(s"__sig.$f").as(f) }: _*)
+    val withFracs = ruleNames.foldLeft(base) { case (b, (_, f)) =>
+      b.withColumn(s"${f.stripSuffix("_chars")}_frac",
+        when(col("total_chars") > 0,
+          col(f).cast("double") / col("total_chars").cast("double")).otherwise(0.0))
+    }
+    val reasons = filter(array(ruleNames.map { case (rule, f) =>
+        when(lit(100L) * col(f) > lit(thresholdPct(rule)) * col("total_chars"), lit(rule))
+      }: _*), x => x.isNotNull)
+    withFracs
+      .withColumn("reasons", concat_ws(",", reasons))
+      .withColumn("n_reasons", size(reasons).cast("long"))
+      .withColumn("keep", col("n_reasons") === 0L)
+  }
+
   /** Corpus-wide LINE-level exact dedup — the CCNet / RefinedWeb curation
     * step that exact-document dedup misses: boilerplate lines (headers,
     * cookie banners, navigation chrome) repeat across millions of pages

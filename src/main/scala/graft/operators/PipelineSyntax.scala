@@ -504,6 +504,11 @@ object PipelineSyntax {
         "ccnet_tiers", idCol,
         Map("id" -> idCol, "text" -> textCol, "group" -> groupCol, "nTiers" -> nTiers))
 
+    /** Complete Gopher A1.1 repetition verdicts: one row per doc. */
+    def gopherRepetitionRuled(idCol: String, textCol: String): MetaFrame =
+      perDoc(Corpus.gopherRepetition(mf.df, idCol, textCol),
+        "gopher_repetition", idCol, Map("id" -> idCol, "text" -> textCol))
+
     /** Category-audited PII redaction: one row per doc. */
     def piiRedacted(idCol: String, textCol: String,
         patterns: Seq[(String, String, String)] = Corpus.DefaultPiiPatterns): MetaFrame =

@@ -583,6 +583,14 @@ object PipelineQueries {
       Corpus.c4LineFilter(docs, "doc_id", "ml_text").orderBy("id")
     }),
 
+    // the complete Gopher A1.1 repetition family (nine signals from one
+    // native row-local pass); DuckDB re-derives every n's gram counts,
+    // the most-frequent-gram mass, and the overlap-once coverage unions
+    // from raw text
+    "text_gopher_repetition" -> ((s, d) =>
+      Corpus.gopherRepetition(t(s, d, "documents").df, "doc_id", "text")
+        .orderBy("id")),
+
     // the full Gopher A1 document-rule set over a deterministic structured
     // render (8-token lines; bullet prefixes, stopword injections, hash
     // and ellipsis suffixes, and a doubled-text paragraph duplicate keyed
@@ -2117,6 +2125,60 @@ object PipelineQueries {
        "least(off+n, (q+1)*64) - greatest(off, q*64) AS n_frag_tokens, " +
        "array_to_string(ts[CAST(greatest(off, q*64)-off+1 AS INT) : CAST(least(off+n, (q+1)*64)-off AS INT)], ' ') AS frag_text " +
        "FROM e ORDER BY shard, seq_id, start_in_seq, id"),
+
+    // per n: gram windows → per-doc counts → most-frequent mass (count
+    // desc, len desc) for n=2..4 / overlap-once coverage char sums for
+    // n=5..10; charLen = length of the separator-free join (= sum of
+    // token lengths), matching the engine's documented unit
+    "text_gopher_repetition" -> {
+      val topNs = Seq(2, 3, 4)
+      val dupNs = Seq(5, 6, 7, 8, 9, 10)
+      val thresholds = Map(2 -> 20, 3 -> 18, 4 -> 16,
+        5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+      val base =
+        "t0 AS (SELECT doc_id AS id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM documents), " +
+        "tl AS (SELECT id, CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS total FROM t0), " +
+        "tok AS (SELECT id, p, ws[p] AS tk FROM (SELECT id, unnest(range(1, len(ws)+1)) AS p, ws FROM t0)), "
+      val perN = (topNs ++ dupNs).map { n =>
+        val g = s"g$n AS (SELECT id, i, array_to_string(ws[i:i+${n - 1}], '') AS gtxt " +
+          s"FROM (SELECT id, unnest(range(1, len(ws)-${n - 1}+1)) AS i, ws FROM t0 WHERE len(ws) >= $n)), " +
+          s"c$n AS (SELECT id, gtxt, count(*) AS cnt, min(length(gtxt)) AS glen FROM g$n GROUP BY id, gtxt), "
+        val sig =
+          if (topNs.contains(n))
+            s"top$n AS (SELECT id, CAST(cnt * glen AS BIGINT) AS v FROM " +
+              s"(SELECT id, cnt, glen, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, glen DESC) AS rn FROM c$n) WHERE rn = 1), "
+          else
+            s"w$n AS (SELECT g.id, g.i FROM g$n g JOIN c$n c ON g.id = c.id AND g.gtxt = c.gtxt WHERE c.cnt >= 2), " +
+              s"cov$n AS (SELECT DISTINCT t.id, t.p, length(t.tk) AS lw FROM tok t JOIN w$n w ON t.id = w.id AND t.p BETWEEN w.i AND w.i + ${n - 1}), " +
+              s"dup$n AS (SELECT id, CAST(sum(lw) AS BIGINT) AS v FROM cov$n GROUP BY id), "
+        g + sig
+      }.mkString
+      val sigCols =
+        topNs.map(n => s"coalesce(top$n.v, 0) AS top${n}_chars").mkString(", ") + ", " +
+          dupNs.map(n => s"coalesce(dup$n.v, 0) AS dup${n}_chars").mkString(", ")
+      val joins =
+        topNs.map(n => s"LEFT JOIN top$n ON tl.id = top$n.id").mkString(" ") + " " +
+          dupNs.map(n => s"LEFT JOIN dup$n ON tl.id = dup$n.id").mkString(" ")
+      val allN = topNs.map(n => (s"top_${n}gram", s"top${n}_chars", thresholds(n))) ++
+        dupNs.map(n => (s"dup_${n}gram", s"dup${n}_chars", thresholds(n)))
+      val fracs = allN.map { case (_, f, _) =>
+        s"CASE WHEN total > 0 THEN CAST($f AS DOUBLE) / CAST(total AS DOUBLE) ELSE 0.0 END AS ${f.stripSuffix("_chars")}_frac"
+      }.mkString(", ")
+      val ruleCases = allN.map { case (rule, f, pct) =>
+        s"CASE WHEN 100 * $f > $pct * total THEN '$rule' END"
+      }.mkString(", ")
+      "WITH " + base + perN +
+        s"sig AS (SELECT tl.id, tl.total AS total_chars, $sigCols FROM tl $joins), " +
+        "v AS (SELECT sig.*, total_chars AS total FROM sig) " +
+        s"SELECT id, total_chars, " +
+        topNs.map(n => s"top${n}_chars").mkString(", ") + ", " +
+        dupNs.map(n => s"dup${n}_chars").mkString(", ") + ", " +
+        fracs + ", " +
+        s"coalesce(array_to_string(list_filter([$ruleCases], x -> x IS NOT NULL), ','), '') AS reasons, " +
+        s"CAST(len(list_filter([$ruleCases], x -> x IS NOT NULL)) AS BIGINT) AS n_reasons, " +
+        s"len(list_filter([$ruleCases], x -> x IS NOT NULL)) = 0 AS keep " +
+        "FROM v ORDER BY id"
+    },
 
     // the structured render re-derived line for line, then every Gopher
     // signal as exact integer arithmetic and the rule list in rule order

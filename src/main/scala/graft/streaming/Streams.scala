@@ -557,6 +557,15 @@ object Streams {
       textCol: String): DataFrame =
     graft.operators.Corpus.gopherRules(stream, idCol, textCol)
 
+  /** Streaming Gopher A1.1 repetition verdicts — all nine signals come
+    * from one row-local native expression (`Corpus.gopherRepetition`),
+    * so the identical plan runs append-mode with zero state. */
+  def gopherRepetitionStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Corpus.gopherRepetition(stream, idCol, textCol)
+
   /** Streaming category-audited PII redaction — pure row-local regex
     * work (`Corpus.redactPiiAudited`), append mode, zero state. The
     * pattern set freezes at query start: masking rules changing

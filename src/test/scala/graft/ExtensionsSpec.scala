@@ -230,6 +230,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(segNull.getAs[String]("segmented") == "")
   }
 
+  test("gopher_repetition from SQL matches the operator's signals") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Corpus
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    docs.createOrReplaceTempView("gr_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id AS id, s.total_chars, s.top2_chars, s.dup5_chars
+        |FROM (SELECT doc_id, gopher_repetition(
+        |  transform(filter(split(text, '\\s+'), w -> w != ''), t -> xxhash64(t)),
+        |  transform(filter(split(text, '\\s+'), w -> w != ''), t -> CAST(length(t) AS BIGINT))) AS s
+        |FROM gr_docs)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val viaOp = Corpus.gopherRepetition(docs, "doc_id", "text")
+      .select(col("id"), col("total_chars"), col("top2_chars"), col("dup5_chars"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(viaSql == viaOp && viaOp.nonEmpty)
+  }
+
   test("bpe_encode from SQL: foldable merge arrays applied per word; non-foldable rejected") {
     val r = spark.sql(
       """SELECT bpe_encode(array('abab', 'aab', 'ba'),

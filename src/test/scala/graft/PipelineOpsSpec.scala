@@ -1338,6 +1338,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gr.primaryKey.contains(Seq("id")))
     val pr = mf.piiRedacted("doc_id", "text")
     assert(pr.primaryKey.contains(Seq("id")))
+    val grr = mf.gopherRepetitionRuled("doc_id", "text")
+    assert(grr.primaryKey.contains(Seq("id")))
     val sb = mf.withColumn("ls", length(col("text")).cast("double"))
       .scoreBucketedBy("lang", "doc_id", "ls")
     assert(sb.primaryKey.contains(Seq("id")))
@@ -1655,6 +1657,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     // '555 000 1111' (spaces) matches the space-separated variant too
     assert(out(5L)._1 == ((2L, 2L, 0L, 4L)))
     assert(out(5L)._2 == "two mails <EMAIL> and <EMAIL> plus +1 <PHONE> wait that is <PHONE>")
+  }
+
+  test("gopherRepetition: nine A1.1 signals from one row-local pass, coverage counts overlaps once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // top-n rules fire; no 5+-gram repeats
+      (2L, (1 to 60).map(i => s"t$i").mkString(" ")), // all unique, long enough to be non-degenerate → keep
+      (3L, "x y z w v x y z w v u1 u2"), // repeated 5-gram covers 10 of 14 chars
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Corpus.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("total_chars") == 6L)
+    assert(d1.getAs[Long]("top2_chars") == 6L) // (a,b) x3 of len 2
+    assert(d1.getAs[Long]("top3_chars") == 6L) // (a,b,a) x2 of len 3
+    assert(d1.getAs[Long]("top4_chars") == 8L) // overlap: numerator may exceed total
+    assert(d1.getAs[Long]("dup5_chars") == 0L)
+    assert(d1.getAs[String]("reasons") == "top_2gram,top_3gram,top_4gram")
+    assert(!d1.getAs[Boolean]("keep"))
+    val d2 = out(2L)
+    // all counts 1: the "most frequent" 2-gram is the longest one (6
+    // chars of t10-ish pairs) — negligible against 171 total chars
+    assert(d2.getAs[Long]("top2_chars") == 6L && d2.getAs[Boolean]("keep"))
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("total_chars") == 14L)
+    // the 5-gram (x y z w v) occurs twice: positions 0..4 and 5..9 — ten
+    // 1-char tokens covered, the union counted once
+    assert(d3.getAs[Long]("dup5_chars") == 10L)
+    assert(d3.getAs[Long]("dup6_chars") == 0L)
+    assert(d3.getAs[String]("reasons").contains("dup_5gram"))
+    val d4 = out(4L)
+    assert(d4.getAs[Long]("total_chars") == 0L && d4.getAs[Boolean]("keep"))
   }
 
   test("gopherRules: every rule fires independently on exact integer signals") {

@@ -290,6 +290,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Aggregate"), s"scorer must not aggregate:\n$plan")
   }
 
+  test("row-local curation operators plan as pure scan→project pipelines (no exchange, no join)") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val docs = t("documents").df
+    val merges = Corpus.bpeTrain(docs.limit(50), "text", nMerges = 4).cache()
+    merges.count(): Unit
+    val plans = Seq(
+      "gopherRules" -> Corpus.gopherRules(docs, "doc_id", "text"),
+      "redactPiiAudited" -> Corpus.redactPiiAudited(docs, "doc_id", "text"),
+      "gopherRepetition" -> Corpus.gopherRepetition(docs, "doc_id", "text"),
+      "bpeSegmentFast" -> Corpus.bpeSegmentFast(docs, "doc_id", "text", merges))
+    plans.foreach { case (name, df) =>
+      df.collect(): Unit
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$name must not join:\n$plan")
+      assert(!plan.contains("Exchange"), s"$name must not shuffle or broadcast:\n$plan")
+      assert(!plan.contains("Aggregate"), s"$name must not aggregate:\n$plan")
+    }
+    // scoreBucketsBy's RETURNED frame is likewise a pure projection — the
+    // (group, bin) histogram is a separate bounded-metadata job and the
+    // mapping rides back as a literal map lookup, so the assignment pass
+    // re-reads the corpus without any exchange
+    val sb = Corpus.scoreBucketsBy(
+      docs.withColumn("ls", col("n_chars").cast("double")),
+      "lang", "doc_id", "ls", nBuckets = 4, binWidthMicro = 1000000L)
+    sb.collect(): Unit
+    val sbPlan = sb.queryExecution.executedPlan.toString
+    assert(!sbPlan.contains("Join") && !sbPlan.contains("Exchange"),
+      s"bucket assignment must be a pure projection:\n$sbPlan")
+    merges.unpersist(): Unit
+  }
+
   test("line/span dedup rejoin their removal sets by broadcast; the text side never shuffles") {
     import graft.operators.{Corpus, Dedup}
     val docs = t("documents").df

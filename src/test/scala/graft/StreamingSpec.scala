@@ -249,12 +249,14 @@ class StreamingSpec extends AnyFunSuite {
     val bpeFast = Streams.bpeSegmentFastStream(sdf, merges, "doc_id", "text")
     val gopher = Streams.gopherStream(sdf, "doc_id", "text")
     val pii = Streams.piiRedactStream(sdf, "doc_id", "text")
+    val grep = Streams.gopherRepetitionStream(sdf, "doc_id", "text")
     ms.addData(rows: _*)
     val q1 = Streams.runToMemory(c4, "c4_out", OutputMode.Append())
     val q2 = Streams.runToMemory(bpe, "bpe_out", OutputMode.Append())
     val q3 = Streams.runToMemory(bpeFast, "bpe_fast_out", OutputMode.Append())
     val q4 = Streams.runToMemory(gopher, "gopher_out", OutputMode.Append())
     val q5 = Streams.runToMemory(pii, "pii_out", OutputMode.Append())
+    val q6 = Streams.runToMemory(grep, "grep_out", OutputMode.Append())
     try {
       def norm(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.toString).sorted.toSeq
       assert(norm(spark.table("c4_out").collect()) ==
@@ -267,7 +269,9 @@ class StreamingSpec extends AnyFunSuite {
         norm(graft.operators.Corpus.gopherRules(rows.toDF("doc_id", "text"), "doc_id", "text").collect()))
       assert(norm(spark.table("pii_out").collect()) ==
         norm(graft.operators.Corpus.redactPiiAudited(rows.toDF("doc_id", "text"), "doc_id", "text").collect()))
-    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop() }
+      assert(norm(spark.table("grep_out").collect()) ==
+        norm(graft.operators.Corpus.gopherRepetition(rows.toDF("doc_id", "text"), "doc_id", "text").collect()))
+    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop() }
   }
 
   test("lineDedupStream verdicts match the batch incremental removal sets") {
