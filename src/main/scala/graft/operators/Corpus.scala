@@ -1823,6 +1823,46 @@ object Corpus {
       .withColumn("keep", col("n_reasons") === 0L)
   }
 
+  /** Character-level statistics — the Dolma-style gibberish signals that
+    * complement the token-level families: per document, the four
+    * char-class counts (alpha, digit, whitespace, other/punct — exact and
+    * disjoint, so they sum to `n_chars`) and the Shannon entropy of the
+    * character distribution in integer micro-nats: each distinct
+    * character contributes `count × (−round(ln(count/total)·1e6))`, the
+    * same quantize-then-exact-integer-sum trick as the LM scorers, so the
+    * entropy is bit-reproducible across engines and partition layouts
+    * (one `ln` per DISTINCT character, summed exactly). Low entropy flags
+    * repeated-character junk; a near-zero alpha fraction flags binary
+    * spill — both cheap row-local gates a 100 TB ingest wants before any
+    * tokenization. One row in, one row out, no shuffle. Returns
+    * (id, n_chars, n_alpha, n_digit, n_space, n_other,
+    * entropy_micro_nats). */
+  def charStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def classCount(re: String): Column =
+      (length(txt) - length(regexp_replace(txt, re, ""))).cast("long")
+    val chars = filter(split(txt, ""), c => c =!= "")
+    val total = size(chars).cast("long")
+    val perDistinct = transform(array_distinct(chars), c =>
+      struct(size(filter(chars, x => x === c)).cast("long").as("c")))
+    val entropy = aggregate(perDistinct, lit(0L), (acc, s) =>
+      acc + s.getField("c") *
+        (-round(log(s.getField("c").cast("double") / total.cast("double")) * lit(1e6))
+          .cast("long")))
+    df.select(
+      col(idCol).as("id"),
+      length(txt).cast("long").as("n_chars"),
+      classCount("[A-Za-z]").as("n_alpha"),
+      classCount("[0-9]").as("n_digit"),
+      classCount("\\s").as("n_space"),
+      (length(txt) - classCount("[A-Za-z]") - classCount("[0-9]") -
+        classCount("\\s")).cast("long").as("n_other"),
+      coalesce(entropy, lit(0L)).as("entropy_micro_nats"))
+  }
+
   /** Default Gopher A1.1 thresholds, in integer percent, keyed by the n of
     * the rule: top-n-gram char fraction for n = 2,3,4 and
     * duplicate-n-gram char fraction for n = 5..10 (Rae et al. 2021). */

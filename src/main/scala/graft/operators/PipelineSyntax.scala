@@ -504,6 +504,11 @@ object PipelineSyntax {
         "ccnet_tiers", idCol,
         Map("id" -> idCol, "text" -> textCol, "group" -> groupCol, "nTiers" -> nTiers))
 
+    /** Character-class counts + exact-integer entropy: one row per doc. */
+    def charStatted(idCol: String, textCol: String): MetaFrame =
+      perDoc(Corpus.charStats(mf.df, idCol, textCol),
+        "char_stats", idCol, Map("id" -> idCol, "text" -> textCol))
+
     /** Complete Gopher A1.1 repetition verdicts: one row per doc. */
     def gopherRepetitionRuled(idCol: String, textCol: String): MetaFrame =
       perDoc(Corpus.gopherRepetition(mf.df, idCol, textCol),

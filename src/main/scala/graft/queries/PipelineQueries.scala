@@ -583,6 +583,13 @@ object PipelineQueries {
       Corpus.c4LineFilter(docs, "doc_id", "ml_text").orderBy("id")
     }),
 
+    // char-class counts + exact-integer Shannon entropy (the gibberish
+    // gate); DuckDB re-derives the per-char histogram and the micro-nat
+    // entropy sum from raw text
+    "text_char_stats" -> ((s, d) =>
+      Corpus.charStats(t(s, d, "documents").df, "doc_id", "text")
+        .orderBy("id")),
+
     // the complete Gopher A1.1 repetition family (nine signals from one
     // native row-local pass); DuckDB re-derives every n's gram counts,
     // the most-frequent-gram mass, and the overlap-once coverage unions
@@ -2125,6 +2132,22 @@ object PipelineQueries {
        "least(off+n, (q+1)*64) - greatest(off, q*64) AS n_frag_tokens, " +
        "array_to_string(ts[CAST(greatest(off, q*64)-off+1 AS INT) : CAST(least(off+n, (q+1)*64)-off AS INT)], ' ') AS frag_text " +
        "FROM e ORDER BY shard, seq_id, start_in_seq, id"),
+
+    // per-char histogram → one ln per DISTINCT char → exact micro-nat sum
+    "text_char_stats" ->
+      ("WITH ch AS (SELECT doc_id, substr(text, p, 1) AS c FROM " +
+       "(SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p FROM documents)), " +
+       "cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c), " +
+       "tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t FROM cc GROUP BY doc_id), " +
+       "ent AS (SELECT cc.doc_id, CAST(sum(cnt * (-CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT))) AS BIGINT) AS e " +
+       "FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id) " +
+       "SELECT d.doc_id AS id, CAST(length(d.text) AS BIGINT) AS n_chars, " +
+       "CAST(length(d.text) - length(regexp_replace(d.text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, " +
+       "CAST(length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, " +
+       "CAST(length(d.text) - length(regexp_replace(d.text, '\\s', '', 'g')) AS BIGINT) AS n_space, " +
+       "CAST(length(regexp_replace(regexp_replace(regexp_replace(d.text, '[A-Za-z]', '', 'g'), '[0-9]', '', 'g'), '\\s', '', 'g')) AS BIGINT) AS n_other, " +
+       "coalesce(ent.e, 0) AS entropy_micro_nats " +
+       "FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id ORDER BY id"),
 
     // per n: gram windows → per-doc counts → most-frequent mass (count
     // desc, len desc) for n=2..4 / overlap-once coverage char sums for

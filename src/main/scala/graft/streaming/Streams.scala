@@ -557,6 +557,15 @@ object Streams {
       textCol: String): DataFrame =
     graft.operators.Corpus.gopherRules(stream, idCol, textCol)
 
+  /** Streaming character statistics — `Corpus.charStats` is one
+    * row-local projection (HOF histogram per row), append mode, zero
+    * state. */
+  def charStatsStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Corpus.charStats(stream, idCol, textCol)
+
   /** Streaming Gopher A1.1 repetition verdicts — all nine signals come
     * from one row-local native expression (`Corpus.gopherRepetition`),
     * so the identical plan runs append-mode with zero state. */

@@ -49,7 +49,7 @@ object AuditScale {
     "text_bpe_train", "text_line_dedup_incremental",
     "dedup_substring_spans_incremental", "pipeline_curation_e2e",
     "pipeline_ingest_curated", "text_gopher_rules", "text_pii_categories",
-    "text_ccnet_tiers")
+    "text_ccnet_tiers", "text_gopher_repetition", "text_char_stats")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

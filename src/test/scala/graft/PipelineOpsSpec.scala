@@ -1340,6 +1340,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pr.primaryKey.contains(Seq("id")))
     val grr = mf.gopherRepetitionRuled("doc_id", "text")
     assert(grr.primaryKey.contains(Seq("id")))
+    val cs = mf.charStatted("doc_id", "text")
+    assert(cs.primaryKey.contains(Seq("id")))
     val sb = mf.withColumn("ls", length(col("text")).cast("double"))
       .scoreBucketedBy("lang", "doc_id", "ls")
     assert(sb.primaryKey.contains(Seq("id")))
@@ -1657,6 +1659,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     // '555 000 1111' (spaces) matches the space-separated variant too
     assert(out(5L)._1 == ((2L, 2L, 0L, 4L)))
     assert(out(5L)._2 == "two mails <EMAIL> and <EMAIL> plus +1 <PHONE> wait that is <PHONE>")
+  }
+
+  test("charStats: disjoint class counts and exact-integer entropy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"), // single symbol → zero entropy
+      (2L, "abab"), // two equiprobable symbols → 2·2·round(ln 2 ·1e6)
+      (3L, "a1 !"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Corpus.charStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("entropy_micro_nats") == 0L)
+    assert(out(2L).getAs[Long]("entropy_micro_nats") == 4L * 693147L)
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_chars") == 4L && d3.getAs[Long]("n_alpha") == 1L &&
+      d3.getAs[Long]("n_digit") == 1L && d3.getAs[Long]("n_space") == 1L &&
+      d3.getAs[Long]("n_other") == 1L)
+    // the four classes are disjoint and exhaustive
+    assert(d3.getAs[Long]("n_alpha") + d3.getAs[Long]("n_digit") +
+      d3.getAs[Long]("n_space") + d3.getAs[Long]("n_other") == d3.getAs[Long]("n_chars"))
+    val d4 = out(4L)
+    assert(d4.getAs[Long]("n_chars") == 0L && d4.getAs[Long]("entropy_micro_nats") == 0L)
   }
 
   test("gopherRepetition: nine A1.1 signals from one row-local pass, coverage counts overlaps once") {

@@ -300,6 +300,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "gopherRules" -> Corpus.gopherRules(docs, "doc_id", "text"),
       "redactPiiAudited" -> Corpus.redactPiiAudited(docs, "doc_id", "text"),
       "gopherRepetition" -> Corpus.gopherRepetition(docs, "doc_id", "text"),
+      "charStats" -> Corpus.charStats(docs, "doc_id", "text"),
       "bpeSegmentFast" -> Corpus.bpeSegmentFast(docs, "doc_id", "text", merges))
     plans.foreach { case (name, df) =>
       df.collect(): Unit

@@ -250,6 +250,7 @@ class StreamingSpec extends AnyFunSuite {
     val gopher = Streams.gopherStream(sdf, "doc_id", "text")
     val pii = Streams.piiRedactStream(sdf, "doc_id", "text")
     val grep = Streams.gopherRepetitionStream(sdf, "doc_id", "text")
+    val cst = Streams.charStatsStream(sdf, "doc_id", "text")
     ms.addData(rows: _*)
     val q1 = Streams.runToMemory(c4, "c4_out", OutputMode.Append())
     val q2 = Streams.runToMemory(bpe, "bpe_out", OutputMode.Append())
@@ -257,6 +258,7 @@ class StreamingSpec extends AnyFunSuite {
     val q4 = Streams.runToMemory(gopher, "gopher_out", OutputMode.Append())
     val q5 = Streams.runToMemory(pii, "pii_out", OutputMode.Append())
     val q6 = Streams.runToMemory(grep, "grep_out", OutputMode.Append())
+    val q7 = Streams.runToMemory(cst, "cst_out", OutputMode.Append())
     try {
       def norm(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.toString).sorted.toSeq
       assert(norm(spark.table("c4_out").collect()) ==
@@ -271,7 +273,9 @@ class StreamingSpec extends AnyFunSuite {
         norm(graft.operators.Corpus.redactPiiAudited(rows.toDF("doc_id", "text"), "doc_id", "text").collect()))
       assert(norm(spark.table("grep_out").collect()) ==
         norm(graft.operators.Corpus.gopherRepetition(rows.toDF("doc_id", "text"), "doc_id", "text").collect()))
-    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop() }
+      assert(norm(spark.table("cst_out").collect()) ==
+        norm(graft.operators.Corpus.charStats(rows.toDF("doc_id", "text"), "doc_id", "text").collect()))
+    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop() }
   }
 
   test("lineDedupStream verdicts match the batch incremental removal sets") {
