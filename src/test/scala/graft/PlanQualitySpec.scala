@@ -308,6 +308,9 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!plan.contains("Join"), s"$name must not join:\n$plan")
       assert(!plan.contains("Exchange"), s"$name must not shuffle or broadcast:\n$plan")
       assert(!plan.contains("Aggregate"), s"$name must not aggregate:\n$plan")
+      // column pruning reaches the scan: only (doc_id, text) are read
+      assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name must read only its two columns:\n$plan")
     }
     // scoreBucketsBy's RETURNED frame is likewise a pure projection — the
     // (group, bin) histogram is a separate bounded-metadata job and the
