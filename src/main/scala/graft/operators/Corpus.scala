@@ -1842,6 +1842,25 @@ object Corpus {
       idCol: String,
       textCol: String): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
+    val sig = graft.expressions.CharClassStats(txt)
+    df.select(
+      col(idCol).as("id"),
+      sig.getField("n_chars").as("n_chars"),
+      sig.getField("n_alpha").as("n_alpha"),
+      sig.getField("n_digit").as("n_digit"),
+      sig.getField("n_space").as("n_space"),
+      sig.getField("n_other").as("n_other"),
+      sig.getField("entropy_micro_nats").as("entropy_micro_nats"))
+  }
+
+  /** The HOF/regex reference formulation of [[charStats]] — kept solely as
+    * the equivalence twin the spec pins the native expression against
+    * (same pattern as the PQ and rotation `*Hof` references). */
+  private[graft] def charStatsHof(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
     def classCount(re: String): Column =
       (length(txt) - length(regexp_replace(txt, re, ""))).cast("long")
     val chars = filter(split(txt, ""), c => c =!= "")

@@ -1684,6 +1684,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(d4.getAs[Long]("n_chars") == 0L && d4.getAs[Long]("entropy_micro_nats") == 0L)
   }
 
+  test("charStats native expression == HOF reference on real corpus text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = Corpus.charStats(docs, "doc_id", "text").orderBy("id").collect()
+    val hof = Corpus.charStatsHof(docs, "doc_id", "text").orderBy("id").collect()
+    assert(native.length == hof.length && native.length > 0)
+    native.zip(hof).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("gopherRepetition: nine A1.1 signals from one row-local pass, coverage counts overlaps once") {
     import spark.implicits._
     val docs = Seq(
