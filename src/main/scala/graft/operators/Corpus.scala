@@ -1933,6 +1933,44 @@ object Corpus {
       .withColumn("keep", col("n_reasons") === 0L)
   }
 
+  /** The unified per-document quality PROFILE — one call joining the four
+    * signal families into the corpus-profiling row a 100 TB filter run
+    * reports per slice: the full Gopher A1 document rules
+    * ([[gopherRules]], verdicts prefixed `rules_`), the complete A1.1
+    * repetition family ([[gopherRepetition]], prefixed `rep_`), the
+    * char-class/entropy stats ([[charStats]]) and the FROZEN unigram LM
+    * score ([[lmScoreAgainst]] — train once, profile every batch;
+    * `avg_nll`/`ppl` rendered at 6 decimals, the audit convention of the
+    * declared LM query). `keep` = both rule families pass (the LM score
+    * is reported, not gated — its threshold is corpus-dependent; gate it
+    * with [[qualityGateAgainst]]). Each family is a separately
+    * scale-safe pass (three shuffle-free projections + the LM's
+    * scoring join); the composite joins one narrow row per doc per
+    * family on the id. One row in, one row out. */
+  def qualityProfile(
+      df: DataFrame,
+      counts: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val rules = gopherRules(df, idCol, textCol)
+      .withColumnRenamed("reasons", "rules_reasons")
+      .withColumnRenamed("n_reasons", "rules_n_reasons")
+      .withColumnRenamed("keep", "rules_keep")
+    val rep = gopherRepetition(df, idCol, textCol)
+      .withColumnRenamed("reasons", "rep_reasons")
+      .withColumnRenamed("n_reasons", "rep_n_reasons")
+      .withColumnRenamed("keep", "rep_keep")
+    val cs = charStats(df, idCol, textCol)
+    val lm = lmScoreAgainst(df, counts, idCol, textCol)
+      .select(col("id"), col("n_tokens"),
+        round(col("avg_nll"), 6).as("avg_nll"), round(col("ppl"), 6).as("ppl"))
+    rules
+      .join(rep, Seq("id"))
+      .join(cs, Seq("id"))
+      .join(lm, Seq("id"))
+      .withColumn("keep", col("rules_keep") && col("rep_keep"))
+  }
+
   /** Corpus-wide LINE-level exact dedup — the CCNet / RefinedWeb curation
     * step that exact-document dedup misses: boilerplate lines (headers,
     * cookie banners, navigation chrome) repeat across millions of pages

@@ -504,6 +504,11 @@ object PipelineSyntax {
         "ccnet_tiers", idCol,
         Map("id" -> idCol, "text" -> textCol, "group" -> groupCol, "nTiers" -> nTiers))
 
+    /** Unified per-doc quality profile against a frozen LM count table. */
+    def qualityProfiled(counts: MetaFrame, idCol: String, textCol: String): MetaFrame =
+      perDoc(Corpus.qualityProfile(mf.df, counts.df, idCol, textCol),
+        "quality_profile", idCol, Map("id" -> idCol, "text" -> textCol))
+
     /** Character-class counts + exact-integer entropy: one row per doc. */
     def charStatted(idCol: String, textCol: String): MetaFrame =
       perDoc(Corpus.charStats(mf.df, idCol, textCol),

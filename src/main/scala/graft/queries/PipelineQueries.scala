@@ -217,6 +217,142 @@ object PipelineQueries {
      "CAST(SUM(nsw) AS BIGINT) AS n_subwords, " +
      "string_agg(seg, ' ' ORDER BY p) AS segmented FROM fin GROUP BY doc_id ORDER BY id")
 
+  /** Generated A1.1 derivation (full SELECT, no ORDER BY) — shared by
+    * `text_gopher_repetition` and the quality-profile composite. */
+  private lazy val GopherRepetitionOracleSql: String = {
+      val topNs = Seq(2, 3, 4)
+      val dupNs = Seq(5, 6, 7, 8, 9, 10)
+      val thresholds = Map(2 -> 20, 3 -> 18, 4 -> 16,
+        5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+      val base =
+        "t0 AS (SELECT doc_id AS id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM documents), " +
+        "tl AS (SELECT id, CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS total FROM t0), " +
+        "tok AS (SELECT id, p, ws[p] AS tk FROM (SELECT id, unnest(range(1, len(ws)+1)) AS p, ws FROM t0)), "
+      val perN = (topNs ++ dupNs).map { n =>
+        val g = s"g$n AS (SELECT id, i, array_to_string(ws[i:i+${n - 1}], '') AS gtxt " +
+          s"FROM (SELECT id, unnest(range(1, len(ws)-${n - 1}+1)) AS i, ws FROM t0 WHERE len(ws) >= $n)), " +
+          s"c$n AS (SELECT id, gtxt, count(*) AS cnt, min(length(gtxt)) AS glen FROM g$n GROUP BY id, gtxt), "
+        val sig =
+          if (topNs.contains(n))
+            s"top$n AS (SELECT id, CAST(cnt * glen AS BIGINT) AS v FROM " +
+              s"(SELECT id, cnt, glen, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, glen DESC) AS rn FROM c$n) WHERE rn = 1), "
+          else
+            s"w$n AS (SELECT g.id, g.i FROM g$n g JOIN c$n c ON g.id = c.id AND g.gtxt = c.gtxt WHERE c.cnt >= 2), " +
+              s"cov$n AS (SELECT DISTINCT t.id, t.p, length(t.tk) AS lw FROM tok t JOIN w$n w ON t.id = w.id AND t.p BETWEEN w.i AND w.i + ${n - 1}), " +
+              s"dup$n AS (SELECT id, CAST(sum(lw) AS BIGINT) AS v FROM cov$n GROUP BY id), "
+        g + sig
+      }.mkString
+      val sigCols =
+        topNs.map(n => s"coalesce(top$n.v, 0) AS top${n}_chars").mkString(", ") + ", " +
+          dupNs.map(n => s"coalesce(dup$n.v, 0) AS dup${n}_chars").mkString(", ")
+      val joins =
+        topNs.map(n => s"LEFT JOIN top$n ON tl.id = top$n.id").mkString(" ") + " " +
+          dupNs.map(n => s"LEFT JOIN dup$n ON tl.id = dup$n.id").mkString(" ")
+      val allN = topNs.map(n => (s"top_${n}gram", s"top${n}_chars", thresholds(n))) ++
+        dupNs.map(n => (s"dup_${n}gram", s"dup${n}_chars", thresholds(n)))
+      val fracs = allN.map { case (_, f, _) =>
+        s"CASE WHEN total > 0 THEN CAST($f AS DOUBLE) / CAST(total AS DOUBLE) ELSE 0.0 END AS ${f.stripSuffix("_chars")}_frac"
+      }.mkString(", ")
+      val ruleCases = allN.map { case (rule, f, pct) =>
+        s"CASE WHEN 100 * $f > $pct * total THEN '$rule' END"
+      }.mkString(", ")
+      "WITH " + base + perN +
+        s"sig AS (SELECT tl.id, tl.total AS total_chars, $sigCols FROM tl $joins), " +
+        "v AS (SELECT sig.*, total_chars AS total FROM sig) " +
+        s"SELECT id, total_chars, " +
+        topNs.map(n => s"top${n}_chars").mkString(", ") + ", " +
+        dupNs.map(n => s"dup${n}_chars").mkString(", ") + ", " +
+        fracs + ", " +
+        s"coalesce(array_to_string(list_filter([$ruleCases], x -> x IS NOT NULL), ','), '') AS reasons, " +
+        s"CAST(len(list_filter([$ruleCases], x -> x IS NOT NULL)) AS BIGINT) AS n_reasons, " +
+        s"len(list_filter([$ruleCases], x -> x IS NOT NULL)) = 0 AS keep " +
+        "FROM v"
+    }
+
+  /** Char-stats derivation (full SELECT, no ORDER BY) — shared by
+    * `text_char_stats` and the quality-profile composite. */
+  private val CharStatsOracleSql: String =
+    "WITH ch AS (SELECT doc_id, substr(text, p, 1) AS c FROM " +
+       "(SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p FROM documents)), " +
+       "cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c), " +
+       "tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t FROM cc GROUP BY doc_id), " +
+       "ent AS (SELECT cc.doc_id, CAST(sum(cnt * (-CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT))) AS BIGINT) AS e " +
+       "FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id) " +
+       "SELECT d.doc_id AS id, CAST(length(d.text) AS BIGINT) AS n_chars, " +
+       "CAST(length(d.text) - length(regexp_replace(d.text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, " +
+       "CAST(length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, " +
+       "CAST(length(d.text) - length(regexp_replace(d.text, '\\s', '', 'g')) AS BIGINT) AS n_space, " +
+       "CAST(length(regexp_replace(regexp_replace(regexp_replace(d.text, '[A-Za-z]', '', 'g'), '[0-9]', '', 'g'), '\\s', '', 'g')) AS BIGINT) AS n_other, " +
+       "coalesce(ent.e, 0) AS entropy_micro_nats " +
+       "FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id"
+
+  /** LM-quality derivation (full SELECT, no ORDER BY) — shared by
+    * `text_lm_quality` and the quality-profile composite. */
+  private val LmQualityOracleSql: String =
+    "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
+       "tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''), " +
+       "cnt AS (SELECT term, count(*) AS c FROM tok2 GROUP BY term), " +
+       "tot AS (SELECT sum(c) AS t, count(*) AS v FROM cnt), " +
+       "scored AS (SELECT tok2.doc_id, " +
+       "CAST(round(ln((cnt.c + 1.0) / (tot.t + 1.0 * tot.v)) * 1000000) AS BIGINT) AS micro_lp " +
+       "FROM tok2 JOIN cnt USING (term) CROSS JOIN tot), " +
+       "per_doc AS (SELECT doc_id, count(*) AS n_tokens, sum(micro_lp) AS s FROM scored GROUP BY doc_id) " +
+       "SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+       "round((-p.s) / (1000000.0 * p.n_tokens), 6) AS avg_nll, " +
+       "round(exp((-p.s) / (1000000.0 * p.n_tokens)), 6) AS ppl " +
+       "FROM documents d LEFT JOIN per_doc p ON d.doc_id IS NOT DISTINCT FROM p.doc_id"
+
+  /** Signal + verdict derivation of the Gopher A1 rule set over an
+    * EXISTING CTE `g(doc_id, txt)` — shared by `text_gopher_rules` (whose
+    * `g` is the structured render) and the quality-profile composite
+    * (whose `g` is the raw corpus). Yields a complete SELECT (no ORDER
+    * BY); callers append ordering or wrap it as a subquery. */
+  private val GopherRulesBodySql: String =
+    "s0 AS (SELECT doc_id AS id, txt, " +
+    "list_filter(regexp_split_to_array(txt, '\\s+'), w -> w <> '') AS ws, " +
+    "string_split(txt, chr(10)) AS lns, " +
+    "string_split(txt, chr(10)||chr(10)) AS ps FROM g), " +
+    "c AS (SELECT id, " +
+    "CAST(len(ws) AS BIGINT) AS n_words, " +
+    "CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS word_chars, " +
+    "CAST(length(txt) - length(replace(txt, '#', '')) AS BIGINT) AS n_hash, " +
+    "CAST((length(txt) - length(replace(txt, '...', ''))) // 3 + " +
+    "(length(txt) - length(replace(txt, chr(8230), ''))) AS BIGINT) AS n_ellipsis, " +
+    "CAST(len(lns) AS BIGINT) AS n_lines, " +
+    "CAST(len(list_filter(lns, l -> starts_with(ltrim(l), chr(8226)) OR " +
+    "starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*'))) AS BIGINT) AS n_bullet_lines, " +
+    "CAST(len(list_filter(lns, l -> ends_with(rtrim(l), '...') OR " +
+    "ends_with(rtrim(l), chr(8230)))) AS BIGINT) AS n_ellipsis_lines, " +
+    "CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words, " +
+    "CAST(len(list_intersect(list_transform(ws, w -> lower(w)), " +
+    "['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords, " +
+    "CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS n_dup_lines, " +
+    "CAST(coalesce(list_sum(list_transform(lns, x -> length(x))), 0) AS BIGINT) AS line_chars, " +
+    "CAST(coalesce(list_sum(list_transform(lns, x -> length(x))), 0) - " +
+    "coalesce(list_sum(list_transform(list_distinct(lns), x -> length(x))), 0) AS BIGINT) AS dup_line_chars, " +
+    "CAST(len(ps) AS BIGINT) AS n_paras, " +
+    "CAST(len(ps) - len(list_distinct(ps)) AS BIGINT) AS n_dup_paras, " +
+    "CAST(coalesce(list_sum(list_transform(ps, x -> length(x))), 0) AS BIGINT) AS para_chars, " +
+    "CAST(coalesce(list_sum(list_transform(ps, x -> length(x))), 0) - " +
+    "coalesce(list_sum(list_transform(list_distinct(ps), x -> length(x))), 0) AS BIGINT) AS dup_para_chars " +
+    "FROM s0), " +
+    "v AS (SELECT c.*, list_filter([" +
+    "CASE WHEN n_words < 50 OR n_words > 100000 THEN 'bad_word_count' END, " +
+    "CASE WHEN word_chars < 3*n_words OR word_chars > 10*n_words THEN 'bad_mean_word_length' END, " +
+    "CASE WHEN 100*n_hash > 10*n_words THEN 'too_many_hashes' END, " +
+    "CASE WHEN 100*n_ellipsis > 10*n_words THEN 'too_many_ellipses' END, " +
+    "CASE WHEN 100*n_bullet_lines > 90*n_lines THEN 'too_many_bullet_lines' END, " +
+    "CASE WHEN 100*n_ellipsis_lines > 30*n_lines THEN 'too_many_ellipsis_lines' END, " +
+    "CASE WHEN 100*n_alpha_words < 80*n_words THEN 'too_few_alpha_words' END, " +
+    "CASE WHEN n_stopwords < 2 THEN 'too_few_stopwords' END, " +
+    "CASE WHEN 100*n_dup_lines > 30*n_lines THEN 'dup_lines' END, " +
+    "CASE WHEN 100*dup_line_chars > 20*line_chars THEN 'dup_line_chars' END, " +
+    "CASE WHEN 100*n_dup_paras > 30*n_paras THEN 'dup_paragraphs' END, " +
+    "CASE WHEN 100*dup_para_chars > 20*para_chars THEN 'dup_paragraph_chars' END" +
+    "], x -> x IS NOT NULL) AS rl FROM c) " +
+    "SELECT v.* EXCLUDE (rl), coalesce(array_to_string(rl, ','), '') AS reasons, " +
+    "CAST(len(rl) AS BIGINT) AS n_reasons, len(rl) = 0 AS keep FROM v"
+
   /** The text_quality heuristic score formula (inputs: n_tokens,
     * stopword_hits, text) — shared verbatim by the text_source_cap and
     * pipeline oracles so the cap stage can never drift from the declared
@@ -581,6 +717,16 @@ object PipelineQueries {
           when(col("doc_id") % 23 === 0, lit("\nlorem ipsum.")).otherwise(lit("")),
           when(col("doc_id") % 29 === 0, lit("\ncode { block.")).otherwise(lit(""))).as("ml_text"))
       Corpus.c4LineFilter(docs, "doc_id", "ml_text").orderBy("id")
+    }),
+
+    // the unified per-doc quality profile: A1 rules + A1.1 repetition +
+    // char stats + frozen-LM score joined on the id (self-trained counts
+    // here, as in text_lm_quality); the oracle assembles the four
+    // families' own derivations as subqueries and joins them identically
+    "text_quality_profile" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      Corpus.qualityProfile(docs, Corpus.lmCounts(docs, "text"), "doc_id", "text")
+        .orderBy("id")
     }),
 
     // char-class counts + exact-integer Shannon entropy (the gibberish
@@ -1827,19 +1973,7 @@ object PipelineQueries {
     // sum (exact integer arithmetic — reduce-order-independent on both
     // engines); only the final one-division average and exp are float
     "text_lm_quality" ->
-      ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
-       "tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''), " +
-       "cnt AS (SELECT term, count(*) AS c FROM tok2 GROUP BY term), " +
-       "tot AS (SELECT sum(c) AS t, count(*) AS v FROM cnt), " +
-       "scored AS (SELECT tok2.doc_id, " +
-       "CAST(round(ln((cnt.c + 1.0) / (tot.t + 1.0 * tot.v)) * 1000000) AS BIGINT) AS micro_lp " +
-       "FROM tok2 JOIN cnt USING (term) CROSS JOIN tot), " +
-       "per_doc AS (SELECT doc_id, count(*) AS n_tokens, sum(micro_lp) AS s FROM scored GROUP BY doc_id) " +
-       "SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, " +
-       "round((-p.s) / (1000000.0 * p.n_tokens), 6) AS avg_nll, " +
-       "round(exp((-p.s) / (1000000.0 * p.n_tokens)), 6) AS ppl " +
-       "FROM documents d LEFT JOIN per_doc p ON d.doc_id IS NOT DISTINCT FROM p.doc_id " +
-       "ORDER BY d.doc_id"),
+      (LmQualityOracleSql + " ORDER BY d.doc_id"),
 
     "text_vocab_stats" ->
       ("WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), " +
@@ -2133,75 +2267,34 @@ object PipelineQueries {
        "array_to_string(ts[CAST(greatest(off, q*64)-off+1 AS INT) : CAST(least(off+n, (q+1)*64)-off AS INT)], ' ') AS frag_text " +
        "FROM e ORDER BY shard, seq_id, start_in_seq, id"),
 
+    // the four families' own (already-verified) derivations as
+    // subqueries, joined per doc exactly as the engine joins the
+    // operators — the rules fragment runs on RAW text via the shared
+    // source-parameterized body
+    "text_quality_profile" ->
+      ("SELECT ru.* EXCLUDE (reasons, n_reasons, keep), " +
+       "ru.reasons AS rules_reasons, ru.n_reasons AS rules_n_reasons, ru.keep AS rules_keep, " +
+       "rp.* EXCLUDE (id, reasons, n_reasons, keep), " +
+       "rp.reasons AS rep_reasons, rp.n_reasons AS rep_n_reasons, rp.keep AS rep_keep, " +
+       "cs.* EXCLUDE (id), " +
+       "lm.n_tokens, lm.avg_nll, lm.ppl, " +
+       "ru.keep AND rp.keep AS keep " +
+       "FROM (WITH g AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents), " +
+       GopherRulesBodySql + ") ru " +
+       "JOIN (" + GopherRepetitionOracleSql + ") rp ON ru.id = rp.id " +
+       "JOIN (" + CharStatsOracleSql + ") cs ON ru.id = cs.id " +
+       "JOIN (" + LmQualityOracleSql + ") lm ON ru.id = lm.doc_id " +
+       "ORDER BY ru.id"),
+
     // per-char histogram → one ln per DISTINCT char → exact micro-nat sum
     "text_char_stats" ->
-      ("WITH ch AS (SELECT doc_id, substr(text, p, 1) AS c FROM " +
-       "(SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p FROM documents)), " +
-       "cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c), " +
-       "tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t FROM cc GROUP BY doc_id), " +
-       "ent AS (SELECT cc.doc_id, CAST(sum(cnt * (-CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT))) AS BIGINT) AS e " +
-       "FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id) " +
-       "SELECT d.doc_id AS id, CAST(length(d.text) AS BIGINT) AS n_chars, " +
-       "CAST(length(d.text) - length(regexp_replace(d.text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, " +
-       "CAST(length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, " +
-       "CAST(length(d.text) - length(regexp_replace(d.text, '\\s', '', 'g')) AS BIGINT) AS n_space, " +
-       "CAST(length(regexp_replace(regexp_replace(regexp_replace(d.text, '[A-Za-z]', '', 'g'), '[0-9]', '', 'g'), '\\s', '', 'g')) AS BIGINT) AS n_other, " +
-       "coalesce(ent.e, 0) AS entropy_micro_nats " +
-       "FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id ORDER BY id"),
+      (CharStatsOracleSql + " ORDER BY id"),
 
     // per n: gram windows → per-doc counts → most-frequent mass (count
     // desc, len desc) for n=2..4 / overlap-once coverage char sums for
     // n=5..10; charLen = length of the separator-free join (= sum of
     // token lengths), matching the engine's documented unit
-    "text_gopher_repetition" -> {
-      val topNs = Seq(2, 3, 4)
-      val dupNs = Seq(5, 6, 7, 8, 9, 10)
-      val thresholds = Map(2 -> 20, 3 -> 18, 4 -> 16,
-        5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
-      val base =
-        "t0 AS (SELECT doc_id AS id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM documents), " +
-        "tl AS (SELECT id, CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS total FROM t0), " +
-        "tok AS (SELECT id, p, ws[p] AS tk FROM (SELECT id, unnest(range(1, len(ws)+1)) AS p, ws FROM t0)), "
-      val perN = (topNs ++ dupNs).map { n =>
-        val g = s"g$n AS (SELECT id, i, array_to_string(ws[i:i+${n - 1}], '') AS gtxt " +
-          s"FROM (SELECT id, unnest(range(1, len(ws)-${n - 1}+1)) AS i, ws FROM t0 WHERE len(ws) >= $n)), " +
-          s"c$n AS (SELECT id, gtxt, count(*) AS cnt, min(length(gtxt)) AS glen FROM g$n GROUP BY id, gtxt), "
-        val sig =
-          if (topNs.contains(n))
-            s"top$n AS (SELECT id, CAST(cnt * glen AS BIGINT) AS v FROM " +
-              s"(SELECT id, cnt, glen, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, glen DESC) AS rn FROM c$n) WHERE rn = 1), "
-          else
-            s"w$n AS (SELECT g.id, g.i FROM g$n g JOIN c$n c ON g.id = c.id AND g.gtxt = c.gtxt WHERE c.cnt >= 2), " +
-              s"cov$n AS (SELECT DISTINCT t.id, t.p, length(t.tk) AS lw FROM tok t JOIN w$n w ON t.id = w.id AND t.p BETWEEN w.i AND w.i + ${n - 1}), " +
-              s"dup$n AS (SELECT id, CAST(sum(lw) AS BIGINT) AS v FROM cov$n GROUP BY id), "
-        g + sig
-      }.mkString
-      val sigCols =
-        topNs.map(n => s"coalesce(top$n.v, 0) AS top${n}_chars").mkString(", ") + ", " +
-          dupNs.map(n => s"coalesce(dup$n.v, 0) AS dup${n}_chars").mkString(", ")
-      val joins =
-        topNs.map(n => s"LEFT JOIN top$n ON tl.id = top$n.id").mkString(" ") + " " +
-          dupNs.map(n => s"LEFT JOIN dup$n ON tl.id = dup$n.id").mkString(" ")
-      val allN = topNs.map(n => (s"top_${n}gram", s"top${n}_chars", thresholds(n))) ++
-        dupNs.map(n => (s"dup_${n}gram", s"dup${n}_chars", thresholds(n)))
-      val fracs = allN.map { case (_, f, _) =>
-        s"CASE WHEN total > 0 THEN CAST($f AS DOUBLE) / CAST(total AS DOUBLE) ELSE 0.0 END AS ${f.stripSuffix("_chars")}_frac"
-      }.mkString(", ")
-      val ruleCases = allN.map { case (rule, f, pct) =>
-        s"CASE WHEN 100 * $f > $pct * total THEN '$rule' END"
-      }.mkString(", ")
-      "WITH " + base + perN +
-        s"sig AS (SELECT tl.id, tl.total AS total_chars, $sigCols FROM tl $joins), " +
-        "v AS (SELECT sig.*, total_chars AS total FROM sig) " +
-        s"SELECT id, total_chars, " +
-        topNs.map(n => s"top${n}_chars").mkString(", ") + ", " +
-        dupNs.map(n => s"dup${n}_chars").mkString(", ") + ", " +
-        fracs + ", " +
-        s"coalesce(array_to_string(list_filter([$ruleCases], x -> x IS NOT NULL), ','), '') AS reasons, " +
-        s"CAST(len(list_filter([$ruleCases], x -> x IS NOT NULL)) AS BIGINT) AS n_reasons, " +
-        s"len(list_filter([$ruleCases], x -> x IS NOT NULL)) = 0 AS keep " +
-        "FROM v ORDER BY id"
-    },
+    "text_gopher_repetition" -> (GopherRepetitionOracleSql + " ORDER BY id"),
 
     // the structured render re-derived line for line, then every Gopher
     // signal as exact integer arithmetic and the rule list in rule order
@@ -2216,50 +2309,7 @@ object PipelineQueries {
        "FOR i IN generate_series(1, len(ts), 8)] AS ls FROM t), " +
        "g AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN b || chr(10)||chr(10) || b ELSE b END AS txt " +
        "FROM (SELECT doc_id, array_to_string(ls, chr(10)) AS b FROM r)), " +
-       "s0 AS (SELECT doc_id AS id, txt, " +
-       "list_filter(regexp_split_to_array(txt, '\\s+'), w -> w <> '') AS ws, " +
-       "string_split(txt, chr(10)) AS lns, " +
-       "string_split(txt, chr(10)||chr(10)) AS ps FROM g), " +
-       "c AS (SELECT id, " +
-       "CAST(len(ws) AS BIGINT) AS n_words, " +
-       "CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS word_chars, " +
-       "CAST(length(txt) - length(replace(txt, '#', '')) AS BIGINT) AS n_hash, " +
-       "CAST((length(txt) - length(replace(txt, '...', ''))) // 3 + " +
-       "(length(txt) - length(replace(txt, chr(8230), ''))) AS BIGINT) AS n_ellipsis, " +
-       "CAST(len(lns) AS BIGINT) AS n_lines, " +
-       "CAST(len(list_filter(lns, l -> starts_with(ltrim(l), chr(8226)) OR " +
-       "starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*'))) AS BIGINT) AS n_bullet_lines, " +
-       "CAST(len(list_filter(lns, l -> ends_with(rtrim(l), '...') OR " +
-       "ends_with(rtrim(l), chr(8230)))) AS BIGINT) AS n_ellipsis_lines, " +
-       "CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words, " +
-       "CAST(len(list_intersect(list_transform(ws, w -> lower(w)), " +
-       "['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords, " +
-       "CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS n_dup_lines, " +
-       "CAST(coalesce(list_sum(list_transform(lns, x -> length(x))), 0) AS BIGINT) AS line_chars, " +
-       "CAST(coalesce(list_sum(list_transform(lns, x -> length(x))), 0) - " +
-       "coalesce(list_sum(list_transform(list_distinct(lns), x -> length(x))), 0) AS BIGINT) AS dup_line_chars, " +
-       "CAST(len(ps) AS BIGINT) AS n_paras, " +
-       "CAST(len(ps) - len(list_distinct(ps)) AS BIGINT) AS n_dup_paras, " +
-       "CAST(coalesce(list_sum(list_transform(ps, x -> length(x))), 0) AS BIGINT) AS para_chars, " +
-       "CAST(coalesce(list_sum(list_transform(ps, x -> length(x))), 0) - " +
-       "coalesce(list_sum(list_transform(list_distinct(ps), x -> length(x))), 0) AS BIGINT) AS dup_para_chars " +
-       "FROM s0), " +
-       "v AS (SELECT c.*, list_filter([" +
-       "CASE WHEN n_words < 50 OR n_words > 100000 THEN 'bad_word_count' END, " +
-       "CASE WHEN word_chars < 3*n_words OR word_chars > 10*n_words THEN 'bad_mean_word_length' END, " +
-       "CASE WHEN 100*n_hash > 10*n_words THEN 'too_many_hashes' END, " +
-       "CASE WHEN 100*n_ellipsis > 10*n_words THEN 'too_many_ellipses' END, " +
-       "CASE WHEN 100*n_bullet_lines > 90*n_lines THEN 'too_many_bullet_lines' END, " +
-       "CASE WHEN 100*n_ellipsis_lines > 30*n_lines THEN 'too_many_ellipsis_lines' END, " +
-       "CASE WHEN 100*n_alpha_words < 80*n_words THEN 'too_few_alpha_words' END, " +
-       "CASE WHEN n_stopwords < 2 THEN 'too_few_stopwords' END, " +
-       "CASE WHEN 100*n_dup_lines > 30*n_lines THEN 'dup_lines' END, " +
-       "CASE WHEN 100*dup_line_chars > 20*line_chars THEN 'dup_line_chars' END, " +
-       "CASE WHEN 100*n_dup_paras > 30*n_paras THEN 'dup_paragraphs' END, " +
-       "CASE WHEN 100*dup_para_chars > 20*para_chars THEN 'dup_paragraph_chars' END" +
-       "], x -> x IS NOT NULL) AS rl FROM c) " +
-       "SELECT v.* EXCLUDE (rl), coalesce(array_to_string(rl, ','), '') AS reasons, " +
-       "CAST(len(rl) AS BIGINT) AS n_reasons, len(rl) = 0 AS keep FROM v ORDER BY id"),
+       GopherRulesBodySql + " ORDER BY id"),
 
     // windows → keeper rank → removed starts → coverage anti-filter →
     // ordered reassembly; docs with <20 tokens never window and pass

@@ -1342,6 +1342,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(grr.primaryKey.contains(Seq("id")))
     val cs = mf.charStatted("doc_id", "text")
     assert(cs.primaryKey.contains(Seq("id")))
+    val qp = mf.qualityProfiled(
+      MetaFrame(Corpus.lmCounts(langed, "text"), Map.empty[String, Any]), "doc_id", "text")
+    assert(qp.primaryKey.contains(Seq("id")))
     val sb = mf.withColumn("ls", length(col("text")).cast("double"))
       .scoreBucketedBy("lang", "doc_id", "ls")
     assert(sb.primaryKey.contains(Seq("id")))
