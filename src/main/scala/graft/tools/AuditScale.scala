@@ -49,7 +49,8 @@ object AuditScale {
     "text_bpe_train", "text_line_dedup_incremental",
     "dedup_substring_spans_incremental", "pipeline_curation_e2e",
     "pipeline_ingest_curated", "text_gopher_rules", "text_pii_categories",
-    "text_ccnet_tiers", "text_gopher_repetition", "text_char_stats")
+    "text_ccnet_tiers", "text_gopher_repetition", "text_char_stats",
+    "text_quality_profile")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -100,8 +101,9 @@ object AuditScale {
       // crossJoin and epochMix's 1-row budget-total crossJoin; the curated
       // ingestion micro-batch embeds the same gate via curateMicroBatch
       "pipeline_curation_e2e", "pipeline_ingest_curated",
-      // ccnet embeds the LM scorer's 1-row corpus-totals crossJoin
-      "text_ccnet_tiers")
+      // ccnet embeds the LM scorer's 1-row corpus-totals crossJoin, and
+      // the quality profile embeds the same scorer
+      "text_ccnet_tiers", "text_quality_profile")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(
