@@ -6,12 +6,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
 import org.apache.spark.sql.graftbridge
 
-import graft.expressions.{BpeEncode, FloatVectorDot, GopherRepetition, HadamardRotate, MinHashSignature, NgramRepetition, NormalizeText, PqAdcScore, PqEncode, ShingleHashes, SimHash64, TopKAgg}
+import graft.expressions.{BpeEncode, CharClassStats, FloatVectorDot, GopherRepetition, HadamardRotate, MinHashSignature, NgramRepetition, NormalizeText, PqAdcScore, PqEncode, ShingleHashes, SimHash64, TopKAgg}
 
 /** SQL surface for the engine's native expressions (SURVEY.md §7.4):
   * registers `float_vector_dot`, `minhash_signature`, `shingle_hashes`,
   * `simhash64`, `normalize_text`, `ngram_repetition`, `pq_encode`,
-  * `pq_adc_score`, `hadamard_rotate`, `bpe_encode`, `gopher_repetition` and the
+  * `pq_adc_score`, `hadamard_rotate`, `bpe_encode`, `gopher_repetition`,
+  * `char_class_stats` and the
   * `top_k_by_score` aggregate so
   * `spark.sql(...)` users get the same codegen'd hot paths as the Column
   * API.
@@ -107,6 +108,12 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "top_k_by_score(struct(score, id), k)")
         TopKAgg(args(0), intArg(args(1), "top_k_by_score", 2)).toAggregateExpression()
+      }),
+    ("char_class_stats",
+      new ExpressionInfo(classOf[CharClassStats].getName, "char_class_stats"),
+      { args =>
+        require(args.length == 1, "char_class_stats(text)")
+        CharClassStats(args(0))
       }),
     ("gopher_repetition",
       new ExpressionInfo(classOf[GopherRepetition].getName, "gopher_repetition"),

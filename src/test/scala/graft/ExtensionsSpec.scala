@@ -230,6 +230,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(segNull.getAs[String]("segmented") == "")
   }
 
+  test("char_class_stats from SQL matches the operator's signals") {
+    import graft.operators.Corpus
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    docs.createOrReplaceTempView("ccs_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id AS id, s.n_chars, s.n_alpha, s.entropy_micro_nats
+        |FROM (SELECT doc_id, char_class_stats(coalesce(text, '')) AS s FROM ccs_docs)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val viaOp = Corpus.charStats(docs, "doc_id", "text")
+      .selectExpr("id", "n_chars", "n_alpha", "entropy_micro_nats")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(viaSql == viaOp && viaOp.nonEmpty)
+  }
+
   test("gopher_repetition from SQL matches the operator's signals") {
     import org.apache.spark.sql.functions._
     import graft.operators.Corpus
