@@ -154,7 +154,10 @@ object Assembly {
     * The benchmark frame must expose the same `idCol`/`textCol` names as
     * the corpus. Returns one AUDIT row per input doc: (id, source,
     * n_lines, n_removed_lines, n_decont_tokens, oov_frac, drop_stage
-    * ("oov" | "budget" | null), keep, n_repeats — null when oov-dropped,
+    * ("null_id" | "oov" | "budget" | null; NULL-id docs are excluded
+    * from every stage — they cannot ride the id-keyed joins — and get
+    * their own verdict, mirroring `Ingest.curateMicroBatch`), keep,
+    * n_repeats — null when oov-dropped,
     * 0 when budget-unselected).
     *
     * Scale shape: nothing beyond the member stages (each separately
@@ -175,10 +178,15 @@ object Assembly {
       maxEpochs: Int = 2): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(textCol).as("text"),
       col(sourceCol).as("source"))
+    // NULL-id docs cannot ride the id-keyed stage joins (every left join
+    // below would miss, surfacing them with NULL audit columns and a
+    // misleading "budget" verdict) — mirror curateMicroBatch: keep them out
+    // of the pipeline and give them their own null_id verdict in the audit
+    val valid = base.filter(col("id").isNotNull)
     val bench = benchmark.select(col(idCol).as("id"), col(textCol).as("text"))
 
     // 1. corpus-wide line dedup (rewrite, no drops)
-    val ld = Dedup.truncate(Corpus.lineDedup(base, "id", "text", sep)
+    val ld = Dedup.truncate(Corpus.lineDedup(valid, "id", "text", sep)
       .select(col("id"), col("n_lines"), col("n_removed_lines"), col("text_deduped")))
 
     // 2. surgical decontamination of the deduped text vs the benchmark
@@ -193,7 +201,7 @@ object Assembly {
       .select(col("id"), col("oov_frac")))
 
     // 4. epoch mixing over the gate's survivors
-    val surv = base.select(col("id"), col("source"))
+    val surv = valid.select(col("id"), col("source"))
       .join(oov.filter(col("oov_frac") <= maxOovFrac).select("id"), Seq("id"), "left_semi")
     val mixed = Dedup.truncate(
       Corpus.epochMix(surv, "id", "source", salt, budget, maxEpochs)
@@ -205,7 +213,8 @@ object Assembly {
       .join(oov, Seq("id"), "left")
       .join(mixed, Seq("id"), "left")
       .withColumn("drop_stage",
-        when(col("oov_frac") > maxOovFrac, "oov")
+        when(col("id").isNull, "null_id")
+          .when(col("oov_frac") > maxOovFrac, "oov")
           .when(coalesce(col("n_repeats"), lit(0L)) === 0L, "budget"))
       .withColumn("keep", col("drop_stage").isNull)
       .select(col("id"), col("source"), col("n_lines"), col("n_removed_lines"),

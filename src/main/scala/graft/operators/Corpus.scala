@@ -997,8 +997,12 @@ object Corpus {
       substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
         (size(split(l, "\\s+")) >= minWordsPerLine) &&
         !contains(lower(l), lit("javascript"))
-    val docOk = !contains(col(textCol), lit("{")) &&
-      !contains(lower(col(textCol)), lit("lorem ipsum"))
+    // document predicate over the COALESCED text, like the line side: a
+    // NULL text must yield keep=false, not keep=NULL (NULL && true = NULL
+    // would break the boolean verdict contract when minLines = 0)
+    val txt = coalesce(col(textCol), lit(""))
+    val docOk = !contains(txt, lit("{")) &&
+      !contains(lower(txt), lit("lorem ipsum"))
     // materialize the filtered array once (filter is an interpreted HOF —
     // it feeds three output columns)
     df.select(col(idCol).as("id"), size(arr).cast("long").as("n_lines"),
@@ -1343,7 +1347,13 @@ object Corpus {
     require(binWidthMicro >= 1, "binWidthMicro must be at least 1")
     val sm = round(col(scoreCol) * lit(1e6)).cast("long")
     val binned = df.withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
-    val hist = binned.groupBy(col(groupCol).cast("string").as("g"), col("bin"))
+    // NULL groups are a real group (they must bucket among themselves, not
+    // vanish): both the histogram key and the row-side lookup key coalesce
+    // the group to the same sentinel BEFORE concatenation — concat_ws would
+    // silently drop a NULL column, and Scala string interpolation would
+    // render it as the string "null", colliding with a group so named
+    val gSafe = coalesce(col(groupCol).cast("string"), lit("<null>"))
+    val hist = binned.groupBy(gSafe.as("g"), col("bin"))
       .agg(count(lit(1)).as("c")).collect()
     val mapping: Map[String, Int] = hist
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -1361,7 +1371,7 @@ object Corpus {
     binned.select(col(idCol).as("id"), col(groupCol).as("group"),
       col(scoreCol).as("score"), col("bin"),
       element_at(typedLit(mapping),
-        concat_ws("\u0000", col(groupCol), col("bin").cast("string"))).as("bucket"))
+        concat(gSafe, lit("\u0000"), col("bin").cast("string"))).as("bucket"))
   }
 
   /** CCNet perplexity tiers (Wenzek et al., "CCNet: Extracting High
@@ -1397,12 +1407,20 @@ object Corpus {
   }
 
   /** The BOUNDARY MODEL behind [[scoreBuckets]] — the first bin of each
-    * bucket 1..nBuckets−1 as a (bucket, threshold_bin) table. Thresholds
-    * generalize to bins never seen in training (bucket = count of
-    * thresholds ≤ bin: below-range scores land in bucket 0, above-range
-    * in nBuckets−1) — which a raw bin→bucket map cannot do — and the
-    * table is ≤ nBuckets−1 rows of integers, persistable via
-    * `MetaPersist.writeModel(..., "bucket_thresholds")`. */
+    * POPULATED bucket ≥ 1 as a (bucket, threshold_bin) table. Thresholds
+    * generalize to bins never seen in training (bucket = LABEL of the
+    * largest threshold_bin ≤ bin, default 0: below-range scores land in
+    * bucket 0, above-range in the largest trained label) — which a raw
+    * bin→bucket map cannot do — and the table is ≤ nBuckets−1 rows of
+    * integers, persistable via
+    * `MetaPersist.writeModel(..., "bucket_thresholds")`.
+    *
+    * The bucket LABEL must ride with each threshold: when trained labels
+    * are non-consecutive (any bin holding more than N/nBuckets rows —
+    * tied scores — skips labels), the rank of a threshold is NOT its
+    * label, so a count-of-thresholds assignment would silently relabel
+    * every bucket above the skip. [[scoreBucketsAgainst]] therefore looks
+    * the label up, never re-derives it from position. */
   def bucketModel(
       corpus: DataFrame,
       idCol: String,
@@ -1419,26 +1437,34 @@ object Corpus {
 
   /** Score a batch against a FROZEN [[bucketModel]] — the curriculum
     * twin of the frozen LM / DSIR / vocabulary scorers: the ≤ nBuckets−1
-    * thresholds collect into the plan as a literal array and each row's
-    * bucket is `count(thresholds ≤ its bin)` — one row-local fold, no
-    * join, no shuffle, no aggregation, stateless on a stream
-    * (`Streams.bucketScoreStream`). Agrees with [[scoreBuckets]] on
-    * every trained bin and extends deterministically to unseen bins
-    * (below-range → 0, above-range → nBuckets−1). Output schema matches
-    * [[scoreBuckets]]. */
+    * (threshold, label) pairs collect into the plan as literal arrays
+    * and each row's bucket is the LABEL of the largest threshold_bin ≤
+    * its bin (0 when none is) — one row-local fold, no join, no shuffle,
+    * no aggregation, stateless on a stream (`Streams.bucketScoreStream`).
+    * Label monotonicity (labels ascend with thresholds by construction)
+    * makes the lookup `labels[count(thresholds ≤ bin)]`; the count alone
+    * is NOT the bucket — non-consecutive trained labels (tied scores
+    * overfilling a bin) would shift every bucket above the skip. Agrees
+    * with [[scoreBuckets]] on every trained bin — including skipped-label
+    * histograms — and extends deterministically to unseen bins
+    * (below-range → 0, above-range → largest trained label). Output
+    * schema matches [[scoreBuckets]]. */
   def scoreBucketsAgainst(
       batch: DataFrame,
       model: DataFrame,
       idCol: String,
       scoreCol: String,
       binWidthMicro: Long = 1000L): DataFrame = {
-    val ts: Seq[Long] = model.select("threshold_bin").collect().map(_.getLong(0)).toSeq.sorted
-    val tLit = typedLit(ts)
+    val pairs: Seq[(Long, Int)] = model.select("threshold_bin", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sortBy(_._1)
+    val tLit = typedLit(pairs.map(_._1))
+    val lLit = typedLit(pairs.map(_._2))
     val sm = round(col(scoreCol) * lit(1e6)).cast("long")
+    val cnt = size(filter(tLit, t => t <= col("bin")))
     batch
       .withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
       .select(col(idCol).as("id"), col(scoreCol).as("score"), col("bin"),
-        size(filter(tLit, t => t <= col("bin"))).as("bucket"))
+        when(cnt === 0, lit(0)).otherwise(element_at(lLit, cnt)).as("bucket"))
   }
 
   /** Symbol-sequence encoding shared by [[bpeTrain]] and [[bpeSegment]]:

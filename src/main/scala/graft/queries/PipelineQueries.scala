@@ -914,8 +914,9 @@ object PipelineQueries {
         .orderBy("id")),
 
     // frozen-bucket serving split: thresholds trained on the < 250 length
-    // scores, docs ≥ 250 assigned row-locally (count of thresholds ≤ bin —
-    // agrees on trained bins, clamps unseen ones)
+    // scores, docs ≥ 250 assigned row-locally (LABEL of the largest
+    // threshold ≤ bin — agrees on trained bins even when tied scores skip
+    // labels, clamps unseen ones)
     "corpus_buckets_frozen" -> ((s, d) => {
       val docs = t(s, d, "documents").df.withColumn("len_score", col("n_chars").cast("double"))
       val model = Corpus.bucketModel(docs.filter(col("doc_id") < 250),
@@ -2481,8 +2482,11 @@ object PipelineQueries {
        "(SELECT count(*) FROM b)) AS INT) AS bucket FROM h) " +
        "SELECT b.id, b.score, b.bin, m.bucket FROM b JOIN m USING (bin) ORDER BY b.id"),
 
-    // thresholds = min bin of each trained bucket ≥ 1 over the < 250
-    // half, batch bucket = count of thresholds ≤ its bin
+    // thresholds = (label, min bin) of each trained bucket ≥ 1 over the
+    // < 250 half; batch bucket = LABEL of the largest threshold ≤ its bin
+    // (0 when none) — labels ascend with thresholds, so max(bucket) over
+    // the qualifying thresholds IS that label; count-of-thresholds would
+    // drift on skipped labels (tied scores overfilling a bin)
     "corpus_buckets_frozen" ->
       ("WITH s AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS score FROM documents WHERE doc_id < 250), " +
        "b AS (SELECT id, score, CAST(floor(round(score * 1000000) / 1000000) AS BIGINT) AS bin FROM s), " +
@@ -2495,7 +2499,7 @@ object PipelineQueries {
        "CAST(floor(round(n_chars * 1000000) / 1000000) AS BIGINT) AS bin " +
        "FROM documents WHERE doc_id >= 250) " +
        "SELECT q.id, q.score, q.bin, " +
-       "CAST((SELECT count(*) FROM thr WHERE thr.tbin <= q.bin) AS INT) AS bucket " +
+       "CAST(coalesce((SELECT max(thr.bucket) FROM thr WHERE thr.tbin <= q.bin), 0) AS INT) AS bucket " +
        "FROM q ORDER BY q.id"),
 
     // the same machinery over a CONTINUOUS score (doc length in chars —

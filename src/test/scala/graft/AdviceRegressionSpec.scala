@@ -328,4 +328,104 @@ class AdviceRegressionSpec extends AnyFunSuite {
     val ok = MediaCodec.frameHistograms(8, 8, Vector(grayDib(8, 8, 99)))
     assert(ok.exists(_.head.sum == 64L))
   }
+
+  // ---- ADVICE r11 high: frozen bucket scoring must return bucket LABELS,
+  // not threshold ranks — they differ whenever tied scores overfill a bin
+  // and the trained labels skip values
+
+  test("scoreBucketsAgainst agrees with scoreBuckets on a skewed/tied distribution") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    // 80 rows tied at 0.5 plus one 0.1 and one 0.9 outlier: trained labels
+    // are {0, 9} (the 0.5 mass overfills bucket 0; 0.9 jumps to 9), so the
+    // model holds ONE threshold whose label is 9 — a count-of-thresholds
+    // scorer would hand the top row bucket 1
+    val rows = (1L to 80L).map(i => (i, 0.5)) ++ Seq((81L, 0.1), (82L, 0.9))
+    val df = rows.toDF("doc_id", "score")
+    val trained = Corpus.scoreBuckets(df, "doc_id", "score", nBuckets = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(trained(82L) == 9, s"top outlier must train into bucket 9, got ${trained(82L)}")
+    assert(trained(81L) == 0 && trained(1L) == 0)
+    val model = Corpus.bucketModel(df, "doc_id", "score", nBuckets = 10)
+    val frozen = Corpus.scoreBucketsAgainst(df, model, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(frozen == trained,
+      s"frozen scorer must reproduce every trained label; diff = ${
+        trained.collect { case (k, v) if frozen(k) != v => (k, v, frozen(k)) }.take(5)}")
+    // unseen bins still clamp: below-range → 0, above-range → largest label
+    val probe = Seq((900L, 0.01), (901L, 0.99)).toDF("doc_id", "score")
+    val p = Corpus.scoreBucketsAgainst(probe, model, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(p(900L) == 0 && p(901L) == 9)
+  }
+
+  // ---- ADVICE r11 low: NULL groups (and groups literally named "null")
+  // must bucket within their own distribution, not collide or go NULL
+
+  test("scoreBucketsBy buckets NULL groups and a group named 'null' independently") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    // NULL group scores 1..4; group "null" scores 101..104 — if the keys
+    // collided, one group's thresholds would mislabel the other's rows
+    val rows: Seq[(Long, String, Double)] =
+      Seq((1L, null, 1.0), (2L, null, 2.0), (3L, null, 3.0), (4L, null, 4.0),
+        (5L, "null", 101.0), (6L, "null", 102.0), (7L, "null", 103.0), (8L, "null", 104.0))
+    val df = rows.toDF("doc_id", "grp", "score")
+    val got = Corpus.scoreBucketsBy(df, "grp", "doc_id", "score",
+        nBuckets = 2, binWidthMicro = 1000000L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.get(4))).toSeq
+    assert(got.forall(_._3 != null), s"no row may get a NULL bucket: $got")
+    val buckets = got.map(t => t._1 -> t._3.asInstanceOf[Int]).toMap
+    // each group splits at ITS OWN median: lower half 0, upper half 1
+    assert(buckets(1L) == 0 && buckets(2L) == 0 && buckets(3L) == 1 && buckets(4L) == 1,
+      s"NULL group must bucket within its own distribution: $buckets")
+    assert(buckets(5L) == 0 && buckets(6L) == 0 && buckets(7L) == 1 && buckets(8L) == 1,
+      s"'null'-named group must bucket within its own distribution: $buckets")
+  }
+
+  // ---- ADVICE r11 low: curateCorpus must label NULL-id docs "null_id"
+  // like its ingestion twin, not let them surface as a bogus "budget" drop
+
+  test("curateCorpus gives NULL-id docs their own null_id verdict") {
+    import graft.operators.Assembly
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus: Seq[(java.lang.Long, String, String)] = Seq(
+      (1L, "alpha beta gamma delta", "web"),
+      (2L, "epsilon zeta eta theta", "web"),
+      (null, "orphan text with no id", "web"))
+    val bench = Seq((99L, "benchmark passage tokens", "web"))
+      .toDF("doc_id", "text", "source")
+    val audit = Assembly.curateCorpus(corpus.toDF("doc_id", "text", "source"),
+        bench, "doc_id", "text", "source")
+      .collect()
+    val nullRow = audit.find(_.isNullAt(0)).getOrElse(fail("NULL-id audit row missing"))
+    assert(nullRow.getString(6) == "null_id",
+      s"NULL-id doc must be dropped as null_id, got ${nullRow.getString(6)}")
+    assert(!nullRow.getBoolean(7))
+    assert(audit.filter(!_.isNullAt(0)).forall(_.getString(6) != "null_id"))
+  }
+
+  // ---- ADVICE r11 low: c4LineFilter's keep must be a real boolean for
+  // NULL text even at minLines = 0 (NULL && true = NULL would leak out);
+  // the fix computes docOk over the coalesced text, so NULL ≡ ""
+
+  test("c4LineFilter returns a non-NULL keep for NULL text at minLines=0") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val rows: Seq[(Long, String)] =
+      Seq((1L, null), (2L, ""), (3L, "A good line ends here."))
+    val got = Corpus.c4LineFilter(rows.toDF("doc_id", "text"), "doc_id", "text",
+        minWordsPerLine = 2, minLines = 0)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got(1L).isDefined, "NULL text must yield a real boolean, not NULL")
+    assert(got(1L) == got(2L), s"NULL text must verdict like empty text: $got")
+    assert(got(3L).contains(true))
+    // at the default minLines = 3 a NULL doc is (non-NULL) false
+    val strict = Corpus.c4LineFilter(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(strict(1L).contains(false))
+  }
 }
