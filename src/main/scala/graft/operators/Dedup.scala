@@ -377,6 +377,23 @@ object Dedup {
     * unconditional semantics. */
   val DefaultMaxShingleDf: Long = 1000L
 
+  /** Production default cell-size cap for [[semanticDedup]]'s within-cell
+    * pair join. A cell at the cap contributes ≤ cap²/2 = 5·10⁷ candidate
+    * pairs per sub-cell — one heavy-but-bounded task — and a cell of any
+    * size s beyond it splits into ⌈s/cap⌉ salted sub-cells, making
+    * per-cell work ~s·cap/2 + (s/cap)²/2: LINEAR in s at fixed cap, vs
+    * the uncapped s²/2 (a 10⁷-row spam cell would otherwise emit 5·10¹³
+    * pairs). Measured (MeasureProps `--semantic-cell`, the declared k=8
+    * iters=2 quantizer): max cell 71 at sf0.01, 259 at sf0.1, 2544 at
+    * amplified sf1 — 140.8× / 38.6× / 3.9× headroom. Cells grow as
+    * corpus/k, so at FIXED toy k the headroom shrinks linearly with the
+    * corpus; a production run grows k with the corpus (the paper trains
+    * 100k clusters for web scale), keeping healthy cells far below the
+    * cap — which exists purely to stop the skew catastrophe k cannot
+    * prevent (duplicate masses all landing in one cell). Pass [[Exact]]
+    * to opt out. */
+  val DefaultMaxCellSize: Long = 10000L
+
   /** Document-frequency cut for an exploded inverted index: drops every
     * shingle whose posting list exceeds `maxDf` before the index self-joins.
     * The cut joins against the OVER-cap key set, which is tiny by
@@ -743,15 +760,35 @@ object Dedup {
     * (the paper's rule: prefer the outlier, it carries the most marginal
     * information), id-ascending tiebreak.
     *
-    * Scale shape is the paper's own argument: the quadratic term is
-    * confined within clusters (Σ|cell|² instead of corpus²), the centroid
-    * set is a broadcast array scored row-locally ([[Similarity
-    * .topCellsLocal]] — no corpus×k fan-out), and the pair join is one
-    * shuffle on the cell key. At 100 TB, k grows with the corpus so cells
-    * stay bounded; components converge in O(log diameter) checkpointed
+    * Scale shape is the paper's own argument plus a finite guard of our
+    * own: the quadratic term is confined within clusters (Σ|cell|²
+    * instead of corpus²), the centroid set is a broadcast array scored
+    * row-locally ([[Similarity.topCellsLocal]] — no corpus×k fan-out),
+    * and the pair join is one shuffle on the cell key. The paper's "k
+    * grows with the corpus so cells stay bounded" is aspirational —
+    * duplicates cluster together BY CONSTRUCTION (that is the operator's
+    * premise), so a spam-heavy domain can pour millions of rows into one
+    * cell. `maxCellSize` (default [[DefaultMaxCellSize]], the
+    * [[DefaultMaxShingleDf]] safe-by-default pattern) bounds that cell:
+    * a cell of size s > maxCellSize splits into m = ⌈s/maxCellSize⌉
+    * md5-salted sub-cells (a pure row-local function of the id — exactly
+    * re-derivable in SQL, unlike an xxhash LSH prefix), pairs form
+    * within each sub-cell PLUS a boundary band pairing the min-id
+    * REPRESENTATIVE of every sub-cell against the others' — so per-cell
+    * pair work drops from s²/2 to ~s·maxCellSize/2 + (s/maxCellSize)²/2,
+    * linear in s at fixed cap. The approximation is one-sided: every
+    * emitted pair still passes the exact cosine confirm (components can
+    * never merge wrongly), only cross-sub-cell pairs between non-
+    * representatives are lost, so a true component can at worst SPLIT —
+    * keeping MORE representatives than exact, never fewer per component.
+    * The hard case the cap exists for — a dense mass of near-identical
+    * vectors — reconnects through the band (its representatives are
+    * mutual duplicates), collapsing the mass to one keeper as exact
+    * semantics would. Pass [[Exact]] for the unconditional all-pairs
+    * semantics. Components converge in O(log diameter) checkpointed
     * pointer-jumping rounds. Every stage is deterministic double/integer
-    * arithmetic, so the whole pipeline — training included — is exactly
-    * re-derivable in SQL.
+    * arithmetic, so the whole pipeline — training and sub-splitting
+    * included — is exactly re-derivable in SQL.
     *
     * Returns one row per corpus document:
     * (id, cell, component, cent_cos, keep). */
@@ -763,8 +800,11 @@ object Dedup {
       centroidIdCol: String,
       centroidVecCol: String,
       threshold: Double,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20,
+      maxCellSize: Long = DefaultMaxCellSize,
+      saltKey: String = "semsplit"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxCellSize >= 1, "maxCellSize must be at least 1")
     val cents = Similarity.centroidArray(centroids, centroidIdCol, centroidVecCol)
     // assignment computed once, carrying the vector for the pair stage
     val assigned = corpus.crossJoin(broadcast(cents))
@@ -772,12 +812,36 @@ object Dedup {
         explode(Similarity.topCellsLocal(col(vecCol), 1)).as("__best"))
       .select(col(idCol).as("id"), col(vecCol).as("__vec"),
         col("__best.cell").as("cell"), round(col("__best.cos"), 6).as("cent_cos"))
-    // within-cell candidate pairs (id_a < id_b), confirmed by exact cosine —
-    // the only quadratic term, bounded by the largest cell
-    val a = assigned.select(col("cell"), col("id").as("id_a"), col("__vec").as("__va"))
-    val b = assigned.select(col("cell"), col("id").as("id_b"), col("__vec").as("__vb"))
-    val pairs = a.join(b, Seq("cell"))
+    // sub-cell split of oversized cells: m = ceil(n / maxCellSize) salted
+    // sub-cells (m = 1 — the expected case — reproduces the uncapped plan
+    // bit-for-bit: every row lands in sub-cell 0)
+    val cellCounts = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+    val withSub =
+      if (maxCellSize == Exact) assigned.withColumn("__m", lit(1L)).withColumn("__sub", lit(0L))
+      else assigned.join(broadcast(cellCounts), Seq("cell"))
+        .withColumn("__m", expr(s"(__n + ${maxCellSize - 1}L) div ${maxCellSize}L"))
+        .withColumn("__sub",
+          conv(substring(md5(concat(col("id").cast("string"), lit(":" + saltKey))), 1, 8),
+            16, 10).cast("long") % col("__m"))
+    // within-sub-cell candidate pairs (id_a < id_b) — the bounded quadratic
+    val a = withSub.select(col("cell"), col("__sub"), col("id").as("id_a"),
+      col("__vec").as("__va"))
+    val b = withSub.select(col("cell"), col("__sub"), col("id").as("id_b"),
+      col("__vec").as("__vb"))
+    val within = a.join(b, Seq("cell", "__sub"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("__va"), col("id_b"), col("__vb"))
+    // boundary band: the min-id representative of each sub-cell of a SPLIT
+    // cell, all-pairs across its sub-cells — ≤ m²/2 extra candidates
+    val reps = withSub.filter(col("__m") > 1L)
+      .groupBy("cell", "__sub")
+      .agg(min(col("id")).as("id"), min_by(col("__vec"), col("id")).as("__vec"))
+    val band = reps.select(col("cell"), col("id").as("id_a"), col("__vec").as("__va"))
+      .join(reps.select(col("cell"), col("id").as("id_b"), col("__vec").as("__vb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("__va"), col("id_b"), col("__vb"))
+    // confirmed by exact cosine — identical confirm for both candidate kinds
+    val pairs = within.union(band)
       .filter(cosine(col("__va"), col("__vb")) >= threshold)
       .select("id_a", "id_b")
     val comps = connectedComponents(pairs, "id_a", "id_b", maxRounds)

@@ -1197,6 +1197,19 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // the CAPPED SemDeDup path forced on (maxCellSize = 16 « every cell at
+    // sf0.01's 500/8 ≈ 62): every cell sub-splits into md5-salted
+    // sub-cells, pairs confirm within sub-cells plus the representative
+    // boundary band — the 100 TB skew guard, its whole candidate algebra
+    // (counts → ⌈n/16⌉ → salt bucket → band reps) re-derived by DuckDB
+    "dedup_semantic_capped" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Dedup.semanticDedup(emb, "vec_id", "embedding", centroids, "cell", "cvec",
+          threshold = 0.3, maxCellSize = 16L)
+        .orderBy("id")
+    }),
+
     // group-level MinHash sketch (TypedImperativeAggregate): per-source
     // signature, then pairwise estimated Jaccard between sources — carries a
     // full property oracle (exact per-source shingle Jaccard, DuckDB-recomputed)
@@ -3469,6 +3482,44 @@ object PipelineQueries {
        "dpairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
        "FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
        "JOIN embeddings ea ON ea.vec_id = a.vec_id JOIN embeddings eb ON eb.vec_id = b.vec_id " +
+       "WHERE " + cosSql("ea.embedding", "eb.embedding") + " >= 0.3), " +
+       "edges AS (SELECT id_a AS src, id_b AS dst FROM dpairs " +
+       "UNION SELECT id_b AS src, id_a AS dst FROM dpairs), " +
+       "reach(src, dst) AS (SELECT src, dst FROM edges " +
+       "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src), " +
+       "comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src), " +
+       "labeled AS (SELECT a.vec_id AS id, a.cell, round(a.cos, 6) AS cent_cos, " +
+       "coalesce(c.component, a.vec_id) AS component " +
+       "FROM assign a LEFT JOIN comp c ON c.id = a.vec_id) " +
+       "SELECT id, cell, component, cent_cos, " +
+       "CAST(CASE WHEN row_number() OVER (PARTITION BY component ORDER BY cent_cos, id) = 1 " +
+       "THEN 1 ELSE 0 END AS BIGINT) AS keep FROM labeled ORDER BY id"),
+
+    // the capped path: identical training/assignment, then the sub-split
+    // candidate algebra — per-cell counts, m = (n + 15) // 16 sub-cells,
+    // md5-salt bucket per row, pairs within (cell, sub) plus the min-id
+    // representative band across a split cell's sub-cells, the same exact
+    // cosine confirm, and the unchanged CC + election tail
+    "dedup_semantic_capped" ->
+      ("WITH RECURSIVE seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec " +
+       "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+       lloydRoundSql(1, "seeds") + ", " + lloydRoundSql(2, "c1") + ", " +
+       "assign AS (SELECT vec_id, cell, cos FROM (" +
+       "SELECT e.vec_id, c.cell, " + cosSql("e.embedding", "c.cvec") + " AS cos, " +
+       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " + cosSql("e.embedding", "c.cvec") +
+       " DESC, c.cell) AS rn FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1), " +
+       "cellcnt AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell), " +
+       "sub AS (SELECT a.vec_id, a.cell, a.cos, (c.n + 15) // 16 AS m, " +
+       "CAST(('0x' || substr(md5(a.vec_id || ':semsplit'), 1, 8)) AS BIGINT) % ((c.n + 15) // 16) AS s " +
+       "FROM assign a JOIN cellcnt c USING (cell)), " +
+       "wcand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM sub x JOIN sub y " +
+       "ON x.cell = y.cell AND x.s = y.s AND x.vec_id < y.vec_id), " +
+       "reps AS (SELECT cell, s, min(vec_id) AS vec_id FROM sub WHERE m > 1 GROUP BY cell, s), " +
+       "bcand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM reps x JOIN reps y " +
+       "ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
+       "cand AS (SELECT id_a, id_b FROM wcand UNION SELECT id_a, id_b FROM bcand), " +
+       "dpairs AS (SELECT c.id_a, c.id_b FROM cand c " +
+       "JOIN embeddings ea ON ea.vec_id = c.id_a JOIN embeddings eb ON eb.vec_id = c.id_b " +
        "WHERE " + cosSql("ea.embedding", "eb.embedding") + " >= 0.3), " +
        "edges AS (SELECT id_a AS src, id_b AS dst FROM dpairs " +
        "UNION SELECT id_b AS src, id_a AS dst FROM dpairs), " +

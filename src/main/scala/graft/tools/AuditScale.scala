@@ -50,7 +50,8 @@ object AuditScale {
     "dedup_substring_spans_incremental", "pipeline_curation_e2e",
     "pipeline_ingest_curated", "text_gopher_rules", "text_pii_categories",
     "text_ccnet_tiers", "text_gopher_repetition", "text_char_stats",
-    "text_quality_profile")
+    "text_quality_profile",
+    "dedup_semantic", "dedup_semantic_capped", "dedup_embedding_cosine")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -103,7 +104,13 @@ object AuditScale {
       "pipeline_curation_e2e", "pipeline_ingest_curated",
       // ccnet embeds the LM scorer's 1-row corpus-totals crossJoin, and
       // the quality profile embeds the same scorer
-      "text_ccnet_tiers", "text_quality_profile")
+      "text_ccnet_tiers", "text_quality_profile",
+      // semanticDedup crossJoins the broadcast 1-row centroid array for
+      // row-local assignment (and trainCentroids does the same per round);
+      // the embedding_cosine declared query bundles the bounded (<300)
+      // exact-pair property oracle, which joins on id_a < id_b
+      "dedup_semantic", "dedup_semantic_capped", "semantic_dedup_operator",
+      "dedup_embedding_cosine", "embedding_cosine_operator")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(
@@ -132,6 +139,21 @@ object AuditScale {
       "ngram_jaccard_operator" -> ((s: SparkSession, d: String) =>
         Dedup.ngramJaccardBestMatch(Tables.load(s, d, "documents"),
           "doc_id", "text", blockCol = "lang")),
+      // isolates the SemDeDup pair/CC/election stages from Lloyd training
+      // (the declared dedup_semantic entries time train + dedup): centroids
+      // are a fixed 8-row slice, so the ratio is the dedup machinery's own
+      "semantic_dedup_operator" -> ((s: SparkSession, d: String) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val cents = emb.orderBy("vec_id").limit(8)
+          .select((col("vec_id") % 8).as("cell"), col("embedding").as("cvec"))
+        Dedup.semanticDedup(emb, "vec_id", "embedding", cents, "cell", "cvec",
+          threshold = 0.3)
+      }),
+      // isolates the LSH-bucketed embedding near-dup operator from the
+      // declared query's bounded exact-pair property oracle
+      "embedding_cosine_operator" -> ((s: SparkSession, d: String) =>
+        Dedup.embeddingNearDup(Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.3, nbits = 2)),
       // isolates the batch-vs-STORE winnow join of the ingestion pipeline
       // (the stage the SCALE_r11 watch item names for the composite's
       // 11.1x): store = 90% of the corpus, batch = 10% — BOTH sides scale

@@ -48,6 +48,29 @@ object MeasureProps {
       spark.stop(); return
     }
 
+    // ---- semantic-dedup cell-size profile (sizes Dedup.DefaultMaxCellSize
+    // the way --ngram-df sizes DefaultMaxShingleDf: the cap must never
+    // engage on healthy data at the test SFs — it exists for the skew
+    // catastrophe — so measure the largest cell the declared k=8 quantizer
+    // actually produces and report the headroom under the default).
+    if (args.contains("--semantic-cell")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val cents = Similarity.centroidArray(centroids, "cell", "cvec")
+      val cellSizes = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          explode(Similarity.topCellsLocal(col("embedding"), 1)).as("__best"))
+        .select(col("__best.cell").as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("max_cell"), expr("percentile(n, 0.99)").as("p99"),
+          count(lit(1)).as("n_cells"), sum(col("n")).as("n_rows")).collect()(0)
+      val maxCell = cellSizes.getLong(0)
+      println(s"[measure] $sfDir semantic cells (k=8, iters=2): max=${maxCell} " +
+        s"p99=${cellSizes.get(1)} cells=${cellSizes.get(2)} rows=${cellSizes.get(3)} " +
+        f"headroom_vs_default=${Dedup.DefaultMaxCellSize.toDouble / maxCell}%.1fx")
+      spark.stop(); return
+    }
+
     // ---- native-vs-HOF PQ kernel timing (backs the NOTES_r11 claim that
     // the codegen'd PqEncode/PqAdcScore beat the interpreted HOF folds
     // they replaced; both variants must also produce identical checksums —

@@ -392,6 +392,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L)._3 == 1L && out(6L)._3 == 1L)
   }
 
+  test("semanticDedup cell cap splits a dense mass yet still collapses it to one keeper") {
+    import spark.implicits._
+    // THE skew case the cap exists for: 40 near-identical vectors in one
+    // cell (a spam mass), maxCellSize = 8 → 5 salted sub-cells. Cross-sub
+    // pairs between non-representatives are dropped, but every sub-cell's
+    // min-id representative pairs against the others' (the boundary band)
+    // at cosine ≈ 1 — so the whole mass must still connect into ONE
+    // component with ONE keeper, exactly as the uncapped semantics give.
+    val mass = (1L to 40L).map(i => (i, Seq(1.0f, (i / 1e6).toFloat, 0f, 0f)))
+    val lone = Seq((99L, Seq(0f, 0f, 1.0f, 0f)))
+    val vecs = (mass ++ lone).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 1.0f, 0f))).toDF("cell", "cvec")
+    val capped = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        centroids, "cell", "cvec", threshold = 0.99, maxCellSize = 8L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("keep")))).toMap
+    assert((1L to 40L).forall(capped(_)._1 == 1L),
+      s"the band must reconnect every sub-cell into the min-id component: $capped")
+    assert((1L to 40L).count(capped(_)._2 == 1L) == 1,
+      "exactly one representative survives the mass")
+    assert(capped(99L) == ((99L, 1L)), "the other cell's singleton keeps itself")
+    // and the capped verdict matches the exact one bit-for-bit here
+    val exact = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        centroids, "cell", "cvec", threshold = 0.99, maxCellSize = Dedup.Exact)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("keep")))).toMap
+    assert(capped == exact, "identical-mass cap must reproduce exact semantics")
+  }
+
   test("ivf top-k with nprobe=1 matches brute force on separable clusters") {
     val centroids = vectors.filter(col("vec_id").isin(0L, 10L, 20L))
       .select((col("vec_id") / 10).cast("int").as("cell_id"), col("embedding").as("centroid_vec"))
