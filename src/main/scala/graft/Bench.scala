@@ -149,14 +149,17 @@ object Bench {
       """{"protocol":"fresh query per run incl. start, 2 micro-batches, median of 5 runs",""",
       ",", "}")
 
-    // ---- self-reporting regression check (NOTES_r11 §8 #1): the four
-    // streaming medians gate at -40% of their r11 sf0.1 anchors and the
-    // 10-query total at 2x BASELINE.md — only when benching the sf0.1 dir
-    // the anchors were measured on. An empty list is the healthy state;
-    // any entry names the failing row so BENCH_r{N} flags itself.
+    // ---- self-reporting regression check: the five streaming medians gate
+    // at -40% of their COMMITTED BENCH_r11.json anchors (the artifact's
+    // numbers byte-for-byte — not in-session mid-round medians, which the
+    // r11 verdict flagged as stale) and the 10-query total at 2x
+    // BASELINE.md — only when benching the sf0.1 dir the anchors were
+    // measured on. An empty list is the healthy state; any entry names the
+    // failing row so BENCH_r{N} flags itself.
     val anchors = Map(
-      "ann_topk_queries_per_sec" -> 48.9, "ann_pq_queries_per_sec" -> 50.3,
-      "ingest_docs_per_sec" -> 80.3, "dedup_events_per_sec" -> 1474.8)
+      "ann_topk_queries_per_sec" -> 55.6, "ann_pq_queries_per_sec" -> 53.5,
+      "ingest_docs_per_sec" -> 111.1, "curated_docs_per_sec" -> 370.6,
+      "dedup_events_per_sec" -> 1728.5)
     val regressions: Seq[String] =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Nil
       else {
