@@ -139,6 +139,10 @@ object Assembly {
     *      drops nothing)
     *   2. surgical decontamination ([[Corpus.decontaminateSpans]] vs the
     *      benchmark — excises leaked spans from the DEDUPED text)
+    *   2.5 (optional) audited PII masking ([[Corpus.redactPiiAudited]]
+    *      over the decontaminated text when `piiPatterns` is non-empty —
+    *      the gate sees the MASKED text, the audit carries the
+    *      per-category `n_<rule>` counts plus `n_pii`)
     *   3. OOV gate ([[Corpus.vocabCoverage]] with the vocabulary built
     *      from the cleaned corpus itself; drop docs above `maxOovFrac`)
     *   4. epoch-aware mixing ([[Corpus.epochMix]] over the survivors —
@@ -175,7 +179,8 @@ object Assembly {
       maxOovFrac: Double = 0.025,
       salt: String = "curate",
       budget: Long = 300L,
-      maxEpochs: Int = 2): DataFrame = {
+      maxEpochs: Int = 2,
+      piiPatterns: Seq[(String, String, String)] = Nil): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(textCol).as("text"),
       col(sourceCol).as("source"))
     // NULL-id docs cannot ride the id-keyed stage joins (every left join
@@ -195,9 +200,23 @@ object Assembly {
       .select(col("id"), col("n_removed_tokens").as("n_decont_tokens"),
         col("text_deduped").as("text_clean")))
 
-    // 3. OOV gate — vocabulary from the cleaned corpus itself
-    val oov = Dedup.truncate(Corpus.vocabCoverage(
-        dec.select(col("id"), col("text_clean").as("text")), "id", "text", oovPerMille)
+    // 2.5 (optional) audited PII masking of the decontaminated text — the
+    // stage between span excision and the OOV gate, INSIDE the audited
+    // contract: the gate (and its self-trained vocabulary) sees the MASKED
+    // text, and the audit carries the per-category counts. piiPatterns =
+    // Nil (the default) skips the stage and keeps the legacy audit schema.
+    val pii: Option[DataFrame] = if (piiPatterns.isEmpty) None
+      else Some(Dedup.truncate(Corpus.redactPiiAudited(
+        dec.select(col("id"), col("text_clean").as("text")), "id", "text", piiPatterns)))
+    val cleanForGate = pii match {
+      case Some(p) => p.select(col("id"), col("text_redacted").as("text"))
+      case None    => dec.select(col("id"), col("text_clean").as("text"))
+    }
+    val piiCountCols = piiPatterns.map { case (n, _, _) => s"n_$n" } :+ "n_pii"
+
+    // 3. OOV gate — vocabulary from the cleaned (and, when enabled,
+    // masked) corpus itself
+    val oov = Dedup.truncate(Corpus.vocabCoverage(cleanForGate, "id", "text", oovPerMille)
       .select(col("id"), col("oov_frac")))
 
     // 4. epoch mixing over the gate's survivors
@@ -207,9 +226,12 @@ object Assembly {
       Corpus.epochMix(surv, "id", "source", salt, budget, maxEpochs)
         .select(col("id"), col("n_repeats")))
 
-    base.select(col("id"), col("source"))
+    val joined = base.select(col("id"), col("source"))
       .join(ld.select(col("id"), col("n_lines"), col("n_removed_lines")), Seq("id"), "left")
       .join(dec.select(col("id"), col("n_decont_tokens")), Seq("id"), "left")
+    val withPii = pii.fold(joined)(p =>
+      joined.join(p.select("id", piiCountCols: _*), Seq("id"), "left"))
+    withPii
       .join(oov, Seq("id"), "left")
       .join(mixed, Seq("id"), "left")
       .withColumn("drop_stage",
@@ -217,8 +239,9 @@ object Assembly {
           .when(col("oov_frac") > maxOovFrac, "oov")
           .when(coalesce(col("n_repeats"), lit(0L)) === 0L, "budget"))
       .withColumn("keep", col("drop_stage").isNull)
-      .select(col("id"), col("source"), col("n_lines"), col("n_removed_lines"),
-        col("n_decont_tokens"), col("oov_frac"), col("drop_stage"), col("keep"),
-        col("n_repeats"))
+      .select(Seq(col("id"), col("source"), col("n_lines"), col("n_removed_lines"),
+        col("n_decont_tokens")) ++
+        (if (pii.isDefined) piiCountCols.map(col) else Nil) ++
+        Seq(col("oov_frac"), col("drop_stage"), col("keep"), col("n_repeats")): _*)
   }
 }

@@ -96,6 +96,99 @@ object PipelineQueries {
       concat_ws("\n", transform(TextFunctions.tokenChunks(col("text"), 8, 8),
         c => c.getField("chunk_text"))).as("ml_text"))
 
+  /** Parameterized DuckDB re-derivation of `Assembly.curateCorpus` over
+    * the 8-token-line render of docs >= 100 (benchmark = raw docs < 100):
+    * line dedup -> span excision -> (optional audited PII masking) -> OOV
+    * gate over the cleaned text -> sqrt-weight epoch quotas. With
+    * `plantPii` the corpus side appends one deterministic PII line per
+    * doc_id % 3/5/7 (the text_pii_categories planting, as its own line so
+    * the 8-token-chunk line algebra stays exact), the masking stage
+    * rewrites between excision and the gate, and the audit carries the
+    * per-category counts — the same chained derivation serving both the
+    * legacy e2e oracle and the PII-staged one. */
+  private def curationOracleSql(plantPii: Boolean): String = {
+    val plantedLine =
+      "ltrim((CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id || '@example.org' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END))"
+    val l2 =
+      if (!plantPii)
+        "l2 AS (SELECT doc_id, CAST((i-1)//8 AS INT) AS idx, array_to_string(ts[i:i+7], ' ') AS line FROM l), "
+      else
+        "l2base AS (SELECT doc_id, CAST((i-1)//8 AS INT) AS idx, array_to_string(ts[i:i+7], ' ') AS line FROM l), " +
+        s"lp AS (SELECT doc_id, $plantedLine AS pline FROM documents WHERE doc_id >= 100), " +
+        "l2 AS (SELECT * FROM l2base UNION ALL " +
+        "SELECT lp.doc_id, CAST((len(t0.ts)+7)//8 AS INT) AS idx, lp.pline AS line " +
+        "FROM lp JOIN t0 USING (doc_id) WHERE lp.pline <> ''), "
+    val pats = graft.operators.Corpus.DefaultPiiPatterns
+    val piiStage = {
+      val counts = pats.map { case (n, re, _) =>
+        s"CAST(len(regexp_extract_all(t2, '$re')) AS BIGINT) AS n_$n" }.mkString(", ")
+      val total = pats.map { case (_, re, _) =>
+        s"len(regexp_extract_all(t2, '$re'))" }.mkString(" + ")
+      val redacted = pats.foldLeft("t2") { case (acc, (_, re, tok)) =>
+        s"regexp_replace($acc, '$re', '$tok', 'g')" }
+      s"sP AS (SELECT id, $counts, CAST($total AS BIGINT) AS n_pii, $redacted AS t3 FROM s2), "
+    }
+    val gateSrc =
+      if (plantPii) "SELECT id, unnest(regexp_split_to_array(t3, '\\s+')) AS w FROM sP"
+      else "SELECT id, unnest(regexp_split_to_array(t2, '\\s+')) AS w FROM s2"
+    val piiSelectCols =
+      if (plantPii) pats.map { case (n, _, _) => s"sP.n_$n, " }.mkString + "sP.n_pii, "
+      else ""
+    val piiJoin = if (plantPii) "JOIN sP ON sP.id = s1.id " else ""
+    "WITH t0 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents WHERE doc_id >= 100), " +
+    "l AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts), 8)) AS i FROM t0), " +
+    l2 +
+    "k1 AS (SELECT doc_id, idx, line, row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM l2), " +
+    "s1 AS (SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_lines, " +
+    "CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed_lines, " +
+    "coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), '') AS t1 FROM k1 GROUP BY doc_id), " +
+    "t1tok AS (SELECT id, regexp_split_to_array(t1, '\\s+') AS ts FROM s1), " +
+    "bstore AS (SELECT DISTINCT array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
+    "(SELECT unnest(range(0, len(ts)-20+1)) AS s, ts FROM " +
+    "(SELECT regexp_split_to_array(text, '\\s+') AS ts FROM documents WHERE doc_id < 100) WHERE len(ts) >= 20)), " +
+    "w2 AS (SELECT id, s, array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
+    "(SELECT id, unnest(range(0, len(ts)-20+1)) AS s, ts FROM t1tok WHERE len(ts) >= 20)), " +
+    "rm2 AS (SELECT w2.id, w2.s FROM w2 JOIN bstore ON w2.key = bstore.key), " +
+    "tok2 AS (SELECT id, ts, unnest(range(1, len(ts)+1)) AS p FROM t1tok), " +
+    "kept2 AS (SELECT tk.id, tk.p, tk.ts[tk.p] AS tok FROM tok2 tk " +
+    "WHERE NOT EXISTS (SELECT 1 FROM rm2 WHERE rm2.id = tk.id AND tk.p BETWEEN rm2.s+1 AND rm2.s+20)), " +
+    "s2agg AS (SELECT id, count(*) AS n_kept, coalesce(string_agg(tok, ' ' ORDER BY p), '') AS t2 FROM kept2 GROUP BY id), " +
+    "rmc2 AS (SELECT id, count(*) AS c FROM rm2 GROUP BY id), " +
+    "s2 AS (SELECT t1tok.id, CAST(len(t1tok.ts) - coalesce(s2agg.n_kept, 0) AS BIGINT) AS n_decont_tokens, " +
+    "CASE WHEN rmc2.c IS NULL THEN s1.t1 ELSE coalesce(s2agg.t2, '') END AS t2 " +
+    "FROM t1tok LEFT JOIN s2agg USING (id) LEFT JOIN rmc2 USING (id) " +
+    "JOIN s1 ON s1.id = t1tok.id), " +
+    (if (plantPii) piiStage else "") +
+    s"o2 AS (SELECT id, w FROM ($gateSrc) WHERE w <> ''), " +
+    "c3 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM o2 GROUP BY w), " +
+    "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c3), " +
+    "v3 AS (SELECT w FROM c3, tt WHERE c * 1000 >= tot * 5), " +
+    "sc3 AS (SELECT o2.id, CAST(count(*) AS BIGINT) AS n_tok, " +
+    "CAST(SUM(CASE WHEN v3.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
+    "FROM o2 LEFT JOIN v3 ON o2.w = v3.w GROUP BY o2.id), " +
+    "s3 AS (SELECT s2.id, coalesce(round(CAST(sc3.n_oov AS DOUBLE) / sc3.n_tok, 6), 0.0) AS oov_frac " +
+    "FROM s2 LEFT JOIN sc3 ON s2.id = sc3.id), " +
+    "surv AS (SELECT d.doc_id AS id, d.source FROM documents d JOIN s3 ON d.doc_id = s3.id " +
+    "WHERE s3.oov_frac <= 0.025), " +
+    "cs AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM surv GROUP BY source), " +
+    "ws AS (SELECT source, n, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wt FROM cs), " +
+    "tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM ws), " +
+    "qs AS (SELECT source, n AS n_source, CAST(least(n * 2, (300 * wt) // tw) AS BIGINT) AS quota FROM ws, tw), " +
+    "rk AS (SELECT id, source, row_number() OVER (PARTITION BY source ORDER BY md5(id || ':curate'), id) AS mix_rank FROM surv), " +
+    "s4 AS (SELECT rk.id, CAST(qs.quota // qs.n_source + " +
+    "CASE WHEN rk.mix_rank <= qs.quota % qs.n_source THEN 1 ELSE 0 END AS BIGINT) AS n_repeats " +
+    "FROM rk JOIN qs USING (source)) " +
+    "SELECT s1.id, d.source, s1.n_lines, s1.n_removed_lines, s2.n_decont_tokens, " + piiSelectCols + "s3.oov_frac, " +
+    "CASE WHEN s3.oov_frac > 0.025 THEN 'oov' WHEN coalesce(s4.n_repeats, 0) = 0 THEN 'budget' END AS drop_stage, " +
+    "(CASE WHEN s3.oov_frac > 0.025 THEN 'oov' WHEN coalesce(s4.n_repeats, 0) = 0 THEN 'budget' END) IS NULL AS keep, " +
+    "s4.n_repeats " +
+    "FROM s1 JOIN documents d ON d.doc_id = s1.id JOIN s2 ON s2.id = s1.id " +
+    piiJoin +
+    "JOIN s3 ON s3.id = s1.id LEFT JOIN s4 ON s4.id = s1.id ORDER BY s1.id"
+  }
+
   /** DuckDB twin of `Dedup.spanDedupAgainst` at spanLen=20 over the
     * documents table split at `cut`: store = distinct spans of doc_id <
     * cut, batch = doc_id >= cut, coverage-union removal + reassembly. */
@@ -833,6 +926,36 @@ object PipelineQueries {
       val bench = docs.filter(col("doc_id") < 100)
         .select(col("doc_id"), col("text").as("ml_text"))
       Assembly.curateCorpus(corpus, bench, "doc_id", "ml_text", "source")
+        .orderBy("id")
+    }),
+
+    // the curation chain with the audited PII stage ON: one deterministic
+    // planted PII line per doc_id % 3/5/7 (email / phone / IP — the
+    // text_pii_categories planting, appended as its OWN line so the
+    // 8-token-chunk line algebra stays exact) rides line dedup and span
+    // excision, then masking rewrites between excision and the OOV gate
+    // (whose self-trained vocabulary sees the MASKED text), and the audit
+    // carries n_email/n_phone/n_ip/n_pii — the whole chain re-derived by
+    // the parameterized DuckDB oracle
+    "pipeline_curation_pii" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val piiLine = ltrim(concat(
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" mail user"), col("doc_id").cast("string"), lit("@example.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0.0."), (col("doc_id") % 256).cast("string")))
+          .otherwise(lit(""))))
+      val corpus = multiLineDocs(s, d).filter(col("doc_id") >= 100)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("ml_text",
+          when(piiLine === "", col("ml_text"))
+            .otherwise(concat(col("ml_text"), lit("\n"), piiLine)))
+      val bench = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").as("ml_text"))
+      Assembly.curateCorpus(corpus, bench, "doc_id", "ml_text", "source",
+          piiPatterns = Corpus.DefaultPiiPatterns)
         .orderBy("id")
     }),
 
@@ -2347,58 +2470,17 @@ object PipelineQueries {
        "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN rmc ON t.doc_id = rmc.doc_id " +
        "ORDER BY id"),
 
-    // the full four-stage chain: line dedup of the ≥100 render, span
-    // excision vs the <100 raw store, OOV over the cleaned corpus,
-    // sqrt-weight epoch quotas over the survivors
-    "pipeline_curation_e2e" ->
-      ("WITH t0 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM documents WHERE doc_id >= 100), " +
-       "l AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts), 8)) AS i FROM t0), " +
-       "l2 AS (SELECT doc_id, CAST((i-1)//8 AS INT) AS idx, array_to_string(ts[i:i+7], ' ') AS line FROM l), " +
-       "k1 AS (SELECT doc_id, idx, line, row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM l2), " +
-       "s1 AS (SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_lines, " +
-       "CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed_lines, " +
-       "coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), '') AS t1 FROM k1 GROUP BY doc_id), " +
-       "t1tok AS (SELECT id, regexp_split_to_array(t1, '\\s+') AS ts FROM s1), " +
-       "bstore AS (SELECT DISTINCT array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
-       "(SELECT unnest(range(0, len(ts)-20+1)) AS s, ts FROM " +
-       "(SELECT regexp_split_to_array(text, '\\s+') AS ts FROM documents WHERE doc_id < 100) WHERE len(ts) >= 20)), " +
-       "w2 AS (SELECT id, s, array_to_string(ts[s+1:s+20], ' ') AS key FROM " +
-       "(SELECT id, unnest(range(0, len(ts)-20+1)) AS s, ts FROM t1tok WHERE len(ts) >= 20)), " +
-       "rm2 AS (SELECT w2.id, w2.s FROM w2 JOIN bstore ON w2.key = bstore.key), " +
-       "tok2 AS (SELECT id, ts, unnest(range(1, len(ts)+1)) AS p FROM t1tok), " +
-       "kept2 AS (SELECT tk.id, tk.p, tk.ts[tk.p] AS tok FROM tok2 tk " +
-       "WHERE NOT EXISTS (SELECT 1 FROM rm2 WHERE rm2.id = tk.id AND tk.p BETWEEN rm2.s+1 AND rm2.s+20)), " +
-       "s2agg AS (SELECT id, count(*) AS n_kept, coalesce(string_agg(tok, ' ' ORDER BY p), '') AS t2 FROM kept2 GROUP BY id), " +
-       "rmc2 AS (SELECT id, count(*) AS c FROM rm2 GROUP BY id), " +
-       "s2 AS (SELECT t1tok.id, CAST(len(t1tok.ts) - coalesce(s2agg.n_kept, 0) AS BIGINT) AS n_decont_tokens, " +
-       "CASE WHEN rmc2.c IS NULL THEN s1.t1 ELSE coalesce(s2agg.t2, '') END AS t2 " +
-       "FROM t1tok LEFT JOIN s2agg USING (id) LEFT JOIN rmc2 USING (id) " +
-       "JOIN s1 ON s1.id = t1tok.id), " +
-       "o2 AS (SELECT id, w FROM (SELECT id, unnest(regexp_split_to_array(t2, '\\s+')) AS w FROM s2) WHERE w <> ''), " +
-       "c3 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM o2 GROUP BY w), " +
-       "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c3), " +
-       "v3 AS (SELECT w FROM c3, tt WHERE c * 1000 >= tot * 5), " +
-       "sc3 AS (SELECT o2.id, CAST(count(*) AS BIGINT) AS n_tok, " +
-       "CAST(SUM(CASE WHEN v3.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
-       "FROM o2 LEFT JOIN v3 ON o2.w = v3.w GROUP BY o2.id), " +
-       "s3 AS (SELECT s2.id, coalesce(round(CAST(sc3.n_oov AS DOUBLE) / sc3.n_tok, 6), 0.0) AS oov_frac " +
-       "FROM s2 LEFT JOIN sc3 ON s2.id = sc3.id), " +
-       "surv AS (SELECT d.doc_id AS id, d.source FROM documents d JOIN s3 ON d.doc_id = s3.id " +
-       "WHERE s3.oov_frac <= 0.025), " +
-       "cs AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM surv GROUP BY source), " +
-       "ws AS (SELECT source, n, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wt FROM cs), " +
-       "tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM ws), " +
-       "qs AS (SELECT source, n AS n_source, CAST(least(n * 2, (300 * wt) // tw) AS BIGINT) AS quota FROM ws, tw), " +
-       "rk AS (SELECT id, source, row_number() OVER (PARTITION BY source ORDER BY md5(id || ':curate'), id) AS mix_rank FROM surv), " +
-       "s4 AS (SELECT rk.id, CAST(qs.quota // qs.n_source + " +
-       "CASE WHEN rk.mix_rank <= qs.quota % qs.n_source THEN 1 ELSE 0 END AS BIGINT) AS n_repeats " +
-       "FROM rk JOIN qs USING (source)) " +
-       "SELECT s1.id, d.source, s1.n_lines, s1.n_removed_lines, s2.n_decont_tokens, s3.oov_frac, " +
-       "CASE WHEN s3.oov_frac > 0.025 THEN 'oov' WHEN coalesce(s4.n_repeats, 0) = 0 THEN 'budget' END AS drop_stage, " +
-       "(CASE WHEN s3.oov_frac > 0.025 THEN 'oov' WHEN coalesce(s4.n_repeats, 0) = 0 THEN 'budget' END) IS NULL AS keep, " +
-       "s4.n_repeats " +
-       "FROM s1 JOIN documents d ON d.doc_id = s1.id JOIN s2 ON s2.id = s1.id " +
-       "JOIN s3 ON s3.id = s1.id LEFT JOIN s4 ON s4.id = s1.id ORDER BY s1.id"),
+    // the chained curation derivation (line dedup of the >=100 render,
+    // span excision vs the <100 raw store, OOV over the cleaned corpus,
+    // sqrt-weight epoch quotas) — shared, parameterized helper
+    "pipeline_curation_e2e" -> curationOracleSql(plantPii = false),
+
+    // the same chain with the audited PII stage forced on: planted
+    // email/phone/IP lines ride the line-dedup and span algebra, masking
+    // rewrites between excision and the OOV gate (which therefore trains
+    // on and scores the MASKED text), and the audit carries per-category
+    // counts
+    "pipeline_curation_pii" -> curationOracleSql(plantPii = true),
 
     // model vocab from the < 250 half at the same relative threshold,
     // then the row-local score of the ≥ 250 half

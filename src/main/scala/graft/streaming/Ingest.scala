@@ -271,7 +271,8 @@ object Ingest {
       maxOovFrac: Double = 0.025,
       salt: String = "graft",
       trainPct: Int = 80,
-      valPct: Int = 10): DataFrame = {
+      valPct: Int = 10,
+      piiPatterns: Seq[(String, String, String)] = Nil): DataFrame = {
     val base = batch.select(
       col(idCol).as("id"), col(textCol).as("text"),
       col(sourceCol).as("source"), col(langCol).as("lang"))
@@ -287,11 +288,24 @@ object Ingest {
         .select(col("id"), col("n_removed_lines"), col("text_deduped")))
 
     // 2. surgical span decontamination of the rewrite vs the benchmark
-    val dec = Dedup.truncate(
+    val dec0 = Dedup.truncate(
       Corpus.decontaminateSpans(
           ld.select(col("id"), col("text_deduped").as("text")), benchNorm, "id", "text", spanLen)
         .select(col("id"), col("n_removed_tokens").as("n_decont_tokens"),
           col("text_deduped").as("text_final")))
+
+    // 2.5 (optional) audited PII masking — the stage between span excision
+    // and the OOV gate, inside the exactly-once contract: text_final (what
+    // the store persists) becomes the MASKED text and the audit carries the
+    // per-category counts. piiPatterns = Nil keeps the legacy schema.
+    val piiCountCols = piiPatterns.map { case (n, _, _) => s"n_$n" } :+ "n_pii"
+    val dec = if (piiPatterns.isEmpty) dec0
+      else Dedup.truncate(
+        dec0.drop("text_final").join(
+          Corpus.redactPiiAudited(
+            dec0.select(col("id"), col("text_final").as("text")), "id", "text", piiPatterns)
+            .withColumnRenamed("text_redacted", "text_final"),
+          Seq("id")))
 
     // 3. frozen-vocabulary OOV gate over the final text
     val oov = Dedup.truncate(
@@ -314,9 +328,11 @@ object Ingest {
         when(col("id").isNull, "null_id")
           .when(col("oov_frac") > maxOovFrac, "oov"))
       .withColumn("keep", col("drop_stage").isNull)
-      .select(col("id"), col("source"), col("lang"), col("n_removed_lines"),
-        col("n_decont_tokens"), col("oov_frac"), col("drop_stage"), col("keep"),
-        col("split"), col("text_final"))
+      .select(Seq(col("id"), col("source"), col("lang"), col("n_removed_lines"),
+        col("n_decont_tokens")) ++
+        (if (piiPatterns.isEmpty) Nil else piiCountCols.map(col)) ++
+        Seq(col("oov_frac"), col("drop_stage"), col("keep"),
+          col("split"), col("text_final")): _*)
   }
 
   /** Wires [[curateMicroBatch]] into a running ingestion query — same
@@ -341,7 +357,8 @@ object Ingest {
       maxOovFrac: Double = 0.025,
       salt: String = "graft",
       trainPct: Int = 80,
-      valPct: Int = 10): StreamingQuery = {
+      valPct: Int = 10,
+      piiPatterns: Seq[(String, String, String)] = Nil): StreamingQuery = {
     stream.writeStream
       .queryName("graft_ingest_curated")
       .trigger(trigger)
@@ -351,7 +368,7 @@ object Ingest {
           col(idCol).as("id"), col(textCol).as("text"),
           col(sourceCol).as("source"), col(langCol).as("lang"))
         runCuratedBatch(base, batchId, corpusDir, auditDir, benchmark, vocabModel,
-          sep, spanLen, maxOovFrac, salt, trainPct, valPct)
+          sep, spanLen, maxOovFrac, salt, trainPct, valPct, piiPatterns)
       }
       .start()
   }
@@ -372,12 +389,14 @@ object Ingest {
       maxOovFrac: Double = 0.025,
       salt: String = "graft",
       trainPct: Int = 80,
-      valPct: Int = 10): Unit = {
+      valPct: Int = 10,
+      piiPatterns: Seq[(String, String, String)] = Nil): Unit = {
     val spark = base.sparkSession
     val corpus = readCorpus(spark, corpusDir, excludeBatchId = batchId)
       .getOrElse(base.limit(0))
     val audit = curateMicroBatch(base, corpus, benchmark, vocabModel,
-      "id", "text", "source", "lang", sep, spanLen, maxOovFrac, salt, trainPct, valPct)
+      "id", "text", "source", "lang", sep, spanLen, maxOovFrac, salt, trainPct, valPct,
+      piiPatterns)
     audit.drop("text_final").write.mode("overwrite").parquet(s"$auditDir/batch_id=$batchId")
     audit.filter(col("keep"))
       .select(col("id"), col("text_final").as("text"), col("source"), col("lang"), col("split"))

@@ -781,6 +781,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshot(auditDir) == a0, "replay must not change the audit")
   }
 
+  test("curated ingestion with the PII stage masks the store text, audits counts, and replays exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Corpus
+    import graft.streaming.Ingest
+    val dirBase = java.nio.file.Files.createTempDirectory("graft_curated_pii").toString
+    val (corpusDir, auditDir) = (s"$dirBase/corpus", s"$dirBase/audit")
+    val bench = Seq((1L, "held out b1 b2 b3 b4 benchmark", "b", "x"))
+      .toDF("doc_id", "text", "source", "lang")
+    // the vocabulary must contain the masking tokens — the gate scores the
+    // MASKED text, which is the point of running PII before the gate
+    val vocabSrc = (1 to 50).map(i =>
+      (i.toLong, s"w${i % 8} w${i % 8} <EMAIL> <PHONE> <IP>")).toDF("doc_id", "text")
+    val vocab = Corpus.vocabModel(vocabSrc, "text", perMille = 10L)
+    val ms = MemoryStream[(Long, String, String, String)](spark)
+    val q = Ingest.ingestCurated(
+      ms.toDF().toDF("doc_id", "text", "source", "lang"),
+      corpusDir, auditDir, bench, vocab,
+      "doc_id", "text", "source", "lang",
+      checkpointDir = s"$dirBase/ckpt", trigger = Trigger.ProcessingTime(0),
+      spanLen = 4, maxOovFrac = 0.5, piiPatterns = Corpus.DefaultPiiPatterns)
+    val b0 = Seq(
+      (10L, "w0 w1 bob@example.org w2", "web", "en"),
+      (11L, "w3 call 555-123-4567 from 10.0.0.7 w4", "web", "en"))
+    try {
+      ms.addData(b0: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val store = spark.read.parquet(corpusDir)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(store(10L) == "w0 w1 <EMAIL> w2", s"store must carry the MASKED text: $store")
+    assert(store(11L) == "w3 call <PHONE> from <IP> w4")
+    val audit = spark.read.parquet(auditDir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"), r.getAs[Long]("n_ip"),
+          r.getAs[Long]("n_pii"), Option(r.getAs[String]("drop_stage"))))).toMap
+    assert(audit(10L) == ((1L, 0L, 0L, 1L, None)), s"per-category audit: $audit")
+    assert(audit(11L) == ((0L, 1L, 1L, 2L, None)))
+
+    // replay the batch (the at-least-once case): store + audit unchanged
+    def snapshot(dir: String): Seq[String] = spark.read.parquet(dir)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val (s0, a0) = (snapshot(corpusDir), snapshot(auditDir))
+    Ingest.runCuratedBatch(b0.toDF("id", "text", "source", "lang"), 0L,
+      corpusDir, auditDir, bench, vocab,
+      spanLen = 4, maxOovFrac = 0.5, piiPatterns = Corpus.DefaultPiiPatterns)
+    assert(snapshot(corpusDir) == s0, "replay must not change the store")
+    assert(snapshot(auditDir) == a0, "replay must not change the audit")
+  }
+
   test("ingestion replay is exactly-once: re-delivering a batch leaves store and audit identical") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
