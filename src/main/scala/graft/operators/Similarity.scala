@@ -1006,7 +1006,21 @@ object Similarity {
     * codebooks on the rotated corpus afterwards. Not SQL-re-derivable (no
     * SVD in the oracle) — semantics pinned in scalatest (orthogonality,
     * determinism, reconstruction-error descent) and recall measured by
-    * `MeasureProps --pq-permute`. */
+    * `MeasureProps --pq-permute` on three corpora (r12, 2000 vectors,
+    * m=8 ksub=64, recall@10): near-isotropic real (spread 1.2×) raw
+    * 0.309 / opq 0.300; axis-skewed (76.5×) raw 0.281 / Hadamard 0.597 /
+    * opq 0.547; and the ANISOTROPIC fixture (`Amplify.anisotropize` —
+    * the same spectrum mixed off-axis through a generic rotation, spread
+    * 10.6×) raw 0.497 / Hadamard 0.503 / opq 0.441, degrading further
+    * with more alternations (0.394 at opqIters=8). The honest measured
+    * conclusion: minimizing reconstruction MSE does NOT transfer to
+    * recall@10 at this corpus size (64-centroid subquantizers on 2000
+    * vectors memorize; each Procrustes step descends the objective —
+    * pinned — yet walks away from the recall-optimal Hadamard init), and
+    * on the generic-rotation fixture raw PQ is already balanced so no
+    * pre-transform helps. Prefer [[rotateVec]] (training-free Hadamard)
+    * as the default pre-transform; reach for OPQ only with corpus/ksub
+    * ratios large enough that reconstruction error tracks retrieval. */
   def trainOpqRotation(
       corpus: DataFrame,
       idCol: String,

@@ -50,6 +50,47 @@ import graft.sources.Tables
 object Amplify {
   val KeyStride = 10000000L // > any sf0.1 key; multiple of 64
 
+  /** Fixed dense orthogonal mixing matrix (product of `dim` Householder
+    * reflections whose unit vectors come from a splitmix64 stream — pure
+    * integer mixing, so the fixture is platform-independent and
+    * reproduces bit-for-bit). Orthogonal by construction (each factor
+    * is); `dim` iid-ish reflections make it a GENERIC (near-Haar)
+    * rotation — a handful of reflections, or a correlated vector family,
+    * leaves most of the space near-identity and the dominant directions
+    * still axis-aligned (measured: 3 sin-family reflections only dropped
+    * the skewed corpus's per-coordinate variance spread 76.5×→58.0×). */
+  def mixingMatrix(dim: Int): Seq[Seq[Float]] = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    var m = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    for (k <- 0 until dim) {
+      val v0 = Array.tabulate(dim)(i => splitmix(k.toLong * dim + i).toDouble / Long.MaxValue)
+      val n = math.sqrt(v0.map(x => x * x).sum)
+      val v = v0.map(_ / n)
+      val vm = Array.tabulate(dim)(j => (0 until dim).map(r => v(r) * m(r)(j)).sum)
+      m = Array.tabulate(dim, dim)((i, j) => m(i)(j) - 2.0 * v(i) * vm(j))
+    }
+    m.map(_.map(_.toFloat).toSeq).toSeq
+  }
+
+  /** Anisotropize an embedding column: scale the first 8 coordinates 4×
+    * and the rest 0.5× (8 dominant variance directions), then mix through
+    * [[mixingMatrix]] so the dominant directions are CORRELATED and
+    * non-axis-aligned — the covariance structure trained OPQ exists for,
+    * which the near-isotropic testdata embeddings (per-coordinate variance
+    * spread 1.31×) cannot exercise. Orthogonal mixing preserves the
+    * skewed corpus's cosine ranking. */
+  def anisotropize(vec: org.apache.spark.sql.Column, dim: Int = 64): org.apache.spark.sql.Column = {
+    import graft.operators.Similarity
+    val skewed = transform(vec, (x, i) =>
+      (when(i < 8, x * lit(4.0f)).otherwise(x * lit(0.5f))).cast("float"))
+    Similarity.applyRotation(skewed, mixingMatrix(dim))
+  }
+
   /** Key columns to offset per table (pk + fks, so each replica is a closed
     * join subgraph). */
   val KeyCols: Map[String, Seq[String]] = Map(
@@ -62,7 +103,8 @@ object Amplify {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  def replica(df: DataFrame, table: String, i: Int, vocabMode: String = "bijection"): DataFrame = {
+  def replica(df: DataFrame, table: String, i: Int, vocabMode: String = "bijection",
+      embedMode: String = "rotate"): DataFrame = {
     val off = KeyStride * i
     val shifted = KeyCols(table).foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(off)))
     table match {
@@ -85,23 +127,31 @@ object Amplify {
                 t => substring(md5(concat_ws("#", t, lit(i))), 1, 16)),
               " "))
           .withColumn("n_chars", length(col("text")).cast("long"))
-      case "embeddings" if i > 0 =>
+      case "embeddings" =>
         val rot = i % 64
-        shifted.withColumn("embedding",
-          concat(slice(col("embedding"), rot + 1, 64 - rot), slice(col("embedding"), 1, rot)))
+        val rotated =
+          if (i > 0) concat(slice(col("embedding"), rot + 1, 64 - rot), slice(col("embedding"), 1, rot))
+          else col("embedding")
+        // "mix" = the anisotropic fixture: every replica (incl. 0) skews
+        // then mixes, so the whole corpus carries the correlated,
+        // non-axis-aligned covariance the OPQ measurements need
+        val out = if (embedMode == "mix") anisotropize(rotated) else rotated
+        shifted.withColumn("embedding", out)
       case _ => shifted
     }
   }
 
   def amplify(spark: SparkSession, srcDir: String, outDir: String, copies: Int,
-      vocabMode: String = "bijection"): Unit = {
+      vocabMode: String = "bijection", embedMode: String = "rotate"): Unit = {
     require(Set("bijection", "reuse").contains(vocabMode),
       s"vocabMode must be bijection or reuse, got $vocabMode")
+    require(Set("rotate", "mix").contains(embedMode),
+      s"embedMode must be rotate or mix, got $embedMode")
     Tables.All.foreach { table =>
       val base = Tables.load(spark, srcDir, table)
       val out =
         if (!KeyCols.contains(table)) base // region/nation: fixed dims
-        else (0 until copies).map(i => replica(base, table, i, vocabMode))
+        else (0 until copies).map(i => replica(base, table, i, vocabMode, embedMode))
           .reduce(_.unionByName(_))
       out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
       println(s"[amplify] $table ($vocabMode) -> $outDir/$table.parquet")
@@ -112,6 +162,7 @@ object Amplify {
     val outDir = args.headOption.getOrElse("target/scale/sf1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
     val vocabMode = args.lift(2).getOrElse("bijection")
+    val embedMode = args.lift(3).getOrElse("rotate")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -119,7 +170,7 @@ object Amplify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    amplify(spark, "/root/testdata/sf0.1", outDir, copies, vocabMode)
+    amplify(spark, "/root/testdata/sf0.1", outDir, copies, vocabMode, embedMode)
     spark.stop()
   }
 }

@@ -120,15 +120,21 @@ object MeasureProps {
       spark.stop(); return
     }
 
-    // ---- balanced-permutation recall (backs sim_topk_pq_permuted): pure
-    // ADC recall@10 vs exact cosine, raw coordinate layout vs the
-    // variance-balanced permutation, at the same (m=8, ksub=64) budget.
-    // Run on the REAL embeddings (near-isotropic — expect ≈ no change;
-    // the honest null result) AND on a variance-skewed variant (first
-    // subspace's coordinates scaled 4×, the rest 0.5× — the OPQ paper's
-    // failure mode, where one subspace hoards the variance budget).
-    // Cosine is permutation-invariant, so the exact ground truth is
-    // computed once per corpus and shared by both layouts.
+    // ---- pre-transform recall, 4 arms × 3 corpora (backs
+    // sim_topk_pq_permuted/_rotated and the trainOpqRotation doc): pure
+    // ADC recall@10 vs exact cosine — raw layout, variance-balanced
+    // permutation, Hadamard rotation, trained OPQ — at the same (m=8,
+    // ksub=64) budget. Corpora: the REAL embeddings (near-isotropic —
+    // expect ≈ no change, the honest null), a variance-SKEWED variant
+    // (first subspace ×4, rest ×0.5 — the OPQ paper's axis-aligned
+    // failure mode), and the ANISOTROPIC fixture (the same spectrum
+    // mixed OFF-axis through Amplify's generic fixed rotation — the
+    // correlated covariance trained OPQ nominally exists for). Measured
+    // r12 conclusion (recorded at Similarity.trainOpqRotation): Hadamard
+    // wins or ties every corpus; OPQ's reconstruction objective does not
+    // transfer to recall at this corpus/ksub ratio. Cosine is
+    // permutation/rotation-invariant, so the exact ground truth is
+    // computed once per corpus and shared by all arms.
     if (args.contains("--pq-permute")) {
       val embR = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
       embR.count(): Unit
@@ -137,7 +143,27 @@ object MeasureProps {
           when(i < 8, x * lit(4.0f)).otherwise(x * lit(0.5f)).cast("float"))
           .as("embedding")).cache()
       skewed.count(): Unit
-      for ((label, corpus) <- Seq(("real", embR), ("skewed", skewed))) {
+      // third corpus: the ANISOTROPIC fixture — the skew mixed through a
+      // fixed dense orthogonal matrix, so the dominant directions are
+      // correlated and non-axis-aligned: the covariance trained OPQ exists
+      // for, which neither the permutation (axis-bound) nor the data-blind
+      // Hadamard can undo
+      val mixed = embR.select(col("vec_id"),
+        Amplify.anisotropize(col("embedding")).as("embedding")).cache()
+      mixed.count(): Unit
+      // per-coordinate variance spread (max/min over coordinates): the
+      // honest-null context — "real" is near-isotropic, "skewed" puts the
+      // spread ON axes, "mixed" hides the same spectrum OFF axes
+      for ((label, corpus) <- Seq(("real", embR), ("skewed", skewed), ("mixed", mixed))) {
+        val vars = corpus
+          .select(explode(transform(col("embedding"),
+            (x, i) => struct(i.as("i"), x.cast("double").as("x")))).as("e"))
+          .groupBy(col("e.i")).agg(var_pop(col("e.x")).as("v"))
+          .agg(max(col("v")).as("mx"), min(col("v")).as("mn")).collect()(0)
+        println(f"[measure] $sfDir pq-permute [$label] per-coordinate variance " +
+          f"spread = ${vars.getDouble(0) / vars.getDouble(1)}%.2fx")
+      }
+      for ((label, corpus) <- Seq(("real", embR), ("skewed", skewed), ("mixed", mixed))) {
         val qs = corpus.limit(32)
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")).cache()
         val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
