@@ -1579,7 +1579,8 @@ object Corpus {
       textCol: String,
       nMerges: Int,
       batchSize: Int = 16,
-      candidateWindow: Int = 8): DataFrame = {
+      candidateWindow: Int = 8,
+      onRound: (Int, Int, Int) => Unit = (_, _, _) => ()): DataFrame = {
     require(nMerges >= 1, "nMerges must be at least 1")
     require(batchSize >= 1, "batchSize must be at least 1")
     require(candidateWindow >= 1, "candidateWindow must be at least 1")
@@ -1613,14 +1614,18 @@ object Corpus {
         val used = scala.collection.mutable.Set.empty[String]
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var i = 0
+        var rejected = 0
         while (i < cands.length && accepted.size < cap) {
           val (a, b, c) = (cands(i).getString(0), cands(i).getString(1), cands(i).getLong(2))
           if (!used(a) && !used(b) && !used(a + b)) {
             accepted += ((a, b, c))
             used += a; used += b; used += (a + b)
-          }
+          } else rejected += 1
           i += 1
         }
+        // dev-measurement hook (MeasureProps --bpe-scale): candidates
+        // considered this round, accepted, and conflict-rejected
+        onRound(i, accepted.size, rejected)
         accepted.foreach { case (a, b, c) =>
           merges += ((rank, a, b, a + b, c)); rank += 1
         }

@@ -233,6 +233,9 @@ object AuditScale {
     val smallDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val bigDir = args.lift(2).getOrElse("target/scale/sf1")
     val bigVocabDir = args.lift(3).getOrElse("target/scale/sf1v")
+    // 6th arg: amplification factor (default 10) — 100 turns the audit
+    // into the second-decade (sf10) rehearsal; reported as data_ratio
+    val copies = args.lift(5).flatMap(_.toIntOption).getOrElse(10)
     val warmDir = "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -244,9 +247,9 @@ object AuditScale {
     spark.sparkContext.setLogLevel("WARN")
 
     if (!Files.exists(Paths.get(bigDir)))
-      Amplify.amplify(spark, smallDir, bigDir, copies = 10)
+      Amplify.amplify(spark, smallDir, bigDir, copies = copies)
     if (!Files.exists(Paths.get(bigVocabDir)))
-      Amplify.amplify(spark, smallDir, bigVocabDir, copies = 10, vocabMode = "reuse")
+      Amplify.amplify(spark, smallDir, bigVocabDir, copies = copies, vocabMode = "reuse")
 
     // dev-only 5th arg: comma-separated entry names to isolate while
     // iterating on one row (the committed artifact is always the full run)
@@ -278,7 +281,7 @@ object AuditScale {
     }
     val json =
       s"""{
-  "data_ratio": 10,
+  "data_ratio": $copies,
   "note": "sf1 = Amplify 10x key-shifted replication of sf0.1 (join fan-out preserved; per-replica token bijection for documents, component rotation for embeddings). The LM-gated pipeline composites (pipeline_corpus_e2e, pipeline_ingest_batch) run against the VOCAB-REUSE amplified dir instead: source vocabulary kept, token order hash-permuted per replica, so the quality gate keeps the source fraction and the ratio reflects 10x of real pipeline work rather than gate-collapsed input (their r9 0.29-0.32x artifact). Per-entry numbers are MEDIAN-of-5 with spread (max-min) alongside, so a GC/AQE outlier cannot masquerade as the ratio; per-entry block-manager cleanup keeps one entry's checkpoint storage from polluting the next entry's GC profile. fixed_input queries keep an sf-independent declared input (oracle boundedness); ratio ~1 expected there. The *_operator entries isolate product operators from their composite property oracles - gate on those for the operator ratios.",
   "queries": {
 ${entries.mkString(",\n")}

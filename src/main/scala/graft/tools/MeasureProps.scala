@@ -336,7 +336,14 @@ object MeasureProps {
         val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
       }
       Corpus.bpeTrain(docs, "text", nMerges = 2).collect() // warm
-      val (batT, batSecs) = time(Corpus.bpeTrainBatched(docs, "text", n, batchSize = 16).collect())
+      // per-round conflict accounting rides the trainer's dev hook:
+      // (considered, accepted, conflict-rejected) per round
+      def statsHook(buf: scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]) =
+        (c: Int, a: Int, r: Int) => { buf += ((c, a, r)); () }
+      val st16 = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      val (batT, batSecs) = time(
+        Corpus.bpeTrainBatched(docs, "text", n, batchSize = 16, onRound = statsHook(st16))
+          .collect())
       val (seqT, seqSecs) = time(Corpus.bpeTrain(docs, "text", n).collect())
       val seqSet = seqT.map(r => (r.getString(1), r.getString(2))).toSet
       val batSet = batT.map(r => (r.getString(1), r.getString(2))).toSet
@@ -344,6 +351,23 @@ object MeasureProps {
       println(f"[measure] $sfDir bpe n=$n: sequential=$seqSecs%.1fs (${seqT.length} merges) " +
         f"batched16=$batSecs%.1fs (${batT.length} merges) speedup=${seqSecs / batSecs}%.1fx " +
         f"table-overlap=$overlap/${seqT.length}")
+      // conflict-rejection rate vs batchSize (same nMerges budget): the
+      // batched trade's other axis — bigger rounds propose more stale
+      // candidates, so the within-round conflict rate is the honest
+      // measure of how far from sequential greedy each setting sits
+      for (b <- Seq(4, 16, 64)) {
+        val stb = if (b == 16) st16 else {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+          Corpus.bpeTrainBatched(docs, "text", n, batchSize = b, onRound = statsHook(buf))
+            .collect(): Unit
+          buf
+        }
+        val considered = stb.map(_._1).sum; val acc = stb.map(_._2).sum
+        val rej = stb.map(_._3).sum
+        println(f"[measure] $sfDir bpe conflict batchSize=$b%d: rounds=${stb.size}%d " +
+          f"considered=$considered%d accepted=$acc%d rejected=$rej%d " +
+          f"reject-rate=${if (considered == 0) 0.0 else rej.toDouble / considered}%.3f")
+      }
       // application side: the nMerges-deep replace chain vs the native
       // rank-priority loop, same trained table, checksums asserted equal
       import spark.implicits._
