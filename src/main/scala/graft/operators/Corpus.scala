@@ -1467,6 +1467,166 @@ object Corpus {
         when(cnt === 0, lit(0)).otherwise(element_at(lLit, cnt)).as("bucket"))
   }
 
+  /** Token-budget corpus selection: pick documents best-first by quality
+    * score until a token budget is exhausted — the "assemble exactly T
+    * training tokens from the top of the quality distribution" step that
+    * closes a curation pipeline. Semantics are EXACTLY the greedy prefix
+    * of the global (quantized-score DESC, id ASC) order whose running
+    * token total stays ≤ `budget` — which is what a single
+    * `sum() OVER (ORDER BY …)` window re-derives in SQL — but computed
+    * WITHOUT a global sort: scores quantize to `binWidthMicro`-wide
+    * integer bins (the [[scoreBuckets]] contract), the per-bin
+    * (count, token-sum) histogram reduces map-side and collects as
+    * driver metadata bounded by score-range / width, the driver walks
+    * bins best-first to find the BOUNDARY bin (the one the budget runs
+    * out inside), and only that single bin's rows pay an ordered
+    * running-total window — the residual sort is one bin's population,
+    * which is the precision `binWidthMicro` buys. Bins above the
+    * boundary select row-locally via a broadcast literal; bins below
+    * never select (greedy prefix, not knapsack — a later tiny doc does
+    * NOT back-fill, by design: the selection must be a prefix of the
+    * quality order for curriculum reproducibility).
+    *
+    * Returns one row per input row: (id, score, bin, n_tokens,
+    * selected). */
+  def selectTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long,
+      binWidthMicro: Long = 1000L): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(binWidthMicro >= 1, "binWidthMicro must be at least 1")
+    val sm = round(col(scoreCol) * lit(1e6)).cast("long")
+    val binned = df
+      .withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
+      .withColumn("__tok", col(tokensCol).cast("long"))
+    val hist = binned.groupBy("bin").agg(sum(col("__tok")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var cum = 0L
+    var boundary: Option[Long] = None
+    var remaining = 0L
+    val fullBins = Seq.newBuilder[Long]
+    hist.foreach { case (b, t) =>
+      if (boundary.isEmpty) {
+        if (cum + t <= budget) { fullBins += b; cum += t }
+        else { boundary = Some(b); remaining = budget - cum }
+      }
+    }
+    val fullLit = typedLit(fullBins.result())
+    val out = (frame: DataFrame, sel: Column) => frame.select(
+      col(idCol).as("id"), col(scoreCol).as("score"), col("bin"),
+      col("__tok").as("n_tokens"), sel.cast("long").as("selected"))
+    boundary match {
+      case None => out(binned, array_contains(fullLit, col("bin")))
+      case Some(bb) =>
+        // the one residual sort: the boundary bin's rows, id-ascending
+        // running token total against the leftover budget
+        val w = Window.orderBy(col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bnd = binned.filter(col("bin") === bb)
+          .withColumn("__cum", sum(col("__tok")).over(w))
+        out(binned.filter(col("bin") =!= bb), array_contains(fullLit, col("bin")))
+          .union(out(bnd, col("__cum") <= remaining))
+    }
+  }
+
+  /** Per-GROUP [[selectTokenBudget]] — the same greedy best-first prefix
+    * computed independently inside each `groupCol` value with the SAME
+    * per-group token budget (per-language training quotas: every
+    * language contributes its best `budget` tokens, the equal-allocation
+    * counter to proportional sampling's head-language dominance). The
+    * histogram reduces on (group, bin) and collects as driver metadata
+    * bounded by groups × bins; full-bin membership and the per-group
+    * leftover budget ride back as broadcast literal lookups keyed
+    * null-safely (`group 0x00 bin` with a sentinel for NULL groups, the
+    * [[scoreBucketsBy]] contract); only each group's boundary bin pays
+    * the per-group ordered running-total window. Equivalent to the
+    * per-group partitioned running-total window, which is the oracle
+    * form. Returns (id, group, score, bin, n_tokens, selected). */
+  def selectTokenBudgetBy(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long,
+      binWidthMicro: Long = 1000L): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(binWidthMicro >= 1, "binWidthMicro must be at least 1")
+    val sm = round(col(scoreCol) * lit(1e6)).cast("long")
+    val gSafe = coalesce(col(groupCol).cast("string"), lit("<null>"))
+    val binned = df
+      .withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
+      .withColumn("__tok", col(tokensCol).cast("long"))
+    val hist = binned.groupBy(gSafe.as("g"), col("bin"))
+      .agg(sum(col("__tok")).as("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val fullKeys = Seq.newBuilder[String]
+    val remainingByKey = Map.newBuilder[String, Long]
+    hist.groupBy(_._1).foreach { case (g, rows) =>
+      var cum = 0L
+      var open = true
+      rows.sortBy(-_._2).foreach { case (_, b, t) =>
+        if (open) {
+          if (cum + t <= budget) { fullKeys += s"$g\u0000$b"; cum += t }
+          else { remainingByKey += (s"$g\u0000$b" -> (budget - cum)); open = false }
+        }
+      }
+    }
+    val key = concat(gSafe, lit("\u0000"), col("bin").cast("string"))
+    val fullLit = typedLit(fullKeys.result())
+    val remLit = typedLit(remainingByKey.result())
+    val isBoundary = element_at(remLit, key).isNotNull
+    val out = (frame: DataFrame, sel: Column) => frame.select(
+      col(idCol).as("id"), col(groupCol).as("group"), col(scoreCol).as("score"),
+      col("bin"), col("__tok").as("n_tokens"), sel.cast("long").as("selected"))
+    val w = Window.partitionBy(gSafe).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bnd = binned.filter(isBoundary)
+      .withColumn("__cum", sum(col("__tok")).over(w))
+    out(binned.filter(!isBoundary), array_contains(fullLit, key))
+      .union(out(bnd, col("__cum") <= element_at(remLit, key)))
+  }
+
+  /** Soft quality sampling (the DCLM / FineWeb "don't hard-threshold"
+    * recipe): keep each document with probability
+    * min(1, (score/τ)^γ) — τ the score at which documents are always
+    * kept, γ the sharpness dial (γ→∞ approaches the hard filter at τ,
+    * γ=1 keeps documents linearly in score) — so below-threshold
+    * documents still contribute mass in proportion to their quality
+    * instead of vanishing at a cliff. The coin is DETERMINISTIC: the
+    * uniform draw is the first 8 md5 hex digits of (id ":" saltKey) over
+    * 2³², the [[splitByHash]] / sub-cell-salt pattern — a document's
+    * verdict is a pure function of its id, reproducible across runs,
+    * engines, and partitionings, stable under corpus growth, and
+    * re-randomizable by salt. Row-local projection: no shuffle, no
+    * aggregation, no driver state; stateless on a stream. γ=1 skips
+    * `pow` entirely — the keep probability is then one IEEE division,
+    * exactly reproducible in ANSI SQL.
+    *
+    * Returns one row per input row: (id, score, keep_prob, selected). */
+  def softQualitySample(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tau: Double,
+      gamma: Double = 1.0,
+      saltKey: String = "softsample"): DataFrame = {
+    require(tau > 0, "tau must be positive")
+    require(gamma > 0, "gamma must be positive")
+    val ratio = col(scoreCol) / lit(tau)
+    val kp = least(lit(1.0), if (gamma == 1.0) ratio else pow(ratio, lit(gamma)))
+    val u = conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + saltKey))), 1, 8),
+      16, 10).cast("long") / lit(4294967296.0)
+    df.select(
+      col(idCol).as("id"),
+      col(scoreCol).as("score"),
+      round(kp, 6).as("keep_prob"),
+      (u < kp).cast("long").as("selected"))
+  }
+
   /** Symbol-sequence encoding shared by [[bpeTrain]] and [[bpeSegment]]:
     * a word's symbol list renders as one string with every symbol wrapped
     * in 0x1E…0x1F (record/unit separator) brackets. The bracketing makes a

@@ -858,6 +858,82 @@ object Dedup {
       .select("id", "cell", "component", "cent_cos", "keep")
   }
 
+  /** Incremental SemDeDup: a NEW batch of embeddings matched against an
+    * existing (already-deduplicated) corpus under a FROZEN coarse
+    * quantizer — the ingestion-time twin of [[semanticDedup]], completing
+    * the incremental family ([[incrementalNearDup]] for MinHash banding,
+    * [[winnowIncremental]] for winnowing, this for semantic). Both sides
+    * assign row-locally to their best cell against the broadcast centroid
+    * array (train once via `Similarity.trainCentroids`, persist via
+    * MetaPersist — re-training per batch would shift every cell
+    * boundary); candidates are batch×store rows sharing a cell ONLY —
+    * the store never self-joins, so ingesting B docs against N costs
+    * O(N + B + Σ_cell |B_cell|·|S_cell|), and every candidate passes the
+    * exact cosine confirm.
+    *
+    * The 100 TB guard is `maxCellStore` (default [[DefaultMaxCellSize]],
+    * the [[semanticDedup]] cap pattern): a store cell larger than the cap
+    * keeps only its `maxCellStore` MOST CENTRAL members (cent_cos
+    * descending, id tiebreak) as match candidates — duplicate masses
+    * live in the dense center of a cell, which is what an oversized cell
+    * is made of, so the retained prefix is where a new duplicate's
+    * partner sits. The approximation is one-sided: a match against a
+    * dropped low-centrality outlier can be missed (batch doc reported
+    * new), a reported match is always exact-cosine-confirmed. The
+    * expected case (every cell under the cap) adds no sort — cells at or
+    * under the cap bypass the ranking window entirely, reproducing the
+    * uncapped plan; pass [[Exact]] for unconditional semantics.
+    *
+    * Returns one row per batch doc: (id, cell, cent_cos, matched_id,
+    * best_cos) — matched_id the smallest store doc with confirmed cosine
+    * ≥ `threshold`, NULL when the doc is semantically new. */
+  def semanticDedupIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      threshold: Double,
+      maxCellStore: Long = DefaultMaxCellSize): DataFrame = {
+    require(maxCellStore >= 1, "maxCellStore must be at least 1")
+    val cents = Similarity.centroidArray(centroids, centroidIdCol, centroidVecCol)
+    def assign(df: DataFrame, idOut: String, vecOut: String): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .select(col(idCol), col(vecCol),
+          explode(Similarity.topCellsLocal(col(vecCol), 1)).as("__best"))
+        .select(col(idCol).as(idOut), col(vecCol).as(vecOut),
+          col("__best.cell").as("cell"), round(col("__best.cos"), 6).as("cent_cos"))
+    val b = assign(batch, "id", "__bv")
+    val store0 = assign(corpus, "corpus_id", "__cv")
+    val store =
+      if (maxCellStore == Exact) store0.select("cell", "corpus_id", "__cv")
+      else {
+        // count-gated cap: only oversized cells pay the ranking window
+        val counts = store0.groupBy("cell").agg(count(lit(1)).as("__n"))
+        val withN = store0.join(broadcast(counts), Seq("cell"))
+        val small = withN.filter(col("__n") <= maxCellStore)
+          .select("cell", "corpus_id", "__cv")
+        val w = Window.partitionBy(col("cell")).orderBy(desc("cent_cos"), asc("corpus_id"))
+        val capped = withN.filter(col("__n") > maxCellStore)
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= maxCellStore)
+          .select("cell", "corpus_id", "__cv")
+        small.union(capped)
+      }
+    val matched = b.select(col("id").as("__bid"), col("cell"), col("__bv"))
+      .join(store, Seq("cell"))
+      .withColumn("__cos", cosine(col("__bv"), col("__cv")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("__bid"))
+      .agg(min(col("corpus_id")).as("matched_id"),
+        round(max(col("__cos")), 6).as("best_cos"))
+    b.select(col("id"), col("cell"), col("cent_cos"))
+      .join(matched, col("id") === col("__bid"), "left")
+      .select(col("id"), col("cell"), col("cent_cos"), col("matched_id"), col("best_cos"))
+  }
+
   /** Canonical-member election by SCORE: within each cluster keep the
     * highest-scoring member (ties to the smaller id) — the step after any
     * near-dedup clustering in a production pipeline, where "first seen"

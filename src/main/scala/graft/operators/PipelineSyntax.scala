@@ -569,5 +569,46 @@ object PipelineSyntax {
         pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
         // ...but "verified" only if the parent's proof was still standing
     }
+
+    /** Incremental SemDeDup verdicts for this batch against a store under
+      * a frozen quantizer: one row per batch doc. */
+    def semanticDedupedAgainst(store: MetaFrame, idCol: String, vecCol: String,
+        centroids: MetaFrame, centroidIdCol: String, centroidVecCol: String,
+        threshold: Double,
+        maxCellStore: Long = Dedup.DefaultMaxCellSize): MetaFrame =
+      perDoc(Dedup.semanticDedupIncremental(store.df, mf.df, idCol, vecCol,
+          centroids.df, centroidIdCol, centroidVecCol, threshold, maxCellStore),
+        "semantic_dedup_incremental", idCol,
+        Map("id" -> idCol, "vec" -> vecCol, "threshold" -> threshold,
+            "maxCellStore" -> maxCellStore))
+
+    /** Token-budget greedy best-first selection: one verdict row per doc. */
+    def tokenBudgetSelected(idCol: String, scoreCol: String, tokensCol: String,
+        budget: Long, binWidthMicro: Long = 1000L): MetaFrame =
+      perDoc(Corpus.selectTokenBudget(mf.df, idCol, scoreCol, tokensCol,
+          budget, binWidthMicro),
+        "token_budget_select", idCol,
+        Map("id" -> idCol, "score" -> scoreCol, "tokens" -> tokensCol,
+            "budget" -> budget, "binWidthMicro" -> binWidthMicro))
+
+    /** Per-group token-budget selection (equal per-group allocation):
+      * one verdict row per doc. */
+    def tokenBudgetSelectedBy(groupCol: String, idCol: String, scoreCol: String,
+        tokensCol: String, budget: Long, binWidthMicro: Long = 1000L): MetaFrame =
+      perDoc(Corpus.selectTokenBudgetBy(mf.df, groupCol, idCol, scoreCol,
+          tokensCol, budget, binWidthMicro),
+        "token_budget_select_by", idCol,
+        Map("group" -> groupCol, "id" -> idCol, "score" -> scoreCol,
+            "tokens" -> tokensCol, "budget" -> budget,
+            "binWidthMicro" -> binWidthMicro))
+
+    /** Soft quality sampling verdicts (deterministic id-hash coin): one
+      * row per doc. */
+    def softQualitySampled(idCol: String, scoreCol: String, tau: Double,
+        gamma: Double = 1.0, saltKey: String = "softsample"): MetaFrame =
+      perDoc(Corpus.softQualitySample(mf.df, idCol, scoreCol, tau, gamma, saltKey),
+        "soft_quality_sample", idCol,
+        Map("id" -> idCol, "score" -> scoreCol, "tau" -> tau,
+            "gamma" -> gamma, "salt" -> saltKey))
   }
 }

@@ -1058,6 +1058,44 @@ object PipelineQueries {
           "doc_id", "len_score", nBuckets = 10, binWidthMicro = 1000000L)
         .orderBy("id")),
 
+    // token-budget selection: best-quality-first greedy prefix until 12k
+    // tokens (≈44% of the sf0.01 corpus) — histogram + boundary-bin
+    // running total in Spark, re-derived in DuckDB as the single
+    // (bin DESC, id ASC) running-total window the semantics are defined by
+    "corpus_token_budget" -> ((s, d) =>
+      Corpus.selectTokenBudget(
+          t(s, d, "documents").df
+            .withColumn("quality", TextFunctions.qualityScore(col("text")))
+            .withColumn("n_toks", TextFunctions.tokenCount(col("text"))),
+          "doc_id", "quality", "n_toks", budget = 12000L, binWidthMicro = 1000L)
+        .orderBy("id")),
+
+    // per-LANGUAGE token budgets: each language contributes its best 3000
+    // tokens independently (equal allocation, not proportional) — the
+    // per-group histogram/boundary machinery re-derived in DuckDB as one
+    // group-partitioned running-total window
+    "corpus_lang_token_budget" -> ((s, d) =>
+      Corpus.selectTokenBudgetBy(
+          t(s, d, "documents").df
+            .withColumn("quality", TextFunctions.qualityScore(col("text")))
+            .withColumn("n_toks", TextFunctions.tokenCount(col("text"))),
+          "lang", "doc_id", "quality", "n_toks", budget = 3000L, binWidthMicro = 1000L)
+        .orderBy("id")),
+
+    // soft quality sampling: deterministic md5 coin vs min(1, score/τ) —
+    // row-local, re-randomizable by salt. The CONTINUOUS length score
+    // (n_chars/500, the corpus_length_curriculum signal) spreads the keep
+    // probability across ~140 distinct levels with the clamp engaged on
+    // the long tail, so the oracle exercises the whole dial, not two
+    // points; DuckDB re-derives the score, the clamp, and the identical
+    // integer-hash uniform draw
+    "corpus_soft_sample" -> ((s, d) =>
+      Corpus.softQualitySample(
+          t(s, d, "documents").df
+            .withColumn("len_score", col("n_chars").cast("double") / lit(500.0)),
+          "doc_id", "len_score", tau = 0.8)
+        .orderBy("id")),
+
     // per-GROUP curriculum: the same deterministic quantile machinery
     // computed independently inside each language — a doc's decile depends
     // only on its own language's length distribution
@@ -1330,6 +1368,20 @@ object PipelineQueries {
       val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
       Dedup.semanticDedup(emb, "vec_id", "embedding", centroids, "cell", "cvec",
           threshold = 0.3, maxCellSize = 16L)
+        .orderBy("id")
+    }),
+
+    // incremental SemDeDup: the 20% batch (vec_id % 5 = 0) matched against
+    // the 80% store under a frozen quantizer — candidates are batch×store
+    // rows sharing a cell only (the store never self-joins), every match
+    // exact-cosine-confirmed; DuckDB re-derives the Lloyd rounds, both
+    // assignments, the cell join, and the per-batch-doc min/max verdict
+    "dedup_semantic_incremental" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Dedup.semanticDedupIncremental(
+          emb.filter(col("vec_id") % 5 =!= 0), emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", centroids, "cell", "cvec", threshold = 0.3)
         .orderBy("id")
     }),
 
@@ -2621,6 +2673,57 @@ object PipelineQueries {
        "SELECT b.id, b.grp AS \"group\", b.score, b.bin, m.bucket " +
        "FROM b JOIN m USING (grp, bin) ORDER BY b.id"),
 
+    // the token-budget greedy prefix IS a running-total window over the
+    // (quantized-score DESC, id ASC) order — the Spark histogram/boundary
+    // machinery is provably equivalent (the bins above the boundary are
+    // exactly the fully-selected ones, the boundary bin's id-prefix is the
+    // window's residual), so the oracle states the semantics directly
+    "corpus_token_budget" ->
+      ("WITH qq AS (SELECT doc_id, text, " +
+       "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+       "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stopword_hits " +
+       "FROM documents), " +
+       "s AS (SELECT doc_id AS id, " + QualityScoreSql + " AS score, n_tokens FROM qq), " +
+       "b AS (SELECT id, score, CAST(floor(round(score * 1000000) / 1000) AS BIGINT) AS bin, " +
+       "n_tokens FROM s) " +
+       "SELECT id, score, bin, n_tokens, " +
+       "CAST(CASE WHEN sum(n_tokens) OVER (ORDER BY bin DESC, id ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 12000 " +
+       "THEN 1 ELSE 0 END AS BIGINT) AS selected FROM b ORDER BY id"),
+
+    // per-language token budgets: the same running-total equivalence,
+    // partitioned by language (NULL-free here; the operator's NUL-keyed
+    // sentinel map and the window's NULL partition agree regardless)
+    "corpus_lang_token_budget" ->
+      ("WITH qq AS (SELECT doc_id, lang, text, " +
+       "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+       "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stopword_hits " +
+       "FROM documents), " +
+       "s AS (SELECT doc_id AS id, lang AS grp, " + QualityScoreSql + " AS score, n_tokens FROM qq), " +
+       "b AS (SELECT id, grp, score, CAST(floor(round(score * 1000000) / 1000) AS BIGINT) AS bin, " +
+       "n_tokens FROM s) " +
+       "SELECT id, grp AS \"group\", score, bin, n_tokens, " +
+       "CAST(CASE WHEN sum(n_tokens) OVER (PARTITION BY grp ORDER BY bin DESC, id ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 3000 " +
+       "THEN 1 ELSE 0 END AS BIGINT) AS selected FROM b ORDER BY id"),
+
+    // soft sampling: identical continuous length score, keep probability
+    // min(1, score/0.8), and the same first-8-md5-hex-digits / 2^32
+    // uniform draw (explicit DOUBLE casts keep every division in IEEE
+    // double on both engines)
+    "corpus_soft_sample" ->
+      ("WITH s AS (SELECT doc_id AS id, " +
+       "CAST(n_chars AS DOUBLE) / CAST(500.0 AS DOUBLE) AS score FROM documents), " +
+       "k AS (SELECT id, score, " +
+       "least(CAST(1.0 AS DOUBLE), score / CAST(0.8 AS DOUBLE)) AS kp, " +
+       "CAST(('0x' || substr(md5(id || ':softsample'), 1, 8)) AS BIGINT) / " +
+       "CAST(4294967296 AS DOUBLE) AS u FROM s) " +
+       "SELECT id, score, round(kp, 6) AS keep_prob, " +
+       "CAST(CASE WHEN u < kp THEN 1 ELSE 0 END AS BIGINT) AS selected " +
+       "FROM k ORDER BY id"),
+
     // the text_lm_quality micro-nat derivation, then quantized avg_nll
     // bins and per-language cumulative terciles; token-less docs drop at
     // the inner join (no LM evidence)
@@ -3614,5 +3717,27 @@ object PipelineQueries {
        "SELECT id, cell, component, cent_cos, " +
        "CAST(CASE WHEN row_number() OVER (PARTITION BY component ORDER BY cent_cos, id) = 1 " +
        "THEN 1 ELSE 0 END AS BIGINT) AS keep FROM labeled ORDER BY id"),
+
+    // incremental SemDeDup: same frozen-quantizer training and assignment,
+    // batch (vec_id % 5 = 0) × store (the rest) candidates on the shared
+    // cell only, exact-cosine confirm, per-batch-doc min/max verdict with
+    // NULLs for semantically-new docs
+    "dedup_semantic_incremental" ->
+      ("WITH RECURSIVE seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec " +
+       "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+       lloydRoundSql(1, "seeds") + ", " + lloydRoundSql(2, "c1") + ", " +
+       "assign AS (SELECT vec_id, cell, cos FROM (" +
+       "SELECT e.vec_id, c.cell, " + cosSql("e.embedding", "c.cvec") + " AS cos, " +
+       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " + cosSql("e.embedding", "c.cvec") +
+       " DESC, c.cell) AS rn FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1), " +
+       "b AS (SELECT vec_id AS id, cell, round(cos, 6) AS cent_cos FROM assign WHERE vec_id % 5 = 0), " +
+       "st AS (SELECT vec_id AS corpus_id, cell FROM assign WHERE vec_id % 5 <> 0), " +
+       "m AS (SELECT b.id, min(st.corpus_id) AS matched_id, " +
+       "round(max(" + cosSql("eb.embedding", "ec.embedding") + "), 6) AS best_cos " +
+       "FROM b JOIN st USING (cell) " +
+       "JOIN embeddings eb ON eb.vec_id = b.id JOIN embeddings ec ON ec.vec_id = st.corpus_id " +
+       "WHERE " + cosSql("eb.embedding", "ec.embedding") + " >= 0.3 GROUP BY b.id) " +
+       "SELECT b.id, b.cell, b.cent_cos, m.matched_id, m.best_cos " +
+       "FROM b LEFT JOIN m USING (id) ORDER BY b.id"),
   )
 }

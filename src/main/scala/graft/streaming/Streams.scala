@@ -283,6 +283,70 @@ object Streams {
       .select(col("stream_id"), col("corpus_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Streaming SemDeDup: a STREAM of new embeddings matched against a
+    * STATIC deduplicated corpus under a FROZEN coarse quantizer — the
+    * ingestion-time twin of `Dedup.semanticDedupIncremental`, same shape
+    * as [[incrementalNearDupStream]]: the stream side stays stateless
+    * through the row-local cell assignment (broadcast 1-row centroid
+    * array, the [[annTopKStream]] fold), candidates are ONE stream-static
+    * equi-join on the cell key (the corpus never self-joins), every
+    * candidate passes the exact cosine confirm, and confirmed matches
+    * aggregate per stream doc in UPDATE mode — state is O(matched docs).
+    * The static side carries the same count-gated `maxCellStore` cap as
+    * the batch twin (oversized store cells keep their most central
+    * members; computed once on the static subplan, no per-batch cost).
+    * Emits only matched docs — the "semantically new" NULL row of the
+    * batch operator has no anchor in update mode. Matches are pinned
+    * bit-equal to the batch operator's non-NULL verdicts in
+    * StreamingSpec. */
+  def semanticDedupStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      threshold: Double,
+      maxCellStore: Long = graft.operators.Dedup.DefaultMaxCellSize): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    import graft.operators.{Dedup, Similarity}
+    import org.apache.spark.sql.expressions.Window
+    require(maxCellStore >= 1, "maxCellStore must be at least 1")
+    val cents = Similarity.centroidArray(centroids, centroidIdCol, centroidVecCol)
+    def assign(df: DataFrame, idOut: String, vecOut: String): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .select(col(idCol), col(vecCol),
+          explode(Similarity.topCellsLocal(col(vecCol), 1)).as("__best"))
+        .select(col(idCol).as(idOut), col(vecCol).as(vecOut),
+          col("__best.cell").as("cell"))
+    val s = assign(stream, "stream_id", "__sv")
+    val store0 = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol),
+        explode(Similarity.topCellsLocal(col(vecCol), 1)).as("__best"))
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+        col("__best.cell").as("cell"), round(col("__best.cos"), 6).as("cent_cos"))
+    val store =
+      if (maxCellStore == Dedup.Exact) store0.select("cell", "corpus_id", "__cv")
+      else {
+        val counts = store0.groupBy("cell").agg(count(lit(1)).as("__n"))
+        val withN = store0.join(broadcast(counts), Seq("cell"))
+        val w = Window.partitionBy(col("cell")).orderBy(desc("cent_cos"), asc("corpus_id"))
+        withN.filter(col("__n") <= maxCellStore)
+          .select("cell", "corpus_id", "__cv")
+          .union(withN.filter(col("__n") > maxCellStore)
+            .withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= maxCellStore)
+            .select("cell", "corpus_id", "__cv"))
+      }
+    s.join(store, Seq("cell"))
+      .withColumn("__cos", cosine(col("__sv"), col("__cv")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("stream_id").as("id"))
+      .agg(min(col("corpus_id")).as("matched_id"),
+        round(max(col("__cos")), 6).as("best_cos"))
+  }
+
   /** Streaming incremental near-dedup: a STREAM of new documents matched
     * against a STATIC corpus — the stream-static equi-join enrichment
     * pattern. The stream side stays stateless through banding
@@ -627,6 +691,19 @@ object Streams {
       scoreCol: String,
       binWidthMicro: Long = 1000L): DataFrame =
     graft.operators.Corpus.scoreBucketsAgainst(stream, model, idCol, scoreCol, binWidthMicro)
+
+  /** Streaming soft quality sampling — `Corpus.softQualitySample` is one
+    * row-local projection whose coin is a pure function of (id, salt):
+    * stateless, append mode, stream ≡ batch, and verdicts are stable
+    * across micro-batch boundaries by construction. */
+  def softSampleStream(
+      stream: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tau: Double,
+      gamma: Double = 1.0,
+      saltKey: String = "softsample"): DataFrame =
+    graft.operators.Corpus.softQualitySample(stream, idCol, scoreCol, tau, gamma, saltKey)
 
   /** Streaming blocklist filter — `Corpus.blocklistFilter` is one
     * row-local projection over a literal term set: stateless, append

@@ -51,7 +51,8 @@ object AuditScale {
     "pipeline_ingest_curated", "text_gopher_rules", "text_pii_categories",
     "text_ccnet_tiers", "text_gopher_repetition", "text_char_stats",
     "text_quality_profile",
-    "dedup_semantic", "dedup_semantic_capped", "dedup_embedding_cosine")
+    "dedup_semantic", "dedup_semantic_capped", "dedup_embedding_cosine",
+    "dedup_semantic_incremental")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -110,7 +111,10 @@ object AuditScale {
       // the embedding_cosine declared query bundles the bounded (<300)
       // exact-pair property oracle, which joins on id_a < id_b
       "dedup_semantic", "dedup_semantic_capped", "semantic_dedup_operator",
-      "dedup_embedding_cosine", "embedding_cosine_operator")
+      "dedup_embedding_cosine", "embedding_cosine_operator",
+      // the incremental twin shares semanticDedup's broadcast 1-row
+      // centroid crossJoin (assignment fold + trainCentroids rounds)
+      "dedup_semantic_incremental")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(
@@ -236,6 +240,10 @@ object AuditScale {
     // 6th arg: amplification factor (default 10) — 100 turns the audit
     // into the second-decade (sf10) rehearsal; reported as data_ratio
     val copies = args.lift(5).flatMap(_.toIntOption).getOrElse(10)
+    // 7th arg: timed passes per entry (default 5). The sf10 rehearsal runs
+    // 3: its per-entry cost is ~10× the sf1 audit's, and the flagship
+    // entries it gates are the ones whose sf1 spreads are already tight
+    val runsPerEntry = args.lift(6).flatMap(_.toIntOption).getOrElse(5)
     val warmDir = "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -262,13 +270,13 @@ object AuditScale {
     // enough that two extra passes buy real outlier resistance (a lone GC
     // pause no longer lands within one slot of the median)
     val small = fns.map { case (n, fn) =>
-      val (secs, spread, flagged) = runOne(spark, smallDir, n, fn, runs = 5)
+      val (secs, spread, flagged) = runOne(spark, smallDir, n, fn, runs = runsPerEntry)
       println(f"[scale] sf0.1 $n%-28s ${secs}%7.2fs ±${spread}%5.2f flagged=$flagged")
       n -> (secs, spread, flagged)
     }.toMap
     val big = fns.map { case (n, fn) =>
       val dir = if (VocabReuse.contains(n)) bigVocabDir else bigDir
-      val (secs, spread, flagged) = runOne(spark, dir, n, fn, runs = 5)
+      val (secs, spread, flagged) = runOne(spark, dir, n, fn, runs = runsPerEntry)
       println(f"[scale] sf1   $n%-28s ${secs}%7.2fs ±${spread}%5.2f flagged=$flagged")
       n -> (secs, spread, flagged)
     }.toMap

@@ -423,6 +423,148 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped == exact, "identical-mass cap must reproduce exact semantics")
   }
 
+  test("semanticDedupIncremental matches batch docs against the store and NULLs new ones") {
+    import spark.implicits._
+    val store = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)),
+      (2L, Seq(0.8f, 0.6f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (11L, Seq(0.995f, 0.0998f, 0f, 0f)), // dup of 1 (cos ≈ 0.995)
+      (12L, Seq(0f, 1.0f, 0f, 0f)),        // semantically new
+      (13L, Seq(0f, 0f, 0.98f, 0.15f))     // dup of 3 (cos ≈ 0.989)
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 1.0f, 0f))).toDF("cell", "cvec")
+    val out = Dedup.semanticDedupIncremental(store, batch, "vec_id", "embedding",
+        centroids, "cell", "cvec", threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("matched_id")).map(_.toLong)).toMap
+    assert(out.keySet == Set(11L, 12L, 13L), "one verdict row per batch doc")
+    assert(out(11L) == Some(1L), s"11 is a store-1 duplicate: $out")
+    assert(out(12L) == None, s"12 is semantically new: $out")
+    assert(out(13L) == Some(3L), s"13 is a store-3 duplicate: $out")
+  }
+
+  test("semanticDedupIncremental cap keeps the most central store members; misses are one-sided") {
+    import spark.implicits._
+    // store cell 0 holds a central doc (1) and an outlier (2); batch doc 14
+    // duplicates the OUTLIER. maxCellStore = 1 retains only the central
+    // member as a candidate, so the match is missed — reported new, never
+    // wrongly matched (one-sided approximation); Exact finds it.
+    val store = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)),
+      (2L, Seq(0.8f, 0.6f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (11L, Seq(0.995f, 0.0998f, 0f, 0f)),
+      (14L, Seq(0.79f, 0.61f, 0f, 0f))).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 1.0f, 0f))).toDF("cell", "cvec")
+    def run(cap: Long) = Dedup.semanticDedupIncremental(store, batch,
+        "vec_id", "embedding", centroids, "cell", "cvec", threshold = 0.95,
+        maxCellStore = cap)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("matched_id")).map(_.toLong)).toMap
+    val exact = run(Dedup.Exact)
+    assert(exact == Map(11L -> Some(1L), 14L -> Some(2L)), s"exact: $exact")
+    val capped = run(1L)
+    assert(capped == Map(11L -> Some(1L), 14L -> None),
+      s"cap keeps the central store member, so the outlier match is missed one-sidedly: $capped")
+    // an engaging-but-large-enough cap reproduces exact verdicts
+    assert(run(2L) == exact, "cap above every cell population = exact semantics")
+  }
+
+  test("selectTokenBudget selects the greedy best-first prefix within the token budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, 0.9, 10L), (2L, 0.9, 10L), (3L, 0.9, 10L), // bin 900: 30 tokens
+      (4L, 0.7, 10L), (5L, 0.7, 10L),                 // bin 700: 20 tokens
+      (6L, 0.5, 1L)                                   // bin 500: 1 token
+    ).toDF("doc_id", "s", "toks")
+    val out = Corpus.selectTokenBudget(docs, "doc_id", "s", "toks", budget = 45L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("selected")).toMap
+    // bin 900 fits whole (cum 30); bin 700 is the boundary (remaining 15):
+    // id 4 (cum 10 ≤ 15) in, id 5 (cum 20) out; bin 500 is past the
+    // boundary — greedy prefix, NOT knapsack: doc 6's single token does
+    // not back-fill even though 45 − 40 ≥ 1
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 0L), s"$out")
+    // the defining equivalence: identical to the running-total window over
+    // the (bin DESC, id ASC) order — the oracle's form
+    val w = Window.orderBy(col("bin").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = Corpus.selectTokenBudget(docs, "doc_id", "s", "toks", budget = Long.MaxValue)
+      .withColumn("ref_sel", (sum(col("n_tokens")).over(w) <= 45L).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("ref_sel")).toMap
+    assert(out == ref, s"histogram/boundary machinery must equal the window form: $out vs $ref")
+    // edges: zero budget selects nothing; a covering budget selects everything
+    val zero = Corpus.selectTokenBudget(docs, "doc_id", "s", "toks", budget = 0L)
+      .collect().map(_.getAs[Long]("selected")).toSeq
+    assert(zero.forall(_ == 0L))
+    val all = Corpus.selectTokenBudget(docs, "doc_id", "s", "toks", budget = 51L)
+      .collect().map(_.getAs[Long]("selected")).toSeq
+    assert(all.forall(_ == 1L))
+  }
+
+  test("selectTokenBudgetBy budgets each group independently, NULL group included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "en", 0.9, 10L), (2L, "en", 0.9, 10L), (3L, "en", 0.5, 10L),
+      (4L, "fr", 0.9, 15L), (5L, "fr", 0.7, 10L),
+      (6L, null.asInstanceOf[String], 0.9, 10L),
+      (7L, null.asInstanceOf[String], 0.8, 20L)
+    ).toDF("doc_id", "grp", "s", "toks")
+    val out = Corpus.selectTokenBudgetBy(docs, "grp", "doc_id", "s", "toks", budget = 20L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("selected")).toMap
+    // en: bin 900 (20 toks) fits whole, bin 500 past the exhausted budget;
+    // fr: bin 900 (15) fits, bin 700 boundary with remaining 5 < 10 → out;
+    // NULL group budgets among itself: 10 fits, 20 would overflow
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 0L,
+      6L -> 1L, 7L -> 0L), s"$out")
+    // the defining equivalence: the group-partitioned running-total window
+    val w = Window.partitionBy(col("group")).orderBy(col("bin").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = Corpus.selectTokenBudgetBy(docs, "grp", "doc_id", "s", "toks",
+        budget = Long.MaxValue)
+      .withColumn("ref_sel", (sum(col("n_tokens")).over(w) <= 20L).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("ref_sel")).toMap
+    assert(out == ref, s"per-group machinery must equal the window form: $out vs $ref")
+    // a group literally named "null" must not collide with the NULL group
+    val named = Seq((1L, "null", 0.9, 10L), (2L, null.asInstanceOf[String], 0.9, 10L))
+      .toDF("doc_id", "grp", "s", "toks")
+    val nOut = Corpus.selectTokenBudgetBy(named, "grp", "doc_id", "s", "toks", budget = 10L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("selected")).toMap
+    assert(nOut == Map(1L -> 1L, 2L -> 1L), s"independent budgets: $nOut")
+  }
+
+  test("softQualitySample: deterministic id-hash coin, clamped score-proportional keep probability") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, (i % 100) / 100.0)).toDF("doc_id", "s")
+    def run(salt: String) = Corpus.softQualitySample(docs, "doc_id", "s",
+        tau = 0.5, saltKey = salt)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("keep_prob"), r.getAs[Long]("selected")))).toMap
+    val a = run("softsample")
+    // clamp: score ≥ τ ⇒ keep_prob exactly 1 and always selected (u < 1)
+    val high = (1L to 200L).filter(i => (i % 100) / 100.0 >= 0.5)
+    assert(high.forall(i => a(i) == ((1.0, 1L))), "at/above τ every doc is kept")
+    // proportionality: keep_prob = score/τ below the clamp
+    assert(a(25L)._1 == 0.5 && a(125L)._1 == 0.5, s"score 0.25 / τ 0.5: ${a(25L)}")
+    assert(a(100L) == ((0.0, 0L)), "score 0 is never kept")
+    // determinism: the coin is a pure function of (id, salt)
+    assert(run("softsample") == a, "re-run must be bit-identical")
+    // the sampled fraction tracks the keep probability (coarse sanity)
+    val lowSel = (1L to 200L).filter(i => { val s = (i % 100) / 100.0; s > 0 && s < 0.25 })
+      .count(i => a(i)._2 == 1L).toDouble
+    val midSel = (1L to 200L).filter(i => { val s = (i % 100) / 100.0; s >= 0.25 && s < 0.5 })
+      .count(i => a(i)._2 == 1L).toDouble
+    assert(lowSel < midSel, s"higher scores keep more: $lowSel vs $midSel")
+  }
+
   test("ivf top-k with nprobe=1 matches brute force on separable clusters") {
     val centroids = vectors.filter(col("vec_id").isin(0L, 10L, 20L))
       .select((col("vec_id") / 10).cast("int").as("cell_id"), col("embedding").as("centroid_vec"))
@@ -872,6 +1014,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(audit.dropDuplicates(Seq("id")).df eq audit.df)
     assert(audit.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
       .map(_("op")) == Seq("ingest_batch"))
+  }
+
+  test("PipelineSyntax: selection-era ops record lineage and pk semantics") {
+    import spark.implicits._
+    import graft.operators.PipelineSyntax._
+    val mf = MetaFrame(docs, Map("corpus" -> "unit")).dropDuplicates(Seq("doc_id"))
+    // token-budget selection: one verdict row per doc, keyed by id
+    val scored = MetaFrame(mf.df
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .withColumn("nt", graft.functions.TextFunctions.tokenCount(col("text"))),
+      mf.metadata)
+    val sel = scored.tokenBudgetSelected("doc_id", "q", "nt", budget = 100L)
+    assert(sel.primaryKey.contains(Seq("id")))
+    assert(sel.dropDuplicates(Seq("id")).df eq sel.df)
+    assert(sel.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("token_budget_select"))
+    // soft sampling: row-preserving verdicts, keyed by id
+    val soft = scored.softQualitySampled("doc_id", "q", tau = 0.9)
+    assert(soft.primaryKey.contains(Seq("id")))
+    assert(soft.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("soft_quality_sample"))
+    // incremental semantic dedup: one verdict per BATCH doc, keyed by id
+    val store = MetaFrame(Seq((1L, Seq(1.0f, 0f)), (2L, Seq(0f, 1.0f)))
+      .toDF("vec_id", "embedding"), Map.empty[String, Any])
+    val batch = MetaFrame(Seq((11L, Seq(1.0f, 0.01f))).toDF("vec_id", "embedding"),
+      Map.empty[String, Any]).dropDuplicates(Seq("vec_id"))
+    val cents = MetaFrame(Seq((0L, Seq(1.0f, 0f)), (1L, Seq(0f, 1.0f)))
+      .toDF("cell", "cvec"), Map.empty[String, Any])
+    val sem = batch.semanticDedupedAgainst(store, "vec_id", "embedding",
+      cents, "cell", "cvec", threshold = 0.95)
+    assert(sem.primaryKey.contains(Seq("id")))
+    assert(sem.dropDuplicates(Seq("id")).df eq sem.df)
+    assert(sem.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("op")) == Seq("semantic_dedup_incremental"))
+    assert(sem.df.collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[java.lang.Long]("matched_id")).toMap == Map(11L -> (1L: java.lang.Long)))
   }
 
   test("TopKAgg keeps exactly k under compaction with (score desc, id asc) ties") {

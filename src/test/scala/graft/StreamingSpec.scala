@@ -136,6 +136,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SemDeDup emits exactly the batch operator's matched verdicts") {
+    import spark.implicits._
+    val store = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)),
+      (2L, Seq(0.8f, 0.6f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 1.0f, 0f))).toDF("cell", "cvec")
+    val batchDocs = Seq(
+      (11L, Seq(0.995f, 0.0998f, 0f, 0f)), // dup of store 1
+      (12L, Seq(0f, 1.0f, 0f, 0f)),        // semantically new — emits nothing
+      (13L, Seq(0f, 0f, 0.98f, 0.15f)))    // dup of store 3
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val out = Streams.semanticDedupStream(
+      ms.toDF().toDF("vec_id", "embedding"), store, "vec_id", "embedding",
+      centroids, "cell", "cvec", threshold = 0.95)
+    ms.addData(batchDocs: _*)
+    val q = Streams.runToMemory(out, "semdedup_out", OutputMode.Update())
+    try {
+      val streamed = spark.table("semdedup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // bit-equal to the batch twin's non-NULL verdicts: same assignment
+      // fold, same exact-cosine confirm, same min/max aggregate
+      val batch = graft.operators.Dedup.semanticDedupIncremental(
+          store, batchDocs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          centroids, "cell", "cvec", threshold = 0.95)
+        .filter(col("matched_id").isNotNull)
+        .select("id", "matched_id", "best_cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed.map(_._1) == Set(11L, 13L), s"only duplicates emit: $streamed")
+      // a later micro-batch keeps matching against the static store
+      ms.addData((14L, Seq(0.99f, 0f, 0f, 0.1f)))
+      q.processAllAvailable()
+      val rows2 = spark.table("semdedup_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows2 == Map(11L -> 1L, 13L -> 3L, 14L -> 1L), s"got $rows2")
+    } finally q.stop()
+  }
+
   test("streaming decontamination is stateless append and matches the batch operator") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
