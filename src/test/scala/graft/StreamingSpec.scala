@@ -384,6 +384,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("softSampleStream verdicts are stateless and bit-equal to the batch coin") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, i / 40.0))
+    val ms = MemoryStream[(Long, Double)](spark)
+    val out = Streams.softSampleStream(ms.toDF().toDF("doc_id", "s"), "doc_id", "s", tau = 0.5)
+    ms.addData(rows.take(20): _*)
+    val q = Streams.runToMemory(out, "soft_out", OutputMode.Append())
+    try {
+      // a second micro-batch must not change earlier verdicts (pure
+      // function of id, no state)
+      ms.addData(rows.drop(20): _*)
+      q.processAllAvailable()
+      def norm(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.toString).sorted.toSeq
+      assert(norm(spark.table("soft_out").collect()) ==
+        norm(graft.operators.Corpus.softQualitySample(
+          rows.toDF("doc_id", "s"), "doc_id", "s", tau = 0.5).collect()))
+    } finally q.stop()
+  }
+
   test("spanDedupStream verdicts match the batch incremental removal") {
     import spark.implicits._
     val dup = "d1 d2 d3 d4 d5"
