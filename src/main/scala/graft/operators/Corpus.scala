@@ -1479,9 +1479,20 @@ object Corpus {
     * (count, token-sum) histogram reduces map-side and collects as
     * driver metadata bounded by score-range / width, the driver walks
     * bins best-first to find the BOUNDARY bin (the one the budget runs
-    * out inside), and only that single bin's rows pay an ordered
-    * running-total window — the residual sort is one bin's population,
-    * which is the precision `binWidthMicro` buys. Bins above the
+    * out inside), and the residual ordered window is confined by a
+    * SECOND histogram level: tied scores are the hazard `binWidthMicro`
+    * cannot dilute (a rule-based score legitimately takes few distinct
+    * values, so ONE bin can hold a large corpus fraction at any width) —
+    * the boundary bin therefore sub-divides by id range into ≤ `idBins`
+    * buckets from the id span pass 1 already collected, the same
+    * full/boundary walk runs one level down, and only the boundary ID
+    * BUCKET pays the single-task running-total window (population ≈
+    * ·boundary bin·/idBins for ids roughly uniform over their own span,
+    * independent of score ties). The refinement never changes a verdict
+    * — id-bucket order refines id order, so the output is bit-identical
+    * to the direct window and the oracle stays the defining window form.
+    * Requires a numeric id for the sub-division arithmetic; non-numeric
+    * ids fall back to the direct boundary-bin window. Bins above the
     * boundary select row-locally via a broadcast literal; bins below
     * never select (greedy prefix, not knapsack — a later tiny doc does
     * NOT back-fill, by design: the selection must be a prefix of the
@@ -1495,23 +1506,31 @@ object Corpus {
       scoreCol: String,
       tokensCol: String,
       budget: Long,
-      binWidthMicro: Long = 1000L): DataFrame = {
+      binWidthMicro: Long = 1000L,
+      idBins: Int = 4096): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(binWidthMicro >= 1, "binWidthMicro must be at least 1")
+    require(idBins >= 1, "idBins must be at least 1")
     val sm = round(col(scoreCol) * lit(1e6)).cast("long")
     val binned = df
       .withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
       .withColumn("__tok", col(tokensCol).cast("long"))
-    val hist = binned.groupBy("bin").agg(sum(col("__tok")).as("t")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    // pass 1: per-bin token sums PLUS each bin's id range, so a boundary
+    // bin can be sub-divided without another full-table pass
+    val hist = binned.groupBy("bin")
+      .agg(sum(col("__tok")).as("t"),
+        min(col(idCol).cast("long")).as("lo"), max(col(idCol).cast("long")).as("hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(-_._1)
     var cum = 0L
-    var boundary: Option[Long] = None
+    var boundary: Option[(Long, Long, Long)] = None // (bin, lo, hi)
     var remaining = 0L
     val fullBins = Seq.newBuilder[Long]
-    hist.foreach { case (b, t) =>
+    hist.foreach { case (b, t, lo, hi) =>
       if (boundary.isEmpty) {
         if (cum + t <= budget) { fullBins += b; cum += t }
-        else { boundary = Some(b); remaining = budget - cum }
+        else { boundary = Some((b, lo, hi)); remaining = budget - cum }
       }
     }
     val fullLit = typedLit(fullBins.result())
@@ -1520,15 +1539,61 @@ object Corpus {
       col("__tok").as("n_tokens"), sel.cast("long").as("selected"))
     boundary match {
       case None => out(binned, array_contains(fullLit, col("bin")))
-      case Some(bb) =>
-        // the one residual sort: the boundary bin's rows, id-ascending
-        // running token total against the leftover budget
+      case Some((bb, lo, hi)) if !df.schema(idCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        // non-numeric id: no range arithmetic — direct boundary window
         val w = Window.orderBy(col(idCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val bnd = binned.filter(col("bin") === bb)
           .withColumn("__cum", sum(col("__tok")).over(w))
         out(binned.filter(col("bin") =!= bb), array_contains(fullLit, col("bin")))
           .union(out(bnd, col("__cum") <= remaining))
+      case Some((bb, lo, hi)) =>
+        // pass 2 — the TIED-SCORE guard: a coarse score (rule-based
+        // signals legitimately take few distinct values) can put a large
+        // corpus fraction into the single boundary bin, and an ordered
+        // window over it would be one task sorting that whole fraction.
+        // The boundary bin therefore sub-divides by ID RANGE into ≤
+        // `idBins` buckets (W = span/idBins — per-bucket population ≈
+        // |bin|/idBins whenever ids are roughly uniform over their own
+        // span, independent of score ties) and the same full/boundary
+        // walk runs one level down: only the boundary ID BUCKET pays the
+        // ordered running-total window. The output is IDENTICAL to the
+        // direct window (the greedy prefix is over (bin DESC, id ASC);
+        // id-bucket order refines id order), so the oracle stays the
+        // defining window form and `idBins` never changes a verdict.
+        val bnd = binned.filter(col("bin") === bb)
+        val w2 = math.max(1L, (hi - lo) / idBins + 1)
+        // exact integer floor-div (ids ≥ lo, so div = floor): bucket index
+        // is monotone in id, which is what makes bucket order REFINE id
+        // order and keeps the output bit-identical to the direct window
+        val ibOf = expr(s"(cast(`$idCol` as bigint) - ${lo}L) div ${w2}L")
+        val ibHist = bnd.groupBy(ibOf.as("ib")).agg(sum(col("__tok")).as("t")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var cum2 = 0L
+        var ib2: Option[Long] = None
+        var remaining2 = 0L
+        val fullIbs = Seq.newBuilder[Long]
+        ibHist.foreach { case (ib, t) =>
+          if (ib2.isEmpty) {
+            if (cum2 + t <= remaining) { fullIbs += ib; cum2 += t }
+            else { ib2 = Some(ib); remaining2 = remaining - cum2 }
+          }
+        }
+        val fullIbLit = typedLit(fullIbs.result())
+        val nonBoundary =
+          out(binned.filter(col("bin") =!= bb), array_contains(fullLit, col("bin")))
+        ib2 match {
+          case None => nonBoundary.union(out(bnd, array_contains(fullIbLit, ibOf)))
+          case Some(b2) =>
+            val w = Window.orderBy(col(idCol).asc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val tail = bnd.filter(ibOf === b2)
+              .withColumn("__cum", sum(col("__tok")).over(w))
+            nonBoundary
+              .union(out(bnd.filter(ibOf =!= b2), array_contains(fullIbLit, ibOf)))
+              .union(out(tail, col("__cum") <= remaining2))
+        }
     }
   }
 
@@ -1552,26 +1617,42 @@ object Corpus {
       scoreCol: String,
       tokensCol: String,
       budget: Long,
-      binWidthMicro: Long = 1000L): DataFrame = {
+      binWidthMicro: Long = 1000L,
+      idBins: Int = 4096): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(binWidthMicro >= 1, "binWidthMicro must be at least 1")
+    require(idBins >= 1, "idBins must be at least 1")
     val sm = round(col(scoreCol) * lit(1e6)).cast("long")
     val gSafe = coalesce(col(groupCol).cast("string"), lit("<null>"))
+    val idNumeric = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val binned = df
       .withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
       .withColumn("__tok", col(tokensCol).cast("long"))
+    // pass 1: per-(group, bin) token sums plus each cell's id range for
+    // the tied-score refinement (driver metadata: groups x bins)
     val hist = binned.groupBy(gSafe.as("g"), col("bin"))
-      .agg(sum(col("__tok")).as("t")).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .agg(sum(col("__tok")).as("t"),
+        min(if (idNumeric) col(idCol).cast("long") else lit(0L)).as("lo"),
+        max(if (idNumeric) col(idCol).cast("long") else lit(0L)).as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val fullKeys = Seq.newBuilder[String]
     val remainingByKey = Map.newBuilder[String, Long]
+    val loByKey = Map.newBuilder[String, Long]
+    val wByKey = Map.newBuilder[String, Long]
     hist.groupBy(_._1).foreach { case (g, rows) =>
       var cum = 0L
       var open = true
-      rows.sortBy(-_._2).foreach { case (_, b, t) =>
+      rows.sortBy(-_._2).foreach { case (_, b, t, lo, hi) =>
         if (open) {
           if (cum + t <= budget) { fullKeys += s"$g\u0000$b"; cum += t }
-          else { remainingByKey += (s"$g\u0000$b" -> (budget - cum)); open = false }
+          else {
+            remainingByKey += (s"$g\u0000$b" -> (budget - cum))
+            loByKey += (s"$g\u0000$b" -> lo)
+            wByKey += (s"$g\u0000$b" -> math.max(1L, (hi - lo) / idBins + 1))
+            open = false
+          }
         }
       }
     }
@@ -1584,10 +1665,55 @@ object Corpus {
       col("bin"), col("__tok").as("n_tokens"), sel.cast("long").as("selected"))
     val w = Window.partitionBy(gSafe).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bnd = binned.filter(isBoundary)
+    val nonBoundary = out(binned.filter(!isBoundary), array_contains(fullLit, key))
+    if (!idNumeric) {
+      // non-numeric id: no range arithmetic - direct per-group window
+      val bnd = binned.filter(isBoundary)
+        .withColumn("__cum", sum(col("__tok")).over(w))
+      return nonBoundary.union(out(bnd, col("__cum") <= element_at(remLit, key)))
+    }
+    // pass 2 - the per-group TIED-SCORE guard (the [[selectTokenBudget]]
+    // refinement, keyed by group): each group's boundary bin sub-divides
+    // by id range into <= idBins buckets (per-group lo/width ride as
+    // broadcast literal maps), the full/boundary walk runs one level
+    // down per group, and only each group's boundary ID BUCKET pays the
+    // per-group ordered window - verdict-identical (bucket order refines
+    // id order inside each group). Driver: boundary-groups x idBins.
+    val loLit = typedLit(loByKey.result())
+    val wLit = typedLit(wByKey.result())
+    val bnd0 = binned.filter(isBoundary)
+      .withColumn("__lo", element_at(loLit, key))
+      .withColumn("__w", element_at(wLit, key))
+    val ibOf = expr(s"(cast(`$idCol` as bigint) - __lo) div __w")
+    val ibHist = bnd0.groupBy(gSafe.as("g"), ibOf.as("ib"))
+      .agg(sum(col("__tok")).as("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // boundary keys are unique per group -> remaining is per-group too
+    val remByG: scala.collection.immutable.Map[String, Long] =
+      remainingByKey.result().map { case (k, v) =>
+        k.substring(0, k.indexOf('\u0000')) -> v
+      }
+    val fullIbKeys = Seq.newBuilder[String]
+    val remaining2ByKey = Map.newBuilder[String, Long]
+    ibHist.groupBy(_._1).foreach { case (g, rows) =>
+      var cum = 0L
+      var open = true
+      rows.sortBy(_._2).foreach { case (_, ib, t) =>
+        if (open) {
+          if (cum + t <= remByG(g)) { fullIbKeys += s"$g\u0000$ib"; cum += t }
+          else { remaining2ByKey += (s"$g\u0000$ib" -> (remByG(g) - cum)); open = false }
+        }
+      }
+    }
+    val ibKey = concat(gSafe, lit("\u0000"), ibOf.cast("string"))
+    val fullIbLit = typedLit(fullIbKeys.result())
+    val rem2Lit = typedLit(remaining2ByKey.result())
+    val isIbBoundary = element_at(rem2Lit, ibKey).isNotNull
+    val tail = bnd0.filter(isIbBoundary)
       .withColumn("__cum", sum(col("__tok")).over(w))
-    out(binned.filter(!isBoundary), array_contains(fullLit, key))
-      .union(out(bnd, col("__cum") <= element_at(remLit, key)))
+    nonBoundary
+      .union(out(bnd0.filter(!isIbBoundary), array_contains(fullIbLit, ibKey)))
+      .union(out(tail, col("__cum") <= element_at(rem2Lit, ibKey)))
   }
 
   /** Soft quality sampling (the DCLM / FineWeb "don't hard-threshold"

@@ -509,6 +509,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(all.forall(_ == 1L))
   }
 
+  test("selectTokenBudget tied-score guard: id-range refinement is verdict-identical") {
+    import spark.implicits._
+    // THE hazard case: every row shares one score → the whole corpus is
+    // the boundary bin at any binWidthMicro. With idBins forced tiny the
+    // id-range walk engages (full buckets + one boundary bucket); the
+    // verdicts must be bit-identical to the direct prefix at every budget
+    val tied = (1L to 100L).map(i => (i, 0.5, (i % 7) + 1L)).toDF("doc_id", "s", "toks")
+    val direct = tied.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, t)) => (id, cum + t) }.drop(1).toMap
+    for (budget <- Seq(0L, 37L, 200L, 1000L); bins <- Seq(1, 3, 4096)) {
+      val got = Corpus.selectTokenBudget(tied, "doc_id", "s", "toks",
+          budget = budget, idBins = bins)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("selected")).toMap
+      val want = direct.map { case (id, cum) => id -> (if (cum <= budget) 1L else 0L) }
+      assert(got == want, s"budget=$budget idBins=$bins: $got")
+    }
+    // sparse, shifted, un-ordered ids exercise the span arithmetic
+    val sparse = Seq((1000000007L, 0.5, 5L), (-50L, 0.5, 5L), (12L, 0.5, 5L))
+      .toDF("doc_id", "s", "toks")
+    val g = Corpus.selectTokenBudget(sparse, "doc_id", "s", "toks", budget = 10L, idBins = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("selected")).toMap
+    assert(g == Map(-50L -> 1L, 12L -> 1L, 1000000007L -> 0L), s"$g")
+  }
+
   test("selectTokenBudgetBy budgets each group independently, NULL group included") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
