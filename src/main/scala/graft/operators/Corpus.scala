@@ -2342,4 +2342,45 @@ object Corpus {
         coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed_lines"),
         concat_ws(sep, filter(arr, (_, i) => !array_contains(rmArr, i))).as("text_deduped"))
   }
+
+  /** Per-source corpus PROFILE (the WIMBD-style "what's in my big data"
+    * report, Elazar et al., arXiv:2310.20707 — corpus-level analytics a
+    * curation run opens with): document count, whitespace-token and
+    * character volume, language spread, and the EXACT-duplicate rate
+    * (documents whose full-text md5 occurs more than once ANYWHERE in the
+    * corpus — cross-source duplication counted, because that is the
+    * contamination question), one row per source.
+    *
+    * Scale shape: per-doc signals are row-local; duplication is one
+    * groupBy on the 16-byte text digest (never the text — the same
+    * narrow-key discipline as [[lineDedup]]) whose df>1 survivors rejoin
+    * as a semi-joinable digest set; the final reduce is one per-source
+    * aggregate with map-side combine. No window, no driver collect. */
+  def corpusReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      langCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val perDoc = df.select(
+      col(idCol).as("id"),
+      col(sourceCol).as("source"),
+      col(langCol).as("lang"),
+      unhex(md5(txt.cast("binary"))).as("__h"),
+      size(split(txt, "\\s+")).cast("long").as("__tok"),
+      length(txt).cast("long").as("__chars"))
+    val dupDigests = perDoc.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1).select(col("__h"), lit(1L).as("__dup"))
+    perDoc.join(dupDigests, Seq("__h"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_exact_dup_docs"))
+      .withColumn("dup_frac",
+        round(col("n_exact_dup_docs").cast("double") / col("n_docs"), 6))
+  }
 }

@@ -934,6 +934,64 @@ object Dedup {
       .select(col("id"), col("cell"), col("cent_cos"), col("matched_id"), col("best_cos"))
   }
 
+  /** D4 data selection (Tirumala et al., "D4: Improving LLM Pretraining
+    * via Document De-Duplication and Diversification", arXiv:2308.12284):
+    * SemDeDup first removes semantic near-duplicates, then SSL-prototype
+    * pruning (Sorscher et al. 2022) drops the `dropPct`% most PROTOTYPICAL
+    * survivors per cluster — dedup kills redundancy between documents,
+    * diversification thins the dense cluster cores the dedup pass cannot
+    * see. One deliberate divergence from the paper, documented here: the
+    * paper re-clusters the survivors between the two stages; this operator
+    * reuses the ONE frozen quantizer for both (re-clustering is a
+    * `Similarity.trainCentroids` call over the survivors away, but a
+    * frozen quantizer keeps the whole composite deterministic from raw
+    * vectors — every stage exactly re-derivable in SQL — and matches how
+    * a production pipeline amortizes one trained quantizer across stages).
+    *
+    * Scale shape is the two components' own: [[semanticDedup]]'s capped
+    * within-cell machinery (`maxCellSize`) plus one per-cell window over
+    * the survivor METADATA rows (id, cell, cent_cos) — vectors never enter
+    * the second stage, and the prototype rank reuses the centroid cosine
+    * the assignment pass already computed (Sorscher's prototypicality
+    * score IS cosine-to-centroid, so no second embedding pass exists).
+    *
+    * Returns one row per input document: (id, cell, component, cent_cos,
+    * sem_keep, proto_rank, cell_size, keep) — `sem_keep` the SemDeDup
+    * verdict, `proto_rank`/`cell_size` NULL for documents SemDeDup
+    * dropped, `keep` the final D4 verdict (survived dedup AND outside the
+    * pruned prototype quota). */
+  def d4Select(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      threshold: Double,
+      dropPct: Int,
+      maxRounds: Int = 20,
+      maxCellSize: Long = DefaultMaxCellSize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dropPct >= 0 && dropPct <= 100, "dropPct must be in [0, 100]")
+    val sem = semanticDedup(corpus, idCol, vecCol, centroids, centroidIdCol,
+      centroidVecCol, threshold, maxRounds, maxCellSize)
+    // stage 2 over survivor metadata only: round-then-rank on the 6dp
+    // centroid cosine (id tiebreak) with the integer drop quota — the
+    // exact prototypePrune arithmetic, on the dedup survivors
+    val w = Window.partitionBy(col("cell")).orderBy(col("cent_cos").desc, col("id").asc)
+    val ranked = sem.filter(col("keep") === 1L)
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("cell_size", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .select(col("id"), col("proto_rank"), col("cell_size"),
+        expr(s"proto_rank > (cell_size * $dropPct) div 100").as("__d4"))
+    sem.select(col("id"), col("cell"), col("component"), col("cent_cos"),
+        col("keep").as("sem_keep"))
+      .join(ranked, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("component"), col("cent_cos"),
+        col("sem_keep"), col("proto_rank"), col("cell_size"),
+        coalesce(col("__d4"), lit(false)).as("keep"))
+  }
+
   /** Canonical-member election by SCORE: within each cluster keep the
     * highest-scoring member (ties to the smaller id) — the step after any
     * near-dedup clustering in a production pipeline, where "first seen"

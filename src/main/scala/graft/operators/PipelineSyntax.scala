@@ -610,5 +610,43 @@ object PipelineSyntax {
         "soft_quality_sample", idCol,
         Map("id" -> idCol, "score" -> scoreCol, "tau" -> tau,
             "gamma" -> gamma, "salt" -> saltKey))
+
+    /** D4 (SemDeDup → prototype pruning, frozen quantizer) verdicts: one
+      * row per doc. */
+    def d4Selected(idCol: String, vecCol: String, centroids: MetaFrame,
+        centroidIdCol: String, centroidVecCol: String, threshold: Double,
+        dropPct: Int, maxCellSize: Long = Dedup.DefaultMaxCellSize): MetaFrame =
+      perDoc(Dedup.d4Select(mf.df, idCol, vecCol, centroids.df, centroidIdCol,
+          centroidVecCol, threshold, dropPct, maxCellSize = maxCellSize),
+        "d4_select", idCol,
+        Map("id" -> idCol, "vec" -> vecCol, "threshold" -> threshold,
+            "dropPct" -> dropPct, "maxCellSize" -> maxCellSize))
+
+    /** IVF-blocked kNN graph: one row per (doc, rank ≤ k) — pk is the
+      * (id, rank) pair, set and verified (knnGraph emits each rank once
+      * per doc by construction). */
+    def knnGraphOf(idCol: String, vecCol: String, centroids: MetaFrame,
+        centroidIdCol: String, centroidVecCol: String, k: Int,
+        maxCellNeighbors: Long = Dedup.DefaultMaxCellSize): MetaFrame =
+      derived(mf,
+        Similarity.knnGraph(mf.df, idCol, vecCol, centroids.df, centroidIdCol,
+          centroidVecCol, k, maxCellNeighbors),
+        "knn_graph",
+        Map("id" -> idCol, "vec" -> vecCol, "k" -> k,
+            "maxCellNeighbors" -> maxCellNeighbors),
+        pk = Some(Seq("id", "rank")),
+        pkVerified = mf.primaryKey.contains(Seq(idCol)) &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+
+    /** WIMBD-style per-source corpus profile: one row per source. */
+    def corpusReported(idCol: String, textCol: String, sourceCol: String,
+        langCol: String): MetaFrame =
+      derived(mf,
+        Corpus.corpusReport(mf.df, idCol, textCol, sourceCol, langCol),
+        "corpus_report",
+        Map("id" -> idCol, "text" -> textCol, "source" -> sourceCol,
+            "lang" -> langCol),
+        pk = Some(Seq("source")),
+        pkVerified = true) // one row per source is the groupBy contract
   }
 }

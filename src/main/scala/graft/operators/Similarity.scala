@@ -1534,4 +1534,79 @@ object Similarity {
       .select(col(idCol).as("id"), col("cell"), col("cell_cos"),
         col("proto_rank"), col("cell_size"), col("keep"))
   }
+
+  /** IVF-blocked k-nearest-neighbor GRAPH: every document's exact-cosine
+    * top-`k` neighbors among the members of its own coarse cell — the
+    * blocked construction every corpus-scale kNN-graph consumer (diversity
+    * metrics, graph-based dedup, kNN-LM retrieval indices) uses, because
+    * the exact graph is a corpus² join and the cell block bounds it at
+    * Σ|cell|·min(|cell|, cap).
+    *
+    * Scale shape: assignment is the row-local broadcast-centroid pass (no
+    * corpus×k fan-out); the single shuffle is the self-join on the cell
+    * key; ranking is the bounded [[graft.expressions.TopKAgg]] — O(k)
+    * state per document with map-side partials, so each map task forwards
+    * at most k candidates per doc instead of sorting the full per-cell
+    * candidate set through a window. `maxCellNeighbors` (default
+    * [[graft.operators.Dedup.DefaultMaxCellSize]]) is the skew guard on
+    * the NEIGHBOR side of the join — an oversized cell contributes only
+    * its cap most CENTRAL members as neighbor candidates (cent_cos
+    * descending, id tiebreak; count-gated, so under-cap cells bypass the
+    * ranking window and reproduce the uncapped plan). One-sided like every
+    * cap in this family: a neighbor may be missed against a dropped
+    * low-centrality member, every reported neighbor is exact-cosine
+    * against a true cell member. Pass [[graft.operators.Dedup.Exact]] for
+    * unconditional within-cell semantics. A document alone in its cell has
+    * no candidates and emits no rows.
+    *
+    * Determinism: candidates rank on the raw double cosine (the
+    * bit-identical left-to-right fold the ANN oracles re-derive) with id
+    * tiebreak; the emitted cosine is rounded to 6 dp.
+    *
+    * Returns one row per (document, neighbor): (id, cell, rank,
+    * neighbor_id, cos), rank 1..k by (cos desc, neighbor_id asc). */
+  def knnGraph(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      k: Int,
+      maxCellNeighbors: Long = Dedup.DefaultMaxCellSize): DataFrame = {
+    import graft.expressions.TopKAgg.topKByScore
+    require(k >= 1, "k must be at least 1")
+    require(maxCellNeighbors >= 1, "maxCellNeighbors must be at least 1")
+    val cents = centroidArray(centroids, centroidIdCol, centroidVecCol)
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol),
+        explode(topCellsLocal(col(vecCol), 1)).as("__best"))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"),
+        col("__best.cell").as("cell"), round(col("__best.cos"), 6).as("cent_cos"))
+    val neigh =
+      if (maxCellNeighbors == Dedup.Exact)
+        assigned.select(col("cell"), col("id").as("__nid"), col("__vec").as("__nv"))
+      else {
+        val counts = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+        val withN = assigned.join(broadcast(counts), Seq("cell"))
+        val small = withN.filter(col("__n") <= maxCellNeighbors)
+          .select(col("cell"), col("id").as("__nid"), col("__vec").as("__nv"))
+        val w = Window.partitionBy(col("cell")).orderBy(desc("cent_cos"), asc("id"))
+        val capped = withN.filter(col("__n") > maxCellNeighbors)
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= maxCellNeighbors)
+          .select(col("cell"), col("id").as("__nid"), col("__vec").as("__nv"))
+        small.union(capped)
+      }
+    assigned.select(col("id"), col("cell"), col("__vec"))
+      .join(neigh, Seq("cell"))
+      .filter(col("id") =!= col("__nid"))
+      .select(col("id"), col("cell"),
+        struct(cosine(col("__vec"), col("__nv")).as("score"), col("__nid").as("id")).as("__c"))
+      .groupBy(col("id"), col("cell"))
+      .agg(topKByScore(col("__c"), k).as("__topk"))
+      .select(col("id"), col("cell"), posexplode(col("__topk")))
+      .select(col("id"), col("cell"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.score"), 6).as("cos"))
+  }
 }

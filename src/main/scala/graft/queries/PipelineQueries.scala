@@ -1385,6 +1385,51 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // D4 (SemDeDup → SSL-prototype pruning, frozen quantizer): the full
+    // dedup_semantic pipeline, then the 25% most-prototypical survivors
+    // per cell dropped by round-then-rank with the integer quota — DuckDB
+    // re-derives BOTH stages from raw vectors on top of the dedup_semantic
+    // oracle's own chain
+    "corpus_d4_select" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Dedup.d4Select(emb, "vec_id", "embedding", centroids, "cell", "cvec",
+          threshold = 0.3, dropPct = 25)
+        .orderBy("id")
+    }),
+
+    // IVF-blocked kNN graph: every doc's exact-cosine top-5 neighbors
+    // within its trained cell, ranked by the bounded TopKAgg (O(k) state,
+    // map-side partials) — shares the window formulation's oracle: raw-
+    // double cosine rank, id tiebreak, 6dp rounding on output only
+    "sim_knn_graph" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.knnGraph(emb, "vec_id", "embedding", centroids, "cell", "cvec", k = 5)
+        .orderBy("id", "rank")
+    }),
+
+    // the CAPPED kNN-graph path forced on (maxCellNeighbors = 16 « every
+    // cell at sf0.01's 500/8 ≈ 62): each cell contributes only its 16 most
+    // central members (6dp cent_cos desc, id tiebreak) as neighbor
+    // candidates — the oversized-cell guard, its candidate-prefix algebra
+    // re-derived by DuckDB
+    "sim_knn_graph_capped" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.knnGraph(emb, "vec_id", "embedding", centroids, "cell", "cvec",
+          k = 5, maxCellNeighbors = 16L)
+        .orderBy("id", "rank")
+    }),
+
+    // WIMBD-style per-source corpus profile: doc/token/char volume,
+    // language spread, and the exact-duplicate rate over the full-text
+    // digest (cross-source duplicates counted) — one digest groupBy plus
+    // one per-source reduce, no window
+    "corpus_report" -> ((s, d) =>
+      Corpus.corpusReport(t(s, d, "documents").df, "doc_id", "text", "source", "lang")
+        .orderBy("source")),
+
     // group-level MinHash sketch (TypedImperativeAggregate): per-source
     // signature, then pairwise estimated Jaccard between sources — carries a
     // full property oracle (exact per-source shingle Jaccard, DuckDB-recomputed)
@@ -3739,5 +3784,104 @@ object PipelineQueries {
        "WHERE " + cosSql("eb.embedding", "ec.embedding") + " >= 0.3 GROUP BY b.id) " +
        "SELECT b.id, b.cell, b.cent_cos, m.matched_id, m.best_cos " +
        "FROM b LEFT JOIN m USING (id) ORDER BY b.id"),
+
+    // D4: the dedup_semantic chain (training, assignment, pair confirm,
+    // recursive CC, election) folded into a `sem` CTE, then the survivor-
+    // side prototype rank/quota — stage 2 exactly as the
+    // corpus_prototype_prune oracle derives it, over sem_keep = 1 rows
+    "corpus_d4_select" ->
+      ("WITH RECURSIVE seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec " +
+       "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+       lloydRoundSql(1, "seeds") + ", " + lloydRoundSql(2, "c1") + ", " +
+       "assign AS (SELECT vec_id, cell, cos FROM (" +
+       "SELECT e.vec_id, c.cell, " + cosSql("e.embedding", "c.cvec") + " AS cos, " +
+       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " + cosSql("e.embedding", "c.cvec") +
+       " DESC, c.cell) AS rn FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1), " +
+       "dpairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+       "FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+       "JOIN embeddings ea ON ea.vec_id = a.vec_id JOIN embeddings eb ON eb.vec_id = b.vec_id " +
+       "WHERE " + cosSql("ea.embedding", "eb.embedding") + " >= 0.3), " +
+       "edges AS (SELECT id_a AS src, id_b AS dst FROM dpairs " +
+       "UNION SELECT id_b AS src, id_a AS dst FROM dpairs), " +
+       "reach(src, dst) AS (SELECT src, dst FROM edges " +
+       "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src), " +
+       "comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src), " +
+       "labeled AS (SELECT a.vec_id AS id, a.cell, round(a.cos, 6) AS cent_cos, " +
+       "coalesce(c.component, a.vec_id) AS component " +
+       "FROM assign a LEFT JOIN comp c ON c.id = a.vec_id), " +
+       "sem AS (SELECT id, cell, component, cent_cos, " +
+       "CAST(CASE WHEN row_number() OVER (PARTITION BY component ORDER BY cent_cos, id) = 1 " +
+       "THEN 1 ELSE 0 END AS BIGINT) AS sem_keep FROM labeled), " +
+       "rk AS (SELECT id, CAST(row_number() OVER (PARTITION BY cell ORDER BY cent_cos DESC, id) AS BIGINT) AS proto_rank, " +
+       "CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size FROM sem WHERE sem_keep = 1) " +
+       "SELECT s.id, s.cell, s.component, s.cent_cos, s.sem_keep, r.proto_rank, r.cell_size, " +
+       "coalesce(r.proto_rank > (r.cell_size * 25) // 100, false) AS keep " +
+       "FROM sem s LEFT JOIN rk r ON r.id = s.id ORDER BY s.id"),
+
+    // kNN graph: training + assignment re-run, within-cell candidate
+    // pairs (both directions, self excluded), raw-double cosine rank with
+    // id tiebreak — the TopKAgg result shares the window formulation's
+    // oracle; 6dp rounding on the emitted cosine only
+    "sim_knn_graph" ->
+      ("WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec " +
+       "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+       lloydRoundSql(1, "seeds") + ", " + lloydRoundSql(2, "c1") + ", " +
+       "assign AS (SELECT vec_id, cell FROM (" +
+       "SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+       cosSql("e.embedding", "c.cvec") + " DESC, c.cell) AS rn " +
+       "FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1), " +
+       "cand AS (SELECT x.vec_id AS id, x.cell, y.vec_id AS nid, " +
+       cosSql("ex.embedding", "ey.embedding") + " AS cos " +
+       "FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id <> y.vec_id " +
+       "JOIN embeddings ex ON ex.vec_id = x.vec_id JOIN embeddings ey ON ey.vec_id = y.vec_id), " +
+       "r AS (SELECT id, cell, nid, cos, " +
+       "row_number() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rank FROM cand) " +
+       "SELECT id, cell, CAST(rank AS BIGINT) AS rank, nid AS neighbor_id, " +
+       "round(cos, 6) AS cos FROM r WHERE rank <= 5 ORDER BY id, rank"),
+
+    // the capped kNN-graph path: identical training/assignment, then the
+    // neighbor-side prefix algebra — per-cell counts, cells over the cap
+    // keep their 16 most central members (6dp cent_cos desc, id tiebreak)
+    // as candidates, under-cap cells pass whole — and the same rank tail
+    "sim_knn_graph_capped" ->
+      ("WITH seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec " +
+       "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)), " +
+       lloydRoundSql(1, "seeds") + ", " + lloydRoundSql(2, "c1") + ", " +
+       "assign AS (SELECT vec_id, cell, cos FROM (" +
+       "SELECT e.vec_id, c.cell, " + cosSql("e.embedding", "c.cvec") + " AS cos, " +
+       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " + cosSql("e.embedding", "c.cvec") +
+       " DESC, c.cell) AS rn FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1), " +
+       "cellcnt AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell), " +
+       "cc AS (SELECT a.vec_id, a.cell, round(a.cos, 6) AS cent_cos, c.n " +
+       "FROM assign a JOIN cellcnt c USING (cell)), " +
+       "neigh AS (SELECT vec_id, cell FROM cc WHERE n <= 16 " +
+       "UNION ALL SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+       "row_number() OVER (PARTITION BY cell ORDER BY cent_cos DESC, vec_id) AS rk " +
+       "FROM cc WHERE n > 16) WHERE rk <= 16), " +
+       "cand AS (SELECT x.vec_id AS id, x.cell, y.vec_id AS nid, " +
+       cosSql("ex.embedding", "ey.embedding") + " AS cos " +
+       "FROM assign x JOIN neigh y ON x.cell = y.cell AND x.vec_id <> y.vec_id " +
+       "JOIN embeddings ex ON ex.vec_id = x.vec_id JOIN embeddings ey ON ey.vec_id = y.vec_id), " +
+       "r AS (SELECT id, cell, nid, cos, " +
+       "row_number() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rank FROM cand) " +
+       "SELECT id, cell, CAST(rank AS BIGINT) AS rank, nid AS neighbor_id, " +
+       "round(cos, 6) AS cos FROM r WHERE rank <= 5 ORDER BY id, rank"),
+
+    // per-source profile: duplicate verdict over full-text equality (the
+    // engine's 16-byte digest is the narrow-key form of the same
+    // predicate), token/char volume, language spread
+    "corpus_report" ->
+      ("WITH d AS (SELECT doc_id, source, lang, coalesce(text, '') AS t FROM documents), " +
+       "dup AS (SELECT t FROM d GROUP BY t HAVING count(*) > 1), " +
+       "j AS (SELECT d.source, d.lang, " +
+       "CAST(len(regexp_split_to_array(d.t, '\\s+')) AS BIGINT) AS tok, " +
+       "CAST(length(d.t) AS BIGINT) AS ch, " +
+       "CASE WHEN u.t IS NOT NULL THEN 1 ELSE 0 END AS isdup " +
+       "FROM d LEFT JOIN dup u ON u.t = d.t) " +
+       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens, " +
+       "CAST(sum(ch) AS BIGINT) AS n_chars, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+       "CAST(sum(isdup) AS BIGINT) AS n_exact_dup_docs, " +
+       "round(CAST(sum(isdup) AS DOUBLE) / count(*), 6) AS dup_frac " +
+       "FROM j GROUP BY source ORDER BY source"),
   )
 }

@@ -477,6 +477,81 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(run(2L) == exact, "cap above every cell population = exact semantics")
   }
 
+  test("d4Select dedups first, then prunes the most prototypical survivors per cell") {
+    import spark.implicits._
+    // cell A: dup pair (1,2) + distinct members 3, 4; cell B: singleton 9.
+    // SemDeDup keeps the outlier of the pair (2); survivors of A are
+    // {2 (cent_cos≈0.995), 3 (≈0.902), 4 (=0.7)} → dropPct=34 gives quota
+    // 3*34 div 100 = 1, pruning exactly the MOST prototypical survivor (2).
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)),
+      (2L, Seq(0.995f, 0.0998f, 0f, 0f)),
+      (3L, Seq(0.9f, 0.43f, 0f, 0f)),
+      (4L, Seq(0.7f, 0.714f, 0f, 0f)),
+      (9L, Seq(0f, 0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 1.0f, 0f))).toDF("cell", "cvec")
+    val out = Dedup.d4Select(vecs, "vec_id", "embedding", centroids, "cell", "cvec",
+        threshold = 0.95, dropPct = 34)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("sem_keep"), Option(r.getAs[java.lang.Long]("proto_rank")).map(_.toLong),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 9L), "one verdict row per input doc")
+    assert(out(1L) == ((0L, None, false)), s"sem-dropped doc never ranks: $out")
+    assert(out(2L) == ((1L, Some(1L), false)), s"most prototypical survivor pruned: $out")
+    assert(out(3L) == ((1L, Some(2L), true)) && out(4L) == ((1L, Some(3L), true)), s"$out")
+    assert(out(9L) == ((1L, Some(1L), true)), "singleton cell: quota 1*34 div 100 = 0 keeps it")
+  }
+
+  test("knnGraph ranks exact within-cell neighbors; the cap restricts candidates one-sidedly") {
+    import spark.implicits._
+    // cell A members 1, 2, 3 (cent_cos 1.0, ≈0.995, 0.8); cell B singleton 4
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)),
+      (2L, Seq(0.99f, 0.1f, 0f, 0f)),
+      (3L, Seq(0.8f, 0.6f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 1.0f, 0f))).toDF("cell", "cvec")
+    def run(cap: Long): Map[Long, Seq[Long]] =
+      Similarity.knnGraph(vecs, "vec_id", "embedding", centroids, "cell", "cvec",
+          k = 2, maxCellNeighbors = cap)
+        .orderBy("id", "rank").collect()
+        .groupBy(_.getAs[Long]("id"))
+        .view.mapValues(_.toSeq.map(_.getAs[Long]("neighbor_id"))).toMap
+    val exact = run(Dedup.Exact)
+    // cos(1,2)≈0.995 > cos(1,3)=0.8; cos(2,3)≈0.856; singleton 4 emits no rows
+    assert(exact == Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 1L)), s"$exact")
+    // cap=1: only the most central member (1) survives as a candidate —
+    // doc 1 loses all candidates (self excluded), 2 and 3 see only 1
+    val capped = run(1L)
+    assert(capped == Map(2L -> Seq(1L), 3L -> Seq(1L)),
+      s"one-sided: neighbors can be missed, never invented: $capped")
+    // an engaging-but-large-enough cap reproduces the exact graph
+    assert(run(3L) == exact)
+  }
+
+  test("corpusReport profiles per source with cross-source exact-dup counting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "en", "s1"),
+      (2L, "a b", "fr", "s2"),          // cross-source dup of 1
+      (3L, "c", "en", "s1"),
+      (4L, null, "en", "s2"),           // NULL text ≡ "" after coalesce
+      (5L, "", "de", "s2")              // dup pair with 4
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.corpusReport(docs, "doc_id", "text", "source", "lang")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_langs"), r.getAs[Long]("n_exact_dup_docs"),
+          r.getAs[Double]("dup_frac")))).toMap
+    // "" splits to one empty token — the text_tokencount convention
+    assert(out("s1") == ((2L, 3L, 4L, 1L, 1L, 0.5)), s"$out")
+    assert(out("s2") == ((3L, 4L, 3L, 3L, 3L, 1.0)), s"$out")
+  }
+
   test("selectTokenBudget selects the greedy best-first prefix within the token budget") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
