@@ -1498,6 +1498,12 @@ object Corpus {
     * NOT back-fill, by design: the selection must be a prefix of the
     * quality order for curriculum reproducibility).
     *
+    * NULL hardening (the curateCorpus contract): a NULL token count
+    * weighs 0 toward the budget; a NULL score is unrankable in the
+    * quality order, so its row carries an explicit selected=0 verdict
+    * (bin NULL) instead of vanishing. Ids are assumed non-null and
+    * unique (the document-id contract shared by the dedup family).
+    *
     * Returns one row per input row: (id, score, bin, n_tokens,
     * selected). */
   def selectTokenBudget(
@@ -1512,14 +1518,24 @@ object Corpus {
     require(binWidthMicro >= 1, "binWidthMicro must be at least 1")
     require(idBins >= 1, "idBins must be at least 1")
     val sm = round(col(scoreCol) * lit(1e6)).cast("long")
+    val idNumeric = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val binned = df
       .withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
-      .withColumn("__tok", col(tokensCol).cast("long"))
+      // NULL token counts contribute zero budget weight, not an NPE
+      .withColumn("__tok", coalesce(col(tokensCol).cast("long"), lit(0L)))
+    // A NULL score has no place in the quality order: its row keeps the
+    // one-row-per-input-row contract with an explicit selected=0 verdict
+    // (bin NULL in the output), and stays out of the histogram so no
+    // NULL-keyed group reaches the driver getLong reads.
+    val scored = binned.filter(col("bin").isNotNull)
     // pass 1: per-bin token sums PLUS each bin's id range, so a boundary
-    // bin can be sub-divided without another full-table pass
-    val hist = binned.groupBy("bin")
+    // bin can be sub-divided without another full-table pass (id range is
+    // a dummy 0 for non-numeric ids — that branch never reads it)
+    val hist = scored.groupBy("bin")
       .agg(sum(col("__tok")).as("t"),
-        min(col(idCol).cast("long")).as("lo"), max(col(idCol).cast("long")).as("hi"))
+        min(if (idNumeric) col(idCol).cast("long") else lit(0L)).as("lo"),
+        max(if (idNumeric) col(idCol).cast("long") else lit(0L)).as("hi"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(-_._1)
@@ -1537,16 +1553,16 @@ object Corpus {
     val out = (frame: DataFrame, sel: Column) => frame.select(
       col(idCol).as("id"), col(scoreCol).as("score"), col("bin"),
       col("__tok").as("n_tokens"), sel.cast("long").as("selected"))
-    boundary match {
-      case None => out(binned, array_contains(fullLit, col("bin")))
-      case Some((bb, lo, hi)) if !df.schema(idCol).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+    val nullScore = out(binned.filter(col("bin").isNull), lit(false))
+    val selected = boundary match {
+      case None => out(scored, array_contains(fullLit, col("bin")))
+      case Some((bb, lo, hi)) if !idNumeric =>
         // non-numeric id: no range arithmetic — direct boundary window
         val w = Window.orderBy(col(idCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val bnd = binned.filter(col("bin") === bb)
+        val bnd = scored.filter(col("bin") === bb)
           .withColumn("__cum", sum(col("__tok")).over(w))
-        out(binned.filter(col("bin") =!= bb), array_contains(fullLit, col("bin")))
+        out(scored.filter(col("bin") =!= bb), array_contains(fullLit, col("bin")))
           .union(out(bnd, col("__cum") <= remaining))
       case Some((bb, lo, hi)) =>
         // pass 2 — the TIED-SCORE guard: a coarse score (rule-based
@@ -1562,7 +1578,7 @@ object Corpus {
         // direct window (the greedy prefix is over (bin DESC, id ASC);
         // id-bucket order refines id order), so the oracle stays the
         // defining window form and `idBins` never changes a verdict.
-        val bnd = binned.filter(col("bin") === bb)
+        val bnd = scored.filter(col("bin") === bb)
         val w2 = math.max(1L, (hi - lo) / idBins + 1)
         // exact integer floor-div (ids ≥ lo, so div = floor): bucket index
         // is monotone in id, which is what makes bucket order REFINE id
@@ -1582,7 +1598,7 @@ object Corpus {
         }
         val fullIbLit = typedLit(fullIbs.result())
         val nonBoundary =
-          out(binned.filter(col("bin") =!= bb), array_contains(fullLit, col("bin")))
+          out(scored.filter(col("bin") =!= bb), array_contains(fullLit, col("bin")))
         ib2 match {
           case None => nonBoundary.union(out(bnd, array_contains(fullIbLit, ibOf)))
           case Some(b2) =>
@@ -1595,6 +1611,7 @@ object Corpus {
               .union(out(tail, col("__cum") <= remaining2))
         }
     }
+    selected.union(nullScore)
   }
 
   /** Per-GROUP [[selectTokenBudget]] — the same greedy best-first prefix
@@ -1609,7 +1626,9 @@ object Corpus {
     * [[scoreBucketsBy]] contract); only each group's boundary bin pays
     * the per-group ordered running-total window. Equivalent to the
     * per-group partitioned running-total window, which is the oracle
-    * form. Returns (id, group, score, bin, n_tokens, selected). */
+    * form. NULL hardening as in [[selectTokenBudget]]: NULL tokens weigh
+    * 0, NULL-score rows get an explicit selected=0 verdict.
+    * Returns (id, group, score, bin, n_tokens, selected). */
   def selectTokenBudgetBy(
       df: DataFrame,
       groupCol: String,
@@ -1628,10 +1647,14 @@ object Corpus {
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val binned = df
       .withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
-      .withColumn("__tok", col(tokensCol).cast("long"))
+      // NULL token counts contribute zero budget weight, not an NPE
+      .withColumn("__tok", coalesce(col(tokensCol).cast("long"), lit(0L)))
+    // NULL score → NULL bin: unrankable, explicit selected=0 verdict row
+    // (one row per input row), kept out of the driver histogram
+    val scored = binned.filter(col("bin").isNotNull)
     // pass 1: per-(group, bin) token sums plus each cell's id range for
     // the tied-score refinement (driver metadata: groups x bins)
-    val hist = binned.groupBy(gSafe.as("g"), col("bin"))
+    val hist = scored.groupBy(gSafe.as("g"), col("bin"))
       .agg(sum(col("__tok")).as("t"),
         min(if (idNumeric) col(idCol).cast("long") else lit(0L)).as("lo"),
         max(if (idNumeric) col(idCol).cast("long") else lit(0L)).as("hi"))
@@ -1663,14 +1686,16 @@ object Corpus {
     val out = (frame: DataFrame, sel: Column) => frame.select(
       col(idCol).as("id"), col(groupCol).as("group"), col(scoreCol).as("score"),
       col("bin"), col("__tok").as("n_tokens"), sel.cast("long").as("selected"))
+    val nullScore = out(binned.filter(col("bin").isNull), lit(false))
     val w = Window.partitionBy(gSafe).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nonBoundary = out(binned.filter(!isBoundary), array_contains(fullLit, key))
+    val nonBoundary = out(scored.filter(!isBoundary), array_contains(fullLit, key))
     if (!idNumeric) {
       // non-numeric id: no range arithmetic - direct per-group window
-      val bnd = binned.filter(isBoundary)
+      val bnd = scored.filter(isBoundary)
         .withColumn("__cum", sum(col("__tok")).over(w))
       return nonBoundary.union(out(bnd, col("__cum") <= element_at(remLit, key)))
+        .union(nullScore)
     }
     // pass 2 - the per-group TIED-SCORE guard (the [[selectTokenBudget]]
     // refinement, keyed by group): each group's boundary bin sub-divides
@@ -1681,7 +1706,7 @@ object Corpus {
     // id order inside each group). Driver: boundary-groups x idBins.
     val loLit = typedLit(loByKey.result())
     val wLit = typedLit(wByKey.result())
-    val bnd0 = binned.filter(isBoundary)
+    val bnd0 = scored.filter(isBoundary)
       .withColumn("__lo", element_at(loLit, key))
       .withColumn("__w", element_at(wLit, key))
     val ibOf = expr(s"(cast(`$idCol` as bigint) - __lo) div __w")
@@ -1714,6 +1739,7 @@ object Corpus {
     nonBoundary
       .union(out(bnd0.filter(!isIbBoundary), array_contains(fullIbLit, ibKey)))
       .union(out(tail, col("__cum") <= element_at(rem2Lit, ibKey)))
+      .union(nullScore)
   }
 
   /** Soft quality sampling (the DCLM / FineWeb "don't hard-threshold"

@@ -1563,6 +1563,15 @@ object Similarity {
     * bit-identical left-to-right fold the ANN oracles re-derive) with id
     * tiebreak; the emitted cosine is rounded to 6 dp.
     *
+    * Id typing: the id column keeps its ORIGINAL type end-to-end (the
+    * [[Dedup.semanticDedup]] family contract). Integral ids (byte/short/
+    * int/long) ride the O(k)-state [[graft.expressions.TopKAgg]] path —
+    * the long slot in its buffer is lossless for them; any other id type
+    * (string, decimal, fractional) ranks through the equivalent
+    * per-(doc, cell) window formulation instead, same (cos desc,
+    * neighbor_id asc) total order, because squeezing those through a long
+    * cast would collide or silently NULL the ids.
+    *
     * Returns one row per (document, neighbor): (id, cell, rank,
     * neighbor_id, cos), rank 1..k by (cos desc, neighbor_id asc). */
   def knnGraph(
@@ -1575,13 +1584,19 @@ object Similarity {
       k: Int,
       maxCellNeighbors: Long = Dedup.DefaultMaxCellSize): DataFrame = {
     import graft.expressions.TopKAgg.topKByScore
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(k >= 1, "k must be at least 1")
     require(maxCellNeighbors >= 1, "maxCellNeighbors must be at least 1")
+    val idType = corpus.schema(idCol).dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val cents = centroidArray(centroids, centroidIdCol, centroidVecCol)
     val assigned = corpus.crossJoin(broadcast(cents))
       .select(col(idCol), col(vecCol),
         explode(topCellsLocal(col(vecCol), 1)).as("__best"))
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"),
+      .select(col(idCol).as("id"), col(vecCol).as("__vec"),
         col("__best.cell").as("cell"), round(col("__best.cos"), 6).as("cent_cos"))
     val neigh =
       if (maxCellNeighbors == Dedup.Exact)
@@ -1598,15 +1613,28 @@ object Similarity {
           .select(col("cell"), col("id").as("__nid"), col("__vec").as("__nv"))
         small.union(capped)
       }
-    assigned.select(col("id"), col("cell"), col("__vec"))
+    val cand = assigned.select(col("id"), col("cell"), col("__vec"))
       .join(neigh, Seq("cell"))
       .filter(col("id") =!= col("__nid"))
-      .select(col("id"), col("cell"),
-        struct(cosine(col("__vec"), col("__nv")).as("score"), col("__nid").as("id")).as("__c"))
-      .groupBy(col("id"), col("cell"))
-      .agg(topKByScore(col("__c"), k).as("__topk"))
-      .select(col("id"), col("cell"), posexplode(col("__topk")))
-      .select(col("id"), col("cell"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("neighbor_id"), round(col("col.score"), 6).as("cos"))
+    if (integralId)
+      cand
+        .select(col("id"), col("cell"),
+          struct(cosine(col("__vec"), col("__nv")).as("score"),
+            col("__nid").cast("long").as("id")).as("__c"))
+        .groupBy(col("id"), col("cell"))
+        .agg(topKByScore(col("__c"), k).as("__topk"))
+        .select(col("id"), col("cell"), posexplode(col("__topk")))
+        .select(col("id"), col("cell"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").cast(idType).as("neighbor_id"), round(col("col.score"), 6).as("cos"))
+    else {
+      // non-integral id: same total order through the window formulation
+      val scored = cand.withColumn("__cos", cosine(col("__vec"), col("__nv")))
+      val w = Window.partitionBy(col("id"), col("cell"))
+        .orderBy(col("__cos").desc, col("__nid").asc)
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .select(col("id"), col("cell"), col("__rk").cast("long").as("rank"),
+          col("__nid").as("neighbor_id"), round(col("__cos"), 6).as("cos"))
+    }
   }
 }

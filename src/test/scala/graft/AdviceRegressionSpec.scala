@@ -428,4 +428,115 @@ class AdviceRegressionSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
     assert(strict(1L).contains(false))
   }
+
+  // ---- ADVICE r12 medium: selectTokenBudget's pass-1 histogram read
+  // min/max(cast(id as long)) via getLong, so a STRING-id corpus NPE'd on
+  // the driver before its documented non-numeric fallback could run
+
+  test("selectTokenBudget runs on a string-id corpus, boundary window included") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      ("a", 0.9, 10L), ("b", 0.9, 10L),
+      ("c", 0.5, 10L), ("d", 0.5, 10L), ("e", 0.5, 10L))
+      .toDF("doc_id", "score", "n_tokens")
+    // budget 30: bin 900 (20 tokens) fully selected; bin 500 is the
+    // boundary with 10 remaining -> id-ordered prefix keeps only "c"
+    val got = Corpus.selectTokenBudget(docs, "doc_id", "score", "n_tokens", budget = 30L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 0L, "e" -> 0L), s"$got")
+  }
+
+  // ---- ADVICE r12 low: NULL score / NULL token hardening — NULL-score
+  // rows vanished from the boundary branch (both === and =!= are NULL)
+  // and all-NULL token bins NPE'd the driver getLong reads
+
+  test("selectTokenBudget: NULL score gets an explicit 0 verdict, NULL tokens weigh 0") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, Option(0.9), Option(10L)),
+      (2L, Option.empty[Double], Option(10L)),   // NULL score
+      (3L, Option(0.9), Option.empty[Long]),     // NULL tokens in a selected bin
+      (4L, Option(0.2), Option(5L)))
+      .toDF("doc_id", "score", "n_tokens")
+    // budget 12: bin 900 holds 10 + 0 tokens (doc 3 weighs 0) -> full;
+    // bin 200 (5 tokens) is the boundary with 2 remaining -> doc 4 out
+    val rows = Corpus.selectTokenBudget(docs, "doc_id", "score", "n_tokens", budget = 12L)
+      .collect()
+    assert(rows.length == 4, "one row per input row, NULL-score row included")
+    val got = rows.map(r => r.getLong(0) -> ((Option(r.get(2)), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((Some(900L), 10L, 1L)), s"$got")
+    assert(got(2L) == ((None, 10L, 0L)), s"NULL score: explicit 0 verdict, NULL bin: $got")
+    assert(got(3L) == ((Some(900L), 0L, 1L)), s"NULL tokens weigh 0: $got")
+    assert(got(4L) == ((Some(200L), 5L, 0L)), s"$got")
+  }
+
+  test("selectTokenBudgetBy: NULL-score rows keep their group with a 0 verdict") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      ("en", 1L, Option(0.9), Option(10L)),
+      ("en", 2L, Option.empty[Double], Option(3L)),
+      ("fr", 3L, Option(0.8), Option(4L)),
+      ("fr", 4L, Option(0.8), Option.empty[Long]))
+      .toDF("lang", "doc_id", "score", "n_tokens")
+    val rows = Corpus.selectTokenBudgetBy(docs, "lang", "doc_id", "score", "n_tokens",
+        budget = 10L)
+      .collect()
+    assert(rows.length == 4, "one row per input row")
+    val got = rows.map(r => r.getLong(0) ->
+      ((r.getString(1), Option(r.get(3)), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == (("en", Some(900L), 10L, 1L)), s"$got")
+    assert(got(2L) == (("en", None, 3L, 0L)), s"NULL score keeps its group: $got")
+    assert(got(3L) == (("fr", Some(800L), 4L, 1L)), s"$got")
+    assert(got(4L) == (("fr", Some(800L), 0L, 1L)), s"NULL tokens weigh 0: $got")
+  }
+
+  // ---- ADVICE r12 low: knnGraph silently cast ids to long — string ids
+  // became NULL, the id =!= __nid self-exclusion dropped every candidate,
+  // and the graph returned silently empty
+
+  test("knnGraph keeps string ids intact instead of returning a silently empty graph") {
+    import graft.operators.{Dedup, Similarity}
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq(
+      ("d1", Seq(1.0f, 0f, 0f, 0f)),
+      ("d2", Seq(0.99f, 0.1f, 0f, 0f)),
+      ("d3", Seq(0.8f, 0.6f, 0f, 0f)),
+      ("d4", Seq(0f, 0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 1.0f, 0f))).toDF("cell", "cvec")
+    def run(cap: Long): Map[String, Seq[String]] =
+      Similarity.knnGraph(vecs, "vec_id", "embedding", centroids, "cell", "cvec",
+          k = 2, maxCellNeighbors = cap)
+        .orderBy("id", "rank").collect()
+        .groupBy(_.getAs[String]("id"))
+        .view.mapValues(_.toSeq.map(_.getAs[String]("neighbor_id"))).toMap
+    // the same graph the long-id fixture pins in PipelineOpsSpec
+    val exact = run(Dedup.Exact)
+    assert(exact == Map("d1" -> Seq("d2", "d3"), "d2" -> Seq("d1", "d3"),
+      "d3" -> Seq("d2", "d1")), s"$exact")
+    // the capped (window) branch under string ids
+    assert(run(1L) == Map("d2" -> Seq("d1"), "d3" -> Seq("d1")))
+  }
+
+  test("knnGraph preserves a non-long integral id type on both id columns") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.types.IntegerType
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq(
+      (1, Seq(1.0f, 0f)), (2, Seq(0.9f, 0.436f))).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Seq(1.0f, 0f))).toDF("cell", "cvec")
+    val out = Similarity.knnGraph(vecs, "vec_id", "embedding", centroids, "cell", "cvec", k = 1)
+    assert(out.schema("id").dataType == IntegerType)
+    assert(out.schema("neighbor_id").dataType == IntegerType)
+    assert(out.count() == 2L)
+  }
 }
