@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{FunctionQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{FunctionQueries, OpsQueries, PipelineQueries, RelationalQueries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -25,11 +25,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RelationalQueries.flagshipQueries ++
-      FunctionQueries.queries ++ PipelineQueries.queries
+      FunctionQueries.queries ++ PipelineQueries.queries ++ OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ RelationalQueries.flagshipOracleSql ++
-      FunctionQueries.oracleSql ++ PipelineQueries.oracleSql
+      FunctionQueries.oracleSql ++ PipelineQueries.oracleSql ++ OpsQueries.oracleSql
 }

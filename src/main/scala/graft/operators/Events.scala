@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Event-log analytics over an append-only event table (SURVEY.md §2.3
+  * extensions): gap-based sessionization, per-session rollups, and ordered
+  * funnel matching. The batch twins of [[graft.streaming.Streams.sessionize]]
+  * (the `flatMapGroupsWithState` stateful form) — same session semantics,
+  * expressed as per-user windows so a backfill over years of history runs
+  * as one shuffle instead of a stateful stream replay.
+  *
+  * Scale shape: every operator here shuffles ONCE on the user key and then
+  * stays user-local (windows partitioned by user, session rollups grouped by
+  * (user, session) — a subset-satisfied clustering, so Catalyst plans no
+  * second exchange). Nothing orders globally; nothing collects to the
+  * driver. Timestamps compare as exact integer microseconds
+  * (`unix_micros`), so session boundaries are reproducible bit-for-bit at
+  * any partitioning and re-derivable in ANSI SQL (`epoch_us`).
+  */
+object Events {
+
+  /** Exact integer microseconds for a timestamp column of either flavor.
+    * Parquet TIMESTAMP(isAdjustedToUTC=false) loads as TIMESTAMP_NTZ in
+    * Spark 4; `unix_micros` only accepts TIMESTAMP, so NTZ casts through
+    * it first — an identity on the stored micros under the session-UTC
+    * convention every main in this repo sets (and the value DuckDB's
+    * `epoch_us` reads from the same parquet). */
+  private def micros(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case _ => unix_micros(col(tsCol))
+    }
+
+  /** Gap-based sessionization: within each `userCol`, events ordered by
+    * (`tsCol`, `idCol`) start a NEW session whenever the gap from the
+    * previous event exceeds `gapSeconds` (strictly greater — an event
+    * landing exactly at the gap bound continues the session, the common
+    * web-analytics convention). The first event of a user always opens
+    * session 1. `idCol` breaks timestamp ties so the running session
+    * counter is deterministic under any physical row order.
+    *
+    * Returns one row per input event:
+    * (event_id, user_id, ts_us, gap_us, session_idx) — `gap_us` NULL on
+    * each user's first event, `session_idx` 1-based per user. */
+  def sessionize(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long): DataFrame =
+    sessionized(events, userCol, tsCol, idCol, gapSeconds)
+      .select(col(idCol).as("event_id"), col(userCol).as("user_id"),
+        micros(events, tsCol).as("ts_us"), col("gap_us"), col("session_idx"))
+
+  /** [[sessionize]] keeping every input column (plus gap_us/session_idx) —
+    * the shared core, so [[sessionStats]] reaches the event-type column
+    * without a second shuffle back onto the event id. */
+  private def sessionized(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 0, "gapSeconds must be non-negative")
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    val running = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = micros(events, tsCol)
+    val gapUs = us - lag(us, 1).over(order)
+    val isNew = when(gapUs.isNull || gapUs > lit(gapSeconds * 1000000L), 1L).otherwise(0L)
+    events
+      .withColumn("gap_us", gapUs)
+      .withColumn("session_idx", sum(isNew).over(running))
+  }
+
+  /** Per-session rollup over [[sessionize]]'s assignment: one row per
+    * (user, session) with exact integer bounds and counts. `duration_us`
+    * is last-event minus first-event time (0 for single-event sessions).
+    *
+    * Returns (user_id, session_idx, n_events, start_us, end_us,
+    * duration_us, n_event_types). */
+  def sessionStats(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      gapSeconds: Long): DataFrame =
+    sessionized(events, userCol, tsCol, idCol, gapSeconds)
+      .groupBy(col(userCol).as("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(micros(events, tsCol)).as("start_us"),
+        max(micros(events, tsCol)).as("end_us"),
+        (max(micros(events, tsCol)) - min(micros(events, tsCol))).as("duration_us"),
+        countDistinct(col(typeCol)).as("n_event_types"))
+
+  /** Ordered funnel matching: for each user, how far through the ordered
+    * `steps` sequence did they progress — where step i+1 counts only if it
+    * happens STRICTLY AFTER the first completion of step i (the classic
+    * product-analytics funnel, not mere set membership). Duplicate step
+    * events are fine; only each step's earliest qualifying occurrence
+    * matters. Events with types outside `steps` are ignored.
+    *
+    * Implementation: ONE aggregate pass collects, per user and per step,
+    * the sorted array of that step's event times (each capped at
+    * `maxStepEventsPerUser` entries after the sort — the skew guard for a
+    * bot user emitting millions of identical events; one-sided: capping
+    * can only under-report progression for users beyond the cap, never
+    * invent it). The strict-increase fold then runs as a row-local
+    * expression chain over those arrays — t₁ = first time of step 1,
+    * tᵢ = first step-i time strictly after tᵢ₋₁ — the greedy
+    * earliest-completion semantics (ClickHouse `windowFunnel` with
+    * `strict_increase`, no window bound). One shuffle on the user key;
+    * integer microsecond arithmetic end-to-end.
+    *
+    * Returns (user_id, steps_completed, t_first_us, t_last_us) with
+    * steps_completed 0..steps.length (always a prefix: tᵢ is NULL whenever
+    * tᵢ₋₁ is), times NULL when no step matched. */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxStepEventsPerUser: Int = 1000): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.length == steps.length, "steps must be distinct")
+    require(maxStepEventsPerUser >= 1, "maxStepEventsPerUser must be at least 1")
+    val us = micros(events, tsCol)
+    val lists = steps.zipWithIndex.map { case (step, i) =>
+      slice(array_sort(collect_list(when(col(typeCol) === lit(step), us))),
+        1, maxStepEventsPerUser).as(s"__ts$i")
+    }
+    val agged = events.groupBy(col(userCol).as("user_id")).agg(lists.head, lists.tail: _*)
+    // fold: t0 = first element of __ts0; tᵢ = first element of __tsᵢ > tᵢ₋₁
+    // (get() is 0-based and NULL-safe out of range, unlike ANSI element_at)
+    val folded = steps.indices.foldLeft(agged) { case (df, i) =>
+      val tPrev = if (i == 0) lit(Long.MinValue) else col(s"__t${i - 1}")
+      df.withColumn(s"__t$i",
+        when(tPrev.isNotNull, get(filter(col(s"__ts$i"), t => t > tPrev), lit(0)))
+          .otherwise(lit(null).cast("long")))
+    }
+    val ts = steps.indices.map(i => col(s"__t$i"))
+    val completed = ts.foldLeft(lit(0L)) { (acc, t) => acc + when(t.isNotNull, 1L).otherwise(0L) }
+    folded.select(col("user_id"),
+      completed.as("steps_completed"),
+      ts.head.as("t_first_us"),
+      coalesce(ts.reverse: _*).as("t_last_us"))
+  }
+}

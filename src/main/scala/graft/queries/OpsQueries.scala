@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.operators.Events
+import graft.sources.Tables
+
+/** Declared queries for the operations layer (SURVEY.md §2.3 extensions,
+  * round 13): event sessionization / funnels, data-quality constraint
+  * suites, snapshot diffing, canary scanning, link-graph centrality, BM25
+  * retrieval. Every query's arithmetic is integer-exact (microsecond
+  * timestamps, counts, micro-quantized scores), so each carries a full
+  * DuckDB re-derivation as its oracle. */
+object OpsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): MetaFrame =
+    Tables.loadMeta(s, dir, name)
+
+  /** Session gap for the declared queries: 4 hours. The events table's
+    * median per-user inter-event gap is ~7 h, so 4 h yields a discriminating
+    * mix (~70% boundary events at sf0.01) instead of all-singletons. */
+  private val GapSeconds = 14400L
+
+  /** Day-1 cutoff (2024-01-02T00:00:00Z as epoch seconds) for the funnel
+    * query: the full 30-day table completes any 3-step funnel for every
+    * user, so the declared query restricts to the first day, where depths
+    * 0..3 all occur. The `cast(ts as timestamp).cast(long)` form is
+    * deliberate: it is identical for TIMESTAMP and TIMESTAMP_NTZ inputs
+    * under the session-UTC convention. */
+  private val FunnelCutoffEpochS = 1704153600L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sessionize" -> ((s, d) =>
+      Events.sessionize(t(s, d, "events").df, "user_id", "ts", "event_id",
+          gapSeconds = GapSeconds)
+        .orderBy("event_id")),
+
+    "events_session_stats" -> ((s, d) =>
+      Events.sessionStats(t(s, d, "events").df, "user_id", "ts", "event_id",
+          "event_type", gapSeconds = GapSeconds)
+        .orderBy("user_id", "session_idx")),
+
+    "events_funnel" -> ((s, d) =>
+      Events.funnel(
+          t(s, d, "events").df
+            .filter(col("ts").cast("timestamp").cast("long") < FunnelCutoffEpochS),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id")))
+
+  val oracleSql: Map[String, String] = Map(
+    "events_sessionize" ->
+      ("WITH s AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, " +
+       "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us FROM events) " +
+       "SELECT event_id, user_id, ts_us, gap_us, " +
+       "CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 14400000000 THEN 1 ELSE 0 END) " +
+       "OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx " +
+       "FROM s ORDER BY event_id"),
+
+    "events_session_stats" ->
+      ("WITH s AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, " +
+       "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL " +
+       "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000 THEN 1 ELSE 0 END AS nw " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "s2 AS (SELECT user_id, event_type, ts_us, " +
+       "SUM(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM s) " +
+       "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events, " +
+       "min(ts_us) AS start_us, max(ts_us) AS end_us, " +
+       "max(ts_us) - min(ts_us) AS duration_us, " +
+       "count(DISTINCT event_type) AS n_event_types " +
+       "FROM s2 GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+
+    "events_funnel" ->
+      ("WITH ev AS (SELECT * FROM events WHERE epoch(ts) < 1704153600), " +
+       "t0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM ev " +
+       "WHERE event_type = 'view' GROUP BY user_id), " +
+       "t1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1 FROM ev e " +
+       "JOIN t0 USING (user_id) WHERE e.event_type = 'click' " +
+       "AND epoch_us(e.ts) > t0.t0 GROUP BY e.user_id), " +
+       "t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM ev e " +
+       "JOIN t1 USING (user_id) WHERE e.event_type = 'purchase' " +
+       "AND epoch_us(e.ts) > t1.t1 GROUP BY e.user_id) " +
+       "SELECT u.user_id, CAST(CASE WHEN t2 IS NOT NULL THEN 3 " +
+       "WHEN t1 IS NOT NULL THEN 2 WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) " +
+       "AS steps_completed, CAST(t0 AS BIGINT) AS t_first_us, " +
+       "CAST(coalesce(t2, t1, t0) AS BIGINT) AS t_last_us " +
+       "FROM (SELECT DISTINCT user_id FROM ev) u LEFT JOIN t0 USING (user_id) " +
+       "LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id) ORDER BY user_id"))
+}
