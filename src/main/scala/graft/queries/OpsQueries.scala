@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.Events
+import graft.operators.{Checks, Events}
 import graft.sources.Tables
 
 /** Declared queries for the operations layer (SURVEY.md §2.3 extensions,
@@ -47,7 +47,20 @@ object OpsQueries {
           t(s, d, "events").df
             .filter(col("ts").cast("timestamp").cast("long") < FunnelCutoffEpochS),
           "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
-        .orderBy("user_id")))
+        .orderBy("user_id")),
+
+    // Deequ-style suite over lineitem: a deliberate pass/fail mix — the
+    // synthetic (l_orderkey, l_linenumber) key is NOT unique and ~10% of
+    // quantities sit above 45, so the failing verdicts carry real counts
+    "dq_constraints" -> ((s, d) =>
+      Checks.check(t(s, d, "lineitem").df, Seq(
+          Checks.NotNull("l_orderkey"),
+          Checks.InRange("l_quantity", 1, 45),
+          Checks.InSet("l_returnflag", Seq("A", "N", "R")),
+          Checks.MatchesRegex("l_linestatus", "^[FO]$"),
+          Checks.Unique(Seq("l_orderkey", "l_linenumber")),
+          Checks.RowCountBetween(1000L, 100000000L)))
+        .orderBy("check_name")))
 
   val oracleSql: Map[String, String] = Map(
     "events_sessionize" ->
@@ -89,5 +102,29 @@ object OpsQueries {
        "AS steps_completed, CAST(t0 AS BIGINT) AS t_first_us, " +
        "CAST(coalesce(t2, t1, t0) AS BIGINT) AS t_last_us " +
        "FROM (SELECT DISTINCT user_id FROM ev) u LEFT JOIN t0 USING (user_id) " +
-       "LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id) ORDER BY user_id"))
+       "LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id) ORDER BY user_id"),
+
+    "dq_constraints" ->
+      ("WITH n AS (SELECT count(*) AS n FROM lineitem), v AS (" +
+       "SELECT 'not_null(l_orderkey)' AS check_name, 'not_null' AS kind, " +
+       "'l_orderkey' AS target, " +
+       "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS violations " +
+       "UNION ALL SELECT 'in_range(l_quantity)', 'in_range', 'l_quantity in [1.0, 45.0]', " +
+       "(SELECT count(*) FROM lineitem WHERE l_quantity IS NOT NULL " +
+       "AND (l_quantity < 1.0 OR l_quantity > 45.0)) " +
+       "UNION ALL SELECT 'in_set(l_returnflag)', 'in_set', 'l_returnflag in {A,N,R}', " +
+       "(SELECT count(*) FROM lineitem WHERE l_returnflag IS NOT NULL " +
+       "AND l_returnflag NOT IN ('A','N','R')) " +
+       "UNION ALL SELECT 'regex(l_linestatus)', 'regex', 'l_linestatus ~ ^[FO]$', " +
+       "(SELECT count(*) FROM lineitem WHERE l_linestatus IS NOT NULL " +
+       "AND NOT regexp_matches(l_linestatus, '^[FO]$')) " +
+       "UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', 'unique', " +
+       "'l_orderkey,l_linenumber', " +
+       "(SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM lineitem " +
+       "GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) " +
+       "UNION ALL SELECT 'row_count', 'row_count', 'rows in [1000, 100000000]', " +
+       "CASE WHEN (SELECT n FROM n) BETWEEN 1000 AND 100000000 THEN 0 ELSE 1 END) " +
+       "SELECT check_name, kind, target, CAST(violations AS BIGINT) AS violations, " +
+       "CAST((SELECT n FROM n) AS BIGINT) AS n_rows, violations = 0 AS pass " +
+       "FROM v ORDER BY check_name"))
 }

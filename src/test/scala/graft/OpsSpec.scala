@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Events
+import graft.operators.{Checks, Events}
 
 /** Round-13 operations layer: sessionization, funnels, data-quality
   * constraints, snapshot diff, canary scan, graph centrality, BM25. */
@@ -97,5 +97,52 @@ class OpsSpec extends AnyFunSuite {
         maxStepEventsPerUser = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(1L) == 2L, s"cap keeps earliest view (t=1) so click@3 qualifies: $got")
+  }
+
+  // ------------------------------------------------------------ constraints
+
+  test("check: exact violation counts, NULL-ignoring value constraints") {
+    import Checks._
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Option(5.0), "A"),
+      (2L, Option.empty[Double], "B"),   // NULL v: fails NotNull only
+      (2L, Option(60.0), "A"))           // out of range; id 2 duplicated
+      .toDF("id", "v", "f")
+    val got = Checks.check(df, Seq(
+        NotNull("v"),
+        InRange("v", 0, 50),
+        InSet("f", Seq("A")),
+        MatchesRegex("f", "^[A-Z]$"),
+        Unique(Seq("id")),
+        RowCountBetween(1, 10)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getBoolean(5))))
+    // declaration order preserved
+    assert(got.map(_._1).toSeq == Seq("not_null(v)", "in_range(v)", "in_set(f)",
+      "regex(f)", "unique(id)", "row_count"), s"${got.toSeq}")
+    val m = got.toMap
+    assert(m("not_null(v)") == ((1L, 3L, false)), s"$m")
+    assert(m("in_range(v)") == ((1L, 3L, false)), s"NULL must not count as out-of-range: $m")
+    assert(m("in_set(f)") == ((1L, 3L, false)), s"$m")
+    assert(m("regex(f)") == ((0L, 3L, true)), s"$m")
+    assert(m("unique(id)") == ((2L, 3L, false)), s"both rows of the dup group count: $m")
+    assert(m("row_count") == ((0L, 3L, true)), s"$m")
+  }
+
+  test("check: empty table and unique-only suites degrade gracefully") {
+    import Checks._
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "f")
+    val got = Checks.check(empty, Seq(NotNull("f"), Unique(Seq("id")), RowCountBetween(1, 10)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got("not_null(f)") == ((0L, 0L, true)), s"$got")
+    assert(got("unique(id)") == ((0L, 0L, true)), s"$got")
+    assert(got("row_count") == ((1L, 0L, false)), s"$got")
+    val uniqueOnly = Checks.check(Seq((1L, "x"), (1L, "y")).toDF("id", "f"),
+        Seq(Unique(Seq("id"))))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(uniqueOnly.toSeq == Seq(("unique(id)", 2L, 2L, false)), s"${uniqueOnly.toSeq}")
   }
 }
