@@ -2409,4 +2409,78 @@ object Corpus {
       .withColumn("dup_frac",
         round(col("n_exact_dup_docs").cast("double") / col("n_docs"), 6))
   }
+
+  /** Corpus snapshot diff (the dataset-versioning primitive behind
+    * "what changed between crawl N and crawl N+1"): a full-outer join of
+    * two snapshots on the document id, classifying every id as
+    * added / removed / changed / unchanged by NULL-SAFE per-column
+    * comparison (`<=>`) over `compareCols` — no serialization-dependent
+    * row hashing, so the verdict is exact for any column type and NULL
+    * pattern, and re-derivable in ANSI SQL (`IS NOT DISTINCT FROM`).
+    *
+    * Ids are assumed unique per snapshot (the document-id contract); a
+    * duplicated id fans out through the join like any pk violation would.
+    *
+    * Scale shape: ONE co-partitioned shuffle join on the id — both sides
+    * hash-partition on the same key, comparison is row-local, nothing
+    * collects. At 100 TB the two snapshots would be bucketed on the id so
+    * the exchange disappears entirely ([[graft.sources.Bucketing]]).
+    *
+    * Returns one row per id in either snapshot:
+    * (id, status, n_changed_cols) — n_changed_cols NULL for added/removed
+    * rows, else the exact count of differing compare columns. */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val o = oldDf.select(col(idCol).as("id") +:
+      lit(1).as("__in_o") +: compareCols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select(col(idCol).as("id") +:
+      lit(1).as("__in_n") +: compareCols.map(c => col(c).as(s"__n_$c")): _*)
+    val same = compareCols.map(c => col(s"__o_$c") <=> col(s"__n_$c")).reduce(_ && _)
+    val nChanged = compareCols
+      .map(c => when(col(s"__o_$c") <=> col(s"__n_$c"), 0L).otherwise(1L))
+      .reduce(_ + _)
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__in_o").isNull, "added")
+          .when(col("__in_n").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed").as("status"),
+        when(col("__in_o").isNotNull && col("__in_n").isNotNull, nChanged)
+          .otherwise(lit(null).cast("long")).as("n_changed_cols"))
+  }
+
+  /** Canary-string scan (training-data hygiene: secret-detection canaries,
+    * benchmark watermark strings, licensing sentinels): exact occurrence
+    * counts of each literal `canaries` entry per document. The count is the
+    * replace-length quotient — (len(text) − len(replace(text, c))) / len(c)
+    * — exact integers, counting NON-OVERLAPPING occurrences left to right.
+    *
+    * Scale shape: fully row-local — the canary list rides as a plan literal
+    * exploded against each row (no join, no shuffle); only documents with
+    * at least one hit survive, so the output is proportional to leakage,
+    * not corpus size.
+    *
+    * Returns one row per (document, canary) with hits ≥ 1:
+    * (id, canary, hits). */
+  def canaryScan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty, "canaries must be non-empty")
+    require(canaries.forall(_.nonEmpty), "canary strings must be non-empty")
+    require(canaries.distinct.length == canaries.length, "canaries must be distinct")
+    val txt = coalesce(col(textCol), lit(""))
+    df.select(col(idCol).as("id"), txt.as("__t"),
+        explode(typedLit(canaries)).as("canary"))
+      .withColumn("hits",
+        ((length(col("__t")) - length(replace(col("__t"), col("canary")))) /
+          length(col("canary"))).cast("long"))
+      .filter(col("hits") >= 1L)
+      .select(col("id"), col("canary"), col("hits"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.{Checks, Events}
+import graft.operators.{Checks, Corpus, Events}
 import graft.sources.Tables
 
 /** Declared queries for the operations layer (SURVEY.md §2.3 extensions,
@@ -60,7 +60,39 @@ object OpsQueries {
           Checks.MatchesRegex("l_linestatus", "^[FO]$"),
           Checks.Unique(Seq("l_orderkey", "l_linenumber")),
           Checks.RowCountBetween(1000L, 100000000L)))
-        .orderBy("check_name")))
+        .orderBy("check_name")),
+
+    // snapshot diff: "crawl N+1" derived from documents by deterministic
+    // mod rules (÷17 removed, ÷13 text-mutated, ÷23 re-added under a
+    // shifted id) so every verdict class occurs and DuckDB rebuilds the
+    // same second snapshot exactly
+    "corpus_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val mutated = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      val added = docs.filter(col("doc_id") % 23 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      Corpus.snapshotDiff(docs, mutated.unionByName(added), "doc_id",
+          Seq("text", "lang", "source"))
+        .orderBy("id")
+    }),
+
+    // canary scan over planted sentinels: ÷31 docs get CANARY-A1 (twice
+    // for ÷62), ÷37 docs get SECRET-B2 — the oracle re-plants and re-counts
+    "text_canary_scan" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+        .withColumn("text",
+          when(col("doc_id") % 62 === 0, concat(col("text"), lit(" CANARY-A1 CANARY-A1")))
+            .when(col("doc_id") % 31 === 0, concat(col("text"), lit(" CANARY-A1")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 37 === 0, concat(col("text"), lit(" SECRET-B2")))
+            .otherwise(col("text")))
+      Corpus.canaryScan(docs, "doc_id", "text", Seq("CANARY-A1", "SECRET-B2"))
+        .orderBy("id", "canary")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "events_sessionize" ->
@@ -126,5 +158,38 @@ object OpsQueries {
        "CASE WHEN (SELECT n FROM n) BETWEEN 1000 AND 100000000 THEN 0 ELSE 1 END) " +
        "SELECT check_name, kind, target, CAST(violations AS BIGINT) AS violations, " +
        "CAST((SELECT n FROM n) AS BIGINT) AS n_rows, violations = 0 AS pass " +
-       "FROM v ORDER BY check_name"))
+       "FROM v ORDER BY check_name"),
+
+    "corpus_snapshot_diff" ->
+      ("WITH newt AS (" +
+       "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text, " +
+       "lang, source FROM documents WHERE doc_id % 17 <> 0 " +
+       "UNION ALL SELECT doc_id + 100000, text, lang, source FROM documents " +
+       "WHERE doc_id % 23 = 0), " +
+       "o AS (SELECT doc_id, text, lang, source, 1 AS p FROM documents), " +
+       "nn AS (SELECT doc_id, text, lang, source, 1 AS p FROM newt) " +
+       "SELECT coalesce(o.doc_id, nn.doc_id) AS id, " +
+       "CASE WHEN o.p IS NULL THEN 'added' WHEN nn.p IS NULL THEN 'removed' " +
+       "WHEN o.text IS NOT DISTINCT FROM nn.text AND o.lang IS NOT DISTINCT FROM nn.lang " +
+       "AND o.source IS NOT DISTINCT FROM nn.source THEN 'unchanged' " +
+       "ELSE 'changed' END AS status, " +
+       "CASE WHEN o.p IS NOT NULL AND nn.p IS NOT NULL THEN " +
+       "CAST((o.text IS DISTINCT FROM nn.text) AS BIGINT) + " +
+       "CAST((o.lang IS DISTINCT FROM nn.lang) AS BIGINT) + " +
+       "CAST((o.source IS DISTINCT FROM nn.source) AS BIGINT) END AS n_changed_cols " +
+       "FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id ORDER BY id"),
+
+    "text_canary_scan" ->
+      ("WITH planted AS (SELECT doc_id, " +
+       "(CASE WHEN doc_id % 62 = 0 THEN text || ' CANARY-A1 CANARY-A1' " +
+       "WHEN doc_id % 31 = 0 THEN text || ' CANARY-A1' ELSE text END) AS t0 " +
+       "FROM documents), " +
+       "planted2 AS (SELECT doc_id, " +
+       "CASE WHEN doc_id % 37 = 0 THEN t0 || ' SECRET-B2' ELSE t0 END AS t FROM planted), " +
+       "pairs AS (SELECT doc_id, unnest(['CANARY-A1', 'SECRET-B2']) AS canary, t " +
+       "FROM planted2), " +
+       "counted AS (SELECT doc_id AS id, canary, " +
+       "CAST((length(t) - length(replace(t, canary, ''))) / length(canary) AS BIGINT) " +
+       "AS hits FROM pairs) " +
+       "SELECT id, canary, hits FROM counted WHERE hits >= 1 ORDER BY id, canary"))
 }

@@ -145,4 +145,52 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getBoolean(5)))
     assert(uniqueOnly.toSeq == Seq(("unique(id)", 2L, 2L, false)), s"${uniqueOnly.toSeq}")
   }
+
+  // ---------------------------------------------------------- snapshotDiff
+
+  test("snapshotDiff: added/removed/changed/unchanged with NULL-safe compares") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val old = Seq(
+      (1L, "a", Option("x")),
+      (2L, "b", Option.empty[String]),
+      (3L, "c", Option("z")),
+      (4L, "d", Option("w"))).toDF("doc_id", "t", "u")
+    val neu = Seq(
+      (1L, "a", Option("x")),               // unchanged (incl. equal non-nulls)
+      (2L, "b", Option("y")),               // NULL -> y: one changed column
+      (4L, "D", Option("W")),               // two changed columns
+      (5L, "e", Option.empty[String])).toDF("doc_id", "t", "u")  // added, with NULL
+    val got = Corpus.snapshotDiff(old, neu, "doc_id", Seq("t", "u"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L) == (("unchanged", Some(0L))), s"$got")
+    assert(got(2L) == (("changed", Some(1L))), s"NULL vs value must count as a change: $got")
+    assert(got(3L) == (("removed", None)), s"$got")
+    assert(got(4L) == (("changed", Some(2L))), s"$got")
+    assert(got(5L) == (("added", None)), s"$got")
+  }
+
+  // ------------------------------------------------------------ canaryScan
+
+  test("canaryScan counts non-overlapping hits and emits only leaking docs") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "x CANARY-A1 y CANARY-A1 z"),
+      (2L, "clean text"),
+      (3L, null),
+      (4L, "aaa"),                          // "aa" matches once, non-overlapping
+      (5L, "SECRET-B2 and CANARY-A1")).toDF("doc_id", "text")
+    val got = Corpus.canaryScan(docs, "doc_id", "text",
+        Seq("CANARY-A1", "SECRET-B2", "aa"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, "CANARY-A1") -> 2L,
+      (4L, "aa") -> 1L,
+      (5L, "CANARY-A1") -> 1L,
+      (5L, "SECRET-B2") -> 1L), s"$got")
+  }
 }
