@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.{Checks, Corpus, Events}
+import graft.operators.{Checks, Corpus, Events, Graph}
 import graft.sources.Tables
 
 /** Declared queries for the operations layer (SURVEY.md §2.3 extensions,
@@ -92,7 +92,46 @@ object OpsQueries {
             .otherwise(col("text")))
       Corpus.canaryScan(docs, "doc_id", "text", Seq("CANARY-A1", "SECRET-B2"))
         .orderBy("id", "canary")
+    }),
+
+    // integer PageRank over the customer↔supplier interaction graph
+    // (both directions of every orders⋈lineitem pair, suppliers offset
+    // into their own id space) — 3 iterations, exactly the unrolled-CTE
+    // oracle recurrence
+    "graph_pagerank" -> ((s, d) => {
+      val ol = t(s, d, "orders").df
+        .join(t(s, d, "lineitem").df, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      val edges = ol.select(col("c").as("src"), col("p").as("dst"))
+        .union(ol.select(col("p").as("src"), col("c").as("dst")))
+      Graph.pageRankInt(edges, "src", "dst", iterations = 3).orderBy("id")
     }))
+
+  /** Unrolled-CTE DuckDB twin of [[Graph.pageRankInt]] over the
+    * customer↔supplier graph: same distinct edges, same integer damping
+    * recurrence (`//` is BIGINT floor division, matching Spark's `div` on
+    * the all-positive operands), same left-join base for nodes with no
+    * inbound mass. */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      "WITH ol AS (SELECT o_custkey AS c, 1000000 + l_suppkey AS p FROM orders " +
+      "JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "e AS (SELECT DISTINCT src, dst FROM " +
+      "(SELECT c AS src, p AS dst FROM ol UNION ALL SELECT p, c FROM ol)), " +
+      "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+      "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+      "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"
+    val steps = (1 to iters).map { i =>
+      s", c$i AS (SELECT e.dst AS node, " +
+      "SUM((850000 * (r.r // d.deg)) // 1000000) AS s " +
+      s"FROM e JOIN deg d USING (src) JOIN r${i - 1} r ON r.node = e.src " +
+      "GROUP BY e.dst), " +
+      s"r$i AS (SELECT n.node, 150000 + coalesce(c$i.s, 0) AS r " +
+      s"FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)"
+    }.mkString
+    head + steps +
+      s" SELECT node AS id, CAST(r AS BIGINT) AS rank_micro FROM r$iters ORDER BY id"
+  }
 
   val oracleSql: Map[String, String] = Map(
     "events_sessionize" ->
@@ -191,5 +230,7 @@ object OpsQueries {
        "counted AS (SELECT doc_id AS id, canary, " +
        "CAST((length(t) - length(replace(t, canary, ''))) / length(canary) AS BIGINT) " +
        "AS hits FROM pairs) " +
-       "SELECT id, canary, hits FROM counted WHERE hits >= 1 ORDER BY id, canary"))
+       "SELECT id, canary, hits FROM counted WHERE hits >= 1 ORDER BY id, canary"),
+
+    "graph_pagerank" -> pageRankOracle(3))
 }

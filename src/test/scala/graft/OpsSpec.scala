@@ -193,4 +193,38 @@ class OpsSpec extends AnyFunSuite {
       (5L, "CANARY-A1") -> 1L,
       (5L, "SECRET-B2") -> 1L), s"$got")
   }
+
+  // -------------------------------------------------------------- pageRank
+
+  test("pageRankInt matches the hand-computed integer recurrence") {
+    import graft.operators.Graph
+    val spark2 = spark
+    import spark2.implicits._
+    // 1→2, 1→3, 2→1 (duplicate edge must collapse); 3 is dangling
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 1L)).toDF("s", "t")
+    // iter 1: c(1→x) = 850000*(1000000 div 2) div 1e6 = 425000 each;
+    //         c(2→1) = 850000 → r = (1000000, 575000, 575000)
+    // iter 2: from 1: 425000 each; from 2: 850000*575000 div 1e6 = 488750
+    //         → r = (638750, 575000, 575000)
+    val got = Graph.pageRankInt(edges, "s", "t", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 638750L, 2L -> 575000L, 3L -> 575000L), s"$got")
+  }
+
+  test("pageRankInt drops NULL-endpoint edges and keeps the id type") {
+    import graft.operators.Graph
+    import org.apache.spark.sql.types.StringType
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = Seq(
+      (Option("a"), Option("b")),
+      (Option("b"), Option("a")),
+      (Option.empty[String], Option("b")),
+      (Option("a"), Option.empty[String])).toDF("s", "t")
+    val out = Graph.pageRankInt(edges, "s", "t", iterations = 1)
+    assert(out.schema("id").dataType == StringType)
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // symmetric 2-cycle: each gets 150000 + 850000 = 1000000
+    assert(got == Map("a" -> 1000000L, "b" -> 1000000L), s"$got")
+  }
 }
