@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse keyword retrieval (SURVEY.md §2.3 extensions): BM25 top-k — the
+  * lexical counterpart of the dense-ANN family in [[Similarity]], and the
+  * standard first-stage retriever for RAG / hard-negative mining over a
+  * training corpus (Robertson & Zaragoza 2009; the Lucene-style
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` non-negative idf).
+  *
+  * DETERMINISM: per-(query, doc, term) scores quantize to integer MICRO
+  * units once — idf quantizes to micro-nats at the term level (the
+  * [[Corpus]] LM convention, cross-engine-stable under `round(·1e6)`), the
+  * tf-normalization factor is a fixed parenthesization of IEEE ops over
+  * identical operands — and the per-(query, doc) reduce then sums LONGS,
+  * so results are bit-identical at any partitioning and the ranking
+  * (score desc, doc asc) can never diverge from the SQL oracle over a
+  * summation order.
+  */
+object Retrieval {
+
+  /** BM25 top-k documents per query.
+    *
+    * Tokenization is the repo-wide convention (non-empty whitespace
+    * tokens, case-sensitive); query terms are DISTINCT per query (bag
+    * membership, Lucene-style — query-side repetition does not boost).
+    *
+    * Scale shape: the corpus never moves — tf/dl/df are per-term and
+    * per-doc reduces over the token explosion; the (small) query-term set
+    * joins the term-statistics table first, and that enriched term list
+    * is BROADCAST to the postings scan, so the only corpus-sized shuffle
+    * is the final (query, doc) score reduce, and the top-k per query is
+    * the O(k)-state [[graft.expressions.TopKAgg]] with map-side partials
+    * (never a global sort). Queries must be a SMALL set (they ride a
+    * broadcast) — the contract of every query-driven operator in this
+    * repo.
+    *
+    * Returns (query_id, rank, doc_id, score_micro), rank 1..k by
+    * (score_micro desc, doc_id asc). */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import graft.expressions.TopKAgg.topKByScore
+    require(k >= 1, "k must be at least 1")
+    require(k1 >= 0, "k1 must be non-negative")
+    require(b >= 0 && b <= 1, "b must be in [0, 1]")
+
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // corpus constants ride as a 1-row broadcast, never a driver collect
+    val consts = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("total_dl")))
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // micro-nat idf, quantized ONCE per term (round of identical doubles
+    // is engine-stable; everything downstream is exact)
+    val idf = dfc.crossJoin(broadcast(consts))
+      .select(col("term"),
+        round(log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1e6))
+          .cast("long").as("idf_micro"),
+        col("avgdl"))
+
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(split(coalesce(col(queryTextCol), lit("")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    // enrich the small query-term set with term stats, then broadcast it
+    // to the postings scan — the corpus-side tf table never shuffles here
+    val qstats = idf.join(broadcast(qterms), Seq("term"))
+
+    val scored = tf
+      .join(broadcast(qstats), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      // fixed parenthesization, mirrored verbatim in the oracle SQL
+      .select(col("query_id"), col("doc_id"),
+        round(col("idf_micro").cast("double") *
+          ((col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))))
+          .cast("long").as("term_score_micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score_micro")).as("score_micro"))
+
+    scored
+      .select(col("query_id"),
+        struct(col("score_micro").cast("double").as("score"),
+          col("doc_id").cast("long").as("id")).as("__c"))
+      .groupBy("query_id")
+      .agg(topKByScore(col("__c"), k).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("score_micro"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.{Checks, Corpus, Events, Graph}
+import graft.operators.{Checks, Corpus, Events, Graph, Retrieval}
 import graft.sources.Tables
 
 /** Declared queries for the operations layer (SURVEY.md §2.3 extensions,
@@ -105,6 +105,18 @@ object OpsQueries {
       val edges = ol.select(col("c").as("src"), col("p").as("dst"))
         .union(ol.select(col("p").as("src"), col("c").as("dst")))
       Graph.pageRankInt(edges, "src", "dst", iterations = 3).orderBy("id")
+    }),
+
+    // BM25 retrieval: every ÷100≡3 document's first 5 tokens as a query
+    // over the full documents corpus — each query's own source doc ranks
+    // (the retrieval sanity property), near-dup plants rank beside it
+    "search_bm25" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val qs = docs.filter(col("doc_id") % 100 === 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
+      Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 5)
+        .orderBy("query_id", "rank")
     }))
 
   /** Unrolled-CTE DuckDB twin of [[Graph.pageRankInt]] over the
@@ -232,5 +244,35 @@ object OpsQueries {
        "AS hits FROM pairs) " +
        "SELECT id, canary, hits FROM counted WHERE hits >= 1 ORDER BY id, canary"),
 
-    "graph_pagerank" -> pageRankOracle(3))
+    "graph_pagerank" -> pageRankOracle(3),
+
+    "search_bm25" ->
+      ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term " +
+       "FROM documents), " +
+       "tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''), " +
+       "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term), " +
+       "dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id), " +
+       "consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs, " +
+       "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl) / (SELECT count(*) FROM documents) " +
+       "AS avgdl), " +
+       "dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+       "idf AS (SELECT term, CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) " +
+       "* 1e6) AS BIGINT) AS idf_micro, avgdl FROM dfc CROSS JOIN consts), " +
+       "qdocs AS (SELECT doc_id AS query_id, regexp_split_to_array(text, '\\s+') AS ts " +
+       "FROM documents WHERE doc_id % 100 = 3), " +
+       "qterms AS (SELECT DISTINCT query_id, term FROM " +
+       "(SELECT query_id, unnest(ts[1:5]) AS term FROM qdocs) WHERE term <> '' " +
+       "AND term IS NOT NULL), " +
+       "qstats AS (SELECT q.query_id, q.term, i.idf_micro, i.avgdl FROM qterms q " +
+       "JOIN idf i USING (term)), " +
+       "scored AS (SELECT s.query_id, t.doc_id, " +
+       "CAST(round(CAST(s.idf_micro AS DOUBLE) * ((t.tf * 2.2) / " +
+       "(t.tf + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl))))) AS BIGINT) AS tsm " +
+       "FROM tf t JOIN qstats s USING (term) JOIN dl d ON d.doc_id = t.doc_id), " +
+       "agg AS (SELECT query_id, doc_id, CAST(sum(tsm) AS BIGINT) AS score_micro " +
+       "FROM scored GROUP BY query_id, doc_id), " +
+       "ranked AS (SELECT query_id, doc_id, score_micro, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank FROM agg) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro " +
+       "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"))
 }

@@ -227,4 +227,45 @@ class OpsSpec extends AnyFunSuite {
     // symmetric 2-cycle: each gets 150000 + 850000 = 1000000
     assert(got == Map("a" -> 1000000L, "b" -> 1000000L), s"$got")
   }
+
+  // ------------------------------------------------------------------ bm25
+
+  test("bm25TopK matches an independent driver-side exact recomputation") {
+    import graft.operators.Retrieval
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry date"),
+      (4L, "date egg")).toDF("doc_id", "text")
+    // duplicate query term must not boost (distinct bag membership)
+    val qs = Seq((100L, "apple cherry"), (200L, "banana banana egg")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+    // independent recompute with the same quantization discipline
+    val docs = Map(1L -> "apple banana apple", 2L -> "banana cherry",
+      3L -> "apple cherry cherry date", 4L -> "date egg")
+    val toks = docs.view.mapValues(_.split("\\s+").toSeq.filter(_.nonEmpty)).toMap
+    val n = docs.size.toLong
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def dfOf(t: String) = toks.values.count(_.contains(t)).toLong
+    def idfMicro(t: String) =
+      math.round(math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5)) * 1e6)
+    def score(q: Set[String], d: Long): Long = q.toSeq.flatMap { t =>
+      val tf = toks(d).count(_ == t).toLong
+      if (tf == 0) None
+      else Some(math.round(idfMicro(t).toDouble *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (toks(d).size / avgdl))))))
+    }.sum
+    def expect(qid: Long, q: Set[String]) = {
+      val scored = docs.keys.toSeq.map(d => d -> score(q, d)).filter(_._2 > 0)
+        .sortBy { case (d, s) => (-s, d) }.take(3)
+      scored.zipWithIndex.map { case ((d, s), i) => (qid, i + 1L) -> ((d, s)) }.toMap
+    }
+    val want = expect(100L, Set("apple", "cherry")) ++ expect(200L, Set("banana", "egg"))
+    assert(got == want, s"got=$got want=$want")
+  }
 }
