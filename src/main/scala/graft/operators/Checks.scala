@@ -47,7 +47,7 @@ object Checks {
   /** Table-level row-count bound: violations is 0 or 1. */
   final case class RowCountBetween(lo: Long, hi: Long) extends Constraint
 
-  private def meta(c: Constraint): (String, String, String) = c match {
+  private[operators] def meta(c: Constraint): (String, String, String) = c match {
     case NotNull(col)          => (s"not_null($col)", "not_null", col)
     case InRange(col, lo, hi)  => (s"in_range($col)", "in_range", s"$col in [$lo, $hi]")
     case InSet(col, vs)        => (s"in_set($col)", "in_set", s"$col in {${vs.mkString(",")}}")

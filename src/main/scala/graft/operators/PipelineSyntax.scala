@@ -648,5 +648,104 @@ object PipelineSyntax {
             "lang" -> langCol),
         pk = Some(Seq("source")),
         pkVerified = true) // one row per source is the groupBy contract
+
+    // -------------------------------------------------- round-13 ops layer
+
+    /** Gap-based sessionization: one row per event, keyed by event_id. */
+    def sessionizedBy(userCol: String, tsCol: String, idCol: String,
+        gapSeconds: Long): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf, Events.sessionize(mf.df, userCol, tsCol, idCol, gapSeconds),
+        "sessionize",
+        Map("user" -> userCol, "ts" -> tsCol, "id" -> idCol, "gapSeconds" -> gapSeconds),
+        pk = if (parentKeyed) Some(Seq("event_id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** Per-session rollup: one row per (user, session) — groupBy contract. */
+    def sessionStatsOf(userCol: String, tsCol: String, idCol: String,
+        typeCol: String, gapSeconds: Long): MetaFrame =
+      derived(mf,
+        Events.sessionStats(mf.df, userCol, tsCol, idCol, typeCol, gapSeconds),
+        "session_stats",
+        Map("user" -> userCol, "ts" -> tsCol, "id" -> idCol,
+            "type" -> typeCol, "gapSeconds" -> gapSeconds),
+        pk = Some(Seq("user_id", "session_idx")),
+        pkVerified = true)
+
+    /** Ordered funnel: one row per user — groupBy contract. */
+    def funnelOf(userCol: String, tsCol: String, typeCol: String,
+        steps: Seq[String], maxStepEventsPerUser: Int = 1000): MetaFrame =
+      derived(mf,
+        Events.funnel(mf.df, userCol, tsCol, typeCol, steps, maxStepEventsPerUser),
+        "funnel",
+        Map("user" -> userCol, "ts" -> tsCol, "type" -> typeCol,
+            "steps" -> steps.mkString(">"), "maxStepEventsPerUser" -> maxStepEventsPerUser),
+        pk = Some(Seq("user_id")),
+        pkVerified = true)
+
+    /** Data-quality constraint verdicts: one row per constraint. The
+      * check_name pk holds only when the declared ids are distinct (two
+      * constraints of the same kind on the same column share an id). */
+    def checked(constraints: Seq[Checks.Constraint]): MetaFrame = {
+      val ids = constraints.map(c => Checks.meta(c)._1)
+      derived(mf, Checks.check(mf.df, constraints),
+        "dq_check", Map("constraints" -> ids.mkString("; ")),
+        pk = if (ids.distinct.length == ids.length) Some(Seq("check_name")) else None,
+        pkVerified = false) // ids can collide across differing bounds
+    }
+
+    /** Snapshot diff against a second snapshot (one row per id in either
+      * side; unique iff BOTH snapshots were verified-unique on the id). */
+    def snapshotDiffAgainst(newer: MetaFrame, idCol: String,
+        compareCols: Seq[String]): MetaFrame = {
+      val bothKeyed = mf.primaryKey.contains(Seq(idCol)) &&
+        newer.primaryKey.contains(Seq(idCol))
+      derived(mf, Corpus.snapshotDiff(mf.df, newer.df, idCol, compareCols),
+        "snapshot_diff",
+        Map("id" -> idCol, "compare" -> compareCols.mkString(",")),
+        pk = if (bothKeyed) Some(Seq("id")) else None,
+        pkVerified = bothKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true) &&
+          newer.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** Canary scan: one row per leaking (doc, canary) pair. */
+    def canaryScanned(idCol: String, textCol: String,
+        canaries: Seq[String]): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf, Corpus.canaryScan(mf.df, idCol, textCol, canaries),
+        "canary_scan",
+        Map("id" -> idCol, "text" -> textCol, "canaries" -> canaries.mkString(",")),
+        pk = if (parentKeyed) Some(Seq("id", "canary")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** Integer PageRank over this frame as an edge list: one row per
+      * node — the distinct-nodes contract. */
+    def pageRankedInt(srcCol: String, dstCol: String, iterations: Int = 3,
+        dampingMicro: Long = 850000L): MetaFrame =
+      derived(mf,
+        Graph.pageRankInt(mf.df, srcCol, dstCol, iterations, dampingMicro),
+        "pagerank_int",
+        Map("src" -> srcCol, "dst" -> dstCol, "iterations" -> iterations,
+            "dampingMicro" -> dampingMicro),
+        pk = Some(Seq("id")),
+        pkVerified = true)
+
+    /** BM25 top-k per query: one row per (query, rank) — TopKAgg emits
+      * each rank once per query by construction. */
+    def bm25TopKOf(idCol: String, textCol: String, queries: MetaFrame,
+        queryIdCol: String, queryTextCol: String, k: Int = 10,
+        k1: Double = 1.2, b: Double = 0.75): MetaFrame =
+      derived(mf,
+        Retrieval.bm25TopK(mf.df, idCol, textCol, queries.df, queryIdCol,
+          queryTextCol, k, k1, b),
+        "bm25_topk",
+        Map("id" -> idCol, "text" -> textCol, "k" -> k, "k1" -> k1, "b" -> b),
+        pk = Some(Seq("query_id", "rank")),
+        pkVerified = true)
   }
 }

@@ -268,4 +268,58 @@ class OpsSpec extends AnyFunSuite {
     val want = expect(100L, Set("apple", "cherry")) ++ expect(200L, Set("banana", "egg"))
     assert(got == want, s"got=$got want=$want")
   }
+
+  // ------------------------------------------------- PipelineSyntax wrappers
+
+  test("PipelineSyntax: ops-layer wrappers record lineage and pk semantics") {
+    import graft.operators.PipelineSyntax._
+    import graft.operators.Checks
+    val spark2 = spark
+    import spark2.implicits._
+    def lineageOps(m: MetaFrame) =
+      m.metadata("lineage").asInstanceOf[Seq[Map[String, Any]]].map(_("op"))
+
+    val evmf = MetaFrame(
+      ev((1L, 1L, "2024-01-01 00:00:00", "view"),
+         (2L, 1L, "2024-01-01 00:01:00", "click")),
+      Map("corpus" -> "unit")).dropDuplicates(Seq("event_id"))
+    val sess = evmf.sessionizedBy("user_id", "ts", "event_id", 1800)
+    assert(sess.primaryKey.contains(Seq("event_id")) && lineageOps(sess) == Seq("sessionize"))
+    assert(sess.dropDuplicates(Seq("event_id")).df eq sess.df, "verified pk must elide")
+    val stats = evmf.sessionStatsOf("user_id", "ts", "event_id", "event_type", 1800)
+    assert(stats.primaryKey.contains(Seq("user_id", "session_idx")))
+    assert(stats.dropDuplicates(Seq("user_id", "session_idx")).df eq stats.df)
+    val fun = evmf.funnelOf("user_id", "ts", "event_type", Seq("view", "click"))
+    assert(fun.primaryKey.contains(Seq("user_id")) && lineageOps(fun) == Seq("funnel"))
+
+    val docs = MetaFrame(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), Map.empty)
+      .dropDuplicates(Seq("doc_id"))
+    val chk = docs.checked(Seq(Checks.NotNull("text"), Checks.InRange("doc_id", 0, 10)))
+    assert(chk.primaryKey.contains(Seq("check_name")))
+    // colliding constraint ids (two ranges on one column) → no pk claim
+    val chk2 = docs.checked(Seq(Checks.InRange("doc_id", 0, 10), Checks.InRange("doc_id", 5, 6)))
+    assert(chk2.primaryKey.isEmpty, s"${chk2.primaryKey}")
+
+    val newer = MetaFrame(Seq((1L, "a2")).toDF("doc_id", "text"), Map.empty)
+      .dropDuplicates(Seq("doc_id"))
+    val diff = docs.snapshotDiffAgainst(newer, "doc_id", Seq("text"))
+    assert(diff.primaryKey.contains(Seq("id")) && lineageOps(diff) == Seq("snapshot_diff"))
+    assert(diff.dropDuplicates(Seq("id")).df eq diff.df)
+    // one unkeyed side → no uniqueness claim
+    val unkeyed = MetaFrame(Seq((1L, "a2")).toDF("doc_id", "text"), Map.empty)
+    assert(docs.snapshotDiffAgainst(unkeyed, "doc_id", Seq("text")).primaryKey.isEmpty)
+
+    val can = docs.canaryScanned("doc_id", "text", Seq("a"))
+    assert(can.primaryKey.contains(Seq("id", "canary")))
+
+    val edges = MetaFrame(Seq((1L, 2L), (2L, 1L)).toDF("s", "t"), Map.empty)
+    val pr = edges.pageRankedInt("s", "t", iterations = 1)
+    assert(pr.primaryKey.contains(Seq("id")) && lineageOps(pr) == Seq("pagerank_int"))
+    assert(pr.dropDuplicates(Seq("id")).df eq pr.df)
+
+    val qs = MetaFrame(Seq((9L, "a")).toDF("qid", "qtext"), Map.empty)
+    val bm = docs.bm25TopKOf("doc_id", "text", qs, "qid", "qtext", k = 2)
+    assert(bm.primaryKey.contains(Seq("query_id", "rank")))
+    assert(bm.dropDuplicates(Seq("query_id", "rank")).df eq bm.df)
+  }
 }
