@@ -730,6 +730,36 @@ object Streams {
       spanLen: Int = 20): DataFrame =
     graft.operators.Dedup.spanVerdicts(stream, corpus, idCol, textCol, spanLen)
 
+  /** Streaming canary scan — `Corpus.canaryScan` is one row-local explode
+    * against a literal canary list: stateless, append mode, stream ≡
+    * batch. Emits only leaking (id, canary, hits) rows, so a quiet stream
+    * emits nothing. */
+  def canaryScanStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      canaries: Seq[String]): DataFrame =
+    graft.operators.Corpus.canaryScan(stream, idCol, textCol, canaries)
+
+  /** Per-micro-batch data-quality monitoring (the streaming form of
+    * [[graft.operators.Checks.check]]): each micro-batch evaluates the
+    * SAME batch constraint suite and its verdict rows — tagged with the
+    * micro-batch id — flow to `sink`. The suite is a per-batch aggregate,
+    * so this is deliberately the foreachBatch form: verdicts are
+    * batch-scoped with ZERO cross-batch streaming state (cumulative
+    * monitoring is the consumer's fold over batch_id), the same
+    * batch-boundary contract as the exactly-once ingestion twins. */
+  def dqMonitorStream(
+      stream: DataFrame,
+      constraints: Seq[graft.operators.Checks.Constraint])(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Checks.check(batch, constraints)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Convenience: run any streaming frame into an in-memory table and block
     * until every available input is processed (local smoke pattern). */
   def runToMemory(df: DataFrame, queryName: String, mode: OutputMode): StreamingQuery = {

@@ -1045,4 +1045,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L))
   }
+
+  test("dq monitoring evaluates the batch constraint suite per micro-batch") {
+    import spark.implicits._
+    import graft.operators.Checks
+    val ms = MemoryStream[Event](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Boolean)]()
+    val q = Streams.dqMonitorStream(ms.toDF(),
+        Seq(Checks.NotNull("event_type"), Checks.RowCountBetween(1L, 2L))) { verdicts =>
+      buf.synchronized {
+        buf ++= verdicts.collect().map(r => (r.getAs[Long]("batch_id"),
+          r.getString(0), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      }
+    }
+    try {
+      ms.addData(Event(1L, ts(1), 100L, "click", 1.0), Event(2L, ts(2), 100L, "buy", 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(3L, ts(3), 100L, "click", 1.0), Event(4L, ts(4), 101L, "buy", 2.0),
+        Event(5L, ts(5), 102L, "click", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = buf.groupBy(_._1)
+    // batch 0: 2 rows → both constraints pass
+    assert(byBatch(0L).map(t => t._2 -> ((t._3, t._4, t._5))).toMap ==
+      Map("not_null(event_type)" -> ((0L, 2L, true)), "row_count" -> ((0L, 2L, true))),
+      s"$buf")
+    // batch 1: 3 rows → the row-count bound fails WITH batch scope
+    assert(byBatch(1L).map(t => t._2 -> ((t._3, t._4, t._5))).toMap ==
+      Map("not_null(event_type)" -> ((0L, 3L, true)), "row_count" -> ((1L, 3L, false))),
+      s"$buf")
+  }
+
+  test("canary scan is stateless on a stream: append-mode hits match batch") {
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String)](spark)
+    val scanned = Streams.canaryScanStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", Seq("CANARY-A1"))
+    val q = Streams.runToMemory(scanned, "canary_out", OutputMode.Append())
+    try {
+      ms.addData((1L, "x CANARY-A1 y"), (2L, "clean"))
+      q.processAllAvailable()
+      ms.addData((3L, "CANARY-A1 CANARY-A1"))
+      q.processAllAvailable()
+      val got = spark.table("canary_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == Map(1L -> 1L, 3L -> 2L), s"$got")
+    } finally q.stop()
+  }
 }
