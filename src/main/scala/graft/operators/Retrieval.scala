@@ -57,10 +57,14 @@ object Retrieval {
         explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("term"))
       .filter(col("term") =!= "")
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl = Σ tf per doc, as a whole-partition window over the (already
+    // reduced) tf table — rides on one doc-key exchange instead of a
+    // second corpus aggregate plus a corpus-sized doc_id join
+    val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val tfdl = tf.withColumn("dl", sum(col("tf")).over(wdoc))
     // corpus constants ride as a 1-row broadcast, never a driver collect
     val consts = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(sum(col("dl")).as("total_dl")))
+      .crossJoin(tf.agg(sum(col("tf")).as("total_dl")))
       .select(col("n_docs"),
         (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -81,9 +85,8 @@ object Retrieval {
     // to the postings scan — the corpus-side tf table never shuffles here
     val qstats = idf.join(broadcast(qterms), Seq("term"))
 
-    val scored = tf
+    val scored = tfdl
       .join(broadcast(qstats), Seq("term"))
-      .join(dl, Seq("doc_id"))
       // fixed parenthesization, mirrored verbatim in the oracle SQL
       .select(col("query_id"), col("doc_id"),
         round(col("idf_micro").cast("double") *

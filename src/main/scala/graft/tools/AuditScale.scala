@@ -52,7 +52,14 @@ object AuditScale {
     "text_ccnet_tiers", "text_gopher_repetition", "text_char_stats",
     "text_quality_profile",
     "dedup_semantic", "dedup_semantic_capped", "dedup_embedding_cosine",
-    "dedup_semantic_incremental")
+    "dedup_semantic_incremental",
+    // round-13 ops layer: per-user windows (sessionize/stats), one-pass
+    // funnel aggregate, shared-scan constraint suite, co-partitioned
+    // full-outer diff, row-local canary scan, iterative integer PageRank,
+    // broadcast-postings BM25 — every declared input scales with sf
+    "events_sessionize", "events_session_stats", "events_funnel",
+    "dq_constraints", "corpus_snapshot_diff", "text_canary_scan",
+    "graph_pagerank", "search_bm25")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -114,7 +121,10 @@ object AuditScale {
       "dedup_embedding_cosine", "embedding_cosine_operator",
       // the incremental twin shares semanticDedup's broadcast 1-row
       // centroid crossJoin (assignment fold + trainCentroids rounds)
-      "dedup_semantic_incremental")
+      "dedup_semantic_incremental",
+      // bm25's corpus constants (N, avgdl) ride a single-row aggregate
+      // crossJoin, the tfidf/LM-scorer shape
+      "search_bm25")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -374,4 +374,52 @@ class PlanQualitySpec extends AnyFunSuite {
     val semi = custAgg.join(raw, Seq("o_custkey"), "left_semi")
     assert(semi.dropDuplicates(Seq("o_custkey")).df eq semi.df)
   }
+
+  test("sessionStats plans ONE exchange: the rollup rides the window's user partitioning") {
+    import graft.operators.Events
+    val df = Events.sessionStats(t("events").df, "user_id", "ts", "event_id",
+      "event_type", gapSeconds = 14400)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"groupBy(user, session) must reuse the user-key window partitioning:\n$plan")
+    assert(!plan.contains("Join"), s"rollup must not join back to the events:\n$plan")
+  }
+
+  test("funnel is one aggregate pass: one exchange, no join cascade") {
+    import graft.operators.Events
+    val df = Events.funnel(t("events").df, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"one user-key exchange expected:\n$plan")
+    assert(!plan.contains("Join"), s"per-step joins must not appear:\n$plan")
+  }
+
+  test("constraint suite: row-local checks share one scan; no shuffle beyond the 1-row merge") {
+    import graft.operators.Checks
+    val df = Checks.check(t("lineitem").df, Seq(
+      Checks.NotNull("l_orderkey"), Checks.InRange("l_quantity", 1, 45),
+      Checks.InSet("l_returnflag", Seq("A", "N", "R")), Checks.RowCountBetween(1, 1000000)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"all row-local constraints must share ONE scan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"only the single-partition final merge is allowed:\n$plan")
+  }
+
+  test("bm25 query-side joins broadcast; the corpus postings never shuffle onto queries") {
+    import graft.operators.Retrieval
+    val docs = t("documents").df
+    val qs = docs.filter(col("doc_id") % 100 === 3)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
+    val df = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 5)
+    df.write.format("noop").mode("overwrite").save() // AQE-finalized plans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the enriched query-term set must broadcast to the postings scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join may appear:\n$plan")
+  }
 }
