@@ -152,4 +152,39 @@ object Events {
       ts.head.as("t_first_us"),
       coalesce(ts.reverse: _*).as("t_last_us"))
   }
+
+  /** Weekly retention cohort matrix (the classic product-analytics grid):
+    * each user's cohort is the Monday-truncated week of their FIRST event;
+    * a (cohort, offset) cell counts users from that cohort active
+    * `offset` weeks later, with the retained fraction against the
+    * cohort's own week-0 size. Every derivation is exact calendar
+    * arithmetic on dates (week truncation, day difference, integer
+    * division by 7) — re-derivable in ANSI SQL, bit-stable anywhere.
+    *
+    * Scale shape: three key-bounded shuffles — the (user, week) distinct,
+    * the per-user first-week window, the (cohort, offset) count — and the
+    * cohort-size denominator rides a window over the ALREADY-AGGREGATED
+    * grid (cohorts × offsets rows, not events). No driver state.
+    *
+    * Returns (cohort_week: date, week_offset, n_users, retained_frac),
+    * week 0 always present per cohort with retained_frac 1.0. */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val week = to_date(date_trunc("week", col(tsCol)))
+    val activity = events.select(col(userCol).as("user"), week.as("week")).distinct()
+    val wUser = Window.partitionBy(col("user"))
+    val grid = activity
+      .withColumn("cohort_week", min(col("week")).over(wUser))
+      // exact integer weeks: datediff is a day count, `div` floors (the
+      // double `/` would make the offset fractional)
+      .select(col("cohort_week"), expr("datediff(week, cohort_week) div 7").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val wCohort = Window.partitionBy(col("cohort_week"))
+    grid.withColumn("retained_frac",
+      round(col("n_users").cast("double") /
+        max(when(col("week_offset") === 0L, col("n_users"))).over(wCohort), 6))
+  }
 }

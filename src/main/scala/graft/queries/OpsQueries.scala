@@ -49,6 +49,10 @@ object OpsQueries {
           "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    "events_retention" -> ((s, d) =>
+      Events.retentionCohorts(t(s, d, "events").df, "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
     // Deequ-style suite over lineitem: a deliberate pass/fail mix — the
     // synthetic (l_orderkey, l_linenumber) key is NOT unique and ~10% of
     // quantities sit above 45, so the failing verdicts carry real counts
@@ -186,6 +190,18 @@ object OpsQueries {
        "CAST(coalesce(t2, t1, t0) AS BIGINT) AS t_last_us " +
        "FROM (SELECT DISTINCT user_id FROM ev) u LEFT JOIN t0 USING (user_id) " +
        "LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id) ORDER BY user_id"),
+
+    "events_retention" ->
+      ("WITH act AS (SELECT DISTINCT user_id AS u, " +
+       "CAST(date_trunc('week', ts) AS DATE) AS wk FROM events), " +
+       "fs AS (SELECT u, wk, min(wk) OVER (PARTITION BY u) AS cw FROM act), " +
+       "agg AS (SELECT cw AS cohort_week, " +
+       "CAST(date_diff('day', cw, wk) // 7 AS BIGINT) AS week_offset, " +
+       "count(*) AS n_users FROM fs GROUP BY 1, 2) " +
+       "SELECT cohort_week, week_offset, n_users, " +
+       "round(CAST(n_users AS DOUBLE) / max(CASE WHEN week_offset = 0 " +
+       "THEN n_users END) OVER (PARTITION BY cohort_week), 6) AS retained_frac " +
+       "FROM agg ORDER BY cohort_week, week_offset"),
 
     "dq_constraints" ->
       ("WITH n AS (SELECT count(*) AS n FROM lineitem), v AS (" +

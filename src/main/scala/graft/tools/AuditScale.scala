@@ -58,8 +58,8 @@ object AuditScale {
     // full-outer diff, row-local canary scan, iterative integer PageRank,
     // broadcast-postings BM25 — every declared input scales with sf
     "events_sessionize", "events_session_stats", "events_funnel",
-    "dq_constraints", "corpus_snapshot_diff", "text_canary_scan",
-    "graph_pagerank", "search_bm25")
+    "events_retention", "dq_constraints", "corpus_snapshot_diff",
+    "text_canary_scan", "graph_pagerank", "search_bm25")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

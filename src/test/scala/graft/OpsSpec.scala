@@ -99,6 +99,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == 2L, s"cap keeps earliest view (t=1) so click@3 qualifies: $got")
   }
 
+  test("retentionCohorts: Monday cohorts, exact offsets, per-cohort fractions") {
+    // 2024-01-01 is a Monday
+    val df = ev(
+      (1L, 1L, "2024-01-02 10:00:00", "view"),   // u1 cohort 01-01
+      (2L, 1L, "2024-01-09 10:00:00", "view"),   // offset 1
+      (3L, 1L, "2024-01-16 10:00:00", "view"),   // offset 2 (twice in week)
+      (4L, 1L, "2024-01-17 10:00:00", "view"),
+      (5L, 2L, "2024-01-03 10:00:00", "view"),   // u2 cohort 01-01, never again
+      (6L, 3L, "2024-01-10 10:00:00", "view"),   // u3 cohort 01-08
+      (7L, 3L, "2024-01-17 10:00:00", "view"))   // offset 1
+    val got = Events.retentionCohorts(df, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> ((2L, 1.0)),
+      ("2024-01-01", 1L) -> ((1L, 0.5)),
+      ("2024-01-01", 2L) -> ((1L, 0.5)),
+      ("2024-01-08", 0L) -> ((1L, 1.0)),
+      ("2024-01-08", 1L) -> ((1L, 1.0))), s"$got")
+  }
+
   // ------------------------------------------------------------ constraints
 
   test("check: exact violation counts, NULL-ignoring value constraints") {
