@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches (SURVEY.md §2.3 extensions): per-group
+  * HLL distinct-count sketches that PERSIST as plain binary columns and
+  * merge across batches/partitions/days without rescanning history — the
+  * building block every 100 TB "distinct users per X over any date range"
+  * dashboard reduces to (Apache DataSketches HLL, the engine behind
+  * Spark's `hll_sketch_agg`/`hll_union_agg`).
+  *
+  * Why sketches and not `countDistinct`: exact distinct counts don't
+  * compose — yesterday's count plus today's count overcounts the overlap,
+  * so exact rollups re-shuffle ALL history every time. A sketch store is
+  * O(groups × 2^lgK) bytes, append-only, and unions losslessly (register
+  * max), so the re-aggregation input is sketch rows, never raw events.
+  *
+  * Determinism: DataSketches HLL is deterministic for a fixed lgK (same
+  * hash, same registers at any partitioning), and a union of same-lgK
+  * sketches reproduces the direct whole-input sketch register-for-register
+  * — pinned in OpsSpec, and surfaced as a verdict column in the declared
+  * property query (estimates themselves are approximate, so the oracle is
+  * a tolerance property, the hash-family convention). */
+object Sketches {
+
+  /** Per-group HLL sketch + row count. The sketch column is a plain
+    * binary: write it to parquet as a day/batch partition and the store
+    * composes by [[hllUnionEstimate]] later. */
+  def hllByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, "lgK must be in [4, 21] (DataSketches bounds)")
+    df.groupBy(col(groupCol).as("group"))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
+        count(col(valueCol)).as("n_rows"))
+  }
+
+  /** Merge a sketch table (e.g. the union of many per-batch
+    * [[hllByGroup]] outputs) back to per-group estimates. `allowDifferentLgK`
+    * stays false: silently unioning mixed-precision sketches degrades to
+    * the coarsest and that should be an explicit decision. */
+  def hllUnionEstimate(
+      sketches: DataFrame,
+      allowDifferentLgK: Boolean = false): DataFrame =
+    sketches.groupBy(col("group"))
+      .agg(
+        hll_sketch_estimate(
+          hll_union_agg(col("sketch"), lit(allowDifferentLgK))).as("distinct_est"),
+        sum(col("n_rows")).as("n_rows"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.{Checks, Corpus, Events, Graph, Retrieval}
+import graft.operators.{Checks, Corpus, Events, Graph, Retrieval, Sketches}
 import graft.sources.Tables
 
 /** Declared queries for the operations layer (SURVEY.md §2.3 extensions,
@@ -96,6 +96,36 @@ object OpsQueries {
             .otherwise(col("text")))
       Corpus.canaryScan(docs, "doc_id", "text", Seq("CANARY-A1", "SECRET-B2"))
         .orderBy("id", "canary")
+    }),
+
+    // mergeable HLL distinct-count store, as a measured property query
+    // (hash-family convention): the oracle asserts the VERDICT columns —
+    // batch-union ≡ direct-sketch estimate equality, batch row-count
+    // conservation, and the estimate within 2% of the exact distinct
+    // count DuckDB recomputes
+    "agg_hll_mergeable" -> ((s, d) => {
+      val ev = t(s, d, "events").df
+      val whole = Sketches.hllByGroup(ev, "event_type", "user_id")
+      val halves = Sketches.hllByGroup(ev.filter(col("event_id") % 2 === 0),
+          "event_type", "user_id")
+        .unionByName(Sketches.hllByGroup(ev.filter(col("event_id") % 2 =!= 0),
+          "event_type", "user_id"))
+      val merged = Sketches.hllUnionEstimate(halves)
+        .select(col("group").as("event_type"), col("distinct_est"),
+          col("n_rows").as("n_batch_rows"))
+      val direct = whole.select(col("group").as("event_type"),
+        hll_sketch_estimate(col("sketch")).as("direct_est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"),
+          count(lit(1)).as("n_events"))
+      exact.join(merged, Seq("event_type")).join(direct, Seq("event_type"))
+        .select(col("event_type"), col("exact_distinct"), col("n_events"),
+          (col("n_batch_rows") === col("n_events")).as("rows_consistent"),
+          (col("distinct_est") === col("direct_est")).as("merge_consistent"),
+          (abs(col("distinct_est") - col("exact_distinct")) <=
+            greatest(lit(1L), (col("exact_distinct") * 2 / 100).cast("long")))
+            .as("est_ok"))
+        .orderBy("event_type")
     }),
 
     // integer PageRank over the customer↔supplier interaction graph
@@ -261,6 +291,11 @@ object OpsQueries {
        "SELECT id, canary, hits FROM counted WHERE hits >= 1 ORDER BY id, canary"),
 
     "graph_pagerank" -> pageRankOracle(3),
+
+    "agg_hll_mergeable" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_distinct, " +
+       "count(*) AS n_events, TRUE AS rows_consistent, TRUE AS merge_consistent, " +
+       "TRUE AS est_ok FROM events GROUP BY event_type ORDER BY event_type"),
 
     "search_bm25" ->
       ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term " +

@@ -59,7 +59,7 @@ object AuditScale {
     // broadcast-postings BM25 — every declared input scales with sf
     "events_sessionize", "events_session_stats", "events_funnel",
     "events_retention", "dq_constraints", "corpus_snapshot_diff",
-    "text_canary_scan", "graph_pagerank", "search_bm25")
+    "text_canary_scan", "graph_pagerank", "search_bm25", "agg_hll_mergeable")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

@@ -290,6 +290,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  // -------------------------------------------------------------- sketches
+
+  test("HLL sketch store: batch sketches union to the whole-corpus estimate, via parquet") {
+    import graft.operators.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 groups x 200 users with heavy cross-batch overlap
+    val rows = (0 until 600).map(i => (s"g${i % 3}", (i % 200).toLong, i))
+    val df = rows.toDF("grp", "user", "i")
+    val whole = Sketches.hllByGroup(df, "grp", "user")
+    // two half-batches, written to a parquet "store" and read back
+    val dir = java.nio.file.Files.createTempDirectory("hllstore").toString
+    Sketches.hllByGroup(df.filter(col("i") % 2 === 0), "grp", "user")
+      .write.mode("append").parquet(dir)
+    Sketches.hllByGroup(df.filter(col("i") % 2 =!= 0), "grp", "user")
+      .write.mode("append").parquet(dir)
+    val merged = Sketches.hllUnionEstimate(spark.read.parquet(dir))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val direct = whole.select(col("group"),
+        hll_sketch_estimate(col("sketch")).as("est"), col("n_rows"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // union-of-batches ≡ direct whole-input sketch (register-max losslessness)
+    assert(merged == direct, s"merged=$merged direct=$direct")
+    // and at this cardinality the estimate is exact: 200 distinct per group
+    assert(merged.values.map(_._1).toSet == Set(200L), s"$merged")
+    assert(merged.values.map(_._2).toSet == Set(200L), s"n_rows sums across batches: $merged")
+  }
+
   // ------------------------------------------------- PipelineSyntax wrappers
 
   test("PipelineSyntax: ops-layer wrappers record lineage and pk semantics") {
