@@ -150,16 +150,16 @@ object Bench {
       ",", "}")
 
     // ---- self-reporting regression check: the five streaming medians gate
-    // at -40% of their COMMITTED BENCH_r11.json anchors (the artifact's
+    // at -40% of their COMMITTED BENCH_r12.json anchors (the artifact's
     // numbers byte-for-byte — not in-session mid-round medians, which the
     // r11 verdict flagged as stale) and the 10-query total at 2x
     // BASELINE.md — only when benching the sf0.1 dir the anchors were
     // measured on. An empty list is the healthy state; any entry names the
     // failing row so BENCH_r{N} flags itself.
     val anchors = Map(
-      "ann_topk_queries_per_sec" -> 55.6, "ann_pq_queries_per_sec" -> 53.5,
-      "ingest_docs_per_sec" -> 111.1, "curated_docs_per_sec" -> 370.6,
-      "dedup_events_per_sec" -> 1728.5)
+      "ann_topk_queries_per_sec" -> 55.2, "ann_pq_queries_per_sec" -> 54.9,
+      "ingest_docs_per_sec" -> 100.2, "curated_docs_per_sec" -> 279.1,
+      "dedup_events_per_sec" -> 1620.0)
     val regressions: Seq[String] =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Nil
       else {
@@ -168,7 +168,7 @@ object Bench {
           else Nil
         totalGate ++ streamRows.flatMap { case (n, v, _) =>
           anchors.get(n).filter(a => v < 0.6 * a)
-            .map(a => f"$n $v%.1f below 60%% of r11 anchor $a%.1f")
+            .map(a => f"$n $v%.1f below 60%% of r12 anchor $a%.1f")
         }
       }
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -735,6 +735,31 @@ object PipelineSyntax {
         pk = Some(Seq("id")),
         pkVerified = true)
 
+    /** Train the hashed-bag-of-words logistic quality model on this
+      * frame's labels: one row per model feature (bias at f = -1). */
+    def logisticTrained(idCol: String, textCol: String, labelCol: String,
+        dim: Int = 256, iters: Int = 2, lrMicro: Long = 500000L): MetaFrame =
+      derived(mf,
+        Classifier.trainLogistic(mf.df, idCol, textCol, labelCol, dim, iters, lrMicro),
+        "logistic_train",
+        Map("id" -> idCol, "text" -> textCol, "label" -> labelCol,
+            "dim" -> dim, "iters" -> iters, "lrMicro" -> lrMicro),
+        pk = Some(Seq("f")),
+        pkVerified = true) // full-outer on f keeps the model unique per feature
+
+    /** Score this frame under a trained logistic model: one row per doc. */
+    def logisticScored(model: MetaFrame, idCol: String, textCol: String,
+        dim: Int = 256): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf,
+        Classifier.scoreLogistic(mf.df, idCol, textCol, model.df, dim),
+        "logistic_score",
+        Map("id" -> idCol, "text" -> textCol, "dim" -> dim),
+        pk = if (parentKeyed) Some(Seq("id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
     /** BM25 top-k per query: one row per (query, rank) — TopKAgg emits
       * each rank once per query by construction. */
     def bm25TopKOf(idCol: String, textCol: String, queries: MetaFrame,

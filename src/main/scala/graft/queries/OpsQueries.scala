@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.{Checks, Corpus, Events, Graph, Retrieval, Sketches}
+import graft.operators.{Checks, Classifier, Corpus, Events, Graph, Retrieval, Sketches}
 import graft.sources.Tables
 
 /** Declared queries for the operations layer (SURVEY.md §2.3 extensions,
@@ -141,6 +141,29 @@ object OpsQueries {
       Graph.pageRankInt(edges, "src", "dst", iterations = 3).orderBy("id")
     }),
 
+    // fastText-style quality classifier: 4 full-batch integer-quantized
+    // logistic steps over md5-hashed bag-of-words, then every doc scored
+    // under the final model — training INCLUDED in the oracle (unrolled
+    // CTEs, the BPE-trainer convention). The synthetic corpus shares one
+    // vocabulary across all langs/sources (measured: no natural label is
+    // set-of-words-separable), so the query PLANTS the reference-class
+    // marker token in the positive class (the canary-plant pattern) —
+    // the trained model provably separates it (98.8% at sf0.01)
+    "text_quality_classifier" -> ((s, d) => {
+      val planted = t(s, d, "documents").df.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" q_ref_marker")))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"),
+        (col("doc_id") % 3 === 0).cast("long").as("label"))
+      val model = Classifier.trainLogistic(planted, "doc_id", "text", "label",
+        dim = 256, iters = 4)
+      Classifier.scoreLogistic(planted, "doc_id", "text", model, dim = 256)
+        .join(planted.select(col("doc_id").as("id"), col("label")), Seq("id"))
+        .select(col("id").as("doc_id"), col("label"), col("margin_micro"),
+          col("score_micro"), col("pred"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 retrieval: every ÷100≡3 document's first 5 tokens as a query
     // over the full documents corpus — each query's own source doc ranks
     // (the retrieval sanity property), near-dup plants rank beside it
@@ -152,6 +175,59 @@ object OpsQueries {
       Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 5)
         .orderBy("query_id", "rank")
     }))
+
+  /** Unrolled-CTE DuckDB twin of [[Classifier.trainLogistic]] +
+    * [[Classifier.scoreLogistic]] on lang='en' labels: the same md5-mod
+    * feature hashing, the same once-per-doc micro-quantized sigmoid, and
+    * the same floor-safe shifted-division weight update — `//` on the
+    * provably non-negative numerators equals Spark's truncating `div`. */
+  private def classifierOracle(dim: Int, iters: Int, lrMicro: Long): String = {
+    val sig = (m: String) =>
+      s"CAST(round(1e6 / (1.0 + exp(-(CAST($m AS DOUBLE)) / 1e6))) AS BIGINT)"
+    val upd = (g: String) =>
+      s"((($lrMicro * (($g + n.n * 1000000) // n.n)) // 1000000) - $lrMicro)"
+    val head =
+      "WITH base AS (SELECT doc_id AS id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '') || ' q_ref_marker' " +
+      "ELSE coalesce(text, '') END AS t, " +
+      "CAST(doc_id % 3 = 0 AS BIGINT) AS y FROM documents), " +
+      "feats AS (SELECT DISTINCT id, " +
+      s"CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % $dim AS f " +
+      "FROM (SELECT id, unnest(regexp_split_to_array(t, '\\s+')) AS term FROM base) " +
+      "WHERE term <> ''), " +
+      "n AS (SELECT count(*) AS n FROM base), " +
+      "m0 AS (SELECT id, y, CAST(0 AS BIGINT) AS margin FROM base)"
+    val steps = (0 until iters).map { i =>
+      val prevB = if (i == 0) "0" else s"(SELECT b FROM b$i)"
+      val marginCte = if (i == 0) "" else
+        s", m$i AS (SELECT base.id, base.y, coalesce(s.mw, 0) + $prevB AS margin " +
+        s"FROM base LEFT JOIN (SELECT id, SUM(w) AS mw FROM feats " +
+        s"JOIN w$i USING (f) GROUP BY id) s ON s.id = base.id)"
+      val wNext = if (i == 0)
+        s", w1 AS (SELECT f, -${upd("g")} AS w FROM gf0 CROSS JOIN n)"
+      else
+        s", w${i + 1} AS (SELECT w$i.f, w$i.w - ${upd(s"gf$i.g")} AS w " +
+        s"FROM w$i JOIN gf$i USING (f) CROSS JOIN n)"
+      val bNext = if (i == 0)
+        s", b1 AS (SELECT -${upd("sg")} AS b FROM (SELECT SUM(err) AS sg FROM e0) CROSS JOIN n)"
+      else
+        s", b${i + 1} AS (SELECT $prevB - ${upd("sg")} AS b " +
+        s"FROM (SELECT SUM(err) AS sg FROM e$i) CROSS JOIN n)"
+      marginCte +
+        s", e$i AS (SELECT id, y, ${sig("margin")} - y * 1000000 AS err FROM m$i)" +
+        s", gf$i AS (SELECT f, SUM(err) AS g FROM feats JOIN e$i USING (id) GROUP BY f)" +
+        wNext + bNext
+    }.mkString
+    val fin =
+      s", mf AS (SELECT base.id, base.y, CAST(coalesce(s.mw, 0) + " +
+      s"(SELECT b FROM b$iters) AS BIGINT) AS margin FROM base LEFT JOIN " +
+      s"(SELECT id, SUM(w) AS mw FROM feats JOIN w$iters USING (f) GROUP BY id) s " +
+      "ON s.id = base.id) " +
+      s"SELECT id AS doc_id, y AS label, margin AS margin_micro, " +
+      s"${sig("margin")} AS score_micro, " +
+      s"CAST(${sig("margin")} > 500000 AS BIGINT) AS pred FROM mf ORDER BY doc_id"
+    head + steps + fin
+  }
 
   /** Unrolled-CTE DuckDB twin of [[Graph.pageRankInt]] over the
     * customer↔supplier graph: same distinct edges, same integer damping
@@ -291,6 +367,8 @@ object OpsQueries {
        "SELECT id, canary, hits FROM counted WHERE hits >= 1 ORDER BY id, canary"),
 
     "graph_pagerank" -> pageRankOracle(3),
+
+    "text_quality_classifier" -> classifierOracle(dim = 256, iters = 4, lrMicro = 500000L),
 
     "agg_hll_mergeable" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_distinct, " +

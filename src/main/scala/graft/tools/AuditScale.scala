@@ -59,7 +59,8 @@ object AuditScale {
     // broadcast-postings BM25 — every declared input scales with sf
     "events_sessionize", "events_session_stats", "events_funnel",
     "events_retention", "dq_constraints", "corpus_snapshot_diff",
-    "text_canary_scan", "graph_pagerank", "search_bm25", "agg_hll_mergeable")
+    "text_canary_scan", "graph_pagerank", "search_bm25", "agg_hll_mergeable",
+    "text_quality_classifier")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -124,7 +125,10 @@ object AuditScale {
       "dedup_semantic_incremental",
       // bm25's corpus constants (N, avgdl) ride a single-row aggregate
       // crossJoin, the tfidf/LM-scorer shape
-      "search_bm25")
+      "search_bm25",
+      // the classifier's corpus count and bias ride 1-row aggregate
+      // crossJoins per iteration (the LM-scorer shape)
+      "text_quality_classifier")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

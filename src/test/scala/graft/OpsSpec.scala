@@ -318,6 +318,60 @@ class OpsSpec extends AnyFunSuite {
     assert(merged.values.map(_._2).toSet == Set(200L), s"n_rows sums across batches: $merged")
   }
 
+  // ------------------------------------------------------------- classifier
+
+  test("trainLogistic + scoreLogistic match an independent integer recomputation") {
+    import graft.operators.Classifier
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, "good nice", 1L), (2L, "bad awful", 0L),
+      (3L, "good bad", 1L), (4L, "awful", 0L))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val dim = 128
+    val model = Classifier.trainLogistic(docs, "doc_id", "text", "label",
+        dim = dim, iters = 2, lrMicro = 500000L)
+    val scored = Classifier.scoreLogistic(docs, "doc_id", "text", model, dim = dim)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // ---- independent recompute with the same integer discipline
+    def fIdx(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % dim
+    }
+    val terms = Seq("good", "nice", "bad", "awful")
+    assert(terms.map(fIdx).distinct.length == 4, "fixture terms must not collide at dim=128")
+    val feats = rows.map { case (id, t, _) => id -> t.split("\\s+").map(fIdx).distinct.toSeq }.toMap
+    val ys = rows.map { case (id, _, y) => id -> y }.toMap
+    val n = rows.length.toLong
+    def p(m: Long): Long = math.round(1e6 / (1.0 + math.exp(-(m.toDouble) / 1e6)))
+    def upd(g: Long): Long = ((500000L * ((g + n * 1000000L) / n)) / 1000000L) - 500000L
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    var b = 0L
+    for (_ <- 1 to 2) {
+      val margins = feats.view.mapValues(fs => fs.map(w).sum + b).toMap
+      val errs = margins.map { case (id, m) => id -> (p(m) - ys(id) * 1000000L) }
+      val gf = feats.values.flatten.toSeq.distinct.map { f =>
+        f -> feats.collect { case (id, fs) if fs.contains(f) => errs(id) }.sum
+      }.toMap
+      val gb = errs.values.sum
+      w = w ++ gf.map { case (f, g) => f -> (w(f) - upd(g)) }
+      b -= upd(gb)
+    }
+    val want = rows.map { case (id, _, _) =>
+      val m = feats(id).map(w).sum + b
+      id -> ((m, p(m), if (p(m) > 500000L) 1L else 0L))
+    }.toMap
+    assert(scored == want, s"scored=$scored want=$want")
+    // the model table matches too (bias at f = -1)
+    val gotModel = model.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantModel = w.toMap + (Classifier.BiasFeature -> b)
+    assert(gotModel == wantModel, s"model=$gotModel want=$wantModel")
+    // and it learned the right direction on this separable fixture
+    assert(scored(1L)._3 == 1L && scored(2L)._3 == 0L && scored(4L)._3 == 0L, s"$scored")
+  }
+
   // ------------------------------------------------- PipelineSyntax wrappers
 
   test("PipelineSyntax: ops-layer wrappers record lineage and pk semantics") {
