@@ -153,6 +153,65 @@ object Events {
       coalesce(ts.reverse: _*).as("t_last_us"))
   }
 
+  /** Per-user session state after a [[sessionize]] run — the O(users)
+    * store the incremental twin resumes from: (user_id, last_ts_us,
+    * last_session_idx). `last_session_idx` is the OPEN session (session
+    * counters are monotone in time per user, so max is current). */
+  def sessionStore(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long): DataFrame =
+    sessionize(events, userCol, tsCol, idCol, gapSeconds)
+      .groupBy("user_id")
+      .agg(max(col("ts_us")).as("last_ts_us"),
+        max(col("session_idx")).as("last_session_idx"))
+
+  /** Incremental [[sessionize]]: assign sessions to a NEW batch against a
+    * [[sessionStore]] without reprocessing history (the daily-ingestion
+    * shape of the incremental family — banding / winnowing / semantic /
+    * line / span / sessions). Each user's first batch event measures its
+    * gap against the store's last event time and continues or advances
+    * that user's stored session counter; users absent from the store
+    * start at session 1. EQUIVALENCE CONTRACT (pinned in OpsSpec, and
+    * what makes the declared oracle the plain full-history window): as
+    * long as every batch event is later than that user's stored
+    * last_ts_us — the append-only ingestion assumption; late events would
+    * need a history rewrite in ANY sessionizer — the output is
+    * bit-identical to running [[sessionize]] over history ∪ batch and
+    * keeping the batch rows.
+    *
+    * Scale shape: one co-partitioned left join on the user key (store is
+    * O(users), typically broadcastable) feeding the same single user-key
+    * window — history is never read. */
+  def sessionizeIncremental(
+      batch: DataFrame,
+      store: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 0, "gapSeconds must be non-negative")
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    val running = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = micros(batch, tsCol)
+    val joined = batch.join(store.select(col("user_id").as(s"__su"),
+        col("last_ts_us"), col("last_session_idx")),
+      col(userCol) === col("__su"), "left")
+    val gapUs = when(row_number().over(order) === 1, us - col("last_ts_us"))
+      .otherwise(us - lag(us, 1).over(order))
+    val isNew = when(gapUs.isNull || gapUs > lit(gapSeconds * 1000000L), 1L).otherwise(0L)
+    joined
+      .withColumn("gap_us", gapUs)
+      .withColumn("session_idx",
+        coalesce(col("last_session_idx"), lit(0L)) + sum(isNew).over(running))
+      .select(col(idCol).as("event_id"), col(userCol).as("user_id"),
+        us.as("ts_us"), col("gap_us"), col("session_idx"))
+  }
+
   /** Weekly retention cohort matrix (the classic product-analytics grid):
     * each user's cohort is the Monday-truncated week of their FIRST event;
     * a (cohort, offset) cell counts users from that cohort active

@@ -53,6 +53,19 @@ object OpsQueries {
       Events.retentionCohorts(t(s, d, "events").df, "user_id", "ts")
         .orderBy("cohort_week", "week_offset")),
 
+    // incremental sessionization: sessions for the post-01-16 batch are
+    // assigned against the O(users) store of the first half — the
+    // equivalence contract makes the oracle the PLAIN full-history window
+    // restricted to batch rows (history is never read by the engine side)
+    "events_sessionize_incremental" -> ((s, d) => {
+      val ev = t(s, d, "events").df
+      val hist = ev.filter(col("ts").cast("timestamp").cast("long") < 1705363200L)
+      val batch = ev.filter(col("ts").cast("timestamp").cast("long") >= 1705363200L)
+      val store = Events.sessionStore(hist, "user_id", "ts", "event_id", GapSeconds)
+      Events.sessionizeIncremental(batch, store, "user_id", "ts", "event_id", GapSeconds)
+        .orderBy("event_id")
+    }),
+
     // Deequ-style suite over lineitem: a deliberate pass/fail mix — the
     // synthetic (l_orderkey, l_linenumber) key is NOT unique and ~10% of
     // quantities sit above 45, so the failing verdicts carry real counts
@@ -265,6 +278,18 @@ object OpsQueries {
        "OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx " +
        "FROM s ORDER BY event_id"),
+
+    "events_sessionize_incremental" ->
+      ("WITH s AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, " +
+       "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us FROM events), " +
+       "s2 AS (SELECT event_id, user_id, ts_us, gap_us, " +
+       "CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 14400000000 THEN 1 ELSE 0 END) " +
+       "OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx " +
+       "FROM s) " +
+       "SELECT event_id, user_id, ts_us, gap_us, session_idx FROM s2 " +
+       "WHERE ts_us >= 1705363200000000 ORDER BY event_id"),
 
     "events_session_stats" ->
       ("WITH s AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, " +

@@ -99,6 +99,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == 2L, s"cap keeps earliest view (t=1) so click@3 qualifies: $got")
   }
 
+  test("sessionizeIncremental ≡ full-history sessionize restricted to the batch") {
+    val history = ev(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 02:00:00", "view"),     // u1 session 2 opens in history
+      (3L, 2L, "2024-01-01 00:00:00", "view"))
+    val batch = ev(
+      (4L, 1L, "2024-01-01 02:20:00", "view"),     // continues u1's open session 2
+      (5L, 1L, "2024-01-01 05:00:00", "view"),     // new session 3
+      (6L, 2L, "2024-01-01 00:10:00", "view"),     // continues u2 session 1
+      (7L, 3L, "2024-01-01 00:00:00", "view"),     // brand-new user
+      (8L, 3L, "2024-01-01 00:00:00", "view"))     // tie inside the batch
+    val store = Events.sessionStore(history, "user_id", "ts", "event_id", 1800)
+    val inc = Events.sessionizeIncremental(batch, store, "user_id", "ts", "event_id", 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).sortBy(_._1)
+    val full = Events.sessionize(history.unionByName(batch), "user_id", "ts", "event_id", 1800)
+      .filter(col("event_id") >= 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).sortBy(_._1)
+    assert(inc.toSeq == full.toSeq, s"inc=${inc.toSeq}\nfull=${full.toSeq}")
+    // spot-check the interesting cells
+    val idx = inc.map(t => t._1 -> t._5).toMap
+    assert(idx == Map(4L -> 2L, 5L -> 3L, 6L -> 1L, 7L -> 1L, 8L -> 1L), s"$idx")
+  }
+
   test("retentionCohorts: Monday cohorts, exact offsets, per-cohort fractions") {
     // 2024-01-01 is a Monday
     val df = ev(
