@@ -2453,6 +2453,67 @@ object Corpus {
           .otherwise(lit(null).cast("long")).as("n_changed_cols"))
   }
 
+  /** Start an SCD-type-2 history table from a first snapshot: every row
+    * opens at `version` (valid_to NULL = current). Schema:
+    * (id, compareCols…, valid_from, valid_to). */
+  def scd2Init(
+      snapshot: DataFrame,
+      idCol: String,
+      compareCols: Seq[String],
+      version: Long): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    snapshot.select(col(idCol).as("id") +: compareCols.map(col): _*)
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(null).cast("long"))
+  }
+
+  /** Apply the next snapshot to an SCD-type-2 history (Kimball slowly-
+    * changing dimension, the warehouse twin of [[snapshotDiff]]): open
+    * rows whose id changed or disappeared close at `version`
+    * (valid_to = version), changed/new ids open a fresh row
+    * (valid_from = version), unchanged open rows and all already-closed
+    * rows pass through untouched — so point-in-time reads are
+    * `valid_from <= v AND (valid_to IS NULL OR valid_to > v)` and the
+    * whole history is reconstructible from any run. Change detection is
+    * the same NULL-safe per-column `<=>` as [[snapshotDiff]] — no row
+    * hashing, exact for any type/NULL pattern.
+    *
+    * Scale shape: one co-partitioned full-outer join of the OPEN slice
+    * against the snapshot on the id; closed history is a pass-through
+    * union branch that never joins or shuffles.
+    *
+    * Ids are assumed unique per snapshot and per open slice (the
+    * document-id / pk contract). */
+  def scd2Apply(
+      dim: DataFrame,
+      snapshot: DataFrame,
+      idCol: String,
+      compareCols: Seq[String],
+      version: Long): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val closed = dim.filter(col("valid_to").isNotNull)
+    val open = dim.filter(col("valid_to").isNull)
+    val o = open.select(col("id") +: lit(1).as("__in_o") +: col("valid_from").as("__vf") +:
+      compareCols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = snapshot.select(col(idCol).as("id") +: lit(1).as("__in_n") +:
+      compareCols.map(c => col(c).as(s"__n_$c")): _*)
+    val j = o.join(n, Seq("id"), "full_outer")
+    val same = compareCols.map(c => col(s"__o_$c") <=> col(s"__n_$c")).reduce(_ && _)
+    // old rows survive: unchanged stay open, changed/removed close now
+    val oldRows = j.filter(col("__in_o").isNotNull)
+      .select(col("id") +: compareCols.map(c => col(s"__o_$c").as(c)) :+
+        col("__vf").as("valid_from") :+
+        when(col("__in_n").isNotNull && same, lit(null).cast("long"))
+          .otherwise(lit(version)).as("valid_to"): _*)
+    // new/changed ids open a fresh row at this version
+    val newRows = j.filter(col("__in_n").isNotNull && !(col("__in_o").isNotNull && same))
+      .select(col("id") +: compareCols.map(c => col(s"__n_$c").as(c)) :+
+        lit(version).as("valid_from") :+ lit(null).cast("long").as("valid_to"): _*)
+    closed.select(col("id") +: compareCols.map(col) :+ col("valid_from") :+ col("valid_to"): _*)
+      .unionByName(oldRows)
+      .unionByName(newRows)
+  }
+
   /** Canary-string scan (training-data hygiene: secret-detection canaries,
     * benchmark watermark strings, licensing sentinels): exact occurrence
     * counts of each literal `canaries` entry per document. The count is the

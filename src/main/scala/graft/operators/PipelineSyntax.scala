@@ -663,6 +663,31 @@ object PipelineSyntax {
           mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
     }
 
+    /** Incremental sessionization of this frame (the new batch) against a
+      * [[Events.sessionStore]]: one row per batch event. */
+    def sessionizedIncrementally(store: MetaFrame, userCol: String, tsCol: String,
+        idCol: String, gapSeconds: Long): MetaFrame = {
+      val parentKeyed = mf.primaryKey.contains(Seq(idCol))
+      derived(mf,
+        Events.sessionizeIncremental(mf.df, store.df, userCol, tsCol, idCol, gapSeconds),
+        "sessionize_incremental",
+        Map("user" -> userCol, "ts" -> tsCol, "id" -> idCol, "gapSeconds" -> gapSeconds),
+        pk = if (parentKeyed) Some(Seq("event_id")) else None,
+        pkVerified = parentKeyed &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+    }
+
+    /** Apply this frame as the next snapshot onto an SCD2 history: no
+      * uniqueness claim — (id, valid_from) is unique only under the pk
+      * contract of BOTH inputs, which the dim side can't carry proof for. */
+    def scd2Applied(dim: MetaFrame, idCol: String, compareCols: Seq[String],
+        version: Long): MetaFrame =
+      derived(mf,
+        Corpus.scd2Apply(dim.df, mf.df, idCol, compareCols, version),
+        "scd2_apply",
+        Map("id" -> idCol, "compare" -> compareCols.mkString(","), "version" -> version),
+        pk = None)
+
     /** Per-session rollup: one row per (user, session) — groupBy contract. */
     def sessionStatsOf(userCol: String, tsCol: String, idCol: String,
         typeCol: String, gapSeconds: Long): MetaFrame =

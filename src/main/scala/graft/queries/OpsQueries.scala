@@ -31,6 +31,27 @@ object OpsQueries {
     * under the session-UTC convention. */
   private val FunnelCutoffEpochS = 1704153600L
 
+  /** The deterministic "crawl N+1" snapshot shared by the diff and SCD2
+    * queries: ÷17 docs removed, ÷13 text-mutated, ÷23 re-added under a
+    * shifted id (DuckDB twin: [[NewtSql]]). */
+  private def mutatedSnapshot(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mutated = docs.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val added = docs.filter(col("doc_id") % 23 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    mutated.unionByName(added)
+  }
+
+  /** DuckDB twin of [[mutatedSnapshot]] as a `newt` CTE body. */
+  private val NewtSql: String =
+    "newt AS (" +
+    "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text, " +
+    "lang, source FROM documents WHERE doc_id % 17 <> 0 " +
+    "UNION ALL SELECT doc_id + 100000, text, lang, source FROM documents " +
+    "WHERE doc_id % 23 = 0)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> ((s, d) =>
       Events.sessionize(t(s, d, "events").df, "user_id", "ts", "event_id",
@@ -85,15 +106,20 @@ object OpsQueries {
     // same second snapshot exactly
     "corpus_snapshot_diff" -> ((s, d) => {
       val docs = t(s, d, "documents").df
-      val mutated = docs.filter(col("doc_id") % 17 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")))
-      val added = docs.filter(col("doc_id") % 23 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000L)
-      Corpus.snapshotDiff(docs, mutated.unionByName(added), "doc_id",
+      Corpus.snapshotDiff(docs, mutatedSnapshot(docs), "doc_id",
           Seq("text", "lang", "source"))
         .orderBy("id")
+    }),
+
+    // SCD2 dimension history: init from documents at version 1, apply the
+    // SAME mutated snapshot at version 2 — unchanged rows stay open,
+    // changed/removed close, changed/added reopen
+    "corpus_scd2" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val dim1 = Corpus.scd2Init(docs, "doc_id", Seq("text", "lang", "source"), 1L)
+      Corpus.scd2Apply(dim1, mutatedSnapshot(docs), "doc_id",
+          Seq("text", "lang", "source"), 2L)
+        .orderBy("id", "valid_from")
     }),
 
     // canary scan over planted sentinels: ÷31 docs get CANARY-A1 (twice
@@ -358,12 +384,28 @@ object OpsQueries {
        "CAST((SELECT n FROM n) AS BIGINT) AS n_rows, violations = 0 AS pass " +
        "FROM v ORDER BY check_name"),
 
+    "corpus_scd2" ->
+      (s"WITH $NewtSql, " +
+       "o AS (SELECT doc_id, text, lang, source, 1 AS p FROM documents), " +
+       "nn AS (SELECT doc_id, text, lang, source, 1 AS p FROM newt), " +
+       "j AS (SELECT coalesce(o.doc_id, nn.doc_id) AS id, o.p AS po, nn.p AS pn, " +
+       "o.text AS ot, o.lang AS ol, o.source AS os, " +
+       "nn.text AS nt, nn.lang AS nl, nn.source AS ns, " +
+       "(o.text IS NOT DISTINCT FROM nn.text AND o.lang IS NOT DISTINCT FROM nn.lang " +
+       "AND o.source IS NOT DISTINCT FROM nn.source) AS same " +
+       "FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id) " +
+       "SELECT * FROM (" +
+       "SELECT id, ot AS text, ol AS lang, os AS source, " +
+       "CAST(1 AS BIGINT) AS valid_from, " +
+       "CASE WHEN pn IS NOT NULL AND same THEN CAST(NULL AS BIGINT) " +
+       "ELSE CAST(2 AS BIGINT) END AS valid_to FROM j WHERE po IS NOT NULL " +
+       "UNION ALL " +
+       "SELECT id, nt, nl, ns, CAST(2 AS BIGINT), CAST(NULL AS BIGINT) FROM j " +
+       "WHERE pn IS NOT NULL AND NOT (po IS NOT NULL AND same)" +
+       ") ORDER BY id, valid_from"),
+
     "corpus_snapshot_diff" ->
-      ("WITH newt AS (" +
-       "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text, " +
-       "lang, source FROM documents WHERE doc_id % 17 <> 0 " +
-       "UNION ALL SELECT doc_id + 100000, text, lang, source FROM documents " +
-       "WHERE doc_id % 23 = 0), " +
+      (s"WITH $NewtSql, " +
        "o AS (SELECT doc_id, text, lang, source, 1 AS p FROM documents), " +
        "nn AS (SELECT doc_id, text, lang, source, 1 AS p FROM newt) " +
        "SELECT coalesce(o.doc_id, nn.doc_id) AS id, " +

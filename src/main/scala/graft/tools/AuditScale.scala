@@ -60,7 +60,7 @@ object AuditScale {
     "events_sessionize", "events_session_stats", "events_funnel",
     "events_retention", "dq_constraints", "corpus_snapshot_diff",
     "text_canary_scan", "graph_pagerank", "search_bm25", "agg_hll_mergeable",
-    "text_quality_classifier")
+    "text_quality_classifier", "events_sessionize_incremental", "corpus_scd2")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

@@ -218,6 +218,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == (("added", None)), s"$got")
   }
 
+  test("SCD2: apply closes changed/removed, opens changed/added, preserves history") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    val dim1 = Corpus.scd2Init(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "t"), "doc_id", Seq("t"), 1L)
+    val dim2 = Corpus.scd2Apply(dim1,
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "t"), "doc_id", Seq("t"), 2L)
+    assert(rows(dim2) == Set(
+      (1L, "a", 1L, None), (2L, "b", 1L, Some(2L)), (2L, "B", 2L, None),
+      (3L, "c", 1L, Some(2L)), (4L, "d", 2L, None)), s"${rows(dim2)}")
+    // a value flipping BACK opens a third row; closed history is untouched
+    val dim3 = Corpus.scd2Apply(dim2,
+      Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("doc_id", "t"), "doc_id", Seq("t"), 3L)
+    assert(rows(dim3) == Set(
+      (1L, "a", 1L, None), (2L, "b", 1L, Some(2L)), (2L, "B", 2L, Some(3L)),
+      (2L, "b", 3L, None), (3L, "c", 1L, Some(2L)), (4L, "d", 2L, None)), s"${rows(dim3)}")
+    // point-in-time read at version 2
+    val asOf2 = dim3.filter(col("valid_from") <= 2L &&
+        (col("valid_to").isNull || col("valid_to") > 2L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(asOf2 == Map(1L -> "a", 2L -> "B", 4L -> "d"), s"$asOf2")
+  }
+
   // ------------------------------------------------------------ canaryScan
 
   test("canaryScan counts non-overlapping hits and emits only leaking docs") {
