@@ -77,17 +77,27 @@ object Retrieval {
           .cast("long").as("idf_micro"),
         col("avgdl"))
 
-    val qterms = queries.select(col(queryIdCol).as("query_id"),
-        explode(split(coalesce(col(queryTextCol), lit("")), "\\s+")).as("term"))
-      .filter(col("term") =!= "")
-      .distinct()
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     // enrich the small query-term set with term stats, then broadcast it
     // to the postings scan — the corpus-side tf table never shuffles here
     val qstats = idf.join(broadcast(qterms), Seq("term"))
+    scoreAndRank(tfdl.join(broadcast(qstats), Seq("term")), k, k1, b)
+  }
 
-    val scored = tfdl
-      .join(broadcast(qstats), Seq("term"))
-      // fixed parenthesization, mirrored verbatim in the oracle SQL
+  private def queryTerms(
+      queries: DataFrame, queryIdCol: String, queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
+        explode(split(coalesce(col(queryTextCol), lit("")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+
+  /** Shared scoring tail over an enriched postings frame carrying
+    * (query_id, doc_id, tf, dl, idf_micro, avgdl) — the SAME fixed
+    * parenthesization (mirrored verbatim in the oracle SQL) for the
+    * inline and indexed paths, which is what makes them bit-equal. */
+  private def scoreAndRank(enriched: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    import graft.expressions.TopKAgg.topKByScore
+    enriched
       .select(col("query_id"), col("doc_id"),
         round(col("idf_micro").cast("double") *
           ((col("tf") * lit(k1 + 1.0)) /
@@ -95,8 +105,6 @@ object Retrieval {
           .cast("long").as("term_score_micro"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("term_score_micro")).as("score_micro"))
-
-    scored
       .select(col("query_id"),
         struct(col("score_micro").cast("double").as("score"),
           col("doc_id").cast("long").as("id")).as("__c"))
@@ -105,5 +113,65 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("__topk")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("doc_id"), col("col.score").cast("long").as("score_micro"))
+  }
+
+  /** The persisted-index kind tag ([[graft.sources.MetaPersist]]). */
+  val IndexKind = "bm25_index"
+
+  /** Materialize the full BM25 index — one row per posting carrying every
+    * query-time statistic: (term, doc_id, tf, dl, idf_micro, avgdl). The
+    * corpus-wide tf⋈idf join is paid ONCE here (index build) instead of
+    * per query batch; avgdl rides as a constant column so the artifact is
+    * self-contained and scoring is bit-exact after reload (a sidecar
+    * double would round-trip through JSON). Written via
+    * [[graft.sources.MetaPersist.writeModel]], kind-tagged so a scorer
+    * handed the wrong artifact fails loudly at load. */
+  def bm25Index(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val tfdl = tf.withColumn("dl", sum(col("tf")).over(wdoc))
+    val consts = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(sum(col("tf")).as("total_dl")))
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfc.crossJoin(broadcast(consts))
+      .select(col("term"),
+        round(log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1e6))
+          .cast("long").as("idf_micro"),
+        col("avgdl"))
+    graft.sources.MetaPersist.writeModel(
+      tfdl.join(idf, Seq("term"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          col("idf_micro"), col("avgdl")),
+      path, IndexKind, Map("id" -> idCol, "text" -> textCol))
+  }
+
+  /** BM25 top-k against a materialized [[bm25Index]]: the corpus is never
+    * re-tokenized — query terms broadcast straight onto the index scan
+    * and the shared scoring tail runs unchanged, so results are
+    * BIT-EQUAL to the inline [[bm25TopK]] over the same corpus (pinned
+    * in OpsSpec). */
+  def bm25TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val index = graft.sources.MetaPersist.readModel(spark, path, IndexKind).df
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    scoreAndRank(index.join(broadcast(qterms), Seq("term")), k, k1, b)
   }
 }

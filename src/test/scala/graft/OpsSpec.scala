@@ -342,6 +342,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("bm25TopKIndexed over a persisted index is bit-equal to the inline path") {
+    import graft.operators.Retrieval
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple cherry cherry date"), (4L, "date egg")).toDF("doc_id", "text")
+    val qs = Seq((100L, "apple cherry"), (200L, "banana egg")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/idx"
+    Retrieval.bm25Index(corpus, "doc_id", "text", dir)
+    val inline = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .collect().map(_.toSeq).toSet
+    val indexed = Retrieval.bm25TopKIndexed(spark, dir, qs, "qid", "qtext", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == inline, s"indexed=$indexed inline=$inline")
+    // a wrong-kind artifact fails loudly at load, not silently downstream
+    val lmDir = java.nio.file.Files.createTempDirectory("bm25wrong").toString + "/m"
+    graft.sources.MetaPersist.writeModel(corpus, lmDir, "unigram_lm", Map.empty)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKIndexed(spark, lmDir, qs, "qid", "qtext", k = 3)
+    }
+    assert(e.getMessage.contains("bm25_index"))
+  }
+
   // -------------------------------------------------------------- sketches
 
   test("HLL sketch store: batch sketches union to the whole-corpus estimate, via parquet") {
@@ -476,5 +500,26 @@ class OpsSpec extends AnyFunSuite {
     val bm = docs.bm25TopKOf("doc_id", "text", qs, "qid", "qtext", k = 2)
     assert(bm.primaryKey.contains(Seq("query_id", "rank")))
     assert(bm.dropDuplicates(Seq("query_id", "rank")).df eq bm.df)
+
+    val incSess = evmf.sessionizedIncrementally(
+      MetaFrame(Events.sessionStore(evmf.df, "user_id", "ts", "event_id", 1800), Map.empty),
+      "user_id", "ts", "event_id", 1800)
+    assert(incSess.primaryKey.contains(Seq("event_id")) &&
+      lineageOps(incSess) == Seq("sessionize_incremental"))
+
+    val dim = MetaFrame(
+      graft.operators.Corpus.scd2Init(docs.df, "doc_id", Seq("text"), 1L), Map.empty)
+    val applied = newer.scd2Applied(dim, "doc_id", Seq("text"), 2L)
+    assert(applied.primaryKey.isEmpty && lineageOps(applied) == Seq("scd2_apply"))
+
+    val labeled = MetaFrame(Seq((1L, "x y", 1L), (2L, "z", 0L))
+      .toDF("doc_id", "text", "label"), Map.empty).dropDuplicates(Seq("doc_id"))
+    val lrModel = labeled.logisticTrained("doc_id", "text", "label", dim = 16, iters = 1)
+    assert(lrModel.primaryKey.contains(Seq("f")) &&
+      lineageOps(lrModel) == Seq("logistic_train"))
+    assert(lrModel.dropDuplicates(Seq("f")).df eq lrModel.df)
+    val lrScored = labeled.logisticScored(lrModel, "doc_id", "text", dim = 16)
+    assert(lrScored.primaryKey.contains(Seq("id")) &&
+      lineageOps(lrScored) == Seq("logistic_score"))
   }
 }
