@@ -149,6 +149,48 @@ object Bench {
       """{"protocol":"fresh query per run incl. start, 2 micro-batches, median of 5 runs",""",
       ",", "}")
 
+    // ---- ops-layer batch micro-benchmarks (round 13): wall seconds per
+    // full operator run (noop write — every row computed, nothing
+    // collected), one warm pass then median of 5 with spread. These have
+    // no BASELINE.md twin (the reference has no ops surface); they exist
+    // so a regression in the ops layer shows up in the committed artifact.
+    val opsQueries: Seq[(String, () => Unit)] = {
+      import graft.operators.{Events, Graph, Retrieval}
+      def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+      Seq(
+        "ops_session_stats_sec" -> (() => noop(
+          Events.sessionStats(t("events").df, "user_id", "ts", "event_id",
+            "event_type", gapSeconds = 14400))),
+        "ops_funnel_sec" -> (() => noop(
+          Events.funnel(t("events").df, "user_id", "ts", "event_type",
+            Seq("view", "click", "purchase")))),
+        "ops_pagerank_sec" -> (() => {
+          val ol = t("orders").df
+            .join(t("lineitem").df, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+          val edges = ol.select(col("c").as("src"), col("p").as("dst"))
+            .union(ol.select(col("p").as("src"), col("c").as("dst")))
+          noop(Graph.pageRankInt(edges, "src", "dst", iterations = 3))
+        }),
+        "ops_bm25_sec" -> (() => {
+          val docs = t("documents").df
+          val qs = docs.filter(col("doc_id") % 100 === 3)
+            .select(col("doc_id").as("qid"),
+              array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
+          noop(Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 5))
+        }))
+    }
+    opsQueries.foreach(_._2()) // warm
+    val opsRows: Seq[(String, Double, Double)] = opsQueries.map { case (n, run) =>
+      val times = Seq.fill(5) {
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (n, times(times.size / 2), times.last - times.head)
+    }
+    val opsJson = opsRows.map { case (n, v, sp) =>
+      f""""$n":$v%.3f,"${n.stripSuffix("_sec")}_spread":$sp%.3f"""
+    }.mkString("{", ",", "}")
+
     // ---- self-reporting regression check: the five streaming medians gate
     // at -40% of their COMMITTED BENCH_r12.json anchors (the artifact's
     // numbers byte-for-byte — not in-session mid-round medians, which the
@@ -166,14 +208,24 @@ object Bench {
         val totalGate =
           if (total > 2 * 5.971) Seq(f"total ${total}%.2fs exceeds 2x of the 5.97s baseline")
           else Nil
+        // ops rows gate at 2x their first-measurement anchors (seconds —
+        // regression direction is UP); re-anchor to the committed
+        // BENCH_r13.json once it exists, per the streaming convention
+        val opsAnchors = Map(
+          "ops_session_stats_sec" -> 0.371, "ops_funnel_sec" -> 0.243,
+          "ops_pagerank_sec" -> 3.472, "ops_bm25_sec" -> 1.133)
+        val opsGate = opsRows.flatMap { case (n, v, _) =>
+          opsAnchors.get(n).filter(a => v > 2.0 * a)
+            .map(a => f"$n $v%.2fs above 2x of anchor $a%.2fs")
+        }
         totalGate ++ streamRows.flatMap { case (n, v, _) =>
           anchors.get(n).filter(a => v < 0.6 * a)
             .map(a => f"$n $v%.1f below 60%% of r12 anchor $a%.1f")
-        }
+        } ++ opsGate
       }
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"queries":$qs,"best":$best,"spread":$spread,"streaming":$streamJson,"regressions":$regJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"queries":$qs,"best":$best,"spread":$spread,"streaming":$streamJson,"ops":$opsJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
