@@ -122,4 +122,89 @@ object Checks {
       .orderBy("ord")
       .drop("ord")
   }
+
+  /** Profile-driven constraint SUGGESTION (the Deequ suggestion engine,
+    * closing the loop: suggest → check → monitor): one exact profiling
+    * aggregate over every column — null counts, distinct counts, numeric
+    * min/max — then a BOUNDED second pass collecting the sorted value set
+    * of only those string columns whose distinct count already proved
+    * ≤ `maxSetSize` (the driver reads one profile row, O(columns)
+    * metadata, before deciding; an unbounded collect_set never runs).
+    *
+    * Rules, applied per column:
+    *  - no NULLs observed            → `not_null`
+    *  - no NULLs and distinct = rows → `unique`
+    *  - numeric with ≥ 1 value      → `in_range` [observed min, max]
+    *  - string with 1..maxSetSize distinct values → `in_set`
+    *
+    * Numeric bounds stay TYPED doubles (never formatted into strings —
+    * float rendering is engine-specific; parquet doubles compare
+    * bit-exact). Profiling cost is the standard Deequ shape: the
+    * multi-distinct aggregate expands the scan ~#columns-fold — a
+    * deliberate one-off profiling pass, not a per-batch operator.
+    *
+    * Returns one row per suggestion, ordered (col_name, kind):
+    * (col_name, kind, lo, hi, allowed, n_rows, n_nulls, n_distinct). */
+  def suggest(df: DataFrame, maxSetSize: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    require(maxSetSize >= 1, "maxSetSize must be at least 1")
+    val fields = df.schema.fields.toSeq
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      Seq(
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"),
+        countDistinct(col(f.name)).as(s"__nd_${f.name}")) ++
+        (f.dataType match {
+          case _: NumericType => Seq(
+            min(col(f.name)).cast("double").as(s"__lo_${f.name}"),
+            max(col(f.name)).cast("double").as(s"__hi_${f.name}"))
+          case _ => Nil
+        })
+    }
+    val prof = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def g[T](name: String): T = prof.getAs[T](name)
+    val nRows = g[Long]("__n")
+    val setCols = fields.filter(f => f.dataType == StringType &&
+      g[Long](s"__nd_${f.name}") >= 1 && g[Long](s"__nd_${f.name}") <= maxSetSize)
+    val sets: Map[String, String] =
+      if (setCols.isEmpty) Map.empty
+      else {
+        val setAggs = setCols.map(f =>
+          concat_ws(",", array_sort(collect_set(col(f.name)))).as(f.name))
+        val row = df.agg(setAggs.head, setAggs.tail: _*).collect()(0)
+        setCols.map(f => f.name -> row.getAs[String](f.name)).toMap
+      }
+    final case class Sug(col: String, kind: String, lo: Option[Double],
+        hi: Option[Double], allowed: Option[String], nn: Long, nd: Long)
+    val rows: Seq[Sug] = fields.flatMap { f =>
+      val nn = g[Long](s"__nn_${f.name}")
+      val nd = g[Long](s"__nd_${f.name}")
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      val notNull: Seq[Sug] = if (nn == 0L)
+        Seq(Sug(f.name, "not_null", None, None, None, nn, nd)) else Nil
+      val unique: Seq[Sug] = if (nn == 0L && nd == nRows)
+        Seq(Sug(f.name, "unique", None, None, None, nn, nd)) else Nil
+      val range: Seq[Sug] = if (numeric && nRows - nn >= 1)
+        Seq(Sug(f.name, "in_range", Option(g[Double](s"__lo_${f.name}")),
+          Option(g[Double](s"__hi_${f.name}")), None, nn, nd))
+      else Nil
+      val inSet: Seq[Sug] = sets.get(f.name).map(v =>
+        Sug(f.name, "in_set", None, None, Option(v), nn, nd)).toSeq
+      notNull ++ unique ++ range ++ inSet
+    }.sortBy(t => (t.col, t.kind))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, DoubleType, LongType}
+    val outSchema = StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("lo", DoubleType, nullable = true),
+      StructField("hi", DoubleType, nullable = true),
+      StructField("allowed", StringType, nullable = true),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_nulls", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false)))
+    val out = rows.map(s => Row(s.col, s.kind, s.lo.orNull, s.hi.orNull,
+      s.allowed.orNull, nRows, s.nn, s.nd))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out, 1), outSchema)
+  }
 }

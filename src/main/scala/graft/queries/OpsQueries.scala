@@ -100,6 +100,12 @@ object OpsQueries {
           Checks.RowCountBetween(1000L, 100000000L)))
         .orderBy("check_name")),
 
+    // constraint suggestion over lineitem: the full profile-driven rule
+    // set (not_null everywhere, in_range for the 8 numeric columns,
+    // in_set for the two low-cardinality strings, no unique column)
+    "dq_suggest" -> ((s, d) =>
+      Checks.suggest(t(s, d, "lineitem").df).orderBy("col_name", "kind")),
+
     // snapshot diff: "crawl N+1" derived from documents by deterministic
     // mod rules (÷17 removed, ÷13 text-mutated, ÷23 re-added under a
     // shifted id) so every verdict class occurs and DuckDB rebuilds the
@@ -214,6 +220,44 @@ object OpsQueries {
       Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 5)
         .orderBy("query_id", "rank")
     }))
+
+  /** DuckDB twin of [[Checks.suggest]] over a known schema: per column,
+    * the same profile rules as conditional selects over scalar
+    * subqueries; numeric bounds stay typed doubles, value sets join the
+    * DISTINCT values in binary order. */
+  private def suggestOracle(
+      table: String,
+      numericCols: Seq[String],
+      stringCols: Seq[String],
+      otherCols: Seq[String],
+      maxSet: Int): String = {
+    def nn(c: String) = s"(SELECT count(*) - count($c) FROM $table)"
+    def nd(c: String) = s"(SELECT count(DISTINCT $c) FROM $table)"
+    val n = s"(SELECT count(*) FROM $table)"
+    val all = numericCols.map(_ -> "num") ++ stringCols.map(_ -> "str") ++
+      otherCols.map(_ -> "oth")
+    val rows = all.flatMap { case (c, t) =>
+      val base = s"$n AS n_rows, ${nn(c)} AS n_nulls, ${nd(c)} AS n_distinct"
+      val notNull = s"SELECT '$c' AS col_name, 'not_null' AS kind, " +
+        s"CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi, " +
+        s"CAST(NULL AS VARCHAR) AS allowed, $base WHERE ${nn(c)} = 0"
+      val uniq = s"SELECT '$c', 'unique', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+        s"CAST(NULL AS VARCHAR), $base WHERE ${nn(c)} = 0 AND ${nd(c)} = $n"
+      val rng = if (t == "num")
+        Seq(s"SELECT '$c', 'in_range', (SELECT CAST(min($c) AS DOUBLE) FROM $table), " +
+          s"(SELECT CAST(max($c) AS DOUBLE) FROM $table), CAST(NULL AS VARCHAR), " +
+          s"$base WHERE $n - ${nn(c)} >= 1")
+      else Nil
+      val inSet = if (t == "str")
+        Seq(s"SELECT '$c', 'in_set', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+          s"(SELECT string_agg(v, ',') FROM (SELECT DISTINCT $c AS v FROM $table " +
+          s"WHERE $c IS NOT NULL ORDER BY v)), $base " +
+          s"WHERE ${nd(c)} BETWEEN 1 AND $maxSet")
+      else Nil
+      Seq(notNull, uniq) ++ rng ++ inSet
+    }
+    rows.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name, kind")
+  }
 
   /** Unrolled-CTE DuckDB twin of [[Classifier.trainLogistic]] +
     * [[Classifier.scoreLogistic]] on lang='en' labels: the same md5-mod
@@ -383,6 +427,13 @@ object OpsQueries {
        "SELECT check_name, kind, target, CAST(violations AS BIGINT) AS violations, " +
        "CAST((SELECT n FROM n) AS BIGINT) AS n_rows, violations = 0 AS pass " +
        "FROM v ORDER BY check_name"),
+
+    "dq_suggest" -> suggestOracle("lineitem",
+      numericCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      stringCols = Seq("l_returnflag", "l_linestatus"),
+      otherCols = Seq("l_shipdate"),
+      maxSet = 10),
 
     "corpus_scd2" ->
       (s"WITH $NewtSql, " +

@@ -192,6 +192,30 @@ class OpsSpec extends AnyFunSuite {
     assert(uniqueOnly.toSeq == Seq(("unique(id)", 2L, 2L, false)), s"${uniqueOnly.toSeq}")
   }
 
+  test("suggest: profiling rules emit exactly the supported constraints") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Option(1.5), "A"),
+      (2L, Option.empty[Double], "B"),
+      (3L, Option(9.0), "A")).toDF("id", "v", "f")
+    val got = Checks.suggest(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got.keySet == Set(
+      ("id", "not_null"), ("id", "unique"), ("id", "in_range"),
+      ("v", "in_range"), ("f", "not_null"), ("f", "in_set")), s"${got.keySet}")
+    assert(got(("id", "in_range")) == ((Some(1.0), Some(3.0), None, 0L, 3L)), s"$got")
+    assert(got(("v", "in_range")) == ((Some(1.5), Some(9.0), None, 1L, 2L)),
+      s"NULL column: range from observed values, no not_null/unique: $got")
+    assert(got(("f", "in_set")) == ((None, None, Some("A,B"), 0L, 2L)), s"$got")
+    // a tighter set bound drops the in_set suggestion (no unbounded collects)
+    val tight = Checks.suggest(df, maxSetSize = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!tight.contains(("f", "in_set")), s"$tight")
+  }
+
   // ---------------------------------------------------------- snapshotDiff
 
   test("snapshotDiff: added/removed/changed/unchanged with NULL-safe compares") {
