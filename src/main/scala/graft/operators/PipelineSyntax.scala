@@ -797,5 +797,19 @@ object PipelineSyntax {
         Map("id" -> idCol, "text" -> textCol, "k" -> k, "k1" -> k1, "b" -> b),
         pk = Some(Seq("query_id", "rank")),
         pkVerified = true)
+
+    /** Reciprocal-rank fusion of this ranked list with `others` (hybrid
+      * retrieval): one row per (query, rank) by construction of the
+      * re-rank window. */
+    def rrfFuseWith(others: Seq[MetaFrame], k: Int = 10, k0: Int = 60,
+        queryIdCol: String = "query_id", idCol: String = "doc_id",
+        rankCol: String = "rank"): MetaFrame =
+      derived(mf,
+        Retrieval.rrfFuse(mf.df +: others.map(_.df), k, k0,
+          queryIdCol, idCol, rankCol),
+        "rrf_fuse",
+        Map("k" -> k, "k0" -> k0, "lists" -> (others.size + 1)),
+        pk = Some(Seq("query_id", "rank")),
+        pkVerified = true)
   }
 }

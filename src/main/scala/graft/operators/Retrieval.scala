@@ -155,6 +155,58 @@ object Retrieval {
       path, IndexKind, Map("id" -> idCol, "text" -> textCol))
   }
 
+  /** Reciprocal-Rank-Fusion of N ranked candidate lists (Cormack,
+    * Clarke & Büttcher 2009): the standard hybrid-retrieval combiner —
+    * fuse a sparse BM25 list with a dense ANN list without comparing
+    * their incommensurable scores, using only each list's RANKS:
+    * `rrf(d) = Σ_lists 1/(k0 + rank_list(d))`, then re-rank the candidate
+    * union. k0=60 is the paper's constant.
+    *
+    * DETERMINISM: each per-list contribution quantizes ONCE to integer
+    * micro units — `round(1e6 / (k0 + rank))` over an integer rank is a
+    * single IEEE divide of identical operands, engine-stable — and the
+    * fuse is a LONG sum, so the fused ordering can never diverge from
+    * the SQL oracle. Ties break by id ascending.
+    *
+    * Scale shape: inputs are already top-k-truncated per query (they come
+    * from this repo's top-k operators), so the candidate union is at most
+    * `lists.size × listK` rows per query — bounded, query-local data. The
+    * re-rank window partitions by query over that bounded set; no
+    * corpus-sized state ever reaches this operator (the heavy lifting
+    * stays in the upstream retrievers). Id columns keep their original
+    * type end-to-end (the [[Similarity]]-family convention).
+    *
+    * Each list must expose (`queryIdCol`, `rankCol`, `idCol`) with
+    * union-compatible types. Returns (query_id, rank, <idCol>,
+    * rrf_micro, n_lists), rank 1..k by (rrf_micro desc, id asc);
+    * `n_lists` = how many input lists proposed the candidate. */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      k: Int = 10,
+      k0: Int = 60,
+      queryIdCol: String = "query_id",
+      idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k >= 1, "k must be at least 1")
+    require(k0 >= 1, "k0 must be at least 1")
+    val contrib = lists.map(_.select(
+        col(queryIdCol).as("query_id"),
+        col(idCol),
+        round(lit(1e6) / (lit(k0.toLong) + col(rankCol)))
+          .cast("long").as("__c")))
+      .reduce(_ union _)
+    val fused = contrib.groupBy("query_id", idCol)
+      .agg(sum(col("__c")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("rrf_micro"), col("n_lists"))
+  }
+
   /** BM25 top-k against a materialized [[bm25Index]]: the corpus is never
     * re-tokenized — query terms broadcast straight onto the index scan
     * and the shared scoring tail runs unchanged, so results are

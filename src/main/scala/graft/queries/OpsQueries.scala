@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.{Checks, Classifier, Corpus, Events, Graph, Retrieval, Sketches}
+import graft.operators.{Checks, Classifier, Corpus, Events, Graph, Retrieval, Similarity, Sketches}
 import graft.sources.Tables
 
 /** Declared queries for the operations layer (SURVEY.md §2.3 extensions,
@@ -218,6 +218,28 @@ object OpsQueries {
         .select(col("doc_id").as("qid"),
           array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
       Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // hybrid retrieval: the same ÷100≡3 query docs drive BOTH retrievers —
+    // first 5 tokens against the BM25 postings, the doc's own embedding
+    // (vec_id aligns with doc_id) against the dense corpus — and the two
+    // top-10 lists fuse by reciprocal rank. Docs found by both channels
+    // (n_lists = 2) outrank single-channel hits, the hybrid premise
+    "search_hybrid_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val emb = t(s, d, "embeddings").df
+      val qs = docs.filter(col("doc_id") % 100 === 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
+      val dq = emb.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+        .select("query_id", "rank", "doc_id")
+      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          dq, "query_id", "query_vec", k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
         .orderBy("query_id", "rank")
     }))
 
@@ -494,32 +516,68 @@ object OpsQueries {
        "TRUE AS est_ok FROM events GROUP BY event_type ORDER BY event_type"),
 
     "search_bm25" ->
-      ("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term " +
-       "FROM documents), " +
-       "tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''), " +
-       "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term), " +
-       "dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id), " +
-       "consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs, " +
-       "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl) / (SELECT count(*) FROM documents) " +
-       "AS avgdl), " +
-       "dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
-       "idf AS (SELECT term, CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) " +
-       "* 1e6) AS BIGINT) AS idf_micro, avgdl FROM dfc CROSS JOIN consts), " +
-       "qdocs AS (SELECT doc_id AS query_id, regexp_split_to_array(text, '\\s+') AS ts " +
-       "FROM documents WHERE doc_id % 100 = 3), " +
-       "qterms AS (SELECT DISTINCT query_id, term FROM " +
-       "(SELECT query_id, unnest(ts[1:5]) AS term FROM qdocs) WHERE term <> '' " +
-       "AND term IS NOT NULL), " +
-       "qstats AS (SELECT q.query_id, q.term, i.idf_micro, i.avgdl FROM qterms q " +
-       "JOIN idf i USING (term)), " +
-       "scored AS (SELECT s.query_id, t.doc_id, " +
-       "CAST(round(CAST(s.idf_micro AS DOUBLE) * ((t.tf * 2.2) / " +
-       "(t.tf + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl))))) AS BIGINT) AS tsm " +
-       "FROM tf t JOIN qstats s USING (term) JOIN dl d ON d.doc_id = t.doc_id), " +
-       "agg AS (SELECT query_id, doc_id, CAST(sum(tsm) AS BIGINT) AS score_micro " +
-       "FROM scored GROUP BY query_id, doc_id), " +
-       "ranked AS (SELECT query_id, doc_id, score_micro, row_number() OVER " +
-       "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank FROM agg) " +
+      (s"WITH $Bm25Ctes " +
        "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro " +
-       "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"))
+       "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    // hybrid sparse+dense: the bm25 chain and the brute-cosine chain fuse
+    // by RECIPROCAL RANK — each list contributes round(1e6/(60+rank)) as
+    // a long, the union re-ranks by the long sum (ties → doc_id asc)
+    "search_hybrid_rrf" ->
+      (s"WITH $Bm25Ctes, " +
+       "dq AS (SELECT vec_id AS query_id, embedding AS query_vec " +
+       "FROM embeddings WHERE vec_id % 100 = 3), " +
+       "dscored AS (SELECT dq.query_id, e.vec_id AS neighbor_id, " +
+       "list_sum(list_transform(list_zip(e.embedding, dq.query_vec), " +
+       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+       "(sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
+       "sqrt(list_sum(list_transform(dq.query_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos " +
+       "FROM embeddings e, dq WHERE e.vec_id <> dq.query_id), " +
+       "dranked AS (SELECT query_id, neighbor_id, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM dscored), " +
+       "cand AS (SELECT query_id, doc_id, " +
+       "CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c " +
+       "FROM ranked WHERE rank <= 10 " +
+       "UNION ALL SELECT query_id, neighbor_id, " +
+       "CAST(round(1000000.0 / (60 + rank)) AS BIGINT) FROM dranked WHERE rank <= 10), " +
+       "fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro, " +
+       "CAST(count(*) AS BIGINT) AS n_lists FROM cand GROUP BY query_id, doc_id), " +
+       "franked AS (SELECT *, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS rnk FROM fused) " +
+       "SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, rrf_micro, n_lists " +
+       "FROM franked WHERE rnk <= 10 ORDER BY query_id, rank"))
+
+  /** The [[Retrieval.bm25TopK]] oracle chain (documents corpus, ÷100≡3
+    * first-5-token queries), ending at `ranked` (all candidates with
+    * per-query ranks) so both the standalone bm25 query and the hybrid
+    * RRF fusion share ONE re-derivation — a k filter is all that
+    * differs. (A `def`, not a `val`: the oracle map above initializes
+    * first and would capture a null field.) */
+  private def Bm25Ctes: String =
+    "tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term " +
+    "FROM documents), " +
+    "tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''), " +
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term), " +
+    "dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id), " +
+    "consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs, " +
+    "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl) / (SELECT count(*) FROM documents) " +
+    "AS avgdl), " +
+    "dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+    "idf AS (SELECT term, CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) " +
+    "* 1e6) AS BIGINT) AS idf_micro, avgdl FROM dfc CROSS JOIN consts), " +
+    "qdocs AS (SELECT doc_id AS query_id, regexp_split_to_array(text, '\\s+') AS ts " +
+    "FROM documents WHERE doc_id % 100 = 3), " +
+    "qterms AS (SELECT DISTINCT query_id, term FROM " +
+    "(SELECT query_id, unnest(ts[1:5]) AS term FROM qdocs) WHERE term <> '' " +
+    "AND term IS NOT NULL), " +
+    "qstats AS (SELECT q.query_id, q.term, i.idf_micro, i.avgdl FROM qterms q " +
+    "JOIN idf i USING (term)), " +
+    "scored AS (SELECT s.query_id, t.doc_id, " +
+    "CAST(round(CAST(s.idf_micro AS DOUBLE) * ((t.tf * 2.2) / " +
+    "(t.tf + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl))))) AS BIGINT) AS tsm " +
+    "FROM tf t JOIN qstats s USING (term) JOIN dl d ON d.doc_id = t.doc_id), " +
+    "agg AS (SELECT query_id, doc_id, CAST(sum(tsm) AS BIGINT) AS score_micro " +
+    "FROM scored GROUP BY query_id, doc_id), " +
+    "ranked AS (SELECT query_id, doc_id, score_micro, row_number() OVER " +
+    "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank FROM agg)"
 }

@@ -390,6 +390,26 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bm25_index"))
   }
 
+  test("rrfFuse: micro contributions, n_lists, tie-break, id-type preservation") {
+    import graft.operators.Retrieval
+    val spark2 = spark
+    import spark2.implicits._
+    // list a ranks (x, y); list b ranks (z, y) — y is the dual-channel hit
+    val a = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("query_id", "rank", "doc_id")
+    val b = Seq((1L, 1L, "z"), (1L, 2L, "y")).toDF("query_id", "rank", "doc_id")
+    val got = Retrieval.rrfFuse(Seq(a, b))
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    // round(1e6/61) = 16393, round(1e6/62) = 16129; the rank-1 tie between
+    // x and z breaks by doc_id ascending; string ids survive untouched
+    assert(got == Seq(
+      (1L, "y", 32258L, 2L),
+      (2L, "x", 16393L, 1L),
+      (3L, "z", 16393L, 1L)), s"$got")
+    val top2 = Retrieval.rrfFuse(Seq(a, b), k = 2).collect().map(_.getString(2)).toSet
+    assert(top2 == Set("y", "x"), s"$top2")
+  }
+
   // -------------------------------------------------------------- sketches
 
   test("HLL sketch store: batch sketches union to the whole-corpus estimate, via parquet") {
