@@ -212,6 +212,85 @@ object Events {
         us.as("ts_us"), col("gap_us"), col("session_idx"))
   }
 
+  /** Top-k user-journey paths: each user's first `depth` events (ordered
+    * by `tsCol`, `idCol` — the id breaks timestamp ties so the path is
+    * deterministic under any physical row order) join into a
+    * `>`-separated event-type path; paths rank by user count, ties by
+    * path ascending. The "where do users go first" report of product
+    * analytics (the path-analysis complement of [[funnel]], which needs a
+    * hypothesis — this discovers one).
+    *
+    * Scale shape: ONE user-key exchange — the row_number window bounds
+    * per-user state to `depth` rows BEFORE any collect (a bot user with
+    * millions of events contributes exactly `depth`), the per-user path
+    * build groups on the same user clustering (subset-satisfied, no
+    * second exchange), and the path count reduces on ≤ |types|^depth
+    * keys with map-side partials. The global top-k is orderBy+limit —
+    * Catalyst plans TakeOrderedAndProject (per-partition heaps, no
+    * single-partition sort exchange) — and only the k survivors meet the
+    * rank window.
+    *
+    * Returns (rank, path, n_users), rank 1..k by (n_users desc, path
+    * asc). */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      depth: Int = 4,
+      k: Int = 20): DataFrame = {
+    require(depth >= 1, "depth must be at least 1")
+    require(k >= 1, "k must be at least 1")
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    val counts = events
+      .withColumn("__rn", row_number().over(order))
+      .filter(col("__rn") <= depth)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("__rn").as("rn"), col(typeCol).as("t")))),
+          x => x("t"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+    val top = counts.orderBy(col("n_users").desc, col("path").asc).limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_users").desc, col("path").asc)).cast("long"))
+      .select(col("rank"), col("path"), col("n_users"))
+  }
+
+  /** Markov next-event transition matrix: per user (ordered by `tsCol`,
+    * `idCol`), count each adjacent (event_type → next event_type) pair,
+    * with the per-source transition probability in exact micro units
+    * (`round((n · 1e6) / out_degree)` — one IEEE multiply and divide over
+    * integers, engine-stable). The one-step behavioral model behind
+    * next-action prediction and anomalous-sequence flagging.
+    *
+    * Scale shape: one user-key exchange for the lead window, then a
+    * key-bounded reduce on ≤ |types|² pair keys with map-side partials;
+    * the out-degree denominator windows over the ALREADY-AGGREGATED pair
+    * table (|types|² rows, not events).
+    *
+    * Returns (src_type, dst_type, n, p_micro), Σ n over dst per src =
+    * that src's out-degree. */
+  def transitions(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): DataFrame = {
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(order))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("src_type"), col("__next").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("src_type"))
+    pairs.withColumn("p_micro",
+      round((col("n") * lit(1e6)) / sum(col("n")).over(wSrc)).cast("long"))
+  }
+
   /** Weekly retention cohort matrix (the classic product-analytics grid):
     * each user's cohort is the Monday-truncated week of their FIRST event;
     * a (cohort, offset) cell counts users from that cohort active

@@ -710,6 +710,27 @@ object PipelineSyntax {
         pk = Some(Seq("user_id")),
         pkVerified = true)
 
+    /** Top user-journey paths: rank is unique by the re-rank window. */
+    def topPathsOf(userCol: String, tsCol: String, idCol: String,
+        typeCol: String, depth: Int = 4, k: Int = 20): MetaFrame =
+      derived(mf,
+        Events.topPaths(mf.df, userCol, tsCol, idCol, typeCol, depth, k),
+        "top_paths",
+        Map("user" -> userCol, "ts" -> tsCol, "id" -> idCol,
+            "type" -> typeCol, "depth" -> depth, "k" -> k),
+        pk = Some(Seq("rank")),
+        pkVerified = true)
+
+    /** Markov transition matrix: one row per (src, dst) — groupBy contract. */
+    def transitionsOf(userCol: String, tsCol: String, idCol: String,
+        typeCol: String): MetaFrame =
+      derived(mf,
+        Events.transitions(mf.df, userCol, tsCol, idCol, typeCol),
+        "transitions",
+        Map("user" -> userCol, "ts" -> tsCol, "id" -> idCol, "type" -> typeCol),
+        pk = Some(Seq("src_type", "dst_type")),
+        pkVerified = true)
+
     /** Data-quality constraint verdicts: one row per constraint. The
       * check_name pk holds only when the declared ids are distinct (two
       * constraints of the same kind on the same column share an id). */

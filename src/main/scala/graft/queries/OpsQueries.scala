@@ -74,6 +74,18 @@ object OpsQueries {
       Events.retentionCohorts(t(s, d, "events").df, "user_id", "ts")
         .orderBy("cohort_week", "week_offset")),
 
+    // top first-4-event journey paths across all users; at 6 event types
+    // the aggregated path table is ≤ 1296 keys, top-20 discriminates
+    "events_top_paths" -> ((s, d) =>
+      Events.topPaths(t(s, d, "events").df, "user_id", "ts", "event_id",
+        "event_type", depth = 4, k = 20)),
+
+    // Markov transition matrix with per-source micro probabilities
+    "events_transitions" -> ((s, d) =>
+      Events.transitions(t(s, d, "events").df, "user_id", "ts", "event_id",
+          "event_type")
+        .orderBy("src_type", "dst_type")),
+
     // incremental sessionization: sessions for the post-01-16 batch are
     // assigned against the O(users) store of the first half — the
     // equivalence contract makes the oracle the PLAIN full-history window
@@ -425,6 +437,26 @@ object OpsQueries {
        "round(CAST(n_users AS DOUBLE) / max(CASE WHEN week_offset = 0 " +
        "THEN n_users END) OVER (PARTITION BY cohort_week), 6) AS retained_frac " +
        "FROM agg ORDER BY cohort_week, week_offset"),
+
+    "events_top_paths" ->
+      ("WITH r AS (SELECT user_id, event_type, row_number() OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+       "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path " +
+       "FROM r WHERE rn <= 4 GROUP BY user_id), " +
+       "c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path), " +
+       "rk AS (SELECT path, n_users, row_number() OVER " +
+       "(ORDER BY n_users DESC, path ASC) AS rank FROM c) " +
+       "SELECT CAST(rank AS BIGINT) AS rank, path, CAST(n_users AS BIGINT) AS n_users " +
+       "FROM rk WHERE rank <= 20 ORDER BY rank"),
+
+    "events_transitions" ->
+      ("WITH nx AS (SELECT event_type AS src_type, lead(event_type) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id) AS dst_type FROM events), " +
+       "c AS (SELECT src_type, dst_type, count(*) AS n FROM nx " +
+       "WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type) " +
+       "SELECT src_type, dst_type, CAST(n AS BIGINT) AS n, " +
+       "CAST(round((n * 1000000.0) / (sum(n) OVER (PARTITION BY src_type))) AS BIGINT) " +
+       "AS p_micro FROM c ORDER BY src_type, dst_type"),
 
     "dq_constraints" ->
       ("WITH n AS (SELECT count(*) AS n FROM lineitem), v AS (" +

@@ -124,6 +124,45 @@ class OpsSpec extends AnyFunSuite {
     assert(idx == Map(4L -> 2L, 5L -> 3L, 6L -> 1L, 7L -> 1L, 8L -> 1L), s"$idx")
   }
 
+  test("topPaths: depth truncation, tie-stable order, count-then-path ranking") {
+    val df = ev(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 00:01:00", "click"),
+      (3L, 1L, "2024-01-01 00:02:00", "purchase"),   // beyond depth=2: dropped
+      (5L, 2L, "2024-01-01 00:00:00", "click"),      // ts tie with 4 —
+      (4L, 2L, "2024-01-01 00:00:00", "view"),       // id order: view first
+      (6L, 3L, "2024-01-01 00:00:00", "view"),
+      (7L, 3L, "2024-01-01 00:05:00", "click"),
+      (8L, 4L, "2024-01-01 00:00:00", "error"))      // short path: 1 event
+    val got = Events.topPaths(df, "user_id", "ts", "event_id", "event_type",
+        depth = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "view>click", 3L), (2L, "error", 1L)), s"$got")
+    // k truncates after ranking
+    val top1 = Events.topPaths(df, "user_id", "ts", "event_id", "event_type",
+        depth = 2, k = 1)
+      .collect().map(_.getString(1)).toSeq
+    assert(top1 == Seq("view>click"), s"$top1")
+  }
+
+  test("transitions: adjacent pairs per user, micro probabilities sum per source") {
+    val df = ev(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 00:01:00", "click"),
+      (3L, 1L, "2024-01-01 00:02:00", "view"),
+      (4L, 1L, "2024-01-01 00:03:00", "purchase"),
+      (5L, 2L, "2024-01-01 00:00:00", "view"),
+      (6L, 2L, "2024-01-01 00:01:00", "click"))
+    val got = Events.transitions(df, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // view's out-degree is 3 (click ×2, purchase ×1); click's is 1
+    assert(got(("view", "click")) == ((2L, 666667L)), s"$got")
+    assert(got(("view", "purchase")) == ((1L, 333333L)), s"$got")
+    assert(got(("click", "view")) == ((1L, 1000000L)), s"$got")
+    assert(!got.contains(("purchase", "view")), "last events emit no transition")
+  }
+
   test("retentionCohorts: Monday cohorts, exact offsets, per-cohort fractions") {
     // 2024-01-01 is a Monday
     val df = ev(

@@ -408,6 +408,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"only the single-partition final merge is allowed:\n$plan")
   }
 
+  test("topPaths: depth bound precedes the collect; global top-k is TakeOrderedAndProject") {
+    import graft.operators.Events
+    val df = Events.topPaths(t("events").df, "user_id", "ts", "event_id",
+      "event_type", depth = 4, k = 20)
+    val plan = df.queryExecution.executedPlan.toString
+    // the row_number filter must run BEFORE collect_list so per-user state
+    // is O(depth); WindowGroupLimit is Catalyst's pushed form of that bound
+    assert(plan.contains("WindowGroupLimit"),
+      s"the depth bound must push into the window (bounded per-user state):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the global top-k must be orderBy+limit, never a full sort:\n$plan")
+  }
+
   test("bm25 query-side joins broadcast; the corpus postings never shuffle onto queries") {
     import graft.operators.Retrieval
     val docs = t("documents").df
