@@ -291,6 +291,59 @@ object Events {
       round((col("n") * lit(1e6)) / sum(col("n")).over(wSrc)).cast("long"))
   }
 
+  /** Daily volume anomaly detection: per (event_type, day) counts scored
+    * against a trailing window of the previous `window` OBSERVED days
+    * (rows-based frame: for an active type the daily grid is dense, and a
+    * sparse type's long gaps shouldn't dilute its own baseline) — the
+    * volume-drift monitor that catches a broken producer or an ingestion
+    * gap before it poisons a training mix.
+    *
+    * DETERMINISM: the baseline works on exact integer window sums — count,
+    * Σn (long), Σn² (decimal(38,0), so a 100 TB day of ~10⁹+ events per
+    * type can't overflow the square) — and derives mean/std/z through ONE
+    * fixed parenthesization of IEEE ops mirrored verbatim in the oracle:
+    * `var = (Σn² − (Σn·Σn)/cnt)/cnt`, `z = round(((n − Σn/cnt) · 1e6) /
+    * sqrt(var))`. `z_micro` is NULL until `minPrior` observed days exist
+    * and whenever the baseline is constant (std = 0).
+    *
+    * Scale shape: one (type, day) reduce with map-side partials (the only
+    * event-sized pass), then windows over the AGGREGATED grid — types ×
+    * days rows, not events. No driver state.
+    *
+    * Returns (event_type, day, n, n_prior, z_micro, is_anomaly), where
+    * `is_anomaly` = |z_micro| ≥ `thresholdMicro` (never NULL). */
+  def dailyAnomalies(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      window: Int = 7,
+      minPrior: Int = 3,
+      thresholdMicro: Long = 3000000L): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    require(minPrior >= 1, "minPrior must be at least 1")
+    require(thresholdMicro >= 0, "thresholdMicro must be non-negative")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      .rowsBetween(-window, -1)
+    val scored = daily
+      .withColumn("n_prior", count(col("n")).over(win))
+      .withColumn("__s", sum(col("n")).over(win).cast("double"))
+      .withColumn("__ss",
+        sum((col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")))
+          .over(win).cast("double"))
+    val mean = col("__s") / col("n_prior")
+    val std = sqrt((col("__ss") - (col("__s") * col("__s")) / col("n_prior")) / col("n_prior"))
+    scored
+      .withColumn("z_micro",
+        when(col("n_prior") >= minPrior && std > 0.0,
+          round(((col("n") - mean) * lit(1e6)) / std).cast("long")))
+      .withColumn("is_anomaly",
+        col("z_micro").isNotNull && abs(col("z_micro")) >= thresholdMicro)
+      .select("event_type", "day", "n", "n_prior", "z_micro", "is_anomaly")
+  }
+
   /** Weekly retention cohort matrix (the classic product-analytics grid):
     * each user's cohort is the Monday-truncated week of their FIRST event;
     * a (cohort, offset) cell counts users from that cohort active

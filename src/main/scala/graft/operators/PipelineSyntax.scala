@@ -731,6 +731,19 @@ object PipelineSyntax {
         pk = Some(Seq("src_type", "dst_type")),
         pkVerified = true)
 
+    /** Daily volume anomaly scores: one row per (type, day) — groupBy
+      * contract. */
+    def dailyAnomaliesOf(tsCol: String, typeCol: String, window: Int = 7,
+        minPrior: Int = 3, thresholdMicro: Long = 3000000L): MetaFrame =
+      derived(mf,
+        Events.dailyAnomalies(mf.df, tsCol, typeCol, window, minPrior,
+          thresholdMicro),
+        "daily_anomalies",
+        Map("ts" -> tsCol, "type" -> typeCol, "window" -> window,
+            "minPrior" -> minPrior, "thresholdMicro" -> thresholdMicro),
+        pk = Some(Seq("event_type", "day")),
+        pkVerified = true)
+
     /** Data-quality constraint verdicts: one row per constraint. The
       * check_name pk holds only when the declared ids are distinct (two
       * constraints of the same kind on the same column share an id). */

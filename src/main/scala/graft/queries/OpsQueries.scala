@@ -86,6 +86,13 @@ object OpsQueries {
           "event_type")
         .orderBy("src_type", "dst_type")),
 
+    // volume drift monitor at 2σ — the uniform synthetic rates put ~5% of
+    // (type, day) cells over the line, so both verdicts occur
+    "events_anomaly_daily" -> ((s, d) =>
+      Events.dailyAnomalies(t(s, d, "events").df, "ts", "event_type",
+          window = 7, minPrior = 3, thresholdMicro = 2000000L)
+        .orderBy("event_type", "day")),
+
     // incremental sessionization: sessions for the post-01-16 batch are
     // assigned against the O(users) store of the first half — the
     // equivalence contract makes the oracle the PLAIN full-history window
@@ -457,6 +464,22 @@ object OpsQueries {
        "SELECT src_type, dst_type, CAST(n AS BIGINT) AS n, " +
        "CAST(round((n * 1000000.0) / (sum(n) OVER (PARTITION BY src_type))) AS BIGINT) " +
        "AS p_micro FROM c ORDER BY src_type, dst_type"),
+
+    "events_anomaly_daily" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+       "FROM events GROUP BY event_type, CAST(ts AS DATE)), " +
+       "w AS (SELECT event_type, day, n, count(n) OVER win AS cnt, " +
+       "CAST(sum(n) OVER win AS DOUBLE) AS s, " +
+       "CAST(sum(n*n) OVER win AS DOUBLE) AS ss FROM daily " +
+       "WINDOW win AS (PARTITION BY event_type ORDER BY day " +
+       "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)), " +
+       "z AS (SELECT event_type, day, n, cnt, " +
+       "CASE WHEN cnt >= 3 AND sqrt((ss - (s*s)/cnt)/cnt) > 0.0 " +
+       "THEN CAST(round(((n - (s/cnt)) * 1000000.0) / sqrt((ss - (s*s)/cnt)/cnt)) AS BIGINT) " +
+       "END AS z_micro FROM w) " +
+       "SELECT event_type, day, CAST(n AS BIGINT) AS n, CAST(cnt AS BIGINT) AS n_prior, " +
+       "z_micro, (z_micro IS NOT NULL AND abs(z_micro) >= 2000000) AS is_anomaly " +
+       "FROM z ORDER BY event_type, day"),
 
     "dq_constraints" ->
       ("WITH n AS (SELECT count(*) AS n FROM lineitem), v AS (" +

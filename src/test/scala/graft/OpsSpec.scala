@@ -163,6 +163,33 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(("purchase", "view")), "last events emit no transition")
   }
 
+  test("dailyAnomalies: warm-up NULLs, constant-baseline NULL, exact z quantization") {
+    // type a: 10, 12, 14 then a 40-spike; type b: constant 5s (std = 0)
+    val counts = Seq("a" -> Seq(10, 12, 14, 40), "b" -> Seq(5, 5, 5, 5))
+    var id = 0L
+    val rows = counts.flatMap { case (typ, perDay) =>
+      perDay.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map { i =>
+          id += 1
+          (id, 1L, f"2024-01-${d + 1}%02d 00:00:${i % 60}%02d", typ)
+        }
+      }
+    }
+    val got = Events.dailyAnomalies(ev(rows: _*), "ts", "event_type",
+        window = 7, minPrior = 3, thresholdMicro = 3000000L)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getBoolean(5)))).toMap
+    // days 1-3 have < minPrior observed days: z NULL, never anomalous
+    assert(got(("a", "2024-01-01")) == ((10L, 0L, None, false)), s"$got")
+    assert(got(("a", "2024-01-03")) == ((14L, 2L, None, false)), s"$got")
+    // day 4: mean 12, var ((100+144+196) - 36²/3)/3 = 8/3, z = 28e6/sqrt(8/3)
+    val z = math.round(28.0 * 1e6 / math.sqrt(8.0 / 3.0))
+    assert(got(("a", "2024-01-04")) == ((40L, 3L, Some(z), true)), s"want z=$z: $got")
+    // a constant baseline cannot score (std = 0): NULL z, not anomalous
+    assert(got(("b", "2024-01-04")) == ((5L, 3L, None, false)), s"$got")
+  }
+
   test("retentionCohorts: Monday cohorts, exact offsets, per-cohort fractions") {
     // 2024-01-01 is a Monday
     val df = ev(
