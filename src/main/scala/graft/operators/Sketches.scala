@@ -50,4 +50,49 @@ object Sketches {
         hll_sketch_estimate(
           hll_union_agg(col("sketch"), lit(allowDifferentLgK))).as("distinct_est"),
         sum(col("n_rows")).as("n_rows"))
+
+  /** Per-group KLL quantile sketch + row count — the QUANTILE member of
+    * the sketch store (exact percentiles don't compose across batches any
+    * more than exact distincts do; a KLL store is O(groups · k · log n)
+    * bytes and unions losslessly in rank error). The sketch column is a
+    * plain binary: write it as a day/batch partition and re-aggregate with
+    * [[kllUnionQuantiles]] later, history never rescanned.
+    *
+    * UNLIKE the HLL store, KLL compaction is randomized, so the contract
+    * is the published ~1.65/√k rank-error bound (tolerance-pinned in
+    * OpsSpec and the declared property query), never byte-equality. */
+  def kllByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 200): DataFrame = {
+    require(k >= 8, "k must be at least 8 (DataSketches bound)")
+    df.groupBy(col(groupCol).as("group"))
+      .agg(
+        graft.expressions.KllSketchAgg
+          .kllSketch(col(valueCol).cast("double"), k).as("sketch"),
+        count(col(valueCol)).as("n_rows"))
+  }
+
+  /** Union a KLL sketch table back to per-group quantile estimates at
+    * `ranks` — one column per rank, named `q<rank·100>`. Estimates are
+    * always actual data values (KLL stores a sample of the input); a
+    * group whose every sketch was empty reads NaN, failing loudly
+    * downstream. */
+  def kllUnionQuantiles(
+      sketches: DataFrame,
+      ranks: Seq[Double],
+      k: Int = 200): DataFrame = {
+    require(ranks.nonEmpty, "need at least one rank")
+    require(ranks.forall(r => r >= 0.0 && r <= 1.0), "ranks must be in [0, 1]")
+    val merged = sketches.groupBy(col("group"))
+      .agg(
+        graft.expressions.KllSketchAgg
+          .kllUnionQuantiles(col("sketch"), ranks, k).as("__q"),
+        sum(col("n_rows")).as("n_rows"))
+    val qCols = ranks.zipWithIndex.map { case (r, i) =>
+      element_at(col("__q"), i + 1).as(s"q${math.round(r * 100)}")
+    }
+    merged.select(col("group") +: qCols :+ col("n_rows"): _*)
+  }
 }

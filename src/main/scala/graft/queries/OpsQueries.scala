@@ -192,6 +192,44 @@ object OpsQueries {
         .orderBy("event_type")
     }),
 
+    // KLL quantile sketch store property query: 4 per-batch sketch tables
+    // union to per-group estimates whose EXACT ranks (computed against the
+    // raw data) must sit within 5pp of the requested ranks — generous vs
+    // the published ~1.65% bound at k=200, so the randomized compaction
+    // can't flake the gate; a direct whole-input sketch passes the same
+    // check (merge consistency in rank error, never bytes — KLL flips
+    // random coins, unlike HLL)
+    "agg_kll_mergeable" -> ((s, d) => {
+      val li = t(s, d, "lineitem").df
+      val ranks = Seq(0.25, 0.5, 0.75, 0.95)
+      val store = (0 until 4)
+        .map(i => Sketches.kllByGroup(li.filter(col("l_orderkey") % 4 === i),
+          "l_returnflag", "l_extendedprice"))
+        .reduce(_ unionByName _)
+      val merged = Sketches.kllUnionQuantiles(store, ranks)
+      val direct = Sketches.kllUnionQuantiles(
+        Sketches.kllByGroup(li, "l_returnflag", "l_extendedprice"), ranks)
+        .select(col("group"), col("q25").as("d25"), col("q50").as("d50"),
+          col("q75").as("d75"), col("q95").as("d95"))
+      val est = merged.join(direct, Seq("group"))
+      val v = li.select(col("l_returnflag").as("group"),
+          col("l_extendedprice").cast("double").as("v"))
+        .join(broadcast(est), Seq("group"))
+      def rankOf(q: String) =
+        sum(when(col("v") <= col(q), 1L).otherwise(0L)).cast("double") / count(lit(1))
+      def ok(q: String, r: Double) = (abs(rankOf(q) - lit(r)) <= 0.05)
+      v.groupBy("group")
+        .agg(count(lit(1)).as("n_rows"),
+          ok("q25", 0.25).as("ok_q25"), ok("q50", 0.5).as("ok_q50"),
+          ok("q75", 0.75).as("ok_q75"), ok("q95", 0.95).as("ok_q95"),
+          (ok("d25", 0.25) && ok("d50", 0.5) && ok("d75", 0.75) &&
+            ok("d95", 0.95)).as("ok_direct"))
+        .select(col("group").as("l_returnflag"), col("n_rows"),
+          col("ok_q25"), col("ok_q50"), col("ok_q75"), col("ok_q95"),
+          col("ok_direct"))
+        .orderBy("l_returnflag")
+    }),
+
     // integer PageRank over the customer↔supplier interaction graph
     // (both directions of every orders⋈lineitem pair, suppliers offset
     // into their own id space) — 3 iterations, exactly the unrolled-CTE
@@ -464,6 +502,11 @@ object OpsQueries {
        "SELECT src_type, dst_type, CAST(n AS BIGINT) AS n, " +
        "CAST(round((n * 1000000.0) / (sum(n) OVER (PARTITION BY src_type))) AS BIGINT) " +
        "AS p_micro FROM c ORDER BY src_type, dst_type"),
+
+    "agg_kll_mergeable" ->
+      ("SELECT l_returnflag, count(*) AS n_rows, TRUE AS ok_q25, TRUE AS ok_q50, " +
+       "TRUE AS ok_q75, TRUE AS ok_q95, TRUE AS ok_direct " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "events_anomaly_daily" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +

@@ -504,6 +504,40 @@ class OpsSpec extends AnyFunSuite {
     assert(merged.values.map(_._2).toSet == Set(200L), s"n_rows sums across batches: $merged")
   }
 
+  test("KLL sketch store: batch sketches union within rank tolerance, via parquet") {
+    import graft.operators.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    // 2 groups × 2000 values 1..2000: every true quantile is known exactly
+    val rows = (0 until 4000).map(i => (s"g${i % 2}", (i / 2 + 1).toDouble, i))
+    val df = rows.toDF("grp", "value", "i")
+    val ranks = Seq(0.25, 0.5, 0.9)
+    val dir = java.nio.file.Files.createTempDirectory("kllstore").toString
+    Sketches.kllByGroup(df.filter(col("i") % 4 < 2), "grp", "value")
+      .write.mode("append").parquet(dir)
+    Sketches.kllByGroup(df.filter(col("i") % 4 >= 2), "grp", "value")
+      .write.mode("append").parquet(dir)
+    val merged = Sketches.kllUnionQuantiles(spark.read.parquet(dir), ranks)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(merged.keySet == Set("g0", "g1"), s"$merged")
+    merged.foreach { case (g, (q25, q50, q90, n)) =>
+      assert(n == 2000L, s"n_rows sums across batches: $g -> $n")
+      // 5pp rank tolerance over values 1..2000 = ±100 positions — far
+      // outside KLL's ~1.65% bound at k=200, so randomness can't flake this
+      assert(math.abs(q25 - 500.0) <= 100.0, s"$g q25=$q25")
+      assert(math.abs(q50 - 1000.0) <= 100.0, s"$g q50=$q50")
+      assert(math.abs(q90 - 1800.0) <= 100.0, s"$g q90=$q90")
+      // KLL quantiles are actual retained data values
+      assert(q50 == math.floor(q50) && q50 >= 1.0 && q50 <= 2000.0, s"$g q50=$q50")
+    }
+    // a group of only NULL values yields an empty sketch → NaN estimates
+    val empty = Sketches.kllByGroup(
+      Seq(("g2", Option.empty[Double])).toDF("grp", "value"), "grp", "value")
+    val nan = Sketches.kllUnionQuantiles(empty, Seq(0.5)).collect()(0)
+    assert(nan.getLong(2) == 0L && nan.getDouble(1).isNaN, s"$nan")
+  }
+
   // ------------------------------------------------------------- classifier
 
   test("trainLogistic + scoreLogistic match an independent integer recomputation") {
