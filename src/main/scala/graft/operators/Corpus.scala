@@ -11,6 +11,53 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * Efraimidis–Spirakis 2006 A-ES scheme): each row draws a
+    * hash-deterministic uniform u ∈ (0, 1] and ranks by `ln(u) / w`
+    * descending — the top-k under that key is a weighted sample without
+    * replacement where inclusion probability is proportional to weight.
+    * The uniform comes from the first 13 md5 hex chars of (id ":" salt)
+    * (52 bits — exactly a double's mantissa, so `(h+1) / 2^52` is an
+    * exact dyadic in (0, 1], never 0): a pure function of (id, salt),
+    * reproducible across engines, partitionings, and corpus growth, which
+    * `sample()` / `rand()` cannot promise. The sort key quantizes ONCE to
+    * micro units (`round((ln(u)/w) · 1e6)`) so the ranking is an integer
+    * order with id tiebreaks — bit-stable against the SQL oracle.
+    *
+    * Rows with NULL or non-positive weight are never selected (A-ES is
+    * defined for w > 0).
+    *
+    * Scale shape: row-local key computation on the scan, then the global
+    * top-k is orderBy+limit — TakeOrderedAndProject per-partition heaps,
+    * no full sort, no shuffle of the corpus.
+    *
+    * Returns (rank, <idCol>, weight, key_micro), rank 1..k by
+    * (key_micro desc, id asc). */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val h = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 13),
+      16, 10).cast("long")
+    val u = (h + lit(1L)) / lit(4503599627370496.0) // 2^52
+    val keyMicro = round((log(u) / col(weightCol).cast("double")) * lit(1e6))
+      .cast("long")
+    val keyed = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("double").as("weight"),
+        keyMicro.as("key_micro"))
+    val top = keyed.orderBy(col("key_micro").desc, col(idCol).asc).limit(k)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key_micro").desc, col(idCol).asc)).cast("long"))
+      .select(col("rank"), col(idCol), col("weight"), col("key_micro"))
+  }
+
   /** Deterministic, engine-portable dataset split: bucket = (first 8 hex
     * chars of md5(id ":" salt) as an integer) mod 100, split label by bucket
     * thresholds. Unlike `randomSplit` (sample-based, dependent on partition

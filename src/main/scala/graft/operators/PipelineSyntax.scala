@@ -163,6 +163,16 @@ object PipelineSyntax {
         pk = mf.primaryKey,
         pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
 
+    /** Deterministic weighted sample without replacement (A-ES): rank is
+      * unique by the re-rank window over the k survivors. */
+    def weightedSampleOf(idCol: String, weightCol: String, k: Int,
+        salt: String): MetaFrame =
+      derived(mf, Corpus.weightedSample(mf.df, idCol, weightCol, k, salt),
+        "weighted_sample",
+        Map("id" -> idCol, "weight" -> weightCol, "k" -> k, "salt" -> salt),
+        pk = Some(Seq("rank")),
+        pkVerified = true)
+
     /** [[qualityGate]] against a FROZEN pre-trained count table (e.g. a
       * `MetaPersist.readModel` artifact) — the stable ingestion bar. Same
       * output shape and pk semantics as [[qualityGate]]. */

@@ -192,6 +192,12 @@ object OpsQueries {
         .orderBy("event_type")
     }),
 
+    // weighted sampling without replacement (A-ES): char-count weights, so
+    // long docs are proportionally likelier — reproducible top-50
+    "corpus_weighted_sample" -> ((s, d) =>
+      Corpus.weightedSample(t(s, d, "documents").df, "doc_id", "n_chars",
+        k = 50, salt = "wsamp")),
+
     // KLL quantile sketch store property query: 4 per-batch sketch tables
     // union to per-group estimates whose EXACT ranks (computed against the
     // raw data) must sit within 5pp of the requested ranks — generous vs
@@ -502,6 +508,18 @@ object OpsQueries {
        "SELECT src_type, dst_type, CAST(n AS BIGINT) AS n, " +
        "CAST(round((n * 1000000.0) / (sum(n) OVER (PARTITION BY src_type))) AS BIGINT) " +
        "AS p_micro FROM c ORDER BY src_type, dst_type"),
+
+    "corpus_weighted_sample" ->
+      ("WITH u AS (SELECT doc_id, n_chars, " +
+       "CAST(('0x' || substr(md5(doc_id || ':wsamp'), 1, 13)) AS BIGINT) AS h " +
+       "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), " +
+       "kx AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight, " +
+       "CAST(round((ln((h + 1) / 4503599627370496.0) / CAST(n_chars AS DOUBLE)) " +
+       "* 1000000.0) AS BIGINT) AS key_micro FROM u), " +
+       "r AS (SELECT doc_id, weight, key_micro, row_number() OVER " +
+       "(ORDER BY key_micro DESC, doc_id ASC) AS rank FROM kx) " +
+       "SELECT CAST(rank AS BIGINT) AS rank, doc_id, weight, key_micro " +
+       "FROM r WHERE rank <= 50 ORDER BY rank"),
 
     "agg_kll_mergeable" ->
       ("SELECT l_returnflag, count(*) AS n_rows, TRUE AS ok_q25, TRUE AS ok_q50, " +

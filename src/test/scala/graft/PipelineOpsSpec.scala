@@ -1056,6 +1056,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Corpus.hashSplit(docs, "doc_id", "s", 80, 30))
   }
 
+  test("weightedSample matches an independent A-ES recomputation; bad weights never select") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, (i % 7 + 1).toDouble)) ++
+      Seq((100L, 0.0), (101L, -2.0)) // non-positive: excluded
+    val df = rows.toDF("id", "w")
+      .union(Seq((102L, Option.empty[Double])).toDF("id", "w"))
+    val got = Corpus.weightedSample(df, "id", "w", k = 10, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // independent recomputation: md5 hex → 52-bit uniform → ln(u)/w micro key
+    def key(id: Long, w: Double): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(13), 16)
+      math.round((math.log((h + 1) / 4503599627370496.0) / w) * 1e6)
+    }
+    val want = (1L to 40L).map(i => (i, (i % 7 + 1).toDouble))
+      .map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(10).zipWithIndex
+      .map { case ((id, w, k), i) => (i + 1L, id, w, k) }
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(!got.exists(r => Seq(100L, 101L, 102L).contains(r._2)),
+      "NULL/non-positive weights must never be selected")
+  }
+
   test("decontaminate flags exactly the docs sharing shingles with the benchmark") {
     // benchmark = doc 1's text; docs 2 (identical) and 3 (one-word edit)
     // share shingles, 4 and 5 share none
