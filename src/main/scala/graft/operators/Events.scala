@@ -333,16 +333,67 @@ object Events {
       .withColumn("__ss",
         sum((col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")))
           .over(win).cast("double"))
-    val mean = col("__s") / col("n_prior")
-    val std = sqrt((col("__ss") - (col("__s") * col("__s")) / col("n_prior")) / col("n_prior"))
     scored
       .withColumn("z_micro",
-        when(col("n_prior") >= minPrior && std > 0.0,
-          round(((col("n") - mean) * lit(1e6)) / std).cast("long")))
+        zMicro(col("n"), col("n_prior"), col("__s"), col("__ss"), minPrior))
       .withColumn("is_anomaly",
         col("z_micro").isNotNull && abs(col("z_micro")) >= thresholdMicro)
       .select("event_type", "day", "n", "n_prior", "z_micro", "is_anomaly")
   }
+
+  /** The ONE z-score parenthesization shared by [[dailyAnomalies]] and the
+    * streaming monitor ([[graft.streaming.Streams.volumeMonitorStream]]) —
+    * batch and stream verdicts over the same numbers are bit-identical
+    * because the IEEE op order is literally this expression in both. */
+  private[graft] def zMicro(
+      n: Column, cnt: Column, s: Column, ss: Column, minPrior: Int): Column = {
+    val mean = s / cnt
+    val std = sqrt((ss - (s * s) / cnt) / cnt)
+    when(cnt >= minPrior && std > 0.0,
+      round(((n - mean) * lit(1e6)) / std).cast("long"))
+  }
+
+  /** Frozen baseline for the streaming volume monitor: exact per-type
+    * aggregates over history's daily counts — (event_type, n_prior, s,
+    * ss) with Σn² in decimal(38,0), the same integer inputs
+    * [[dailyAnomalies]] windows over, as a TABLE a stream can broadcast.
+    * Persist it (e.g. via MetaPersist) and rebuild on whatever cadence the
+    * baseline should follow; the monitor never mutates it. */
+  def anomalyBaseline(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String): DataFrame =
+    events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(col("n")).as("n_prior"),
+        sum(col("n")).cast("double").as("s"),
+        sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+          .cast("double").as("ss"))
+
+  /** Score a batch's per-(type, day) counts against a frozen
+    * [[anomalyBaseline]] — the per-micro-batch body of the streaming
+    * monitor, exposed for batch backfills too. Types absent from the
+    * baseline score NULL (warm-up semantics, same as [[dailyAnomalies]]'s
+    * first days). */
+  def scoreAgainstBaseline(
+      batch: DataFrame,
+      baseline: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      minPrior: Int = 3,
+      thresholdMicro: Long = 3000000L): DataFrame =
+    batch
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(baseline), Seq("event_type"), "left")
+      .withColumn("n_prior", coalesce(col("n_prior"), lit(0L)))
+      .withColumn("z_micro",
+        zMicro(col("n"), col("n_prior"), col("s"), col("ss"), minPrior))
+      .withColumn("is_anomaly",
+        col("z_micro").isNotNull && abs(col("z_micro")) >= thresholdMicro)
+      .select("event_type", "day", "n", "n_prior", "z_micro", "is_anomaly")
 
   /** Weekly retention cohort matrix (the classic product-analytics grid):
     * each user's cohort is the Monday-truncated week of their FIRST event;

@@ -760,6 +760,32 @@ object Streams {
       }
       .start()
 
+  /** Streaming volume-anomaly monitor — the stream twin of
+    * [[graft.operators.Events.dailyAnomalies]]: each micro-batch's
+    * per-(type, day) counts score against a FROZEN
+    * [[graft.operators.Events.anomalyBaseline]] through the literally
+    * shared z expression, so a batch backfill over the same numbers is
+    * bit-identical (pinned in StreamingSpec). Batch-scope semantics like
+    * [[dqMonitorStream]]: zero cross-batch state — each verdict row is
+    * tagged batch_id and describes that batch alone; the baseline is a
+    * broadcast table rebuilt on its own cadence, never mutated here. */
+  def volumeMonitorStream(
+      stream: DataFrame,
+      baseline: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      minPrior: Int = 3,
+      thresholdMicro: Long = 3000000L)(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Events
+          .scoreAgainstBaseline(batch, baseline, tsCol, typeCol, minPrior,
+            thresholdMicro)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Convenience: run any streaming frame into an in-memory table and block
     * until every available input is processed (local smoke pattern). */
   def runToMemory(df: DataFrame, queryName: String, mode: OutputMode): StreamingQuery = {

@@ -1076,6 +1076,48 @@ class StreamingSpec extends AnyFunSuite {
       s"$buf")
   }
 
+  test("volume monitor scores micro-batches against a frozen baseline, bit-equal to batch") {
+    import spark.implicits._
+    import graft.operators.Events
+    // history: click counts 10 / 12 / 14 over three days; no buy history
+    val hist = (Seq.fill(10)(1) ++ Seq.fill(12)(2) ++ Seq.fill(14)(3)).zipWithIndex
+      .map { case (day, i) =>
+        (i.toLong, Timestamp.valueOf(f"2024-01-$day%02d 10:${i % 60}%02d:00"),
+          1L, "click", 1.0)
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val baseline = Events.anomalyBaseline(hist, "ts", "event_type")
+    val batchRows = (1 to 40).map(i => Streams.Event(100L + i,
+        Timestamp.valueOf(f"2024-01-04 10:${i % 60}%02d:00"), 1L, "click", 1.0)) :+
+      Streams.Event(999L, Timestamp.valueOf("2024-01-04 11:00:00"), 2L, "buy", 1.0)
+    val ms = MemoryStream[Streams.Event](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[
+      (Long, String, Long, Long, Option[Long], Boolean)]()
+    val q = Streams.volumeMonitorStream(ms.toDF(), baseline, "ts", "event_type") { v =>
+      buf.synchronized {
+        buf ++= v.collect().map(r => (r.getAs[Long]("batch_id"), r.getString(0),
+          r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getBoolean(5)))
+      }
+    }
+    try {
+      ms.addData(batchRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val byType = buf.map(t => t._2 -> ((t._3, t._4, t._5, t._6))).toMap
+    // click day 4: mean 12, var 8/3, the dailyAnomalies spec's exact z
+    val z = math.round(28.0 * 1e6 / math.sqrt(8.0 / 3.0))
+    assert(byType("click") == ((40L, 3L, Some(z), true)), s"$buf")
+    // a type with no baseline scores NULL (warm-up semantics), never flags
+    assert(byType("buy") == ((1L, 0L, None, false)), s"$buf")
+    // batch backfill over the same numbers is bit-identical
+    val back = Events.scoreAgainstBaseline(
+        ms.toDS().sparkSession.createDataFrame(batchRows), baseline, "ts", "event_type")
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))).toMap
+    assert(back == byType, s"stream=$byType batch=$back")
+  }
+
   test("canary scan is stateless on a stream: append-mode hits match batch") {
     import spark.implicits._
     val ms = MemoryStream[(Long, String)](spark)
