@@ -450,6 +450,67 @@ object Corpus {
     * Returns (id, rank, term, tf, df, tfidf), `rank` 1..k per doc; docs
     * with no tokens (NULL/empty text) contribute no rows.
     */
+  /** PMI collocation mining (Church & Hanks 1990): the top-k adjacent
+    * token pairs by pointwise mutual information — `ln(p(a,b) / (p(a)
+    * p(b)))` over corpus-wide counts — with a `minCount` frequency floor
+    * (the standard guard: PMI explodes on rare pairs). The
+    * collocation-discovery member of the text-analysis family: multiword
+    * expressions ("san francisco") for tokenizer vocab seeding, quality
+    * signals, and n-gram feature pruning.
+    *
+    * DETERMINISM: all counts are exact longs, the PMI argument is ONE
+    * fixed parenthesization over them — `((c_ab · N) · N) / ((B · c_a) ·
+    * c_b)` where N = total tokens, B = total adjacent pairs — and the
+    * score quantizes once to micro-nats, so the ranking is an integer
+    * order with (a, b) tiebreaks, mirrored verbatim in the oracle.
+    *
+    * Scale shape: one corpus-sized token explode into two map-side
+    * combinable reduces (unigrams, adjacent pairs); the `minCount` filter
+    * runs BEFORE the two term-key joins, which join only AGGREGATED
+    * tables; N and B ride a broadcast 1-row aggregate (computed row-local
+    * from token-array sizes, never a second explode); the global top-k is
+    * TakeOrderedAndProject. Token arrays are materialized once per doc
+    * (the [[dsirTokens]] HOF-quadratic lesson).
+    *
+    * Returns (rank, a, b, c_ab, pmi_micro), rank 1..k by
+    * (pmi_micro desc, a asc, b asc). */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    require(k >= 1, "k must be at least 1")
+    val toks = df.select(dsirTokens(col(textCol)).as("__ts"))
+    val uni = toks.select(explode(col("__ts")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val totals = toks.agg(
+      sum(size(col("__ts")).cast("long")).as("n_tok"),
+      sum(greatest(size(col("__ts")) - 1, lit(0)).cast("long")).as("n_bg"))
+    val pairs = toks.filter(size(col("__ts")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__ts")) - 2), i =>
+        struct(element_at(col("__ts"), i + 1).as("a"),
+          element_at(col("__ts"), i + 2).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val scored = pairs
+      .join(uni.select(col("term").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("term").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(
+          ((col("c_ab").cast("double") * col("n_tok")) * col("n_tok")) /
+            ((col("n_bg").cast("double") * col("c_a")) * col("c_b"))) * lit(1e6))
+          .cast("long").as("pmi_micro"))
+    val top = scored
+      .orderBy(col("pmi_micro").desc, col("a").asc, col("b").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi_micro").desc, col("a").asc, col("b").asc)).cast("long"))
+      .select(col("rank"), col("a"), col("b"), col("c_ab"), col("pmi_micro"))
+  }
+
   def tfidfTopTerms(
       df: DataFrame,
       idCol: String,

@@ -163,6 +163,15 @@ object PipelineSyntax {
         pk = mf.primaryKey,
         pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
 
+    /** PMI collocation mining: rank is unique by the re-rank window. */
+    def pmiCollocationsOf(textCol: String, minCount: Long = 5L,
+        k: Int = 50): MetaFrame =
+      derived(mf, Corpus.pmiCollocations(mf.df, textCol, minCount, k),
+        "pmi_collocations",
+        Map("text" -> textCol, "minCount" -> minCount, "k" -> k),
+        pk = Some(Seq("rank")),
+        pkVerified = true)
+
     /** Deterministic weighted sample without replacement (A-ES): rank is
       * unique by the re-rank window over the k survivors. */
     def weightedSampleOf(idCol: String, weightCol: String, k: Int,

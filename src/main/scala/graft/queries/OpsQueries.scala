@@ -192,6 +192,12 @@ object OpsQueries {
         .orderBy("event_type")
     }),
 
+    // PMI collocations over the documents corpus: top-50 adjacent pairs
+    // at a min-count floor of 5
+    "text_pmi_bigrams" -> ((s, d) =>
+      Corpus.pmiCollocations(t(s, d, "documents").df, "text",
+        minCount = 5L, k = 50)),
+
     // weighted sampling without replacement (A-ES): char-count weights, so
     // long docs are proportionally likelier — reproducible top-50
     "corpus_weighted_sample" -> ((s, d) =>
@@ -508,6 +514,30 @@ object OpsQueries {
        "SELECT src_type, dst_type, CAST(n AS BIGINT) AS n, " +
        "CAST(round((n * 1000000.0) / (sum(n) OVER (PARTITION BY src_type))) AS BIGINT) " +
        "AS p_micro FROM c ORDER BY src_type, dst_type"),
+
+    "text_pmi_bigrams" ->
+      ("WITH toks AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'), " +
+       "t -> t <> '') AS ts FROM documents), " +
+       "uc AS (SELECT term, count(*) AS c FROM " +
+       "(SELECT unnest(ts) AS term FROM toks) GROUP BY term), " +
+       "tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS n_tok, " +
+       "CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS n_bg FROM toks), " +
+       // tokens are whitespace-free by construction, so ' ' is a safe
+       // pair separator for the oracle's flat bigram string
+       "bg AS (SELECT unnest(list_transform(range(1, len(ts)), " +
+       "i -> ts[i] || ' ' || ts[i+1])) AS g FROM toks WHERE len(ts) >= 2), " +
+       "bc AS (SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b, " +
+       "count(*) AS c_ab FROM bg GROUP BY 1, 2 HAVING count(*) >= 5), " +
+       "j AS (SELECT bc.a, bc.b, bc.c_ab, ua.c AS c_a, ub.c AS c_b, " +
+       "tot.n_tok, tot.n_bg FROM bc JOIN uc ua ON ua.term = bc.a " +
+       "JOIN uc ub ON ub.term = bc.b CROSS JOIN tot), " +
+       "sc AS (SELECT a, b, c_ab, CAST(round(ln(((CAST(c_ab AS DOUBLE) * n_tok) " +
+       "* n_tok) / ((CAST(n_bg AS DOUBLE) * c_a) * c_b)) * 1000000.0) AS BIGINT) " +
+       "AS pmi_micro FROM j), " +
+       "r AS (SELECT a, b, c_ab, pmi_micro, row_number() OVER " +
+       "(ORDER BY pmi_micro DESC, a ASC, b ASC) AS rank FROM sc) " +
+       "SELECT CAST(rank AS BIGINT) AS rank, a, b, CAST(c_ab AS BIGINT) AS c_ab, " +
+       "pmi_micro FROM r WHERE rank <= 50 ORDER BY rank"),
 
     "corpus_weighted_sample" ->
       ("WITH u AS (SELECT doc_id, n_chars, " +

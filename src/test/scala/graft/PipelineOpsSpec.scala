@@ -1056,6 +1056,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Corpus.hashSplit(docs, "doc_id", "s", 80, 30))
   }
 
+  test("pmiCollocations matches an independent PMI recomputation; minCount floors") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y"), (2L, "x y z z")).toDF("doc_id", "text")
+    // tokens: x×3 y×3 z×2, N=8; pairs: (x,y)×3 (y,x)×1 (y,z)×1 (z,z)×1, B=6
+    def pmi(cab: Long, ca: Long, cb: Long): Long =
+      math.round(math.log(((cab.toDouble * 8) * 8) / ((6.0 * ca) * cb)) * 1e6)
+    val got = Corpus.pmiCollocations(docs, "text", minCount = 1L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val want = Seq(
+      ("x", "y", 3L, pmi(3, 3, 3)), ("z", "z", 1L, pmi(1, 2, 2)),
+      ("y", "z", 1L, pmi(1, 3, 2)), ("y", "x", 1L, pmi(1, 3, 3)))
+      .sortBy { case (a, b, _, p) => (-p, a, b) }.zipWithIndex
+      .map { case ((a, b, c, p), i) => (i + 1L, a, b, c, p) }
+    assert(got == want, s"got=$got\nwant=$want")
+    // the frequency floor drops every singleton pair
+    val floored = Corpus.pmiCollocations(docs, "text", minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(floored == Seq(("x", "y")), s"$floored")
+  }
+
   test("weightedSample matches an independent A-ES recomputation; bad weights never select") {
     import spark.implicits._
     val rows = (1L to 40L).map(i => (i, (i % 7 + 1).toDouble)) ++
