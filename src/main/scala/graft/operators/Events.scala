@@ -291,6 +291,64 @@ object Events {
       round((col("n") * lit(1e6)) / sum(col("n")).over(wSrc)).cast("long"))
   }
 
+  /** First/last-touch conversion attribution over JOURNEYS: a user's
+    * events split into journeys at each conversion (journey k = events
+    * after the (k−1)-th conversion up to and including the k-th — the
+    * standard positional-attribution reset), and each conversion credits
+    * the first and last touch of its own journey. Conversions with no
+    * preceding touch in their journey are "direct" (NULL attributions) —
+    * they still appear, because dropping them silently overstates channel
+    * credit.
+    *
+    * Scale shape: ONE user-key exchange — the journey counter is a
+    * running window over (ts, id) (id breaks timestamp ties), and the
+    * per-(user, journey) rollup rides the same clustering
+    * (subset-satisfied, no second exchange — the [[sessionStats]] shape).
+    * First/last touches are min/max over (ts, id, type) STRUCTS (ordered
+    * lexicographically; unique because ids are), so the rollup state is
+    * O(1) per journey — no touch lists, no conversion×touch join fanout.
+    *
+    * Returns one row per conversion: (user_id, conversion_id, conv_ts_us,
+    * first_touch_id, first_touch_type, last_touch_id, last_touch_type,
+    * n_touches). */
+  def attribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      conversionType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      "the conversion type cannot also be a touch type")
+    val us = micros(events, tsCol)
+    val typed = events
+      .filter(col(typeCol) === conversionType || col(typeCol).isInCollection(touchTypes))
+      .select(col(idCol).as("event_id"), col(userCol).as("user_id"),
+        us.as("us"), col(typeCol).as("event_type"),
+        (col(typeCol) === conversionType).as("is_conv"))
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val journeyed = typed.withColumn("journey",
+      coalesce(sum(when(col("is_conv"), 1L).otherwise(0L)).over(run), lit(0L)))
+    val touch = struct(col("us"), col("event_id").as("id"), col("event_type").as("t"))
+    journeyed
+      .groupBy("user_id", "journey")
+      .agg(
+        max(when(col("is_conv"), col("event_id"))).as("conversion_id"),
+        max(when(col("is_conv"), col("us"))).as("conv_ts_us"),
+        min(when(!col("is_conv"), touch)).as("__ft"),
+        max(when(!col("is_conv"), touch)).as("__lt"),
+        sum(when(!col("is_conv"), 1L).otherwise(0L)).as("n_touches"))
+      .filter(col("conversion_id").isNotNull)
+      .select(col("user_id"), col("conversion_id"), col("conv_ts_us"),
+        col("__ft.id").as("first_touch_id"), col("__ft.t").as("first_touch_type"),
+        col("__lt.id").as("last_touch_id"), col("__lt.t").as("last_touch_type"),
+        col("n_touches"))
+  }
+
   /** Daily volume anomaly detection: per (event_type, day) counts scored
     * against a trailing window of the previous `window` OBSERVED days
     * (rows-based frame: for an active type the daily grid is dense, and a

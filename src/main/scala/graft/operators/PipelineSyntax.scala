@@ -729,6 +729,21 @@ object PipelineSyntax {
         pk = Some(Seq("user_id")),
         pkVerified = true)
 
+    /** Journey-scoped conversion attribution: one row per conversion —
+      * journeys hold at most one conversion by construction. */
+    def attributionOf(userCol: String, tsCol: String, idCol: String,
+        typeCol: String, conversionType: String,
+        touchTypes: Seq[String]): MetaFrame =
+      derived(mf,
+        Events.attribution(mf.df, userCol, tsCol, idCol, typeCol,
+          conversionType, touchTypes),
+        "attribution",
+        Map("user" -> userCol, "ts" -> tsCol, "id" -> idCol,
+            "type" -> typeCol, "conversion" -> conversionType,
+            "touches" -> touchTypes.mkString(",")),
+        pk = Some(Seq("conversion_id")),
+        pkVerified = true)
+
     /** Top user-journey paths: rank is unique by the re-rank window. */
     def topPathsOf(userCol: String, tsCol: String, idCol: String,
         typeCol: String, depth: Int = 4, k: Int = 20): MetaFrame =

@@ -86,6 +86,13 @@ object OpsQueries {
           "event_type")
         .orderBy("src_type", "dst_type")),
 
+    // journey-scoped first/last-touch attribution: purchases credited to
+    // view/click touches; direct conversions keep NULL attributions
+    "events_attribution" -> ((s, d) =>
+      Events.attribution(t(s, d, "events").df, "user_id", "ts", "event_id",
+          "event_type", "purchase", Seq("view", "click"))
+        .orderBy("conversion_id")),
+
     // volume drift monitor at 2σ — the uniform synthetic rates put ~5% of
     // (type, day) cells over the line, so both verdicts occur
     "events_anomaly_daily" -> ((s, d) =>
@@ -555,6 +562,26 @@ object OpsQueries {
       ("SELECT l_returnflag, count(*) AS n_rows, TRUE AS ok_q25, TRUE AS ok_q50, " +
        "TRUE AS ok_q75, TRUE AS ok_q95, TRUE AS ok_direct " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "events_attribution" ->
+      ("WITH te AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us, " +
+       "event_type, event_type = 'purchase' AS is_conv FROM events " +
+       "WHERE event_type IN ('purchase', 'view', 'click')), " +
+       "j AS (SELECT *, coalesce(sum(CASE WHEN is_conv THEN 1 ELSE 0 END) OVER " +
+       "(PARTITION BY user_id ORDER BY us, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey FROM te), " +
+       "g AS (SELECT user_id, journey, " +
+       "max(CASE WHEN is_conv THEN event_id END) AS conversion_id, " +
+       "max(CASE WHEN is_conv THEN us END) AS conv_ts_us, " +
+       "min(CASE WHEN NOT is_conv THEN {'us': us, 'id': event_id, 't': event_type} END) AS ft, " +
+       "max(CASE WHEN NOT is_conv THEN {'us': us, 'id': event_id, 't': event_type} END) AS lt, " +
+       "sum(CASE WHEN NOT is_conv THEN 1 ELSE 0 END) AS n_touches " +
+       "FROM j GROUP BY user_id, journey) " +
+       "SELECT user_id, conversion_id, conv_ts_us, " +
+       "(ft).id AS first_touch_id, (ft).t AS first_touch_type, " +
+       "(lt).id AS last_touch_id, (lt).t AS last_touch_type, " +
+       "CAST(n_touches AS BIGINT) AS n_touches " +
+       "FROM g WHERE conversion_id IS NOT NULL ORDER BY conversion_id"),
 
     "events_anomaly_daily" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +

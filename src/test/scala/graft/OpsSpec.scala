@@ -163,6 +163,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(("purchase", "view")), "last events emit no transition")
   }
 
+  test("attribution: journey resets, first/last touch, direct conversions, tie order") {
+    val df = ev(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 00:00:00", "click"),     // ts tie: id orders 1 < 2
+      (3L, 1L, "2024-01-01 00:10:00", "purchase"),  // journey 0 ends
+      (4L, 1L, "2024-01-01 01:00:00", "view"),
+      (5L, 1L, "2024-01-01 01:30:00", "purchase"),  // journey 1: single touch
+      (6L, 1L, "2024-01-01 02:00:00", "purchase"),  // journey 2: direct
+      (7L, 2L, "2024-01-01 00:00:00", "view"),      // trailing touch, no conv
+      (8L, 1L, "2024-01-01 00:05:00", "error"))     // untracked type: ignored
+    val got = Events.attribution(df, "user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("view", "click"))
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.toString),
+          Option(r.get(5)).map(_.asInstanceOf[Long]), Option(r.get(6)).map(_.toString),
+          r.getLong(7)))).toMap
+    assert(got.keySet == Set(3L, 5L, 6L), s"$got")
+    assert(got(3L) == ((Some(1L), Some("view"), Some(2L), Some("click"), 2L)), s"$got")
+    assert(got(5L) == ((Some(4L), Some("view"), Some(4L), Some("view"), 1L)), s"$got")
+    assert(got(6L) == ((None, None, None, None, 0L)),
+      s"direct conversions keep NULL attributions: $got")
+  }
+
   test("dailyAnomalies: warm-up NULLs, constant-baseline NULL, exact z quantization") {
     // type a: 10, 12, 14 then a 40-spike; type b: constant 5s (std = 0)
     val counts = Seq("a" -> Seq(10, 12, 14, 40), "b" -> Seq(5, 5, 5, 5))
