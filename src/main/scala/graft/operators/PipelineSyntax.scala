@@ -866,6 +866,21 @@ object PipelineSyntax {
         pk = Some(Seq("query_id", "rank")),
         pkVerified = true)
 
+    /** BM25 with pseudo-relevance-feedback expansion: one row per
+      * (query, rank) — TopKAgg contract like [[bm25TopKOf]]. */
+    def bm25ExpandedTopKOf(idCol: String, textCol: String, queries: MetaFrame,
+        queryIdCol: String, queryTextCol: String, k: Int = 10,
+        fbDocs: Int = 3, fbTerms: Int = 5,
+        k1: Double = 1.2, b: Double = 0.75): MetaFrame =
+      derived(mf,
+        Retrieval.bm25ExpandedTopK(mf.df, idCol, textCol, queries.df,
+          queryIdCol, queryTextCol, k, fbDocs, fbTerms, k1, b),
+        "bm25_expanded_topk",
+        Map("id" -> idCol, "text" -> textCol, "k" -> k,
+            "fbDocs" -> fbDocs, "fbTerms" -> fbTerms, "k1" -> k1, "b" -> b),
+        pk = Some(Seq("query_id", "rank")),
+        pkVerified = true)
+
     /** Reciprocal-rank fusion of this ranked list with `others` (hybrid
       * retrieval): one row per (query, rank) by construction of the
       * re-rank window. */

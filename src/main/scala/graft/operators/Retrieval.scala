@@ -48,40 +48,92 @@ object Retrieval {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    import graft.expressions.TopKAgg.topKByScore
     require(k >= 1, "k must be at least 1")
     require(k1 >= 0, "k1 must be non-negative")
     require(b >= 0 && b <= 1, "b must be in [0, 1]")
+    val (tfdl, idf) = corpusStats(docs, idCol, textCol)
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    // enrich the small query-term set with term stats, then broadcast it
+    // to the postings scan — the corpus-side tf table never shuffles here
+    val qstats = idf.join(broadcast(qterms), Seq("term"))
+    scoreAndRank(tfdl.join(broadcast(qstats), Seq("term")), k, k1, b)
+  }
 
+  /** The shared corpus-statistics build: `tfdl` = per-(doc, term) tf with
+    * the doc length as a whole-partition window over the ALREADY-REDUCED
+    * tf table (one doc-key exchange instead of a second corpus aggregate
+    * plus a corpus-sized doc_id join), and `idf` = per-term micro-nat idf
+    * quantized ONCE (round of identical doubles is engine-stable;
+    * everything downstream is exact), with corpus constants riding a
+    * 1-row broadcast, never a driver collect. */
+  private def corpusStats(
+      docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val tok = docs.select(col(idCol).as("doc_id"),
         explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("term"))
       .filter(col("term") =!= "")
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // dl = Σ tf per doc, as a whole-partition window over the (already
-    // reduced) tf table — rides on one doc-key exchange instead of a
-    // second corpus aggregate plus a corpus-sized doc_id join
     val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val tfdl = tf.withColumn("dl", sum(col("tf")).over(wdoc))
-    // corpus constants ride as a 1-row broadcast, never a driver collect
     val consts = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tf.agg(sum(col("tf")).as("total_dl")))
       .select(col("n_docs"),
         (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // micro-nat idf, quantized ONCE per term (round of identical doubles
-    // is engine-stable; everything downstream is exact)
     val idf = dfc.crossJoin(broadcast(consts))
       .select(col("term"),
         round(log(lit(1.0) +
           (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1e6))
           .cast("long").as("idf_micro"),
         col("avgdl"))
+    (tfdl, idf)
+  }
 
+  /** BM25 with pseudo-relevance-feedback query expansion (the
+    * Rocchio/RM-family first-stage trick): round 1 retrieves each query's
+    * top `fbDocs` documents, the top `fbTerms` terms of those documents by
+    * Σ tf·idf (an exact LONG — integer tf times the already-quantized
+    * micro idf, so the feedback ranking is integer-deterministic with term
+    * tiebreaks) join the original term set, and round 2 scores the
+    * expanded bag through the SAME tail. Recovers vocabulary-mismatch
+    * docs the literal terms miss.
+    *
+    * Scale shape: the corpus stats build once and serve both rounds; the
+    * feedback-doc set is (queries × fbDocs) rows — it BROADCASTS onto the
+    * tf table to collect feedback term scores, the expanded term set
+    * broadcasts back onto the postings scan, and both rounds keep the
+    * broadcast-only join discipline of [[bm25TopK]] (plan-pinned). */
+  def bm25ExpandedTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int = 10,
+      fbDocs: Int = 3,
+      fbTerms: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(fbDocs >= 1, "fbDocs must be at least 1")
+    require(fbTerms >= 1, "fbTerms must be at least 1")
+    val (tfdl, idf) = corpusStats(docs, idCol, textCol)
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
-    // enrich the small query-term set with term stats, then broadcast it
-    // to the postings scan — the corpus-side tf table never shuffles here
     val qstats = idf.join(broadcast(qterms), Seq("term"))
-    scoreAndRank(tfdl.join(broadcast(qstats), Seq("term")), k, k1, b)
+    val fb = scoreAndRank(tfdl.join(broadcast(qstats), Seq("term")), fbDocs, k1, b)
+      .select(col("query_id"), col("doc_id"))
+    val fscore = tfdl.join(broadcast(fb), Seq("doc_id"))
+      .join(idf.select(col("term"), col("idf_micro")), Seq("term"))
+      .groupBy("query_id", "term")
+      .agg(sum(col("tf") * col("idf_micro")).as("s"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("term").asc)
+    val ftop = fscore.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= fbTerms)
+      .select("query_id", "term")
+    val eterms = qterms.select("query_id", "term").union(ftop).distinct()
+    val eqstats = idf.join(broadcast(eterms), Seq("term"))
+    scoreAndRank(tfdl.join(broadcast(eqstats), Seq("term")), k, k1, b)
   }
 
   private def queryTerms(
@@ -131,23 +183,7 @@ object Retrieval {
       idCol: String,
       textCol: String,
       path: String): Unit = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-        explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("term"))
-      .filter(col("term") =!= "")
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val tfdl = tf.withColumn("dl", sum(col("tf")).over(wdoc))
-    val consts = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(tf.agg(sum(col("tf")).as("total_dl")))
-      .select(col("n_docs"),
-        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = dfc.crossJoin(broadcast(consts))
-      .select(col("term"),
-        round(log(lit(1.0) +
-          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1e6))
-          .cast("long").as("idf_micro"),
-        col("avgdl"))
+    val (tfdl, idf) = corpusStats(docs, idCol, textCol)
     graft.sources.MetaPersist.writeModel(
       tfdl.join(idf, Seq("term"))
         .select(col("term"), col("doc_id"), col("tf"), col("dl"),

@@ -297,6 +297,18 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // pseudo-relevance feedback: top-3 feedback docs contribute their top-5
+    // tf·idf terms to the query bag, round 2 scores the expanded set
+    "search_bm25_expanded" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val qs = docs.filter(col("doc_id") % 100 === 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
+      Retrieval.bm25ExpandedTopK(docs, "doc_id", "text", qs, "qid", "qtext",
+          k = 10, fbDocs = 3, fbTerms = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // hybrid retrieval: the same ÷100≡3 query docs drive BOTH retrievers —
     // first 5 tokens against the BM25 postings, the doc's own embedding
     // (vec_id aligns with doc_id) against the dense corpus — and the two
@@ -692,6 +704,33 @@ object OpsQueries {
       (s"WITH $Bm25Ctes " +
        "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro " +
        "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    // pseudo-relevance feedback over the SAME shared chain: feedback docs
+    // from `ranked`, integer tf·idf term scores, expanded bag re-scored
+    // through the identical formula
+    "search_bm25_expanded" ->
+      (s"WITH $Bm25Ctes, " +
+       "fb AS (SELECT query_id, doc_id FROM ranked WHERE rank <= 3), " +
+       "fscore AS (SELECT f.query_id, t.term, sum(t.tf * i.idf_micro) AS s " +
+       "FROM fb f JOIN tf t ON t.doc_id = f.doc_id JOIN idf i ON i.term = t.term " +
+       "GROUP BY f.query_id, t.term), " +
+       "ftop AS (SELECT query_id, term FROM (SELECT query_id, term, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY s DESC, term ASC) AS rn " +
+       "FROM fscore) WHERE rn <= 5), " +
+       "eterms AS (SELECT DISTINCT query_id, term FROM " +
+       "(SELECT query_id, term FROM qterms UNION ALL SELECT query_id, term FROM ftop)), " +
+       "eqstats AS (SELECT e.query_id, e.term, i.idf_micro, i.avgdl FROM eterms e " +
+       "JOIN idf i USING (term)), " +
+       "escored AS (SELECT s.query_id, t.doc_id, " +
+       "CAST(round(CAST(s.idf_micro AS DOUBLE) * ((t.tf * 2.2) / " +
+       "(t.tf + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl))))) AS BIGINT) AS tsm " +
+       "FROM tf t JOIN eqstats s USING (term) JOIN dl d ON d.doc_id = t.doc_id), " +
+       "eagg AS (SELECT query_id, doc_id, CAST(sum(tsm) AS BIGINT) AS score_micro " +
+       "FROM escored GROUP BY query_id, doc_id), " +
+       "eranked AS (SELECT query_id, doc_id, score_micro, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank FROM eagg) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro " +
+       "FROM eranked WHERE rank <= 10 ORDER BY query_id, rank"),
 
     // hybrid sparse+dense: the bm25 chain and the brute-cosine chain fuse
     // by RECIPROCAL RANK — each list contributes round(1e6/(60+rank)) as

@@ -479,6 +479,26 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bm25_index"))
   }
 
+  test("bm25ExpandedTopK recovers vocabulary-mismatch docs the literal query misses") {
+    import graft.operators.Retrieval
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, "apple cider press"),   // the only literal 'apple' match
+      (2L, "cider press shop"),    // reachable only through feedback terms
+      (3L, "banana stand")).toDF("doc_id", "text")
+    val qs = Seq((100L, "apple")).toDF("qid", "qtext")
+    val plain = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .collect().map(_.getLong(2)).toSet
+    assert(plain == Set(1L), s"the literal query must only reach doc 1: $plain")
+    val expanded = Retrieval.bm25ExpandedTopK(corpus, "doc_id", "text",
+        qs, "qid", "qtext", k = 3, fbDocs = 1, fbTerms = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // doc 1 still wins (carries the original term + all feedback terms);
+    // doc 2 now appears through 'cider'/'press'; doc 3 stays unreachable
+    assert(expanded == Map(1L -> 1L, 2L -> 2L), s"$expanded")
+  }
+
   test("rrfFuse: micro contributions, n_lists, tie-break, id-type preservation") {
     import graft.operators.Retrieval
     val spark2 = spark

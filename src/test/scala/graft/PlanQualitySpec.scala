@@ -435,4 +435,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"no corpus-sized shuffle join may appear:\n$plan")
   }
+
+  test("bm25 expansion keeps the broadcast-only join discipline across both rounds") {
+    import graft.operators.Retrieval
+    val docs = t("documents").df
+    val qs = docs.filter(col("doc_id") % 100 === 3)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
+    val df = Retrieval.bm25ExpandedTopK(docs, "doc_id", "text", qs, "qid", "qtext",
+      k = 5, fbDocs = 3, fbTerms = 5)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"query-side joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"neither round may shuffle the corpus onto queries:\n$plan")
+  }
 }
