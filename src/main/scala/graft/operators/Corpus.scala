@@ -58,6 +58,41 @@ object Corpus {
       .select(col("rank"), col(idCol), col("weight"), col("key_micro"))
   }
 
+  /** Per-group [[weightedSample]]: the same A-ES key, ranked WITHIN each
+    * `stratumCol` group — the weighted counterpart of
+    * [[stratifiedSample]]'s uniform per-stratum draw (quota sampling where
+    * within-stratum inclusion is still ∝ weight). One stratum-key window
+    * whose rank filter pushes down as WindowGroupLimit (bounded per-group
+    * state), no global order.
+    *
+    * Returns (<stratumCol>, rank, <idCol>, weight, key_micro), rank
+    * 1..kPerGroup within each stratum by (key_micro desc, id asc). */
+  def weightedSampleBy(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      weightCol: String,
+      kPerGroup: Int,
+      salt: String): DataFrame = {
+    require(kPerGroup >= 1, "kPerGroup must be at least 1")
+    val h = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 13),
+      16, 10).cast("long")
+    val u = (h + lit(1L)) / lit(4503599627370496.0) // 2^52
+    val keyMicro = round((log(u) / col(weightCol).cast("double")) * lit(1e6))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(stratumCol), col(idCol),
+        col(weightCol).cast("double").as("weight"), keyMicro.as("key_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kPerGroup)
+      .select(col(stratumCol), col("rank"), col(idCol), col("weight"),
+        col("key_micro"))
+  }
+
   /** Deterministic, engine-portable dataset split: bucket = (first 8 hex
     * chars of md5(id ":" salt) as an integer) mod 100, split label by bucket
     * thresholds. Unlike `randomSplit` (sample-based, dependent on partition

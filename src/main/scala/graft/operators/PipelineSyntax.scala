@@ -182,6 +182,19 @@ object PipelineSyntax {
         pk = Some(Seq("rank")),
         pkVerified = true)
 
+    /** Per-group weighted sample: (stratum, rank) unique by the per-group
+      * window. */
+    def weightedSampleByOf(stratumCol: String, idCol: String,
+        weightCol: String, kPerGroup: Int, salt: String): MetaFrame =
+      derived(mf,
+        Corpus.weightedSampleBy(mf.df, stratumCol, idCol, weightCol,
+          kPerGroup, salt),
+        "weighted_sample_by",
+        Map("stratum" -> stratumCol, "id" -> idCol, "weight" -> weightCol,
+            "kPerGroup" -> kPerGroup, "salt" -> salt),
+        pk = Some(Seq(stratumCol, "rank")),
+        pkVerified = true)
+
     /** [[qualityGate]] against a FROZEN pre-trained count table (e.g. a
       * `MetaPersist.readModel` artifact) — the stable ingestion bar. Same
       * output shape and pk semantics as [[qualityGate]]. */

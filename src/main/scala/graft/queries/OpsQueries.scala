@@ -211,6 +211,12 @@ object OpsQueries {
       Corpus.weightedSample(t(s, d, "documents").df, "doc_id", "n_chars",
         k = 50, salt = "wsamp")),
 
+    // per-language weighted quotas: top-10 per lang under the same key
+    "corpus_weighted_sample_by" -> ((s, d) =>
+      Corpus.weightedSampleBy(t(s, d, "documents").df, "lang", "doc_id",
+          "n_chars", kPerGroup = 10, salt = "wsamp")
+        .orderBy("lang", "rank")),
+
     // KLL quantile sketch store property query: 4 per-batch sketch tables
     // union to per-group estimates whose EXACT ranks (computed against the
     // raw data) must sit within 5pp of the requested ranks — generous vs
@@ -569,6 +575,18 @@ object OpsQueries {
        "(ORDER BY key_micro DESC, doc_id ASC) AS rank FROM kx) " +
        "SELECT CAST(rank AS BIGINT) AS rank, doc_id, weight, key_micro " +
        "FROM r WHERE rank <= 50 ORDER BY rank"),
+
+    "corpus_weighted_sample_by" ->
+      ("WITH u AS (SELECT lang, doc_id, n_chars, " +
+       "CAST(('0x' || substr(md5(doc_id || ':wsamp'), 1, 13)) AS BIGINT) AS h " +
+       "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), " +
+       "kx AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight, " +
+       "CAST(round((ln((h + 1) / 4503599627370496.0) / CAST(n_chars AS DOUBLE)) " +
+       "* 1000000.0) AS BIGINT) AS key_micro FROM u), " +
+       "r AS (SELECT lang, doc_id, weight, key_micro, row_number() OVER " +
+       "(PARTITION BY lang ORDER BY key_micro DESC, doc_id ASC) AS rank FROM kx) " +
+       "SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, weight, key_micro " +
+       "FROM r WHERE rank <= 10 ORDER BY lang, rank"),
 
     "agg_kll_mergeable" ->
       ("SELECT l_returnflag, count(*) AS n_rows, TRUE AS ok_q25, TRUE AS ok_q50, " +

@@ -60,7 +60,17 @@ object AuditScale {
     "events_sessionize", "events_session_stats", "events_funnel",
     "events_retention", "dq_constraints", "corpus_snapshot_diff",
     "text_canary_scan", "graph_pagerank", "search_bm25", "agg_hll_mergeable",
-    "text_quality_classifier", "events_sessionize_incremental", "corpus_scd2")
+    "text_quality_classifier", "events_sessionize_incremental", "corpus_scd2",
+    // round-13 second wave: profile-driven suggestion (deliberate
+    // #columns-fold one-off pass), hybrid/expanded retrieval (broadcast-only
+    // query-side joins), path/transition/attribution/anomaly event analytics
+    // (user-key windows + aggregated-grid windows), KLL store (map-side
+    // sketch partials), A-ES sampling + PMI (row-local keys / two reduces,
+    // TakeOrderedAndProject top-k)
+    "dq_suggest", "search_hybrid_rrf", "search_bm25_expanded",
+    "events_top_paths", "events_transitions", "events_attribution",
+    "events_anomaly_daily", "agg_kll_mergeable", "corpus_weighted_sample",
+    "text_pmi_bigrams")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -128,7 +138,12 @@ object AuditScale {
       "search_bm25",
       // the classifier's corpus count and bias ride 1-row aggregate
       // crossJoins per iteration (the LM-scorer shape)
-      "text_quality_classifier")
+      "text_quality_classifier",
+      // hybrid fusion embeds bm25's 1-row constants crossJoin AND the
+      // dense brute-force broadcast-queries-against-every-row scan;
+      // expansion embeds the same bm25 constants in both rounds; PMI
+      // crossJoins its broadcast 1-row totals aggregate
+      "search_hybrid_rrf", "search_bm25_expanded", "text_pmi_bigrams")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -1101,6 +1101,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       "NULL/non-positive weights must never be selected")
   }
 
+  test("weightedSampleBy: per-group quotas under the same key, bounded window state") {
+    import spark.implicits._
+    val df = (1L to 30L).map(i => (s"g${i % 2}", i, ((i % 5) + 1).toDouble))
+      .toDF("grp", "id", "w")
+    def key(id: Long, w: Double): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(13), 16)
+      math.round((math.log((h + 1) / 4503599627370496.0) / w) * 1e6)
+    }
+    val got = Corpus.weightedSampleBy(df, "grp", "id", "w", kPerGroup = 3, salt = "t")
+    val byGrp = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val want = (1L to 30L).map(i => (s"g${i % 2}", i, ((i % 5) + 1).toDouble))
+      .groupBy(_._1).view.mapValues(
+        _.map { case (_, id, w) => (id, key(id, w)) }
+          .sortBy { case (id, k) => (-k, id) }.take(3).map(_._1)).toMap
+    assert(byGrp == want, s"got=$byGrp want=$want")
+    // the per-group rank bound pushes into the window (bounded state)
+    assert(got.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      got.queryExecution.executedPlan.toString)
+  }
+
   test("decontaminate flags exactly the docs sharing shingles with the benchmark") {
     // benchmark = doc 1's text; docs 2 (identical) and 3 (one-word edit)
     // share shingles, 4 and 5 share none
