@@ -319,21 +319,8 @@ object Events {
       typeCol: String,
       conversionType: String,
       touchTypes: Seq[String]): DataFrame = {
-    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
-    require(!touchTypes.contains(conversionType),
-      "the conversion type cannot also be a touch type")
-    val us = micros(events, tsCol)
-    val typed = events
-      .filter(col(typeCol) === conversionType || col(typeCol).isInCollection(touchTypes))
-      .select(col(idCol).as("event_id"), col(userCol).as("user_id"),
-        us.as("us"), col(typeCol).as("event_type"),
-        (col(typeCol) === conversionType).as("is_conv"))
-    val run = Window.partitionBy(col("user_id"))
-      .orderBy(col("us").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val journeyed = typed.withColumn("journey",
-      coalesce(sum(when(col("is_conv"), 1L).otherwise(0L)).over(run), lit(0L)))
-    val touch = struct(col("us"), col("event_id").as("id"), col("event_type").as("t"))
+    val journeyed = journeyedEvents(events, userCol, tsCol, idCol, typeCol,
+      conversionType, touchTypes)
     journeyed
       .groupBy("user_id", "journey")
       .agg(
@@ -347,6 +334,139 @@ object Events {
         col("__ft.id").as("first_touch_id"), col("__ft.t").as("first_touch_type"),
         col("__lt.id").as("last_touch_id"), col("__lt.t").as("last_touch_type"),
         col("n_touches"))
+  }
+
+  /** The (ts, id, type) struct whose lexicographic min/max IS
+    * first/last-touch selection (unique because ids are). */
+  private def touch: Column =
+    struct(col("us"), col("event_id").as("id"), col("event_type").as("t"))
+
+  /** Shared front of the attribution family: tracked events tagged
+    * `is_conv`, with the running journey counter (= conversions strictly
+    * before the row in (ts, id) order). */
+  private def journeyedEvents(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      conversionType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      "the conversion type cannot also be a touch type")
+    val us = micros(events, tsCol)
+    val typed = events
+      .filter(col(typeCol) === conversionType || col(typeCol).isInCollection(touchTypes))
+      .select(col(idCol).as("event_id"), col(userCol).as("user_id"),
+        us.as("us"), col(typeCol).as("event_type"),
+        (col(typeCol) === conversionType).as("is_conv"))
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    typed.withColumn("journey",
+      coalesce(sum(when(col("is_conv"), 1L).otherwise(0L)).over(run), lit(0L)))
+  }
+
+  /** Per-user attribution state after an [[attribution]] run — the
+    * O(users) store the incremental twin resumes from: total conversions
+    * so far (= the next event's journey index) plus the OPEN journey's
+    * first/last touch and touch count (the only journey a future
+    * conversion can still credit; closed journeys are immutable history).
+    * `last_us` records the newest tracked event for the append-only
+    * contract. */
+  def attributionStore(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      conversionType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    val journeyed = journeyedEvents(events, userCol, tsCol, idCol, typeCol,
+      conversionType, touchTypes)
+    val openTouch = !col("is_conv") && col("journey") === col("__nc")
+    journeyed
+      .withColumn("__nc",
+        sum(when(col("is_conv"), 1L).otherwise(0L))
+          .over(Window.partitionBy(col("user_id"))))
+      .groupBy("user_id")
+      .agg(
+        max(col("__nc")).as("n_conv"),
+        min(when(openTouch, touch)).as("open_ft"),
+        max(when(openTouch, touch)).as("open_lt"),
+        sum(when(openTouch, 1L).otherwise(0L)).as("open_n_touches"),
+        max(col("us")).as("last_us"))
+  }
+
+  /** Incremental [[attribution]]: credit a NEW batch's conversions against
+    * an [[attributionStore]] without reprocessing history (the
+    * daily-ingestion shape of the incremental family). The batch's journey
+    * counters continue from the store's `n_conv`; a batch conversion whose
+    * journey is the user's OPEN one merges the store's first/last-touch
+    * state with the batch's (struct least/greatest — NULL-skipping), later
+    * journeys are batch-only by construction. EQUIVALENCE CONTRACT (pinned
+    * in OpsSpec, and what makes the declared oracle the plain full-history
+    * attribution): as long as every batch event is later than that user's
+    * stored `last_us` — the append-only assumption of the whole
+    * incremental family — the output is bit-identical to
+    * [[attribution]](history ∪ batch) restricted to batch conversions.
+    *
+    * Scale shape: one co-partitioned left join on the user key (store is
+    * O(users), typically broadcastable) feeding the same single user-key
+    * window + rollup — history is never read. */
+  def attributionIncremental(
+      batch: DataFrame,
+      store: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      conversionType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      "the conversion type cannot also be a touch type")
+    val us = micros(batch, tsCol)
+    val typed = batch
+      .filter(col(typeCol) === conversionType || col(typeCol).isInCollection(touchTypes))
+      .select(col(idCol).as("event_id"), col(userCol).as("user_id"),
+        us.as("us"), col(typeCol).as("event_type"),
+        (col(typeCol) === conversionType).as("is_conv"))
+    val joined = typed.join(
+      store.select(col("user_id").as("__su"), col("n_conv").as("__snc"),
+        col("open_ft").as("__sft"), col("open_lt").as("__slt"),
+        col("open_n_touches").as("__snt")),
+      col("user_id") === col("__su"), "left")
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val journeyed = joined.withColumn("journey",
+      coalesce(col("__snc"), lit(0L)) +
+        coalesce(sum(when(col("is_conv"), 1L).otherwise(0L)).over(run), lit(0L)))
+    val rolled = journeyed
+      .groupBy("user_id", "journey")
+      .agg(
+        max(when(col("is_conv"), col("event_id"))).as("conversion_id"),
+        max(when(col("is_conv"), col("us"))).as("conv_ts_us"),
+        min(when(!col("is_conv"), touch)).as("__bft"),
+        max(when(!col("is_conv"), touch)).as("__blt"),
+        sum(when(!col("is_conv"), 1L).otherwise(0L)).as("__bnt"),
+        min(col("__snc")).as("__nc"), min(col("__sft")).as("__ft0"),
+        min(col("__slt")).as("__lt0"), min(col("__snt")).as("__nt0"))
+      .filter(col("conversion_id").isNotNull)
+    // the store's open-journey state merges ONLY into the continuing
+    // journey (index == stored n_conv; 0 for brand-new users, whose store
+    // state is all-NULL and merges as a no-op)
+    val continuing = col("journey") === coalesce(col("__nc"), lit(0L))
+    val ft = when(continuing, least(col("__ft0"), col("__bft"))).otherwise(col("__bft"))
+    val lt = when(continuing, greatest(col("__lt0"), col("__blt"))).otherwise(col("__blt"))
+    val nt = when(continuing, coalesce(col("__nt0"), lit(0L)) + col("__bnt"))
+      .otherwise(col("__bnt"))
+    rolled.select(col("user_id"), col("conversion_id"), col("conv_ts_us"),
+      ft.getField("id").as("first_touch_id"), ft.getField("t").as("first_touch_type"),
+      lt.getField("id").as("last_touch_id"), lt.getField("t").as("last_touch_type"),
+      nt.as("n_touches"))
   }
 
   /** Daily volume anomaly detection: per (event_type, day) counts scored

@@ -757,6 +757,21 @@ object PipelineSyntax {
         pk = Some(Seq("conversion_id")),
         pkVerified = true)
 
+    /** Incremental attribution against an O(users) store: one row per
+      * batch conversion. */
+    def attributionIncrementalOf(store: MetaFrame, userCol: String,
+        tsCol: String, idCol: String, typeCol: String,
+        conversionType: String, touchTypes: Seq[String]): MetaFrame =
+      derived(mf,
+        Events.attributionIncremental(mf.df, store.df, userCol, tsCol, idCol,
+          typeCol, conversionType, touchTypes),
+        "attribution_incremental",
+        Map("user" -> userCol, "ts" -> tsCol, "id" -> idCol,
+            "type" -> typeCol, "conversion" -> conversionType,
+            "touches" -> touchTypes.mkString(",")),
+        pk = Some(Seq("conversion_id")),
+        pkVerified = true)
+
     /** Top user-journey paths: rank is unique by the re-rank window. */
     def topPathsOf(userCol: String, tsCol: String, idCol: String,
         typeCol: String, depth: Int = 4, k: Int = 20): MetaFrame =

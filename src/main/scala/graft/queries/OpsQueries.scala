@@ -93,6 +93,21 @@ object OpsQueries {
           "event_type", "purchase", Seq("view", "click"))
         .orderBy("conversion_id")),
 
+    // incremental attribution: batch conversions credited against the
+    // O(users) store of the first half — the equivalence contract makes
+    // the oracle the PLAIN full-history attribution restricted to batch
+    // conversions (history is never read by the engine side)
+    "events_attribution_incremental" -> ((s, d) => {
+      val ev = t(s, d, "events").df
+      val hist = ev.filter(col("ts").cast("timestamp").cast("long") < 1705363200L)
+      val batch = ev.filter(col("ts").cast("timestamp").cast("long") >= 1705363200L)
+      val store = Events.attributionStore(hist, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("view", "click"))
+      Events.attributionIncremental(batch, store, "user_id", "ts", "event_id",
+          "event_type", "purchase", Seq("view", "click"))
+        .orderBy("conversion_id")
+    }),
+
     // volume drift monitor at 2σ — the uniform synthetic rates put ~5% of
     // (type, day) cells over the line, so both verdicts occur
     "events_anomaly_daily" -> ((s, d) =>
@@ -612,6 +627,29 @@ object OpsQueries {
        "(lt).id AS last_touch_id, (lt).t AS last_touch_type, " +
        "CAST(n_touches AS BIGINT) AS n_touches " +
        "FROM g WHERE conversion_id IS NOT NULL ORDER BY conversion_id"),
+
+    // the equivalence contract: the incremental output IS the full-history
+    // attribution restricted to conversions at/after the batch cutoff
+    "events_attribution_incremental" ->
+      ("WITH te AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us, " +
+       "event_type, event_type = 'purchase' AS is_conv FROM events " +
+       "WHERE event_type IN ('purchase', 'view', 'click')), " +
+       "j AS (SELECT *, coalesce(sum(CASE WHEN is_conv THEN 1 ELSE 0 END) OVER " +
+       "(PARTITION BY user_id ORDER BY us, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey FROM te), " +
+       "g AS (SELECT user_id, journey, " +
+       "max(CASE WHEN is_conv THEN event_id END) AS conversion_id, " +
+       "max(CASE WHEN is_conv THEN us END) AS conv_ts_us, " +
+       "min(CASE WHEN NOT is_conv THEN {'us': us, 'id': event_id, 't': event_type} END) AS ft, " +
+       "max(CASE WHEN NOT is_conv THEN {'us': us, 'id': event_id, 't': event_type} END) AS lt, " +
+       "sum(CASE WHEN NOT is_conv THEN 1 ELSE 0 END) AS n_touches " +
+       "FROM j GROUP BY user_id, journey) " +
+       "SELECT user_id, conversion_id, conv_ts_us, " +
+       "(ft).id AS first_touch_id, (ft).t AS first_touch_type, " +
+       "(lt).id AS last_touch_id, (lt).t AS last_touch_type, " +
+       "CAST(n_touches AS BIGINT) AS n_touches " +
+       "FROM g WHERE conversion_id IS NOT NULL " +
+       "AND conv_ts_us >= 1705363200000000 ORDER BY conversion_id"),
 
     "events_anomaly_daily" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +

@@ -69,8 +69,9 @@ object AuditScale {
     // TakeOrderedAndProject top-k)
     "dq_suggest", "search_hybrid_rrf", "search_bm25_expanded",
     "events_top_paths", "events_transitions", "events_attribution",
-    "events_anomaly_daily", "agg_kll_mergeable", "corpus_weighted_sample",
-    "text_pmi_bigrams")
+    "events_attribution_incremental", "events_anomaly_daily",
+    "agg_kll_mergeable", "corpus_weighted_sample",
+    "corpus_weighted_sample_by", "text_pmi_bigrams")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

@@ -186,6 +186,45 @@ class OpsSpec extends AnyFunSuite {
       s"direct conversions keep NULL attributions: $got")
   }
 
+  test("attributionIncremental ≡ full-history attribution restricted to the batch") {
+    val history = ev(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),      // u1 open journey: 2 touches
+      (2L, 1L, "2024-01-01 00:05:00", "click"),
+      (3L, 2L, "2024-01-01 00:00:00", "view"),
+      (4L, 2L, "2024-01-01 00:10:00", "purchase"),  // u2: closed journey,
+      (5L, 2L, "2024-01-01 00:20:00", "view"))      //     then an open touch
+    val batch = ev(
+      (6L, 1L, "2024-01-01 01:00:00", "purchase"),  // credits history touches 1+2
+      (7L, 1L, "2024-01-01 02:00:00", "purchase"),  // direct (journey after 6)
+      (8L, 2L, "2024-01-01 01:00:00", "click"),     // merges with history touch 5
+      (9L, 2L, "2024-01-01 01:30:00", "purchase"),
+      (10L, 3L, "2024-01-01 00:00:00", "view"),     // brand-new user
+      (11L, 3L, "2024-01-01 00:30:00", "purchase"))
+    val args = ("user_id", "ts", "event_id", "event_type", "purchase",
+      Seq("view", "click"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Events.attribution(df, args._1, args._2, args._3, args._4, args._5, args._6)
+    val store = Events.attributionStore(history, args._1, args._2, args._3,
+      args._4, args._5, args._6)
+    val inc = Events.attributionIncremental(batch, store, args._1, args._2,
+        args._3, args._4, args._5, args._6)
+      .collect().map(_.toSeq).toSet
+    val full = run(history.unionByName(batch))
+      .filter(col("conversion_id") >= 6L)
+      .collect().map(_.toSeq).toSet
+    assert(inc == full, s"inc=$inc\nfull=$full")
+    // spot-check the merge shapes
+    val byConv = inc.map(r => r(1) -> r).toMap
+    assert(byConv(6L)(3) == 1L && byConv(6L)(5) == 2L && byConv(6L)(7) == 2L,
+      s"u1's batch conversion credits the stored open journey: $inc")
+    assert(byConv(7L)(3) == null && byConv(7L)(7) == 0L,
+      s"the next journey is batch-only and direct: $inc")
+    assert(byConv(9L)(3) == 5L && byConv(9L)(5) == 8L && byConv(9L)(7) == 2L,
+      s"u2 merges the post-conversion history touch with the batch touch: $inc")
+    assert(byConv(11L)(3) == 10L && byConv(11L)(7) == 1L,
+      s"brand-new users are batch-only: $inc")
+  }
+
   test("dailyAnomalies: warm-up NULLs, constant-baseline NULL, exact z quantization") {
     // type a: 10, 12, 14 then a 40-spike; type b: constant 5s (std = 0)
     val counts = Seq("a" -> Seq(10, 12, 14, 40), "b" -> Seq(5, 5, 5, 5))
