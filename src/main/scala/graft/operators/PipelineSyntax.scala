@@ -909,6 +909,20 @@ object PipelineSyntax {
         pk = Some(Seq("query_id", "rank")),
         pkVerified = true)
 
+    /** Ranking evaluation against a qrels table: one row per query —
+      * groupBy contract. */
+    def evalRankingAgainst(qrels: MetaFrame, k: Int = 10,
+        queryIdCol: String = "query_id", idCol: String = "doc_id",
+        rankCol: String = "rank", relCol: String = "rel"): MetaFrame =
+      derived(mf,
+        Retrieval.evalRanking(mf.df, qrels.df, k, queryIdCol, idCol,
+          rankCol, relCol),
+        "eval_ranking",
+        Map("k" -> k, "queryId" -> queryIdCol, "id" -> idCol,
+            "rank" -> rankCol, "rel" -> relCol),
+        pk = Some(Seq("query_id")),
+        pkVerified = true)
+
     /** Reciprocal-rank fusion of this ranked list with `others` (hybrid
       * retrieval): one row per (query, rank) by construction of the
       * re-rank window. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sparse keyword retrieval (SURVEY.md §2.3 extensions): BM25 top-k — the
@@ -189,6 +189,71 @@ object Retrieval {
         .select(col("term"), col("doc_id"), col("tf"), col("dl"),
           col("idf_micro"), col("avgdl")),
       path, IndexKind, Map("id" -> idCol, "text" -> textCol))
+  }
+
+  /** Ranking evaluation (recall@k, DCG@k, nDCG@k) of any ranked candidate
+    * list against a relevance-judgment table (qrels: one row per known
+    * (query, doc) with an integer grade ≥ 1; unjudged retrieved docs count
+    * as grade 0, the TREC convention) — the measurement half of the
+    * retrieval stack: a retriever you can't score is a retriever you can't
+    * tune.
+    *
+    * DETERMINISM: each rank position's gain quantizes ONCE —
+    * `round(1e6 · rel / log2(rank + 1))` over integer rel and rank — and
+    * DCG/IDCG are LONG sums of those terms; nDCG is one long/long IEEE
+    * divide quantized once. The ideal ordering ranks judgments by
+    * (grade desc, doc asc), so every number is bit-stable against the SQL
+    * oracle.
+    *
+    * Scale shape: the ranked list is top-k-truncated per query and qrels
+    * are sparse positives — both query-keyed, bounded tables; one left
+    * join on (query, doc), one IDCG window over qrels with rank pushdown,
+    * per-query reduces. Nothing corpus-sized enters.
+    *
+    * Returns one row per query in `ranked`: (query_id, n_retrieved,
+    * n_relevant, hits, recall_micro, dcg_micro, idcg_micro, ndcg_micro);
+    * recall/ndcg are NULL for queries with no judged-relevant docs. */
+  def evalRanking(
+      ranked: DataFrame,
+      qrels: DataFrame,
+      k: Int = 10,
+      queryIdCol: String = "query_id",
+      idCol: String = "doc_id",
+      rankCol: String = "rank",
+      relCol: String = "rel"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val gain = (rel: Column, rank: Column) =>
+      round((rel.cast("double") * lit(1e6)) / log2(rank + lit(1L))).cast("long")
+    val r = ranked
+      .filter(col(rankCol) <= k)
+      .select(col(queryIdCol).as("query_id"), col(idCol), col(rankCol).as("__rank"))
+      .join(qrels.select(col(queryIdCol).as("query_id"), col(idCol),
+        col(relCol).as("__rel")), Seq("query_id", idCol.toString), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+    val perQuery = r.groupBy("query_id").agg(
+      count(lit(1)).as("n_retrieved"),
+      sum(when(col("__rel") > 0, 1L).otherwise(0L)).as("hits"),
+      sum(gain(col("__rel"), col("__rank"))).as("dcg_micro"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col(relCol).desc, col(idCol).asc)
+    val ideal = qrels
+      .select(col(queryIdCol).as("query_id"), col(idCol), col(relCol))
+      .withColumn("__irank", row_number().over(wIdeal).cast("long"))
+      .groupBy("query_id").agg(
+        count(lit(1)).as("n_relevant"),
+        sum(when(col("__irank") <= k, gain(col(relCol), col("__irank")))
+          .otherwise(0L)).as("idcg_micro"))
+    perQuery.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_retrieved"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"), col("hits"),
+        when(col("n_relevant") > 0,
+          round((col("hits").cast("double") * lit(1e6)) / col("n_relevant"))
+            .cast("long")).as("recall_micro"),
+        col("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          round((col("dcg_micro").cast("double") * lit(1e6)) / col("idcg_micro"))
+            .cast("long")).as("ndcg_micro"))
   }
 
   /** Reciprocal-Rank-Fusion of N ranked candidate lists (Cormack,

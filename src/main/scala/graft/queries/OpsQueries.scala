@@ -330,6 +330,24 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ranking evaluation: brute-cosine top-10 scored against same-label
+    // qrels (label clusters = the ground truth the synthetic embeddings
+    // encode) — recall@10 / nDCG@10 per query, micro-quantized
+    "search_eval_ndcg" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val dq = emb.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("qlabel"))
+      val ranked = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          dq.select("query_id", "query_vec"), "query_id", "query_vec", k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      val qrels = dq.select("query_id", "qlabel")
+        .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+          col("label") === col("qlabel") && col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
+      Retrieval.evalRanking(ranked, qrels, k = 10).orderBy("query_id")
+    }),
+
     // hybrid retrieval: the same ÷100≡3 query docs drive BOTH retrievers —
     // first 5 tokens against the BM25 postings, the doc's own embedding
     // (vec_id aligns with doc_id) against the dense corpus — and the two
@@ -787,6 +805,39 @@ object OpsQueries {
        "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank FROM eagg) " +
        "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro " +
        "FROM eranked WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    "search_eval_ndcg" ->
+      ("WITH dq AS (SELECT vec_id AS query_id, embedding AS query_vec, " +
+       "label AS qlabel FROM embeddings WHERE vec_id % 100 = 3), " +
+       "dscored AS (SELECT dq.query_id, e.vec_id AS neighbor_id, " +
+       "list_sum(list_transform(list_zip(e.embedding, dq.query_vec), " +
+       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+       "(sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
+       "sqrt(list_sum(list_transform(dq.query_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos " +
+       "FROM embeddings e, dq WHERE e.vec_id <> dq.query_id), " +
+       "dranked AS (SELECT query_id, neighbor_id, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM dscored), " +
+       "rk AS (SELECT query_id, neighbor_id AS doc_id, rank FROM dranked WHERE rank <= 10), " +
+       "qr AS (SELECT dq.query_id, e.vec_id AS doc_id, 1 AS rel FROM embeddings e, dq " +
+       "WHERE e.label = dq.qlabel AND e.vec_id <> dq.query_id), " +
+       "j AS (SELECT rk.query_id, rk.rank, coalesce(qr.rel, 0) AS rel FROM rk " +
+       "LEFT JOIN qr ON qr.query_id = rk.query_id AND qr.doc_id = rk.doc_id), " +
+       "pq AS (SELECT query_id, count(*) AS n_retrieved, " +
+       "sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits, " +
+       "sum(CAST(round((rel * 1000000.0) / log2(rank + 1)) AS BIGINT)) AS dcg_micro " +
+       "FROM j GROUP BY query_id), " +
+       "ir AS (SELECT query_id, rel, doc_id, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank FROM qr), " +
+       "idl AS (SELECT query_id, count(*) AS n_relevant, " +
+       "sum(CASE WHEN irank <= 10 THEN CAST(round((rel * 1000000.0) / log2(irank + 1)) AS BIGINT) " +
+       "ELSE 0 END) AS idcg_micro FROM ir GROUP BY query_id) " +
+       "SELECT pq.query_id, CAST(n_retrieved AS BIGINT) AS n_retrieved, " +
+       "CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant, CAST(hits AS BIGINT) AS hits, " +
+       "CASE WHEN n_relevant > 0 THEN CAST(round((hits * 1000000.0) / n_relevant) AS BIGINT) END " +
+       "AS recall_micro, CAST(dcg_micro AS BIGINT) AS dcg_micro, " +
+       "CAST(coalesce(idcg_micro, 0) AS BIGINT) AS idcg_micro, " +
+       "CASE WHEN idcg_micro > 0 THEN CAST(round((dcg_micro * 1000000.0) / idcg_micro) AS BIGINT) END " +
+       "AS ndcg_micro FROM pq LEFT JOIN idl USING (query_id) ORDER BY query_id"),
 
     // hybrid sparse+dense: the bm25 chain and the brute-cosine chain fuse
     // by RECIPROCAL RANK — each list contributes round(1e6/(60+rank)) as

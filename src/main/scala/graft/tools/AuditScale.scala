@@ -71,7 +71,7 @@ object AuditScale {
     "events_top_paths", "events_transitions", "events_attribution",
     "events_attribution_incremental", "events_anomaly_daily",
     "agg_kll_mergeable", "corpus_weighted_sample",
-    "corpus_weighted_sample_by", "text_pmi_bigrams")
+    "corpus_weighted_sample_by", "text_pmi_bigrams", "search_eval_ndcg")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -144,7 +144,9 @@ object AuditScale {
       // dense brute-force broadcast-queries-against-every-row scan;
       // expansion embeds the same bm25 constants in both rounds; PMI
       // crossJoins its broadcast 1-row totals aggregate
-      "search_hybrid_rrf", "search_bm25_expanded", "text_pmi_bigrams")
+      "search_hybrid_rrf", "search_bm25_expanded", "text_pmi_bigrams",
+      // the eval query embeds the brute-force dense retriever it measures
+      "search_eval_ndcg")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -538,6 +538,28 @@ class OpsSpec extends AnyFunSuite {
     assert(expanded == Map(1L -> 1L, 2L -> 2L), s"$expanded")
   }
 
+  test("evalRanking: graded DCG, ideal ordering, unjudged-as-zero, no-qrels NULLs") {
+    import graft.operators.Retrieval
+    val spark2 = spark
+    import spark2.implicits._
+    val ranked = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 1L, "x")).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, "a", 2L), (1L, "c", 1L), (1L, "d", 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val got = Retrieval.evalRanking(ranked, qrels, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5), r.getLong(6),
+        Option(r.get(7)).map(_.asInstanceOf[Long])))).toMap
+    def g(rel: Long, rank: Long): Long =
+      math.round(rel * 1e6 / (math.log(rank + 1.0) / math.log(2.0)))
+    val dcg = g(2, 1) + g(0, 2) + g(1, 3)
+    val idcg = g(2, 1) + g(1, 2) + g(1, 3) // ideal: a(2), then c/d by doc asc
+    val ndcg = math.round(dcg * 1e6 / idcg)
+    assert(got(1L) == ((3L, 3L, 2L, Some(666667L), dcg, idcg, Some(ndcg))), s"$got")
+    // a query with no judgments: counts but no recall/ndcg claims
+    assert(got(2L) == ((1L, 0L, 0L, None, 0L, 0L, None)), s"$got")
+  }
+
   test("rrfFuse: micro contributions, n_lists, tie-break, id-type preservation") {
     import graft.operators.Retrieval
     val spark2 = spark
