@@ -178,6 +178,22 @@ object Bench {
             .select(col("doc_id").as("qid"),
               array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
           noop(Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 5))
+        }),
+        "ops_hybrid_rrf_sec" -> (() => {
+          import graft.operators.Similarity
+          val docs = t("documents").df
+          val emb = t("embeddings").df
+          val qs = docs.filter(col("doc_id") % 100 === 3)
+            .select(col("doc_id").as("qid"),
+              array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
+          val dq = emb.filter(col("vec_id") % 100 === 3)
+            .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          val sparse = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+            .select("query_id", "rank", "doc_id")
+          val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+              dq, "query_id", "query_vec", k = 10)
+            .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+          noop(Retrieval.rrfFuse(Seq(sparse, dense), k = 10))
         }))
     }
     opsQueries.foreach(_._2()) // warm
@@ -213,7 +229,9 @@ object Bench {
         // BENCH_r13.json once it exists, per the streaming convention
         val opsAnchors = Map(
           "ops_session_stats_sec" -> 0.371, "ops_funnel_sec" -> 0.243,
-          "ops_pagerank_sec" -> 3.472, "ops_bm25_sec" -> 1.133)
+          "ops_pagerank_sec" -> 3.472, "ops_bm25_sec" -> 1.133,
+          // first anchor from the round-13 scale-audit subset measurement
+          "ops_hybrid_rrf_sec" -> 2.25)
         val opsGate = opsRows.flatMap { case (n, v, _) =>
           opsAnchors.get(n).filter(a => v > 2.0 * a)
             .map(a => f"$n $v%.2fs above 2x of anchor $a%.2fs")

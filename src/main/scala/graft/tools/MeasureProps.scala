@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity}
 
 /** Dev-only measurement run backing the property-oracle bounds declared in
   * PipelineQueries: prints, at a given SF dir, the empirical recall /
@@ -31,6 +31,43 @@ object MeasureProps {
     // corpus-wide df (ngramJaccardPairs' key) and the per-(block, shingle)
     // df (ngramJaccardBestMatch's key, block = lang) are profiled; the
     // corpus-wide one is the upper bound.
+    // ---- hybrid-retrieval channel comparison: mean recall@10 / nDCG@10 of
+    // the sparse (bm25), dense (brute cosine), and RRF-fused lists against
+    // the same-label qrels — the number behind the fusion premise. The
+    // label ground truth is the embedding clusters, so dense is the strong
+    // channel by construction; what the measurement shows is whether fusing
+    // the weak lexical channel DILUTES it (the k0=60 damping question).
+    if (args.contains("--hybrid-eval")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qs = docs.filter(col("doc_id") % 100 === 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
+      val dq = emb.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("qlabel"))
+      // apples-to-apples: evaluate every channel on the query set BOTH
+      // channels cover (doc_id space outgrows vec_id space at larger sfs)
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+        .join(dq.select(col("query_id")), Seq("query_id"), "left_semi")
+        .select("query_id", "rank", "doc_id")
+      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          dq.select("query_id", "query_vec"), "query_id", "query_vec", k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      val fused = Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+        .select("query_id", "rank", "doc_id")
+      val qrels = dq.select("query_id", "qlabel")
+        .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+          col("label") === col("qlabel") && col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
+      for ((nm, lst) <- Seq("bm25" -> sparse, "dense" -> dense, "rrf" -> fused)) {
+        val e = Retrieval.evalRanking(lst, qrels, k = 10)
+          .agg(avg(col("recall_micro")).as("r"), avg(col("ndcg_micro")).as("n"),
+            count(lit(1)).as("q")).collect()(0)
+        println(f"[measure] hybrid-eval $nm%-6s queries=${e.getLong(2)} " +
+          f"mean recall@10=${e.getDouble(0) / 1e6}%.4f mean ndcg@10=${e.getDouble(1) / 1e6}%.4f")
+      }
+    }
+
     if (args.contains("--ngram-df")) {
       val shg = docs.select(col("doc_id"), col("lang"),
         explode(array_distinct(graft.expressions.MinHashSignature.shingleHashes(
