@@ -397,10 +397,13 @@ object OpsQueries {
           s"(SELECT CAST(max($c) AS DOUBLE) FROM $table), CAST(NULL AS VARCHAR), " +
           s"$base WHERE $n - ${nn(c)} >= 1")
       else Nil
+      // ORDER BY must live INSIDE string_agg: an ordered subquery feeding
+      // an aggregate carries no ordering guarantee (observed: 1-in-3 runs
+      // aggregated DuckDB's hash-distinct order instead)
       val inSet = if (t == "str")
         Seq(s"SELECT '$c', 'in_set', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
-          s"(SELECT string_agg(v, ',') FROM (SELECT DISTINCT $c AS v FROM $table " +
-          s"WHERE $c IS NOT NULL ORDER BY v)), $base " +
+          s"(SELECT string_agg(v, ',' ORDER BY v) FROM " +
+          s"(SELECT DISTINCT $c AS v FROM $table WHERE $c IS NOT NULL)), $base " +
           s"WHERE ${nd(c)} BETWEEN 1 AND $maxSet")
       else Nil
       Seq(notNull, uniq) ++ rng ++ inSet
