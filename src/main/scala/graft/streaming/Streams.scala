@@ -760,6 +760,38 @@ object Streams {
       }
       .start()
 
+  /** Streaming BM25 serving over a frozen
+    * [[graft.operators.Retrieval.bm25Index]] — the lexical twin of
+    * [[annTopKStream]]: a stream of (query id, query text) rows served
+    * against the kind-tagged posting index, each micro-batch's results
+    * tagged batch_id. Unlike the ANN server (row-local candidate scores →
+    * one update-mode TopKAgg), BM25 needs TWO aggregation levels — the
+    * per-(query, doc) term-score sum and then the per-query top-k — which
+    * a single streaming DAG cannot chain, so this is the `foreachBatch`
+    * shape; that is semantically EXACT here, not a compromise: queries
+    * are independent rows, so batch scope changes nothing (pinned in
+    * StreamingSpec — streamed results are bit-equal to the batch
+    * [[graft.operators.Retrieval.bm25TopKIndexed]] over the same
+    * queries). The corpus is never re-tokenized: each batch broadcasts
+    * its query terms onto the index scan. */
+  def bm25ServeStream(
+      stream: DataFrame,
+      indexPath: String,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75)(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Retrieval
+          .bm25TopKIndexed(batch.sparkSession, indexPath, batch,
+            queryIdCol, queryTextCol, k, k1, b)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Streaming volume-anomaly monitor — the stream twin of
     * [[graft.operators.Events.dailyAnomalies]]: each micro-batch's
     * per-(type, day) counts score against a FROZEN

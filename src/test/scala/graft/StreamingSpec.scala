@@ -1076,6 +1076,38 @@ class StreamingSpec extends AnyFunSuite {
       s"$buf")
   }
 
+  test("bm25 serving streams queries against the frozen index, bit-equal to batch") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple cherry cherry date"), (4L, "date egg")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25srv").toString + "/idx"
+    Retrieval.bm25Index(corpus, "doc_id", "text", dir)
+    val ms = MemoryStream[(Long, String)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Seq[Any])]()
+    val q = Streams.bm25ServeStream(ms.toDF().toDF("qid", "qtext"), dir,
+        "qid", "qtext", k = 3) { res =>
+      buf.synchronized {
+        buf ++= res.collect().map(r => (r.getAs[Long]("batch_id"), r.toSeq.dropRight(1)))
+      }
+    }
+    try {
+      ms.addData((100L, "apple cherry"))
+      q.processAllAvailable()
+      ms.addData((200L, "banana egg"), (300L, "date"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val qs = Seq((100L, "apple cherry"), (200L, "banana egg"), (300L, "date"))
+      .toDF("qid", "qtext")
+    val batch = Retrieval.bm25TopKIndexed(spark, dir, qs, "qid", "qtext", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(buf.map(_._2).toSet == batch, s"stream=${buf.toSeq}\nbatch=$batch")
+    // batch ids partition the stream output by arrival batch
+    assert(buf.filter(_._1 == 0L).map(_._2.head).toSet == Set(100L), s"$buf")
+    assert(buf.filter(_._1 == 1L).map(_._2.head).toSet == Set(200L, 300L), s"$buf")
+  }
+
   test("volume monitor scores micro-batches against a frozen baseline, bit-equal to batch") {
     import spark.implicits._
     import graft.operators.Events
