@@ -95,4 +95,42 @@ object Sketches {
     }
     merged.select(col("group") +: qCols :+ col("n_rows"): _*)
   }
+
+  /** Per-group frequent-items (heavy-hitters) sketch + row count — the
+    * THIRD member of the sketch store (HLL = distinct counts, KLL =
+    * quantiles, this = top items): "which suppliers / domains / tokens
+    * dominate each partition, across any date range, without rescanning
+    * history". O(maxMapSize) bytes per group, lossless-in-guarantee merge.
+    *
+    * Contract (pinned in OpsSpec and the declared property query): purge
+    * and merge order make ESTIMATES run-dependent, but every item's true
+    * count lies in [lb, ub] and no item above the merged maximum error is
+    * ever missing from [[freqUnionItems]]'s NO_FALSE_NEGATIVES table. */
+  def freqByGroup(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      maxMapSize: Int = 256): DataFrame = {
+    require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+      "maxMapSize must be a power of 2, at least 8 (DataSketches bound)")
+    df.groupBy(col(groupCol).as("group"))
+      .agg(
+        graft.expressions.FreqSketchAgg
+          .freqSketch(col(itemCol).cast("long"), maxMapSize).as("sketch"),
+        count(col(itemCol)).as("n_rows"))
+  }
+
+  /** Union a frequent-items sketch table back to one row per (group,
+    * tracked item) with estimate and exact-count bounds. */
+  def freqUnionItems(
+      sketches: DataFrame,
+      maxMapSize: Int = 256): DataFrame =
+    sketches.groupBy(col("group"))
+      .agg(
+        graft.expressions.FreqSketchAgg
+          .freqUnionItems(col("sketch"), maxMapSize).as("__items"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(col("group"), explode(col("__items")).as("__i"), col("n_rows"))
+      .select(col("group"), col("__i.item").as("item"), col("__i.est").as("est"),
+        col("__i.lb").as("lb"), col("__i.ub").as("ub"), col("n_rows"))
 }

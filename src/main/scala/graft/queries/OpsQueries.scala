@@ -270,6 +270,41 @@ object OpsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // frequent-items sketch store property query: a 5-item hot set (~5%
+    // of each group's rows each) rides over a thousands-wide partkey tail;
+    // maxMapSize 32 << tail cardinality forces real purging, and the
+    // verdicts assert the sketch GUARANTEES — every exact-2% heavy hitter
+    // present in the NO_FALSE_NEGATIVES table with its true count inside
+    // [lb, ub] — never the order-dependent estimates themselves
+    "agg_freq_mergeable" -> ((s, d) => {
+      val li = t(s, d, "lineitem").df
+      val item = when(col("l_orderkey") % 4 === 0, col("l_suppkey") % 5)
+        .otherwise(col("l_partkey") + 1000000L)
+      val items = li.select(col("l_returnflag").as("group"), item.as("item"),
+        col("l_orderkey"))
+      val store = (0 until 2)
+        .map(i => Sketches.freqByGroup(items.filter(col("l_orderkey") % 2 === i),
+          "group", "item", maxMapSize = 32))
+        .reduce(_ unionByName _)
+      val sk = Sketches.freqUnionItems(store, maxMapSize = 32)
+        .select(col("group"), col("item"), col("est"), col("lb"), col("ub"))
+      val exact = items.groupBy("group", "item").agg(count(lit(1)).as("cnt"))
+        .withColumn("n", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("group"))))
+      val heavy = exact.filter(col("cnt") * 50 >= col("n"))
+      heavy.join(sk, Seq("group", "item"), "left")
+        .groupBy("group")
+        .agg(max(col("n")).as("n_rows"), count(lit(1)).as("n_heavy"),
+          (sum(when(col("est").isNull, 1L).otherwise(0L)) === 0L)
+            .as("all_heavy_found"),
+          (sum(when(col("est").isNotNull &&
+              (col("cnt") < col("lb") || col("cnt") > col("ub")), 1L)
+            .otherwise(0L)) === 0L).as("bounds_ok"))
+        .select(col("group").as("l_returnflag"), col("n_rows"),
+          col("n_heavy"), col("all_heavy_found"), col("bounds_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // integer PageRank over the customer↔supplier interaction graph
     // (both directions of every orders⋈lineitem pair, suppliers offset
     // into their own id space) — 3 iterations, exactly the unrolled-CTE
@@ -623,6 +658,19 @@ object OpsQueries {
        "(PARTITION BY lang ORDER BY key_micro DESC, doc_id ASC) AS rank FROM kx) " +
        "SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, weight, key_micro " +
        "FROM r WHERE rank <= 10 ORDER BY lang, rank"),
+
+    "agg_freq_mergeable" ->
+      ("WITH it AS (SELECT l_returnflag AS grp, " +
+       "CASE WHEN l_orderkey % 4 = 0 THEN l_suppkey % 5 " +
+       "ELSE l_partkey + 1000000 END AS item FROM lineitem), " +
+       "e AS (SELECT grp, item, count(*) AS cnt FROM it GROUP BY grp, item), " +
+       "tt AS (SELECT grp, sum(cnt) AS n FROM e GROUP BY grp), " +
+       "h AS (SELECT e.grp, count(*) AS n_heavy FROM e JOIN tt USING (grp) " +
+       "WHERE e.cnt * 50 >= tt.n GROUP BY e.grp) " +
+       "SELECT tt.grp AS l_returnflag, CAST(tt.n AS BIGINT) AS n_rows, " +
+       "CAST(coalesce(h.n_heavy, 0) AS BIGINT) AS n_heavy, " +
+       "TRUE AS all_heavy_found, TRUE AS bounds_ok " +
+       "FROM tt LEFT JOIN h USING (grp) ORDER BY l_returnflag"),
 
     "agg_kll_mergeable" ->
       ("SELECT l_returnflag, count(*) AS n_rows, TRUE AS ok_q25, TRUE AS ok_q50, " +

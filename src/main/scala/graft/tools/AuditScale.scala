@@ -70,7 +70,7 @@ object AuditScale {
     "dq_suggest", "search_hybrid_rrf", "search_bm25_expanded",
     "events_top_paths", "events_transitions", "events_attribution",
     "events_attribution_incremental", "events_anomaly_daily",
-    "agg_kll_mergeable", "corpus_weighted_sample",
+    "agg_kll_mergeable", "agg_freq_mergeable", "corpus_weighted_sample",
     "corpus_weighted_sample_by", "text_pmi_bigrams", "search_eval_ndcg")
 
   /** Queries whose declared input is intentionally sf-independent (oracle

@@ -642,6 +642,36 @@ class OpsSpec extends AnyFunSuite {
     assert(nan.getLong(2) == 0L && nan.getDouble(1).isNaN, s"$nan")
   }
 
+  test("frequent-items store: guarantees survive purging, merge, and parquet") {
+    import graft.operators.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    // per group: one hot item (7) ×300 over a 1000-wide singleton tail —
+    // maxMapSize 16 << tail cardinality forces constant purging
+    val rows = (0 until 2).flatMap { g =>
+      (0 until 300).map(i => (s"g$g", 7L, i)) ++
+        (0 until 1000).map(i => (s"g$g", 100L + i, 300 + i))
+    }
+    val df = rows.toDF("grp", "item", "i")
+    val dir = java.nio.file.Files.createTempDirectory("freqstore").toString
+    Sketches.freqByGroup(df.filter(col("i") % 2 === 0), "grp", "item", maxMapSize = 16)
+      .write.mode("append").parquet(dir)
+    Sketches.freqByGroup(df.filter(col("i") % 2 =!= 0), "grp", "item", maxMapSize = 16)
+      .write.mode("append").parquet(dir)
+    val got = Sketches.freqUnionItems(spark.read.parquet(dir), maxMapSize = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (g <- Seq("g0", "g1")) {
+      val (est, lb, ub, n) = got.getOrElse((g, 7L),
+        fail(s"hot item missing from NO_FALSE_NEGATIVES table: $got"))
+      assert(n == 1300L, s"n_rows sums across batches: $g -> $n")
+      assert(lb <= 300L && 300L <= ub && lb <= est && est <= ub,
+        s"$g: true count 300 must sit in [lb, ub]: est=$est lb=$lb ub=$ub")
+      // purging really happened: the bound is not exact
+      assert(ub > lb, s"$g: expected a nonzero error band after purging: $lb..$ub")
+    }
+  }
+
   // ------------------------------------------------------------- classifier
 
   test("trainLogistic + scoreLogistic match an independent integer recomputation") {
