@@ -123,6 +123,50 @@ object Checks {
       .drop("ord")
   }
 
+  /** Join-key skew report + salting advice: the top-k heaviest values of
+    * a prospective join/shuffle key, each with its exact count, its share
+    * of the table in micro units, and the SALT FACTOR that would spread
+    * that key evenly over `targetPartitions` — `max(1, ceil(cnt ·
+    * targetPartitions / n))`, the number of sub-keys the
+    * [[graft.operators]] salted-join family should use. The "is this key
+    * safe to shuffle on at 100 TB" question as one bounded report:
+    * share_micro near 1e6/targetPartitions or above means one partition
+    * absorbs that whole key.
+    *
+    * DETERMINISM: counts are exact longs; share quantizes once
+    * (`round((cnt · 1e6) / n)`); the salt factor is pure integer
+    * ceiling-division (`(cnt · P + n − 1) div n`, positive operands so
+    * truncation ≡ floor).
+    *
+    * Scale shape: one key reduce with map-side partials, the global top-k
+    * is orderBy+limit (TakeOrderedAndProject — never a full sort and
+    * never a global window over the distinct-key table, which can be
+    * corpus-sized), and the 1-row total rides a broadcast crossJoin (the
+    * LM-scorer shape) against only the k survivors.
+    *
+    * Returns (rank, <keyCol>, cnt, share_micro, salt_factor), rank 1..k
+    * by (cnt desc, key asc). */
+  def skewReport(
+      df: DataFrame,
+      keyCol: String,
+      k: Int = 20,
+      targetPartitions: Int = 200): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(targetPartitions >= 1, "targetPartitions must be at least 1")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col(keyCol).asc).limit(k)
+    val tot = df.agg(count(lit(1)).as("n"))
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col(keyCol).asc)).cast("long"))
+      .select(col("rank"), col(keyCol), col("cnt"),
+        round((col("cnt") * lit(1e6)) / col("n")).cast("long").as("share_micro"),
+        greatest(lit(1L),
+          expr(s"(cnt * ${targetPartitions.toLong} + n - 1) div n"))
+          .as("salt_factor"))
+  }
+
   /** Profile-driven constraint SUGGESTION (the Deequ suggestion engine,
     * closing the loop: suggest → check → monitor): one exact profiling
     * aggregate over every column — null counts, distinct counts, numeric

@@ -793,6 +793,15 @@ object PipelineSyntax {
         pk = Some(Seq("src_type", "dst_type")),
         pkVerified = true)
 
+    /** Join-key skew report: rank is unique by the re-rank window. */
+    def skewReportOf(keyCol: String, k: Int = 20,
+        targetPartitions: Int = 200): MetaFrame =
+      derived(mf, Checks.skewReport(mf.df, keyCol, k, targetPartitions),
+        "skew_report",
+        Map("key" -> keyCol, "k" -> k, "targetPartitions" -> targetPartitions),
+        pk = Some(Seq("rank")),
+        pkVerified = true)
+
     /** Daily volume anomaly scores: one row per (type, day) — groupBy
       * contract. */
     def dailyAnomaliesOf(tsCol: String, typeCol: String, window: Int = 7,

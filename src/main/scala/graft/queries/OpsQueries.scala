@@ -141,6 +141,14 @@ object OpsQueries {
           Checks.RowCountBetween(1000L, 100000000L)))
         .orderBy("check_name")),
 
+    // join-key skew report over the 5-language documents table: every
+    // lang absorbs ~20% of rows, so salting advice engages (factor ~6 at
+    // 32 target partitions)
+    "dq_skew_report" -> ((s, d) =>
+      Checks.skewReport(t(s, d, "documents").df, "lang", k = 5,
+          targetPartitions = 32)
+        .orderBy("rank")),
+
     // constraint suggestion over lineitem: the full profile-driven rule
     // set (not_null everywhere, in_range for the 8 numeric columns,
     // in_set for the two low-cardinality strings, no unique column)
@@ -759,6 +767,16 @@ object OpsQueries {
        "SELECT check_name, kind, target, CAST(violations AS BIGINT) AS violations, " +
        "CAST((SELECT n FROM n) AS BIGINT) AS n_rows, violations = 0 AS pass " +
        "FROM v ORDER BY check_name"),
+
+    "dq_skew_report" ->
+      ("WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang), " +
+       "nn AS (SELECT count(*) AS n FROM documents), " +
+       "r AS (SELECT lang, cnt, row_number() OVER (ORDER BY cnt DESC, lang ASC) " +
+       "AS rank FROM c) " +
+       "SELECT CAST(rank AS BIGINT) AS rank, lang, CAST(cnt AS BIGINT) AS cnt, " +
+       "CAST(round((cnt * 1000000.0) / n) AS BIGINT) AS share_micro, " +
+       "CAST(greatest(1, (cnt * 32 + n - 1) // n) AS BIGINT) AS salt_factor " +
+       "FROM r, nn WHERE rank <= 5 ORDER BY rank"),
 
     "dq_suggest" -> suggestOracle("lineitem",
       numericCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -71,7 +71,8 @@ object AuditScale {
     "events_top_paths", "events_transitions", "events_attribution",
     "events_attribution_incremental", "events_anomaly_daily",
     "agg_kll_mergeable", "agg_freq_mergeable", "corpus_weighted_sample",
-    "corpus_weighted_sample_by", "text_pmi_bigrams", "search_eval_ndcg")
+    "corpus_weighted_sample_by", "text_pmi_bigrams", "search_eval_ndcg",
+    "dq_skew_report")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -146,7 +147,10 @@ object AuditScale {
       // crossJoins its broadcast 1-row totals aggregate
       "search_hybrid_rrf", "search_bm25_expanded", "text_pmi_bigrams",
       // the eval query embeds the brute-force dense retriever it measures
-      "search_eval_ndcg")
+      "search_eval_ndcg",
+      // the skew report's 1-row total rides a broadcast crossJoin against
+      // the k survivors (the LM-scorer shape)
+      "dq_skew_report")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

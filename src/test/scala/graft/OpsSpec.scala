@@ -320,6 +320,26 @@ class OpsSpec extends AnyFunSuite {
     assert(uniqueOnly.toSeq == Seq(("unique(id)", 2L, 2L, false)), s"${uniqueOnly.toSeq}")
   }
 
+  test("skewReport: exact shares, ceiling salt factors, floor of 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 100 rows: key A ×60, B ×30, C ×10 — at 10 target partitions the
+    // even spread is 10 rows/partition, so A needs 6 salts, B 3, C 1
+    val df = (Seq.fill(60)("A") ++ Seq.fill(30)("B") ++ Seq.fill(10)("C"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "i")
+    val got = Checks.skewReport(df, "key", k = 10, targetPartitions = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "A", 60L, 600000L, 6L),
+      (2L, "B", 30L, 300000L, 3L),
+      (3L, "C", 10L, 100000L, 1L)), s"$got")
+    // a key below one partition's share still gets factor 1, never 0
+    val tiny = Checks.skewReport(df, "key", k = 10, targetPartitions = 2)
+      .collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(tiny == Map("A" -> 2L, "B" -> 1L, "C" -> 1L), s"$tiny")
+  }
+
   test("suggest: profiling rules emit exactly the supported constraints") {
     val spark2 = spark
     import spark2.implicits._
