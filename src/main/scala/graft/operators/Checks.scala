@@ -123,6 +123,49 @@ object Checks {
       .drop("ord")
   }
 
+  /** Robust outlier detection by median absolute deviation (the
+    * Hampel-style filter): per group, med = exact median of the value,
+    * MAD = exact median of |v − med|, and a row is an outlier when
+    * |v − med| > k·MAD — the robust alternative to z-scores (mean/std are
+    * themselves dragged by the outliers they're meant to find; the
+    * breakdown point of the median is 50%).
+    *
+    * DETERMINISM: med and MAD are exact interpolated percentiles ROUNDED
+    * to 4 decimals (the `agg_percentile_exact` cross-engine parity
+    * convention — the two engines interpolate with differently-ordered
+    * float ops), and the flag compares doubles derived identically on
+    * both sides. Groups whose MAD is 0 (≥ 50% identical values) flag
+    * nothing — an explicit contract, not an accident: deviation has no
+    * robust scale there.
+    *
+    * Scale shape: two group aggregates (med, then MAD over the re-joined
+    * deviations) with the O(groups) med/MAD tables BROADCAST back onto
+    * the row scan — rows never shuffle; exact percentiles hold one
+    * group's values per reducer, the same cost class the stats facade
+    * already exposes.
+    *
+    * Returns every input row + (med, mad, is_outlier), is_outlier never
+    * NULL (NULL values are not outliers). */
+  def outliersMad(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"))
+    val deviations = df.join(broadcast(med), Seq(groupCol))
+    val mad = deviations
+      .withColumn("__dev", abs(v - col("med")))
+      .groupBy(col(groupCol))
+      .agg(round(expr("percentile(__dev, 0.5)"), 4).as("mad"))
+    deviations.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier",
+        coalesce(col("mad") > 0.0 && abs(v - col("med")) > lit(k) * col("mad"),
+          lit(false)))
+  }
+
   /** Join-key skew report + salting advice: the top-k heaviest values of
     * a prospective join/shuffle key, each with its exact count, its share
     * of the table in micro units, and the SALT FACTOR that would spread

@@ -793,6 +793,15 @@ object PipelineSyntax {
         pk = Some(Seq("src_type", "dst_type")),
         pkVerified = true)
 
+    /** MAD outlier flags: row-preserving, parent pk survives. */
+    def outliersMadOf(groupCol: String, valueCol: String,
+        k: Double = 3.0): MetaFrame =
+      derived(mf, Checks.outliersMad(mf.df, groupCol, valueCol, k),
+        "outliers_mad",
+        Map("group" -> groupCol, "value" -> valueCol, "k" -> k),
+        pk = mf.primaryKey,
+        pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+
     /** Join-key skew report: rank is unique by the re-rank window. */
     def skewReportOf(keyCol: String, k: Int = 20,
         targetPartitions: Int = 200): MetaFrame =

@@ -141,6 +141,20 @@ object OpsQueries {
           Checks.RowCountBetween(1000L, 100000000L)))
         .orderBy("check_name")),
 
+    // MAD outlier filter at k=1.5 over the near-uniform price column —
+    // uniform tails sit just past 1.5·MAD, so both verdicts occur
+    "dq_outliers_mad" -> ((s, d) =>
+      Checks.outliersMad(t(s, d, "lineitem").df
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice", k = 1.5)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("med"), col("mad"), col("is_outlier"))
+        // the synthetic (orderkey, linenumber) key is NOT unique; the four
+        // base columns make the order total (everything else is a
+        // function of l_returnflag)
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")),
+
     // join-key skew report over the 5-language documents table: every
     // lang absorbs ~20% of rows, so salting advice engages (factor ~6 at
     // 32 target partitions)
@@ -767,6 +781,19 @@ object OpsQueries {
        "SELECT check_name, kind, target, CAST(violations AS BIGINT) AS violations, " +
        "CAST((SELECT n FROM n) AS BIGINT) AS n_rows, violations = 0 AS pass " +
        "FROM v ORDER BY check_name"),
+
+    "dq_outliers_mad" ->
+      ("WITH m AS (SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) " +
+       "AS med FROM lineitem GROUP BY l_returnflag), " +
+       "d AS (SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, " +
+       "l.l_extendedprice, m.med FROM lineitem l JOIN m USING (l_returnflag)), " +
+       "a AS (SELECT l_returnflag, round(quantile_cont(abs(l_extendedprice - med), 0.5), 4) " +
+       "AS mad FROM d GROUP BY l_returnflag) " +
+       "SELECT d.l_returnflag, d.l_orderkey, d.l_linenumber, d.l_extendedprice, " +
+       "d.med, a.mad, coalesce(a.mad > 0.0 AND " +
+       "abs(d.l_extendedprice - d.med) > 1.5 * a.mad, FALSE) AS is_outlier " +
+       "FROM d JOIN a USING (l_returnflag) " +
+       "ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice"),
 
     "dq_skew_report" ->
       ("WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang), " +

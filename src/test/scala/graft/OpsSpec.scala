@@ -340,6 +340,25 @@ class OpsSpec extends AnyFunSuite {
     assert(tiny == Map("A" -> 2L, "B" -> 1L, "C" -> 1L), s"$tiny")
   }
 
+  test("outliersMad: Hampel flags, zero-MAD contract, NULL never flags") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (1 to 9).map(i => ("a", Option(i.toDouble))) ++
+      Seq(("a", Option(100.0))) ++                 // dev 94.5 > 3·2.5: outlier
+      Seq.fill(3)(("b", Option(5.0))) :+ ("b", Option(99.0)) :+ // MAD 0: never flags
+      ("a", Option.empty[Double])                  // NULL: never flags
+    val got = Checks.outliersMad(rows.toDF("grp", "v"), "grp", "v", k = 3.0)
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double])) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // group a: med of [1..9, 100] = 5.5, MAD = 2.5
+    assert(got(("a", Some(100.0))) == ((5.5, 2.5, true)), s"$got")
+    assert(got(("a", Some(9.0))) == ((5.5, 2.5, false)), s"dev 3.5 < 7.5: $got")
+    assert(got(("a", None))._3 == false, s"NULL values never flag: $got")
+    // group b: half the values identical → MAD 0 → no robust scale, no flags
+    assert(got(("b", Some(99.0))) == ((5.0, 0.0, false)), s"$got")
+  }
+
   test("suggest: profiling rules emit exactly the supported constraints") {
     val spark2 = spark
     import spark2.implicits._
