@@ -166,6 +166,69 @@ object Checks {
           lit(false)))
   }
 
+  /** Population-stability-index drift detection (the standard model-ops
+    * "did the feature distribution move" monitor): bucket BOTH frames by
+    * the REFERENCE frame's own quantile edges, then per bucket
+    * `psi = (q − p) · ln(q / p)` over add-one-smoothed shares — smoothing
+    * makes empty buckets finite instead of infinite, and the smoothed
+    * shares are pure functions of integer counts. PSI ≈ 0 = stable;
+    * > 0.1 / > 0.25 are the conventional watch/act thresholds (summed
+    * over buckets).
+    *
+    * DETERMINISM: edges are exact reference percentiles rounded to 4dp
+    * (the cross-engine parity convention); bucket assignment is a
+    * row-local count of edges strictly below the value; shares derive
+    * from exact long counts through ONE fixed parenthesization, and each
+    * bucket's term quantizes once to micro-nats. NULL values are excluded
+    * from both sides (a NULL carries no position in a distribution).
+    *
+    * Scale shape: one reference percentile aggregate; the edge array
+    * (buckets−1 doubles) rides a broadcast 1-row crossJoin onto both row
+    * scans; two bucket-key reduces with map-side partials; everything
+    * after is O(buckets) rows. Rows never shuffle.
+    *
+    * Returns one row per bucket 0..buckets−1: (bucket, lo, hi, ref_cnt,
+    * cur_cnt, psi_micro); lo is NULL for the first bucket, hi for the
+    * last. Total PSI = Σ psi_micro. */
+  def driftPsi(
+      reference: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val edgesDf = reference.filter(col(valueCol).isNotNull)
+      .agg(expr(s"percentile($valueCol, array(${qs.mkString(", ")}))").as("__raw"))
+      .select(transform(col("__raw"), e => round(e, 4)).as("edges"))
+    def counts(df: DataFrame, as: String) = df
+      .filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(edgesDf))
+      .select(size(filter(col("edges"),
+        e => col(valueCol).cast("double") > e)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+    val grid = edgesDf.select(
+      explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("bucket"),
+      col("edges"))
+    val refN = reference.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("__rn"))
+    val curN = current.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("__cn"))
+    val joined = grid
+      .join(counts(reference, "ref_cnt"), Seq("bucket"), "left")
+      .join(counts(current, "cur_cnt"), Seq("bucket"), "left")
+      .crossJoin(broadcast(refN)).crossJoin(broadcast(curN))
+      .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
+      .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
+    val p = (col("ref_cnt") + 1).cast("double") / (col("__rn") + buckets)
+    val q = (col("cur_cnt") + 1).cast("double") / (col("__cn") + buckets)
+    joined.select(col("bucket"),
+      when(col("bucket") > 0, element_at(col("edges"), col("bucket").cast("int"))).as("lo"),
+      when(col("bucket") < buckets - 1,
+        element_at(col("edges"), (col("bucket") + 1).cast("int"))).as("hi"),
+      col("ref_cnt"), col("cur_cnt"),
+      round(((q - p) * log(q / p)) * lit(1e6)).cast("long").as("psi_micro"))
+  }
+
   /** Join-key skew report + salting advice: the top-k heaviest values of
     * a prospective join/shuffle key, each with its exact count, its share
     * of the table in micro units, and the SALT FACTOR that would spread

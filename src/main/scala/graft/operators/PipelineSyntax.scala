@@ -793,6 +793,15 @@ object PipelineSyntax {
         pk = Some(Seq("src_type", "dst_type")),
         pkVerified = true)
 
+    /** PSI drift vs a reference frame: one row per bucket. */
+    def driftPsiAgainst(reference: MetaFrame, valueCol: String,
+        buckets: Int = 10): MetaFrame =
+      derived(mf, Checks.driftPsi(reference.df, mf.df, valueCol, buckets),
+        "drift_psi",
+        Map("value" -> valueCol, "buckets" -> buckets),
+        pk = Some(Seq("bucket")),
+        pkVerified = true)
+
     /** MAD outlier flags: row-preserving, parent pk survives. */
     def outliersMadOf(groupCol: String, valueCol: String,
         k: Double = 3.0): MetaFrame =

@@ -141,6 +141,19 @@ object OpsQueries {
           Checks.RowCountBetween(1000L, 100000000L)))
         .orderBy("check_name")),
 
+    // PSI drift: reference prices vs the same prices inflated 30% (the
+    // canary-plant pattern — the synthetic columns are measured
+    // independent, so a filter can't shift anything; a multiplicative
+    // shift drives values up ~3 deciles and PSI lands in the
+    // "act" band, while the same-distribution buckets stay near 0)
+    "dq_drift_psi" -> ((s, d) => {
+      val li = t(s, d, "lineitem").df
+      val shifted = li.select((col("l_extendedprice") * lit(1.3))
+        .as("l_extendedprice"))
+      Checks.driftPsi(li, shifted, "l_extendedprice", buckets = 10)
+        .orderBy("bucket")
+    }),
+
     // MAD outlier filter at k=1.5 over the near-uniform price column —
     // uniform tails sit just past 1.5·MAD, so both verdicts occur
     "dq_outliers_mad" -> ((s, d) =>
@@ -781,6 +794,32 @@ object OpsQueries {
        "SELECT check_name, kind, target, CAST(violations AS BIGINT) AS violations, " +
        "CAST((SELECT n FROM n) AS BIGINT) AS n_rows, violations = 0 AS pass " +
        "FROM v ORDER BY check_name"),
+
+    "dq_drift_psi" ->
+      ("WITH ed AS (SELECT list_transform(quantile_cont(l_extendedprice, " +
+       "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 4)) " +
+       "AS edges FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+       "rc AS (SELECT len(list_filter(ed.edges, e -> l_extendedprice > e)) AS bucket, " +
+       "count(*) AS ref_cnt FROM lineitem, ed WHERE l_extendedprice IS NOT NULL " +
+       "GROUP BY 1), " +
+       "cc AS (SELECT len(list_filter(ed.edges, e -> v > e)) AS bucket, " +
+       "count(*) AS cur_cnt FROM (SELECT l_extendedprice * 1.3 AS v " +
+       "FROM lineitem WHERE l_extendedprice IS NOT NULL), ed GROUP BY 1), " +
+       "rn AS (SELECT count(*) AS rn FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+       "cn AS (SELECT count(*) AS cn FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+       "g AS (SELECT unnest(range(0, 10)) AS bucket), " +
+       "j AS (SELECT g.bucket, coalesce(rc.ref_cnt, 0) AS ref_cnt, " +
+       "coalesce(cc.cur_cnt, 0) AS cur_cnt, ed.edges, rn.rn, cn.cn " +
+       "FROM g LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket), ed, rn, cn) " +
+       "SELECT CAST(bucket AS BIGINT) AS bucket, " +
+       "CASE WHEN bucket > 0 THEN edges[CAST(bucket AS INT)] END AS lo, " +
+       "CASE WHEN bucket < 9 THEN edges[CAST(bucket + 1 AS INT)] END AS hi, " +
+       "CAST(ref_cnt AS BIGINT) AS ref_cnt, CAST(cur_cnt AS BIGINT) AS cur_cnt, " +
+       "CAST(round((((CAST(cur_cnt + 1 AS DOUBLE) / (cn + 10)) - " +
+       "(CAST(ref_cnt + 1 AS DOUBLE) / (rn + 10))) * " +
+       "ln((CAST(cur_cnt + 1 AS DOUBLE) / (cn + 10)) / " +
+       "(CAST(ref_cnt + 1 AS DOUBLE) / (rn + 10)))) * 1000000.0) AS BIGINT) " +
+       "AS psi_micro FROM j ORDER BY bucket"),
 
     "dq_outliers_mad" ->
       ("WITH m AS (SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) " +

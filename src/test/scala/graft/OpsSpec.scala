@@ -359,6 +359,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("b", Some(99.0))) == ((5.0, 0.0, false)), s"$got")
   }
 
+  test("driftPsi: zero on identical frames, positive on a shift, smoothed empties") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ref = (1 to 100).map(i => Option(i.toDouble)).toDF("v")
+    // identical frames: every smoothed q equals p exactly → every term 0
+    val same = Checks.driftPsi(ref, ref, "v", buckets = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(same.keySet == (0L to 4L).toSet, s"$same")
+    assert(same.values.forall { case (rc, cc, psi) => rc == 20L && cc == 20L && psi == 0L },
+      s"$same")
+    // a +100 shift empties the low buckets and overfills the top one
+    val cur = ((1 to 100).map(i => Option(i + 100.0)) :+ Option.empty[Double])
+      .toDF("v")
+    val shifted = Checks.driftPsi(ref, cur, "v", buckets = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    def term(rc: Long, cc: Long): Long = {
+      val p = (rc + 1).toDouble / 105; val q = (cc + 1).toDouble / 105
+      math.round(((q - p) * math.log(q / p)) * 1e6)
+    }
+    // NULL excluded: cur still counts 100 values; buckets 0-3 empty, 4 holds all
+    assert(shifted(0L) == ((20L, 0L, term(20, 0))), s"$shifted")
+    assert(shifted(4L) == ((20L, 100L, term(20, 100))), s"$shifted")
+    val total = shifted.values.map(_._3).sum
+    assert(total > 1000000L, s"a full shift must land far past the act band: $total")
+  }
+
   test("suggest: profiling rules emit exactly the supported constraints") {
     val spark2 = spark
     import spark2.implicits._
