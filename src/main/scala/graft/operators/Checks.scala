@@ -194,36 +194,64 @@ object Checks {
       reference: DataFrame,
       current: DataFrame,
       valueCol: String,
+      buckets: Int = 10): DataFrame =
+    scorePsiAgainst(current, psiBaseline(reference, valueCol, buckets),
+      valueCol)
+
+  /** Frozen PSI baseline: one row per bucket carrying the reference
+    * quantile edges, the reference bucket counts, and the reference total
+    * — the O(buckets) table the streaming monitor
+    * ([[graft.streaming.Streams.psiMonitorStream]]) broadcasts against
+    * each micro-batch. Persist it and rebuild on the reference's own
+    * cadence; scorers never mutate it. */
+  def psiBaseline(
+      reference: DataFrame,
+      valueCol: String,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
-    val edgesDf = reference.filter(col(valueCol).isNotNull)
+    val ref = reference.filter(col(valueCol).isNotNull)
+    val edgesDf = ref
       .agg(expr(s"percentile($valueCol, array(${qs.mkString(", ")}))").as("__raw"))
       .select(transform(col("__raw"), e => round(e, 4)).as("edges"))
-    def counts(df: DataFrame, as: String) = df
-      .filter(col(valueCol).isNotNull)
-      .crossJoin(broadcast(edgesDf))
+    val refCounts = ref.crossJoin(broadcast(edgesDf))
       .select(size(filter(col("edges"),
         e => col(valueCol).cast("double") > e)).cast("long").as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as(as))
-    val grid = edgesDf.select(
-      explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("bucket"),
-      col("edges"))
-    val refN = reference.filter(col(valueCol).isNotNull)
-      .agg(count(lit(1)).as("__rn"))
+      .groupBy("bucket").agg(count(lit(1)).as("ref_cnt"))
+    edgesDf
+      .select(explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("bucket"),
+        col("edges"))
+      .join(refCounts, Seq("bucket"), "left")
+      .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
+      .crossJoin(broadcast(ref.agg(count(lit(1)).as("ref_n"))))
+      .withColumn("n_buckets", lit(buckets.toLong))
+  }
+
+  /** Score a current frame's distribution against a frozen
+    * [[psiBaseline]] — the per-micro-batch body of the streaming drift
+    * monitor, exposed for batch backfills too (and what [[driftPsi]]
+    * itself runs). Same output shape and determinism as [[driftPsi]]. */
+  def scorePsiAgainst(
+      current: DataFrame,
+      baseline: DataFrame,
+      valueCol: String): DataFrame = {
+    val edges1 = baseline.select(col("edges"), col("n_buckets")).limit(1)
+    val curCounts = current.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(edges1))
+      .select(size(filter(col("edges"),
+        e => col(valueCol).cast("double") > e)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cur_cnt"))
     val curN = current.filter(col(valueCol).isNotNull)
       .agg(count(lit(1)).as("__cn"))
-    val joined = grid
-      .join(counts(reference, "ref_cnt"), Seq("bucket"), "left")
-      .join(counts(current, "cur_cnt"), Seq("bucket"), "left")
-      .crossJoin(broadcast(refN)).crossJoin(broadcast(curN))
-      .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
+    val joined = baseline
+      .join(curCounts, Seq("bucket"), "left")
+      .crossJoin(broadcast(curN))
       .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
-    val p = (col("ref_cnt") + 1).cast("double") / (col("__rn") + buckets)
-    val q = (col("cur_cnt") + 1).cast("double") / (col("__cn") + buckets)
+    val p = (col("ref_cnt") + 1).cast("double") / (col("ref_n") + col("n_buckets"))
+    val q = (col("cur_cnt") + 1).cast("double") / (col("__cn") + col("n_buckets"))
     joined.select(col("bucket"),
       when(col("bucket") > 0, element_at(col("edges"), col("bucket").cast("int"))).as("lo"),
-      when(col("bucket") < buckets - 1,
+      when(col("bucket") < col("n_buckets") - 1,
         element_at(col("edges"), (col("bucket") + 1).cast("int"))).as("hi"),
       col("ref_cnt"), col("cur_cnt"),
       round(((q - p) * log(q / p)) * lit(1e6)).cast("long").as("psi_micro"))

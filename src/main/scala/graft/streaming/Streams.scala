@@ -792,6 +792,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming PSI drift monitor — the stream twin of
+    * [[graft.operators.Checks.driftPsi]]: each micro-batch's value
+    * distribution scores against a FROZEN
+    * [[graft.operators.Checks.psiBaseline]] through the literally shared
+    * scorer, so a batch backfill over the same rows is bit-identical
+    * (pinned in StreamingSpec). Batch-scope semantics: one O(buckets)
+    * verdict table per micro-batch, tagged batch_id, zero cross-batch
+    * state. */
+  def psiMonitorStream(
+      stream: DataFrame,
+      baseline: DataFrame,
+      valueCol: String)(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Checks.scorePsiAgainst(batch, baseline, valueCol)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Streaming volume-anomaly monitor — the stream twin of
     * [[graft.operators.Events.dailyAnomalies]]: each micro-batch's
     * per-(type, day) counts score against a FROZEN

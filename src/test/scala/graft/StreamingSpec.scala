@@ -1108,6 +1108,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(buf.filter(_._1 == 1L).map(_._2.head).toSet == Set(200L, 300L), s"$buf")
   }
 
+  test("psi monitor scores micro-batch drift against the frozen baseline") {
+    import spark.implicits._
+    import graft.operators.Checks
+    val ref = (1 to 100).map(i => i.toDouble).toDF("v")
+    val baseline = Checks.psiBaseline(ref, "v", buckets = 5)
+    val ms = MemoryStream[Double](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = Streams.psiMonitorStream(ms.toDF().toDF("v"), baseline, "v") { verdicts =>
+      val total = verdicts.agg(org.apache.spark.sql.functions.sum("psi_micro"))
+        .collect()(0).getLong(0)
+      val bid = verdicts.select("batch_id").head().getLong(0)
+      buf.synchronized { buf += ((bid, total, verdicts.count())) }
+    }
+    try {
+      ms.addData((1 to 100).map(_.toDouble): _*)   // same distribution
+      q.processAllAvailable()
+      ms.addData((101 to 200).map(_.toDouble): _*) // fully shifted
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = buf.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byBatch(0L) == ((0L, 5L)), s"identical batch: exact-zero PSI: $buf")
+    assert(byBatch(1L)._1 > 1000000L && byBatch(1L)._2 == 5L,
+      s"shifted batch must land far past the act band: $buf")
+    // bit-equality with the batch scorer over the same rows
+    val batchScore = Checks.scorePsiAgainst(
+        (101 to 200).map(_.toDouble).toDF("v"), baseline, "v")
+      .agg(org.apache.spark.sql.functions.sum("psi_micro")).collect()(0).getLong(0)
+    assert(batchScore == byBatch(1L)._1, s"stream=${byBatch(1L)._1} batch=$batchScore")
+  }
+
   test("volume monitor scores micro-batches against a frozen baseline, bit-equal to batch") {
     import spark.implicits._
     import graft.operators.Events
