@@ -257,6 +257,62 @@ object Checks {
       round(((q - p) * log(q / p)) * lit(1e6)).cast("long").as("psi_micro"))
   }
 
+  /** Categorical PSI drift — the [[driftPsi]] twin for discrete columns
+    * (source, language, label): the category domain is the REFERENCE
+    * frame's top `maxCategories` values (count desc, value asc — a
+    * bounded domain even over an unbounded column) plus two explicit
+    * sentinels, `__other__` (reference tail AND categories never seen in
+    * the reference — a new crawl source shows up HERE, which is exactly
+    * the drift worth alarming on) and `__null__` (nullness drift is
+    * drift). Same add-one-smoothed shares and micro-quantized
+    * `(q − p)·ln(q/p)` terms as the numeric monitor.
+    *
+    * Scale shape: one reference category reduce; the top-category table
+    * is TakeOrderedAndProject-bounded and broadcasts onto both row scans
+    * as a label join; two label-key reduces; O(labels) everything after.
+    * Values named like the sentinels would collide with them — documented
+    * limitation, not guarded.
+    *
+    * Returns one row per domain label: (category, ref_cnt, cur_cnt,
+    * psi_micro), ordered by category. */
+  def driftPsiCategorical(
+      reference: DataFrame,
+      current: DataFrame,
+      catCol: String,
+      maxCategories: Int = 20): DataFrame = {
+    require(maxCategories >= 1, "maxCategories must be at least 1")
+    val s = reference.sparkSession
+    import s.implicits._
+    val top = reference.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("category").asc)
+      .limit(maxCategories)
+      .select("category")
+    def labeled(df: DataFrame, as: String) = df
+      .select(when(col(catCol).isNull, lit("__null__"))
+        .otherwise(col(catCol).cast("string")).as("raw"))
+      .join(broadcast(top.select(col("category").as("raw"),
+        lit(1).as("__t"))), Seq("raw"), "left")
+      .select(when(col("raw") === "__null__", lit("__null__"))
+        .when(col("__t").isNotNull, col("raw"))
+        .otherwise(lit("__other__")).as("category"))
+      .groupBy("category").agg(count(lit(1)).as(as))
+    val grid = top.union(Seq("__other__", "__null__").toDF("category"))
+    val joined = grid
+      .join(labeled(reference, "ref_cnt"), Seq("category"), "left")
+      .join(labeled(current, "cur_cnt"), Seq("category"), "left")
+      .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
+      .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
+      .crossJoin(broadcast(reference.agg(count(lit(1)).as("__rn"))))
+      .crossJoin(broadcast(current.agg(count(lit(1)).as("__cn"))))
+      .crossJoin(broadcast(grid.agg(count(lit(1)).as("__nl"))))
+    val p = (col("ref_cnt") + 1).cast("double") / (col("__rn") + col("__nl"))
+    val q = (col("cur_cnt") + 1).cast("double") / (col("__cn") + col("__nl"))
+    joined.select(col("category"), col("ref_cnt"), col("cur_cnt"),
+      round(((q - p) * log(q / p)) * lit(1e6)).cast("long").as("psi_micro"))
+  }
+
   /** Join-key skew report + salting advice: the top-k heaviest values of
     * a prospective join/shuffle key, each with its exact count, its share
     * of the table in micro units, and the SALT FACTOR that would spread

@@ -802,6 +802,17 @@ object PipelineSyntax {
         pk = Some(Seq("bucket")),
         pkVerified = true)
 
+    /** Categorical PSI drift vs a reference frame: one row per domain
+      * label. */
+    def driftPsiCategoricalAgainst(reference: MetaFrame, catCol: String,
+        maxCategories: Int = 20): MetaFrame =
+      derived(mf,
+        Checks.driftPsiCategorical(reference.df, mf.df, catCol, maxCategories),
+        "drift_psi_cat",
+        Map("cat" -> catCol, "maxCategories" -> maxCategories),
+        pk = Some(Seq("category")),
+        pkVerified = true)
+
     /** MAD outlier flags: row-preserving, parent pk survives. */
     def outliersMadOf(groupCol: String, valueCol: String,
         k: Double = 3.0): MetaFrame =

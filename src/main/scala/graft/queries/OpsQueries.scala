@@ -154,6 +154,17 @@ object OpsQueries {
         .orderBy("bucket")
     }),
 
+    // categorical PSI: 20% of docs re-sourced to an UNSEEN 'crawl_v2'
+    // (the new-crawl-source alarm) — drift lands in __other__, every
+    // surviving category thins proportionally
+    "dq_drift_psi_cat" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val cur = docs.select(when(col("doc_id") % 5 === 0, lit("crawl_v2"))
+        .otherwise(col("source")).as("source"))
+      Checks.driftPsiCategorical(docs, cur, "source", maxCategories = 5)
+        .orderBy("category")
+    }),
+
     // MAD outlier filter at k=1.5 over the near-uniform price column —
     // uniform tails sit just past 1.5·MAD, so both verdicts occur
     "dq_outliers_mad" -> ((s, d) =>
@@ -820,6 +831,36 @@ object OpsQueries {
        "ln((CAST(cur_cnt + 1 AS DOUBLE) / (cn + 10)) / " +
        "(CAST(ref_cnt + 1 AS DOUBLE) / (rn + 10)))) * 1000000.0) AS BIGINT) " +
        "AS psi_micro FROM j ORDER BY bucket"),
+
+    "dq_drift_psi_cat" ->
+      ("WITH rc AS (SELECT source AS category, count(*) AS cnt FROM documents " +
+       "WHERE source IS NOT NULL GROUP BY 1), " +
+       "top AS (SELECT category FROM (SELECT category, row_number() OVER " +
+       "(ORDER BY cnt DESC, category ASC) AS rn FROM rc) WHERE rn <= 5), " +
+       "cur AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 'crawl_v2' ELSE source END " +
+       "AS source FROM documents), " +
+       "labr AS (SELECT CASE WHEN source IS NULL THEN '__null__' " +
+       "WHEN source IN (SELECT category FROM top) THEN source " +
+       "ELSE '__other__' END AS category FROM documents), " +
+       "labc AS (SELECT CASE WHEN source IS NULL THEN '__null__' " +
+       "WHEN source IN (SELECT category FROM top) THEN source " +
+       "ELSE '__other__' END AS category FROM cur), " +
+       "grid AS (SELECT category FROM top UNION ALL SELECT '__other__' " +
+       "UNION ALL SELECT '__null__'), " +
+       "r2 AS (SELECT category, count(*) AS ref_cnt FROM labr GROUP BY 1), " +
+       "c2 AS (SELECT category, count(*) AS cur_cnt FROM labc GROUP BY 1), " +
+       "tot AS (SELECT (SELECT count(*) FROM documents) AS rn, " +
+       "(SELECT count(*) FROM cur) AS cn, (SELECT count(*) FROM grid) AS nl), " +
+       "j AS (SELECT g.category, coalesce(r2.ref_cnt, 0) AS ref_cnt, " +
+       "coalesce(c2.cur_cnt, 0) AS cur_cnt, tot.rn, tot.cn, tot.nl " +
+       "FROM grid g LEFT JOIN r2 USING (category) LEFT JOIN c2 USING (category), tot) " +
+       "SELECT category, CAST(ref_cnt AS BIGINT) AS ref_cnt, " +
+       "CAST(cur_cnt AS BIGINT) AS cur_cnt, " +
+       "CAST(round((((CAST(cur_cnt + 1 AS DOUBLE) / (cn + nl)) - " +
+       "(CAST(ref_cnt + 1 AS DOUBLE) / (rn + nl))) * " +
+       "ln((CAST(cur_cnt + 1 AS DOUBLE) / (cn + nl)) / " +
+       "(CAST(ref_cnt + 1 AS DOUBLE) / (rn + nl)))) * 1000000.0) AS BIGINT) " +
+       "AS psi_micro FROM j ORDER BY category"),
 
     "dq_outliers_mad" ->
       ("WITH m AS (SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) " +

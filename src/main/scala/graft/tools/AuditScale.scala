@@ -72,7 +72,7 @@ object AuditScale {
     "events_attribution_incremental", "events_anomaly_daily",
     "agg_kll_mergeable", "agg_freq_mergeable", "corpus_weighted_sample",
     "corpus_weighted_sample_by", "text_pmi_bigrams", "search_eval_ndcg",
-    "dq_skew_report", "dq_outliers_mad", "dq_drift_psi")
+    "dq_skew_report", "dq_outliers_mad", "dq_drift_psi", "dq_drift_psi_cat")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -152,8 +152,9 @@ object AuditScale {
       // the k survivors (the LM-scorer shape)
       "dq_skew_report",
       // PSI's 1-row edge array crossJoins onto both row scans and the two
-      // 1-row totals onto the O(buckets) grid (the LM-scorer shape)
-      "dq_drift_psi")
+      // 1-row totals onto the O(buckets) grid (the LM-scorer shape); the
+      // categorical twin crossJoins its three 1-row totals the same way
+      "dq_drift_psi", "dq_drift_psi_cat")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -387,6 +387,28 @@ class OpsSpec extends AnyFunSuite {
     assert(total > 1000000L, s"a full shift must land far past the act band: $total")
   }
 
+  test("driftPsiCategorical: sentinel routing, unseen categories, exact-zero identity") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ref = (Seq.fill(6)(Option("a")) ++ Seq.fill(3)(Option("b")) ++
+      Seq(Option("c"), Option.empty[String])).toDF("cat")
+    // identity: every category (incl. the tail fold and __null__) scores 0
+    val same = Checks.driftPsiCategorical(ref, ref, "cat", maxCategories = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(same.keySet == Set("a", "b", "__other__", "__null__"), s"$same")
+    assert(same("__other__") == ((1L, 1L, 0L)), s"c folds into the tail: $same")
+    assert(same("__null__") == ((1L, 1L, 0L)), s"$same")
+    assert(same.values.forall(_._3 == 0L), s"$same")
+    // an unseen category routes to __other__, never invents a new row
+    val cur = (Seq.fill(6)(Option("a")) ++ Seq.fill(5)(Option("NEW"))).toDF("cat")
+    val drift = Checks.driftPsiCategorical(ref, cur, "cat", maxCategories = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(drift.keySet == Set("a", "b", "__other__", "__null__"), s"$drift")
+    assert(drift("__other__") == ((1L, 5L)), s"NEW lands in __other__: $drift")
+    assert(drift("b") == ((3L, 0L)) && drift("__null__") == ((1L, 0L)), s"$drift")
+  }
+
   test("suggest: profiling rules emit exactly the supported constraints") {
     val spark2 = spark
     import spark2.implicits._
