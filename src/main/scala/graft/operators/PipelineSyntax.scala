@@ -802,6 +802,18 @@ object PipelineSyntax {
         pk = Some(Seq("bucket")),
         pkVerified = true)
 
+    /** Embedding centroid drift vs a reference frame: one row per label
+      * (full-outer over both sides' label sets). */
+    def centroidDriftAgainst(reference: MetaFrame, labelCol: String,
+        vecCol: String, dim: Int): MetaFrame =
+      derived(mf,
+        graft.operators.Similarity.centroidDrift(reference.df, mf.df,
+          labelCol, vecCol, dim),
+        "centroid_drift",
+        Map("label" -> labelCol, "vec" -> vecCol, "dim" -> dim),
+        pk = Some(Seq("label")),
+        pkVerified = true)
+
     /** Categorical PSI drift vs a reference frame: one row per domain
       * label. */
     def driftPsiCategoricalAgainst(reference: MetaFrame, catCol: String,

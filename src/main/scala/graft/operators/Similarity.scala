@@ -13,6 +13,63 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Embedding centroid drift — the VECTOR member of the drift-monitor
+    * family (numeric PSI, categorical PSI, this): per label, the cosine
+    * between the reference and current MEAN embeddings, as
+    * `drift_micro = 1e6 − cos_micro` (0 = unchanged direction, 2e6 =
+    * fully reversed). Catches a re-embedded or corrupted shard before it
+    * poisons ANN indexes and semantic dedup.
+    *
+    * DETERMINISM: components quantize row-locally to micro longs, per
+    * label reduce through the exact [[graft.expressions.OpqSupport
+    * .longVectorSum]] (order-independent long sums), the mean re-quantizes
+    * once (`round(Σ/n)` — micro-scale longs, so dots and norms stay
+    * ≤ ~6e13, exactly representable), and the cosine is long dot / long
+    * norms through ONE fixed parenthesization. A label present on only
+    * one side reports NULL cosine (no direction to compare) — never a
+    * silent 0.
+    *
+    * Scale shape: one label-key reduce per side with map-side O(dim)
+    * partials (each partition forwards one 64-long buffer per label — the
+    * corpus never shuffles), then a full-outer join over O(labels) rows.
+    *
+    * Returns (label, n_ref, n_cur, cos_micro, drift_micro), ordered by
+    * caller. */
+  def centroidDrift(
+      reference: DataFrame,
+      current: DataFrame,
+      labelCol: String,
+      vecCol: String,
+      dim: Int): DataFrame = {
+    import graft.expressions.OpqSupport
+    require(dim >= 1, "dim must be at least 1")
+    def centroids(df: DataFrame, sumAs: String, nAs: String) = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        transform(col(vecCol),
+          v => round(v.cast("double") * lit(1e6)).cast("long")).as("__q"))
+      .groupBy("label")
+      .agg(OpqSupport.longVectorSum(col("__q"), dim).as("__s"),
+        count(lit(1)).as(nAs))
+      .select(col("label"),
+        transform(col("__s"),
+          s => round(s.cast("double") / col(nAs)).cast("long")).as(sumAs),
+        col(nAs))
+    val r = centroids(reference, "ref_c", "n_ref")
+    val c = centroids(current, "cur_c", "n_cur")
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val joined = r.join(c, Seq("label"), "full_outer")
+    val cos = dot(col("ref_c"), col("cur_c")).cast("double") /
+      (sqrt(dot(col("ref_c"), col("ref_c")).cast("double")) *
+        sqrt(dot(col("cur_c"), col("cur_c")).cast("double")))
+    joined.select(col("label"),
+      coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+      coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+      round(cos * lit(1e6)).cast("long").as("cos_micro"),
+      (lit(1000000L) - round(cos * lit(1e6)).cast("long")).as("drift_micro"))
+  }
+
   /** Exact brute-force cosine top-k.
     *
     * The query set is broadcast (it must be small — this is the

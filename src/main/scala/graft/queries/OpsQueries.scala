@@ -154,6 +154,19 @@ object OpsQueries {
         .orderBy("bucket")
     }),
 
+    // embedding centroid drift: even labels' vectors planted NEGATED in
+    // the current frame — cos exactly −1 (drift 2e6) there, exactly +1
+    // (drift 0) on the untouched odd labels
+    "dq_drift_embedding" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val cur = emb.select(col("label"),
+        when(col("label") % 2 === 0,
+          transform(col("embedding"), v => -v))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.centroidDrift(emb, cur, "label", "embedding", dim = 64)
+        .orderBy("label")
+    }),
+
     // categorical PSI: 20% of docs re-sourced to an UNSEEN 'crawl_v2'
     // (the new-crawl-source alarm) — drift lands in __other__, every
     // surviving category thins proportionally
@@ -831,6 +844,39 @@ object OpsQueries {
        "ln((CAST(cur_cnt + 1 AS DOUBLE) / (cn + 10)) / " +
        "(CAST(ref_cnt + 1 AS DOUBLE) / (rn + 10)))) * 1000000.0) AS BIGINT) " +
        "AS psi_micro FROM j ORDER BY bucket"),
+
+    "dq_drift_embedding" ->
+      ("WITH q AS (SELECT label, list_transform(embedding, " +
+       "v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe " +
+       "FROM embeddings WHERE embedding IS NOT NULL), " +
+       "cq AS (SELECT label, list_transform(" +
+       "CASE WHEN label % 2 = 0 THEN list_transform(embedding, v -> -v) " +
+       "ELSE embedding END, " +
+       "v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe " +
+       "FROM embeddings WHERE embedding IS NOT NULL), " +
+       "rn AS (SELECT label, count(*) AS n FROM q GROUP BY label), " +
+       "re AS (SELECT label, i, sum(qe[CAST(i AS INT)]) AS s FROM q, " +
+       "unnest(range(1, 65)) t(i) GROUP BY label, i), " +
+       "rm AS (SELECT re.label, i, CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS m " +
+       "FROM re JOIN rn USING (label)), " +
+       "rcn AS (SELECT label, array_agg(m ORDER BY i) AS c FROM rm GROUP BY label), " +
+       "cn2 AS (SELECT label, count(*) AS n FROM cq GROUP BY label), " +
+       "ce AS (SELECT label, i, sum(qe[CAST(i AS INT)]) AS s FROM cq, " +
+       "unnest(range(1, 65)) t(i) GROUP BY label, i), " +
+       "cm AS (SELECT ce.label, i, CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS m " +
+       "FROM ce JOIN cn2 USING (label)), " +
+       "ccn AS (SELECT label, array_agg(m ORDER BY i) AS c FROM cm GROUP BY label), " +
+       "j AS (SELECT rcn.label, rn.n AS n_ref, cn2.n AS n_cur, " +
+       "list_sum(list_transform(list_zip(rcn.c, ccn.c), x -> x[1] * x[2])) AS d, " +
+       "list_sum(list_transform(rcn.c, v -> v * v)) AS nr, " +
+       "list_sum(list_transform(ccn.c, v -> v * v)) AS nc " +
+       "FROM rcn JOIN rn USING (label) JOIN ccn USING (label) JOIN cn2 USING (label)) " +
+       "SELECT label, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur, " +
+       "CAST(round((CAST(d AS DOUBLE) / (sqrt(CAST(nr AS DOUBLE)) * " +
+       "sqrt(CAST(nc AS DOUBLE)))) * 1000000.0) AS BIGINT) AS cos_micro, " +
+       "1000000 - CAST(round((CAST(d AS DOUBLE) / (sqrt(CAST(nr AS DOUBLE)) * " +
+       "sqrt(CAST(nc AS DOUBLE)))) * 1000000.0) AS BIGINT) AS drift_micro " +
+       "FROM j ORDER BY label"),
 
     "dq_drift_psi_cat" ->
       ("WITH rc AS (SELECT source AS category, count(*) AS cnt FROM documents " +

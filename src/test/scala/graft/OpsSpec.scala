@@ -731,6 +731,28 @@ class OpsSpec extends AnyFunSuite {
     assert(nan.getLong(2) == 0L && nan.getDouble(1).isNaN, s"$nan")
   }
 
+  test("centroidDrift: exact poles, orthogonal middle, one-sided labels are NULL") {
+    import graft.operators.Similarity
+    val spark2 = spark
+    import spark2.implicits._
+    val ref = Seq(
+      (1, Seq(1.0f, 0.0f)), (1, Seq(1.0f, 0.0f)),
+      (2, Seq(0.0f, 1.0f)),
+      (4, Seq(1.0f, 1.0f))).toDF("label", "embedding")
+    val cur = Seq(
+      (1, Seq(0.0f, 1.0f)),   // orthogonal: cos 0, drift 1e6
+      (2, Seq(0.0f, -1.0f)),  // reversed: cos -1, drift 2e6
+      (3, Seq(1.0f, 0.0f))).toDF("label", "embedding") // unseen label
+    val got = Similarity.centroidDrift(ref, cur, "label", "embedding", dim = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1) == ((2L, 1L, Some(0L), Some(1000000L))), s"$got")
+    assert(got(2) == ((1L, 1L, Some(-1000000L), Some(2000000L))), s"$got")
+    assert(got(3) == ((0L, 1L, None, None)), s"current-only label: $got")
+    assert(got(4) == ((1L, 0L, None, None)), s"reference-only label: $got")
+  }
+
   test("frequent-items store: guarantees survive purging, merge, and parquet") {
     import graft.operators.Sketches
     val spark2 = spark
