@@ -40,11 +40,52 @@ object Similarity {
       current: DataFrame,
       labelCol: String,
       vecCol: String,
+      dim: Int): DataFrame =
+    scoreCentroidDriftAgainst(current,
+      centroidBaseline(reference, labelCol, vecCol, dim), labelCol, vecCol, dim)
+
+  /** Frozen centroid baseline for the streaming monitor: one row per
+    * reference label — (label, ref_c micro-mean array, n_ref). Persist it
+    * and rebuild on the reference's own cadence. */
+  def centroidBaseline(
+      reference: DataFrame,
+      labelCol: String,
+      vecCol: String,
+      dim: Int): DataFrame =
+    microCentroids(reference, labelCol, vecCol, dim, "ref_c", "n_ref")
+
+  /** Score a current frame's per-label centroids against a frozen
+    * [[centroidBaseline]] — the per-micro-batch body of
+    * [[graft.streaming.Streams.centroidDriftStream]], exposed for batch
+    * backfills too (and what [[centroidDrift]] itself runs). */
+  def scoreCentroidDriftAgainst(
+      current: DataFrame,
+      baseline: DataFrame,
+      labelCol: String,
+      vecCol: String,
       dim: Int): DataFrame = {
+    val c = microCentroids(current, labelCol, vecCol, dim, "cur_c", "n_cur")
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val joined = baseline.join(c, Seq("label"), "full_outer")
+    val cos = dot(col("ref_c"), col("cur_c")).cast("double") /
+      (sqrt(dot(col("ref_c"), col("ref_c")).cast("double")) *
+        sqrt(dot(col("cur_c"), col("cur_c")).cast("double")))
+    joined.select(col("label"),
+      coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+      coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+      round(cos * lit(1e6)).cast("long").as("cos_micro"),
+      (lit(1000000L) - round(cos * lit(1e6)).cast("long")).as("drift_micro"))
+  }
+
+  /** Shared micro-mean centroid build (see [[centroidDrift]]'s
+    * determinism notes). */
+  private def microCentroids(
+      df: DataFrame, labelCol: String, vecCol: String, dim: Int,
+      sumAs: String, nAs: String): DataFrame = {
     import graft.expressions.OpqSupport
     require(dim >= 1, "dim must be at least 1")
-    def centroids(df: DataFrame, sumAs: String, nAs: String) = df
-      .filter(col(vecCol).isNotNull)
+    df.filter(col(vecCol).isNotNull)
       .select(col(labelCol).as("label"),
         transform(col(vecCol),
           v => round(v.cast("double") * lit(1e6)).cast("long")).as("__q"))
@@ -55,19 +96,6 @@ object Similarity {
         transform(col("__s"),
           s => round(s.cast("double") / col(nAs)).cast("long")).as(sumAs),
         col(nAs))
-    val r = centroids(reference, "ref_c", "n_ref")
-    val c = centroids(current, "cur_c", "n_cur")
-    def dot(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-    val joined = r.join(c, Seq("label"), "full_outer")
-    val cos = dot(col("ref_c"), col("cur_c")).cast("double") /
-      (sqrt(dot(col("ref_c"), col("ref_c")).cast("double")) *
-        sqrt(dot(col("cur_c"), col("cur_c")).cast("double")))
-    joined.select(col("label"),
-      coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-      coalesce(col("n_cur"), lit(0L)).as("n_cur"),
-      round(cos * lit(1e6)).cast("long").as("cos_micro"),
-      (lit(1000000L) - round(cos * lit(1e6)).cast("long")).as("drift_micro"))
   }
 
   /** Exact brute-force cosine top-k.

@@ -792,6 +792,29 @@ object Streams {
       }
       .start()
 
+  /** Streaming embedding-drift monitor — the stream twin of
+    * [[graft.operators.Similarity.centroidDrift]]: each micro-batch's
+    * per-label centroids score against a FROZEN
+    * [[graft.operators.Similarity.centroidBaseline]] through the
+    * literally shared scorer (bit-equal to the batch backfill, pinned in
+    * StreamingSpec). Batch-scope: one O(labels) verdict table per
+    * micro-batch, tagged batch_id, zero cross-batch state — a corrupted
+    * or re-embedded shard flags in the batch that carries it. */
+  def centroidDriftStream(
+      stream: DataFrame,
+      baseline: DataFrame,
+      labelCol: String,
+      vecCol: String,
+      dim: Int)(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Similarity
+          .scoreCentroidDriftAgainst(batch, baseline, labelCol, vecCol, dim)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Streaming PSI drift monitor — the stream twin of
     * [[graft.operators.Checks.driftPsi]]: each micro-batch's value
     * distribution scores against a FROZEN

@@ -1108,6 +1108,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(buf.filter(_._1 == 1L).map(_._2.head).toSet == Set(200L, 300L), s"$buf")
   }
 
+  test("centroid drift monitor flags the micro-batch carrying a reversed shard") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val ref = Seq((1, Seq(1.0f, 0.0f)), (1, Seq(1.0f, 0.0f)),
+      (2, Seq(0.0f, 1.0f))).toDF("label", "embedding")
+    val baseline = Similarity.centroidBaseline(ref, "label", "embedding", dim = 2)
+    val ms = MemoryStream[(Int, Seq[Float])](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Int, Option[Long])]()
+    val q = Streams.centroidDriftStream(ms.toDF().toDF("label", "embedding"),
+        baseline, "label", "embedding", dim = 2) { v =>
+      buf.synchronized {
+        buf ++= v.collect().map(r => (r.getAs[Long]("batch_id"), r.getInt(0),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))
+      }
+    }
+    try {
+      ms.addData((1, Seq(1.0f, 0.0f)))              // unchanged direction
+      q.processAllAvailable()
+      ms.addData((1, Seq(-1.0f, 0.0f)))             // reversed shard
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = buf.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(byBatch(0L)(1) == Some(0L), s"unchanged batch drifts 0: $buf")
+    assert(byBatch(0L)(2) == None, s"label absent from the batch: NULL: $buf")
+    assert(byBatch(1L)(1) == Some(2000000L), s"reversed shard flags at 2e6: $buf")
+  }
+
   test("psi monitor scores micro-batch drift against the frozen baseline") {
     import spark.implicits._
     import graft.operators.Checks
