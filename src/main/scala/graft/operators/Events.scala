@@ -153,6 +153,21 @@ object Events {
       coalesce(ts.reverse: _*).as("t_last_us"))
   }
 
+  /** Conversion-latency rollup over [[funnel]] output: per funnel depth
+    * ≥ 1, the user count and exact interpolated p50/p90 of
+    * (t_last − t_first) — "how long does a view→click→purchase journey
+    * take", the funnel's companion report. Percentiles round to 4dp (the
+    * cross-engine parity convention); depth-1 users have latency 0 by
+    * definition (one event is its own first and last). One reduce over
+    * the already-one-row-per-user funnel table; O(steps) output. */
+  def funnelLatency(funnelOut: DataFrame): DataFrame =
+    funnelOut.filter(col("steps_completed") >= 1)
+      .withColumn("__lat", col("t_last_us") - col("t_first_us"))
+      .groupBy("steps_completed")
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(__lat, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(__lat, 0.9)"), 4).as("p90_us"))
+
   /** Per-user session state after a [[sessionize]] run — the O(users)
     * store the incremental twin resumes from: (user_id, last_ts_us,
     * last_session_idx). `last_session_idx` is the OPEN session (session

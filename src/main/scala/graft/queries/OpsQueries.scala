@@ -70,6 +70,15 @@ object OpsQueries {
           "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // conversion latency per funnel depth over the same day-1 funnel
+    "events_funnel_latency" -> ((s, d) =>
+      Events.funnelLatency(
+          Events.funnel(
+            t(s, d, "events").df
+              .filter(col("ts").cast("timestamp").cast("long") < FunnelCutoffEpochS),
+            "user_id", "ts", "event_type", Seq("view", "click", "purchase")))
+        .orderBy("steps_completed")),
+
     "events_retention" -> ((s, d) =>
       Events.retentionCohorts(t(s, d, "events").df, "user_id", "ts")
         .orderBy("cohort_week", "week_offset")),
@@ -637,6 +646,29 @@ object OpsQueries {
        "CAST(coalesce(t2, t1, t0) AS BIGINT) AS t_last_us " +
        "FROM (SELECT DISTINCT user_id FROM ev) u LEFT JOIN t0 USING (user_id) " +
        "LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id) ORDER BY user_id"),
+
+    // latency rollup over the SAME per-user funnel chain
+    "events_funnel_latency" ->
+      ("WITH ev AS (SELECT * FROM events WHERE epoch(ts) < 1704153600), " +
+       "t0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM ev " +
+       "WHERE event_type = 'view' GROUP BY user_id), " +
+       "t1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1 FROM ev e " +
+       "JOIN t0 USING (user_id) WHERE e.event_type = 'click' " +
+       "AND epoch_us(e.ts) > t0.t0 GROUP BY e.user_id), " +
+       "t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM ev e " +
+       "JOIN t1 USING (user_id) WHERE e.event_type = 'purchase' " +
+       "AND epoch_us(e.ts) > t1.t1 GROUP BY e.user_id), " +
+       "fu AS (SELECT u.user_id, CASE WHEN t2 IS NOT NULL THEN 3 " +
+       "WHEN t1 IS NOT NULL THEN 2 WHEN t0 IS NOT NULL THEN 1 ELSE 0 END " +
+       "AS steps_completed, coalesce(t2, t1, t0) - t0 AS lat " +
+       "FROM (SELECT DISTINCT user_id FROM ev) u LEFT JOIN t0 USING (user_id) " +
+       "LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)) " +
+       "SELECT CAST(steps_completed AS BIGINT) AS steps_completed, " +
+       "CAST(count(*) AS BIGINT) AS n_users, " +
+       "round(quantile_cont(lat, 0.5), 4) AS p50_us, " +
+       "round(quantile_cont(lat, 0.9), 4) AS p90_us " +
+       "FROM fu WHERE steps_completed >= 1 GROUP BY steps_completed " +
+       "ORDER BY steps_completed"),
 
     "events_retention" ->
       ("WITH act AS (SELECT DISTINCT user_id AS u, " +
