@@ -578,7 +578,16 @@ object Dedup {
   /** Embedding-cosine near-dup: random-hyperplane LSH bucketing (row-local
     * signature, one shuffle) restricts pairwise cosine to within-bucket
     * candidates. Returns pairs above `threshold`. Recall/cost dial: fewer
-    * bits → bigger buckets → higher recall, more pairwise work. */
+    * bits → bigger buckets → higher recall, more pairwise work.
+    *
+    * SIZE `nbits` WITH THE CORPUS ([[recommendedNbits]]): within-bucket
+    * work is Σ occupancy², so a FIXED nbits degrades quadratically as the
+    * corpus grows (measured: the sf1 audit ratio drifted 11.4× → 16.0× on
+    * byte-unchanged code as the 2-bit test buckets filled). Raising nbits
+    * keeps expected occupancy — and so per-bucket pair cost — constant,
+    * trading single-table recall (measured dial 0.35/0.22/0.12 at nbits
+    * 2/3/4 on the sf0.01 fixture); recover pair recall with multiple
+    * tables or the banding families if the threshold demands it. */
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,
@@ -597,6 +606,21 @@ object Dedup {
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Occupancy-aware `nbits` for [[embeddingNearDup]]: the smallest bit
+    * count keeping EXPECTED bucket occupancy at or below
+    * `targetBucketSize` under the uniform-bucket approximation —
+    * `ceil(log2(n / target))`, floored at 2 (below that the "index" is
+    * one bucket). Within-bucket pair work is then bounded per bucket as
+    * the corpus scales; the price is single-table recall (see the
+    * operator's dial numbers). Pure integer math on the driver —
+    * call it with a known corpus size or a cheap `count()`. */
+  def recommendedNbits(corpusSize: Long, targetBucketSize: Long = 1024L): Int = {
+    require(corpusSize >= 0, "corpusSize must be non-negative")
+    require(targetBucketSize >= 1, "targetBucketSize must be at least 1")
+    val buckets = math.max(1.0, corpusSize.toDouble / targetBucketSize)
+    math.max(2, math.ceil(math.log(buckets) / math.log(2.0)).toInt)
   }
 
   /** Winnowing-based near-dup candidate pairs: documents sharing at least

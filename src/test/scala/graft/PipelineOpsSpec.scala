@@ -1077,6 +1077,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(floored == Seq(("x", "y")), s"$floored")
   }
 
+  test("recommendedNbits keeps expected occupancy bounded as the corpus grows") {
+    import graft.operators.Dedup
+    // at or below one target bucket: the 2-bit floor
+    assert(Dedup.recommendedNbits(0L) == 2)
+    assert(Dedup.recommendedNbits(1024L, 1024L) == 2)
+    // exact powers: n/target buckets need log2 bits
+    assert(Dedup.recommendedNbits(1L << 20, 1024L) == 10)
+    assert(Dedup.recommendedNbits((1L << 20) + 1, 1024L) == 11, "ceil, not floor")
+    // monotone in corpus size, antitone in target occupancy
+    assert(Dedup.recommendedNbits(1L << 30, 1024L) == 20)
+    assert(Dedup.recommendedNbits(1L << 30, 1L << 20) == 10)
+    // the measured-drift scenario: 2k vectors at the test default vs the
+    // 10x amplified corpus — the recommendation grows with the data
+    assert(Dedup.recommendedNbits(20000L, 1024L) >
+      Dedup.recommendedNbits(2000L, 1024L))
+  }
+
   test("weightedSample matches an independent A-ES recomputation; bad weights never select") {
     import spark.implicits._
     val rows = (1L to 40L).map(i => (i, (i % 7 + 1).toDouble)) ++
