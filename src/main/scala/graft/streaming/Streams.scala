@@ -35,6 +35,62 @@ object Streams {
       first_event: Long,
       last_event: Long)
 
+  /** Per-user funnel progression state: the times of each completed step
+    * (a prefix — O(steps) no matter how many events flow in). */
+  case class FunnelState(times: Seq[Long])
+
+  /** One user's current funnel snapshot, upsert-ready. */
+  case class FunnelProgress(
+      user_id: Long,
+      steps_completed: Long,
+      t_first_us: Option[Long],
+      t_last_us: Option[Long])
+
+  /** Stateful streaming funnel — the `mapGroupsWithState` twin of
+    * [[graft.operators.Events.funnel]]: each micro-batch folds a user's
+    * new events (sorted in-batch by (ts, id)) into the greedy
+    * earliest-completion prefix — an event advances the funnel only when
+    * it is the NEXT step and strictly after the previous step's time —
+    * and emits the user's updated snapshot in update mode. Per-user state
+    * is O(steps) times, never an event buffer.
+    *
+    * EQUIVALENCE CONTRACT (pinned in StreamingSpec): as long as each
+    * user's events arrive in non-decreasing time order ACROSS batches
+    * (the append-only assumption of the incremental family; in-batch
+    * order is sorted here), the final snapshot per user is identical to
+    * the batch [[graft.operators.Events.funnel]] over all events — the
+    * greedy fold processes qualifying events in the same order either
+    * way. */
+  def funnelStream(
+      events: Dataset[Event],
+      steps: Seq[String]): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.length == steps.length, "steps must be distinct")
+    import events.sparkSession.implicits._
+    def us(e: Event): Long = {
+      val i = e.ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(e => (us(e), e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+            for (e <- sorted) {
+              val depth = times.length
+              if (depth < steps.length && e.event_type == steps(depth) &&
+                  (times.isEmpty || us(e) > times.last)) times = times :+ us(e)
+            }
+            state.update(FunnelState(times))
+            Iterator.single(FunnelProgress(userId, times.length.toLong,
+              times.headOption, times.lastOption))
+          }
+      }
+  }
+
   /** File-based streaming source over the same parquet layout the batch
     * loaders use (schema must be supplied — streaming reads can't infer). */
   def readParquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =

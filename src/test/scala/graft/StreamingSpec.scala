@@ -1108,6 +1108,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(buf.filter(_._1 == 1L).map(_._2.head).toSet == Set(200L, 300L), s"$buf")
   }
 
+  test("streaming funnel snapshot ≡ batch funnel over append-only arrivals") {
+    import spark.implicits._
+    import graft.operators.Events
+    val ms = MemoryStream[Streams.Event](spark)
+    val out = Streams.funnelStream(ms.toDS(), Seq("view", "click", "purchase"))
+    val q = Streams.runToMemory(out.toDF(), "funnel_out", OutputMode.Update())
+    val b1 = Seq(
+      Streams.Event(1L, ts(1), 1L, "view", 1.0),
+      Streams.Event(2L, ts(2), 1L, "purchase", 1.0),  // out of order: no click yet
+      Streams.Event(3L, ts(1), 2L, "click", 1.0),     // click before any view
+      Streams.Event(4L, ts(3), 3L, "view", 1.0))
+    val b2 = Seq(
+      Streams.Event(5L, ts(4), 1L, "click", 1.0),
+      Streams.Event(6L, ts(5), 1L, "purchase", 1.0),  // completes across batches
+      Streams.Event(7L, ts(6), 3L, "view", 1.0))      // repeat step: no advance
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // latest snapshot per user: the memory sink appends every update, and
+    // steps_completed is monotone per user (equal-depth snapshots are
+    // identical rows), so max-depth IS the final state
+    val snap = spark.table("funnel_out")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2).toMap
+    val events = (b1 ++ b2).toDS().toDF()
+    val batch = Events.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(snap == batch, s"stream=$snap\nbatch=$batch")
+    assert(snap(1L)._1 == 3L && snap(2L)._1 == 0L && snap(3L)._1 == 1L, s"$snap")
+  }
+
   test("centroid drift monitor flags the micro-batch carrying a reversed shard") {
     import spark.implicits._
     import graft.operators.Similarity
