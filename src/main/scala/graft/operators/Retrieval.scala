@@ -211,8 +211,11 @@ object Retrieval {
     * per-query reduces. Nothing corpus-sized enters.
     *
     * Returns one row per query in `ranked`: (query_id, n_retrieved,
-    * n_relevant, hits, recall_micro, dcg_micro, idcg_micro, ndcg_micro);
-    * recall/ndcg are NULL for queries with no judged-relevant docs. */
+    * n_relevant, hits, recall_micro, rr_micro, dcg_micro, idcg_micro,
+    * ndcg_micro) — `rr_micro` is the reciprocal rank of the first
+    * relevant hit (`round(1e6 / rank)`, the MRR summand); recall/ndcg
+    * are NULL for queries with no judged-relevant docs and rr for
+    * queries with no relevant hit retrieved. */
   def evalRanking(
       ranked: DataFrame,
       qrels: DataFrame,
@@ -233,6 +236,7 @@ object Retrieval {
     val perQuery = r.groupBy("query_id").agg(
       count(lit(1)).as("n_retrieved"),
       sum(when(col("__rel") > 0, 1L).otherwise(0L)).as("hits"),
+      min(when(col("__rel") > 0, col("__rank"))).as("__fr"),
       sum(gain(col("__rel"), col("__rank"))).as("dcg_micro"))
     val wIdeal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col(relCol).desc, col(idCol).asc)
@@ -249,6 +253,8 @@ object Retrieval {
         when(col("n_relevant") > 0,
           round((col("hits").cast("double") * lit(1e6)) / col("n_relevant"))
             .cast("long")).as("recall_micro"),
+        when(col("__fr").isNotNull,
+          round(lit(1e6) / col("__fr")).cast("long")).as("rr_micro"),
         col("dcg_micro"),
         coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
         when(col("idcg_micro") > 0,

@@ -1078,6 +1078,7 @@ object OpsQueries {
        "LEFT JOIN qr ON qr.query_id = rk.query_id AND qr.doc_id = rk.doc_id), " +
        "pq AS (SELECT query_id, count(*) AS n_retrieved, " +
        "sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits, " +
+       "min(CASE WHEN rel > 0 THEN rank END) AS fr, " +
        "sum(CAST(round((rel * 1000000.0) / log2(rank + 1)) AS BIGINT)) AS dcg_micro " +
        "FROM j GROUP BY query_id), " +
        "ir AS (SELECT query_id, rel, doc_id, row_number() OVER " +
@@ -1088,7 +1089,9 @@ object OpsQueries {
        "SELECT pq.query_id, CAST(n_retrieved AS BIGINT) AS n_retrieved, " +
        "CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant, CAST(hits AS BIGINT) AS hits, " +
        "CASE WHEN n_relevant > 0 THEN CAST(round((hits * 1000000.0) / n_relevant) AS BIGINT) END " +
-       "AS recall_micro, CAST(dcg_micro AS BIGINT) AS dcg_micro, " +
+       "AS recall_micro, " +
+       "CASE WHEN fr IS NOT NULL THEN CAST(round(1000000.0 / fr) AS BIGINT) END " +
+       "AS rr_micro, CAST(dcg_micro AS BIGINT) AS dcg_micro, " +
        "CAST(coalesce(idcg_micro, 0) AS BIGINT) AS idcg_micro, " +
        "CASE WHEN idcg_micro > 0 THEN CAST(round((dcg_micro * 1000000.0) / idcg_micro) AS BIGINT) END " +
        "AS ndcg_micro FROM pq LEFT JOIN idl USING (query_id) ORDER BY query_id"),

@@ -637,16 +637,19 @@ class OpsSpec extends AnyFunSuite {
       .toDF("query_id", "doc_id", "rel")
     val got = Retrieval.evalRanking(ranked, qrels, k = 3)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5), r.getLong(6),
-        Option(r.get(7)).map(_.asInstanceOf[Long])))).toMap
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]), r.getLong(6), r.getLong(7),
+        Option(r.get(8)).map(_.asInstanceOf[Long])))).toMap
     def g(rel: Long, rank: Long): Long =
       math.round(rel * 1e6 / (math.log(rank + 1.0) / math.log(2.0)))
     val dcg = g(2, 1) + g(0, 2) + g(1, 3)
     val idcg = g(2, 1) + g(1, 2) + g(1, 3) // ideal: a(2), then c/d by doc asc
     val ndcg = math.round(dcg * 1e6 / idcg)
-    assert(got(1L) == ((3L, 3L, 2L, Some(666667L), dcg, idcg, Some(ndcg))), s"$got")
-    // a query with no judgments: counts but no recall/ndcg claims
-    assert(got(2L) == ((1L, 0L, 0L, None, 0L, 0L, None)), s"$got")
+    // first relevant hit at rank 1 → reciprocal rank exactly 1e6
+    assert(got(1L) == ((3L, 3L, 2L, Some(666667L), Some(1000000L), dcg, idcg,
+      Some(ndcg))), s"$got")
+    // a query with no judgments: counts but no recall/rr/ndcg claims
+    assert(got(2L) == ((1L, 0L, 0L, None, None, 0L, 0L, None)), s"$got")
   }
 
   test("rrfFuse: micro contributions, n_lists, tie-break, id-type preservation") {
