@@ -275,6 +275,48 @@ object Events {
       .select(col("rank"), col("path"), col("n_users"))
   }
 
+  /** Session-scoped [[topPaths]]: paths restart at every strict-gap
+    * session boundary ([[sessionize]] semantics), so the report reads
+    * "how do VISITS start", not "how did a user's lifetime start" — the
+    * per-visit complement over the same machinery. The sessionizing
+    * window and the per-(user, session) depth window share ONE user-key
+    * exchange (the (user, session) partition is subset-satisfied by the
+    * user clustering); everything else is [[topPaths]]'s bounded shape.
+    *
+    * Returns (rank, path, n_sessions), rank 1..k by (n_sessions desc,
+    * path asc). */
+  def topPathsBySession(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      gapSeconds: Long,
+      depth: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(depth >= 1, "depth must be at least 1")
+    require(k >= 1, "k must be at least 1")
+    val sess = sessionized(events, userCol, tsCol, idCol, gapSeconds)
+    val order = Window.partitionBy(col(userCol), col("session_idx"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val counts = sess
+      .withColumn("__rn", row_number().over(order))
+      .filter(col("__rn") <= depth)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("__rn").as("rn"), col(typeCol).as("t")))),
+          x => x("t"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+    val top = counts.orderBy(col("n_sessions").desc, col("path").asc).limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_sessions").desc, col("path").asc))
+          .cast("long"))
+      .select(col("rank"), col("path"), col("n_sessions"))
+  }
+
   /** Markov next-event transition matrix: per user (ordered by `tsCol`,
     * `idCol`), count each adjacent (event_type → next event_type) pair,
     * with the per-source transition probability in exact micro units

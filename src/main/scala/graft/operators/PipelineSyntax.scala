@@ -783,6 +783,20 @@ object PipelineSyntax {
         pk = Some(Seq("rank")),
         pkVerified = true)
 
+    /** Session-scoped top paths: rank is unique by the re-rank window. */
+    def topPathsBySessionOf(userCol: String, tsCol: String, idCol: String,
+        typeCol: String, gapSeconds: Long, depth: Int = 3,
+        k: Int = 20): MetaFrame =
+      derived(mf,
+        Events.topPathsBySession(mf.df, userCol, tsCol, idCol, typeCol,
+          gapSeconds, depth, k),
+        "session_paths",
+        Map("user" -> userCol, "ts" -> tsCol, "id" -> idCol,
+            "type" -> typeCol, "gapSeconds" -> gapSeconds,
+            "depth" -> depth, "k" -> k),
+        pk = Some(Seq("rank")),
+        pkVerified = true)
+
     /** Markov transition matrix: one row per (src, dst) — groupBy contract. */
     def transitionsOf(userCol: String, tsCol: String, idCol: String,
         typeCol: String): MetaFrame =

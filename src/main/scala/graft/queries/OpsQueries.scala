@@ -89,6 +89,11 @@ object OpsQueries {
       Events.topPaths(t(s, d, "events").df, "user_id", "ts", "event_id",
         "event_type", depth = 4, k = 20)),
 
+    // per-VISIT paths: first 3 event types of each 4h-gap session
+    "events_session_paths" -> ((s, d) =>
+      Events.topPathsBySession(t(s, d, "events").df, "user_id", "ts",
+        "event_id", "event_type", gapSeconds = GapSeconds, depth = 3, k = 15)),
+
     // Markov transition matrix with per-source micro probabilities
     "events_transitions" -> ((s, d) =>
       Events.transitions(t(s, d, "events").df, "user_id", "ts", "event_id",
@@ -692,6 +697,25 @@ object OpsQueries {
        "(ORDER BY n_users DESC, path ASC) AS rank FROM c) " +
        "SELECT CAST(rank AS BIGINT) AS rank, path, CAST(n_users AS BIGINT) AS n_users " +
        "FROM rk WHERE rank <= 20 ORDER BY rank"),
+
+    "events_session_paths" ->
+      ("WITH s AS (SELECT event_id, user_id, event_type, " +
+       "CAST(epoch_us(ts) AS BIGINT) AS ts_us, " +
+       "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us FROM events), " +
+       "x AS (SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 14400000000 " +
+       "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM s), " +
+       "r AS (SELECT user_id, session_idx, event_type, row_number() OVER " +
+       "(PARTITION BY user_id, session_idx ORDER BY ts_us, event_id) AS rn FROM x), " +
+       "p AS (SELECT user_id, session_idx, string_agg(event_type, '>' ORDER BY rn) " +
+       "AS path FROM r WHERE rn <= 3 GROUP BY user_id, session_idx), " +
+       "c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY path), " +
+       "rk AS (SELECT path, n_sessions, row_number() OVER " +
+       "(ORDER BY n_sessions DESC, path ASC) AS rank FROM c) " +
+       "SELECT CAST(rank AS BIGINT) AS rank, path, " +
+       "CAST(n_sessions AS BIGINT) AS n_sessions FROM rk WHERE rank <= 15 " +
+       "ORDER BY rank"),
 
     "events_transitions" ->
       ("WITH nx AS (SELECT event_type AS src_type, lead(event_type) OVER " +

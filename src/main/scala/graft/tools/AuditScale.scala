@@ -73,7 +73,7 @@ object AuditScale {
     "agg_kll_mergeable", "agg_freq_mergeable", "corpus_weighted_sample",
     "corpus_weighted_sample_by", "text_pmi_bigrams", "search_eval_ndcg",
     "dq_skew_report", "dq_outliers_mad", "dq_drift_psi", "dq_drift_psi_cat",
-    "dq_drift_embedding")
+    "dq_drift_embedding", "events_session_paths", "events_funnel_latency")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

@@ -145,6 +145,29 @@ class OpsSpec extends AnyFunSuite {
     assert(top1 == Seq("view>click"), s"$top1")
   }
 
+  test("topPathsBySession: paths restart at session boundaries, one exchange") {
+    val df = ev(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 00:05:00", "click"),
+      (3L, 1L, "2024-01-01 10:00:00", "view"),      // > 1h gap: new session
+      (4L, 1L, "2024-01-01 10:01:00", "purchase"),
+      (5L, 2L, "2024-01-01 00:00:00", "view"),
+      (6L, 2L, "2024-01-01 00:02:00", "click"))
+    val res = Events.topPathsBySession(df, "user_id", "ts", "event_id",
+      "event_type", gapSeconds = 3600, depth = 3, k = 10)
+    val got = res.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "view>click", 2L), (2L, "view>purchase", 1L)), s"$got")
+    // the session window and the per-(user, session) depth window share
+    // ONE user-key exchange (subset-satisfied clustering); the only other
+    // hash exchange is the bounded path-key reduce. (Count DISTINCT keys:
+    // the AQE plan string renders reused stages more than once.)
+    val keys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(res.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSet
+    assert(keys == Set("user_id", "path"),
+      s"$keys\n${res.queryExecution.executedPlan}")
+  }
+
   test("transitions: adjacent pairs per user, micro probabilities sum per source") {
     val df = ev(
       (1L, 1L, "2024-01-01 00:00:00", "view"),
