@@ -104,4 +104,29 @@ object Graph {
     graftbridge.freeCheckpoint(nodes)
     ranks
   }
+
+  /** Cluster-size audit over a connected-components labeling (any
+    * (node, component) frame, e.g. [[Dedup.connectedComponents]]'s
+    * output) — the OVER-MERGE detector for the dedup families: a banding
+    * threshold set too loose shows up as one giant component absorbing
+    * the corpus, and this histogram is where that becomes a number
+    * (`nodes_share_micro` of the top size class). Two key-bounded reduces
+    * (component sizes, then size classes — ≤ distinct sizes rows) plus a
+    * broadcast 1-row total; the share quantizes once
+    * (`round((size · count · 1e6) / total_nodes)`).
+    *
+    * Returns (component_size, n_components, n_nodes, nodes_share_micro),
+    * one row per observed size class. */
+  def componentSizes(
+      cc: DataFrame,
+      componentCol: String = "component"): DataFrame = {
+    val hist = cc.groupBy(col(componentCol)).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .withColumn("n_nodes", col("component_size") * col("n_components"))
+    hist.crossJoin(broadcast(cc.agg(count(lit(1)).as("__n"))))
+      .select(col("component_size"), col("n_components"), col("n_nodes"),
+        round((col("n_nodes") * lit(1e6)) / col("__n")).cast("long")
+          .as("nodes_share_micro"))
+  }
 }

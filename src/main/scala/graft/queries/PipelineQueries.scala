@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft._
 import graft.functions.TextFunctions
-import graft.operators.{Assembly, Corpus, Dedup, Similarity}
+import graft.operators.{Assembly, Corpus, Dedup, Graph, Similarity}
 import graft.sources.Tables
 
 /** Declared queries for the beyond-reference pipeline operators
@@ -1343,6 +1343,15 @@ object PipelineQueries {
     "dedup_cc_exact" -> ((s, d) =>
       Dedup.connectedComponents(
         cosinePairs(s, d).select("id_a", "id_b"), "id_a", "id_b").orderBy("id")),
+
+    // cluster-size audit over the same bounded component labeling: the
+    // over-merge detector — a too-loose banding threshold reads as one
+    // giant size class carrying most of nodes_share_micro
+    "dedup_cc_sizes" -> ((s, d) =>
+      Graph.componentSizes(
+          Dedup.connectedComponents(
+            cosinePairs(s, d).select("id_a", "id_b"), "id_a", "id_b"))
+        .orderBy("component_size")),
 
     // SemDeDup end to end (train the coarse quantizer → cluster → within-
     // cell exact-cosine pairs → connected components → farthest-from-
@@ -3692,6 +3701,25 @@ object PipelineQueries {
        "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src) " +
        "SELECT src AS id, least(src, min(dst)) AS component FROM reach " +
        "GROUP BY src ORDER BY id"),
+
+    // the same recursive component labeling, rolled up to size classes
+    "dedup_cc_sizes" ->
+      ("WITH RECURSIVE " + CosinePairsSql + ", " +
+       "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs WHERE cos >= 0.3 " +
+       "UNION SELECT id_b AS src, id_a AS dst FROM pairs WHERE cos >= 0.3), " +
+       "reach(src, dst) AS (SELECT src, dst FROM edges " +
+       "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src), " +
+       "comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach " +
+       "GROUP BY src), " +
+       "szs AS (SELECT component, count(*) AS sz FROM comp GROUP BY component), " +
+       "h AS (SELECT sz AS component_size, count(*) AS n_components FROM szs " +
+       "GROUP BY sz), " +
+       "nn AS (SELECT count(*) AS n FROM comp) " +
+       "SELECT CAST(component_size AS BIGINT) AS component_size, " +
+       "CAST(n_components AS BIGINT) AS n_components, " +
+       "CAST(component_size * n_components AS BIGINT) AS n_nodes, " +
+       "CAST(round(((component_size * n_components) * 1000000.0) / n) AS BIGINT) " +
+       "AS nodes_share_micro FROM h, nn ORDER BY component_size"),
 
     "dedup_embedding_cosine_exact" ->
       ("WITH " + CosinePairsSql +

@@ -73,11 +73,12 @@ object AuditScale {
     "agg_kll_mergeable", "agg_freq_mergeable", "corpus_weighted_sample",
     "corpus_weighted_sample_by", "text_pmi_bigrams", "search_eval_ndcg",
     "dq_skew_report", "dq_outliers_mad", "dq_drift_psi", "dq_drift_psi_cat",
-    "dq_drift_embedding", "events_session_paths", "events_funnel_latency")
+    "dq_drift_embedding", "events_session_paths", "events_funnel_latency",
+    "dedup_cc_sizes")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
-  val FixedInput: Set[String] = Set("dedup_cc_exact")
+  val FixedInput: Set[String] = Set("dedup_cc_exact", "dedup_cc_sizes")
 
   /** LM-gated composites measured against the VOCAB-REUSE amplified dir:
     * under the default token bijection the replicas' vocabularies are
@@ -107,6 +108,9 @@ object AuditScale {
     Set("sim_topk_ivf", "sim_topk_brute", "sim_topk_int8", "sim_topk_ivfpq",
       "sim_topk_ivfpq_residual",
       "dedup_cc_exact", "dedup_incremental",
+      // the size audit shares dedup_cc_exact's bounded all-pairs input and
+      // adds its own broadcast 1-row node total
+      "dedup_cc_sizes",
       // 1-row broadcast sides by construction: corpus totals (T, V) / doc
       // count N ride a single-row aggregate crossJoin in the LM and TF-IDF
       // scorers (and the gate, which embeds the LM scorer), and

@@ -145,6 +145,19 @@ class OpsSpec extends AnyFunSuite {
     assert(top1 == Seq("view>click"), s"$top1")
   }
 
+  test("componentSizes: size classes, exact node shares") {
+    import graft.operators.Graph
+    val spark2 = spark
+    import spark2.implicits._
+    // components: {1,2,3} size 3; {10} and {20} singletons
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (20L, 20L))
+      .toDF("id", "component")
+    val got = Graph.componentSizes(cc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 2L, 2L, 400000L), (3L, 1L, 3L, 600000L)), s"$got")
+  }
+
   test("topPathsBySession: paths restart at session boundaries, one exchange") {
     val df = ev(
       (1L, 1L, "2024-01-01 00:00:00", "view"),
