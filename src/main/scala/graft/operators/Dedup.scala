@@ -547,6 +547,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — the quote-inclusion detector
+    * Jaccard structurally misses: a short document fully embedded in a
+    * long one has containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)| ≈ 1
+    * while its Jaccard ≈ |A|/|B| can sit far below any dedup threshold
+    * (Broder 1997's "containment", the resemblance's asymmetric sibling).
+    * Emits BOTH directions per candidate pair — containment is not
+    * symmetric and which side is the quote matters downstream.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — the same capped
+    * inverted shingle index (Σfreq² over shingle keys, never corpus²; the
+    * `maxShingleDf` boilerplate cut), the same distinct-shingle size
+    * table joined back onto AGGREGATED pair rows — plus one row-local
+    * union that mirrors each undirected candidate into its two directed
+    * verdicts.
+    *
+    * Returns (id_a, id_b, containment) with containment of id_a's
+    * shingles inside id_b, rounded to 6dp; only pairs at or above
+    * `minContainment`. */
+  def ngramContainment(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minContainment: Double,
+      shingleWidth: Int = 3,
+      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      "minContainment must be in (0, 1]")
+    val toks = df.select(
+      col(idCol).as("id"),
+      array_distinct(graft.expressions.MinHashSignature.shingleHashes(
+        transform(tokens(col(textCol)), t => xxhash64(t)), shingleWidth)).as("sh"))
+      .repartition(col("id"))
+    val sizes = toks.select(col("id"), size(col("sh")).as("nsh"))
+    val inv = capDf(toks.select(col("id"), explode(col("sh")).as("s")), Seq("s"), maxShingleDf)
+    val undirected = inv.select(col("id").as("id_a"), col("s"))
+      .join(inv.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    val directed = undirected
+      .union(undirected.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("inter")))
+    directed
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("nsh_a")), Seq("id_a"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("nsh_a").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+  }
+
   /** Naive all-pairs reference for [[ngramJaccardBestMatch]] (kept for
     * equivalence testing; O(block²) array intersections — do not use at
     * corpus scale). */

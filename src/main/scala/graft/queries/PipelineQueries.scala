@@ -1340,6 +1340,21 @@ object PipelineQueries {
     // exact connected components (min-label propagation to fixpoint) over
     // the oracle-reproducible cosine candidate pairs; DuckDB re-derives the
     // components with a recursive reachability CTE
+    // asymmetric containment: every ÷50≡7 doc contributes a 30-token
+    // truncated QUOTE under a shifted id (the canary-plant pattern) —
+    // containment(quote in source) reads 1.0 while their Jaccard sits far
+    // below any dedup bar, the case this operator exists for
+    "dedup_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val quotes = docs.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(split(col("text"), "\\s+"), 1, 30), " ").as("text"))
+      Dedup.ngramContainment(
+          docs.select("doc_id", "text").unionByName(quotes),
+          "doc_id", "text", minContainment = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_cc_exact" -> ((s, d) =>
       Dedup.connectedComponents(
         cosinePairs(s, d).select("id_a", "id_b"), "id_a", "id_b").orderBy("id")),
@@ -3692,6 +3707,24 @@ object PipelineQueries {
        "(SELECT query_id, neighbor_id, cos, " +
        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM cand) " +
        "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    // exact all-pairs containment over the planted corpus: string trigram
+    // shingles stand in for the engine's hash shingles (distinct-set
+    // cardinalities agree), |A ∩ B| normalized by |A| alone
+    "dedup_containment" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents UNION ALL " +
+       "SELECT doc_id + 1000000, " +
+       "array_to_string((regexp_split_to_array(text, '\\s+'))[1:30], ' ') " +
+       "FROM documents WHERE doc_id % 50 = 7), " +
+       "toks AS (SELECT doc_id, list_distinct(" +
+       "CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
+       "ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)] END) AS sh " +
+       "FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM base)), " +
+       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS c " +
+       "FROM toks a JOIN toks b ON a.doc_id <> b.doc_id) " +
+       "SELECT id_a, id_b, round(c, 6) AS containment FROM pairs " +
+       "WHERE c >= 0.9 ORDER BY id_a, id_b"),
 
     "dedup_cc_exact" ->
       ("WITH RECURSIVE " + CosinePairsSql + ", " +
