@@ -145,7 +145,10 @@ object Checks {
     * already exposes.
     *
     * Returns every input row + (med, mad, is_outlier), is_outlier never
-    * NULL (NULL values are not outliers). */
+    * NULL (NULL values are not outliers). Row preservation includes
+    * NULL-group rows: the med/MAD joins are NULL-SAFE (`<=>`), so a
+    * nullable group column forms its own group instead of silently
+    * dropping its rows from the output. */
   def outliersMad(
       df: DataFrame,
       groupCol: String,
@@ -153,14 +156,15 @@ object Checks {
       k: Double = 3.0): DataFrame = {
     require(k > 0, "k must be positive")
     val v = col(valueCol).cast("double")
-    val med = df.groupBy(col(groupCol))
+    val med = df.groupBy(col(groupCol).as("__g1"))
       .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"))
-    val deviations = df.join(broadcast(med), Seq(groupCol))
+    val deviations = df
+      .join(broadcast(med), col(groupCol) <=> col("__g1")).drop("__g1")
     val mad = deviations
       .withColumn("__dev", abs(v - col("med")))
-      .groupBy(col(groupCol))
+      .groupBy(col(groupCol).as("__g2"))
       .agg(round(expr("percentile(__dev, 0.5)"), 4).as("mad"))
-    deviations.join(broadcast(mad), Seq(groupCol))
+    deviations.join(broadcast(mad), col(groupCol) <=> col("__g2")).drop("__g2")
       .withColumn("is_outlier",
         coalesce(col("mad") > 0.0 && abs(v - col("med")) > lit(k) * col("mad"),
           lit(false)))

@@ -107,11 +107,15 @@ object Events {
     * matters. Events with types outside `steps` are ignored.
     *
     * Implementation: ONE aggregate pass collects, per user and per step,
-    * the sorted array of that step's event times (each capped at
-    * `maxStepEventsPerUser` entries after the sort — the skew guard for a
-    * bot user emitting millions of identical events; one-sided: capping
-    * can only under-report progression for users beyond the cap, never
-    * invent it). The strict-increase fold then runs as a row-local
+    * the sorted array of that step's EARLIEST `maxStepEventsPerUser`
+    * event times through the bounded [[graft.expressions.TopKAgg]]
+    * (score = −t ranks earliest-first; micros fit a double exactly below
+    * 2⁵³, ~year 2255) — so the skew guard for a bot user emitting
+    * millions of identical events bounds the AGGREGATION BUFFER itself
+    * (O(steps · cap) state per user, map-side partials forward at most
+    * ~2·cap entries per step), not just the output array; one-sided:
+    * capping can only under-report progression for users beyond the cap,
+    * never invent it. The strict-increase fold then runs as a row-local
     * expression chain over those arrays — t₁ = first time of step 1,
     * tᵢ = first step-i time strictly after tᵢ₋₁ — the greedy
     * earliest-completion semantics (ClickHouse `windowFunnel` with
@@ -132,9 +136,18 @@ object Events {
     require(steps.distinct.length == steps.length, "steps must be distinct")
     require(maxStepEventsPerUser >= 1, "maxStepEventsPerUser must be at least 1")
     val us = micros(events, tsCol)
+    // bounded per-(user, step) earliest-times collect: TopKAgg over
+    // (score = −t, id = t) orders (−t desc, t asc) = t ascending, keeps at
+    // most `cap` entries in the buffer — a collect_list would materialize
+    // every matching event BEFORE any cap could apply. `.id` strips the
+    // ranking struct back to the sorted long array the fold reads.
     val lists = steps.zipWithIndex.map { case (step, i) =>
-      slice(array_sort(collect_list(when(col(typeCol) === lit(step), us))),
-        1, maxStepEventsPerUser).as(s"__ts$i")
+      transform(
+        graft.expressions.TopKAgg.topKByScore(
+          when(col(typeCol) === lit(step),
+            struct((-us).cast("double").as("score"), us.as("id"))),
+          maxStepEventsPerUser),
+        x => x.getField("id")).as(s"__ts$i")
     }
     val agged = events.groupBy(col(userCol).as("user_id")).agg(lists.head, lists.tail: _*)
     // fold: t0 = first element of __ts0; tᵢ = first element of __tsᵢ > tᵢ₋₁

@@ -146,10 +146,24 @@ object Retrieval {
   /** Shared scoring tail over an enriched postings frame carrying
     * (query_id, doc_id, tf, dl, idf_micro, avgdl) — the SAME fixed
     * parenthesization (mirrored verbatim in the oracle SQL) for the
-    * inline and indexed paths, which is what makes them bit-equal. */
+    * inline and indexed paths, which is what makes them bit-equal.
+    *
+    * ID CONTRACT (the [[Similarity.knnGraph]] rule): an INTEGRAL doc id
+    * rides the O(k)-state [[graft.expressions.TopKAgg]] through its
+    * lossless long slot and is cast back to its original type on output;
+    * any other id type (string, decimal, fractional) ranks through the
+    * equivalent per-query window formulation — same
+    * (score desc, doc_id asc) total order — because squeezing those
+    * through a long cast would NULL (non-ANSI) or collide the ids. */
   private def scoreAndRank(enriched: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     import graft.expressions.TopKAgg.topKByScore
-    enriched
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = enriched.schema("doc_id").dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val scores = enriched
       .select(col("query_id"), col("doc_id"),
         round(col("idf_micro").cast("double") *
           ((col("tf") * lit(k1 + 1.0)) /
@@ -157,14 +171,24 @@ object Retrieval {
           .cast("long").as("term_score_micro"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("term_score_micro")).as("score_micro"))
-      .select(col("query_id"),
-        struct(col("score_micro").cast("double").as("score"),
-          col("doc_id").cast("long").as("id")).as("__c"))
-      .groupBy("query_id")
-      .agg(topKByScore(col("__c"), k).as("__topk"))
-      .select(col("query_id"), posexplode(col("__topk")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("doc_id"), col("col.score").cast("long").as("score_micro"))
+    if (integralId)
+      scores
+        .select(col("query_id"),
+          struct(col("score_micro").cast("double").as("score"),
+            col("doc_id").cast("long").as("id")).as("__c"))
+        .groupBy("query_id")
+        .agg(topKByScore(col("__c"), k).as("__topk"))
+        .select(col("query_id"), posexplode(col("__topk")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").cast(idType).as("doc_id"), col("col.score").cast("long").as("score_micro"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score_micro").desc, col("doc_id").asc)
+      scores.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .select(col("query_id"), col("__rk").cast("long").as("rank"),
+          col("doc_id"), col("score_micro"))
+    }
   }
 
   /** The persisted-index kind tag ([[graft.sources.MetaPersist]]). */

@@ -75,7 +75,12 @@ object Sketches {
   }
 
   /** Union a KLL sketch table back to per-group quantile estimates at
-    * `ranks` — one column per rank, named `q<rank·100>`. Estimates are
+    * `ranks` — one column per rank, named `q<rank·100>` with any
+    * fractional percent spelled with `_` as the decimal point (0.5 → q50,
+    * 0.975 → q97_5, 0.005 → q0_5) so NEARBY ranks never collide into
+    * duplicate column names (a rounded `q<round(rank·100)>` would map
+    * 0.975 and 0.98 both to q98 and return an ambiguous-column frame with
+    * no error). Duplicate ranks are rejected up front. Estimates are
     * always actual data values (KLL stores a sample of the input); a
     * group whose every sketch was empty reads NaN, failing loudly
     * downstream. */
@@ -85,22 +90,45 @@ object Sketches {
       k: Int = 200): DataFrame = {
     require(ranks.nonEmpty, "need at least one rank")
     require(ranks.forall(r => r >= 0.0 && r <= 1.0), "ranks must be in [0, 1]")
+    require(ranks.distinct.length == ranks.length,
+      s"ranks must be distinct, got $ranks")
+    val names = ranks.map(quantileColName)
+    require(names.distinct.length == names.length,
+      s"rank column names collide: $names — ranks closer than 1e-6 are not distinguishable")
     val merged = sketches.groupBy(col("group"))
       .agg(
         graft.expressions.KllSketchAgg
           .kllUnionQuantiles(col("sketch"), ranks, k).as("__q"),
         sum(col("n_rows")).as("n_rows"))
-    val qCols = ranks.zipWithIndex.map { case (r, i) =>
-      element_at(col("__q"), i + 1).as(s"q${math.round(r * 100)}")
+    val qCols = names.zipWithIndex.map { case (n, i) =>
+      element_at(col("__q"), i + 1).as(n)
     }
     merged.select(col("group") +: qCols :+ col("n_rows"): _*)
   }
 
+  /** Collision-free quantile column name: percent with `_` as the decimal
+    * point and trailing zeros stripped — q50, q97_5, q0_5; backward
+    * compatible with the integer-percent names for whole percents. */
+  private[graft] def quantileColName(rank: Double): String = {
+    val micropct = math.round(rank * 1e8)   // percent at 1e-6 precision
+    val whole = micropct / 1000000L
+    val frac = micropct % 1000000L
+    if (frac == 0L) s"q$whole"
+    else s"q${whole}_${f"$frac%06d".reverse.dropWhile(_ == '0').reverse}"
+  }
+
   /** Per-group frequent-items (heavy-hitters) sketch + row count — the
     * THIRD member of the sketch store (HLL = distinct counts, KLL =
-    * quantiles, this = top items): "which suppliers / domains / tokens
+    * quantiles, this = top items): "which supplier keys / user ids
     * dominate each partition, across any date range, without rescanning
     * history". O(maxMapSize) bytes per group, lossless-in-guarantee merge.
+    *
+    * ITEM DOMAIN: this pair sketches INTEGRAL items (the DataSketches
+    * LongsSketch) and rejects any other item type up front — a string
+    * column would long-cast to NULL row by row (non-ANSI) and fill the
+    * store with silently-empty sketches. String domains/tokens go through
+    * the typed twin [[freqStrByGroup]]/[[freqStrUnionItems]]; the two
+    * stores' binaries are NOT interchangeable.
     *
     * Contract (pinned in OpsSpec and the declared property query): purge
     * and merge order make ESTIMATES run-dependent, but every item's true
@@ -113,6 +141,7 @@ object Sketches {
       maxMapSize: Int = 256): DataFrame = {
     require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
       "maxMapSize must be a power of 2, at least 8 (DataSketches bound)")
+    requireIntegralItems(df, itemCol)
     df.groupBy(col(groupCol).as("group"))
       .agg(
         graft.expressions.FreqSketchAgg
@@ -125,12 +154,52 @@ object Sketches {
   def freqUnionItems(
       sketches: DataFrame,
       maxMapSize: Int = 256): DataFrame =
-    sketches.groupBy(col("group"))
+    unionItemsTail(sketches,
+      graft.expressions.FreqSketchAgg.freqUnionItems(col("sketch"), maxMapSize))
+
+  /** STRING-domain twin of [[freqByGroup]] — heavy hitters over a string
+    * item column (domains, tokens, source names) via the DataSketches
+    * `ItemsSketch[String]`, same guarantees, same store discipline. */
+  def freqStrByGroup(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      maxMapSize: Int = 256): DataFrame = {
+    require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+      "maxMapSize must be a power of 2, at least 8 (DataSketches bound)")
+    require(df.schema(itemCol).dataType == org.apache.spark.sql.types.StringType,
+      s"freqStrByGroup sketches STRING items; '$itemCol' is " +
+        s"${df.schema(itemCol).dataType.simpleString} — use freqByGroup for integral items")
+    df.groupBy(col(groupCol).as("group"))
       .agg(
-        graft.expressions.FreqSketchAgg
-          .freqUnionItems(col("sketch"), maxMapSize).as("__items"),
-        sum(col("n_rows")).as("n_rows"))
+        graft.expressions.FreqStrSketchAgg
+          .freqStrSketch(col(itemCol), maxMapSize).as("sketch"),
+        count(col(itemCol)).as("n_rows"))
+  }
+
+  /** Union a STRING frequent-items sketch table ([[freqStrByGroup]]
+    * output) back to one row per (group, tracked item). */
+  def freqStrUnionItems(
+      sketches: DataFrame,
+      maxMapSize: Int = 256): DataFrame =
+    unionItemsTail(sketches,
+      graft.expressions.FreqStrSketchAgg.freqStrUnionItems(col("sketch"), maxMapSize))
+
+  private def unionItemsTail(
+      sketches: DataFrame,
+      unionAgg: org.apache.spark.sql.Column): DataFrame =
+    sketches.groupBy(col("group"))
+      .agg(unionAgg.as("__items"), sum(col("n_rows")).as("n_rows"))
       .select(col("group"), explode(col("__items")).as("__i"), col("n_rows"))
       .select(col("group"), col("__i.item").as("item"), col("__i.est").as("est"),
         col("__i.lb").as("lb"), col("__i.ub").as("ub"), col("n_rows"))
+
+  private def requireIntegralItems(df: DataFrame, itemCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val t = df.schema(itemCol).dataType
+    require(t == ByteType || t == ShortType || t == IntegerType || t == LongType,
+      s"freqByGroup sketches INTEGRAL items (long sketch); '$itemCol' is " +
+        s"${t.simpleString} — a non-integral cast to long would NULL every item " +
+        "and produce empty sketches. Use freqStrByGroup for string domains.")
+  }
 }

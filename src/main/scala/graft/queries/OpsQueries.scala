@@ -378,6 +378,42 @@ object OpsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // STRING-domain frequent-items store property query (the freqStrByGroup
+    // twin): per language, a 3-item hot set (~1/6 of rows each — above the
+    // ~3.5·n/maxMapSize no-false-negatives error bound at ANY scale) rides
+    // over a ~n/2-unique string tail; maxMapSize 32 << tail cardinality
+    // forces real purging through the ItemsSketch[String] serde round-trip
+    "agg_freq_mergeable_str" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val item = when(col("doc_id") % 2 === 0,
+          concat(lit("hot-"), (col("doc_id") % 3).cast("string")))
+        .otherwise(concat(lit("tail-"), col("doc_id").cast("string")))
+      val items = docs.select(col("lang").as("group"), item.as("item"),
+        col("doc_id"))
+      val store = (0 until 2)
+        .map(i => Sketches.freqStrByGroup(items.filter(col("doc_id") % 4 < 2 * (i + 1)
+            && col("doc_id") % 4 >= 2 * i),
+          "group", "item", maxMapSize = 32))
+        .reduce(_ unionByName _)
+      val sk = Sketches.freqStrUnionItems(store, maxMapSize = 32)
+        .select(col("group"), col("item"), col("est"), col("lb"), col("ub"))
+      val exact = items.groupBy("group", "item").agg(count(lit(1)).as("cnt"))
+        .withColumn("n", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("group"))))
+      val heavy = exact.filter(col("cnt") * 50 >= col("n"))
+      heavy.join(sk, Seq("group", "item"), "left")
+        .groupBy("group")
+        .agg(max(col("n")).as("n_rows"), count(lit(1)).as("n_heavy"),
+          (sum(when(col("est").isNull, 1L).otherwise(0L)) === 0L)
+            .as("all_heavy_found"),
+          (sum(when(col("est").isNotNull &&
+              (col("cnt") < col("lb") || col("cnt") > col("ub")), 1L)
+            .otherwise(0L)) === 0L).as("bounds_ok"))
+        .select(col("group").as("lang"), col("n_rows"),
+          col("n_heavy"), col("all_heavy_found"), col("bounds_ok"))
+        .orderBy("lang")
+    }),
+
     // integer PageRank over the customer↔supplier interaction graph
     // (both directions of every orders⋈lineitem pair, suppliers offset
     // into their own id space) — 3 iterations, exactly the unrolled-CTE
@@ -786,6 +822,19 @@ object OpsQueries {
        "CAST(coalesce(h.n_heavy, 0) AS BIGINT) AS n_heavy, " +
        "TRUE AS all_heavy_found, TRUE AS bounds_ok " +
        "FROM tt LEFT JOIN h USING (grp) ORDER BY l_returnflag"),
+
+    "agg_freq_mergeable_str" ->
+      ("WITH it AS (SELECT lang AS grp, " +
+       "CASE WHEN doc_id % 2 = 0 THEN 'hot-' || CAST(doc_id % 3 AS VARCHAR) " +
+       "ELSE 'tail-' || CAST(doc_id AS VARCHAR) END AS item FROM documents), " +
+       "e AS (SELECT grp, item, count(*) AS cnt FROM it GROUP BY grp, item), " +
+       "tt AS (SELECT grp, sum(cnt) AS n FROM e GROUP BY grp), " +
+       "h AS (SELECT e.grp, count(*) AS n_heavy FROM e JOIN tt USING (grp) " +
+       "WHERE e.cnt * 50 >= tt.n GROUP BY e.grp) " +
+       "SELECT tt.grp AS lang, CAST(tt.n AS BIGINT) AS n_rows, " +
+       "CAST(coalesce(h.n_heavy, 0) AS BIGINT) AS n_heavy, " +
+       "TRUE AS all_heavy_found, TRUE AS bounds_ok " +
+       "FROM tt LEFT JOIN h USING (grp) ORDER BY lang"),
 
     "agg_kll_mergeable" ->
       ("SELECT l_returnflag, count(*) AS n_rows, TRUE AS ok_q25, TRUE AS ok_q50, " +

@@ -539,4 +539,155 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(out.schema("neighbor_id").dataType == IntegerType)
     assert(out.count() == 2L)
   }
+
+  // ---- ADVICE r13 medium: bm25TopK over a string-id corpus NULLed every
+  // doc id through the non-ANSI long cast into TopKAgg's id slot and
+  // returned corrupt rankings
+
+  test("bm25 family ranks a string-id corpus instead of NULLing every doc id") {
+    import graft.operators.Retrieval
+    val spark2 = spark
+    import spark2.implicits._
+    val texts = Seq(
+      "spark shuffles data across executors",
+      "spark spark spark tuning guide",
+      "ducks like water",
+      "water water everywhere")
+    val strDocs = texts.zipWithIndex.map { case (t, i) => (s"doc-$i", t) }
+      .toDF("doc_id", "text")
+    val longDocs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val strQs = Seq(("q1", "spark water")).toDF("qid", "qtext")
+    val gotStr = Retrieval.bm25TopK(strDocs, "doc_id", "text", strQs, "qid", "qtext", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("score_micro")))
+    val gotLong = Retrieval.bm25TopK(longDocs, "doc_id", "text", strQs, "qid", "qtext", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (s"doc-${r.getAs[Long]("doc_id")}", r.getAs[Long]("score_micro")))
+    assert(gotStr.nonEmpty && gotStr.forall(_._1 != null), gotStr.mkString(","))
+    assert(gotStr.toSeq == gotLong.toSeq,
+      s"string-id ranking must equal the integral-id ranking: " +
+        s"${gotStr.mkString(",")} vs ${gotLong.mkString(",")}")
+    // the PRF-expansion round trips doc ids back through the postings join
+    val exp = Retrieval.bm25ExpandedTopK(strDocs, "doc_id", "text", strQs, "qid", "qtext",
+      k = 4, fbDocs = 2, fbTerms = 2)
+    assert(exp.collect().forall(_.getAs[String]("doc_id") != null))
+  }
+
+  test("bm25TopK preserves a non-long integral doc-id type") {
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.types.IntegerType
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1, "a b"), (2, "a c")).toDF("doc_id", "text")
+    val qs = Seq(("q1", "a")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 2)
+    assert(out.schema("doc_id").dataType == IntegerType)
+    assert(out.count() == 2L)
+  }
+
+  // ---- ADVICE r13 medium: freqByGroup long-cast a string item column to
+  // NULL row-by-row and filled the store with silently-empty sketches
+
+  test("freqByGroup rejects non-integral items; freqStrByGroup tracks string domains") {
+    import graft.operators.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (Seq.fill(60)("common.com") ++ Seq("rare-a.com", "rare-b.com"))
+      .zipWithIndex.map { case (d, i) => (i % 2, d) }.toDF("grp", "domain")
+    val err = intercept[IllegalArgumentException] {
+      Sketches.freqByGroup(df, "grp", "domain")
+    }
+    assert(err.getMessage.contains("freqStrByGroup"), err.getMessage)
+    // the string twin: sketch, round-trip the binary, union, read items
+    val sk = Sketches.freqStrByGroup(df, "grp", "domain", maxMapSize = 16)
+    val items = Sketches.freqStrUnionItems(sk, maxMapSize = 16)
+      .collect().map(r => (r.getAs[String]("item"),
+        r.getAs[Long]("lb"), r.getAs[Long]("ub")))
+    val common = items.filter(_._1 == "common.com")
+    assert(common.length == 2, s"dominant domain tracked in both groups: ${items.mkString(",")}")
+    assert(common.forall { case (_, lb, ub) => lb <= 30 && 30 <= ub },
+      s"true count 30 within [lb, ub]: ${common.mkString(",")}")
+    // and the integral path still rejects nothing it supports
+    val ints = Seq((0, 7), (0, 7), (0, 9)).toDF("grp", "item")
+    assert(Sketches.freqUnionItems(
+      Sketches.freqByGroup(ints, "grp", "item", maxMapSize = 16), 16).count() == 2L)
+  }
+
+  // ---- ADVICE r13 low: outliersMad's equi-joins dropped NULL-group rows,
+  // breaking the documented "returns every input row" contract
+
+  test("outliersMad preserves NULL-group rows and flags within the NULL group") {
+    import graft.operators.Checks
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(1.1)), (Some("a"), Some(0.9)),
+      (Some("a"), Some(1.0)), (Some("a"), Some(50.0)),
+      (None, Some(2.0)), (None, Some(2.1)), (None, Some(1.9)),
+      (None, Some(2.0)), (None, Some(99.0)),
+      (None, None))
+    val df = rows.toDF("grp", "v")
+    val got = Checks.outliersMad(df, "grp", "v", k = 3.0)
+    assert(got.count() == rows.length.toLong,
+      "every input row returned, NULL group included")
+    val nullGrp = got.filter(col("grp").isNull).collect()
+    assert(nullGrp.length == 6)
+    assert(nullGrp.filter(_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Double]("v")).toSeq == Seq(99.0),
+      "the NULL group's own Hampel flag fires on its outlier")
+    assert(got.filter(col("v").isNull).collect()
+      .forall(!_.getAs[Boolean]("is_outlier")), "NULL values are never outliers")
+  }
+
+  // ---- ADVICE r13 low: funnel's cap ran AFTER collect_list materialized
+  // every matching event — now the bounded TopKAgg caps inside the buffer
+
+  test("funnel cap bounds the aggregation itself and matches uncapped semantics under the cap") {
+    import graft.operators.Events
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq(
+      (1L, 1L, "2024-01-01 00:00:01", "view"),
+      (2L, 1L, "2024-01-01 00:00:02", "click"),
+      (3L, 2L, "2024-01-01 00:00:03", "view"))
+    // a bot user floods step 1 with 5k events after its real first view
+    val bot = (0 until 5000).map(i =>
+      (100L + i, 3L, f"2024-01-01 01:${i / 60 % 60}%02d:${i % 60}%02d", "view"))
+    val df = (base ++ bot).toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val capped = Events.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click"), maxStepEventsPerUser = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 2L, 2L -> 1L, 3L -> 1L), s"$capped")
+    // under the cap, capped output is bit-identical to the uncapped run
+    val small = base.toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val a = Events.funnel(small, "user_id", "ts", "event_type", Seq("view", "click"),
+      maxStepEventsPerUser = 1000).orderBy("user_id").collect().toSeq
+    val b = Events.funnel(small, "user_id", "ts", "event_type", Seq("view", "click"),
+      maxStepEventsPerUser = 2).orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- ADVICE r13 low: kllUnionQuantiles rounded names collided nearby
+  // ranks (0.975 and 0.98 both q98) into an ambiguous-column frame
+
+  test("kllUnionQuantiles names nearby ranks distinctly and rejects duplicates") {
+    import graft.operators.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val sk = Sketches.kllByGroup(df, "grp", "v")
+    val out = Sketches.kllUnionQuantiles(sk, Seq(0.005, 0.01, 0.5, 0.975, 0.98))
+    assert(out.columns.toSeq ==
+      Seq("group", "q0_5", "q1", "q50", "q97_5", "q98", "n_rows"), out.columns.mkString(","))
+    val r = out.collect().head
+    assert(r.getAs[Double]("q97_5") <= r.getAs[Double]("q98"),
+      "distinct columns carry their own rank estimates")
+    val err = intercept[IllegalArgumentException] {
+      Sketches.kllUnionQuantiles(sk, Seq(0.5, 0.5))
+    }
+    assert(err.getMessage.contains("distinct"))
+  }
 }
