@@ -1908,14 +1908,14 @@ object PipelineQueries {
       val emb = t(s, d, "embeddings").df
       val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
         dim = 64, m = 8, ksub = 8, iters = 2)
-      cb.createOrReplaceTempView("__pq_cb")
-      emb.createOrReplaceTempView("__pq_emb")
+      cb.createOrReplaceTempView("__pq_cb_enc")
+      emb.createOrReplaceTempView("__pq_emb_enc")
       s.sql(
         "WITH cbv AS (SELECT transform(array_sort(collect_list(struct(sub, code, cvec))), " +
-        "x -> x.cvec) AS vecs FROM __pq_cb) " +
+        "x -> x.cvec) AS vecs FROM __pq_cb_enc) " +
         "SELECT vec_id, pos AS sub, code FROM " +
         "(SELECT vec_id, pq_encode(embedding, cbv.vecs, 8) AS codes " +
-        "FROM __pq_emb CROSS JOIN cbv) " +
+        "FROM __pq_emb_enc CROSS JOIN cbv) " +
         "LATERAL VIEW posexplode(codes) t AS pos, code " +
         "ORDER BY vec_id, sub")
     }),
@@ -1929,13 +1929,13 @@ object PipelineQueries {
       val emb = t(s, d, "embeddings").df
       val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
         dim = 64, m = 8, ksub = 8, iters = 2)
-      cb.createOrReplaceTempView("__pq_cb")
-      emb.createOrReplaceTempView("__pq_emb")
+      cb.createOrReplaceTempView("__pq_cb_adc")
+      emb.createOrReplaceTempView("__pq_emb_adc")
       s.sql(
-        "WITH cbs AS (SELECT array_sort(collect_list(struct(sub, code, cvec))) AS cb FROM __pq_cb), " +
+        "WITH cbs AS (SELECT array_sort(collect_list(struct(sub, code, cvec))) AS cb FROM __pq_cb_adc), " +
         "enc AS (SELECT vec_id, pq_encode(embedding, transform(cbs.cb, x -> x.cvec), 8) AS codes " +
-        "FROM __pq_emb CROSS JOIN cbs), " +
-        "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM __pq_emb WHERE vec_id < 5), " +
+        "FROM __pq_emb_adc CROSS JOIN cbs), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM __pq_emb_adc WHERE vec_id < 5), " +
         "lt AS (SELECT query_id, transform(cbs.cb, x -> float_vector_dot(" +
         "slice(query_vec, x.sub * size(x.cvec) + 1, size(x.cvec)), x.cvec)) AS lut " +
         "FROM q CROSS JOIN cbs), " +
