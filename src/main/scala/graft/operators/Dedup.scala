@@ -630,33 +630,51 @@ object Dedup {
     * candidates. Returns pairs above `threshold`. Recall/cost dial: fewer
     * bits → bigger buckets → higher recall, more pairwise work.
     *
-    * SIZE `nbits` WITH THE CORPUS ([[recommendedNbits]]): within-bucket
-    * work is Σ occupancy², so a FIXED nbits degrades quadratically as the
-    * corpus grows (measured: the sf1 audit ratio drifted 11.4× → 16.0× on
-    * byte-unchanged code as the 2-bit test buckets filled). Raising nbits
-    * keeps expected occupancy — and so per-bucket pair cost — constant,
-    * trading single-table recall (measured dial 0.35/0.22/0.12 at nbits
-    * 2/3/4 on the sf0.01 fixture); recover pair recall with multiple
-    * tables or the banding families if the threshold demands it. */
+    * `nbits` IS SIZED WITH THE CORPUS BY DEFAULT ([[recommendedNbits]]
+    * over one cheap `count()` — the [[DefaultMaxFpDf]] "safe by default"
+    * rule): within-bucket work is Σ occupancy², so a FIXED nbits degrades
+    * quadratically as the corpus grows (measured: the sf1 audit ratio
+    * drifted 11.4× → 16.0× on byte-unchanged code as the 2-bit test
+    * buckets filled), and a user taking defaults on a growing corpus must
+    * not inherit that quadratic. Auto-sizing keeps expected occupancy —
+    * and so per-bucket pair cost — bounded at ~[[DefaultTargetBucketSize]]
+    * rows per bucket at ANY corpus size. The price is single-table recall
+    * (measured dial 0.35/0.22/0.12 at nbits 2/3/4 on the sf0.01 fixture);
+    * pass an explicit `nbits` to pin the dial, or recover pair recall
+    * with multiple tables / the banding families if the threshold demands
+    * it. The chosen bit count is emitted on every output row (`nbits`)
+    * so an audit can always see which dial setting produced the pairs. */
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
       threshold: Double = 0.95,
-      nbits: Int = 8): DataFrame = {
+      nbits: Int = AutoNbits): DataFrame = {
+    require(nbits == AutoNbits || nbits >= 1,
+      s"nbits must be >= 1 (or AutoNbits = $AutoNbits for occupancy-aware sizing)")
+    val bits =
+      if (nbits == AutoNbits) recommendedNbits(df.count()) else nbits
     val bucketed = df.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
-      lshBucket(col(vecCol), nbits, dim).as("bucket"))
+      lshBucket(col(vecCol), bits, dim).as("bucket"))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
+        lit(bits).as("nbits"))
   }
+
+  /** Sentinel default for [[embeddingNearDup]]'s `nbits`: auto-size via
+    * [[recommendedNbits]] over the corpus count. */
+  val AutoNbits: Int = -1
+
+  /** Expected-occupancy target the auto-sizing aims at. */
+  val DefaultTargetBucketSize: Long = 1024L
 
   /** Occupancy-aware `nbits` for [[embeddingNearDup]]: the smallest bit
     * count keeping EXPECTED bucket occupancy at or below
@@ -666,7 +684,9 @@ object Dedup {
     * the corpus scales; the price is single-table recall (see the
     * operator's dial numbers). Pure integer math on the driver —
     * call it with a known corpus size or a cheap `count()`. */
-  def recommendedNbits(corpusSize: Long, targetBucketSize: Long = 1024L): Int = {
+  def recommendedNbits(
+      corpusSize: Long,
+      targetBucketSize: Long = DefaultTargetBucketSize): Int = {
     require(corpusSize >= 0, "corpusSize must be non-negative")
     require(targetBucketSize >= 1, "targetBucketSize must be at least 1")
     val buckets = math.max(1.0, corpusSize.toDouble / targetBucketSize)

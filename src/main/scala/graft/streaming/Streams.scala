@@ -316,10 +316,14 @@ object Streams {
     * Recall model is the batch operator's, verbatim: a true near-dup is
     * missed iff the pair splits buckets (probability (1−θ/π)^nbits-ish per
     * hyperplane miss) — raise recall with fewer bits, or run the batch
-    * sweep periodically. Emitted pairs are pinned bit-equal to the batch
-    * operator's straddling pairs in StreamingSpec. At scale, persist the
-    * bucketed corpus projection so each micro-batch reuses it instead of
-    * re-bucketing the corpus. */
+    * sweep periodically. `nbits` defaults to the batch operator's
+    * occupancy-aware auto-sizing (`Dedup.recommendedNbits`) over the
+    * STATIC corpus count — the corpus is the side whose growth fills the
+    * buckets, and one `count()` of a batch frame at query build is legal
+    * where counting the stream would not be. Emitted pairs are pinned
+    * bit-equal to the batch operator's straddling pairs in StreamingSpec.
+    * At scale, persist the bucketed corpus projection so each micro-batch
+    * reuses it instead of re-bucketing the corpus. */
   def embeddingNearDupStream(
       stream: DataFrame,
       corpus: DataFrame,
@@ -327,12 +331,15 @@ object Streams {
       vecCol: String,
       dim: Int,
       threshold: Double = 0.95,
-      nbits: Int = 8): DataFrame = {
+      nbits: Int = graft.operators.Dedup.AutoNbits): DataFrame = {
     import graft.functions.VectorFunctions.{cosine, lshBucket}
+    import graft.operators.Dedup
+    val bits =
+      if (nbits == Dedup.AutoNbits) Dedup.recommendedNbits(corpus.count()) else nbits
     val s = stream.select(col(idCol).as("stream_id"), col(vecCol).as("__s_vec"),
-      lshBucket(col(vecCol), nbits, dim).as("__bucket"))
+      lshBucket(col(vecCol), bits, dim).as("__bucket"))
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__c_vec"),
-      lshBucket(col(vecCol), nbits, dim).as("__bucket"))
+      lshBucket(col(vecCol), bits, dim).as("__bucket"))
     s.join(c, Seq("__bucket"))
       .withColumn("cos", cosine(col("__s_vec"), col("__c_vec")))
       .filter(col("cos") >= threshold)

@@ -203,6 +203,13 @@ object AuditScale {
       "embedding_cosine_operator" -> ((s: SparkSession, d: String) =>
         Dedup.embeddingNearDup(Tables.load(s, d, "embeddings"), "vec_id", "embedding",
           dim = 64, threshold = 0.3, nbits = 2)),
+      // the same operator at the AUTO-SIZED default (recommendedNbits over
+      // the corpus count): occupancy — and so the within-bucket quadratic
+      // term — stays bounded as sf grows, where the fixed-nbits row above
+      // documents the drift the default used to inherit
+      "embedding_cosine_autosized_operator" -> ((s: SparkSession, d: String) =>
+        Dedup.embeddingNearDup(Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.3)),
       // isolates the batch-vs-STORE winnow join of the ingestion pipeline
       // (the stage the SCALE_r11 watch item names for the composite's
       // 11.1x): store = 90% of the corpus, batch = 10% — BOTH sides scale

@@ -1094,6 +1094,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       Dedup.recommendedNbits(2000L, 1024L))
   }
 
+  test("embeddingNearDup auto-sizes nbits by default and stamps the dial on every row") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val vecs = (0 until 40).map { i =>
+      val base = Array.fill(4)(0f); base(i % 4) = 1f
+      base((i + 1) % 4) = if (i % 2 == 0) 0.05f else 0.0f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    // defaulted call: 40 rows << target 1024 → the 2-bit floor, stamped
+    val auto = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", dim = 4,
+      threshold = 0.9)
+    val autoRows = auto.collect()
+    assert(autoRows.nonEmpty)
+    assert(autoRows.forall(_.getAs[Int]("nbits") == Dedup.recommendedNbits(40L)),
+      "emitted nbits records the auto-chosen dial")
+    // explicit nbits still pins the dial verbatim
+    val pinned = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", dim = 4,
+      threshold = 0.9, nbits = 5).collect()
+    assert(pinned.forall(_.getAs[Int]("nbits") == 5))
+  }
+
   test("weightedSample matches an independent A-ES recomputation; bad weights never select") {
     import spark.implicits._
     val rows = (1L to 40L).map(i => (i, (i % 7 + 1).toDouble)) ++
