@@ -316,6 +316,9 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def intersectAll(other: MetaFrame): MetaFrame = wrapKeep(df.intersectAll(other.df))
   def except(other: MetaFrame): MetaFrame = wrapKeep(df.except(other.df))
   def exceptAll(other: MetaFrame): MetaFrame = wrapKeep(df.exceptAll(other.df))
+  /** PySpark-name alias for [[except]] (`subtract` is delegated by the
+    * reference router like any other member, metaframe.py:77-89). */
+  def subtract(other: MetaFrame): MetaFrame = except(other)
 
   // ------------------------------- partitioning / sampling (SURVEY §2.2i)
 
@@ -431,6 +434,25 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   /** Metadata-preserving na facade (reference loses metadata via raw `.na`). */
   def na: MetaNaFunctions = new MetaNaFunctions(df.na, this)
 
+  // PySpark-name aliases (`fillna`/`dropna` are delegated by the reference
+  // router, metaframe.py:77-89, so its users call them directly on the
+  // frame; here they ride the metadata-keeping na facade — same
+  // improvement-over-reference contract as the facade itself, same
+  // pk-verified-flag rules: fill mutates values → flag dropped, drop only
+  // removes rows → flag kept)
+  def fillna(value: Long): MetaFrame = na.fill(value)
+  def fillna(value: Double): MetaFrame = na.fill(value)
+  def fillna(value: String): MetaFrame = na.fill(value)
+  def fillna(value: Boolean): MetaFrame = na.fill(value)
+  def fillna(value: Long, subset: Seq[String]): MetaFrame = na.fill(value, subset)
+  def fillna(value: Double, subset: Seq[String]): MetaFrame = na.fill(value, subset)
+  def fillna(value: String, subset: Seq[String]): MetaFrame = na.fill(value, subset)
+  def fillna(valueMap: Map[String, Any]): MetaFrame = na.fill(valueMap)
+  def dropna(): MetaFrame = na.drop()
+  def dropna(how: String): MetaFrame = na.drop(how)
+  def dropna(subset: Seq[String]): MetaFrame = na.drop(subset)
+  def dropna(minNonNulls: Int): MetaFrame = na.drop(minNonNulls)
+
   /** Metadata-preserving stat facade (reference loses metadata via raw `.stat`). */
   def stat: MetaStatFunctions = new MetaStatFunctions(df.stat, this)
 
@@ -469,12 +491,24 @@ final case class MetaFrame(df: DataFrame, metadata: Map[String, Any]) {
   def show(n: Int, truncate: Int): Unit = df.show(n, truncate)
   def show(n: Int, truncate: Int, vertical: Boolean): Unit = df.show(n, truncate, vertical)
   def printSchema(): Unit = df.printSchema()
+  def printSchema(level: Int): Unit = df.printSchema(level)
+  /** Raw RDD escape hatch — delegated raw by the reference (metadata LOST
+    * by construction, the `df` contract); the typed forwarders
+    * ([[mapTyped]]/[[filterTyped]]/…) are the metadata-keeping path. */
+  def rdd: org.apache.spark.rdd.RDD[Row] = df.rdd
   def explain(): Unit = df.explain()
   def explain(mode: String): Unit = df.explain(mode)
   def toJSON: Dataset[String] = df.toJSON
   def toLocalIterator(): java.util.Iterator[Row] = df.toLocalIterator()
   def foreach(f: Row => Unit): Unit = df.foreach(f)
   def foreachPartition(f: Iterator[Row] => Unit): Unit = df.foreachPartition(f)
+  /** METADATA BOUNDARY (deliberate, pinned in MetadataLawsSpec): a view
+    * registers only the underlying plan — reading it back via
+    * `spark.sql(...)` returns a bare DataFrame, so the metadata map (and
+    * pk) do NOT round-trip through the catalog. The reference has the
+    * identical hole (its router delegates the registration and `sql`
+    * returns a raw frame). Re-wrap with `MetaFrame(spark.sql(...), m)` or
+    * persist provenance with `MetaPersist` when it must survive. */
   def createOrReplaceTempView(name: String): Unit = df.createOrReplaceTempView(name)
   def createTempView(name: String): Unit = df.createTempView(name)
   def createGlobalTempView(name: String): Unit = df.createGlobalTempView(name)
@@ -609,6 +643,9 @@ final class MetaStatFunctions(val stat: DataFrameStatFunctions, parent: MetaFram
     parent.copy(df = d, metadata = parent.metadata - MetaFrame.PkVerifiedField)
   def approxQuantile(col: String, probabilities: Array[Double], relativeError: Double): Array[Double] =
     stat.approxQuantile(col, probabilities, relativeError)
+  def approxQuantile(cols: Array[String], probabilities: Array[Double],
+      relativeError: Double): Array[Array[Double]] =
+    stat.approxQuantile(cols, probabilities, relativeError)
   def cov(col1: String, col2: String): Double = stat.cov(col1, col2)
   def corr(col1: String, col2: String): Double = stat.corr(col1, col2)
   def corr(col1: String, col2: String, method: String): Double = stat.corr(col1, col2, method)

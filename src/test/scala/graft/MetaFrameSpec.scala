@@ -302,4 +302,38 @@ class MetaFrameSpec extends AnyFunSuite {
     val lifted = fixture.meta(Map("k" -> "v"))
     assert(lifted.metadata == Map("k" -> "v"))
   }
+
+  test("PySpark-name delegation trim: fillna/dropna/subtract/rdd/printSchema(level)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq(("p1", Some(1L)), ("p2", None), ("p3", Some(3L)))
+      .toDF("product_id", "quantity")
+    val mf = MetaFrame(base, Map("source" -> "t"))
+    // fillna rides the metadata-keeping na facade (reference: raw result)
+    val filled = mf.fillna(0L)
+    assert(filled.metadata == Map("source" -> "t"))
+    assert(filled.df.filter(col("quantity") === 0L).count() == 1L)
+    assert(mf.fillna(9L, Seq("quantity")).df
+      .filter(col("quantity") === 9L).count() == 1L)
+    // dropna only removes rows → metadata AND pk-verified flag kept
+    val unique = mf.groupBy("product_id")
+      .agg(org.apache.spark.sql.functions.max(col("quantity")).as("q"))
+    val dropped = unique.dropna()
+    assert(dropped.metadata.contains(MetaFrame.PkVerifiedField),
+      "row-subset op keeps the pk proof, like na.drop")
+    assert(mf.dropna(Seq("quantity")).count() == 2L)
+    assert(mf.dropna("any").count() == 2L && mf.dropna(1).count() == 3L)
+    // subtract ≡ except, metadata kept
+    val other = MetaFrame(base.filter(col("product_id") === "p1"), Map.empty[String, Any])
+    val sub = mf.subtract(other)
+    assert(sub.count() == 2L && sub.metadata == Map("source" -> "t"))
+    // raw rdd escape hatch delegates (metadata lost by construction)
+    assert(mf.rdd.count() == 3L)
+    // printSchema(level) overload exists and runs
+    mf.printSchema(1)
+    // multi-column approxQuantile through the stat facade
+    val qs = mf.fillna(0L).stat.approxQuantile(
+      Array("quantity", "quantity"), Array(0.5), 0.0)
+    assert(qs.length == 2 && qs(0).sameElements(qs(1)))
+  }
 }

@@ -93,4 +93,19 @@ object MetadataLawsSpec extends Properties("MetadataLaws") {
         !(mapped.dropDuplicates(Seq("_1")).df eq mapped.df)
     }
   }
+
+  property("view boundary (deliberate): spark.sql over a registered view drops metadata") =
+    Prop.forAll(metaGen) { m =>
+      val mf = MetaFrame(base, m)
+      mf.createOrReplaceTempView("__laws_view_boundary")
+      try {
+        // the catalog registers only the PLAN — sql() returns a bare frame,
+        // so the metadata map and pk cannot round-trip (the reference has
+        // the identical hole: its router registers and its sql is raw);
+        // the documented recovery is the explicit re-wrap
+        val back = spark.sql("SELECT * FROM __laws_view_boundary")
+        back.isInstanceOf[DataFrame] &&
+          MetaFrame(back, mf.metadata).metadata == m
+      } finally spark.catalog.dropTempView("__laws_view_boundary"): Unit
+    }
 }
