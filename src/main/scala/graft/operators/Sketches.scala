@@ -202,4 +202,100 @@ object Sketches {
         s"${t.simpleString} — a non-integral cast to long would NULL every item " +
         "and produce empty sketches. Use freqStrByGroup for string domains.")
   }
+
+  // ------------------------------------------------------- theta (set algebra)
+
+  /** Per-group THETA sketch + row count — the SET-ALGEBRA member of the
+    * sketch store (HLL = distinct counts, KLL = quantiles, frequent items
+    * = top items, this = distinct-set INTERSECTION/DIFFERENCE): "how many
+    * users did A AND B", "how many of yesterday's distinct users are gone
+    * today" — questions an HLL store cannot answer because union is its
+    * only operation. Items may be integral (long hash) or string (string
+    * hash), dispatched on the column type up front.
+    *
+    * DETERMINISM (pinned in OpsSpec): the retained min-k hash set is
+    * order-independent, so same items → same ordered compact binary at
+    * any partitioning, exact mode or sampling mode — the strongest
+    * contract in the sketch store. Estimates are EXACT below ~2^lgK
+    * distinct items per group; beyond, relative error ~1/√2^lgK.
+    *
+    * Scale shape: one group-key reduce with map-side partial sketches;
+    * the store is O(groups · 2^lgK · 8) bytes, append-only by batch
+    * partition, re-mergeable by [[thetaUnionSketches]]; all segment
+    * algebra downstream is row-local over joined sketch binaries —
+    * raw events never shuffle twice. */
+  def thetaByGroup(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    require(lgK >= 4 && lgK <= 26, "lgK must be in [4, 26] (DataSketches bounds)")
+    val t = df.schema(itemCol).dataType
+    val (item, isStr) = t match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(itemCol).cast("long"), false)
+      case StringType => (col(itemCol), true)
+      case other => throw new IllegalArgumentException(
+        s"thetaByGroup items must be integral or string; '$itemCol' is ${other.simpleString}")
+    }
+    df.groupBy(col(groupCol).as("group"))
+      .agg(
+        graft.expressions.ThetaSketchAgg
+          .thetaSketch(item, lgK, isStr).as("sketch"),
+        count(col(itemCol)).as("n_rows"))
+  }
+
+  /** Merge a theta sketch table (e.g. many per-batch [[thetaByGroup]]
+    * outputs) back to one merged sketch + estimate per group — the
+    * re-aggregation member; keep the merged binary for further algebra. */
+  def thetaUnionSketches(
+      sketches: DataFrame,
+      lgK: Int = 12): DataFrame =
+    sketches.groupBy(col("group"))
+      .agg(
+        graft.expressions.ThetaSketchAgg
+          .thetaUnion(col("sketch"), lgK).as("sketch"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(col("group"), col("sketch"),
+        graft.expressions.ThetaSketchAgg.thetaEstimate(col("sketch"))
+          .as("distinct_est"),
+        col("n_rows"))
+
+  /** Segment-overlap report between two per-group sketch tables
+    * ([[thetaByGroup]]/[[thetaUnionSketches]] outputs, same group
+    * domain): one row per group present in EITHER side with the full set
+    * algebra — |A|, |B|, |A∪B|, |A∩B|, |A\B|, |B\A| and
+    * `jaccard_micro = round(1e6 · |A∩B| / |A∪B|)` (0 for two empty
+    * segments). ONE co-partitioned full-outer join on the group key;
+    * every estimate is a row-local sketch operation — the raw events
+    * behind the segments are never touched. Missing side = empty segment
+    * (NULL-safe: estimates coalesce to 0). */
+  def thetaOverlap(
+      a: DataFrame,
+      b: DataFrame): DataFrame = {
+    import graft.expressions.ThetaSketchAgg._
+    val ja = a.select(col("group"), col("sketch").as("__sa"))
+    val jb = b.select(col("group"), col("sketch").as("__sb"))
+    val both = ja.join(jb, Seq("group"), "full_outer")
+    val aEst = when(col("__sa").isNull, lit(0.0)).otherwise(thetaEstimate(col("__sa")))
+    val bEst = when(col("__sb").isNull, lit(0.0)).otherwise(thetaEstimate(col("__sb")))
+    val inter = when(col("__sa").isNull || col("__sb").isNull, lit(0.0))
+      .otherwise(thetaIntersectEstimate(col("__sa"), col("__sb")))
+    val uni = when(col("__sa").isNull, bEst)
+      .when(col("__sb").isNull, aEst)
+      .otherwise(thetaUnionEstimate(col("__sa"), col("__sb")))
+    val aNotB = when(col("__sa").isNull, lit(0.0))
+      .when(col("__sb").isNull, aEst)
+      .otherwise(thetaANotBEstimate(col("__sa"), col("__sb")))
+    val bNotA = when(col("__sb").isNull, lit(0.0))
+      .when(col("__sa").isNull, bEst)
+      .otherwise(thetaANotBEstimate(col("__sb"), col("__sa")))
+    both.select(col("group"),
+      aEst.as("a_est"), bEst.as("b_est"),
+      uni.as("union_est"), inter.as("intersect_est"),
+      aNotB.as("a_not_b_est"), bNotA.as("b_not_a_est"),
+      when(uni > 0.0, round(inter * lit(1e6) / uni).cast("long"))
+        .otherwise(lit(0L)).as("jaccard_micro"))
+  }
 }

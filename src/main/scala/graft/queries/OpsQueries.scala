@@ -414,6 +414,40 @@ object OpsQueries {
         .orderBy("lang")
     }),
 
+    // THETA segment algebra: per day-bucket cohort, the "users who VIEWED
+    // vs users who PURCHASED" overlap report, with the view side built as
+    // a 2-batch sketch STORE re-merged through the union member (serde
+    // round-trip + merge exercised). All groups stay far below 2^12
+    // distinct users, so every theta estimate is in EXACT mode and the
+    // oracle asserts the full set algebra as exact integers
+    "agg_theta_segments" -> ((s, d) => {
+      val ev = t(s, d, "events").df
+        .select((dayofmonth(col("ts")) % 3).cast("long").as("g"),
+          col("user_id"), col("event_type"))
+      val a = ev.filter(col("event_type") === "view")
+        .select(col("g").as("group"), col("user_id"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("g").as("group"), col("user_id"))
+      val aStore = Seq(0, 1)
+        .map(i => Sketches.thetaByGroup(a.filter(col("user_id") % 2 === i),
+          "group", "user_id"))
+        .reduce(_ unionByName _)
+      val aMerged = Sketches.thetaUnionSketches(aStore)
+      val bSk = Sketches.thetaByGroup(b, "group", "user_id")
+      Sketches.thetaOverlap(
+          aMerged.select(col("group"), col("sketch")),
+          bSk.select(col("group"), col("sketch")))
+        .select(col("group").as("grp"),
+          round(col("a_est")).cast("long").as("a_users"),
+          round(col("b_est")).cast("long").as("b_users"),
+          round(col("union_est")).cast("long").as("union_users"),
+          round(col("intersect_est")).cast("long").as("intersect_users"),
+          round(col("a_not_b_est")).cast("long").as("a_not_b_users"),
+          round(col("b_not_a_est")).cast("long").as("b_not_a_users"),
+          col("jaccard_micro"))
+        .orderBy("grp")
+    }),
+
     // integer PageRank over the customer↔supplier interaction graph
     // (both directions of every orders⋈lineitem pair, suppliers offset
     // into their own id space) — 3 iterations, exactly the unrolled-CTE
@@ -835,6 +869,28 @@ object OpsQueries {
        "CAST(coalesce(h.n_heavy, 0) AS BIGINT) AS n_heavy, " +
        "TRUE AS all_heavy_found, TRUE AS bounds_ok " +
        "FROM tt LEFT JOIN h USING (grp) ORDER BY lang"),
+
+    "agg_theta_segments" ->
+      ("WITH ev AS (SELECT CAST(day(ts) % 3 AS BIGINT) AS grp, user_id, event_type " +
+       "FROM events), " +
+       "a AS (SELECT DISTINCT grp, user_id FROM ev WHERE event_type = 'view'), " +
+       "b AS (SELECT DISTINCT grp, user_id FROM ev WHERE event_type = 'purchase'), " +
+       "ga AS (SELECT grp, count(*) AS a_users FROM a GROUP BY grp), " +
+       "gb AS (SELECT grp, count(*) AS b_users FROM b GROUP BY grp), " +
+       "gi AS (SELECT grp, count(*) AS i_users FROM " +
+       "(SELECT * FROM a INTERSECT SELECT * FROM b) GROUP BY grp), " +
+       "gu AS (SELECT grp, count(*) AS u_users FROM " +
+       "(SELECT * FROM a UNION SELECT * FROM b) GROUP BY grp) " +
+       "SELECT gu.grp, CAST(coalesce(ga.a_users, 0) AS BIGINT) AS a_users, " +
+       "CAST(coalesce(gb.b_users, 0) AS BIGINT) AS b_users, " +
+       "CAST(gu.u_users AS BIGINT) AS union_users, " +
+       "CAST(coalesce(gi.i_users, 0) AS BIGINT) AS intersect_users, " +
+       "CAST(coalesce(ga.a_users, 0) - coalesce(gi.i_users, 0) AS BIGINT) AS a_not_b_users, " +
+       "CAST(coalesce(gb.b_users, 0) - coalesce(gi.i_users, 0) AS BIGINT) AS b_not_a_users, " +
+       "CASE WHEN gu.u_users > 0 THEN CAST(round(coalesce(gi.i_users, 0) * 1000000.0 " +
+       "/ gu.u_users) AS BIGINT) ELSE 0 END AS jaccard_micro " +
+       "FROM gu LEFT JOIN ga USING (grp) LEFT JOIN gb USING (grp) " +
+       "LEFT JOIN gi USING (grp) ORDER BY grp"),
 
     "agg_kll_mergeable" ->
       ("SELECT l_returnflag, count(*) AS n_rows, TRUE AS ok_q25, TRUE AS ok_q50, " +

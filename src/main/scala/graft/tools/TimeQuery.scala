@@ -2,23 +2,41 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Times one declared query at a given sf dir — the quick per-operator
-  * perf probe used when a scale-audit entry needs isolating. */
+import graft.SparkEntry
+
+/** Dev-only single-query timer: noop-writes each named declared query N
+  * times against a testdata dir and prints per-run wall seconds — for
+  * isolating one operator's cost without the full Bench protocol.
+  *
+  * Run: `runMain graft.tools.TimeQuery <sfDir> <q1,q2,...> [runs]`. */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val runs = args.lift(2).flatMap(_.toIntOption).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
-      println(f"[scratch] $name run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // optional extra session confs: k=v,k=v in arg 3
+    args.lift(3).foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (0 until runs + 1).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // first run is warm-up; print it separately
+      println(f"[time] $name warm=${times.head}%.3f " +
+        times.tail.map(t => f"$t%.3f").mkString("runs=[", ", ", "]"))
     }
     spark.stop()
   }

@@ -822,6 +822,55 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("theta store: partition-independent bytes, exact-mode algebra, parquet round-trip") {
+    import graft.operators.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 3000).map(i => (s"g${i % 2}", (i / 2).toLong, i))
+    val df = rows.toDF("grp", "user", "i")
+    // byte-determinism: 4-way split store, re-merged, must serialize
+    // IDENTICALLY to the direct whole-input sketch (min-k hash retention
+    // is order-independent) — the store's strongest pin
+    val dir = java.nio.file.Files.createTempDirectory("thetastore").toString
+    (0 until 4).foreach { k =>
+      Sketches.thetaByGroup(df.filter(col("i") % 4 === k), "grp", "user", lgK = 8)
+        .write.mode("append").parquet(dir)
+    }
+    val merged = Sketches.thetaUnionSketches(spark.read.parquet(dir), lgK = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Array[Byte]]("sketch"), r.getDouble(2), r.getLong(3)))).toMap
+    val direct = Sketches.thetaByGroup(df, "grp", "user", lgK = 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch")).toMap
+    for (g <- Seq("g0", "g1")) {
+      val (mbytes, est, n) = merged(g)
+      assert(n == 1500L, s"n_rows sums across batches: $g -> $n")
+      assert(java.util.Arrays.equals(mbytes, direct(g)),
+        s"$g: merged store must serialize byte-identically to the direct sketch")
+      // 1500 distinct per group >> 2^8 nominal: SAMPLING mode, published
+      // relative error ~1/sqrt(256) ≈ 6.25%/std; assert 5 stds
+      assert(math.abs(est - 1500.0) <= 1500.0 * 0.3125, s"$g est=$est")
+    }
+    // exact-mode set algebra over string items: overlap report is exact
+    val a = Seq(("g", "u1"), ("g", "u2"), ("g", "u3")).toDF("grp", "user")
+    val b = Seq(("g", "u2"), ("g", "u3"), ("g", "u4"), ("h", "u9")).toDF("grp", "user")
+    val ov = Sketches.thetaOverlap(
+        Sketches.thetaByGroup(a, "grp", "user"),
+        Sketches.thetaByGroup(b, "grp", "user"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getLong(7)))).toMap
+    // a = {u1,u2,u3}, b = {u2,u3,u4}: union 4, inter 2, each diff 1, J = 1/2
+    assert(ov("g") == ((3.0, 3.0, 4.0, 2.0, 1.0, 1.0, 500000L)), s"$ov")
+    // one-sided group: every B-only estimate is the B segment itself
+    assert(ov("h") == ((0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 0L)), s"$ov")
+    // item-type contract: non-integral non-string rejected up front
+    val bad = Seq(("g", 1.5)).toDF("grp", "user")
+    val err = intercept[IllegalArgumentException] {
+      Sketches.thetaByGroup(bad, "grp", "user")
+    }
+    assert(err.getMessage.contains("integral or string"))
+  }
+
   // ------------------------------------------------------------- classifier
 
   test("trainLogistic + scoreLogistic match an independent integer recomputation") {
