@@ -59,6 +59,40 @@ object PipelineSyntax {
             "bands" -> bands, "shingleWidth" -> shingleWidth),
         pk = Some(Seq(idCol)))
 
+    /** PassJoin edit-distance pairs within the frame (exact recall +
+      * precision — every emitted pair confirmed by `levenshtein`); one row
+      * per unordered id pair, so (id_a, id_b) is the verified pk. */
+    def fuzzyEditPairs(idCol: String, strCol: String, maxDist: Int): MetaFrame =
+      derived(mf, FuzzyJoin.editDistancePairs(mf.df, idCol, strCol, maxDist),
+        "fuzzy_edit_pairs",
+        Map("id" -> idCol, "str" -> strCol, "maxDist" -> maxDist),
+        pk = Some(Seq("id_a", "id_b")))
+
+    /** PassJoin record linkage against `other`: every (left, right) pair
+      * within `maxDist` — one row per cross-table id pair. */
+    def fuzzyEditJoin(
+        idCol: String, strCol: String,
+        other: MetaFrame, otherIdCol: String, otherStrCol: String,
+        maxDist: Int): MetaFrame =
+      derived(mf,
+        FuzzyJoin.editDistanceJoin(mf.df, idCol, strCol,
+          other.df, otherIdCol, otherStrCol, maxDist),
+        "fuzzy_edit_join",
+        Map("id" -> idCol, "str" -> strCol, "otherId" -> otherIdCol,
+            "otherStr" -> otherStrCol, "maxDist" -> maxDist),
+        pk = Some(Seq("id_a", "id_b")))
+
+    /** One-call entity resolution (fuzzy pairs → components → canonical
+      * election): one output row per input row, so the id is the pk. */
+    def entityResolved(idCol: String, strCol: String, maxDist: Int,
+        scoreCol: Option[String] = None): MetaFrame =
+      derived(mf,
+        FuzzyJoin.entityResolve(mf.df, idCol, strCol, maxDist, scoreCol),
+        "entity_resolve",
+        Map("id" -> idCol, "str" -> strCol, "maxDist" -> maxDist,
+            "score" -> scoreCol.getOrElse("")),
+        pk = Some(Seq(idCol)))
+
     /** SimHash near-dup pairs (no uniqueness guarantee → no pk). */
     def dedupSimHashPairs(idCol: String, textCol: String, maxHamming: Int = 8): MetaFrame =
       derived(mf, Dedup.simhashNearDup(mf.df, idCol, textCol, maxHamming),

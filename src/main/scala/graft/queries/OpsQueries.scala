@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.{Checks, Classifier, Corpus, Events, Graph, Retrieval, Similarity, Sketches}
+import graft.operators.{Checks, Classifier, Corpus, Events, FuzzyJoin, Graph, Retrieval, Similarity, Sketches}
 import graft.sources.Tables
 
 /** Declared queries for the operations layer (SURVEY.md §2.3 extensions,
@@ -448,6 +448,42 @@ object OpsQueries {
         .orderBy("grp")
     }),
 
+    // PassJoin edit-distance self-join (entity resolution) over each
+    // document's first token: candidate recall is STRUCTURALLY exact
+    // (pigeonhole over d+1 segments), confirmation is the codegen'd
+    // levenshtein — so the oracle is DuckDB's own levenshtein over the
+    // quadratic all-pairs scan, exact equality expected
+    "join_fuzzy_edit" -> ((s, d) => {
+      val words = t(s, d, "documents").df
+        .select(col("doc_id"), split_part(col("text"), lit(" "), lit(1)).as("w"))
+      FuzzyJoin.editDistancePairs(words, "doc_id", "w", maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // two-table record linkage: even-id docs against odd-id docs at d=1 —
+    // pins the editDistanceJoin variant (no id_a < id_b dedup, ids from
+    // distinct tables) against the same quadratic oracle
+    "join_fuzzy_edit_2way" -> ((s, d) => {
+      val words = t(s, d, "documents").df
+        .select(col("doc_id"), split_part(col("text"), lit(" "), lit(1)).as("w"))
+      FuzzyJoin.editDistanceJoin(
+          words.filter(col("doc_id") % 2 === 0), "doc_id", "w",
+          words.filter(col("doc_id") % 2 === 1), "doc_id", "w", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // one-call entity resolution over the fuzzy pair graph: components
+    // via checkpointed pointer jumping, min-id canonical election (no
+    // score column → deterministic id-asc tiebreak); the oracle re-derives
+    // pairs (quadratic levenshtein), components (recursive CTE), and the
+    // election — every row of the corpus appears exactly once
+    "join_fuzzy_entity_resolve" -> ((s, d) => {
+      val words = t(s, d, "documents").df
+        .select(col("doc_id"), split_part(col("text"), lit(" "), lit(1)).as("w"))
+      FuzzyJoin.entityResolve(words, "doc_id", "w", maxDist = 2)
+        .orderBy("doc_id")
+    }),
+
     // integer PageRank over the customer↔supplier interaction graph
     // (both directions of every orders⋈lineitem pair, suppliers offset
     // into their own id space) — 3 iterations, exactly the unrolled-CTE
@@ -869,6 +905,38 @@ object OpsQueries {
        "CAST(coalesce(h.n_heavy, 0) AS BIGINT) AS n_heavy, " +
        "TRUE AS all_heavy_found, TRUE AS bounds_ok " +
        "FROM tt LEFT JOIN h USING (grp) ORDER BY lang"),
+
+    "join_fuzzy_edit" ->
+      ("WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents) " +
+       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist " +
+       "FROM w a JOIN w b ON a.doc_id < b.doc_id AND levenshtein(a.w, b.w) <= 2 " +
+       "ORDER BY id_a, id_b"),
+
+    "join_fuzzy_edit_2way" ->
+      ("WITH w AS (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents) " +
+       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist " +
+       "FROM w a JOIN w b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 " +
+       "AND levenshtein(a.w, b.w) <= 1 ORDER BY id_a, id_b"),
+
+    "join_fuzzy_entity_resolve" ->
+      ("WITH RECURSIVE w AS (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents), " +
+       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM w a JOIN w b " +
+       "ON a.doc_id < b.doc_id AND levenshtein(a.w, b.w) <= 2), " +
+       "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION SELECT id_b AS src, id_a AS dst FROM pairs), " +
+       "reach(src, dst) AS (SELECT src, dst FROM edges " +
+       "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src), " +
+       "comp0 AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach " +
+       "GROUP BY src), " +
+       "comp AS (SELECT w.doc_id, coalesce(c.component, w.doc_id) AS component " +
+       "FROM w LEFT JOIN comp0 c ON w.doc_id = c.id), " +
+       "agg AS (SELECT component, min(doc_id) AS canonical_id, " +
+       "count(*) AS n_members FROM comp GROUP BY component) " +
+       "SELECT doc_id, component, canonical_id, " +
+       "doc_id = canonical_id AS is_canonical, CAST(n_members AS BIGINT) AS n_members " +
+       "FROM comp JOIN agg USING (component) ORDER BY doc_id"),
 
     "agg_theta_segments" ->
       ("WITH ev AS (SELECT CAST(day(ts) % 3 AS BIGINT) AS grp, user_id, event_type " +

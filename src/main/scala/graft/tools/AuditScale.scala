@@ -159,7 +159,12 @@ object AuditScale {
       // PSI's 1-row edge array crossJoins onto both row scans and the two
       // 1-row totals onto the O(buckets) grid (the LM-scorer shape); the
       // categorical twin crossJoins its three 1-row totals the same way
-      "dq_drift_psi", "dq_drift_psi_cat")
+      "dq_drift_psi", "dq_drift_psi_cat",
+      // the PassJoin short-string branch (strings ≤ d chars vs partners
+      // ≤ 2d chars) is a length-band join over two sides bounded by
+      // construction — BNLJ there is the intended plan; the main candidate
+      // path is the segment-key equi-join (PlanQualitySpec pins it)
+      "fuzzy_edit_operator")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(
@@ -188,6 +193,17 @@ object AuditScale {
       "ngram_jaccard_operator" -> ((s: SparkSession, d: String) =>
         Dedup.ngramJaccardBestMatch(Tables.load(s, d, "documents"),
           "doc_id", "text", blockCol = "lang")),
+      // isolates the PassJoin operator on a mostly-unique key (24-char text
+      // prefixes) — the declared join_fuzzy_edit query runs on FIRST TOKENS,
+      // whose fixed vocabulary makes the OUTPUT pair set itself quadratic in
+      // the corpus (inherent to that input, not the operator); prefixes keep
+      // segment-key frequencies bounded so the ratio measures the operator
+      "fuzzy_edit_operator" -> ((s: SparkSession, d: String) =>
+        graft.operators.FuzzyJoin.editDistancePairs(
+          Tables.load(s, d, "documents")
+            .select(col("doc_id"),
+              org.apache.spark.sql.functions.substring(col("text"), 1, 24).as("w")),
+          "doc_id", "w", maxDist = 2)),
       // isolates the SemDeDup pair/CC/election stages from Lloyd training
       // (the declared dedup_semantic entries time train + dedup): centroids
       // are a fixed 8-row slice, so the ratio is the dedup machinery's own

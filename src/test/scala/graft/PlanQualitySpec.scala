@@ -166,6 +166,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"binned join must not be a BNLJ:\n$plan")
   }
 
+  test("fuzzy edit join: segment⋈probe is an equi join, never Cartesian") {
+    import graft.operators.FuzzyJoin
+    val words = t("documents").df
+      .select(col("doc_id"), split_part(col("text"), lit(" "), lit(1)).as("w"))
+    val pairs = FuzzyJoin.editDistancePairs(words, "doc_id", "w", maxDist = 2)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the main candidate path is the (__i, __la, __seg) equi-join —
+    // hash or merge, either is fine; a CartesianProduct anywhere means
+    // the pigeonhole key got lost. The short-string branch's bounded
+    // length-band join may plan BNLJ (both sides ≤ 2d-char strings by
+    // construction), which is why BNLJ is not asserted away here.
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"segment join must be an equi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian expected:\n$plan")
+    assert(pairs.count() > 0)
+  }
+
   test("6-table flagship join plans broadcasts for dims, no nested loops") {
     val df = graft.queries.RelationalQueries.flagshipQueries("tpch_q5_local_supplier_volume")(spark, sfDir)
     df.collect() // let AQE finalize
