@@ -82,6 +82,19 @@ object PipelineSyntax {
             "otherStr" -> otherStrCol, "maxDist" -> maxDist),
         pk = Some(Seq("id_a", "id_b")))
 
+    /** Z-order (Morton) layout rewrite: range-partition + in-partition
+      * sort on the interleaved bucket bits of `cols`, so parquet min/max
+      * stats prune on every listed column at once. Row-preserving (the
+      * z column is internal), so the parent pk survives. */
+    def zordered(cols: Seq[String], numPartitions: Int,
+        bitsPerCol: Int = 8): MetaFrame =
+      derived(mf, Layout.cluster(mf.df, cols, numPartitions, bitsPerCol),
+        "zorder_cluster",
+        Map("cols" -> cols.mkString(","), "numPartitions" -> numPartitions,
+            "bitsPerCol" -> bitsPerCol),
+        pk = mf.primaryKey,
+        pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+
     /** One-call entity resolution (fuzzy pairs → components → canonical
       * election): one output row per input row, so the id is the pk. */
     def entityResolved(idCol: String, strCol: String, maxDist: Int,

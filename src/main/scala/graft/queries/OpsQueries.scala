@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.{Checks, Classifier, Corpus, Events, FuzzyJoin, Graph, Retrieval, Similarity, Sketches}
+import graft.operators.{Checks, Classifier, Corpus, Events, FuzzyJoin, Graph, Layout, Retrieval, Similarity, Sketches}
 import graft.sources.Tables
 
 /** Declared queries for the operations layer (SURVEY.md §2.3 extensions,
@@ -484,6 +484,21 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // Z-order layout: the Morton z-value over (l_partkey, l_suppkey) —
+    // integer-exact value-range buckets interleaved bit by bit, so the
+    // oracle re-derives the identical longs with DuckDB's own `//` and
+    // bit operators. The cluster() placement itself (range partition +
+    // in-partition sort) is pinned in LayoutSpec via measured per-file
+    // span tightening — partition assignment isn't oracle territory
+    "layout_zorder" -> ((s, d) =>
+      Layout.withZValue(
+          t(s, d, "lineitem").df.select(col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          Seq("l_partkey", "l_suppkey"), bitsPerCol = 8)
+        .select("l_orderkey", "l_linenumber", "zval")
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // integer PageRank over the customer↔supplier interaction graph
     // (both directions of every orders⋈lineitem pair, suppliers offset
     // into their own id space) — 3 iterations, exactly the unrolled-CTE
@@ -937,6 +952,20 @@ object OpsQueries {
        "SELECT doc_id, component, canonical_id, " +
        "doc_id = canonical_id AS is_canonical, CAST(n_members AS BIGINT) AS n_members " +
        "FROM comp JOIN agg USING (component) ORDER BY doc_id"),
+
+    "layout_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((bp >> $i) & 1) << ${2 * i})",
+        s"(((bs >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      "WITH b AS (SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp, " +
+      "min(l_suppkey) AS mins, max(l_suppkey) AS maxs FROM lineitem), " +
+      "k AS (SELECT l_orderkey, l_linenumber, " +
+      "((l_partkey - minp) * 256) // (maxp - minp + 1) AS bp, " +
+      "((l_suppkey - mins) * 256) // (maxs - mins + 1) AS bs " +
+      "FROM lineitem, b) " +
+      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+      s"CAST($terms AS BIGINT) AS zval FROM k ORDER BY l_orderkey, l_linenumber"
+    },
 
     "agg_theta_segments" ->
       ("WITH ev AS (SELECT CAST(day(ts) % 3 AS BIGINT) AS grp, user_id, event_type " +
