@@ -124,6 +124,43 @@ object Corpus {
           .otherwise("test"))
   }
 
+  /** Leakage-safe split: [[hashSplit]] keyed on the NEAR-DUP COMPONENT
+    * instead of the row id, so two near-duplicate documents can never
+    * straddle a train/eval boundary — the eval-leak failure mode a plain
+    * id-hash split cannot prevent (a paraphrase of a training doc landing
+    * in val inflates every metric it touches). The caller supplies the
+    * near-dup pair source (`minHashLsh` candidates, `winnowPairs`,
+    * `FuzzyJoin.editDistancePairs`, …) so the leakage definition matches
+    * whatever dedup discipline the pipeline already uses.
+    *
+    * Every input row gets exactly one output row with its `component`
+    * (its own id when unpaired — then the assignment degenerates to the
+    * plain [[hashSplit]] of the id), `bucket`, and `split`. Rows with a
+    * NULL id keep hashSplit's NULL→test convention. Scale shape:
+    * components are checkpointed pointer jumping over the PAIR graph
+    * only; the corpus side pays one id-key join against the (far
+    * smaller) component labeling, and the bucket/split columns are
+    * row-local md5 arithmetic. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String,
+      idBCol: String,
+      salt: String,
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val comp = Dedup.connectedComponents(
+        pairs.select(col(idACol).as("id_a"), col(idBCol).as("id_b")),
+        "id_a", "id_b")
+      .withColumnRenamed("id", "__cc_id")
+    val assigned = df
+      .join(comp, col(idCol) === col("__cc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .drop("__cc_id")
+    hashSplit(assigned, "component", salt, trainPct, valPct)
+  }
+
   /** Benchmark decontamination: flags corpus documents sharing at least
     * `minShared` distinct w-token shingles with ANY benchmark document —
     * the standard eval-leak scrub before training. The benchmark side (eval

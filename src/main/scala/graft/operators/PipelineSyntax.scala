@@ -162,6 +162,21 @@ object PipelineSyntax {
         pk = mf.primaryKey,
         pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
 
+    /** Leakage-safe split: hashSplit keyed on the near-dup component from
+      * `pairs`, so near-duplicates never straddle a train/eval boundary.
+      * Row-preserving column adds, so parent pk survives. */
+    def splitLeakageSafe(
+        idCol: String, pairs: MetaFrame, idACol: String, idBCol: String,
+        salt: String, trainPct: Int = 80, valPct: Int = 10): MetaFrame =
+      derived(mf,
+        Corpus.leakageSafeSplit(mf.df, idCol, pairs.df, idACol, idBCol,
+          salt, trainPct, valPct),
+        "split_leakage_safe",
+        Map("id" -> idCol, "salt" -> salt, "trainPct" -> trainPct,
+            "valPct" -> valPct),
+        pk = mf.primaryKey,
+        pkVerified = mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+
     /** Benchmark decontamination of THIS frame against an eval suite: one
       * row per corpus ROW, so the output is keyed by `id` only when the
       * parent was keyed by `idCol` — the pk claim (and its proof) carries

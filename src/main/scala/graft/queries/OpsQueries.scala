@@ -484,6 +484,21 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // leakage-safe split: the hash split keyed on the near-dup COMPONENT
+    // (here the exact fuzzy-edit pair graph) so near-duplicates can never
+    // straddle a train/eval boundary; oracle re-derives pairs, components,
+    // and the same md5-prefix bucket arithmetic as split_hash
+    "corpus_leakage_split" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val words = docs.select(col("doc_id"),
+        split_part(col("text"), lit(" "), lit(1)).as("w"))
+      val pairs = FuzzyJoin.editDistancePairs(words, "doc_id", "w", maxDist = 2)
+      Corpus.leakageSafeSplit(docs.select("doc_id"), "doc_id",
+          pairs, "id_a", "id_b", salt = "graft")
+        .select("doc_id", "component", "bucket", "split")
+        .orderBy("doc_id")
+    }),
+
     // Z-order layout: the Morton z-value over (l_partkey, l_suppkey) —
     // integer-exact value-range buckets interleaved bit by bit, so the
     // oracle re-derives the identical longs with DuckDB's own `//` and
@@ -952,6 +967,25 @@ object OpsQueries {
        "SELECT doc_id, component, canonical_id, " +
        "doc_id = canonical_id AS is_canonical, CAST(n_members AS BIGINT) AS n_members " +
        "FROM comp JOIN agg USING (component) ORDER BY doc_id"),
+
+    "corpus_leakage_split" ->
+      ("WITH RECURSIVE w AS (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents), " +
+       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM w a JOIN w b " +
+       "ON a.doc_id < b.doc_id AND levenshtein(a.w, b.w) <= 2), " +
+       "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION SELECT id_b AS src, id_a AS dst FROM pairs), " +
+       "reach(src, dst) AS (SELECT src, dst FROM edges " +
+       "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src), " +
+       "comp0 AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach " +
+       "GROUP BY src), " +
+       "comp AS (SELECT w.doc_id, coalesce(c.component, w.doc_id) AS component " +
+       "FROM w LEFT JOIN comp0 c ON w.doc_id = c.id), " +
+       "bk AS (SELECT doc_id, component, " +
+       "CAST(('0x' || substr(md5(component || ':graft'), 1, 8)) AS BIGINT) % 100 AS bucket " +
+       "FROM comp) " +
+       "SELECT doc_id, component, bucket, " +
+       "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' " +
+       "ELSE 'test' END AS split FROM bk ORDER BY doc_id"),
 
     "layout_zorder" -> {
       val terms = (0 until 8).flatMap(i => Seq(

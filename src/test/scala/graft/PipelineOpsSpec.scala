@@ -2269,4 +2269,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     // doc 3: below spanLen, byte-identical pass-through
     assert(out(3L) == ((3L, 0L, 0L, "c1 c2 c3")))
   }
+
+  test("leakageSafeSplit: near-dup components never straddle a split; unpaired rows match hashSplit") {
+    import spark.implicits._
+    val corpus = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // plant components: {1,2,3} chained, {10,11}, everything else unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Corpus.leakageSafeSplit(corpus, "doc_id", pairs, "id_a", "id_b",
+        salt = "graft")
+      .select("doc_id", "component", "split")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.size == 40, "row conservation")
+    // all members of a component share the component label AND the split
+    assert(Seq(1L, 2L, 3L).map(got(_)).distinct.size == 1)
+    assert(got(1L)._1 == 1L)
+    assert(Seq(10L, 11L).map(got(_)).distinct.size == 1)
+    assert(got(10L)._1 == 10L)
+    // unpaired rows degenerate to the plain id-hash split
+    val plain = Corpus.hashSplit(corpus, "doc_id", salt = "graft")
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (4L to 9L).foreach { i =>
+      assert(got(i) == ((i, plain(i))), s"unpaired doc $i must match hashSplit")
+    }
+  }
 }
