@@ -129,4 +129,74 @@ object Graph {
         round((col("n_nodes") * lit(1e6)) / col("__n")).cast("long")
           .as("nodes_share_micro"))
   }
+
+  /** Item co-occurrence mining (market basket / related items / co-click):
+    * for every unordered item pair sharing at least `minPairCount`
+    * baskets, the pair's basket count plus each item's own basket count,
+    * lift and Jaccard — the "customers who bought A also bought B" signal,
+    * and the item-item edge weight a recommender or a taxonomy builder
+    * starts from.
+    *
+    * SKEW GUARD (the quadratic risk): a basket of size s yields s·(s−1)/2
+    * pairs, so one degenerate mega-basket (a crawler session, a bot cart)
+    * can dominate the whole join. Baskets larger than `maxBasketSize` are
+    * DROPPED WHOLE before pairing — deterministic, oracle-expressible,
+    * and the right semantics for "related items" (a basket of thousands
+    * of items carries no affinity signal anyway). Dropped-basket counts
+    * are observable via the returned `n_baskets` total vs a raw count.
+    *
+    * DETERMINISM: counts are exact longs; lift and Jaccard quantize ONCE
+    * to micro units with a fixed parenthesization (the PMI convention):
+    * `lift_micro = round((c_ab · N · 1e6) / (c_a · c_b))`,
+    * `jaccard_micro = round((c_ab · 1e6) / (c_a + c_b − c_ab))`.
+    *
+    * Scale shape: one distinct over (basket, item), the size cap is one
+    * basket-key aggregate joined back (broadcast of the tiny over-cap key
+    * set would also work, but the kept set is the general case), the pair
+    * join is basket-keyed with per-basket work ≤ cap², pair counts are
+    * aggregated BEFORE the per-item count joins (which join only
+    * aggregated tables), and the basket total rides a 1-row broadcast.
+    *
+    * Returns (item_a, item_b, pair_baskets, item_a_baskets,
+    * item_b_baskets, n_baskets, lift_micro, jaccard_micro). */
+  def coOccurrence(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minPairCount: Long = 2L,
+      maxBasketSize: Int = 100): DataFrame = {
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    require(maxBasketSize >= 2, "maxBasketSize must be >= 2 (pairs need 2)")
+    val bi = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sizes = bi.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
+    val kept = bi.join(sizes.filter(col("__sz") <= maxBasketSize), Seq("__b"))
+      .select(col("__b"), col("__i"))
+    val nBaskets = kept.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = kept.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__ci"))
+    val pairCounts = kept.select(col("__b"), col("__i").as("item_a"))
+      .join(kept.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_baskets"))
+      .filter(col("pair_baskets") >= minPairCount)
+    pairCounts
+      .join(itemCounts.select(col("__i").as("item_a"), col("__ci").as("item_a_baskets")),
+        Seq("item_a"))
+      .join(itemCounts.select(col("__i").as("item_b"), col("__ci").as("item_b_baskets")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("pair_baskets"),
+        col("item_a_baskets"), col("item_b_baskets"), col("n_baskets"),
+        round((col("pair_baskets") * col("n_baskets") * lit(1000000.0)) /
+          (col("item_a_baskets") * col("item_b_baskets"))).cast("long")
+          .as("lift_micro"),
+        round((col("pair_baskets") * lit(1000000.0)) /
+          (col("item_a_baskets") + col("item_b_baskets") - col("pair_baskets")))
+          .cast("long").as("jaccard_micro"))
+  }
 }

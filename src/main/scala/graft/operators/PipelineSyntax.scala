@@ -82,6 +82,17 @@ object PipelineSyntax {
             "otherStr" -> otherStrCol, "maxDist" -> maxDist),
         pk = Some(Seq("id_a", "id_b")))
 
+    /** Item co-occurrence mining over (basket, item) rows: one row per
+      * surviving unordered item pair, so (item_a, item_b) is the pk. */
+    def coOccurrenceOf(basketCol: String, itemCol: String,
+        minPairCount: Long = 2L, maxBasketSize: Int = 100): MetaFrame =
+      derived(mf,
+        Graph.coOccurrence(mf.df, basketCol, itemCol, minPairCount, maxBasketSize),
+        "co_occurrence",
+        Map("basket" -> basketCol, "item" -> itemCol,
+            "minPairCount" -> minPairCount, "maxBasketSize" -> maxBasketSize),
+        pk = Some(Seq("item_a", "item_b")))
+
     /** Z-order (Morton) layout rewrite: range-partition + in-partition
       * sort on the interleaved bucket bits of `cols`, so parquet min/max
       * stats prune on every listed column at once. Row-preserving (the

@@ -484,6 +484,15 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // item co-occurrence over order baskets: parts bought together, with
+    // the whole-basket size cap exercised (TPC-H orders reach 13 distinct
+    // parts; cap 5 drops real baskets) — counts exact, lift/Jaccard
+    // micro-quantized with one fixed parenthesization (the PMI convention)
+    "graph_copurchase" -> ((s, d) =>
+      Graph.coOccurrence(t(s, d, "lineitem").df, "l_orderkey", "l_partkey",
+          minPairCount = 2, maxBasketSize = 5)
+        .orderBy("item_a", "item_b")),
+
     // leakage-safe split: the hash split keyed on the near-dup COMPONENT
     // (here the exact fuzzy-edit pair graph) so near-duplicates can never
     // straddle a train/eval boundary; oracle re-derives pairs, components,
@@ -967,6 +976,25 @@ object OpsQueries {
        "SELECT doc_id, component, canonical_id, " +
        "doc_id = canonical_id AS is_canonical, CAST(n_members AS BIGINT) AS n_members " +
        "FROM comp JOIN agg USING (component) ORDER BY doc_id"),
+
+    "graph_copurchase" ->
+      ("WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
+       "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+       "sz AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 5), " +
+       "kept AS (SELECT bi.b, bi.i FROM bi JOIN sz USING (b)), " +
+       "nb AS (SELECT count(DISTINCT b) AS n_baskets FROM kept), " +
+       "ic AS (SELECT i, count(*) AS ci FROM kept GROUP BY i), " +
+       "pc AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS pair_baskets " +
+       "FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i " +
+       "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+       "SELECT item_a, item_b, pair_baskets, " +
+       "ia.ci AS item_a_baskets, ib.ci AS item_b_baskets, nb.n_baskets, " +
+       "CAST(round((pair_baskets * nb.n_baskets * 1000000.0) / (ia.ci * ib.ci)) " +
+       "AS BIGINT) AS lift_micro, " +
+       "CAST(round((pair_baskets * 1000000.0) / (ia.ci + ib.ci - pair_baskets)) " +
+       "AS BIGINT) AS jaccard_micro " +
+       "FROM pc JOIN ic ia ON pc.item_a = ia.i JOIN ic ib ON pc.item_b = ib.i " +
+       "CROSS JOIN nb ORDER BY item_a, item_b"),
 
     "corpus_leakage_split" ->
       ("WITH RECURSIVE w AS (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents), " +

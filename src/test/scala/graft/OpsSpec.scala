@@ -20,6 +20,34 @@ class OpsSpec extends AnyFunSuite {
       .toDF("event_id", "user_id", "ts", "event_type")
   }
 
+  // --------------------------------------------------------- co-occurrence
+
+  test("coOccurrence: exact counts, lift/jaccard micro, basket cap drops whole baskets") {
+    val spark2 = spark
+    import spark2.implicits._
+    // baskets: 1={A,B,C}, 2={A,B}, 3={A,B}, 4={B,C}, 5=mega (4 items, over cap 3)
+    // basket 5 must vanish entirely — including its would-be (A,B) pair
+    val df = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"), (1L, "A"), // dup (1,A) row collapses
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"),
+      (4L, "B"), (4L, "C"),
+      (5L, "A"), (5L, "B"), (5L, "C"), (5L, "D")
+    ).toDF("basket", "item")
+    val got = graft.operators.Graph.coOccurrence(df, "basket", "item",
+        minPairCount = 2, maxBasketSize = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // kept baskets: 1..4 (N=4). c_A=3, c_B=4, c_C=2; pairs: (A,B)=3, (A,C)=1,
+    // (B,C)=2 — (A,C) falls under minPairCount
+    assert(got.keySet == Set(("A", "B"), ("B", "C")))
+    // lift(A,B) = 3*4/(3*4) = 1.0 → 1000000; jacc = 3/(3+4-3) = 0.75
+    assert(got(("A", "B")) == ((3L, 3L, 4L, 4L, 1000000L, 750000L)))
+    // lift(B,C) = 2*4/(4*2) = 1.0; jacc = 2/(4+2-2) = 0.5
+    assert(got(("B", "C")) == ((2L, 4L, 2L, 4L, 1000000L, 500000L)))
+  }
+
   // ------------------------------------------------------------ sessionize
 
   test("sessionize: strict-gap boundary, tie-stable order, per-user counters") {
