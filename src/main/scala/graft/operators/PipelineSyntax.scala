@@ -93,6 +93,14 @@ object PipelineSyntax {
             "minPairCount" -> minPairCount, "maxBasketSize" -> maxBasketSize),
         pk = Some(Seq("item_a", "item_b")))
 
+    /** Per-node triangle counts + clustering over the frame's edge list:
+      * one row per node, so `id` is the pk. */
+    def trianglesOf(srcCol: String, dstCol: String): MetaFrame =
+      derived(mf, Graph.triangles(mf.df, srcCol, dstCol),
+        "triangles",
+        Map("src" -> srcCol, "dst" -> dstCol),
+        pk = Some(Seq("id")))
+
     /** Z-order (Morton) layout rewrite: range-partition + in-partition
       * sort on the interleaved bucket bits of `cols`, so parquet min/max
       * stats prune on every listed column at once. Row-preserving (the

@@ -493,6 +493,17 @@ object OpsQueries {
           minPairCount = 2, maxBasketSize = 5)
         .orderBy("item_a", "item_b")),
 
+    // per-node triangles + clustering over the co-purchase graph
+    // (minPairCount=1 keeps the graph dense enough to be interesting:
+    // ~51k edges, ~60k triangles at sf0.01); compact-forward degree
+    // orientation, exact counts, micro-quantized clustering
+    "graph_triangles" -> ((s, d) => {
+      val pairs = Graph.coOccurrence(t(s, d, "lineitem").df,
+          "l_orderkey", "l_partkey", minPairCount = 1, maxBasketSize = 5)
+        .select(col("item_a"), col("item_b"))
+      Graph.triangles(pairs, "item_a", "item_b").orderBy("id")
+    }),
+
     // leakage-safe split: the hash split keyed on the near-dup COMPONENT
     // (here the exact fuzzy-edit pair graph) so near-duplicates can never
     // straddle a train/eval boundary; oracle re-derives pairs, components,
@@ -995,6 +1006,31 @@ object OpsQueries {
        "AS BIGINT) AS jaccard_micro " +
        "FROM pc JOIN ic ia ON pc.item_a = ia.i JOIN ic ib ON pc.item_b = ib.i " +
        "CROSS JOIN nb ORDER BY item_a, item_b"),
+
+    "graph_triangles" ->
+      ("WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
+       "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+       "sz AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 5), " +
+       "kept AS (SELECT bi.b, bi.i FROM bi JOIN sz USING (b)), " +
+       "e0 AS (SELECT a.i AS u, c.i AS v FROM kept a JOIN kept c " +
+       "ON a.b = c.b AND a.i < c.i GROUP BY 1, 2), " +
+       "deg AS (SELECT id, count(*) AS degree FROM " +
+       "(SELECT u AS id FROM e0 UNION ALL SELECT v AS id FROM e0) GROUP BY id), " +
+       "o AS (SELECT CASE WHEN du.degree < dv.degree OR " +
+       "(du.degree = dv.degree AND e0.u < e0.v) THEN e0.u ELSE e0.v END AS a, " +
+       "CASE WHEN du.degree < dv.degree OR " +
+       "(du.degree = dv.degree AND e0.u < e0.v) THEN e0.v ELSE e0.u END AS b " +
+       "FROM e0 JOIN deg du ON e0.u = du.id JOIN deg dv ON e0.v = dv.id), " +
+       "tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM o e1 " +
+       "JOIN o e2 ON e1.b = e2.a JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+       "pn AS (SELECT id, count(*) AS n FROM (SELECT a AS id FROM tri " +
+       "UNION ALL SELECT b AS id FROM tri UNION ALL SELECT c AS id FROM tri) " +
+       "GROUP BY id) " +
+       "SELECT deg.id, deg.degree, CAST(coalesce(pn.n, 0) AS BIGINT) AS n_triangles, " +
+       "CASE WHEN deg.degree < 2 THEN 0 " +
+       "ELSE CAST(round((coalesce(pn.n, 0) * 2 * 1000000.0) / " +
+       "(deg.degree * (deg.degree - 1))) AS BIGINT) END AS clustering_micro " +
+       "FROM deg LEFT JOIN pn USING (id) ORDER BY id"),
 
     "corpus_leakage_split" ->
       ("WITH RECURSIVE w AS (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents), " +

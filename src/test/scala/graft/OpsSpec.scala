@@ -48,6 +48,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("B", "C")) == ((2L, 4L, 2L, 4L, 1000000L, 500000L)))
   }
 
+  test("triangles: K4 + pendant, exact counts and clustering; normalization collapses dups/reverses/self-loops") {
+    val spark2 = spark
+    import spark2.implicits._
+    // K4 on {1,2,3,4} with noisy input: duplicates, reversed direction,
+    // a self-loop; node 5 pendant off node 1
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 4L), (4L, 4L), (1L, 5L)
+    ).toDF("s", "t")
+    val got = graft.operators.Graph.triangles(edges, "s", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // node 1: degree 4 (K4 + pendant), 3 triangles, C = 2*3/(4*3) = 0.5
+    assert(got(1L) == ((4L, 3L, 500000L)), s"$got")
+    // nodes 2,3,4: degree 3, 3 triangles each, C = 2*3/(3*2) = 1.0
+    for (id <- Seq(2L, 3L, 4L)) assert(got(id) == ((3L, 3L, 1000000L)), s"$got")
+    // pendant: degree 1, no triangles, C = 0 by the d<2 rule
+    assert(got(5L) == ((1L, 0L, 0L)))
+  }
+
   // ------------------------------------------------------------ sessionize
 
   test("sessionize: strict-gap boundary, tie-stable order, per-user counters") {
