@@ -130,6 +130,89 @@ object Graph {
           .as("nodes_share_micro"))
   }
 
+  /** Mergeable co-occurrence STORE for one batch: exact counts don't need
+    * sketches — (pair, item, total) count rows compose across batches by
+    * plain addition, so the history never rescans (the HLL/KLL/theta
+    * store convention, with longs instead of sketch binaries). One frame,
+    * kind-tagged: ("pair", a, b, n), ("item", a, NULL, n),
+    * ("total", NULL, NULL, n_baskets).
+    *
+    * CONTRACT: batches must partition BASKETS (a basket straddling two
+    * batches would under-count its cross-batch pairs — same no-straddle
+    * contract as the pair semantics itself), and `minPairCount` is NOT
+    * applied here: a pair seen once per batch across three batches is a
+    * count-3 pair, so the floor belongs at serve time over the MERGED
+    * counts ([[coOccurrenceFromStore]]) — pinned in OpsSpec. */
+  def coOccurrenceStore(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasketSize: Int = 100): DataFrame = {
+    require(maxBasketSize >= 2, "maxBasketSize must be >= 2 (pairs need 2)")
+    val bi = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sizes = bi.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
+    val kept = bi.join(sizes.filter(col("__sz") <= maxBasketSize), Seq("__b"))
+      .select(col("__b"), col("__i"))
+    val pairRows = kept.select(col("__b"), col("__i").as("item_a"))
+      .join(kept.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("pair").as("kind"), col("item_a"), col("item_b"), col("n"))
+    val itemRows = kept.groupBy(col("__i").as("item_a"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("item").as("kind"), col("item_a"),
+        lit(null).cast(pairRows.schema("item_b").dataType).as("item_b"), col("n"))
+    val totalRow = kept.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("n"))
+      .select(lit("total").as("kind"),
+        lit(null).cast(pairRows.schema("item_a").dataType).as("item_a"),
+        lit(null).cast(pairRows.schema("item_b").dataType).as("item_b"), col("n"))
+    pairRows.unionByName(itemRows).unionByName(totalRow)
+  }
+
+  /** Re-merges any union of per-batch [[coOccurrenceStore]] frames (counts
+    * add; NULL-safe grouping keeps the three kinds apart). */
+  def coOccurrenceMergeStores(store: DataFrame): DataFrame =
+    store.groupBy(col("kind"), col("item_a"), col("item_b"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Serves the [[coOccurrence]] result from a merged store: applies the
+    * `minPairCount` floor over the MERGED counts and recomputes
+    * lift/Jaccard with the identical quantization — under the
+    * basket-partition contract this is row-for-row the batch operator on
+    * the union of the batches (pinned + oracle-checked). */
+  def coOccurrenceFromStore(
+      store: DataFrame,
+      minPairCount: Long = 2L): DataFrame = {
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    val merged = coOccurrenceMergeStores(store)
+    val pairs = merged.filter(col("kind") === "pair")
+      .select(col("item_a"), col("item_b"), col("n").as("pair_baskets"))
+      .filter(col("pair_baskets") >= minPairCount)
+    val items = merged.filter(col("kind") === "item")
+      .select(col("item_a").as("__i"), col("n").as("__ci"))
+    val total = merged.filter(col("kind") === "total")
+      .select(col("n").as("n_baskets"))
+    pairs
+      .join(items.select(col("__i").as("item_a"), col("__ci").as("item_a_baskets")),
+        Seq("item_a"))
+      .join(items.select(col("__i").as("item_b"), col("__ci").as("item_b_baskets")),
+        Seq("item_b"))
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("pair_baskets"),
+        col("item_a_baskets"), col("item_b_baskets"), col("n_baskets"),
+        round((col("pair_baskets") * col("n_baskets") * lit(1000000.0)) /
+          (col("item_a_baskets") * col("item_b_baskets"))).cast("long")
+          .as("lift_micro"),
+        round((col("pair_baskets") * lit(1000000.0)) /
+          (col("item_a_baskets") + col("item_b_baskets") - col("pair_baskets")))
+          .cast("long").as("jaccard_micro"))
+  }
+
   /** Per-node triangle counts + local clustering coefficients — the
     * community-density signal (spam rings and botnets cluster; organic
     * neighborhoods have characteristic clustering), and the classic

@@ -52,6 +52,26 @@ object OpsQueries {
     "UNION ALL SELECT doc_id + 100000, text, lang, source FROM documents " +
     "WHERE doc_id % 23 = 0)"
 
+  /** Shared copurchase oracle (direct AND incremental-serve contract). */
+  private val CopurchaseSql: String =
+    "WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
+    "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+    "sz AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 5), " +
+    "kept AS (SELECT bi.b, bi.i FROM bi JOIN sz USING (b)), " +
+    "nb AS (SELECT count(DISTINCT b) AS n_baskets FROM kept), " +
+    "ic AS (SELECT i, count(*) AS ci FROM kept GROUP BY i), " +
+    "pc AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS pair_baskets " +
+    "FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i " +
+    "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+    "SELECT item_a, item_b, pair_baskets, " +
+    "ia.ci AS item_a_baskets, ib.ci AS item_b_baskets, nb.n_baskets, " +
+    "CAST(round((pair_baskets * nb.n_baskets * 1000000.0) / (ia.ci * ib.ci)) " +
+    "AS BIGINT) AS lift_micro, " +
+    "CAST(round((pair_baskets * 1000000.0) / (ia.ci + ib.ci - pair_baskets)) " +
+    "AS BIGINT) AS jaccard_micro " +
+    "FROM pc JOIN ic ia ON pc.item_a = ia.i JOIN ic ib ON pc.item_b = ib.i " +
+    "CROSS JOIN nb ORDER BY item_a, item_b"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> ((s, d) =>
       Events.sessionize(t(s, d, "events").df, "user_id", "ts", "event_id",
@@ -502,6 +522,22 @@ object OpsQueries {
           "l_orderkey", "l_partkey", minPairCount = 1, maxBasketSize = 5)
         .select(col("item_a"), col("item_b"))
       Graph.triangles(pairs, "item_a", "item_b").orderBy("id")
+    }),
+
+    // incremental co-occurrence: two basket-disjoint batch stores merged
+    // and served — the equivalence contract (== the one-shot operator on
+    // the union) IS the oracle, which re-derives the direct form; the
+    // minPairCount floor applies over MERGED counts only
+    "graph_copurchase_incremental" -> ((s, d) => {
+      val li = t(s, d, "lineitem").df
+      val store = Graph.coOccurrenceStore(
+          li.filter(col("l_orderkey") % 2 === 0), "l_orderkey", "l_partkey",
+          maxBasketSize = 5)
+        .unionByName(Graph.coOccurrenceStore(
+          li.filter(col("l_orderkey") % 2 === 1), "l_orderkey", "l_partkey",
+          maxBasketSize = 5))
+      Graph.coOccurrenceFromStore(store, minPairCount = 2)
+        .orderBy("item_a", "item_b")
     }),
 
     // leakage-safe split: the hash split keyed on the near-dup COMPONENT
@@ -988,24 +1024,11 @@ object OpsQueries {
        "doc_id = canonical_id AS is_canonical, CAST(n_members AS BIGINT) AS n_members " +
        "FROM comp JOIN agg USING (component) ORDER BY doc_id"),
 
-    "graph_copurchase" ->
-      ("WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
-       "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
-       "sz AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 5), " +
-       "kept AS (SELECT bi.b, bi.i FROM bi JOIN sz USING (b)), " +
-       "nb AS (SELECT count(DISTINCT b) AS n_baskets FROM kept), " +
-       "ic AS (SELECT i, count(*) AS ci FROM kept GROUP BY i), " +
-       "pc AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS pair_baskets " +
-       "FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i " +
-       "GROUP BY 1, 2 HAVING count(*) >= 2) " +
-       "SELECT item_a, item_b, pair_baskets, " +
-       "ia.ci AS item_a_baskets, ib.ci AS item_b_baskets, nb.n_baskets, " +
-       "CAST(round((pair_baskets * nb.n_baskets * 1000000.0) / (ia.ci * ib.ci)) " +
-       "AS BIGINT) AS lift_micro, " +
-       "CAST(round((pair_baskets * 1000000.0) / (ia.ci + ib.ci - pair_baskets)) " +
-       "AS BIGINT) AS jaccard_micro " +
-       "FROM pc JOIN ic ia ON pc.item_a = ia.i JOIN ic ib ON pc.item_b = ib.i " +
-       "CROSS JOIN nb ORDER BY item_a, item_b"),
+    "graph_copurchase" -> CopurchaseSql,
+
+    // the incremental serve's contract: == the one-shot operator on the
+    // union of the basket-disjoint batches — the SAME oracle verbatim
+    "graph_copurchase_incremental" -> CopurchaseSql,
 
     "graph_triangles" ->
       ("WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +

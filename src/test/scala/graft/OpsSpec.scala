@@ -48,6 +48,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("B", "C")) == ((2L, 4L, 2L, 4L, 1000000L, 500000L)))
   }
 
+  test("coOccurrence store: merged serve == one-shot; minPairCount floors MERGED counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    // (A,B) co-occurs ONCE per batch — below the floor per batch, count 2
+    // after the merge: it must survive, which proves the floor cannot be
+    // applied batch-side
+    val batch1 = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "C")).toDF("basket", "item")
+    val batch2 = Seq((3L, "A"), (3L, "B"), (4L, "B"), (4L, "C")).toDF("basket", "item")
+    val store = graft.operators.Graph.coOccurrenceStore(batch1, "basket", "item")
+      .unionByName(graft.operators.Graph.coOccurrenceStore(batch2, "basket", "item"))
+    val served = graft.operators.Graph.coOccurrenceFromStore(store, minPairCount = 2)
+    val direct = graft.operators.Graph.coOccurrence(
+      batch1.unionByName(batch2), "basket", "item", minPairCount = 2)
+    val s = served.collect().map(_.toString).sorted.toSeq
+    val d = direct.collect().map(_.toString).sorted.toSeq
+    assert(s == d, s"served=$s direct=$d")
+    assert(s.nonEmpty && s.exists(_.contains("[A,B,2,")),
+      s"(A,B) must survive the merged floor: $s")
+  }
+
   test("triangles: K4 + pendant, exact counts and clustering; normalization collapses dups/reverses/self-loops") {
     val spark2 = spark
     import spark2.implicits._
