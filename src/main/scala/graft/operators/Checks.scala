@@ -383,6 +383,56 @@ object Checks {
     *
     * Returns one row per suggestion, ordered (col_name, kind):
     * (col_name, kind, lo, hi, allowed, n_rows, n_nulls, n_distinct). */
+  /** Functional-dependency check over candidate (lhs → rhs) column pairs —
+    * the "is this column determined by that one" question behind schema
+    * normalization, join-key validation, and silent-denormalization-drift
+    * alerts. Per candidate: exact group/violation counts plus the g3
+    * repair cost (Kivinen & Mannila 1995) — the MINIMUM number of rows to
+    * delete so the FD holds, `n_rows − Σ_g max_v count(g, v)` — and its
+    * micro-quantized confidence. NULL lhs rows are excluded (an unknown
+    * key determines nothing); NULL rhs counts as a value (two rhs values
+    * NULL and 'x' under one lhs IS a violation).
+    *
+    * Scale shape: each candidate costs two key-bounded aggregates on ITS
+    * OWN lhs key ((lhs, rhs) count → per-lhs rollup → 1-row totals), so
+    * per-candidate cost is one shuffle of the candidate's group keys —
+    * aggregated tables only after the first groupBy; candidates union at
+    * the 1-row level. No candidate enumeration is attempted (p² blowup is
+    * the caller's dial, as in Deequ's per-check model).
+    *
+    * Returns one row per candidate: (lhs, rhs, n_rows, n_groups,
+    * n_violating_groups, g3_remove_rows, holds, confidence_micro). */
+  def fdCheck(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "fdCheck needs at least one (lhs, rhs) pair")
+    candidates.map { case (lhs, rhs) =>
+      val counts = df.filter(col(lhs).isNotNull)
+        .groupBy(col(lhs).as("__l"),
+          // NULL rhs participates as a value: carry it through the count
+          // grouping unchanged (groupBy groups NULLs together)
+          col(rhs).as("__r"))
+        .agg(count(lit(1)).as("__n"))
+      val perGroup = counts.groupBy(col("__l"))
+        .agg(sum(col("__n")).as("__rows"),
+          max(col("__n")).as("__keep"),
+          count(lit(1)).as("__variants"))
+      perGroup.agg(
+          sum(col("__rows")).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("__variants") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+          (sum(col("__rows")) - sum(col("__keep"))).as("g3_remove_rows"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          col("n_groups"),
+          coalesce(col("n_violating_groups"), lit(0L)).as("n_violating_groups"),
+          coalesce(col("g3_remove_rows"), lit(0L)).as("g3_remove_rows"))
+        .withColumn("holds", col("n_violating_groups") === 0L)
+        .withColumn("confidence_micro",
+          when(col("n_rows") === 0L, lit(1000000L)).otherwise(
+            round(((col("n_rows") - col("g3_remove_rows")) * lit(1000000.0)) /
+              col("n_rows")).cast("long")))
+    }.reduce(_ unionByName _)
+  }
+
   def suggest(df: DataFrame, maxSetSize: Int = 10): DataFrame = {
     import org.apache.spark.sql.types.{NumericType, StringType}
     require(maxSetSize >= 1, "maxSetSize must be at least 1")

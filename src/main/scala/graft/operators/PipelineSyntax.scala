@@ -93,6 +93,14 @@ object PipelineSyntax {
             "minPairCount" -> minPairCount, "maxBasketSize" -> maxBasketSize),
         pk = Some(Seq("item_a", "item_b")))
 
+    /** Functional-dependency check over candidate column pairs: one row
+      * per candidate, so (lhs, rhs) is the pk. */
+    def fdChecked(candidates: Seq[(String, String)]): MetaFrame =
+      derived(mf, Checks.fdCheck(mf.df, candidates),
+        "fd_check",
+        Map("candidates" -> candidates.map { case (l, r) => s"$l->$r" }.mkString(",")),
+        pk = Some(Seq("lhs", "rhs")))
+
     /** Per-node triangle counts + clustering over the frame's edge list:
       * one row per node, so `id` is the pk. */
     def trianglesOf(srcCol: String, dstCol: String): MetaFrame =

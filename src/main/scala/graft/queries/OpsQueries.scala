@@ -540,6 +540,17 @@ object OpsQueries {
         .orderBy("item_a", "item_b")
     }),
 
+    // functional-dependency check: a holding FD (orderkey→custkey, the pk
+    // law), a broken one (custkey→priority), and a broken categorical one
+    // (priority→status) — exact group/violation counts and the g3 repair
+    // cost per candidate, micro-quantized confidence
+    "dq_fd_check" -> ((s, d) =>
+      Checks.fdCheck(t(s, d, "orders").df, Seq(
+          ("o_orderkey", "o_custkey"),
+          ("o_custkey", "o_orderpriority"),
+          ("o_orderpriority", "o_orderstatus")))
+        .orderBy("lhs", "rhs")),
+
     // leakage-safe split: the hash split keyed on the near-dup COMPONENT
     // (here the exact fuzzy-edit pair graph) so near-duplicates can never
     // straddle a train/eval boundary; oracle re-derives pairs, components,
@@ -1054,6 +1065,28 @@ object OpsQueries {
        "ELSE CAST(round((coalesce(pn.n, 0) * 2 * 1000000.0) / " +
        "(deg.degree * (deg.degree - 1))) AS BIGINT) END AS clustering_micro " +
        "FROM deg LEFT JOIN pn USING (id) ORDER BY id"),
+
+    "dq_fd_check" -> {
+      def block(lhs: String, rhs: String): String =
+        s"(WITH counts AS (SELECT $lhs AS l, $rhs AS r, count(*) AS n FROM orders " +
+        s"WHERE $lhs IS NOT NULL GROUP BY 1, 2), " +
+        "pg AS (SELECT l, sum(n) AS rws, max(n) AS keep, count(*) AS var " +
+        "FROM counts GROUP BY l) " +
+        s"SELECT '$lhs' AS lhs, '$rhs' AS rhs, " +
+        "CAST(coalesce(sum(rws), 0) AS BIGINT) AS n_rows, " +
+        "CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(coalesce(sum(CASE WHEN var > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+        "AS n_violating_groups, " +
+        "CAST(coalesce(sum(rws) - sum(keep), 0) AS BIGINT) AS g3_remove_rows, " +
+        "coalesce(sum(CASE WHEN var > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds, " +
+        "CASE WHEN coalesce(sum(rws), 0) = 0 THEN 1000000 " +
+        "ELSE CAST(round(((sum(rws) - (sum(rws) - sum(keep))) * 1000000.0) / " +
+        "sum(rws)) AS BIGINT) END AS confidence_micro FROM pg)"
+      Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority"),
+          ("o_orderpriority", "o_orderstatus"))
+        .map { case (l, r) => block(l, r) }
+        .mkString("", " UNION ALL ", " ORDER BY lhs, rhs")
+    },
 
     "corpus_leakage_split" ->
       ("WITH RECURSIVE w AS (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents), " +

@@ -48,6 +48,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("B", "C")) == ((2L, 4L, 2L, 4L, 1000000L, 500000L)))
   }
 
+  test("fdCheck: holding FD, g3 repair cost, NULL-lhs exclusion, NULL-rhs-as-value") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("a")), (Some(1L), Some("b")),
+      (Some(2L), Some("c")), (Some(2L), Some("c")),
+      (Some(3L), None), (Some(3L), Some("d")),
+      (None, Some("e"))) // NULL lhs: excluded entirely
+      .toDF("k", "v")
+    val got = graft.operators.Checks.fdCheck(df, Seq(("k", "v")))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6), r.getLong(7))).head
+    // groups: 1 → {a:2, b:1} violating, keep 2; 2 → {c:2} clean; 3 →
+    // {NULL:1, d:1} violating (NULL rhs is a value), keep 1.
+    // rows 7, g3 = 7 − (2+2+1) = 2, confidence = 5/7
+    assert(got == ((7L, 3L, 2L, 2L, false, 714286L)), s"$got")
+    val clean = graft.operators.Checks.fdCheck(
+      Seq((1L, "x"), (2L, "y")).toDF("k", "v"), Seq(("k", "v")))
+      .collect().head
+    assert(clean.getBoolean(6) && clean.getLong(7) == 1000000L)
+  }
+
   test("coOccurrence store: merged serve == one-shot; minPairCount floors MERGED counts") {
     val spark2 = spark
     import spark2.implicits._
