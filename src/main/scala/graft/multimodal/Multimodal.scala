@@ -116,6 +116,110 @@ object Multimodal {
       }
     }
 
+    /** 64-bit perceptual hash (the classic DCT pHash): decode → 32×32
+      * block-averaged luminance (exact integer area mapping, pixel
+      * replication when the source is smaller) → 2D orthonormal DCT-II →
+      * the top-left 8×8 low-frequency block → bit k set iff its
+      * coefficient exceeds the block's AC mean (DC excluded from the mean
+      * and carried as bit 0 = 0). Two invariances fall out of the
+      * construction and are spec-pinned: a uniform brightness shift only
+      * moves the DC coefficient, and a positive contrast scale multiplies
+      * every AC coefficient AND their mean by the same factor — neither
+      * flips any bit (absent clipping). None for undecodable payloads.
+      *
+      * Row-local; the hash is 8 bytes per image, so the NEAR-DUP join
+      * ([[imageNearDup]]) never moves pixels — the SimHash scale story. */
+    def pHash64(content: Array[Byte]): Option[Long] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else {
+        val N = 32
+        val w = img.getWidth
+        val h = img.getHeight
+        // 32×32 block-averaged luminance (integer ITU-R 601 per pixel)
+        val lum = Array.ofDim[Double](N, N)
+        var ty = 0
+        while (ty < N) {
+          val y0 = ty * h / N
+          val y1 = math.min(h, math.max(y0 + 1, (ty + 1) * h / N))
+          var tx = 0
+          while (tx < N) {
+            val x0 = tx * w / N
+            val x1 = math.min(w, math.max(x0 + 1, (tx + 1) * w / N))
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            lum(ty)(tx) = sum.toDouble / ((y1 - y0) * (x1 - x0))
+            tx += 1
+          }
+          ty += 1
+        }
+        // separable orthonormal DCT-II, but only the 8 output rows/cols
+        // the hash reads — 8·32 dot products per axis, not 32·32
+        val K = 8
+        val cosT = Array.tabulate(K, N)((u, x) =>
+          math.cos((2 * x + 1) * u * math.Pi / (2 * N)) *
+            (if (u == 0) math.sqrt(1.0 / N) else math.sqrt(2.0 / N)))
+        val rows = Array.ofDim[Double](K, N) // DCT along y, keep 8 u-rows
+        var u = 0
+        while (u < K) {
+          var x = 0
+          while (x < N) {
+            var s = 0.0
+            var y = 0
+            while (y < N) { s += lum(y)(x) * cosT(u)(y); y += 1 }
+            rows(u)(x) = s
+            x += 1
+          }
+          u += 1
+        }
+        val block = Array.ofDim[Double](K, K)
+        u = 0
+        while (u < K) {
+          var v = 0
+          while (v < K) {
+            var s = 0.0
+            var x = 0
+            while (x < N) { s += rows(u)(x) * cosT(v)(x); x += 1 }
+            block(u)(v) = s
+            v += 1
+          }
+          u += 1
+        }
+        var acSum = 0.0
+        u = 0
+        while (u < K) {
+          var v = 0
+          while (v < K) { if (u != 0 || v != 0) acSum += block(u)(v); v += 1 }
+          u += 1
+        }
+        val mean = acSum / (K * K - 1)
+        var bits = 0L
+        u = 0
+        while (u < K) {
+          var v = 0
+          while (v < K) {
+            if ((u != 0 || v != 0) && block(u)(v) > mean)
+              bits |= 1L << (u * K + v)
+            v += 1
+          }
+          u += 1
+        }
+        Some(bits)
+      }
+    }
+
     /** Normalized variant of [[imageHistogram]] in the feature-vector shape. */
     def decodeImage(content: Array[Byte]): Option[Array[Double]] =
       imageHistogram(content).map { bins =>
@@ -438,6 +542,46 @@ object Multimodal {
         throw new IllegalStateException(s"payload for id ${r.id} is not a decodable image"))
       bins.iterator.zipWithIndex.map { case (n, b) => IdBinCount(r.id, b, n) }.toSeq
     }
+  }
+
+  /** Per-image perceptual hashes: (id, phash) with undecodable payloads
+    * DROPPED (a NULL hash can never near-dup; callers wanting fail-loud
+    * use [[MediaCodec.pHash64]] directly). Row-local decode + hash;
+    * 8 bytes per image leave this stage. */
+  def imagePHashes(media: Dataset[IdPng]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap(r => MediaCodec.pHash64(r.png).map(h => (r.id, h)))
+      .toDF("id", "phash")
+  }
+
+  /** Visual near-dup candidate pairs over perceptual hashes: 4×16-bit
+    * banding (any pair within Hamming 3 shares one clean band by
+    * pigeonhole — the SimHash recall dial, documented not hidden), then a
+    * row-local `bit_count(a ^ b)` confirm at `maxHamming`. The join moves
+    * only (id, hash) — pixels never shuffle. Returns
+    * (id_a, id_b, hamming), each pair once. */
+  def imageNearDup(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 10): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, "maxHamming must be in [0, 64]")
+    val bands = hashes
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__h"),
+        explode(sequence(lit(0), lit(3))).as("__band"))
+      .withColumn("__key", expr("shiftright(__h, cast(__band * 16 as int)) & 65535L"))
+    val a = bands.select(col("__band"), col("__key"),
+      col("__id").as("id_a"), col("__h").as("__ha"))
+    val b = bands.select(col("__band"), col("__key"),
+      col("__id").as("id_b"), col("__h").as("__hb"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(__ha ^ __hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   case class IdWav(id: Long, wav: Array[Byte])

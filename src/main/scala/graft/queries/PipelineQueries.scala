@@ -2126,6 +2126,28 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // perceptual-hash near-dup over the REAL PNG decode path: identical
+    // pixel patterns (the generator repeats exactly at id+256) MUST land
+    // in one hamming-0 pair — identical bytes → identical pHash → shared
+    // bands is a structural guarantee, so the oracle pins exact planted
+    // recall (the property-flag convention: DCT doubles aren't SQL, the
+    // guarantee is)
+    "mm_image_phash_neardup" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val ids = t(s, d, "documents").df.select(col("doc_id"))
+      val hashes = Multimodal.imagePHashes(
+        Multimodal.encodeDemoPng(ids, "doc_id"))
+      val found = Multimodal.imageNearDup(hashes, "id", "phash", maxHamming = 0)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val planted = ids.select(col("doc_id").as("id_a"))
+        .join(ids.select(col("doc_id").as("id_b")),
+          col("id_a") < col("id_b") && (col("id_b") - col("id_a")) % 256 === 0)
+      planted.join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_identical_pairs"),
+          (coalesce(sum(col("hit")), lit(0L)) === count(lit(1)))
+            .cast("long").as("recall_ok"))
+    }),
+
     // REAL audio container round-trip, oracle-checked: each doc gets a
     // deterministic 100-sample 16-bit mono PCM WAV (sample i =
     // ((doc_id·37+i·13) mod 65536) − 32768 at 16 kHz; container bytes
@@ -3362,6 +3384,11 @@ object PipelineQueries {
       ("SELECT doc_id, CAST(b AS INT) AS bin, " +
        "CAST(len(list_filter(range(0, 64), i -> (((doc_id*31+i)%256+256)%256)//16 = b)) AS BIGINT) AS n " +
        "FROM documents, range(0, 16) t(b) ORDER BY doc_id, bin"),
+
+    "mm_image_phash_neardup" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_identical_pairs, " +
+       "CAST(1 AS BIGINT) AS recall_ok FROM documents a JOIN documents b " +
+       "ON a.doc_id < b.doc_id AND (b.doc_id - a.doc_id) % 256 = 0"),
 
     // feature 0 of the audio decode = amplitude-bin-0 count / 100 samples;
     // k/100 has ≤2 decimals so round(...,6) can't hit a midpoint tie

@@ -120,4 +120,68 @@ class MultimodalSpec extends AnyFunSuite {
     val again = snapshot()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  // ------------------------------------------------------- perceptual hash
+
+  /** Deterministic grayscale PNG from a pixel-value function. */
+  private def grayPng(f: (Int, Int) => Int, n: Int = 64): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      n, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until n; x <- 0 until n) {
+      val v = math.max(0, math.min(255, f(x, y)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 8-px checkerboard (values 60/180) + deterministic per-pixel noise. */
+  private def checker(noiseSeed: Int)(x: Int, y: Int): Int = {
+    val base = if (((x / 8) + (y / 8)) % 2 == 0) 60 else 180
+    val lcg = (x * 73856093 ^ y * 19349663 ^ noiseSeed * 83492791) & 0x7fffffff
+    base + (lcg % 9) - 4 // ±4 high-frequency noise
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("pHash: uniform brightness shift is bit-identical (DC-only); decode failure is None") {
+    val h1 = Multimodal.MediaCodec.pHash64(grayPng(checker(1))).get
+    val h2 = Multimodal.MediaCodec.pHash64(grayPng((x, y) => checker(1)(x, y) + 20)).get
+    assert(h1 == h2, s"brightness must only move DC: ${hamming(h1, h2)} bits flipped")
+    assert(Multimodal.MediaCodec.pHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("pHash: same structure under fresh noise stays near; different structure lands far") {
+    val base = Multimodal.MediaCodec.pHash64(grayPng(checker(1))).get
+    val renoised = Multimodal.MediaCodec.pHash64(grayPng(checker(2))).get
+    // same low-frequency structure, independent high-frequency noise
+    assert(hamming(base, renoised) <= 8,
+      s"re-noised checkerboard drifted ${hamming(base, renoised)} bits")
+    // inverted checkerboard: every low-frequency coefficient flips sign
+    val inverted = Multimodal.MediaCodec.pHash64(
+      grayPng((x, y) => 240 - checker(1)(x, y))).get
+    assert(hamming(base, inverted) >= 16,
+      s"inverted structure too close: ${hamming(base, inverted)} bits")
+    // smaller-than-32px source rides the pixel-replication branch
+    assert(Multimodal.MediaCodec.pHash64(grayPng(checker(1), n = 16)).isDefined)
+  }
+
+  test("imageNearDup: planted visual near-dups pair up; unrelated and undecodable don't") {
+    import spark.implicits._
+    // 1 and 2: identical structure, two pixels retouched (hamming ≤ 3 →
+    // banding recall guaranteed); 3: inverted structure; 4: not an image
+    def retouched(x: Int, y: Int): Int =
+      if ((x, y) == ((3, 3)) || (x, y) == ((40, 17))) 128 else checker(1)(x, y)
+    val media = Seq(
+      Multimodal.IdPng(1L, grayPng(checker(1))),
+      Multimodal.IdPng(2L, grayPng(retouched)),
+      Multimodal.IdPng(3L, grayPng((x, y) => 240 - checker(1)(x, y))),
+      Multimodal.IdPng(4L, "definitely not a png".getBytes)).toDS()
+    val hashes = Multimodal.imagePHashes(media)
+    assert(hashes.count() == 3, "undecodable payload must drop, not null out")
+    val pairs = Multimodal.imageNearDup(hashes, "id", "phash", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
