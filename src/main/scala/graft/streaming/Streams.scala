@@ -924,6 +924,31 @@ object Streams {
       }
       .start()
 
+  /** Streaming co-occurrence store builder — the stream twin of
+    * [[graft.operators.Graph.coOccurrenceStore]]: each micro-batch emits
+    * its (pair, item, total) count-store rows through the LITERALLY
+    * SHARED batch builder, tagged batch_id; the union of everything ever
+    * emitted re-merges via `coOccurrenceFromStore` to exactly the
+    * one-shot operator over all batches (pinned in StreamingSpec). The
+    * basket-partition contract carries over: each micro-batch must hold
+    * COMPLETE baskets (a session-window or basket-keyed upstream
+    * guarantees it), because cross-batch pairs of a straddling basket are
+    * invisible to every batch's builder. minPairCount is deliberately
+    * absent here — the floor belongs at serve time over merged counts. */
+  def coOccurrenceStoreStream(
+      stream: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasketSize: Int = 100)(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Graph
+          .coOccurrenceStore(batch, basketCol, itemCol, maxBasketSize)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Convenience: run any streaming frame into an in-memory table and block
     * until every available input is processed (local smoke pattern). */
   def runToMemory(df: DataFrame, queryName: String, mode: OutputMode): StreamingQuery = {

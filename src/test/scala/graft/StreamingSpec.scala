@@ -1174,6 +1174,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(byBatch(1L)(1) == Some(2000000L), s"reversed shard flags at 2e6: $buf")
   }
 
+  test("streaming co-occurrence store: union of emitted batch stores serves == one-shot batch") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val ms = MemoryStream[(Long, String)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = Streams.coOccurrenceStoreStream(
+        ms.toDF().toDF("basket", "item"), "basket", "item") { store =>
+      val rows = store.collect()
+      buf.synchronized { buf ++= rows }
+    }
+    // basket-disjoint micro-batches; (A,B) once per batch — the serve-time
+    // floor must still see count 2
+    val b1 = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "C"))
+    val b2 = Seq((3L, "A"), (3L, "B"), (4L, "B"), (4L, "C"))
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.map(_.getLong(4)).distinct.sorted == Seq(0L, 1L), "both batch_ids present")
+    val storedRows: Seq[(String, String, String, Long)] = buf.toSeq.map { r =>
+      (r.getString(0), Option(r.getString(1)).orNull,
+        Option(r.getString(2)).orNull, r.getLong(3))
+    }
+    val stored = storedRows.toDF("kind", "item_a", "item_b", "n")
+    val served = Graph.coOccurrenceFromStore(stored, minPairCount = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Graph.coOccurrence((b1 ++ b2).toDF("basket", "item"),
+        "basket", "item", minPairCount = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == direct, s"served=$served direct=$direct")
+    assert(served.exists(_.contains("[A,B,2,")), s"merged floor must keep (A,B): $served")
+  }
+
   test("psi monitor scores micro-batch drift against the frozen baseline") {
     import spark.implicits._
     import graft.operators.Checks
