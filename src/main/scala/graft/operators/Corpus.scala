@@ -1554,6 +1554,79 @@ object Corpus {
         concat(gSafe, lit("\u0000"), col("bin").cast("string"))).as("bucket"))
   }
 
+  /** Cross-source quantile normalization — the score-calibration step
+    * before any GLOBAL threshold over per-source scores: a 0.7 from a
+    * lenient scorer and a 0.7 from a strict one are not the same quality,
+    * so each row's score is replaced by the GLOBAL distribution's value
+    * at the row's WITHIN-GROUP quantile (classic quantile mapping, the
+    * genomics quantile-normalization trick applied to quality scores).
+    * Two rows at the same within-group rank always get the same
+    * normalized value regardless of their groups' raw scales (pinned).
+    *
+    * Same scalable contract as [[scoreBucketsBy]]: scores quantize to
+    * `binWidthMicro` bins, the (group, bin) histogram collects as driver
+    * metadata (bounded by groups × bins), and every row pays one
+    * broadcast map lookup — the score column never shuffles. Within-bin
+    * rows share the bin's MID-RANK
+    * (`((2·cumBefore + c)·1e6) div (2n)` — a single row lands at its
+    * true mid position, a singleton group at 500000), and the normalized
+    * value is the lower bound (`bin · binWidthMicro`) of the global bin
+    * containing the mid-rank's global position — all integer, exactly
+    * re-derivable in SQL. NULL groups normalize among themselves (the
+    * scoreBucketsBy sentinel convention).
+    *
+    * Returns one row per input row:
+    * (id, group, score, bin, rank_micro, normalized_score_micro). */
+  def quantileNormalizeBy(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      binWidthMicro: Long = 1000L): DataFrame = {
+    require(binWidthMicro >= 1, "binWidthMicro must be at least 1")
+    val sm = round(col(scoreCol) * lit(1e6)).cast("long")
+    val binned = df.withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
+    val gSafe = coalesce(col(groupCol).cast("string"), lit("<null>"))
+    val hist = binned.groupBy(gSafe.as("g"), col("bin"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // global cumulative row intervals per bin, sorted by bin
+    val globalCum: Array[(Long, Long, Long)] = { // (bin, start, end)
+      var cum = 0L
+      hist.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+        .map { case (b, c) => val e = (b, cum, cum + c); cum += c; e }.toArray
+    }
+    val nTotal = globalCum.lastOption.map(_._3).getOrElse(0L)
+    def globalBinAt(p: Long): Long = {
+      var lo = 0
+      var hi = globalCum.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (globalCum(mid)._3 <= p) lo = mid + 1 else hi = mid
+      }
+      globalCum(lo)._1
+    }
+    val mapping: Map[String, (Long, Long)] = hist.groupBy(_._1).toSeq
+      .flatMap { case (g, rows) =>
+        val n = rows.map(_._3).sum
+        var cum = 0L
+        rows.sortBy(_._2).map { case (_, b, c) =>
+          val rankMicro = ((2 * cum + c) * 1000000L) / (2 * math.max(n, 1L))
+          cum += c
+          val p = math.min(nTotal - 1, (rankMicro * nTotal) / 1000000L)
+          s"$g\u0000$b" -> ((rankMicro, globalBinAt(p) * binWidthMicro))
+        }
+      }.toMap
+    binned
+      .select(col(idCol).as("id"), col(groupCol).as("group"),
+        col(scoreCol).as("score"), col("bin"),
+        element_at(typedLit(mapping),
+          concat(gSafe, lit("\u0000"), col("bin").cast("string"))).as("__m"))
+      .select(col("id"), col("group"), col("score"), col("bin"),
+        col("__m._1").as("rank_micro"),
+        col("__m._2").as("normalized_score_micro"))
+  }
+
   /** CCNet perplexity tiers (Wenzek et al., "CCNet: Extracting High
     * Quality Monolingual Datasets from Web Crawl Data", 2020) — the
     * head/middle/tail split: score every document with a FROZEN unigram

@@ -93,6 +93,19 @@ object PipelineSyntax {
             "minPairCount" -> minPairCount, "maxBasketSize" -> maxBasketSize),
         pk = Some(Seq("item_a", "item_b")))
 
+    /** Cross-source quantile normalization of `scoreCol` within
+      * `groupCol`: one row per input row keyed by `id`. */
+    def quantileNormalizedBy(groupCol: String, idCol: String, scoreCol: String,
+        binWidthMicro: Long = 1000L): MetaFrame =
+      derived(mf,
+        Corpus.quantileNormalizeBy(mf.df, groupCol, idCol, scoreCol, binWidthMicro),
+        "quantile_normalize",
+        Map("group" -> groupCol, "id" -> idCol, "score" -> scoreCol,
+            "binWidthMicro" -> binWidthMicro),
+        pk = Some(Seq("id")),
+        pkVerified = mf.primaryKey.contains(Seq(idCol)) &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+
     /** Functional-dependency check over candidate column pairs: one row
       * per candidate, so (lhs, rhs) is the pk. */
     def fdChecked(candidates: Seq[(String, String)]): MetaFrame =

@@ -1029,6 +1029,17 @@ object PipelineQueries {
     // tiers (bin width 1000 micro = 3 quality decimals): histogram,
     // integer cumulative thresholds, row-local assignment — fully
     // re-derivable in SQL
+    // cross-source quantile normalization: per-lang quality scores mapped
+    // onto the GLOBAL distribution at the row's within-group mid-rank —
+    // the calibration step before a global threshold; all-integer mapping
+    // (mid-rank div, global-position div, bin lower bound), full oracle
+    "corpus_quantile_normalize" -> ((s, d) =>
+      Corpus.quantileNormalizeBy(
+          t(s, d, "documents").df
+            .withColumn("quality", TextFunctions.qualityScore(col("text"))),
+          "lang", "doc_id", "quality")
+        .orderBy("id")),
+
     "corpus_quality_buckets" -> ((s, d) =>
       Corpus.scoreBuckets(
           t(s, d, "documents").df
@@ -2706,6 +2717,35 @@ object PipelineQueries {
 
     // same quality formula, micro-quantized bins, window cumulative
     // counts, integer bucket thresholds
+    "corpus_quantile_normalize" ->
+      ("WITH qq AS (SELECT doc_id, lang, text, " +
+       "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+       "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stopword_hits " +
+       "FROM documents), " +
+       "s AS (SELECT doc_id AS id, lang AS grp, " + QualityScoreSql + " AS score FROM qq), " +
+       "b AS (SELECT id, grp, score, CAST(floor(round(score * 1000000) / 1000) AS BIGINT) AS bin FROM s), " +
+       "h AS (SELECT grp, bin, count(*) AS c FROM b GROUP BY 1, 2), " +
+       "gn AS (SELECT grp, sum(c) AS n FROM h GROUP BY grp), " +
+       "gc AS (SELECT grp, bin, c, coalesce(sum(c) OVER (PARTITION BY grp ORDER BY bin " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM h), " +
+       "r AS (SELECT gc.grp, gc.bin, " +
+       "((2 * gc.cb + gc.c) * 1000000) // (2 * greatest(gn.n, 1)) AS rank_micro " +
+       "FROM gc JOIN gn ON gc.grp = gn.grp), " +
+       "gh AS (SELECT bin, sum(c) AS c FROM h GROUP BY bin), " +
+       "gcum AS (SELECT bin, coalesce(sum(c) OVER (ORDER BY bin " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st, " +
+       "sum(c) OVER (ORDER BY bin) AS en FROM gh), " +
+       "nt AS (SELECT sum(c) AS n FROM gh), " +
+       "m AS (SELECT r.grp, r.bin, r.rank_micro, g2.bin * 1000 AS norm " +
+       "FROM r CROSS JOIN nt JOIN gcum g2 " +
+       "ON least(nt.n - 1, (r.rank_micro * nt.n) // 1000000) >= g2.st " +
+       "AND least(nt.n - 1, (r.rank_micro * nt.n) // 1000000) < g2.en) " +
+       "SELECT b.id, b.grp AS \"group\", b.score, b.bin, " +
+       "CAST(m.rank_micro AS BIGINT) AS rank_micro, " +
+       "CAST(m.norm AS BIGINT) AS normalized_score_micro " +
+       "FROM b JOIN m ON b.grp = m.grp AND b.bin = m.bin ORDER BY b.id"),
+
     "corpus_quality_buckets" ->
       ("WITH qq AS (SELECT doc_id, source, text, " +
        "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +

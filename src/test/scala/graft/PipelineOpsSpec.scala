@@ -2270,6 +2270,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0L, 0L, "c1 c2 c3")))
   }
 
+  test("quantileNormalizeBy: same within-group rank → same normalized value across scales") {
+    import spark.implicits._
+    // two groups with disjoint raw scales; rank-aligned rows must land on
+    // identical normalized values
+    val df = Seq(
+      (1L, "A", 0.1), (2L, "A", 0.2), (3L, "A", 0.3),
+      (4L, "B", 0.7), (5L, "B", 0.8), (6L, "B", 0.9)
+    ).toDF("id", "g", "s")
+    val got = Corpus.quantileNormalizeBy(df, "g", "id", "s")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    // hand-derived: bins 100/200/300/700/800/900 each count 1, N=6;
+    // mid-ranks per group (n=3): 166666 / 500000 / 833333 → global
+    // positions 0 / 3 / 4 → bins 100 / 700 / 800 → micro 100000/700000/800000
+    assert(got(1L) == ((166666L, 100000L)), s"$got")
+    assert(got(2L) == ((500000L, 700000L)), s"$got")
+    assert(got(3L) == ((833333L, 800000L)), s"$got")
+    assert(got(4L) == got(1L) && got(5L) == got(2L) && got(6L) == got(3L),
+      s"rank-aligned rows must normalize identically: $got")
+    // singleton group sits at the median rank
+    val solo = Corpus.quantileNormalizeBy(
+      Seq((1L, "X", 0.5)).toDF("id", "g", "s"), "g", "id", "s")
+      .collect().head
+    assert(solo.getLong(4) == 500000L)
+  }
+
   test("leakageSafeSplit: near-dup components never straddle a split; unpaired rows match hashSplit") {
     import spark.implicits._
     val corpus = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
