@@ -383,6 +383,57 @@ object Checks {
     *
     * Returns one row per suggestion, ordered (col_name, kind):
     * (col_name, kind, lo, hi, allowed, n_rows, n_nulls, n_distinct). */
+  /** Join pre-flight: the "will this join explode?" check a 100 TB
+    * warehouse runs BEFORE an equi-join, from the two key histograms
+    * alone — exact output cardinality (Σ_k cA(k)·cB(k)), matched-key
+    * count, and the top-K contributing keys with per-side counts and
+    * output shares, so a fan-out key is named before it takes down a
+    * stage. Everything is exact integer arithmetic over AGGREGATED
+    * tables: two key-count reduces, one join of the (far smaller)
+    * histograms, a 1-row broadcast total, and a TakeOrderedAndProject
+    * top-K — the payload rows never move. NULL keys never join and are
+    * excluded. `amplification_micro` = round(out·1e6 / (nA + nB)) — the
+    * blow-up factor relative to just scanning both inputs.
+    *
+    * Returns the top-K keys by contribution, each row also carrying the
+    * join-wide totals: (key, n_left, n_right, contribution, share_micro,
+    * est_output_rows, n_matched_keys, n_left_rows, n_right_rows,
+    * amplification_micro). */
+  def joinPreflight(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val ca = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val cb = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    val contrib = ca.join(cb, Seq("key"))
+      .withColumn("contribution", col("n_left") * col("n_right"))
+    val totals = contrib.agg(
+        coalesce(sum(col("contribution")), lit(0L)).as("est_output_rows"),
+        count(lit(1)).as("n_matched_keys"))
+      .crossJoin(ca.agg(coalesce(sum(col("n_left")), lit(0L)).as("n_left_rows")))
+      .crossJoin(cb.agg(coalesce(sum(col("n_right")), lit(0L)).as("n_right_rows")))
+      .withColumn("amplification_micro",
+        when(col("n_left_rows") + col("n_right_rows") === 0L, lit(0L)).otherwise(
+          round((col("est_output_rows") * lit(1000000.0)) /
+            (col("n_left_rows") + col("n_right_rows"))).cast("long")))
+    contrib
+      .orderBy(col("contribution").desc, col("key").asc)
+      .limit(topK)
+      .crossJoin(broadcast(totals))
+      .withColumn("share_micro",
+        when(col("est_output_rows") === 0L, lit(0L)).otherwise(
+          round((col("contribution") * lit(1000000.0)) / col("est_output_rows"))
+            .cast("long")))
+      .select(col("key"), col("n_left"), col("n_right"), col("contribution"),
+        col("share_micro"), col("est_output_rows"), col("n_matched_keys"),
+        col("n_left_rows"), col("n_right_rows"), col("amplification_micro"))
+  }
+
   /** Functional-dependency check over candidate (lhs → rhs) column pairs —
     * the "is this column determined by that one" question behind schema
     * normalization, join-key validation, and silent-denormalization-drift

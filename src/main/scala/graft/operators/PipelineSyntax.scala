@@ -106,6 +106,16 @@ object PipelineSyntax {
         pkVerified = mf.primaryKey.contains(Seq(idCol)) &&
           mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
 
+    /** Join pre-flight against `right`: top-K contributing keys + totals;
+      * each surviving key appears once, so `key` is the pk. */
+    def joinPreflightWith(leftKey: String, right: MetaFrame, rightKey: String,
+        topK: Int = 10): MetaFrame =
+      derived(mf,
+        Checks.joinPreflight(mf.df, leftKey, right.df, rightKey, topK),
+        "join_preflight",
+        Map("leftKey" -> leftKey, "rightKey" -> rightKey, "topK" -> topK),
+        pk = Some(Seq("key")))
+
     /** Functional-dependency check over candidate column pairs: one row
       * per candidate, so (lhs, rhs) is the pk. */
     def fdChecked(candidates: Seq[(String, String)]): MetaFrame =

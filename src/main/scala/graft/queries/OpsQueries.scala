@@ -540,6 +540,16 @@ object OpsQueries {
         .orderBy("item_a", "item_b")
     }),
 
+    // join pre-flight: the every-event × purchase-event self-join on
+    // user_id — exact output cardinality, matched keys, amplification,
+    // and the top-10 contributing keys, all from the two key histograms
+    "dq_join_preflight" -> ((s, d) => {
+      val ev = t(s, d, "events").df
+      Checks.joinPreflight(ev, "user_id",
+          ev.filter(col("event_type") === "purchase"), "user_id", topK = 10)
+        .orderBy(desc("contribution"), col("key"))
+    }),
+
     // functional-dependency check: a holding FD (orderkey→custkey, the pk
     // law), a broken one (custkey→priority), and a broken categorical one
     // (priority→status) — exact group/violation counts and the g3 repair
@@ -1065,6 +1075,29 @@ object OpsQueries {
        "ELSE CAST(round((coalesce(pn.n, 0) * 2 * 1000000.0) / " +
        "(deg.degree * (deg.degree - 1))) AS BIGINT) END AS clustering_micro " +
        "FROM deg LEFT JOIN pn USING (id) ORDER BY id"),
+
+    "dq_join_preflight" ->
+      ("WITH ca AS (SELECT user_id AS key, count(*) AS n_left FROM events " +
+       "WHERE user_id IS NOT NULL GROUP BY 1), " +
+       "cb AS (SELECT user_id AS key, count(*) AS n_right FROM events " +
+       "WHERE user_id IS NOT NULL AND event_type = 'purchase' GROUP BY 1), " +
+       "c AS (SELECT key, n_left, n_right, n_left * n_right AS contribution " +
+       "FROM ca JOIN cb USING (key)), " +
+       "t AS (SELECT coalesce(sum(contribution), 0) AS est_output_rows, " +
+       "count(*) AS n_matched_keys FROM c), " +
+       "tl AS (SELECT coalesce(sum(n_left), 0) AS n_left_rows FROM ca), " +
+       "tr AS (SELECT coalesce(sum(n_right), 0) AS n_right_rows FROM cb) " +
+       "SELECT key, n_left, n_right, contribution, " +
+       "CAST(CASE WHEN est_output_rows = 0 THEN 0 ELSE " +
+       "round((contribution * 1000000.0) / est_output_rows) END AS BIGINT) AS share_micro, " +
+       "CAST(est_output_rows AS BIGINT) AS est_output_rows, " +
+       "CAST(n_matched_keys AS BIGINT) AS n_matched_keys, " +
+       "CAST(n_left_rows AS BIGINT) AS n_left_rows, " +
+       "CAST(n_right_rows AS BIGINT) AS n_right_rows, " +
+       "CAST(CASE WHEN n_left_rows + n_right_rows = 0 THEN 0 ELSE " +
+       "round((est_output_rows * 1000000.0) / (n_left_rows + n_right_rows)) END " +
+       "AS BIGINT) AS amplification_micro " +
+       "FROM c, t, tl, tr ORDER BY contribution DESC, key LIMIT 10"),
 
     "dq_fd_check" -> {
       def block(lhs: String, rhs: String): String =

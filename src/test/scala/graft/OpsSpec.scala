@@ -48,6 +48,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("B", "C")) == ((2L, 4L, 2L, 4L, 1000000L, 500000L)))
   }
 
+  test("joinPreflight: exact contributions, NULL keys excluded, deterministic top-K tiebreak") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq(Some(1L), Some(1L), Some(1L), Some(2L), Some(2L), Some(3L), None)
+      .toDF("k")
+    val right = Seq(Some(1L), Some(1L), Some(2L), Some(2L), Some(2L), Some(9L), None)
+      .toDF("k")
+    val rows = graft.operators.Checks.joinPreflight(left, "k", right, "k", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9))).sortBy(-_._4)
+    // key 1: 3×2=6; key 2: 2×3=6 (tie → key asc keeps both, order by key);
+    // key 3 and 9 unmatched; NULLs excluded everywhere
+    // totals: out=12, matched=2, nL=6 (NULL dropped), nR=6, amp=1e6
+    assert(rows.toSeq == Seq(
+      (1L, 3L, 2L, 6L, 500000L, 12L, 2L, 6L, 6L, 1000000L),
+      (2L, 2L, 3L, 6L, 500000L, 12L, 2L, 6L, 6L, 1000000L)), s"${rows.toSeq}")
+  }
+
   test("fdCheck: holding FD, g3 repair cost, NULL-lhs exclusion, NULL-rhs-as-value") {
     val spark2 = spark
     import spark2.implicits._
