@@ -220,6 +220,53 @@ object Multimodal {
       }
     }
 
+    /** 64-bit audio fingerprint — the WAV twin of [[pHash64]]: decode via
+      * the from-scratch RIFF parser ([[wavPcm16]]) → 64 equal frames of
+      * summed absolute amplitude (integer energies; short frames below 64
+      * samples replicate, matching pHash's pixel replication) → 1D
+      * orthonormal DCT-II over the energy envelope → bit k set iff
+      * coefficient k exceeds the AC mean (DC excluded, bit 0 = 0). The
+      * pHash invariance carries over exactly: a VOLUME scale multiplies
+      * every energy, hence every AC coefficient and their mean, by the
+      * same factor — bit-identical fingerprints (absent clipping),
+      * spec-pinned. None for undecodable payloads. */
+    def audioFingerprint64(content: Array[Byte]): Option[Long] =
+      wavPcm16(content).map { case (_, samples) =>
+        val N = 64
+        val n = samples.length
+        val energy = new Array[Double](N)
+        var f = 0
+        while (f < N) {
+          val s0 = f * n / N
+          val s1 = math.min(n, math.max(s0 + 1, (f + 1) * n / N))
+          var sum = 0L
+          var i = s0
+          while (i < s1) { sum += math.abs(samples(i).toLong); i += 1 }
+          energy(f) = sum.toDouble / (s1 - s0)
+          f += 1
+        }
+        val coef = new Array[Double](N)
+        var u = 0
+        while (u < N) {
+          var s = 0.0
+          var x = 0
+          while (x < N) {
+            s += energy(x) * math.cos((2 * x + 1) * u * math.Pi / (2 * N))
+            x += 1
+          }
+          coef(u) = s * (if (u == 0) math.sqrt(1.0 / N) else math.sqrt(2.0 / N))
+          u += 1
+        }
+        var acSum = 0.0
+        u = 1
+        while (u < N) { acSum += coef(u); u += 1 }
+        val mean = acSum / (N - 1)
+        var bits = 0L
+        u = 1
+        while (u < N) { if (coef(u) > mean) bits |= 1L << u; u += 1 }
+        bits
+      }
+
     /** Normalized variant of [[imageHistogram]] in the feature-vector shape. */
     def decodeImage(content: Array[Byte]): Option[Array[Double]] =
       imageHistogram(content).map { bins =>
@@ -554,11 +601,20 @@ object Multimodal {
       .toDF("id", "phash")
   }
 
-  /** Visual near-dup candidate pairs over perceptual hashes: 4×16-bit
-    * banding (any pair within Hamming 3 shares one clean band by
+  /** Per-clip audio fingerprints: (id, afp) with undecodable payloads
+    * dropped — the WAV twin of [[imagePHashes]]. */
+  def audioFingerprints(media: Dataset[IdWav]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap(r => MediaCodec.audioFingerprint64(r.wav).map(h => (r.id, h)))
+      .toDF("id", "afp")
+  }
+
+  /** Visual/auditory near-dup candidate pairs over 64-bit perceptual
+    * hashes (works on any long hash column — pHash, audio fingerprint):
+    * 4×16-bit banding (any pair within Hamming 3 shares one clean band by
     * pigeonhole — the SimHash recall dial, documented not hidden), then a
     * row-local `bit_count(a ^ b)` confirm at `maxHamming`. The join moves
-    * only (id, hash) — pixels never shuffle. Returns
+    * only (id, hash) — pixels/samples never shuffle. Returns
     * (id_a, id_b, hamming), each pair once. */
   def imageNearDup(
       hashes: DataFrame,

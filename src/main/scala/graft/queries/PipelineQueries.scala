@@ -2159,6 +2159,45 @@ object PipelineQueries {
             .cast("long").as("recall_ok"))
     }),
 
+    // audio-fingerprint volume invariance over the WHOLE corpus: per doc,
+    // a quarter-volume demo clip and its exact 2x-volume twin must
+    // fingerprint bit-identically (energies, AC coefficients, and their
+    // mean all scale together — the pHash argument in 1D; exact because
+    // the doubled samples are exact integer multiples, no clipping at
+    // quarter range). Property oracle: every doc passes.
+    "mm_audio_fp_invariance" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val session = s
+      import session.implicits._
+      val fps = t(s, d, "documents").df.select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { ids =>
+          val header = Multimodal.wavHeader(Multimodal.DemoWavSamples, 16000)
+          def wav(id: Long, vol: Int): Array[Byte] = {
+            val pcm = new Array[Byte](Multimodal.DemoWavSamples * 2)
+            var i = 0
+            while (i < Multimodal.DemoWavSamples) {
+              val base = ((((id * 37 + i * 13) % 65536 + 65536) % 65536) - 32768).toInt / 4
+              val v = base * vol
+              pcm(2 * i) = (v & 0xff).toByte
+              pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            val out = new Array[Byte](header.length + pcm.length)
+            System.arraycopy(header, 0, out, 0, header.length)
+            System.arraycopy(pcm, 0, out, header.length, pcm.length)
+            out
+          }
+          ids.map { id =>
+            val a = Multimodal.MediaCodec.audioFingerprint64(wav(id, 1))
+            val b = Multimodal.MediaCodec.audioFingerprint64(wav(id, 2))
+            (id, a.isDefined && a == b)
+          }
+        }.toDF("doc_id", "ok")
+      fps.agg(count(lit(1)).as("n_docs"),
+        (coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)) === count(lit(1)))
+          .cast("long").as("all_invariant"))
+    }),
+
     // REAL audio container round-trip, oracle-checked: each doc gets a
     // deterministic 100-sample 16-bit mono PCM WAV (sample i =
     // ((doc_id·37+i·13) mod 65536) − 32768 at 16 kHz; container bytes
@@ -3429,6 +3468,10 @@ object PipelineQueries {
       ("SELECT CAST(count(*) AS BIGINT) AS n_identical_pairs, " +
        "CAST(1 AS BIGINT) AS recall_ok FROM documents a JOIN documents b " +
        "ON a.doc_id < b.doc_id AND (b.doc_id - a.doc_id) % 256 = 0"),
+
+    "mm_audio_fp_invariance" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(1 AS BIGINT) AS all_invariant " +
+       "FROM documents"),
 
     // feature 0 of the audio decode = amplitude-bin-0 count / 100 samples;
     // k/100 has ≤2 decimals so round(...,6) can't hit a midpoint tie

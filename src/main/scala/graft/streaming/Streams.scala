@@ -924,6 +924,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming functional-dependency monitor — the stream twin of
+    * [[graft.operators.Checks.fdCheck]]: each micro-batch's candidate
+    * verdicts (violations, g3 repair cost, confidence) computed through
+    * the LITERALLY SHARED checker and tagged batch_id. Batch-scope
+    * semantics like [[dqMonitorStream]]: zero cross-batch state — an FD
+    * that holds globally but breaks inside one shard's batch flags in
+    * exactly the batch that carries the contradiction, which is the
+    * denormalization-drift alert this exists for. */
+  def fdMonitorStream(
+      stream: DataFrame,
+      candidates: Seq[(String, String)])(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Checks.fdCheck(batch, candidates)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Streaming co-occurrence store builder — the stream twin of
     * [[graft.operators.Graph.coOccurrenceStore]]: each micro-batch emits
     * its (pair, item, total) count-store rows through the LITERALLY

@@ -67,6 +67,15 @@ object AuditScale {
     // (user-key windows + aggregated-grid windows), KLL store (map-side
     // sketch partials), A-ES sampling + PMI (row-local keys / two reduces,
     // TakeOrderedAndProject top-k)
+    // round-14 wave: co-occurrence (+store twin), triangles (degree-
+    // oriented wedges), FD check (per-candidate key aggregates), join
+    // pre-flight (histogram-only), quantile normalization (driver-metadata
+    // map), leakage split (CC over the pair graph), z-order (row-local
+    // z + one range exchange), pHash near-dup (row-local decode + banding)
+    "graph_copurchase", "graph_copurchase_incremental", "graph_triangles",
+    "dq_fd_check", "dq_join_preflight", "corpus_quantile_normalize",
+    "corpus_leakage_split", "layout_zorder", "mm_image_phash_neardup",
+    "agg_theta_segments",
     "dq_suggest", "search_hybrid_rrf", "search_bm25_expanded",
     "events_top_paths", "events_transitions", "events_attribution",
     "events_attribution_incremental", "events_anomaly_daily",
@@ -164,7 +173,18 @@ object AuditScale {
       // ≤ 2d chars) is a length-band join over two sides bounded by
       // construction — BNLJ there is the intended plan; the main candidate
       // path is the segment-key equi-join (PlanQualitySpec pins it)
-      "fuzzy_edit_operator")
+      "fuzzy_edit_operator",
+      // 1-row broadcast sides by construction: the basket-total crossJoin
+      // (copurchase direct + store-served), the join-preflight totals
+      // crossJoin, and zorder's 1-row min/max bounds crossJoin
+      "graph_copurchase", "graph_copurchase_incremental",
+      "dq_join_preflight", "layout_zorder",
+      // leakage split embeds the fuzzy pair graph → the bounded PassJoin
+      // short-string branch's length-band BNLJ
+      "corpus_leakage_split",
+      // the pHash property query's PLANTED side is a doc_id-arithmetic
+      // non-equi self-join (bounded: id pairs 256 apart), not the operator
+      "mm_image_phash_neardup")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

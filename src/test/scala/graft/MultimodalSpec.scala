@@ -145,6 +145,12 @@ class MultimodalSpec extends AnyFunSuite {
 
   private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Monotone crescendo: volume ramps linearly over the clip. */
+  private def crescendo(i: Int): Int = {
+    val tone = if ((i & 1) == 0) 1 else -1
+    (500 + (7500 * i) / 2048) * tone
+  }
+
   test("pHash: uniform brightness shift is bit-identical (DC-only); decode failure is None") {
     val h1 = Multimodal.MediaCodec.pHash64(grayPng(checker(1))).get
     val h2 = Multimodal.MediaCodec.pHash64(grayPng((x, y) => checker(1)(x, y) + 20)).get
@@ -165,6 +171,61 @@ class MultimodalSpec extends AnyFunSuite {
       s"inverted structure too close: ${hamming(base, inverted)} bits")
     // smaller-than-32px source rides the pixel-replication branch
     assert(Multimodal.MediaCodec.pHash64(grayPng(checker(1), n = 16)).isDefined)
+  }
+
+  /** 16-bit mono WAV from a sample function (values must fit a short). */
+  private def wavOf(f: Int => Int, n: Int = 2048): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = math.max(-32768, math.min(32767, f(i)))
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val header = Multimodal.wavHeader(n, 16000)
+    val out = new Array[Byte](header.length + pcm.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(pcm, 0, out, header.length, pcm.length)
+    out
+  }
+
+  /** Bursty envelope: one loud 128-sample block per `period` blocks — the
+    * period IS the rhythm, so different periods have genuinely different
+    * low-frequency energy envelopes. */
+  private def rhythm(period: Int)(i: Int): Int = {
+    val burst = (i / 128) % period == 0
+    val tone = if ((i & 1) == 0) 1 else -1
+    if (burst) 8000 * tone else 500 * tone
+  }
+
+  test("audioFingerprint64: volume scale is bit-identical; rhythm change lands far") {
+    val h1 = Multimodal.MediaCodec.audioFingerprint64(wavOf(rhythm(3))).get
+    // half volume: every frame energy, every AC coefficient, and their
+    // mean scale together — no bit may flip
+    val h2 = Multimodal.MediaCodec.audioFingerprint64(wavOf(i => rhythm(3)(i) / 2)).get
+    assert(h1 == h2, s"volume must not flip bits: ${hamming(h1, h2)}")
+    // a crescendo ramp has a structurally different energy envelope from
+    // any periodic burst train — far in low-frequency DCT space
+    val h3 = Multimodal.MediaCodec.audioFingerprint64(wavOf(crescendo)).get
+    assert(hamming(h1, h3) >= 12, s"different envelope too close: ${hamming(h1, h3)}")
+    // short clip rides the frame-replication branch; garbage is None
+    assert(Multimodal.MediaCodec.audioFingerprint64(wavOf(rhythm(3), n = 32)).isDefined)
+    assert(Multimodal.MediaCodec.audioFingerprint64("nope".getBytes).isEmpty)
+  }
+
+  test("audioFingerprints + near-dup join: retouched clip pairs, different rhythm doesn't") {
+    import spark.implicits._
+    def retouched(i: Int): Int =
+      if (i >= 512 && i < 520) 0 else rhythm(3)(i) // 8 samples muted
+    val media = Seq(
+      Multimodal.IdWav(1L, wavOf(rhythm(3))),
+      Multimodal.IdWav(2L, wavOf(retouched)),
+      Multimodal.IdWav(3L, wavOf(crescendo)),
+      Multimodal.IdWav(4L, "not audio".getBytes)).toDS()
+    val fps = Multimodal.audioFingerprints(media)
+    assert(fps.count() == 3)
+    val pairs = Multimodal.imageNearDup(fps, "id", "afp", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
   test("imageNearDup: planted visual near-dups pair up; unrelated and undecodable don't") {

@@ -1174,6 +1174,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(byBatch(1L)(1) == Some(2000000L), s"reversed shard flags at 2e6: $buf")
   }
 
+  test("fd monitor: per-batch verdicts bit-equal to the batch checker") {
+    import spark.implicits._
+    import graft.operators.Checks
+    val ms = MemoryStream[(Long, String)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Long)]()
+    val q = Streams.fdMonitorStream(
+        ms.toDF().toDF("k", "v"), Seq(("k", "v"))) { verdicts =>
+      val r = verdicts.select("batch_id", "holds", "g3_remove_rows").head()
+      buf.synchronized { buf += ((r.getLong(0), r.getBoolean(1), r.getLong(2))) }
+    }
+    val clean = Seq((1L, "a"), (2L, "b"), (1L, "a"))
+    val broken = Seq((5L, "x"), (5L, "y"), (5L, "x"), (6L, "z"))
+    try {
+      ms.addData(clean: _*); q.processAllAvailable()
+      ms.addData(broken: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.toSet == Set((0L, true, 0L), (1L, false, 1L)), s"$buf")
+    // bit-equality with the batch checker over the same rows
+    val batch = Checks.fdCheck(broken.toDF("k", "v"), Seq(("k", "v"))).head()
+    assert(batch.getBoolean(6) == false && batch.getLong(5) == 1L)
+  }
+
   test("streaming co-occurrence store: union of emitted batch stores serves == one-shot batch") {
     import spark.implicits._
     import graft.operators.Graph
