@@ -589,6 +589,50 @@ object Events {
       .select("event_type", "day", "n", "n_prior", "z_micro", "is_anomaly")
   }
 
+  /** SEASONAL twin of [[dailyAnomalies]]: the baseline window holds the
+    * previous `window` observed SAME-WEEKDAY days — a Sunday compares to
+    * Sundays, so weekly seasonality (weekend dips, Monday spikes) stops
+    * reading as anomaly, which is the flat trailing window's documented
+    * false-positive mode. Same exact-integer window sums, same shared
+    * [[zMicro]] parenthesization, same scale shape (windows over the
+    * aggregated types × days grid only). The weekday is computed as
+    * `pmod(datediff(day, 2024-01-05), 7)` — pure date-integer arithmetic
+    * identical in any engine, no locale/week-start conventions (DuckDB's
+    * dayofweek is 0-based Sunday, Spark's 1-based Sunday; this is
+    * neither). Returns (event_type, day, dow, n, n_prior, z_micro,
+    * is_anomaly). */
+  def dailyAnomaliesSeasonal(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      window: Int = 4,
+      minPrior: Int = 3,
+      thresholdMicro: Long = 3000000L): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    require(minPrior >= 1, "minPrior must be at least 1")
+    require(thresholdMicro >= 0, "thresholdMicro must be non-negative")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("2024-01-05").cast("date")), lit(7))
+          .cast("long"))
+    val win = Window.partitionBy(col("event_type"), col("dow"))
+      .orderBy(col("day").asc)
+      .rowsBetween(-window, -1)
+    daily
+      .withColumn("n_prior", count(col("n")).over(win))
+      .withColumn("__s", sum(col("n")).over(win).cast("double"))
+      .withColumn("__ss",
+        sum((col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")))
+          .over(win).cast("double"))
+      .withColumn("z_micro",
+        zMicro(col("n"), col("n_prior"), col("__s"), col("__ss"), minPrior))
+      .withColumn("is_anomaly",
+        col("z_micro").isNotNull && abs(col("z_micro")) >= thresholdMicro)
+      .select("event_type", "day", "dow", "n", "n_prior", "z_micro", "is_anomaly")
+  }
+
   /** The ONE z-score parenthesization shared by [[dailyAnomalies]] and the
     * streaming monitor ([[graft.streaming.Streams.volumeMonitorStream]]) —
     * batch and stream verdicts over the same numbers are bit-identical

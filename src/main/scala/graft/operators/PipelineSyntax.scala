@@ -106,6 +106,18 @@ object PipelineSyntax {
         pkVerified = mf.primaryKey.contains(Seq(idCol)) &&
           mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
 
+    /** Seasonal (same-weekday) daily volume anomalies over the frame's
+      * events: one row per (event_type, day). */
+    def anomaliesSeasonal(tsCol: String, typeCol: String, window: Int = 4,
+        minPrior: Int = 3, thresholdMicro: Long = 3000000L): MetaFrame =
+      derived(mf,
+        Events.dailyAnomaliesSeasonal(mf.df, tsCol, typeCol, window, minPrior,
+          thresholdMicro),
+        "anomaly_seasonal",
+        Map("ts" -> tsCol, "type" -> typeCol, "window" -> window,
+            "minPrior" -> minPrior, "thresholdMicro" -> thresholdMicro),
+        pk = Some(Seq("event_type", "day")))
+
     /** Join pre-flight against `right`: top-K contributing keys + totals;
       * each surviving key appears once, so `key` is the pk. */
     def joinPreflightWith(leftKey: String, right: MetaFrame, rightKey: String,

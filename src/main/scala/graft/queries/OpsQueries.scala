@@ -149,6 +149,15 @@ object OpsQueries {
           window = 7, minPrior = 3, thresholdMicro = 2000000L)
         .orderBy("event_type", "day")),
 
+    // seasonal anomaly twin: weekday-matched trailing baseline (a Sunday
+    // compares to Sundays) — the events table spans 30 days, so each
+    // (type, weekday) series holds 4-5 points and the window genuinely
+    // engages; dow from engine-neutral date-diff arithmetic
+    "events_anomaly_seasonal" -> ((s, d) =>
+      Events.dailyAnomaliesSeasonal(t(s, d, "events").df, "ts", "event_type",
+          window = 3, minPrior = 2, thresholdMicro = 2000000L)
+        .orderBy("event_type", "day")),
+
     // incremental sessionization: sessions for the post-01-16 batch are
     // assigned against the O(users) store of the first half — the
     // equivalence contract makes the oracle the PLAIN full-history window
@@ -1238,6 +1247,26 @@ object OpsQueries {
        "END AS z_micro FROM w) " +
        "SELECT event_type, day, CAST(n AS BIGINT) AS n, CAST(cnt AS BIGINT) AS n_prior, " +
        "z_micro, (z_micro IS NOT NULL AND abs(z_micro) >= 2000000) AS is_anomaly " +
+       "FROM z ORDER BY event_type, day"),
+
+    "events_anomaly_seasonal" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+       "FROM events GROUP BY event_type, CAST(ts AS DATE)), " +
+       "dd AS (SELECT event_type, day, n, " +
+       "CAST(((CAST(day - DATE '2024-01-05' AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS dow " +
+       "FROM daily), " +
+       "w AS (SELECT event_type, day, dow, n, count(n) OVER win AS cnt, " +
+       "CAST(sum(n) OVER win AS DOUBLE) AS s, " +
+       "CAST(sum(n*n) OVER win AS DOUBLE) AS ss FROM dd " +
+       "WINDOW win AS (PARTITION BY event_type, dow ORDER BY day " +
+       "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)), " +
+       "z AS (SELECT event_type, day, dow, n, cnt, " +
+       "CASE WHEN cnt >= 2 AND sqrt((ss - (s*s)/cnt)/cnt) > 0.0 " +
+       "THEN CAST(round(((n - (s/cnt)) * 1000000.0) / sqrt((ss - (s*s)/cnt)/cnt)) AS BIGINT) " +
+       "END AS z_micro FROM w) " +
+       "SELECT event_type, day, dow, CAST(n AS BIGINT) AS n, " +
+       "CAST(cnt AS BIGINT) AS n_prior, z_micro, " +
+       "(z_micro IS NOT NULL AND abs(z_micro) >= 2000000) AS is_anomaly " +
        "FROM z ORDER BY event_type, day"),
 
     "dq_constraints" ->

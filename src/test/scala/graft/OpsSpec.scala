@@ -48,6 +48,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("B", "C")) == ((2L, 4L, 2L, 4L, 1000000L, 500000L)))
   }
 
+  test("seasonal anomaly: weekend dip is normal vs same-weekday baseline; flat window flags it") {
+    // weekdays 100 events; Saturdays dip to 10/11/12 (jitter so std > 0);
+    // the 5th Saturday spikes to 100
+    var eid = 0L
+    val rows = (0 until 35).flatMap { d =>
+      val day = java.time.LocalDate.parse("2024-01-01").plusDays(d.toLong)
+      val isSat = day.getDayOfWeek == java.time.DayOfWeek.SATURDAY
+      val satIdx = (d - 5) / 7 // 2024-01-06 is the first Saturday
+      val n = if (day.toString == "2024-02-03") 100
+        else if (isSat) 10 + satIdx % 3
+        else 100
+      (0 until n).map { i => eid += 1; (eid, 1L, f"$day 10:${i % 60}%02d:00", "click") }
+    }
+    val df = ev(rows: _*)
+    def run(seasonal: Boolean) = (if (seasonal)
+        graft.operators.Events.dailyAnomaliesSeasonal(
+          df, "ts", "event_type", window = 3, minPrior = 2, thresholdMicro = 2000000L)
+      else
+        graft.operators.Events.dailyAnomalies(
+          df, "ts", "event_type", window = 7, minPrior = 3, thresholdMicro = 2000000L))
+      .collect().map(r => r.getDate(1).toString -> r).toMap
+    val seasonal = run(seasonal = true)
+    val flat = run(seasonal = false)
+    // the weekly dip: a FLAT trailing window flags an ordinary Saturday...
+    assert(flat("2024-01-27").getBoolean(5), s"flat window should flag the dip")
+    // ...the weekday-matched window does not (z vs other Saturdays ≈ -1.2e6)
+    val sat = seasonal("2024-01-27")
+    assert(!sat.getBoolean(6), s"seasonal must not flag an ordinary Saturday: $sat")
+    assert(sat.getLong(4) == 3L, "baseline = the 3 prior Saturdays (window engages)")
+    // the genuinely anomalous Saturday flags against its Saturday baseline
+    val spike = seasonal("2024-02-03")
+    assert(spike.getBoolean(6) && spike.getLong(4) == 3L, s"spike must flag: $spike")
+  }
+
   test("joinPreflight: exact contributions, NULL keys excluded, deterministic top-K tiebreak") {
     val spark2 = spark
     import spark2.implicits._
