@@ -213,6 +213,47 @@ object Graph {
           .cast("long").as("jaccard_micro"))
   }
 
+  /** Related-items index from a co-occurrence pair table: the
+    * index-once/serve-many shape (the BM25/IVF convention applied to
+    * recommendations) — every pair contributes BOTH directions, each
+    * item keeps its top `k` neighbors by (lift desc, pair count desc,
+    * neighbor id asc), emitted as (item, rank, related_id, pair_baskets,
+    * lift_micro). The per-item rank is a WindowGroupLimit-pushable
+    * row_number; freeze via `MetaPersist.writeModel(..., "related_items")`
+    * and serve lookups with [[relatedItemsLookup]] — query time never
+    * touches raw events. */
+  def relatedItemsIndex(pairs: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val sym = pairs
+      .select(col("item_a").as("item"), col("item_b").as("related_id"),
+        col("pair_baskets"), col("lift_micro"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("related_id"), col("pair_baskets"), col("lift_micro")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("lift_micro").desc, col("pair_baskets").desc,
+        col("related_id").asc)
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank"), col("related_id"),
+        col("pair_baskets"), col("lift_micro"))
+  }
+
+  /** Serves per-query neighbor lists from a frozen [[relatedItemsIndex]]:
+    * the (small) query set broadcasts onto the index scan — one row per
+    * (query id, rank), queries with no indexed item yield nothing (the
+    * caller distinguishes cold items by anti-join if needed). */
+  def relatedItemsLookup(
+      index: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryItemCol: String): DataFrame =
+    broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(queryItemCol).as("item")))
+      .join(index, Seq("item"))
+      .select(col("query_id"), col("item"), col("rank"), col("related_id"),
+        col("pair_baskets"), col("lift_micro"))
+
   /** Per-node triangle counts + local clustering coefficients — the
     * community-density signal (spam rings and botnets cluster; organic
     * neighborhoods have characteristic clustering), and the classic

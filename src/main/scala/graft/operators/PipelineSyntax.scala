@@ -136,6 +136,14 @@ object PipelineSyntax {
         Map("candidates" -> candidates.map { case (l, r) => s"$l->$r" }.mkString(",")),
         pk = Some(Seq("lhs", "rhs")))
 
+    /** Related-items top-k index over the frame's co-occurrence pairs:
+      * one row per (item, rank). */
+    def relatedItemsIndexed(k: Int = 10): MetaFrame =
+      derived(mf, Graph.relatedItemsIndex(mf.df, k),
+        "related_items_index",
+        Map("k" -> k),
+        pk = Some(Seq("item", "rank")))
+
     /** Per-node triangle counts + clustering over the frame's edge list:
       * one row per node, so `id` is the pk. */
     def trianglesOf(srcCol: String, dstCol: String): MetaFrame =

@@ -52,8 +52,8 @@ object OpsQueries {
     "UNION ALL SELECT doc_id + 100000, text, lang, source FROM documents " +
     "WHERE doc_id % 23 = 0)"
 
-  /** Shared copurchase oracle (direct AND incremental-serve contract). */
-  private val CopurchaseSql: String =
+  /** Shared copurchase CTE chain through the enriched pair table `p`. */
+  private val CopurchaseCtes: String =
     "WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
     "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
     "sz AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 5), " +
@@ -62,15 +62,19 @@ object OpsQueries {
     "ic AS (SELECT i, count(*) AS ci FROM kept GROUP BY i), " +
     "pc AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS pair_baskets " +
     "FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i " +
-    "GROUP BY 1, 2 HAVING count(*) >= 2) " +
-    "SELECT item_a, item_b, pair_baskets, " +
+    "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+    "p AS (SELECT item_a, item_b, pair_baskets, " +
     "ia.ci AS item_a_baskets, ib.ci AS item_b_baskets, nb.n_baskets, " +
     "CAST(round((pair_baskets * nb.n_baskets * 1000000.0) / (ia.ci * ib.ci)) " +
     "AS BIGINT) AS lift_micro, " +
     "CAST(round((pair_baskets * 1000000.0) / (ia.ci + ib.ci - pair_baskets)) " +
     "AS BIGINT) AS jaccard_micro " +
     "FROM pc JOIN ic ia ON pc.item_a = ia.i JOIN ic ib ON pc.item_b = ib.i " +
-    "CROSS JOIN nb ORDER BY item_a, item_b"
+    "CROSS JOIN nb)"
+
+  /** Shared copurchase oracle (direct AND incremental-serve contract). */
+  private val CopurchaseSql: String =
+    CopurchaseCtes + " SELECT * FROM p ORDER BY item_a, item_b"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> ((s, d) =>
@@ -570,6 +574,15 @@ object OpsQueries {
           ("o_orderpriority", "o_orderstatus")))
         .orderBy("lhs", "rhs")),
 
+    // related-items index: top-5 neighbors per item from the copurchase
+    // pair table, both directions, (lift desc, count desc, id asc) —
+    // the index-once/serve-many shape; per-item rank is WindowGroupLimit
+    "graph_related_items" -> ((s, d) => {
+      val pairs = Graph.coOccurrence(t(s, d, "lineitem").df,
+        "l_orderkey", "l_partkey", minPairCount = 2, maxBasketSize = 5)
+      Graph.relatedItemsIndex(pairs, k = 5).orderBy("item", "rank")
+    }),
+
     // leakage-safe split: the hash split keyed on the near-dup COMPONENT
     // (here the exact fuzzy-edit pair graph) so near-duplicates can never
     // straddle a train/eval boundary; oracle re-derives pairs, components,
@@ -1059,6 +1072,17 @@ object OpsQueries {
     // the incremental serve's contract: == the one-shot operator on the
     // union of the basket-disjoint batches — the SAME oracle verbatim
     "graph_copurchase_incremental" -> CopurchaseSql,
+
+    "graph_related_items" ->
+      (CopurchaseCtes + ", " +
+       "sym AS (SELECT item_a AS item, item_b AS related_id, pair_baskets, " +
+       "lift_micro FROM p UNION ALL SELECT item_b AS item, item_a AS related_id, " +
+       "pair_baskets, lift_micro FROM p), " +
+       "r AS (SELECT item, related_id, pair_baskets, lift_micro, " +
+       "row_number() OVER (PARTITION BY item ORDER BY lift_micro DESC, " +
+       "pair_baskets DESC, related_id ASC) AS rank FROM sym) " +
+       "SELECT item, CAST(rank AS BIGINT) AS rank, related_id, pair_baskets, " +
+       "lift_micro FROM r WHERE rank <= 5 ORDER BY item, rank"),
 
     "graph_triangles" ->
       ("WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +

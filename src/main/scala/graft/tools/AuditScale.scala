@@ -75,7 +75,7 @@ object AuditScale {
     "graph_copurchase", "graph_copurchase_incremental", "graph_triangles",
     "dq_fd_check", "dq_join_preflight", "corpus_quantile_normalize",
     "corpus_leakage_split", "layout_zorder", "mm_image_phash_neardup",
-    "agg_theta_segments",
+    "agg_theta_segments", "events_anomaly_seasonal", "mm_audio_fp_invariance",
     "dq_suggest", "search_hybrid_rrf", "search_bm25_expanded",
     "events_top_paths", "events_transitions", "events_attribution",
     "events_attribution_incremental", "events_anomaly_daily",
@@ -179,6 +179,9 @@ object AuditScale {
       // crossJoin, and zorder's 1-row min/max bounds crossJoin
       "graph_copurchase", "graph_copurchase_incremental",
       "dq_join_preflight", "layout_zorder",
+      // the declared triangles query builds its edges through coOccurrence
+      // and so embeds the same 1-row basket-total crossJoin
+      "graph_triangles",
       // leakage split embeds the fuzzy pair graph → the bounded PassJoin
       // short-string branch's length-band BNLJ
       "corpus_leakage_split",

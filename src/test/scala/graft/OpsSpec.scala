@@ -48,6 +48,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("B", "C")) == ((2L, 4L, 2L, 4L, 1000000L, 500000L)))
   }
 
+  test("relatedItemsIndex: symmetric top-k, frozen via kind-tagged model, broadcast lookup") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq(
+      ("A", "B", 3L, 1000000L), ("A", "C", 2L, 2000000L), ("B", "C", 1L, 500000L))
+      .toDF("item_a", "item_b", "pair_baskets", "lift_micro")
+    val idx = graft.operators.Graph.relatedItemsIndex(pairs, k = 1)
+    val got = idx.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // A's best: C (lift 2e6 > 1e6); B's best: A (lift 1e6 > 0.5e6);
+    // C's best: A — both directions of every pair participate
+    assert(got == Map("A" -> ((1L, "C")), "B" -> ((1L, "A")), "C" -> ((1L, "A"))), s"$got")
+    // freeze + wrong-kind rejection + serve
+    val dir = java.nio.file.Files.createTempDirectory("graft_related").toString
+    graft.sources.MetaPersist.writeModel(idx, dir, "related_items", Map("k" -> 1))
+    intercept[IllegalArgumentException] {
+      graft.sources.MetaPersist.readModel(spark, dir, "bm25_index")
+    }
+    val frozen = graft.sources.MetaPersist.readModel(spark, dir, "related_items").df
+    val queries = Seq((100L, "A"), (101L, "Z")).toDF("qid", "qitem")
+    val served = graft.operators.Graph.relatedItemsLookup(frozen, queries, "qid", "qitem")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(served == Set((100L, "C")), "indexed item serves; cold item yields nothing")
+  }
+
   test("seasonal anomaly: weekend dip is normal vs same-weekday baseline; flat window flags it") {
     // weekdays 100 events; Saturdays dip to 10/11/12 (jitter so std > 0);
     // the 5th Saturday spikes to 100
