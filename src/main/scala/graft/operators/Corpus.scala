@@ -1627,6 +1627,48 @@ object Corpus {
         col("__m._2").as("normalized_score_micro"))
   }
 
+  /** CDC change application — the MERGE INTO / Delta-apply shape: a base
+    * snapshot plus a change feed of (id, op ∈ upsert|delete, ts, payload)
+    * rows compacts to the post-change snapshot. LATEST WINS per id by
+    * `tsCol`; on an exact ts tie a delete beats an upsert (the
+    * destructive-bias tiebreak — replaying an ambiguous feed must never
+    * resurrect a row someone tried to remove), and among tied upserts no
+    * further tiebreak exists so the caller's feed must carry distinct ts
+    * per id for reproducible payloads (documented, pinned). Unknown ops
+    * are rejected loudly at execution (a typo'd op must not silently
+    * drop a change).
+    *
+    * Scale shape: one per-id window over the CHANGE FEED only (rank
+    * pushes to WindowGroupLimit), one anti-join of base against the
+    * touched-id set, one union — the base never shuffles beyond the
+    * anti-join's key exchange, history is never rescanned. Returns the
+    * base schema exactly. */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      idCol: String,
+      opCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baseCols = base.columns.toSeq
+    require(baseCols.contains(idCol), s"base must carry $idCol")
+    val checked = changes.withColumn("__op",
+      when(col(opCol).isin("upsert", "delete"), col(opCol))
+        .otherwise(raise_error(concat(lit("applyChanges: unknown op '"),
+          col(opCol), lit("'")))))
+    // delete outranks upsert on an exact ts tie
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col(tsCol).desc, when(col("__op") === "delete", 1).otherwise(0).desc)
+    val winners = checked
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+    val upserts = winners.filter(col("__op") === "upsert")
+      .select(baseCols.map(col): _*)
+    val touched = winners.select(col(idCol)).distinct()
+    base.join(touched, Seq(idCol), "left_anti")
+      .unionByName(upserts)
+  }
+
   /** CCNet perplexity tiers (Wenzek et al., "CCNet: Extracting High
     * Quality Monolingual Datasets from Web Crawl Data", 2020) — the
     * head/middle/tail split: score every document with a FROZEN unigram

@@ -93,6 +93,20 @@ object PipelineSyntax {
             "minPairCount" -> minPairCount, "maxBasketSize" -> maxBasketSize),
         pk = Some(Seq("item_a", "item_b")))
 
+    /** CDC change application: this frame is the BASE snapshot; `changes`
+      * is the feed. One row per surviving id, base schema preserved, so
+      * the id pk survives verified-if-it-was (latest-wins yields at most
+      * one row per id, base rows were unique iff they were). */
+    def changesApplied(changes: MetaFrame, idCol: String, opCol: String,
+        tsCol: String): MetaFrame =
+      derived(mf,
+        Corpus.applyChanges(mf.df, changes.df, idCol, opCol, tsCol),
+        "apply_changes",
+        Map("id" -> idCol, "op" -> opCol, "ts" -> tsCol),
+        pk = Some(Seq(idCol)),
+        pkVerified = mf.primaryKey.contains(Seq(idCol)) &&
+          mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
+
     /** Cross-source quantile normalization of `scoreCol` within
       * `groupCol`: one row per input row keyed by `id`. */
     def quantileNormalizedBy(groupCol: String, idCol: String, scoreCol: String,

@@ -1029,6 +1029,35 @@ object PipelineQueries {
     // tiers (bin width 1000 micro = 3 quality decimals): histogram,
     // integer cumulative thresholds, row-local assignment — fully
     // re-derivable in SQL
+    // CDC apply: a deterministic change feed over the documents snapshot —
+    // ÷17 deleted, ÷13 upserted TWICE (later ts wins), ÷19 upsert+delete
+    // at the SAME ts (delete wins — the destructive-bias tiebreak), and
+    // new ids appended; result = the post-change snapshot, exact oracle
+    "corpus_apply_changes" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      def payload(suffix: String) = Seq(col("doc_id"), concat(col("text"),
+        lit(suffix)).as("text"), col("lang"), col("source"), col("n_chars"))
+      val deletes = docs.filter(col("doc_id") % 17 === 0)
+        .select((payload("") :+ lit("delete").as("op")) :+
+          (lit(100L) + col("doc_id") % 3).as("cts"): _*)
+      val upsertV1 = docs.filter(col("doc_id") % 13 === 0)
+        .select((payload(" v1") :+ lit("upsert").as("op")) :+ lit(50L).as("cts"): _*)
+      val upsertV2 = docs.filter(col("doc_id") % 13 === 0)
+        .select((payload(" v2") :+ lit("upsert").as("op")) :+ lit(60L).as("cts"): _*)
+      val tieUp = docs.filter(col("doc_id") % 19 === 0)
+        .select((payload(" tie") :+ lit("upsert").as("op")) :+ lit(70L).as("cts"): _*)
+      val tieDel = docs.filter(col("doc_id") % 19 === 0)
+        .select((payload("") :+ lit("delete").as("op")) :+ lit(70L).as("cts"): _*)
+      val fresh = docs.filter(col("doc_id") % 23 === 0)
+        .select((Seq((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text"), col("lang"),
+          col("source"), col("n_chars")) :+ lit("upsert").as("op")) :+
+          lit(10L).as("cts"): _*)
+      val feed = Seq(deletes, upsertV1, upsertV2, tieUp, tieDel, fresh)
+        .reduce(_ unionByName _)
+      Corpus.applyChanges(docs, feed, "doc_id", "op", "cts").orderBy("doc_id")
+    }),
+
     // cross-source quantile normalization: per-lang quality scores mapped
     // onto the GLOBAL distribution at the row's within-group mid-rank —
     // the calibration step before a global threshold; all-integer mapping
@@ -2756,6 +2785,29 @@ object PipelineQueries {
 
     // same quality formula, micro-quantized bins, window cumulative
     // counts, integer bucket thresholds
+    "corpus_apply_changes" ->
+      ("WITH feed AS (" +
+       "SELECT doc_id, text, lang, source, n_chars, 'delete' AS op, " +
+       "100 + doc_id % 3 AS cts FROM documents WHERE doc_id % 17 = 0 " +
+       "UNION ALL SELECT doc_id, text || ' v1', lang, source, n_chars, 'upsert', 50 " +
+       "FROM documents WHERE doc_id % 13 = 0 " +
+       "UNION ALL SELECT doc_id, text || ' v2', lang, source, n_chars, 'upsert', 60 " +
+       "FROM documents WHERE doc_id % 13 = 0 " +
+       "UNION ALL SELECT doc_id, text || ' tie', lang, source, n_chars, 'upsert', 70 " +
+       "FROM documents WHERE doc_id % 19 = 0 " +
+       "UNION ALL SELECT doc_id, text, lang, source, n_chars, 'delete', 70 " +
+       "FROM documents WHERE doc_id % 19 = 0 " +
+       "UNION ALL SELECT doc_id + 200000, text || ' new', lang, source, n_chars, 'upsert', 10 " +
+       "FROM documents WHERE doc_id % 23 = 0), " +
+       "w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cts DESC, " +
+       "CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC) AS rk FROM feed), " +
+       "win AS (SELECT * FROM w WHERE rk = 1), " +
+       "kept AS (SELECT d.* FROM documents d LEFT JOIN win ON d.doc_id = win.doc_id " +
+       "WHERE win.doc_id IS NULL) " +
+       "SELECT doc_id, text, lang, source, n_chars FROM kept " +
+       "UNION ALL SELECT doc_id, text, lang, source, n_chars FROM win " +
+       "WHERE op = 'upsert' ORDER BY doc_id"),
+
     "corpus_quantile_normalize" ->
       ("WITH qq AS (SELECT doc_id, lang, text, " +
        "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +

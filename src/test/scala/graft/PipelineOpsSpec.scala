@@ -2270,6 +2270,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0L, 0L, "c1 c2 c3")))
   }
 
+  test("applyChanges: latest wins, delete beats upsert on ts tie, unknown op fails loudly") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val feed = Seq(
+      (1L, "x1", "upsert", 10L), (1L, "x2", "upsert", 20L), // latest upsert wins
+      (2L, "y", "upsert", 30L), (2L, "y-del", "delete", 30L), // tie → delete
+      (4L, "new", "upsert", 5L)) // insert
+      .toDF("id", "v", "op", "cts")
+    val got = Corpus.applyChanges(base, feed, "id", "op", "cts")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "x2", 3L -> "c", 4L -> "new"), s"$got")
+    val bad = Seq((1L, "z", "uspert", 1L)).toDF("id", "v", "op", "cts")
+    val e = intercept[Exception] {
+      Corpus.applyChanges(base, bad, "id", "op", "cts").collect()
+    }
+    assert(e.getMessage.contains("unknown op") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown op")), s"$e")
+  }
+
   test("quantileNormalizeBy: same within-group rank → same normalized value across scales") {
     import spark.implicits._
     // two groups with disjoint raw scales; rank-aligned rows must land on
