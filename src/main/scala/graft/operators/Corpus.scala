@@ -1627,6 +1627,18 @@ object Corpus {
         col("__m._2").as("normalized_score_micro"))
   }
 
+  /** Point-in-time (time-travel) read over an SCD-type-2 history: the
+    * dimension exactly as it stood at `version` —
+    * `valid_from <= v AND (valid_to IS NULL OR valid_to > v)`, the read
+    * contract [[scd2Apply]] documents, packaged so callers can't get the
+    * half-open boundary backwards (a `valid_to = v` row was closed AT v
+    * and must NOT appear in the v snapshot). Row-local filter — pushes
+    * into the history scan, and with the history parquet partitioned or
+    * z-ordered on the validity columns it prunes. */
+  def scd2AsOf(dim: DataFrame, version: Long): DataFrame =
+    dim.filter(col("valid_from") <= version &&
+      (col("valid_to").isNull || col("valid_to") > version))
+
   /** CDC change application — the MERGE INTO / Delta-apply shape: a base
     * snapshot plus a change feed of (id, op ∈ upsert|delete, ts, payload)
     * rows compacts to the post-change snapshot. LATEST WINS per id by

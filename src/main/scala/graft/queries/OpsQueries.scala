@@ -275,6 +275,20 @@ object OpsQueries {
         .orderBy("id", "valid_from")
     }),
 
+    // time-travel read: the v1 snapshot reconstructed from the two-version
+    // SCD2 history must be EXACTLY the original table (and the oracle IS
+    // the original table plus the version columns) — the read-contract pin
+    // for the half-open validity boundary
+    "corpus_scd2_asof" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val dim1 = Corpus.scd2Init(docs, "doc_id", Seq("text", "lang", "source"), 1L)
+      val dim2 = Corpus.scd2Apply(dim1, mutatedSnapshot(docs), "doc_id",
+        Seq("text", "lang", "source"), 2L)
+      Corpus.scd2AsOf(dim2, 1L)
+        .select(col("id"), col("text"), col("lang"), col("source"))
+        .orderBy("id")
+    }),
+
     // canary scan over planted sentinels: ÷31 docs get CANARY-A1 (twice
     // for ÷62), ÷37 docs get SECRET-B2 — the oracle re-plants and re-counts
     "text_canary_scan" -> ((s, d) => {
@@ -1435,6 +1449,11 @@ object OpsQueries {
       stringCols = Seq("l_returnflag", "l_linestatus"),
       otherCols = Seq("l_shipdate"),
       maxSet = 10),
+
+    // the v1 time-travel read IS the original table — the strongest
+    // possible oracle for the reconstruction contract
+    "corpus_scd2_asof" ->
+      "SELECT doc_id AS id, text, lang, source FROM documents ORDER BY id",
 
     "corpus_scd2" ->
       (s"WITH $NewtSql, " +
