@@ -212,6 +212,19 @@ object Bench {
               array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
           noop(Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 5))
         }),
+        // round-14 rows: first committed measurements become the anchors
+        "ops_copurchase_sec" -> (() => {
+          import graft.operators.Graph
+          noop(Graph.coOccurrence(t("lineitem").df, "l_orderkey", "l_partkey",
+            minPairCount = 2, maxBasketSize = 5))
+        }),
+        "ops_triangles_sec" -> (() => {
+          import graft.operators.Graph
+          val pairs = Graph.coOccurrence(t("lineitem").df, "l_orderkey",
+              "l_partkey", minPairCount = 1, maxBasketSize = 5)
+            .select(col("item_a"), col("item_b"))
+          noop(Graph.triangles(pairs, "item_a", "item_b"))
+        }),
         "ops_hybrid_rrf_sec" -> (() => {
           import graft.operators.Similarity
           val docs = t("documents").df

@@ -588,6 +588,23 @@ object OpsQueries {
           ("o_orderpriority", "o_orderstatus")))
         .orderBy("lhs", "rhs")),
 
+    // cross-family composition: sessionize → co-occurrence — which ACTIONS
+    // co-occur within a session (the "viewed AND purchased together"
+    // report); baskets are (user, session) composites, so the oracle
+    // re-derives the session labeling AND the pair algebra
+    "events_session_copurchase" -> ((s, d) => {
+      val ev = t(s, d, "events").df
+      val sess = Events.sessionize(ev, "user_id", "ts", "event_id",
+        gapSeconds = GapSeconds)
+      val baskets = sess
+        .join(ev.select(col("event_id"), col("event_type")), Seq("event_id"))
+        .select(concat(col("user_id").cast("string"), lit(":"),
+          col("session_idx").cast("string")).as("basket"), col("event_type"))
+      Graph.coOccurrence(baskets, "basket", "event_type",
+          minPairCount = 2, maxBasketSize = 100)
+        .orderBy("item_a", "item_b")
+    }),
+
     // related-items index: top-5 neighbors per item from the copurchase
     // pair table, both directions, (lift desc, count desc, id asc) —
     // the index-once/serve-many shape; per-item rank is WindowGroupLimit
@@ -1086,6 +1103,33 @@ object OpsQueries {
     // the incremental serve's contract: == the one-shot operator on the
     // union of the basket-disjoint batches — the SAME oracle verbatim
     "graph_copurchase_incremental" -> CopurchaseSql,
+
+    "events_session_copurchase" ->
+      ("WITH s AS (SELECT event_id, user_id, event_type, " +
+       "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us, " +
+       "epoch_us(ts) AS ts_us FROM events), " +
+       "s2 AS (SELECT event_type, CAST(user_id AS VARCHAR) || ':' || " +
+       "CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 14400000000 THEN 1 ELSE 0 END) " +
+       "OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS b " +
+       "FROM s), " +
+       "bi AS (SELECT DISTINCT b, event_type AS i FROM s2), " +
+       "sz AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 100), " +
+       "kept AS (SELECT bi.b, bi.i FROM bi JOIN sz USING (b)), " +
+       "nb AS (SELECT count(DISTINCT b) AS n_baskets FROM kept), " +
+       "ic AS (SELECT i, count(*) AS ci FROM kept GROUP BY i), " +
+       "pc AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS pair_baskets " +
+       "FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i " +
+       "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+       "SELECT item_a, item_b, pair_baskets, " +
+       "ia.ci AS item_a_baskets, ib.ci AS item_b_baskets, nb.n_baskets, " +
+       "CAST(round((pair_baskets * nb.n_baskets * 1000000.0) / (ia.ci * ib.ci)) " +
+       "AS BIGINT) AS lift_micro, " +
+       "CAST(round((pair_baskets * 1000000.0) / (ia.ci + ib.ci - pair_baskets)) " +
+       "AS BIGINT) AS jaccard_micro " +
+       "FROM pc JOIN ic ia ON pc.item_a = ia.i JOIN ic ib ON pc.item_b = ib.i " +
+       "CROSS JOIN nb ORDER BY item_a, item_b"),
 
     "graph_related_items" ->
       (CopurchaseCtes + ", " +
