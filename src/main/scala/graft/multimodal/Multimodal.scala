@@ -640,6 +640,61 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Per-frame perceptual hashes over real AVI payloads: one
+    * (id, frame_idx, fhash) row per decodable frame (each DIB frame rides
+    * the BMP wrap through the SAME [[MediaCodec.pHash64]] the image path
+    * uses); clips that don't parse are dropped. Row-local decode —
+    * 8 bytes per frame leave this stage. */
+  def videoPHashes(media: Dataset[IdAvi]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      MediaCodec.aviDibFrames(r.avi) match {
+        case Some((w, h, frames)) =>
+          frames.iterator.zipWithIndex.flatMap { case (dib, fi) =>
+            MediaCodec.pHash64(bmpWrap(dib, w, h)).map(hh => (r.id, fi, hh))
+          }.toSeq
+        case None => Seq.empty[(Long, Int, Long)]
+      }
+    }.toDF("id", "frame_idx", "fhash")
+  }
+
+  /** Visual near-dup over VIDEO clips from their per-frame hash sets: two
+    * clips are candidates when they share any exact frame hash (one
+    * identical-looking frame), and confirm at `minShareMicro` of the
+    * smaller clip's distinct frame hashes —
+    * `share_micro = (n_shared · 1e6) div min(nA, nB)`. A frame hash
+    * appearing in more than `maxFrameDf` clips is dropped from pairing
+    * (the winnow df-cap convention: an intro card shared by half the
+    * corpus is Σfreq² poison and carries no pair evidence). Returns
+    * (id_a, id_b, n_shared, share_micro), each pair once. */
+  def videoNearDup(
+      frames: DataFrame,
+      idCol: String,
+      hashCol: String,
+      minShareMicro: Long = 500000L,
+      maxFrameDf: Int = 1000): DataFrame = {
+    require(minShareMicro >= 0 && minShareMicro <= 1000000L,
+      "minShareMicro must be in [0, 1e6]")
+    require(maxFrameDf >= 2, "maxFrameDf must be >= 2 (pairs need 2 docs)")
+    val dh = frames.select(col(idCol).as("__id"), col(hashCol).as("__h")).distinct()
+    val sizes = dh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val kept = dh.join(
+      dh.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxFrameDf).select(col("__h")), Seq("__h"))
+    val shared = kept.select(col("__h"), col("__id").as("id_a"))
+      .join(kept.select(col("__h"), col("__id").as("id_b")), Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("share_micro",
+        expr("(n_shared * 1000000L) div least(__na, __nb)"))
+      .filter(col("share_micro") >= minShareMicro)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("share_micro"))
+  }
+
   case class IdWav(id: Long, wav: Array[Byte])
   case class IdAudioBin(id: Long, sampleRate: Int, bin: Int, n: Long)
 

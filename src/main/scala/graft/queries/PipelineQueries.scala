@@ -2188,6 +2188,27 @@ object PipelineQueries {
             .cast("long").as("recall_ok"))
     }),
 
+    // video near-dup planted recall: the AVI generator repeats exactly at
+    // id+256, so same-phase clips share EVERY frame hash (share = 1e6) —
+    // identical bytes → identical per-frame pHashes → paired is
+    // structural, the property-oracle convention
+    "mm_video_phash_neardup" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val ids = t(s, d, "documents").df.select(col("doc_id"))
+      val frames = Multimodal.videoPHashes(
+        Multimodal.encodeDemoAvi(ids, "doc_id"))
+      val found = Multimodal.videoNearDup(frames, "id", "fhash",
+          minShareMicro = 1000000L)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val planted = ids.select(col("doc_id").as("id_a"))
+        .join(ids.select(col("doc_id").as("id_b")),
+          col("id_a") < col("id_b") && (col("id_b") - col("id_a")) % 256 === 0)
+      planted.join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_identical_pairs"),
+          (coalesce(sum(col("hit")), lit(0L)) === count(lit(1)))
+            .cast("long").as("recall_ok"))
+    }),
+
     // audio-fingerprint volume invariance over the WHOLE corpus: per doc,
     // a quarter-volume demo clip and its exact 2x-volume twin must
     // fingerprint bit-identically (energies, AC coefficients, and their
@@ -3524,6 +3545,11 @@ object PipelineQueries {
     "mm_audio_fp_invariance" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(1 AS BIGINT) AS all_invariant " +
        "FROM documents"),
+
+    "mm_video_phash_neardup" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_identical_pairs, " +
+       "CAST(1 AS BIGINT) AS recall_ok FROM documents a JOIN documents b " +
+       "ON a.doc_id < b.doc_id AND (b.doc_id - a.doc_id) % 256 = 0"),
 
     // feature 0 of the audio decode = amplitude-bin-0 count / 100 samples;
     // k/100 has ≤2 decimals so round(...,6) can't hit a midpoint tie

@@ -228,6 +228,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("videoNearDup: shared-frame share metric, df-capped hashes drop, undecodable clips drop") {
+    import spark.implicits._
+    // clips 1/2 share all 3 frames; 3 shares one frame with 1 and 2 (below
+    // the 50% floor at 1/3); 4 is garbage. The shared frame (seed 9) also
+    // appears in EVERY clip — with maxFrameDf = 2 it is df-capped away, so
+    // (1,3)/(2,3) lose their only evidence while (1,2) keeps 2 frames.
+    // frame "structure" = vertical stripe width, so different widths give
+    // genuinely different low-frequency content (pHash ignores brightness)
+    def avi(widths: Int*): Array[Byte] = {
+      val dibs = widths.map { sd =>
+        val w = 16; val h = 16
+        val dib = new Array[Byte](w * h * 3)
+        for (i <- 0 until w * h) {
+          val v = (if ((i % w) / sd % 2 == 0) 60 else 180).toByte
+          dib(3 * i) = v; dib(3 * i + 1) = v; dib(3 * i + 2) = v
+        }
+        dib
+      }
+      Multimodal.aviContainer(dibs, 16, 16, fps = 10)
+    }
+    val media = Seq(
+      Multimodal.IdAvi(1L, avi(3, 4, 9)),
+      Multimodal.IdAvi(2L, avi(3, 4, 9)),
+      Multimodal.IdAvi(3L, avi(5, 6, 9)),
+      Multimodal.IdAvi(4L, "not a container".getBytes)).toDS()
+    val frames = Multimodal.videoPHashes(media)
+    assert(frames.select("id").distinct().count() == 3, "garbage clip drops")
+    val pairs = Multimodal.videoNearDup(frames, "id", "fhash",
+        minShareMicro = 500000L, maxFrameDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got $pairs")
+    // 2 surviving shared hashes over min-size 3 distinct hashes → 666666
+    assert(pairs((1L, 2L)) == 666666L, s"got $pairs")
+  }
+
   test("imageNearDup: planted visual near-dups pair up; unrelated and undecodable don't") {
     import spark.implicits._
     // 1 and 2: identical structure, two pixels retouched (hamming ≤ 3 →
