@@ -145,6 +145,48 @@ object Classifier {
     * (id, margin_micro, score_micro, pred) — score is the micro-quantized
     * sigmoid, pred = score_micro > 500000 (a zero margin scores exactly
     * 500000 and predicts 0). */
+  /** Calibration report over scored+labeled rows — the "is a 0.9 really a
+    * 90%?" question every score-thresholding pipeline should ask before
+    * trusting a cut-off (Guo et al. 2017's ECE, integer-quantized):
+    * scores (micro units, [0, 1e6]) bucket into `bins` equal-width bins;
+    * per bin the mean claimed confidence, the observed positive rate,
+    * and the absolute gap; ECE = Σ gap·n/N rides every row as a 1-row
+    * broadcast (the totals convention). All arithmetic is integer or one
+    * fixed-parenthesization micro division — exactly re-derivable.
+    * NULL scores/labels are excluded (no evidence either way). Bin edge
+    * convention: bin = min(bins−1, score·bins div 1e6).
+    *
+    * Returns one row per POPULATED bin: (bin, n, mean_score_micro,
+    * pos_rate_micro, gap_micro, ece_micro). */
+  def calibrationReport(
+      scored: DataFrame,
+      labelCol: String,
+      scoreMicroCol: String = "score_micro",
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val rows = scored
+      .filter(col(scoreMicroCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        expr(s"least(cast(${bins - 1} as bigint), " +
+          s"(cast(`$scoreMicroCol` as bigint) * $bins) div 1000000L)").as("bin"),
+        col(scoreMicroCol).cast("long").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+    val perBin = rows.groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__s")).as("__ssum"),
+        sum(col("__y")).as("__pos"))
+      .withColumn("mean_score_micro", expr("__ssum div n"))
+      .withColumn("pos_rate_micro", expr("(__pos * 1000000L) div n"))
+      .withColumn("gap_micro",
+        abs(col("mean_score_micro") - col("pos_rate_micro")))
+    val ece = perBin.agg(
+      expr("coalesce(sum(gap_micro * n), 0L) div greatest(sum(n), 1L)")
+        .as("ece_micro"))
+    perBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("mean_score_micro"),
+        col("pos_rate_micro"), col("gap_micro"), col("ece_micro"))
+  }
+
   def scoreLogistic(
       docs: DataFrame,
       idCol: String,

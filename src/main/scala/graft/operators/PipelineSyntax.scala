@@ -132,6 +132,16 @@ object PipelineSyntax {
             "minPrior" -> minPrior, "thresholdMicro" -> thresholdMicro),
         pk = Some(Seq("event_type", "day")))
 
+    /** Calibration report (ECE) over scored+labeled rows: one row per
+      * populated bin. */
+    def calibrationReported(labelCol: String,
+        scoreMicroCol: String = "score_micro", bins: Int = 10): MetaFrame =
+      derived(mf,
+        Classifier.calibrationReport(mf.df, labelCol, scoreMicroCol, bins),
+        "calibration_report",
+        Map("label" -> labelCol, "score" -> scoreMicroCol, "bins" -> bins),
+        pk = Some(Seq("bin")))
+
     /** Join pre-flight against `right`: top-K contributing keys + totals;
       * each surviving key appears once, so `key` is the pk. */
     def joinPreflightWith(leftKey: String, right: MetaFrame, rightKey: String,

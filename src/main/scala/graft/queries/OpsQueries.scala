@@ -567,6 +567,17 @@ object OpsQueries {
         .orderBy("item_a", "item_b")
     }),
 
+    // calibration report (ECE): deterministic synthetic scores/labels so
+    // the bin algebra is fully oracle-checkable (the classifier's own
+    // scores are pinned elsewhere; this pins the CALIBRATION operator)
+    "dq_calibration" -> ((s, d) => {
+      val scored = t(s, d, "documents").df.select(col("doc_id"),
+        (col("doc_id") * 2003 % 1000000).as("score_micro"),
+        (col("doc_id") % 3 === 0).cast("long").as("label"))
+      Classifier.calibrationReport(scored, "label", "score_micro", bins = 10)
+        .orderBy("bin")
+    }),
+
     // join pre-flight: the every-event × purchase-event self-join on
     // user_id — exact output cardinality, matched keys, amplification,
     // and the top-10 contributing keys, all from the two key histograms
@@ -1166,6 +1177,23 @@ object OpsQueries {
        "ELSE CAST(round((coalesce(pn.n, 0) * 2 * 1000000.0) / " +
        "(deg.degree * (deg.degree - 1))) AS BIGINT) END AS clustering_micro " +
        "FROM deg LEFT JOIN pn USING (id) ORDER BY id"),
+
+    "dq_calibration" ->
+      ("WITH r AS (SELECT least(9, ((doc_id * 2003 % 1000000) * 10) // 1000000) AS bin, " +
+       "doc_id * 2003 % 1000000 AS s, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y " +
+       "FROM documents), " +
+       "pb AS (SELECT bin, count(*) AS n, sum(s) AS ssum, sum(y) AS pos " +
+       "FROM r GROUP BY bin), " +
+       "g AS (SELECT bin, n, ssum // n AS mean_score_micro, " +
+       "(pos * 1000000) // n AS pos_rate_micro, " +
+       "abs(ssum // n - (pos * 1000000) // n) AS gap_micro FROM pb), " +
+       "e AS (SELECT coalesce(sum(gap_micro * n), 0) // greatest(sum(n), 1) " +
+       "AS ece_micro FROM g) " +
+       "SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n, " +
+       "CAST(mean_score_micro AS BIGINT) AS mean_score_micro, " +
+       "CAST(pos_rate_micro AS BIGINT) AS pos_rate_micro, " +
+       "CAST(gap_micro AS BIGINT) AS gap_micro, " +
+       "CAST(e.ece_micro AS BIGINT) AS ece_micro FROM g, e ORDER BY bin"),
 
     "dq_join_preflight" ->
       ("WITH ca AS (SELECT user_id AS key, count(*) AS n_left FROM events " +

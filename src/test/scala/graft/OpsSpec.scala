@@ -48,6 +48,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("B", "C")) == ((2L, 4L, 2L, 4L, 1000000L, 500000L)))
   }
 
+  test("calibrationReport: hand-derived bins, gaps, ECE; NULLs excluded; top edge closes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // bin 9 (scores ≥ 900000 incl. the exact 1e6 top edge): claims avg
+    // 950000, delivers 1/2 positives → gap 450000
+    // bin 1 (100000..199999): claims 150000, delivers 1/1 → gap 850000
+    val df = Seq(
+      (Some(900000L), Some(1L)), (Some(1000000L), Some(0L)),
+      (Some(150000L), Some(1L)),
+      (None, Some(1L)), (Some(5L), None) // excluded rows
+    ).toDF("score_micro", "label")
+    val got = graft.operators.Classifier.calibrationReport(df, "label", "score_micro")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // ECE = (450000*2 + 850000*1) div 3 = 583333
+    assert(got == Map(
+      9L -> ((2L, 950000L, 500000L, 450000L, 583333L)),
+      1L -> ((1L, 150000L, 1000000L, 850000L, 583333L))), s"$got")
+  }
+
   test("relatedItemsIndex: symmetric top-k, frozen via kind-tagged model, broadcast lookup") {
     val spark2 = spark
     import spark2.implicits._

@@ -166,6 +166,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"binned join must not be a BNLJ:\n$plan")
   }
 
+  test("applyChanges: feed ranking plans WindowGroupLimit; base joins hash, never Cartesian") {
+    import graft.operators.Corpus
+    val base = t("documents").df
+    val feed = base.limit(50)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), org.apache.spark.sql.functions.lit("upsert").as("op"),
+        (col("doc_id") % 7).as("cts"))
+    val plan = Corpus.applyChanges(base, feed, "doc_id", "op", "cts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"feed rank must push down:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"base must join hash-based:\n$plan")
+  }
+
+  test("relatedItemsIndex plans WindowGroupLimit; joinPreflight plans TakeOrderedAndProject") {
+    import graft.operators.{Checks, Graph}
+    val pairs = Graph.coOccurrence(t("lineitem").df, "l_orderkey", "l_partkey",
+      minPairCount = 1, maxBasketSize = 5)
+    val idxPlan = Graph.relatedItemsIndex(pairs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(idxPlan.contains("WindowGroupLimit"), s"per-item rank must push down:\n$idxPlan")
+    val pfPlan = Checks.joinPreflight(t("events").df, "user_id",
+        t("events").df, "user_id", topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(pfPlan.contains("TakeOrderedAndProject"),
+      s"top-K must avoid a full sort:\n$pfPlan")
+  }
+
   test("fuzzy edit join: segment⋈probe is an equi join, never Cartesian") {
     import graft.operators.FuzzyJoin
     val words = t("documents").df
