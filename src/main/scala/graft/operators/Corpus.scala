@@ -1583,6 +1583,27 @@ object Corpus {
       idCol: String,
       scoreCol: String,
       binWidthMicro: Long = 1000L): DataFrame = {
+    val (binned, gSafe, rows) = qnMapping(df, groupCol, scoreCol, binWidthMicro)
+    val mapping: Map[String, (Long, Long)] =
+      rows.map { case (g, b, r, nv) => s"$g\u0000$b" -> ((r, nv)) }.toMap
+    binned
+      .select(col(idCol).as("id"), col(groupCol).as("group"),
+        col(scoreCol).as("score"), col("bin"),
+        element_at(typedLit(mapping),
+          concat(gSafe, lit("\u0000"), col("bin").cast("string"))).as("__m"))
+      .select(col("id"), col("group"), col("score"), col("bin"),
+        col("__m._1").as("rank_micro"),
+        col("__m._2").as("normalized_score_micro"))
+  }
+
+  /** The shared [[quantileNormalizeBy]] driver computation: the binned
+    * frame, the sentinel-coalesced group column, and the mapping rows
+    * (group, bin, rank_micro, normalized_score_micro). */
+  private def qnMapping(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      binWidthMicro: Long): (DataFrame, Column, Seq[(String, Long, Long, Long)]) = {
     require(binWidthMicro >= 1, "binWidthMicro must be at least 1")
     val sm = round(col(scoreCol) * lit(1e6)).cast("long")
     val binned = df.withColumn("bin", floor(sm / lit(binWidthMicro.toDouble)).cast("long"))
@@ -1606,25 +1627,17 @@ object Corpus {
       }
       globalCum(lo)._1
     }
-    val mapping: Map[String, (Long, Long)] = hist.groupBy(_._1).toSeq
-      .flatMap { case (g, rows) =>
-        val n = rows.map(_._3).sum
-        var cum = 0L
-        rows.sortBy(_._2).map { case (_, b, c) =>
-          val rankMicro = ((2 * cum + c) * 1000000L) / (2 * math.max(n, 1L))
-          cum += c
-          val p = math.min(nTotal - 1, (rankMicro * nTotal) / 1000000L)
-          s"$g\u0000$b" -> ((rankMicro, globalBinAt(p) * binWidthMicro))
-        }
-      }.toMap
-    binned
-      .select(col(idCol).as("id"), col(groupCol).as("group"),
-        col(scoreCol).as("score"), col("bin"),
-        element_at(typedLit(mapping),
-          concat(gSafe, lit("\u0000"), col("bin").cast("string"))).as("__m"))
-      .select(col("id"), col("group"), col("score"), col("bin"),
-        col("__m._1").as("rank_micro"),
-        col("__m._2").as("normalized_score_micro"))
+    val rows = hist.groupBy(_._1).toSeq.flatMap { case (g, grows) =>
+      val n = grows.map(_._3).sum
+      var cum = 0L
+      grows.sortBy(_._2).map { case (_, b, c) =>
+        val rankMicro = ((2 * cum + c) * 1000000L) / (2 * math.max(n, 1L))
+        cum += c
+        val p = math.min(nTotal - 1, (rankMicro * nTotal) / 1000000L)
+        (g, b, rankMicro, globalBinAt(p) * binWidthMicro)
+      }
+    }
+    (binned, gSafe, rows)
   }
 
   /** Point-in-time (time-travel) read over an SCD-type-2 history: the
@@ -1638,6 +1651,56 @@ object Corpus {
   def scd2AsOf(dim: DataFrame, version: Long): DataFrame =
     dim.filter(col("valid_from") <= version &&
       (col("valid_to").isNull || col("valid_to") > version))
+
+  /** Freezes the [[quantileNormalizeBy]] mapping as a MODEL TABLE —
+    * (group, bin, rank_micro, normalized_score_micro), O(groups × bins)
+    * rows — so the calibration trains once on a reference corpus and
+    * applies at ingestion without recomputing histograms (the frozen-LM /
+    * bucketModel serving convention; persist kind-tagged via
+    * `MetaPersist.writeModel(..., "quantile_norm")`). The `group` column
+    * carries the scoreBucketsBy NULL sentinel. */
+  def quantileNormalizeModel(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      binWidthMicro: Long = 1000L): DataFrame = {
+    val (_, _, rows) = qnMapping(df, groupCol, scoreCol, binWidthMicro)
+    import df.sparkSession.implicits._
+    rows.toDF("group", "bin", "rank_micro", "normalized_score_micro")
+  }
+
+  /** Applies a frozen [[quantileNormalizeModel]] to new rows — the serving
+    * twin: per row, the model row with the LARGEST trained bin ≤ the
+    * row's bin within its group carries down (an unseen bin BETWEEN
+    * trained bins inherits its lower neighbor's mapping — monotone in the
+    * score, the bucketModel generalization rule); rows below a group's
+    * trained range, or in an untrained group, get NULL rank/normalized
+    * (no evidence — visible, never guessed). One as-of carry-down join on
+    * the group key; the model never rescans its training corpus. Applying
+    * a model to its OWN training corpus reproduces [[quantileNormalizeBy]]
+    * exactly (pinned). Returns (id, group, score, bin, rank_micro,
+    * normalized_score_micro). */
+  def quantileNormalizeAgainst(
+      df: DataFrame,
+      model: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      binWidthMicro: Long = 1000L): DataFrame = {
+    require(binWidthMicro >= 1, "binWidthMicro must be at least 1")
+    val sm = round(col(scoreCol) * lit(1e6)).cast("long")
+    val gSafe = coalesce(col(groupCol).cast("string"), lit("<null>"))
+    val left = df.select(col(idCol).as("id"), col(groupCol).as("group"),
+      col(scoreCol).as("score"), gSafe.as("__g"),
+      floor(sm / lit(binWidthMicro.toDouble)).cast("long").as("bin"))
+    val right = model.select(col("group").as("__g"), col("bin").as("__mbin"),
+      col("rank_micro"), col("normalized_score_micro"))
+    AsOfJoin.backward(left, right, "__g", "bin", "__mbin",
+        Seq("rank_micro", "normalized_score_micro"))
+      .select(col("id"), col("group"), col("score"), col("bin"),
+        col("asof_rank_micro").as("rank_micro"),
+        col("asof_normalized_score_micro").as("normalized_score_micro"))
+  }
 
   /** CDC change application — the MERGE INTO / Delta-apply shape: a base
     * snapshot plus a change feed of (id, op ∈ upsert|delete, ts, payload)

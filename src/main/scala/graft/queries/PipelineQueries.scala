@@ -1069,6 +1069,18 @@ object PipelineQueries {
           "lang", "doc_id", "quality")
         .orderBy("id")),
 
+    // frozen quantile normalization: model trained on the < 250 half,
+    // applied to ALL docs — unseen bins carry down to the largest trained
+    // bin ≤ theirs within the group, below-range rows get NULL (visible)
+    "corpus_quantile_normalize_frozen" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      val model = Corpus.quantileNormalizeModel(
+        docs.filter(col("doc_id") < 250), "lang", "quality")
+      Corpus.quantileNormalizeAgainst(docs, model, "lang", "doc_id", "quality")
+        .orderBy("id")
+    }),
+
     "corpus_quality_buckets" -> ((s, d) =>
       Corpus.scoreBuckets(
           t(s, d, "documents").df
@@ -2828,6 +2840,38 @@ object PipelineQueries {
        "SELECT doc_id, text, lang, source, n_chars FROM kept " +
        "UNION ALL SELECT doc_id, text, lang, source, n_chars FROM win " +
        "WHERE op = 'upsert' ORDER BY doc_id"),
+
+    "corpus_quantile_normalize_frozen" ->
+      ("WITH qq AS (SELECT doc_id, lang, text, " +
+       "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+       "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stopword_hits " +
+       "FROM documents), " +
+       "s AS (SELECT doc_id AS id, lang AS grp, " + QualityScoreSql + " AS score FROM qq), " +
+       "b AS (SELECT id, grp, score, CAST(floor(round(score * 1000000) / 1000) AS BIGINT) AS bin FROM s), " +
+       "tb AS (SELECT * FROM b WHERE id < 250), " +
+       "h AS (SELECT grp, bin, count(*) AS c FROM tb GROUP BY 1, 2), " +
+       "gn AS (SELECT grp, sum(c) AS n FROM h GROUP BY grp), " +
+       "gc AS (SELECT grp, bin, c, coalesce(sum(c) OVER (PARTITION BY grp ORDER BY bin " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM h), " +
+       "r AS (SELECT gc.grp, gc.bin, " +
+       "((2 * gc.cb + gc.c) * 1000000) // (2 * greatest(gn.n, 1)) AS rank_micro " +
+       "FROM gc JOIN gn ON gc.grp = gn.grp), " +
+       "gh AS (SELECT bin, sum(c) AS c FROM h GROUP BY bin), " +
+       "gcum AS (SELECT bin, coalesce(sum(c) OVER (ORDER BY bin " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st, " +
+       "sum(c) OVER (ORDER BY bin) AS en FROM gh), " +
+       "nt AS (SELECT sum(c) AS n FROM gh), " +
+       "m AS (SELECT r.grp, r.bin, r.rank_micro, g2.bin * 1000 AS norm " +
+       "FROM r CROSS JOIN nt JOIN gcum g2 " +
+       "ON least(nt.n - 1, (r.rank_micro * nt.n) // 1000000) >= g2.st " +
+       "AND least(nt.n - 1, (r.rank_micro * nt.n) // 1000000) < g2.en) " +
+       "SELECT b.id, b.grp AS \"group\", b.score, b.bin, " +
+       "CAST(mm.rank_micro AS BIGINT) AS rank_micro, " +
+       "CAST(mm.norm AS BIGINT) AS normalized_score_micro " +
+       "FROM b LEFT JOIN LATERAL (SELECT m.rank_micro, m.norm FROM m " +
+       "WHERE m.grp = b.grp AND m.bin <= b.bin ORDER BY m.bin DESC LIMIT 1) mm " +
+       "ON TRUE ORDER BY b.id"),
 
     "corpus_quantile_normalize" ->
       ("WITH qq AS (SELECT doc_id, lang, text, " +

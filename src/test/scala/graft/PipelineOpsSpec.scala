@@ -2270,6 +2270,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0L, 0L, "c1 c2 c3")))
   }
 
+  test("quantileNormalizeAgainst: own-corpus apply == inline; carry-down + below-range NULL") {
+    import spark.implicits._
+    val train = Seq((1L, "A", 0.1), (2L, "A", 0.2), (3L, "A", 0.3),
+      (4L, "B", 0.7), (5L, "B", 0.8), (6L, "B", 0.9)).toDF("id", "g", "s")
+    val model = Corpus.quantileNormalizeModel(train, "g", "s")
+    // applying the model to its own training corpus reproduces the inline op
+    val served = Corpus.quantileNormalizeAgainst(train, model, "g", "id", "s")
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Corpus.quantileNormalizeBy(train, "g", "id", "s")
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == inline, s"served=$served inline=$inline")
+    // new rows: 0.25 (between trained A bins) carries DOWN to 0.2's
+    // mapping; 0.05 (below A's range) gets NULL; untrained group NULL
+    val fresh = Seq((10L, "A", 0.25), (11L, "A", 0.05), (12L, "Z", 0.5))
+      .toDF("id", "g", "s")
+    val got = Corpus.quantileNormalizeAgainst(fresh, model, "g", "id", "s")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(4)), Option(r.get(5))))).toMap
+    val a02 = Corpus.quantileNormalizeBy(train, "g", "id", "s")
+      .filter(col("id") === 2L).collect().head
+    assert(got(10L) == ((Some(a02.getLong(4)), Some(a02.getLong(5)))), s"$got")
+    assert(got(11L) == ((None, None)), s"below range must be NULL: $got")
+    assert(got(12L) == ((None, None)), s"untrained group must be NULL: $got")
+  }
+
   test("applyChanges: latest wins, delete beats upsert on ts tie, unknown op fails loudly") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
