@@ -167,8 +167,10 @@ object Classifier {
     val rows = scored
       .filter(col(scoreMicroCol).isNotNull && col(labelCol).isNotNull)
       .select(
-        expr(s"least(cast(${bins - 1} as bigint), " +
-          s"(cast(`$scoreMicroCol` as bigint) * $bins) div 1000000L)").as("bin"),
+        // out-of-contract scores clamp into the edge bins rather than
+        // minting negative/overflowing bin labels
+        expr(s"greatest(0L, least(cast(${bins - 1} as bigint), " +
+          s"(cast(`$scoreMicroCol` as bigint) * $bins) div 1000000L))").as("bin"),
         col(scoreMicroCol).cast("long").as("__s"),
         col(labelCol).cast("long").as("__y"))
     val perBin = rows.groupBy(col("bin")).agg(
