@@ -161,6 +161,70 @@ object Corpus {
     hashSplit(assigned, "component", salt, trainPct, valPct)
   }
 
+  /** Incremental twin of [[leakageSafeSplit]] — the daily-ingestion shape:
+    * NEW documents must respect the split assignments already frozen for
+    * the corpus, or yesterday's train doc re-crawled today lands in val
+    * and leaks. Batch-internal near-dup pairs group the batch into
+    * components (checkpointed pointer jumping over the batch pair graph
+    * only); a component with ANY cross pair into the corpus INHERITS the
+    * split of the minimum matched corpus id (deterministic, and pinned:
+    * all members inherit together, so a component can never straddle);
+    * un-matched components fall back to the plain component-keyed hash
+    * split — a batch with no corpus matches reproduces
+    * [[leakageSafeSplit]] exactly (pinned). The corpus side contributes
+    * only its (id, split) table and the caller-supplied cross pairs — the
+    * corpus never self-joins here (the incremental-dedup cost contract).
+    *
+    * Returns one row per batch row:
+    * (idCol, component, inherited_from, bucket, split) — `inherited_from`
+    * is the minimum matched corpus id (NULL when hash-assigned), `bucket`
+    * is NULL on inherited rows (their split came from the corpus, not the
+    * md5 wheel). */
+  def leakageSafeSplitIncremental(
+      batch: DataFrame,
+      idCol: String,
+      batchPairs: DataFrame,
+      pairIdACol: String,
+      pairIdBCol: String,
+      corpusSplits: DataFrame,
+      corpusIdCol: String,
+      corpusSplitCol: String,
+      crossPairs: DataFrame,
+      crossBatchIdCol: String,
+      crossCorpusIdCol: String,
+      salt: String,
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val comp = Dedup.connectedComponents(
+        batchPairs.select(col(pairIdACol).as("id_a"), col(pairIdBCol).as("id_b")),
+        "id_a", "id_b")
+      .withColumnRenamed("id", "__cc_id")
+    val assigned = batch
+      .join(comp, col(idCol) === col("__cc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .drop("__cc_id")
+    // per component: the minimum matched corpus id (if any)
+    val inherits = assigned
+      .select(col(idCol).as("__bid"), col("component"))
+      .join(crossPairs.select(col(crossBatchIdCol).as("__bid"),
+        col(crossCorpusIdCol).as("__cid")), Seq("__bid"))
+      .groupBy(col("component"))
+      .agg(min(col("__cid")).as("inherited_from"))
+      .join(corpusSplits.select(col(corpusIdCol).as("inherited_from"),
+        col(corpusSplitCol).as("__inh_split")), Seq("inherited_from"))
+    val hashed = hashSplit(assigned, "component", salt, trainPct, valPct)
+    hashed
+      .join(inherits, Seq("component"), "left")
+      .withColumn("split",
+        when(col("inherited_from").isNotNull, col("__inh_split"))
+          .otherwise(col("split")))
+      .withColumn("bucket",
+        when(col("inherited_from").isNotNull, lit(null).cast("long"))
+          .otherwise(col("bucket")))
+      .select(batch.columns.map(col) ++
+        Seq(col("component"), col("inherited_from"), col("bucket"), col("split")): _*)
+  }
+
   /** Benchmark decontamination: flags corpus documents sharing at least
     * `minShared` distinct w-token shingles with ANY benchmark document —
     * the standard eval-leak scrub before training. The benchmark side (eval

@@ -616,6 +616,29 @@ object OpsQueries {
         .orderBy("item_a", "item_b")
     }),
 
+    // incremental leakage-safe split: odd docs are the new batch, even
+    // docs the frozen corpus (plain id-hash splits); a batch component
+    // with ANY fuzzy match into the corpus inherits the min matched
+    // corpus doc's split, the rest hash on their component — oracle
+    // re-derives pairs, components, inheritance, and both split wheels
+    "corpus_leakage_split_incremental" -> ((s, d) => {
+      val words = t(s, d, "documents").df
+        .select(col("doc_id"), split_part(col("text"), lit(" "), lit(1)).as("w"))
+      val odds = words.filter(col("doc_id") % 2 === 1)
+      val evens = words.filter(col("doc_id") % 2 === 0)
+      val corpusSplits = Corpus.hashSplit(evens, "doc_id", salt = "graft")
+        .select(col("doc_id"), col("split"))
+      val batchPairs = FuzzyJoin.editDistancePairs(odds, "doc_id", "w", maxDist = 2)
+      val crossPairs = FuzzyJoin.editDistanceJoin(
+        odds, "doc_id", "w", evens, "doc_id", "w", maxDist = 2)
+      Corpus.leakageSafeSplitIncremental(
+          odds, "doc_id", batchPairs, "id_a", "id_b",
+          corpusSplits, "doc_id", "split", crossPairs, "id_a", "id_b",
+          salt = "graft")
+        .select("doc_id", "component", "inherited_from", "bucket", "split")
+        .orderBy("doc_id")
+    }),
+
     // related-items index: top-5 neighbors per item from the copurchase
     // pair table, both directions, (lift desc, count desc, id asc) —
     // the index-once/serve-many shape; per-item rank is WindowGroupLimit
@@ -1141,6 +1164,38 @@ object OpsQueries {
        "AS BIGINT) AS jaccard_micro " +
        "FROM pc JOIN ic ia ON pc.item_a = ia.i JOIN ic ib ON pc.item_b = ib.i " +
        "CROSS JOIN nb ORDER BY item_a, item_b"),
+
+    "corpus_leakage_split_incremental" ->
+      ("WITH RECURSIVE w AS (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents), " +
+       "odds AS (SELECT * FROM w WHERE doc_id % 2 = 1), " +
+       "evens AS (SELECT * FROM w WHERE doc_id % 2 = 0), " +
+       "cs AS (SELECT doc_id, CASE WHEN CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) " +
+       "AS BIGINT) % 100 < 80 THEN 'train' " +
+       "WHEN CAST(('0x' || substr(md5(doc_id || ':graft'), 1, 8)) AS BIGINT) % 100 < 90 " +
+       "THEN 'val' ELSE 'test' END AS split FROM evens), " +
+       "bp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM odds a JOIN odds b " +
+       "ON a.doc_id < b.doc_id AND levenshtein(a.w, b.w) <= 2), " +
+       "edges AS (SELECT id_a AS src, id_b AS dst FROM bp " +
+       "UNION SELECT id_b AS src, id_a AS dst FROM bp), " +
+       "reach(src, dst) AS (SELECT src, dst FROM edges " +
+       "UNION SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src), " +
+       "comp0 AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach " +
+       "GROUP BY src), " +
+       "comp AS (SELECT odds.doc_id, coalesce(c.component, odds.doc_id) AS component " +
+       "FROM odds LEFT JOIN comp0 c ON odds.doc_id = c.id), " +
+       "cp AS (SELECT a.doc_id AS bid, b.doc_id AS cid FROM odds a JOIN evens b " +
+       "ON levenshtein(a.w, b.w) <= 2), " +
+       "inh AS (SELECT comp.component, min(cp.cid) AS inherited_from " +
+       "FROM comp JOIN cp ON comp.doc_id = cp.bid GROUP BY comp.component), " +
+       "bk AS (SELECT comp.doc_id, comp.component, inh.inherited_from, " +
+       "CAST(('0x' || substr(md5(comp.component || ':graft'), 1, 8)) AS BIGINT) % 100 " +
+       "AS hbucket FROM comp LEFT JOIN inh ON comp.component = inh.component) " +
+       "SELECT bk.doc_id, bk.component, bk.inherited_from, " +
+       "CASE WHEN bk.inherited_from IS NOT NULL THEN NULL ELSE bk.hbucket END AS bucket, " +
+       "CASE WHEN bk.inherited_from IS NOT NULL THEN cs.split " +
+       "WHEN bk.hbucket < 80 THEN 'train' WHEN bk.hbucket < 90 THEN 'val' " +
+       "ELSE 'test' END AS split " +
+       "FROM bk LEFT JOIN cs ON bk.inherited_from = cs.doc_id ORDER BY bk.doc_id"),
 
     "graph_related_items" ->
       (CopurchaseCtes + ", " +

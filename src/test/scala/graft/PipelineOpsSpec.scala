@@ -2295,6 +2295,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(12L) == ((None, None)), s"untrained group must be NULL: $got")
   }
 
+  test("leakageSafeSplitIncremental: components inherit together; no-match batch == plain split") {
+    import spark.implicits._
+    val batch = (1L to 20L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // batch components: {1,2} chained; {3} solo. 2 matches corpus 100
+    // (split 'val' by fiat) → BOTH 1 and 2 inherit 'val'; 3 hashes.
+    val bPairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val xPairs = Seq((2L, 100L), (2L, 200L)).toDF("bid", "cid") // min cid = 100
+    val corpus = Seq((100L, "val"), (200L, "test")).toDF("cid", "split")
+    val got = Corpus.leakageSafeSplitIncremental(
+        batch, "id", bPairs, "id_a", "id_b",
+        corpus, "cid", "split", xPairs, "bid", "cid", salt = "graft")
+      .select("id", "component", "inherited_from", "bucket", "split")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getString(4)))).toMap
+    assert(got.size == 20, "row conservation")
+    assert(got(1L) == ((1L, Some(100L), None, "val")), s"$got")
+    assert(got(2L) == ((1L, Some(100L), None, "val")), "whole component inherits")
+    assert(got(3L)._2.isEmpty && got(3L)._3.nonEmpty, "unmatched hashes with a bucket")
+    // a batch with no cross pairs reproduces the plain component split
+    val plain = Corpus.leakageSafeSplit(batch, "id", bPairs, "id_a", "id_b", "graft")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val none = Corpus.leakageSafeSplitIncremental(
+        batch, "id", bPairs, "id_a", "id_b",
+        corpus, "cid", "split", xPairs.filter(col("bid") < 0), "bid", "cid",
+        salt = "graft")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(none == plain, s"none=$none plain=$plain")
+  }
+
   test("applyChanges: latest wins, delete beats upsert on ts tie, unknown op fails loudly") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
