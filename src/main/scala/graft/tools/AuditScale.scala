@@ -76,6 +76,13 @@ object AuditScale {
     "dq_fd_check", "dq_join_preflight", "corpus_quantile_normalize",
     "corpus_leakage_split", "layout_zorder", "mm_image_phash_neardup",
     "agg_theta_segments", "events_anomaly_seasonal", "mm_audio_fp_invariance",
+    // round-14 second wave (corpus_leakage_split_incremental stays out for
+    // the same reason join_fuzzy_edit does: its declared first-token input
+    // has a fixed vocabulary, so the OUTPUT pair set itself is quadratic —
+    // fuzzy_edit_operator isolates the operator on mostly-unique keys)
+    "graph_related_items", "events_session_copurchase", "corpus_apply_changes",
+    "corpus_scd2_asof", "dq_calibration", "corpus_quantile_normalize_frozen",
+    "mm_video_phash_neardup",
     "dq_suggest", "search_hybrid_rrf", "search_bm25_expanded",
     "events_top_paths", "events_transitions", "events_attribution",
     "events_attribution_incremental", "events_anomaly_daily",
@@ -182,6 +189,11 @@ object AuditScale {
       // the declared triangles query builds its edges through coOccurrence
       // and so embeds the same 1-row basket-total crossJoin
       "graph_triangles",
+      // more copurchase-embedding queries (basket-total crossJoin), the
+      // calibration ECE 1-row broadcast, and the pHash/video property
+      // queries' bounded doc_id-arithmetic planted joins
+      "graph_related_items", "events_session_copurchase", "dq_calibration",
+      "mm_video_phash_neardup",
       // leakage split embeds the fuzzy pair graph → the bounded PassJoin
       // short-string branch's length-band BNLJ
       "corpus_leakage_split",
