@@ -74,15 +74,17 @@ object AuditScale {
     // z + one range exchange), pHash near-dup (row-local decode + banding)
     "graph_copurchase", "graph_copurchase_incremental", "graph_triangles",
     "dq_fd_check", "dq_join_preflight", "corpus_quantile_normalize",
-    "corpus_leakage_split", "layout_zorder", "mm_image_phash_neardup",
+    "corpus_leakage_split", "layout_zorder",
     "agg_theta_segments", "events_anomaly_seasonal", "mm_audio_fp_invariance",
-    // round-14 second wave (corpus_leakage_split_incremental stays out for
-    // the same reason join_fuzzy_edit does: its declared first-token input
-    // has a fixed vocabulary, so the OUTPUT pair set itself is quadratic —
-    // fuzzy_edit_operator isolates the operator on mostly-unique keys)
+    // round-14 second wave. OUT for the join_fuzzy_edit reason (declared
+    // inputs whose OUTPUT is quadratic in the amplified corpus by
+    // construction): corpus_leakage_split_incremental (fixed-vocabulary
+    // first tokens) and the phash/video PLANTED-RECALL property queries
+    // (the demo generators repeat every 256 ids, so planted pairs — and
+    // the identical-hash join — grow quadratically; image_phash_operator
+    // below isolates the actual row-local hash stage)
     "graph_related_items", "events_session_copurchase", "corpus_apply_changes",
     "corpus_scd2_asof", "dq_calibration", "corpus_quantile_normalize_frozen",
-    "mm_video_phash_neardup",
     "dq_suggest", "search_hybrid_rrf", "search_bm25_expanded",
     "events_top_paths", "events_transitions", "events_attribution",
     "events_attribution_incremental", "events_anomaly_daily",
@@ -233,6 +235,14 @@ object AuditScale {
       // whose fixed vocabulary makes the OUTPUT pair set itself quadratic in
       // the corpus (inherent to that input, not the operator); prefixes keep
       // segment-key frequencies bounded so the ratio measures the operator
+      // isolates the pHash stage (decode + block-average + DCT + threshold,
+      // row-local) from the planted-recall property join, whose output is
+      // quadratic on the phase-repeating demo corpus
+      "image_phash_operator" -> ((s: SparkSession, d: String) => {
+        import graft.multimodal.Multimodal
+        Multimodal.imagePHashes(Multimodal.encodeDemoPng(
+          Tables.load(s, d, "documents").select(col("doc_id")), "doc_id"))
+      }),
       "fuzzy_edit_operator" -> ((s: SparkSession, d: String) =>
         graft.operators.FuzzyJoin.editDistancePairs(
           Tables.load(s, d, "documents")
