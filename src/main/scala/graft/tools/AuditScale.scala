@@ -374,7 +374,7 @@ object AuditScale {
 
     // dev-only 5th arg: comma-separated entry names to isolate while
     // iterating on one row (the committed artifact is always the full run)
-    val only = args.lift(4).map(_.split(',').toSet)
+    val only = args.lift(4).filter(_.nonEmpty).map(_.split(',').toSet)
     val fns = only.fold(queryFns)(names => queryFns.filter(f => names(f._1)))
     // warm pass: JIT + codegen cache on the small sf — one run suffices
     fns.foreach { case (n, fn) => runOne(spark, warmDir, n, fn, runs = 1) }
