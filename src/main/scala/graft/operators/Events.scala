@@ -589,6 +589,40 @@ object Events {
       .select("event_type", "day", "n", "n_prior", "z_micro", "is_anomaly")
   }
 
+  /** Dense daily resampling with gap fill — the step between raw events
+    * and anything windowed over days (anomaly baselines, retention
+    * grids, rate charts): per (key, day) counts plus EXPLICIT zero rows
+    * for every day the key was silent between its own first and last
+    * observed day. A missing day is a statement ("this producer emitted
+    * nothing"), not an absent row — trailing-window baselines computed
+    * over sparse grids silently skip gaps, which is exactly how a dead
+    * producer hides ([[dailyAnomalies]] documents the same trade-off from
+    * the other side with its rows-frame choice).
+    *
+    * Scale shape: one (key, day) count reduce with map-side partials
+    * (the only event-sized pass), then a per-key 1-row min/max aggregate
+    * whose day range EXPLODES row-locally (`sequence` over DATES — the
+    * grid is keys × days rows, never events) and left-joins the observed
+    * counts back on the (key, day) grid key. `filled` marks synthesized
+    * rows. */
+  def resampleDaily(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val grid = daily.groupBy(col("key"))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col("key"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    grid.join(daily, Seq("key", "day"), "left")
+      .select(col("key"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNull.as("filled"))
+  }
+
   /** SEASONAL twin of [[dailyAnomalies]]: the baseline window holds the
     * previous `window` observed SAME-WEEKDAY days — a Sunday compares to
     * Sundays, so weekly seasonality (weekend dips, Monday spikes) stops

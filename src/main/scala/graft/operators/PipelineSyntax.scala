@@ -120,6 +120,14 @@ object PipelineSyntax {
         pkVerified = mf.primaryKey.contains(Seq(idCol)) &&
           mf.metadata.get(MetaFrame.PkVerifiedField).contains(true))
 
+    /** Dense per-key daily resample with explicit zero fill: one row per
+      * (key, day) in each key's observed range. */
+    def resampledDaily(keyCol: String, tsCol: String): MetaFrame =
+      derived(mf, Events.resampleDaily(mf.df, keyCol, tsCol),
+        "resample_daily",
+        Map("key" -> keyCol, "ts" -> tsCol),
+        pk = Some(Seq("key", "day")))
+
     /** Seasonal (same-weekday) daily volume anomalies over the frame's
       * events: one row per (event_type, day). */
     def anomaliesSeasonal(tsCol: String, typeCol: String, window: Int = 4,

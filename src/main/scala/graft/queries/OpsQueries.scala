@@ -153,6 +153,13 @@ object OpsQueries {
           window = 7, minPrior = 3, thresholdMicro = 2000000L)
         .orderBy("event_type", "day")),
 
+    // dense daily resample: per-user daily event counts with explicit
+    // zero rows for silent days inside each user's own observed range —
+    // oracle re-derives the grid with generate_series
+    "events_resample_daily" -> ((s, d) =>
+      Events.resampleDaily(t(s, d, "events").df, "user_id", "ts")
+        .orderBy("key", "day")),
+
     // seasonal anomaly twin: weekday-matched trailing baseline (a Sunday
     // compares to Sundays) — the events table spans 30 days, so each
     // (type, weekday) series holds 4-5 points and the window genuinely
@@ -1413,6 +1420,18 @@ object OpsQueries {
        "SELECT event_type, day, CAST(n AS BIGINT) AS n, CAST(cnt AS BIGINT) AS n_prior, " +
        "z_micro, (z_micro IS NOT NULL AND abs(z_micro) >= 2000000) AS is_anomaly " +
        "FROM z ORDER BY event_type, day"),
+
+    "events_resample_daily" ->
+      ("WITH daily AS (SELECT user_id AS key, CAST(ts AS DATE) AS day, count(*) AS n " +
+       "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+       "GROUP BY 1, 2), " +
+       "rng AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY key), " +
+       "grid AS (SELECT key, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) " +
+       "AS DATE) AS day FROM rng) " +
+       "SELECT grid.key, grid.day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n, " +
+       "daily.n IS NULL AS filled " +
+       "FROM grid LEFT JOIN daily ON grid.key = daily.key AND grid.day = daily.day " +
+       "ORDER BY grid.key, grid.day"),
 
     "events_anomaly_seasonal" ->
       ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +

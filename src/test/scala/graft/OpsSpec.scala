@@ -93,6 +93,23 @@ class OpsSpec extends AnyFunSuite {
     assert(served == Set((100L, "C")), "indexed item serves; cold item yields nothing")
   }
 
+  test("resampleDaily: silent days inside a key's own range fill with explicit zeros") {
+    val df = ev(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 11:00:00", "view"),  // day 1: n=2
+      (3L, 1L, "2024-01-04 10:00:00", "view"),  // days 2,3 silent → filled
+      (4L, 2L, "2024-02-10 10:00:00", "click")) // other key: singleton range
+    val got = graft.operators.Events.resampleDaily(df, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == 5, s"user 1 spans 4 days, user 2 one day: $got")
+    assert(got((1L, "2024-01-01")) == ((2L, false)))
+    assert(got((1L, "2024-01-02")) == ((0L, true)), "gap day is an explicit zero")
+    assert(got((1L, "2024-01-03")) == ((0L, true)))
+    assert(got((1L, "2024-01-04")) == ((1L, false)))
+    assert(got((2L, "2024-02-10")) == ((1L, false)), "no fill outside a key's range")
+  }
+
   test("seasonal anomaly: weekend dip is normal vs same-weekday baseline; flat window flags it") {
     // weekdays 100 events; Saturdays dip to 10/11/12 (jitter so std > 0);
     // the 5th Saturday spikes to 100
