@@ -943,6 +943,33 @@ object Streams {
       }
       .start()
 
+  /** Streaming CDC apply — the foreachBatch twin of
+    * [[graft.operators.Corpus.applyChanges]]: each micro-batch of change
+    * rows compacts into the snapshot the caller's `readBase`/`write`
+    * provide (a versioned parquet dir, a Delta-style table, an in-memory
+    * frame in tests). CONTRACT: the feed must deliver each id's changes
+    * in non-decreasing `tsCol` order across batches (the standard CDC
+    * per-key ordering guarantee — Debezium/Kafka keyed topics give it);
+    * under it, sequential per-batch application is EXACTLY the one-shot
+    * latest-wins merge over the whole feed (pinned in StreamingSpec).
+    * An out-of-order straggler in a later batch would win over a newer
+    * row already applied — the snapshot keeps no per-id version to
+    * arbitrate — so feeds without the ordering guarantee belong in the
+    * batch operator over the accumulated feed instead. */
+  def applyChangesStream(
+      stream: DataFrame,
+      idCol: String,
+      opCol: String,
+      tsCol: String)(
+      readBase: () => DataFrame)(
+      write: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        write(graft.operators.Corpus.applyChanges(
+          readBase(), batch, idCol, opCol, tsCol), batchId)
+      }
+      .start()
+
   /** Streaming co-occurrence store builder — the stream twin of
     * [[graft.operators.Graph.coOccurrenceStore]]: each micro-batch emits
     * its (pair, item, total) count-store rows through the LITERALLY

@@ -1174,6 +1174,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(byBatch(1L)(1) == Some(2000000L), s"reversed shard flags at 2e6: $buf")
   }
 
+  test("CDC apply stream: sequential in-order batches == one-shot latest-wins merge") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val b1 = Seq((1L, "x1", "upsert", 10L), (2L, "gone", "delete", 11L),
+      (4L, "new", "upsert", 12L))
+    val b2 = Seq((1L, "x2", "upsert", 20L), (4L, "gone", "delete", 21L),
+      (5L, "late", "upsert", 22L))
+    // snapshot store: an in-memory frame behind the read/write hooks
+    var snapshot = base
+    val ms = MemoryStream[(Long, String, String, Long)](spark)
+    val q = Streams.applyChangesStream(
+        ms.toDF().toDF("id", "v", "op", "cts"), "id", "op", "cts") {
+      () => snapshot
+    } { (next, _) =>
+      val rows = next.collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      snapshot = rows.toDF("id", "v")
+    }
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = snapshot.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val oneShot = Corpus.applyChanges(base, (b1 ++ b2).toDF("id", "v", "op", "cts"),
+        "id", "op", "cts")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    assert(streamed == Map(1L -> "x2", 3L -> "c", 5L -> "late"), s"$streamed")
+  }
+
   test("fd monitor: per-batch verdicts bit-equal to the batch checker") {
     import spark.implicits._
     import graft.operators.Checks
