@@ -383,6 +383,55 @@ object Checks {
     *
     * Returns one row per suggestion, ordered (col_name, kind):
     * (col_name, kind, lo, hi, allowed, n_rows, n_nulls, n_distinct). */
+  /** Referential-integrity check — the orphan detector behind every
+    * star-schema load: child rows whose foreign key has no parent. NULL
+    * foreign keys are counted separately (an unknown parent is a
+    * different defect from a missing one, and SQL joins would silently
+    * conflate them). The check is one distinct-key anti-join against the
+    * parent's key projection (never the parent's payload) plus a child
+    * key-count reduce — aggregated tables only; the top `sampleK`
+    * offending keys by child-row count ride along so the report NAMES
+    * the orphans instead of just counting them.
+    *
+    * Returns one row per orphaned key (top sampleK by n_child_rows desc,
+    * key asc), each carrying the totals: (key, n_child_rows,
+    * n_orphan_keys, n_orphan_rows, n_null_fk_rows, n_child_total, ok) —
+    * and exactly ONE row with NULL key carrying only totals when no
+    * orphans exist, so the verdict is never an empty frame. */
+  def referentialIntegrity(
+      child: DataFrame,
+      fkCol: String,
+      parent: DataFrame,
+      pkCol: String,
+      sampleK: Int = 10): DataFrame = {
+    require(sampleK >= 1, "sampleK must be >= 1")
+    val counts = child.filter(col(fkCol).isNotNull)
+      .groupBy(col(fkCol).as("key")).agg(count(lit(1)).as("n_child_rows"))
+    val orphans = counts.join(
+      parent.select(col(pkCol).as("key")).distinct(), Seq("key"), "left_anti")
+    val totals = orphans.agg(
+        count(lit(1)).as("n_orphan_keys"),
+        coalesce(sum(col("n_child_rows")), lit(0L)).as("n_orphan_rows"))
+      .crossJoin(child.agg(
+        sum(when(col(fkCol).isNull, 1L).otherwise(0L)).as("n_null_fk_rows"),
+        count(lit(1)).as("n_child_total")))
+      .select(col("n_orphan_keys"), col("n_orphan_rows"),
+        coalesce(col("n_null_fk_rows"), lit(0L)).as("n_null_fk_rows"),
+        col("n_child_total"))
+      .withColumn("ok", col("n_orphan_keys") === 0L)
+    val top = orphans
+      .orderBy(col("n_child_rows").desc, col("key").asc)
+      .limit(sampleK)
+    val named = top.crossJoin(broadcast(totals))
+    val empty = broadcast(totals)
+      .filter(col("n_orphan_keys") === 0L)
+      .select(lit(null).cast(counts.schema("key").dataType).as("key"),
+        lit(null).cast("long").as("n_child_rows"),
+        col("n_orphan_keys"), col("n_orphan_rows"), col("n_null_fk_rows"),
+        col("n_child_total"), col("ok"))
+    named.unionByName(empty)
+  }
+
   /** Join pre-flight: the "will this join explode?" check a 100 TB
     * warehouse runs BEFORE an equi-join, from the two key histograms
     * alone — exact output cardinality (Σ_k cA(k)·cB(k)), matched-key

@@ -150,6 +150,17 @@ object PipelineSyntax {
         Map("label" -> labelCol, "score" -> scoreMicroCol, "bins" -> bins),
         pk = Some(Seq("bin")))
 
+    /** Referential-integrity check of this frame's `fkCol` against
+      * `parent`'s `pkCol`: named orphan keys + totals (no pk — the clean
+      * case emits a NULL-key totals row). */
+    def refIntegrityAgainst(fkCol: String, parent: MetaFrame, pkCol: String,
+        sampleK: Int = 10): MetaFrame =
+      derived(mf,
+        Checks.referentialIntegrity(mf.df, fkCol, parent.df, pkCol, sampleK),
+        "ref_integrity",
+        Map("fk" -> fkCol, "pk" -> pkCol, "sampleK" -> sampleK),
+        pk = None)
+
     /** Join pre-flight against `right`: top-K contributing keys + totals;
       * each surviving key appears once, so `key` is the pk. */
     def joinPreflightWith(leftKey: String, right: MetaFrame, rightKey: String,

@@ -574,6 +574,19 @@ object OpsQueries {
         .orderBy("item_a", "item_b")
     }),
 
+    // referential integrity: lineitem→part fk check with planted orphans
+    // (÷1000 orders point past the part table) and planted NULL fks
+    // (÷997) — orphan keys named with exact child-row counts + totals
+    "dq_ref_integrity" -> ((s, d) => {
+      val child = t(s, d, "lineitem").df.select(
+        when(col("l_orderkey") % 997 === 0, lit(null).cast("long"))
+          .when(col("l_orderkey") % 1000 === 0, col("l_partkey") + 900000L)
+          .otherwise(col("l_partkey")).as("fk"))
+      Checks.referentialIntegrity(child, "fk", t(s, d, "part").df,
+          "p_partkey", sampleK = 10)
+        .orderBy(col("key").asc_nulls_last)
+    }),
+
     // calibration report (ECE): deterministic synthetic scores/labels so
     // the bin algebra is fully oracle-checkable (the classifier's own
     // scores are pinned elsewhere; this pins the CALIBRATION operator)
@@ -1239,6 +1252,26 @@ object OpsQueries {
        "ELSE CAST(round((coalesce(pn.n, 0) * 2 * 1000000.0) / " +
        "(deg.degree * (deg.degree - 1))) AS BIGINT) END AS clustering_micro " +
        "FROM deg LEFT JOIN pn USING (id) ORDER BY id"),
+
+    "dq_ref_integrity" ->
+      ("WITH ch AS (SELECT CASE WHEN l_orderkey % 997 = 0 THEN NULL " +
+       "WHEN l_orderkey % 1000 = 0 THEN l_partkey + 900000 " +
+       "ELSE l_partkey END AS fk FROM lineitem), " +
+       "counts AS (SELECT fk AS key, count(*) AS n_child_rows FROM ch " +
+       "WHERE fk IS NOT NULL GROUP BY fk), " +
+       "orph AS (SELECT * FROM counts c WHERE NOT EXISTS " +
+       "(SELECT 1 FROM part WHERE p_partkey = c.key)), " +
+       "t AS (SELECT count(*) AS n_orphan_keys, " +
+       "coalesce(sum(n_child_rows), 0) AS n_orphan_rows FROM orph), " +
+       "t2 AS (SELECT count(*) AS n_child_total, " +
+       "coalesce(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END), 0) AS n_null_fk_rows " +
+       "FROM ch), " +
+       "top AS (SELECT * FROM orph ORDER BY n_child_rows DESC, key LIMIT 10) " +
+       "SELECT top.key, top.n_child_rows, CAST(t.n_orphan_keys AS BIGINT) AS n_orphan_keys, " +
+       "CAST(t.n_orphan_rows AS BIGINT) AS n_orphan_rows, " +
+       "CAST(t2.n_null_fk_rows AS BIGINT) AS n_null_fk_rows, " +
+       "CAST(t2.n_child_total AS BIGINT) AS n_child_total, " +
+       "t.n_orphan_keys = 0 AS ok FROM top, t, t2 ORDER BY key"),
 
     "dq_calibration" ->
       ("WITH r AS (SELECT least(9, ((doc_id * 2003 % 1000000) * 10) // 1000000) AS bin, " +

@@ -48,6 +48,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("B", "C")) == ((2L, 4L, 2L, 4L, 1000000L, 500000L)))
   }
 
+  test("referentialIntegrity: orphans named with counts; NULL fks separate; clean case = one totals row") {
+    val spark2 = spark
+    import spark2.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val got = graft.operators.Checks.referentialIntegrity(child, "fk", parent, "pk", sampleK = 1)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // sampleK=1 keeps only the worst orphan (9 → 3 child rows); totals
+    // still see BOTH orphan keys (9 and 8 → 4 rows); 1 NULL fk separate
+    assert(got.toSeq == Seq((Some(9L), Some(3L), 2L, 4L, 1L, 7L, false)), s"${got.toSeq}")
+    val clean = graft.operators.Checks.referentialIntegrity(
+        Seq(1L, 2L).toDF("fk"), "fk", parent, "pk")
+      .collect().map(r => (Option(r.get(0)), r.getLong(2), r.getBoolean(6)))
+    assert(clean.toSeq == Seq((None, 0L, true)), "clean case is ONE totals row, never empty")
+  }
+
   test("calibrationReport: hand-derived bins, gaps, ECE; NULLs excluded; top edge closes") {
     val spark2 = spark
     import spark2.implicits._
