@@ -85,6 +85,7 @@ object AuditScale {
     // below isolates the actual row-local hash stage)
     "graph_related_items", "events_session_copurchase", "corpus_apply_changes",
     "corpus_scd2_asof", "dq_calibration", "corpus_quantile_normalize_frozen",
+    "events_resample_daily", "dq_ref_integrity",
     "dq_suggest", "search_hybrid_rrf", "search_bm25_expanded",
     "events_top_paths", "events_transitions", "events_attribution",
     "events_attribution_incremental", "events_anomaly_daily",
@@ -196,6 +197,8 @@ object AuditScale {
       // queries' bounded doc_id-arithmetic planted joins
       "graph_related_items", "events_session_copurchase", "dq_calibration",
       "mm_video_phash_neardup",
+      // ref-integrity's totals ride the same 1-row broadcast crossJoin
+      "dq_ref_integrity",
       // leakage split embeds the fuzzy pair graph → the bounded PassJoin
       // short-string branch's length-band BNLJ
       "corpus_leakage_split",
