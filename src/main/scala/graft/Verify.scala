@@ -46,11 +46,16 @@ object Verify {
       case Array(s, o, f)          =>
         val set = f.split(",").toSet; (s, o, (n: String) => set.contains(n))
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nThreads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS").map(_.toInt)
-      .getOrElse(math.min(4, cpus.toInt))
-    val budgetSec = sys.env.get("SPARK_GRAFT_VERIFY_BUDGET_SEC").map(_.toLong)
-      .getOrElse(240L)
+    // lenient env parsing (the TimeQuery convention): a malformed value
+    // degrades to the default instead of crashing the whole dump before
+    // oracle_sql.json exists — re-creating the zeroed-round failure this
+    // rewrite prevents would be the worst possible way to fail
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(4).toString
+    val nThreads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(math.min(4, cpus.toInt))
+    val budgetSec = sys.env.get("SPARK_GRAFT_VERIFY_BUDGET_SEC").flatMap(_.toLongOption)
+      .filter(_ >= 1L).getOrElse(240L)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -191,11 +191,17 @@ case class ThetaUnionEstimate(left: Expression, right: Expression)
 object ThetaSketchAgg {
 
   /** Aggregate an item column into one serialized theta sketch.
-    * `stringItems` selects the string-hash update path. */
-  def thetaSketch(items: Column, lgK: Int, stringItems: Boolean): Column =
+    * `stringItems` selects the string-hash update path; the integral path
+    * casts the child to LONG here so Int/Short/Byte columns hash
+    * identically to a pre-cast Long column (update() evaluates a Long
+    * unconditionally — without this cast a direct caller on an Int column
+    * would ClassCastException at execution). */
+  def thetaSketch(items: Column, lgK: Int, stringItems: Boolean): Column = {
+    val child = if (stringItems) items else items.cast("long")
     graftbridge.toColumn(
-      ThetaSketchAgg(graftbridge.toExpression(items), lgK, stringItems)
+      ThetaSketchAgg(graftbridge.toExpression(child), lgK, stringItems)
         .toAggregateExpression())
+  }
 
   /** Union serialized sketches to one merged sketch binary. */
   def thetaUnion(sketches: Column, lgK: Int): Column =

@@ -14,7 +14,40 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** CJK codepoint classes with NO whitespace word boundaries: Han
+    * (U+4E00–9FFF), Hiragana+Katakana (U+3040–30FF), Hangul syllables
+    * (U+AC00–D7AF). Written as literal range endpoints so the identical
+    * character class pastes into the DuckDB (RE2) oracle. */
+  private val CjkClass = "一-鿿぀-ヿ가-힯"
+
+  /** Script-aware tokenization: CJK codepoints (Han/Kana/Hangul — scripts
+    * with no whitespace word boundaries) become SINGLE-CHARACTER tokens;
+    * every other non-space run stays one word token, so Latin/Cyrillic/
+    * Arabic text tokenizes as before. The multilingual-corpus fix for the
+    * `split("\\s+")` default, under which a CJK document reads as ~1
+    * giant token and every token-based operator (LM quality, Gopher
+    * rules, token budgets, PMI, line/span dedup) silently misgrades it.
+    * One `regexp_extract_all` — row-local, codegen'd, and exactly
+    * re-derivable in DuckDB's RE2. Divergence from whitespace mode on
+    * pure-ASCII text: no empty tokens (leading whitespace yields "" under
+    * `split`), which only matters for empty/whitespace-only strings. */
+  def tokensScript(text: Column): Column =
+    regexp_extract_all(text, lit(s"[$CjkClass]|[^\\s$CjkClass]+"), lit(0))
+
+  /** Mode-dispatched tokenization: `"whitespace"` (the default
+    * everywhere) or `"script"` ([[tokensScript]]). */
+  def tokens(text: Column, mode: String): Column = mode match {
+    case "whitespace" => tokens(text)
+    case "script"     => tokensScript(text)
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer mode '$other' (expected whitespace|script)")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Mode-dispatched token count — see [[tokens(text:Column,mode:String)*]]. */
+  def tokenCount(text: Column, mode: String): Column =
+    size(tokens(text, mode)).cast("long")
 
   /** BPE-ish sub-token count: alphabetic runs, digit runs and punctuation
     * each count as one token (a cheap, deterministic proxy for a learned

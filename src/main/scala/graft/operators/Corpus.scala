@@ -203,15 +203,23 @@ object Corpus {
       .join(comp, col(idCol) === col("__cc_id"), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
       .drop("__cc_id")
-    // per component: the minimum matched corpus id (if any)
+    // per component: the minimum matched corpus id — restricted to ids
+    // PRESENT in corpusSplits (join before the min): if the raw minimum
+    // matched id had no frozen split row, an after-the-min inner join
+    // would silently drop the whole component back to the hash split even
+    // when OTHER matched ids do carry frozen splits — a quiet leakage
+    // path whenever crossPairs and corpusSplits drift apart
     val inherits = assigned
       .select(col(idCol).as("__bid"), col("component"))
       .join(crossPairs.select(col(crossBatchIdCol).as("__bid"),
         col(crossCorpusIdCol).as("__cid")), Seq("__bid"))
+      .join(corpusSplits.select(col(corpusIdCol).as("__cid"),
+        col(corpusSplitCol).as("__cid_split")), Seq("__cid"))
       .groupBy(col("component"))
-      .agg(min(col("__cid")).as("inherited_from"))
-      .join(corpusSplits.select(col(corpusIdCol).as("inherited_from"),
-        col(corpusSplitCol).as("__inh_split")), Seq("inherited_from"))
+      .agg(min(struct(col("__cid").as("inherited_from"),
+        col("__cid_split").as("__inh_split"))).as("__m"))
+      .select(col("component"), col("__m.inherited_from").as("inherited_from"),
+        col("__m.__inh_split").as("__inh_split"))
     val hashed = hashSplit(assigned, "component", salt, trainPct, valPct)
     hashed
       .join(inherits, Seq("component"), "left")
@@ -2448,6 +2456,201 @@ object Corpus {
         aggregate(col("__segs"), lit(0L),
           (acc, s) => acc + size(split(s, "\\+"))).as("n_subwords"),
         array_join(col("__segs"), " ").as("segmented"))
+  }
+
+  // ------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — Kudo 2018, the other
+  // mainstream public trainer next to BPE (T5/LLaMA lineage)
+
+  /** Unknown-piece penalty: a single character absent from the vocabulary
+    * scores −20 nats (micro-quantized) — Kudo's char-fallback, which keeps
+    * EVERY word segmentable without reserving vocabulary slots for the
+    * whole alphabet. */
+  val UnigramUnkMicro: Long = -20000000L
+
+  /** Sentinel for pieces that are in the vocabulary table but unusable
+    * (multi-char piece absent from the table, or an EM round counted a
+    * piece zero times): large enough that no segmentation through one can
+    * beat any char-fallback path (cap × |Unk| ≪ |Forbidden|), small
+    * enough that maxWordLen of them can never underflow a long. */
+  val UnigramForbiddenMicro: Long = -10000000000000L
+
+  /** Viterbi segmentation of one word under a piece-score map: forward DP
+    * over character positions (best score ending at p = max over the last
+    * piece's start j of best(j) + score(w[j+1..p]); ties prefer the
+    * SMALLER j, i.e. the longer final piece), then a backpointer walk.
+    * Pure higher-order-function expression — row-local, no shuffle, runs
+    * identically on batch and streaming frames; the identical recurrence
+    * and tie order unrolls into the DuckDB oracle's per-position CTE
+    * chain. Returns array<struct<start int, piece string>> (1-based
+    * start offsets within the capped word). */
+  private def unigramViterbi(
+      w: Column, scores: Column, maxPieceLen: Int, maxWordLen: Int): Column = {
+    val word = substring(w, 1, maxWordLen)
+    val n = length(word)
+    def pieceScore(piece: Column, len: Column): Column =
+      coalesce(element_at(scores, piece),
+        when(len === 1, lit(UnigramUnkMicro)).otherwise(lit(UnigramForbiddenMicro)))
+    // forward table: entry p+1 = best (score, backpointer) at position p
+    val fwd = aggregate(
+      sequence(lit(1), n),
+      array(struct(lit(0L).as("score"), lit(0).as("bp"))),
+      (acc, p) => concat(acc, array(
+        aggregate(
+          sequence(greatest(lit(0), p - maxPieceLen), p - 1),
+          struct(lit(Long.MinValue / 4).as("score"), lit(-1).as("bp")),
+          (b, j) => {
+            val cand = element_at(acc, j + 1).getField("score") +
+              pieceScore(word.substr(j + 1, p - j), p - j)
+            when(cand > b.getField("score"),
+              struct(cand.as("score"), j.cast("int").as("bp"))).otherwise(b)
+          }))))
+    // backpointer walk (at most n steps; no-op once pos reaches 0)
+    val walk = aggregate(
+      sequence(lit(1), n),
+      struct(n.cast("int").as("pos"),
+        lit(Array.empty[String]).as("pieces"),
+        lit(Array.empty[Int]).as("starts")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val bp = element_at(fwd, pos + 1).getField("bp")
+        when(pos > 0,
+          struct(bp.as("pos"),
+            concat(array(word.substr(bp + 1, pos - bp)),
+              st.getField("pieces")).as("pieces"),
+            concat(array(bp + 1), st.getField("starts")).as("starts")))
+          .otherwise(st)
+      })
+    when(n === 0, typedLit(Array.empty[(Int, String)])
+        .cast("array<struct<start:int,piece:string>>"))
+      .otherwise(zip_with(walk.getField("starts"), walk.getField("pieces"),
+        (s, p) => struct(s.as("start"), p.as("piece"))))
+  }
+
+  /** Unigram-LM tokenizer training (Kudo 2018 / SentencePiece, hard-EM
+    * form): seed the vocabulary with the corpus's frequent substrings,
+    * iterate E-steps that re-segment the word-frequency table by Viterbi
+    * under the current piece scores and re-count piece usage, re-estimate
+    * scores as micro-nat log-probabilities, then prune to `vocabSize` by
+    * final count. DOCUMENTED SIMPLIFICATIONS vs the paper, each chosen
+    * for exact cross-engine reproducibility: hard (Viterbi) EM instead of
+    * forward–backward expected counts; count-rank pruning instead of
+    * loss-based pruning (the lowest-count pieces are the lowest
+    * likelihood contributors — same ordering in the common case); words
+    * truncate at `maxWordLen` chars (SentencePiece caps sentence length
+    * the same way); coverage comes from the −20-nat char fallback rather
+    * than reserved char slots.
+    *
+    * DETERMINISM: counts are exact longs off the one word-frequency
+    * table; each round's score quantizes ONCE (`round(ln(n/total)·1e6)`,
+    * the LM micro-nat convention); seed and prune ranks tie-break on the
+    * piece string. The whole trainer — seed, every EM round's DP, the
+    * prune — unrolls into the DuckDB oracle.
+    *
+    * Scale shape: the corpus is read ONCE into the (distinct word, count)
+    * table (checkpointed); every round is row-local Viterbi over that
+    * table plus one piece-key reduce. Per round the bounded score table
+    * (≤ seedSize + alphabet rows, the BPE merge-table convention) rides
+    * to the driver and back as a literal map — never corpus data.
+    *
+    * Returns (piece, n, score_micro): the pruned vocabulary with final
+    * counts and scores. */
+  def unigramTrain(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxPieceLen: Int = 3,
+      emRounds: Int = 2,
+      seedSize: Int = 200,
+      maxWordLen: Int = 12): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be at least 1")
+    require(maxPieceLen >= 1, "maxPieceLen must be at least 1")
+    require(emRounds >= 1, "emRounds must be at least 1")
+    require(seedSize >= 1, "seedSize must be at least 1")
+    require(maxWordLen >= maxPieceLen, "maxWordLen must cover maxPieceLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(graft.functions.TextFunctions.tokens(
+        coalesce(col(textCol), lit("")))).as("w0"))
+      .filter(col("w0") =!= "")
+      .select(substring(col("w0"), 1, maxWordLen).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // seed: every substring of length 1..maxPieceLen weighted by word
+    // count; ALL single chars + the top `seedSize` multi-char pieces
+    val subs = words
+      .select(explode(flatten(transform(sequence(lit(1), length(col("w"))), p =>
+        transform(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("w")) - p + 1)),
+          l => col("w").substr(p, l))))).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+    val seed = subs.filter(length(col("piece")) === 1)
+      .unionAll(subs.filter(length(col("piece")) > 1)
+        .orderBy(col("n").desc, col("piece").asc).limit(seedSize))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def toScores(counts: Array[(String, Long)],
+        membership: Array[String]): Map[String, Long] = {
+      val m = counts.toMap
+      val total = counts.map(_._2).sum.toDouble
+      membership.map { p =>
+        p -> m.get(p).filter(_ > 0L)
+          .map(c => math.round(math.log(c / total) * 1e6))
+          .getOrElse(UnigramForbiddenMicro)
+      }.toMap
+    }
+    val membership = seed.map(_._1)
+    var scores = toScores(seed, membership)
+    var lastCounts = seed
+    (1 to emRounds).foreach { _ =>
+      val sm = typedLit(scores)
+      lastCounts = words
+        .select(explode(unigramViterbi(col("w"), sm, maxPieceLen, maxWordLen))
+          .as("sp"), col("cnt"))
+        .groupBy(col("sp.piece").as("piece")).agg(sum(col("cnt")).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      scores = toScores(lastCounts, membership)
+    }
+    // prune: top vocabSize by (final count desc, piece asc) among the
+    // membership pieces actually used in the last round, scores
+    // re-quantized over the pruned total
+    val inVocab = membership.toSet
+    val kept = lastCounts.filter { case (p, n) => inVocab(p) && n > 0 }
+      .sortBy { case (p, n) => (-n, p) }.take(vocabSize)
+    val keptTotal = kept.map(_._2).sum.toDouble
+    kept.toSeq.map { case (p, n) =>
+      (p, n, math.round(math.log(n / keptTotal) * 1e6))
+    }.toDF("piece", "n", "score_micro")
+  }
+
+  /** The persisted-model kind tag for a trained unigram vocabulary. */
+  val UnigramKind = "unigram_vocab"
+
+  /** Viterbi segmentation of a corpus under a trained [[unigramTrain]]
+    * vocabulary — one output row per PIECE: (id, word_idx, piece_start,
+    * piece), `word_idx` 1-based over the text's whitespace tokens,
+    * `piece_start` the piece's 1-based char offset within the (capped)
+    * word. Vocabulary scores ride a literal map (bounded table, the BPE
+    * convention); the DP is row-local, so the same call serves batch and
+    * streaming frames ([[graft.streaming.Streams.unigramSegmentStream]]
+    * pins stream ≡ batch). */
+  def unigramSegment(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      maxPieceLen: Int = 3,
+      maxWordLen: Int = 12): DataFrame = {
+    val scores = vocab.select("piece", "score_micro").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sm = typedLit(scores)
+    val ts = graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    df.select(col(idCol).as("id"), posexplode(ts))
+      .filter(col("col") =!= "")
+      .select(col("id"), (col("pos") + 1).cast("long").as("word_idx"),
+        explode(unigramViterbi(col("col"), sm, maxPieceLen, maxWordLen)).as("sp"))
+      .select(col("id"), col("word_idx"),
+        col("sp.start").cast("long").as("piece_start"), col("sp.piece").as("piece"))
   }
 
   /** Default category set for [[redactPiiAudited]] (Dolma-style masking):

@@ -693,6 +693,102 @@ object Dedup {
     math.max(2, math.ceil(math.log(buckets) / math.log(2.0)).toInt)
   }
 
+  /** Sentinel default for [[embeddingNearDupMultiTable]]'s `tables`:
+    * auto-size via [[recommendedLshTables]] from (nbits, threshold). */
+  val AutoTables: Int = -1
+
+  /** Recall half of the (nbits, K) auto-sizing contract: the table count
+    * K such that OR-amplified recall `1 − (1 − p^nbits)^K` reaches
+    * `targetRecall` for pairs AT the cosine threshold, where
+    * `p = 1 − acos(threshold)/π` is the per-hyperplane sign-agreement
+    * probability of a pair at angle acos(threshold) (Charikar 2002 —
+    * public SimHash analysis; pairs above the threshold collide more, so
+    * the bound is the worst case over the accepted set). The model is
+    * tight in practice: it predicts 0.356 single-table recall at
+    * (nbits=2, threshold=0.3) vs 0.35 measured on the sf0.01 fixture.
+    * Pure driver-side math; capped at 32 tables so a near-orthogonal
+    * threshold (p^nbits → 0) can't demand an absurd fleet — at the cap
+    * the caller is told the dial is out of range by the recall numbers
+    * themselves, not by an opaque explosion of cost. */
+  def recommendedLshTables(
+      nbits: Int,
+      threshold: Double,
+      targetRecall: Double = 0.8): Int = {
+    require(nbits >= 1, "nbits must be at least 1")
+    require(threshold > -1.0 && threshold < 1.0, "threshold must be in (-1, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      "targetRecall must be in (0, 1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val perTable = math.pow(p, nbits.toDouble)
+    if (perTable >= targetRecall) 1
+    else if (perTable <= 0.0) 32
+    else math.min(32,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-perTable)).toInt)
+  }
+
+  /** OR-amplified multi-table twin of [[embeddingNearDup]] — the recall
+    * fix for the auto-sized single table: occupancy-aware `nbits` keeps
+    * cost bounded but sinks single-table recall exactly as the corpus
+    * grows (the operator's measured dial: 0.35/0.22/0.12 at nbits 2/3/4).
+    * K INDEPENDENT hyperplane tables (disjoint plane sets —
+    * [[graft.functions.VectorFunctions.lshBucketTable]]) each propose
+    * within-bucket candidate pairs; the candidate set is their UNION, so
+    * recall amplifies as `1 − (1 − r)^K` while per-table cost keeps the
+    * same Σ occupancy² bound (total = K × single-table candidate work).
+    * Both dials auto-size by default: `nbits` from the corpus count
+    * ([[recommendedNbits]] — occupancy side), `tables` from
+    * (nbits, threshold) ([[recommendedLshTables]] — recall side), so a
+    * user taking defaults gets bounded cost AND ≥ ~0.8 expected pair
+    * recall at ANY corpus size.
+    *
+    * Scale shape: the table×bucket join moves (id, bucket) rows ONLY —
+    * vectors never enter the Σ occupancy² join (unlike the single-table
+    * operator, K-way duplication makes carrying payloads unaffordable);
+    * candidates dedupe across tables BEFORE the exact-cosine confirm,
+    * which re-attaches vectors via two id-key joins (the lshTopK
+    * pattern). Zero false positives is structural — every surviving pair
+    * passed the exact cosine.
+    *
+    * Returns (id_a, id_b, cos, nbits, n_tables), pairs once (id_a<id_b). */
+  def embeddingNearDupMultiTable(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nbits: Int = AutoNbits,
+      tables: Int = AutoTables,
+      targetRecall: Double = 0.8): DataFrame = {
+    require(nbits == AutoNbits || nbits >= 1,
+      s"nbits must be >= 1 (or AutoNbits = $AutoNbits for occupancy-aware sizing)")
+    require(tables == AutoTables || tables >= 1,
+      s"tables must be >= 1 (or AutoTables = $AutoTables for recall-aware sizing)")
+    val bits = if (nbits == AutoNbits) recommendedNbits(df.count()) else nbits
+    val k =
+      if (tables == AutoTables) recommendedLshTables(bits, threshold, targetRecall)
+      else tables
+    val ids = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // one row-local pass computes all K bucket signatures; the explode
+    // keys candidates by (table, bucket) so tables never cross-pollinate
+    val bucketed = ids.select(
+      col("id"),
+      posexplode(array((0 until k).map(t =>
+        graft.functions.VectorFunctions.lshBucketTable(col("vec"), bits, dim, t)): _*)))
+      .select(col("id"), col("pos").as("tbl"), col("col").as("bucket"))
+    val candidates = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(ids.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(ids.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
+        lit(bits).as("nbits"), lit(k).as("n_tables"))
+  }
+
   /** Winnowing-based near-dup candidate pairs: documents sharing at least
     * one winnow fingerprint ([[graft.functions.TextFunctions
     * .winnowFingerprints]]) are candidates — the substring-level

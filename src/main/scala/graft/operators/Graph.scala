@@ -281,24 +281,47 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
+    // CHECKPOINT DISCIPLINE (the measured ~two-thirds of the r14 bench
+    // row): this operator's plan reads its inputs many times — `und`
+    // feeds the degree reduce (twice, via the unionAll) plus the
+    // orientation join, and `oriented` feeds the wedge self-join three
+    // times — so without plan cuts the (often expensive) upstream edge
+    // pipeline recomputes ~5x per run. Cut at the two reuse points with
+    // ids-only localCheckpoints: `und` (freed eagerly below once both
+    // dependents materialize) and `deg`/`oriented` (both reachable from
+    // the returned plan — `graftbridge.freeCheckpoints` or the
+    // ContextCleaner reclaim them).
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    // pendant pre-filter: a degree-1 vertex cannot close a triangle (all
+    // three triangle vertices have degree >= 2 in the undirected graph),
+    // so its edges only inflate the orientation joins and the wedge
+    // build — drop them before orienting. One pass (not iterated 2-core
+    // peeling): the first peel removes the bulk on the bench graphs and
+    // stays a plain degree-key semi-filter.
+    val core = deg.filter(col("degree") >= 2)
     val withDeg = und
-      .join(deg.select(col("id").as("u"), col("degree").as("__du")), Seq("u"))
-      .join(deg.select(col("id").as("v"), col("degree").as("__dv")), Seq("v"))
+      .join(core.select(col("id").as("u"), col("degree").as("__du")), Seq("u"))
+      .join(core.select(col("id").as("v"), col("degree").as("__dv")), Seq("v"))
     val uFirst = col("__du") < col("__dv") ||
       (col("__du") === col("__dv") && col("u") < col("v"))
     // (a, b): a strictly precedes b in the (degree, id) total order
     val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("a"),
       when(uFirst, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint()
+    // und's blocks served deg + oriented (both just materialized — local
+    // checkpoints are eager); nothing downstream reads und again
+    org.apache.spark.sql.graftbridge.freeCheckpoint(und)
     val tri = oriented
       .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b"))
       .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))

@@ -60,11 +60,37 @@ object Layout {
       max(col(c).cast("long")).as(s"__max_$c")))
     val bounds = df.agg(aggs.head, aggs.tail: _*)
     val nb = 1L << bitsPerCol
+    // overflow guard: the bucket formula multiplies (x−min) by 2^bits in
+    // LONG arithmetic, so a span wider than 2^(63−bits) would silently
+    // wrap (and min=Long.MinValue/max=Long.MaxValue overflows the divisor
+    // to 0 → divide-by-zero), corrupting z-values without error — buckets
+    // are documented as exactly re-derivable, so fail LOUDLY instead.
+    // One extra assert column per bound rides the same 1-row broadcast;
+    // raise_error evaluates per output row but only on violating bounds.
+    val maxSpan = Long.MaxValue >> bitsPerCol
+    val guarded = cols.foldLeft(bounds) { (acc, c) =>
+      // try_subtract: the span itself can overflow long (min near
+      // Long.MinValue, max near Long.MaxValue) — ANSI mode would throw an
+      // unactionable ARITHMETIC_OVERFLOW there, non-ANSI would wrap
+      // negative; either way the NULL/out-of-range span routes into THIS
+      // guard's actionable message instead
+      val span = try_subtract(col(s"__max_$c"), col(s"__min_$c"))
+      acc.withColumn(s"__min_$c",
+        when(col(s"__max_$c").isNull ||
+            (span.isNotNull && span >= 0 && span <= maxSpan),
+          col(s"__min_$c"))
+          .otherwise(raise_error(concat(
+            lit(s"zorder column $c value span exceeds 2^${63 - bitsPerCol} " +
+              "(bucket arithmetic would overflow silently); rescale the " +
+              "column or lower bitsPerCol [span: "),
+            coalesce(span.cast("string"), lit("long-overflow")), lit("]")))
+            .cast("long")))
+    }
     // bucket = ((x − min) · nb) div span: SQL `div` keeps the division in
     // LONG arithmetic end-to-end (Column `/` is double division, whose
     // rounding could diverge from an engine twin at large magnitudes);
     // NULL values land in bucket 0 so they cluster instead of scattering
-    val withBuckets = cols.foldLeft(df.crossJoin(broadcast(bounds))) { (acc, c) =>
+    val withBuckets = cols.foldLeft(df.crossJoin(broadcast(guarded))) { (acc, c) =>
       acc.withColumn(s"__bk_$c",
         coalesce(
           expr(s"((cast(`$c` as bigint) - `__min_$c`) * ${nb}L) div " +

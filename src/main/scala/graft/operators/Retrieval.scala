@@ -206,13 +206,85 @@ object Retrieval {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      path: String): Unit = {
-    val (tfdl, idf) = corpusStats(docs, idCol, textCol)
+      path: String): Unit =
     graft.sources.MetaPersist.writeModel(
-      tfdl.join(idf, Seq("term"))
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-          col("idf_micro"), col("avgdl")),
+      bm25IndexFrame(docs, idCol, textCol),
       path, IndexKind, Map("id" -> idCol, "text" -> textCol))
+
+  /** The [[bm25Index]] frame without the persistence step — one row per
+    * posting: (term, doc_id, tf, dl, idf_micro, avgdl). The in-memory
+    * handle the incremental path composes over. */
+  def bm25IndexFrame(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val (tfdl, idf) = corpusStats(docs, idCol, textCol)
+    tfdl.join(idf, Seq("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("idf_micro"), col("avgdl"))
+  }
+
+  /** Incremental index refresh: merge DOC-DISJOINT batch indexes into one
+    * index frame equal to the one-shot [[bm25IndexFrame]] over the union
+    * corpus — so ingestion pipelines refresh the retrieval index by
+    * indexing only the NEW batch and merging, never re-tokenizing the
+    * whole corpus (the [[Graph.coOccurrenceMergeStores]] precedent
+    * applied to retrieval). Posting rows (term, doc_id, tf, dl) are
+    * per-doc facts and compose by plain union; the corpus-GLOBAL columns
+    * (df → idf_micro, avgdl) are stale after composition and recompute
+    * here from the merged postings with the IDENTICAL arithmetic and
+    * quantization as the one-shot build — counts are exact longs and the
+    * idf/avgdl doubles see the same operands, so the merged index is
+    * BIT-EQUAL to the one-shot one (spec-pinned) and anything served from
+    * it ranks identically.
+    *
+    * Caveats (both structural): batches must be doc-disjoint (a doc
+    * re-indexed in two batches would double its postings — dedup upstream
+    * with the ingestion layer's exactly-once discipline), and token-LESS
+    * docs leave no posting rows, so they are invisible to the merged
+    * n_docs constant (the one-shot build counts them; every other score
+    * component is unaffected).
+    *
+    * Scale shape: one union + one distinct over (doc_id, dl) + one
+    * term-key reduce; the 1-row constants ride a broadcast. Nothing
+    * re-reads the corpus text. */
+  def bm25MergeIndexes(indexes: Seq[DataFrame]): DataFrame = {
+    require(indexes.nonEmpty, "need at least one index to merge")
+    val postings = indexes
+      .map(_.select(col("term"), col("doc_id"), col("tf"), col("dl")))
+      .reduce(_ unionAll _)
+    // (doc_id, dl) is one row per doc by the posting-row construction
+    val docsSide = postings.select(col("doc_id"), col("dl")).distinct()
+    val consts = docsSide.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val idf = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(consts))
+      .select(col("term"),
+        round(log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1e6))
+          .cast("long").as("idf_micro"),
+        col("avgdl"))
+    postings.join(idf, Seq("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("idf_micro"), col("avgdl"))
+  }
+
+  /** [[bm25TopKIndexed]] over an in-memory index frame (a
+    * [[bm25IndexFrame]] / [[bm25MergeIndexes]] result): same broadcast
+    * discipline, same scoring tail, no persistence round-trip. */
+  def bm25TopKFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    scoreAndRank(index.join(broadcast(qterms), Seq("term")), k, k1, b)
   }
 
   /** Ranking evaluation (recall@k, DCG@k, nDCG@k) of any ranked candidate
@@ -354,7 +426,6 @@ object Retrieval {
       b: Double = 0.75): DataFrame = {
     require(k >= 1, "k must be at least 1")
     val index = graft.sources.MetaPersist.readModel(spark, path, IndexKind).df
-    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
-    scoreAndRank(index.join(broadcast(qterms), Seq("term")), k, k1, b)
+    bm25TopKFromIndex(index, queries, queryIdCol, queryTextCol, k, k1, b)
   }
 }

@@ -281,6 +281,21 @@ object FunctionQueries {
              max(col("event_id")).as("last_event"))
         .orderBy("user_id", "day").df),
 
+    // Spark's native session_window (gap-merged [first_ts, last_ts+gap)
+    // sessions) through the SAME operator the streaming path uses —
+    // EliminateEventTimeWatermark strips the watermark in batch, so this
+    // declared query runs graft.streaming.Streams.sessionWindowAgg
+    // verbatim; DuckDB re-derives sessions by gap-based island labeling
+    // (a strictly-overlapping window merges: a gap of EXACTLY 1h starts a
+    // new session — half-open intervals)
+    "stream_session_window" -> ((s, d) =>
+      graft.streaming.Streams.sessionWindowAgg(
+          t(s, d, "events").df, "ts", gap = "1 hour", watermark = "2 hours")
+        .select(col("sstart").cast("timestamp_ntz").as("sstart"),
+          col("send").cast("timestamp_ntz").as("send"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "sstart")),
+
     "stream_sliding_window" -> ((s, d) =>
       // 2-hour window sliding every hour: each event lands in exactly two
       // epoch-aligned windows; same groupBy(window(...)) runs on readStream
@@ -453,6 +468,16 @@ object FunctionQueries {
       ("SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, " +
        "min(event_id) AS first_event, max(event_id) AS last_event " +
        "FROM events GROUP BY user_id, CAST(ts AS DATE) ORDER BY user_id, day"),
+
+    "stream_session_window" ->
+      ("WITH l AS (SELECT user_id, ts, CASE WHEN " +
+       "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR " +
+       "ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 1 HOUR " +
+       "THEN 1 ELSE 0 END AS brk FROM events), " +
+       "g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+       "ROWS UNBOUNDED PRECEDING) AS sid FROM l) " +
+       "SELECT min(ts) AS sstart, max(ts) + INTERVAL 1 HOUR AS send, user_id, " +
+       "count(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY user_id, sstart"),
 
     "win_value_functions" ->
       ("SELECT o_custkey, o_orderkey, " +

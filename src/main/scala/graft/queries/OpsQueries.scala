@@ -746,6 +746,24 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // incremental index refresh: two DOC-DISJOINT batch indexes (even/odd
+    // halves) merged — postings compose by union, df/idf/avgdl recompute
+    // from the merged stats — then served through the indexed scorer; the
+    // oracle is the one-shot search_bm25 SQL VERBATIM (same k, same query
+    // set), which is the whole claim: merge-then-serve ranks bit-equal to
+    // build-once-over-everything
+    "search_bm25_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val qs = docs.filter(col("doc_id") % 100 === 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
+      val merged = Retrieval.bm25MergeIndexes(Seq(
+        Retrieval.bm25IndexFrame(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        Retrieval.bm25IndexFrame(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")))
+      Retrieval.bm25TopKFromIndex(merged, qs, "qid", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // pseudo-relevance feedback: top-3 feedback docs contribute their top-5
     // tf·idf terms to the query bag, round 2 scores the expanded set
     "search_bm25_expanded" -> ((s, d) => {
@@ -1205,8 +1223,11 @@ object OpsQueries {
        "FROM odds LEFT JOIN comp0 c ON odds.doc_id = c.id), " +
        "cp AS (SELECT a.doc_id AS bid, b.doc_id AS cid FROM odds a JOIN evens b " +
        "ON levenshtein(a.w, b.w) <= 2), " +
+       // min restricted to matched ids PRESENT in the splits table (the
+       // operator joins cp⋈cs before the min — see the drift note there)
        "inh AS (SELECT comp.component, min(cp.cid) AS inherited_from " +
-       "FROM comp JOIN cp ON comp.doc_id = cp.bid GROUP BY comp.component), " +
+       "FROM comp JOIN cp ON comp.doc_id = cp.bid " +
+       "JOIN cs ON cp.cid = cs.doc_id GROUP BY comp.component), " +
        "bk AS (SELECT comp.doc_id, comp.component, inh.inherited_from, " +
        "CAST(('0x' || substr(md5(comp.component || ':graft'), 1, 8)) AS BIGINT) % 100 " +
        "AS hbucket FROM comp LEFT JOIN inh ON comp.component = inh.component) " +
@@ -1693,6 +1714,13 @@ object OpsQueries {
        "TRUE AS est_ok FROM events GROUP BY event_type ORDER BY event_type"),
 
     "search_bm25" ->
+      (s"WITH $Bm25Ctes " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro " +
+       "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    // the one-shot oracle VERBATIM: the merged even/odd indexes must rank
+    // exactly as an index built once over the whole corpus
+    "search_bm25_incremental" ->
       (s"WITH $Bm25Ctes " +
        "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro " +
        "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"),

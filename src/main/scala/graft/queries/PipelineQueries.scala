@@ -572,6 +572,77 @@ object PipelineQueries {
 
   private val PqSeedsSql: String = pqSeedsSql()
 
+  /** DuckDB twin of one [[Corpus]] unigram Viterbi pass over a
+    * (w, cnt) words CTE under a (piece, sc) score CTE: the per-position
+    * best-score chain `<prefix>0..<prefix><cap>` (each stage the argmax
+    * over the last piece's start j, ties to the SMALLER j — the engine's
+    * fold order), their union `<prefix>dp`, and the recursive backpointer
+    * walk `<prefix>rec` emitting one row per chosen piece with its
+    * 0-based start `start0`. */
+  private def unigramDpSql(
+      prefix: String, wordsCte: String, scoreCte: String,
+      cap: Int = 12, maxLen: Int = 3): String = {
+    val unk = Corpus.UnigramUnkMicro
+    val fb = Corpus.UnigramForbiddenMicro
+    val b0 = s"${prefix}0 AS MATERIALIZED (SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS bp FROM $wordsCte)"
+    val stages = (1 to cap).map { p =>
+      val branches = (math.max(0, p - maxLen) until p).map { j =>
+        s"SELECT b.w, b.cnt, b.score + coalesce(s.sc, CAST(CASE WHEN ${p - j} = 1 " +
+        s"THEN $unk ELSE $fb END AS BIGINT)) AS score, $j AS bp " +
+        s"FROM ${prefix}$j b LEFT JOIN $scoreCte s ON s.piece = substr(b.w, ${j + 1}, ${p - j}) " +
+        s"WHERE len(b.w) >= $p"
+      }.mkString(" UNION ALL ")
+      s"${prefix}$p AS MATERIALIZED (SELECT w, cnt, $p AS pos, score, bp FROM (SELECT c.w, c.cnt, c.score, c.bp, " +
+      s"row_number() OVER (PARTITION BY c.w ORDER BY c.score DESC, c.bp ASC) AS rn " +
+      s"FROM ($branches) c) WHERE rn = 1)"
+    }
+    val dp = s"${prefix}dp AS MATERIALIZED (" +
+      (1 to cap).map(p => s"SELECT * FROM ${prefix}$p").mkString(" UNION ALL ") + ")"
+    val rec = s"${prefix}rec(w, cnt, pos, start0, piece) AS (" +
+      s"SELECT w, cnt, CAST(len(w) AS INTEGER), 0, CAST(NULL AS VARCHAR) FROM $wordsCte " +
+      s"UNION ALL SELECT r.w, r.cnt, d.bp, d.bp, substr(r.w, d.bp + 1, r.pos - d.bp) " +
+      s"FROM ${prefix}rec r JOIN ${prefix}dp d ON d.w = r.w AND d.pos = r.pos WHERE r.pos > 0)"
+    (Seq(b0) ++ stages ++ Seq(dp, rec)).mkString(", ")
+  }
+
+  /** DuckDB twin of the full [[Corpus.unigramTrain]] chain at the declared
+    * dial (cap 12, pieces ≤ 3, seed 200, 2 EM rounds, vocab 60): word
+    * frequencies → substring seed → per-round DP + recount + rescore →
+    * count-rank prune, ending in CTE `uvocab` (piece, n, score_micro). */
+  private def unigramTrainCtes(
+      rounds: Int = 2, seedSize: Int = 200, vocabSize: Int = 60): String = {
+    val fb = Corpus.UnigramForbiddenMicro
+    val words = "uwords AS MATERIALIZED (SELECT substr(tok, 1, 12) AS w, count(*) AS cnt FROM " +
+      "(SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents) " +
+      "WHERE tok <> '' GROUP BY 1)"
+    val seed = "useed AS MATERIALIZED (SELECT piece, sum(cnt) AS n FROM (SELECT " +
+      "unnest(flatten(list_transform(generate_series(1, CAST(len(w) AS INTEGER)), p -> " +
+      "list_transform(generate_series(1, least(3, CAST(len(w) AS INTEGER) - p + 1)), " +
+      "l -> substr(w, p, l))))) AS piece, cnt FROM uwords) GROUP BY piece), " +
+      "useedsel AS MATERIALIZED (SELECT piece, n FROM useed WHERE len(piece) = 1 UNION ALL " +
+      s"SELECT piece, n FROM (SELECT piece, n FROM useed WHERE len(piece) > 1 " +
+      s"ORDER BY n DESC, piece LIMIT $seedSize)), " +
+      "ut0 AS (SELECT sum(n) AS total FROM useedsel), " +
+      "us0 AS MATERIALIZED (SELECT piece, CAST(round(ln(CAST(n AS DOUBLE) / t.total) * 1e6) AS BIGINT) AS sc " +
+      "FROM useedsel, ut0 t)"
+    val roundsSql = (1 to rounds).map { r =>
+      unigramDpSql(s"ur${r}b", "uwords", s"us${r - 1}") + ", " +
+      s"uc$r AS MATERIALIZED (SELECT piece, sum(cnt) AS n FROM ur${r}brec WHERE piece IS NOT NULL GROUP BY piece), " +
+      s"ut$r AS (SELECT sum(n) AS total FROM uc$r), " +
+      s"us$r AS MATERIALIZED (SELECT m.piece, CASE WHEN c.n IS NULL OR c.n <= 0 THEN CAST($fb AS BIGINT) " +
+      "ELSE CAST(round(ln(CAST(c.n AS DOUBLE) / t.total) * 1e6) AS BIGINT) END AS sc " +
+      s"FROM (SELECT piece FROM useedsel) m LEFT JOIN uc$r c USING (piece), ut$r t)"
+    }.mkString(", ")
+    val prune =
+      s"ukept AS MATERIALIZED (SELECT piece, n FROM uc$rounds ORDER BY n DESC, piece LIMIT $vocabSize), " +
+      "ukt AS (SELECT sum(n) AS total FROM ukept), " +
+      "uvocab AS MATERIALIZED (SELECT piece, n, CAST(round(ln(CAST(n AS DOUBLE) / t.total) * 1e6) AS BIGINT) " +
+      "AS score_micro FROM ukept, ukt t)"
+    Seq(words, seed, roundsSql, prune).mkString(", ")
+  }
+
+  private val UnigramTrainCtes: String = unigramTrainCtes()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------ text analysis
     "text_tokencount" -> ((s, d) =>
@@ -580,6 +651,25 @@ object PipelineQueries {
         .withColumn("n_subtokens", TextFunctions.subTokenCount(col("text")))
         .select("doc_id", "n_tokens", "n_subtokens")
         .orderBy("doc_id")),
+
+    // script-aware tokenization vs the whitespace default, over the corpus
+    // PLUS planted CJK twins (Han+Kana+Hangul prefix under a shifted id —
+    // scripts with no whitespace word boundaries, where split("\s+") reads
+    // a whole clause as ~1 giant token): n_ws stays the old count on every
+    // original row (the default-unchanged pin) while n_script explodes the
+    // planted rows' CJK runs into per-codepoint tokens
+    "text_tokens_script" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val planted = docs.filter(col("doc_id") % 100 === 7)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("深度学習モデル학습 데이터 "),
+            substring(col("text"), 1, 40)).as("text"))
+      docs.select("doc_id", "text").unionByName(planted)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_ws"),
+          TextFunctions.tokenCount(col("text"), "script").as("n_script"))
+        .orderBy("doc_id")
+    }),
 
     "text_quality" -> ((s, d) =>
       t(s, d, "documents")
@@ -901,6 +991,29 @@ object PipelineQueries {
     "text_bpe_segment_fast" -> ((s, d) => {
       val m = Corpus.bpeTrain(t(s, d, "documents").df, "text", nMerges = 8)
       Corpus.bpeSegmentFast(t(s, d, "documents").df, "doc_id", "text", m).orderBy("id")
+    }),
+
+    // unigram-LM (SentencePiece/Kudo 2018, hard-EM) tokenizer training:
+    // frequent-substring seed (all single chars + top-200 multis), two
+    // Viterbi-EM rounds over the word-frequency table, count-rank prune to
+    // 60 pieces with micro-nat scores. DuckDB re-derives the seed, BOTH
+    // rounds' per-position DP chains (12 unrolled stages each, same
+    // score-desc/backpointer-asc tie order), the recursive backpointer
+    // walks, and the prune from raw text.
+    "text_unigram_train" -> ((s, d) =>
+      Corpus.unigramTrain(t(s, d, "documents").df, "text", vocabSize = 60)
+        .orderBy("piece")),
+
+    // the trained vocabulary segmenting a doc subset (train + segment
+    // re-derived end-to-end, the text_bpe_segment convention): one row per
+    // piece with its word index and in-word start offset
+    "text_unigram_segment" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val v = Corpus.unigramTrain(docs, "text", vocabSize = 60)
+      Corpus.unigramSegment(docs.filter(col("doc_id") % 50 === 3),
+          "doc_id", "text", v)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "word_idx", "piece_start")
     }),
 
     // Lee et al. 2022 exact-substring dedup at token granularity: every
@@ -1378,6 +1491,31 @@ object PipelineQueries {
           (coalesce(sum(when(col("ex") === 1L && col("hit") === 1L, 1L).otherwise(0L)), lit(0L))
             .cast("double") >=
             coalesce(sum(col("ex")), lit(0L)).cast("double") * 0.15)
+            .cast("long").as("recall_ok"))
+    }),
+
+    // OR-amplified multi-table twin at FULL defaults — both dials
+    // auto-size ((nbits, K) contract: occupancy from the corpus count,
+    // table count from (nbits, threshold) via the Charikar collision
+    // model) — same property-oracle shape as the single-table row, but
+    // the recall flag pins the amplified target: >= 0.8 of the exact
+    // pair set recovered (vs 0.35 single-table at nbits=2), zero false
+    // positives structural (exact-cosine confirm)
+    "dedup_embedding_multitable" -> ((s, d) => {
+      val found = Dedup.embeddingNearDupMultiTable(t(s, d, "embeddings").df,
+          "vec_id", "embedding", dim = 64, threshold = 0.3)
+        .filter(col("id_a") < 300 && col("id_b") < 300)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val exact = cosinePairs(s, d)
+        .select(col("id_a"), col("id_b"), lit(1L).as("ex"))
+      exact.join(found, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(col("ex")), lit(0L)).as("n_exact_pairs"),
+          coalesce(sum(when(col("ex").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_false_positives"),
+          (coalesce(sum(when(col("ex") === 1L && col("hit") === 1L, 1L).otherwise(0L)), lit(0L))
+            .cast("double") >=
+            coalesce(sum(col("ex")), lit(0L)).cast("double") * 0.8)
             .cast("long").as("recall_ok"))
     }),
 
@@ -2317,6 +2455,15 @@ object PipelineQueries {
        "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens " +
        "FROM documents ORDER BY doc_id"),
 
+    "text_tokens_script" ->
+      ("WITH p AS (SELECT doc_id + 2000000 AS doc_id, " +
+       "'深度学習モデル학습 데이터 ' || substr(text, 1, 40) AS text " +
+       "FROM documents WHERE doc_id % 100 = 7), " +
+       "u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM p) " +
+       "SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws, " +
+       "CAST(len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]|[^\\s一-鿿぀-ヿ가-힯]+')) AS BIGINT) AS n_script " +
+       "FROM u ORDER BY doc_id"),
+
     "text_quality" ->
       ("WITH q AS (SELECT doc_id, text, " +
        "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
@@ -2618,6 +2765,25 @@ object PipelineQueries {
     // the same 8 rounds, then the merge chain applied to every word in
     // doc order and reassembled
     "text_bpe_segment" -> BpeSegmentOracleSql,
+
+    "text_unigram_train" ->
+      ("WITH RECURSIVE " + UnigramTrainCtes +
+       " SELECT piece, CAST(n AS BIGINT) AS n, score_micro FROM uvocab ORDER BY piece"),
+
+    "text_unigram_segment" ->
+      ("WITH RECURSIVE " + UnigramTrainCtes + ", " +
+       "usf AS MATERIALIZED (SELECT piece, score_micro AS sc FROM uvocab), " +
+       "sdocs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks " +
+       "FROM documents WHERE doc_id % 50 = 3), " +
+       "swords0 AS MATERIALIZED (SELECT doc_id, i AS word_idx, substr(toks[i], 1, 12) AS w " +
+       "FROM sdocs CROSS JOIN generate_series(1, 8192) g(i) " +
+       "WHERE i <= len(toks) AND toks[i] <> ''), " +
+       "segw AS MATERIALIZED (SELECT DISTINCT w, 1 AS cnt FROM swords0), " +
+       unigramDpSql("usg", "segw", "usf") + " " +
+       "SELECT s.doc_id, CAST(s.word_idx AS BIGINT) AS word_idx, " +
+       "CAST(r.start0 + 1 AS BIGINT) AS piece_start, r.piece " +
+       "FROM swords0 s JOIN usgrec r ON r.w = s.w WHERE r.piece IS NOT NULL " +
+       "ORDER BY doc_id, word_idx, piece_start"),
 
     // the native-loop path shares the replace-chain derivation VERBATIM:
     // one oracle pins both execution strategies to the same rows
@@ -3149,6 +3315,11 @@ object PipelineQueries {
        "WHERE d.doc_id % 5 = 0 ORDER BY id"),
 
     "dedup_embedding_cosine" ->
+      ("WITH " + CosinePairsSql +
+       "SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_positives, " +
+       "CAST(1 AS BIGINT) AS recall_ok FROM pairs WHERE cos >= 0.3"),
+
+    "dedup_embedding_multitable" ->
       ("WITH " + CosinePairsSql +
        "SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_positives, " +
        "CAST(1 AS BIGINT) AS recall_ok FROM pairs WHERE cos >= 0.3"),

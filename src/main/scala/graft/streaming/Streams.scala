@@ -675,6 +675,19 @@ object Streams {
       textCol: String): DataFrame =
     graft.operators.Corpus.bpeSegmentFast(stream, idCol, textCol, merges)
 
+  /** Streaming unigram-LM segmentation against a FROZEN
+    * [[graft.operators.Corpus.unigramTrain]] vocabulary — the same
+    * train-once / serve-streams contract as [[bpeSegmentStream]]: scores
+    * collect into the plan at query start as a literal map, the Viterbi
+    * DP is a row-local HOF expression, zero streaming state, append mode.
+    * Stream ≡ batch is pinned in StreamingSpec. */
+  def unigramSegmentStream(
+      stream: DataFrame,
+      vocab: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Corpus.unigramSegment(stream, idCol, textCol, vocab)
+
   /** Streaming Gopher document-quality rules — `Corpus.gopherRules` is one
     * row-local projection of exact integer signals, so the identical plan
     * runs on a streaming frame in append mode with zero state. */

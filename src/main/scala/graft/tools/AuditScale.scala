@@ -93,7 +93,14 @@ object AuditScale {
     "corpus_weighted_sample_by", "text_pmi_bigrams", "search_eval_ndcg",
     "dq_skew_report", "dq_outliers_mad", "dq_drift_psi", "dq_drift_psi_cat",
     "dq_drift_embedding", "events_session_paths", "events_funnel_latency",
-    "dedup_cc_sizes")
+    "dedup_cc_sizes",
+    // round-15 wave: incremental BM25 merge (union + term-key reduce over
+    // posting rows), script tokenizer (row-local regexp), native session
+    // windows (one user-key exchange), unigram-LM trainer + segmenter
+    // (row-local Viterbi over the word-frequency table; bounded score
+    // collects per round)
+    "search_bm25_incremental", "text_tokens_script", "stream_session_window",
+    "text_unigram_train", "text_unigram_segment")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -160,8 +167,9 @@ object AuditScale {
       // centroid crossJoin (assignment fold + trainCentroids rounds)
       "dedup_semantic_incremental",
       // bm25's corpus constants (N, avgdl) ride a single-row aggregate
-      // crossJoin, the tfidf/LM-scorer shape
-      "search_bm25",
+      // crossJoin, the tfidf/LM-scorer shape; the incremental merge
+      // recomputes the same 1-row constants from merged postings
+      "search_bm25", "search_bm25_incremental",
       // the classifier's corpus count and bias ride 1-row aggregate
       // crossJoins per iteration (the LM-scorer shape)
       "text_quality_classifier",
@@ -274,6 +282,13 @@ object AuditScale {
       "embedding_cosine_autosized_operator" -> ((s: SparkSession, d: String) =>
         Dedup.embeddingNearDup(Tables.load(s, d, "embeddings"), "vec_id", "embedding",
           dim = 64, threshold = 0.3)),
+      // round 15: the OR-amplified multi-table twin at FULL auto defaults
+      // ((nbits, K) both sized) — per-table cost keeps the Σ occupancy²
+      // bound, total = K × single-table candidate work, so the ratio
+      // should track the autosized row times a bounded constant
+      "embedding_multitable_operator" -> ((s: SparkSession, d: String) =>
+        Dedup.embeddingNearDupMultiTable(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", dim = 64, threshold = 0.3)),
       // isolates the batch-vs-STORE winnow join of the ingestion pipeline
       // (the stage the SCALE_r11 watch item names for the composite's
       // 11.1x): store = 90% of the corpus, batch = 10% — BOTH sides scale

@@ -35,15 +35,31 @@ package object graftbridge {
     * frames derived from it. */
   def freeCheckpoint(df: Dataset[_]): Unit =
     df.queryExecution.analyzed match {
-      case l: execution.LogicalRDD =>
-        l.rdd.getCheckpointFile.foreach { dir => // None for local checkpoints
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-          fs.delete(p, true)
-        }
-        l.rdd.unpersist(false)
+      case l: execution.LogicalRDD => freeLogicalRdd(df, l)
       case _ =>
     }
+
+  /** Frees EVERY checkpoint embedded anywhere in the frame's plan — the
+    * deliberate opposite of [[freeCheckpoint]]'s root-only restriction,
+    * for the case where an OPERATOR checkpointed an internal stage (e.g.
+    * `Graph.triangles`' oriented edge list) so the caller never holds the
+    * checkpointed frame itself. Only safe when the caller owns the whole
+    * result and no other live frame shares its lineage — a bench loop
+    * between passes, not library code. */
+  def freeCheckpoints(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => freeLogicalRdd(df, l)
+      case _ =>
+    }
+
+  private def freeLogicalRdd(df: Dataset[_], l: execution.LogicalRDD): Unit = {
+    l.rdd.getCheckpointFile.foreach { dir => // None for local checkpoints
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+    l.rdd.unpersist(false)
+  }
 
   /** Blocks until the shared listener bus has delivered every queued event —
     * `QueryExecutionListener` callbacks are posted asynchronously, so a

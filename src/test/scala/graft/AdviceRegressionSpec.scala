@@ -690,4 +690,71 @@ class AdviceRegressionSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("distinct"))
   }
+
+  // ---- ADVICE r14 low: ThetaSketchAgg.thetaSketch applied no cast on the
+  // integral path, so a direct call on an Int/Short/Byte column threw
+  // ClassCastException at execution (only Sketches.thetaByGroup pre-cast)
+
+  test("thetaSketch helper accepts Int/Short columns and matches the Long path") {
+    import graft.expressions.ThetaSketchAgg.{thetaEstimate, thetaSketch}
+    val spark2 = spark
+    import spark2.implicits._
+    val intDf = (1 to 500).map(i => ("g", i % 100)).toDF("grp", "item")
+    val longDf = (1 to 500).map(i => ("g", (i % 100).toLong)).toDF("grp", "item")
+    def est(df: org.apache.spark.sql.DataFrame): Double = df
+      .groupBy("grp")
+      .agg(thetaEstimate(thetaSketch(col("item"), lgK = 12, stringItems = false))
+        .as("est"))
+      .collect().head.getAs[Double]("est")
+    val fromInt = est(intDf) // threw ClassCastException before the fix
+    assert(fromInt == est(longDf),
+      "Int items must hash identically to their Long widening")
+    assert(math.abs(fromInt - 100.0) < 1.0)
+  }
+
+  // ---- ADVICE r14 low: the z-order bucket multiply (x−min)·2^bits wrapped
+  // silently for spans wider than 2^(63−bits), corrupting z-values without
+  // error — buckets are documented as exactly re-derivable, so fail loudly
+
+  test("zorder fails loudly when a column span would overflow the bucket multiply") {
+    import graft.operators.Layout
+    val spark2 = spark
+    import spark2.implicits._
+    val wild = Seq((Long.MinValue, 1L), (Long.MaxValue, 2L)).toDF("x", "y")
+    val err = intercept[Exception] {
+      Layout.withZValue(wild, Seq("x", "y"), bitsPerCol = 8).collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("span"),
+      s"expected the loud span guard, got: ${err.getMessage}")
+    // sane spans are untouched: bucket 0 for min, top bucket for max
+    val ok = Seq((0L, 0L), (255L, 255L)).toDF("x", "y")
+    assert(Layout.withZValue(ok, Seq("x", "y"), bitsPerCol = 8).count() == 2L)
+  }
+
+  // ---- ADVICE r14 low: leakageSafeSplitIncremental took min(matched
+  // corpus id) BEFORE joining corpusSplits — a component whose minimum
+  // matched id had no frozen split silently fell back to the hash split
+  // even when other matched ids did have one (a quiet leakage path when
+  // crossPairs and corpusSplits drift)
+
+  test("incremental leakage split inherits from the smallest matched id WITH a frozen split") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val batch = Seq((101L, "a"), (102L, "b")).toDF("doc_id", "text")
+    val batchPairs = Seq((101L, 102L)).toDF("id_a", "id_b") // one component
+    // component matches corpus ids 5 (NOT in splits — drifted) and 9 (frozen)
+    val crossPairs = Seq((101L, 5L), (102L, 9L)).toDF("b_id", "c_id")
+    val corpusSplits = Seq((9L, "val")).toDF("doc_id", "split")
+    val out = Corpus.leakageSafeSplitIncremental(
+        batch, "doc_id", batchPairs, "id_a", "id_b",
+        corpusSplits, "doc_id", "split", crossPairs, "b_id", "c_id",
+        salt = "s")
+      .select("doc_id", "inherited_from", "split").collect()
+      .map(r => (r.getLong(0), r.get(1), r.getString(2))).toSet
+    // before the fix: min matched id 5 missed the inner join and BOTH rows
+    // hash-fell-back; now the component inherits from 9, the smallest
+    // matched id that actually carries a frozen split
+    assert(out == Set((101L, 9L, "val"), (102L, 9L, "val")), out.toString)
+  }
 }

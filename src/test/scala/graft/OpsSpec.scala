@@ -866,6 +866,38 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bm25_index"))
   }
 
+  test("bm25MergeIndexes of doc-disjoint batches is bit-equal to the one-shot index") {
+    import graft.operators.Retrieval
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple cherry cherry date"), (4L, "date egg"),
+      (5L, "egg fig grape"), (6L, "grape apple")).toDF("doc_id", "text")
+    val oneShot = Retrieval.bm25IndexFrame(corpus, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val merged = Retrieval.bm25MergeIndexes(Seq(
+        Retrieval.bm25IndexFrame(corpus.filter(col("doc_id") <= 2), "doc_id", "text"),
+        Retrieval.bm25IndexFrame(corpus.filter(col("doc_id") > 2 && col("doc_id") <= 4),
+          "doc_id", "text"),
+        Retrieval.bm25IndexFrame(corpus.filter(col("doc_id") > 4), "doc_id", "text")))
+      .collect().map(_.toSeq).toSet
+    // every posting row, INCLUDING the recomputed idf_micro/avgdl doubles,
+    // is bit-identical — so merge-then-serve can never rank differently
+    assert(merged == oneShot, s"merged=$merged oneShot=$oneShot")
+    // serving from the merged frame equals the inline scorer end-to-end
+    val qs = Seq((100L, "apple cherry"), (200L, "grape egg")).toDF("qid", "qtext")
+    val inline = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .collect().map(_.toSeq).toSet
+    val served = Retrieval.bm25TopKFromIndex(
+        Retrieval.bm25MergeIndexes(Seq(
+          Retrieval.bm25IndexFrame(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+          Retrieval.bm25IndexFrame(corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text"))),
+        qs, "qid", "qtext", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(served == inline, s"served=$served inline=$inline")
+  }
+
   test("bm25ExpandedTopK recovers vocabulary-mismatch docs the literal query misses") {
     import graft.operators.Retrieval
     val spark2 = spark

@@ -27,6 +27,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  test("script-aware tokens: CJK codepoints split singly, Latin runs stay words, whitespace mode unchanged") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "spark 深度学習 tuning"),        // Han mixed into Latin
+      (2L, "モデル학습"),                    // Kana + Hangul, no spaces at all
+      (3L, "plain ascii words only"),
+      (4L, "русский текст здесь"))           // Cyrillic: word runs, not chars
+      .toDF("id", "text")
+    val got = rows.select(col("id"),
+        TextFunctions.tokens(col("text"), "script").as("st"),
+        TextFunctions.tokens(col("text"), "whitespace").as("wt"),
+        TextFunctions.tokens(col("text")).as("dt"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1).toList,
+        r.getSeq[String](2).toList, r.getSeq[String](3).toList))).toMap
+    val (s1, w1, d1) = (got(1L)._1, got(1L)._2, got(1L)._3)
+    assert(s1 == List("spark", "深", "度", "学", "習", "tuning"), s1.toString)
+    assert(w1 == List("spark", "深度学習", "tuning"))
+    assert(w1 == d1, "two-arg whitespace mode must equal the default")
+    assert(got(2L)._1 == List("モ", "デ", "ル", "학", "습"))
+    assert(got(2L)._2 == List("モデル학습"), "whitespace mode sees one giant token")
+    assert(got(3L)._1 == got(3L)._2, "pure ASCII tokenizes identically in both modes")
+    assert(got(4L)._1 == got(4L)._2, "Cyrillic word runs are kept whole")
+    val err = intercept[IllegalArgumentException] {
+      TextFunctions.tokens(col("text"), "bpe")
+    }
+    assert(err.getMessage.contains("tokenizer mode"))
+  }
+
   test("normalizeText canonicalizes unicode forms, case, and whitespace; normalized dedup collapses renderings") {
     import spark.implicits._
     import graft.functions.TextFunctions.normalizeText
@@ -993,6 +1021,77 @@ class PipelineOpsSpec extends AnyFunSuite {
     val r4 = recall(4)
     assert(r4 >= r1, s"recall@10: 4 tables ($r4) should not lose to 1 table ($r1)")
     assert(r4 > 0.2, s"recall@10 with 4 tables too low: $r4")
+  }
+
+  test("multi-table embedding near-dup: auto (nbits, K) recovers >= 0.8 of exact pairs") {
+    import graft.functions.VectorFunctions.cosine
+    import graft.sources.Tables
+    // the (nbits, K) auto-sizing contract, driver-side half: the Charikar
+    // collision model p = 1 − acos(t)/π predicts 0.356 single-table
+    // recall at (nbits=2, t=0.3) — 0.35 measured — and K=4 tables for the
+    // 0.8 target
+    assert(Dedup.recommendedLshTables(2, 0.3) == 4)
+    assert(Dedup.recommendedLshTables(2, 0.3, targetRecall = 0.95) > 4)
+    assert(Dedup.recommendedLshTables(1, 0.99) == 1) // near-parallel pairs almost always collide
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 300)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Dedup.embeddingNearDupMultiTable(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // zero false positives is structural (exact-cosine confirm in both)
+    assert((single -- exact).isEmpty && (multi -- exact).isEmpty)
+    val rSingle = (exact intersect single).size.toDouble / exact.size
+    val rMulti = (exact intersect multi).size.toDouble / exact.size
+    assert(rMulti >= 0.8,
+      f"OR-amplified recall $rMulti%.3f below the 0.8 target (single-table: $rSingle%.3f)")
+    assert(rMulti > rSingle,
+      f"amplification must beat the single table: $rMulti%.3f vs $rSingle%.3f")
+    // the output carries both dial settings for auditability
+    val dials = Dedup.embeddingNearDupMultiTable(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.3).select("nbits", "n_tables").distinct().collect()
+    assert(dials.length == 1 && dials.head.getInt(0) == 2 && dials.head.getInt(1) == 4)
+  }
+
+  test("unigram-LM tokenizer: lossless segmentation, learned multi-char pieces, determinism") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banana banana bandana"),
+      (2L, "banana band and sand"),
+      (3L, "an analog band on sand")).toDF("doc_id", "text")
+    val vocab = Corpus.unigramTrain(docs, "text", vocabSize = 25, seedSize = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(vocab.nonEmpty && vocab.length <= 25)
+    // the dominant substring family ('an'/'ana'/'ban'...) earns
+    // multi-char pieces — the whole point of the trainer
+    assert(vocab.exists(_._1.length > 1), vocab.map(_._1).mkString(","))
+    // scores are negative log-probs in micro-nats, higher count → higher score
+    val byCount = vocab.sortBy(-_._2)
+    assert(vocab.forall(_._3 < 0L))
+    assert(byCount.head._3 >= byCount.last._3)
+    // segmentation is LOSSLESS: pieces concatenate back to the capped word,
+    // in order, for every word incl. ones with unseen chars (char fallback)
+    val vdf = Corpus.unigramTrain(docs, "text", vocabSize = 25, seedSize = 40)
+    val seg = Corpus.unigramSegment(
+      Seq((9L, "banana bandana zebra! xx")).toDF("doc_id", "text"),
+      "doc_id", "text", vdf)
+    val rebuilt = seg.orderBy("word_idx", "piece_start")
+      .groupBy("word_idx").agg(
+        concat_ws("", collect_list(col("piece"))).as("w"))
+      .orderBy("word_idx").collect().map(_.getString(1)).toSeq
+    assert(rebuilt == Seq("banana", "bandana", "zebra!", "xx"), rebuilt.toString)
+    // deterministic: identical vocab (incl. scores) on a re-run
+    val again = Corpus.unigramTrain(docs, "text", vocabSize = 25, seedSize = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == vocab.toSet)
   }
 
   test("MinHash sketch aggregate estimates set Jaccard within tolerance") {

@@ -319,6 +319,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop() }
   }
 
+  test("unigramSegmentStream is stateless and bit-equal to its batch twin") {
+    import spark.implicits._
+    val trainDocs = Seq((0L, "the cat sat on the mat the cat ran"),
+      (1L, "the dog sat on the log")).toDF("doc_id", "text")
+    val vocab = graft.operators.Corpus.unigramTrain(trainDocs, "text",
+      vocabSize = 30, seedSize = 40)
+    val rows = Seq((10L, "the cat on a log"), (11L, "unseen wordz"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = Streams.unigramSegmentStream(
+      ms.toDF().toDF("doc_id", "text"), vocab, "doc_id", "text")
+    ms.addData(rows: _*)
+    val q = Streams.runToMemory(out, "uni_out", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      def norm(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.toString).sorted.toSeq
+      assert(norm(spark.table("uni_out").collect()) ==
+        norm(graft.operators.Corpus.unigramSegment(
+          rows.toDF("doc_id", "text"), "doc_id", "text", vocab).collect()))
+      assert(spark.table("uni_out").count() > 0)
+    } finally q.stop()
+  }
+
   test("lineDedupStream verdicts match the batch incremental removal sets") {
     import spark.implicits._
     val corpus = Seq((1L, "boilerplate header\nreal old content")).toDF("doc_id", "text")
