@@ -2653,6 +2653,46 @@ object Corpus {
         col("sp.start").cast("long").as("piece_start"), col("sp.piece").as("piece"))
   }
 
+  /** Tokenizer fertility report by group (typically language): pieces per
+    * word under a trained [[unigramTrain]] vocabulary — THE standard
+    * multilingual-tokenizer health metric (a language whose fertility far
+    * exceeds the corpus mean is being shredded into chars, pays more
+    * sequence length per content, and trains worse; SentencePiece/BPE
+    * papers report exactly this number). Per group: word occurrences,
+    * total pieces, `fertility_micro = round((pieces·1e6)/words)` and
+    * `chars_per_piece_micro = round((chars·1e6)/pieces)` over the capped
+    * words — one quantization each, exactly re-derivable.
+    *
+    * Scale shape: row-local Viterbi per word occurrence (the segmenter's
+    * DP), one group-key reduce; the vocabulary rides the usual bounded
+    * literal map. */
+  def unigramFertility(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      maxPieceLen: Int = 3,
+      maxWordLen: Int = 12): DataFrame = {
+    val scores = vocab.select("piece", "score_micro").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sm = typedLit(scores)
+    df.select(col(groupCol).as("grp"),
+        explode(graft.functions.TextFunctions.tokens(
+          coalesce(col(textCol), lit("")))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("grp"),
+        length(substring(col("w"), 1, maxWordLen)).cast("long").as("nc"),
+        size(unigramViterbi(col("w"), sm, maxPieceLen, maxWordLen)).cast("long").as("np"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("grp").as(groupCol), col("n_words"), col("n_pieces"),
+        round((col("n_pieces").cast("double") * lit(1e6)) / col("n_words"))
+          .cast("long").as("fertility_micro"),
+        round((col("n_chars").cast("double") * lit(1e6)) / col("n_pieces"))
+          .cast("long").as("chars_per_piece_micro"))
+  }
+
   /** Default category set for [[redactPiiAudited]] (Dolma-style masking):
     * (rule name, regex, replacement token), applied in order. The email
     * pattern is [[graft.functions.TextFunctions.EmailPattern]] verbatim —

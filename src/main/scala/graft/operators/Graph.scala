@@ -338,6 +338,65 @@ object Graph {
             (col("degree") * (col("degree") - lit(1L)))).cast("long")))
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983; the standard
+    * graph-trim before community/spam analysis at corpus scale — vertices
+    * outside the k-core can't participate in any subgraph of minimum
+    * degree k, so peeling them first shrinks every downstream traversal):
+    * repeatedly drop vertices of degree < k together with their edges
+    * until a fixpoint. Each round is one degree reduce + two
+    * membership joins over the (checkpointed, ids-only) edge list — the
+    * connected-components cost discipline — and the PREVIOUS round's
+    * checkpoint frees as soon as the next materializes, so plan depth and
+    * storage stay O(1) in rounds.
+    *
+    * DETERMINISM / ORACLE CONTRACT: the result after `maxRounds` rounds is
+    * well-defined whether or not the peel converged — the engine's
+    * fixpoint early-exit is pure optimization (further rounds are no-ops)
+    * — so an oracle that unrolls EXACTLY `maxRounds` rounds always
+    * matches. Peeling removes ≥ 1 vertex per non-terminal round, so
+    * maxRounds bounds are easy to size; the declared query documents its
+    * dial.
+    *
+    * Input edges are normalized (self-loops dropped, duplicates and
+    * direction collapsed). Returns one row per surviving vertex:
+    * (id, core_degree) — its degree WITHIN the k-core subgraph (≥ k at
+    * fixpoint). */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 16): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(maxRounds >= 1, "maxRounds must be at least 1")
+    def degrees(e: DataFrame): DataFrame = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    var e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var r = 0
+    var done = n == 0L
+    while (r < maxRounds && !done) {
+      val keep = degrees(e).filter(col("degree") >= k).select(col("id"))
+      val next = e
+        .join(keep.select(col("id").as("u")), Seq("u"))
+        .join(keep.select(col("id").as("v")), Seq("v"))
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val n2 = next.count()
+      org.apache.spark.sql.graftbridge.freeCheckpoint(e)
+      done = n2 == n || n2 == 0L // no edge dropped → degrees unchanged → fixpoint
+      e = next; n = n2; r += 1
+    }
+    degrees(e).select(col("id"), col("degree").as("core_degree"))
+  }
+
   /** Item co-occurrence mining (market basket / related items / co-click):
     * for every unordered item pair sharing at least `minPairCount`
     * baskets, the pair's basket count plus each item's own basket count,

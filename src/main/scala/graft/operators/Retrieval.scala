@@ -136,6 +136,63 @@ object Retrieval {
     scoreAndRank(tfdl.join(broadcast(eqstats), Seq("term")), k, k1, b)
   }
 
+  /** Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty 2001) —
+    * the other classical sparse scorer next to BM25, and the standard
+    * LM-retrieval baseline: rank docs by
+    * `Σ_t∈q ln(1 + tf_td/(μ·P(t|C))) + |q|·ln(μ/(dl_d + μ))`, the
+    * rank-equivalent decomposition of the smoothed query likelihood whose
+    * first sum runs over MATCHED terms only — which is what lets the
+    * scorer run off the same postings join as BM25 instead of touching
+    * every (query, doc) pair. `P(t|C)` is the collection unigram model
+    * (cf_t / total collection tokens). Candidates are docs matching ≥ 1
+    * query term (the inverted-index contract; an unmatched doc's score is
+    * pure background mass and is never a useful answer).
+    *
+    * DETERMINISM (the BM25 conventions): each matched term quantizes ONCE
+    * — `round(ln(1 + tf/(μ·p)) · 1e6)` over fixed-parenthesization
+    * doubles — the per-(query, doc) reduce sums LONGS, and the per-doc
+    * length norm `round(ln(μ/(dl+μ)) · |q| · 1e6)` quantizes once and
+    * adds as a long; ranking is the shared [[rankTopK]] tail.
+    *
+    * Scale shape is [[bm25TopK]]'s: corpus stats are per-term/per-doc
+    * reduces, the (small) query-term set broadcasts onto the postings
+    * scan, and per-query top-k is the O(k)-state TopKAgg.
+    *
+    * Returns (query_id, rank, doc_id, score_micro), rank 1..k by
+    * (score_micro desc, doc_id asc); scores are ≤ 0 in micro-nats. */
+  def qlDirichletTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int = 10,
+      mu: Double = 2000.0): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(mu > 0, "mu must be positive")
+    val (tfdl, _) = corpusStats(docs, idCol, textCol)
+    val totals = tfdl.agg(sum(col("tf")).as("total_cf"))
+    val pbg = tfdl.groupBy("term").agg(sum(col("tf")).as("cf"))
+      .crossJoin(broadcast(totals))
+      .select(col("term"),
+        (col("cf").cast("double") / col("total_cf")).as("p_bg"))
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    val qn = qterms.groupBy("query_id").agg(count(lit(1)).as("qn"))
+    val qstats = pbg.join(broadcast(qterms), Seq("term"))
+    val matched = tfdl.join(broadcast(qstats), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("dl"),
+        round(log(lit(1.0) + col("tf").cast("double") / (lit(mu) * col("p_bg"))) * lit(1e6))
+          .cast("long").as("tsm"))
+      .groupBy("query_id", "doc_id", "dl")
+      .agg(sum(col("tsm")).as("m"))
+    val scores = matched.join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("m") + round(log(lit(mu) / (col("dl") + lit(mu))) * col("qn") * lit(1e6))
+          .cast("long")).as("score_micro"))
+    rankTopK(scores, k)
+  }
+
   private def queryTerms(
       queries: DataFrame, queryIdCol: String, queryTextCol: String): DataFrame =
     queries.select(col(queryIdCol).as("query_id"),
@@ -156,13 +213,6 @@ object Retrieval {
     * (score desc, doc_id asc) total order — because squeezing those
     * through a long cast would NULL (non-ANSI) or collide the ids. */
   private def scoreAndRank(enriched: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
-    import graft.expressions.TopKAgg.topKByScore
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val idType = enriched.schema("doc_id").dataType
-    val integralId = idType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
     val scores = enriched
       .select(col("query_id"), col("doc_id"),
         round(col("idf_micro").cast("double") *
@@ -171,6 +221,21 @@ object Retrieval {
           .cast("long").as("term_score_micro"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("term_score_micro")).as("score_micro"))
+    rankTopK(scores, k)
+  }
+
+  /** The shared per-query ranking tail over (query_id, doc_id,
+    * score_micro) rows — the ID CONTRACT half of [[scoreAndRank]],
+    * factored out so every scorer (BM25, query-likelihood) ranks through
+    * one code path. */
+  private def rankTopK(scores: DataFrame, k: Int): DataFrame = {
+    import graft.expressions.TopKAgg.topKByScore
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = scores.schema("doc_id").dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     if (integralId)
       scores
         .select(col("query_id"),

@@ -558,6 +558,16 @@ object OpsQueries {
       Graph.triangles(pairs, "item_a", "item_b").orderBy("id")
     }),
 
+    // 2-core by iterative peeling over the same co-occurrence graph, a
+    // FIXED 4-round dial: the engine may fixpoint-exit early (no-op
+    // rounds), the oracle unrolls exactly 4 — equal either way
+    "graph_kcore" -> ((s, d) => {
+      val pairs = Graph.coOccurrence(t(s, d, "lineitem").df,
+          "l_orderkey", "l_partkey", minPairCount = 1, maxBasketSize = 5)
+        .select(col("item_a"), col("item_b"))
+      Graph.kCore(pairs, "item_a", "item_b", k = 2, maxRounds = 4).orderBy("id")
+    }),
+
     // incremental co-occurrence: two basket-disjoint batch stores merged
     // and served — the equivalence contract (== the one-shot operator on
     // the union) IS the oracle, which re-derives the direct form; the
@@ -761,6 +771,19 @@ object OpsQueries {
         Retrieval.bm25IndexFrame(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
         Retrieval.bm25IndexFrame(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")))
       Retrieval.bm25TopKFromIndex(merged, qs, "qid", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Dirichlet query-likelihood (Zhai & Lafferty 2001) over the same
+    // query set: the LM-retrieval counterpart of BM25 — matched-terms
+    // decomposition + per-doc length norm, micro-nat integer scores;
+    // DuckDB re-derives collection stats, both quantizations, and the rank
+    "search_ql_dirichlet" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val qs = docs.filter(col("doc_id") % 100 === 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
+      Retrieval.qlDirichletTopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -1249,6 +1272,31 @@ object OpsQueries {
        "SELECT item, CAST(rank AS BIGINT) AS rank, related_id, pair_baskets, " +
        "lift_micro FROM r WHERE rank <= 5 ORDER BY item, rank"),
 
+    "graph_kcore" -> {
+      // unrolled peel: EXACTLY maxRounds rounds — the engine's fixpoint
+      // early-exit is pure optimization (post-fixpoint rounds are no-ops),
+      // so the equality holds whether or not the peel converged in 4.
+      // MATERIALIZED: each round references the previous edge set ~5x and
+      // DuckDB inlines CTEs per reference (the unigram-DP lesson).
+      val rounds = (1 to 4).map { r =>
+        s"d$r AS MATERIALIZED (SELECT id, count(*) AS degree FROM " +
+        s"(SELECT u AS id FROM e${r - 1} UNION ALL SELECT v AS id FROM e${r - 1}) GROUP BY id), " +
+        s"k$r AS MATERIALIZED (SELECT id FROM d$r WHERE degree >= 2), " +
+        s"e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e " +
+        s"JOIN k$r a ON e.u = a.id JOIN k$r b ON e.v = b.id)"
+      }.mkString(", ")
+      "WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
+      "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+      "sz AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 5), " +
+      "kept AS (SELECT bi.b, bi.i FROM bi JOIN sz USING (b)), " +
+      "e0 AS MATERIALIZED (SELECT a.i AS u, c.i AS v FROM kept a JOIN kept c " +
+      "ON a.b = c.b AND a.i < c.i GROUP BY 1, 2), " +
+      rounds + " " +
+      "SELECT id, CAST(count(*) AS BIGINT) AS core_degree FROM " +
+      "(SELECT u AS id FROM e4 UNION ALL SELECT v AS id FROM e4) " +
+      "GROUP BY id ORDER BY id"
+    },
+
     "graph_triangles" ->
       ("WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
        "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
@@ -1724,6 +1772,27 @@ object OpsQueries {
       (s"WITH $Bm25Ctes " +
        "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro " +
        "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    // Dirichlet QL over the shared tok/tf/dl/qterms chain: collection
+    // unigram model, matched-term micro-nat sums, per-doc length norm
+    "search_ql_dirichlet" ->
+      (s"WITH $Bm25Ctes, " +
+       "totcf AS (SELECT CAST(sum(tf) AS BIGINT) AS total_cf FROM tf), " +
+       "pbg AS (SELECT term, CAST(sum(tf) AS DOUBLE) / t.total_cf AS p_bg " +
+       "FROM tf, totcf t GROUP BY term, t.total_cf), " +
+       "qn AS (SELECT query_id, count(*) AS qn FROM qterms GROUP BY query_id), " +
+       "qlqs AS (SELECT q.query_id, q.term, p.p_bg FROM qterms q JOIN pbg p USING (term)), " +
+       "qlm AS (SELECT s.query_id, t.doc_id, d.dl, CAST(sum(CAST(round(ln(1.0 + " +
+       "CAST(t.tf AS DOUBLE) / (2000.0 * s.p_bg)) * 1e6) AS BIGINT)) AS BIGINT) AS m " +
+       "FROM tf t JOIN qlqs s USING (term) JOIN dl d ON d.doc_id = t.doc_id " +
+       "GROUP BY s.query_id, t.doc_id, d.dl), " +
+       "qlsc AS (SELECT a.query_id, a.doc_id, a.m + CAST(round(ln(2000.0 / " +
+       "(a.dl + 2000.0)) * n.qn * 1e6) AS BIGINT) AS score_micro " +
+       "FROM qlm a JOIN qn n USING (query_id)), " +
+       "qlranked AS (SELECT query_id, doc_id, score_micro, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank FROM qlsc) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro " +
+       "FROM qlranked WHERE rank <= 5 ORDER BY query_id, rank"),
 
     // pseudo-relevance feedback over the SAME shared chain: feedback docs
     // from `ranked`, integer tf·idf term scores, expanded bag re-scored

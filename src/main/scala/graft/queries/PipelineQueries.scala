@@ -1004,6 +1004,16 @@ object PipelineQueries {
       Corpus.unigramTrain(t(s, d, "documents").df, "text", vocabSize = 60)
         .orderBy("piece")),
 
+    // tokenizer fertility by language under the trained vocabulary — the
+    // multilingual-tokenizer health metric (pieces/word, chars/piece);
+    // DuckDB re-runs the train chain, one more DP with the FINAL pruned
+    // scores over the corpus word set, and the per-lang rollup
+    "text_unigram_fertility" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val v = Corpus.unigramTrain(docs, "text", vocabSize = 60)
+      Corpus.unigramFertility(docs, "lang", "text", v).orderBy("lang")
+    }),
+
     // the trained vocabulary segmenting a doc subset (train + segment
     // re-derived end-to-end, the text_bpe_segment convention): one row per
     // piece with its word index and in-word start offset
@@ -2769,6 +2779,24 @@ object PipelineQueries {
     "text_unigram_train" ->
       ("WITH RECURSIVE " + UnigramTrainCtes +
        " SELECT piece, CAST(n AS BIGINT) AS n, score_micro FROM uvocab ORDER BY piece"),
+
+    "text_unigram_fertility" ->
+      ("WITH RECURSIVE " + UnigramTrainCtes + ", " +
+       "usf AS MATERIALIZED (SELECT piece, score_micro AS sc FROM uvocab), " +
+       unigramDpSql("uff", "uwords", "usf") + ", " +
+       "ufc AS MATERIALIZED (SELECT w, count(*) AS np FROM uffrec " +
+       "WHERE piece IS NOT NULL GROUP BY w), " +
+       "lw AS (SELECT lang, substr(tok, 1, 12) AS w, count(*) AS cnt FROM " +
+       "(SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents) " +
+       "WHERE tok <> '' GROUP BY 1, 2), " +
+       "fr AS (SELECT l.lang, CAST(sum(l.cnt) AS BIGINT) AS n_words, " +
+       "CAST(sum(l.cnt * c.np) AS BIGINT) AS n_pieces, " +
+       "CAST(sum(l.cnt * len(l.w)) AS BIGINT) AS n_chars " +
+       "FROM lw l JOIN ufc c ON c.w = l.w GROUP BY l.lang) " +
+       "SELECT lang, n_words, n_pieces, " +
+       "CAST(round((CAST(n_pieces AS DOUBLE) * 1e6) / n_words) AS BIGINT) AS fertility_micro, " +
+       "CAST(round((CAST(n_chars AS DOUBLE) * 1e6) / n_pieces) AS BIGINT) AS chars_per_piece_micro " +
+       "FROM fr ORDER BY lang"),
 
     "text_unigram_segment" ->
       ("WITH RECURSIVE " + UnigramTrainCtes + ", " +

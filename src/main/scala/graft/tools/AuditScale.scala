@@ -100,7 +100,8 @@ object AuditScale {
     // (row-local Viterbi over the word-frequency table; bounded score
     // collects per round)
     "search_bm25_incremental", "text_tokens_script", "stream_session_window",
-    "text_unigram_train", "text_unigram_segment")
+    "text_unigram_train", "text_unigram_segment", "search_ql_dirichlet",
+    "text_unigram_fertility", "graph_kcore")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -170,6 +171,9 @@ object AuditScale {
       // crossJoin, the tfidf/LM-scorer shape; the incremental merge
       // recomputes the same 1-row constants from merged postings
       "search_bm25", "search_bm25_incremental",
+      // QL's collection-total and per-query-size constants ride the same
+      // 1-row/broadcast crossJoin shape
+      "search_ql_dirichlet",
       // the classifier's corpus count and bias ride 1-row aggregate
       // crossJoins per iteration (the LM-scorer shape)
       "text_quality_classifier",
@@ -197,9 +201,9 @@ object AuditScale {
       // crossJoin, and zorder's 1-row min/max bounds crossJoin
       "graph_copurchase", "graph_copurchase_incremental",
       "dq_join_preflight", "layout_zorder",
-      // the declared triangles query builds its edges through coOccurrence
-      // and so embeds the same 1-row basket-total crossJoin
-      "graph_triangles",
+      // the declared triangles/kcore queries build their edges through
+      // coOccurrence and so embed the same 1-row basket-total crossJoin
+      "graph_triangles", "graph_kcore",
       // more copurchase-embedding queries (basket-total crossJoin), the
       // calibration ECE 1-row broadcast, and the pHash/video property
       // queries' bounded doc_id-arithmetic planted joins

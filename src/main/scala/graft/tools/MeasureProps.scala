@@ -541,6 +541,19 @@ object MeasureProps {
       println(s"[measure] embeddingNearDup nbits=$nb recall=${hit.toDouble / nExact} ($hit/$nExact)")
     }
 
+    // ---- multi-table near-dup recall at the FULL (nbits, K) auto defaults
+    // (backs the declared dedup_embedding_multitable >=0.8 recall pin) plus
+    // the per-K amplification curve at the auto nbits
+    val autoBits = Dedup.recommendedNbits(emb.count())
+    for (tb <- Seq(1, 2, 4, Dedup.recommendedLshTables(autoBits, 0.3))) {
+      val fnd = Dedup.embeddingNearDupMultiTable(emb, "vec_id", "embedding",
+          dim = 64, threshold = 0.3, tables = tb)
+        .filter(col("id_a") < 300 && col("id_b") < 300)
+      val hit = exactPairs.join(fnd.select("id_a", "id_b"), Seq("id_a", "id_b")).count()
+      println(s"[measure] embeddingNearDupMultiTable nbits=$autoBits tables=$tb " +
+        s"recall=${hit.toDouble / nExact} ($hit/$nExact)")
+    }
+
     // ---- lshTopK recall@10 per query for candidate configs
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))

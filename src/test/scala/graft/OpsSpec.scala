@@ -898,6 +898,69 @@ class OpsSpec extends AnyFunSuite {
     assert(served == inline, s"served=$served inline=$inline")
   }
 
+  test("kCore peels pendant chains and keeps the dense core; early-exit equals fixed rounds") {
+    import graft.operators.Graph
+    val spark2 = spark
+    import spark2.implicits._
+    // K4 clique (1..4) + a pendant chain 4-10-11-12 + an isolated-ish edge
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 10L), (10L, 11L), (11L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val core2 = Graph.kCore(edges, "a", "b", k = 2, maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the chain and the lone edge peel away entirely; the clique keeps
+    // its internal degree 3
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core2.toString)
+    // k=3: the clique IS the 3-core
+    val core3 = Graph.kCore(edges, "a", "b", k = 3, maxRounds = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(core3 == Set(1L, 2L, 3L, 4L))
+    // k=4: nothing survives (clique internal degree is 3)
+    assert(Graph.kCore(edges, "a", "b", k = 4, maxRounds = 16).count() == 0L)
+    // fixed-rounds contract: a 1-round peel equals the oracle's 1 round
+    // even though it has NOT converged (chain end 12 peels, 11 not yet)
+    val one = Graph.kCore(edges, "a", "b", k = 2, maxRounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == Set(1L, 2L, 3L, 4L, 10L, 11L), one.toString)
+    // duplicate/reversed/self-loop edges normalize away
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val c = Graph.kCore(messy, "a", "b", k = 2).collect().map(_.getLong(0)).toSet
+    assert(c == Set(1L, 2L, 3L))
+  }
+
+  test("qlDirichletTopK matches a driver-side exact recomputation and prefers matched docs") {
+    import graft.operators.Retrieval
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple cherry cherry date"), (4L, "date egg")).toDF("doc_id", "text")
+    val qs = Seq((100L, "apple cherry")).toDF("qid", "qtext")
+    val got = Retrieval.qlDirichletTopK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+    // driver-side recomputation with the identical decomposition
+    val toks = Map(1L -> Seq("apple", "banana", "apple"), 2L -> Seq("banana", "cherry"),
+      3L -> Seq("apple", "cherry", "cherry", "date"), 4L -> Seq("date", "egg"))
+    val cf = toks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val total = cf.values.sum.toDouble
+    val mu = 2000.0
+    def score(d: Long, q: Seq[String]): Option[Long] = {
+      val tf = toks(d).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val matched = q.filter(t => tf.contains(t))
+      if (matched.isEmpty) None
+      else Some(matched.map(t => math.round(
+          math.log(1.0 + tf(t).toDouble / (mu * (cf(t) / total))) * 1e6)).sum +
+        math.round(math.log(mu / (toks(d).size + mu)) * q.size * 1e6))
+    }
+    val expect = toks.keys.toSeq.flatMap(d => score(d, Seq("apple", "cherry")).map(d -> _))
+      .sortBy { case (d, s) => (-s, d) }
+    assert(got.toSeq == expect, s"got=${got.toSeq} expect=$expect")
+    // doc 4 (no query term) is not a candidate
+    assert(!got.map(_._1).contains(4L))
+  }
+
   test("bm25ExpandedTopK recovers vocabulary-mismatch docs the literal query misses") {
     import graft.operators.Retrieval
     val spark2 = spark
