@@ -317,6 +317,87 @@ object Checks {
       round(((q - p) * log(q / p)) * lit(1e6)).cast("long").as("psi_micro"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic — the
+    * distribution-free companion to [[driftPsi]]: D = max_v |F_ref(v) −
+    * F_cur(v)| over the EXACT empirical CDFs (no binning loss), the test
+    * a 100 TB pipeline runs when a PSI bucket shift needs a
+    * scale-invariant second opinion. NULLs are excluded on both sides.
+    *
+    * DETERMINISM: the max runs over the integer cross-normalized gap
+    * `|cum_ref·n_cur − cum_cur·n_ref|` (exact longs; overflow-safe while
+    * n_ref·n_cur < 2^63, i.e. both sides under ~3·10^9 rows — beyond
+    * that, pre-aggregate or sample, documented bound), and only the final
+    * report divides: `ks_micro = round(d_num·1e6 / (n_ref·n_cur))`.
+    * `ks_at` is the smallest value attaining the max gap, so ties
+    * re-derive identically in ANSI SQL.
+    *
+    * Scale shape: the ECDF needs a prefix sum over the distinct-value
+    * domain, which must NOT be one global window (a single partition
+    * would absorb the whole domain). It runs as a TWO-LEVEL prefix sum:
+    * values bucket by the reference's quantile edges (the [[psiBaseline]]
+    * shape — O(buckets) 1-row broadcast), the inner cumulative window is
+    * PARTITIONED by bucket (parallel), and the outer offsets window runs
+    * over the O(buckets) bucket-total table only. Two value-key reduces,
+    * one value-key full-outer join, 1-row broadcast totals.
+    *
+    * Returns ONE row: (n_ref, n_cur, d_num, ks_at, ks_micro). */
+  def driftKs(
+      reference: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      buckets: Int = 32): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val ref = reference.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"))
+    val cur = current.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"))
+    val edges = ref
+      .agg(expr(s"percentile(v, array(${qs.mkString(", ")}))").as("__raw"))
+      .select(transform(col("__raw"), e => round(e, 4)).as("edges"))
+    val rc = ref.groupBy("v").agg(count(lit(1)).as("ref_c"))
+    val cc = cur.groupBy("v").agg(count(lit(1)).as("cur_c"))
+    val m = rc.join(cc, Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("ref_c"), lit(0L)).as("ref_c"),
+        coalesce(col("cur_c"), lit(0L)).as("cur_c"))
+      .crossJoin(broadcast(edges))
+      .withColumn("__bucket",
+        size(filter(col("edges"), e => col("v") > e)).cast("long"))
+      .drop("edges")
+    val inner = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bucket").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = m
+      .withColumn("in_ref", sum(col("ref_c")).over(inner))
+      .withColumn("in_cur", sum(col("cur_c")).over(inner))
+    // offsets: cumulative bucket totals over the O(buckets) table only
+    val outer = org.apache.spark.sql.expressions.Window
+      .orderBy("__bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = m.groupBy("__bucket")
+      .agg(sum(col("ref_c")).as("bt_ref"), sum(col("cur_c")).as("bt_cur"))
+      .select(col("__bucket"),
+        coalesce(sum(col("bt_ref")).over(outer), lit(0L)).as("off_ref"),
+        coalesce(sum(col("bt_cur")).over(outer), lit(0L)).as("off_cur"))
+    val totals = ref.agg(count(lit(1)).as("n_ref"))
+      .crossJoin(cur.agg(count(lit(1)).as("n_cur")))
+    val gaps = cum.join(broadcast(offsets), Seq("__bucket"))
+      .crossJoin(broadcast(totals))
+      .select(col("v"), col("n_ref"), col("n_cur"),
+        abs((col("off_ref") + col("in_ref")) * col("n_cur") -
+          (col("off_cur") + col("in_cur")) * col("n_ref")).as("gap"))
+    val dMax = gaps.agg(max(col("gap")).as("d_num"))
+    gaps.join(broadcast(dMax), col("gap") === col("d_num"))
+      .groupBy(col("n_ref"), col("n_cur"), col("d_num"))
+      .agg(min(col("v")).as("ks_at"))
+      .withColumn("ks_micro",
+        round((col("d_num") * lit(1000000.0)) / (col("n_ref") * col("n_cur")))
+          .cast("long"))
+      .select(col("n_ref"), col("n_cur"), col("d_num"), col("ks_at"),
+        col("ks_micro"))
+  }
+
   /** Join-key skew report + salting advice: the top-k heaviest values of
     * a prospective join/shuffle key, each with its exact count, its share
     * of the table in micro units, and the SALT FACTOR that would spread

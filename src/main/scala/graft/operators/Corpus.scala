@@ -2873,6 +2873,47 @@ object Corpus {
       sig.getField("entropy_micro_nats").as("entropy_micro_nats"))
   }
 
+  /** Flesch reading-ease readability — the classic surface-form
+    * difficulty score (`206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)`), the curriculum/audience signal the quality
+    * stack lacks (C4/Gopher gate on FORM, the LM scorers on
+    * DISTRIBUTION; readability grades comprehension difficulty).
+    *
+    * Counting heuristics, documented because no tokenless syllable count
+    * is exact: sentences = runs of `[.!?]` (min 1); words = whitespace
+    * tokens (min 1 via the NULL/empty guard); syllables = vowel-group
+    * runs `[aeiouy]+` in the lowercased text, clamped UP to the word
+    * count (every word has ≥1 syllable — the standard per-word clamp,
+    * applied globally). All three are exact integer regexp counts, the
+    * score quantizes once to micro units, and the band thresholds (≥70
+    * easy, ≥50 standard, else difficult) compare the quantized long —
+    * everything re-derives in ANSI SQL.
+    *
+    * Scale shape: row-local regexp counts, no shuffle, one row in/out.
+    * Returns (id, words, sentences, syllables, flesch_micro, band). */
+  def readability(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val words = greatest(lit(1L),
+      size(filter(split(txt, "\\s+"), t => t =!= "")).cast("long"))
+    val sentences = greatest(lit(1L), regexp_count(txt, lit("[.!?]+")).cast("long"))
+    val syllables = greatest(words,
+      regexp_count(lower(txt), lit("[aeiouy]+")).cast("long"))
+    val flesch = round((lit(206.835) -
+      lit(1.015) * (words.cast("double") / sentences.cast("double")) -
+      lit(84.6) * (syllables.cast("double") / words.cast("double"))) * lit(1e6))
+      .cast("long")
+    df.select(col(idCol).as("id"),
+        words.as("words"), sentences.as("sentences"), syllables.as("syllables"),
+        flesch.as("flesch_micro"))
+      .withColumn("band",
+        when(col("flesch_micro") >= 70000000L, lit("easy"))
+          .when(col("flesch_micro") >= 50000000L, lit("standard"))
+          .otherwise(lit("difficult")))
+  }
+
   /** The HOF/regex reference formulation of [[charStats]] — kept solely as
     * the equivalence twin the spec pins the native expression against
     * (same pattern as the PQ and rotation `*Hof` references). */

@@ -755,4 +755,115 @@ object Events {
       round(col("n_users").cast("double") /
         max(when(col("week_offset") === 0L, col("n_users"))).over(wCohort), 6))
   }
+
+  /** RFM (recency / frequency / monetary) user segmentation — the classic
+    * CRM triptych over a transaction log: per user, days since last
+    * transaction (relative to the log's own max timestamp, so the report
+    * is a pure function of the data — no wall clock), transaction count,
+    * and exact monetary total, each scored 1..`buckets` against the
+    * population's own quantile edges. Callers pre-filter to the
+    * transaction event type — the operator scores whatever rows arrive.
+    *
+    * Scoring: edges at i/buckets quantiles (rounded to 4 decimals, the
+    * [[Checks.psiBaseline]] convention); score = 1 + #(edges strictly
+    * below the metric), so ties bucket identically in ANSI SQL. Recency
+    * is reverse-scored (most RECENT = highest r_score). Monetary sums
+    * through DECIMAL(18,6), never a double sum — exact at any
+    * partitioning.
+    *
+    * Scale shape: one user-key reduce builds the per-user metric table;
+    * the three edge arrays come from ONE 1-row aggregate over it and ride
+    * a broadcast crossJoin back on (the LM-scorer shape). No global
+    * window, no ntile.
+    *
+    * Returns one row per user: (user_id, recency_days, frequency,
+    * monetary_micro, r_score, f_score, m_score, segment). */
+  def rfm(
+      transactions: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, "need at least 2 score buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val ts = micros(transactions, tsCol)
+    val perUser = transactions
+      .groupBy(col(userCol).as("user_id"))
+      .agg(max(ts).as("last_us"),
+        count(lit(1)).as("frequency"),
+        (sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))) *
+          org.apache.spark.sql.functions.lit(1000000))
+          .cast("long").as("monetary_micro"))
+    val asOf = perUser.agg(max(col("last_us")).as("as_of_us"))
+    val metrics = perUser.crossJoin(broadcast(asOf))
+      // exact integer day count: `div` floors in long arithmetic — the
+      // double `/` could truncate across an integer boundary
+      .withColumn("recency_days", expr("(as_of_us - last_us) div 86400000000"))
+      .select("user_id", "recency_days", "frequency", "monetary_micro")
+    def edgesOf(c: String) =
+      expr(s"percentile($c, array(${qs.mkString(", ")}))")
+    val edges = metrics.agg(
+        transform(edgesOf("recency_days"), e => round(e, 4)).as("r_edges"),
+        transform(edgesOf("frequency"), e => round(e, 4)).as("f_edges"),
+        transform(edgesOf("monetary_micro"), e => round(e, 4)).as("m_edges"))
+    def score(c: String, e: String) =
+      (lit(1) + size(filter(col(e), x => col(c) > x))).cast("long")
+    metrics.crossJoin(broadcast(edges))
+      .withColumn("r_score", lit(buckets + 1).cast("long") - score("recency_days", "r_edges"))
+      .withColumn("f_score", score("frequency", "f_edges"))
+      .withColumn("m_score", score("monetary_micro", "m_edges"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_micro"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+  }
+
+  /** Two-proportion z-test over experiment variants — the A/B readout:
+    * each unit (user) carries a variant label and a 0/1 conversion flag;
+    * every variant compares against the CONTROL (the lexicographically
+    * smallest variant label, deterministic), reporting exact counts, the
+    * conversion rates, the lift, and the pooled two-proportion
+    * z-statistic `(p_v − p_c) / sqrt(p̂(1−p̂)(1/n_c + 1/n_v))`.
+    *
+    * DETERMINISM: counts are exact longs; the z doubles derive from those
+    * longs through a fixed operation order (each IEEE op is correctly
+    * rounded, so the same order re-derives bit-identically in ANSI SQL)
+    * and quantize once to micro units. A degenerate pool (p̂ = 0 or 1 —
+    * zero standard error) reports z_micro NULL rather than ±inf.
+    *
+    * Scale shape: one variant-key reduce (map-side combined) to
+    * O(variants) rows; the control row broadcasts back on. The unit
+    * table itself is the caller's (one user-key reduce upstream, e.g.
+    * max(converted) per user) — this operator never re-scans raw events.
+    *
+    * Returns one row per non-control variant: (variant, control, n_ctrl,
+    * conv_ctrl, n_var, conv_var, rate_ctrl_micro, rate_var_micro,
+    * lift_micro, z_micro). */
+  def abTest(
+      units: DataFrame,
+      variantCol: String,
+      convCol: String): DataFrame = {
+    val per = units
+      .groupBy(col(variantCol).cast("string").as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(convCol).cast("long")).as("conv"))
+    val ctrl = per.orderBy(col("variant").asc).limit(1)
+      .select(col("variant").as("control"), col("n").as("n_ctrl"),
+        col("conv").as("conv_ctrl"))
+    val joined = per.crossJoin(broadcast(ctrl))
+      .filter(col("variant") =!= col("control"))
+    val pc = col("conv_ctrl").cast("double") / col("n_ctrl")
+    val pv = col("conv").cast("double") / col("n")
+    val pool = (col("conv_ctrl") + col("conv")).cast("double") /
+      (col("n_ctrl") + col("n"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_ctrl") + lit(1.0) / col("n")))
+    joined.select(col("variant"), col("control"),
+        col("n_ctrl"), col("conv_ctrl"),
+        col("n").as("n_var"), col("conv").as("conv_var"),
+        round(pc * lit(1e6)).cast("long").as("rate_ctrl_micro"),
+        round(pv * lit(1e6)).cast("long").as("rate_var_micro"),
+        round((pv - pc) * lit(1e6)).cast("long").as("lift_micro"),
+        when(se > lit(0.0), round(((pv - pc) / se) * lit(1e6)).cast("long"))
+          .as("z_micro"))
+  }
 }

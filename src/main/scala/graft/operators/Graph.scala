@@ -397,6 +397,70 @@ object Graph {
     degrees(e).select(col("id"), col("degree").as("core_degree"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007's near-linear
+    * community detection, in its deterministic synchronous form): every
+    * node starts labeled with its own id; each round, every node adopts
+    * the most frequent label among its neighbors, ties broken by SMALLEST
+    * label — a total, data-independent order, so the result is
+    * bit-reproducible at any partitioning (the asynchronous/randomized
+    * variant of the paper is not, and is deliberately not offered).
+    * Communities out of LPA complement [[connectedComponents]] (which
+    * merges everything reachable) by splitting dense regions joined only
+    * by thin bridges.
+    *
+    * FIXED-ROUNDS CONTRACT (the [[kCore]] convention): exactly `rounds`
+    * synchronous rounds — synchronous LPA can oscillate on bipartite
+    * structures, so a fixpoint test is NOT the stop rule; the round count
+    * is part of the operator's semantics and of the oracle's unrolled
+    * re-derivation. Isolated-from-this-round nodes (no neighbors) keep
+    * their current label.
+    *
+    * Scale shape: per round ONE edge-key join (labels onto the symmetric
+    * edge list), one (node, label) reduce, and one node-partitioned
+    * window over the aggregated label counts (same key as the reduce —
+    * no extra exchange); the label frame is `localCheckpoint`ed per round
+    * (ids only) so plans stay O(1) deep, with the previous round's blocks
+    * freed eagerly.
+    *
+    * Returns one row per node: (id, label) — `label` is the smallest
+    * member id of the node's community under this round count. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__n").desc, col("label").asc)
+    var r = 0
+    while (r < rounds) {
+      val adopted = und
+        .join(labels.select(col("id").as("u"), col("label")), Seq("u"))
+        .groupBy(col("v").as("id"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("id"), col("label").as("__new"))
+      val next = labels
+        .join(adopted, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftbridge.freeCheckpoint(labels)
+      labels = next; r += 1
+    }
+    org.apache.spark.sql.graftbridge.freeCheckpoint(und)
+    labels
+  }
+
   /** Item co-occurrence mining (market basket / related items / co-click):
     * for every unordered item pair sharing at least `minPairCount`
     * baskets, the pair's basket count plus each item's own basket count,

@@ -98,6 +98,54 @@ object Similarity {
         col(nAs))
   }
 
+  /** Per-label embedding outlier detection — the row-level companion to
+    * [[centroidDrift]]: each vector's squared euclidean distance to its
+    * OWN label's micro-mean centroid, flagged against the label's own
+    * `quantile` distance (default p95). Catches the mis-embedded /
+    * mislabeled / corrupted INDIVIDUAL rows that a centroid-level monitor
+    * averages away — the pre-index hygiene pass an ANN build wants.
+    *
+    * DETERMINISM: vectors quantize row-locally to micro longs, centroids
+    * are the [[centroidDrift]] micro-means (exact long sums, one
+    * re-quantize), dist2 is an exact long sum of squared long deltas
+    * (micro-scale components keep it ≤ ~3e14 at dim 64 — exactly
+    * representable), and the per-label threshold quantizes once
+    * (`round(percentile(dist2, q))`). Flags compare longs.
+    *
+    * Scale shape: one label-key reduce for centroids (O(dim) map-side
+    * partials), centroid table is O(labels) and joins back by label (a
+    * broadcast at any realistic label count), one label-key percentile
+    * reduce over (label, dist2), rejoined the same way. The corpus
+    * shuffles once on the label key.
+    *
+    * Returns one row per vector: (id, label, dist2, threshold, is_outlier). */
+  def embeddingOutliers(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String,
+      dim: Int,
+      quantile: Double = 0.95): DataFrame = {
+    require(quantile > 0 && quantile < 1, "quantile must be in (0, 1)")
+    val cents = microCentroids(df, labelCol, vecCol, dim, "cent", "n")
+      .select(col("label"), col("cent"))
+    val dist2 = aggregate(
+      zip_with(col("__q"), col("cent"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val scored = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        transform(col(vecCol),
+          v => round(v.cast("double") * lit(1e6)).cast("long")).as("__q"))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("id"), col("label"), dist2.as("dist2"))
+    val thresholds = scored.groupBy("label")
+      .agg(round(expr(s"percentile(dist2, $quantile)")).cast("long")
+        .as("threshold"))
+    scored.join(broadcast(thresholds), Seq("label"))
+      .select(col("id"), col("label"), col("dist2"), col("threshold"),
+        (col("dist2") > col("threshold")).as("is_outlier"))
+  }
+
   /** Exact brute-force cosine top-k.
     *
     * The query set is broadcast (it must be small — this is the

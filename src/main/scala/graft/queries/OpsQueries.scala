@@ -837,6 +837,61 @@ object OpsQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
       Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- round-15 second wave ----
+
+    // KS two-sample drift: even-key prices inflated 10% (a PARTIAL shift —
+    // half the mass moves, so D lands strictly inside (0, 1) and both the
+    // max-gap search and the smallest-attaining-value tiebreak do real
+    // work); ONE summary row, exact integer gap numerator
+    "dq_drift_ks" -> ((s, d) => {
+      val li = t(s, d, "lineitem").df
+      val cur = li.select((col("l_extendedprice") *
+          when(col("l_orderkey") % 2 === 0, lit(1.1)).otherwise(lit(1.0)))
+        .as("l_extendedprice"))
+      Checks.driftKs(li, cur, "l_extendedprice", buckets = 10)
+    }),
+
+    // per-label embedding outliers at the p90 distance fence — planted
+    // positives are unnecessary (a 10% tail exists by construction), the
+    // oracle re-derives centroids, distances, and the per-label threshold
+    "dq_embedding_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(t(s, d, "embeddings").df,
+          "vec_id", "label", "embedding", dim = 64, quantile = 0.9)
+        .orderBy("id")),
+
+    // RFM over purchase events: recency anchored to the log's own max
+    // timestamp, monetary through DECIMAL(18,6), quintile scores against
+    // the population's own quantile edges (reverse-scored recency)
+    "events_rfm" -> ((s, d) =>
+      Events.rfm(t(s, d, "events").df.filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value", buckets = 5)
+        .orderBy("user_id")),
+
+    // two-proportion z-test: users hash to control/treat_a/treat_b by
+    // id mod 3, conversion = any purchase event; 'control' is the
+    // lexicographic minimum, so the control election is deterministic
+    "events_ab_test" -> ((s, d) => {
+      val units = t(s, d, "events").df
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("long")).as("converted"))
+        .withColumn("variant",
+          when(col("user_id") % 3 === 0, lit("control"))
+            .when(col("user_id") % 3 === 1, lit("treat_a"))
+            .otherwise(lit("treat_b")))
+      Events.abTest(units, "variant", "converted").orderBy("variant")
+    }),
+
+    // synchronous label propagation (3 unrolled rounds, min-label
+    // tie-break) over the same capped co-purchase pair graph as kcore —
+    // communities split where connected components would merge
+    "graph_lpa" -> ((s, d) => {
+      val pairs = Graph.coOccurrence(t(s, d, "lineitem").df,
+          "l_orderkey", "l_partkey", minPairCount = 1, maxBasketSize = 5)
+        .select(col("item_a"), col("item_b"))
+      Graph.labelPropagation(pairs, "item_a", "item_b", rounds = 3)
+        .orderBy("id")
     }))
 
   /** DuckDB twin of [[Checks.suggest]] over a known schema: per column,
@@ -931,6 +986,36 @@ object OpsQueries {
       s"${sig("margin")} AS score_micro, " +
       s"CAST(${sig("margin")} > 500000 AS BIGINT) AS pred FROM mf ORDER BY doc_id"
     head + steps + fin
+  }
+
+  /** Unrolled-CTE DuckDB twin of [[Graph.labelPropagation]] over the
+    * capped co-purchase pair graph (the kcore edge derivation): per round,
+    * neighbor-label counts then the (count desc, label asc) argmax per
+    * node. MATERIALIZED per the unigram-DP lesson — each round's label
+    * table is referenced twice. */
+  private def LpaOracle(rounds: Int): String = {
+    val head =
+      "WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
+      "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+      "sz AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 5), " +
+      "kept AS (SELECT bi.b, bi.i FROM bi JOIN sz USING (b)), " +
+      "e0 AS MATERIALIZED (SELECT a.i AS u, c.i AS v FROM kept a JOIN kept c " +
+      "ON a.b = c.b AND a.i < c.i GROUP BY 1, 2), " +
+      "und AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0), " +
+      "l0 AS MATERIALIZED (SELECT id, id AS label FROM " +
+      "(SELECT DISTINCT u AS id FROM und))"
+    val steps = (1 to rounds).map { r =>
+      s", msg$r AS (SELECT und.v AS id, l.label, count(*) AS n " +
+      s"FROM und JOIN l${r - 1} l ON und.u = l.id GROUP BY 1, 2), " +
+      s"pick$r AS (SELECT id, label FROM (SELECT id, label, row_number() OVER " +
+      "(PARTITION BY id ORDER BY n DESC, label ASC) AS rk " +
+      s"FROM msg$r) WHERE rk = 1), " +
+      s"l$r AS MATERIALIZED (SELECT l.id, coalesce(p.label, l.label) AS label " +
+      s"FROM l${r - 1} l LEFT JOIN pick$r p ON l.id = p.id)"
+    }.mkString
+    head + steps +
+      s" SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label " +
+      s"FROM l$rounds ORDER BY id"
   }
 
   /** Unrolled-CTE DuckDB twin of [[Graph.pageRankInt]] over the
@@ -1882,7 +1967,117 @@ object OpsQueries {
        "franked AS (SELECT *, row_number() OVER " +
        "(PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS rnk FROM fused) " +
        "SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, rrf_micro, n_lists " +
-       "FROM franked WHERE rnk <= 10 ORDER BY query_id, rank"))
+       "FROM franked WHERE rnk <= 10 ORDER BY query_id, rank"),
+
+    // ---- round-15 second wave ----
+
+    // exact-ECDF KS via one ordered cumulative over the distinct-value
+    // table (the engine's two-level prefix sum is a pure parallelization
+    // of the same sums); integer gap numerator, one final division
+    "dq_drift_ks" ->
+      ("WITH r AS (SELECT l_extendedprice AS v FROM lineitem " +
+       "WHERE l_extendedprice IS NOT NULL), " +
+       "c AS (SELECT l_extendedprice * " +
+       "(CASE WHEN l_orderkey % 2 = 0 THEN 1.1 ELSE 1.0 END) AS v " +
+       "FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+       "rc AS (SELECT v, count(*) AS rn FROM r GROUP BY v), " +
+       "cc AS (SELECT v, count(*) AS cn FROM c GROUP BY v), " +
+       "m AS (SELECT coalesce(rc.v, cc.v) AS v, coalesce(rn, 0) AS rn, " +
+       "coalesce(cn, 0) AS cn FROM rc FULL JOIN cc ON rc.v = cc.v), " +
+       "cum AS (SELECT v, sum(rn) OVER (ORDER BY v) AS cr, " +
+       "sum(cn) OVER (ORDER BY v) AS cm FROM m), " +
+       "t AS (SELECT (SELECT count(*) FROM r) AS nr, " +
+       "(SELECT count(*) FROM c) AS nc), " +
+       "g AS (SELECT v, abs(cr * nc - cm * nr) AS gap FROM cum, t), " +
+       "d AS (SELECT max(gap) AS d_num FROM g) " +
+       "SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur, " +
+       "CAST(d_num AS BIGINT) AS d_num, " +
+       "(SELECT min(v) FROM g, d WHERE gap = d_num) AS ks_at, " +
+       "CAST(round(d_num * 1000000.0 / (nr * nc)) AS BIGINT) AS ks_micro " +
+       "FROM t, d"),
+
+    // centroids re-derived exactly as dq_drift_embedding's, then exact
+    // long squared distances and the per-label p90 fence
+    "dq_embedding_outliers" ->
+      ("WITH q AS (SELECT vec_id, label, list_transform(embedding, " +
+       "v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe " +
+       "FROM embeddings WHERE embedding IS NOT NULL), " +
+       "n AS (SELECT label, count(*) AS n FROM q GROUP BY label), " +
+       "e AS (SELECT label, i, sum(qe[CAST(i AS INT)]) AS s FROM q, " +
+       "unnest(range(1, 65)) t(i) GROUP BY label, i), " +
+       "m AS (SELECT e.label, i, CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS m " +
+       "FROM e JOIN n USING (label)), " +
+       "cent AS (SELECT label, array_agg(m ORDER BY i) AS c FROM m GROUP BY label), " +
+       "sc AS (SELECT vec_id, q.label, " +
+       "list_sum(list_transform(list_zip(qe, cent.c), " +
+       "x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist2 " +
+       "FROM q JOIN cent ON q.label = cent.label), " +
+       "th AS (SELECT label, CAST(round(quantile_cont(dist2, 0.9)) AS BIGINT) " +
+       "AS threshold FROM sc GROUP BY label) " +
+       "SELECT vec_id AS id, sc.label, CAST(dist2 AS BIGINT) AS dist2, threshold, " +
+       "dist2 > threshold AS is_outlier " +
+       "FROM sc JOIN th ON sc.label = th.label ORDER BY id"),
+
+    // per-user metrics → data-anchored recency → one quantile-edge row →
+    // strict-greater bucket scores (recency reverse-scored)
+    "events_rfm" ->
+      ("WITH tx AS (SELECT user_id, epoch_us(ts) AS us, value FROM events " +
+       "WHERE event_type = 'purchase'), " +
+       "pu AS (SELECT user_id, max(us) AS last_us, count(*) AS frequency, " +
+       "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) " +
+       "AS monetary_micro FROM tx GROUP BY user_id), " +
+       "ao AS (SELECT max(last_us) AS as_of FROM pu), " +
+       "mt AS (SELECT user_id, (ao.as_of - last_us) // 86400000000 " +
+       "AS recency_days, frequency, monetary_micro FROM pu, ao), " +
+       "ed AS (SELECT " +
+       "list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]), " +
+       "x -> round(x, 4)) AS re, " +
+       "list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]), " +
+       "x -> round(x, 4)) AS fe, " +
+       "list_transform(quantile_cont(monetary_micro, [0.2, 0.4, 0.6, 0.8]), " +
+       "x -> round(x, 4)) AS me FROM mt), " +
+       "sc AS (SELECT user_id, recency_days, frequency, " +
+       "monetary_micro, " +
+       "CAST(5 - len(list_filter(ed.re, x -> recency_days > x)) AS BIGINT) AS r_score, " +
+       "CAST(1 + len(list_filter(ed.fe, x -> frequency > x)) AS BIGINT) AS f_score, " +
+       "CAST(1 + len(list_filter(ed.me, x -> monetary_micro > x)) AS BIGINT) AS m_score " +
+       "FROM mt, ed) " +
+       "SELECT user_id, recency_days, frequency, monetary_micro, " +
+       "r_score, f_score, m_score, " +
+       "CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || " +
+       "CAST(m_score AS VARCHAR) AS segment " +
+       "FROM sc ORDER BY user_id"),
+
+    // exact per-variant counts, then the pooled two-proportion z with the
+    // engine's exact parenthesization (IEEE ops are correctly rounded, so
+    // matching order = matching bits)
+    "events_ab_test" ->
+      ("WITH u AS (SELECT user_id, " +
+       "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv, " +
+       "CASE WHEN user_id % 3 = 0 THEN 'control' " +
+       "WHEN user_id % 3 = 1 THEN 'treat_a' ELSE 'treat_b' END AS variant " +
+       "FROM events GROUP BY user_id), " +
+       "per AS (SELECT variant, count(*) AS n, CAST(sum(conv) AS BIGINT) AS conv " +
+       "FROM u GROUP BY variant), " +
+       "ctl AS (SELECT variant AS control, n AS n_ctrl, conv AS conv_ctrl " +
+       "FROM per ORDER BY variant LIMIT 1), " +
+       "j AS (SELECT per.variant, ctl.control, ctl.n_ctrl, ctl.conv_ctrl, " +
+       "per.n AS n_var, per.conv AS conv_var, " +
+       "CAST(conv_ctrl AS DOUBLE) / n_ctrl AS pc, " +
+       "CAST(per.conv AS DOUBLE) / per.n AS pv, " +
+       "CAST(ctl.conv_ctrl + per.conv AS DOUBLE) / (ctl.n_ctrl + per.n) AS pool " +
+       "FROM per, ctl WHERE per.variant <> ctl.control), " +
+       "z AS (SELECT *, sqrt(pool * (1.0 - pool) * " +
+       "(1.0 / n_ctrl + 1.0 / n_var)) AS se FROM j) " +
+       "SELECT variant, control, n_ctrl, conv_ctrl, n_var, conv_var, " +
+       "CAST(round(pc * 1000000.0) AS BIGINT) AS rate_ctrl_micro, " +
+       "CAST(round(pv * 1000000.0) AS BIGINT) AS rate_var_micro, " +
+       "CAST(round((pv - pc) * 1000000.0) AS BIGINT) AS lift_micro, " +
+       "CASE WHEN se > 0.0 THEN CAST(round(((pv - pc) / se) * 1000000.0) AS BIGINT) " +
+       "END AS z_micro " +
+       "FROM z ORDER BY variant"),
+
+    "graph_lpa" -> LpaOracle(3))
 
   /** The [[Retrieval.bm25TopK]] oracle chain (documents corpus, ÷100≡3
     * first-5-token queries), ending at `ranked` (all candidates with

@@ -919,6 +919,18 @@ object PipelineQueries {
       Corpus.charStats(t(s, d, "documents").df, "doc_id", "text")
         .orderBy("id")),
 
+    // Flesch reading ease over a punctuation-planted render (the corpus
+    // has no sentence terminators, so ÷5 docs get 0..4 appended ' stop.'
+    // sentences — exercising the sentence counter, the min-1 clamp, and
+    // all three bands); DuckDB re-derives every regexp count
+    "text_readability" -> ((s, d) =>
+      Corpus.readability(
+          t(s, d, "documents").df.withColumn("text",
+            concat(col("text"),
+              expr("repeat(' stop.', CAST(doc_id % 5 AS INT))"))),
+          "doc_id", "text")
+        .orderBy("id")),
+
     // the complete Gopher A1.1 repetition family (nine signals from one
     // native row-local pass); DuckDB re-derives every n's gram counts,
     // the most-frequent-gram mass, and the overlap-once coverage unions
@@ -2875,6 +2887,33 @@ object PipelineQueries {
     // per-char histogram → one ln per DISTINCT char → exact micro-nat sum
     "text_char_stats" ->
       (CharStatsOracleSql + " ORDER BY id"),
+
+    // render → the three regexp counts (words non-empty-token, sentence
+    // terminator runs, vowel runs clamped up to words) → one quantized
+    // Flesch → threshold bands on the quantized long
+    "text_readability" ->
+      ("WITH rt AS (SELECT doc_id, " +
+       // NULL-propagating concat then coalesce — the engine's
+       // concat-then-coalesce order, so a NULL text renders as ''
+       "coalesce(text || repeat(' stop.', CAST(doc_id % 5 AS INT)), '') AS txt " +
+       "FROM documents), " +
+       "b AS (SELECT doc_id AS id, " +
+       "greatest(1, len(list_filter(regexp_split_to_array(txt, '\\s+'), " +
+       "t -> t <> ''))) AS words, " +
+       "greatest(1, len(regexp_extract_all(txt, '[.!?]+'))) AS sentences, " +
+       "len(regexp_extract_all(lower(txt), '[aeiouy]+')) AS raw_syl FROM rt), " +
+       "c AS (SELECT id, CAST(words AS BIGINT) AS words, " +
+       "CAST(sentences AS BIGINT) AS sentences, " +
+       "CAST(greatest(words, raw_syl) AS BIGINT) AS syllables FROM b), " +
+       "f AS (SELECT *, CAST(round((206.835 - " +
+       "1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)) - " +
+       "84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))) " +
+       "* 1000000.0) AS BIGINT) AS flesch_micro FROM c) " +
+       "SELECT id, words, sentences, syllables, flesch_micro, " +
+       "CASE WHEN flesch_micro >= 70000000 THEN 'easy' " +
+       "WHEN flesch_micro >= 50000000 THEN 'standard' " +
+       "ELSE 'difficult' END AS band " +
+       "FROM f ORDER BY id"),
 
     // per n: gram windows → per-doc counts → most-frequent mass (count
     // desc, len desc) for n=2..4 / overlap-once coverage char sums for

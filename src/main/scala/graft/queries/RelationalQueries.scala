@@ -171,6 +171,26 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     }),
 
+    "join_interval_overlap" -> ((s, d) => {
+      // interval×interval overlap via the once-per-pair bin equi-key
+      // (RangeJoin.intervalOverlap): per-user-day activity spans against
+      // per-type-day activity spans — which users were active while each
+      // event type was live that day. Exact integer micros; 6h bins.
+      val base = t(s, d, "events").df
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("day", expr("us div 86400000000"))
+      val a = base.groupBy(col("user_id"), col("day").as("a_day"))
+        .agg(min(col("us")).as("a_lo"), max(col("us")).as("a_hi"))
+      val b = base.groupBy(col("event_type"), col("day").as("b_day"))
+        .agg(min(col("us")).as("b_lo"), max(col("us")).as("b_hi"))
+      graft.operators.RangeJoin
+        .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", 21600000000.0)
+        .select("user_id", "a_day", "event_type", "b_day",
+          "a_lo", "a_hi", "b_lo", "b_hi")
+        .orderBy("user_id", "a_day", "event_type", "b_day")
+    }),
+
     "join_asof" -> ((s, d) => {
       // as-of backward join (operator absent from the reference surface):
       // each event picks up the user's most recent purchase value at-or-before ts
@@ -465,6 +485,54 @@ object RelationalQueries {
         .orderBy(desc("sum_qty"), asc("o_orderkey"))
         .limit(100).df
     }),
+
+    // q4 shape: EXISTS-semi-joined order-priority count — the orders scan
+    // prunes on the date window BEFORE the semi join, and the probe side
+    // carries the cross-table lateness predicate inside the join condition
+    // (never materializing the match rows). Lateness adapted to this
+    // schema: shipped more than 60 days after order date.
+    "tpch_q4_order_priority" -> ((s, d) => {
+      val o = t(s, d, "orders").df
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = t(s, d, "lineitem").df
+        .select(col("l_orderkey").as("__lk"), col("l_shipdate"))
+      o.join(li, col("o_orderkey") === col("__lk") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // q21 shape: the hardest TPC-H join topology — a fact self-join three
+    // ways (base + EXISTS semi + NOT-EXISTS anti, each on the order key
+    // with a supplier-inequality residual) under two dimension joins.
+    // "Waiting" adapted to this schema: the supplier shipped >60 days
+    // after order date on a FINISHED order where ANOTHER supplier was on
+    // the order but NO other supplier was late. The lateness frame is
+    // computed ONCE and reused by all three roles (one orders join, not
+    // three).
+    "tpch_q21_waiting_shape" -> ((s, d) => {
+      val lo = t(s, d, "lineitem").df
+        .join(t(s, d, "orders").df.filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+            .as("late"))
+      val l1 = lo.filter(col("late"))
+      l1.join(lo.select(col("ok").as("ok2"), col("sk").as("sk2")),
+          col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+        .join(l1.select(col("ok").as("ok3"), col("sk").as("sk3")),
+          col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        .join(t(s, d, "supplier").df, col("sk") === col("s_suppkey"))
+        .join(t(s, d, "nation").df, col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_3")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(20)
+    }),
   )
 
   val flagshipOracleSql: Map[String, String] = Map(
@@ -522,6 +590,29 @@ object RelationalQueries {
        "JOIN orders ON l_orderkey = o_orderkey " +
        "JOIN customer ON o_custkey = c_custkey " +
        "ORDER BY sum_qty DESC, o_orderkey LIMIT 100"),
+
+    "tpch_q4_order_priority" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+       "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+       "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+       "AND EXISTS (SELECT 1 FROM lineitem " +
+       "WHERE l_orderkey = o_orderkey " +
+       "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "tpch_q21_waiting_shape" ->
+      ("WITH lo AS (SELECT l_orderkey AS ok, l_suppkey AS sk, " +
+       "(l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE o_orderstatus = 'F'), " +
+       "l1 AS (SELECT * FROM lo WHERE late) " +
+       "SELECT s_name, count(*) AS numwait FROM l1 " +
+       "JOIN supplier ON l1.sk = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "WHERE n_name = 'NATION_3' " +
+       "AND EXISTS (SELECT 1 FROM lo l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk) " +
+       "AND NOT EXISTS (SELECT 1 FROM l1 l3 WHERE l3.ok = l1.ok AND l3.sk <> l1.sk) " +
+       "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -612,6 +703,17 @@ object RelationalQueries {
        "FROM customer GROUP BY c_nationkey) b " +
        "ON s.s_acctbal >= b.lo AND s.s_acctbal <= b.hi " +
        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "join_interval_overlap" ->
+      ("WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us, " +
+       "epoch_us(ts) // 86400000000 AS day FROM events), " +
+       "a AS (SELECT user_id, day AS a_day, min(us) AS a_lo, max(us) AS a_hi " +
+       "FROM base GROUP BY 1, 2), " +
+       "b AS (SELECT event_type, day AS b_day, min(us) AS b_lo, max(us) AS b_hi " +
+       "FROM base GROUP BY 1, 2) " +
+       "SELECT user_id, a_day, event_type, b_day, a_lo, a_hi, b_lo, b_hi " +
+       "FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi " +
+       "ORDER BY user_id, a_day, event_type, b_day"),
 
     "join_asof" ->
       ("SELECT e.event_id AS event_id, p.value AS asof_pval FROM events e " +

@@ -101,7 +101,15 @@ object AuditScale {
     // collects per round)
     "search_bm25_incremental", "text_tokens_script", "stream_session_window",
     "text_unigram_train", "text_unigram_segment", "search_ql_dirichlet",
-    "text_unigram_fertility", "graph_kcore")
+    "text_unigram_fertility", "graph_kcore",
+    // round-15 second wave: KS drift (two value-key reduces + bucketed
+    // two-level prefix sum), per-label embedding outliers (label-key
+    // reduces), RFM + A/B (user-key then O(variants)), LPA (per-round
+    // edge-key join + node-key reduce), interval overlap (bin equi-join),
+    // readability (row-local), q4/q21 shapes (semi/anti hash joins)
+    "dq_drift_ks", "dq_embedding_outliers", "events_rfm", "events_ab_test",
+    "graph_lpa", "join_interval_overlap", "text_readability",
+    "tpch_q4_order_priority", "tpch_q21_waiting_shape")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -216,7 +224,14 @@ object AuditScale {
       "corpus_leakage_split",
       // the pHash property query's PLANTED side is a doc_id-arithmetic
       // non-equi self-join (bounded: id pairs 256 apart), not the operator
-      "mm_image_phash_neardup")
+      "mm_image_phash_neardup",
+      // KS drift: 1-row broadcast sides by construction — the quantile
+      // edge array, the (n_ref, n_cur) totals, and the 1-row max-gap
+      // frame (a broadcast theta-join against the gap table); RFM's edge
+      // arrays and A/B's 1-row control row ride the same shape; the LPA
+      // declared query builds edges through coOccurrence (basket-total
+      // crossJoin)
+      "dq_drift_ks", "events_rfm", "events_ab_test", "graph_lpa")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -1317,4 +1317,162 @@ class OpsSpec extends AnyFunSuite {
     assert(lrScored.primaryKey.contains(Seq("id")) &&
       lineageOps(lrScored) == Seq("logistic_score"))
   }
+
+  // --------------------------------------------------- round-15 second wave
+
+  test("driftKs: zero on identical samples; 1.0 on disjoint; partial shift in between; ks_at ties break low") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val same = Checks.driftKs(a, a, "v", buckets = 2).collect()(0)
+    assert(same.getLong(same.fieldIndex("d_num")) == 0L &&
+      same.getLong(same.fieldIndex("ks_micro")) == 0L)
+    val b = Seq(11.0, 12.0, 13.0, 14.0).toDF("v")
+    val disj = Checks.driftKs(a, b, "v", buckets = 2).collect()(0)
+    // full separation: max gap at v=4 (ECDF 1 vs 0) → D = 1.0, attained
+    // first at the smallest ref value v=1 (gap 4*4-0)... every a-value has
+    // gap cr*4; max = 16 at v=4; ks_at = 4.0
+    assert(disj.getLong(disj.fieldIndex("ks_micro")) == 1000000L)
+    assert(disj.getDouble(disj.fieldIndex("ks_at")) == 4.0)
+    // partial: b = a with one value moved up → D = 1/4
+    val c = Seq(1.0, 2.0, 3.0, 40.0).toDF("v")
+    val part = Checks.driftKs(a, c, "v", buckets = 2).collect()(0)
+    assert(part.getLong(part.fieldIndex("ks_micro")) == 250000L)
+    // ks_at: first value where |cum_a*4 - cum_c*4| hits 4 is v=4.0 (3+1
+    // vs 3) — the smallest attaining value
+    assert(part.getDouble(part.fieldIndex("ks_at")) == 4.0)
+  }
+
+  test("driftKs: result invariant under repartitioning (two-level prefix sum is exact)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = (1 to 200).map(i => (i % 37).toDouble).toDF("v")
+    val b = (1 to 150).map(i => ((i % 23) + 5).toDouble).toDF("v")
+    val r1 = Checks.driftKs(a, b, "v", buckets = 8).collect()(0)
+    val r2 = Checks.driftKs(a.repartition(13), b.repartition(7), "v", buckets = 8).collect()(0)
+    assert(r1.toSeq == r2.toSeq)
+  }
+
+  test("rfm: exact metrics and quantile scores on a known fixture") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 users; as-of anchors to u3's last event
+    val tx = Seq(
+      (1L, "2024-01-01 00:00:00", 10.0), (1L, "2024-01-02 00:00:00", 10.0),
+      (2L, "2024-01-10 00:00:00", 100.0),
+      (3L, "2024-01-21 00:00:00", 1.0), (3L, "2024-01-21 12:00:00", 2.0),
+      (3L, "2024-01-22 00:00:00", 3.0))
+      .map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
+      .toDF("user_id", "ts", "value")
+    val got = Events.rfm(tx, "user_id", "ts", "value", buckets = 2)
+      .orderBy("user_id").collect()
+    // recency: u1 = 20 days, u2 = 12, u3 = 0; freq 2/1/3; money 20/100/6
+    assert(got.map(_.getLong(1)).toSeq == Seq(20L, 12L, 0L))
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 1L, 3L))
+    assert(got.map(_.getLong(3)).toSeq == Seq(20000000L, 100000000L, 6000000L))
+    // 2-bucket edges at the median: recency 12 → u1 above (score 1 after
+    // reversal: 3-2=1), u2 at edge (not strictly greater → high bucket →
+    // reversed 2), u3 → 2. frequency median 2: u3 → 2, others → ≤ edge → 1
+    assert(got.map(_.getLong(4)).toSeq == Seq(1L, 2L, 2L))   // r_score
+    assert(got.map(_.getLong(5)).toSeq == Seq(1L, 1L, 2L))   // f_score
+    // monetary median 20e6: u2 strictly above → 2
+    assert(got.map(_.getLong(6)).toSeq == Seq(1L, 2L, 1L))   // m_score
+    assert(got.map(_.getString(7)).toSeq == Seq("111", "212", "221"))
+  }
+
+  test("abTest: exact counts, control election, degenerate-SE null") {
+    val spark2 = spark
+    import spark2.implicits._
+    val units = Seq(
+      ("a_ctl", 1L), ("a_ctl", 0L), ("a_ctl", 0L), ("a_ctl", 0L),
+      ("b", 1L), ("b", 1L), ("b", 0L), ("b", 0L)).toDF("variant", "conv")
+    val got = Events.abTest(units, "variant", "conv").collect()(0)
+    assert(got.getString(0) == "b" && got.getString(1) == "a_ctl")
+    assert(got.getLong(2) == 4L && got.getLong(3) == 1L &&
+      got.getLong(4) == 4L && got.getLong(5) == 2L)
+    assert(got.getLong(6) == 250000L && got.getLong(7) == 500000L &&
+      got.getLong(8) == 250000L)
+    // z = 0.25 / sqrt(0.375*0.625*(0.5)) = 0.7303...
+    assert(got.getLong(9) == 730297L)
+    // all-converted pool → se = 0 → z NULL (never ±inf)
+    val deg = Seq(("a", 1L), ("b", 1L)).toDF("variant", "conv")
+    val dres = Events.abTest(deg, "variant", "conv").collect()(0)
+    assert(dres.isNullAt(9))
+  }
+
+  test("intervalOverlap: multiset-equal to the naive non-equi join, touching endpoints overlap, once per pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq((1L, 0L, 10L), (2L, 5L, 7L), (3L, 20L, 25L), (4L, 30L, 30L))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 7L, 8L), (11L, 10L, 20L), (12L, 26L, 29L), (13L, 30L, 40L))
+      .toDF("bid", "b_lo", "b_hi")
+    for (w <- Seq(1.0, 3.0, 100.0)) {
+      val got = graft.operators.RangeJoin
+        .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", binWidth = w)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want, s"binWidth=$w")
+      // touching endpoints present: (1,11) at 10, (4,13) at 30
+      assert(got.contains((1L, 11L)) && got.contains((4L, 13L)))
+    }
+  }
+
+  test("labelPropagation: two cliques over a bridge split into min-id communities; CC would merge them") {
+    val spark2 = spark
+    import spark2.implicits._
+    // complete 4-cliques {1..4} and {10..13}, single bridge 4-10: each
+    // clique's internal label majority beats the bridge label by round 2
+    // (3-cliques would NOT — the all-ties first round lets a small bridge
+    // label invade, which is why the fixture is 4-wide)
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val edges = (cliqueA ++ cliqueB :+ (4L, 10L)).toDF("u", "v")
+    val got = graft.operators.Graph.labelPropagation(edges, "u", "v", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(got(_) == 1L))
+    assert((10L to 13L).forall(got(_) == 10L))
+  }
+
+  test("labelPropagation: deterministic under repartitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = (1 to 60).map(i => (i.toLong, ((i * 7) % 60 + 1).toLong))
+      .toDF("u", "v")
+    val r1 = graft.operators.Graph.labelPropagation(edges, "u", "v", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val r2 = graft.operators.Graph.labelPropagation(edges.repartition(17), "u", "v", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(r1 == r2)
+  }
+
+  test("embeddingOutliers: planted far vector flagged, cluster members inside the fence") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (1 to 20).map(i => (i.toLong, 0,
+      Array(1.0f + (i % 3) * 0.001f, 0.0f))) :+ (99L, 0, Array(-5.0f, 5.0f))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = graft.operators.Similarity
+      .embeddingOutliers(df, "vec_id", "label", "embedding", dim = 2, quantile = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got(99L))
+    assert((1 to 20).forall(i => !got(i.toLong)))
+  }
+
+  test("readability: min-1 clamps on empty text; band thresholds on the quantized long") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, ""), (2L, "See the cat. See the dog run!"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.readability(df, "doc_id", "text")
+      .orderBy("id").collect()
+    // empty + null: words=1, sentences=1, syllables=1 → flesch = 121.22
+    for (i <- Seq(0, 2)) {
+      assert(got(i).getLong(1) == 1L && got(i).getLong(2) == 1L && got(i).getLong(3) == 1L)
+      assert(got(i).getLong(4) == 121220000L && got(i).getString(5) == "easy")
+    }
+    // "See the cat. See the dog run!": 7 words, 2 sentences, 7 vowel runs
+    assert(got(1).getLong(1) == 7L && got(1).getLong(2) == 2L && got(1).getLong(3) == 7L)
+  }
 }
