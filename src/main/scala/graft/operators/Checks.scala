@@ -317,6 +317,71 @@ object Checks {
       round(((q - p) * log(q / p)) * lit(1e6)).cast("long").as("psi_micro"))
   }
 
+  /** Chi-square homogeneity drift over a categorical column — the
+    * frequentist companion to [[driftPsiCategorical]] (PSI is a
+    * divergence with rule-of-thumb bands; the chi-square statistic feeds
+    * an actual test). Domain = the reference's top `maxCategories` plus
+    * the `__other__`/`__null__` sentinels, exactly the PSI-cat contract.
+    * Per category: expected counts under homogeneity
+    * (`E = row_total · side_total / N`) and the per-side Pearson terms
+    * `(O − E)²/E`.
+    *
+    * DETERMINISM: counts are exact longs; each category's term quantizes
+    * ONCE to micro units through a fixed operation order, so the overall
+    * statistic is the exact LONG SUM of the published per-category terms
+    * (the LM-scorer quantize-then-sum trick — never a float sum). A
+    * category with zero combined count contributes 0.
+    *
+    * Scale shape: identical to PSI-cat — one reference reduce, a
+    * TakeOrderedAndProject-bounded domain broadcast onto both scans, two
+    * label-key reduces, O(labels) everything after, 1-row totals on a
+    * broadcast crossJoin.
+    *
+    * Returns one row per domain label: (category, ref_cnt, cur_cnt,
+    * chi2_term_micro), ordered by caller; the statistic is the sum of
+    * `chi2_term_micro` with dof = labels_with_mass − 1. */
+  def driftChi2Categorical(
+      reference: DataFrame,
+      current: DataFrame,
+      catCol: String,
+      maxCategories: Int = 20): DataFrame = {
+    require(maxCategories >= 1, "maxCategories must be at least 1")
+    val s = reference.sparkSession
+    import s.implicits._
+    val top = reference.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("category").asc)
+      .limit(maxCategories)
+      .select("category")
+    def labeled(df: DataFrame, as: String) = df
+      .select(when(col(catCol).isNull, lit("__null__"))
+        .otherwise(col(catCol).cast("string")).as("raw"))
+      .join(broadcast(top.select(col("category").as("raw"),
+        lit(1).as("__t"))), Seq("raw"), "left")
+      .select(when(col("raw") === "__null__", lit("__null__"))
+        .when(col("__t").isNotNull, col("raw"))
+        .otherwise(lit("__other__")).as("category"))
+      .groupBy("category").agg(count(lit(1)).as(as))
+    val grid = top.union(Seq("__other__", "__null__").toDF("category"))
+    val joined = grid
+      .join(labeled(reference, "ref_cnt"), Seq("category"), "left")
+      .join(labeled(current, "cur_cnt"), Seq("category"), "left")
+      .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
+      .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
+      .crossJoin(broadcast(reference.agg(count(lit(1)).as("__rn"))))
+      .crossJoin(broadcast(current.agg(count(lit(1)).as("__cn"))))
+    val rowTotal = (col("ref_cnt") + col("cur_cnt")).cast("double")
+    val n = (col("__rn") + col("__cn")).cast("double")
+    val eRef = rowTotal * col("__rn") / n
+    val eCur = rowTotal * col("__cn") / n
+    val term = (col("ref_cnt") - eRef) * (col("ref_cnt") - eRef) / eRef +
+      (col("cur_cnt") - eCur) * (col("cur_cnt") - eCur) / eCur
+    joined.select(col("category"), col("ref_cnt"), col("cur_cnt"),
+      when(col("ref_cnt") + col("cur_cnt") === 0L, lit(0L))
+        .otherwise(round(term * lit(1e6)).cast("long")).as("chi2_term_micro"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic — the
     * distribution-free companion to [[driftPsi]]: D = max_v |F_ref(v) −
     * F_cur(v)| over the EXACT empirical CDFs (no binning loss), the test

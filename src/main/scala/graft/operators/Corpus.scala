@@ -2914,6 +2914,54 @@ object Corpus {
           .otherwise(lit("difficult")))
   }
 
+  /** Zipf-law fit over the corpus frequency spectrum: the OLS slope of
+    * `ln(freq)` against `ln(rank)` over the top `topN` terms — natural
+    * text sits near −1; a slope far off flags template/boilerplate floods
+    * (too steep) or synthetic/shuffled text (too flat). THE one-number
+    * corpus-health check next to the entropy and repetition families.
+    *
+    * DETERMINISM: term counts are exact longs; each ln quantizes ONCE to
+    * micro units; the slope computes from four exact LONG sums of the
+    * quantized points with one final division (the trendSlope
+    * convention). Overflow bound: with micro-lns ≤ ~2.8·10⁷ (counts to
+    * 10¹²), `n·Σxy` stays inside Long for topN ≤ ~200 — the spectrum
+    * HEAD is the Zipf signal, so the default 100 is the intended dial.
+    *
+    * Scale shape: one term-key reduce with map-side partials, the top-N
+    * cut is orderBy+limit (TakeOrderedAndProject — never a global sort),
+    * and the rank window runs over the N surviving rows only. One row
+    * out.
+    *
+    * Returns (n_terms, top_count, slope_micro) — slope NULL on a
+    * degenerate (<2 distinct ranks) spectrum. */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      topN: Int = 100): DataFrame = {
+    require(topN >= 2, "topN must be at least 2")
+    val counts = df
+      .select(explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(topN)
+    // rank window over the ≤ topN survivors only (bounded by construction)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term").asc)
+    val pts = top
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select(round(log(col("r").cast("double")) * lit(1e6)).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * lit(1e6)).cast("long").as("y"),
+        col("cnt"))
+    val sums = pts.agg(count(lit(1)).as("n_terms"), max(col("cnt")).as("top_count"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val denom = col("n_terms") * col("sxx") - col("sx") * col("sx")
+    sums.select(col("n_terms"), col("top_count"),
+      when(denom =!= 0L,
+        round(((col("n_terms") * col("sxy") - col("sx") * col("sy")) * lit(1e6)) /
+          denom).cast("long")).as("slope_micro"))
+  }
+
   /** The HOF/regex reference formulation of [[charStats]] — kept solely as
     * the equivalence twin the spec pins the native expression against
     * (same pattern as the PQ and rotation `*Hof` references). */

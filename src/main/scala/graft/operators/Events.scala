@@ -817,6 +817,64 @@ object Events {
         concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
   }
 
+  /** Per-group daily-volume trend: the exact OLS slope of daily event
+    * counts over time for each group — the "is this event type growing
+    * or decaying" readout behind capacity planning and silent-breakage
+    * alerts (a feed whose volume slope turns negative broke upstream).
+    * Days with no events count as ZERO, not as missing (the
+    * [[resampleDaily]] semantics) — a dying feed's slope must see the
+    * zeros, so each group's day axis densifies over the LOG's global
+    * [min, max] day span.
+    *
+    * DETERMINISM: days are exact integer epoch-day indexes re-based to
+    * the global min day (keeps every OLS sum comfortably inside long
+    * range: x ≤ days, Σx² ≤ days³), counts are exact longs, and the
+    * slope computes from the four integer sums with ONE final division:
+    * `slope_micro = round((n·Σxy − Σx·Σy) · 1e6 / (n·Σx² − (Σx)²))`.
+    * A single-day log (zero variance) reports NULL, never a
+    * divide-by-zero.
+    *
+    * Scale shape: one (group, day) reduce over the raw events, a
+    * row-local day grid explode (O(groups × days)), one group-key
+    * reduce for the sums; the 2-row global day bounds ride a broadcast
+    * crossJoin.
+    *
+    * Returns one row per group: (group, n_days, total, slope_micro). */
+  def trendSlope(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("group"), micros(events, tsCol).as("__us"))
+      // exact integer epoch day (`div` floors in long arithmetic)
+      .withColumn("__day", expr("__us div 86400000000"))
+      .groupBy(col("group"), col("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val bounds = daily.agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val dense = daily.groupBy("group")
+      .agg(map_from_entries(collect_list(struct(col("__day"), col("__y"))))
+        .as("__m"))
+      .crossJoin(broadcast(bounds))
+      .select(col("group"),
+        explode(sequence(lit(0L), col("__hi") - col("__lo"))).as("x"),
+        (col("__hi") - col("__lo") + 1L).as("n_days"),
+        col("__m"), col("__lo"))
+      .select(col("group"), col("x"), col("n_days"),
+        coalesce(element_at(col("__m"), col("x") + col("__lo")), lit(0L)).as("y"))
+    val sums = dense.groupBy(col("group"))
+      .agg(max(col("n_days")).as("n_days"),
+        sum(col("y")).as("total"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val denom = col("n_days") * col("sxx") - col("sx") * col("sx")
+    sums.select(col("group"), col("n_days"), col("total"),
+      when(denom =!= 0L,
+        round(((col("n_days") * col("sxy") - col("sx") * col("sy")) * lit(1e6)) /
+          denom).cast("long")).as("slope_micro"))
+  }
+
   /** Two-proportion z-test over experiment variants — the A/B readout:
     * each unit (user) carries a variant label and a 0/1 conversion flag;
     * every variant compares against the CONTROL (the lexicographically

@@ -883,6 +883,39 @@ object OpsQueries {
       Events.abTest(units, "variant", "converted").orderBy("variant")
     }),
 
+    // chi-square homogeneity over the same crawl_v2 canary as psi_cat —
+    // the same domain machinery, Pearson terms instead of the divergence
+    "dq_drift_chi2" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val cur = docs.select(when(col("doc_id") % 5 === 0, lit("crawl_v2"))
+        .otherwise(col("source")).as("source"))
+      Checks.driftChi2Categorical(docs, cur, "source", maxCategories = 5)
+        .orderBy("category")
+    }),
+
+    // per-event-type daily volume trend: the synthetic log is uniform, so
+    // slopes near zero with exact integer sums either side — the operator
+    // contract (dense zero-filled day axis) is what the oracle re-derives
+    "events_trend_slope" -> ((s, d) =>
+      Events.trendSlope(t(s, d, "events").df, "event_type", "ts")
+        .orderBy("group")),
+
+    // personalized PageRank: restart mass on the ÷97 customer seeds over
+    // the same customer↔supplier graph as graph_pagerank — rank decays
+    // with distance from the seed set; 3 unrolled integer rounds
+    "graph_ppr" -> ((s, d) => {
+      val ol = t(s, d, "orders").df
+        .join(t(s, d, "lineitem").df, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      val edges = ol.select(col("c").as("src"), col("p").as("dst"))
+        .union(ol.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = ol.select(col("c").as("seed_id"))
+        .filter(col("seed_id") % 97 === 0).distinct()
+      Graph.personalizedPageRankInt(edges, "src", "dst", seeds, "seed_id",
+          iterations = 3)
+        .orderBy("id")
+    }),
+
     // synchronous label propagation (3 unrolled rounds, min-label
     // tie-break) over the same capped co-purchase pair graph as kcore —
     // communities split where connected components would merge
@@ -1016,6 +1049,33 @@ object OpsQueries {
     head + steps +
       s" SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label " +
       s"FROM l$rounds ORDER BY id"
+  }
+
+  /** Unrolled-CTE DuckDB twin of [[Graph.personalizedPageRankInt]] —
+    * [[pageRankOracle]] with the base term gated on the ÷97 customer
+    * seed flag instead of uniform. */
+  private def pprOracle(iters: Int): String = {
+    val head =
+      "WITH ol AS (SELECT o_custkey AS c, 1000000 + l_suppkey AS p FROM orders " +
+      "JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "e AS (SELECT DISTINCT src, dst FROM " +
+      "(SELECT c AS src, p AS dst FROM ol UNION ALL SELECT p, c FROM ol)), " +
+      "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+      "sd AS (SELECT DISTINCT c AS id FROM ol WHERE c % 97 = 0), " +
+      "nodes AS (SELECT node, CASE WHEN node IN (SELECT id FROM sd) " +
+      "THEN 1 ELSE 0 END AS seed FROM " +
+      "(SELECT src AS node FROM e UNION SELECT dst FROM e)), " +
+      "r0 AS (SELECT node, CAST(seed * 1000000 AS BIGINT) AS r FROM nodes)"
+    val steps = (1 to iters).map { i =>
+      s", c$i AS (SELECT e.dst AS node, " +
+      "SUM((850000 * (r.r // d.deg)) // 1000000) AS s " +
+      s"FROM e JOIN deg d USING (src) JOIN r${i - 1} r ON r.node = e.src " +
+      "GROUP BY e.dst), " +
+      s"r$i AS (SELECT n.node, n.seed * 150000 + coalesce(c$i.s, 0) AS r " +
+      s"FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)"
+    }.mkString
+    head + steps +
+      s" SELECT node AS id, CAST(r AS BIGINT) AS rank_micro FROM r$iters ORDER BY id"
   }
 
   /** Unrolled-CTE DuckDB twin of [[Graph.pageRankInt]] over the
@@ -2077,7 +2137,63 @@ object OpsQueries {
        "END AS z_micro " +
        "FROM z ORDER BY variant"),
 
-    "graph_lpa" -> LpaOracle(3))
+    "graph_lpa" -> LpaOracle(3),
+
+    // psi_cat's domain machinery, Pearson homogeneity terms — each term
+    // quantized once so the statistic is the exact long sum of the rows
+    "dq_drift_chi2" ->
+      ("WITH rc AS (SELECT source AS category, count(*) AS cnt FROM documents " +
+       "WHERE source IS NOT NULL GROUP BY 1), " +
+       "top AS (SELECT category FROM (SELECT category, row_number() OVER " +
+       "(ORDER BY cnt DESC, category ASC) AS rn FROM rc) WHERE rn <= 5), " +
+       "cur AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 'crawl_v2' ELSE source END " +
+       "AS source FROM documents), " +
+       "labr AS (SELECT CASE WHEN source IS NULL THEN '__null__' " +
+       "WHEN source IN (SELECT category FROM top) THEN source " +
+       "ELSE '__other__' END AS category FROM documents), " +
+       "labc AS (SELECT CASE WHEN source IS NULL THEN '__null__' " +
+       "WHEN source IN (SELECT category FROM top) THEN source " +
+       "ELSE '__other__' END AS category FROM cur), " +
+       "grid AS (SELECT category FROM top UNION ALL SELECT '__other__' " +
+       "UNION ALL SELECT '__null__'), " +
+       "r2 AS (SELECT category, count(*) AS ref_cnt FROM labr GROUP BY 1), " +
+       "c2 AS (SELECT category, count(*) AS cur_cnt FROM labc GROUP BY 1), " +
+       "tot AS (SELECT (SELECT count(*) FROM documents) AS rn, " +
+       "(SELECT count(*) FROM cur) AS cn), " +
+       "j AS (SELECT g.category, coalesce(r2.ref_cnt, 0) AS ref_cnt, " +
+       "coalesce(c2.cur_cnt, 0) AS cur_cnt, tot.rn, tot.cn " +
+       "FROM grid g LEFT JOIN r2 USING (category) LEFT JOIN c2 USING (category), tot), " +
+       "j2 AS (SELECT category, ref_cnt, cur_cnt, " +
+       "(CAST(ref_cnt + cur_cnt AS DOUBLE) * rn) / CAST(rn + cn AS DOUBLE) AS er, " +
+       "(CAST(ref_cnt + cur_cnt AS DOUBLE) * cn) / CAST(rn + cn AS DOUBLE) AS ec " +
+       "FROM j) " +
+       "SELECT category, CAST(ref_cnt AS BIGINT) AS ref_cnt, " +
+       "CAST(cur_cnt AS BIGINT) AS cur_cnt, " +
+       "CASE WHEN ref_cnt + cur_cnt = 0 THEN 0 ELSE " +
+       "CAST(round((((ref_cnt - er) * (ref_cnt - er)) / er + " +
+       "((cur_cnt - ec) * (cur_cnt - ec)) / ec) * 1000000.0) AS BIGINT) END " +
+       "AS chi2_term_micro FROM j2 ORDER BY category"),
+
+    // dense zero-filled day axis over the log's global span, then the
+    // four integer OLS sums and one division per group
+    "events_trend_slope" ->
+      ("WITH d AS (SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day, " +
+       "count(*) AS y FROM events GROUP BY 1, 2), " +
+       "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+       "g AS (SELECT grp, lo, hi FROM (SELECT DISTINCT grp FROM d), b), " +
+       "grid AS (SELECT grp, lo, unnest(range(0, hi - lo + 1)) AS x FROM g), " +
+       "j AS (SELECT grid.grp, grid.x, coalesce(d.y, 0) AS y FROM grid " +
+       "LEFT JOIN d ON d.grp = grid.grp AND d.day = grid.lo + grid.x), " +
+       "s AS (SELECT grp, count(*) AS n_days, sum(y) AS total, sum(x) AS sx, " +
+       "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM j GROUP BY grp) " +
+       "SELECT grp AS \"group\", CAST(n_days AS BIGINT) AS n_days, " +
+       "CAST(total AS BIGINT) AS total, " +
+       "CASE WHEN n_days * sxx - sx * sx <> 0 THEN " +
+       "CAST(round((CAST(n_days * sxy - sx * sy AS DOUBLE) * 1000000.0) / " +
+       "(n_days * sxx - sx * sx)) AS BIGINT) END AS slope_micro " +
+       "FROM s ORDER BY \"group\""),
+
+    "graph_ppr" -> pprOracle(3))
 
   /** The [[Retrieval.bm25TopK]] oracle chain (documents corpus, ÷100≡3
     * first-5-token queries), ending at `ranked` (all candidates with

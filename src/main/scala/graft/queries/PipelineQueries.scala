@@ -919,6 +919,11 @@ object PipelineQueries {
       Corpus.charStats(t(s, d, "documents").df, "doc_id", "text")
         .orderBy("id")),
 
+    // Zipf fit over the corpus frequency spectrum: one term reduce, a
+    // top-100 cut, two quantized lns per point, integer OLS — one row
+    "text_zipf_fit" -> ((s, d) =>
+      Corpus.zipfFit(t(s, d, "documents").df, "text", topN = 100)),
+
     // Flesch reading ease over a punctuation-planted render (the corpus
     // has no sentence terminators, so ÷5 docs get 0..4 appended ' stop.'
     // sentences — exercising the sentence counter, the min-1 clamp, and
@@ -1712,6 +1717,18 @@ object PipelineQueries {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "query_id", "query_vec", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // JL random-projection rung: deterministic ±1 signs (middle-square
+    // parity), exact integer projected dots for the coarse 4k cut, exact
+    // cosine rerank — DuckDB re-derives the projection grid, both ranks
+    "sim_topk_rp" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.randomProjectionTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "query_vec", k = 10, projDim = 32, expand = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -2888,6 +2905,25 @@ object PipelineQueries {
     "text_char_stats" ->
       (CharStatsOracleSql + " ORDER BY id"),
 
+    // one term reduce → ranked head → quantized log-log points → exact
+    // integer OLS sums and one division
+    "text_zipf_fit" ->
+      ("WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS term " +
+       "FROM documents), " +
+       "tc AS (SELECT term, count(*) AS cnt FROM tok WHERE term <> '' GROUP BY term), " +
+       "top AS (SELECT cnt FROM (SELECT cnt, term, row_number() OVER " +
+       "(ORDER BY cnt DESC, term ASC) AS r FROM tc) WHERE r <= 100), " +
+       "q AS (SELECT CAST(round(ln(row_number() OVER (ORDER BY cnt DESC)) " +
+       "* 1000000.0) AS BIGINT) AS x, " +
+       "CAST(round(ln(cnt) * 1000000.0) AS BIGINT) AS y, cnt FROM top), " +
+       "s AS (SELECT count(*) AS n_terms, max(cnt) AS top_count, sum(x) AS sx, " +
+       "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM q) " +
+       "SELECT CAST(n_terms AS BIGINT) AS n_terms, " +
+       "CAST(top_count AS BIGINT) AS top_count, " +
+       "CASE WHEN n_terms * sxx - sx * sx <> 0 THEN " +
+       "CAST(round((CAST(n_terms * sxy - sx * sy AS DOUBLE) * 1000000.0) / " +
+       "(n_terms * sxx - sx * sx)) AS BIGINT) END AS slope_micro FROM s"),
+
     // render → the three regexp counts (words non-empty-token, sentence
     // terminator runs, vowel runs clamped up to words) → one quantized
     // Flesch → threshold bands on the quantized long
@@ -3876,6 +3912,37 @@ object PipelineQueries {
        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos FROM " +
        "(SELECT query_id, neighbor_id, cos, " +
        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored) " +
+       "WHERE rank <= 10 ORDER BY query_id, rank"),
+
+    // micro-quantize → ±1 middle-square signs on an (i, j) grid → exact
+    // integer projected dots → coarse 40-cut → exact cosine rerank
+    "sim_topk_rp" ->
+      ("WITH q AS (SELECT vec_id, list_transform(embedding, " +
+       "v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe " +
+       "FROM embeddings), " +
+       "pj AS (SELECT vec_id, j, sum(CASE WHEN " +
+       "((((i - 1) * 1297 + j * 7919 + 104729) * " +
+       "((i - 1) * 1297 + j * 7919 + 104729) // 64) % 2) = 0 " +
+       "THEN qe[CAST(i AS INT)] ELSE -qe[CAST(i AS INT)] END) AS y " +
+       "FROM q, unnest(range(1, 65)) t(i), unnest(range(0, 32)) w(j) " +
+       "GROUP BY vec_id, j), " +
+       "pv AS (SELECT vec_id, array_agg(y ORDER BY j) AS pv FROM pj GROUP BY vec_id), " +
+       "qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5), " +
+       "coarse AS (SELECT qs.query_id, c.vec_id AS cid, " +
+       "list_sum(list_transform(list_zip(c.pv, qp.pv), x -> x[1] * x[2])) AS dot " +
+       "FROM pv c, qs JOIN pv qp ON qp.vec_id = qs.query_id " +
+       "WHERE c.vec_id <> qs.query_id), " +
+       "cand AS (SELECT query_id, cid FROM (SELECT query_id, cid, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cid ASC) AS cr " +
+       "FROM coarse) WHERE cr <= 80), " +
+       "resc AS (SELECT cand.query_id, cand.cid AS neighbor_id, " +
+       cosSql("e.embedding", "qe2.embedding") + " AS cos " +
+       "FROM cand JOIN embeddings e ON e.vec_id = cand.cid " +
+       "JOIN embeddings qe2 ON qe2.vec_id = cand.query_id) " +
+       "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, " +
+       "round(cos, 6) AS cos FROM " +
+       "(SELECT query_id, neighbor_id, cos, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM resc) " +
        "WHERE rank <= 10 ORDER BY query_id, rank"),
 
     // two rank-1 selections (same-label / different-label) over the same

