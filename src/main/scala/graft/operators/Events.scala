@@ -875,6 +875,106 @@ object Events {
           denom).cast("long")).as("slope_micro"))
   }
 
+  /** Rolling active users (DAU/WAU/MAU family): for every day in the
+    * log's span, the EXACT count of distinct users active in the trailing
+    * `windowDays` window — the engagement curve every ops dashboard
+    * leads with, computed without a quadratic day×user join.
+    *
+    * Scale shape: one distinct over (user, day) collapses the raw log,
+    * then each user-day CONTRIBUTES itself to the ≤ `windowDays` target
+    * days whose trailing window contains it (a row-local
+    * `explode(sequence(...))` — O(activity · window) rows, never
+    * O(users · days²)), one more distinct folds multi-active users
+    * within a window, one day-key count. The 1-row day bounds ride a
+    * broadcast crossJoin. Exact integers throughout; early days report
+    * their genuine partial windows.
+    *
+    * Returns one row per day in [min_day, max_day]: (day, active_users)
+    * — `day` an epoch-day long, days with an empty window absent (no
+    * user contributed; join a calendar to densify if needed). */
+  def rollingActiveUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val activity = events
+      .select(col(userCol).as("user"), micros(events, tsCol).as("__us"))
+      .withColumn("day", expr("__us div 86400000000"))
+      .select("user", "day").distinct()
+    val bounds = activity.agg(max(col("day")).as("__hi"))
+    activity.crossJoin(broadcast(bounds))
+      .select(col("user"),
+        explode(sequence(col("day"),
+          least(col("day") + lit(windowDays.toLong - 1), col("__hi")))).as("day"))
+      .distinct()
+      .groupBy("day")
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** CUSUM change-point detection over per-group daily volumes — the
+    * "WHEN did this feed change" companion to [[trendSlope]]'s "is it
+    * changing": the classic cumulative-sum statistic
+    * `S_x = Σ_{x'≤x}(y − ȳ)` peaks at the day the level shifted. Days
+    * with no events count as ZERO over the log's global span (the
+    * [[trendSlope]] densification).
+    *
+    * DETERMINISM: the mean is never materialized — the statistic scales
+    * by n to stay integer: `S'_x = n·cum_x − (x+1)·total` (exact longs;
+    * |S'| ≤ n·total, so safe while n_days·total_events < 2^63), the
+    * peak day is argmax |S'| with ties to the SMALLEST day, and the
+    * normalized peak quantizes once:
+    * `round(peak·1e6 / (n·total))` ∈ [0, 250000] (the ¼ bound of the
+    * centered CUSUM). An empty group (total 0) reports NULL change day.
+    *
+    * Scale shape: one (group, day) reduce, the row-local dense grid, a
+    * group-partitioned cumulative window (same key — no extra
+    * exchange), one group-key argmax aggregate via struct-max (never a
+    * global window).
+    *
+    * Returns one row per group: (group, n_days, total, change_day,
+    * cusum_peak, peak_micro). */
+  def cusumChangepoint(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("group"), micros(events, tsCol).as("__us"))
+      .withColumn("__day", expr("__us div 86400000000"))
+      .groupBy(col("group"), col("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val bounds = daily.agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val dense = daily.groupBy("group")
+      .agg(map_from_entries(collect_list(struct(col("__day"), col("__y"))))
+        .as("__m"))
+      .crossJoin(broadcast(bounds))
+      .select(col("group"),
+        explode(sequence(lit(0L), col("__hi") - col("__lo"))).as("x"),
+        (col("__hi") - col("__lo") + 1L).as("n_days"),
+        col("__m"), col("__lo"))
+      .select(col("group"), col("x"), col("n_days"), col("__lo"),
+        coalesce(element_at(col("__m"), col("x") + col("__lo")), lit(0L)).as("y"))
+    val w = Window.partitionBy(col("group")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("group"))
+    val scored = dense
+      .withColumn("__cum", sum(col("y")).over(w))
+      .withColumn("total", sum(col("y")).over(wTot))
+      .withColumn("__s",
+        abs(col("n_days") * col("__cum") - (col("x") + 1L) * col("total")))
+    scored.groupBy(col("group"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("total")).as("total"),
+        max(col("__lo")).as("__lo"),
+        max(struct(col("__s").as("a"), (-col("x")).as("nx"))).as("__m"))
+      .select(col("group"), col("n_days"), col("total"),
+        when(col("total") > 0L, col("__lo") - col("__m.nx")).as("change_day"),
+        col("__m.a").as("cusum_peak"),
+        when(col("total") > 0L,
+          round((col("__m.a") * lit(1000000.0)) / (col("n_days") * col("total")))
+            .cast("long")).as("peak_micro"))
+  }
+
   /** Two-proportion z-test over experiment variants — the A/B readout:
     * each unit (user) carries a variant label and a 0/1 conversion flag;
     * every variant compares against the CONTROL (the lexicographically

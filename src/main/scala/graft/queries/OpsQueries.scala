@@ -893,6 +893,25 @@ object OpsQueries {
         .orderBy("category")
     }),
 
+    // rolling 7-day active users: contribute-then-fold exact distinct —
+    // O(activity·7) rows, never a day×user window join
+    "events_rolling_wau" -> ((s, d) =>
+      Events.rollingActiveUsers(t(s, d, "events").df, "user_id", "ts",
+          windowDays = 7)
+        .orderBy("day")),
+
+    // CUSUM change point over a PLANTED level shift (views relabel to
+    // clicks from Jan 20): click volume steps up, view steps down, so
+    // both groups peak at the shift; untouched groups keep small peaks
+    "events_changepoint_cusum" -> ((s, d) => {
+      val shifted = t(s, d, "events").df
+        .withColumn("event_type",
+          when(unix_micros(col("ts").cast("timestamp")) >= lit(1705708800000000L) &&
+            col("event_type") === "view", lit("click"))
+            .otherwise(col("event_type")))
+      Events.cusumChangepoint(shifted, "event_type", "ts").orderBy("group")
+    }),
+
     // per-event-type daily volume trend: the synthetic log is uniform, so
     // slopes near zero with exact integer sums either side — the operator
     // contract (dense zero-filled day axis) is what the oracle re-derives
@@ -2173,6 +2192,46 @@ object OpsQueries {
        "CAST(round((((ref_cnt - er) * (ref_cnt - er)) / er + " +
        "((cur_cnt - ec) * (cur_cnt - ec)) / ec) * 1000000.0) AS BIGINT) END " +
        "AS chi2_term_micro FROM j2 ORDER BY category"),
+
+    // distinct user-days → trailing-window contribution explode →
+    // distinct fold → day count
+    "events_rolling_wau" ->
+      ("WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day " +
+       "FROM events), " +
+       "b AS (SELECT max(day) AS hi FROM a), " +
+       "g AS (SELECT user_id, unnest(range(day, least(day + 7, hi + 1))) AS td " +
+       "FROM a, b), " +
+       "d2 AS (SELECT DISTINCT user_id, td FROM g) " +
+       "SELECT td AS day, count(*) AS active_users FROM d2 GROUP BY td " +
+       "ORDER BY day"),
+
+    // planted shift, dense day axis, integer n-scaled CUSUM, argmax with
+    // the smallest-day tiebreak, one normalized quantization
+    "events_changepoint_cusum" ->
+      ("WITH ev AS (SELECT CASE WHEN epoch_us(ts) >= 1705708800000000 " +
+       "AND event_type = 'view' THEN 'click' ELSE event_type END AS grp, " +
+       "epoch_us(ts) // 86400000000 AS day FROM events), " +
+       "d AS (SELECT grp, day, count(*) AS y FROM ev GROUP BY 1, 2), " +
+       "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+       "g AS (SELECT grp, lo, hi FROM (SELECT DISTINCT grp FROM d), b), " +
+       "grid AS (SELECT grp, lo, hi - lo + 1 AS n_days, " +
+       "unnest(range(0, hi - lo + 1)) AS x FROM g), " +
+       "j AS (SELECT grid.grp, grid.x, grid.n_days, grid.lo, coalesce(d.y, 0) AS y " +
+       "FROM grid LEFT JOIN d ON d.grp = grid.grp AND d.day = grid.lo + grid.x), " +
+       "c AS (SELECT grp, x, n_days, lo, " +
+       "sum(y) OVER (PARTITION BY grp ORDER BY x) AS cum, " +
+       "sum(y) OVER (PARTITION BY grp) AS total FROM j), " +
+       "sx AS (SELECT grp, x, n_days, lo, total, " +
+       "abs(n_days * cum - (x + 1) * total) AS s FROM c), " +
+       "pick AS (SELECT grp, n_days, lo, total, s, x, row_number() OVER " +
+       "(PARTITION BY grp ORDER BY s DESC, x ASC) AS rk FROM sx) " +
+       "SELECT grp AS \"group\", CAST(n_days AS BIGINT) AS n_days, " +
+       "CAST(total AS BIGINT) AS total, " +
+       "CASE WHEN total > 0 THEN CAST(lo + x AS BIGINT) END AS change_day, " +
+       "CAST(s AS BIGINT) AS cusum_peak, " +
+       "CASE WHEN total > 0 THEN " +
+       "CAST(round((s * 1000000.0) / (n_days * total)) AS BIGINT) END " +
+       "AS peak_micro FROM pick WHERE rk = 1 ORDER BY \"group\""),
 
     // dense zero-filled day axis over the log's global span, then the
     // four integer OLS sums and one division per group

@@ -191,6 +191,21 @@ object RelationalQueries {
         .orderBy("user_id", "a_day", "event_type", "b_day")
     }),
 
+    "join_asof_tolerance" -> ((s, d) => {
+      // the bounded-lookback as-of: matches older than 2h are nulled —
+      // the enrichment semantics when stale context is worse than none
+      val events = t(s, d, "events").df
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value").as("pval"))
+      graft.operators.AsOfJoin.backward(
+          events.select("event_id", "user_id", "ts"), purchases,
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "pts",
+          payloadCols = Seq("pval"), tolerance = Some(7200L))
+        .select("event_id", "asof_pval")
+        .orderBy("event_id")
+    }),
+
     "join_asof" -> ((s, d) => {
       // as-of backward join (operator absent from the reference surface):
       // each event picks up the user's most recent purchase value at-or-before ts
@@ -717,6 +732,15 @@ object RelationalQueries {
 
     "join_asof" ->
       ("SELECT e.event_id AS event_id, p.value AS asof_pval FROM events e " +
+       "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
+       "ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id"),
+
+    // the engine compares match age in floored epoch SECONDS
+    // (unix_timestamp semantics) — epoch_us // 1e6 is that floor
+    "join_asof_tolerance" ->
+      ("SELECT e.event_id AS event_id, " +
+       "CASE WHEN epoch_us(e.ts) // 1000000 - epoch_us(p.ts) // 1000000 <= 7200 " +
+       "THEN p.value END AS asof_pval FROM events e " +
        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
        "ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id"),
 

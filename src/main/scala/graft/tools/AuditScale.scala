@@ -116,7 +116,11 @@ object AuditScale {
     // JL projection ANN (row-local projection + broadcast coarse scan),
     // Zipf fit (one term reduce + TakeOrderedAndProject head)
     "dq_drift_chi2", "events_trend_slope", "graph_ppr", "sim_topk_rp",
-    "text_zipf_fit")
+    "text_zipf_fit",
+    // round-15 fourth wave: rolling distinct actives (contribute-then-
+    // fold, O(activity x window)), CUSUM change point (the trendSlope
+    // dense-grid shape + group-key windows), bounded-lookback as-of
+    "events_rolling_wau", "events_changepoint_cusum", "join_asof_tolerance")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -242,7 +246,10 @@ object AuditScale {
       // chi2 rides PSI-cat's 1-row totals crossJoin; trend slope's 2-row
       // global day bounds ride a broadcast crossJoin; the JL coarse pass
       // IS the broadcast-queries-against-every-row scan (the brute shape)
-      "dq_drift_chi2", "events_trend_slope", "sim_topk_rp")
+      "dq_drift_chi2", "events_trend_slope", "sim_topk_rp",
+      // 1-row broadcast sides: the WAU day-bound and the CUSUM global
+      // day-bounds ride broadcast crossJoins (the trendSlope shape)
+      "events_rolling_wau", "events_changepoint_cusum")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(

@@ -1572,4 +1572,34 @@ class OpsSpec extends AnyFunSuite {
     val want = math.round((n * sxy - sx * sy) * 1e6 / (n * sxx - sx * sx))
     assert(got.getLong(2) == want && got.getLong(2) < 0L)
   }
+
+  test("rollingActiveUsers: exact trailing-window distinct counts with partial windows") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 10:00:00")
+    // u1 active days 1,2; u2 active day 2 (twice); u3 active day 4
+    val ev = Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(2)), (2L, ts(2)), (3L, ts(4)))
+      .toDF("user_id", "ts")
+    val got = Events.rollingActiveUsers(ev, "user_id", "ts", windowDays = 2)
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val base = 19723L // 2024-01-01 as epoch day
+    // day1: {u1}; day2: {u1(d1,d2), u2}; day3: {u1(d2), u2(d2)}; day4: {u3}
+    // day5 would be {u3} but the grid clamps at the max active day (4)
+    assert(got == Seq((base, 1L), (base + 1, 2L), (base + 2, 2L), (base + 3, 1L)))
+  }
+
+  test("cusumChangepoint: planted step shift peaks on the last pre-shift day; empty-group guard") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(day: Int, i: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 00:0$i:00")
+    // 1/day on days 1..4, then 5/day on days 5..6: total 14, n=6
+    // S'_x = 6·cum − (x+1)·14: x=0..5 → 6−14=−8, −16, −24, −32(peak), −10, 0
+    val ev = ((1 to 4).map(d => ("a", ts(d, 1))) ++
+      (5 to 6).flatMap(d => (1 to 5).map(i => ("a", ts(d, i))))).toDF("grp", "ts")
+    val got = Events.cusumChangepoint(ev, "grp", "ts").collect()(0)
+    assert(got.getLong(1) == 6L && got.getLong(2) == 14L)
+    assert(got.getLong(3) == 19723L + 3L) // day 4, the last pre-shift day
+    assert(got.getLong(4) == 32L)
+    assert(got.getLong(5) == math.round(32L * 1e6 / (6L * 14L)))
+  }
 }
