@@ -344,6 +344,30 @@ object Checks {
       reference: DataFrame,
       current: DataFrame,
       catCol: String,
+      maxCategories: Int = 20): DataFrame =
+    scoreChi2Against(current, chi2Baseline(reference, catCol, maxCategories),
+      catCol)
+
+  /** Map a frame onto a frozen top-category domain (the PSI-cat
+    * sentinel contract) and count per label. */
+  private def labelOntoDomain(
+      df: DataFrame, catCol: String, top: DataFrame, as: String): DataFrame = df
+    .select(when(col(catCol).isNull, lit("__null__"))
+      .otherwise(col(catCol).cast("string")).as("raw"))
+    .join(broadcast(top.select(col("category").as("raw"),
+      lit(1).as("__t"))), Seq("raw"), "left")
+    .select(when(col("raw") === "__null__", lit("__null__"))
+      .when(col("__t").isNotNull, col("raw"))
+      .otherwise(lit("__other__")).as("category"))
+    .groupBy("category").agg(count(lit(1)).as(as))
+
+  /** Frozen chi-square baseline: one row per domain label — (category,
+    * ref_cnt, ref_n). The O(labels) table the streaming monitor
+    * ([[graft.streaming.Streams.chi2MonitorStream]]) broadcasts against
+    * each micro-batch; persist and rebuild on the reference's cadence. */
+  def chi2Baseline(
+      reference: DataFrame,
+      catCol: String,
       maxCategories: Int = 20): DataFrame = {
     require(maxCategories >= 1, "maxCategories must be at least 1")
     val s = reference.sparkSession
@@ -354,26 +378,29 @@ object Checks {
       .orderBy(col("__cnt").desc, col("category").asc)
       .limit(maxCategories)
       .select("category")
-    def labeled(df: DataFrame, as: String) = df
-      .select(when(col(catCol).isNull, lit("__null__"))
-        .otherwise(col(catCol).cast("string")).as("raw"))
-      .join(broadcast(top.select(col("category").as("raw"),
-        lit(1).as("__t"))), Seq("raw"), "left")
-      .select(when(col("raw") === "__null__", lit("__null__"))
-        .when(col("__t").isNotNull, col("raw"))
-        .otherwise(lit("__other__")).as("category"))
-      .groupBy("category").agg(count(lit(1)).as(as))
     val grid = top.union(Seq("__other__", "__null__").toDF("category"))
-    val joined = grid
-      .join(labeled(reference, "ref_cnt"), Seq("category"), "left")
-      .join(labeled(current, "cur_cnt"), Seq("category"), "left")
+    grid
+      .join(labelOntoDomain(reference, catCol, top, "ref_cnt"), Seq("category"), "left")
       .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
+      .crossJoin(broadcast(reference.agg(count(lit(1)).as("ref_n"))))
+  }
+
+  /** Score a current frame against a frozen [[chi2Baseline]] — the
+    * per-micro-batch body of the streaming monitor, exposed for batch
+    * backfills too (and what [[driftChi2Categorical]] itself runs). */
+  def scoreChi2Against(
+      current: DataFrame,
+      baseline: DataFrame,
+      catCol: String): DataFrame = {
+    val top = baseline.select("category")
+      .filter(col("category") =!= "__other__" && col("category") =!= "__null__")
+    val joined = baseline
+      .join(labelOntoDomain(current, catCol, top, "cur_cnt"), Seq("category"), "left")
       .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
-      .crossJoin(broadcast(reference.agg(count(lit(1)).as("__rn"))))
       .crossJoin(broadcast(current.agg(count(lit(1)).as("__cn"))))
     val rowTotal = (col("ref_cnt") + col("cur_cnt")).cast("double")
-    val n = (col("__rn") + col("__cn")).cast("double")
-    val eRef = rowTotal * col("__rn") / n
+    val n = (col("ref_n") + col("__cn")).cast("double")
+    val eRef = rowTotal * col("ref_n") / n
     val eCur = rowTotal * col("__cn") / n
     val term = (col("ref_cnt") - eRef) * (col("ref_cnt") - eRef) / eRef +
       (col("cur_cnt") - eCur) * (col("cur_cnt") - eCur) / eCur

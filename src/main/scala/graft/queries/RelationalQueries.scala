@@ -520,6 +520,22 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // q10 shape: the returned-items customer report — revenue lost to
+    // returns per customer over one quarter, four-table join with the
+    // deterministic ordered top-20 (unique custkey tiebreak)
+    "tpch_q10_returned_items" -> ((s, d) =>
+      t(s, d, "lineitem").df.filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders").df
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").df, col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation").df, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum4(revenueExpr).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)),
+
     // q21 shape: the hardest TPC-H join topology — a fact self-join three
     // ways (base + EXISTS semi + NOT-EXISTS anti, each on the order key
     // with a supplier-inequality residual) under two dimension joins.
@@ -614,6 +630,17 @@ object RelationalQueries {
        "WHERE l_orderkey = o_orderkey " +
        "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "tpch_q10_returned_items" ->
+      ("SELECT c_custkey, c_name, c_acctbal, n_name, " +
+       "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+       "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+       "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+       "ORDER BY revenue DESC, c_custkey LIMIT 20"),
 
     "tpch_q21_waiting_shape" ->
       ("WITH lo AS (SELECT l_orderkey AS ok, l_suppkey AS sk, " +

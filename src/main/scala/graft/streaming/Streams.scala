@@ -911,6 +911,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming chi-square drift monitor — the categorical twin of
+    * [[psiMonitorStream]]: each micro-batch's label counts score against
+    * a FROZEN [[graft.operators.Checks.chi2Baseline]] through the
+    * literally shared Pearson-term expression, so a batch backfill over
+    * the same rows is bit-identical. Batch-scope semantics: zero
+    * cross-batch state, every verdict row tagged batch_id; the baseline
+    * is a broadcast O(labels) table rebuilt on its own cadence. */
+  def chi2MonitorStream(
+      stream: DataFrame,
+      baseline: DataFrame,
+      catCol: String)(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Checks.scoreChi2Against(batch, baseline, catCol)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Streaming volume-anomaly monitor — the stream twin of
     * [[graft.operators.Events.dailyAnomalies]]: each micro-batch's
     * per-(type, day) counts score against a FROZEN

@@ -120,7 +120,8 @@ object AuditScale {
     // round-15 fourth wave: rolling distinct actives (contribute-then-
     // fold, O(activity x window)), CUSUM change point (the trendSlope
     // dense-grid shape + group-key windows), bounded-lookback as-of
-    "events_rolling_wau", "events_changepoint_cusum", "join_asof_tolerance")
+    "events_rolling_wau", "events_changepoint_cusum", "join_asof_tolerance",
+    "tpch_q10_returned_items")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

@@ -495,4 +495,65 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"neither round may shuffle the corpus onto queries:\n$plan")
   }
+
+  test("intervalOverlap plans a hash/sort EQUI-join on the bin key, never a nested loop") {
+    import graft.operators.RangeJoin
+    val ev = t("events").df
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+    val a = ev.groupBy(col("user_id"), col("day").as("a_day"))
+      .agg(min(col("us")).as("a_lo"), max(col("us")).as("a_hi"))
+    val b = ev.groupBy(col("event_type"), col("day").as("b_day"))
+      .agg(min(col("us")).as("b_lo"), max(col("us")).as("b_hi"))
+    val df = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", 21600000000.0)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval overlap must stay an equi-join on the bin:\n$plan")
+    assert(plan.contains("__bin"), s"expected the bin equi-key in:\n$plan")
+  }
+
+  test("q21 shape: three fact self-join roles stay hash joins, no cartesian anywhere") {
+    val lo = t("lineitem").df
+      .join(t("orders").df.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")).as("late"))
+    val l1 = lo.filter(col("late"))
+    val df = l1.join(lo.select(col("ok").as("ok2"), col("sk").as("sk2")),
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(l1.select(col("ok").as("ok3"), col("sk").as("sk3")),
+        col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q21's EXISTS/NOT-EXISTS must plan as hash semi/anti joins:\n$plan")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected semi+anti roles in:\n$plan")
+  }
+
+  test("driftKs: the ECDF cumulative window is bucket-partitioned, never one global sort partition") {
+    import graft.operators.Checks
+    val li = t("lineitem").df
+    val df = Checks.driftKs(li,
+      li.select((col("l_extendedprice") * lit(1.1)).as("l_extendedprice")),
+      "l_extendedprice", buckets = 8)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the inner prefix-sum window must carry the bucket in its partition
+    // spec — a bare windowspecdefinition(v ...) would be the global-window
+    // scale bug this operator exists to avoid
+    assert(plan.contains("windowspecdefinition(__bucket"),
+      s"expected a bucket-partitioned cumulative window in:\n$plan")
+  }
+
+  test("rollingActiveUsers: one distinct fold then one day reduce; no join back to raw events") {
+    import graft.operators.Events
+    val df = Events.rollingActiveUsers(t("events").df, "user_id", "ts", windowDays = 7)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"the contribute-then-fold shape needs no sort-merge join:\n$plan")
+  }
 }

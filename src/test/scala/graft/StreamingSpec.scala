@@ -1311,6 +1311,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchScore == byBatch(1L)._1, s"stream=${byBatch(1L)._1} batch=$batchScore")
   }
 
+  test("chi2 monitor scores micro-batch categorical drift against the frozen baseline, bit-equal to batch") {
+    import spark.implicits._
+    import graft.operators.Checks
+    val ref = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c")).toDF("cat")
+    val baseline = Checks.chi2Baseline(ref, "cat", maxCategories = 3)
+    val ms = MemoryStream[String](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = graft.streaming.Streams.chi2MonitorStream(
+        ms.toDF().toDF("cat"), baseline, "cat") { verdicts =>
+      val total = verdicts.agg(org.apache.spark.sql.functions.sum("chi2_term_micro"))
+        .collect()(0).getLong(0)
+      val bid = verdicts.select("batch_id").head().getLong(0)
+      buf.synchronized { buf += ((bid, total, verdicts.count())) }
+    }
+    val shifted = Seq.fill(50)("zz") ++ Seq.fill(40)("b") ++ Seq.fill(10)("c")
+    try {
+      ms.addData(Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c"): _*)
+      q.processAllAvailable()
+      ms.addData(shifted: _*)   // 'a' vanished, an unseen label floods __other__
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = buf.map(t => t._1 -> ((t._2, t._3))).toMap
+    // identical batch: observed == expected in every cell → exact zero
+    assert(byBatch(0L) == ((0L, 5L)), s"identical batch must score 0: $buf")
+    assert(byBatch(1L)._1 > 10000000L && byBatch(1L)._2 == 5L,
+      s"vanished-label + new-label batch must spike: $buf")
+    val batchScore = Checks.scoreChi2Against(shifted.toDF("cat"), baseline, "cat")
+      .agg(org.apache.spark.sql.functions.sum("chi2_term_micro")).collect()(0).getLong(0)
+    assert(batchScore == byBatch(1L)._1, s"stream=${byBatch(1L)._1} batch=$batchScore")
+  }
+
   test("volume monitor scores micro-batches against a frozen baseline, bit-equal to batch") {
     import spark.implicits._
     import graft.operators.Events
