@@ -2645,6 +2645,38 @@ object Corpus {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val sm = typedLit(scores)
     val ts = graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    // ZIPF SHORTCUT (see [[unigramFertility]]): the DP is a pure function
+    // of the word form — run it once per DISTINCT word and join the spans
+    // back onto the occurrence stream by the word key.
+    val occ = df.select(col(idCol).as("id"), posexplode(ts))
+      .filter(col("col") =!= "")
+      .select(col("id"), (col("pos") + 1).cast("long").as("word_idx"),
+        col("col").as("__w"))
+    val perWord = occ.select(col("__w")).distinct()
+      .select(col("__w"),
+        unigramViterbi(col("__w"), sm, maxPieceLen, maxWordLen).as("__sps"))
+    occ.join(perWord, Seq("__w"))
+      .select(col("id"), col("word_idx"), explode(col("__sps")).as("sp"))
+      .select(col("id"), col("word_idx"),
+        col("sp.start").cast("long").as("piece_start"), col("sp.piece").as("piece"))
+  }
+
+  /** Row-local [[unigramSegment]] (per-occurrence DP, no distinct/join) —
+    * the STREAMING form: the Zipf shortcut's distinct+join would carry
+    * unbounded word state on a stream, while micro-batches are small
+    * enough that the per-occurrence DP is the right trade. Bit-equal
+    * output (the DP is a pure function of the word form). */
+  private[graft] def unigramSegmentRowLocal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      maxPieceLen: Int = 3,
+      maxWordLen: Int = 12): DataFrame = {
+    val scores = vocab.select("piece", "score_micro").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sm = typedLit(scores)
+    val ts = graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))
     df.select(col(idCol).as("id"), posexplode(ts))
       .filter(col("col") =!= "")
       .select(col("id"), (col("pos") + 1).cast("long").as("word_idx"),
@@ -2676,16 +2708,27 @@ object Corpus {
     val scores = vocab.select("piece", "score_micro").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val sm = typedLit(scores)
-    df.select(col(groupCol).as("grp"),
+    // ZIPF SHORTCUT (the 10×-rehearsal straggler fix): the Viterbi DP is a
+    // pure function of the word FORM, and word forms repeat with Zipf mass
+    // — so the corpus reduces to (group, word, occurrences) first and the
+    // expensive DP runs ONCE PER DISTINCT WORD (a table orders of
+    // magnitude smaller than the occurrence stream), then weights back in
+    // by the exact occurrence counts. Same integers, same output.
+    val occ = df.select(col(groupCol).as("grp"),
         explode(graft.functions.TextFunctions.tokens(
           coalesce(col(textCol), lit("")))).as("w"))
       .filter(col("w") =!= "")
-      .select(col("grp"),
+      .groupBy(col("grp"), col("w"))
+      .agg(count(lit(1)).as("__n"))
+    val perWord = occ.select(col("w")).distinct()
+      .select(col("w"),
         length(substring(col("w"), 1, maxWordLen)).cast("long").as("nc"),
         size(unigramViterbi(col("w"), sm, maxPieceLen, maxWordLen)).cast("long").as("np"))
+    occ.join(perWord, Seq("w"))
       .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
-        sum(col("nc")).as("n_chars"))
+      .agg(sum(col("__n")).as("n_words"),
+        sum(col("np") * col("__n")).as("n_pieces"),
+        sum(col("nc") * col("__n")).as("n_chars"))
       .select(col("grp").as(groupCol), col("n_words"), col("n_pieces"),
         round((col("n_pieces").cast("double") * lit(1e6)) / col("n_words"))
           .cast("long").as("fertility_micro"),

@@ -686,7 +686,9 @@ object Streams {
       vocab: DataFrame,
       idCol: String,
       textCol: String): DataFrame =
-    graft.operators.Corpus.unigramSegment(stream, idCol, textCol, vocab)
+    // the row-local form: the batch operator's Zipf distinct+join would
+    // carry unbounded word state on a stream (bit-equal output either way)
+    graft.operators.Corpus.unigramSegmentRowLocal(stream, idCol, textCol, vocab)
 
   /** Streaming Gopher document-quality rules — `Corpus.gopherRules` is one
     * row-local projection of exact integer signals, so the identical plan
