@@ -2484,7 +2484,19 @@ object Corpus {
     * and tie order unrolls into the DuckDB oracle's per-position CTE
     * chain. Returns array<struct<start int, piece string>> (1-based
     * start offsets within the capped word). */
+  /** Trained-vocab Viterbi per word — the native
+    * [[graft.expressions.UnigramViterbi]] (plain-Scala DP, O(len·maxPieceLen)
+    * hash lookups; the HOF reference below evaluates interpreted at ~10 ms
+    * per word, which the 10× rehearsal surfaced as an hour straggler). */
   private def unigramViterbi(
+      w: Column, scores: Map[String, Long],
+      maxPieceLen: Int, maxWordLen: Int): Column =
+    graft.expressions.UnigramViterbi(w, scores, maxPieceLen, maxWordLen)
+
+  /** The HOF/aggregate reference formulation of [[unigramViterbi]] — kept
+    * solely as the equivalence twin the spec pins the native expression
+    * against (the charStatsHof convention). */
+  private[graft] def unigramViterbiHof(
       w: Column, scores: Column, maxPieceLen: Int, maxWordLen: Int): Column = {
     val word = substring(w, 1, maxWordLen)
     val n = length(word)
@@ -2603,9 +2615,8 @@ object Corpus {
     var scores = toScores(seed, membership)
     var lastCounts = seed
     (1 to emRounds).foreach { _ =>
-      val sm = typedLit(scores)
       lastCounts = words
-        .select(explode(unigramViterbi(col("w"), sm, maxPieceLen, maxWordLen))
+        .select(explode(unigramViterbi(col("w"), scores, maxPieceLen, maxWordLen))
           .as("sp"), col("cnt"))
         .groupBy(col("sp.piece").as("piece")).agg(sum(col("cnt")).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -2643,7 +2654,6 @@ object Corpus {
       maxWordLen: Int = 12): DataFrame = {
     val scores = vocab.select("piece", "score_micro").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val sm = typedLit(scores)
     val ts = graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))
     // ZIPF SHORTCUT (see [[unigramFertility]]): the DP is a pure function
     // of the word form — run it once per DISTINCT word and join the spans
@@ -2654,7 +2664,7 @@ object Corpus {
         col("col").as("__w"))
     val perWord = occ.select(col("__w")).distinct()
       .select(col("__w"),
-        unigramViterbi(col("__w"), sm, maxPieceLen, maxWordLen).as("__sps"))
+        unigramViterbi(col("__w"), scores, maxPieceLen, maxWordLen).as("__sps"))
     occ.join(perWord, Seq("__w"))
       .select(col("id"), col("word_idx"), explode(col("__sps")).as("sp"))
       .select(col("id"), col("word_idx"),
@@ -2675,12 +2685,11 @@ object Corpus {
       maxWordLen: Int = 12): DataFrame = {
     val scores = vocab.select("piece", "score_micro").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val sm = typedLit(scores)
     val ts = graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))
     df.select(col(idCol).as("id"), posexplode(ts))
       .filter(col("col") =!= "")
       .select(col("id"), (col("pos") + 1).cast("long").as("word_idx"),
-        explode(unigramViterbi(col("col"), sm, maxPieceLen, maxWordLen)).as("sp"))
+        explode(unigramViterbi(col("col"), scores, maxPieceLen, maxWordLen)).as("sp"))
       .select(col("id"), col("word_idx"),
         col("sp.start").cast("long").as("piece_start"), col("sp.piece").as("piece"))
   }
@@ -2707,7 +2716,6 @@ object Corpus {
       maxWordLen: Int = 12): DataFrame = {
     val scores = vocab.select("piece", "score_micro").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val sm = typedLit(scores)
     // ZIPF SHORTCUT (the 10×-rehearsal straggler fix): the Viterbi DP is a
     // pure function of the word FORM, and word forms repeat with Zipf mass
     // — so the corpus reduces to (group, word, occurrences) first and the
@@ -2723,7 +2731,7 @@ object Corpus {
     val perWord = occ.select(col("w")).distinct()
       .select(col("w"),
         length(substring(col("w"), 1, maxWordLen)).cast("long").as("nc"),
-        size(unigramViterbi(col("w"), sm, maxPieceLen, maxWordLen)).cast("long").as("np"))
+        size(unigramViterbi(col("w"), scores, maxPieceLen, maxWordLen)).cast("long").as("np"))
     occ.join(perWord, Seq("w"))
       .groupBy(col("grp"))
       .agg(sum(col("__n")).as("n_words"),

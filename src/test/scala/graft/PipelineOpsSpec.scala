@@ -2490,4 +2490,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(got(i) == ((i, plain(i))), s"unpaired doc $i must match hashSplit")
     }
   }
+
+  test("native UnigramViterbi is bit-equal to the HOF reference DP on every word form") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val scores = Map("th" -> -800000L, "the" -> -700000L, "e" -> -1200000L,
+      "t" -> -1500000L, "h" -> -1600000L, "ca" -> -900000L, "cat" -> -850000L)
+    // ties, unknown single chars, forbidden multi-chars, truncation past
+    // maxWordLen, empty string, a multi-codepoint char
+    val words = Seq("the", "thecat", "zzz", "a", "", "thethethethethe",
+      "cathe", "\u00e9cat").toDF("w")
+    val native = words.select(col("w"),
+      graft.expressions.UnigramViterbi(col("w"), scores, 3, 12).as("sp"))
+    val hof = words.select(col("w"),
+      graft.operators.Corpus.unigramViterbiHof(col("w"),
+        typedLit(scores), 3, 12).as("sp"))
+    val n = native.collect().map(r => r.getString(0) -> r.getSeq[Any](1).toString).toMap
+    val h = hof.collect().map(r => r.getString(0) -> r.getSeq[Any](1).toString).toMap
+    assert(n == h, s"native=$n\nhof=$h")
+  }
 }
