@@ -749,6 +749,18 @@ object Dedup {
     * pattern). Zero false positives is structural — every surviving pair
     * passed the exact cosine.
     *
+    * COST DIAL (`targetBucketSize`, measured at the 100× rehearsal):
+    * candidate volume is LINEAR at ~n · targetBucketSize · K rows, so the
+    * dial IS the per-vector comparison budget — ~7.5·10⁸ candidate rows
+    * at 200k vectors under the 1024 default, a cluster-scale shuffle
+    * (fine across executors' aggregate disk, over a single box's).
+    * Turning it down raises `nbits` and the K auto-sizing compensates
+    * for per-table recall UNTIL the K ≤ 32 cap: at low thresholds the
+    * per-table collision probability p^nbits collapses fast (t = 0.3,
+    * nbits 12 → p ≈ 0.002, and even 32 tables reach ~6% recall), so
+    * treat a small dial + low threshold as an explicit recall trade,
+    * not a free cost cut.
+    *
     * Returns (id_a, id_b, cos, nbits, n_tables), pairs once (id_a<id_b). */
   def embeddingNearDupMultiTable(
       df: DataFrame,
@@ -758,12 +770,21 @@ object Dedup {
       threshold: Double = 0.95,
       nbits: Int = AutoNbits,
       tables: Int = AutoTables,
-      targetRecall: Double = 0.8): DataFrame = {
+      targetRecall: Double = 0.8,
+      targetBucketSize: Long = DefaultTargetBucketSize): DataFrame = {
     require(nbits == AutoNbits || nbits >= 1,
       s"nbits must be >= 1 (or AutoNbits = $AutoNbits for occupancy-aware sizing)")
     require(tables == AutoTables || tables >= 1,
       s"tables must be >= 1 (or AutoTables = $AutoTables for recall-aware sizing)")
-    val bits = if (nbits == AutoNbits) recommendedNbits(df.count()) else nbits
+    // candidate volume is ~n · targetBucketSize · K (linear, but the
+    // CONSTANT is the shuffle budget: 1024·K comparisons per vector at
+    // the default). The 100x single-box rehearsal showed ~7.5e8 candidate
+    // rows at n=200k under the default dial — fine on a cluster's
+    // aggregate disk, over a single box's. Lowering targetBucketSize
+    // raises nbits (fewer, smaller buckets) and the K auto-sizing grows
+    // tables to hold the recall target, trading per-table recall for
+    // bounded per-vector work: the documented single-box / cost dial.
+    val bits = if (nbits == AutoNbits) recommendedNbits(df.count(), targetBucketSize) else nbits
     val k =
       if (tables == AutoTables) recommendedLshTables(bits, threshold, targetRecall)
       else tables

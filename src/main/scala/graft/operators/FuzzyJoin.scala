@@ -149,14 +149,24 @@ object FuzzyJoin {
     val main = aSeg.join(bProbe, Seq("__i", "__la", "__seg"))
       .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
     // ---- short-string branch: |s| <= d can't host d+1 non-empty
-    // segments; partners must have length <= |s| + d <= 2d — both sides
-    // bounded by construction, so the cross stays tiny
+    // segments; partners must have length <= |s| + d <= 2d. The length
+    // band |la − lb| <= d is encoded as an EQUI key — each short string
+    // explodes to its <= 2d+1 admissible partner lengths and hash-joins
+    // on the partner's exact length — so the branch plans a shuffled
+    // hash join like the main path (the naive non-equi form planned a
+    // CartesianProduct once both sides' size ESTIMATES passed the
+    // broadcast threshold, which the 100× rehearsal flagged). Work
+    // within a length pair is inherently all-pairs; short strings are a
+    // sliver of any real corpus, and the length domain is <= 2d+1 keys.
     val aShort = a.filter(col("__len") <= d)
-      .select(col("__id").as("id_a"), col("__s").as("__sa"))
+      .select(col("__id").as("id_a"), col("__s").as("__sa"),
+        explode(sequence(greatest(col("__len") - d, lit(0)),
+          col("__len") + d)).as("__lb"))
     val bShortish = b.filter(col("__len") <= 2 * d)
-      .select(col("__id").as("id_b"), col("__s").as("__sb"))
-    val short = aShort.join(bShortish,
-      abs(length(col("__sa")) - length(col("__sb"))) <= d)
+      .select(col("__id").as("id_b"), col("__s").as("__sb"),
+        col("__len").as("__lb"))
+    val short = aShort.join(bShortish, Seq("__lb"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
     main.unionByName(short).distinct()
   }
 

@@ -324,6 +324,15 @@ object AuditScale {
       // ((nbits, K) both sized) — per-table cost keeps the Σ occupancy²
       // bound, total = K × single-table candidate work, so the ratio
       // should track the autosized row times a bounded constant
+      // default dials. 10x-audited here; EXCLUDED from the single-box
+      // 100x rehearsal by disposition: candidate volume is LINEAR at
+      // ~n · targetBucketSize · K rows (the operator contract), but the
+      // default 1024-occupancy constant means ~7.5e8 candidate rows at
+      // the rehearsal's 200k vectors — a cluster-scale shuffle that
+      // overran ONE box's local disk, not a plan defect (zero quadratic
+      // nodes; turning the dial down instead hits the K<=32 recall cap
+      // at low thresholds). The per-vector constant, not the growth
+      // rate, is what a 100 TB deployment sizes executors by.
       "embedding_multitable_operator" -> ((s: SparkSession, d: String) =>
         Dedup.embeddingNearDupMultiTable(Tables.load(s, d, "embeddings"),
           "vec_id", "embedding", dim = 64, threshold = 0.3)),
