@@ -211,11 +211,10 @@ object AuditScale {
       // 1-row totals onto the O(buckets) grid (the LM-scorer shape); the
       // categorical twin crossJoins its three 1-row totals the same way
       "dq_drift_psi", "dq_drift_psi_cat",
-      // the PassJoin short-string branch (strings ≤ d chars vs partners
-      // ≤ 2d chars) is a length-band join over two sides bounded by
-      // construction — BNLJ there is the intended plan; the main candidate
-      // path is the segment-key equi-join (PlanQualitySpec pins it)
-      "fuzzy_edit_operator",
+      // (the PassJoin short-string branch was re-expressed as a length-key
+      // EQUI join after the 100x rehearsal caught its Cartesian fallback,
+      // so the fuzzy entries no longer need a BNLJ allowance —
+      // PlanQualitySpec pins both branches as pure equi-joins)
       // 1-row broadcast sides by construction: the basket-total crossJoin
       // (copurchase direct + store-served), the join-preflight totals
       // crossJoin, and zorder's 1-row min/max bounds crossJoin
@@ -231,9 +230,6 @@ object AuditScale {
       "mm_video_phash_neardup",
       // ref-integrity's totals ride the same 1-row broadcast crossJoin
       "dq_ref_integrity",
-      // leakage split embeds the fuzzy pair graph → the bounded PassJoin
-      // short-string branch's length-band BNLJ
-      "corpus_leakage_split",
       // the pHash property query's PLANTED side is a doc_id-arithmetic
       // non-equi self-join (bounded: id pairs 256 apart), not the operator
       "mm_image_phash_neardup",

@@ -556,4 +556,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"the contribute-then-fold shape needs no sort-merge join:\n$plan")
   }
+
+  test("PassJoin: both branches (segment main + short length-band) are pure equi-joins now") {
+    import graft.operators.FuzzyJoin
+    val df = t("documents").df
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("w"))
+    val out = FuzzyJoin.editDistancePairs(df, "doc_id", "w", maxDist = 2)
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the 100x rehearsal's Cartesian regression must stay fixed:\n$plan")
+  }
 }
