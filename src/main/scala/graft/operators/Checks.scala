@@ -402,8 +402,18 @@ object Checks {
     val n = (col("ref_n") + col("__cn")).cast("double")
     val eRef = rowTotal * col("ref_n") / n
     val eCur = rowTotal * col("__cn") / n
-    val term = (col("ref_cnt") - eRef) * (col("ref_cnt") - eRef) / eRef +
-      (col("cur_cnt") - eCur) * (col("cur_cnt") - eCur) / eCur
+    // A zero-expected cell (one side empty — possible for a
+    // chi2MonitorStream micro-batch) contributes an explicit 0: without
+    // the guard the (0−0)²/0 term is NaN, which round(...).cast(long)
+    // silently turns into 0 under default casting but THROWS under ANSI
+    // mode — breaking the documented ANSI re-derivability (r15 ADVICE).
+    val term =
+      when(eRef > lit(0.0),
+        (col("ref_cnt") - eRef) * (col("ref_cnt") - eRef) / eRef)
+        .otherwise(lit(0.0)) +
+      when(eCur > lit(0.0),
+        (col("cur_cnt") - eCur) * (col("cur_cnt") - eCur) / eCur)
+        .otherwise(lit(0.0))
     joined.select(col("category"), col("ref_cnt"), col("cur_cnt"),
       when(col("ref_cnt") + col("cur_cnt") === 0L, lit(0L))
         .otherwise(round(term * lit(1e6)).cast("long")).as("chi2_term_micro"))
@@ -444,8 +454,14 @@ object Checks {
       .select(col(valueCol).cast("double").as("v"))
     val cur = current.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("v"))
+    // approx_percentile, NOT exact percentile: the edges only place rows
+    // into prefix-sum buckets — the KS output is invariant to edge
+    // placement — and the exact aggregate buffers every value in one
+    // aggregation state, the memory/straggler hazard the two-level prefix
+    // sum below exists to avoid (r15 ADVICE). GK sketch state is O(1/ε).
     val edges = ref
-      .agg(expr(s"percentile(v, array(${qs.mkString(", ")}))").as("__raw"))
+      .agg(expr(s"approx_percentile(v, array(${qs.mkString(", ")}), 10000)")
+        .as("__raw"))
       .select(transform(col("__raw"), e => round(e, 4)).as("edges"))
     val rc = ref.groupBy("v").agg(count(lit(1)).as("ref_c"))
     val cc = cur.groupBy("v").agg(count(lit(1)).as("cur_c"))

@@ -2990,6 +2990,13 @@ object Corpus {
       textCol: String,
       topN: Int = 100): DataFrame = {
     require(topN >= 2, "topN must be at least 2")
+    // hard contract, not just a doc note: past 200 points the n·Σxy sum
+    // can leave Long at the documented 1e12 count ceiling and the slope
+    // would silently go wrong (r15 ADVICE). The Zipf signal lives in the
+    // spectrum head anyway — a wider fit wants DECIMAL sums, not topN.
+    require(topN <= 200,
+      s"topN=$topN exceeds the long-exact fit bound (200); the micro-ln " +
+        "OLS sums overflow Long beyond it at large corpus counts")
     val counts = df
       .select(explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("term"))
       .filter(col("term") =!= "")

@@ -988,6 +988,13 @@ object Events {
     * and quantize once to micro units. A degenerate pool (p̂ = 0 or 1 —
     * zero standard error) reports z_micro NULL rather than ±inf.
     *
+    * NULL-variant contract: rows with a NULL variant label are EXCLUDED
+    * before the reduce. Without the filter, Spark's ascending sort puts
+    * NULLs FIRST, so one unlabeled unit would silently elect NULL as the
+    * control and `variant =!= control` would then evaluate NULL for every
+    * row — an empty report with no error (r15 ADVICE). The election also
+    * sorts nulls-last as a second fence, matching the oracle convention.
+    *
     * Scale shape: one variant-key reduce (map-side combined) to
     * O(variants) rows; the control row broadcasts back on. The unit
     * table itself is the caller's (one user-key reduce upstream, e.g.
@@ -1001,10 +1008,11 @@ object Events {
       variantCol: String,
       convCol: String): DataFrame = {
     val per = units
+      .filter(col(variantCol).isNotNull)
       .groupBy(col(variantCol).cast("string").as("variant"))
       .agg(count(lit(1)).as("n"),
         sum(col(convCol).cast("long")).as("conv"))
-    val ctrl = per.orderBy(col("variant").asc).limit(1)
+    val ctrl = per.orderBy(col("variant").asc_nulls_last).limit(1)
       .select(col("variant").as("control"), col("n").as("n_ctrl"),
         col("conv").as("conv_ctrl"))
     val joined = per.crossJoin(broadcast(ctrl))

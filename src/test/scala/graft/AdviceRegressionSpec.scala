@@ -757,4 +757,86 @@ class AdviceRegressionSpec extends AnyFunSuite {
     // matched id that actually carries a frozen split
     assert(out == Set((101L, 9L, "val"), (102L, 9L, "val")), out.toString)
   }
+
+  // ---- ADVICE r15 medium: abTest elected the control via orderBy(asc)
+  // .limit(1); Spark ascending sorts NULLs FIRST, so a single NULL variant
+  // label became the control and `variant =!= control` evaluated NULL for
+  // every row — a silently EMPTY report
+
+  test("abTest excludes NULL variant labels instead of electing NULL as control") {
+    import graft.operators.Events
+    val spark2 = spark
+    import spark2.implicits._
+    val units = Seq(
+      (1L, Option("control"), 1L), (2L, Option("control"), 0L),
+      (3L, Option("treat_a"), 1L), (4L, Option("treat_a"), 1L),
+      (5L, Option.empty[String], 1L) // the unlabeled unit that used to win
+    ).toDF("user_id", "variant", "converted")
+    val out = Events.abTest(units, "variant", "converted").collect()
+    assert(out.length == 1, s"expected one treat row, got ${out.length}")
+    val r = out.head
+    assert(r.getAs[String]("control") == "control")
+    assert(r.getAs[String]("variant") == "treat_a")
+    assert(r.getAs[Long]("n_ctrl") == 2L && r.getAs[Long]("n_var") == 2L,
+      "NULL-variant units must not count toward any arm")
+  }
+
+  // ---- ADVICE r15 low: driftKs derived bucket edges with EXACT
+  // percentile() — one aggregation state buffering the whole reference
+  // column, the straggler hazard its two-level prefix sum exists to avoid.
+  // Output is invariant to edge placement, so approx edges change nothing.
+
+  test("driftKs buckets through approx_percentile, never the exact buffer-all aggregate") {
+    import graft.operators.Checks
+    val spark2 = spark
+    import spark2.implicits._
+    val ref = (1 to 400).map(_.toDouble).toDF("v")
+    val cur = (1 to 400).map(i => i.toDouble + (if (i % 2 == 0) 40.0 else 0.0)).toDF("v")
+    val out = Checks.driftKs(ref, cur, "v", buckets = 8)
+    val plan = out.queryExecution.analyzed.toString
+    assert(plan.contains("approx_percentile"), "edges must come from the GK sketch")
+    assert(!plan.matches("(?s).*(?<!approx_)percentile\\(.*"),
+      "no exact percentile aggregation state")
+    val row = out.collect().head
+    assert(row.getAs[Long]("n_ref") == 400L && row.getAs[Long]("ks_micro") > 0L)
+  }
+
+  // ---- ADVICE r15 low: zipfFit's documented long-overflow bound
+  // (topN <= ~200 at counts to 1e12) was not enforced — topN=1000 on a
+  // large corpus silently yielded a wrong slope
+
+  test("zipfFit enforces the long-exact topN bound as a hard contract") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq("a a a b b c").toDF("text")
+    val err = intercept[IllegalArgumentException] {
+      Corpus.zipfFit(docs, "text", topN = 1000)
+    }
+    assert(err.getMessage.contains("200"), err.getMessage)
+    assert(Corpus.zipfFit(docs, "text", topN = 3).count() == 1L)
+  }
+
+  // ---- ADVICE r15 low: scoreChi2Against with an EMPTY current side
+  // (possible for a chi2MonitorStream micro-batch) gave eCur = 0 and a
+  // 0/0 = NaN Pearson term; round(NaN).cast(long) silently yielded 0
+  // under default casting and THROWS under ANSI mode
+
+  test("scoreChi2Against survives an empty micro-batch under ANSI mode") {
+    import graft.operators.Checks
+    val spark2 = spark
+    import spark2.implicits._
+    val ref = Seq("web", "web", "web", "books", "books").toDF("source")
+    val baseline = Checks.chi2Baseline(ref, "source", maxCategories = 3)
+    val empty = Seq.empty[String].toDF("source")
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val rows = Checks.scoreChi2Against(empty, baseline, "source").collect()
+      assert(rows.nonEmpty)
+      // every zero-expected cell contributes an explicit 0 term — the ref
+      // side carries all the mass, so each term is (ref−ref)²/eRef = 0 too
+      assert(rows.forall(!_.isNullAt(rows.head.fieldIndex("chi2_term_micro"))))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
 }
