@@ -14,25 +14,37 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** CJK codepoint classes with NO whitespace word boundaries: Han
+  /** Codepoint classes of scripts with NO whitespace word boundaries —
+    * every codepoint is its own token under script mode. CJK: Han
     * (U+4E00–9FFF), Hiragana+Katakana (U+3040–30FF), Hangul syllables
-    * (U+AC00–D7AF). Written as literal range endpoints so the identical
-    * character class pastes into the DuckDB (RE2) oracle. */
-  private val CjkClass = "一-鿿぀-ヿ가-힯"
+    * (U+AC00–D7AF). Southeast-Asian no-space scripts (r15 verdict: the
+    * "Thai half" of CJK/Thai): Thai (U+0E00–0E7F), Lao (U+0E80–0EFF),
+    * Myanmar (U+1000–109F), Khmer (U+1780–17FF). Written as literal
+    * range endpoints so the identical character class pastes into the
+    * DuckDB (RE2) oracle — package-visible so the declared-query oracles
+    * interpolate THIS string rather than a drift-prone copy. */
+  private[graft] val NoSpaceClass =
+    "一-鿿぀-ヿ가-힯" +               // Han, Kana, Hangul
+      "฀-๿຀-໿" + // Thai, Lao
+      "က-႟ក-៿"   // Myanmar, Khmer
 
-  /** Script-aware tokenization: CJK codepoints (Han/Kana/Hangul — scripts
-    * with no whitespace word boundaries) become SINGLE-CHARACTER tokens;
-    * every other non-space run stays one word token, so Latin/Cyrillic/
-    * Arabic text tokenizes as before. The multilingual-corpus fix for the
-    * `split("\\s+")` default, under which a CJK document reads as ~1
-    * giant token and every token-based operator (LM quality, Gopher
-    * rules, token budgets, PMI, line/span dedup) silently misgrades it.
-    * One `regexp_extract_all` — row-local, codegen'd, and exactly
+  /** Script-aware tokenization: codepoints of no-whitespace-boundary
+    * scripts (Han/Kana/Hangul + Thai/Lao/Myanmar/Khmer) become
+    * SINGLE-CHARACTER tokens; every other non-space run stays one word
+    * token, so Latin/Cyrillic/Arabic text tokenizes as before. The
+    * multilingual-corpus fix for the `split("\\s+")` default, under which
+    * a CJK or Thai document reads as ~1 giant token per clause and every
+    * token-based operator (LM quality, Gopher rules, token budgets, PMI,
+    * line/span dedup) silently misgrades it. Single-char fallback is the
+    * deliberate dial for the SEA scripts too: combining vowels/tone marks
+    * count as their own tokens, a consistent (if fertile) unit — the
+    * trained unigram segmenter is the quality upgrade path. One
+    * `regexp_extract_all` — row-local, codegen'd, and exactly
     * re-derivable in DuckDB's RE2. Divergence from whitespace mode on
     * pure-ASCII text: no empty tokens (leading whitespace yields "" under
     * `split`), which only matters for empty/whitespace-only strings. */
   def tokensScript(text: Column): Column =
-    regexp_extract_all(text, lit(s"[$CjkClass]|[^\\s$CjkClass]+"), lit(0))
+    regexp_extract_all(text, lit(s"[$NoSpaceClass]|[^\\s$NoSpaceClass]+"), lit(0))
 
   /** Mode-dispatched tokenization: `"whitespace"` (the default
     * everywhere) or `"script"` ([[tokensScript]]). */

@@ -56,6 +56,11 @@ object PipelineQueries {
   /** DuckDB twin of [[hiJaccardPairs]]: CTE `hi` (id_a, id_b) with the exact
     * string-shingle set arithmetic (identical counts to the rolled-hash path
     * as long as 64-bit shingle hashes don't collide). */
+  /** The no-space-script character class, interpolated into the script-
+    * tokenizer oracles so the DuckDB regex is byte-identical to the
+    * engine's ([[TextFunctions.NoSpaceClass]] is the single source). */
+  private val NoSpace: String = TextFunctions.NoSpaceClass
+
   private val HiJaccardPairsSql: String =
     "toks AS (SELECT doc_id, list_distinct(" +
     "CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')] " +
@@ -663,6 +668,25 @@ object PipelineQueries {
       val planted = docs.filter(col("doc_id") % 100 === 7)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(lit("深度学習モデル학습 데이터 "),
+            substring(col("text"), 1, 40)).as("text"))
+      docs.select("doc_id", "text").unionByName(planted)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_ws"),
+          TextFunctions.tokenCount(col("text"), "script").as("n_script"))
+        .orderBy("doc_id")
+    }),
+
+    // the Southeast-Asian half of the no-space-script fix (r15 verdict:
+    // "CJK/Thai" shipped CJK-only): planted Thai/Lao/Myanmar/Khmer twins
+    // under shifted ids — under whitespace mode each phrase reads as ONE
+    // giant token; script mode explodes every SEA codepoint (combining
+    // vowel/tone marks included, the documented single-char dial) while
+    // original corpus rows keep their old counts on BOTH columns
+    "text_tokens_script_sea" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val planted = docs.filter(col("doc_id") % 100 === 13)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("สวัสดีชาวโลก ສະບາຍດີ မင်္ဂလာပါ កម្ពុជា "),
             substring(col("text"), 1, 40)).as("text"))
       docs.select("doc_id", "text").unionByName(planted)
         .select(col("doc_id"),
@@ -2500,7 +2524,16 @@ object PipelineQueries {
        "FROM documents WHERE doc_id % 100 = 7), " +
        "u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM p) " +
        "SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws, " +
-       "CAST(len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]|[^\\s一-鿿぀-ヿ가-힯]+')) AS BIGINT) AS n_script " +
+       s"CAST(len(regexp_extract_all(text, '[$NoSpace]|[^\\s$NoSpace]+')) AS BIGINT) AS n_script " +
+       "FROM u ORDER BY doc_id"),
+
+    "text_tokens_script_sea" ->
+      ("WITH p AS (SELECT doc_id + 3000000 AS doc_id, " +
+       "'สวัสดีชาวโลก ສະບາຍດີ မင်္ဂလာပါ កម្ពុជា ' || substr(text, 1, 40) AS text " +
+       "FROM documents WHERE doc_id % 100 = 13), " +
+       "u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM p) " +
+       "SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws, " +
+       s"CAST(len(regexp_extract_all(text, '[$NoSpace]|[^\\s$NoSpace]+')) AS BIGINT) AS n_script " +
        "FROM u ORDER BY doc_id"),
 
     "text_quality" ->

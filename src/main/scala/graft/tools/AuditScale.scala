@@ -99,7 +99,8 @@ object AuditScale {
     // windows (one user-key exchange), unigram-LM trainer + segmenter
     // (row-local Viterbi over the word-frequency table; bounded score
     // collects per round)
-    "search_bm25_incremental", "text_tokens_script", "stream_session_window",
+    "search_bm25_incremental", "text_tokens_script", "text_tokens_script_sea",
+    "stream_session_window",
     "text_unigram_train", "text_unigram_segment", "search_ql_dirichlet",
     "text_unigram_fertility", "graph_kcore",
     // round-15 second wave: KS drift (two value-key reduces + bucketed

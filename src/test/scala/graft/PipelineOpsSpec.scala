@@ -55,6 +55,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("tokenizer mode"))
   }
 
+  test("script-aware tokens: Thai/Lao/Khmer/Myanmar codepoints split singly (r15 verdict: the Thai half)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "visit สวัสดี bangkok"),   // Thai run inside Latin
+      (2L, "ສະບາຍດີ"),                 // Lao, no spaces at all
+      (3L, "ကျေးဇူး"),                 // Myanmar
+      (4L, "កម្ពុជា"))                  // Khmer (with coeng stacking marks)
+      .toDF("id", "text")
+    val got = rows.select(col("id"),
+        TextFunctions.tokens(col("text"), "script").as("st"),
+        TextFunctions.tokens(col("text"), "whitespace").as("wt"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1).toList, r.getSeq[String](2).toList))).toMap
+    // Thai สวัสดี = 6 codepoints (ส ว ั ส ด ี) — combining vowels count
+    assert(got(1L)._1 == List("visit", "ส", "ว", "ั", "ส", "ด", "ี", "bangkok"),
+      got(1L)._1.toString)
+    assert(got(1L)._2 == List("visit", "สวัสดี", "bangkok"),
+      "whitespace mode reads the Thai phrase as ONE token")
+    assert(got(2L)._1.size == "ສະບາຍດີ".codePointCount(0, "ສະບາຍດີ".length),
+      "every Lao codepoint is its own token")
+    assert(got(2L)._2 == List("ສະບາຍດີ"))
+    assert(got(3L)._1.forall(_.length == 1) && got(3L)._1.size > 1,
+      "Myanmar splits per codepoint")
+    assert(got(4L)._1.forall(_.length == 1) && got(4L)._1.size > 1,
+      "Khmer splits per codepoint")
+  }
+
   test("normalizeText canonicalizes unicode forms, case, and whitespace; normalized dedup collapses renderings") {
     import spark.implicits._
     import graft.functions.TextFunctions.normalizeText
