@@ -564,6 +564,45 @@ object RelationalQueries {
         .orderBy(desc("numwait"), asc("s_name"))
         .limit(20)
     }),
+
+    // q13 shape: the classic COUNT-bug topology — orders-per-customer
+    // distribution where customers with ZERO matching orders must appear
+    // as c_count = 0 (the row a naive decorrelation drops). The predicate
+    // lives on the ORDER side of the left-outer join (pushed as a
+    // pre-join filter — equivalent to the ON-clause placement and prunes
+    // before the shuffle); count(o_orderkey) counts non-null matches only.
+    "tpch_q13_customer_distribution" -> ((s, d) => {
+      val o = t(s, d, "orders").df
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, d, "customer").df.select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // q17 shape: the correlated scalar-avg filter (quantity below 20% of
+    // the part's own average), decorrelated Spark-first: the per-part
+    // limit is ONE aggregate over the brand/type-filtered join (never a
+    // per-row subquery), broadcast back onto the fact scan. Decimal-exact
+    // sums with the 0.2·(S/C) parenthesization so the doubles hash-match.
+    "tpch_q17_small_quantity" -> ((s, d) => {
+      val pf = t(s, d, "part").df
+        .filter(col("p_brand") === "Brand#12" && col("p_type") === "MEDIUM")
+        .select("p_partkey")
+      val li = t(s, d, "lineitem").df
+      val lim = li.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((lit(0.2) * (dsum(col("l_quantity")) / count(lit(1)))).as("qlim"))
+        .select(col("l_partkey").as("lim_pk"), col("qlim"))
+      li.join(broadcast(lim), col("l_partkey") === col("lim_pk"))
+        .filter(col("l_quantity") < col("qlim"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+    }),
   )
 
   val flagshipOracleSql: Map[String, String] = Map(
@@ -655,6 +694,25 @@ object RelationalQueries {
        "AND EXISTS (SELECT 1 FROM lo l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk) " +
        "AND NOT EXISTS (SELECT 1 FROM l1 l3 WHERE l3.ok = l1.ok AND l3.sk <> l1.sk) " +
        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+
+    "tpch_q13_customer_distribution" ->
+      ("WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+       "FROM customer LEFT OUTER JOIN orders " +
+       "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
+       "GROUP BY c_custkey) " +
+       "SELECT c_count, count(*) AS custdist FROM co " +
+       "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+
+    "tpch_q17_small_quantity" ->
+      ("WITH pf AS (SELECT p_partkey FROM part " +
+       "WHERE p_brand = 'Brand#12' AND p_type = 'MEDIUM'), " +
+       "lim AS (SELECT l_partkey, " +
+       "0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS qlim " +
+       "FROM lineitem JOIN pf ON l_partkey = p_partkey GROUP BY l_partkey) " +
+       "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly, " +
+       "count(*) AS n_small " +
+       "FROM lineitem JOIN lim ON lineitem.l_partkey = lim.l_partkey " +
+       "WHERE l_quantity < qlim"),
   )
 
   val oracleSql: Map[String, String] = Map(

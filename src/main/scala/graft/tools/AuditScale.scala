@@ -122,7 +122,11 @@ object AuditScale {
     // fold, O(activity x window)), CUSUM change point (the trendSlope
     // dense-grid shape + group-key windows), bounded-lookback as-of
     "events_rolling_wau", "events_changepoint_cusum", "join_asof_tolerance",
-    "tpch_q10_returned_items")
+    "tpch_q10_returned_items",
+    // round-16 wave: q13 (COUNT-bug left-outer distribution — two key
+    // reduces after one customer↔orders hash join), q17 (decorrelated
+    // scalar-avg — one per-part aggregate broadcast back onto the fact)
+    "tpch_q13_customer_distribution", "tpch_q17_small_quantity")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

@@ -533,6 +533,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected semi+anti roles in:\n$plan")
   }
 
+  test("q13 shape: the COUNT-bug left-outer join stays a hash join; zero-order customers survive") {
+    val df = graft.SparkEntry.queries("tpch_q13_customer_distribution")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q13's decorrelated outer join must be a hash/sort join:\n$plan")
+    assert(plan.contains("LeftOuter"), s"expected the outer role preserved in:\n$plan")
+  }
+
+  test("q17 shape: the correlated scalar-avg decorrelates to ONE aggregate + broadcast joins") {
+    val df = graft.SparkEntry.queries("tpch_q17_small_quantity")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q17 must never plan a per-row subquery shape:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the part filter and the per-part limit table must broadcast:\n$plan")
+    // exactly two HashAggregate pairs: the per-part limit and the final
+    // 1-row report — a per-row correlated rewrite would multiply these
+    assert(!plan.contains("SubqueryExec") && !plan.contains("Subquery subquery"),
+      s"no runtime subquery execution expected in:\n$plan")
+  }
+
   test("driftKs: the ECDF cumulative window is bucket-partitioned, never one global sort partition") {
     import graft.operators.Checks
     val li = t("lineitem").df
