@@ -839,6 +839,37 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // hybrid retrieval, INDEXED dense side (r16 — the 100 TB shape): the
+    // same RRF fusion tail, but the dense channel is the IVF×PQ chain
+    // (the coarse probe bounds WHICH rows are scanned, the PQ codes bound
+    // WHAT the scan reads, the exact rerank runs over the 50 ADC nominees
+    // alone) instead of the labeled brute-force demo. The query set is
+    // FIXED (source-replica ids < 2000 at every sf), so the declared
+    // workload measures corpus growth at constant queries — the serving
+    // scenario whose audit row replaces the demo's quadratic growth story
+    "search_hybrid_rrf_ann" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val emb = t(s, d, "embeddings").df
+      val qs = docs.filter(col("doc_id") % 100 === 3 && col("doc_id") < 2000)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), "\\s+"), 1, 5), " ").as("qtext"))
+      val dq = emb.filter(col("vec_id") % 100 === 3 && col("vec_id") < 2000)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val centroids = emb.filter(col("vec_id") % 64 === 0 && col("vec_id") < 3200)
+        .select((col("vec_id") / 64).cast("int").as("cell_id"),
+          col("embedding").as("centroid_vec"))
+      val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 8, iters = 2)
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+        .select("query_id", "rank", "doc_id")
+      val dense = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          centroids, "cell_id", "centroid_vec", cb, dim = 64, m = 8, ksub = 8,
+          dq, "query_id", "query_vec", k = 10, nprobe = 2, shortlist = 50)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- round-15 second wave ----
 
     // KS two-sample drift: even-key prices inflated 10% (a PARTIAL shift —
@@ -2039,6 +2070,61 @@ object OpsQueries {
        "cand AS (SELECT query_id, doc_id, " +
        "CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c " +
        "FROM ranked WHERE rank <= 10 " +
+       "UNION ALL SELECT query_id, neighbor_id, " +
+       "CAST(round(1000000.0 / (60 + rank)) AS BIGINT) FROM dranked WHERE rank <= 10), " +
+       "fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro, " +
+       "CAST(count(*) AS BIGINT) AS n_lists FROM cand GROUP BY query_id, doc_id), " +
+       "franked AS (SELECT *, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS rnk FROM fused) " +
+       "SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, rrf_micro, n_lists " +
+       "FROM franked WHERE rnk <= 10 ORDER BY query_id, rank"),
+
+    // the indexed-dense hybrid: the bm25 chain fuses with the FULL IVF×PQ
+    // re-derivation (seed codebooks, both Lloyd rounds, coarse assignment,
+    // the 2-cell probe, the ADC scan over codes, the 50-nominee exact
+    // rerank — the sim_topk_ivfpq oracle's chain with the ÷100≡3 <2000
+    // query set), then the same reciprocal-rank fusion tail
+    "search_hybrid_rrf_ann" ->
+      (s"WITH $Bm25Ctes, " +
+       PipelineQueries.PqSeedsSql + ", " +
+       PipelineQueries.pqRoundSql(1, "seeds") + ", " +
+       PipelineQueries.pqRoundSql(2, "c1") + ", " +
+       PipelineQueries.pqRoundSql(3, "c2") + ", " +
+       "enc AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM a3 GROUP BY vec_id), " +
+       "cent AS (SELECT CAST(vec_id / 64 AS INTEGER) AS cell_id, embedding AS centroid_vec " +
+       "FROM embeddings WHERE vec_id % 64 = 0 AND vec_id < 3200), " +
+       "dq AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings " +
+       "WHERE vec_id % 100 = 3 AND vec_id < 2000), " +
+       "assign AS (SELECT vec_id, cell_id FROM (" +
+       "SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+       PipelineQueries.cosSql("e.embedding", "c.centroid_vec") + " DESC, c.cell_id) AS rn " +
+       "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1), " +
+       "probe AS (SELECT query_id, cell_id FROM (" +
+       "SELECT dq.query_id, c.cell_id, row_number() OVER (PARTITION BY dq.query_id ORDER BY " +
+       PipelineQueries.cosSql("dq.query_vec", "c.centroid_vec") + " DESC, c.cell_id) AS rn " +
+       "FROM dq CROSS JOIN cent c) WHERE rn <= 2), " +
+       "lt AS (SELECT query_id, list(ip ORDER BY sub, code) AS lut FROM (" +
+       "SELECT dq.query_id, p.sub, p.code, " +
+       PipelineQueries.ipSql("dq.query_vec[p.sub*8+1 : p.sub*8+8]", "p.cvec") + " AS ip " +
+       "FROM dq CROSS JOIN c2 p) z GROUP BY query_id), " +
+       "adc AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+       "list_sum(list_transform(range(0, 8), s -> l.lut[s*8 + e.codes[s+1] + 1])) AS score " +
+       "FROM probe p JOIN assign a ON a.cell_id = p.cell_id " +
+       "JOIN enc e ON e.vec_id = a.vec_id " +
+       "JOIN lt l ON l.query_id = p.query_id WHERE a.vec_id <> p.query_id), " +
+       "dshort AS (SELECT query_id, neighbor_id FROM " +
+       "(SELECT query_id, neighbor_id, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn " +
+       "FROM adc) WHERE rn <= 50), " +
+       "drr AS (SELECT s.query_id, s.neighbor_id, " +
+       PipelineQueries.cosSql("e.embedding", "dq.query_vec") + " AS cos " +
+       "FROM dshort s JOIN embeddings e ON e.vec_id = s.neighbor_id " +
+       "JOIN dq ON dq.query_id = s.query_id), " +
+       "dranked AS (SELECT query_id, neighbor_id, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM drr), " +
+       "cand AS (SELECT query_id, doc_id, " +
+       "CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c " +
+       "FROM ranked WHERE rank <= 10 AND query_id < 2000 " +
        "UNION ALL SELECT query_id, neighbor_id, " +
        "CAST(round(1000000.0 / (60 + rank)) AS BIGINT) FROM dranked WHERE rank <= 10), " +
        "fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro, " +

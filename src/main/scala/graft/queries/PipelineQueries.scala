@@ -477,7 +477,7 @@ object PipelineQueries {
   /** DuckDB twin of the engine's cosine fold (no zero-norm branch — the
     * testdata embeddings and every mean of them have positive norm; same
     * convention as the sim_topk_ivf oracle). */
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
     s"(sqrt(list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * " +
     s"sqrt(list_sum(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
@@ -507,7 +507,7 @@ object PipelineQueries {
     "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
 
   /** DuckDB twin of the engine's inner-product fold (the ADC table entry). */
-  private def ipSql(a: String, b: String): String =
+  private[queries] def ipSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 
   /** One DuckDB PQ Lloyd round against codebook CTE `prev` (the twin of
@@ -515,7 +515,7 @@ object PipelineQueries {
     * per-(vector, subspace) L2 argmin with (dist, code) tiebreak,
     * micro-quantized means per (sub, code, spos), empty cells keep the
     * previous codeword. Emits CTEs a$j / m$j / c$j. */
-  private def pqRoundSql(j: Int, prev: String, src: String = "embeddings"): String =
+  private[queries] def pqRoundSql(j: Int, prev: String, src: String = "embeddings"): String =
     s"a$j AS (SELECT vec_id, sub, code FROM (" +
     s"SELECT e.vec_id, p.sub, p.code, row_number() OVER (PARTITION BY e.vec_id, p.sub ORDER BY " +
     l2Sql("e.embedding[p.sub*8+1 : p.sub*8+8]", "p.cvec") + s" ASC, p.code) AS rn " +
@@ -575,7 +575,7 @@ object PipelineQueries {
     s"FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT 8)) s " +
     "CROSS JOIN generate_series(0, 7) i(sub))"
 
-  private val PqSeedsSql: String = pqSeedsSql()
+  private[queries] val PqSeedsSql: String = pqSeedsSql()
 
   /** DuckDB twin of one [[Corpus]] unigram Viterbi pass over a
     * (w, cnt) words CTE under a (piece, sc) score CTE: the per-position

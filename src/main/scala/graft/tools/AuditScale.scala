@@ -86,7 +86,8 @@ object AuditScale {
     "graph_related_items", "events_session_copurchase", "corpus_apply_changes",
     "corpus_scd2_asof", "dq_calibration", "corpus_quantile_normalize_frozen",
     "events_resample_daily", "dq_ref_integrity",
-    "dq_suggest", "search_hybrid_rrf", "search_bm25_expanded",
+    "dq_suggest", "search_hybrid_rrf", "search_hybrid_rrf_ann",
+    "search_bm25_expanded",
     "events_top_paths", "events_transitions", "events_attribution",
     "events_attribution_incremental", "events_anomaly_daily",
     "agg_kll_mergeable", "agg_freq_mergeable", "corpus_weighted_sample",
@@ -207,6 +208,9 @@ object AuditScale {
       // expansion embeds the same bm25 constants in both rounds; PMI
       // crossJoins its broadcast 1-row totals aggregate
       "search_hybrid_rrf", "search_bm25_expanded", "text_pmi_bigrams",
+      // the indexed hybrid embeds bm25's 1-row constants AND the IVF×PQ
+      // broadcast sides (codebook/centroid crossJoins, probe cells)
+      "search_hybrid_rrf_ann",
       // the eval query embeds the brute-force dense retriever it measures
       "search_eval_ndcg",
       // the skew report's 1-row total rides a broadcast crossJoin against
