@@ -42,7 +42,20 @@ object Graph {
     * Scale shape: per iteration exactly two shuffles — the ranks⋈edges
     * join on src and the contribution sum on dst — both on graph keys,
     * nothing driver-side; each round is checkpointed so the plan stays
-    * O(1) deep regardless of `iterations`. Overflow bound: per-target
+    * O(1) deep regardless of `iterations`. The out-degree is loop-
+    * invariant, so it is folded into the NODE frame once (checkpointed)
+    * and threaded through the rank frame: the per-source damped quotient
+    * is computed ROW-LOCALLY on the O(nodes) rank table (one divide per
+    * source per round, not per edge) and only (src, contribution) fans
+    * onto the narrow (src, dst) edge list — the big per-round shuffle
+    * carries two graph keys and one long (r16 squeeze). That join hints
+    * SHUFFLE_HASH with the rank slice as build side: a sort-merge join
+    * would re-sort the checkpointed edge list EVERY round (the partition
+    * info is lost at the checkpoint boundary), while the hash build is
+    * the O(nodes/partitions) side — size `spark.sql.shuffle.partitions`
+    * so a rank partition fits executor memory, the same dial every other
+    * key-reduce here already needs; AQE's skew-split still applies to the
+    * probe (edge) side. Overflow bound: per-target
     * sums stay within Long for total graph mass up to ~9·10¹² micro-units
     * per receiving node; the damping multiply needs any SINGLE node's rank
     * below ~10¹³ micro (≈10⁷ nodes' worth of mass concentrated on one
@@ -64,27 +77,33 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("__deg"))
-    // edges with out-degree attached, checkpointed once: the loop's join
-    // input never recomputes the distinct or the degree reduce
-    val ewd = truncate(e0.join(deg, Seq("src")))
+    // the NARROW edge list, checkpointed once: the loop's big join input
+    // never recomputes the distinct and carries no degree payload
+    val ek = truncate(e0)
+    // nodes carry their loop-invariant out-degree (NULL = sink, which
+    // receives but contributes nothing), computed and checkpointed once
+    // and threaded through the rank frame across rounds
+    val deg = ek.groupBy("src").agg(count(lit(1)).as("__deg"))
     val nodes = truncate(
-      e0.select(col("src").as("id")).union(e0.select(col("dst").as("id"))).distinct())
+      ek.select(col("src").as("id")).union(ek.select(col("dst").as("id"))).distinct()
+        .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left"))
     var ranks = truncate(nodes.withColumn("rank_micro", lit(1000000L)))
     var inflight: DataFrame = null
     try {
       var i = 0
       while (i < iterations) {
-        val contrib = ewd
-          .join(ranks, ewd("src") === ranks("id"))
-          // `div` is Spark's exact integer floor-division on longs — the
-          // double `/` would round above 2^53 and break bit-reproducibility
-          .select(col("dst"),
+        // per-source damped quotient, ROW-LOCAL on the O(nodes) rank
+        // frame: one divide per source per round, not one per edge.
+        // `div` is Spark's exact integer floor-division on longs — the
+        // double `/` would round above 2^53 and break bit-reproducibility
+        val srcC = ranks.filter(col("__deg").isNotNull)
+          .select(col("id").as("src"),
             expr(s"(${dampingMicro}L * (rank_micro div __deg)) div 1000000L").as("__c"))
+        val contrib = ek.join(srcC.hint("shuffle_hash"), Seq("src"))
           .groupBy("dst").agg(sum(col("__c")).as("__s"))
         val next = truncate(
           nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-            .select(nodes("id"),
+            .select(nodes("id"), nodes("__deg"),
               (lit(base) + coalesce(col("__s"), lit(0L))).as("rank_micro")))
         inflight = next
         graftbridge.freeCheckpoint(ranks)
@@ -96,13 +115,13 @@ object Graph {
       case t: Throwable =>
         if (inflight != null && (inflight ne ranks)) graftbridge.freeCheckpoint(inflight)
         graftbridge.freeCheckpoint(ranks)
-        graftbridge.freeCheckpoint(ewd)
+        graftbridge.freeCheckpoint(ek)
         graftbridge.freeCheckpoint(nodes)
         throw t
     }
-    graftbridge.freeCheckpoint(ewd)
+    graftbridge.freeCheckpoint(ek)
     graftbridge.freeCheckpoint(nodes)
-    ranks
+    ranks.select("id", "rank_micro")
   }
 
   /** Personalized PageRank (integer form): [[pageRankInt]] with the
@@ -137,27 +156,32 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("__deg"))
-    val ewd = truncate(e0.join(deg, Seq("src")))
+    // the pageRankInt r16 loop shape: narrow checkpointed edge list, the
+    // loop-invariant out-degree folded into the node frame (NULL = sink),
+    // per-source damped quotient computed row-locally per round
+    val ek = truncate(e0)
+    val deg = ek.groupBy("src").agg(count(lit(1)).as("__deg"))
     val seedSet = seeds.select(col(seedIdCol).as("id"), lit(1L).as("__seed")).distinct()
     val nodes = truncate(
-      e0.select(col("src").as("id")).union(e0.select(col("dst").as("id"))).distinct()
+      ek.select(col("src").as("id")).union(ek.select(col("dst").as("id"))).distinct()
         .join(broadcast(seedSet), Seq("id"), "left")
-        .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed")))
+        .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+        .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left"))
     var ranks = truncate(
-      nodes.select(col("id"), (col("__seed") * lit(1000000L)).as("rank_micro")))
+      nodes.select(col("id"), col("__seed"), col("__deg"),
+        (col("__seed") * lit(1000000L)).as("rank_micro")))
     var inflight: DataFrame = null
     try {
       var i = 0
       while (i < iterations) {
-        val contrib = ewd
-          .join(ranks, ewd("src") === ranks("id"))
-          .select(col("dst"),
+        val srcC = ranks.filter(col("__deg").isNotNull)
+          .select(col("id").as("src"),
             expr(s"(${dampingMicro}L * (rank_micro div __deg)) div 1000000L").as("__c"))
+        val contrib = ek.join(srcC.hint("shuffle_hash"), Seq("src"))
           .groupBy("dst").agg(sum(col("__c")).as("__s"))
         val next = truncate(
           nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-            .select(nodes("id"),
+            .select(nodes("id"), nodes("__seed"), nodes("__deg"),
               (nodes("__seed") * lit(base) + coalesce(col("__s"), lit(0L)))
                 .as("rank_micro")))
         inflight = next
@@ -170,13 +194,13 @@ object Graph {
       case t: Throwable =>
         if (inflight != null && (inflight ne ranks)) graftbridge.freeCheckpoint(inflight)
         graftbridge.freeCheckpoint(ranks)
-        graftbridge.freeCheckpoint(ewd)
+        graftbridge.freeCheckpoint(ek)
         graftbridge.freeCheckpoint(nodes)
         throw t
     }
-    graftbridge.freeCheckpoint(ewd)
+    graftbridge.freeCheckpoint(ek)
     graftbridge.freeCheckpoint(nodes)
-    ranks
+    ranks.select("id", "rank_micro")
   }
 
   /** Cluster-size audit over a connected-components labeling (any
