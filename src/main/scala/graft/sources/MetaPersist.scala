@@ -60,7 +60,9 @@ object MetaPersist {
     MetaFrame(spark.read.parquet(path), readSidecar(path))
 
   /** Persists a TRAINED-MODEL table (unigram/bigram LM counts, IVF
-    * centroids, quantization tables, …) with its training parameters in the
+    * centroids, quantization tables, BPE merge tables / unigram
+    * vocabularies via the [[graft.operators.Corpus]] kind wrappers, …)
+    * with its training parameters in the
     * sidecar, tagged `model -> kind` — the train-once/score-batches flow
     * (`Corpus.lmCounts` → `lmScoreAgainst`, `Similarity.trainCentroids` →
     * `ivfTopK`) otherwise dies with the session. Counts are exact longs and

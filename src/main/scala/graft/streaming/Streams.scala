@@ -675,6 +675,20 @@ object Streams {
       textCol: String): DataFrame =
     graft.operators.Corpus.bpeSegmentFast(stream, idCol, textCol, merges)
 
+  /** [[bpeSegmentFastStream]] against a PERSISTED merge table — loads the
+    * artifact through the kind-tagged model contract
+    * ([[graft.operators.Corpus.readBpeModel]]), so a path pointing at any
+    * other model kind fails loudly at query start instead of silently
+    * serving the wrong vocabulary for the stream's lifetime. */
+  def bpeSegmentFastStream(
+      stream: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      modelPath: String,
+      idCol: String,
+      textCol: String): DataFrame =
+    bpeSegmentFastStream(stream,
+      graft.operators.Corpus.readBpeModel(spark, modelPath), idCol, textCol)
+
   /** Streaming unigram-LM segmentation against a FROZEN
     * [[graft.operators.Corpus.unigramTrain]] vocabulary — the same
     * train-once / serve-streams contract as [[bpeSegmentStream]]: scores
@@ -689,6 +703,18 @@ object Streams {
     // the row-local form: the batch operator's Zipf distinct+join would
     // carry unbounded word state on a stream (bit-equal output either way)
     graft.operators.Corpus.unigramSegmentRowLocal(stream, idCol, textCol, vocab)
+
+  /** [[unigramSegmentStream]] against a PERSISTED vocabulary — the
+    * kind-tagged load contract ([[graft.operators.Corpus.readUnigramModel]]):
+    * a wrong-kind artifact fails at query start, never serves silently. */
+  def unigramSegmentStream(
+      stream: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      modelPath: String,
+      idCol: String,
+      textCol: String): DataFrame =
+    unigramSegmentStream(stream,
+      graft.operators.Corpus.readUnigramModel(spark, modelPath), idCol, textCol)
 
   /** Streaming Gopher document-quality rules — `Corpus.gopherRules` is one
     * row-local projection of exact integer signals, so the identical plan

@@ -1121,6 +1121,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == vocab.toSet)
   }
 
+  test("tokenizer model persistence: kind-tagged round-trip segments bit-identically, wrong kind refused") {
+    import spark.implicits._
+    import graft.streaming.Streams
+    val docs = Seq(
+      (1L, "banana banana bandana"),
+      (2L, "banana band and sand")).toDF("doc_id", "text")
+    val serve = Seq((9L, "banana bandana sandbox")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_tok").toString
+    // BPE: persisted merge table serves exactly like the in-session one
+    val merges = Corpus.bpeTrain(docs, "text", nMerges = 3)
+    Corpus.writeBpeModel(merges, s"$base/bpe", Map("nMerges" -> 3))
+    val bpeLoaded = Corpus.readBpeModel(spark, s"$base/bpe")
+    val live = Corpus.bpeSegmentFast(serve, "doc_id", "text", merges)
+      .collect().map(_.toSeq).toSet
+    val reloaded = Corpus.bpeSegmentFast(serve, "doc_id", "text", bpeLoaded)
+      .collect().map(_.toSeq).toSet
+    assert(live == reloaded, "reloaded merge table must segment bit-identically")
+    // unigram: same contract
+    val vocab = Corpus.unigramTrain(docs, "text", vocabSize = 20, seedSize = 30)
+    Corpus.writeUnigramModel(vocab, s"$base/uni", Map("vocabSize" -> 20))
+    val uniLive = Corpus.unigramSegment(serve, "doc_id", "text", vocab)
+      .collect().map(_.toSeq).toSet
+    val uniReloaded = Corpus.unigramSegment(serve, "doc_id", "text",
+        Corpus.readUnigramModel(spark, s"$base/uni"))
+      .collect().map(_.toSeq).toSet
+    assert(uniLive == uniReloaded, "reloaded vocabulary must segment bit-identically")
+    // wrong-kind loads fail LOUDLY at load, not silently downstream —
+    // including through the streaming path-taking overloads
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.readBpeModel(spark, s"$base/uni")
+    }
+    assert(e1.getMessage.contains("bpe_merges"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.unigramSegmentStream(serve, spark, s"$base/bpe", "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("unigram_vocab"), e2.getMessage)
+    // the path-taking streaming overloads serve the loaded artifact
+    // (row-local plans — the same call works on batch frames)
+    val viaPath = Streams.bpeSegmentFastStream(serve, spark, s"$base/bpe", "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(viaPath == live)
+    assert(Streams.unigramSegmentStream(serve, spark, s"$base/uni", "doc_id", "text")
+      .count() > 0)
+  }
+
   test("MinHash sketch aggregate estimates set Jaccard within tolerance") {
     import spark.implicits._
     import graft.expressions.MinHashSketchAgg.{minhashSketch, sketchJaccard}
