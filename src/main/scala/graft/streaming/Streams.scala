@@ -123,6 +123,43 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("wstart"), col("window.end").as("wend"), col("n_events"))
 
+  /** Watermarked STREAM-STREAM interval join — the click↔impression
+    * attribution shape (r15 verdict #8: the one Structured Streaming
+    * capability class the engine never touched): each right-side event
+    * joins left-side events with the same key whose event time it follows
+    * within `maxDelaySeconds`. Both sides carry watermarks and the join
+    * condition bounds BOTH event-time columns, so Spark's symmetric
+    * state-store join provably evicts: a left row's state lives until the
+    * global watermark passes `leftTs + maxDelay + lateness`, a right
+    * row's until its own lateness — without the time bound the state
+    * would grow with the stream, the classic unbounded-join mistake.
+    *
+    * Output mode: APPEND only (Spark's supported mode for stream-stream
+    * inner joins — matches emit as they form; update/complete are
+    * rejected by the engine). The same call on two BATCH frames is the
+    * plain interval join, which is exactly what StreamingSpec pins the
+    * streamed result against.
+    *
+    * Rename join keys apart before calling (the condition references both
+    * by name). Inner joins only here; outer stream-stream joins need a
+    * null-emission delay policy the caller must own. */
+  def streamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      maxDelaySeconds: Long,
+      lateness: String = "0 seconds"): DataFrame = {
+    require(maxDelaySeconds > 0, "maxDelaySeconds must be positive")
+    left.withWatermark(leftTs, lateness)
+      .join(right.withWatermark(rightTs, lateness),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelaySeconds SECONDS"))
+  }
+
   /** Streaming dedup bounded by watermark (maps to the reference-visible
     * `dropDuplicatesWithinWatermark`; no pk metadata — SURVEY §2.2j). */
   def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =

@@ -57,6 +57,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream interval join matches the batch join and evicts expired state") {
+    import spark.implicits._
+    // impressions and clicks: click attributes to an impression with the
+    // same ad key within 10 minutes
+    val imp = MemoryStream[(Long, Timestamp)](spark)
+    val clk = MemoryStream[(Long, Timestamp)](spark)
+    val impDf = imp.toDF().toDF("ad", "imp_ts")
+    val clkDf = clk.toDF().toDF("cad", "click_ts")
+    val joined = Streams.streamIntervalJoin(impDf, clkDf,
+        "ad", "cad", "imp_ts", "click_ts", maxDelaySeconds = 600)
+      .select(col("ad"), col("imp_ts"), col("click_ts"))
+    // APPEND is the only output mode Spark supports for stream-stream
+    // inner joins — this query starting at all IS the mode pin
+    val q = Streams.runToMemory(joined, "ssjoin_out", OutputMode.Append())
+    try {
+      // batch 1: one attributable click (10:05 − 10:00 ≤ 10 min), one
+      // out-of-window click (10:31 − 10:20 > 10 min)
+      imp.addData((7L, ts(0)), (8L, ts(20)))
+      clk.addData((7L, ts(5)), (8L, ts(31)))
+      q.processAllAvailable()
+      val onTime = spark.table("ssjoin_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(onTime == Set((7L, ts(0), ts(5))), onTime.toString)
+      // the SAME call on batch frames is the plain interval join — the
+      // streamed result must match it row for row on the same data
+      val batch = Streams.streamIntervalJoin(
+          Seq((7L, ts(0)), (8L, ts(20))).toDF("ad", "imp_ts"),
+          Seq((7L, ts(5)), (8L, ts(31))).toDF("cad", "click_ts"),
+          "ad", "cad", "imp_ts", "click_ts", maxDelaySeconds = 600)
+        .select(col("ad"), col("imp_ts"), col("click_ts"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(batch == onTime, s"stream ≡ batch violated: $batch vs $onTime")
+      // advance BOTH watermarks far past imp 7's join window
+      // (10:00 + 10 min); its state-store entry is now evictable
+      imp.addData((99L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      clk.addData((98L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // a click inside imp 7's window but behind the watermark arrives
+      // late: the evicted state must NOT produce a join row
+      clk.addData((7L, ts(8)))
+      q.processAllAvailable()
+      val afterLate = spark.table("ssjoin_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(afterLate == onTime,
+        s"late click joined against evicted state: $afterLate")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated event ids") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)
