@@ -291,17 +291,28 @@ object Bench {
         val totalGate =
           if (total > 2 * 5.971) Seq(f"total ${total}%.2fs exceeds 2x of the 5.97s baseline")
           else Nil
-        // ops rows gate at 2x their first-measurement anchors (seconds —
-        // regression direction is UP); re-anchor to the committed
-        // BENCH_r13.json once it exists, per the streaming convention
+        // ops rows gate at 2x their anchors (seconds — regression
+        // direction is UP); re-anchor to the committed artifact of the
+        // round that changed a row, per the streaming convention
         val opsAnchors = Map(
-          "ops_session_stats_sec" -> 0.371, "ops_funnel_sec" -> 0.243,
+          "ops_session_stats_sec" -> 0.371,
+          // re-anchored r16 to the committed BENCH_r15.json quiet driver
+          // median (0.444): the original 0.243 first-measurement anchor
+          // was tight enough that ORDINARY machine contention tripped the
+          // 2x gate twice (r15 judge contended run 0.491; same signature
+          // as the r14 dedup flag) on byte-unchanged code — r15 verdict #9
+          "ops_funnel_sec" -> 0.444,
           "ops_pagerank_sec" -> 3.472, "ops_bm25_sec" -> 1.133,
           // first anchor from the round-13 scale-audit subset measurement
           "ops_hybrid_rrf_sec" -> 2.25)
-        val opsGate = opsRows.flatMap { case (n, v, _, _) =>
-          opsAnchors.get(n).filter(a => v > 2.0 * a)
-            .map(a => f"$n $v%.2fs above 2x of anchor $a%.2fs")
+        // the gate compares median MINUS trimmed spread to 2x anchor:
+        // contention inflates median and spread together, so a contended
+        // run self-discounts, while a real regression moves the median
+        // with a tight spread and still trips — r15 verdict #9's
+        // "median-minus-spread" band, applied to every ops row
+        val opsGate = opsRows.flatMap { case (n, v, _, sp) =>
+          opsAnchors.get(n).filter(a => v - sp > 2.0 * a)
+            .map(a => f"$n $v%.2fs (-$sp%.2fs spread) above 2x of anchor $a%.2fs")
         }
         totalGate ++ streamRows.flatMap { case (n, v, _) =>
           anchors.get(n).filter(a => v < 0.6 * a)
