@@ -784,4 +784,56 @@ object Checks {
     df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.parallelize(out, 1), outSchema)
   }
+
+  /** Benford expected first-digit shares, micro-quantized: round(log₁₀(1 +
+    * 1/d) · 10⁶). The nine literals sum to exactly 1,000,000 — a
+    * compile-time table both the engine and the declared-query oracle
+    * interpolate from THIS constant, so the two cannot drift. */
+  val BenfordExpectedMicro: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford first-significant-digit audit — the classic fabricated-data
+    * / synthetic-flood detector for amount-like columns (invoice totals,
+    * transaction values, populations): natural multi-magnitude data puts
+    * ~30.1% of first digits at 1, while generated or template data is
+    * typically uniform-ish. One row per digit 1–9 with observed count,
+    * observed and expected micro shares, and the signed deviation.
+    *
+    * DETERMINISM: the first significant digit is read from the value's
+    * DECIMAL(18,2) rendering (exact, engine-stable formatting; the
+    * repo-wide dsum convention) with every non-[1-9] character stripped —
+    * so sign, leading zeros and the point drop out and sub-0.005 values
+    * (which round to 0.00) are excluded along with zeros and NULLs.
+    * `obs_micro` quantizes once; `exp_micro` is the
+    * [[BenfordExpectedMicro]] literal table.
+    *
+    * Scale shape: one row-local digit projection, one 9-key reduce with
+    * map-side partials, the 1-row total on a broadcast crossJoin, grid
+    * join over 9 rows. Returns (digit, n, obs_micro, exp_micro,
+    * dev_micro) ordered by digit. */
+  def benfordCheck(df: DataFrame, valueCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .select(regexp_replace(
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .cast("string"), "[^1-9]", "").as("__sig"))
+      .filter(col("__sig") =!= "")
+      .select(substring(col("__sig"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val grid = BenfordExpectedMicro.toDF("digit", "exp_micro")
+    val total = counts.agg(sum(col("n")).as("__t"))
+    grid.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"), col("exp_micro"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        when(col("__t") > 0L,
+          round(col("n") * lit(1000000.0) / col("__t")).cast("long"))
+          .otherwise(lit(0L)).as("obs_micro"),
+        col("exp_micro"))
+      .withColumn("dev_micro", col("obs_micro") - col("exp_micro"))
+      .orderBy("digit")
+  }
 }

@@ -914,6 +914,14 @@ object OpsQueries {
       Events.abTest(units, "variant", "converted").orderBy("variant")
     }),
 
+    // Benford first-digit audit over order totals (r16): the
+    // fabricated-data / synthetic-flood detector — observed micro share
+    // per digit 1-9 against the log10(1+1/d) expectation; the synthetic
+    // totals' near-uniform head (digits 1-4 at ~22% each) shows up as
+    // large positive dev_micro exactly as designed
+    "dq_benford" -> ((s, d) =>
+      Checks.benfordCheck(t(s, d, "orders").df, "o_totalprice")),
+
     // chi-square homogeneity over the same crawl_v2 canary as psi_cat —
     // the same domain machinery, Pearson terms instead of the divergence
     "dq_drift_chi2" -> ((s, d) => {
@@ -2243,6 +2251,27 @@ object OpsQueries {
        "FROM z ORDER BY variant"),
 
     "graph_lpa" -> LpaOracle(3),
+
+    // first significant digit from the DECIMAL(18,2) rendering (exact,
+    // engine-stable), 9-row grid, expected micro table interpolated from
+    // the engine's own BenfordExpectedMicro constant (cannot drift)
+    "dq_benford" ->
+      ("WITH d AS (SELECT regexp_replace(CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+       "AS VARCHAR), '[^1-9]', '', 'g') AS sig FROM orders " +
+       "WHERE o_totalprice IS NOT NULL), " +
+       "c AS (SELECT CAST(substr(sig, 1, 1) AS INTEGER) AS digit, count(*) AS n " +
+       "FROM d WHERE sig <> '' GROUP BY 1), " +
+       "grid AS (SELECT * FROM (VALUES " +
+       graft.operators.Checks.BenfordExpectedMicro
+         .map { case (dg, e) => s"($dg, $e)" }.mkString(", ") +
+       ") AS g(digit, exp_micro)), " +
+       "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c), " +
+       "j AS (SELECT g.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n, " +
+       "CASE WHEN t.total > 0 THEN CAST(round(coalesce(c.n, 0) * 1000000.0 / t.total) " +
+       "AS BIGINT) ELSE 0 END AS obs_micro, CAST(g.exp_micro AS BIGINT) AS exp_micro " +
+       "FROM grid g LEFT JOIN c USING (digit), t) " +
+       "SELECT digit, n, obs_micro, exp_micro, obs_micro - exp_micro AS dev_micro " +
+       "FROM j ORDER BY digit"),
 
     // psi_cat's domain machinery, Pearson homogeneity terms — each term
     // quantized once so the statistic is the exact long sum of the rows

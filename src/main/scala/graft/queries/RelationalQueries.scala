@@ -603,6 +603,31 @@ object RelationalQueries {
         .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
           count(lit(1)).as("n_small"))
     }),
+
+    // q22 shape: the NOT-EXISTS + global-scalar-avg correlated topology —
+    // positive-balance customers in selected code classes (custkey mod 7
+    // standing in for the phone country code), above the class-set's own
+    // average balance, with NO order in the probe quarter (a date-sliced
+    // anti join — the unsliced form matches nobody on this dense data).
+    // Decorrelated Spark-first: the average is ONE 1-row aggregate
+    // broadcast back; the NOT EXISTS is a left-anti hash join against
+    // the date-pruned orders scan.
+    "tpch_q22_sales_opportunity" -> ((s, d) => {
+      val pos = t(s, d, "customer").df
+        .filter(col("c_acctbal") > 0.0 && (col("c_custkey") % 7).isin(1L, 3L, 5L))
+        .select(col("c_custkey"), col("c_acctbal"), (col("c_custkey") % 7).as("cc"))
+      val avgbal = pos.agg((dsum(col("c_acctbal")) / count(lit(1))).as("ab"))
+      val recent = t(s, d, "orders").df
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-03-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      pos.crossJoin(broadcast(avgbal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cc")
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cc")
+    }),
   )
 
   val flagshipOracleSql: Map[String, String] = Map(
@@ -713,6 +738,19 @@ object RelationalQueries {
        "count(*) AS n_small " +
        "FROM lineitem JOIN lim ON lineitem.l_partkey = lim.l_partkey " +
        "WHERE l_quantity < qlim"),
+
+    "tpch_q22_sales_opportunity" ->
+      ("WITH pos AS (SELECT c_custkey, c_acctbal, c_custkey % 7 AS cc " +
+       "FROM customer WHERE c_acctbal > 0.0 AND c_custkey % 7 IN (1, 3, 5)), " +
+       "avgbal AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+       "/ count(*) AS ab FROM pos), " +
+       "sel AS (SELECT pos.* FROM pos, avgbal WHERE c_acctbal > ab " +
+       "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+       "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+       "AND o_orderdate < TIMESTAMP '1996-03-01')) " +
+       "SELECT cc, count(*) AS numcust, " +
+       "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal " +
+       "FROM sel GROUP BY cc ORDER BY cc"),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -126,8 +126,11 @@ object AuditScale {
     "tpch_q10_returned_items",
     // round-16 wave: q13 (COUNT-bug left-outer distribution — two key
     // reduces after one customer↔orders hash join), q17 (decorrelated
-    // scalar-avg — one per-part aggregate broadcast back onto the fact)
-    "tpch_q13_customer_distribution", "tpch_q17_small_quantity")
+    // scalar-avg — one per-part aggregate broadcast back onto the fact),
+    // q22 (anti hash join under a broadcast 1-row average), Benford
+    // (row-local digit projection + 9-key reduce + broadcast total)
+    "tpch_q13_customer_distribution", "tpch_q17_small_quantity",
+    "tpch_q22_sales_opportunity", "dq_benford")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -255,7 +258,10 @@ object AuditScale {
       "dq_drift_chi2", "events_trend_slope", "sim_topk_rp",
       // 1-row broadcast sides: the WAU day-bound and the CUSUM global
       // day-bounds ride broadcast crossJoins (the trendSlope shape)
-      "events_rolling_wau", "events_changepoint_cusum")
+      "events_rolling_wau", "events_changepoint_cusum",
+      // q22's 1-row average and Benford's 1-row total ride broadcast
+      // crossJoins by construction
+      "tpch_q22_sales_opportunity", "dq_benford")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(
@@ -341,6 +347,17 @@ object AuditScale {
       "embedding_multitable_operator" -> ((s: SparkSession, d: String) =>
         Dedup.embeddingNearDupMultiTable(Tables.load(s, d, "embeddings"),
           "vec_id", "embedding", dim = 64, threshold = 0.3)),
+      // the DIALED-DOWN single-box configuration (r15 verdict #1): an 8×
+      // smaller targetBucketSize raises nbits and recomputes K, cutting
+      // the ~n·bucket·K candidate constant so ONE box's disk holds the
+      // shuffle — the documented cost dial, measured rather than claimed.
+      // (At threshold 0.3 this is an explicit recall trade past the K<=32
+      // cap; the audit row gates COST shape, the declared query gates
+      // recall at defaults.)
+      "embedding_multitable_dialed_operator" -> ((s: SparkSession, d: String) =>
+        Dedup.embeddingNearDupMultiTable(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", dim = 64, threshold = 0.3,
+          targetBucketSize = 128L)),
       // isolates the batch-vs-STORE winnow join of the ingestion pipeline
       // (the stage the SCALE_r11 watch item names for the composite's
       // 11.1x): store = 90% of the corpus, batch = 10% — BOTH sides scale

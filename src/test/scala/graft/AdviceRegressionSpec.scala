@@ -824,19 +824,20 @@ class AdviceRegressionSpec extends AnyFunSuite {
 
   test("scoreChi2Against survives an empty micro-batch under ANSI mode") {
     import graft.operators.Checks
-    val spark2 = spark
-    import spark2.implicits._
+    // an ISOLATED session (own SQLConf, shared context): flipping ANSI on
+    // the shared test session races concurrently-running suites — the
+    // first version of this test did exactly that and broke three
+    // StreamingSpec batch legs mid-flight
+    val ansiSpark = spark.newSession()
+    ansiSpark.conf.set("spark.sql.ansi.enabled", "true")
+    import ansiSpark.implicits._
     val ref = Seq("web", "web", "web", "books", "books").toDF("source")
     val baseline = Checks.chi2Baseline(ref, "source", maxCategories = 3)
     val empty = Seq.empty[String].toDF("source")
-    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
-    try {
-      spark.conf.set("spark.sql.ansi.enabled", "true")
-      val rows = Checks.scoreChi2Against(empty, baseline, "source").collect()
-      assert(rows.nonEmpty)
-      // every zero-expected cell contributes an explicit 0 term — the ref
-      // side carries all the mass, so each term is (ref−ref)²/eRef = 0 too
-      assert(rows.forall(!_.isNullAt(rows.head.fieldIndex("chi2_term_micro"))))
-    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    val rows = Checks.scoreChi2Against(empty, baseline, "source").collect()
+    assert(rows.nonEmpty)
+    // every zero-expected cell contributes an explicit 0 term — the ref
+    // side carries all the mass, so each term is (ref−ref)²/eRef = 0 too
+    assert(rows.forall(!_.isNullAt(rows.head.fieldIndex("chi2_term_micro"))))
   }
 }

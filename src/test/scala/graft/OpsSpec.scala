@@ -1320,6 +1320,30 @@ class OpsSpec extends AnyFunSuite {
 
   // --------------------------------------------------- round-15 second wave
 
+  test("benfordCheck: signs/zeros/sub-cents excluded, zero-count digits gridded, shares sum to ~1e6") {
+    import spark.implicits._
+    import graft.operators.Checks
+    // first digits: 123.45→1, -234.5→2 (sign stripped), 0.07→7 (leading
+    // zeros and the point stripped), 0.004→rounds to 0.00→excluded,
+    // 0→excluded, NULL→excluded
+    val df = Seq(Option(123.45), Option(-234.5), Option(0.07), Option(0.004),
+      Option(0.0), Option.empty[Double], Option(1999.0), Option(150.0))
+      .toDF("v")
+    val rows = Checks.benfordCheck(df, "v").collect()
+    assert(rows.length == 9, "all nine digits gridded")
+    val byDigit = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit == Map(1 -> 3L, 2 -> 1L, 3 -> 0L, 4 -> 0L, 5 -> 0L,
+      6 -> 0L, 7 -> 1L, 8 -> 0L, 9 -> 0L), byDigit.toString)
+    // expected table sums to exactly 1e6; observed shares to 1e6 ± 9
+    assert(rows.map(_.getLong(3)).sum == 1000000L)
+    assert(math.abs(rows.map(_.getLong(2)).sum - 1000000L) <= 9L)
+    val d1 = rows.find(_.getInt(0) == 1).get
+    assert(d1.getLong(4) == d1.getLong(2) - 301030L, "dev = obs - exp")
+    // empty input: zero counts, zero shares, no NaN/division error
+    val empty = Checks.benfordCheck(Seq.empty[Double].toDF("v"), "v").collect()
+    assert(empty.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
   test("driftKs: zero on identical samples; 1.0 on disjoint; partial shift in between; ks_at ties break low") {
     val spark2 = spark
     import spark2.implicits._

@@ -556,6 +556,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no runtime subquery execution expected in:\n$plan")
   }
 
+  test("q22 shape: the NOT-EXISTS anti join stays a hash join; the scalar avg broadcasts") {
+    val df = graft.SparkEntry.queries("tpch_q22_sales_opportunity")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q22 must never plan a cartesian:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected the anti role in:\n$plan")
+    // the 1-row average rides a broadcast (BNLJ on a 1-row build is the
+    // intended crossJoin shape, not a scale hazard)
+    assert(plan.contains("Broadcast"), s"expected the broadcast avg in:\n$plan")
+  }
+
   test("driftKs: the ECDF cumulative window is bucket-partitioned, never one global sort partition") {
     import graft.operators.Checks
     val li = t("lineitem").df
