@@ -358,6 +358,16 @@ object AuditScale {
         Dedup.embeddingNearDupMultiTable(Tables.load(s, d, "embeddings"),
           "vec_id", "embedding", dim = 64, threshold = 0.3,
           targetBucketSize = 128L)),
+      // the dial's next notch for the 100× single-box rehearsal: at 500k
+      // vectors the 128 dial's ~2.05e9-candidate bound still exhausts one
+      // box's hash-aggregate memory (measured r16: heap OOM at 64g during
+      // the candidate dedup) — 32 bounds it at ~5.1e8, which fits. The
+      // dial is continuous; a box picks the notch its memory affords, a
+      // cluster runs the defaults.
+      "embedding_multitable_dialed32_operator" -> ((s: SparkSession, d: String) =>
+        Dedup.embeddingNearDupMultiTable(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", dim = 64, threshold = 0.3,
+          targetBucketSize = 32L)),
       // isolates the batch-vs-STORE winnow join of the ingestion pipeline
       // (the stage the SCALE_r11 watch item names for the composite's
       // 11.1x): store = 90% of the corpus, batch = 10% — BOTH sides scale
