@@ -628,6 +628,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy("cc")
     }),
+
+    // q16 shape: parts-supplier relationship counting — NOT-IN supplier
+    // exclusion (decorrelated to a left-anti join; the excl set is
+    // non-null by construction, so anti ≡ NOT IN) over the DISTINCT
+    // lineitem part↔supplier bridge, then a grouped COUNT DISTINCT.
+    // Fully deterministic ordering: count desc, then the unique group
+    // key ascending.
+    "tpch_q16_supplier_cnt" -> ((s, d) => {
+      val excl = t(s, d, "supplier").df
+        .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey"))
+      val ps = t(s, d, "lineitem").df
+        .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+        .distinct()
+      ps.join(t(s, d, "part").df, col("partkey") === col("p_partkey"))
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 2, 3, 4, 5))
+        .join(broadcast(excl), col("suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count_distinct(col("suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+    }),
   )
 
   val flagshipOracleSql: Map[String, String] = Map(
@@ -751,6 +772,18 @@ object RelationalQueries {
        "SELECT cc, count(*) AS numcust, " +
        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal " +
        "FROM sel GROUP BY cc ORDER BY cc"),
+
+    "tpch_q16_supplier_cnt" ->
+      ("WITH excl AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0), " +
+       "ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem), " +
+       "j AS (SELECT p_brand, p_type, p_size, suppkey FROM ps " +
+       "JOIN part ON partkey = p_partkey " +
+       "WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' AND p_size IN (1,2,3,4,5) " +
+       "AND suppkey NOT IN (SELECT s_suppkey FROM excl)) " +
+       "SELECT p_brand, p_type, p_size, " +
+       "CAST(count(DISTINCT suppkey) AS BIGINT) AS supplier_cnt " +
+       "FROM j GROUP BY 1, 2, 3 " +
+       "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -130,7 +130,9 @@ object AuditScale {
     // q22 (anti hash join under a broadcast 1-row average), Benford
     // (row-local digit projection + 9-key reduce + broadcast total)
     "tpch_q13_customer_distribution", "tpch_q17_small_quantity",
-    "tpch_q22_sales_opportunity", "dq_benford")
+    "tpch_q22_sales_opportunity", "dq_benford",
+    // q16: distinct bridge reduce + anti hash join + grouped distinct
+    "tpch_q16_supplier_cnt")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */

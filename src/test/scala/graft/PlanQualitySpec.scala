@@ -568,6 +568,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), s"expected the broadcast avg in:\n$plan")
   }
 
+  test("q16 shape: the NOT-IN exclusion decorrelates to a hash anti join over the distinct bridge") {
+    val df = graft.SparkEntry.queries("tpch_q16_supplier_cnt")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q16's NOT IN must never plan a nested-loop shape:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected the anti role in:\n$plan")
+  }
+
   test("driftKs: the ECDF cumulative window is bucket-partitioned, never one global sort partition") {
     import graft.operators.Checks
     val li = t("lineitem").df
