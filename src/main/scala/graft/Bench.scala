@@ -27,6 +27,17 @@ object Bench {
   val AnnSteadyAnchor = 48.9
   val AnnPqSteadyAnchor = 54.1
 
+  /** Ops-row regression predicate: median minus the CAPPED trimmed spread
+    * against 2x anchor. The spread discount absorbs machine contention
+    * (which inflates median and spread together) but is capped at 25% of
+    * the median (r16 ADVICE): without the cap, a real regression that
+    * also raises run-to-run variance — the common signature of a new
+    * shuffle or skew — could hide behind its own spread forever; with it,
+    * any median beyond 8/3 x anchor trips regardless of spread. Pure so
+    * AdviceRegressionSpec can pin both branches. */
+  def opsGateTrips(median: Double, spread: Double, anchor: Double): Boolean =
+    median - math.min(spread, 0.25 * median) > 2.0 * anchor
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -309,10 +320,14 @@ object Bench {
         // contention inflates median and spread together, so a contended
         // run self-discounts, while a real regression moves the median
         // with a tight spread and still trips — r15 verdict #9's
-        // "median-minus-spread" band, applied to every ops row
+        // "median-minus-spread" band, applied to every ops row. The
+        // discount is CAPPED at 25% of the median (r16 ADVICE): an
+        // unbounded discount let a regression that ALSO raises variance
+        // (a new shuffle, skew) hide behind its own spread; with the cap
+        // any median past 2.67x anchor trips regardless of spread.
         val opsGate = opsRows.flatMap { case (n, v, _, sp) =>
-          opsAnchors.get(n).filter(a => v - sp > 2.0 * a)
-            .map(a => f"$n $v%.2fs (-$sp%.2fs spread) above 2x of anchor $a%.2fs")
+          opsAnchors.get(n).filter(a => opsGateTrips(v, sp, a))
+            .map(a => f"$n $v%.2fs (-${math.min(sp, 0.25 * v)}%.2fs capped spread) above 2x of anchor $a%.2fs")
         }
         totalGate ++ streamRows.flatMap { case (n, v, _) =>
           anchors.get(n).filter(a => v < 0.6 * a)

@@ -801,8 +801,12 @@ object Checks {
     * observed and expected micro shares, and the signed deviation.
     *
     * DETERMINISM: the first significant digit is read from the value's
-    * DECIMAL(18,2) rendering (exact, engine-stable formatting; the
-    * repo-wide dsum convention) with every non-[1-9] character stripped —
+    * DECIMAL(38,2) rendering (exact, engine-stable formatting; widened
+    * from the repo-wide DECIMAL(18,2) dsum convention because an audit
+    * column can legitimately hold magnitudes ≥ 1e16, which overflow
+    * (18,2) — silently dropping rows under default casting and throwing
+    * under ANSI mode; (38,2) holds |v| < 1e36, beyond any amount-like
+    * double's exact range) with every non-[1-9] character stripped —
     * so sign, leading zeros and the point drop out and sub-0.005 values
     * (which round to 0.00) are excluded along with zeros and NULLs.
     * `obs_micro` quantizes once; `exp_micro` is the
@@ -818,7 +822,7 @@ object Checks {
     val counts = df
       .filter(col(valueCol).isNotNull)
       .select(regexp_replace(
-        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, 2))
           .cast("string"), "[^1-9]", "").as("__sig"))
       .filter(col("__sig") =!= "")
       .select(substring(col("__sig"), 1, 1).cast("int").as("digit"))

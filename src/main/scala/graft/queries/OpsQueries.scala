@@ -2252,11 +2252,12 @@ object OpsQueries {
 
     "graph_lpa" -> LpaOracle(3),
 
-    // first significant digit from the DECIMAL(18,2) rendering (exact,
-    // engine-stable), 9-row grid, expected micro table interpolated from
-    // the engine's own BenfordExpectedMicro constant (cannot drift)
+    // first significant digit from the DECIMAL(38,2) rendering (exact,
+    // engine-stable; widened from (18,2) so |v| >= 1e16 audits don't
+    // overflow — the r16 ADVICE item), 9-row grid, expected micro table
+    // interpolated from the engine's own BenfordExpectedMicro constant
     "dq_benford" ->
-      ("WITH d AS (SELECT regexp_replace(CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+      ("WITH d AS (SELECT regexp_replace(CAST(CAST(o_totalprice AS DECIMAL(38,2)) " +
        "AS VARCHAR), '[^1-9]', '', 'g') AS sig FROM orders " +
        "WHERE o_totalprice IS NOT NULL), " +
        "c AS (SELECT CAST(substr(sig, 1, 1) AS INTEGER) AS digit, count(*) AS n " +

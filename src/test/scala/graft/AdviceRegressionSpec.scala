@@ -840,4 +840,40 @@ class AdviceRegressionSpec extends AnyFunSuite {
     // side carries all the mass, so each term is (ref−ref)²/eRef = 0 too
     assert(rows.forall(!_.isNullAt(rows.head.fieldIndex("chi2_term_micro"))))
   }
+
+  // ---- ADVICE r16 medium: the ops bench gate's spread discount was
+  // unbounded, so a real regression that ALSO raises variance (a new
+  // shuffle, skew) never tripped — the discount is now capped at 25% of
+  // the median
+
+  test("ops bench gate: spread discount capped — noisy real regression trips") {
+    // contended-but-healthy run: median 2.2x anchor with a big spread
+    // still self-discounts under the 25% cap (2.2 - 0.55 = 1.65 < 2)
+    assert(!Bench.opsGateTrips(median = 2.2, spread = 5.0, anchor = 1.0))
+    // tight real regression: median 2.5x anchor, small spread → trips
+    assert(Bench.opsGateTrips(median = 2.5, spread = 0.1, anchor = 1.0))
+    // the ADVICE scenario: median 3x anchor with spread 2x anchor — the
+    // old unbounded discount gave 3 - 2 = 1 < 2 (hidden forever); the
+    // cap gives 3 - 0.75 = 2.25 > 2 → trips
+    assert(Bench.opsGateTrips(median = 3.0, spread = 2.0, anchor = 1.0))
+    // and ANY median past 8/3 x anchor trips regardless of spread
+    assert(Bench.opsGateTrips(median = 2.7, spread = 100.0, anchor = 1.0))
+  }
+
+  // ---- ADVICE r16 low: benfordCheck read the first digit from a
+  // DECIMAL(18,2) rendering — |v| >= 1e16 overflowed, silently dropping
+  // rows under default casting and THROWING under ANSI mode
+
+  test("benfordCheck counts magnitudes >= 1e16 and survives ANSI mode") {
+    import graft.operators.Checks
+    val ansiSpark = spark.newSession()
+    ansiSpark.conf.set("spark.sql.ansi.enabled", "true")
+    import ansiSpark.implicits._
+    // 1e17 overflowed DECIMAL(18,2); DECIMAL(38,2) holds it exactly
+    val df = Seq(1.0e17, 2.5e16, 123.45, 7.0).toDF("v")
+    val rows = Checks.benfordCheck(df, "v").collect()
+    val byDigit = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit(1) == 2L && byDigit(2) == 1L && byDigit(7) == 1L, byDigit.toString)
+    assert(rows.map(_.getLong(1)).sum == 4L, "no row silently dropped")
+  }
 }
