@@ -29,6 +29,17 @@ object RelationalQueries {
     "scan_parquet" -> ((s, d) =>
       t(s, d, "region").orderBy("r_regionkey").df),
 
+    // CSV/JSON scan parity: the table round-trips through the text format
+    // (distributed write, explicit-schema FAILFAST scan back) and must
+    // still match the DuckDB PARQUET truth bit-for-bit — doubles included
+    // (shortest-roundtrip rendering, correctly-rounded parse). Malformed-
+    // row modes are pinned in SourcesSpec on handwritten bad rows.
+    "scan_csv" -> ((s, d) =>
+      Tables.scanCsv(s, d).orderBy("s_suppkey")),
+
+    "scan_json" -> ((s, d) =>
+      Tables.scanJson(s, d).orderBy("doc_id")),
+
     "sql_via_view" -> ((s, d) => {
       // SQL entry point: MetaFrame registers a temp view, spark.sql queries it
       t(s, d, "lineitem").createOrReplaceTempView("li_view")
@@ -649,6 +660,233 @@ object RelationalQueries {
         .agg(count_distinct(col("suppkey")).as("supplier_cnt"))
         .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
     }),
+
+    // q2 shape: the correlated-MIN topology — for each part in a
+    // type/size slice, the EUROPE suppliers at that part's own minimum
+    // cost (cost proxy: s_acctbal; this schema has no partsupp, so the
+    // part↔supplier relation is the DISTINCT lineitem bridge, the q16
+    // convention). Decorrelated Spark-first: the eligible set is built
+    // ONCE, its per-part MIN is one grouped aggregate broadcast back —
+    // never a per-row subquery. Ties at the min all survive (TPC-H
+    // semantics); ordering is total via the unique (partkey, suppkey).
+    "tpch_q2_min_cost_supplier" -> ((s, d) => {
+      val ps = t(s, d, "lineitem").df
+        .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+        .distinct()
+      val slice = t(s, d, "part").df
+        .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+        .select("p_partkey")
+      val elig = ps
+        .join(broadcast(slice), col("partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier").df, col("suppkey") === col("s_suppkey"))
+        .join(t(s, d, "nation").df, col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region").df.filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"))
+      val minc = elig.groupBy(col("p_partkey").as("__mk"))
+        .agg(min(col("s_acctbal")).as("__mc"))
+      elig.join(broadcast(minc),
+          col("p_partkey") === col("__mk") && col("s_acctbal") === col("__mc"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+        .limit(100)
+    }),
+
+    // q15 shape: the scalar-max-over-aggregated-view topology — the
+    // quarter's revenue per supplier, then the supplier(s) AT the view's
+    // own maximum (ties all survive). Decorrelated: the max is ONE 1-row
+    // aggregate over the view riding a broadcast crossJoin; the view is
+    // built once. Exact-decimal revenue so the max equality is bit-stable.
+    "tpch_q15_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem").df
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(dsum4(revenueExpr).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("__mx"))
+      t(s, d, "supplier").df
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
+    // q20 shape: the nested-semi-with-correlated-scalar-agg topology —
+    // suppliers in one nation having a bridge pair (part slice by name)
+    // whose IN-WINDOW quantity exceeds 35% of the pair's ALL-TIME
+    // quantity ("hot" stock movement; availqty adapted to the all-time
+    // total since this schema has no partsupp). Decorrelated Spark-first:
+    // the correlated per-pair scalar agg folds into ONE grouped pass
+    // computing both sums (map-side combine), the part slice broadcasts,
+    // and the supplier membership is a semi join on the distinct hot set.
+    "tpch_q20_hot_parts_supplier" -> ((s, d) => {
+      val qdec = col("l_quantity").cast(DecimalType(18, 2))
+      val inWin = col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+      val pairs = t(s, d, "lineitem").df
+        .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+        .agg(sum(qdec).cast("double").as("total_qty"),
+          sum(when(inWin, qdec).otherwise(lit(0).cast(DecimalType(18, 2))))
+            .cast("double").as("window_qty"))
+      val slice = t(s, d, "part").df
+        .filter(col("p_name").like("red%")).select("p_partkey")
+      val hot = pairs
+        .join(broadcast(slice), col("partkey") === col("p_partkey"))
+        .filter(col("window_qty") > lit(0.35) * col("total_qty"))
+        .select("suppkey").distinct()
+      t(s, d, "supplier").df
+        .join(t(s, d, "nation").df.filter(col("n_name") === "NATION_1"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(hot, col("s_suppkey") === col("suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // q6 shape: the pure scan-side predicate-pushdown aggregate — a
+    // three-conjunct filter (date window, discount band, quantity cap)
+    // into a 1-row revenue sum; every predicate reaches the parquet scan.
+    "tpch_q6_forecast_revenue" -> ((s, d) =>
+      t(s, d, "lineitem").df
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum4(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // q7 shape: the two-nation volume-shipping topology — supplier
+    // nation × customer nation in BOTH directions (the disjunctive
+    // nation-pair predicate), grouped by shipping year. The nation dim
+    // joins twice under different roles; both broadcast.
+    "tpch_q7_volume_shipping" -> ((s, d) => {
+      val n1 = t(s, d, "nation").df
+        .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").df
+        .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))
+      t(s, d, "supplier").df
+        .join(t(s, d, "lineitem").df
+            .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, d, "orders").df, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer").df, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1k"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2k"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum4(revenueExpr).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // q8 shape: the national-market-share topology — one nation's share
+    // of a part type's volume inside one region, per order year: a
+    // CASE-aggregate ratio over a seven-table join (nation joins twice —
+    // once as the customer-region filter, once as the supplier label).
+    // Both sums are exact-decimal; the ratio is one IEEE division.
+    "tpch_q8_market_share" -> ((s, d) => {
+      val n1 = t(s, d, "nation").df
+        .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").df
+        .select(col("n_nationkey").as("n2k"), col("n_regionkey").as("n2r"))
+      val volDec = revenueExpr.cast(DecimalType(18, 4))
+      t(s, d, "part").df.filter(col("p_type") === "STANDARD").select("p_partkey")
+        .join(t(s, d, "lineitem").df, col("p_partkey") === col("l_partkey"))
+        .join(t(s, d, "supplier").df, col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, d, "orders").df, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").df, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2k"))
+        .join(broadcast(t(s, d, "region").df.filter(col("r_name") === "ASIA")),
+          col("n2r") === col("r_regionkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1k"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", volDec)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
+          sum(volDec).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // q11 shape: the group-HAVING-vs-global-scalar topology — per-part
+    // "stock value" (cost proxy s_acctbal × the pair's all-time quantity
+    // over the distinct bridge) for one nation's suppliers, keeping parts
+    // above 3× the MEAN part value. The TPC-H fraction-of-total threshold
+    // is scale-dependent (the official spec divides it by SF); the mean
+    // multiple pins the same optimizer shape — a 1-row global aggregate
+    // broadcast against the grouped view — and stays non-degenerate at
+    // every sf. Decorrelated: view built once, threshold rides a
+    // broadcast crossJoin.
+    "tpch_q11_important_stock" -> ((s, d) => {
+      val pairs = t(s, d, "lineitem").df
+        .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"))
+      val pv = pairs
+        .join(t(s, d, "supplier").df, col("suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation").df.filter(col("n_name") === "NATION_0")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("partkey")
+        .agg(sum((col("s_acctbal") * col("qty")).cast(DecimalType(28, 4)))
+          .cast("double").as("value"))
+      val thr = pv.agg((lit(3.0) * sum(col("value").cast(DecimalType(28, 4)))
+        .cast("double") / count(lit(1))).as("__thr"))
+      pv.crossJoin(broadcast(thr))
+        .filter(col("value") > col("__thr"))
+        .select("partkey", "value")
+        .orderBy(desc("value"), asc("partkey"))
+    }),
+
+    // q12 shape: the late-shipment priority-class counter — an
+    // orders⋈lineitem join whose aggregate splits each group into
+    // CASE-counted priority classes (shipmode adapted to l_returnflag;
+    // "late" = shipped >30 days after order date) within a year window.
+    "tpch_q12_late_shipments" -> ((s, d) =>
+      t(s, d, "orders").df
+        .join(t(s, d, "lineitem").df
+            .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy(col("l_returnflag").as("ship_class"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_class")),
+
+    // q14 shape: the promo-revenue ratio — one month of lineitem⋈part
+    // where the numerator is the CASE-masked promo slice of the same
+    // exact-decimal volume sum as the denominator; 100× the IEEE ratio.
+    "tpch_q14_promo_effect" -> ((s, d) => {
+      val volDec = revenueExpr.cast(DecimalType(18, 4))
+      t(s, d, "lineitem").df
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(t(s, d, "part").df, col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", volDec)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
+          sum(volDec).cast("double")).as("promo_revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // q19 shape: the disjunctive multi-column predicate topology — three
+    // OR'd (brand, size band, quantity band) branches across the join.
+    // Catalyst extracts the branch-common conjuncts (brand IN (...),
+    // p_size >= 1) onto the part scan as pushed filters and keeps the
+    // equi join hash-planned with the OR as a post-join residual — the
+    // optimizer path this query exists to pin.
+    "tpch_q19_discount_revenue" -> ((s, d) =>
+      t(s, d, "lineitem").df
+        .join(t(s, d, "part").df, col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dsum4(revenueExpr).as("revenue"), count(lit(1)).as("n"))),
   )
 
   val flagshipOracleSql: Map[String, String] = Map(
@@ -784,11 +1022,135 @@ object RelationalQueries {
        "CAST(count(DISTINCT suppkey) AS BIGINT) AS supplier_cnt " +
        "FROM j GROUP BY 1, 2, 3 " +
        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+
+    // the oracle keeps the CORRELATED form (min per part as a correlated
+    // scalar subquery) — DuckDB decorrelates it independently, so the
+    // engines cross-check two different plans of the same semantics
+    "tpch_q2_min_cost_supplier" ->
+      ("WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem), " +
+       "elig AS (SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name " +
+       "FROM ps JOIN part ON partkey = p_partkey " +
+       "JOIN supplier ON suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 10) " +
+       "SELECT s_acctbal, s_name, n_name, p_partkey FROM elig e " +
+       "WHERE s_acctbal = (SELECT min(s_acctbal) FROM elig e2 WHERE e2.p_partkey = e.p_partkey) " +
+       "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
+
+    "tpch_q15_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey AS supplier_no, " +
+       "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue " +
+       "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) " +
+       "SELECT s_suppkey, s_name, total_revenue FROM supplier " +
+       "JOIN rev ON s_suppkey = supplier_no " +
+       "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) " +
+       "ORDER BY s_suppkey"),
+
+    "tpch_q20_hot_parts_supplier" ->
+      ("WITH pairs AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty, " +
+       "CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+       "THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS window_qty " +
+       "FROM lineitem GROUP BY 1, 2), " +
+       "hot AS (SELECT DISTINCT suppkey FROM pairs JOIN part ON partkey = p_partkey " +
+       "WHERE p_name LIKE 'red%' AND window_qty > 0.35 * total_qty) " +
+       "SELECT s_suppkey, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+       "WHERE n_name = 'NATION_1' AND s_suppkey IN (SELECT suppkey FROM hot) " +
+       "ORDER BY s_suppkey"),
+
+    "tpch_q6_forecast_revenue" ->
+      ("SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+       "count(*) AS n FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+       "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+
+    "tpch_q7_volume_shipping" ->
+      ("SELECT supp_nation, cust_nation, l_year, " +
+       "CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM " +
+       "(SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+       "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+       "l_extendedprice * (1.0 - l_discount) AS volume " +
+       "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+       "JOIN orders ON o_orderkey = l_orderkey " +
+       "JOIN customer ON c_custkey = o_custkey " +
+       "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+       "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+       "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+       "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+       "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') " +
+       "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+
+    "tpch_q8_market_share" ->
+      ("SELECT o_year, " +
+       "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN CAST(volume AS DECIMAL(18,4)) " +
+       "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) " +
+       "/ CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share FROM " +
+       "(SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+       "l_extendedprice * (1.0 - l_discount) AS volume, n1.n_name AS supp_nation " +
+       "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+       "JOIN supplier ON s_suppkey = l_suppkey " +
+       "JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+       "JOIN region ON n2.n_regionkey = r_regionkey " +
+       "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+       "WHERE r_name = 'ASIA' AND p_type = 'STANDARD') " +
+       "GROUP BY 1 ORDER BY 1"),
+
+    "tpch_q11_important_stock" ->
+      ("WITH pairs AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty " +
+       "FROM lineitem GROUP BY 1, 2), " +
+       "pv AS (SELECT partkey, " +
+       "CAST(SUM(CAST(s_acctbal * qty AS DECIMAL(28,4))) AS DOUBLE) AS value " +
+       "FROM pairs JOIN supplier ON suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "WHERE n_name = 'NATION_0' GROUP BY 1) " +
+       "SELECT partkey, value FROM pv " +
+       "WHERE value > (SELECT 3.0 * CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) " +
+       "/ count(*) FROM pv) " +
+       "ORDER BY value DESC, partkey"),
+
+    "tpch_q12_late_shipments" ->
+      ("SELECT l_returnflag AS ship_class, " +
+       "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+       "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+       "WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY " +
+       "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+       "GROUP BY 1 ORDER BY 1"),
+
+    "tpch_q14_promo_effect" ->
+      ("SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' " +
+       "THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) " +
+       "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) " +
+       "/ CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue, " +
+       "count(*) AS n " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'"),
+
+    "tpch_q19_discount_revenue" ->
+      ("SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+       "count(*) AS n FROM lineitem JOIN part ON p_partkey = l_partkey " +
+       "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
+       "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
+       "OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"),
   )
 
   val oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    // the oracle is the PARQUET truth: equality proves the CSV/JSON scan
+    // parsed every value (incl. doubles) back to the identical bits
+    "scan_csv" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    "scan_json" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
 
     "project_select" ->
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",

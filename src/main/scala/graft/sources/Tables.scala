@@ -32,4 +32,60 @@ object Tables {
 
   def loadMeta(spark: SparkSession, sfDir: String, name: String): MetaFrame =
     MetaFrame(load(spark, sfDir, name), Map("table" -> name, "source" -> s"$sfDir/$name.parquet"))
+
+  // ------------------------------------------------------- text-format scans
+  // The reference constructs from ANY spark.read source (metaframe.py:63-69);
+  // parquet is the only driver-provided format, so the CSV/JSON scan queries
+  // round-trip a table through the text format with a DISTRIBUTED write and
+  // scan it back under an EXPLICIT schema in FAILFAST mode. The oracle is the
+  // parquet truth: a value surviving parquet → text → scan bit-identically
+  // (doubles included — writers emit shortest-roundtrip renderings, readers
+  // parse correctly-rounded) pins the text readers' parse semantics without
+  // the oracle ever touching the derived files. Malformed-row modes
+  // (PERMISSIVE + corrupt-record column, DROPMALFORMED, FAILFAST) are pinned
+  // in SourcesSpec on handwritten bad rows.
+
+  import org.apache.spark.sql.types._
+
+  /** supplier's explicit scan schema (FIXTURES.md §2 types). */
+  val SupplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  /** documents' explicit scan schema (FIXTURES.md §2 types). */
+  val DocumentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def fixtureDir(sfDir: String, kind: String): String = {
+    val leaf = sfDir.stripSuffix("/").split('/').last
+    s"target/scan_fixtures/$leaf/$kind"
+  }
+
+  /** Writes the supplier CSV twin (header, distributed part files) and scans
+    * it back under [[SupplierSchema]], FAILFAST. */
+  def scanCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = fixtureDir(sfDir, "supplier_csv")
+    load(spark, sfDir, "supplier")
+      .write.mode("overwrite").option("header", "true").csv(path)
+    spark.read.schema(SupplierSchema)
+      .option("header", "true").option("mode", "FAILFAST")
+      .csv(path)
+  }
+
+  /** Writes the documents JSONL twin and scans it back under
+    * [[DocumentsSchema]], FAILFAST. */
+  def scanJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = fixtureDir(sfDir, "documents_json")
+    load(spark, sfDir, "documents")
+      .write.mode("overwrite").json(path)
+    spark.read.schema(DocumentsSchema)
+      .option("mode", "FAILFAST")
+      .json(path)
+  }
 }

@@ -577,6 +577,68 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"expected the anti role in:\n$plan")
   }
 
+  test("q2 shape: the correlated MIN decorrelates to one aggregate + broadcast equi joins") {
+    val df = graft.SparkEntry.queries("tpch_q2_min_cost_supplier")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q2's per-part MIN must never plan a per-row subquery/nested-loop shape:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the part slice, dims and the per-part min table must broadcast:\n$plan")
+    assert(!plan.contains("SubqueryExec"),
+      s"no runtime correlated subquery execution expected in:\n$plan")
+  }
+
+  test("q15 shape: the view max is ONE 1-row aggregate riding a broadcast, not a re-aggregation per row") {
+    val df = graft.SparkEntry.queries("tpch_q15_top_supplier")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q15 must never plan a cartesian:\n$plan")
+    // the 1-row max rides a broadcast (a BNLJ on a 1-row build is the
+    // intended crossJoin shape, same convention as q22's scalar avg)
+    assert(plan.contains("Broadcast"), s"expected the broadcast max in:\n$plan")
+    assert(!plan.contains("SubqueryExec"),
+      s"the view max must not re-execute as a correlated subquery:\n$plan")
+  }
+
+  test("q20 shape: the correlated per-pair agg folds into one grouped pass; supplier membership is a semi join") {
+    val df = graft.SparkEntry.queries("tpch_q20_hot_parts_supplier")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q20's nested semi must plan as hash joins:\n$plan")
+    assert(plan.contains("LeftSemi"), s"expected the semi role in:\n$plan")
+    assert(!plan.contains("SubqueryExec"),
+      s"the per-pair scalar agg must fold into the grouped pass, not a subquery:\n$plan")
+  }
+
+  test("q19 shape: the disjunctive predicate keeps the equi join hash-planned with pushed common conjuncts") {
+    val df = graft.SparkEntry.queries("tpch_q19_discount_revenue")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q19's OR across the join must stay an equi hash join:\n$plan")
+    // Catalyst's OR-side extraction: the part-only disjunction (brand +
+    // size bands) is pushed to the part scan, the lineitem-only
+    // disjunction (quantity bands) to the lineitem scan, and the
+    // branch-common p_size >= 1 conjunct is factored out — neither scan
+    // reads rows no branch could match
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size), GreaterThanOrEqual(p_size,1)"),
+      s"expected the factored common size conjunct pushed to the part scan:\n$plan")
+    assert(plan.contains("Or(Or(And(EqualTo(p_brand") || plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"expected the per-side OR disjunctions pushed to the scans:\n$plan")
+  }
+
+  test("q11 shape: the group-HAVING threshold is one global scalar broadcast against the grouped view") {
+    val df = graft.SparkEntry.queries("tpch_q11_important_stock")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q11 must never plan a cartesian:\n$plan")
+    assert(plan.contains("Broadcast"), s"expected the broadcast threshold in:\n$plan")
+  }
+
   test("driftKs: the ECDF cumulative window is bucket-partitioned, never one global sort partition") {
     import graft.operators.Checks
     val li = t("lineitem").df

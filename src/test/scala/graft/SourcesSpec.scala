@@ -358,4 +358,88 @@ class SourcesSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
     assert(assign(bLoaded.df) == assign(buckets))
   }
+
+  // ---- r17: text-scan malformed-row modes (the behavior the declared
+  // scan_csv/scan_json roundtrip queries can't exercise on clean data)
+
+  test("CSV scan modes: PERMISSIVE nulls + corrupt column, DROPMALFORMED drops, FAILFAST throws") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = Paths.get(out("csv_malformed")); Files.createDirectories(dir)
+    // row 2 has a non-numeric balance; row 3 is truncated
+    Files.write(dir.resolve("part-0.csv"),
+      "s_suppkey,s_name,s_nationkey,s_acctbal\n1,Supplier#1,3,100.5\n2,Supplier#2,4,notanumber\n3,Supplier#3\n".getBytes("UTF-8"))
+    val schema = Tables.SupplierSchema.add(StructField("_corrupt_record", StringType))
+    val path = dir.toString
+
+    val permissive = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path).cache()
+    assert(permissive.count() == 3, "PERMISSIVE keeps every row")
+    val bad = permissive.filter(col("_corrupt_record").isNotNull)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(bad == Set(2L, 3L), s"rows 2 and 3 are corrupt: $bad")
+    assert(permissive.filter(col("s_suppkey") === 2L)
+      .select("s_acctbal").head.isNullAt(0), "unparseable cell nulls out")
+    permissive.unpersist()
+
+    // NOTE: collect(), not count() — count() prunes every column, so the
+    // parser never materializes values and malformed detection can't fire
+    val dropped = spark.read.schema(Tables.SupplierSchema)
+      .option("header", "true").option("mode", "DROPMALFORMED").csv(path)
+      .collect()
+    assert(dropped.length == 1 && dropped.head.getLong(0) == 1L,
+      dropped.mkString("; "))
+
+    val failfast = spark.read.schema(Tables.SupplierSchema)
+      .option("header", "true").option("mode", "FAILFAST").csv(path)
+    intercept[org.apache.spark.SparkException](failfast.collect())
+  }
+
+  test("JSON scan modes: PERMISSIVE corrupt column, DROPMALFORMED drops, FAILFAST throws") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = Paths.get(out("json_malformed")); Files.createDirectories(dir)
+    Files.write(dir.resolve("part-0.json"),
+      ("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "web", "n_chars": 2}""" + "\n" +
+       """{"doc_id": 2, "text": "broken""" + "\n" +
+       """{"doc_id": 3, "text": "fine", "lang": "de", "source": "web", "n_chars": 4}""" + "\n").getBytes("UTF-8"))
+    val schema = Tables.DocumentsSchema.add(StructField("_corrupt_record", StringType))
+    val path = dir.toString
+
+    // cached first: Spark disallows queries touching ONLY the internal
+    // corrupt-record column on a raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+      .cache()
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+    permissive.unpersist()
+
+    val dropped = spark.read.schema(Tables.DocumentsSchema)
+      .option("mode", "DROPMALFORMED").json(path)
+    assert(dropped.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+
+    val failfast = spark.read.schema(Tables.DocumentsSchema)
+      .option("mode", "FAILFAST").json(path)
+    intercept[org.apache.spark.SparkException](failfast.collect())
+  }
+
+  test("scan_csv/scan_json roundtrip twins match the parquet source exactly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val csv = Tables.scanCsv(spark, sfDir)
+    val parquetSup = Tables.load(spark, sfDir, "supplier")
+    assert(csv.schema == Tables.SupplierSchema)
+    assert(csv.exceptAll(parquetSup).isEmpty && parquetSup.exceptAll(csv).isEmpty,
+      "CSV roundtrip must be bit-identical to the parquet truth")
+    val json = Tables.scanJson(spark, sfDir)
+    val parquetDocs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(json.exceptAll(parquetDocs).isEmpty && parquetDocs.exceptAll(json).isEmpty,
+      "JSON roundtrip must be bit-identical to the parquet truth")
+  }
 }
