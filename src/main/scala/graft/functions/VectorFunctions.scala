@@ -83,4 +83,40 @@ object VectorFunctions {
     concat(
       (0 until nbits).map(j =>
         when(planeDot(vec, lit(table * nbits + j), dim) > 0.0, "1").otherwise("0")): _*)
+
+  /** Multi-probe bucket sequence (Lv et al., VLDB 2007, adapted to
+    * sign/hyperplane LSH): the base bucket of table 0 as a long bit code,
+    * followed by the buckets reached by flipping the sign bits with the
+    * SMALLEST |projection margin| — the bits most likely to differ for a
+    * true near neighbor. `rankSubsets` is the driver-side probing
+    * schedule: each entry is a set of margin RANKS (0 = smallest margin)
+    * to flip together for one extra probe (see
+    * [[graft.operators.Dedup.perturbationSets]]).
+    *
+    * Row-local O(nbits·dim) arithmetic (the same planes as
+    * [[lshBucketTable]] table 0, in code form): margins → margin-ranked
+    * bit order → base XOR per-subset flip masks. Returns
+    * `array<long>` of `1 + rankSubsets.size` probe codes, base first. */
+  def lshProbeBuckets(
+      vec: Column,
+      nbits: Int,
+      dim: Int,
+      rankSubsets: Seq[Seq[Int]]): Column = {
+    require(nbits >= 1 && nbits <= 62, "nbits must be in [1, 62] for a long code")
+    require(rankSubsets.forall(s => s.nonEmpty && s.forall(r => r >= 0 && r < nbits)),
+      "every probe subset must be a non-empty set of margin ranks < nbits")
+    val margins = array((0 until nbits).map(j => planeDot(vec, lit(j), dim)): _*)
+    val base = (0 until nbits)
+      .map(j => when(element_at(margins, j + 1) > 0.0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    // bit indices ordered by |margin| ascending (ties by index — total order)
+    val rankedIdx = transform(
+      array_sort(array((0 until nbits).map(j =>
+        struct(abs(element_at(margins, j + 1)).as("m"), lit(j).as("j"))): _*)),
+      s => s.getField("j"))
+    def flipMask(sub: Seq[Int]): Column = sub
+      .map(r => call_function("shiftleft", lit(1L), element_at(rankedIdx, r + 1)))
+      .reduce(_.bitwiseOR(_))
+    array((base +: rankSubsets.map(s => base.bitwiseXOR(flipMask(s)))): _*)
+  }
 }

@@ -810,6 +810,95 @@ object Dedup {
         lit(bits).as("nbits"), lit(k).as("n_tables"))
   }
 
+  /** Sentinel default for [[embeddingNearDupMultiProbe]]'s `probes`:
+    * equal-candidate-budget sizing — the same count
+    * [[recommendedLshTables]] would pick for the multi-table operator at
+    * this (nbits, threshold), so the two recall strategies spend the same
+    * ~n·occupancy·T candidate volume and differ only in WHERE they spend
+    * it (smart neighboring buckets vs independent rehashes). */
+  val AutoProbes: Int = -1
+
+  /** The step-wise multi-probe schedule (Lv et al., VLDB 2007 §4.1's
+    * query-directed sequence under the standard rank-score simplification):
+    * subsets of margin RANKS (0 = the bit with the smallest |projection
+    * margin|) ordered by Σ(rank+1) — flipping the single lowest-margin bit
+    * first, then the second, and so on — ties by fewer flips (a score-3
+    * single flip of the third-ranked bit precedes the {0,1} two-bit
+    * flip), then lexicographic. Pure driver-side math; the first `count`
+    * subsets become the extra probes. */
+  def perturbationSets(nbits: Int, count: Int): Seq[Seq[Int]] = {
+    require(nbits >= 1, "nbits must be at least 1")
+    require(count >= 0, "count must be non-negative")
+    val ranks = 0 until math.min(nbits, 16) // 2^16 candidate subsets max
+    val all = ranks.toSet.subsets().filter(_.nonEmpty)
+      .map(_.toSeq.sorted).toSeq
+      .sortBy(s => (s.map(_ + 1).sum, s.length, s.mkString(",")))
+    all.take(count)
+  }
+
+  /** Multi-probe twin of [[embeddingNearDupMultiTable]] — the fix for the
+    * multi-table recall strategy's growing index: instead of K independent
+    * hash tables (index = K·n rows, and the r16 scale audit measured the
+    * auto-K candidate bound growing superlinearly as occupancy-sizing
+    * raises nbits with the corpus), ONE table is probed at T buckets per
+    * vector — the base bucket plus the T−1 buckets reached by flipping the
+    * sign bits with the smallest |projection margin| (Lv et al., VLDB 2007:
+    * a near neighbor that misses the base bucket almost always sits across
+    * one of the LOWEST-margin hyperplanes, so margin-ranked neighboring
+    * buckets buy far more recall per candidate than an independent rehash).
+    *
+    * Scale shape: the INDEX stays O(n) rows at any T (the fixed-index
+    * property multi-table lacks — its index is O(K·n) and K grows with the
+    * corpus under the recall contract); probe rows are n·T ids-only longs;
+    * join work is ~n·T·occupancy — the same budget as K=T tables, spent on
+    * margin-ranked buckets instead. The probe count is a pure per-query
+    * dial: turning T up reads more buckets of the SAME index, so serving
+    * and incremental paths never rebuild anything. Pair (a,b) surfaces if
+    * b's base bucket is among a's probes OR vice versa (both sides probe);
+    * candidates dedupe before the exact-cosine confirm, zero false
+    * positives structural.
+    *
+    * Returns (id_a, id_b, cos, nbits, n_probes), pairs once (id_a < id_b). */
+  def embeddingNearDupMultiProbe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nbits: Int = AutoNbits,
+      probes: Int = AutoProbes,
+      targetRecall: Double = 0.8,
+      targetBucketSize: Long = DefaultTargetBucketSize): DataFrame = {
+    require(nbits == AutoNbits || nbits >= 1,
+      s"nbits must be >= 1 (or AutoNbits = $AutoNbits for occupancy-aware sizing)")
+    require(probes == AutoProbes || probes >= 1,
+      s"probes must be >= 1 (or AutoProbes = $AutoProbes for equal-budget sizing)")
+    val bits = if (nbits == AutoNbits) recommendedNbits(df.count(), targetBucketSize) else nbits
+    val t =
+      if (probes == AutoProbes) recommendedLshTables(bits, threshold, targetRecall)
+      else probes
+    val ids = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val coded = ids.select(col("id"),
+      graft.functions.VectorFunctions.lshProbeBuckets(
+        col("vec"), bits, dim, perturbationSets(bits, t - 1)).as("pb"))
+    // ONE index row per vector (probe position 1 = the base bucket)...
+    val index = coded.select(element_at(col("pb"), 1).as("bucket"), col("id").as("id_b"))
+    // ...probed at T buckets per vector; ids-only longs through the join
+    val probe = coded.select(col("id").as("id_a"), explode(col("pb")).as("bucket"))
+    val candidates = probe.join(index, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    candidates
+      .join(ids.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(ids.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
+        lit(bits).as("nbits"), lit(t).as("n_probes"))
+  }
+
   /** Winnowing-based near-dup candidate pairs: documents sharing at least
     * one winnow fingerprint ([[graft.functions.TextFunctions
     * .winnowFingerprints]]) are candidates — the substring-level

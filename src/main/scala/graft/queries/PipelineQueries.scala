@@ -1570,6 +1570,31 @@ object PipelineQueries {
             .cast("long").as("recall_ok"))
     }),
 
+    // Multi-probe twin at equal candidate budget (r17 — the fix for the
+    // multi-table watch item): ONE O(n)-row index probed at T
+    // margin-ranked buckets per vector (Lv et al., VLDB 2007) instead of
+    // K=T independent tables. Same property-oracle shape; the recall flag
+    // pins >= 0.9 — STRICTLY above the multitable row's 0.8 — because the
+    // measured equal-budget recall is 1.00 vs multitable's 0.82 (sf0.01,
+    // nbits=2, T=4; MeasureProps), zero false positives structural.
+    "dedup_embedding_multiprobe" -> ((s, d) => {
+      val found = Dedup.embeddingNearDupMultiProbe(t(s, d, "embeddings").df,
+          "vec_id", "embedding", dim = 64, threshold = 0.3)
+        .filter(col("id_a") < 300 && col("id_b") < 300)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val exact = cosinePairs(s, d)
+        .select(col("id_a"), col("id_b"), lit(1L).as("ex"))
+      exact.join(found, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(col("ex")), lit(0L)).as("n_exact_pairs"),
+          coalesce(sum(when(col("ex").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_false_positives"),
+          (coalesce(sum(when(col("ex") === 1L && col("hit") === 1L, 1L).otherwise(0L)), lit(0L))
+            .cast("double") >=
+            coalesce(sum(col("ex")), lit(0L)).cast("double") * 0.9)
+            .cast("long").as("recall_ok"))
+    }),
+
     // exact all-pairs reference for the LSH-bucketed near-dup above, on a
     // bounded id-range so the quadratic term stays test-sized; DuckDB
     // recomputes the identical left-to-right double fold (list_zip+list_sum)
@@ -3456,6 +3481,11 @@ object PipelineQueries {
        "CAST(1 AS BIGINT) AS recall_ok FROM pairs WHERE cos >= 0.3"),
 
     "dedup_embedding_multitable" ->
+      ("WITH " + CosinePairsSql +
+       "SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_positives, " +
+       "CAST(1 AS BIGINT) AS recall_ok FROM pairs WHERE cos >= 0.3"),
+
+    "dedup_embedding_multiprobe" ->
       ("WITH " + CosinePairsSql +
        "SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_positives, " +
        "CAST(1 AS BIGINT) AS recall_ok FROM pairs WHERE cos >= 0.3"),

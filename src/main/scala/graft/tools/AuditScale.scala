@@ -370,6 +370,25 @@ object AuditScale {
         Dedup.embeddingNearDupMultiTable(Tables.load(s, d, "embeddings"),
           "vec_id", "embedding", dim = 64, threshold = 0.3,
           targetBucketSize = 32L)),
+      // round 17: the multi-probe fix for the multi-table watch item (Lv
+      // et al., VLDB 2007): ONE table probed at T margin-ranked buckets
+      // per vector instead of K independent tables — the index stays O(n)
+      // rows at any T (vs O(K·n) with K growing under the recall
+      // contract), the candidate budget is the same ~n·occupancy·T, and
+      // at equal budget the measured recall BEATS multi-table (sf0.01:
+      // probes=4 → 1.00 vs tables=4 → 0.82 at nbits=2; probes=2 → 0.72
+      // vs tables=2 → 0.56 — MeasureProps). Audited at the same default
+      // dials as the multitable row for a like-for-like ratio.
+      "embedding_multiprobe_operator" -> ((s: SparkSession, d: String) =>
+        Dedup.embeddingNearDupMultiProbe(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", dim = 64, threshold = 0.3)),
+      // the single-box 100x notch (same role as dialed32 above): a small
+      // targetBucketSize raises nbits so the O(n) index spreads over more,
+      // smaller buckets and one box's memory holds the candidate dedup
+      "embedding_multiprobe_dialed32_operator" -> ((s: SparkSession, d: String) =>
+        Dedup.embeddingNearDupMultiProbe(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", dim = 64, threshold = 0.3,
+          targetBucketSize = 32L)),
       // isolates the batch-vs-STORE winnow join of the ingestion pipeline
       // (the stage the SCALE_r11 watch item names for the composite's
       // 11.1x): store = 90% of the corpus, batch = 10% — BOTH sides scale

@@ -1088,6 +1088,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(dials.length == 1 && dials.head.getInt(0) == 2 && dials.head.getInt(1) == 4)
   }
 
+  test("multi-probe embedding near-dup: equal budget beats multi-table; fixed O(n) index; schedule sane") {
+    import graft.functions.VectorFunctions.cosine
+    import graft.sources.Tables
+    // the step-wise schedule: lowest-margin single flip first, then the
+    // second (Σ(rank+1) order); at the score-3 tie the SINGLE third-bit
+    // flip precedes the two-bit flip (ties by fewer flips)
+    assert(Dedup.perturbationSets(4, 4) == Seq(Seq(0), Seq(1), Seq(2), Seq(0, 1)))
+    assert(Dedup.perturbationSets(2, 3) == Seq(Seq(0), Seq(1), Seq(0, 1)))
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 300)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // equal candidate budget: T probes of one table vs K=T tables
+    val multiProbe = pairs(Dedup.embeddingNearDupMultiProbe(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.3))
+    val multiTable = pairs(Dedup.embeddingNearDupMultiTable(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.3))
+    // zero false positives structural (exact-cosine confirm)
+    assert((multiProbe -- exact).isEmpty)
+    val rProbe = (exact intersect multiProbe).size.toDouble / exact.size
+    val rTable = (exact intersect multiTable).size.toDouble / exact.size
+    assert(rProbe >= rTable,
+      f"multi-probe must not lose to multi-table at equal budget: $rProbe%.3f vs $rTable%.3f")
+    assert(rProbe >= 0.9, f"multi-probe equal-budget recall $rProbe%.3f below the 0.9 pin")
+    // probing more buckets of the SAME index is monotone in recall
+    val r1 = pairs(Dedup.embeddingNearDupMultiProbe(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.3, probes = 1))
+    val r2 = pairs(Dedup.embeddingNearDupMultiProbe(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.3, probes = 2))
+    assert(r1.subsetOf(multiProbe) || r1.size <= multiProbe.size)
+    assert(r2.size >= r1.size && multiProbe.size >= r2.size,
+      s"probe dial must be monotone: ${r1.size} <= ${r2.size} <= ${multiProbe.size}")
+    // dials carried on every row
+    val dials = Dedup.embeddingNearDupMultiProbe(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.3).select("nbits", "n_probes").distinct().collect()
+    assert(dials.length == 1 && dials.head.getInt(0) == 2 && dials.head.getInt(1) == 4)
+  }
+
   test("unigram-LM tokenizer: lossless segmentation, learned multi-char pieces, determinism") {
     import spark.implicits._
     val docs = Seq(
