@@ -1222,6 +1222,67 @@ object Corpus {
         concat_ws(sep, filter(arr, (_, i) => !array_contains(rmArr, i))).as("text_deduped"))
   }
 
+  /** HTML boilerplate extraction (the jusText/trafilatura-class rule
+    * family — Pomikálek 2011's block link-density heuristic, the public
+    * pipeline stage between "crawl" and every text operator here): strip
+    * `<script>`/`<style>` payloads, split the markup into block elements
+    * (`<p>`/`<div>`), and keep a block iff its tag-stripped text is long
+    * enough AND its link density — anchor-text characters over total
+    * characters — stays under `maxLinkDensity` (navigation, ad and footer
+    * blocks are mostly anchor text; content blocks are mostly prose).
+    * Kept blocks are tag-stripped, entity-unescaped (`&amp;` `&lt;` `&gt;`
+    * `&quot;` `&#39;`), whitespace-collapsed, and rejoined with `\n`.
+    * Character-based counts (not words) so the rules are script-agnostic —
+    * a CJK paragraph has one whitespace "word" but hundreds of chars.
+    *
+    * Entirely row-local — one projection, regexp + higher-order array
+    * functions only, no shuffle, identical plan on a streaming frame; the
+    * whole rule chain is re-derivable in ANSI SQL (RE2-safe patterns: no
+    * backreferences, non-greedy quantifiers only).
+    *
+    * Returns one row per input row: (id, n_blocks_total, n_blocks_kept,
+    * extracted_text) — extracted_text empty ("") when nothing survives. */
+  def htmlExtract(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      minChars: Int = 15,
+      maxLinkDensity: Double = 0.4): DataFrame = {
+    require(minChars >= 0, "minChars must be non-negative")
+    require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+      "maxLinkDensity must be in [0, 1]")
+    // two single-tag passes instead of a <(script|style)>.*?</\1>
+    // backreference — RE2 (the oracle side) has no backreferences
+    val noScript = regexp_replace(coalesce(col(htmlCol), lit("")),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val cleaned = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val blocksCol = regexp_extract_all(cleaned,
+      lit("(?is)<(?:p|div)[^>]*>(.*?)</(?:p|div)>"), lit(1))
+    val unescape = (c: Column) =>
+      Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+        .foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
+    val stripped = (b: Column) => trim(regexp_replace(
+      unescape(regexp_replace(b, "<[^>]*>", " ")), "\\s+", " "))
+    val anchorChars = (b: Column) => aggregate(
+      regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+      lit(0L), (acc, a) => acc + length(stripped(a)).cast("long"))
+    // judged once per block: (stripped_text, keep)
+    val judged = transform(blocksCol, b => {
+      val s = stripped(b)
+      struct(
+        s.as("txt"),
+        (length(s) >= minChars &&
+          anchorChars(b).cast("double") <=
+            lit(maxLinkDensity) * greatest(length(s).cast("double"), lit(1.0)))
+          .as("keep"))
+    })
+    df.select(
+      col(idCol).as("id"),
+      size(blocksCol).cast("long").as("n_blocks_total"),
+      size(filter(judged, j => j.getField("keep"))).cast("long").as("n_blocks_kept"),
+      array_join(transform(filter(judged, j => j.getField("keep")),
+        j => j.getField("txt")), "\n").as("extracted_text"))
+  }
   /** C4-style line-and-document quality filter (Raffel et al., JMLR 2020,
     * the public "Colossal Clean Crawled Corpus" rules). Line level: a line
     * is RETAINED iff it ends in a terminal punctuation mark (period,

@@ -905,6 +905,36 @@ object PipelineQueries {
         ml.filter(col("doc_id") < 250), "doc_id", "ml_text").orderBy("id")
     }),
 
+    // HTML boilerplate extraction (r17): the corpus has no markup, so the
+    // query first renders deterministic HTML per doc — head with script+
+    // style payloads (incl. a decoy '<p>' INSIDE the script that must not
+    // become a block), a link-only nav div, the text as two <p> blocks
+    // (first 12 words / rest — the rest is EMPTY for short docs, so the
+    // min-chars rule genuinely fires), a link-farm ads div on every 3rd
+    // doc (varying n_blocks_total), and a link-dense footer. The oracle
+    // re-implements the generic rule arithmetic (RE2-safe regexes + list
+    // lambdas), not the construction inverse.
+    "text_html_extract" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val words = split(col("text"), "\\s+")
+      val html = concat(
+        lit("<html><head><title>Doc</title><script>var a=1; track('<p>x</p>');</script>" +
+          "<style>p{margin:0}</style></head><body>" +
+          "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></div><p>"),
+        array_join(slice(words, 1, 12), " "),
+        lit("</p><p>"),
+        array_join(slice(words, 13, 1 << 20), " "),
+        lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<div class=\"ads\"><a href=\"x\">Buy cheap</a> <a href=\"y\">Best deals</a> " +
+            "<a href=\"z\">Click here</a></div>")).otherwise(lit("")),
+        lit("<div class=\"footer\"><a href=\"/tos\">Terms of Service</a> " +
+          "<a href=\"/priv\">Privacy</a> (c) 2026</div></body></html>"))
+      Corpus.htmlExtract(docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy("id")
+    }),
+
     // C4 line+doc filter: the corpus has no punctuation, so the query first
     // renders deterministic 6-token lines with a cycling suffix
     // (./?/!/none), a "javascript " prefix on every 7th (doc_id+idx) line,
@@ -2903,6 +2933,38 @@ object PipelineQueries {
     // the native-loop path shares the replace-chain derivation VERBATIM:
     // one oracle pins both execution strategies to the same rows
     "text_bpe_segment_fast" -> BpeSegmentOracleSql,
+
+    // identical HTML rebuild, then the GENERIC rule chain re-implemented:
+    // script/style strips (two RE2-safe single-tag passes — no
+    // backreferences), p/div block extraction, per-block tag-strip +
+    // whitespace-collapse, anchor-char link density vs the 0.4 dial,
+    // min-15-chars gate, kept blocks rejoined with \n. DuckDB's
+    // out-of-range list slice is NULL (Spark's is empty) — coalesced.
+    "text_html_extract" ->
+      ("WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents), " +
+       "h AS (SELECT doc_id, " +
+       "'<html><head><title>Doc</title><script>var a=1; track(' || chr(39) || '<p>x</p>' || chr(39) || ');</script>" +
+       "<style>p{margin:0}</style></head><body>" +
+       "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div><p>' || " +
+       "coalesce(array_to_string(w[1:12], ' '), '') || '</p><p>' || " +
+       "coalesce(array_to_string(w[13:], ' '), '') || '</p>' || " +
+       "CASE WHEN doc_id % 3 = 0 THEN '<div class=\"ads\"><a href=\"x\">Buy cheap</a> " +
+       "<a href=\"y\">Best deals</a> <a href=\"z\">Click here</a></div>' ELSE '' END || " +
+       "'<div class=\"footer\"><a href=\"/tos\">Terms of Service</a> <a href=\"/priv\">Privacy</a> " +
+       "(c) 2026</div></body></html>' AS html FROM base), " +
+       "c AS (SELECT doc_id, regexp_replace(regexp_replace(html, " +
+       "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS cleaned FROM h), " +
+       "b AS (SELECT doc_id, regexp_extract_all(cleaned, '(?is)<(?:p|div)[^>]*>(.*?)</(?:p|div)>', 1) AS blocks FROM c), " +
+       "j AS (SELECT doc_id, len(blocks) AS nt, list_transform(blocks, x -> struct_pack(" +
+       "txt := trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')), " +
+       "ach := coalesce(list_sum(list_transform(regexp_extract_all(x, '(?is)<a[^>]*>(.*?)</a>', 1), " +
+       "a -> length(trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))))), 0))) AS js FROM b), " +
+       "k AS (SELECT doc_id, nt, list_filter(js, s2 -> length(s2.txt) >= 15 AND " +
+       "CAST(s2.ach AS DOUBLE) <= 0.4 * greatest(length(s2.txt), 1)) AS kept FROM j) " +
+       "SELECT doc_id AS id, CAST(nt AS BIGINT) AS n_blocks_total, " +
+       "CAST(len(kept) AS BIGINT) AS n_blocks_kept, " +
+       "array_to_string(list_transform(kept, s2 -> s2.txt), chr(10)) AS extracted_text " +
+       "FROM k ORDER BY id"),
 
     // identical line rebuild (6-token chunks, cycling suffix, javascript
     // prefix, doc-level injections), then the four line rules and three

@@ -1088,6 +1088,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(dials.length == 1 && dials.head.getInt(0) == 2 && dials.head.getInt(1) == 4)
   }
 
+  test("htmlExtract: script/style stripped, link-dense blocks dropped, entities unescaped, CJK kept by chars") {
+    import spark.implicits._
+    val html1 = "<html><head><title>T</title><script>var x=1; document.write('<p>junk</p>');</script>" +
+      "<style>p { color: red }</style></head><body>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>" +
+      "<p>This is the real article content with &amp; an entity and enough characters.</p>" +
+      "<p>tiny</p>" +
+      "<div class=\"footer\"><a href=\"/tos\">Terms of Service</a> <a href=\"/p\">Privacy</a> (c) 2026</div>" +
+      "</body></html>"
+    // CJK: one whitespace "word" but plenty of characters — char-based
+    // rules must keep it (a word-based minWords would drop it)
+    val html2 = "<html><body><p>这是一段足够长的中文正文内容，规则必须保留它。</p>" +
+      "<div><a href=\"x\">链接</a><a href=\"y\">更多</a></div></body></html>"
+    val df = Seq((1L, html1), (2L, html2)).toDF("doc_id", "html")
+    val got = Corpus.htmlExtract(df, "doc_id", "html")
+      .orderBy("id").collect()
+    val r1 = got(0)
+    assert(r1.getLong(1) == 4L, s"4 blocks total: $r1") // nav, p, tiny p, footer
+    assert(r1.getLong(2) == 1L, s"only the article survives: $r1")
+    assert(r1.getString(3) ==
+      "This is the real article content with & an entity and enough characters.", r1.getString(3))
+    val r2 = got(1)
+    assert(r2.getLong(2) == 1L && r2.getString(3).startsWith("这是一段"),
+      s"CJK content block must survive the char-based rules: $r2")
+    // NULL html: zero blocks, empty text, no NPE
+    val nulls = Corpus.htmlExtract(Seq((3L, null: String)).toDF("doc_id", "html"),
+      "doc_id", "html").collect()
+    assert(nulls.head.getLong(1) == 0L && nulls.head.getString(3) == "")
+    // composes with the downstream curation gates (extract -> C4 filter):
+    // same row-local plan class, one projection feeding the next
+    val chained = Corpus.c4LineFilter(
+      Corpus.htmlExtract(df, "doc_id", "html"), "id", "extracted_text")
+    assert(chained.count() == 2 && chained.columns.contains("keep"))
+  }
+
   test("multi-probe embedding near-dup: equal budget beats multi-table; fixed O(n) index; schedule sane") {
     import graft.functions.VectorFunctions.cosine
     import graft.sources.Tables
