@@ -739,9 +739,25 @@ object Events {
   def retentionCohorts(
       events: DataFrame,
       userCol: String,
-      tsCol: String): DataFrame = {
-    val week = to_date(date_trunc("week", col(tsCol)))
-    val activity = events.select(col(userCol).as("user"), week.as("week")).distinct()
+      tsCol: String): DataFrame =
+    retentionFromActivity(retentionActivity(events, userCol, tsCol))
+
+  /** The O(users·weeks) distinct activity table [[retentionCohorts]]
+    * reduces events to — and the STORE its streaming twin
+    * ([[graft.streaming.Streams.retentionMonitorStream]]) accumulates:
+    * (user, week) pairs compose by distinct UNION, so history never
+    * rescans. */
+  def retentionActivity(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame =
+    events.select(col(userCol).as("user"),
+      to_date(date_trunc("week", col(tsCol))).as("week")).distinct()
+
+  /** The cohort rollup over a [[retentionActivity]] table — shared
+    * LITERALLY by the batch operator and the streaming monitor, so the
+    * two cannot drift. */
+  def retentionFromActivity(activity: DataFrame): DataFrame = {
     val wUser = Window.partitionBy(col("user"))
     val grid = activity
       .withColumn("cohort_week", min(col("week")).over(wUser))

@@ -1021,6 +1021,93 @@ object Streams {
       }
       .start()
 
+  /** Latest version dir under a foreachBatch-versioned store (`v<id>`
+    * children, id = batch id): replay-safe because a re-run batch
+    * OVERWRITES its own version instead of appending — the ingestion
+    * layer's overwrite-by-batch contract applied to monitor state. */
+  private def latestStoreVersion(storeDir: String): Option[String] = {
+    val d = new java.io.File(storeDir)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(_.getName.drop(1).toLong)
+      .lastOption.map(_.getAbsolutePath)
+  }
+
+  /** Streaming funnel-latency monitor — the stream twin of
+    * [[graft.operators.Events.funnelLatency]], completing the funnel
+    * family's batch/stream symmetry: [[funnelStream]]'s per-user
+    * snapshots (O(steps) state per user) upsert into a VERSIONED parquet
+    * snapshot store each micro-batch (anti-join out the updated users,
+    * union the new snapshots, write `v<batchId>` — replay overwrites its
+    * own version, the ingestion layer's exactly-once contract), and the
+    * latency rollup runs over the whole store through the LITERALLY
+    * SHARED [[graft.operators.Events.funnelLatency]], tagged batch_id.
+    *
+    * EQUIVALENCE (pinned in StreamingSpec): under [[funnelStream]]'s
+    * append-only arrival contract the store after batch N holds exactly
+    * the batch [[graft.operators.Events.funnel]] snapshot of all events
+    * so far, so the monitor's verdict equals batch
+    * `funnelLatency(funnel(all events))` — not an approximation.
+    *
+    * Scale shape: the store is O(users) rows of 4 scalars; each batch
+    * touches it once (one anti join keyed on user_id + one union), the
+    * rollup is one O(steps)-row reduce. */
+  def funnelLatencyMonitorStream(
+      events: Dataset[Event],
+      steps: Seq[String],
+      storeDir: String)(
+      sink: DataFrame => Unit): StreamingQuery =
+    funnelStream(events, steps).toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val upserted = latestStoreVersion(storeDir) match {
+          case Some(prev) =>
+            spark.read.parquet(prev)
+              .join(batch.select("user_id"), Seq("user_id"), "left_anti")
+              .unionByName(batch)
+          case None => batch
+        }
+        val vdir = s"$storeDir/v$batchId"
+        upserted.write.mode("overwrite").parquet(vdir)
+        sink(graft.operators.Events.funnelLatency(spark.read.parquet(vdir))
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
+  /** Streaming retention monitor — the stream twin of
+    * [[graft.operators.Events.retentionCohorts]]: each micro-batch's
+    * distinct (user, week) activity pairs merge into a versioned
+    * activity store (distinct union — pairs are idempotent, so replay
+    * and duplicate arrivals are harmless), and the cohort grid rebuilds
+    * from the store through the LITERALLY SHARED
+    * [[graft.operators.Events.retentionFromActivity]], tagged batch_id.
+    * The store is the O(users·weeks) reduction of the event log — the
+    * monitor never rescans events, and its verdict after batch N equals
+    * the batch operator over all events so far (pinned in
+    * StreamingSpec), regardless of arrival order: distinct union is
+    * commutative, unlike the funnel's order-dependent fold. */
+  def retentionMonitorStream(
+      stream: DataFrame,
+      userCol: String,
+      tsCol: String,
+      storeDir: String)(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val act = graft.operators.Events.retentionActivity(batch, userCol, tsCol)
+        val merged = latestStoreVersion(storeDir) match {
+          case Some(prev) => spark.read.parquet(prev).unionByName(act).distinct()
+          case None => act
+        }
+        val vdir = s"$storeDir/v$batchId"
+        merged.write.mode("overwrite").parquet(vdir)
+        sink(graft.operators.Events.retentionFromActivity(spark.read.parquet(vdir))
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Streaming functional-dependency monitor — the stream twin of
     * [[graft.operators.Checks.fdCheck]]: each micro-batch's candidate
     * verdicts (violations, g3 repair cost, confidence) computed through

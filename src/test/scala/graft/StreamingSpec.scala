@@ -1216,6 +1216,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap(1L)._1 == 3L && snap(2L)._1 == 0L && snap(3L)._1 == 1L, s"$snap")
   }
 
+  test("funnel-latency monitor: last verdict ≡ batch funnelLatency over all events") {
+    import spark.implicits._
+    import graft.operators.Events
+    val storeDir = "target/streaming_spec/funnel_latency_store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
+    val ms = MemoryStream[Streams.Event](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Seq[org.apache.spark.sql.Row])]()
+    val q = Streams.funnelLatencyMonitorStream(ms.toDS(),
+        Seq("view", "click", "purchase"), storeDir) { v =>
+      val rows = v.collect().toSeq
+      buf.synchronized { buf += ((rows.head.getAs[Long]("batch_id"), rows)) }
+    }
+    val b1 = Seq(
+      Streams.Event(1L, ts(1), 1L, "view", 1.0),
+      Streams.Event(2L, ts(2), 1L, "click", 1.0),
+      Streams.Event(3L, ts(1), 2L, "view", 1.0),
+      Streams.Event(4L, ts(3), 3L, "view", 1.0))
+    val b2 = Seq(
+      Streams.Event(5L, ts(4), 1L, "purchase", 1.0),  // completes across batches
+      Streams.Event(6L, ts(5), 2L, "click", 1.0),
+      Streams.Event(7L, ts(6), 4L, "click", 1.0))     // click w/o view: depth 0
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val last = key(buf.maxBy(_._1)._2)
+    val batch = key(Events.funnelLatency(Events.funnel(
+      (b1 ++ b2).toDS().toDF(), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))).collect().toSeq)
+    assert(last == batch, s"stream=$last\nbatch=$batch")
+    // depth-0 user 4 excluded; depths 1 (user 3), 2 (user 2), 3 (user 1)
+    assert(last.map(_._1) == Set(1L, 2L, 3L), s"$last")
+  }
+
+  test("retention monitor: last verdict ≡ batch retentionCohorts; replay and duplicates harmless") {
+    import spark.implicits._
+    import graft.operators.Events
+    val storeDir = "target/streaming_spec/retention_store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
+    def week(n: Int): Timestamp = Timestamp.valueOf(f"2024-01-${1 + 7 * n}%02d 10:00:00")
+    val ms = MemoryStream[(Long, Timestamp)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Set[(java.sql.Date, Long, Long, Double)])]()
+    val q = Streams.retentionMonitorStream(ms.toDF().toDF("user_id", "ts"),
+        "user_id", "ts", storeDir) { v =>
+      val rows = v.collect().toSeq
+      buf.synchronized {
+        buf += ((rows.head.getAs[Long]("batch_id"),
+          rows.map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet))
+      }
+    }
+    // cohort A: users 1,2 in week 0; user 1 returns weeks 1 and 2.
+    // cohort B: user 3 joins week 1, returns week 2. Duplicates everywhere.
+    val b1 = Seq((1L, week(0)), (2L, week(0)), (1L, week(0)), (1L, week(1)))
+    val b2 = Seq((1L, week(2)), (3L, week(1)), (3L, week(2)), (2L, week(0)))
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val last = buf.maxBy(_._1)._2
+    val batch = Events.retentionCohorts(
+        (b1 ++ b2).toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(last == batch, s"stream=$last\nbatch=$batch")
+    // cohort A week 1 retention = 1/2, week 2 = 1/2; cohort B week 1 = 1/1
+    assert(batch.exists(x => x._2 == 1L && x._4 == 0.5), s"$batch")
+  }
+
   test("centroid drift monitor flags the micro-batch carrying a reversed shard") {
     import spark.implicits._
     import graft.operators.Similarity
