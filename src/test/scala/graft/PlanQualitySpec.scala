@@ -630,6 +630,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the per-side OR disjunctions pushed to the scans:\n$plan")
   }
 
+  test("q8 union-agg shape: one exchange, AQE coalesces the tiny post-shuffle partitions") {
+    import graft.sources.Tables
+    // the exact graft.Bench q8 shape (BASELINE.md config note): union of
+    // two key columns into a groupBy count — the row that sits nearest
+    // the 2x bench fence. The pin proves the PLAN is right (a single
+    // shuffle whose post-shuffle side AQE coalesces on small data), so a
+    // noisy round can't attribute a q8 drift to a plan defect.
+    val a = Tables.loadMeta(spark, sfDir, "customer").select(col("c_custkey").as("key"))
+    val b = Tables.loadMeta(spark, sfDir, "supplier").select(col("s_suppkey").as("key"))
+    val df = a.union(b).groupBy("key").count().df
+    df.collect() // finalize AQE on THIS QueryExecution (a write would run its own)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") -
+      plan.sliding("ReusedExchange".length).count(_ == "ReusedExchange") <= 2,
+      s"at most the one agg exchange (+AQE read) expected:\n$plan")
+    assert(plan.contains("AQEShuffleRead coalesced") || plan.contains("coalesced"),
+      s"AQE must coalesce the post-shuffle partitions on small data:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
   test("q11 shape: the group-HAVING threshold is one global scalar broadcast against the grouped view") {
     val df = graft.SparkEntry.queries("tpch_q11_important_stock")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
