@@ -736,9 +736,12 @@ object RelationalQueries {
         .join(broadcast(slice), col("partkey") === col("p_partkey"))
         .filter(col("window_qty") > lit(0.35) * col("total_qty"))
         .select("suppkey").distinct()
+      // region-level dimension filter (a single nation holds no supplier
+      // at sf0.001's 10-supplier table; every region does at every sf)
       t(s, d, "supplier").df
-        .join(t(s, d, "nation").df.filter(col("n_name") === "NATION_1"),
-          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "nation").df, col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").df.filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
         .join(hot, col("s_suppkey") === col("suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
@@ -755,15 +758,21 @@ object RelationalQueries {
         .agg(dsum4(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("n"))),
 
-    // q7 shape: the two-nation volume-shipping topology — supplier
-    // nation × customer nation in BOTH directions (the disjunctive
-    // nation-pair predicate), grouped by shipping year. The nation dim
-    // joins twice under different roles; both broadcast.
+    // q7 shape: the two-geography volume-shipping topology — supplier
+    // geography × customer geography in BOTH directions (the disjunctive
+    // pair predicate), grouped by shipping year. The nation+region dims
+    // join twice under different roles; all broadcast. Region-level pair
+    // (ASIA↔EUROPE) rather than TPC-H's nation pair: a single nation
+    // holds no supplier at sf0.001's 10-supplier table, every region does
+    // at every sf — the topology (two-role dim joins + disjunctive pair
+    // filter + year grouping) is unchanged.
     "tpch_q7_volume_shipping" -> ((s, d) => {
-      val n1 = t(s, d, "nation").df
-        .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
-      val n2 = t(s, d, "nation").df
-        .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))
+      val r1 = t(s, d, "nation").df
+        .join(t(s, d, "region").df, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("n1k"), col("r_name").as("supp_region"))
+      val r2 = t(s, d, "nation").df
+        .join(t(s, d, "region").df, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("n2k"), col("r_name").as("cust_region"))
       t(s, d, "supplier").df
         .join(t(s, d, "lineitem").df
             .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -771,14 +780,14 @@ object RelationalQueries {
           col("s_suppkey") === col("l_suppkey"))
         .join(t(s, d, "orders").df, col("o_orderkey") === col("l_orderkey"))
         .join(t(s, d, "customer").df, col("c_custkey") === col("o_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("n1k"))
-        .join(broadcast(n2), col("c_nationkey") === col("n2k"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
+        .join(broadcast(r1), col("s_nationkey") === col("n1k"))
+        .join(broadcast(r2), col("c_nationkey") === col("n2k"))
+        .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+          (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+        .groupBy(col("supp_region"), col("cust_region"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(dsum4(revenueExpr).as("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .orderBy("supp_region", "cust_region", "l_year")
     }),
 
     // q8 shape: the national-market-share topology — one nation's share
@@ -810,25 +819,27 @@ object RelationalQueries {
 
     // q11 shape: the group-HAVING-vs-global-scalar topology — per-part
     // "stock value" (cost proxy s_acctbal × the pair's all-time quantity
-    // over the distinct bridge) for one nation's suppliers, keeping parts
-    // above 3× the MEAN part value. The TPC-H fraction-of-total threshold
-    // is scale-dependent (the official spec divides it by SF); the mean
+    // over the distinct bridge) for one REGION's suppliers (a nation can
+    // hold zero suppliers at sf0.001), keeping parts above 2× the MEAN
+    // part value. The TPC-H fraction-of-total threshold is
+    // scale-dependent (the official spec divides it by SF); the mean
     // multiple pins the same optimizer shape — a 1-row global aggregate
     // broadcast against the grouped view — and stays non-degenerate at
-    // every sf. Decorrelated: view built once, threshold rides a
-    // broadcast crossJoin.
+    // every sf (3/163/1147 rows at sf0.001/0.01/0.1). Decorrelated: view
+    // built once, threshold rides a broadcast crossJoin.
     "tpch_q11_important_stock" -> ((s, d) => {
       val pairs = t(s, d, "lineitem").df
         .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
         .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"))
       val pv = pairs
         .join(t(s, d, "supplier").df, col("suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, d, "nation").df.filter(col("n_name") === "NATION_0")),
-          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "nation").df), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").df.filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
         .groupBy("partkey")
         .agg(sum((col("s_acctbal") * col("qty")).cast(DecimalType(28, 4)))
           .cast("double").as("value"))
-      val thr = pv.agg((lit(3.0) * sum(col("value").cast(DecimalType(28, 4)))
+      val thr = pv.agg((lit(2.0) * sum(col("value").cast(DecimalType(28, 4)))
         .cast("double") / count(lit(1))).as("__thr"))
       pv.crossJoin(broadcast(thr))
         .filter(col("value") > col("__thr"))
@@ -1058,7 +1069,8 @@ object RelationalQueries {
        "hot AS (SELECT DISTINCT suppkey FROM pairs JOIN part ON partkey = p_partkey " +
        "WHERE p_name LIKE 'red%' AND window_qty > 0.35 * total_qty) " +
        "SELECT s_suppkey, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
-       "WHERE n_name = 'NATION_1' AND s_suppkey IN (SELECT suppkey FROM hot) " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT suppkey FROM hot) " +
        "ORDER BY s_suppkey"),
 
     "tpch_q6_forecast_revenue" ->
@@ -1068,18 +1080,20 @@ object RelationalQueries {
        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
 
     "tpch_q7_volume_shipping" ->
-      ("SELECT supp_nation, cust_nation, l_year, " +
+      ("SELECT supp_region, cust_region, l_year, " +
        "CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM " +
-       "(SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+       "(SELECT r1.r_name AS supp_region, r2.r_name AS cust_region, " +
        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
        "l_extendedprice * (1.0 - l_discount) AS volume " +
        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
        "JOIN orders ON o_orderkey = l_orderkey " +
        "JOIN customer ON c_custkey = o_custkey " +
        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+       "JOIN region r1 ON n1.n_regionkey = r1.r_regionkey " +
        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
-       "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
-       "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+       "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey " +
+       "WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE') " +
+       "OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')) " +
        "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') " +
        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
 
@@ -1108,9 +1122,10 @@ object RelationalQueries {
        "CAST(SUM(CAST(s_acctbal * qty AS DECIMAL(28,4))) AS DOUBLE) AS value " +
        "FROM pairs JOIN supplier ON suppkey = s_suppkey " +
        "JOIN nation ON s_nationkey = n_nationkey " +
-       "WHERE n_name = 'NATION_0' GROUP BY 1) " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'EUROPE' GROUP BY 1) " +
        "SELECT partkey, value FROM pv " +
-       "WHERE value > (SELECT 3.0 * CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) " +
+       "WHERE value > (SELECT 2.0 * CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) " +
        "/ count(*) FROM pv) " +
        "ORDER BY value DESC, partkey"),
 

@@ -132,7 +132,19 @@ object AuditScale {
     "tpch_q13_customer_distribution", "tpch_q17_small_quantity",
     "tpch_q22_sales_opportunity", "dq_benford",
     // q16: distinct bridge reduce + anti hash join + grouped distinct
-    "tpch_q16_supplier_cnt")
+    "tpch_q16_supplier_cnt",
+    // round-17 wave: the remaining TPC-H topologies (q2 decorrelated MIN
+    // over the distinct bridge, q15 view-max broadcast, q20 folded
+    // correlated agg + semi join, q6 pure pushdown scan, q7/q8 two-role
+    // nation joins, q11 group-HAVING vs broadcast global scalar, q12/q14
+    // CASE aggregates, q19 per-side OR pushdown) + the row-local HTML
+    // extraction rule chain
+    "tpch_q2_min_cost_supplier", "tpch_q15_top_supplier",
+    "tpch_q20_hot_parts_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q11_important_stock", "tpch_q12_late_shipments",
+    "tpch_q14_promo_effect", "tpch_q19_discount_revenue",
+    "text_html_extract")
 
   /** Queries whose declared input is intentionally sf-independent (oracle
     * boundedness) — their ratio is expected ≈1 and says nothing about scaling. */
@@ -263,7 +275,10 @@ object AuditScale {
       "events_rolling_wau", "events_changepoint_cusum",
       // q22's 1-row average and Benford's 1-row total ride broadcast
       // crossJoins by construction
-      "tpch_q22_sales_opportunity", "dq_benford")
+      "tpch_q22_sales_opportunity", "dq_benford",
+      // q15's 1-row view max and q11's 1-row threshold ride broadcast
+      // crossJoins by construction (the q22 scalar shape)
+      "tpch_q15_top_supplier", "tpch_q11_important_stock")
 
   def queryFns: Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n)) ++ Seq(
