@@ -105,18 +105,34 @@ object VectorFunctions {
     require(nbits >= 1 && nbits <= 62, "nbits must be in [1, 62] for a long code")
     require(rankSubsets.forall(s => s.nonEmpty && s.forall(r => r >= 0 && r < nbits)),
       "every probe subset must be a non-empty set of margin ranks < nbits")
-    val margins = array((0 until nbits).map(j => planeDot(vec, lit(j), dim)): _*)
-    val base = (0 until nbits)
-      .map(j => when(element_at(margins, j + 1) > 0.0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    // bit indices ordered by |margin| ascending (ties by index — total order)
-    val rankedIdx = transform(
-      array_sort(array((0 until nbits).map(j =>
-        struct(abs(element_at(margins, j + 1)).as("m"), lit(j).as("j"))): _*)),
-      s => s.getField("j"))
-    def flipMask(sub: Seq[Int]): Column = sub
-      .map(r => call_function("shiftleft", lit(1L), element_at(rankedIdx, r + 1)))
-      .reduce(_.bitwiseOR(_))
-    array((base +: rankSubsets.map(s => base.bitwiseXOR(flipMask(s)))): _*)
+    // LET-BINDING VIA LAMBDA: Catalyst has no let, and codegen's
+    // common-subexpression elimination does not reach inside nested array
+    // constructors — a naive spelling re-evaluated the O(nbits·dim)
+    // margins array at EVERY reference (once per sign bit, once per
+    // sorted-struct element, once per flip-mask rank lookup), measured
+    // 66 s vs 4 s on the sf0.1 audit at (nbits=6, T=32). Wrapping each
+    // intermediate in a 1-element array and `transform`ing binds it to a
+    // lambda variable, which IS evaluated once — planeDot runs exactly
+    // nbits times per row regardless of probe count.
+    def let1(value: Column)(body: Column => Column): Column =
+      element_at(transform(array(value), body), 1)
+    val marginsArr = array((0 until nbits).map(j => planeDot(vec, lit(j), dim)): _*)
+    let1(marginsArr) { m =>
+      val base = (0 until nbits)
+        .map(j => when(element_at(m, j + 1) > 0.0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      // bit indices ordered by |margin| ascending (ties by index — total order)
+      val rankedIdx = transform(
+        array_sort(array((0 until nbits).map(j =>
+          struct(abs(element_at(m, j + 1)).as("m"), lit(j).as("j"))): _*)),
+        s => s.getField("j"))
+      let1(rankedIdx) { ranked =>
+        // base is arithmetic over the BOUND m — cheap per reference
+        def flipMask(sub: Seq[Int]): Column = sub
+          .map(r => call_function("shiftleft", lit(1L), element_at(ranked, r + 1)))
+          .reduce(_.bitwiseOR(_))
+        array((base +: rankSubsets.map(s => base.bitwiseXOR(flipMask(s)))): _*)
+      }
+    }
   }
 }

@@ -68,7 +68,10 @@ object Tables {
   }
 
   /** Writes the supplier CSV twin (header, distributed part files) and scans
-    * it back under [[SupplierSchema]], FAILFAST. */
+    * it back under [[SupplierSchema]], FAILFAST. The fixture regenerates on
+    * every call BY DESIGN — the roundtrip is the test; the write is
+    * distributed, overwrite-mode, and keyed by sf leaf so concurrent sfs
+    * never collide. */
   def scanCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val path = fixtureDir(sfDir, "supplier_csv")
     load(spark, sfDir, "supplier")

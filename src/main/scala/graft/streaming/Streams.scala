@@ -1024,7 +1024,11 @@ object Streams {
   /** Latest version dir under a foreachBatch-versioned store (`v<id>`
     * children, id = batch id): replay-safe because a re-run batch
     * OVERWRITES its own version instead of appending — the ingestion
-    * layer's overwrite-by-batch contract applied to monitor state. */
+    * layer's overwrite-by-batch contract applied to monitor state.
+    * DRIVER-LOCAL path contract: versions list via `java.io.File`, so
+    * the store dir must be driver-listable (local disk, NFS); an HDFS/S3
+    * deployment swaps this one listing for a Hadoop-FS call — the layout
+    * itself is filesystem-agnostic. */
   private def latestStoreVersion(storeDir: String): Option[String] = {
     val d = new java.io.File(storeDir)
     Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
