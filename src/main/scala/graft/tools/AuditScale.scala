@@ -46,7 +46,7 @@ object AuditScale {
     "sim_ivf_train", "text_quality_gate", "pipeline_corpus_e2e",
     "pipeline_ingest_batch", "sim_topk_pq_rotated", "text_dsir_select",
     "text_line_dedup", "dedup_substring_spans", "text_pack_sequences",
-    "text_bpe_train", "text_line_dedup_incremental",
+    "text_bpe_train", "text_bpe_segment_fast", "text_line_dedup_incremental",
     "dedup_substring_spans_incremental", "pipeline_curation_e2e",
     "pipeline_ingest_curated", "text_gopher_rules", "text_pii_categories",
     "text_ccnet_tiers", "text_gopher_repetition", "text_char_stats",
