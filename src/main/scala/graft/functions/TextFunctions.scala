@@ -46,13 +46,31 @@ object TextFunctions {
   def tokensScript(text: Column): Column =
     regexp_extract_all(text, lit(s"[$NoSpaceClass]|[^\\s$NoSpaceClass]+"), lit(0))
 
+  /** Grapheme-cluster upgrade of [[tokensScript]] — the quality rung for
+    * the SEA scripts' documented single-char dial: a no-space-script
+    * codepoint PLUS its trailing combining marks (`\p{M}*` — the
+    * `\X`-equivalent for these scripts via codepoint classes) is ONE
+    * token, so a Thai syllable like สวั (base + SARA A + MAI HAN-AKAT)
+    * stops counting its vowel/tone marks as separate tokens. Latin and
+    * whitespace-delimited text is untouched (the second alternative is
+    * script mode's, and marks inside a word run were already part of the
+    * run). Spacing vowels that Unicode classes as letters (e.g. Thai
+    * SARA AM U+0E33, category Lo) stay their own token — the remaining
+    * dial the trained unigram segmenter closes. `\p{M}` means the same
+    * general category in Java regex and DuckDB's RE2, so the oracle
+    * re-derives the identical clusters. */
+  def tokensGrapheme(text: Column): Column =
+    regexp_extract_all(text, lit(s"[$NoSpaceClass]\\p{M}*|[^\\s$NoSpaceClass]+"), lit(0))
+
   /** Mode-dispatched tokenization: `"whitespace"` (the default
-    * everywhere) or `"script"` ([[tokensScript]]). */
+    * everywhere), `"script"` ([[tokensScript]]) or `"grapheme"`
+    * ([[tokensGrapheme]]). */
   def tokens(text: Column, mode: String): Column = mode match {
     case "whitespace" => tokens(text)
     case "script"     => tokensScript(text)
+    case "grapheme"   => tokensGrapheme(text)
     case other => throw new IllegalArgumentException(
-      s"unknown tokenizer mode '$other' (expected whitespace|script)")
+      s"unknown tokenizer mode '$other' (expected whitespace|script|grapheme)")
   }
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

@@ -836,6 +836,16 @@ object Dedup {
     all.take(count)
   }
 
+  /** Hard ceiling on the TOTAL probe count (base bucket + perturbations)
+    * at a given `nbits`: [[perturbationSets]] draws from the non-empty
+    * subsets of min(nbits, 16) margin ranks, so only 2^min(nbits,16) − 1
+    * distinct extra probes exist. A requested `probes`/auto-sized T above
+    * this would silently truncate (the schedule runs out of subsets) while
+    * the output still reported the requested T — so the multi-probe
+    * operators clamp to this and REPORT THE CLAMP in `n_probes`, keeping
+    * the dial on the rows equal to what actually ran. */
+  def maxProbes(nbits: Int): Int = 1 << math.min(nbits, 16)
+
   /** Multi-probe twin of [[embeddingNearDupMultiTable]] — the fix for the
     * multi-table recall strategy's growing index: instead of K independent
     * hash tables (index = K·n rows, and the r16 scale audit measured the
@@ -874,9 +884,11 @@ object Dedup {
     require(probes == AutoProbes || probes >= 1,
       s"probes must be >= 1 (or AutoProbes = $AutoProbes for equal-budget sizing)")
     val bits = if (nbits == AutoNbits) recommendedNbits(df.count(), targetBucketSize) else nbits
-    val t =
+    // clamp to the schedule's capacity so n_probes reports what actually ran
+    val t = math.min(
       if (probes == AutoProbes) recommendedLshTables(bits, threshold, targetRecall)
-      else probes
+      else probes,
+      maxProbes(bits))
     val ids = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val coded = ids.select(col("id"),
       graft.functions.VectorFunctions.lshProbeBuckets(
@@ -896,6 +908,78 @@ object Dedup {
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
+        lit(bits).as("nbits"), lit(t).as("n_probes"))
+  }
+
+  /** Incremental (batch-vs-corpus) multi-probe embedding near-dedup — the
+    * multi-probe recall fix applied to the serving shape: a BATCH of new
+    * vectors matched against a STATIC corpus, never self-joining the
+    * corpus. This is exactly the path multi-probe was built for: the
+    * corpus index is ONE base-bucket row per vector (O(n) at any probe
+    * count — same planes and sign convention as the batch operator's
+    * probe-1 code), and only the NEW side probes at T margin-ranked
+    * buckets, so raising recall is a pure per-batch dial: no corpus
+    * re-bucketing, no index rebuild, T can differ batch to batch against
+    * the SAME index. Candidate rows are ids-only longs through the one
+    * equi-join; every candidate confirms with the row-local exact cosine,
+    * so zero false positives is structural.
+    *
+    * Recall model (one-sided probing): pair (b, c) surfaces iff c's base
+    * bucket is among b's T probes. The base bucket is probe 1, so at any
+    * T ≥ 1 this DOMINATES the single-table stream path's recall
+    * (`lshBucket` collisions are exactly the probe-1 hits), and at
+    * T = [[maxProbes]](nbits) the probe set covers every bucket — output
+    * equals the exact straddling cosine pairs. `nbits` auto-sizes from
+    * the CORPUS count (the side whose growth fills buckets; a `count()`
+    * of the static frame is legal even when the batch side streams);
+    * `probes` auto-sizes to the equal-budget T and clamps to the
+    * schedule capacity, reported in `n_probes`.
+    *
+    * No distinct is needed between candidates and confirm — probe codes
+    * per vector are pairwise distinct (base XOR distinct non-zero masks)
+    * and the index holds one row per corpus vector, so each (batch,
+    * corpus) pair joins at most once. That is what makes this SAME plan
+    * legal under Structured Streaming append mode
+    * ([[graft.streaming.Streams.embeddingNearDupMultiProbeStream]]
+    * delegates here verbatim): no streaming dedup state, no aggregate.
+    *
+    * Returns (id, matched_id, cos, nbits, n_probes) — one row per
+    * confirmed (batch, corpus) pair. */
+  def embeddingNearDupMultiProbeIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nbits: Int = AutoNbits,
+      probes: Int = AutoProbes,
+      targetRecall: Double = 0.8,
+      targetBucketSize: Long = DefaultTargetBucketSize): DataFrame = {
+    require(nbits == AutoNbits || nbits >= 1,
+      s"nbits must be >= 1 (or AutoNbits = $AutoNbits for occupancy-aware sizing)")
+    require(probes == AutoProbes || probes >= 1,
+      s"probes must be >= 1 (or AutoProbes = $AutoProbes for equal-budget sizing)")
+    val bits =
+      if (nbits == AutoNbits) recommendedNbits(corpus.count(), targetBucketSize) else nbits
+    val t = math.min(
+      if (probes == AutoProbes) recommendedLshTables(bits, threshold, targetRecall)
+      else probes,
+      maxProbes(bits))
+    // O(n) index: one base-bucket row per corpus vector (probe 1 of the
+    // schedule — identical planes/signs to the batch side's codes)
+    val index = corpus.select(
+      element_at(graft.functions.VectorFunctions.lshProbeBuckets(
+        col(vecCol), bits, dim, Seq.empty), 1).as("__bucket"),
+      col(idCol).as("matched_id"), col(vecCol).as("__c_vec"))
+    val probed = batch.select(
+      col(idCol).as("id"), col(vecCol).as("__b_vec"),
+      explode(graft.functions.VectorFunctions.lshProbeBuckets(
+        col(vecCol), bits, dim, perturbationSets(bits, t - 1))).as("__bucket"))
+    probed.join(index, Seq("__bucket"))
+      .withColumn("cos", cosine(col("__b_vec"), col("__c_vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("id"), col("matched_id"), round(col("cos"), 6).as("cos"),
         lit(bits).as("nbits"), lit(t).as("n_probes"))
   }
 

@@ -695,6 +695,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the grapheme-cluster quality rung over the SEA single-char dial
+    // (r18): the same planted Thai/Lao/Myanmar/Khmer twins, now counted
+    // under BOTH script mode (every codepoint its own token — combining
+    // vowel/tone marks included) and grapheme mode (base + \p{M}* marks =
+    // one token), row-exact in DuckDB with the identical RE2 classes; a
+    // Thai syllable with combining marks drops from 2–3 tokens to 1 on the
+    // planted rows while pure-Latin corpus rows count identically in both
+    "text_tokens_grapheme" -> ((s, d) => {
+      val docs = t(s, d, "documents").df
+      val planted = docs.filter(col("doc_id") % 100 === 13)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("สวัสดีชาวโลก ສະບາຍດີ မင်္ဂလာပါ កម្ពុជា "),
+            substring(col("text"), 1, 40)).as("text"))
+      docs.select("doc_id", "text").unionByName(planted)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text"), "script").as("n_script"),
+          TextFunctions.tokenCount(col("text"), "grapheme").as("n_grapheme"))
+        .orderBy("doc_id")
+    }),
+
     "text_quality" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
@@ -922,9 +942,13 @@ object PipelineQueries {
           "<style>p{margin:0}</style></head><body>" +
           "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
           "<a href=\"/contact\">Contact</a></div><p>"),
-        array_join(slice(words, 1, 12), " "),
+        // coalesce mirrors the oracle's COALESCE(..., '') on each slice: a
+        // NULL text must still render the nav/p/footer markup (4 blocks),
+        // not null-propagate the whole page to a 0-block NULL html —
+        // engine and oracle stay aligned even if fixtures gain NULLs
+        coalesce(array_join(slice(words, 1, 12), " "), lit("")),
         lit("</p><p>"),
-        array_join(slice(words, 13, 1 << 20), " "),
+        coalesce(array_join(slice(words, 13, 1 << 20), " "), lit("")),
         lit("</p>"),
         when(col("doc_id") % 3 === 0,
           lit("<div class=\"ads\"><a href=\"x\">Buy cheap</a> <a href=\"y\">Best deals</a> " +
@@ -1622,6 +1646,41 @@ object PipelineQueries {
           (coalesce(sum(when(col("ex") === 1L && col("hit") === 1L, 1L).otherwise(0L)), lit(0L))
             .cast("double") >=
             coalesce(sum(col("ex")), lit(0L)).cast("double") * 0.9)
+            .cast("long").as("recall_ok"))
+    }),
+
+    // Incremental multi-probe (r18 — the serving-shape twin): a BATCH of
+    // new vectors (vec_id % 5 == 0) probed at T margin-ranked buckets
+    // against the ONE O(n) base-bucket index of the STATIC corpus (the
+    // rest) — the corpus never self-joins, never re-buckets, and the
+    // probe count is a pure per-batch dial over the same index. Explicit
+    // nbits=3 keeps the probing PARTIAL (equal-budget T=7 of the 8
+    // buckets), so the recall flag pins the one-sided probe model (a pair
+    // is missed iff ALL THREE hyperplane signs differ — ≤ 0.403³ ≈ 6.5%
+    // at the threshold boundary, far less above it) rather than a
+    // saturated schedule; zero false positives structural (every
+    // candidate passes the row-local exact cosine).
+    "dedup_embedding_multiprobe_incremental" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").df
+      val found = Dedup.embeddingNearDupMultiProbeIncremental(
+          emb.filter(col("vec_id") % 5 =!= 0), emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", dim = 64, threshold = 0.3, nbits = 3)
+        .filter(col("id") < 300 && col("matched_id") < 300)
+        .select(col("id").as("b_id"), col("matched_id").as("c_id"), lit(1L).as("hit"))
+      val exact = cosinePairs(s, d)
+        .filter((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
+        .select(
+          when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b")).as("b_id"),
+          when(col("id_a") % 5 === 0, col("id_b")).otherwise(col("id_a")).as("c_id"),
+          lit(1L).as("ex"))
+      exact.join(found, Seq("b_id", "c_id"), "full_outer")
+        .agg(
+          coalesce(sum(col("ex")), lit(0L)).as("n_exact_pairs"),
+          coalesce(sum(when(col("ex").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_false_positives"),
+          (coalesce(sum(when(col("ex") === 1L && col("hit") === 1L, 1L).otherwise(0L)), lit(0L))
+            .cast("double") >=
+            coalesce(sum(col("ex")), lit(0L)).cast("double") * 0.8)
             .cast("long").as("recall_ok"))
     }),
 
@@ -2591,6 +2650,18 @@ object PipelineQueries {
        s"CAST(len(regexp_extract_all(text, '[$NoSpace]|[^\\s$NoSpace]+')) AS BIGINT) AS n_script " +
        "FROM u ORDER BY doc_id"),
 
+    // both modes re-derived with the identical RE2 classes — \p{M} is the
+    // same general-category class in Java regex and RE2
+    "text_tokens_grapheme" ->
+      ("WITH p AS (SELECT doc_id + 3000000 AS doc_id, " +
+       "'สวัสดีชาวโลก ສະບາຍດີ မင်္ဂလာပါ កម្ពុជា ' || substr(text, 1, 40) AS text " +
+       "FROM documents WHERE doc_id % 100 = 13), " +
+       "u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM p) " +
+       "SELECT doc_id, " +
+       s"CAST(len(regexp_extract_all(text, '[$NoSpace]|[^\\s$NoSpace]+')) AS BIGINT) AS n_script, " +
+       s"CAST(len(regexp_extract_all(text, '[$NoSpace]\\p{M}*|[^\\s$NoSpace]+')) AS BIGINT) AS n_grapheme " +
+       "FROM u ORDER BY doc_id"),
+
     "text_quality" ->
       ("WITH q AS (SELECT doc_id, text, " +
        "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens, " +
@@ -3551,6 +3622,16 @@ object PipelineQueries {
       ("WITH " + CosinePairsSql +
        "SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_positives, " +
        "CAST(1 AS BIGINT) AS recall_ok FROM pairs WHERE cos >= 0.3"),
+
+    // straddling subset of the same exact pair CTE (batch = vec_id % 5 = 0
+    // on either end); flags constant by the operator's structure — any
+    // false positive or sub-0.8 recall changes the Spark aggregate and the
+    // hash mismatches
+    "dedup_embedding_multiprobe_incremental" ->
+      ("WITH " + CosinePairsSql +
+       "SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_positives, " +
+       "CAST(1 AS BIGINT) AS recall_ok FROM pairs " +
+       "WHERE cos >= 0.3 AND ((id_a % 5 = 0) <> (id_b % 5 = 0))"),
 
     "sim_topk_lsh" ->
       ("SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_below_bound " +

@@ -40,6 +40,14 @@ object RelationalQueries {
     "scan_json" -> ((s, d) =>
       Tables.scanJson(s, d).orderBy("doc_id")),
 
+    // the INFERRED-schema scan path (r18): inference samples the files,
+    // classifies every column to a parseable type (exact inferred dtypes
+    // pinned in SourcesSpec), and the cast-back scan must still match the
+    // parquet truth bit-for-bit — proving the inferred types' parse lost
+    // nothing
+    "scan_csv_inferred" -> ((s, d) =>
+      Tables.scanCsvInferred(s, d).orderBy("s_suppkey")),
+
     "sql_via_view" -> ((s, d) => {
       // SQL entry point: MetaFrame registers a temp view, spark.sql queries it
       t(s, d, "lineitem").createOrReplaceTempView("li_view")
@@ -1166,6 +1174,9 @@ object RelationalQueries {
 
     "scan_json" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "scan_csv_inferred" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
 
     "project_select" ->
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",

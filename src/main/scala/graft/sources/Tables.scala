@@ -91,4 +91,69 @@ object Tables {
       .option("mode", "FAILFAST")
       .json(path)
   }
+
+  /** [[scanCsv]]'s INFERRED-schema twin (r17 verdict #7): the same
+    * roundtrip fixture scanned with `inferSchema=true` — two passes over
+    * the files by contract (one samples types, one parses), which is why
+    * explicit schemas are the production default and inference the
+    * exploration path. Inference narrows integer-valued columns to the
+    * smallest fitting integral type (s_suppkey reads back IntegerType at
+    * test SFs where parquet truth is LongType — the exact dtypes are
+    * pinned in SourcesSpec), so the scan is cast back to
+    * [[SupplierSchema]] here: equality with the parquet truth then proves
+    * inference classified every column to a type whose parse preserved
+    * the values bit-for-bit. */
+  def scanCsvInferred(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = fixtureDir(sfDir, "supplier_csv_inferred")
+    load(spark, sfDir, "supplier")
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val inferred = spark.read
+      .option("header", "true").option("inferSchema", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+    inferred.select(SupplierSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** Bad-records side channel built from PUBLIC Spark semantics: scans
+    * `path` twice — once in PERMISSIVE mode to capture each unparseable
+    * row and APPEND it to `badDir` as a JSON line carrying every
+    * partially-parsed column plus the verbatim source line under
+    * `_corrupt_record` (replayable after a parser fix by re-parsing that
+    * field), once in DROPMALFORMED mode to return the clean frame. The
+    * bad-row write keeps the full column set deliberately — Spark rejects
+    * plans whose required schema is ONLY the corrupt-record column
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN; the documented alternative is
+    * caching the parsed input), and the partial values are the audit
+    * signal anyway. Two scans instead of one cached pass is the
+    * 100 TB-deliberate choice: both sides stream through executors with
+    * pushdown intact, nothing materializes corpus-sized state, the bad
+    * slice written is O(bad rows). The returned frame is lazy as usual —
+    * only the audit write runs at call time. */
+  def scanRoutingBadRecords(
+      spark: SparkSession,
+      format: String,
+      path: String,
+      schema: StructType,
+      badDir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    require(format == "csv" || format == "json", s"unsupported format: $format")
+    val withCorrupt = schema.add(StructField("_corrupt_record", StringType))
+    val permissive = spark.read.format(format).schema(withCorrupt)
+      .options(options)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .load(path)
+    // renamed on the way out: a JSON field literally named
+    // `_corrupt_record` would read back as the JSON reader's own internal
+    // corrupt column, making the bad-records file un-queryable
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) for any consumer selecting it
+    permissive.filter(col("_corrupt_record").isNotNull)
+      .withColumnRenamed("_corrupt_record", "corrupt_record")
+      .write.mode("append").json(badDir)
+    spark.read.format(format).schema(schema)
+      .options(options)
+      .option("mode", "DROPMALFORMED")
+      .load(path)
+  }
 }

@@ -352,8 +352,10 @@ object Streams {
     *
     * Recall model is the batch operator's, verbatim: a true near-dup is
     * missed iff the pair splits buckets (probability (1−θ/π)^nbits-ish per
-    * hyperplane miss) — raise recall with fewer bits, or run the batch
-    * sweep periodically. `nbits` defaults to the batch operator's
+    * hyperplane miss) — raise recall with fewer bits, with
+    * [[embeddingNearDupMultiProbeStream]] (the T-probe dial over the same
+    * O(n) index — the recall fix for this path), or run the batch sweep
+    * periodically. `nbits` defaults to the batch operator's
     * occupancy-aware auto-sizing (`Dedup.recommendedNbits`) over the
     * STATIC corpus count — the corpus is the side whose growth fills the
     * buckets, and one `count()` of a batch frame at query build is legal
@@ -382,6 +384,38 @@ object Streams {
       .filter(col("cos") >= threshold)
       .select(col("stream_id"), col("corpus_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Multi-probe twin of [[embeddingNearDupStream]] — the recall fix for
+    * the serving path, which otherwise buckets both sides with
+    * single-table `lshBucket` at the measured-low single-shot recall
+    * (0.35/0.22/0.12 at nbits 2/3/4). Delegates VERBATIM to the batch
+    * [[graft.operators.Dedup.embeddingNearDupMultiProbeIncremental]] —
+    * the plan is already streaming-legal in append mode: the corpus index
+    * stays ONE O(n) base-bucket projection (never rebuilt, at any probe
+    * count), only the STREAM side explodes to T margin-ranked probe
+    * buckets, the single stream-static equi-join is stateless, and no
+    * dedup state is needed because each (stream, corpus) pair can join at
+    * most once (probe codes per vector are pairwise distinct; one index
+    * row per corpus vector). `probes` is therefore a pure per-query dial:
+    * raising recall between restarts re-reads more buckets of the SAME
+    * index. At T = 1 this is exactly the single-table path; at
+    * T = `Dedup.maxProbes(nbits)` the output is the exact straddling
+    * cosine pairs. Emitted columns (stream_id, corpus_id, cos, nbits,
+    * n_probes); pinned against the batch twin in StreamingSpec. */
+  def embeddingNearDupMultiProbeStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nbits: Int = graft.operators.Dedup.AutoNbits,
+      probes: Int = graft.operators.Dedup.AutoProbes,
+      targetRecall: Double = 0.8): DataFrame =
+    graft.operators.Dedup.embeddingNearDupMultiProbeIncremental(
+        corpus, stream, idCol, vecCol, dim, threshold, nbits, probes, targetRecall)
+      .select(col("id").as("stream_id"), col("matched_id").as("corpus_id"),
+        col("cos"), col("nbits"), col("n_probes"))
 
   /** Streaming SemDeDup: a STREAM of new embeddings matched against a
     * STATIC deduplicated corpus under a FROZEN coarse quantizer — the
@@ -1021,20 +1055,68 @@ object Streams {
       }
       .start()
 
-  /** Latest version dir under a foreachBatch-versioned store (`v<id>`
-    * children, id = batch id): replay-safe because a re-run batch
-    * OVERWRITES its own version instead of appending — the ingestion
-    * layer's overwrite-by-batch contract applied to monitor state.
-    * DRIVER-LOCAL path contract: versions list via `java.io.File`, so
-    * the store dir must be driver-listable (local disk, NFS); an HDFS/S3
-    * deployment swaps this one listing for a Hadoop-FS call — the layout
-    * itself is filesystem-agnostic. */
-  private def latestStoreVersion(storeDir: String): Option[String] = {
-    val d = new java.io.File(storeDir)
-    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .sortBy(_.getName.drop(1).toLong)
-      .lastOption.map(_.getAbsolutePath)
+  /** Version ids of all `v<id>` children of a foreachBatch-versioned
+    * store, via the Hadoop FileSystem of the path itself — so the store
+    * works on HDFS/S3/local alike (the Ingest.compactStore pattern), not
+    * just driver-listable disk. */
+  private[graft] def storeVersionIds(
+      spark: SparkSession, storeDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(s => (s.getPath.getName.drop(1).toLong, s.getPath))
+      .sortBy(_._1)
+  }
+
+  /** Latest COMMITTED version dir strictly BELOW `beforeBatchId` under a
+    * foreachBatch-versioned store (`v<id>` children, id = batch id).
+    * Replay-safe on BOTH failure modes of a batch N: the strict
+    * `id < beforeBatchId` bound means a retried batch never merges
+    * against its own possibly partially-written v<N> (it would otherwise
+    * be the highest version and the partial merge would silently drop
+    * rows lost in the partial write), and the `_SUCCESS` gate skips
+    * versions whose parquet commit never finished (the committer writes
+    * `_SUCCESS` last) — so a retry always merges against the last FULLY
+    * committed predecessor, making overwrite-by-batch genuinely
+    * exactly-once. Requires durable batch ids: the monitors take a
+    * `checkpointDir`, so ids keep rising across restarts instead of
+    * resetting to 0 below the stored versions. */
+  private[graft] def latestStoreVersion(
+      spark: SparkSession, storeDir: String, beforeBatchId: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    storeVersionIds(spark, storeDir)
+      .filter { case (v, path) =>
+        v < beforeBatchId && fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) }
+      .lastOption.map(_._2.toString)
+  }
+
+  /** Prune superseded store versions, keeping the `keep` highest
+    * COMMITTED versions (and any dirs above the lowest kept id). Called
+    * AFTER the current batch's version commits, so the crash-state
+    * argument is: any future batch M > N resolves its predecessor to the
+    * highest committed version ≤ the just-written v<N>; a retry of N
+    * itself (sink failure after the write) resolves to the highest
+    * committed version < N — both survive because the top `keep ≥ 2`
+    * committed versions are kept by id, never by wall-clock. Partial
+    * (uncommitted) dirs below the lowest kept committed id are dead —
+    * no lookup can ever select them — and are deleted too, so a
+    * long-running monitor holds ≤ `keep` full store copies instead of
+    * one per micro-batch forever. */
+  private[graft] def pruneStoreVersions(
+      spark: SparkSession, storeDir: String, keep: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = storeVersionIds(spark, storeDir)
+    val committed = all.filter { case (_, path) =>
+      fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) }
+    if (committed.size > keep) {
+      val minKept = committed.takeRight(keep).head._1
+      all.filter(_._1 < minKept).foreach { case (_, path) =>
+        fs.delete(path, true) }
+    }
   }
 
   /** Streaming funnel-latency monitor — the stream twin of
@@ -1059,13 +1141,18 @@ object Streams {
   def funnelLatencyMonitorStream(
       events: Dataset[Event],
       steps: Seq[String],
-      storeDir: String)(
-      sink: DataFrame => Unit): StreamingQuery =
-    funnelStream(events, steps).toDF().writeStream
+      storeDir: String,
+      checkpointDir: Option[String] = None,
+      keepVersions: Int = 2)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2: a retried batch merges against its committed predecessor")
+    val w = funnelStream(events, steps).toDF().writeStream
       .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    checkpointDir.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val upserted = latestStoreVersion(storeDir) match {
+        val upserted = latestStoreVersion(spark, storeDir, batchId) match {
           case Some(prev) =>
             spark.read.parquet(prev)
               .join(batch.select("user_id"), Seq("user_id"), "left_anti")
@@ -1074,10 +1161,12 @@ object Streams {
         }
         val vdir = s"$storeDir/v$batchId"
         upserted.write.mode("overwrite").parquet(vdir)
+        pruneStoreVersions(spark, storeDir, keepVersions)
         sink(graft.operators.Events.funnelLatency(spark.read.parquet(vdir))
           .withColumn("batch_id", lit(batchId)))
       }
       .start()
+  }
 
   /** Streaming retention monitor — the stream twin of
     * [[graft.operators.Events.retentionCohorts]]: each micro-batch's
@@ -1095,22 +1184,29 @@ object Streams {
       stream: DataFrame,
       userCol: String,
       tsCol: String,
-      storeDir: String)(
-      sink: DataFrame => Unit): StreamingQuery =
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      storeDir: String,
+      checkpointDir: Option[String] = None,
+      keepVersions: Int = 2)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2: a retried batch merges against its committed predecessor")
+    val w = stream.writeStream
+    checkpointDir.foreach(w.option("checkpointLocation", _))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val act = graft.operators.Events.retentionActivity(batch, userCol, tsCol)
-        val merged = latestStoreVersion(storeDir) match {
+        val merged = latestStoreVersion(spark, storeDir, batchId) match {
           case Some(prev) => spark.read.parquet(prev).unionByName(act).distinct()
           case None => act
         }
         val vdir = s"$storeDir/v$batchId"
         merged.write.mode("overwrite").parquet(vdir)
+        pruneStoreVersions(spark, storeDir, keepVersions)
         sink(graft.operators.Events.retentionFromActivity(spark.read.parquet(vdir))
           .withColumn("batch_id", lit(batchId)))
       }
       .start()
+  }
 
   /** Streaming functional-dependency monitor — the stream twin of
     * [[graft.operators.Checks.fdCheck]]: each micro-batch's candidate

@@ -876,4 +876,147 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(byDigit(1) == 2L && byDigit(2) == 1L && byDigit(7) == 1L, byDigit.toString)
     assert(rows.map(_.getLong(1)).sum == 4L, "no row silently dropped")
   }
+
+  // ---- r17 verdict #4: the streaming bench rows were ungateable under
+  // machine load — same-day ann_topk medians spanned 49–197 q/s on
+  // byte-identical code, so the fixed -40% band gated noise. The gate now
+  // scales the measured throughput by a single-thread CPU canary's load
+  // factor (capped, floored) before the band applies: contention slows
+  // the canary, code regressions do not.
+
+  test("stream bench gate: canary load factor discounts contention, capped — real collapse still trips") {
+    import graft.Bench
+    val anchor = Bench.AnnSteadyAnchor
+    val quiet = Bench.CanaryAnchorSec
+    // quiet machine: the plain -40% band, both sides of the boundary
+    assert(!Bench.streamGateTrips(anchor, anchor, quiet))
+    assert(Bench.streamGateTrips(0.59 * anchor, anchor, quiet))
+    assert(!Bench.streamGateTrips(0.61 * anchor, anchor, quiet))
+    // the r17 scenario: the driver's post-audit run measured ~1/4 the
+    // quiet q/s on identical code — with the canary showing 2.5x load the
+    // scaled row (0.3 * 2.5 = 0.75x anchor) must NOT trip
+    assert(!Bench.streamGateTrips(0.3 * anchor, anchor, 2.5 * quiet))
+    // the factor floors at 1: a faster-than-anchor canary buys no bonus
+    assert(Bench.streamGateTrips(0.59 * anchor, anchor, 0.5 * quiet))
+    // and caps at MaxLoadFactor: a collapse to 10% of anchor trips even
+    // when the canary claims 8x load (0.10 * 4 = 0.4x < 0.6x)
+    assert(Bench.streamGateTrips(0.10 * anchor, anchor, 8 * quiet))
+    // a code regression does not slow the canary: quiet canary + halved
+    // throughput still trips
+    assert(Bench.streamGateTrips(0.5 * anchor, anchor, quiet))
+  }
+
+  // ---- ADVICE r17 medium: the monitor stores' version lookup returned the
+  // HIGHEST version — on a retry of failed batch N that is the possibly
+  // partially-written v<N> itself, so the merge silently and permanently
+  // dropped rows lost in the partial write. The lookup now takes the batch
+  // id, binds strictly below it, and gates on the parquet committer's
+  // _SUCCESS marker.
+
+  test("monitor store lookup: strict-below-batch bound + _SUCCESS gate (replay safety)") {
+    import graft.streaming.Streams
+    val dir = Files.createTempDirectory("advice_store_lookup").toFile
+    def mkVersion(id: Long, committed: Boolean): Unit = {
+      val d = new java.io.File(dir, s"v$id"); d.mkdirs()
+      if (committed) new java.io.File(d, "_SUCCESS").createNewFile()
+    }
+    mkVersion(0, committed = true)
+    mkVersion(1, committed = false) // the partial write of a failed batch 1
+    // the ADVICE scenario: a RETRY of batch 1 must not merge its own partial v1
+    assert(Streams.latestStoreVersion(spark, dir.getPath, beforeBatchId = 1L)
+      .exists(_.endsWith("v0")), "retry of batch 1 must see v0, not its own partial v1")
+    // a later batch must skip the uncommitted v1 too (commit never finished)
+    assert(Streams.latestStoreVersion(spark, dir.getPath, beforeBatchId = 2L)
+      .exists(_.endsWith("v0")), "batch 2 must skip the uncommitted v1")
+    // once v1 actually commits, batch 2 merges against it
+    new java.io.File(new java.io.File(dir, "v1"), "_SUCCESS").createNewFile()
+    assert(Streams.latestStoreVersion(spark, dir.getPath, beforeBatchId = 2L)
+      .exists(_.endsWith("v1")))
+    // batch 0 on a fresh (or checkpoint-less restarted) store sees nothing —
+    // it can never merge a FUTURE version left by a pre-restart run
+    assert(Streams.latestStoreVersion(spark, dir.getPath, beforeBatchId = 0L).isEmpty)
+    // a store dir that does not exist yet is an empty store, not an error
+    assert(Streams.latestStoreVersion(spark,
+      new java.io.File(dir, "nope").getPath, beforeBatchId = 5L).isEmpty)
+  }
+
+  // ---- ADVICE r17 low: the monitor stores grew one full copy per
+  // micro-batch forever. pruneStoreVersions keeps the top-K COMMITTED
+  // versions; partial dirs above the kept floor survive (a retried batch
+  // overwrites them), dead dirs below it go.
+
+  test("monitor store pruning keeps top-K committed; partials above the floor survive") {
+    import graft.streaming.Streams
+    val dir = Files.createTempDirectory("advice_store_prune").toFile
+    def mkVersion(id: Long, committed: Boolean): Unit = {
+      val d = new java.io.File(dir, s"v$id"); d.mkdirs()
+      if (committed) new java.io.File(d, "_SUCCESS").createNewFile()
+    }
+    (0L to 4L).foreach(mkVersion(_, committed = true))
+    mkVersion(5, committed = false) // in-flight / crashed batch 5
+    Streams.pruneStoreVersions(spark, dir.getPath, keep = 2)
+    val left = dir.listFiles().map(_.getName).toSet
+    // keep=2 highest committed → v3, v4; v5 (partial, above the floor) must
+    // survive so a retried batch 5 can overwrite it; v0..v2 are dead — no
+    // lookup can ever select below the kept committed floor
+    assert(left == Set("v3", "v4", "v5"), left.toString)
+    // idempotent: pruning again changes nothing
+    Streams.pruneStoreVersions(spark, dir.getPath, keep = 2)
+    assert(dir.listFiles().map(_.getName).toSet == Set("v3", "v4", "v5"))
+  }
+
+  // ---- ADVICE r17 low: perturbationSets silently truncated when the
+  // requested probe count exceeded the 2^min(nbits,16)−1 available
+  // perturbation subsets, while n_probes still reported the requested t —
+  // the recall dial on the rows lied about what ran. Clamped + reported.
+
+  test("multi-probe clamps n_probes to the schedule capacity 2^nbits") {
+    import graft.operators.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    assert(Dedup.maxProbes(2) == 4 && Dedup.maxProbes(3) == 8)
+    assert(Dedup.maxProbes(40) == (1 << 16), "capacity saturates at 16 margin ranks")
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), (4L, Seq(0.0f, 0.99f, 0.1f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    // nbits=2 has only 4 distinct probes (base + 3 subsets); requesting 8
+    // must RUN 4 and REPORT 4
+    val out = Dedup.embeddingNearDupMultiProbe(
+      vecs, "id", "vec", dim = 4, threshold = 0.9, nbits = 2, probes = 8)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "near-identical pairs must surface at full probing")
+    assert(rows.forall(_.getAs[Int]("n_probes") == 4),
+      s"n_probes must report the clamped value: ${rows.mkString(",")}")
+    // the auto path clamps too: an aggressive recall target cannot request
+    // more probes than exist at small nbits
+    val auto = Dedup.embeddingNearDupMultiProbe(
+      vecs, "id", "vec", dim = 4, threshold = 0.9, nbits = 2,
+      targetRecall = 0.999)
+    assert(auto.collect().forall(_.getAs[Int]("n_probes") <= 4))
+  }
+
+  // ---- ADVICE r17 low: text_html_extract's Spark side null-propagated a
+  // NULL text through concat (NULL html → 0 blocks) while the oracle
+  // COALESCEd each word-slice to '' and still rendered the nav/p/footer
+  // markup (4 blocks) — a latent engine/oracle divergence green only
+  // because the fixtures carry no NULL text. Both sides now coalesce.
+
+  test("text_html_extract renders the boilerplate shell for NULL text (4 blocks)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("advice_html_null").toString
+    Seq((1L, null: String), (2L, "plain words " * 10))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_html_extract")(spark, dir).collect()
+    assert(out.length == 2, "the NULL-text doc must not vanish")
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    // NULL text still renders nav + two empty <p> + footer = 4 blocks,
+    // none kept (empty paragraphs fail minChars; nav/footer are link-dense)
+    assert(byId(1L).getAs[Long]("n_blocks_total") == 4L, byId(1L).toString)
+    assert(byId(1L).getAs[Long]("n_blocks_kept") == 0L)
+    assert(byId(2L).getAs[Long]("n_blocks_total") == 4L)
+    assert(byId(2L).getAs[Long]("n_blocks_kept") >= 1L, "real text survives")
+  }
 }

@@ -82,6 +82,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       "Khmer splits per codepoint")
   }
 
+  test("grapheme tokens: base + combining marks is ONE token; script/whitespace modes untouched (r17 verdict #8)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "visit สวัสดี bangkok"),   // Thai with combining vowels ั ี
+      (2L, "ສະບາຍດີ"),                 // Lao with combining ະ? (spacing) + ີ
+      (3L, "កម្ពុជា"),                  // Khmer coeng stack
+      (4L, "plain ascii words only"),
+      (5L, "spark 深度学習 tuning"))    // CJK carries no marks — grapheme ≡ script
+      .toDF("id", "text")
+    val got = rows.select(col("id"),
+        TextFunctions.tokens(col("text"), "grapheme").as("gt"),
+        TextFunctions.tokens(col("text"), "script").as("st"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1).toList, r.getSeq[String](2).toList))).toMap
+    // สวัสดี: script = 6 single codepoints; grapheme folds the two
+    // combining vowels into their bases → ส วั ส ดี (4 clusters)
+    assert(got(1L)._1 == List("visit", "ส", "วั", "ส", "ดี", "bangkok"),
+      got(1L)._1.toString)
+    assert(got(1L)._2.size == 8, "script mode keeps counting marks singly")
+    // grapheme count never exceeds script count; strictly less with marks
+    assert(got(1L)._1.size < got(1L)._2.size)
+    assert(got(2L)._1.size < got(2L)._2.size, s"${got(2L)}")
+    assert(got(3L)._1.size < got(3L)._2.size, s"${got(3L)}")
+    // no-mark scripts and ASCII are byte-identical across the two modes
+    assert(got(4L)._1 == got(4L)._2)
+    assert(got(5L)._1 == got(5L)._2)
+  }
+
   test("normalizeText canonicalizes unicode forms, case, and whitespace; normalized dedup collapses renderings") {
     import spark.implicits._
     import graft.functions.TextFunctions.normalizeText

@@ -429,6 +429,76 @@ class SourcesSpec extends AnyFunSuite {
     intercept[org.apache.spark.SparkException](failfast.collect())
   }
 
+  // ---- r18 (r17 verdict #7): the reader surface the self-written
+  // explicit-schema roundtrips can't pin — schema INFERENCE dtypes on
+  // handwritten external fixtures, and a bad-records side channel.
+
+  test("CSV/JSON schema inference pins reader dtypes on handwritten external fixtures") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val dir = Paths.get(out("inference_fixtures")); Files.createDirectories(dir)
+    Files.write(dir.resolve("ext.csv"),
+      ("id,name,ratio,seen_at,big\n" +
+       "1,alpha,0.5,2024-03-01T10:00:00,9999999999\n" +
+       "2,beta,1.25,2024-03-02T11:30:00,12\n").getBytes("UTF-8"))
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(dir.resolve("ext.csv").toString)
+    val csvTypes = csv.schema.fields.map(f => f.name -> f.dataType).toMap
+    // integral columns narrow to the smallest fitting integral type —
+    // IntegerType when every value fits, LongType once one doesn't
+    assert(csvTypes("id") == IntegerType, csvTypes.toString)
+    assert(csvTypes("big") == LongType, csvTypes.toString)
+    assert(csvTypes("ratio") == DoubleType)
+    assert(csvTypes("name") == StringType)
+    assert(csvTypes("seen_at") == TimestampType, csvTypes.toString)
+    assert(csv.count() == 2)
+
+    Files.write(dir.resolve("ext.jsonl"),
+      ("""{"id": 1, "score": 0.5, "tags": ["a", "b"], "meta": {"lang": "en", "ok": true}}""" + "\n" +
+       """{"id": 9999999999, "score": 2.0, "tags": [], "meta": {"lang": "de", "ok": false}}""" + "\n").getBytes("UTF-8"))
+    val json = spark.read.json(dir.resolve("ext.jsonl").toString)
+    val jsonTypes = json.schema.fields.map(f => f.name -> f.dataType).toMap
+    // JSON integral inference is LongType from the start; nested structs
+    // and arrays infer element-wise
+    assert(jsonTypes("id") == LongType, jsonTypes.toString)
+    assert(jsonTypes("score") == DoubleType)
+    assert(jsonTypes("tags") == ArrayType(StringType), jsonTypes.toString)
+    assert(jsonTypes("meta") == StructType(Seq(
+      StructField("lang", StringType), StructField("ok", BooleanType))),
+      jsonTypes.toString)
+    assert(json.count() == 2)
+  }
+
+  test("scanRoutingBadRecords: clean rows flow, corrupt rows land in badDir with the verbatim line, append accumulates") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    val dir = Paths.get(out("bad_records_src")); Files.createDirectories(dir)
+    // badDir is append-mode BY CONTRACT — wipe both dirs so reruns of this
+    // suite never see a previous invocation's accumulated bad rows
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out("bad_records_out")))
+    val badLine1 = "2,Supplier#2,4,notanumber"
+    val badLine2 = "3,Supplier#3"
+    Files.write(dir.resolve("part-0.csv"),
+      s"s_suppkey,s_name,s_nationkey,s_acctbal\n1,Supplier#1,3,100.5\n$badLine1\n$badLine2\n"
+        .getBytes("UTF-8"))
+    val badDir = out("bad_records_out")
+    val clean = Tables.scanRoutingBadRecords(spark, "csv", dir.toString,
+      Tables.SupplierSchema, badDir, Map("header" -> "true"))
+    assert(clean.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "only the parseable row survives")
+    val bad1 = spark.read.json(badDir)
+    assert(bad1.count() == 2)
+    val lines = bad1.select("corrupt_record").collect().map(_.getString(0)).toSet
+    assert(lines == Set(badLine1, badLine2), lines.toString)
+    // partially parsed values ride along for the audit
+    assert(bad1.filter(col("corrupt_record") === badLine1)
+      .select("s_suppkey").head.getLong(0) == 2L)
+    // append semantics: a second routing pass accumulates, never clobbers
+    Tables.scanRoutingBadRecords(spark, "csv", dir.toString,
+      Tables.SupplierSchema, badDir, Map("header" -> "true")).count()
+    assert(spark.read.json(badDir).count() == 4)
+  }
+
   test("scan_csv/scan_json roundtrip twins match the parquet source exactly") {
     val sfDir = "/root/testdata/sf0.001"
     val csv = Tables.scanCsv(spark, sfDir)

@@ -750,6 +750,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-probe streaming embedding near-dedup: per-query recall dial over one O(n) corpus index") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // deterministic pseudo-random fixture loose enough (threshold 0.3,
+    // nbits 2) that some straddling pairs split base buckets — the pairs
+    // the single-table serving path misses and multi-probe exists to find
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val corpusData = (0L until 30L).map(i => (i, vec()))
+    val corpus = corpusData.toDF("vec_id", "vec")
+    val batch1 = (100L until 110L).map(i => (i, vec()))
+    val batch2 = (110L until 120L).map(i => (i, vec()))
+    val allBatch = batch1 ++ batch2
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val exact = (for {
+      (bi, bv) <- allBatch; (ci, cv) <- corpusData
+      if cosine(bv, cv) >= 0.3
+    } yield (bi, ci)).toSet
+    def run(probes: Int): Set[(Long, Long)] = {
+      val ms = MemoryStream[(Long, Array[Float])](spark)
+      val out = Streams.embeddingNearDupMultiProbeStream(
+        ms.toDF().toDF("vec_id", "vec"), corpus, "vec_id", "vec",
+        dim = 8, threshold = 0.3, nbits = 2, probes = probes)
+      ms.addData(batch1: _*)
+      val q = Streams.runToMemory(out, s"emb_mp_stream_$probes", OutputMode.Append())
+      try {
+        q.processAllAvailable()
+        ms.addData(batch2: _*) // statelessness: second batch probes the SAME index
+        q.processAllAvailable()
+        val rows = spark.table(s"emb_mp_stream_$probes").collect()
+        assert(rows.forall(_.getAs[Int]("n_probes") == probes))
+        rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    // T=1 is exactly the single-table serving path (base-bucket collisions)
+    val single = run(1)
+    // full probing (maxProbes(2) = 4): every bucket reachable → the output
+    // IS the exact straddling cosine pair set, bit-for-bit
+    val full = run(4)
+    assert(full == exact, s"full probing must equal exact: ${full.diff(exact)} / ${exact.diff(full)}")
+    // the recall fix is OBSERVABLE: single-table misses real pairs that
+    // full probing recovers; every single-table pair survives (base bucket
+    // is probe 1 of the schedule)
+    assert(single.subsetOf(full))
+    assert(single != full, "fixture must exercise pairs the single-table path misses")
+    // partial probing sits between, monotone in T
+    val two = run(2)
+    assert(single.subsetOf(two) && two.subsetOf(full))
+    // stream ≡ batch: the streaming run at T=2 is bit-equal to the batch
+    // incremental operator over the union of both micro-batches — the
+    // stream path shares the batch plan verbatim, across batch boundaries
+    val batchOp = Dedup.embeddingNearDupMultiProbeIncremental(
+        corpus, allBatch.toDF("vec_id", "vec"), "vec_id", "vec",
+        dim = 8, threshold = 0.3, nbits = 2, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(two == batchOp, s"stream $two vs batch $batchOp")
+  }
+
   test("foreachBatch corpus ingestion grows the store and attributes every drop stage") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
@@ -1516,5 +1578,55 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(2)).toMap
       assert(got == Map(1L -> 1L, 3L -> 2L), s"$got")
     } finally q.stop()
+  }
+
+  test("monitor stores prune to keepVersions and survive a checkpointed restart") {
+    import spark.implicits._
+    import graft.operators.Events
+    val storeDir = "target/streaming_spec/retention_prune_store"
+    val ckptDir = "target/streaming_spec/retention_prune_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    def week(n: Int): Timestamp = Timestamp.valueOf(f"2024-01-${1 + 7 * n}%02d 10:00:00")
+    def versionIds(): Seq[Long] =
+      Streams.storeVersionIds(spark, storeDir).map(_._1)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Set[(java.sql.Date, Long, Long, Double)])]()
+    // ONE MemoryStream across both query incarnations (it retains all
+    // batches, so the checkpointed offsets stay resolvable after restart)
+    val ms = MemoryStream[(Long, Timestamp)](spark)
+    def runBatches(batches: Seq[Seq[(Long, Timestamp)]]): Unit = {
+      val q = Streams.retentionMonitorStream(ms.toDF().toDF("user_id", "ts"),
+          "user_id", "ts", storeDir,
+          checkpointDir = Some(ckptDir), keepVersions = 2) { v =>
+        val rows = v.collect().toSeq
+        buf.synchronized {
+          buf += ((rows.head.getAs[Long]("batch_id"),
+            rows.map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet))
+        }
+      }
+      try batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val b1 = Seq((1L, week(0)), (2L, week(0)))
+    val b2 = Seq((1L, week(1)), (3L, week(1)))
+    val b3 = Seq((1L, week(2)), (3L, week(2)))
+    runBatches(Seq(b1, b2, b3))
+    // keepVersions=2: after batches 0,1,2 only v1 and v2 remain on disk —
+    // the store holds <= keep full copies, not one per micro-batch forever
+    assert(versionIds() == Seq(1L, 2L), versionIds().toString)
+    // restart from the SAME checkpoint: MemoryStream state is gone but the
+    // batch-id clock keeps rising (3, ...) — the restarted query merges the
+    // durable store instead of silently writing below the stored max
+    val b4 = Seq((2L, week(1)))
+    runBatches(Seq(b4))
+    assert(versionIds().last > 2L, s"restart must keep counting up: ${versionIds()}")
+    assert(versionIds().size <= 2, versionIds().toString)
+    // final verdict ≡ batch retentionCohorts over the union of all four
+    // micro-batches — nothing was lost to pruning or the restart
+    val last = buf.maxBy(_._1)._2
+    val batch = Events.retentionCohorts(
+        (b1 ++ b2 ++ b3 ++ b4).toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(last == batch, s"stream=$last\nbatch=$batch")
   }
 }
