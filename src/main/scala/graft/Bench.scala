@@ -282,7 +282,9 @@ object Bench {
           val pairs = Graph.coOccurrence(t("lineitem").df, "l_orderkey",
               "l_partkey", minPairCount = 1, maxBasketSize = 5)
             .select(col("item_a"), col("item_b"))
-          val tri = Graph.triangles(pairs, "item_a", "item_b")
+          // coOccurrence output is normalized (unique, a<b) — skip the
+          // operator's re-normalization exchange (r18)
+          val tri = Graph.triangles(pairs, "item_a", "item_b", inputNormalized = true)
           noop(tri)
           // the operator localCheckpoints its oriented edge list — free it
           // here so 7 passes don't accumulate block-manager litter (the

@@ -139,10 +139,15 @@ object Dedup {
       .select(col("id"), col("matched_id"), round(col("best_jaccard"), 6).as("best_jaccard"))
   }
 
-  /** Row-local exact Jaccard of two distinct-hash-set arrays. */
+  /** Row-local exact Jaccard of two distinct-hash-set arrays. r18: the
+    * union size is `|A| + |B| − |A∩B|` — exact on distinct inputs — so
+    * only ONE hash-set build per pair (the intersect) instead of two;
+    * `array_union` additionally materialized the merged array just to
+    * take its size. Bit-identical result (integer arithmetic on exact
+    * set sizes), measurably cheaper on every candidate-confirm path. */
   private[graft] def setJaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
     when(uni === 0.0, 0.0).otherwise(inter / uni)
   }
 
@@ -163,11 +168,22 @@ object Dedup {
   private[graft] def confirmedMatches(
       cand: DataFrame, batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleWidth: Int, minJaccard: Double): DataFrame =
+    confirmedMatchesFromSets(cand,
+      shingleSets(batch, idCol, textCol, shingleWidth, "b_id"),
+      shingleSets(corpus, idCol, textCol, shingleWidth, "c_id"),
+      minJaccard)
+
+  /** [[confirmedMatches]] over PRE-COMPUTED shingle-set frames — the r18
+    * split that lets a self-dedup caller ([[winnowNearDup]]) tokenize and
+    * shingle each document ONCE instead of once per join side: `bSets`
+    * must carry (b_id, b_id_sh), `cSets` (c_id, c_id_sh), both as
+    * [[shingleSets]] produces them. */
+  private[graft] def confirmedMatchesFromSets(
+      cand: DataFrame, bSets: DataFrame, cSets: DataFrame,
+      minJaccard: Double): DataFrame =
     cand
-      .join(shingleSets(batch, idCol, textCol, shingleWidth, "b_id"),
-        col("batch_id") === col("b_id"))
-      .join(shingleSets(corpus, idCol, textCol, shingleWidth, "c_id"),
-        col("corpus_id") === col("c_id"))
+      .join(bSets, col("batch_id") === col("b_id"))
+      .join(cSets, col("corpus_id") === col("c_id"))
       .withColumn("jaccard", setJaccard(col("b_id_sh"), col("c_id_sh")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
@@ -1067,8 +1083,14 @@ object Dedup {
       shingleWidth: Int = 3): DataFrame = {
     val cand = winnowPairs(df, idCol, textCol, k, w, maxFpDf)
       .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"))
-    val confirmed =
-      confirmedMatches(cand, df, df, idCol, textCol, shingleWidth, minJaccard)
+    // r18: the confirm joins the SAME frame's shingle sets on both pair
+    // ends — compute the tokenize+shingle projection once and pin it
+    // (localCheckpoint via truncate; disk-backed blocks O(corpus shingle
+    // bytes), reclaimed by the ContextCleaner) instead of re-deriving it
+    // per join side
+    val ss = truncate(shingleSets(df, idCol, textCol, shingleWidth, "b_id"))
+    val confirmed = confirmedMatchesFromSets(cand, ss,
+      ss.select(col("b_id").as("c_id"), col("b_id_sh").as("c_id_sh")), minJaccard)
     val comps = connectedComponents(confirmed, "batch_id", "corpus_id")
     df.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
@@ -1111,8 +1133,18 @@ object Dedup {
       df.select(col(idCol).as(out),
         explode(graft.functions.TextFunctions.winnowFingerprints(
           col(textCol), k, w)).as("fp"))
-    val bFps = fps(batch, "batch_id")
-    val cFps = fps(corpus, "corpus_id")
+    // r18: with the df cut active, each side's fingerprint explosion feeds
+    // TWO consumers (the combined-df reduce and the collision join) — a
+    // bare projection has no exchange for reuse to latch onto, so without
+    // the pin the text is tokenized and winnowed twice per side; truncate
+    // materializes it once (ids+8-byte fps only, never the text). At the
+    // uncapped setting each side is consumed once and the pin would be a
+    // pure extra materialization — skip it.
+    val pinned = maxFpDf != Long.MaxValue
+    def sideFps(df: DataFrame, out: String): DataFrame =
+      if (pinned) truncate(fps(df, out)) else fps(df, out)
+    val bFps = sideFps(batch, "batch_id")
+    val cFps = sideFps(corpus, "corpus_id")
     // combined-df cut: fingerprints are distinct per doc, so the count over
     // both sides IS total document frequency; skipped at the uncapped default
     def capped(side: DataFrame): DataFrame =

@@ -374,11 +374,19 @@ object Graph {
     * Scale shape: two hash joins build the orientation (node-key degree
     * join), one wedge self-join on the pivot key, one (a, c) equi-join
     * closes the wedge, and the per-node rollup is an explode of the
-    * 3-node triangle rows — no step exceeds the Σ out-deg² wedge bound. */
+    * 3-node triangle rows — no step exceeds the Σ out-deg² wedge bound.
+    *
+    * `inputNormalized = true` (r18) promises the input is ALREADY a
+    * normalized undirected edge list — unique rows, `srcCol < dstCol`,
+    * no NULLs, no self-loops (exactly what [[coOccurrence]] emits) — and
+    * skips the least/greatest + distinct normalization pass, one full
+    * edge-list exchange. Duplicates in a falsely-promised input would
+    * double-count triangles; callers own the promise. */
   def triangles(
       edges: DataFrame,
       srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String,
+      inputNormalized: Boolean = false): DataFrame = {
     // CHECKPOINT DISCIPLINE (the measured ~two-thirds of the r14 bench
     // row): this operator's plan reads its inputs many times — `und`
     // feeds the degree reduce (twice, via the unionAll) plus the
@@ -389,12 +397,14 @@ object Graph {
     // dependents materialize) and `deg`/`oriented` (both reachable from
     // the returned plan — `graftbridge.freeCheckpoints` or the
     // ContextCleaner reclaim them).
-    val und = edges
-      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
-        col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .distinct()
+    val und = (if (inputNormalized)
+        edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      else edges
+        .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+          col(srcCol) =!= col(dstCol))
+        .select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"))
+        .distinct())
       .localCheckpoint()
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
@@ -464,18 +474,23 @@ object Graph {
       srcCol: String,
       dstCol: String,
       k: Int,
-      maxRounds: Int = 16): DataFrame = {
+      maxRounds: Int = 16,
+      inputNormalized: Boolean = false): DataFrame = {
     require(k >= 1, "k must be at least 1")
     require(maxRounds >= 1, "maxRounds must be at least 1")
     def degrees(e: DataFrame): DataFrame = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    var e = edges
-      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
-        col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .distinct()
+    // inputNormalized: the [[triangles]] contract — input already unique,
+    // src < dst, no NULLs/self-loops — skips the normalization exchange
+    var e = (if (inputNormalized)
+        edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      else edges
+        .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+          col(srcCol) =!= col(dstCol))
+        .select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"))
+        .distinct())
       .localCheckpoint()
     var n = e.count()
     var r = 0
@@ -514,11 +529,20 @@ object Graph {
     * their current label.
     *
     * Scale shape: per round ONE edge-key join (labels onto the symmetric
-    * edge list), one (node, label) reduce, and one node-partitioned
-    * window over the aggregated label counts (same key as the reduce —
-    * no extra exchange); the label frame is `localCheckpoint`ed per round
-    * (ids only) so plans stay O(1) deep, with the previous round's blocks
-    * freed eagerly.
+    * edge list), one (node, label) reduce, and one node-key ARGMIN reduce
+    * over the aggregated label counts — `min(struct(-count, label))`, the
+    * exact (count desc, label asc) order as a lexicographic struct
+    * minimum. r18: this replaces the earlier row_number window, which
+    * needed a full sort of the (node, label) count table per round; the
+    * argmin is a hash aggregate with map-side partials — no sort, fewer
+    * shuffled bytes, same bit-exact winner. The label frame is
+    * `localCheckpoint`ed per round (ids only) so plans stay O(1) deep,
+    * with the previous round's blocks freed eagerly.
+    *
+    * `inputNormalized = true` is the [[triangles]] contract (unique rows,
+    * src < dst, no NULLs/self-loops): the symmetric closure of such a
+    * list is duplicate-free by construction, so the round-0 distinct is
+    * skipped.
     *
     * Returns one row per node: (id, label) — `label` is the smallest
     * member id of the node's community under this round count. */
@@ -526,28 +550,30 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3,
+      inputNormalized: Boolean = false): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val e = edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val und = (if (inputNormalized) sym else sym.distinct())
       .localCheckpoint()
     var labels = und.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("__n").desc, col("label").asc)
     var r = 0
     while (r < rounds) {
       val adopted = und
         .join(labels.select(col("id").as("u"), col("label")), Seq("u"))
         .groupBy(col("v").as("id"), col("label"))
         .agg(count(lit(1)).as("__n"))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
-        .select(col("id"), col("label").as("__new"))
+        // argmin over (−count, label): lexicographic struct order gives
+        // most-frequent-label, smallest-label tie-break — bit-identical
+        // to the former (count desc, label asc) row_number pick
+        .groupBy(col("id"))
+        .agg(min(struct((-col("__n")).as("__negn"), col("label"))).as("__m"))
+        .select(col("id"), col("__m.label").as("__new"))
       val next = labels
         .join(adopted, Seq("id"), "left")
         .select(col("id"), coalesce(col("__new"), col("label")).as("label"))

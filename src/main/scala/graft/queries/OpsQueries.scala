@@ -555,7 +555,9 @@ object OpsQueries {
       val pairs = Graph.coOccurrence(t(s, d, "lineitem").df,
           "l_orderkey", "l_partkey", minPairCount = 1, maxBasketSize = 5)
         .select(col("item_a"), col("item_b"))
-      Graph.triangles(pairs, "item_a", "item_b").orderBy("id")
+      // coOccurrence output is already normalized (unique, a<b, non-null)
+      Graph.triangles(pairs, "item_a", "item_b", inputNormalized = true)
+        .orderBy("id")
     }),
 
     // 2-core by iterative peeling over the same co-occurrence graph, a
@@ -565,7 +567,8 @@ object OpsQueries {
       val pairs = Graph.coOccurrence(t(s, d, "lineitem").df,
           "l_orderkey", "l_partkey", minPairCount = 1, maxBasketSize = 5)
         .select(col("item_a"), col("item_b"))
-      Graph.kCore(pairs, "item_a", "item_b", k = 2, maxRounds = 4).orderBy("id")
+      Graph.kCore(pairs, "item_a", "item_b", k = 2, maxRounds = 4,
+        inputNormalized = true).orderBy("id")
     }),
 
     // incremental co-occurrence: two basket-disjoint batch stores merged
@@ -981,7 +984,8 @@ object OpsQueries {
       val pairs = Graph.coOccurrence(t(s, d, "lineitem").df,
           "l_orderkey", "l_partkey", minPairCount = 1, maxBasketSize = 5)
         .select(col("item_a"), col("item_b"))
-      Graph.labelPropagation(pairs, "item_a", "item_b", rounds = 3)
+      Graph.labelPropagation(pairs, "item_a", "item_b", rounds = 3,
+        inputNormalized = true)
         .orderBy("id")
     }))
 
