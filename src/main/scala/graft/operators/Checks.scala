@@ -149,6 +149,18 @@ object Checks {
     * NULL-group rows: the med/MAD joins are NULL-SAFE (`<=>`), so a
     * nullable group column forms its own group instead of silently
     * dropping its rows from the output. */
+  /** r18 scale-adaptive parallelism guard: when a frame's scan has fewer
+    * partitions than the cluster's default parallelism (the
+    * single-row-group-parquet case — row groups floor the split count, so
+    * an 11 MB file scans as ONE task on any cluster), spread it before
+    * heavy per-row/aggregate work; on production multi-split inputs the
+    * guard is false and no exchange is paid. Only legal around exact,
+    * partitioning-invariant computations — callers own that property. */
+  private def spreadNarrowScan(df: DataFrame): DataFrame = {
+    val defaultPar = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < defaultPar) df.repartition(defaultPar) else df
+  }
+
   def outliersMad(
       df: DataFrame,
       groupCol: String,
@@ -156,6 +168,13 @@ object Checks {
       k: Double = 3.0): DataFrame = {
     require(k > 0, "k must be positive")
     val v = col(valueCol).cast("double")
+    // r18 note: spreading the percentile inputs via [[spreadNarrowScan]]
+    // was tried and MEASURED SLOWER here (median 3.3 s → 4.3 s at sf0.1,
+    // local[32]): unlike [[suggest]]'s 17× Expand, the percentile partial
+    // does no work amplification, and the keyless repartition's
+    // sort-before-repartition pass costs more than the extra map-side
+    // parallelism buys — the merge of per-partition value-count maps is
+    // the same total work either way. Left at scan parallelism.
     val med = df.groupBy(col(groupCol).as("__g1"))
       .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"))
     val deviations = df
@@ -199,7 +218,13 @@ object Checks {
       current: DataFrame,
       valueCol: String,
       buckets: Int = 10): DataFrame =
-    scorePsiAgainst(current, psiBaseline(reference, valueCol, buckets),
+    // r18: pin the O(buckets) baseline — [[scorePsiAgainst]] reads it
+    // twice (the edges broadcast and the join side), and unpinned each
+    // read re-ran the whole reference percentile + bucket-count pipeline;
+    // measured, the composite made ~8 full scans of the two inputs where
+    // 3 suffice (2 reference passes + 1 current pass)
+    scorePsiAgainst(current,
+      psiBaseline(reference, valueCol, buckets).localCheckpoint(),
       valueCol)
 
   /** Frozen PSI baseline: one row per bucket carrying the reference
@@ -227,7 +252,13 @@ object Checks {
         col("edges"))
       .join(refCounts, Seq("bucket"), "left")
       .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
-      .crossJoin(broadcast(ref.agg(count(lit(1)).as("ref_n"))))
+      // r18: every non-null reference row lands in exactly one bucket, so
+      // the total is the exact sum of the bucket counts — a whole-frame
+      // window over the O(buckets) rows replaces what was a third full
+      // reference scan (single-partition window is fine at 10 rows)
+      .withColumn("ref_n",
+        sum(col("ref_cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
       .withColumn("n_buckets", lit(buckets.toLong))
   }
 
@@ -245,12 +276,14 @@ object Checks {
       .select(size(filter(col("edges"),
         e => col(valueCol).cast("double") > e)).cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cur_cnt"))
-    val curN = current.filter(col(valueCol).isNotNull)
-      .agg(count(lit(1)).as("__cn"))
     val joined = baseline
       .join(curCounts, Seq("bucket"), "left")
-      .crossJoin(broadcast(curN))
       .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
+      // r18: the current total is the exact sum of the bucket counts —
+      // replaces a second full current scan (the psiBaseline trick)
+      .withColumn("__cn",
+        sum(col("cur_cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
     val p = (col("ref_cnt") + 1).cast("double") / (col("ref_n") + col("n_buckets"))
     val q = (col("cur_cnt") + 1).cast("double") / (col("__cn") + col("n_buckets"))
     joined.select(col("bucket"),
@@ -287,12 +320,16 @@ object Checks {
     require(maxCategories >= 1, "maxCategories must be at least 1")
     val s = reference.sparkSession
     import s.implicits._
+    // r18: pin the O(maxCategories) domain — it feeds BOTH labeled scans,
+    // the grid, and (pre-r18) a grid count, and unpinned each consumer
+    // re-ran the reference top-k reduce from scratch
     val top = reference.filter(col(catCol).isNotNull)
       .groupBy(col(catCol).cast("string").as("category"))
       .agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__cnt").desc, col("category").asc)
       .limit(maxCategories)
       .select("category")
+      .localCheckpoint()
     def labeled(df: DataFrame, as: String) = df
       .select(when(col(catCol).isNull, lit("__null__"))
         .otherwise(col(catCol).cast("string")).as("raw"))
@@ -303,14 +340,20 @@ object Checks {
         .otherwise(lit("__other__")).as("category"))
       .groupBy("category").agg(count(lit(1)).as(as))
     val grid = top.union(Seq("__other__", "__null__").toDF("category"))
+    // r18: every row of either side lands on exactly one grid label
+    // (__null__/__other__ included), so the side totals are the exact
+    // sums of the label counts and the label count is the joined frame's
+    // own row count — whole-frame windows over O(labels) rows replace
+    // what were two more full input scans plus a grid re-derivation
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val joined = grid
       .join(labeled(reference, "ref_cnt"), Seq("category"), "left")
       .join(labeled(current, "cur_cnt"), Seq("category"), "left")
       .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
       .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
-      .crossJoin(broadcast(reference.agg(count(lit(1)).as("__rn"))))
-      .crossJoin(broadcast(current.agg(count(lit(1)).as("__cn"))))
-      .crossJoin(broadcast(grid.agg(count(lit(1)).as("__nl"))))
+      .withColumn("__rn", sum(col("ref_cnt")).over(wAll))
+      .withColumn("__cn", sum(col("cur_cnt")).over(wAll))
+      .withColumn("__nl", count(lit(1)).over(wAll))
     val p = (col("ref_cnt") + 1).cast("double") / (col("__rn") + col("__nl"))
     val q = (col("cur_cnt") + 1).cast("double") / (col("__cn") + col("__nl"))
     joined.select(col("category"), col("ref_cnt"), col("cur_cnt"),
@@ -345,7 +388,10 @@ object Checks {
       current: DataFrame,
       catCol: String,
       maxCategories: Int = 20): DataFrame =
-    scoreChi2Against(current, chi2Baseline(reference, catCol, maxCategories),
+    // r18: pin the O(labels) baseline — the scorer reads it twice (domain
+    // + join side); the driftPsi composite fix
+    scoreChi2Against(current,
+      chi2Baseline(reference, catCol, maxCategories).localCheckpoint(),
       catCol)
 
   /** Map a frame onto a frozen top-category domain (the PSI-cat
@@ -372,17 +418,23 @@ object Checks {
     require(maxCategories >= 1, "maxCategories must be at least 1")
     val s = reference.sparkSession
     import s.implicits._
+    // r18: pinned domain + window-sum total, the driftPsiCategorical fixes
+    // (grid and labelOntoDomain both read `top`; ref_n is the exact sum of
+    // the label counts since every row maps onto exactly one grid label)
     val top = reference.filter(col(catCol).isNotNull)
       .groupBy(col(catCol).cast("string").as("category"))
       .agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__cnt").desc, col("category").asc)
       .limit(maxCategories)
       .select("category")
+      .localCheckpoint()
     val grid = top.union(Seq("__other__", "__null__").toDF("category"))
     grid
       .join(labelOntoDomain(reference, catCol, top, "ref_cnt"), Seq("category"), "left")
       .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
-      .crossJoin(broadcast(reference.agg(count(lit(1)).as("ref_n"))))
+      .withColumn("ref_n",
+        sum(col("ref_cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
   }
 
   /** Score a current frame against a frozen [[chi2Baseline]] — the
@@ -397,7 +449,11 @@ object Checks {
     val joined = baseline
       .join(labelOntoDomain(current, catCol, top, "cur_cnt"), Seq("category"), "left")
       .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
-      .crossJoin(broadcast(current.agg(count(lit(1)).as("__cn"))))
+      // r18: exact current total from the label counts — one current scan
+      // instead of two (the scorePsiAgainst trick)
+      .withColumn("__cn",
+        sum(col("cur_cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
     val rowTotal = (col("ref_cnt") + col("cur_cnt")).cast("double")
     val n = (col("ref_n") + col("__cn")).cast("double")
     val eRef = rowTotal * col("ref_n") / n
@@ -465,14 +521,21 @@ object Checks {
       .select(transform(col("__raw"), e => round(e, 4)).as("edges"))
     val rc = ref.groupBy("v").agg(count(lit(1)).as("ref_c"))
     val cc = cur.groupBy("v").agg(count(lit(1)).as("cur_c"))
-    val m = rc.join(cc, Seq("v"), "full_outer")
+    // r18: PINNED — the merged domain table feeds the inner cumulative
+    // window AND the bucket-offset reduce (and, through `gaps`, the max
+    // and the argmin join); unpinned, each consumer re-ran both scans,
+    // both value reduces and the full-outer join — the composite made ~9
+    // reference passes where 2 suffice. O(distinct values) narrow rows,
+    // disk-backed local blocks.
+    val m = (rc.join(cc, Seq("v"), "full_outer")
       .select(col("v"),
         coalesce(col("ref_c"), lit(0L)).as("ref_c"),
         coalesce(col("cur_c"), lit(0L)).as("cur_c"))
       .crossJoin(broadcast(edges))
       .withColumn("__bucket",
         size(filter(col("edges"), e => col("v") > e)).cast("long"))
-      .drop("edges")
+      .drop("edges"))
+      .localCheckpoint()
     val inner = org.apache.spark.sql.expressions.Window
       .partitionBy("__bucket").orderBy("v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -488,13 +551,19 @@ object Checks {
       .select(col("__bucket"),
         coalesce(sum(col("bt_ref")).over(outer), lit(0L)).as("off_ref"),
         coalesce(sum(col("bt_cur")).over(outer), lit(0L)).as("off_cur"))
-    val totals = ref.agg(count(lit(1)).as("n_ref"))
-      .crossJoin(cur.agg(count(lit(1)).as("n_cur")))
-    val gaps = cum.join(broadcast(offsets), Seq("__bucket"))
+    // r18: side totals are exact sums over the pinned domain table (the
+    // full-outer join keeps every distinct value of both sides) — replaces
+    // two more full input scans; an AGGREGATE, not a whole-frame window,
+    // because the domain table can be corpus-sized
+    val totals = m.agg(sum(col("ref_c")).as("n_ref"), sum(col("cur_c")).as("n_cur"))
+    // r18: PINNED — `gaps` feeds the max aggregate and the argmin join;
+    // unpinned, the second consumer re-ran both prefix-sum windows
+    val gaps = (cum.join(broadcast(offsets), Seq("__bucket"))
       .crossJoin(broadcast(totals))
       .select(col("v"), col("n_ref"), col("n_cur"),
         abs((col("off_ref") + col("in_ref")) * col("n_cur") -
-          (col("off_cur") + col("in_cur")) * col("n_ref")).as("gap"))
+          (col("off_cur") + col("in_cur")) * col("n_ref")).as("gap")))
+      .localCheckpoint()
     val dMax = gaps.agg(max(col("gap")).as("d_num"))
     gaps.join(broadcast(dMax), col("gap") === col("d_num"))
       .groupBy(col("n_ref"), col("n_cur"), col("d_num"))
@@ -725,6 +794,12 @@ object Checks {
   def suggest(df: DataFrame, maxSetSize: Int = 10): DataFrame = {
     import org.apache.spark.sql.types.{NumericType, StringType}
     require(maxSetSize >= 1, "maxSetSize must be at least 1")
+    // r18 scale-adaptive parallelism: the per-column countDistinct profile
+    // plans through Expand — (columns+1) replicas of every row feed the
+    // partial aggregate — and that map-side work runs at SCAN parallelism;
+    // see [[spreadNarrowScan]]. Exact aggregates are
+    // partitioning-invariant, so results are unchanged.
+    val df2 = spreadNarrowScan(df)
     val fields = df.schema.fields.toSeq
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
       Seq(
@@ -737,7 +812,7 @@ object Checks {
           case _ => Nil
         })
     }
-    val prof = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val prof = df2.agg(aggs.head, aggs.tail: _*).collect()(0)
     def g[T](name: String): T = prof.getAs[T](name)
     val nRows = g[Long]("__n")
     val setCols = fields.filter(f => f.dataType == StringType &&
@@ -747,7 +822,7 @@ object Checks {
       else {
         val setAggs = setCols.map(f =>
           concat_ws(",", array_sort(collect_set(col(f.name)))).as(f.name))
-        val row = df.agg(setAggs.head, setAggs.tail: _*).collect()(0)
+        val row = df2.agg(setAggs.head, setAggs.tail: _*).collect()(0)
         setCols.map(f => f.name -> row.getAs[String](f.name)).toMap
       }
     final case class Sug(col: String, kind: String, lo: Option[Double],

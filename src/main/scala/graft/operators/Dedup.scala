@@ -1222,12 +1222,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(maxCellSize >= 1, "maxCellSize must be at least 1")
     val cents = Similarity.centroidArray(centroids, centroidIdCol, centroidVecCol)
-    // assignment computed once, carrying the vector for the pair stage
-    val assigned = corpus.crossJoin(broadcast(cents))
+    // assignment computed once, carrying the vector for the pair stage.
+    // r18: PINNED — a bare projection has no exchange for reuse to latch
+    // onto, and this frame feeds the cell-count reduce, the sub-split
+    // join, and the final label join; unpinned, the corpus was re-scanned
+    // and re-scored against the centroid array three times per run
+    val assigned = truncate(corpus.crossJoin(broadcast(cents))
       .select(col(idCol), col(vecCol),
         explode(Similarity.topCellsLocal(col(vecCol), 1)).as("__best"))
       .select(col(idCol).as("id"), col(vecCol).as("__vec"),
-        col("__best.cell").as("cell"), round(col("__best.cos"), 6).as("cent_cos"))
+        col("__best.cell").as("cell"), round(col("__best.cos"), 6).as("cent_cos")))
     // sub-cell split of oversized cells: m = ceil(n / maxCellSize) salted
     // sub-cells (m = 1 — the expected case — reproduces the uncapped plan
     // bit-for-bit: every row lands in sub-cell 0)
@@ -1321,8 +1325,12 @@ object Dedup {
           explode(Similarity.topCellsLocal(col(vecCol), 1)).as("__best"))
         .select(col(idCol).as(idOut), col(vecCol).as(vecOut),
           col("__best.cell").as("cell"), round(col("__best.cos"), 6).as("cent_cos"))
-    val b = assign(batch, "id", "__bv")
-    val store0 = assign(corpus, "corpus_id", "__cv")
+    // r18: both assignments pinned (the [[semanticDedup]] fix) — the
+    // store side feeds the cell-count reduce plus both cap branches, the
+    // batch side the match join plus the final re-attach; unpinned each
+    // consumer re-ran the scan + centroid scoring
+    val b = truncate(assign(batch, "id", "__bv"))
+    val store0 = truncate(assign(corpus, "corpus_id", "__cv"))
     val store =
       if (maxCellStore == Exact) store0.select("cell", "corpus_id", "__cv")
       else {

@@ -792,13 +792,30 @@ class AdviceRegressionSpec extends AnyFunSuite {
     import spark2.implicits._
     val ref = (1 to 400).map(_.toDouble).toDF("v")
     val cur = (1 to 400).map(i => i.toDouble + (if (i % 2 == 0) 40.0 else 0.0)).toDF("v")
-    val out = Checks.driftKs(ref, cur, "v", buckets = 8)
-    val plan = out.queryExecution.analyzed.toString
-    assert(plan.contains("approx_percentile"), "edges must come from the GK sketch")
-    assert(!plan.matches("(?s).*(?<!approx_)percentile\\(.*"),
-      "no exact percentile aggregation state")
-    val row = out.collect().head
-    assert(row.getAs[Long]("n_ref") == 400L && row.getAs[Long]("ks_micro") > 0L)
+    // r18: driftKs pins its domain/gap tables eagerly (localCheckpoint), so
+    // the edge aggregate no longer appears in the RETURNED frame's plan —
+    // capture every plan executed during construction + collect instead
+    // (the listener sees the eager checkpoint jobs) and assert the pin on
+    // the union of them.
+    val plans = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.analyzed.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark2.listenerManager.register(listener)
+    try {
+      val out = Checks.driftKs(ref, cur, "v", buckets = 8)
+      val row = out.collect().head
+      assert(row.getAs[Long]("n_ref") == 400L && row.getAs[Long]("ks_micro") > 0L)
+      org.apache.spark.sql.graftbridge.drainListenerBus(spark2)
+      val all = plans.synchronized { plans.mkString("\n---\n") }
+      assert(all.contains("approx_percentile"), "edges must come from the GK sketch")
+      assert(!all.matches("(?s).*(?<!approx_)percentile\\(.*"),
+        "no exact percentile aggregation state")
+    } finally spark2.listenerManager.unregister(listener)
   }
 
   // ---- ADVICE r15 low: zipfFit's documented long-overflow bound

@@ -646,6 +646,24 @@ class OpsSpec extends AnyFunSuite {
     assert(total > 1000000L, s"a full shift must land far past the act band: $total")
   }
 
+  test("driftPsi: empty current side keeps exact smoothed totals (r18 window-sum internals)") {
+    // r18 rewired the side totals to be window-sums of the bucket counts
+    // instead of separate full scans; the empty-current edge (every
+    // cur_cnt 0 → __cn 0) must still smooth to q = 1/(0 + buckets)
+    val spark2 = spark
+    import spark2.implicits._
+    val ref = (1 to 100).map(i => Option(i.toDouble)).toDF("v")
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val got = Checks.driftPsi(ref, empty, "v", buckets = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val p = 21.0 / 105   // (20+1)/(100+5)
+    val q = 1.0 / 5      // (0+1)/(0+5)
+    val expect = math.round(((q - p) * math.log(q / p)) * 1e6)
+    assert(got.keySet == (0L to 4L).toSet, s"$got")
+    assert(got.values.forall(_ == ((20L, 0L, expect))), s"$got")
+  }
+
   test("driftPsiCategorical: sentinel routing, unseen categories, exact-zero identity") {
     val spark2 = spark
     import spark2.implicits._

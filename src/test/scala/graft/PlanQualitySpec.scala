@@ -662,16 +662,38 @@ class PlanQualitySpec extends AnyFunSuite {
   test("driftKs: the ECDF cumulative window is bucket-partitioned, never one global sort partition") {
     import graft.operators.Checks
     val li = t("lineitem").df
-    val df = Checks.driftKs(li,
-      li.select((col("l_extendedprice") * lit(1.1)).as("l_extendedprice")),
-      "l_extendedprice", buckets = 8)
-    df.write.format("noop").mode("overwrite").save()
-    val plan = df.queryExecution.executedPlan.toString
-    // the inner prefix-sum window must carry the bucket in its partition
-    // spec — a bare windowspecdefinition(v ...) would be the global-window
-    // scale bug this operator exists to avoid
-    assert(plan.contains("windowspecdefinition(__bucket"),
-      s"expected a bucket-partitioned cumulative window in:\n$plan")
+    // r18: driftKs pins its gap table eagerly (localCheckpoint), so the
+    // cumulative window no longer appears in the RETURNED frame's plan —
+    // capture every plan executed during construction + the final action
+    // via a listener (the AdviceRegressionSpec driftKs pin's mechanism)
+    // and assert the window shape on their union.
+    val plans = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = Checks.driftKs(li,
+        li.select((col("l_extendedprice") * lit(1.1)).as("l_extendedprice")),
+        "l_extendedprice", buckets = 8)
+      df.write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.graftbridge.drainListenerBus(spark)
+      val all = plans.synchronized { plans.mkString("\n---\n") }
+      // the inner prefix-sum window must carry the bucket in its partition
+      // spec — a bare windowspecdefinition(v ...) would be the global-window
+      // scale bug this operator exists to avoid
+      assert(all.contains("windowspecdefinition(__bucket"),
+        s"expected a bucket-partitioned cumulative window in:\n$all")
+      // and the value-domain cumulative sum must never run window-over-v
+      // globally (the offsets window over the O(buckets) table is the only
+      // unpartitioned window allowed)
+      assert(!all.contains("windowspecdefinition(v#"),
+        "the per-value window must be bucket-partitioned")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("rollingActiveUsers: one distinct fold then one day reduce; no join back to raw events") {
