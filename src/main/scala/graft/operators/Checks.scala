@@ -149,16 +149,22 @@ object Checks {
     * NULL-group rows: the med/MAD joins are NULL-SAFE (`<=>`), so a
     * nullable group column forms its own group instead of silently
     * dropping its rows from the output. */
-  /** r18 scale-adaptive parallelism guard: when a frame's scan has fewer
-    * partitions than the cluster's default parallelism (the
+  /** r18 scale-adaptive parallelism guard: when a frame's scan has FAR
+    * fewer partitions than the cluster's default parallelism (the
     * single-row-group-parquet case — row groups floor the split count, so
     * an 11 MB file scans as ONE task on any cluster), spread it before
     * heavy per-row/aggregate work; on production multi-split inputs the
-    * guard is false and no exchange is paid. Only legal around exact,
+    * guard is false and no exchange is paid. The deficit threshold is 4×
+    * (not merely <): the round-robin repartition pays a full-width shuffle
+    * PLUS its sort-before-repartition pass, and the 10× audit measured a
+    * mild-deficit fire (11 scan tasks vs 32 cores on the amplified dir)
+    * costing more than the extra parallelism bought — only a large
+    * deficit amortizes the exchange. Only legal around exact,
     * partitioning-invariant computations — callers own that property. */
   private def spreadNarrowScan(df: DataFrame): DataFrame = {
     val defaultPar = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < defaultPar) df.repartition(defaultPar) else df
+    if (df.rdd.getNumPartitions * 4 <= defaultPar) df.repartition(defaultPar)
+    else df
   }
 
   def outliersMad(
