@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// the bench gate JSON. sbt's default LoggedOutput strategy prefixes every
+// forked-process line with "[info] " and appends its own "[success] Total
+// time ..." line, which has broken that parse every round (BENCH_r15–r18
+// all carry parsed:null). StdoutOutput lets the forked JVM inherit sbt's
+// raw stdout/stderr (no prefix), and showSuccess drops the trailer, so the
+// bare gate line Bench prints last IS the last stdout line. Neither setting
+// changes what is timed or how.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint cannot see — excluded to keep `sbt compile` warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -413,8 +413,13 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_OUT.json write failed: $e")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"queries":$qs,"regressions":$regJson,"full":"BENCH_OUT.json","sf":"$sfDir"}""")
+    // stop Spark BEFORE the gate line so no executor/scheduler log line can
+    // print after it — with build.sbt's StdoutOutput + showSuccess:=false
+    // (r19) this short record is the literal last stdout line, which is
+    // what the driver parses (BENCH_r15–r18 all failed that parse against
+    // sbt's "[info] " prefix + "[success]" trailer).
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"queries":$qs,"regressions":$regJson,"full":"BENCH_OUT.json","sf":"$sfDir"}""")
   }
 
   /** Runs the streaming throughput probes and returns (row name, median,

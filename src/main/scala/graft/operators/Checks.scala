@@ -123,6 +123,43 @@ object Checks {
       .drop("ord")
   }
 
+  /** r18 scale-adaptive parallelism guard: when a frame's scan has FAR
+    * fewer partitions than the cluster's default parallelism (the
+    * single-row-group-parquet case — row groups floor the split count, so
+    * an 11 MB file scans as ONE task on any cluster), spread it before
+    * heavy per-row/aggregate work; on production multi-split inputs the
+    * guard is false and no exchange is paid. The deficit threshold is 4×
+    * (not merely <): the round-robin repartition pays a full-width shuffle
+    * PLUS its sort-before-repartition pass, and the 10× audit measured a
+    * mild-deficit fire (11 scan tasks vs 32 cores on the amplified dir)
+    * costing more than the extra parallelism bought — only a large
+    * deficit amortizes the exchange. Only legal around exact,
+    * partitioning-invariant computations — callers own that property.
+    *
+    * r19 (ADVICE): the partition-count probe (`df.rdd`) finalizes the
+    * adaptive plan, which on a DERIVED frame (joins/aggs below) can
+    * materialize upstream shuffle stages once for the probe and again for
+    * the separately-planned consumer. The probe therefore only runs on
+    * SCAN-ROOTED frames — projections/filters over a leaf relation, the
+    * shape whose partition count is a pure file-split property; any other
+    * frame is returned unspread. */
+  private def spreadNarrowScan(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    def scanRooted(p: logical.LogicalPlan): Boolean = p match {
+      case pr: logical.Project => scanRooted(pr.child)
+      case f: logical.Filter => scanRooted(f.child)
+      case s: logical.SubqueryAlias => scanRooted(s.child)
+      case _: logical.LeafNode => true
+      case _ => false
+    }
+    if (!scanRooted(df.queryExecution.analyzed)) df
+    else {
+      val defaultPar = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions * 4 <= defaultPar) df.repartition(defaultPar)
+      else df
+    }
+  }
+
   /** Robust outlier detection by median absolute deviation (the
     * Hampel-style filter): per group, med = exact median of the value,
     * MAD = exact median of |v − med|, and a row is an outlier when
@@ -149,24 +186,6 @@ object Checks {
     * NULL-group rows: the med/MAD joins are NULL-SAFE (`<=>`), so a
     * nullable group column forms its own group instead of silently
     * dropping its rows from the output. */
-  /** r18 scale-adaptive parallelism guard: when a frame's scan has FAR
-    * fewer partitions than the cluster's default parallelism (the
-    * single-row-group-parquet case — row groups floor the split count, so
-    * an 11 MB file scans as ONE task on any cluster), spread it before
-    * heavy per-row/aggregate work; on production multi-split inputs the
-    * guard is false and no exchange is paid. The deficit threshold is 4×
-    * (not merely <): the round-robin repartition pays a full-width shuffle
-    * PLUS its sort-before-repartition pass, and the 10× audit measured a
-    * mild-deficit fire (11 scan tasks vs 32 cores on the amplified dir)
-    * costing more than the extra parallelism bought — only a large
-    * deficit amortizes the exchange. Only legal around exact,
-    * partitioning-invariant computations — callers own that property. */
-  private def spreadNarrowScan(df: DataFrame): DataFrame = {
-    val defaultPar = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 <= defaultPar) df.repartition(defaultPar)
-    else df
-  }
-
   def outliersMad(
       df: DataFrame,
       groupCol: String,
@@ -175,20 +194,33 @@ object Checks {
     require(k > 0, "k must be positive")
     val v = col(valueCol).cast("double")
     // r18 note: spreading the percentile inputs via [[spreadNarrowScan]]
-    // was tried and MEASURED SLOWER here (median 3.3 s → 4.3 s at sf0.1,
-    // local[32]): unlike [[suggest]]'s 17× Expand, the percentile partial
-    // does no work amplification, and the keyless repartition's
-    // sort-before-repartition pass costs more than the extra map-side
-    // parallelism buys — the merge of per-partition value-count maps is
-    // the same total work either way. Left at scan parallelism.
-    val med = df.groupBy(col(groupCol).as("__g1"))
-      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"))
+    // was tried and MEASURED SLOWER (median 3.3 s → 4.3 s at sf0.1,
+    // local[32]): the keyless repartition's sort-before-repartition pass
+    // cost more than the extra map-side parallelism bought.
+    // r19 (VERDICT #7): the same parallelism, exchange-free — pre-reduce
+    // to per-(group, value) counts (a CODEGEN hash aggregate with full
+    // map-side partials, distributed across reducers by the (group, value)
+    // hash) and feed the exact percentile its FREQUENCY argument.
+    // `percentile(v, p, cnt)` is bit-identical to `percentile(v, p)` over
+    // the expanded rows — Spark's Percentile buffers (value → count)
+    // internally either way, and the sorted interpolation walks identical
+    // state. The MAD pass then derives |v − med| per DISTINCT value from
+    // the same counts table (equal values have equal deviations), so it
+    // costs O(distinct values) and no second scan of the raw rows: the
+    // full input is scanned twice total (counts + the output re-attach)
+    // instead of three times.
+    val counts = df.groupBy(col(groupCol).as("__g1"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val med = counts.groupBy(col("__g1"))
+      .agg(round(expr("percentile(__v, 0.5, __cnt)"), 4).as("med"))
+    val mad = counts
+      .join(broadcast(med.withColumnRenamed("__g1", "__gm")),
+        col("__g1") <=> col("__gm"))
+      .withColumn("__dev", abs(col("__v").cast("double") - col("med")))
+      .groupBy(col("__g1").as("__g2"))
+      .agg(round(expr("percentile(__dev, 0.5, __cnt)"), 4).as("mad"))
     val deviations = df
       .join(broadcast(med), col(groupCol) <=> col("__g1")).drop("__g1")
-    val mad = deviations
-      .withColumn("__dev", abs(v - col("med")))
-      .groupBy(col(groupCol).as("__g2"))
-      .agg(round(expr("percentile(__dev, 0.5)"), 4).as("mad"))
     deviations.join(broadcast(mad), col(groupCol) <=> col("__g2")).drop("__g2")
       .withColumn("is_outlier",
         coalesce(col("mad") > 0.0 && abs(v - col("med")) > lit(k) * col("mad"),
@@ -218,7 +250,12 @@ object Checks {
     *
     * Returns one row per bucket 0..buckets−1: (bucket, lo, hi, ref_cnt,
     * cur_cnt, psi_micro); lo is NULL for the first bucket, hi for the
-    * last. Total PSI = Σ psi_micro. */
+    * last. Total PSI = Σ psi_micro.
+    *
+    * EAGER (r18 pin): the O(buckets) baseline is materialized with a
+    * Spark job at CONSTRUCTION time — errors in the reference side
+    * surface here, not at the caller's action. Pin storage is O(buckets)
+    * executor-local blocks, ContextCleaner-reclaimed. */
   def driftPsi(
       reference: DataFrame,
       current: DataFrame,
@@ -317,7 +354,11 @@ object Checks {
     * limitation, not guarded.
     *
     * Returns one row per domain label: (category, ref_cnt, cur_cnt,
-    * psi_micro), ordered by category. */
+    * psi_micro), ordered by category.
+    *
+    * EAGER (r18 pin): the O(maxCategories) domain is materialized with a
+    * Spark job at CONSTRUCTION time (executor-local blocks,
+    * ContextCleaner-reclaimed). */
   def driftPsiCategorical(
       reference: DataFrame,
       current: DataFrame,
@@ -388,7 +429,11 @@ object Checks {
     *
     * Returns one row per domain label: (category, ref_cnt, cur_cnt,
     * chi2_term_micro), ordered by caller; the statistic is the sum of
-    * `chi2_term_micro` with dof = labels_with_mass − 1. */
+    * `chi2_term_micro` with dof = labels_with_mass − 1.
+    *
+    * EAGER (r18 pin): the O(labels) baseline is materialized with a
+    * Spark job at CONSTRUCTION time (executor-local blocks,
+    * ContextCleaner-reclaimed). */
   def driftChi2Categorical(
       reference: DataFrame,
       current: DataFrame,
@@ -504,7 +549,12 @@ object Checks {
     * over the O(buckets) bucket-total table only. Two value-key reduces,
     * one value-key full-outer join, 1-row broadcast totals.
     *
-    * Returns ONE row: (n_ref, n_cur, d_num, ks_at, ks_micro). */
+    * Returns ONE row: (n_ref, n_cur, d_num, ks_at, ks_micro).
+    *
+    * EAGER (r18 pins): the merged value-domain table — O(distinct values
+    * of both sides) executor-local bytes — and the gap table are
+    * materialized with Spark jobs at CONSTRUCTION time; both are
+    * ContextCleaner-reclaimed when the frame is GC'd. */
   def driftKs(
       reference: DataFrame,
       current: DataFrame,

@@ -854,8 +854,16 @@ object Corpus {
       maxAvgNll: Double = Double.MaxValue,
       ngram: Int = 2,
       addK: Double = 1.0): DataFrame = {
-    gateVerdict(lmScore(df, idCol, textCol, addK),
-      repetitionStats(df, idCol, textCol, ngram),
+    // r19 gate fusion (§1.2/§2.3): the LM scorer, the LM trainer, and the
+    // repetition signals each tokenized the text independently — three
+    // regex passes over the corpus. One pinned (id, tokens) projection now
+    // feeds all three; every aggregation downstream is byte-identical
+    // algebra over the same arrays, so the verdicts cannot move. See
+    // [[gateTokens]] for the pin contract (eager; O(text) local bytes).
+    val toks = gateTokens(df, idCol, textCol)
+    val counts = lmCountsFromTokens(toks)
+    gateVerdict(lmScoreFromTokens(toks, counts, addK),
+      repetitionStatsFromTokens(toks, ngram),
       minTokens, maxTokens, maxTopNgramFrac, maxDupNgramFrac, maxAvgNll)
   }
 
@@ -880,9 +888,95 @@ object Corpus {
       maxAvgNll: Double = Double.MaxValue,
       ngram: Int = 2,
       addK: Double = 1.0): DataFrame = {
-    gateVerdict(lmScoreAgainst(df, counts, idCol, textCol, addK),
-      repetitionStats(df, idCol, textCol, ngram),
+    // r19 gate fusion: one tokenize pass shared by the LM scorer and the
+    // repetition signals (was two) — see [[qualityGate]] / [[gateTokens]]
+    val toks = gateTokens(df, idCol, textCol)
+    gateVerdict(lmScoreFromTokens(toks, counts, addK),
+      repetitionStatsFromTokens(toks, ngram),
       minTokens, maxTokens, maxTopNgramFrac, maxDupNgramFrac, maxAvgNll)
+  }
+
+  /** The gate's shared tokenize pass (r19 fusion): one pinned (id, __ts)
+    * projection feeding the LM scorer, the repetition signals, and (for
+    * the self-trained gate) the LM trainer — before, each re-tokenized the
+    * text from scratch because a bare projection has no exchange for AQE
+    * runtime reuse to latch onto. Pin storage bound: O(corpus token bytes
+    * ≈ text bytes) in executor-local blocks, ContextCleaner-reclaimed —
+    * the §5 materialize-once-vs-rescan-thrice trade. EAGER: the pin runs a
+    * Spark job at construction time (the drift-suite convention). Left
+    * unpinned for a streaming frame, where checkpointing is illegal and
+    * per-consumer recompute matches the pre-fusion cost. */
+  private def gateTokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = df.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__ts"))
+    if (t.isStreaming) t else t.localCheckpoint()
+  }
+
+  /** [[lmCounts]] over a pre-tokenized (id, __ts) frame — identical
+    * algebra from the explode down. */
+  private def lmCountsFromTokens(toks: DataFrame): DataFrame =
+    toks.select(explode(col("__ts")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+
+  /** [[lmScoreAgainst]] over a pre-tokenized (id, __ts) frame — identical
+    * algebra from the explode down (same joins, same micro-nat
+    * quantization, same null-safe re-attach), so scores are bit-identical
+    * to the unfused operator's. */
+  private def lmScoreFromTokens(
+      toks: DataFrame, counts: DataFrame, addK: Double): DataFrame = {
+    require(addK > 0, "addK must be positive (unsmoothed counts divide by zero on OOV)")
+    val terms = toks
+      .select(col("id"), explode(col("__ts")).as("term"))
+      .filter(col("term") =!= "")
+    val tot = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val perDoc = terms
+      .join(counts, Seq("term"), "left") // OOV keeps the row, c = 0
+      .crossJoin(broadcast(tot))
+      .select(col("id"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(addK)) /
+            (col("t") + lit(addK) * col("v"))) * lit(1e6))
+          .cast("long").as("micro_lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro_lp")).as("sum_micro_lp"))
+      .withColumnRenamed("id", "__lm_id")
+    toks.select(col("id"))
+      .join(perDoc, col("id") <=> col("__lm_id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (-col("sum_micro_lp") / (lit(1e6) * col("n_tokens"))).as("avg_nll"))
+      .withColumn("ppl", exp(col("avg_nll")))
+  }
+
+  /** [[repetitionStats]] over a pre-tokenized (id, __ts) frame — identical
+    * algebra from the gram hashing down (same per-(doc, gram) reduce, same
+    * null-safe re-attach), so the fractions are bit-identical to the
+    * unfused operator's. */
+  private def repetitionStatsFromTokens(toks: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    val grams = graft.expressions.MinHashSignature.shingleHashes(
+      transform(col("__ts"), t => xxhash64(t)), n)
+    val perGram = toks.select(col("id"), explode(grams).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy("id").agg(
+        sum(col("c")).as("n_ngrams"),
+        max(col("c")).as("top_ngram_count"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_ngram_count"))
+      .withColumnRenamed("id", "__rep_id")
+    toks.select(col("id"))
+      .join(perDoc, col("id") <=> col("__rep_id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("top_ngram_count"), lit(0L)).as("top_ngram_count"),
+        coalesce(col("dup_ngram_count"), lit(0L)).as("dup_ngram_count"),
+        when(col("n_ngrams") > 0,
+          col("top_ngram_count").cast("double") / col("n_ngrams").cast("double"))
+          .otherwise(0.0).as("top_ngram_frac"),
+        when(col("n_ngrams") > 0,
+          col("dup_ngram_count").cast("double") / col("n_ngrams").cast("double"))
+          .otherwise(0.0).as("dup_ngram_frac"))
   }
 
   /** The shared verdict assembly of [[qualityGate]]/[[qualityGateAgainst]]:

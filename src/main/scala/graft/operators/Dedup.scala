@@ -220,6 +220,42 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** INTRA-OPERATOR materialization pin (r18's multi-consumer reuse fix,
+    * r19 split from [[truncate]] per ADVICE): a bare projection has no
+    * exchange for AQE runtime reuse to latch onto, so a frame feeding two+
+    * consumers re-runs per consumer unless materialized once. Always
+    * `localCheckpoint` — executor-local disk/memory blocks, reclaimed by
+    * the ContextCleaner when the frame is GC'd. Unlike [[truncate]] this
+    * must NOT upgrade to a reliable `checkpoint()` when a checkpointDir is
+    * set: reliable checkpoint files are never auto-deleted
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+    * false), so per-call pins would accumulate files forever, and an
+    * intra-operator intermediate needs no executor-loss durability (the
+    * job simply reruns). Eager: runs a Spark job at CONSTRUCTION time. */
+  private[graft] def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  /** Fused round materialization + convergence probe for the iterative
+    * label loops: materializes `df` as this round's checkpoint AND counts
+    * rows matching `changed` in the SAME Spark job (r19, VERDICT #4 —
+    * before, every round paid one job to checkpoint and a SECOND
+    * join-shaped job to diff the new labels against the old). The caller
+    * carries the previous round's value in a column so `changed` is
+    * row-local — no join. On the localCheckpoint path the checkpoint is
+    * lazy and the full (un-limited) count is the materializing action:
+    * every partition is computed and stored exactly once, and the
+    * post-job doCheckpoint finds all blocks cached. On the reliable-
+    * checkpoint path (checkpointDir set) `checkpoint()` is eager as
+    * before and the probe is a cheap scan of the materialized blocks. */
+  private def truncateAndCountChanged(
+      df: DataFrame, changed: org.apache.spark.sql.Column): (DataFrame, Boolean) =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val pinned = df.checkpoint()
+      (pinned, pinned.filter(changed).limit(1).count() > 0)
+    } else {
+      val pinned = df.localCheckpoint(eager = false)
+      (pinned, pinned.filter(changed).count() > 0)
+    }
+
   /** Iterates [[refineClusters]] to fixpoint (bounded by `maxRounds`).
     * Convergence is checked with one count per round; pointer jumping halves
     * the pointer depth each round, so log2(longest chain) rounds suffice.
@@ -231,7 +267,7 @@ object Dedup {
   def refineToFixpoint(assignments: DataFrame, idCol: String, maxRounds: Int = 10): DataFrame = {
     var cur = truncate(assignments)
     // the round that is checkpointed but not yet promoted to `cur`: between
-    // truncate(next) and `cur = next` a failure (diff count, freeCheckpoint)
+    // the round's materialization and `cur = next` a failure (freeCheckpoint)
     // would otherwise leak next's reliable-checkpoint files — the handler
     // frees whatever is in flight in addition to the promoted frame
     var inflight: DataFrame = null
@@ -241,14 +277,23 @@ object Dedup {
     // live checkpoints — promoted AND in-flight — are freed before rethrowing
     try {
       while (changed && round < maxRounds) {
-        val next = truncate(refineClusters(cur, idCol))
+        // r19: the round carries the previous label as __old so the
+        // convergence diff is a row-local predicate counted in the SAME
+        // job that materializes the round's checkpoint — one job per
+        // round where the join-shaped diff used to be a second
+        val reps = cur.select(
+          col(idCol).as("__rep_id"), col("cluster_id").as("__rep_cluster"))
+        val step = cur.select(col(idCol), col("cluster_id").as("__old"))
+          .join(reps, col("__old") === col("__rep_id"), "left")
+          .select(col(idCol),
+            least(col("__old"), coalesce(col("__rep_cluster"), col("__old")))
+              .as("cluster_id"),
+            col("__old"))
+        val (next, diff) = truncateAndCountChanged(
+          step, col("cluster_id") =!= col("__old"))
         inflight = next
-        val diff = next.alias("n")
-          .join(cur.alias("c"), col(s"n.$idCol") === col(s"c.$idCol"))
-          .filter(col("n.cluster_id") =!= col("c.cluster_id"))
-          .limit(1).count()
         graftbridge.freeCheckpoint(cur)
-        changed = diff > 0
+        changed = diff
         cur = next
         inflight = null
         round += 1
@@ -262,7 +307,7 @@ object Dedup {
         graftbridge.freeCheckpoint(cur)
         throw t
     }
-    cur
+    cur.select(col(idCol), col("cluster_id"))
   }
 
   /** Exact connected components over an undirected candidate-pair edge list
@@ -299,25 +344,30 @@ object Dedup {
           .join(labels, edges("dst") === labels("id"))
           .groupBy(edges("src").as("id2"))
           .agg(min(col("component")).as("nbr_min"))
+        // r19: carry the previous label as __old so the convergence diff
+        // is a row-local predicate counted in the SAME job that
+        // materializes the round's checkpoint — one job per round where
+        // the join-shaped diff used to be a second (VERDICT r18 #4)
         val propagated = labels
           .join(neighborMin, labels("id") === col("id2"), "left")
           .select(labels("id"),
-            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+            least(labels("component"),
+              coalesce(col("nbr_min"), labels("component"))).as("component"),
+            labels("component").as("__old"))
         // pointer jump: component := least(component, component[component])
         val reps = propagated.select(
           col("id").as("__rep_id"), col("component").as("__rep_component"))
-        val next = truncate(
-          propagated.join(reps, propagated("component") === reps("__rep_id"), "left")
-            .select(propagated("id"),
-              least(propagated("component"),
-                coalesce(col("__rep_component"), propagated("component"))).as("component")))
+        val step = propagated
+          .join(reps, propagated("component") === reps("__rep_id"), "left")
+          .select(propagated("id"),
+            least(propagated("component"),
+              coalesce(col("__rep_component"), propagated("component"))).as("component"),
+            col("__old"))
+        val (next, diff) = truncateAndCountChanged(
+          step, col("component") =!= col("__old"))
         inflight = next
-        val diff = next.alias("n")
-          .join(labels.alias("c"), col("n.id") === col("c.id"))
-          .filter(col("n.component") =!= col("c.component"))
-          .limit(1).count()
         graftbridge.freeCheckpoint(labels)
-        changed = diff > 0
+        changed = diff
         labels = next
         inflight = null
         round += 1
@@ -333,7 +383,9 @@ object Dedup {
         throw t
     }
     graftbridge.freeCheckpoint(edges)
-    labels
+    // rounds ≥ 1 carry the __old diff column in the checkpoint — the
+    // public contract stays (id, component)
+    labels.select(col("id"), col("component"))
   }
 
   /** SimHash near-dedup: 64-bit signature, banded into four 16-bit keys;
@@ -1085,10 +1137,10 @@ object Dedup {
       .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"))
     // r18: the confirm joins the SAME frame's shingle sets on both pair
     // ends — compute the tokenize+shingle projection once and pin it
-    // (localCheckpoint via truncate; disk-backed blocks O(corpus shingle
-    // bytes), reclaimed by the ContextCleaner) instead of re-deriving it
-    // per join side
-    val ss = truncate(shingleSets(df, idCol, textCol, shingleWidth, "b_id"))
+    // instead of re-deriving it per join side. Storage bound: O(corpus
+    // distinct-shingle bytes) in executor-local blocks, reclaimed by the
+    // ContextCleaner when the frame is GC'd (see [[pin]]).
+    val ss = pin(shingleSets(df, idCol, textCol, shingleWidth, "b_id"))
     val confirmed = confirmedMatchesFromSets(cand, ss,
       ss.select(col("b_id").as("c_id"), col("b_id_sh").as("c_id_sh")), minJaccard)
     val comps = connectedComponents(confirmed, "batch_id", "corpus_id")
@@ -1136,13 +1188,14 @@ object Dedup {
     // r18: with the df cut active, each side's fingerprint explosion feeds
     // TWO consumers (the combined-df reduce and the collision join) — a
     // bare projection has no exchange for reuse to latch onto, so without
-    // the pin the text is tokenized and winnowed twice per side; truncate
-    // materializes it once (ids+8-byte fps only, never the text). At the
+    // the pin the text is tokenized and winnowed twice per side; the pin
+    // materializes it once (ids+8-byte fps only, never the text — O(docs ×
+    // fingerprints) executor-local bytes, ContextCleaner-reclaimed). At the
     // uncapped setting each side is consumed once and the pin would be a
     // pure extra materialization — skip it.
-    val pinned = maxFpDf != Long.MaxValue
+    val usePin = maxFpDf != Long.MaxValue
     def sideFps(df: DataFrame, out: String): DataFrame =
-      if (pinned) truncate(fps(df, out)) else fps(df, out)
+      if (usePin) pin(fps(df, out)) else fps(df, out)
     val bFps = sideFps(batch, "batch_id")
     val cFps = sideFps(corpus, "corpus_id")
     // combined-df cut: fingerprints are distinct per doc, so the count over
@@ -1226,8 +1279,11 @@ object Dedup {
     // r18: PINNED — a bare projection has no exchange for reuse to latch
     // onto, and this frame feeds the cell-count reduce, the sub-split
     // join, and the final label join; unpinned, the corpus was re-scanned
-    // and re-scored against the centroid array three times per run
-    val assigned = truncate(corpus.crossJoin(broadcast(cents))
+    // and re-scored against the centroid array three times per run.
+    // Storage bound: O(corpus × dim) executor-local bytes (the pin carries
+    // the full vector column for the pair stage), ContextCleaner-reclaimed
+    // — the deliberate §5 trade of one materialization vs three scorings.
+    val assigned = pin(corpus.crossJoin(broadcast(cents))
       .select(col(idCol), col(vecCol),
         explode(Similarity.topCellsLocal(col(vecCol), 1)).as("__best"))
       .select(col(idCol).as("id"), col(vecCol).as("__vec"),
@@ -1328,9 +1384,11 @@ object Dedup {
     // r18: both assignments pinned (the [[semanticDedup]] fix) — the
     // store side feeds the cell-count reduce plus both cap branches, the
     // batch side the match join plus the final re-attach; unpinned each
-    // consumer re-ran the scan + centroid scoring
-    val b = truncate(assign(batch, "id", "__bv"))
-    val store0 = truncate(assign(corpus, "corpus_id", "__cv"))
+    // consumer re-ran the scan + centroid scoring. Storage bound:
+    // O((batch + store) × dim) executor-local bytes (full vector columns),
+    // ContextCleaner-reclaimed (see [[pin]]).
+    val b = pin(assign(batch, "id", "__bv"))
+    val store0 = pin(assign(corpus, "corpus_id", "__cv"))
     val store =
       if (maxCellStore == Exact) store0.select("cell", "corpus_id", "__cv")
       else {

@@ -491,7 +491,10 @@ object Graph {
         .select(least(col(srcCol), col(dstCol)).as("u"),
           greatest(col(srcCol), col(dstCol)).as("v"))
         .distinct())
-      .localCheckpoint()
+      // r19: lazy checkpoint + count = ONE job materializes the round AND
+      // probes convergence (eager localCheckpoint ran its own job, then
+      // count() a second — every round paid twice; VERDICT r18 #4 pattern)
+      .localCheckpoint(eager = false)
     var n = e.count()
     var r = 0
     var done = n == 0L
@@ -501,7 +504,7 @@ object Graph {
         .join(keep.select(col("id").as("u")), Seq("u"))
         .join(keep.select(col("id").as("v")), Seq("v"))
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val n2 = next.count()
       org.apache.spark.sql.graftbridge.freeCheckpoint(e)
       done = n2 == n || n2 == 0L // no edge dropped → degrees unchanged → fixpoint
